@@ -1,13 +1,127 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.Relational
+import graft.mart.Mart
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ north-star extensions), each paired with DuckDB-runnable
+  * ANSI SQL in `oracleSql` where SQL-expressible.
+  *
+  * Determinism rules (SURVEY.md §7.5): no wall clock (refresh timestamps are
+  * injected literals), no randomness (hash families use fixed seeds), float
+  * SUMs rounded to 2dp so association order can't flip the hash compare.
+  */
 object SparkEntry {
+
+  // Fixed, injectable "run constants" — the reference's datetime.now() calls
+  // (load_sales_history.py:34; load_sales_mart.py:32) made deterministic.
+  private val RefreshDate = "2026-01-01 00:00:00"
+  private val FullCutoff  = "2000-01-01 00:00:00"
+  private val PrevCutoff  = "1998-03-01 00:00:00"
+  private val CurCutoff   = "2024-01-15 00:00:00"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Mart.dataset2(spark, "/root/testdata/sf0.001", RefreshDate)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1+J1+P1+P2: full-load denormalized extract (sale_date < cutoff)
+    "q01_full_extract" -> ((s, dir) =>
+      Relational.fullExtract(s, dir, FullCutoff)),
+    // P2+A1+U1: changed-partition discovery, 3-way UNION distinct
+    "q02_changed_partitions" -> ((s, dir) =>
+      Relational.changedPartitions(s, dir, PrevCutoff, CurCutoff)),
+    // P3: partition-key equality extract
+    "q03_partition_extract" -> ((s, dir) =>
+      Relational.partitionExtract(s, dir, 199506, "2001-01-01 00:00:00")),
+    // A2+E1+E2: mart dataset 1 — COUNT DISTINCT clients by country × recode
+    "q04_mart_client_counts" -> ((s, dir) =>
+      Mart.dataset1(s, dir, RefreshDate)),
+    // A3+P4: mart dataset 2 — COUNT + SUM by country × product attrs
+    "q05_mart_sales_amounts" -> ((s, dir) =>
+      Mart.dataset2(s, dir, RefreshDate)),
+    // A4+P5+E3: dual-engine validation aggregate over an IN-list of partitions
+    "q06_validation_agg" -> ((s, dir) =>
+      Relational.validationAggregate(
+        Relational.fullExtract(s, dir, "2002-01-01 00:00:00"),
+        Seq(199506, 199507, 199601))),
+    // A5+S5+O2: run admission — next id = max(successful id) + 1
+    "q07_next_run_id" -> ((s, dir) =>
+      Relational.nextRunId(
+        Tables.orders(s, dir), "o_orderkey",
+        org.apache.spark.sql.functions.col("o_orderstatus") === "F")),
+  )
+
+  // Shared oracle fragment: the reference's only join shape (J1), fact⟕dims.
+  private val DenormFrom =
+    """FROM lineitem l
+      |LEFT JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      |LEFT JOIN part p     ON l.l_partkey  = p.p_partkey
+      |LEFT JOIN customer c ON o.o_custkey  = c.c_custkey
+      |LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey""".stripMargin
+
+  private val DenormSelect =
+    """SELECT l.l_orderkey AS sale_id, l.l_linenumber AS line_id,
+      |  o.o_orderdate AS sale_date, o.o_orderstatus AS status,
+      |  l.l_extendedprice AS paid, o.o_custkey AS client_id,
+      |  c.c_mktsegment AS segment, l.l_partkey AS product_id,
+      |  p.p_brand AS product, p.p_size AS size, p.p_type AS color,
+      |  l.l_shipdate AS updated_date,
+      |  CAST(strftime(o.o_orderdate, '%Y%m') AS INT) AS year_month,
+      |  n.n_name AS country""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_full_extract" ->
+      s"""$DenormSelect
+         |$DenormFrom
+         |WHERE o.o_orderdate < TIMESTAMP '$FullCutoff'""".stripMargin,
+    "q02_changed_partitions" ->
+      s"""SELECT year_month FROM (
+         |  SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS year_month
+         |  FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '$PrevCutoff' AND o_orderdate < TIMESTAMP '$CurCutoff'
+         |  UNION
+         |  SELECT CAST(strftime(o.o_orderdate, '%Y%m') AS INT)
+         |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_shipdate >= TIMESTAMP '$PrevCutoff' AND l.l_shipdate < TIMESTAMP '$CurCutoff'
+         |  UNION
+         |  SELECT CAST(strftime(ts, '%Y%m') AS INT)
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '$PrevCutoff' AND ts < TIMESTAMP '$CurCutoff'
+         |) WHERE year_month IS NOT NULL""".stripMargin,
+    "q03_partition_extract" ->
+      s"""$DenormSelect
+         |$DenormFrom
+         |WHERE CAST(strftime(o.o_orderdate, '%Y%m') AS INT) = 199506
+         |  AND o.o_orderdate < TIMESTAMP '2001-01-01 00:00:00'""".stripMargin,
+    "q04_mart_client_counts" ->
+      s"""SELECT n.n_name AS country,
+         |  CASE WHEN o.o_orderstatus = 'O' THEN 'Open'
+         |       WHEN o.o_orderstatus = 'F' THEN 'Filled'
+         |       ELSE 'Other' END AS status_name,
+         |  COUNT(DISTINCT o.o_custkey) AS client_count,
+         |  TIMESTAMP '$RefreshDate' AS refresh_date
+         |$DenormFrom
+         |WHERE l.l_extendedprice > 0
+         |GROUP BY 1, 2""".stripMargin,
+    "q05_mart_sales_amounts" ->
+      s"""SELECT n.n_name AS country, p.p_brand AS product,
+         |  p.p_size AS size, p.p_type AS color,
+         |  COUNT(l.l_orderkey) AS sales_count,
+         |  ROUND(SUM(l.l_extendedprice), 2) AS paid_amount,
+         |  TIMESTAMP '$RefreshDate' AS refresh_date
+         |$DenormFrom
+         |WHERE l.l_extendedprice > 0
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q06_validation_agg" ->
+      s"""SELECT COALESCE(COUNT(l.l_orderkey), 0) AS row_count,
+         |  COALESCE(ROUND(SUM(l.l_extendedprice), 2), 0) AS paid_sum
+         |$DenormFrom
+         |WHERE o.o_orderdate < TIMESTAMP '2002-01-01 00:00:00'
+         |  AND CAST(strftime(o.o_orderdate, '%Y%m') AS INT) IN (199506, 199507, 199601)""".stripMargin,
+    "q07_next_run_id" ->
+      """SELECT CAST(COALESCE(MAX(o_orderkey), 0) + 1 AS BIGINT) AS next_id
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+  )
 }

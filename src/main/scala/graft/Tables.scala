@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loaders over the driver-provided Parquet directories
+  * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md).
+  *
+  * Design note (100 TB): every loader returns a plain Parquet scan —
+  * Catalyst pushes filters and prunes columns into the scan, so callers
+  * compose `select`/`filter` freely without re-reading extra data. On a
+  * real cluster the same call sites would point at partitioned table
+  * roots; nothing here materializes on the driver.
+  *
+  * Role mapping to the reference sales domain
+  * (`/root/reference/pipeline_scripts/load_sales_history.py:112-116`):
+  * orders+lineitem ≈ Sales (fact), customer+nation ≈ Clients(+Country),
+  * part ≈ Products, events ≈ change log, documents/embeddings serve the
+  * north-star operators.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Session settings every graft entry point needs (Verify/Bench/tests).
+    * - nanosAsLong: the `events` fixture stores TIMESTAMP(NANOS), which
+    *   Spark 4 otherwise refuses to read; `events()` converts back to
+    *   TimestampType (fixture nanos are exact microseconds — lossless).
+    * - AQE on: runtime join-strategy switch + skew splitting at scale. */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.sources.partitionOverwriteMode" -> "dynamic")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) → read as Long (nanosAsLong)
+    * → restored to TimestampType at microsecond precision. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = table(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,64 @@
+package graft.mart
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** Mart-layer aggregates of the reference's pipeline 2
+  * (`/root/reference/pipeline_scripts/load_sales_mart.py:26-35,60-67`):
+  * two grouped aggregations over the denormalized sales history, plus small
+  * scalar recodes and a run-constant refresh timestamp.
+  *
+  * Scale notes: both are single-shuffle hash aggregates with map-side partial
+  * aggregation; `countDistinct` plans as a two-phase distinct-expand — an
+  * `approxClientCount` HLL variant is provided for the 100 TB path where exact
+  * distinct per group would carry the full key×client cardinality through the
+  * shuffle.
+  */
+object Mart {
+
+  /** E1: searched-CASE recode, mirroring the gender M/F/Other decode
+    * (`/root/reference/pipeline_scripts/load_sales_mart.py:33-34`); fixture
+    * binding: `o_orderstatus` 'O'→'Open', 'F'→'Filled', else 'Other'. */
+  def statusRecode(df: DataFrame, in: String, out: String): DataFrame =
+    df.withColumn(out,
+      when(col(in) === "O", "Open")
+        .when(col(in) === "F", "Filled")
+        .otherwise("Other"))
+
+  /** Mart dataset 1 — A2: grouped COUNT(DISTINCT client) by country × recoded
+    * status, plus E2 literal refresh timestamp
+    * (`/root/reference/pipeline_scripts/load_sales_mart.py:26-35`).
+    * `refreshDate` is injectable (no wall clock in the query path — driver
+    * determinism, SURVEY.md §7.4). */
+  def clientCounts(sales: DataFrame, refreshDate: String): DataFrame =
+    statusRecode(sales.filter(col("paid") > 0), "status", "status_name")
+      .groupBy(col("country"), col("status_name"))
+      .agg(countDistinct(col("client_id")).as("client_count"))
+      .withColumn("refresh_date", to_timestamp(lit(refreshDate)))
+
+  /** 100 TB variant of dataset 1: HLL approximate distinct — mergeable,
+    * single-pass, no expand (SURVEY.md §7.4.4). */
+  def approxClientCounts(sales: DataFrame): DataFrame =
+    sales.filter(col("paid") > 0)
+      .groupBy(col("country"))
+      .agg(approx_count_distinct(col("client_id")).as("client_count_approx"))
+
+  /** Mart dataset 2 — A3 + P4: grouped COUNT + SUM by country × product
+    * attributes over paid sales
+    * (`/root/reference/pipeline_scripts/load_sales_mart.py:60-67`). */
+  def salesAmounts(sales: DataFrame, refreshDate: String): DataFrame =
+    sales.filter(col("paid") > 0)
+      .groupBy(col("country"), col("product"), col("size"), col("color"))
+      .agg(
+        count(col("sale_id")).as("sales_count"),
+        round(sum(col("paid")), 2).as("paid_amount"))
+      .withColumn("refresh_date", to_timestamp(lit(refreshDate)))
+
+  /** Convenience: mart datasets straight off the denormalized fact. */
+  def dataset1(spark: SparkSession, sfDir: String, refreshDate: String): DataFrame =
+    clientCounts(Relational.denormalizedSales(spark, sfDir), refreshDate)
+
+  def dataset2(spark: SparkSession, sfDir: String, refreshDate: String): DataFrame =
+    salesAmounts(Relational.denormalizedSales(spark, sfDir), refreshDate)
+}

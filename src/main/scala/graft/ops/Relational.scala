@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core relational operators of the reference pipeline (SURVEY.md §2),
+  * re-expressed on the driver fixtures:
+  *
+  *   fact  = lineitem ⟕ orders            (≈ Sales)
+  *   dims  = part (≈ Products), customer ⟕ nation (≈ Clients + Country)
+  *
+  * Reference evidence: the only join shape is fact⟕dim LEFT OUTER equi-join
+  * (`/root/reference/pipeline_scripts/load_sales_history.py:112-116`), the CDC
+  * discovery is a 3-way UNION of GROUP BYs (`:80-94`), the validation is a
+  * global COUNT/SUM with null-defaults (`:213-232`).
+  *
+  * Scale notes (100 TB):
+  *  - `nation`/`region` are broadcast unconditionally (25/5 rows at any SF).
+  *  - `part`/`customer` are left to AQE: at small SF they auto-broadcast; at
+  *    100 TB they exceed the threshold and AQE picks shuffled hash / sort-merge
+  *    with skew splitting — no hint that would force an OOM broadcast.
+  *  - All filters are `Column` expressions on the scan side, so Catalyst pushes
+  *    them into the Parquet reader (`PushedFilters`), and `year_month`
+  *    derivation happens *after* pruning.
+  */
+object Relational {
+
+  /** E7: derive the reference's `year_month INT` partition key (e.g. 202108)
+    * from a timestamp column (`/root/reference/data_generation/data_generation.py:38`
+    * stores it denormalized; we derive — one less trusted column). */
+  def yearMonth(ts: Column): Column = date_format(ts, "yyyyMM").cast("int")
+
+  /** Half-open CDC window predicate [prev, cur) — P2
+    * (`/root/reference/pipeline_scripts/load_sales_history.py:76,83,89,93`). */
+  def inWindow(ts: Column, prev: String, cur: String): Column =
+    ts >= to_timestamp(lit(prev)) && ts < to_timestamp(lit(cur))
+
+  /** J1 + P1: the denormalized sales fact — LEFT OUTER fact⟕dims with a
+    * qualified 12-column projection, mirroring
+    * `/root/reference/pipeline_scripts/load_sales_history.py:112-116`.
+    *
+    * Join strategy: nation broadcast (tiny at any scale); part/customer via
+    * AQE (broadcast at test SF, sort-merge + skew-split at 100 TB).
+    */
+  def denormalizedSales(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o  = Tables.orders(spark, sfDir)
+    val p  = Tables.part(spark, sfDir)
+    val c  = Tables.customer(spark, sfDir)
+    val n  = Tables.nation(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "left_outer")
+      .join(p, li("l_partkey") === p("p_partkey"), "left_outer")
+      .join(c, o("o_custkey") === c("c_custkey"), "left_outer")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left_outer")
+      .select(
+        li("l_orderkey").as("sale_id"),
+        li("l_linenumber").as("line_id"),
+        o("o_orderdate").as("sale_date"),
+        o("o_orderstatus").as("status"),
+        li("l_extendedprice").as("paid"),
+        o("o_custkey").as("client_id"),
+        c("c_mktsegment").as("segment"),
+        li("l_partkey").as("product_id"),
+        p("p_brand").as("product"),
+        p("p_size").as("size"),
+        p("p_type").as("color"),
+        li("l_shipdate").as("updated_date"),
+        yearMonth(o("o_orderdate")).as("year_month"),
+        n("n_name").as("country"))
+  }
+
+  /** Full-load extract: everything strictly before the cutoff — P2 full branch
+    * (`/root/reference/pipeline_scripts/load_sales_history.py:71-77`). */
+  def fullExtract(spark: SparkSession, sfDir: String, cutoff: String): DataFrame =
+    denormalizedSales(spark, sfDir)
+      .filter(col("sale_date") < to_timestamp(lit(cutoff)))
+
+  /** Per-partition extract: P3 partition-key equality + cutoff
+    * (`/root/reference/pipeline_scripts/load_sales_history.py:110-116`). */
+  def partitionExtract(spark: SparkSession, sfDir: String, ym: Int, cutoff: String): DataFrame =
+    denormalizedSales(spark, sfDir)
+      .filter(col("year_month") === lit(ym) && col("sale_date") < to_timestamp(lit(cutoff)))
+
+  /** Changed-partition discovery — the 3-way UNION (distinct) of dirty
+    * `year_month` keys from inserted / updated / deleted branches
+    * (`/root/reference/pipeline_scripts/load_sales_history.py:80-94`).
+    * Fixture binding (FIXTURES.md): inserted ↔ `o_orderdate`,
+    * updated ↔ `l_shipdate`, deleted ↔ `events.ts` (tombstone log).
+    *
+    * Spark `union` is UNION ALL — the SQL `UNION` dedup is restored with
+    * `.distinct()` (SURVEY.md §7.4.2). Each branch aggregates *before* the
+    * union, so the shuffle carries only distinct keys, not rows.
+    */
+  def changedPartitions(spark: SparkSession, sfDir: String,
+                        prev: String, cur: String): DataFrame = {
+    val o  = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val inserted = o.filter(inWindow(col("o_orderdate"), prev, cur))
+      .select(yearMonth(col("o_orderdate")).as("year_month")).distinct()
+    // updated rows dirty the partition of their *sale* month: join back to
+    // orders for the partition key, as the reference joins Sales for Year_Month
+    val updated = li.filter(inWindow(col("l_shipdate"), prev, cur))
+      .join(o, li("l_orderkey") === o("o_orderkey"), "left_outer")
+      .select(yearMonth(col("o_orderdate")).as("year_month")).distinct()
+    val deleted = ev.filter(inWindow(col("ts"), prev, cur))
+      .select(yearMonth(col("ts")).as("year_month")).distinct()
+    inserted.union(updated).union(deleted).distinct()
+      .filter(col("year_month").isNotNull)
+  }
+
+  /** A4 + P5 + E3: dual-engine validation aggregate — COUNT and SUM with
+    * null-defaults over an IN-list of partitions
+    * (`/root/reference/pipeline_scripts/load_sales_history.py:213-232`). */
+  def validationAggregate(df: DataFrame, yearMonths: Seq[Int]): DataFrame =
+    df.filter(col("year_month").isin(yearMonths.map(Int.box): _*))
+      .agg(
+        coalesce(count(col("sale_id")), lit(0L)).as("row_count"),
+        coalesce(round(sum(col("paid")), 2), lit(0.0)).as("paid_sum"))
+
+  /** A5 + S5 + O2: run admission — next pipeline id = max fully-successful
+    * id + 1 (`/root/reference/pipeline_scripts/load_sales_history.py:25-27`). */
+  def nextRunId(lineage: DataFrame, idCol: String, statusFilter: Column): DataFrame =
+    lineage.filter(statusFilter)
+      .agg((coalesce(max(col(idCol)), lit(0L)) + lit(1L)).as("next_id"))
+}

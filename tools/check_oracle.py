@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Dev-side parity checker mimicking the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (Spark result) and runs
+<verifyOutDir>/oracle_sql.json's SQL in DuckDB with views bound to the
+sfDir parquet tables; sorts columns by name and rows by value, then
+compares cell-by-cell (exact for ints/strings/timestamps, 1e-9 rel for
+floats). NOT part of the library — local feedback loop only.
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), na_position="last",
+                        ignore_index=True, kind="mergesort")
+    return df
+
+def cmp(a, b):
+    if a.shape != b.shape:
+        return f"shape {a.shape} vs {b.shape}"
+    if list(a.columns) != list(b.columns):
+        return f"cols {list(a.columns)} vs {list(b.columns)}"
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        for i in range(len(av)):
+            x, y = av[i], bv[i]
+            xn = x is None or (isinstance(x, float) and math.isnan(x)) or pd.isna(x)
+            yn = y is None or (isinstance(y, float) and math.isnan(y)) or pd.isna(y)
+            if xn and yn:
+                continue
+            if xn != yn:
+                return f"col {c} row {i}: {x!r} vs {y!r} (null mismatch)"
+            if isinstance(x, float) or isinstance(y, float):
+                if not math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9):
+                    return f"col {c} row {i}: {x!r} vs {y!r}"
+            elif x != y:
+                return f"col {c} row {i}: {x!r} vs {y!r}"
+    return None
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        try:
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        err = cmp(canon(spark_df), canon(duck_df))
+        if err:
+            print(f"FAIL {name}: {err}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark_df)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
