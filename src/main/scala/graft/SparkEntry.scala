@@ -51,7 +51,31 @@ object SparkEntry {
       Relational.nextRunId(
         Tables.orders(s, dir), "o_orderkey",
         org.apache.spark.sql.functions.col("o_orderstatus") === "F")),
+    // north-star text analysis: quality scoring
+    "q08_text_quality" -> ((s, dir) =>
+      ext.TextAnalysis.qualityStats(Tables.documents(s, dir))),
+    // north-star text analysis: token counting (whitespace + BPE-ish regex)
+    "q09_token_counts" -> ((s, dir) =>
+      ext.TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    // north-star text analysis: language ID via stopword scoring
+    "q10_lang_id" -> ((s, dir) =>
+      ext.TextAnalysis.langId(Tables.documents(s, dir))),
+    // tumbling-window (hour) aggregate over the event log
+    "q12_events_hourly" -> ((s, dir) =>
+      ext.Events.hourlyAgg(Tables.events(s, dir))),
+    // JSON property extraction + aggregate
+    "q13_events_props" -> ((s, dir) =>
+      ext.Events.propsAgg(Tables.events(s, dir))),
+    // gap-based sessionization (window functions)
+    "q14_events_sessions" -> ((s, dir) =>
+      ext.Events.sessionize(Tables.events(s, dir))),
   )
+
+  // DuckDB expression for the stopword-hit count of one language.
+  private def duckHits(lang: String): String = {
+    val list = ext.TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($list)))"
+  }
 
   // Shared oracle fragment: the reference's only join shape (J1), fact⟕dims.
   private val DenormFrom =
@@ -123,5 +147,51 @@ object SparkEntry {
     "q07_next_run_id" ->
       """SELECT CAST(COALESCE(MAX(o_orderkey), 0) + 1 AS BIGINT) AS next_id
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q08_text_quality" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars_calc,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  ${duckHits("en")} AS n_stopwords,
+         |  ${duckHits("en")} / len(string_split(text, ' ')) AS stopword_ratio,
+         |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+         |FROM documents""".stripMargin,
+    "q09_token_counts" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "q10_lang_id" -> {
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      val scoreCols = langs.map(l => s"  ${duckHits(l)} AS score_$l").mkString(",\n")
+      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+        val conds = langs.drop(i + 1).map(m => s"score_$l >= score_$m").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang AS lang_label,
+         |$scoreCols
+         |  FROM documents)
+         |SELECT *, CASE $caseChain ELSE '${langs.last}' END AS pred_lang
+         |FROM scored""".stripMargin
+    },
+    "q12_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  COUNT(event_id) AS n_events, ROUND(SUM(value), 2) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q13_events_props" ->
+      """SELECT event_type, COUNT(event_id) AS n_events,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+        |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS k_avg
+        |FROM events GROUP BY 1""".stripMargin,
+    "q14_events_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL
+        |       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(event_id) AS n_events
+        |FROM e GROUP BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analytics over the `events` table — the append-log / change-feed
+  * analog of the reference's CDC inputs (tombstones, update stamps), plus
+  * the JSON-props and sessionization surface a clickstream pipeline needs.
+  * (The Structured Streaming re-expression of the reference's incremental
+  * protocol lives in `graft.streaming`.)
+  *
+  * Scale notes: hourly aggregation and JSON extraction are single-shuffle
+  * hash aggregates with map-side partials; sessionization shuffles once on
+  * `user_id` (the window partition key) — at 100 TB that is the natural
+  * key-partitioned layout, and skewed power-users are AQE's skew-split
+  * problem, not a plan change.
+  */
+object Events {
+
+  /** Tumbling-window aggregate (hour) — batch twin of the streaming
+    * windowed count/sum. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events.groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(col("event_id")).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+
+  /** JSON property extraction (`props` is a JSON string; reference has no
+    * JSON ops — extension surface noted in SURVEY.md §2.7). */
+  def propsAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("event_id")).as("n_events"),
+        sum(col("k")).cast("long").as("k_sum"),
+        round(avg(col("k")), 4).as("k_avg"))
+
+  /** Gap-based sessionization: a new session starts after `gapMinutes` of
+    * inactivity. Window functions over (user_id, ts) — deterministic
+    * tie-break on event_id. Returns per-user session/event counts. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L,
+          1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("new_session")).as("n_sessions"),
+        count(col("event_id")).as("n_events"))
+  }
+}

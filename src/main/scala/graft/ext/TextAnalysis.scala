@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** North-star text-analysis operators over the `documents` table
+  * (BASELINE.json: language-ID, quality scoring, token counting,
+  * fingerprinting) — the text side of a large-scale training-data
+  * pipeline.
+  *
+  * Scale notes (100 TB): every operator here is a narrow per-row
+  * projection built from codegen'd `functions._` (split / filter /
+  * regexp_count higher-order expressions) — no UDFs, no shuffle, and
+  * column pruning reaches the Parquet scan (only `doc_id`+`text` read).
+  */
+object TextAnalysis {
+
+  /** Public-knowledge top stopwords per language (frequency lists as in
+    * common IR literature); used by both quality scoring and language ID. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "auf", "von"),
+    "es" -> Seq("el", "la", "que", "y", "en", "un", "es", "se", "no", "por"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est", "dans", "pour", "ce", "pas"),
+    "zh" -> Seq("的", "是", "不", "我", "了", "在", "人", "有", "他", "这"))
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  private def stopwordHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isin(stopwords(lang): _*)))
+
+  /** Quality scoring: length, token count, stopword count/ratio,
+    * punctuation count — the length/punct/stopword-ratio heuristics used
+    * to filter low-quality web text. */
+  def qualityStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      stopwordHits(col("text"), "en").cast("long").as("n_stopwords"),
+      (stopwordHits(col("text"), "en") / size(tokens(col("text"))))
+        .as("stopword_ratio"),
+      regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("long").as("n_punct"))
+
+  /** Token counting: whitespace tokens plus a BPE-ish segmentation count
+    * (letter runs / single digits / single punctuation, the usual
+    * pre-tokenizer shape). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+        .cast("long").as("n_bpe_tokens"))
+
+  /** Language ID via stopword-hit scoring (n-gram/stopword heuristic).
+    * Deterministic tie-break: fixed language order en,de,es,fr,zh — a
+    * chained CASE, so the DuckDB oracle can state the identical rule. */
+  def langId(docs: DataFrame): DataFrame = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val scores = langs.map(l => stopwordHits(col("text"), l).cast("long").as(s"score_$l"))
+    val scored = docs.select(col("doc_id") +: col("lang").as("lang_label") +: scores: _*)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), elseCol) =>
+        val better = langs.drop(i + 1)
+          .map(m => col(s"score_$l") >= col(s"score_$m")).reduce(_ && _)
+        when(better, lit(l)).otherwise(elseCol)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+}

@@ -31,6 +31,9 @@ def cmp(a, b):
     if list(a.columns) != list(b.columns):
         return f"cols {list(a.columns)} vs {list(b.columns)}"
     for c in a.columns:
+        if str(a[c].dtype) != str(b[c].dtype):
+            print(f"  WARN dtype {c}: spark={a[c].dtype} duck={b[c].dtype}")
+    for c in a.columns:
         av, bv = a[c].values, b[c].values
         for i in range(len(av)):
             x, y = av[i], bv[i]
