@@ -69,6 +69,27 @@ object SparkEntry {
     // gap-based sessionization (window functions)
     "q14_events_sessions" -> ((s, dir) =>
       ext.Events.sessionize(Tables.events(s, dir))),
+    // north-star dedup: exact duplicate groups (hash-groupBy)
+    "q15_dedup_exact" -> ((s, dir) =>
+      ext.Dedup.exactDupGroups(Tables.documents(s, dir))),
+    // north-star dedup: exact 3-gram Jaccard near-dup pairs
+    "q16_dedup_jaccard" -> ((s, dir) =>
+      ext.Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
+    // north-star dedup: MinHash+LSH candidates, Jaccard-verified
+    "q17_dedup_minhash" -> ((s, dir) =>
+      ext.Dedup.minhashLshPairs(Tables.documents(s, dir))),
+    // north-star dedup: SimHash banded near-dup candidates
+    "q18_dedup_simhash" -> ((s, dir) =>
+      ext.Dedup.simhashPairs(Tables.documents(s, dir))),
+    // north-star dedup: embedding-cosine near-dup pairs
+    "q19_dedup_embedding" -> ((s, dir) =>
+      ext.Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir))),
+    // north-star similarity: brute-force cosine top-k
+    "q20_sim_bruteforce" -> ((s, dir) =>
+      ext.Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
+    // north-star similarity: IVF (label-cell) approximate top-k
+    "q21_sim_ivf" -> ((s, dir) =>
+      ext.Similarity.ivfTopK(Tables.embeddings(s, dir))),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -193,5 +214,39 @@ object SparkEntry {
         |       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  COUNT(event_id) AS n_events
         |FROM e GROUP BY 1""".stripMargin,
+    "q15_dedup_exact" ->
+      """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q16_dedup_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |       FROM tok),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |        CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jac
+        |      FROM pairs
+        |      JOIN sizes sa ON doc_a = sa.doc_id
+        |      JOIN sizes sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin,
+    "q19_dedup_embedding" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+    "q20_sim_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |        ROUND(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) AS cos_sim
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |      FROM c)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 10""".stripMargin,
   )
 }

@@ -1,0 +1,170 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** North-star deduplication operators over the `documents` table:
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash — the
+  * standard large-scale training-data dedup ladder.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup groups on a 128-bit digest, not the document body, so
+  *    the shuffle carries 16 bytes + ids per row instead of full text.
+  *  - the exact-Jaccard self-join is quadratic in per-shingle document
+  *    frequency — correct at test SF, and the reason MinHash+LSH exists:
+  *    its shuffle is keyed on (band, band-hash) buckets whose size is
+  *    controlled by the banding parameters, independent of corpus size.
+  *  - all hashing is `xxhash64` (codegen'd, no UDF); hash-family
+  *    coefficients are fixed at plan time → runs are deterministic.
+  */
+object Dedup {
+
+  /** Exact duplicate groups via hash-groupBy on md5(text): canonical id =
+    * min doc_id, plus copy count. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+
+  /** Distinct word n-gram shingles of a text column (empty array when the
+    * text has fewer than n tokens). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exploded (doc_id, shingle) relation, distinct per doc. */
+  private def shingleTable(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(wordShingles(col("text"), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs: |A∩B| / |A∪B| ≥ minJaccard,
+    * computed via shingle self-join. Output (doc_a < doc_b, jaccard).
+    *
+    * `maxShingleDf` drops shingles appearing in more than that many docs
+    * before the self-join — the standard frequent-shingle cap that keeps
+    * the join from going quadratic on boilerplate text at scale (changes
+    * results; off by default so the oracle SQL states the exact same
+    * computation). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
+                        maxShingleDf: Option[Int] = None): DataFrame = {
+    val shAll = shingleTable(docs, n)
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        val df = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("shingle")
+        shAll.join(df, "shingle")
+      case None => shAll
+    }
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Fixed hash family for MinHash: odd 30-bit multiplier + 31-bit offset
+    * per function, from a seeded PRNG at plan-build time (deterministic).
+    * Bounds chosen so a*h32+b stays within Long (ANSI mode — Spark 4
+    * default — makes wrapping multiplication an error, so the affine hash
+    * is kept overflow-free instead). */
+  private def hashFamily(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(k)(((rng.nextInt(1 << 30) | 1).toLong, rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature (k minima of affine-transformed 32-bit-masked
+    * xxhash64 over the shingle set) as an array<bigint> column. */
+  def minhashSignature(shingles: Column, k: Int = 32, seed: Long = 42L): Column = {
+    val sigs = hashFamily(k, seed).map { case (a, b) =>
+      array_min(transform(shingles,
+        s => lit(a) * xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)) + lit(b)))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash + LSH banding candidate pairs: signatures are cut into
+    * `bands` bands of k/bands rows; docs sharing any (band, band-hash)
+    * bucket become candidates; candidates are then verified with exact
+    * n-gram Jaccard ≥ minJaccard (false positives dropped; banding
+    * parameters control the false-negative rate).
+    *
+    * This is the 100 TB dedup path: shuffle on band buckets (bounded),
+    * exact verification only within candidates. */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
+                      minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = docs
+      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), k, seed).as("sig"))
+    val bandHashes = (0 until bands).map(j =>
+      xxhash64(lit(j), slice(col("sig"), j * r + 1, r)))
+    val buckets = sig
+      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification of candidates only
+    ngramJaccardPairs(docs, n, minJaccard)
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+  }
+
+  /** 64-bit SimHash fingerprint of the token multiset: bit b is set when
+    * the sum of ±1 contributions (sign of token-hash bit b) is positive. */
+  def simhash(text: Column): Column = {
+    val toks = split(text, " ")
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => acc + when(
+        aggregate(toks, lit(0L),
+          (s, t) => s + when(call_function("shiftright", xxhash64(t), b)
+            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0L,
+        call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+  }
+
+  /** SimHash near-dup candidates: fingerprints sharing any of four 16-bit
+    * bands (exact-match LSH on fingerprint chunks — Hamming-distance
+    * screening without a quadratic comparison). */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
+    val bandCols = (0 until 4).map(j =>
+      shiftright(col("fp"), j * 16).bitwiseAND(lit(0xFFFFL)))
+    val buckets = fp.select(col("doc_id"), col("fp"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "chunk")))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (lit(64) - bit_count(col("a.fp").bitwiseXOR(col("b.fp")))).as("matching_bits"))
+      .distinct()
+  }
+
+  /** Embedding-cosine near-dup pairs (brute-force at test SF; the ANN
+    * path for scale is `Similarity.ivfTopK`). */
+  def embeddingNearDupPairs(emb: DataFrame, minCosine: Double = 0.4): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"),
+      col("embedding").cast("array<double>").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"),
+      col("embedding").cast("array<double>").as("eb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+}

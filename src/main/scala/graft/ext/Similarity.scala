@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** North-star similarity search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim in the fixtures): brute-force
+  * cosine top-k as the correctness baseline, IVF (coarse-quantized)
+  * top-k as the scale path.
+  *
+  * Scale notes (100 TB):
+  *  - brute force is O(|Q|·|N|) — fine for a broadcast-able query set,
+  *    the yardstick everything else is measured against.
+  *  - IVF probes only the best coarse cell(s): centroids are a tiny
+  *    broadcast table, the candidate scan is partition-pruned by cell id.
+  *    With the corpus written bucketed/partitioned by cell, the probe
+  *    reads a single partition — the classic billion-scale ANN layout.
+  *  - cosine is computed in double via sequential fold (`aggregate`) —
+  *    codegen'd, deterministic, no UDF.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns: dot / sqrt(|a|²·|b|²),
+    * sequential-fold semantics. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * rank the whole corpus by cosine (rounded to 6dp so cross-engine fp
+    * noise can't flip ranks; ties broken by neighbor id). */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .withColumn("cos_sim", round(cosine(col("qe"), col("ne")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Per-label centroids (mean vector), as the IVF coarse quantizer —
+    * labels stand in for k-means cells on the fixtures. Element-wise mean
+    * via posexplode + (label, pos) aggregate, reassembled in order. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("centroid"))
+
+  /** IVF top-k: route each query to its nearest centroid (nProbe=1), then
+    * rank only that cell's vectors. Same output shape as bruteForceTopK;
+    * approximate (recall depends on the quantizer). */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val cents = labelCentroids(emb)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("label"))
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", round(cosine(col("qe"), col("centroid")), 6))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") === 1)
+      .select(col("query_id"), col("qe"), col("label"))
+    val cand = emb.select(col("vec_id").as("neighbor_id"), col("label"),
+      asDouble(col("embedding")).as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(routed).join(cand, "label")
+      .withColumn("cos_sim", round(cosine(col("qe"), col("ne")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+}
