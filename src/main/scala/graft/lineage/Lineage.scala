@@ -1,0 +1,125 @@
+package graft.lineage
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lineage state-table protocol — the reference's hand-rolled incremental
+  * run bookkeeping (`/root/reference/pipeline_scripts/load_sales_history.py:19-65,
+  * 180-202,245-251`; `images/lineage.png`), kept as a small single-directory
+  * Parquet table (SURVEY.md §1.4: "lineage table in RDBMS → small Parquet
+  * state table").
+  *
+  * Semantics preserved exactly (SURVEY.md §2.10):
+  *  1. run admission: next id = max *fully successful* id + 1; any rows with
+  *     id >= that are purged, so failed/partial runs retry idempotently;
+  *  2. previous cutoff read from run id-1's row; absent ⇒ full load;
+  *  3. status state machine RUNNING/SUCCESSFUL/FAILED/NOT STARTED for both
+  *     pipeline and validation phases.
+  *
+  * All timestamps are injected by the caller — no wall clock in the engine
+  * (driver determinism, SURVEY.md §7.4). State writes go through an atomic
+  * directory swap so a crash mid-update can't corrupt the table.
+  */
+final case class LineageRun(
+    id: Int,
+    exec_start: Timestamp,
+    exec_finish: Option[Timestamp],
+    previous_cutoff: Option[Timestamp],
+    current_cutoff: Timestamp,
+    pipeline_status: String,
+    validation_start: Option[Timestamp],
+    validation_finish: Option[Timestamp],
+    validation_status: String)
+
+object LineageStatus {
+  val Running    = "RUNNING"
+  val Successful = "SUCCESSFUL"
+  val Failed     = "FAILED"
+  val NotStarted = "NOT STARTED"
+}
+
+class Lineage(spark: SparkSession, path: String) {
+  import spark.implicits._
+  import LineageStatus._
+
+  def readAll(): Seq[LineageRun] =
+    if (!AtomicSwap.exists(path)) Seq.empty
+    else spark.read.parquet(path).as[LineageRun].collect().toSeq.sortBy(_.id)
+
+  private def write(rows: Seq[LineageRun]): Unit =
+    AtomicSwap.writeSwap(path) { tmp =>
+      spark.createDataset(rows).coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+
+  /** Run admission (reference `:25-31`): next id = max fully-successful id
+    * + 1, and purge any newer (failed/partial) rows so the retry is clean. */
+  def admitRun(): Int = {
+    val rows = readAll()
+    val nextId = rows
+      .filter(r => r.pipeline_status == Successful && r.validation_status == Successful)
+      .map(_.id).maxOption.getOrElse(0) + 1
+    val kept = rows.filter(_.id < nextId)
+    if (kept.size != rows.size) write(kept)
+    nextId
+  }
+
+  /** Previous cutoff = current_cutoff of run id-1 (reference `:39-44`);
+    * None ⇒ full load. */
+  def previousCutoff(runId: Int): Option[Timestamp] =
+    readAll().find(_.id == runId - 1).map(_.current_cutoff)
+
+  /** Insert the RUNNING row for an admitted run (reference `:63-65`). */
+  def startRun(runId: Int, execStart: Timestamp,
+               prevCutoff: Option[Timestamp], curCutoff: Timestamp): Unit =
+    write(readAll() :+ LineageRun(runId, execStart, None, prevCutoff, curCutoff,
+      Running, None, None, NotStarted))
+
+  /** Close the pipeline phase (reference `:181-183,200-202`). */
+  def finishPipeline(runId: Int, status: String, execFinish: Timestamp): Unit =
+    write(readAll().map(r =>
+      if (r.id == runId) r.copy(pipeline_status = status, exec_finish = Some(execFinish))
+      else r))
+
+  /** Record the validation phase (reference `:249-251`). */
+  def finishValidation(runId: Int, status: String,
+                       start: Timestamp, finish: Timestamp): Unit =
+    write(readAll().map(r =>
+      if (r.id == runId) r.copy(validation_status = status,
+        validation_start = Some(start), validation_finish = Some(finish))
+      else r))
+}
+
+/** Atomic directory swap — the lake-side equivalent of the reference's
+  * transactional staging→final publish (`load_sales_mart.py:92-102`, K7):
+  * write to a temp dir, then swap via rename so readers never observe a
+  * half-written table. On a real cluster the same contract is provided by
+  * a table format's commit protocol; locally, `java.nio` atomic moves. */
+object AtomicSwap {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  def exists(path: String): Boolean = {
+    val p = Paths.get(path)
+    Files.exists(p) && Files.list(p).findFirst().isPresent
+  }
+
+  /** Run `writer` against a temp path, then atomically publish it at
+    * `path` (old contents replaced). */
+  def writeSwap(path: String)(writer: String => Unit): Unit = {
+    val target = Paths.get(path)
+    val tmp = Paths.get(path + ".staging")
+    val old = Paths.get(path + ".old")
+    deleteRecursive(tmp); deleteRecursive(old)
+    writer(tmp.toString)
+    if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(old)
+  }
+
+  def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+}

@@ -1,0 +1,85 @@
+package graft.lineage
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end orchestration of one incremental cycle — the reference's
+  * `launch_and_validate` (`/root/reference/pipeline_scripts/load_sales_history.py:189-251`)
+  * plus the Airflow retry policy (`dags/sales_pipeline_dag.py:5`), as a
+  * plain Scala sequence: admission → cutoff → discovery → rebuild →
+  * dual-engine validation, with the lineage status machine recorded at
+  * each step. Scheduling itself stays out of engine scope (SURVEY.md
+  * §2.11 C1).
+  *
+  * All clocks are injected; `now` drives both the cutoff watermark and
+  * the lineage timestamps, so runs are reproducible.
+  */
+final case class SalesSource(
+    sales: DataFrame, clients: DataFrame, products: DataFrame, removed: DataFrame)
+
+final case class RunReport(
+    runId: Int, previousCutoff: Option[Timestamp], currentCutoff: Timestamp,
+    dirtyYearMonths: Seq[Int], pipelineStatus: String, validationStatus: String,
+    sourceCount: Long, lakeCount: Long,
+    sourceSum: BigDecimal, lakeSum: BigDecimal)
+
+class SalesHistoryPipeline(spark: SparkSession, lineage: Lineage, lakePath: String) {
+  import LineageStatus._
+
+  /** E6: cutoff = minute-truncated now − 5-minute safety lag (reference
+    * `:34-36`) — the watermark that tolerates late in-flight commits. */
+  def cutoff(now: Timestamp): Timestamp =
+    new Timestamp(now.getTime / 60000L * 60000L - 5 * 60000L)
+
+  /** One incremental cycle. Fails fast (status FAILED recorded, exception
+    * rethrown) — re-running is safe because admission purges the failed
+    * lineage row and the rebuild is idempotent per partition. */
+  def runOnce(src: SalesSource, now: Timestamp): RunReport = {
+    val runId = lineage.admitRun()
+    val prev  = lineage.previousCutoff(runId)
+    val cur   = cutoff(now)
+    lineage.startRun(runId, now, prev, cur)
+    try {
+      val dirty = IncrementalLoad.changedYearMonths(src.sales, src.removed, prev, cur)
+      val denorm = IncrementalLoad.denormalize(src.sales, src.clients, src.products)
+      IncrementalLoad.rebuildPartitions(denorm, lakePath, dirty, cur)
+      lineage.finishPipeline(runId, Successful, now)
+
+      // dual-engine reconciliation (reference `:195-251`): same aggregate on
+      // the OLTP-side source and on the lake, compared for exact equality
+      val (srcCount, srcSum) =
+        IncrementalLoad.validationCounts(src.sales, dirty, cur)
+      val (lakeCount, lakeSum) =
+        if (dirty.isEmpty) (0L, BigDecimal(0))
+        else IncrementalLoad.validationCounts(
+          IncrementalLoad.readLake(spark, lakePath), dirty, cur)
+      val vStatus = if (srcCount == lakeCount && srcSum == lakeSum) Successful else Failed
+      lineage.finishValidation(runId, vStatus, now, now)
+      RunReport(runId, prev, cur, dirty, Successful, vStatus,
+        srcCount, lakeCount, srcSum, lakeSum)
+    } catch {
+      case e: Throwable =>
+        lineage.finishPipeline(runId, Failed, now)
+        throw e
+    }
+  }
+}
+
+/** C1: the Airflow-style retry wrapper (retries=2, delay=10 s in the
+  * reference DAG) — generic, with injectable sleep for tests. */
+object Retry {
+  def withRetries[T](retries: Int, delayMs: Long,
+                     sleep: Long => Unit = Thread.sleep)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable =>
+          attempt += 1
+          if (attempt > retries) throw e
+          sleep(delayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -55,6 +55,24 @@ object Mart {
         round(sum(col("paid")), 2).as("paid_amount"))
       .withColumn("refresh_date", to_timestamp(lit(refreshDate)))
 
+  /** K4–K7 collapsed, lake-style: the reference stages each mart dataset
+    * (driver `toPandas` → staging table → transactional truncate+insert
+    * publish, `load_sales_mart.py:38-102`); here executors write straight
+    * to a staging directory and an atomic directory swap publishes it, so
+    * dashboards never observe a half-written or empty table and no byte
+    * crosses the driver. */
+  def publishAtomic(df: DataFrame, finalPath: String): Unit =
+    graft.lineage.AtomicSwap.writeSwap(finalPath) { tmp =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    }
+
+  /** Pipeline 2 end-to-end: both mart datasets from the lake, published
+    * atomically (reference `sales_pipeline_2.py:11-21`). */
+  def publishMarts(sales: DataFrame, refreshDate: String, outDir: String): Unit = {
+    publishAtomic(clientCounts(sales, refreshDate), s"$outDir/sales_history_1")
+    publishAtomic(salesAmounts(sales, refreshDate), s"$outDir/sales_history_2")
+  }
+
   /** Convenience: mart datasets straight off the denormalized fact. */
   def dataset1(spark: SparkSession, sfDir: String, refreshDate: String): DataFrame =
     clientCounts(Relational.denormalizedSales(spark, sfDir), refreshDate)

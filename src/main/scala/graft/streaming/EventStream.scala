@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming re-expression of the reference's hand-rolled
+  * micro-batch incremental machinery (SURVEY.md §2.10 "Spark mapping"):
+  *
+  *   reference concept                 → streaming construct
+  *   ------------------------------------------------------------------
+  *   5-minute cutoff safety lag        → `withWatermark("ts", "5 minutes")`
+  *   `year_month` partition rebuild    → tumbling window aggregation
+  *   15-min scheduled micro-runs       → micro-batch trigger
+  *   drop-partition-and-rebuild upsert → `foreachBatch` + dynamic
+  *                                       partition overwrite
+  *
+  * Works on the `events` fixture schema (event_id, ts, user_id,
+  * event_type, value, props). Sources are injectable DataFrames so tests
+  * drive it with MemoryStream; production would use `spark.readStream
+  * .format("kafka"|"parquet")`.
+  *
+  * Scale notes: watermarked window aggregation keeps state bounded (late
+  * rows beyond 5 minutes are dropped exactly like the reference's cutoff
+  * excludes them); `foreachBatch` writes land partitioned by window start,
+  * so downstream readers partition-prune the same way the batch lake does.
+  */
+object EventStream {
+
+  /** Tumbling windowed count/sum with watermark — the streaming twin of
+    * `ext.Events.hourlyAgg` (append mode: a window emits once its
+    * watermark passes, ≡ a partition becoming final after the cutoff). */
+  def windowedAgg(events: DataFrame,
+                  window_ : String = "1 hour",
+                  watermark: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(col("event_id")).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  /** Incremental lake maintenance via foreachBatch: each micro-batch's
+    * touched partitions are overwritten in place (dynamic partition
+    * overwrite ≡ the reference's drop-partition-and-rebuild, applied
+    * per micro-batch instead of per 15-min run). */
+  def sinkToPartitionedLake(agg: DataFrame, lakePath: String,
+                            checkpoint: String): DataStreamWriter[Row] =
+    agg.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch
+            .withColumn("window_date", to_date(col("window_start")))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("window_date")
+            .parquet(lakePath)
+        }
+      }
+}

@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Invariant tests for the north-star operators that have no SQL oracle
+  * (MinHash, SimHash, IVF) plus spot-checks of the oracle-backed ones. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf("sf0.001")).cache()
+  private lazy val emb  = Tables.embeddings(spark, sf("sf0.001")).cache()
+
+  test("exact dedup groups cover every document exactly once") {
+    val groups = Dedup.exactDupGroups(docs)
+    assert(groups.agg(sum("n_copies")).head().getLong(0) == docs.count())
+  }
+
+  test("minhash LSH candidates find the high-jaccard pairs") {
+    // pairs with jaccard >= 0.9 collide in >=1 of 8 4-row bands with
+    // probability 1-(1-0.9^4)^8 ≈ 0.9998 — all must be recalled
+    val exactHigh = Dedup.ngramJaccardPairs(docs, minJaccard = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, minJaccard = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactHigh.nonEmpty, "fixture should contain near-duplicates")
+    assert(exactHigh == lsh,
+      s"missed=${exactHigh -- lsh} spurious=${lsh -- exactHigh}")
+  }
+
+  test("simhash: identical texts share fingerprints; near-dups match most bits") {
+    val fp = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
+    // self-consistency: fingerprint is a pure function of the text
+    val fp1 = fp.filter($"doc_id" === 0).head().getLong(1)
+    val fp2 = docs.filter($"doc_id" === 0)
+      .select(Dedup.simhash($"text")).head().getLong(0)
+    assert(fp1 == fp2)
+    // near-dup pairs (jaccard>=0.9) should agree on >= 48 of 64 bits
+    val near = Dedup.ngramJaccardPairs(docs, minJaccard = 0.9)
+    val withBits = near.join(fp.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("fp", "fa"), "doc_a")
+      .join(fp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("fp", "fb"), "doc_b")
+      .select((lit(64) - bit_count($"fa".bitwiseXOR($"fb"))).as("match_bits"))
+      .collect().map(_.getInt(0))
+    assert(withBits.nonEmpty)
+    assert(withBits.forall(_ >= 48), s"weak simhash agreement: ${withBits.mkString(",")}")
+  }
+
+  test("brute-force top-k: self is rank 1 with cosine 1.0") {
+    val top = Similarity.bruteForceTopK(emb, nQueries = 3, k = 5)
+      .filter($"rank" === 1).collect()
+    assert(top.length == 3)
+    top.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id"))
+      assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+    }
+  }
+
+  test("IVF top-k returns only vectors from the routed cell, ranked like brute force") {
+    val ivf = Similarity.ivfTopK(emb, nQueries = 3, k = 5).collect()
+    assert(ivf.nonEmpty)
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    // within one query, results share a single label (the probed cell)
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val cells = rows.map(r => labels(r.getAs[Long]("neighbor_id"))).toSet
+      assert(cells.size == 1, s"probe leaked across cells: $cells")
+      // ranks are 1..n and cosines non-increasing
+      val ranked = rows.sortBy(_.getAs[Long]("rank"))
+      assert(ranked.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+      val sims = ranked.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims == sims.sorted(Ordering[Double].reverse))
+    }
+  }
+
+  test("language ID predicts the labeled language on stopword-bearing text") {
+    val labeled = Seq(
+      (1L, "en", "the cat sat on the mat and it is a good day for the dog"),
+      (2L, "de", "der hund und die katze sind nicht mit der maus auf das feld"),
+      (3L, "es", "el perro y la casa que no se ve en un lugar por la noche"),
+      (4L, "fr", "le chien est dans une maison pour le chat et pas les souris"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langId(labeled)
+      .select($"lang_label", $"pred_lang").collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"misidentified: ${r.getString(0)} -> ${r.getString(1)}"))
+  }
+
+  test("sessionize counts sessions split by >30min gaps") {
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
+      (3L, 10L, "2024-01-01 11:00:00"), // 50 min gap → new session
+      (4L, 20L, "2024-01-01 09:00:00"))
+      .map { case (e, u, t) => (e, u, java.sql.Timestamp.valueOf(t)) }
+      .toDF("event_id", "user_id", "ts")
+    val out = Events.sessionize(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+    assert(out == Map(10L -> 2L, 20L -> 1L))
+  }
+}

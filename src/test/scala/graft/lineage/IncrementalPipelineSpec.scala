@@ -1,0 +1,169 @@
+package graft.lineage
+
+import java.sql.Timestamp
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+/** Property-style test of the incremental protocol (SURVEY.md §5): a
+  * seeded random insert/update/delete workload (mirroring the reference's
+  * data generator probabilities) is replayed through N incremental cycles;
+  * the lake must equal the source state filtered to the final cutoff, and
+  * must equal a one-shot full rebuild. */
+class IncrementalPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def ym(t: Timestamp): Int = {
+    val ld = t.toLocalDateTime
+    ld.getYear * 100 + ld.getMonthValue
+  }
+
+  /** One sale's full lifecycle, generated up front (deterministic seed). */
+  case class SaleEvent(id: Int, saleDate: Timestamp, clientId: Int, productId: Int,
+                       paid: BigDecimal, updatedAt: Option[Timestamp],
+                       deletedAt: Option[Timestamp])
+
+  private val rng = new scala.util.Random(4242)
+  private val baseMs = ts("2021-06-01 00:00:00").getTime
+  private val horizonMs = ts("2021-10-01 00:00:00").getTime
+
+  private val workload: Seq[SaleEvent] = (1 to 2000).map { i =>
+    val saleMs = baseMs + (rng.nextDouble() * (horizonMs - baseMs)).toLong
+    val sale = new Timestamp(saleMs)
+    val upd = if (rng.nextDouble() < 0.05)
+      Some(new Timestamp(saleMs + 1000L + rng.nextInt(20_000_000))) else None
+    val del = if (rng.nextDouble() < 0.03)
+      Some(new Timestamp(saleMs + 1000L + rng.nextInt(20_000_000))) else None
+    SaleEvent(i, sale, rng.nextInt(50) + 1, rng.nextInt(20) + 1,
+      BigDecimal(rng.nextInt(10000)) / 100, upd, del)
+  }
+
+  /** Source tables as visible at time t (what the OLTP DB would hold). */
+  private def sourceAt(t: Timestamp): SalesSource = {
+    val live = workload.filter(e =>
+      e.saleDate.before(t) && e.deletedAt.forall(d => !d.before(t)))
+    val sales = live.map { e =>
+      val updated = e.updatedAt.filter(_.before(t))
+      (e.id, e.saleDate, ym(e.saleDate), e.clientId, e.productId,
+        // update semantics: Paid *= 0.95 + Updated_Date stamped (reference
+        // data_generation.py:145-147)
+        (if (updated.isDefined) e.paid * BigDecimal("0.95") else e.paid)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        updated.orNull)
+    }.toDF("id", "sale_date", "year_month", "client_id", "product_id", "paid", "updated_date")
+      .withColumn("paid", org.apache.spark.sql.functions.col("paid").cast("decimal(18,2)"))
+    val removed = workload.flatMap(e => e.deletedAt.filter(_.before(t)).map(d =>
+      ("Sales", e.id, e.saleDate, ym(e.saleDate), d)))
+      .toDF("table", "id", "record_date", "year_month", "deleted_date")
+    val clients = (1 to 50).map(i =>
+      (i, ts("2020-01-01 00:00:00"), if (i % 5 == 0) "M" else "F", s"Country${i % 7}"))
+      .toDF("id", "start_date", "gender", "country")
+    val products = (1 to 20).map(i =>
+      (i, ts("2020-01-01 00:00:00"), s"Prod${i % 4}", s"S${i % 3}", s"C${i % 5}",
+        BigDecimal(i * 10).setScale(2)))
+      .toDF("id", "start_date", "product", "size", "color", "price")
+    SalesSource(sales, clients, products, removed)
+  }
+
+  private def lakeState(lakePath: String): Set[(Int, Timestamp, java.math.BigDecimal)] =
+    IncrementalLoad.readLake(spark, lakePath)
+      .select("id", "sale_date", "paid")
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1), r.getDecimal(2))).toSet
+
+  private def expectedState(cutoff: Timestamp): Set[(Int, Timestamp, java.math.BigDecimal)] =
+    sourceAt(cutoff).sales
+      .filter($"sale_date" < org.apache.spark.sql.functions.lit(cutoff))
+      .select("id", "sale_date", "paid")
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1), r.getDecimal(2))).toSet
+
+  test("N incremental cycles converge to source state and match full rebuild") {
+    val dir = Files.createTempDirectory("graft_inc").toString
+    val lakePath = s"$dir/sales_history"
+    val pipeline = new SalesHistoryPipeline(spark, new Lineage(spark, s"$dir/lineage"), lakePath)
+
+    val runTimes = Seq("2021-07-01 00:07:00", "2021-08-01 00:07:00",
+      "2021-09-01 00:07:00", "2021-10-15 00:07:00").map(ts)
+    var lastReport: RunReport = null
+    runTimes.zipWithIndex.foreach { case (now, i) =>
+      lastReport = pipeline.runOnce(sourceAt(pipeline.cutoff(now)), now)
+      assert(lastReport.runId == i + 1)
+      assert(lastReport.pipelineStatus == LineageStatus.Successful)
+      assert(lastReport.validationStatus == LineageStatus.Successful,
+        s"validation mismatch in run ${i + 1}: $lastReport")
+    }
+    val finalCutoff = lastReport.currentCutoff
+    assert(lakeState(lakePath) == expectedState(finalCutoff))
+
+    // one-shot full rebuild into a fresh lake must produce identical state
+    val dir2 = Files.createTempDirectory("graft_full").toString
+    val fullPipeline = new SalesHistoryPipeline(
+      spark, new Lineage(spark, s"$dir2/lineage"), s"$dir2/sales_history")
+    val r = fullPipeline.runOnce(sourceAt(finalCutoff), runTimes.last)
+    assert(r.previousCutoff.isEmpty) // full-load branch
+    assert(r.validationStatus == LineageStatus.Successful)
+    assert(lakeState(s"$dir2/sales_history") == lakeState(lakePath))
+  }
+
+  test("failed run is purged and retried idempotently") {
+    val dir = Files.createTempDirectory("graft_retry").toString
+    val lineage = new Lineage(spark, s"$dir/lineage")
+    val pipeline = new SalesHistoryPipeline(spark, lineage, s"$dir/lake")
+    val t1 = ts("2021-07-01 00:07:00")
+    val good = sourceAt(pipeline.cutoff(t1))
+    // sabotage: a source missing the `removed` table column blows up discovery
+    val bad = good.copy(removed = Seq((1, ts("2021-06-02 00:00:00")))
+      .toDF("id", "other"))
+
+    pipeline.runOnce(good, t1) // run 1 OK
+    val t2 = ts("2021-08-01 00:07:00")
+    intercept[Exception] {
+      pipeline.runOnce(bad.copy(sales = good.sales), t2)
+    }
+    assert(lineage.readAll().last.pipeline_status == LineageStatus.Failed)
+
+    // retry with the fixed source: admission purges the failed row, reuses id 2
+    val report = Retry.withRetries(2, 0, _ => ())(
+      pipeline.runOnce(sourceAt(pipeline.cutoff(t2)), t2))
+    assert(report.runId == 2)
+    assert(lineage.readAll().map(_.id) == Seq(1, 2))
+    assert(report.validationStatus == LineageStatus.Successful)
+  }
+
+  test("country partition with all rows deleted disappears on rebuild") {
+    val dir = Files.createTempDirectory("graft_drop").toString
+    val lakePath = s"$dir/lake"
+    // hand-built micro source: two sales in one month, different countries
+    def src(deleteSecond: Boolean, t: Timestamp): SalesSource = {
+      val noTs = null.asInstanceOf[Timestamp]
+      val base = Seq(
+        (1, ts("2021-06-10 00:00:00"), 202106, 1, 1, BigDecimal("10.00"), noTs),
+        (2, ts("2021-06-11 00:00:00"), 202106, 2, 1, BigDecimal("20.00"), noTs))
+      val rows = if (deleteSecond) base.take(1) else base
+      val sales = rows
+        .toDF("id", "sale_date", "year_month", "client_id", "product_id", "paid", "updated_date")
+        .withColumn("paid", org.apache.spark.sql.functions.col("paid").cast("decimal(18,2)"))
+        .withColumn("updated_date",
+          org.apache.spark.sql.functions.col("updated_date").cast("timestamp"))
+      val removed =
+        (if (deleteSecond) Seq(("Sales", 2, ts("2021-06-11 00:00:00"), 202106,
+          ts("2021-07-02 00:00:00"))) else Seq.empty[(String, Int, Timestamp, Int, Timestamp)])
+          .toDF("table", "id", "record_date", "year_month", "deleted_date")
+      val clients = Seq((1, t, "M", "PT"), (2, t, "F", "ES"))
+        .toDF("id", "start_date", "gender", "country")
+      val products = Seq((1, t, "P", "S", "C", BigDecimal("5.00")))
+        .toDF("id", "start_date", "product", "size", "color", "price")
+      SalesSource(sales, clients, products, removed)
+    }
+    val pipeline = new SalesHistoryPipeline(spark, new Lineage(spark, s"$dir/lineage"), lakePath)
+    val t1 = ts("2021-07-01 00:07:00")
+    pipeline.runOnce(src(deleteSecond = false, t1), t1)
+    assert(lakeState(lakePath).map(_._1) == Set(1, 2))
+    // second cycle: client 2's sale deleted → ES sub-partition must vanish
+    val t2 = ts("2021-07-03 00:07:00")
+    val r = pipeline.runOnce(src(deleteSecond = true, t2), t2)
+    assert(r.dirtyYearMonths == Seq(202106))
+    assert(lakeState(lakePath).map(_._1) == Set(1))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$lakePath/year_month=202106/country=ES")))
+  }
+}

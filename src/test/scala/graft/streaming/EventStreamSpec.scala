@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Drives the streaming module with MemoryStream: windowed aggregation
+  * with watermark semantics (late data beyond the watermark dropped, on
+  * time windows finalized), and the foreachBatch partitioned-lake sink. */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double, props: String)
+
+  test("watermarked windowed agg finalizes windows and drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = EventStream.windowedAgg(mem.toDF(), "1 hour", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in hour 10, one in hour 11 (advances watermark
+      // only to 11:00:01 - 5min, so nothing finalizes yet)
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:10"), 1, "click", 1.0, "{}"),
+        Ev(2, ts("2024-01-01 10:30:00"), 1, "click", 2.0, "{}"),
+        Ev(3, ts("2024-01-01 11:00:01"), 2, "view", 5.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: event far ahead pushes the watermark to 12:55, past the
+      // ends of the hour-10 and hour-11 windows
+      mem.addData(Ev(4, ts("2024-01-01 13:00:00"), 3, "view", 7.0, "{}"))
+      q.processAllAvailable()
+      // batch 3: hour-10/11 windows are now final (end ≤ watermark) and
+      // get emitted; this LATE hour-10 click must be dropped, not counted
+      mem.addData(Ev(5, ts("2024-01-01 10:40:00"), 1, "click", 100.0, "{}"))
+      q.processAllAvailable()
+
+      val out = spark.table("win_agg")
+        .select($"window_start", $"event_type", $"n_events", $"value_sum")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // hour-10 click window: events 1+2 only — late event 5 dropped
+      assert(out.contains((ts("2024-01-01 10:00:00"), "click", 2L, 3.0)), s"got $out")
+      assert(out.contains((ts("2024-01-01 11:00:00"), "view", 1L, 5.0)), s"got $out")
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink lands windowed results partitioned by date") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:00:10"), 1, "click", 1.5, "{}"),
+      Ev(2, ts("2024-01-02 10:00:10"), 1, "click", 2.5, "{}"),
+      Ev(3, ts("2024-01-03 09:00:00"), 1, "view", 9.0, "{}")) // watermark driver
+    val q = EventStream.sinkToPartitionedLake(
+      EventStream.windowedAgg(mem.toDF(), "1 hour", "5 minutes"),
+      s"$dir/lake", s"$dir/ckpt").start()
+    try q.awaitTermination(120000) finally q.stop()
+
+    val lake = spark.read.parquet(s"$dir/lake")
+    assert(lake.filter($"window_date" === "2024-01-01").count() == 1)
+    assert(lake.filter($"window_date" === "2024-01-02").count() == 1)
+    val row = lake.filter($"window_date" === "2024-01-01").head()
+    assert(row.getAs[Long]("n_events") == 1L)
+    assert(row.getAs[Double]("value_sum") == 1.5)
+  }
+}
