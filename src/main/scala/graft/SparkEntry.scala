@@ -90,6 +90,30 @@ object SparkEntry {
     // north-star similarity: IVF (label-cell) approximate top-k
     "q21_sim_ivf" -> ((s, dir) =>
       ext.Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    // north-star: document fingerprinting via native codegen expression
+    "q11_doc_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(
+          org.apache.spark.sql.functions.col("text")).as("fingerprint"))),
+    // north-star multimodal: binary payload metadata via mapPartitions
+    "q22_multimodal_meta" -> ((s, dir) =>
+      ext.Multimodal.metadataQuery(s, Tables.documents(s, dir))),
+    // O1+O2: ordered top-k (ORDER BY + LIMIT with deterministic tiebreak)
+    "q23_top_countries" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Relational.denormalizedSales(s, dir)
+        .filter(col("paid") > 0)
+        .groupBy(col("country"))
+        .agg(round(sum(col("paid")), 2).as("revenue"),
+          count(col("sale_id")).as("n_sales"))
+        .orderBy(col("revenue").desc, col("country"))
+        .limit(10)
+    }),
+    // A2 scale variant: HLL approximate distinct (rows-only check; sketch
+    // implementations differ across engines by design)
+    "q24_approx_distinct" -> ((s, dir) =>
+      mart.Mart.approxClientCounts(Relational.denormalizedSales(s, dir))),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -248,5 +272,24 @@ object SparkEntry {
         |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
         |      FROM c)
         |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 10""".stripMargin,
+    "q22_multimodal_meta" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    (['jpg','png','wav'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT media_id, format, n AS n_bytes,
+        |  CAST(64 + (n % 192) AS INT) AS width,
+        |  CAST(64 + ((n // 7) % 192) AS INT) AS height,
+        |  CAST(CASE WHEN format = 'wav' THEN 1 + (n % 300) ELSE 1 END AS INT) AS n_frames
+        |FROM m""".stripMargin,
+    "q23_top_countries" ->
+      s"""SELECT n.n_name AS country,
+         |  ROUND(SUM(l.l_extendedprice), 2) AS revenue,
+         |  COUNT(l.l_orderkey) AS n_sales
+         |$DenormFrom
+         |WHERE l.l_extendedprice > 0
+         |GROUP BY 1
+         |ORDER BY revenue DESC, country
+         |LIMIT 10""".stripMargin,
   )
 }

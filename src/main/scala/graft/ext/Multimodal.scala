@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with typed metadata, processed per-partition
+  * in batches. The Spark-side machinery — schema, encoders, partition
+  * batching, deterministic outputs — is real; the codec itself is a
+  * STUB (this environment has no image/audio libraries), clearly marked
+  * below, producing deterministic fake metadata/features from the bytes.
+  *
+  * Scale notes (100 TB of media): payloads stay on executors end-to-end
+  * (no collect); per-partition `mapPartitions` amortizes codec init
+  * across a whole batch (the same shape a JNI decoder or an inference
+  * runtime needs); downstream feature tables are narrow and columnar
+  * while the heavy bytes are read once and dropped from the plan as soon
+  * as features are extracted (column pruning).
+  */
+object Multimodal {
+
+  final case class MediaRaw(media_id: Long, format: String, payload: Array[Byte])
+  final case class MediaMeta(media_id: Long, format: String, n_bytes: Long,
+                             width: Int, height: Int, n_frames: Int)
+  final case class MediaFeature(media_id: Long, feature: Array[Float])
+
+  /** Fixture adapter: wraps `documents.text` as fake media payloads
+    * (UTF-8 bytes; format round-robins jpg/png/wav). */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("jpg"), lit("png"), lit("wav")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  // ======================================================================
+  // STUB CODEC — deterministic fakes in place of real decoders.
+  // A production build replaces the bodies (and only the bodies) with
+  // e.g. javax.imageio / ffmpeg-JNI calls; signatures and the Spark
+  // plumbing around them stay identical.
+  // ======================================================================
+
+  /** STUB: "decode" media metadata from payload bytes. Deterministic pure
+    * function of payload length (so the DuckDB oracle can restate it). */
+  private def decodeStub(format: String, payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length
+    val width = 64 + (n % 192)
+    val height = 64 + ((n / 7) % 192)
+    val frames = if (format == "wav") 1 + n % 300 else 1
+    (width, height, frames)
+  }
+
+  /** STUB: fixed-width feature vector (8 dims) from payload bytes — a
+    * rolling byte histogram projection, deterministic. */
+  private def featureStub(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      acc(i % 8) += (payload(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    acc
+  }
+
+  /** Batch metadata extraction: one codec "session" per partition
+    * (mapPartitions), typed output. */
+  def extractMetadata(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaRaw].mapPartitions { batch =>
+      // real codecs initialize here, once per partition
+      batch.map { m =>
+        val (w, h, f) = decodeStub(m.format, m.payload)
+        MediaMeta(m.media_id, m.format, m.payload.length.toLong, w, h, f)
+      }
+    }
+  }
+
+  /** Batch feature extraction (the inference-shaped path): per-partition
+    * batches, fixed-dim float vectors out, payload dropped from the plan
+    * afterwards. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.as[MediaRaw].mapPartitions { batch =>
+      batch.map(m => MediaFeature(m.media_id, featureStub(m.payload)))
+    }
+  }
+
+  /** Metadata as a plain DataFrame query (for the driver contract): the
+    * stub's arithmetic is simple enough to state in SQL, so this one IS
+    * oracle-checkable — the mapPartitions path and the SQL must agree. */
+  def metadataQuery(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractMetadata(spark, mediaFromDocuments(docs)).toDF()
+}

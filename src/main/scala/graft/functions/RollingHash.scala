@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling-hash document fingerprint (Karp–Rabin style:
+  * h = Σ byte·B^i mod P, evaluated Horner-wise over the UTF-8 bytes), as a
+  * native Catalyst expression with whole-stage codegen — the preferred
+  * extension point when built-ins can't express a scalar op (cheaper than
+  * any UDF: no boxing, no closure serialization, inlined into the stage's
+  * generated Java).
+  *
+  * Used for content-addressed document identity / chunk fingerprinting in
+  * the training-data pipeline (north-star "document fingerprinting").
+  * Deterministic across partitionings and runs.
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash needs a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.hashBytes(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RollingHash.hashBytes($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHash {
+  final val Base = 1000003L
+  final val Mod  = (1L << 61) - 1 // Mersenne prime; products stay in range
+
+  /** Horner evaluation with 61-bit modular reduction (multiplication via
+    * 128-bit split so no overflow). Called from generated code. */
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = addMod(mulMod(h, Base), (bytes(i) & 0xFF).toLong)
+      i += 1
+    }
+    h
+  }
+
+  private def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // fold the 128-bit product into 61 bits: (x mod 2^61) + (x >> 61)
+    val folded = (lo & Mod) + ((lo >>> 61) | (hi << 3))
+    if (folded >= Mod) folded - Mod else folded
+  }
+
+  private def addMod(a: Long, b: Long): Long = {
+    val s = a + b
+    if (s >= Mod) s - Mod else s
+  }
+
+  /** Column-API entry point. */
+  def rolling_hash(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge for custom Catalyst expressions. Spark 4
+  * moved the classic constructors behind `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); extension libraries
+  * bridge from inside the `org.apache.spark.sql` namespace — the same
+  * technique Spark-ecosystem projects use for native expressions. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.ext.Multimodal
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Straight-line reference implementation (BigInt arithmetic) to pin
+    * the codegen'd modular math. */
+  private def referenceHash(s: String): Long = {
+    val P = BigInt(RollingHash.Mod)
+    s.getBytes("UTF-8").foldLeft(BigInt(0))((h, b) =>
+      (h * RollingHash.Base + (b & 0xFF)) mod P).toLong
+  }
+
+  test("rolling_hash matches reference impl, interpreted and codegen paths") {
+    val samples = Seq("", "a", "hello world", "héllo wörld — 中文 text",
+      "x" * 10000)
+    // interpreted path
+    samples.foreach { s =>
+      val viaExpr = Seq(s).toDF("t")
+        .select(RollingHash.rolling_hash($"t")).head().getLong(0)
+      assert(viaExpr == referenceHash(s), s"mismatch for '${s.take(20)}'")
+    }
+    // through a real scan + whole-stage codegen, and stable across runs
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(50).cache()
+    val a = docs.select($"doc_id", RollingHash.rolling_hash($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromRows = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> referenceHash(r.getString(1))).toMap
+    assert(a == fromRows)
+  }
+
+  test("multimodal metadata: mapPartitions path agrees with its SQL contract") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val meta = Multimodal.metadataQuery(spark, docs)
+    val a = meta.select($"media_id", $"n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = docs.select(
+        $"doc_id".as("media_id"),
+        octet_length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(meta.count() == docs.count())
+    assert(a == b)
+    // deterministic width/height arithmetic
+    val r = meta.filter($"media_id" === 0).head()
+    val n = r.getAs[Long]("n_bytes")
+    assert(r.getAs[Int]("width") == 64 + (n % 192).toInt)
+    assert(r.getAs[Int]("height") == 64 + ((n / 7) % 192).toInt)
+  }
+
+  test("multimodal features: fixed-dim, deterministic, no driver collect of payloads") {
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(20)
+    val f1 = Multimodal.extractFeatures(spark, Multimodal.mediaFromDocuments(docs))
+      .collect().map(m => m.media_id -> m.feature.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(spark,
+        Multimodal.mediaFromDocuments(docs).repartition(7))
+      .collect().map(m => m.media_id -> m.feature.toSeq).toMap
+    assert(f1 == f2) // partitioning-independent
+    assert(f1.values.forall(_.length == 8))
+  }
+}
