@@ -27,14 +27,11 @@ object Dedup {
       .select(col("canonical_id"), col("n_copies"))
 
   /** Distinct word n-gram shingles of a text column (empty array when the
-    * text has fewer than n tokens). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = split(text, " ")
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * text has fewer than n tokens). Native codegen expression — the
+    * equivalent `transform(sequence(...))` composition evaluates
+    * interpreted and dominated every shingle query's runtime. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.Shingles.word_shingles(text, n)
 
   /** Exploded (doc_id, shingle) relation, distinct per doc. */
   private def shingleTable(docs: DataFrame, n: Int): DataFrame =
@@ -104,10 +101,20 @@ object Dedup {
                       minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sig = docs
-      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh"), k, seed).as("sig"))
+    // signature via explode + k codegen'd MIN aggregates in ONE hash-agg
+    // pass (the array-lambda formulation `minhashSignature` evaluates
+    // interpreted, k passes per row — 10× slower at bench scale). Shingles
+    // go straight to hashes (native expression, no string materialization);
+    // map-side partial MINs mean the shuffle carries k longs per doc.
+    val h = docs
+      .select(col("doc_id"),
+        explode(graft.functions.Shingles.shingle_hashes(col("text"), n)).as("h32"))
+    val minAggs = hashFamily(k, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(lit(a) * col("h32") + lit(b)).as(s"_s$i")
+    }
+    val sig = h.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"_s$i")): _*).as("sig"))
     val bandHashes = (0 until bands).map(j =>
       xxhash64(lit(j), slice(col("sig"), j * r + 1, r)))
     val buckets = sig
@@ -118,24 +125,30 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verification of candidates only
-    ngramJaccardPairs(docs, n, minJaccard)
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    // exact verification of CANDIDATES ONLY — join each pair to its two
+    // (hashed) shingle sets and compute Jaccard directly (never the
+    // all-pairs self-join; candidate volume is what LSH banding bounds)
+    val docSh = docs
+      .select(col("doc_id"),
+        graft.functions.Shingles.shingle_hashes(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    cand
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** 64-bit SimHash fingerprint of the token multiset: bit b is set when
-    * the sum of ±1 contributions (sign of token-hash bit b) is positive. */
-  def simhash(text: Column): Column = {
-    val toks = split(text, " ")
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => acc + when(
-        aggregate(toks, lit(0L),
-          (s, t) => s + when(call_function("shiftright", xxhash64(t), b)
-            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0L,
-        call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
-  }
+    * the sum of ±1 contributions (sign of token-hash bit b) is positive.
+    * Backed by the native single-pass codegen expression (the nested
+    * higher-order-function formulation made 64 interpreted passes over
+    * the tokens per row). */
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64.simhash64(text)
 
   /** SimHash near-dup candidates: fingerprints sharing any of four 16-bit
     * bands (exact-match LSH on fingerprint chunks — Hamming-distance

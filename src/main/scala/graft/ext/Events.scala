@@ -32,7 +32,9 @@ object Events {
     * JSON ops — extension surface noted in SURVEY.md §2.7). */
   def propsAgg(events: DataFrame): DataFrame =
     events
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
       .groupBy(col("event_type"))
       .agg(
         count(col("event_id")).as("n_events"),

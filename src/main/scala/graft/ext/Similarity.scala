@@ -22,12 +22,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two array<double> columns: dot / sqrt(|a|²·|b|²),
-    * sequential-fold semantics. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
+    * sequential element-order accumulation — backed by the native codegen
+    * expression (a fused single loop; the equivalent
+    * `aggregate(zip_with(...))` composition evaluates interpreted and was
+    * the all-pairs bench hotspot). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_similarity(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash of a space-tokenized text column as a native codegen
+  * expression: one pass over the tokens, 64 counters, token hashing via
+  * Spark's own XXH64 (seed 42, matching `functions.xxhash64`).
+  *
+  * Replaces the nested `aggregate(sequence(0,63), aggregate(tokens, ...))`
+  * formulation — 64 interpreted passes over the token array per row —
+  * with a single generated-Java loop.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 needs a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  private final val Seed = 42L // Spark's xxhash64 default seed
+
+  /** Single-pass kernel; called from generated code. */
+  def compute(text: UTF8String): Long = {
+    val counts = new Array[Int](64)
+    val tokens = text.split(UTF8String.fromString(" "), -1)
+    var t = 0
+    while (t < tokens.length) {
+      val h = XXH64.hashUTF8String(tokens(t), Seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** Column-API entry point. */
+  def simhash64(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  }
+}
