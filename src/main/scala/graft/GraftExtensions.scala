@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** SQL surface for the native graft expressions: registers
+  * `rolling_hash`, `simhash64`, `cosine_similarity`, `word_shingles`,
+  * `shingle_hashes` so `spark.sql("SELECT rolling_hash(text) ...")`
+  * works — via `SparkSessionExtensions` for new sessions
+  * (`.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`), or
+  * `GraftExtensions.register(spark)` for an existing one.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  private def one(name: String)(f: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(e) => f(e)
+    case other => throw new IllegalArgumentException(
+      s"$name expects 1 argument, got ${other.size}")
+  }
+
+  val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash",
+      info("rolling_hash", "rolling_hash(str) - 61-bit polynomial rolling hash"),
+      one("rolling_hash")(RollingHash(_))),
+    ("simhash64",
+      info("simhash64", "simhash64(str) - 64-bit SimHash of space-separated tokens"),
+      one("simhash64")(SimHash64(_))),
+    ("cosine_similarity",
+      info("cosine_similarity",
+        "cosine_similarity(array<double>, array<double>) - cosine similarity"),
+      { case Seq(a, b) => CosineSimilarity(a, b)
+        case other => throw new IllegalArgumentException(
+          s"cosine_similarity expects 2 arguments, got ${other.size}") }),
+    ("word_shingles",
+      info("word_shingles", "word_shingles(str, n) - distinct word n-gram shingles"),
+      { case Seq(e, n) => WordShingles(e, GraftExtensions.intLiteral(n, "word_shingles"))
+        case other => throw new IllegalArgumentException(
+          s"word_shingles expects 2 arguments, got ${other.size}") }),
+    ("shingle_hashes",
+      info("shingle_hashes",
+        "shingle_hashes(str, n) - distinct hashed word n-gram shingles"),
+      { case Seq(e, n) => ShingleHashes(e, GraftExtensions.intLiteral(n, "shingle_hashes"))
+        case other => throw new IllegalArgumentException(
+          s"shingle_hashes expects 2 arguments, got ${other.size}") }))
+
+  private def intLiteral(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(s"$fn: n must be an int literal")
+  }
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    descriptors.foreach { case (name, inf, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+  }
+}

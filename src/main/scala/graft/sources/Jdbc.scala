@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** RDBMS source/sink parity (SURVEY.md §2.1 S1, §2.2 K5/K6) — the
+  * reference extracts from SQL Server through a driver-side pandas chunk
+  * loop (20 000 rows at a time through the Python driver,
+  * `load_sales_history.py:112-135`) and writes marts back row-by-row from
+  * the driver (`load_sales_mart.py:55,78`). The Spark-native replacement
+  * is a *partitioned* JDBC scan (each executor opens its own cursor over
+  * a key range — no driver materialization at all) and a distributed
+  * JDBC append with optional truncate.
+  *
+  * No RDBMS exists in this environment, so these wrappers are exercised
+  * for option-plumbing correctness (`partitionOptions` is pure) and kept
+  * thin over `spark.read/write.format("jdbc")`, which is itself covered
+  * by Spark's own test matrix.
+  *
+  * Scale notes: `numPartitions` bounds source-side concurrent cursors;
+  * stride math splits [lower, upper] evenly, so a hot key range should be
+  * pre-bucketed by the caller (or use a predicates-array read). Writes
+  * use `truncate=true` instead of drop+recreate so indexes/grants
+  * survive — the lake-side analog of the reference's staging TRUNCATE.
+  */
+object Jdbc {
+
+  /** Compute the partitioned-read options Spark's JDBC source expects.
+    * Pure (unit-tested): callers supply the scan's key column and bounds. */
+  def partitionOptions(partitionColumn: String, lowerBound: Long,
+                       upperBound: Long, numPartitions: Int): Map[String, String] = {
+    require(numPartitions >= 1, "numPartitions must be >= 1")
+    require(upperBound >= lowerBound, "upperBound must be >= lowerBound")
+    Map(
+      "partitionColumn" -> partitionColumn,
+      "lowerBound" -> lowerBound.toString,
+      "upperBound" -> upperBound.toString,
+      "numPartitions" -> math.min(numPartitions.toLong,
+        math.max(1L, upperBound - lowerBound + 1)).toString)
+  }
+
+  /** Distributed extract of one incremental window — the reference's
+    * per-partition SELECT (`load_sales_history.py:112-119`) pushed down
+    * as a dbtable subquery, read in parallel key ranges. */
+  def readWindow(spark: SparkSession, url: String, table: String,
+                 yearMonth: Int, cutoff: Timestamp,
+                 idColumn: String, idLower: Long, idUpper: Long,
+                 numPartitions: Int,
+                 extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    val subquery =
+      s"""(SELECT * FROM $table
+         | WHERE year_month = $yearMonth AND sale_date < '$cutoff') AS w""".stripMargin
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", subquery)
+      .options(partitionOptions(idColumn, idLower, idUpper, numPartitions))
+      .options(extraOptions)
+      .load()
+  }
+
+  /** Distributed mart write — replaces driver-side `to_sql` append (K5)
+    * plus staging TRUNCATE (K6). */
+  def writeTable(df: DataFrame, url: String, table: String,
+                 truncate: Boolean,
+                 extraOptions: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("truncate", truncate.toString)
+      .options(extraOptions)
+      .mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
+      .save()
+}

@@ -26,6 +26,10 @@ import org.apache.spark.sql.Row
   * excludes them); `foreachBatch` writes land partitioned by window start,
   * so downstream readers partition-prune the same way the batch lake does.
   */
+final case class SessionState(startMs: Long, lastMs: Long, nEvents: Int)
+final case class SessionOut(user_id: Long, session_start_ms: Long,
+                            session_end_ms: Long, n_events: Int)
+
 object EventStream {
 
   /** Tumbling windowed count/sum with watermark — the streaming twin of
@@ -41,6 +45,57 @@ object EventStream {
         round(sum(col("value")), 2).as("value_sum"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
+
+  /** Streaming sessionization with custom state — the
+    * `flatMapGroupsWithState` surface for logic windows can't express:
+    * per-user session accumulation with an inactivity timeout, emitting a
+    * session row when the gap closes it. State is one small record per
+    * active user; event-time timeout + watermark bound it exactly like
+    * the cutoff bounds the reference's reload window. */
+  def sessionizeStream(spark: org.apache.spark.sql.SparkSession,
+                       events: DataFrame,
+                       gapMinutes: Int = 30,
+                       watermark: String = "5 minutes"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OM.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.startMs, s.lastMs, s.nEvents))
+          } else {
+            val sorted = rows.map(r => (r._2.getTime, r._3)).toSeq.sortBy(identity)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { case (t, _) =>
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.startMs, s.lastMs, s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+      .toDF()
+  }
 
   /** Incremental lake maintenance via foreachBatch: each micro-batch's
     * touched partitions are overwritten in place (dynamic partition

@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.RollingHash
+import graft.sources.Jdbc
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("native expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT rolling_hash('hello world') AS rh,
+        |  simhash64('a b c') AS sh,
+        |  cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
+        |  size(word_shingles('a b c d', 3)) AS ws,
+        |  size(shingle_hashes('a b c d', 3)) AS shn""".stripMargin).head()
+    assert(r.getAs[Long]("rh") ==
+      RollingHash.hashBytes("hello world".getBytes("UTF-8")))
+    assert(math.abs(r.getAs[Double]("cs") - 1.0) < 1e-12)
+    assert(r.getAs[Int]("ws") == 2)
+    assert(r.getAs[Int]("shn") == 2)
+  }
+
+  test("sql registration rejects wrong arity") {
+    GraftExtensions.register(spark)
+    intercept[Exception](spark.sql("SELECT rolling_hash('a','b')").head())
+  }
+
+  test("jdbc partition options: stride bounds and degenerate ranges") {
+    assert(Jdbc.partitionOptions("id", 1, 1000, 8) == Map(
+      "partitionColumn" -> "id", "lowerBound" -> "1",
+      "upperBound" -> "1000", "numPartitions" -> "8"))
+    // a 3-key range can't use 8 partitions
+    assert(Jdbc.partitionOptions("id", 5, 7, 8)("numPartitions") == "3")
+    intercept[IllegalArgumentException](Jdbc.partitionOptions("id", 10, 1, 4))
+  }
+}

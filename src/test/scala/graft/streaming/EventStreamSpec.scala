@@ -49,6 +49,34 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions on gap and timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventStream.sessionizeStream(spark, mem.toDF(), gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0, "{}"),
+        Ev(3, ts("2024-01-01 11:30:00"), 1, "click", 1.0, "{}")) // 80min gap
+      q.processAllAvailable()
+      // advance watermark far enough to time the open session out
+      mem.addData(Ev(4, ts("2024-01-01 15:00:00"), 2, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      mem.addData(Ev(5, ts("2024-01-01 20:00:00"), 2, "view", 1.0, "{}"))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("session_start_ms"), r.getAs[Int]("n_events")))
+      // user 1: first session (2 events) closed by the in-stream gap,
+      // second session (1 event) closed by event-time timeout
+      assert(sessions.contains((1L, ts("2024-01-01 10:00:00").getTime, 2)))
+      assert(sessions.contains((1L, ts("2024-01-01 11:30:00").getTime, 1)))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink lands windowed results partitioned by date") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
