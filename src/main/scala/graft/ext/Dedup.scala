@@ -168,6 +168,17 @@ object Dedup {
       .distinct()
   }
 
+  /** Apply a near-dup pair list to a corpus: greedy survivor selection —
+    * drop every document that is the HIGHER id of any pair (for pair
+    * clusters this keeps exactly the min id; for chains it keeps the
+    * chain head). One anti-join, no iteration — the pragmatic large-scale
+    * policy (full connected components would need iterative min
+    * propagation; at dedup thresholds clusters are tiny and this agrees
+    * with min-id selection on them). */
+  def applyPairs(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** Embedding-cosine near-dup pairs (brute-force at test SF; the ANN
     * path for scale is `Similarity.ivfTopK`). */
   def embeddingNearDupPairs(emb: DataFrame, minCosine: Double = 0.4): DataFrame = {

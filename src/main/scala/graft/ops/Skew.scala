@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for the 100 TB path (SURVEY.md §4
+  * "Partitioning / shuffle"; prompt: "salting for skew"). AQE's runtime
+  * skew-join splitting covers most cases; these are the explicit
+  * plan-level tools for when a hot key is known up front (a country with
+  * half the traffic, a power user in sessionization).
+  *
+  * Both are deterministic: salts derive from `xxhash64` of data columns,
+  * never from randomness.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: pre-aggregate by (keys, salt) —
+    * spreading one hot group over `buckets` reducers — then finish by
+    * keys. Works for any algebraic aggregate expressed as partial/final
+    * pairs; count+sum provided as the common case (reference A3 shape).
+    * `saltSource` should be a high-cardinality column (e.g. the fact id). */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], countCol: String,
+                     sumCol: String, saltSource: Column,
+                     buckets: Int = 16): DataFrame = {
+    val partial = df
+      .withColumn("_salt", pmod(xxhash64(saltSource), lit(buckets.toLong)))
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(count(col(countCol)).as("_cnt"), sum(col(sumCol)).as("_sum"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_cnt")).as(s"${countCol}_count"),
+        sum(col("_sum")).as(s"${sumCol}_sum"))
+  }
+
+  /** Salted broadcast-free join for one skewed build side: the fact side
+    * gets a deterministic salt ∈ [0, buckets); the dim side is replicated
+    * `buckets`× with every salt value; the join key becomes (key, salt),
+    * so one hot key's rows land on `buckets` different reducers.
+    * Equivalent to `fact.join(dim, key)` (inner). */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                     dimKey: String, saltSource: Column,
+                     buckets: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(saltSource), lit(buckets.toLong)))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    saltedFact
+      .join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+          saltedFact("_salt") === saltedDim("_salt"))
+      .drop("_salt")
+  }
+}

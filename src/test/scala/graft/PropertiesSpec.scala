@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.RollingHash
+import graft.sources.Jdbc
+
+/** ScalaCheck properties for the pure kernels (no Spark session).
+  * ScalaCheck is driven directly (Prop + Test.check) — the scalatest
+  * bridge module isn't among the offline-resolvable deps. */
+class PropertiesSpec extends AnyFunSuite {
+
+  private def check(prop: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rolling hash matches BigInt reference on arbitrary strings") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val expected = s.getBytes("UTF-8").foldLeft(BigInt(0))((h, b) =>
+        (h * RollingHash.Base + (b & 0xFF)) mod BigInt(RollingHash.Mod)).toLong
+      RollingHash.hashBytes(s.getBytes("UTF-8")) == expected
+    })
+  }
+
+  test("rolling hash is within field and collision-sane on distinct inputs") {
+    check(Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      val ha = RollingHash.hashBytes(a.getBytes("UTF-8"))
+      val inField = ha >= 0 && ha < RollingHash.Mod
+      // P(collision) ~ 2^-61: a hit means a real bug
+      inField && (a == b || ha != RollingHash.hashBytes(b.getBytes("UTF-8")))
+    })
+  }
+
+  test("jdbc partition options never exceed the key range") {
+    val gen = for {
+      lo <- Gen.chooseNum(-1000000L, 1000000L)
+      span <- Gen.chooseNum(0L, 1000000L)
+      n <- Gen.chooseNum(1, 512)
+    } yield (lo, lo + span, n)
+    check(Prop.forAll(gen) { case (lo, hi, n) =>
+      val parts = Jdbc.partitionOptions("id", lo, hi, n)("numPartitions").toLong
+      parts >= 1 && parts <= n && parts <= math.max(1L, hi - lo + 1)
+    })
+  }
+
+  test("cutoff is minute-aligned, 5 minutes back, idempotent-shifting") {
+    val pipeline = new lineage.SalesHistoryPipeline(null, null, "")
+    check(Prop.forAll(Gen.chooseNum(0L, 4102444800000L)) { ms =>
+      val c = pipeline.cutoff(new Timestamp(ms))
+      (c.getTime % 60000 == 0) &&
+        (ms / 60000 * 60000 - c.getTime == 5 * 60000) &&
+        (pipeline.cutoff(c).getTime == c.getTime - 5 * 60000)
+    })
+  }
+}

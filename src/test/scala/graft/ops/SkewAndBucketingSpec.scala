@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.{SparkSpec, Tables}
+
+/** Scale-path plan tests: salting correctness (salted ≡ unsalted) and
+  * bucketed co-located joins (no shuffle exchange in the plan). */
+class SkewAndBucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = Tables.lineitem(spark, sf("sf0.001")).cache()
+  private lazy val o  = Tables.orders(spark, sf("sf0.001")).cache()
+
+  test("salted aggregation equals plain aggregation") {
+    val plain = li.groupBy($"l_returnflag")
+      .agg(count($"l_orderkey").as("c"), sum($"l_quantity").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedCountSum(li, Seq("l_returnflag"),
+        "l_orderkey", "l_quantity", $"l_orderkey", buckets = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        // sum-of-sums of doubles can differ in last ulp from one-pass sum
+        math.round(r.getDouble(2) * 100) / 100.0)).toSet
+    val plainRounded = plain.map(t => (t._1, t._2, math.round(t._3 * 100) / 100.0))
+    assert(salted == plainRounded)
+  }
+
+  test("salted join equals plain inner join") {
+    val dim = o.select($"o_orderkey", $"o_orderstatus")
+    val plain = li.join(dim, li("l_orderkey") === dim("o_orderkey"))
+      .select($"l_orderkey", $"l_linenumber", $"o_orderstatus")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedEquiJoin(li, dim, "l_orderkey", "o_orderkey",
+        saltSource = $"l_linenumber", buckets = 8)
+      .select($"l_orderkey", $"l_linenumber", $"o_orderstatus")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val db = spark
+    import db.implicits._
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_bucketed")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(sum($"l_quantity"))
+      val plan = joined.queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      // join itself is co-located: the only allowed exchange is the
+      // single-stage aggregation shuffle AFTER the join
+      assert(exchanges.size <= 1, s"unexpected exchanges:\n$plan")
+      assert(joined.collect().nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("applyPairs drops the higher id of every near-dup pair") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val pairs = graft.ext.Dedup.minhashLshPairs(docs)
+    val kept = graft.ext.Dedup.applyPairs(docs, pairs)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    val pairRows = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairRows.foreach { case (a, b) =>
+      assert(!(keptIds.contains(a) && keptIds.contains(b)),
+        s"pair ($a,$b) both survived")
+    }
+    assert(kept.count() == docs.count() - pairRows.map(_._2).distinct.length)
+  }
+}
