@@ -58,10 +58,12 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         s => s.getField("cv")).as("centroid"))
 
-  /** IVF top-k: route each query to its nearest centroid (nProbe=1), then
-    * rank only that cell's vectors. Same output shape as bruteForceTopK;
-    * approximate (recall depends on the quantizer). */
-  def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+  /** IVF top-k: route each query to its `nProbe` nearest centroids, then
+    * rank only those cells' vectors. Same output shape as bruteForceTopK;
+    * approximate — recall grows with nProbe and reaches brute-force
+    * equality when nProbe covers every cell. */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+              nProbe: Int = 1): DataFrame = {
     val cents = labelCentroids(emb)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
@@ -70,7 +72,7 @@ object Similarity {
     val routed = q.crossJoin(broadcast(cents))
       .withColumn("cent_sim", round(cosine(col("qe"), col("centroid")), 6))
       .withColumn("cell_rank", row_number().over(wCell))
-      .filter(col("cell_rank") === 1)
+      .filter(col("cell_rank") <= nProbe)
       .select(col("query_id"), col("qe"), col("label"))
     val cand = emb.select(col("vec_id").as("neighbor_id"), col("label"),
       asDouble(col("embedding")).as("ne"))

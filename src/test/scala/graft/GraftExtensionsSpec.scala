@@ -25,6 +25,25 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT rolling_hash('a','b')").head())
   }
 
+  test("full SQL path: temp views + native functions end-to-end") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf("sf0.001")).createOrReplaceTempView("documents_v")
+    val out = spark.sql(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT rolling_hash(text)) AS n_distinct_fp
+        |FROM documents_v
+        |GROUP BY lang ORDER BY lang""".stripMargin).collect()
+    assert(out.nonEmpty)
+    // fingerprint distinctness should match text distinctness per language
+    out.foreach { r =>
+      val lang = r.getString(0)
+      val distinctTexts = Tables.documents(spark, sf("sf0.001"))
+        .filter(org.apache.spark.sql.functions.col("lang") === lang)
+        .select("text").distinct().count()
+      assert(r.getLong(2) == distinctTexts, s"lang $lang")
+    }
+  }
+
   test("jdbc partition options: stride bounds and degenerate ranges") {
     assert(Jdbc.partitionOptions("id", 1, 1000, 8) == Map(
       "partitionColumn" -> "id", "lowerBound" -> "1",

@@ -72,6 +72,15 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("IVF with nProbe covering all cells equals brute force") {
+    val nCells = emb.select("label").distinct().count().toInt
+    val full = Similarity.ivfTopK(emb, nQueries = 3, k = 5, nProbe = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == brute)
+  }
+
   test("language ID predicts the labeled language on stopword-bearing text") {
     val labeled = Seq(
       (1L, "en", "the cat sat on the mat and it is a good day for the dog"),
