@@ -34,7 +34,9 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.sources.partitionOverwriteMode" -> "dynamic")
+    "spark.sql.sources.partitionOverwriteMode" -> "dynamic",
+    // native graft expressions available to spark.sql out of the box
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 
   def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
