@@ -47,15 +47,21 @@ object Dedup {
     * computation). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
                         maxShingleDf: Option[Int] = None): DataFrame = {
-    val shAll = shingleTable(docs, n)
-    val sh = maxShingleDf match {
+    val docSh = docs
+      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val shAll = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val (sh, sizes) = maxShingleDf match {
       case Some(cap) =>
         val df = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("shingle")
-        shAll.join(df, "shingle")
-      case None => shAll
+        val capped = shAll.join(df, "shingle")
+        // under a df cap, Jaccard is over the capped shingle universe
+        (capped, capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
+      case None =>
+        // set sizes straight from the arrays — no second explode/shuffle
+        (shAll, docSh.select(col("doc_id"), size(col("sh")).as("n_sh")))
     }
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
