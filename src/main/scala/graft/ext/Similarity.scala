@@ -47,6 +47,43 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Physical IVF index layout: the corpus written partitioned by cell id
+    * (label), so probes are *partition-pruned at the scan* — an nProbe=1
+    * query reads ~1/cells of the data from disk. This is the piece that
+    * turns ivfTopK from "filter after reading everything" into the
+    * billion-vector layout (SCALE.md). */
+  def writeIvfIndex(emb: DataFrame, path: String): Unit =
+    emb.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("label")
+      .parquet(path)
+
+  /** Probe a written IVF index: identical output contract to `ivfTopK`,
+    * but candidates come from `spark.read.parquet(index)` filtered by the
+    * routed cells — the label predicate lands in PartitionFilters. */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                    queries: DataFrame, k: Int = 10, nProbe: Int = 1): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+    val cents = labelCentroids(index)
+    val q = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("label"))
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", round(cosine(col("qe"), col("centroid")), 6))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("query_id"), col("qe"), col("label"))
+    val cand = index.select(col("vec_id").as("neighbor_id"), col("label"),
+      asDouble(col("embedding")).as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(routed).join(cand, "label")
+      .withColumn("cos_sim", round(cosine(col("qe"), col("ne")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** Per-label centroids (mean vector), as the IVF coarse quantizer —
     * labels stand in for k-means cells on the fixtures. Element-wise mean
     * via posexplode + (label, pos) aggregate, reassembled in order. */

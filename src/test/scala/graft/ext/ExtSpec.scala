@@ -81,6 +81,19 @@ class ExtSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("IVF index on disk: probe is partition-pruned and matches in-memory IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfIndex(emb, s"$dir/index")
+    val queries = emb.filter($"vec_id" < 3)
+    val probed = Similarity.probeIvfIndex(spark, s"$dir/index", queries, k = 5)
+    val inMem = Similarity.ivfTopK(emb, nQueries = 3, k = 5)
+    assert(probed.collect().map(_.toSeq).toSet == inMem.collect().map(_.toSeq).toSet)
+    // the candidate scan must carry a partition filter on label
+    val planStr = probed.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("label"),
+      s"no partition pruning in:\n$planStr")
+  }
+
   test("language ID predicts the labeled language on stopword-bearing text") {
     val labeled = Seq(
       (1L, "en", "the cat sat on the mat and it is a good day for the dog"),
