@@ -1,0 +1,30 @@
+package graft
+
+/** Driver-contract guards: entry() smoke, and the queries/oracleSql maps
+  * staying consistent (a typo'd key would silently zero a round's
+  * correctness for that query). */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry() returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key names an implemented query") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracleSql keys without queries: $unknown")
+  }
+
+  test("rows-only queries are the documented five") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q17_dedup_minhash", "q18_dedup_simhash",
+      "q21_sim_ivf", "q11_doc_fingerprint", "q24_approx_distinct"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("all queries execute and return non-empty results at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf("sf0.001")).count()
+      assert(n > 0, s"$name returned no rows at sf0.001")
+    }
+  }
+}
