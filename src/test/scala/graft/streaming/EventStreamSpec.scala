@@ -77,6 +77,36 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source replay: readStream over parquet matches the batch aggregate") {
+    // replay the events fixture as a stream (the readStream→transform→
+    // writeStream path with a real file source)
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("sf0.001") + "/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val batchEvents = graft.Tables.events(spark, sf("sf0.001"))
+    val streamEvents = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val q = EventStream.windowedAgg(streamEvents).writeStream
+      .format("memory").queryName("replay_agg").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+
+    val streamed = spark.table("replay_agg").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val batch = graft.ext.Events.hourlyAgg(batchEvents).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.nonEmpty)
+    // append mode emits only watermark-finalized windows: subset, equal values
+    streamed.foreach { case (k, v) =>
+      assert(batch(k) == v, s"window $k: streamed $v vs batch ${batch(k)}")
+    }
+  }
+
   test("foreachBatch sink lands windowed results partitioned by date") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
