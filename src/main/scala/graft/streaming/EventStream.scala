@@ -46,6 +46,17 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  /** Streaming exact deduplication: drop events whose key was already
+    * seen within the watermark horizon — the streaming twin of
+    * `ext.Dedup.exactDupGroups`. State holds one key per event inside the
+    * horizon and is evicted by the watermark, so memory is bounded by
+    * (event rate × watermark), not stream length. */
+  def dedupStream(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+                  watermark: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Streaming sessionization with custom state — the
     * `flatMapGroupsWithState` surface for logic windows can't express:
     * per-user session accumulation with an inactivity timeout, emitting a

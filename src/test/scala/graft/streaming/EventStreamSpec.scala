@@ -77,6 +77,25 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.dedupStream(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+        Ev(1, ts("2024-01-01 10:00:30"), 1, "click", 1.0, "{}"), // dup in batch
+        Ev(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0, "{}"))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:02:00"), 1, "click", 9.0, "{}")) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted.toSeq == Seq(1L, 2L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("file-source replay: readStream over parquet matches the batch aggregate") {
     // replay the events fixture as a stream (the readStream→transform→
     // writeStream path with a real file source)
