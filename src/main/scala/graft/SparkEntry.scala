@@ -114,6 +114,15 @@ object SparkEntry {
     // implementations differ across engines by design)
     "q24_approx_distinct" -> ((s, dir) =>
       mart.Mart.approxClientCounts(Relational.denormalizedSales(s, dir))),
+    // north-star dedup applied: corpus minus near-duplicates (anti-join
+    // on the higher id of every exact-Jaccard pair)
+    "q25_dedup_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      ext.Dedup.applyPairs(docs, ext.Dedup.ngramJaccardPairs(docs))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("n_chars"))
+    }),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -291,5 +300,21 @@ object SparkEntry {
          |GROUP BY 1
          |ORDER BY revenue DESC, country
          |LIMIT 10""".stripMargin,
+    "q25_dedup_corpus" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |       FROM tok),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |dup_b AS (SELECT DISTINCT doc_b FROM pairs
+        |          JOIN sizes sa ON doc_a = sa.doc_id
+        |          JOIN sizes sb ON doc_b = sb.doc_id
+        |          WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5)
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_b FROM dup_b)""".stripMargin,
   )
 }

@@ -62,6 +62,51 @@ object Multimodal {
     acc
   }
 
+  /** STUB: "resize" — in a real build this re-encodes the image; here it
+    * deterministically truncates the payload proportionally to the target
+    * area so downstream size accounting stays meaningful. */
+  private def resizeStub(payload: Array[Byte], w0: Int, h0: Int,
+                         w1: Int, h1: Int): Array[Byte] = {
+    val ratio = math.min(1.0, (w1.toLong * h1).toDouble / math.max(1L, w0.toLong * h0))
+    java.util.Arrays.copyOf(payload, math.max(1, (payload.length * ratio).toInt))
+  }
+
+  /** STUB: "frame sampling" — every k-th frame of a fake frame list
+    * derived from the payload (a real build pulls frames via the codec). */
+  private def frameSampleStub(payload: Array[Byte], nFrames: Int,
+                              every: Int): Seq[Int] =
+    (0 until nFrames by every).map(i =>
+      if (payload.isEmpty) 0 else payload(i % payload.length) & 0xFF)
+
+  /** Resize pipeline stage: metadata-aware payload transform, typed
+    * in/out, executed per-partition. */
+  def resize(spark: SparkSession, media: DataFrame,
+             maxW: Int, maxH: Int): Dataset[MediaRaw] = {
+    import spark.implicits._
+    media.as[MediaRaw].mapPartitions { batch =>
+      batch.map { m =>
+        val (w, h, _) = decodeStub(m.format, m.payload)
+        if (w <= maxW && h <= maxH) m
+        else m.copy(payload = resizeStub(m.payload, w, h, maxW, maxH))
+      }
+    }
+  }
+
+  final case class FrameSample(media_id: Long, frame_idx: Int, frame_value: Int)
+
+  /** Frame-sampling stage (video/audio path): one row per sampled frame —
+    * the explode-shaped output an inference pipeline consumes. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   every: Int = 10): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.as[MediaRaw].flatMap { m =>
+      val (_, _, frames) = decodeStub(m.format, m.payload)
+      frameSampleStub(m.payload, frames, every).zipWithIndex.map {
+        case (v, i) => FrameSample(m.media_id, i * every, v)
+      }
+    }
+  }
+
   /** Batch metadata extraction: one codec "session" per partition
     * (mapPartitions), typed output. */
   def extractMetadata(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {

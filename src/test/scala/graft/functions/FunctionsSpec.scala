@@ -51,6 +51,48 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getAs[Int]("height") == 64 + ((n / 7) % 192).toInt)
   }
 
+  test("multimodal resize and frame sampling: deterministic, bounds respected") {
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(30)
+    val media = Multimodal.mediaFromDocuments(docs)
+    val resized = Multimodal.resize(spark, media, maxW = 100, maxH = 100)
+    val metaAfter = Multimodal.extractMetadata(spark, resized.toDF()).collect()
+    val metaBefore = Multimodal.extractMetadata(spark, media).collect()
+      .map(m => m.media_id -> m).toMap
+    metaAfter.foreach { m =>
+      assert(m.n_bytes <= metaBefore(m.media_id).n_bytes)
+    }
+    val frames = Multimodal.sampleFrames(spark,
+      media.filter(org.apache.spark.sql.functions.col("format") === "wav"))
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(f => f.frame_idx % 10 == 0))
+    // deterministic under repartitioning
+    val frames2 = Multimodal.sampleFrames(spark,
+      media.filter(org.apache.spark.sql.functions.col("format") === "wav")
+        .repartition(5)).collect()
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.frame_value)).toSet ==
+      frames2.map(f => (f.media_id, f.frame_idx, f.frame_value)).toSet)
+  }
+
+  test("jaccard df-cap: capped pairs are a subset computed over capped universe") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val uncapped = graft.ext.Dedup.ngramJaccardPairs(docs, minJaccard = 0.5)
+      .select("doc_a", "doc_b").collect().map(_.toSeq).toSet
+    // a generous cap changes nothing (no shingle is that frequent in dups)
+    val capped = graft.ext.Dedup.ngramJaccardPairs(docs, minJaccard = 0.5,
+        maxShingleDf = Some(1000))
+      .select("doc_a", "doc_b").collect().map(_.toSeq).toSet
+    assert(capped == uncapped)
+    // an aggressive cap still executes and stays deterministic (note: it
+    // legitimately RESHAPES jaccard — denominators shrink with the
+    // universe — so no subset relation is asserted)
+    val tight1 = graft.ext.Dedup.ngramJaccardPairs(docs, minJaccard = 0.5,
+        maxShingleDf = Some(2)).collect().map(_.toSeq).toSet
+    val tight2 = graft.ext.Dedup.ngramJaccardPairs(docs, minJaccard = 0.5,
+        maxShingleDf = Some(2)).collect().map(_.toSeq).toSet
+    assert(tight1 == tight2)
+  }
+
   test("multimodal features: fixed-dim, deterministic, no driver collect of payloads") {
     val docs = Tables.documents(spark, sf("sf0.001")).limit(20)
     val f1 = Multimodal.extractFeatures(spark, Multimodal.mediaFromDocuments(docs))
