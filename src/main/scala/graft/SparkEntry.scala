@@ -114,6 +114,15 @@ object SparkEntry {
     // implementations differ across engines by design)
     "q24_approx_distinct" -> ((s, dir) =>
       mart.Mart.approxClientCounts(Relational.denormalizedSales(s, dir))),
+    // window analytics: per-user sequence + running sum
+    "q26_running_totals" -> ((s, dir) =>
+      ext.Events.runningTotals(Tables.events(s, dir))),
+    // multi-level ROLLUP aggregate
+    "q27_rollup_counts" -> ((s, dir) =>
+      ext.Events.rollupCounts(Tables.events(s, dir))),
+    // exact interpolated percentiles per group
+    "q28_percentiles" -> ((s, dir) =>
+      ext.Events.valuePercentiles(Tables.events(s, dir))),
     // north-star dedup applied: corpus minus near-duplicates (anti-join
     // on the higher id of every exact-Jaccard pair)
     "q25_dedup_corpus" -> ((s, dir) => {
@@ -316,5 +325,22 @@ object SparkEntry {
         |          WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5)
         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_b FROM dup_b)""".stripMargin,
+    "q26_running_totals" ->
+      """SELECT user_id, event_id,
+        |  row_number() OVER w AS seq,
+        |  ROUND(SUM(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q27_rollup_counts" ->
+      """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |  COUNT(event_id) AS n_events
+        |FROM events
+        |GROUP BY ROLLUP (event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP))""".stripMargin,
+    "q28_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

@@ -41,6 +41,35 @@ object Events {
         sum(col("k")).cast("long").as("k_sum"),
         round(avg(col("k")), 4).as("k_avg"))
 
+  /** Windowed analytics (beyond the reference's surface — engine
+    * completeness): per-user event sequence number and running value sum,
+    * deterministic ordering via (ts, event_id). */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(
+      col("user_id"), col("event_id"),
+      row_number().over(w).cast("long").as("seq"),
+      round(sum(col("value")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        .as("running_value"))
+  }
+
+  /** ROLLUP aggregate: event counts at (type, hour), (type), and grand
+    * total levels — multi-level marts in one pass. */
+  def rollupCounts(events: DataFrame): DataFrame =
+    events
+      .rollup(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(col("event_id")).as("n_events"))
+
+  /** Exact interpolated percentiles of `value` per event type (median +
+    * p90) — the exact quantile surface; `approx_percentile` is the
+    * documented sketch variant at scale. */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+
   /** Gap-based sessionization: a new session starts after `gapMinutes` of
     * inactivity. Window functions over (user_id, ts) — deterministic
     * tie-break on event_id. Returns per-user session/event counts. */

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Source/sink format breadth: CSV and JSON round-trips preserve data
+  * (schema-explicit reads — no inference in production paths), and
+  * Parquet remains the canonical columnar format. */
+class FormatsSpec extends SparkSpec {
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+
+  test("csv round-trip with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    orders.write.option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(s"$dir/orders_csv")
+    val back = spark.read.option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .schema(orders.schema)
+      .csv(s"$dir/orders_csv")
+    assert(canon(back) == canon(orders))
+  }
+
+  test("json lines round-trip with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    orders.write.json(s"$dir/orders_json")
+    val back = spark.read.schema(orders.schema).json(s"$dir/orders_json")
+    assert(canon(back) == canon(orders))
+  }
+
+  test("partitioned parquet write prunes on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val orders = Tables.orders(spark, sf("sf0.001"))
+      .withColumn("status_part", col("o_orderstatus"))
+    orders.write.partitionBy("status_part").parquet(s"$dir/orders_part")
+    val pruned = spark.read.parquet(s"$dir/orders_part")
+      .filter(col("status_part") === "F")
+    assert(pruned.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"), planStr)
+  }
+}
