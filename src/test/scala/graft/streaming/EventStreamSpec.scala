@@ -77,6 +77,41 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionizer agrees with batch sessionize on a full replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.Tables.events(spark, sf("sf0.001"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .as[(Long, Timestamp, Long, String, Double, String)]
+      .collect()
+      .map(t => Ev(t._1, t._2, t._3, t._4, t._5, t._6))
+    val mem = MemoryStream[Ev]
+    val q = EventStream.sessionizeStream(spark, mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("replay_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(fixture.toIndexedSeq)
+      q.processAllAvailable()
+      // flush: a far-future event for a sentinel user advances the
+      // watermark so every real session times out and emits
+      mem.addData(Ev(-1, ts("2030-01-01 00:00:00"), -999, "flush", 0.0, "{}"))
+      q.processAllAvailable()
+      mem.addData(Ev(-2, ts("2031-01-01 00:00:00"), -999, "flush", 0.0, "{}"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("replay_sessions")
+        .filter($"user_id" =!= -999L)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = graft.ext.Events.sessionize(
+          graft.Tables.events(spark, sf("sf0.001")), gapMinutes = 30)
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+      assert(streamed == batch,
+        s"diff=${(streamed.toSet diff batch.toSet) ++ (batch.toSet diff streamed.toSet)}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicate keys") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
