@@ -4,7 +4,6 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.lineage._
-import graft.mart.Mart
 
 /** Executable end-to-end mirror of the reference's Airflow DAG
   * (`/root/reference/dags/sales_pipeline_dag.py`: pipeline 1 >> pipeline 2,
@@ -82,10 +81,8 @@ object Demo {
       }
 
     // -------- pipeline 2: marts off the lake, atomic publish --------------
-    val lake = IncrementalLoad.readLake(spark, lakePath)
-      .withColumn("status", when(col("gender") === "M", "O").otherwise("F"))
-      .withColumnRenamed("id", "sale_id")
-    Mart.publishMarts(lake, "2021-09-02 00:07:00", s"$dir/mart")
+    mart.SalesMart.publish(IncrementalLoad.readLake(spark, lakePath),
+      "2021-09-02 00:07:00", s"$dir/mart")
     val m1 = spark.read.parquet(s"$dir/mart/sales_history_1")
     val m2 = spark.read.parquet(s"$dir/mart/sales_history_2")
     println(s"[demo] mart1 rows=${m1.count()} mart2 rows=${m2.count()}")

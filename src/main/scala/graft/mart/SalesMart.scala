@@ -1,0 +1,49 @@
+package graft.mart
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's pipeline-2 marts verbatim over the SALES-DOMAIN lake
+  * schema (`sales_history`: id, sale_date, paid, client_id, gender,
+  * product_id, product, size, color, updated_date, year_month, country —
+  * FIXTURES.md §A): dataset 1 recodes gender M/F→Male/Female/Other and
+  * counts distinct clients per country; dataset 2 counts sales and sums
+  * paid per country × product × size × color
+  * (`/root/reference/pipeline_scripts/load_sales_mart.py:26-35,60-67`).
+  * `Mart` carries the same shapes bound to the driver fixtures. */
+object SalesMart {
+
+  /** E1 verbatim: the gender decode
+    * (`load_sales_mart.py:33-34`). */
+  def genderRecode(df: DataFrame): DataFrame =
+    df.withColumn("gender_name",
+      when(col("gender") === "M", "Male")
+        .when(col("gender") === "F", "Female")
+        .otherwise("Other"))
+
+  /** Dataset 1: COUNT(DISTINCT client_id) per country × gender, paid
+    * sales only, run-constant refresh timestamp
+    * (`load_sales_mart.py:26-35`). */
+  def dataset1(lake: DataFrame, refreshDate: String): DataFrame =
+    genderRecode(lake.filter(col("paid") > 0))
+      .groupBy(col("country"), col("gender_name"))
+      .agg(countDistinct(col("client_id")).as("client_count"))
+      .withColumn("refresh_date", to_timestamp(lit(refreshDate)))
+
+  /** Dataset 2: COUNT(id), SUM(paid) per country × product × size ×
+    * color, paid sales only (`load_sales_mart.py:60-67`). `paid` is
+    * decimal in this domain — the SUM is exact, no rounding needed. */
+  def dataset2(lake: DataFrame, refreshDate: String): DataFrame =
+    lake.filter(col("paid") > 0)
+      .groupBy(col("country"), col("product"), col("size"), col("color"))
+      .agg(count(col("id")).as("sales_count"),
+        sum(col("paid")).as("paid_amount"))
+      .withColumn("refresh_date", to_timestamp(lit(refreshDate)))
+
+  /** Pipeline 2 end-to-end: both marts from the lake, atomic publish
+    * (`sales_pipeline_2.py` + the transactional swap). */
+  def publish(lake: DataFrame, refreshDate: String, outDir: String): Unit = {
+    Mart.publishAtomic(dataset1(lake, refreshDate), s"$outDir/sales_history_1")
+    Mart.publishAtomic(dataset2(lake, refreshDate), s"$outDir/sales_history_2")
+  }
+}

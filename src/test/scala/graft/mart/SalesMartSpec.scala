@@ -1,0 +1,45 @@
+package graft.mart
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+class SalesMartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val lake = Seq(
+    (1, ts("2021-06-01 00:00:00"), BigDecimal("10.50"), 1, "M", 1, "Shirt", "S", "Red"),
+    (2, ts("2021-06-02 00:00:00"), BigDecimal("20.00"), 2, "F", 1, "Shirt", "S", "Red"),
+    (3, ts("2021-06-03 00:00:00"), BigDecimal("0.00"),  3, "F", 2, "Pants", "M", "Blue"), // offer → excluded
+    (4, ts("2021-06-04 00:00:00"), BigDecimal("5.25"),  1, "M", 2, "Pants", "M", "Blue"),
+    (5, ts("2021-06-05 00:00:00"), BigDecimal("7.75"),  4, "X", 2, "Pants", "M", "Blue"))
+    .toDF("id", "sale_date", "paid", "client_id", "gender", "product_id",
+      "product", "size", "color")
+    .withColumn("paid", org.apache.spark.sql.functions.col("paid").cast("decimal(18,2)"))
+    .withColumn("country", org.apache.spark.sql.functions.lit("PT"))
+
+  test("dataset1: gender recode + distinct clients, zero-paid excluded") {
+    val out = SalesMart.dataset1(lake, "2021-07-01 00:00:00")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("PT", "Male", 1L), ("PT", "Female", 1L), ("PT", "Other", 1L)))
+  }
+
+  test("dataset2: exact decimal sums per product attributes") {
+    val out = SalesMart.dataset2(lake, "2021-07-01 00:00:00")
+      .collect().map(r => (r.getString(1), r.getLong(4), r.getDecimal(5).toPlainString)).toSet
+    assert(out == Set(("Shirt", 2L, "30.50"), ("Pants", 2L, "13.00")))
+  }
+
+  test("publish is atomic and re-publish replaces content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mart").toString
+    SalesMart.publish(lake, "2021-07-01 00:00:00", dir)
+    val m1 = spark.read.parquet(s"$dir/sales_history_1")
+    assert(m1.count() == 3)
+    // second publish (e.g. next 15-min cycle) atomically swaps
+    SalesMart.publish(lake.filter($"gender" === "M"), "2021-07-02 00:00:00", dir)
+    val m1b = spark.read.parquet(s"$dir/sales_history_1")
+    assert(m1b.count() == 1)
+    assert(m1b.head().getAs[Timestamp]("refresh_date") == ts("2021-07-02 00:00:00"))
+  }
+}
