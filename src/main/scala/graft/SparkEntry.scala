@@ -114,6 +114,10 @@ object SparkEntry {
     // implementations differ across engines by design)
     "q24_approx_distinct" -> ((s, dir) =>
       mart.Mart.approxClientCounts(Relational.denormalizedSales(s, dir))),
+    // north-star similarity: LSH-bucketed approximate top-k (second
+    // scale path; rows-only — signature buckets aren't SQL-expressible)
+    "q29_sim_lsh" -> ((s, dir) =>
+      ext.Similarity.lshTopK(Tables.embeddings(s, dir))),
     // window analytics: per-user sequence + running sum
     "q26_running_totals" -> ((s, dir) =>
       ext.Events.runningTotals(Tables.events(s, dir))),

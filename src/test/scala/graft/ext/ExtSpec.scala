@@ -81,6 +81,22 @@ class ExtSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("LSH top-k: self-retrieval guaranteed, recall measured against brute force") {
+    val lsh = Similarity.lshTopK(emb, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    // a query always shares every bucket with itself → rank-1 self
+    (0L until 5L).foreach(q => assert(lsh(q).exists(_._2 == q), s"query $q lost itself"))
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val recall = (0L until 5L).map { q =>
+      val b = brute(q).map(_._2).toSet
+      (lsh(q).map(_._2).toSet intersect b).size.toDouble / b.size
+    }.sum / 5
+    // deterministic on the fixed fixture; pin a conservative floor
+    println(s"[lsh] recall@10 = $recall")
+    assert(recall >= 0.3, s"recall collapsed: $recall")
+  }
+
   test("IVF index on disk: probe is partition-pruned and matches in-memory IVF") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     Similarity.writeIvfIndex(emb, s"$dir/index")
