@@ -114,6 +114,14 @@ object SparkEntry {
     // implementations differ across engines by design)
     "q24_approx_distinct" -> ((s, dir) =>
       mart.Mart.approxClientCounts(Relational.denormalizedSales(s, dir))),
+    // as-of (point-in-time) join: each event matched to the user's
+    // latest prior purchase — composed union+window, one shuffle
+    "q30_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      Relational.asOfLastPurchase(ev, purchases)
+    }),
     // north-star similarity: LSH-bucketed approximate top-k (second
     // scale path; rows-only — signature buckets aren't SQL-expressible)
     "q29_sim_lsh" -> ((s, dir) =>
@@ -329,6 +337,13 @@ object SparkEntry {
         |          WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5)
         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_b FROM dup_b)""".stripMargin,
+    "q30_asof_join" ->
+      """SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+        |  r.event_id AS last_purchase_id
+        |FROM events l
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+        |                WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q26_running_totals" ->
       """SELECT user_id, event_id,
         |  row_number() OVER w AS seq,

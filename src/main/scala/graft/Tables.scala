@@ -51,8 +51,10 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     val raw = table(spark, sfDir, "events")
+    // NOTE: integral `div`, not `/` — Column `/` is double division, which
+    // is lossy above 2^53 and shifts 2024-era nanos by ±1 µs
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")

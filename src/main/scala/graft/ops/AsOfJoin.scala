@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join (point-in-time join): for every left row, the
+  * single latest right row of the same key with `rightTime <= leftTime`.
+  * The operator a training-data/feature pipeline needs for leak-free
+  * temporal joins — and one Spark's API lacks.
+  *
+  * Built by COMPOSITION, per the extension preference order (compose >
+  * custom Expression > custom SparkPlan): tag both sides, union, and
+  * carry the last right payload forward with a window — ONE shuffle on
+  * (key), no range-join row explosion, no custom physical operator.
+  * Equal timestamps match (right sorts before left at the same instant).
+  *
+  * Scale notes: cost = sort within key partitions (the same shuffle a
+  * plain join on key would do); skewed keys are AQE's skew problem, or
+  * pre-salt with `Skew` if known. Window state is one row (the carried
+  * payload) — no accumulation.
+  */
+object AsOfJoin {
+
+  /** @param left       left rows
+    * @param right      right rows (the "state" side to look up)
+    * @param key        equi-key column name present on both sides
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param rightCols  right columns to carry (renamed as given)
+    * @return left rows + carried right columns (null when no prior right row)
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightCols: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct(rightCols.keys.toSeq.map(right(_)): _*)
+    val taggedRight = right.select(
+      right(key).as("_k"), right(rightTime).as("_t"),
+      lit(0).as("_side"), payload.as("_payload"))
+    val taggedLeft = left.select(
+      (Seq(left(key).as("_k"), left(leftTime).as("_t"),
+        lit(1).as("_side"), lit(null).cast(taggedRight.schema("_payload").dataType)
+          .as("_payload")) ++ leftCols.map(left(_))): _*)
+    val unioned = taggedLeft.unionByName(
+      taggedRight.select(
+        (Seq(col("_k"), col("_t"), col("_side"), col("_payload")) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*))
+    // right rows sort before left at the same _t → `<=` match semantics
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("_carried", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val outRight = rightCols.toSeq.map { case (src, dst) =>
+      col("_carried").getField(src).as(dst)
+    }
+    carried.select(leftCols.map(col) ++ outRight: _*)
+  }
+}

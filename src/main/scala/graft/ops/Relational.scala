@@ -119,6 +119,17 @@ object Relational {
         coalesce(count(col("sale_id")), lit(0L)).as("row_count"),
         coalesce(round(sum(col("paid")), 2), lit(0.0)).as("paid_sum"))
 
+  /** As-of query binding for the driver contract: each event joined to
+    * the same user's latest purchase at-or-before its timestamp (oracle:
+    * DuckDB's native ASOF JOIN). */
+  def asOfLastPurchase(events: DataFrame, purchases: DataFrame): DataFrame =
+    AsOfJoin.backward(
+      events.select(col("event_id"), col("user_id"), col("ts")),
+      purchases.select(col("event_id").as("p_event_id"),
+        col("user_id"), col("ts").as("p_ts")),
+      key = "user_id", leftTime = "ts", rightTime = "p_ts",
+      rightCols = Map("p_event_id" -> "last_purchase_id"))
+
   /** A5 + S5 + O2: run admission — next pipeline id = max fully-successful
     * id + 1 (`/root/reference/pipeline_scripts/load_sales_history.py:25-27`). */
   def nextRunId(lineage: DataFrame, idCol: String, statusFilter: Column): DataFrame =

@@ -1,0 +1,45 @@
+package graft.ops
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of: latest right at-or-before left time, per key") {
+    val quotes = Seq( // (key, time, price)
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:05:00"), 101.0),
+      ("A", ts("2024-01-01 10:10:00"), 102.0),
+      ("B", ts("2024-01-01 10:07:00"), 50.0))
+      .toDF("sym", "qts", "price")
+    val trades = Seq( // (key, time, qty)
+      ("A", ts("2024-01-01 10:04:59"), 1L), // → 100.0 (strictly before 10:05)
+      ("A", ts("2024-01-01 10:05:00"), 2L), // → 101.0 (equal ts matches)
+      ("A", ts("2024-01-01 10:30:00"), 3L), // → 102.0 (latest)
+      ("B", ts("2024-01-01 10:00:00"), 4L), // → null (no prior quote)
+      ("C", ts("2024-01-01 10:00:00"), 5L)) // → null (key absent from right)
+      .toDF("sym", "tts", "qty")
+    val out = AsOfJoin.backward(trades, quotes, "sym", "tts", "qts",
+        Map("price" -> "quote_price"))
+      .collect().map(r => r.getAs[Long]("qty") ->
+        Option(r.getAs[java.lang.Double]("quote_price")).map(_.toDouble)).toMap
+    assert(out == Map(1L -> Some(100.0), 2L -> Some(101.0),
+      3L -> Some(102.0), 4L -> None, 5L -> None))
+  }
+
+  test("as-of preserves left cardinality (no row explosion)") {
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    val out = Relational.asOfLastPurchase(ev,
+      ev.filter($"event_type" === "purchase"))
+    assert(out.count() == ev.count())
+    // purchases match themselves (equal-timestamp semantics)
+    val selfMatched = out
+      .join(ev.filter($"event_type" === "purchase").select($"event_id"), "event_id")
+      .filter($"last_purchase_id" === $"event_id")
+    assert(selfMatched.count() ==
+      ev.filter($"event_type" === "purchase").count())
+  }
+}
