@@ -47,43 +47,21 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** Random-hyperplane LSH signature: bit p = sign of ⟨v, h_p⟩ where h_p
-    * is a deterministic Rademacher (±1) hyperplane derived from
-    * xxhash64(p·dims+d) — no stored projection matrix, reproducible on
-    * any engine. Returns `tables` signatures of `bitsPerTable` bits. */
-  private def lshSignatures(vec: Column, dims: Int, tables: Int,
-                            bitsPerTable: Int): Seq[Column] = {
-    def planeSign(p: Int, d: Int): Int = {
-      // deterministic ±1 from a splitmix-style avalanche of (p, d)
-      var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
-      z ^= z >>> 31; z *= 0x94D049BB133111EBL; z ^= z >>> 27
-      if ((z & 1L) == 0L) 1 else -1
-    }
-    (0 until tables).map { t =>
-      val bits = (0 until bitsPerTable).map { b =>
-        val p = t * bitsPerTable + b
-        val dot = (0 until dims).map { d =>
-          element_at(vec, d + 1) * lit(planeSign(p, d).toDouble)
-        }.reduce(_ + _)
-        when(dot >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << b)
-      }
-      bits.reduce(_ + _).as(s"_sig$t")
-    }
-  }
-
   /** LSH-bucketed approximate top-k (the second scale path beside IVF):
     * vectors sharing any of `tables` signature buckets with the query
     * become candidates; exact cosine ranks candidates only. Multi-table
-    * OR-construction trades candidate volume for recall. */
+    * OR-construction trades candidate volume for recall. Signatures come
+    * from the native `LshSignatures` kernel (deterministic Rademacher
+    * hyperplanes; the Column-tree formulation was a 4 600-node expression
+    * per row and the bench's worst query). */
   def lshTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
-              dims: Int = 64, tables: Int = 12, bitsPerTable: Int = 6): DataFrame = {
-    val sigs = lshSignatures(col("ve"), dims, tables, bitsPerTable)
+              tables: Int = 12, bitsPerTable: Int = 6): DataFrame = {
     val corpus = emb
       .select(col("vec_id"), asDouble(col("embedding")).as("ve"))
-      .select(col("vec_id") +: col("ve") +: sigs: _*)
+      .withColumn("_sigs", graft.functions.LshSignatures.lsh_signatures(
+        col("ve"), tables, bitsPerTable))
     val buckets = corpus.select(col("vec_id"), col("ve"),
-      posexplode(array((0 until tables).map(t => col(s"_sig$t")): _*))
-        .as(Seq("table", "sig")))
+      posexplode(col("_sigs")).as(Seq("table", "sig")))
     val qBuckets = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("ve").as("qe"),
         col("table"), col("sig"))

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Random-hyperplane LSH signatures of an array<double> vector as a
+  * native codegen expression: `tables` signatures of `bits` sign-bits
+  * each, hyperplanes being deterministic Rademacher (±1) directions from
+  * a splitmix avalanche of (plane, dim) — no stored projection matrix.
+  *
+  * Replaces the Column-expression formulation (tables·bits·dims
+  * `element_at` nodes — a 4 600-node tree per row that took 16 s at
+  * sf0.1) with one generated-Java pass: dims·tables·bits
+  * multiply-accumulates over a primitive array.
+  */
+case class LshSignatures(child: Expression, tables: Int, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) if tables >= 1 && bits >= 1 && bits <= 63 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_signatures needs array<double> (got $other), 1<=bits<=63")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    LshSignatures.compute(input.asInstanceOf[ArrayData], tables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LshSignatures.compute($c, $tables, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignatures =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_signatures"
+}
+
+object LshSignatures {
+
+  /** Deterministic ±1 from (plane, dim) — matches no external system, but
+    * is stable across runs/engines by construction. */
+  private def planeSign(p: Int, d: Int): Double = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
+    z ^= z >>> 31; z *= 0x94D049BB133111EBL; z ^= z >>> 27
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Kernel (called from generated code): one pass per (table, bit),
+    * dims multiply-accumulates each. */
+  def compute(vec: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val dims = vec.numElements()
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val p = t * bits + b
+        var dot = 0.0
+        var d = 0
+        while (d < dims) {
+          dot += vec.getDouble(d) * planeSign(p, d)
+          d += 1
+        }
+        if (dot >= 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def lsh_signatures(c: Column, tables: Int, bits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(LshSignatures(ColumnBridge.expression(c), tables, bits))
+  }
+}
