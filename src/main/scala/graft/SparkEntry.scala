@@ -114,6 +114,12 @@ object SparkEntry {
     // implementations differ across engines by design)
     "q24_approx_distinct" -> ((s, dir) =>
       mart.Mart.approxClientCounts(Relational.denormalizedSales(s, dir))),
+    // deterministic hash-based train/val/test split (reproducible across
+    // engines/runs — md5-bucketed)
+    "q31_train_split" -> ((s, dir) =>
+      ext.Sampling.trainValTest(
+        Tables.documents(s, dir)
+          .select(org.apache.spark.sql.functions.col("doc_id")), "doc_id")),
     // as-of (point-in-time) join: each event matched to the user's
     // latest prior purchase — composed union+window, one shuffle
     "q30_asof_join" -> ((s, dir) => {
@@ -337,6 +343,15 @@ object SparkEntry {
         |          WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5)
         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_b FROM dup_b)""".stripMargin,
+    "q31_train_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     "q30_asof_join" ->
       """SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
         |  r.event_id AS last_purchase_id

@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and split assignment — the
+  * reproducibility primitive of a training-data pipeline: membership
+  * depends only on the row's id (never on partitioning, run, or engine),
+  * so train/val/test assignments are stable across reruns and auditable
+  * from SQL.
+  *
+  * Bucketing hashes the id with md5 (content-addressed, available in
+  * every engine — the DuckDB oracle states the identical expression) and
+  * takes the first 8 hex digits modulo `buckets`.
+  *
+  * Scale notes: pure per-row projection, codegen'd built-ins, no shuffle;
+  * a filter on the split lands next to the scan.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, buckets) from an id column. */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Deterministic p-percent sample. */
+  def hashSample(df: DataFrame, idCol: String, percent: Int): DataFrame =
+    df.filter(hashBucket(col(idCol)) < percent)
+
+  /** Train/val/test split assignment from cumulative percentage bounds
+    * (e.g. 80/10/10 → train < 80 ≤ val < 90 ≤ test). */
+  def trainValTest(df: DataFrame, idCol: String,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = hashBucket(col(idCol))
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+}

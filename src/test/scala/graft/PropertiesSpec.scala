@@ -46,6 +46,62 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("shingle kernels match a naive reference on arbitrary token streams") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val wordGen = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const("")))
+      .map(_.mkString(" "))
+    check(Prop.forAll(wordGen, Gen.chooseNum(1, 5)) { (text, n) =>
+      val toks = text.split(" ", -1)
+      val expected =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      val got = graft.functions.Shingles
+        .shingleStrings(UTF8String.fromString(text), n)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val gotHashes = graft.functions.Shingles
+        .shingleHashes(UTF8String.fromString(text), n)
+        .toLongArray().toSeq
+      got == expected && gotHashes.length == expected.length &&
+        gotHashes.forall(h => h >= 0 && h <= 0xFFFFFFFFL)
+    })
+  }
+
+  test("simhash kernel matches a naive reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    check(Prop.forAll(Gen.listOf(Gen.alphaNumStr).map(_.mkString(" "))) { text =>
+      val naive = {
+        val counts = new Array[Int](64)
+        text.split(" ", -1).foreach { tok =>
+          val h = XXH64.hashUTF8String(UTF8String.fromString(tok), 42L)
+          (0 until 64).foreach(b =>
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1)
+        }
+        (0 until 64).foldLeft(0L)((acc, b) =>
+          if (counts(b) > 0) acc | (1L << b) else acc)
+      }
+      graft.functions.SimHash64.compute(UTF8String.fromString(text)) == naive
+    })
+  }
+
+  test("cosine kernel matches a naive reference and is symmetric") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0))
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      val expected = a.zip(b).map { case (x, y) => x * y }.sum / math.sqrt(
+        a.map(x => x * x).sum * b.map(x => x * x).sum)
+      val ad = new GenericArrayData(a.toArray[Any])
+      val bd = new GenericArrayData(b.toArray[Any])
+      val got = graft.functions.CosineSimilarity.compute(ad, bd)
+      val sym = graft.functions.CosineSimilarity.compute(bd, ad)
+      (na == 0.0 || nb == 0.0) ||
+        (math.abs(got - expected) < 1e-9 && math.abs(got - sym) < 1e-12)
+    })
+  }
+
   test("cutoff is minute-aligned, 5 minutes back, idempotent-shifting") {
     val pipeline = new lineage.SalesHistoryPipeline(null, null, "")
     check(Prop.forAll(Gen.chooseNum(0L, 4102444800000L)) { ms =>
