@@ -63,22 +63,37 @@ object IncrementalLoad {
   /** Drop-and-rebuild of dirty partitions (reference K2+K3, `:172-173`):
     * faithful to the reference's granularity — dropping `year_month = p`
     * removes ALL country sub-partitions of that month (SURVEY.md §7.4.3),
-    * so a country whose rows all vanished doesn't linger. The staged data
-    * is written partitioned by (year_month, country). */
+    * so a country whose rows all vanished doesn't linger.
+    *
+    * Crash-safety improves on the reference (which drops the partition
+    * BEFORE re-inserting): the rebuilt state is fully staged to a temp
+    * directory first; only then are dirty months swapped in with cheap
+    * directory moves, shrinking the data-loss window from "whole extract"
+    * to a metadata operation. A failed run before the swap leaves the
+    * lake untouched, and run admission retries idempotently. */
   def rebuildPartitions(denorm: DataFrame, lakePath: String,
                         dirtyYms: Seq[Int], cutoff: Timestamp): Unit = {
     if (dirtyYms.isEmpty) return
     val staged = denorm.filter(
       col("year_month").isin(dirtyYms.map(Int.box): _*) &&
         col("sale_date") < lit(cutoff))
-    // K2: drop each dirty year_month directory (every country under it)
-    dirtyYms.foreach { p =>
-      AtomicSwap.deleteRecursive(java.nio.file.Paths.get(s"$lakePath/year_month=$p"))
-    }
-    // K3: dynamic-partition insert of the rebuilt state
-    staged.write.mode(SaveMode.Append)
+    val stagingDir = s"$lakePath.rebuild_staging"
+    AtomicSwap.deleteRecursive(java.nio.file.Paths.get(stagingDir))
+    // stage the complete rebuilt state (the expensive, failure-prone part)
+    staged.write.mode(SaveMode.Overwrite)
       .partitionBy("year_month", "country")
-      .parquet(lakePath)
+      .parquet(stagingDir)
+    // swap: K2 drop + K3 adopt, per dirty month — metadata-only window
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lakePath))
+    dirtyYms.foreach { p =>
+      val live = java.nio.file.Paths.get(s"$lakePath/year_month=$p")
+      val fresh = java.nio.file.Paths.get(s"$stagingDir/year_month=$p")
+      AtomicSwap.deleteRecursive(live)
+      if (java.nio.file.Files.exists(fresh))
+        java.nio.file.Files.move(fresh, live,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    AtomicSwap.deleteRecursive(java.nio.file.Paths.get(stagingDir))
   }
 
   /** Read the lake table back (year_month and country come from the

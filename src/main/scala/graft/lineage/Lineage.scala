@@ -101,19 +101,30 @@ object AtomicSwap {
 
   def exists(path: String): Boolean = {
     val p = Paths.get(path)
-    Files.exists(p) && Files.list(p).findFirst().isPresent
+    if (!Files.exists(p)) return false
+    val s = Files.list(p)
+    try s.findFirst().isPresent finally s.close()
   }
 
   /** Run `writer` against a temp path, then atomically publish it at
-    * `path` (old contents replaced). */
+    * `path` (old contents replaced). If the publish move fails after the
+    * old table was shelved, the old table is restored — a crash can
+    * leave stale-but-complete state, never a missing table. */
   def writeSwap(path: String)(writer: String => Unit): Unit = {
     val target = Paths.get(path)
     val tmp = Paths.get(path + ".staging")
     val old = Paths.get(path + ".old")
     deleteRecursive(tmp); deleteRecursive(old)
     writer(tmp.toString)
-    if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    val hadOld = Files.exists(target)
+    if (hadOld) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        if (hadOld && !Files.exists(target))
+          Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
+        throw e
+    }
     deleteRecursive(old)
   }
 
