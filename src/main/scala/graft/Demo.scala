@@ -43,6 +43,16 @@ object Demo {
         if (rng.nextDouble() < 0.001) Some(new Timestamp(saleMs + 7200000)) else None)
     }
     def ym(t: Timestamp) = { val d = t.toLocalDateTime; d.getYear * 100 + d.getMonthValue }
+    // dimensions are generated ONCE, from their own seeded RNG — not inside
+    // sourceAt, where the shared advancing RNG gave each cycle a different
+    // gender column and rebuilt partitions embedded inconsistent dims
+    val dimRng = new scala.util.Random(11)
+    val clients = (1 to 80).map(i => (i, ts("2020-01-01 00:00:00"),
+      if (dimRng.nextDouble() < 0.4) "M" else "F", s"Country${i % 9}"))
+      .toDF("id", "start_date", "gender", "country")
+    val products = (1 to 25).map(i => (i, ts("2020-01-01 00:00:00"),
+      s"Prod${i % 5}", s"S${i % 3}", s"C${i % 5}", BigDecimal(i * 7).setScale(2)))
+      .toDF("id", "start_date", "product", "size", "color", "price")
     def sourceAt(t: Timestamp): SalesSource = {
       val live = events.filter(e => e.sale.before(t) && e.del.forall(d => !d.before(t)))
       val sales = live.map { e =>
@@ -55,12 +65,6 @@ object Demo {
       val removed = events.flatMap(e => e.del.filter(_.before(t)).map(d =>
         ("Sales", e.id, e.sale, ym(e.sale), d)))
         .toDF("table", "id", "record_date", "year_month", "deleted_date")
-      val clients = (1 to 80).map(i => (i, ts("2020-01-01 00:00:00"),
-        if (rng.nextDouble() < 0.4) "M" else "F", s"Country${i % 9}"))
-        .toDF("id", "start_date", "gender", "country")
-      val products = (1 to 25).map(i => (i, ts("2020-01-01 00:00:00"),
-        s"Prod${i % 5}", s"S${i % 3}", s"C${i % 5}", BigDecimal(i * 7).setScale(2)))
-        .toDF("id", "start_date", "product", "size", "color", "price")
       SalesSource(sales, clients, products, removed)
     }
 

@@ -200,16 +200,22 @@ object SparkEntry {
          |$DenormFrom
          |WHERE CAST(strftime(o.o_orderdate, '%Y%m') AS INT) = 199506
          |  AND o.o_orderdate < TIMESTAMP '2001-01-01 00:00:00'""".stripMargin,
+    // group by RAW status, recode AFTER aggregation (reference
+    // load_sales_mart.py:26-35 order — raw values that recode to the same
+    // label keep separate rows and counts)
     "q04_mart_client_counts" ->
-      s"""SELECT n.n_name AS country,
-         |  CASE WHEN o.o_orderstatus = 'O' THEN 'Open'
-         |       WHEN o.o_orderstatus = 'F' THEN 'Filled'
+      s"""SELECT country,
+         |  CASE WHEN status = 'O' THEN 'Open'
+         |       WHEN status = 'F' THEN 'Filled'
          |       ELSE 'Other' END AS status_name,
-         |  COUNT(DISTINCT o.o_custkey) AS client_count,
+         |  client_count,
          |  TIMESTAMP '$RefreshDate' AS refresh_date
-         |$DenormFrom
-         |WHERE l.l_extendedprice > 0
-         |GROUP BY 1, 2""".stripMargin,
+         |FROM (
+         |  SELECT n.n_name AS country, o.o_orderstatus AS status,
+         |    COUNT(DISTINCT o.o_custkey) AS client_count
+         |  $DenormFrom
+         |  WHERE l.l_extendedprice > 0
+         |  GROUP BY 1, 2) g""".stripMargin,
     "q05_mart_sales_amounts" ->
       s"""SELECT n.n_name AS country, p.p_brand AS product,
          |  p.p_size AS size, p.p_type AS color,

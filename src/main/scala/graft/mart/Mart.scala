@@ -26,15 +26,21 @@ object Mart {
         .when(col(in) === "F", "Filled")
         .otherwise("Other"))
 
-  /** Mart dataset 1 — A2: grouped COUNT(DISTINCT client) by country × recoded
-    * status, plus E2 literal refresh timestamp
-    * (`/root/reference/pipeline_scripts/load_sales_mart.py:26-35`).
-    * `refreshDate` is injectable (no wall clock in the query path — driver
-    * determinism, SURVEY.md §7.4). */
+  /** Mart dataset 1 — A2: grouped COUNT(DISTINCT client) by country × status,
+    * recoded AFTER aggregation, plus E2 literal refresh timestamp
+    * (`/root/reference/pipeline_scripts/load_sales_mart.py:26-35`). The
+    * reference groups by the RAW column and recodes the aggregated rows, so
+    * distinct raw values that recode to 'Other' (or NULL from an unmatched
+    * left join) each keep their own row and count — this mirrors that
+    * exactly. `refreshDate` is injectable (no wall clock in the query path —
+    * driver determinism, SURVEY.md §7.4). */
   def clientCounts(sales: DataFrame, refreshDate: String): DataFrame =
-    statusRecode(sales.filter(col("paid") > 0), "status", "status_name")
-      .groupBy(col("country"), col("status_name"))
-      .agg(countDistinct(col("client_id")).as("client_count"))
+    statusRecode(
+      sales.filter(col("paid") > 0)
+        .groupBy(col("country"), col("status"))
+        .agg(countDistinct(col("client_id")).as("client_count")),
+      "status", "status_name")
+      .select(col("country"), col("status_name"), col("client_count"))
       .withColumn("refresh_date", to_timestamp(lit(refreshDate)))
 
   /** 100 TB variant of dataset 1: HLL approximate distinct — mergeable,

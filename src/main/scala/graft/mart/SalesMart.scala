@@ -23,11 +23,17 @@ object SalesMart {
 
   /** Dataset 1: COUNT(DISTINCT client_id) per country × gender, paid
     * sales only, run-constant refresh timestamp
-    * (`load_sales_mart.py:26-35`). */
+    * (`load_sales_mart.py:26-35`). Order matters and mirrors the
+    * reference exactly: it GROUPs BY the RAW gender value first and
+    * recodes the aggregated rows after — so every raw value outside
+    * M/F (including NULL from an unmatched left join) emits its own
+    * 'Other' row with its own distinct count, never merged. */
   def dataset1(lake: DataFrame, refreshDate: String): DataFrame =
-    genderRecode(lake.filter(col("paid") > 0))
-      .groupBy(col("country"), col("gender_name"))
-      .agg(countDistinct(col("client_id")).as("client_count"))
+    genderRecode(
+      lake.filter(col("paid") > 0)
+        .groupBy(col("country"), col("gender"))
+        .agg(countDistinct(col("client_id")).as("client_count")))
+      .select(col("country"), col("gender_name"), col("client_count"))
       .withColumn("refresh_date", to_timestamp(lit(refreshDate)))
 
   /** Dataset 2: COUNT(id), SUM(paid) per country × product × size ×

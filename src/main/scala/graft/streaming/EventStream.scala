@@ -123,6 +123,11 @@ object EventStream {
           batch
             .withColumn("window_date", to_date(col("window_start")))
             .write.mode(SaveMode.Overwrite)
+            // pinned on the WRITE, not inherited from the session: under
+            // Spark's default static mode an Overwrite+partitionBy wipes
+            // the whole lake each micro-batch; dynamic replaces only the
+            // partitions this batch touches (≡ drop-partition-and-rebuild)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("window_date")
             .parquet(lakePath)
         }

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pins the bench harness failure contract: a throwing query must surface
+  * as the `-1` sentinel plus an entry in the `"failed"` list — never as its
+  * elapsed-until-crash time (which would read as a fast run). */
+class BenchSpec extends SparkSpec {
+
+  test("benchJson marks a failing query with -1 and lists it in failed") {
+    val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "ok_query" -> ((s, _) => s.range(10).toDF("id")),
+      "boom_query" -> ((_, _) => throw new RuntimeException("injected failure")))
+    val json = Bench.benchJson(spark, "unused", queries)
+    assert(json.contains("\"boom_query\":-1"), json)
+    assert(json.contains("\"failed\":[\"boom_query\"]"), json)
+    assert(!json.contains("\"ok_query\":-1"), json)
+  }
+
+  test("benchJson with no failures emits an empty failed list") {
+    val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "ok_query" -> ((s, _) => s.range(10).toDF("id")))
+    val json = Bench.benchJson(spark, "unused", queries)
+    assert(json.contains("\"failed\":[]"), json)
+  }
+}

@@ -25,6 +25,26 @@ class SalesMartSpec extends SparkSpec {
     assert(out == Set(("PT", "Male", 1L), ("PT", "Female", 1L), ("PT", "Other", 1L)))
   }
 
+  test("dataset1 recodes AFTER grouping: each raw non-M/F gender keeps its own 'Other' row") {
+    // reference load_sales_mart.py:26-35 groups by RAW gender, recodes the
+    // aggregated rows — so 'X' (clients 4,5) and NULL (client 6, the
+    // unmatched-left-join shape) each emit their own 'Other' row with their
+    // own distinct count, never merged into one.
+    val withNull = lake.unionByName(Seq(
+      (6, ts("2021-06-06 00:00:00"), BigDecimal("3.00"), 5, "X", 1, "Shirt", "S", "Red"),
+      (7, ts("2021-06-07 00:00:00"), BigDecimal("4.00"), 6, null.asInstanceOf[String], 1, "Shirt", "S", "Red"))
+      .toDF("id", "sale_date", "paid", "client_id", "gender", "product_id",
+        "product", "size", "color")
+      .withColumn("paid", org.apache.spark.sql.functions.col("paid").cast("decimal(18,2)"))
+      .withColumn("country", org.apache.spark.sql.functions.lit("PT")))
+    val out = SalesMart.dataset1(withNull, "2021-07-01 00:00:00")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      .sorted
+    // two distinct 'Other' rows: raw 'X' → clients {4,5}, raw NULL → {6}
+    assert(out == Seq(("PT", "Female", 1L), ("PT", "Male", 1L),
+      ("PT", "Other", 1L), ("PT", "Other", 2L)), s"got $out")
+  }
+
   test("dataset2: exact decimal sums per product attributes") {
     val out = SalesMart.dataset2(lake, "2021-07-01 00:00:00")
       .collect().map(r => (r.getString(1), r.getLong(4), r.getDecimal(5).toPlainString)).toSet

@@ -16,6 +16,9 @@ class EventStreamSpec extends SparkSpec {
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                 event_type: String, value: Double, props: String)
 
+  case class AggRow(window_start: Timestamp, event_type: String,
+                    n_events: Long, value_sum: Double)
+
   test("watermarked windowed agg finalizes windows and drops late rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
@@ -142,7 +145,9 @@ class EventStreamSpec extends SparkSpec {
     val streamEvents = spark.readStream
       .schema(spark.read.parquet(dir.toString).schema)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integral `div`, not `/` — Column `/` is double division, lossy
+      // above 2^53 (shifts 2024-era nanos by ±1 µs); same rule as Tables
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = EventStream.windowedAgg(streamEvents).writeStream
       .format("memory").queryName("replay_agg").outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -159,6 +164,32 @@ class EventStreamSpec extends SparkSpec {
     streamed.foreach { case (k, v) =>
       assert(batch(k) == v, s"window $k: streamed $v vs batch ${batch(k)}")
     }
+  }
+
+  test("sink keeps earlier partitions under a default (static) overwrite-mode session") {
+    // the dynamic overwrite mode is pinned on the WRITE itself — under a
+    // session left at Spark's default static mode, micro-batch 2 must still
+    // replace only its own partition, not wipe batch 1's
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sinkmode").toString
+      val mem = MemoryStream[AggRow]
+      mem.addData(AggRow(ts("2024-01-01 10:00:00"), "click", 1L, 1.0))
+      val q1 = EventStream.sinkToPartitionedLake(
+        mem.toDF(), s"$dir/lake", s"$dir/ckpt").start()
+      try q1.awaitTermination(120000) finally q1.stop()
+      mem.addData(AggRow(ts("2024-01-02 10:00:00"), "view", 2L, 2.0))
+      val q2 = EventStream.sinkToPartitionedLake(
+        mem.toDF(), s"$dir/lake", s"$dir/ckpt").start()
+      try q2.awaitTermination(120000) finally q2.stop()
+
+      val lake = spark.read.parquet(s"$dir/lake")
+      assert(lake.filter($"window_date" === "2024-01-01").count() == 1,
+        "batch 2 wiped batch 1's partition")
+      assert(lake.filter($"window_date" === "2024-01-02").count() == 1)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
   test("foreachBatch sink lands windowed results partitioned by date") {
