@@ -103,24 +103,31 @@ object Dedup {
     *
     * This is the 100 TB dedup path: shuffle on band buckets (bounded),
     * exact verification only within candidates. */
-  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
-                      minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    // signature via explode + k codegen'd MIN aggregates in ONE hash-agg
-    // pass (the array-lambda formulation `minhashSignature` evaluates
-    // interpreted, k passes per row — 10× slower at bench scale). Shingles
-    // go straight to hashes (native expression, no string materialization);
-    // map-side partial MINs mean the shuffle carries k longs per doc.
+  /** MinHash signatures of every document as (doc_id, sig: array<bigint>):
+    * explode + k codegen'd MIN aggregates in ONE hash-agg pass (the
+    * array-lambda formulation `minhashSignature` evaluates interpreted, k
+    * passes per row — 10× slower at bench scale). Shingles go straight to
+    * hashes (native expression, no string materialization); map-side
+    * partial MINs mean the single shuffle carries k longs per doc —
+    * PlanInvariantsSpec pins exactly one exchange in this plan. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 32,
+                        seed: Long = 42L): DataFrame = {
     val h = docs
       .select(col("doc_id"),
         explode(graft.functions.Shingles.shingle_hashes(col("text"), n)).as("h32"))
     val minAggs = hashFamily(k, seed).zipWithIndex.map { case ((a, b), i) =>
       min(lit(a) * col("h32") + lit(b)).as(s"_s$i")
     }
-    val sig = h.groupBy(col("doc_id"))
+    h.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"_s$i")): _*).as("sig"))
+  }
+
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
+                      minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = minhashSignatures(docs, n, k, seed)
     val bandHashes = (0 until bands).map(j =>
       xxhash64(lit(j), slice(col("sig"), j * r + 1, r)))
     val buckets = sig

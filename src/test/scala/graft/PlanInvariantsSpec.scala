@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Executable plan-shape claims (the spec PLANS.md and the Dedup scaladoc
+  * cite): these are the invariants that distinguish "right answer" from
+  * "right answer with a plan that survives 100×". Asserted over the
+  * pre-adaptive physical plan (`sparkPlan`) — AQE only narrows these
+  * (e.g. SMJ→broadcast); it never introduces a cartesian or an exchange.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.sparkPlan
+
+  test("q19 embedding near-dup join is an equi-join: no cartesian, no nested-loop") {
+    val p = plan(SparkEntry.queries("q19_dedup_embedding")(spark, sf("sf0.001")))
+    val cartesian = p.collect { case c: CartesianProductExec => c }
+    val bnlj = p.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(cartesian.isEmpty, s"CartesianProduct in q19 plan:\n$p")
+    assert(bnlj.isEmpty, s"BroadcastNestedLoopJoin in q19 plan:\n$p")
+  }
+
+  test("q01 pushes the cutoff into the orders parquet scan") {
+    val p = plan(SparkEntry.queries("q01_full_extract")(spark, sf("sf0.001")))
+    val ordersScans = p.collect {
+      case s: FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("orders.parquet")) => s
+    }
+    assert(ordersScans.nonEmpty, s"no orders scan found in:\n$p")
+    ordersScans.foreach { s =>
+      val pushed = s.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("LessThan(o_orderdate"),
+        s"cutoff not pushed to orders scan: $pushed")
+    }
+  }
+
+  test("q17 signature aggregate sits behind exactly one shuffle exchange") {
+    // exchanges are inserted by EnsureRequirements (executedPlan, not
+    // sparkPlan); AQE off for the test so the tree is directly walkable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sig = ext.Dedup.minhashSignatures(Tables.documents(spark, sf("sf0.001")))
+      val p = sig.queryExecution.executedPlan
+      val exchanges = p.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.length == 1,
+        s"expected 1 exchange before the signature aggregate, got ${exchanges.length}:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q20 brute-force broadcasts the query side (no shuffle of the corpus)") {
+    val p = plan(SparkEntry.queries("q20_sim_bruteforce")(spark, sf("sf0.001")))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"corpus-shuffling CartesianProduct in q20 plan (broadcast lost):\n$p")
+  }
+}

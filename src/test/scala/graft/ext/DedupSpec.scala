@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** The spec `Dedup.scala` cites by name: pins (a) the greedy-vs-CC
+  * survivor-policy difference on a chain routed through a high id, and
+  * (b) the measured fixture recall of the sub-quadratic embedding ANN
+  * path against the exact triangular join.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("chain (3,7),(1,7): greedy applyPairs keeps {1,3}; applyPairsCC keeps {1}") {
+    // 1≈7 and 3≈7 but 1≉3: greedy drops only ids that appear as the
+    // HIGHER side of a pair ({7}), so both local minima 1 and 3 survive;
+    // CC labels the whole component with its min (1) and keeps only it.
+    val docs = Seq(1L, 3L, 7L, 9L).toDF("doc_id") // 9 is in no pair
+    val pairs = Seq((3L, 7L), (1L, 7L)).toDF("doc_a", "doc_b")
+
+    val greedy = Dedup.applyPairs(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(greedy == Set(1L, 3L, 9L), s"greedy survivors: $greedy")
+
+    val cc = Dedup.applyPairsCC(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cc == Set(1L, 9L), s"CC survivors: $cc")
+  }
+
+  test("duplicateComponents labels every paired node with its component min") {
+    // two components: {1,3,7} (via 7) and {10,11}; 99 appears in no pair
+    val pairs = Seq((3L, 7L), (1L, 7L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.duplicateComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L),
+      s"labels: $labels")
+  }
+
+  test("duplicateComponents converges on a long chain within maxRounds") {
+    // path 0-1-2-...-8: diameter 8, but min-label propagation halves the
+    // frontier each round via the reversed edges, so 10 rounds suffice
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.duplicateComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(0L), s"chain did not converge: $labels")
+  }
+
+  test("embeddingAnnPairs recall >= 0.95 vs exact join on sf0.001 at defaults") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val exact = pairSet(Dedup.embeddingNearDupPairs(emb))
+    assert(exact.nonEmpty, "fixture should contain cosine >= 0.4 pairs")
+    val ann = pairSet(Dedup.embeddingAnnPairs(emb)) // tables=30, bits=5
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    println(s"[ann] recall vs exact = $recall (${ann.size} of ${exact.size} pairs)")
+    assert(recall >= 0.95, s"ANN recall collapsed: $recall")
+    // exact-cosine verification means no false positives above threshold
+    assert((ann -- exact).isEmpty, s"spurious pairs: ${ann -- exact}")
+  }
+}
