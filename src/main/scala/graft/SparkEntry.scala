@@ -142,10 +142,43 @@ object SparkEntry {
     "q28_percentiles" -> ((s, dir) =>
       ext.Events.valuePercentiles(Tables.events(s, dir))),
     // north-star dedup applied: corpus minus near-duplicates (anti-join
-    // on the higher id of every exact-Jaccard pair)
+    // on the higher id of every Jaccard pair). Shingles capped at df<=8
+    // before the self-join — the frequent-shingle cap that bounds join
+    // fan-out at scale; the oracle states the identical capped semantics
     "q25_dedup_corpus" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      ext.Dedup.applyPairs(docs, ext.Dedup.ngramJaccardPairs(docs))
+      ext.Dedup.applyPairs(docs,
+          ext.Dedup.ngramJaccardPairs(docs, maxShingleDf = Some(8)))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("n_chars"))
+    }),
+    // north-star dedup: embedding corpus minus ANN-detected near-dups —
+    // the sub-quadratic scale path (LSH buckets → exact-cosine verify;
+    // recall vs the exact join pinned >= 0.95 by DedupSpec). Rows-only:
+    // signature buckets aren't SQL-expressible
+    "q32_dedup_embedding_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, dir)
+      val pairs = ext.Dedup.embeddingAnnPairs(emb)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      ext.Dedup.applyPairs(emb.withColumnRenamed("vec_id", "doc_id"), pairs)
+        .select(col("doc_id").as("vec_id"), col("label"))
+    }),
+    // north-star dedup: df-capped exact Jaccard pairs — same shape as q16
+    // but with the frequent-shingle cap ON, oracle-checked (the cap is
+    // plain SQL: HAVING count(*) <= 8 on the shingle relation)
+    "q33_dedup_jaccard_capped" -> ((s, dir) =>
+      ext.Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        maxShingleDf = Some(8))),
+    // north-star dedup: corpus survivors under the connected-components
+    // policy (min id per duplicate component) over MinHash+LSH pairs —
+    // the full 100 TB chain: bounded-bucket candidates, exact verify,
+    // iterative min-label CC. Rows-only; DedupSpec pins CC semantics and
+    // greedy-equality on the fixture's pair-cluster topology
+    "q34_dedup_corpus_cc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      ext.Dedup.applyPairsCC(docs, ext.Dedup.minhashLshPairs(docs))
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("lang"),
           org.apache.spark.sql.functions.col("n_chars"))
@@ -333,12 +366,16 @@ object SparkEntry {
          |GROUP BY 1
          |ORDER BY revenue DESC, country
          |LIMIT 10""".stripMargin,
+    // df-capped shingle universe (HAVING count <= 8): identical semantics
+    // to the Spark side's maxShingleDf = Some(8)
     "q25_dedup_corpus" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |         generate_series(1, len(w) - 2),
         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
         |       FROM tok),
+        |kept AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 8),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -349,6 +386,24 @@ object SparkEntry {
         |          WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5)
         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_b FROM dup_b)""".stripMargin,
+    "q33_dedup_jaccard_capped" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |       FROM tok),
+        |kept AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 8),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |        CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jac
+        |      FROM pairs
+        |      JOIN sizes sa ON doc_a = sa.doc_id
+        |      JOIN sizes sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin,
     "q31_train_split" ->
       """WITH b AS (SELECT doc_id,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket

@@ -42,9 +42,11 @@ object Dedup {
     *
     * `maxShingleDf` drops shingles appearing in more than that many docs
     * before the self-join — the standard frequent-shingle cap that keeps
-    * the join from going quadratic on boilerplate text at scale (changes
-    * results; off by default so the oracle SQL states the exact same
-    * computation). */
+    * the join from going quadratic on boilerplate text at scale. The cap
+    * changes semantics (Jaccard over the capped shingle universe), so it
+    * is off by default and each oracle states its own variant: q16
+    * uncapped (the exact yardstick), q25/q33 capped (the shipped
+    * corpus-dedup path — `HAVING count(*) <= cap` on the shingle CTE). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
                         maxShingleDf: Option[Int] = None): DataFrame = {
     val docSh = docs

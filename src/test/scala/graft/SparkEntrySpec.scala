@@ -14,11 +14,11 @@ class SparkEntrySpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracleSql keys without queries: $unknown")
   }
 
-  test("rows-only queries are the documented five") {
+  test("rows-only queries are exactly the pinned non-SQL-expressible set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q17_dedup_minhash", "q18_dedup_simhash",
       "q21_sim_ivf", "q11_doc_fingerprint", "q24_approx_distinct",
-      "q29_sim_lsh"),
+      "q29_sim_lsh", "q32_dedup_embedding_ann", "q34_dedup_corpus_cc"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -49,6 +49,20 @@ class DedupSpec extends SparkSpec {
     assert(labels.values.toSet == Set(0L), s"chain did not converge: $labels")
   }
 
+  test("CC and greedy survivors agree on the fixture's clique topology") {
+    // planted near-dup clusters are mutual copies (cliques), where every
+    // non-min member has the min as a direct neighbor — so greedy and CC
+    // coincide; the chain test above documents exactly where they differ
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val pairs = Dedup.minhashLshPairs(docs)
+    val greedy = Dedup.applyPairs(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    val cc = Dedup.applyPairsCC(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cc == greedy,
+      s"ccOnly=${cc -- greedy} greedyOnly=${greedy -- cc}")
+  }
+
   test("embeddingAnnPairs recall >= 0.95 vs exact join on sf0.001 at defaults") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val exact = pairSet(Dedup.embeddingNearDupPairs(emb))
