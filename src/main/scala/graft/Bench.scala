@@ -4,20 +4,47 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   /** Run every query against `sfDir` and render the one-line bench JSON.
+    *
+    * The whole suite is executed in `reps` FULL PASSES (default 3) and
+    * each query reports its MIN across passes: a single-shot measurement
+    * is noise-bound at exactly the gate's resolution — round 5 recorded
+    * two queries ~6× their true cost to first-run JIT/GC/page-cache
+    * effects. Whole-suite passes (rather than back-to-back per-query
+    * reps) matter because pass 1 warms the JIT across every code path, so
+    * later passes measure the plan, not compilation transients.
+    *
     * A query that throws is recorded with the sentinel time `-1` and named
     * in the `"failed"` list — a crash must never read as a fast run (its
-    * elapsed-until-crash time is NOT reported). Exposed for testing. */
+    * elapsed-until-crash time is NOT reported), and a failed query is not
+    * retried in later passes. Exposed for testing. */
   def benchJson(spark: SparkSession, sfDir: String,
-                queries: Map[String, (SparkSession, String) => DataFrame]): String = {
-    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+                queries: Map[String, (SparkSession, String) => DataFrame],
+                reps: Int = 3): String = {
+    require(reps >= 1, "reps must be >= 1")
+    val names = queries.keys.toSeq.sorted
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val crashed = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (pass <- 1 to reps; name <- names if !crashed.contains(name)) {
+      // collect the PREVIOUS query's garbage (and the ContextCleaner work
+      // a GC triggers) outside the timed region — otherwise a heavy
+      // query's allocations are paid for by whichever query runs next
+      System.gc()
       // noop sink materializes every output column (count() would let
       // Catalyst prune the projection and under-measure)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val t0 = System.nanoTime()
+      try {
+        queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        if (!best.get(name).exists(_ <= t)) best(name) = t
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name (pass $pass): $e")
+          crashed += name
+          best.remove(name)
+      }
     }
+    val results = names.map(n =>
+      (n, best.getOrElse(n, -1.0), !crashed.contains(n)))
     val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }

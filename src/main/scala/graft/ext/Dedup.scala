@@ -55,9 +55,15 @@ object Dedup {
     val shAll = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val (sh, sizes) = maxShingleDf match {
       case Some(cap) =>
-        val df = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("shingle")
-        val capped = shAll.join(df, "shingle")
+        // the FREQUENT set (df > cap) is small by construction — boilerplate
+        // heavy hitters — so remove it with a broadcast anti-join instead of
+        // inner-joining the full relation against the (nearly-universal)
+        // kept set, which would shuffle both full string relations to drop
+        // a handful of keys. One shuffle (the df aggregate) instead of two;
+        // PlanInvariantsSpec pins the broadcast anti-join in the q33 plan.
+        val frequent = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        val capped = shAll.join(broadcast(frequent), Seq("shingle"), "left_anti")
         // under a df cap, Jaccard is over the capped shingle universe
         (capped, capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
       case None =>
@@ -87,16 +93,6 @@ object Dedup {
     Seq.fill(k)(((rng.nextInt(1 << 30) | 1).toLong, rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature (k minima of affine-transformed 32-bit-masked
-    * xxhash64 over the shingle set) as an array<bigint> column. */
-  def minhashSignature(shingles: Column, k: Int = 32, seed: Long = 42L): Column = {
-    val sigs = hashFamily(k, seed).map { case (a, b) =>
-      array_min(transform(shingles,
-        s => lit(a) * xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)) + lit(b)))
-    }
-    array(sigs: _*)
-  }
-
   /** MinHash + LSH banding candidate pairs: signatures are cut into
     * `bands` bands of k/bands rows; docs sharing any (band, band-hash)
     * bucket become candidates; candidates are then verified with exact
@@ -107,7 +103,7 @@ object Dedup {
     * exact verification only within candidates. */
   /** MinHash signatures of every document as (doc_id, sig: array<bigint>):
     * explode + k codegen'd MIN aggregates in ONE hash-agg pass (the
-    * array-lambda formulation `minhashSignature` evaluates interpreted, k
+    * equivalent array-lambda formulation evaluates interpreted, k
     * passes per row — 10× slower at bench scale). Shingles go straight to
     * hashes (native expression, no string materialization); map-side
     * partial MINs mean the single shuffle carries k longs per doc —
@@ -199,36 +195,49 @@ object Dedup {
     * fixpoint = min id reachable = connected component. Returns
     * (doc_id, component_id) for nodes that appear in ≥1 pair.
     *
-    * Scale notes: each round is one equi-join + one aggregate over the
+    * Scale notes: each round is ONE equi-join + one aggregate over the
     * EDGE set only (docs outside any pair never enter); rounds needed =
     * component diameter — near-dup clusters are copies of a common
     * source, so diameters are tiny and the early-stop fires after 2–3
-    * rounds. `localCheckpoint` truncates lineage per round (iterative
+    * rounds. The pre-round label rides through the same aggregation
+    * (`min(prev)` over the single self row), so the convergence probe is
+    * a narrow count over the checkpointed result — no second join per
+    * round (DedupSpec pins the per-round job budget).
+    * `localCheckpoint` truncates lineage per round (iterative
     * self-referencing plans otherwise grow exponentially and re-run
-    * every prior round). */
+    * every prior round); the bounded edge set is coalesced once after
+    * its checkpoint so later rounds don't schedule shuffle-partition-many
+    * near-empty tasks. */
   def duplicateComponents(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
-    val edges = pairs
+    val edgesAll = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint()
+    // ~1M edges per task; fixture-scale edge sets collapse to one task
+    val edgeParts = edgesAll.rdd.getNumPartitions
+    val target = math.max(1L, math.min(edgeParts.toLong, edgesAll.count() / 1000000L + 1L)).toInt
+    val edges = if (target < edgeParts) edgesAll.coalesce(target) else edgesAll
+    val idType = pairs.schema("doc_a").dataType
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component_id", col("doc_id"))
       .localCheckpoint()
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
+      // neighbor candidates carry a null prev; the self row carries the
+      // current label — min() over both recovers new and old label in the
+      // same hash-agg pass
       val next = edges
         .join(labels.select(col("doc_id").as("dst"), col("component_id")), "dst")
-        .select(col("src").as("doc_id"), col("component_id"))
-        .unionByName(labels)
-        .groupBy(col("doc_id")).agg(min(col("component_id")).as("component_id"))
+        .select(col("src").as("doc_id"), col("component_id"),
+          lit(null).cast(idType).as("prev"))
+        .unionByName(labels.withColumn("prev", col("component_id")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("component_id")).as("component_id"), min(col("prev")).as("prev"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("component_id", "prev"), "doc_id")
-        .filter(col("component_id") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("component_id") =!= col("prev")).count() == 0
+      labels = next.select(col("doc_id"), col("component_id"))
       round += 1
     }
     labels

@@ -23,4 +23,30 @@ class BenchSpec extends SparkSpec {
     val json = Bench.benchJson(spark, "unused", queries)
     assert(json.contains("\"failed\":[]"), json)
   }
+
+  test("benchJson runs each query `reps` times and a failure stops the reps") {
+    var okRuns = 0
+    var boomRuns = 0
+    val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "ok_query" -> ((s, _) => { okRuns += 1; s.range(10).toDF("id") }),
+      "boom_query" -> ((_, _) => { boomRuns += 1; throw new RuntimeException("boom") }))
+    Bench.benchJson(spark, "unused", queries, reps = 3)
+    assert(okRuns == 3, s"expected 3 reps of ok_query, got $okRuns")
+    assert(boomRuns == 1, s"a failed query must not be retried, got $boomRuns runs")
+  }
+
+  test("benchJson reports the MIN over reps, not the first-run transient") {
+    // first invocation carries a deliberate 800 ms first-touch penalty —
+    // exactly the JIT/page-cache shape that inflated BENCH_r05 ~6×
+    var calls = 0
+    val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "warm_query" -> ((s, _) => {
+        calls += 1
+        if (calls == 1) Thread.sleep(800)
+        s.range(10).toDF("id")
+      }))
+    val json = Bench.benchJson(spark, "unused", queries, reps = 2)
+    val t = "\"warm_query\":([0-9.eE-]+)".r.findFirstMatchIn(json).get.group(1).toDouble
+    assert(t < 0.8, s"min-of-2 must shed the 800 ms first-run transient, got $t s ($json)")
+  }
 }

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
 /** Executable plan-shape claims (the spec PLANS.md and the Dedup scaladoc
   * cite): these are the invariants that distinguish "right answer" from
@@ -54,5 +55,30 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("q20_sim_bruteforce")(spark, sf("sf0.001")))
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
       s"corpus-shuffling CartesianProduct in q20 plan (broadcast lost):\n$p")
+  }
+
+  test("q32 ANN near-dup join is an equi-join: no cartesian, no nested-loop") {
+    val p = plan(SparkEntry.queries("q32_dedup_embedding_ann")(spark, sf("sf0.001")))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"CartesianProduct in q32 plan:\n$p")
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"BroadcastNestedLoopJoin in q32 plan:\n$p")
+  }
+
+  test("q33 df-cap is a broadcast anti-join (no second shuffle of the shingle relation)") {
+    // the frequent set (df > cap) is tiny by construction; dropping it must
+    // be a broadcast LeftAnti on the shingle relation — an inner join
+    // against the kept set would re-shuffle the full string relation
+    val p = plan(SparkEntry.queries("q33_dedup_jaccard_capped")(spark, sf("sf0.001")))
+    val antiJoins = p.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+    }
+    assert(antiJoins.nonEmpty, s"no broadcast LeftAnti join in q33 plan:\n$p")
+    val shuffledAnti = p.collect {
+      case j: ShuffledHashJoinExec if j.joinType == LeftAnti => j
+      case j: SortMergeJoinExec if j.joinType == LeftAnti => j
+    }
+    assert(shuffledAnti.isEmpty,
+      s"df-cap anti-join fell back to a shuffled join:\n$p")
   }
 }

@@ -63,6 +63,35 @@ class DedupSpec extends SparkSpec {
       s"ccOnly=${cc -- greedy} greedyOnly=${greedy -- cc}")
   }
 
+  test("CC convergence probe is join-free: per-round job budget is pinned") {
+    // the pre-round label rides through the update aggregation, so the
+    // convergence check is a count over the checkpointed result — not the
+    // old join(next, labels).isEmpty, which cost a full extra shuffle join
+    // per round. Pinned via job count on a fixed 2-round input.
+    def jobCount: Int = {
+      var prev = -1
+      var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val deadline = System.nanoTime() + 5000000000L
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur; Thread.sleep(150)
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      }
+      cur
+    }
+    // chain 1-7-3 converges in 3 rounds (3's label reaches 1 via 7 in
+    // round 2, round 3 observes the fixpoint)
+    val pairs = Seq((3L, 7L), (1L, 7L), (10L, 11L)).toDF("doc_a", "doc_b")
+    Dedup.duplicateComponents(pairs).collect() // warm: codegen, AQE paths
+    val before = jobCount
+    Dedup.duplicateComponents(pairs).collect()
+    val jobs = jobCount - before
+    // measured 22: setup (edge checkpoint + count + label checkpoint) +
+    // 3 rounds × (update checkpoint + probe count, ~5 AQE jobs) + final
+    // collect. A joined probe adds 2-3 AQE jobs per round on top of that
+    // — the bound separates the two shapes.
+    assert(jobs <= 25, s"CC run cost $jobs jobs on a 3-round input — probe join crept back?")
+  }
+
   test("embeddingAnnPairs recall >= 0.95 vs exact join on sf0.001 at defaults") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val exact = pairSet(Dedup.embeddingNearDupPairs(emb))
