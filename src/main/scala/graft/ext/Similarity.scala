@@ -79,78 +79,140 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** Physical IVF index layout: the corpus written partitioned by cell id
-    * (label), so probes are *partition-pruned at the scan* — an nProbe=1
-    * query reads ~1/cells of the data from disk. This is the piece that
-    * turns ivfTopK from "filter after reading everything" into the
-    * billion-vector layout (SCALE.md). */
-  def writeIvfIndex(emb: DataFrame, path: String): Unit =
-    emb.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("label")
-      .parquet(path)
+  /** Trained IVF coarse quantizer: fixed-seed Lloyd's k-means over the
+    * raw embedding column — no `label` column required, so any corpus can
+    * be indexed. Fully deterministic: seeding takes the `nCells` vectors
+    * with the smallest `xxhash64(seed, vec_id)` (a fixed pseudo-random
+    * sample, independent of row order) and runs a fixed `iters` rounds.
+    * Returns the centroid of cell i at index i.
+    *
+    * Scale notes (100 TB): per iteration, assignment is a NARROW map
+    * (`assignCells` — no join, no shuffle) and the re-centering aggregate
+    * is map-side combined, so the per-iteration shuffle volume is
+    * O(partitions × nCells × dim) partial sums — independent of row
+    * count. Centroids live on the driver between rounds: nCells × dim
+    * doubles, bounded metadata. Empty cells keep their previous centroid. */
+  def kmeansCentroids(emb: DataFrame, nCells: Int = 16, iters: Int = 5,
+                      seed: Long = 42L): Array[Array[Double]] = {
+    require(nCells >= 2, "nCells must be >= 2")
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    var cents: Array[Array[Double]] = v
+      .orderBy(xxhash64(lit(seed), col("vec_id")), col("vec_id"))
+      .limit(nCells)
+      .select(col("e")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val means = assignCells(v, cents, embCol = "e")
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+    }
+    cents
+  }
+
+  /** Assign every vector to its nearest centroid (max cosine; ties go to
+    * the lowest cell id): adds an integer `cell` column.
+    *
+    * This is a NARROW codegen map — `nCells` native cosine kernels
+    * against literal centroid arrays, argmax via `greatest` +
+    * `array_position` — not a crossJoin-with-centroids plus a
+    * row_number window, which would shuffle nCells× the corpus on the
+    * assignment's group-by key. At 100 TB the assignment is the hot
+    * loop of every k-means iteration and of index construction; keeping
+    * it shuffle-free is what makes the quantizer trainable at all. */
+  def assignCells(emb: DataFrame, centroids: Array[Array[Double]],
+                  embCol: String = "embedding"): DataFrame = {
+    require(centroids.length >= 2, "need >= 2 centroids")
+    val sims = centroids.toSeq.map(c =>
+      cosine(asDouble(col(embCol)), typedLit(c.toSeq)))
+    emb.withColumn("cell",
+      (array_position(array(sims: _*), greatest(sims: _*)) - 1).cast("int"))
+  }
+
+  /** Physical IVF index layout: k-means cells trained on the corpus, the
+    * corpus written partitioned by `cell`, centroids alongside as a tiny
+    * sidecar table — so probes are *partition-pruned at the scan* (an
+    * nProbe=1 query reads ~1/nCells of the data from disk) and the index
+    * is self-describing. This is the piece that turns IVF from "filter
+    * after reading everything" into the billion-vector layout (SCALE.md). */
+  def writeIvfIndex(emb: DataFrame, path: String, nCells: Int = 16,
+                    iters: Int = 5, seed: Long = 42L): Unit = {
+    val spark = emb.sparkSession
+    val cents = kmeansCentroids(emb, nCells, iters, seed)
+    assignCells(emb, cents)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/data")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+  }
 
   /** Probe a written IVF index: identical output contract to `ivfTopK`,
-    * but candidates come from `spark.read.parquet(index)` filtered by the
-    * routed cells — the label predicate lands in PartitionFilters. */
+    * but candidates come from `spark.read.parquet(index/data)` joined on
+    * the routed cells — the broadcast join on the partition column turns
+    * into dynamic partition pruning at the scan (PartitionFilters on
+    * `cell`; asserted by ExtSpec). */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                     queries: DataFrame, k: Int = 10, nProbe: Int = 1): DataFrame = {
-    val index = spark.read.parquet(indexPath)
-    val cents = labelCentroids(index)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val index = spark.read.parquet(s"$indexPath/data")
+    val cand = index.select(col("vec_id").as("neighbor_id"), col("cell"),
+      asDouble(col("embedding")).as("ne"))
     val q = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    rankRoutedCells(q, cand, cents, k, nProbe)
+  }
+
+  /** Route each query to its `nProbe` best cells (cosine vs the literal
+    * centroids — `posexplode` over a computed sims array, tiny window on
+    * the query set only), then rank the routed cells' candidates. */
+  private def rankRoutedCells(q: DataFrame, cand: DataFrame,
+                              centroids: Array[Array[Double]],
+                              k: Int, nProbe: Int): DataFrame = {
+    val sims = centroids.toSeq.map(c => round(cosine(col("qe"), typedLit(c.toSeq)), 6))
     val wCell = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_sim").desc, col("label"))
-    val routed = q.crossJoin(broadcast(cents))
-      .withColumn("cent_sim", round(cosine(col("qe"), col("centroid")), 6))
+      .orderBy(col("cent_sim").desc, col("cell"))
+    val routed = q
+      .select(col("query_id"), col("qe"),
+        posexplode(array(sims: _*)).as(Seq("cell", "cent_sim")))
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nProbe)
-      .select(col("query_id"), col("qe"), col("label"))
-    val cand = index.select(col("vec_id").as("neighbor_id"), col("label"),
-      asDouble(col("embedding")).as("ne"))
+      .select(col("query_id"), col("qe"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    broadcast(routed).join(cand, "label")
+    broadcast(routed).join(cand, "cell")
       .withColumn("cos_sim", round(cosine(col("qe"), col("ne")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** Per-label centroids (mean vector), as the IVF coarse quantizer —
-    * labels stand in for k-means cells on the fixtures. Element-wise mean
-    * via posexplode + (label, pos) aggregate, reassembled in order. */
-  def labelCentroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"),
-        posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        s => s.getField("cv")).as("centroid"))
-
-  /** IVF top-k: route each query to its `nProbe` nearest centroids, then
-    * rank only those cells' vectors. Same output shape as bruteForceTopK;
-    * approximate — recall grows with nProbe and reaches brute-force
-    * equality when nProbe covers every cell. */
+  /** IVF top-k, in-memory variant on an UNLABELED corpus: train the
+    * k-means quantizer, assign cells, route each query to its `nProbe`
+    * nearest centroids, rank only those cells' vectors. Same output shape
+    * as bruteForceTopK; approximate — recall grows with nProbe and
+    * reaches brute-force equality when nProbe covers every cell
+    * (ExtSpec pins that equality and rank-1 self-retrieval at nProbe=1). */
   def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
-              nProbe: Int = 1): DataFrame = {
-    val cents = labelCentroids(emb)
+              nProbe: Int = 1, nCells: Int = 16, iters: Int = 5,
+              seed: Long = 42L): DataFrame = {
+    val cents = kmeansCentroids(emb, nCells, iters, seed)
+    val cand = assignCells(emb, cents)
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        asDouble(col("embedding")).as("ne"))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
-    val wCell = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_sim").desc, col("label"))
-    val routed = q.crossJoin(broadcast(cents))
-      .withColumn("cent_sim", round(cosine(col("qe"), col("centroid")), 6))
-      .withColumn("cell_rank", row_number().over(wCell))
-      .filter(col("cell_rank") <= nProbe)
-      .select(col("query_id"), col("qe"), col("label"))
-    val cand = emb.select(col("vec_id").as("neighbor_id"), col("label"),
-      asDouble(col("embedding")).as("ne"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    broadcast(routed).join(cand, "label")
-      .withColumn("cos_sim", round(cosine(col("qe"), col("ne")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+    rankRoutedCells(q, cand, cents, k, nProbe)
   }
 }

@@ -1,7 +1,8 @@
 package graft.sources
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** RDBMS source/sink parity (SURVEY.md §2.1 S1, §2.2 K5/K6) — the
   * reference extracts from SQL Server through a driver-side pandas chunk
@@ -39,24 +40,34 @@ object Jdbc {
         math.max(1L, upperBound - lowerBound + 1)).toString)
   }
 
-  /** Distributed extract of one incremental window — the reference's
-    * per-partition SELECT (`load_sales_history.py:112-119`) pushed down
-    * as a dbtable subquery, read in parallel key ranges. */
+  /** The incremental-window predicate (`load_sales_history.py:112-119`)
+    * as a Catalyst filter on a plain table read. Spark's JDBC source
+    * translates it to `sources.EqualTo`/`LessThan` and compiles each
+    * literal through the url's `JdbcDialect` (`compileValue` — correct
+    * timestamp literal syntax, quoting and escaping per dialect), so the
+    * pushed-down WHERE clause is dialect-correct by construction.
+    * GraftExtensionsSpec pins both the translation and the rendering. */
+  def windowFilter(yearMonth: Int, cutoff: Timestamp): Column =
+    col("year_month") === yearMonth && col("sale_date") < lit(cutoff)
+
+  /** Distributed extract of one incremental window: a plain partitioned
+    * table read with the window predicate applied as DataFrame filters —
+    * pushdown (dialect-rendered literals) replaces the previous
+    * hand-spliced `'...'` timestamp literal in a dbtable subquery, which
+    * only parsed on dialects where ISO strings happen to be valid
+    * timestamp literals. */
   def readWindow(spark: SparkSession, url: String, table: String,
                  yearMonth: Int, cutoff: Timestamp,
                  idColumn: String, idLower: Long, idUpper: Long,
                  numPartitions: Int,
-                 extraOptions: Map[String, String] = Map.empty): DataFrame = {
-    val subquery =
-      s"""(SELECT * FROM $table
-         | WHERE year_month = $yearMonth AND sale_date < '$cutoff') AS w""".stripMargin
+                 extraOptions: Map[String, String] = Map.empty): DataFrame =
     spark.read.format("jdbc")
       .option("url", url)
-      .option("dbtable", subquery)
+      .option("dbtable", table)
       .options(partitionOptions(idColumn, idLower, idUpper, numPartitions))
       .options(extraOptions)
       .load()
-  }
+      .filter(windowFilter(yearMonth, cutoff))
 
   /** Distributed mart write — replaces driver-side `to_sql` append (K5)
     * plus staging TRUNCATE (K6). */

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.types._
+
+/** Test double for the V1 pushdown contract: a relation with the
+  * incremental-extract schema that records the `sources.Filter`s Spark
+  * pushes into `buildScan` — the exact same path (and filter algebra)
+  * the JDBC relation compiles into its remote WHERE clause. */
+class CapturingScanSource extends RelationProvider {
+  override def createRelation(ctx: SQLContext,
+                              parameters: Map[String, String]): BaseRelation =
+    new BaseRelation with PrunedFilteredScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = StructType(Seq(
+        StructField("sale_id", LongType),
+        StructField("year_month", IntegerType),
+        StructField("sale_date", TimestampType)))
+      override def buildScan(requiredColumns: Array[String],
+                             filters: Array[Filter]): RDD[Row] = {
+        CapturingScanSource.captured = filters
+        ctx.sparkContext.emptyRDD[Row]
+      }
+    }
+}
+
+object CapturingScanSource {
+  @volatile var captured: Array[Filter] = Array.empty
+}

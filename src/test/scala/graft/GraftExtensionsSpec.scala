@@ -52,4 +52,38 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(Jdbc.partitionOptions("id", 5, 7, 8)("numPartitions") == "3")
     intercept[IllegalArgumentException](Jdbc.partitionOptions("id", 10, 1, 4))
   }
+
+  test("jdbc window filter is pushed to the source as data-source filters") {
+    // run the REAL V1 pushdown path (the one the JDBC relation uses):
+    // a capturing PrunedFilteredScan records exactly the source filters
+    // Spark hands it — both window conjuncts must arrive
+    import org.apache.spark.sql.sources.{EqualTo, LessThan}
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    CapturingScanSource.captured = Array.empty
+    val df = spark.read.format(classOf[CapturingScanSource].getName).load()
+      .filter(Jdbc.windowFilter(199506, cutoff))
+    df.collect()
+    val got = CapturingScanSource.captured.toSet
+    assert(got.contains(EqualTo("year_month", 199506)),
+      s"partition-key equality not pushed: $got")
+    assert(got.contains(LessThan("sale_date", cutoff)),
+      s"timestamp cutoff not pushed: $got")
+  }
+
+  test("jdbc dialect renders the timestamp literal (no hand-spliced strings)") {
+    // the literal the remote WHERE clause will contain is produced by the
+    // dialect, not by string interpolation in our code — pin the SQL
+    // Server rendering for the fixed window cutoff
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val mssql = JdbcDialects.get("jdbc:sqlserver://host;databaseName=db")
+    val rendered = mssql.compileValue(cutoff).toString
+    assert(rendered.startsWith("'") && rendered.endsWith("'"),
+      s"timestamp literal not quoted: $rendered")
+    assert(rendered.contains("2024-01-15"), s"wrong literal: $rendered")
+    // a string key value gets its quotes escaped by the dialect (the
+    // hand-spliced path would inject)
+    val evil = mssql.compileValue("O'Brien").toString
+    assert(evil == "'O''Brien'", s"string literal not escaped: $evil")
+  }
 }

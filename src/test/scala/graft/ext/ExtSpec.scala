@@ -56,13 +56,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("k-means quantizer is deterministic and label-free") {
+    val unlabeled = emb.drop("label")
+    val a = Similarity.kmeansCentroids(unlabeled, nCells = 8, iters = 3)
+    val b = Similarity.kmeansCentroids(unlabeled, nCells = 8, iters = 3)
+    assert(a.length == 8)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "same seed must reproduce identical centroids")
+    // every vector lands in a valid cell
+    val cells = Similarity.assignCells(unlabeled, a)
+      .select($"cell").as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8))
+  }
+
   test("IVF top-k returns only vectors from the routed cell, ranked like brute force") {
-    val ivf = Similarity.ivfTopK(emb, nQueries = 3, k = 5).collect()
+    val unlabeled = emb.drop("label")
+    val ivf = Similarity.ivfTopK(unlabeled, nQueries = 3, k = 5).collect()
     assert(ivf.nonEmpty)
-    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
-    // within one query, results share a single label (the probed cell)
+    // within one query, results share a single trained cell (nProbe=1)
+    val cents = Similarity.kmeansCentroids(unlabeled)
+    val cellOf = Similarity.assignCells(unlabeled, cents)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
     ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
-      val cells = rows.map(r => labels(r.getAs[Long]("neighbor_id"))).toSet
+      val cells = rows.map(r => cellOf(r.getAs[Long]("neighbor_id"))).toSet
       assert(cells.size == 1, s"probe leaked across cells: $cells")
       // ranks are 1..n and cosines non-increasing
       val ranked = rows.sortBy(_.getAs[Long]("rank"))
@@ -70,11 +86,37 @@ class ExtSpec extends SparkSpec {
       val sims = ranked.map(_.getAs[Double]("cos_sim")).toSeq
       assert(sims == sims.sorted(Ordering[Double].reverse))
     }
+    // rank-1 self-retrieval: the query's own cell is its top-routed cell
+    ivf.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id"),
+        s"query ${r.getAs[Long]("query_id")} lost itself at nProbe=1")
+    }
+  }
+
+  test("IVF recall vs brute force grows with nProbe; self always retrieved") {
+    val unlabeled = emb.drop("label")
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    def recallAt(nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(unlabeled, nQueries = 5, k = 10, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      (0L until 5L).map { q =>
+        val b = brute(q).map(_._2).toSet
+        (ivf(q).map(_._2).toSet intersect b).size.toDouble / b.size
+      }.sum / 5
+    }
+    val r1 = recallAt(1); val r4 = recallAt(4)
+    println(s"[ivf] recall@10 nProbe=1 -> $r1, nProbe=4 -> $r4")
+    // deterministic on the fixed fixture; floors are conservative — the
+    // fixture's neighbor structure is a random cosine tail (see q32 note),
+    // the adversarial case for any cell-based router
+    assert(r4 >= r1, "recall must not shrink as nProbe grows")
+    assert(r4 >= 0.3, s"recall collapsed: $r4")
   }
 
   test("IVF with nProbe covering all cells equals brute force") {
-    val nCells = emb.select("label").distinct().count().toInt
-    val full = Similarity.ivfTopK(emb, nQueries = 3, k = 5, nProbe = nCells)
+    val full = Similarity.ivfTopK(emb.drop("label"), nQueries = 3, k = 5,
+        nProbe = 16, nCells = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val brute = Similarity.bruteForceTopK(emb, nQueries = 3, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -99,15 +141,28 @@ class ExtSpec extends SparkSpec {
 
   test("IVF index on disk: probe is partition-pruned and matches in-memory IVF") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-    Similarity.writeIvfIndex(emb, s"$dir/index")
-    val queries = emb.filter($"vec_id" < 3)
+    val unlabeled = emb.drop("label")
+    Similarity.writeIvfIndex(unlabeled, s"$dir/index")
+    val queries = unlabeled.filter($"vec_id" < 3)
     val probed = Similarity.probeIvfIndex(spark, s"$dir/index", queries, k = 5)
-    val inMem = Similarity.ivfTopK(emb, nQueries = 3, k = 5)
+    val inMem = Similarity.ivfTopK(unlabeled, nQueries = 3, k = 5)
     assert(probed.collect().map(_.toSeq).toSet == inMem.collect().map(_.toSeq).toSet)
-    // the candidate scan must carry a partition filter on label
-    val planStr = probed.queryExecution.executedPlan.toString
-    assert(planStr.contains("PartitionFilters") && planStr.contains("label"),
-      s"no partition pruning in:\n$planStr")
+    // the candidate scan must carry a partition filter on cell (the
+    // broadcast join on the partition column becomes dynamic pruning).
+    // AQE off so the prepared plan tree is directly walkable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Similarity.probeIvfIndex(spark, s"$dir/index", queries, k = 5)
+        .queryExecution.executedPlan
+      val scans = p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("index/data")) => s
+      }
+      assert(scans.nonEmpty, s"no index data scan found in:\n$p")
+      assert(scans.exists(_.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning"))),
+        s"no dynamic partition pruning on the index scan:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("language ID predicts the labeled language on stopword-bearing text") {
