@@ -198,6 +198,26 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("lang"),
           org.apache.spark.sql.functions.col("n_chars"))
     }),
+    // north-star text analysis: within-document repetition (duplicate
+    // trigram fraction — the degenerate/loopy-text filter)
+    "q35_repetition_score" -> ((s, dir) =>
+      ext.TextAnalysis.repetitionScores(Tables.documents(s, dir))),
+    // north-star decontamination: corpus documents sharing word n-grams
+    // with a benchmark slice (doc_id < 25 stands in for the eval suite)
+    "q36_contamination" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.Dedup.contaminationReport(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25))
+    }),
+    // north-star data mixing: deterministic per-language quota (cap each
+    // language at 50 docs, hash-ordered selection)
+    "q37_lang_quota" -> ((s, dir) =>
+      ext.Sampling.capPerGroup(
+        Tables.documents(s, dir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("lang")),
+        "lang", "doc_id", cap = 50)),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -452,5 +472,35 @@ object SparkEntry {
         |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(value, 0.9), 4) AS p90
         |FROM events GROUP BY 1""".stripMargin,
+    "q35_repetition_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, len(w) AS n_tokens,
+        |        GREATEST(len(w) - 2, 0) AS n_trigrams,
+        |        len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS n_distinct
+        |      FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_trigrams AS BIGINT) AS n_trigrams,
+        |  ROUND(CASE WHEN n_trigrams > 0
+        |    THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams
+        |    ELSE 0.0 END, 6) AS dup_trigram_frac
+        |FROM g""".stripMargin,
+    "q36_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |       FROM tok),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25)
+        |SELECT s.doc_id, COUNT(*) AS n_overlap
+        |FROM sh s JOIN bench b USING (shingle)
+        |WHERE s.doc_id >= 25
+        |GROUP BY 1""".stripMargin,
+    "q37_lang_quota" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS grp_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, grp_rank FROM r WHERE grp_rank <= 50""".stripMargin,
   )
 }

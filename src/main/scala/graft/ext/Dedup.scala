@@ -293,6 +293,31 @@ object Dedup {
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Benchmark decontamination: for every corpus document, count its
+    * distinct word n-grams that also occur anywhere in `benchmark` —
+    * the standard eval-contamination screen run before training. Returns
+    * (doc_id, n_overlap) for contaminated docs only (n_overlap ≥ 1).
+    *
+    * Scale notes (100 TB): the benchmark side is an eval suite — tiny
+    * relative to the corpus — so its distinct shingle set is broadcast
+    * and the corpus side is a narrow generate + broadcast semi-join;
+    * the only shuffle is the per-doc count aggregate (map-side
+    * combined). `n` = 3 matches the fixture's short documents; real
+    * decontamination runs use 8–13-gram windows — same plan, longer
+    * shingles. */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame,
+                          n: Int = 3): DataFrame = {
+    val corpusSh = docs.select(col("doc_id"),
+      explode(wordShingles(col("text"), n)).as("shingle"))
+    val benchSh = benchmark
+      .select(explode(wordShingles(col("text"), n)).as("shingle"))
+      .distinct()
+    corpusSh
+      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Sub-quadratic embedding near-dup pairs: random-hyperplane LSH
     * buckets generate candidates (vectors sharing any of `tables`
     * sign-bit signatures from the native `LshSignatures` kernel), exact

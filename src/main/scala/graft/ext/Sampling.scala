@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling and split assignment — the
@@ -26,6 +27,25 @@ object Sampling {
   /** Deterministic p-percent sample. */
   def hashSample(df: DataFrame, idCol: String, percent: Int): DataFrame =
     df.filter(hashBucket(col(idCol)) < percent)
+
+  /** Deterministic per-group quota: keep at most `cap` rows per group,
+    * chosen by md5-of-id order — the data-mixing primitive that
+    * rebalances source/language skew when assembling a training mix.
+    * Selection is content-addressed (hash order, id tie-break), so the
+    * kept set is identical across engines, runs and partitionings.
+    *
+    * Scale note: one shuffle — a window partitioned by the group key.
+    * With few huge groups (languages), the reducers are hot; the scale
+    * escape is a two-phase cap: `hashSample` each group at ≈cap/|group|
+    * percent first (narrow filter), then exact-cap the small remainder
+    * with this window. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("grp_rank", row_number().over(w).cast("long"))
+      .filter(col("grp_rank") <= cap)
+  }
 
   /** Train/val/test split assignment from cumulative percentage bounds
     * (e.g. 80/10/10 → train < 80 ≤ val < 90 ≤ test). */

@@ -52,6 +52,26 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
         .cast("long").as("n_bpe_tokens"))
 
+  /** Within-document repetition scoring: the duplicate word-trigram
+    * fraction (1 − distinct/total trigrams) — the repetition filter family
+    * used to drop degenerate, loopy web text from training corpora
+    * (high duplicate-n-gram fractions signal boilerplate or generation
+    * loops). Distinct trigram counts come from the native `Shingles`
+    * kernel; total trigram count is arithmetic on the token count, so the
+    * whole operator stays a narrow codegen projection. */
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    val nTokens = size(tokens(col("text")))
+    val total = greatest(nTokens - 2, lit(0))
+    val distinctTri = size(graft.functions.Shingles.word_shingles(col("text"), 3))
+    docs.select(
+      col("doc_id"),
+      nTokens.cast("long").as("n_tokens"),
+      total.cast("long").as("n_trigrams"),
+      when(total > 0,
+          round(lit(1.0) - distinctTri.cast("double") / total, 6))
+        .otherwise(lit(0.0)).as("dup_trigram_frac"))
+  }
+
   /** Language ID via stopword-hit scoring (n-gram/stopword heuristic).
     * Deterministic tie-break: fixed language order en,de,es,fr,zh — a
     * chained CASE, so the DuckDB oracle can state the identical rule. */

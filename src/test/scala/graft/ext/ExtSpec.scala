@@ -165,6 +165,41 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("repetition score: duplicate trigram fraction on a known loop") {
+    // "a b a b a b" → 6 tokens, 4 trigrams ("a b a" ×2, "b a b" ×2),
+    // 2 distinct → dup fraction 0.5; a no-repeat doc scores 0
+    val d = Seq((1L, "a b a b a b"), (2L, "u v w x y z"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScores(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((6L, 4L, 0.5)))
+    assert(out(2L) == ((6L, 4L, 0.0)))
+    assert(out(3L) == ((2L, 0L, 0.0)), "sub-trigram doc must score 0, not NaN")
+  }
+
+  test("contamination report counts benchmark-overlapping n-grams only") {
+    val corpus = Seq(
+      (100L, "w1 w2 w3 w4 zz"),   // shares trigrams "w1 w2 w3", "w2 w3 w4"
+      (101L, "q1 q2 q3 q4 q5"))   // disjoint — must be absent
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(100L -> 2L), s"got $out")
+  }
+
+  test("per-group quota cap is deterministic and respects the cap") {
+    val d = (0L until 20L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "grp")
+    val once = Sampling.capPerGroup(d, "grp", "doc_id", cap = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val again = Sampling.capPerGroup(d, "grp", "doc_id", cap = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(once == again, "quota selection must be reproducible")
+    assert(once.count(_._2 == "a") == 3 && once.count(_._2 == "b") == 3)
+    assert(once.forall(_._3 <= 3L))
+  }
+
   test("language ID predicts the labeled language on stopword-bearing text") {
     val labeled = Seq(
       (1L, "en", "the cat sat on the mat and it is a good day for the dog"),
