@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composition a training-data team
+  * actually runs, as ONE declarative DataFrame program:
+  *
+  *   quality gate (tokens, repetition) → language keep-list →
+  *   near-dup removal (MinHash+LSH candidates, exact verify,
+  *   connected-components survivors) → benchmark decontamination →
+  *   per-language quota → deterministic train/val/test split.
+  *
+  * Every constituent operator is individually oracle-checked
+  * (q08/q10/q17/q34/q35/q36/q37/q31); this ties them together so a user
+  * of the reference pipeline has the full curation path in one call.
+  *
+  * Scale notes (100 TB): the gates are narrow codegen projections fused
+  * into the scan by Catalyst (no job boundary between them); the only
+  * shuffles are the documented bounded ones — LSH band buckets, CC
+  * edge-set rounds, the broadcast-semi-join count for contamination, and
+  * the quota window. Output is deterministic: every stage derives from
+  * content hashes and fixed seeds, so re-running curation on the same
+  * corpus reproduces the identical training set — the auditability
+  * property a data pipeline needs before anyone trains on its output.
+  */
+object Curation {
+
+  /** Curation thresholds; defaults sized for the fixture corpus. */
+  final case class Config(
+      minTokens: Int = 15,
+      maxDupTrigramFrac: Double = 0.5,
+      keepLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
+      maxOverlapNgrams: Long = 4,
+      perLangCap: Int = 100,
+      trainPct: Int = 80,
+      valPct: Int = 10)
+
+  /** Run the full curation chain. `docs` needs (doc_id, text); the
+    * returned frame is (doc_id, pred_lang, split) — the curated,
+    * deduplicated, decontaminated, quota-balanced training mix. */
+  def curate(docs: DataFrame, benchmark: DataFrame,
+             cfg: Config = Config()): DataFrame = {
+    // 1+2. quality + language gates: pure column expressions, fused by
+    // Catalyst into the document scan — no extra pass over the corpus
+    val gated = docs
+      .withColumn("pred_lang", TextAnalysis.langPrediction(col("text")))
+      .filter(size(split(col("text"), " ")) >= cfg.minTokens &&
+        TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac &&
+        col("pred_lang").isin(cfg.keepLangs: _*))
+    // 3. near-dup removal: LSH candidates → exact Jaccard verify →
+    // min-id-per-component survivors
+    val deduped = Dedup.applyPairsCC(gated, Dedup.minhashLshPairs(gated))
+    // 4. decontamination: drop docs sharing more than the allowed number
+    // of n-grams with the benchmark set
+    val contaminated = Dedup.contaminationReport(deduped, benchmark)
+      .filter(col("n_overlap") > cfg.maxOverlapNgrams)
+      .select("doc_id")
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // 5+6. quota-balance per predicted language, then assign splits
+    Sampling.trainValTest(
+        Sampling.capPerGroup(clean.select(col("doc_id"), col("pred_lang")),
+          "pred_lang", "doc_id", cfg.perLangCap),
+        "doc_id", cfg.trainPct, cfg.valPct)
+      .select(col("doc_id"), col("pred_lang"), col("split"))
+  }
+}

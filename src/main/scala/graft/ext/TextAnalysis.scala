@@ -52,6 +52,15 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
         .cast("long").as("n_bpe_tokens"))
 
+  /** Duplicate word-trigram fraction of a text column (0 when the text
+    * has no trigrams) — usable standalone in any curation filter. */
+  def dupTrigramFraction(text: Column): Column = {
+    val total = greatest(size(tokens(text)) - 2, lit(0))
+    val distinctTri = size(graft.functions.Shingles.word_shingles(text, 3))
+    when(total > 0, round(lit(1.0) - distinctTri.cast("double") / total, 6))
+      .otherwise(lit(0.0))
+  }
+
   /** Within-document repetition scoring: the duplicate word-trigram
     * fraction (1 − distinct/total trigrams) — the repetition filter family
     * used to drop degenerate, loopy web text from training corpora
@@ -59,32 +68,35 @@ object TextAnalysis {
     * loops). Distinct trigram counts come from the native `Shingles`
     * kernel; total trigram count is arithmetic on the token count, so the
     * whole operator stays a narrow codegen projection. */
-  def repetitionScores(docs: DataFrame): DataFrame = {
-    val nTokens = size(tokens(col("text")))
-    val total = greatest(nTokens - 2, lit(0))
-    val distinctTri = size(graft.functions.Shingles.word_shingles(col("text"), 3))
+  def repetitionScores(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      nTokens.cast("long").as("n_tokens"),
-      total.cast("long").as("n_trigrams"),
-      when(total > 0,
-          round(lit(1.0) - distinctTri.cast("double") / total, 6))
-        .otherwise(lit(0.0)).as("dup_trigram_frac"))
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      greatest(size(tokens(col("text"))) - 2, lit(0)).cast("long").as("n_trigrams"),
+      dupTrigramFraction(col("text")).as("dup_trigram_frac"))
+
+  private val LangOrder = Seq("en", "de", "es", "fr", "zh")
+
+  /** Predicted language of a text column (stopword-hit scoring with the
+    * fixed en,de,es,fr,zh tie-break) — usable standalone in any curation
+    * filter. */
+  def langPrediction(text: Column): Column = {
+    val scores = LangOrder.map(l => l -> stopwordHits(text, l)).toMap
+    LangOrder.init.zipWithIndex.foldRight(lit(LangOrder.last)) {
+      case ((l, i), elseCol) =>
+        val better = LangOrder.drop(i + 1)
+          .map(m => scores(l) >= scores(m)).reduce(_ && _)
+        when(better, lit(l)).otherwise(elseCol)
+    }
   }
 
   /** Language ID via stopword-hit scoring (n-gram/stopword heuristic).
     * Deterministic tie-break: fixed language order en,de,es,fr,zh — a
     * chained CASE, so the DuckDB oracle can state the identical rule. */
   def langId(docs: DataFrame): DataFrame = {
-    val langs = Seq("en", "de", "es", "fr", "zh")
-    val scores = langs.map(l => stopwordHits(col("text"), l).cast("long").as(s"score_$l"))
-    val scored = docs.select(col("doc_id") +: col("lang").as("lang_label") +: scores: _*)
-    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
-      case ((l, i), elseCol) =>
-        val better = langs.drop(i + 1)
-          .map(m => col(s"score_$l") >= col(s"score_$m")).reduce(_ && _)
-        when(better, lit(l)).otherwise(elseCol)
-    }
-    scored.withColumn("pred_lang", pred)
+    val scores = LangOrder.map(l =>
+      stopwordHits(col("text"), l).cast("long").as(s"score_$l"))
+    docs.select((col("doc_id") +: col("lang").as("lang_label") +: scores)
+      :+ langPrediction(col("text")).as("pred_lang"): _*)
   }
 }

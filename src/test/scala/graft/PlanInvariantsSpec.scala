@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
 /** Executable plan-shape claims (the spec PLANS.md and the Dedup scaladoc
@@ -55,6 +55,33 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("q20_sim_bruteforce")(spark, sf("sf0.001")))
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
       s"corpus-shuffling CartesianProduct in q20 plan (broadcast lost):\n$p")
+  }
+
+  test("q04 pushes the paid>0 mart filter into the lineitem parquet scan") {
+    val p = plan(SparkEntry.queries("q04_mart_client_counts")(spark, sf("sf0.001")))
+    val liScans = p.collect {
+      case s: FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("lineitem.parquet")) => s
+    }
+    assert(liScans.nonEmpty, s"no lineitem scan found in:\n$p")
+    liScans.foreach { s =>
+      val pushed = s.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("GreaterThan(l_extendedprice"),
+        s"paid>0 not pushed to lineitem scan: $pushed")
+    }
+  }
+
+  test("q36 benchmark side is a broadcast semi-join (corpus never re-shuffled)") {
+    val p = plan(SparkEntry.queries("q36_contamination")(spark, sf("sf0.001")))
+    val bSemi = p.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+    }
+    assert(bSemi.nonEmpty, s"no broadcast LeftSemi join in q36 plan:\n$p")
+    val shuffledSemi = p.collect {
+      case j: ShuffledHashJoinExec if j.joinType == LeftSemi => j
+      case j: SortMergeJoinExec if j.joinType == LeftSemi => j
+    }
+    assert(shuffledSemi.isEmpty, s"benchmark semi-join fell back to a shuffle:\n$p")
   }
 
   test("q32 ANN near-dup join is an equi-join: no cartesian, no nested-loop") {

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Contracts of the end-to-end curation chain: every gate actually
+  * enforced on the output, deduplication and decontamination effective,
+  * and the whole run reproducible. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf("sf0.001")).cache()
+  private lazy val benchmark = docs.filter($"doc_id" < 25)
+  private lazy val corpus = docs.filter($"doc_id" >= 25)
+  private lazy val cfg = Curation.Config(maxOverlapNgrams = 4, perLangCap = 60)
+  private lazy val out = Curation.curate(corpus, benchmark, cfg)
+    .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("curation output is a subset of the input and reproducible") {
+    val inputIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(out.nonEmpty, "curation must keep something at fixture scale")
+    assert(out.map(_._1).toSet.subsetOf(inputIds))
+    val again = Curation.curate(corpus, benchmark, cfg)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSet == again.toSet, "curation must be deterministic")
+  }
+
+  test("every gate holds on the curated output") {
+    val kept = out.map(_._1).toSet
+    // quality + language gates
+    val scored = corpus
+      .withColumn("n_tokens", size(split($"text", " ")))
+      .withColumn("dup_frac", TextAnalysis.dupTrigramFraction($"text"))
+      .withColumn("pred", TextAnalysis.langPrediction($"text"))
+      .select($"doc_id", $"n_tokens", $"dup_frac", $"pred")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getString(3)))).toMap
+    kept.foreach { id =>
+      val (n, d, p) = scored(id)
+      assert(n >= cfg.minTokens && d <= cfg.maxDupTrigramFrac &&
+        cfg.keepLangs.contains(p), s"doc $id violates a gate: tokens=$n dup=$d lang=$p")
+    }
+    // near-dup free: no surviving LSH pair has both ends kept unless the
+    // lower id is the component minimum (CC keeps exactly min per component)
+    val pairs = Dedup.minhashLshPairs(corpus.join(
+        corpus.sparkSession.createDataset(kept.toSeq).toDF("doc_id"), Seq("doc_id")))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.isEmpty, s"near-dup pairs survived curation: ${pairs.toSeq}")
+    // decontaminated: no kept doc exceeds the overlap budget
+    val dirty = Dedup.contaminationReport(
+        corpus.join(corpus.sparkSession.createDataset(kept.toSeq).toDF("doc_id"),
+          Seq("doc_id")), benchmark)
+      .filter($"n_overlap" > cfg.maxOverlapNgrams)
+      .select("doc_id").as[Long].collect()
+    assert(dirty.isEmpty, s"contaminated docs survived: ${dirty.toSeq}")
+  }
+
+  test("quota and split assignment are enforced") {
+    val perLang = out.groupBy(_._2).map { case (l, rows) => l -> rows.length }
+    perLang.foreach { case (l, n) =>
+      assert(n <= cfg.perLangCap, s"lang $l exceeds cap: $n")
+    }
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // split is hash-of-id, so it matches the standalone assignment
+    val expected = Sampling.trainValTest(
+        spark.createDataset(out.map(_._1).toSeq).toDF("doc_id"), "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    out.foreach { case (id, _, s) => assert(expected(id) == s) }
+  }
+}
