@@ -135,4 +135,20 @@ object Multimodal {
     * oracle-checkable — the mapPartitions path and the SQL must agree. */
   def metadataQuery(spark: SparkSession, docs: DataFrame): DataFrame =
     extractMetadata(spark, mediaFromDocuments(docs)).toDF()
+
+  /** Media near-duplicate pairs: extracted feature vectors routed through
+    * the sub-quadratic embedding ANN path (`Dedup.embeddingAnnPairs`) —
+    * the image/audio dedup a training-data pipeline runs at scale.
+    * Byte-identical payloads produce identical features, which share
+    * EVERY LSH signature, so exact duplicates are always candidates
+    * (recall 1.0 for exact copies regardless of banding). Returns
+    * (media_a, media_b, cos_sim). */
+  def nearDupMedia(spark: SparkSession, media: DataFrame,
+                   minCosine: Double = 0.999999): DataFrame =
+    Dedup.embeddingAnnPairs(
+        extractFeatures(spark, media).toDF()
+          .select(col("media_id").as("vec_id"), col("feature").as("embedding")),
+        minCosine)
+      .select(col("vec_a").as("media_a"), col("vec_b").as("media_b"),
+        col("cos_sim"))
 }

@@ -6,6 +6,8 @@ import graft.{SparkSpec, Tables}
 /** Contracts of the end-to-end curation chain: every gate actually
   * enforced on the output, deduplication and decontamination effective,
   * and the whole run reproducible. */
+case class StreamDoc(doc_id: Long, text: String)
+
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
@@ -52,6 +54,38 @@ class CurationSpec extends SparkSpec {
       .filter($"n_overlap" > cfg.maxOverlapNgrams)
       .select("doc_id").as[Long].collect()
     assert(dirty.isEmpty, s"contaminated docs survived: ${dirty.toSeq}")
+  }
+
+  test("curation gates run unchanged under Structured Streaming") {
+    // the gates are stateless column expressions, so the SAME code path
+    // (langPrediction, dupTrigramFraction, exact dedup) applies to a
+    // readStream — the unified batch/stream surface Spark promises
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val gated = mem.toDF()
+      .withColumn("pred_lang", TextAnalysis.langPrediction($"text"))
+      .filter(size(split($"text", " ")) >= lit(4) &&
+        TextAnalysis.dupTrigramFraction($"text") <= lit(0.4))
+      .dropDuplicates("text")
+    val q = gated.writeStream.format("memory").queryName("curated_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        StreamDoc(1, "the cat sat on the mat for a while"), // passes, en
+        StreamDoc(2, "short one"),                          // < 4 tokens
+        StreamDoc(3, "x y x y x y x y"),                    // loopy: dup 5/6
+        StreamDoc(4, "the cat sat on the mat for a while")) // exact dup of 1
+      q.processAllAvailable()
+      mem.addData(
+        StreamDoc(5, "the cat sat on the mat for a while"), // cross-batch dup
+        StreamDoc(6, "der hund und die katze sind gut da")) // passes, de
+      q.processAllAvailable()
+      val out = spark.table("curated_stream")
+        .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
+      assert(out.keySet == Set(1L, 6L), s"got $out")
+      assert(out(1L) == "en" && out(6L) == "de")
+    } finally q.stop()
   }
 
   test("quota and split assignment are enforced") {

@@ -200,6 +200,48 @@ class ExtSpec extends SparkSpec {
     assert(once.forall(_._3 <= 3L))
   }
 
+  test("media near-dup: byte-identical payloads always found via the ANN path") {
+    // plant exact copies of five documents under new ids: identical bytes
+    // → identical stub features → every LSH table collides → all five
+    // planted pairs must surface at cosine 1.0
+    val base = docs.limit(20)
+    val copies = base.filter($"doc_id" < 5)
+      .withColumn("doc_id", $"doc_id" + 1000L)
+    val media = Multimodal.mediaFromDocuments(base.unionByName(copies))
+    val pairs = Multimodal.nearDupMedia(spark, media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = (0L until 5L).map(i => (i, i + 1000L)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found), s"missed copies: ${planted -- found}")
+    pairs.filter(p => planted((p._1, p._2))).foreach { case (_, _, c) =>
+      assert(math.abs(c - 1.0) < 1e-9, s"exact copy scored $c")
+    }
+  }
+
+  test("null and empty text neither crash nor pollute the text/dedup operators") {
+    // real web corpora carry null/empty fields; the contract: native
+    // expressions are null-intolerant (null in → null out), shingle-based
+    // operators DROP such docs (explode of null/empty emits nothing), and
+    // score queries return rows with null metrics rather than failing
+    val d = Seq((1L, "a b c d e f"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val rep = TextAnalysis.repetitionScores(d).collect()
+    assert(rep.length == 3, "every doc keeps a score row")
+    assert(rep.filter(_.getLong(0) == 2L).head.isNullAt(1),
+      "null text → null token count, not a crash")
+    val pairs = Dedup.ngramJaccardPairs(d, minJaccard = 0.0)
+    assert(!pairs.collect().map(_.getLong(0)).contains(2L),
+      "null-text docs must drop out of the shingle self-join")
+    assert(Dedup.minhashLshPairs(d).collect().forall(r =>
+      r.getLong(0) != 2L && r.getLong(1) != 2L))
+    assert(Dedup.contaminationReport(d, d.limit(1)).collect()
+      .forall(_.getLong(0) != 2L))
+    // fingerprint/simhash: null in, null out
+    val fp = d.select($"doc_id", Dedup.simhash($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!fp(1L) && fp(2L), s"simhash null contract broken: $fp")
+  }
+
   test("language ID predicts the labeled language on stopword-bearing text") {
     val labeled = Seq(
       (1L, "en", "the cat sat on the mat and it is a good day for the dog"),
