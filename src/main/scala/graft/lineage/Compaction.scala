@@ -1,0 +1,85 @@
+package graft.lineage
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for the partitioned lake.
+  *
+  * Fragmentation sources in this lake: a month rebuild writes one file
+  * per (task, country) — wide rebuilds fragment small months — and the
+  * streaming sink (`EventStream.sinkToPartitionedLake`) appends a
+  * file-set per micro-batch, so hot partitions accrete files
+  * continuously (the reference's drop+reinsert,
+  * `load_sales_history.py:172-173`, never cleans up either). At 100 TB
+  * the per-file fixed costs (driver listing, task scheduling, footer
+  * reads) dominate scan time long before data volume does; periodic
+  * compaction is what keeps an incremental lake scannable.
+  *
+  * Protocol: same stage-then-swap as `IncrementalLoad.rebuildPartitions`
+  * — the rewritten month is fully staged, then adopted with one atomic
+  * directory move per month, so readers never observe a half-compacted
+  * partition and a crash before the swap leaves the lake untouched.
+  *
+  * File sizing: `maxRecordsPerFile` (derived from the month's measured
+  * bytes-per-row) enforces the target size at write time — task-count
+  * tricks don't survive AQE partition coalescing, a write option does.
+  * A deterministic id-hash salt on the shuffle adds write parallelism
+  * within big countries; AQE is free to coalesce it for small ones
+  * without affecting file sizes.
+  */
+object Compaction {
+
+  private def parquetBytes(dir: Path): Long = {
+    if (!Files.exists(dir)) return 0L
+    val s = Files.walk(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    finally s.close()
+  }
+
+  private def parquetFileCount(dir: Path): Int = {
+    if (!Files.exists(dir)) return 0
+    val s = Files.walk(dir)
+    try s.iterator().asScala
+      .count(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
+  /** Number of parquet files under a month directory (exposed for specs
+    * and for pick-what-to-compact policies). */
+  def monthFileCount(lakePath: String, ym: Int): Int =
+    parquetFileCount(Paths.get(s"$lakePath/year_month=$ym"))
+
+  /** Compact one `year_month` partition of the lake in place (atomic
+    * swap). Reads the month's country sub-partitions, rewrites them into
+    * ~`targetFileBytes` files, and adopts the result with a single
+    * directory move. No-op when the month doesn't exist. */
+  def compactYearMonth(spark: SparkSession, lakePath: String, ym: Int,
+                       targetFileBytes: Long = 128L << 20): Unit = {
+    val monthDir = Paths.get(s"$lakePath/year_month=$ym")
+    if (!Files.exists(monthDir)) return
+    val bytes = parquetBytes(monthDir)
+    val df = spark.read.parquet(monthDir.toString)
+    val rows = df.count() // one metadata-scale job over the month only
+    val avgRowBytes = math.max(1L, bytes / math.max(1L, rows))
+    val rowsPerFile = math.max(1L, targetFileBytes / avgRowBytes)
+    val saltBuckets = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes)
+    val stagingDir = s"$lakePath.compact_staging"
+    AtomicSwap.deleteRecursive(Paths.get(stagingDir))
+    df.withColumn("_salt", pmod(xxhash64(col("id")), lit(saltBuckets)))
+      .repartition(col("country"), col("_salt"))
+      .drop("_salt")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerFile)
+      .partitionBy("country")
+      .parquet(s"$stagingDir/year_month=$ym")
+    val fresh = Paths.get(s"$stagingDir/year_month=$ym")
+    AtomicSwap.deleteRecursive(monthDir)
+    Files.move(fresh, monthDir, StandardCopyOption.ATOMIC_MOVE)
+    AtomicSwap.deleteRecursive(Paths.get(stagingDir))
+  }
+}

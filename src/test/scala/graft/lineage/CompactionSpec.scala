@@ -1,0 +1,65 @@
+package graft.lineage
+
+import org.apache.spark.sql.SaveMode
+import graft.SparkSpec
+
+/** Compaction contract: data identical before/after, file count reduced
+  * to the layout floor (one per country) at the default target, salting
+  * splits further when the target demands it, untouched months stay
+  * untouched. */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkLake(): String = {
+    val lake = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/lake"
+    // three incremental cycles each append files into the hot month
+    (0 until 3).foreach { batch =>
+      val rows = (0 until 20).map { i =>
+        (batch * 100L + i, 202401, if (i % 2 == 0) "FRANCE" else "GERMANY",
+          i * 1.5)
+      } :+ ((batch * 100L + 99L, 202402, "FRANCE", 9.9))
+      rows.toDF("id", "year_month", "country", "paid")
+        .repartition(4) // several tasks → several files per leaf
+        .write.mode(SaveMode.Append)
+        .partitionBy("year_month", "country")
+        .parquet(lake)
+    }
+    lake
+  }
+
+  test("compaction reaches one file per country and preserves the data") {
+    val lake = mkLake()
+    val before = spark.read.parquet(lake)
+      .collect().map(_.toSeq).toSet
+    val hotBefore = Compaction.monthFileCount(lake, 202401)
+    val coldBefore = Compaction.monthFileCount(lake, 202402)
+    assert(hotBefore > 2, s"fixture should fragment the hot month, got $hotBefore")
+
+    Compaction.compactYearMonth(spark, lake, 202401)
+
+    assert(spark.read.parquet(lake).collect().map(_.toSeq).toSet == before,
+      "compaction must not change the data")
+    assert(Compaction.monthFileCount(lake, 202401) == 2,
+      s"expected 1 file per country, got ${Compaction.monthFileCount(lake, 202401)}")
+    assert(Compaction.monthFileCount(lake, 202402) == coldBefore,
+      "untouched month must keep its files")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$lake.compact_staging")), "staging not cleaned")
+  }
+
+  test("a tiny file-size target salts countries into multiple files") {
+    val lake = mkLake()
+    val before = spark.read.parquet(lake).collect().map(_.toSeq).toSet
+    Compaction.compactYearMonth(spark, lake, 202401, targetFileBytes = 1L)
+    assert(spark.read.parquet(lake).collect().map(_.toSeq).toSet == before)
+    assert(Compaction.monthFileCount(lake, 202401) > 2,
+      "salting should split each country into multiple files")
+  }
+
+  test("compacting a missing month is a no-op") {
+    val lake = mkLake()
+    val before = spark.read.parquet(lake).collect().map(_.toSeq).toSet
+    Compaction.compactYearMonth(spark, lake, 999999)
+    assert(spark.read.parquet(lake).collect().map(_.toSeq).toSet == before)
+  }
+}
