@@ -218,6 +218,14 @@ object SparkEntry {
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("lang")),
         "lang", "doc_id", cap = 50)),
+    // north-star corpus statistics: top-50 trigrams by document frequency
+    // (tokenizer/boilerplate telemetry; deterministic tie-break)
+    "q38_top_ngrams" -> ((s, dir) =>
+      ext.TextAnalysis.topNgrams(Tables.documents(s, dir))),
+    // north-star corpus statistics: per-language profile (docs, token
+    // volume, mean/median doc length) for mixing decisions
+    "q39_corpus_profile" -> ((s, dir) =>
+      ext.TextAnalysis.corpusProfile(Tables.documents(s, dir))),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -502,5 +510,19 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS grp_rank
         |  FROM documents)
         |SELECT doc_id, lang, grp_rank FROM r WHERE grp_rank <= 50""".stripMargin,
+    "q38_top_ngrams" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS ngram
+        |       FROM tok)
+        |SELECT ngram, COUNT(*) AS df FROM sh
+        |GROUP BY 1 ORDER BY df DESC, ngram LIMIT 50""".stripMargin,
+    "q39_corpus_profile" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  ROUND(AVG(len(string_split(text, ' '))), 4) AS mean_tokens,
+        |  ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 4) AS median_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
   )
 }

@@ -75,6 +75,35 @@ object TextAnalysis {
       greatest(size(tokens(col("text"))) - 2, lit(0)).cast("long").as("n_trigrams"),
       dupTrigramFraction(col("text")).as("dup_trigram_frac"))
 
+  /** Corpus-wide top-k n-grams by document frequency — the vocabulary
+    * statistics a tokenizer-training / boilerplate-detection pass needs.
+    * Deterministic tie-break (df desc, ngram asc) so the cut at k is
+    * engine-stable.
+    *
+    * Scale notes: classic word count — explode is narrow, the count is
+    * map-side combined (shuffle carries one (ngram, partial) per ngram
+    * per partition), and the top-k is a TakeOrderedAndProject (no global
+    * sort materialization). */
+  def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 50): DataFrame =
+    docs.select(explode(
+        graft.functions.Shingles.word_shingles(col("text"), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(k)
+
+  /** Per-language corpus profile: doc count, token volume, mean and
+    * median tokens per doc — the mixing-decision telemetry (what's in the
+    * corpus, how long is it, per language). One map-side-combined
+    * aggregate; the exact median rides the same shuffle. */
+  def corpusProfile(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), size(tokens(col("text"))).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        round(avg(col("n_tok")), 4).as("mean_tokens"),
+        round(expr("percentile(n_tok, 0.5)"), 4).as("median_tokens"))
+
   private val LangOrder = Seq("en", "de", "es", "fr", "zh")
 
   /** Predicted language of a text column (stopword-hit scoring with the
