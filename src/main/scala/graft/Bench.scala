@@ -67,7 +67,8 @@ object Bench {
     // so the first measured query doesn't absorb session start-up
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    println(benchJson(spark, sfDir, SparkEntry.queries))
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    println(benchJson(spark, sfDir, SparkEntry.queries, reps))
     spark.stop()
   }
 }

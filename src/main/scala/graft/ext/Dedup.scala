@@ -33,10 +33,6 @@ object Dedup {
   def wordShingles(text: Column, n: Int): Column =
     graft.functions.Shingles.word_shingles(text, n)
 
-  /** Exploded (doc_id, shingle) relation, distinct per doc. */
-  private def shingleTable(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(wordShingles(col("text"), n)).as("shingle"))
-
   /** Exact n-gram Jaccard near-dup pairs: |A∩B| / |A∪B| ≥ minJaccard,
     * computed via shingle self-join. Output (doc_a < doc_b, jaccard).
     *

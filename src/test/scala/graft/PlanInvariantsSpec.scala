@@ -57,6 +57,27 @@ class PlanInvariantsSpec extends SparkSpec {
       s"corpus-shuffling CartesianProduct in q20 plan (broadcast lost):\n$p")
   }
 
+  test("text scoring queries are shuffle-free whole-stage-codegen projections") {
+    // q08/q09/q11/q35 are pure per-row scores: their plans must be a scan
+    // + one codegen'd projection — no exchange, and the projection inside
+    // a WholeStageCodegen span (an interpreted native expression would
+    // fall out of it)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("q08_text_quality", "q09_token_counts", "q11_doc_fingerprint",
+          "q35_repetition_score").foreach { q =>
+        val p = SparkEntry.queries(q)(spark, sf("sf0.001"))
+          .queryExecution.executedPlan
+        assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"$q shuffles a per-row projection:\n$p")
+        assert(p.collect {
+            case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+          }.nonEmpty,
+          s"$q projection fell out of whole-stage codegen:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q04 pushes the paid>0 mart filter into the lineitem parquet scan") {
     val p = plan(SparkEntry.queries("q04_mart_client_counts")(spark, sf("sf0.001")))
     val liScans = p.collect {
