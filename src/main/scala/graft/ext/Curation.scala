@@ -48,9 +48,18 @@ object Curation {
       .filter(size(split(col("text"), " ")) >= cfg.minTokens &&
         TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac &&
         col("pred_lang").isin(cfg.keepLangs: _*))
-    // 3. near-dup removal: LSH candidates → exact Jaccard verify →
+    // 3a. EXACT dedup first: identical copies collapse via the cheap
+    // digest groupBy. Ordering matters at scale — a clique of identical
+    // documents shares every LSH banding bucket, so running exact dedup
+    // before LSH is what keeps the bucket-size assumptions (bounded
+    // candidates per bucket) honest on real corpora
+    val exactDeduped = gated.join(
+      Dedup.exactDupGroups(gated).select(col("canonical_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // 3b. near-dup removal: LSH candidates → exact Jaccard verify →
     // min-id-per-component survivors
-    val deduped = Dedup.applyPairsCC(gated, Dedup.minhashLshPairs(gated))
+    val deduped = Dedup.applyPairsCC(exactDeduped,
+      Dedup.minhashLshPairs(exactDeduped))
     // 4. decontamination: drop docs sharing more than the allowed number
     // of n-grams with the benchmark set
     val contaminated = Dedup.contaminationReport(deduped, benchmark)

@@ -56,6 +56,26 @@ class CurationSpec extends SparkSpec {
     assert(dirty.isEmpty, s"contaminated docs survived: ${dirty.toSeq}")
   }
 
+  test("exact copies collapse to one survivor before LSH sees them") {
+    // plant 30 byte-identical copies of one corpus doc: exact dedup must
+    // collapse the clique to its min id (protecting LSH's bucket-size
+    // bound), and curation keeps exactly one member
+    val donor = corpus.orderBy($"doc_id").limit(1)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars").head()
+    val donorId = donor.getLong(0)
+    val clones = (1 to 30).map(i => (10000L + i, donor.getString(1),
+        donor.getString(2), donor.getString(3), donor.getLong(4)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val spiked = corpus
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .unionByName(clones)
+    val curated = Curation.curate(spiked, benchmark, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val cliqueSurvivors = curated.filter(id => id == donorId || id > 10000L)
+    assert(cliqueSurvivors.size <= 1,
+      s"identical copies survived curation: $cliqueSurvivors")
+  }
+
   test("curation gates run unchanged under Structured Streaming") {
     // the gates are stateless column expressions, so the SAME code path
     // (langPrediction, dupTrigramFraction, exact dedup) applies to a
