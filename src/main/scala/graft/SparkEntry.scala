@@ -510,6 +510,17 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS grp_rank
         |  FROM documents)
         |SELECT doc_id, lang, grp_rank FROM r WHERE grp_rank <= 50""".stripMargin,
+    // rolling polynomial hash restated in SQL: HUGEINT (128-bit)
+    // intermediates keep h*Base in range; ascii(substr) = byte because
+    // the fixture corpus is pure ASCII (checked at all SFs)
+    "q11_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
+        |    (h, b) -> (h * 1000003 + b) % 2305843009213693951) AS BIGINT) AS fingerprint
+        |FROM documents""".stripMargin,
     "q38_top_ngrams" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -17,7 +17,7 @@ class SparkEntrySpec extends SparkSpec {
   test("rows-only queries are exactly the pinned non-SQL-expressible set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q17_dedup_minhash", "q18_dedup_simhash",
-      "q21_sim_ivf", "q11_doc_fingerprint", "q24_approx_distinct",
+      "q21_sim_ivf", "q24_approx_distinct",
       "q29_sim_lsh", "q32_dedup_embedding_ann", "q34_dedup_corpus_cc"),
       s"unexpected rows-only set: $rowsOnly")
   }
