@@ -117,15 +117,34 @@ object Dedup {
       .select(col("doc_id"), array((0 until k).map(i => col(s"_s$i")): _*).as("sig"))
   }
 
+  /** `maxBucketSize`: optional production guard for near-identical
+    * mega-clusters (boilerplate farms) — a (band, band-hash) bucket with
+    * B members contributes B² candidate pairs, so one pathological
+    * cluster can re-introduce the quadratic LSH exists to avoid.
+    * Buckets above the cap are dropped via a broadcast anti-join (the
+    * hot-bucket set is tiny by construction). Recall tradeoff: members
+    * of a dropped bucket can still pair through their other bands, and
+    * byte-identical cliques should be removed by exact dedup BEFORE LSH
+    * (see Curation.curate). Off by default — q17/q34 semantics
+    * unchanged. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
-                      minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
+                      minJaccard: Double = 0.5, seed: Long = 42L,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sig = minhashSignatures(docs, n, k, seed)
     val bandHashes = (0 until bands).map(j =>
       xxhash64(lit(j), slice(col("sig"), j * r + 1, r)))
-    val buckets = sig
+    val bucketsAll = sig
       .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    val buckets = maxBucketSize match {
+      case Some(cap) =>
+        val hot = bucketsAll.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("sz")).filter(col("sz") > cap)
+          .select(col("band"), col("bh"))
+        bucketsAll.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+      case None => bucketsAll
+    }
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -92,6 +92,24 @@ class DedupSpec extends SparkSpec {
     assert(jobs <= 25, s"CC run cost $jobs jobs on a 3-round input — probe join crept back?")
   }
 
+  test("LSH bucket cap bounds a near-identical mega-cluster without inventing pairs") {
+    // 40 near-identical docs (common body + one varying token) — high
+    // mutual jaccard, NOT byte-identical, so exact dedup can't collapse
+    // them and their shared bands form hot buckets
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val cluster = (0 until 40).map(i => (i.toLong, s"$body extra$i"))
+    val lone = Seq((900L, "completely different words here for one doc"))
+    val docs = (cluster ++ lone).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashLshPairs(docs, maxBucketSize = Some(10))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.nonEmpty, "cluster must produce near-dup pairs")
+    assert(capped.subsetOf(uncapped), "cap must never invent pairs")
+    assert(capped.size < uncapped.size,
+      s"cap should drop hot-bucket candidates: ${capped.size} vs ${uncapped.size}")
+  }
+
   test("embeddingAnnPairs recall >= 0.95 vs exact join on sf0.001 at defaults") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val exact = pairSet(Dedup.embeddingNearDupPairs(emb))
