@@ -168,6 +168,75 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Persist the corpus-side MinHash state for INCREMENTAL dedup: the
+    * (band, band-hash, doc_id) bucket relation and the hashed shingle
+    * sets, as parquet under `path`. Written once per corpus version;
+    * each new ingest batch then dedups against it without touching the
+    * corpus documents again (`minhashLshPairsAgainstIndex`).
+    *
+    * Scale notes: the bucket relation is bands rows per doc (k longs of
+    * signature reduced to bands hashes) and the shingle table is one
+    * array row per doc — both a small fraction of corpus text. The
+    * expensive signature pass runs ONCE per corpus, not once per
+    * ingest. */
+  def writeMinhashIndex(docs: DataFrame, path: String, n: Int = 3,
+                        k: Int = 32, bands: Int = 8, seed: Long = 42L): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val bandHashes = (0 until bands).map(j =>
+      xxhash64(lit(j), slice(col("sig"), j * r + 1, r)))
+    minhashSignatures(docs, n, k, seed)
+      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/buckets")
+    docs.select(col("doc_id"),
+        graft.functions.Shingles.shingle_hashes(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/shingles")
+  }
+
+  /** Incremental-ingest dedup: near-dup pairs between a NEW batch and an
+    * indexed corpus — (batch doc, corpus doc, jaccard) — computed from
+    * the stored buckets/shingles, so cost scales with the batch, not the
+    * corpus. Same banding family and seed as the index; candidates are
+    * batch-buckets ⋈ stored-buckets (a new batch's bucket side is small
+    * — broadcast), verified with exact Jaccard on the stored hashed
+    * shingle sets. Apply with `applyPairs(batch, pairs)` to keep only
+    * batch docs that duplicate nothing in the corpus. */
+  def minhashLshPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                  newDocs: DataFrame, indexPath: String,
+                                  n: Int = 3, k: Int = 32, bands: Int = 8,
+                                  minJaccard: Double = 0.5,
+                                  seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val bandHashes = (0 until bands).map(j =>
+      xxhash64(lit(j), slice(col("sig"), j * r + 1, r)))
+    val newBuckets = minhashSignatures(newDocs, n, k, seed)
+      .select(col("doc_id").as("doc_b"),
+        posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    val corpusBuckets = spark.read.parquet(s"$indexPath/buckets")
+      .select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+    val cand = corpusBuckets
+      .join(broadcast(newBuckets), Seq("band", "bh"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val newSh = newDocs.select(col("doc_id").as("doc_b"),
+        graft.functions.Shingles.shingle_hashes(col("text"), n).as("sh_b"))
+      .filter(size(col("sh_b")) > 0)
+    val corpusSh = spark.read.parquet(s"$indexPath/shingles")
+      .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    cand
+      .join(corpusSh, "doc_a")
+      .join(newSh, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash fingerprint of the token multiset: bit b is set when
     * the sum of ±1 contributions (sign of token-hash bit b) is positive.
     * Backed by the native single-pass codegen expression (the nested

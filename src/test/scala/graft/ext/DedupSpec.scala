@@ -92,6 +92,29 @@ class DedupSpec extends SparkSpec {
     assert(jobs <= 25, s"CC run cost $jobs jobs on a 3-round input — probe join crept back?")
   }
 
+  test("incremental dedup against a stored index equals the batch cross-pairs") {
+    // index the "existing corpus" half, then dedup the "new ingest" half
+    // against it: the result must be EXACTLY the corpus×batch cross
+    // pairs the monolithic LSH run finds on the union (same hash family,
+    // same buckets, same verification)
+    val all = Tables.documents(spark, sf("sf0.001"))
+    val corpus = all.filter($"doc_id" < 250)
+    // plant one guaranteed cross-duplicate: a copy of a corpus doc
+    // arriving in the new batch under a fresh id
+    val planted = corpus.filter($"doc_id" === 0)
+      .withColumn("doc_id", org.apache.spark.sql.functions.lit(5000L))
+    val batch = all.filter($"doc_id" >= 250).unionByName(planted)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    Dedup.writeMinhashIndex(corpus, s"$dir/idx")
+    val inc = Dedup.minhashLshPairsAgainstIndex(spark, batch, s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashLshPairs(corpus.unionByName(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 < 250 && p._2 >= 250).toSet
+    assert(inc.contains((0L, 5000L, 1.0)), s"planted duplicate missed: $inc")
+    assert(inc == full, s"incOnly=${inc -- full} fullOnly=${full -- inc}")
+  }
+
   test("LSH bucket cap bounds a near-identical mega-cluster without inventing pairs") {
     // 40 near-identical docs (common body + one varying token) — high
     // mutual jaccard, NOT byte-identical, so exact dedup can't collapse
