@@ -226,6 +226,10 @@ object SparkEntry {
     // volume, mean/median doc length) for mixing decisions
     "q39_corpus_profile" -> ((s, dir) =>
       ext.TextAnalysis.corpusProfile(Tables.documents(s, dir))),
+    // north-star chunking: sliding 20-token windows (stride 10) — the
+    // fixed-context preparation step before tokenization/packing
+    "q40_chunking" -> ((s, dir) =>
+      ext.TextAnalysis.chunkDocuments(Tables.documents(s, dir))),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -535,5 +539,22 @@ object SparkEntry {
         |  ROUND(AVG(len(string_split(text, ' '))), 4) AS mean_tokens,
         |  ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 4) AS median_tokens
         |FROM documents GROUP BY 1""".stripMargin,
+    // sliding windows: DuckDB list slice w[a:b] is 1-based inclusive =
+    // Spark slice(toks, a, 20) with b = a+19; both clamp the tail chunk
+    "q40_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        CASE WHEN len(w) <= 20 THEN 1
+        |             ELSE CAST(ceil((len(w) - 20) / 10.0) AS INT) + 1 END AS nc
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, nc),
+        |        i -> struct_pack(
+        |          idx := i - 1,
+        |          txt := array_to_string(w[(i-1)*10 + 1 : (i-1)*10 + 20], ' '),
+        |          ntok := len(w[(i-1)*10 + 1 : (i-1)*10 + 20])))) AS ch
+        |      FROM c)
+        |SELECT doc_id, CAST(ch.idx AS BIGINT) AS chunk_idx,
+        |  ch.txt AS chunk_text, CAST(ch.ntok AS BIGINT) AS n_chunk_tokens
+        |FROM e""".stripMargin,
   )
 }

@@ -104,6 +104,34 @@ object TextAnalysis {
         round(avg(col("n_tok")), 4).as("mean_tokens"),
         round(expr("percentile(n_tok, 0.5)"), 4).as("median_tokens"))
 
+  /** Split documents into fixed-token windows with overlap — the
+    * chunking step that prepares long documents for a fixed context
+    * length (stride < chunkTokens gives sliding-window overlap).
+    * Output: (doc_id, chunk_idx, chunk_text, n_chunk_tokens); every doc
+    * yields ≥ 1 chunk and the last chunk may run short.
+    *
+    * Scale notes: narrow generate — one input row explodes into its
+    * chunks on the same executor, no shuffle; downstream per-chunk ops
+    * see rows bounded by chunkTokens regardless of document length
+    * (the point: unbounded doc sizes stop propagating through the
+    * pipeline at this stage). */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 20,
+                     stride: Int = 10): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1, "chunkTokens and stride must be >= 1")
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - chunkTokens).cast("double") / stride).cast("int") + 1)
+    docs.select(col("doc_id"), toks.as("toks"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => array_join(slice(col("toks"), i * stride + 1, lit(chunkTokens)), " ")))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_chunk_tokens"))
+  }
+
   private val LangOrder = Seq("en", "de", "es", "fr", "zh")
 
   /** Predicted language of a text column (stopword-hit scoring with the
