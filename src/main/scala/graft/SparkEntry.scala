@@ -230,6 +230,11 @@ object SparkEntry {
     // fixed-context preparation step before tokenization/packing
     "q40_chunking" -> ((s, dir) =>
       ext.TextAnalysis.chunkDocuments(Tables.documents(s, dir))),
+    // north-star packing: chunks → 128-token training bins via sharded
+    // running totals (boundary-splitting distributed packing)
+    "q41_packing" -> ((s, dir) =>
+      ext.TextAnalysis.packChunks(
+        ext.TextAnalysis.chunkDocuments(Tables.documents(s, dir)))),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -556,5 +561,29 @@ object SparkEntry {
         |SELECT doc_id, CAST(ch.idx AS BIGINT) AS chunk_idx,
         |  ch.txt AS chunk_text, CAST(ch.ntok AS BIGINT) AS n_chunk_tokens
         |FROM e""".stripMargin,
+    // same md5 shard expression as q31's bucket (engine-portable); the
+    // (doc_id, chunk_idx) ordering is unique, so RANGE/ROWS frames agree
+    "q41_packing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        CASE WHEN len(w) <= 20 THEN 1
+        |             ELSE CAST(ceil((len(w) - 20) / 10.0) AS INT) + 1 END AS nc
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, nc),
+        |        i -> struct_pack(
+        |          idx := i - 1,
+        |          ntok := len(w[(i-1)*10 + 1 : (i-1)*10 + 20])))) AS ch
+        |      FROM c),
+        |ch AS (SELECT doc_id, CAST(ch.idx AS BIGINT) AS chunk_idx,
+        |         CAST(ch.ntok AS BIGINT) AS n_chunk_tokens,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+        |       FROM e)
+        |SELECT doc_id, chunk_idx, shard,
+        |  CAST(floor((SUM(n_chunk_tokens) OVER (PARTITION BY shard
+        |      ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - n_chunk_tokens) / 128.0) AS BIGINT) AS bin_id,
+        |  n_chunk_tokens
+        |FROM ch""".stripMargin,
   )
 }

@@ -132,6 +132,33 @@ object TextAnalysis {
         size(split(col("chunk_text"), " ")).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Pack chunks into fixed-token training bins: chunks are sharded by a
+    * portable id hash, ordered deterministically within each shard, and
+    * assigned `bin_id = floor(running_tokens_before / binTokens)` — the
+    * boundary-splitting approximation of greedy packing that
+    * distributes (exact first-fit is inherently sequential; per-shard
+    * running totals parallelize and stay reproducible across engines).
+    * Output keeps (doc_id, chunk_idx) so the original order inside a
+    * bin is recoverable.
+    *
+    * Scale notes: one shuffle — the window partitioned by shard; shard
+    * count is the parallelism knob (shards ≫ executors at 100 TB), and
+    * the md5-derived shard is engine-portable, so the DuckDB oracle
+    * states the identical assignment. */
+  def packChunks(chunks: DataFrame, binTokens: Int = 128,
+                 shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("shard", Sampling.hashBucket(col("doc_id"), shards))
+      .withColumn("cum", sum(col("n_chunk_tokens")).over(w))
+      .select(col("doc_id"), col("chunk_idx"), col("shard"),
+        floor((col("cum") - col("n_chunk_tokens")) / binTokens).cast("long")
+          .as("bin_id"),
+        col("n_chunk_tokens"))
+  }
+
   private val LangOrder = Seq("en", "de", "es", "fr", "zh")
 
   /** Predicted language of a text column (stopword-hit scoring with the

@@ -200,6 +200,23 @@ class ExtSpec extends SparkSpec {
     assert(once.forall(_._3 <= 3L))
   }
 
+  test("packed bins respect capacity up to one boundary-split chunk") {
+    // boundary-splitting packing: a bin overflows binTokens by at most
+    // its last chunk minus one token (chunks are <= 20 tokens here)
+    val packed = TextAnalysis.packChunks(
+        TextAnalysis.chunkDocuments(docs), binTokens = 128)
+      .groupBy($"shard", $"bin_id")
+      .agg(sum($"n_chunk_tokens").as("bin_tokens"))
+      .select($"bin_tokens").as[Long].collect()
+    assert(packed.nonEmpty)
+    assert(packed.forall(_ <= 128 + 19),
+      s"bin overflow beyond one chunk: ${packed.max}")
+    // all bins except possibly each shard's last are at least binTokens
+    // minus the max chunk slack full — packing actually packs
+    assert(packed.count(_ >= 109).toDouble / packed.length >= 0.8,
+      "most bins should be near capacity")
+  }
+
   test("media near-dup: byte-identical payloads always found via the ANN path") {
     // plant exact copies of five documents under new ids: identical bytes
     // → identical stub features → every LSH table collides → all five
