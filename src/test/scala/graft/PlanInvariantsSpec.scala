@@ -78,6 +78,30 @@ class PlanInvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q38 top-ngrams is one map-side-combined shuffle + TakeOrdered (no global sort)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q38_top_ngrams")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+      assert(p.collect { case e: ShuffleExchangeExec => e }.length == 1,
+        s"expected exactly one exchange (the df aggregate):\n$p")
+      assert(p.collect {
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        }.nonEmpty,
+        s"top-k fell back to a global sort:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q41 packing runs on a single shard-window shuffle") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q41_packing")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+      assert(p.collect { case e: ShuffleExchangeExec => e }.length == 1,
+        s"expected exactly one exchange (the shard window):\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q04 pushes the paid>0 mart filter into the lineitem parquet scan") {
     val p = plan(SparkEntry.queries("q04_mart_client_counts")(spark, sf("sf0.001")))
     val liScans = p.collect {
