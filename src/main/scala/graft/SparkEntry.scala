@@ -229,12 +229,14 @@ object SparkEntry {
     // north-star chunking: sliding 20-token windows (stride 10) — the
     // fixed-context preparation step before tokenization/packing
     "q40_chunking" -> ((s, dir) =>
-      ext.TextAnalysis.chunkDocuments(Tables.documents(s, dir))),
+      ext.TextAnalysis.chunkDocuments(Tables.documents(s, dir))
+        .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")),
     // north-star packing: chunks → 128-token training bins via sharded
     // running totals (boundary-splitting distributed packing)
     "q41_packing" -> ((s, dir) =>
       ext.TextAnalysis.packChunks(
-        ext.TextAnalysis.chunkDocuments(Tables.documents(s, dir)))),
+          ext.TextAnalysis.chunkDocuments(Tables.documents(s, dir)))
+        .select("doc_id", "chunk_idx", "shard", "bin_id", "n_chunk_tokens")),
   )
 
   // DuckDB expression for the stopword-hit count of one language.

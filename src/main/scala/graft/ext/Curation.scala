@@ -73,4 +73,35 @@ object Curation {
         "doc_id", cfg.trainPct, cfg.valPct)
       .select(col("doc_id"), col("pred_lang"), col("split"))
   }
+
+  /** The end product on disk: curate, chunk into `chunkTokens`-token
+    * windows, pack into `binTokens` bins, and write parquet training
+    * shards partitioned by (split, shard) — one call from raw corpus to
+    * the layout a training job reads (`split=train/shard=N/…`). Bins
+    * never mix splits (the packing window is keyed on split as well as
+    * shard), and every stage is deterministic, so re-running produces
+    * byte-identical shard contents.
+    *
+    * Scale notes: curation's shuffles are the documented bounded ones;
+    * chunk→pack adds one window shuffle; the final write is
+    * executor-side, partitioned, with shard count as the file-layout
+    * parallelism knob. */
+  def writeTrainingShards(docs: DataFrame, benchmark: DataFrame, path: String,
+                          cfg: Config = Config(), chunkTokens: Int = 20,
+                          stride: Int = 10, binTokens: Int = 128,
+                          shards: Int = 8): Unit = {
+    val curated = curate(docs, benchmark, cfg)
+    val withText = docs.select(col("doc_id"), col("text"))
+      .join(curated, Seq("doc_id"))
+    val packed = TextAnalysis.packChunks(
+      TextAnalysis.chunkDocuments(withText, chunkTokens, stride),
+      binTokens, shards, extraKeys = Seq("split"))
+    packed
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+        col("n_chunk_tokens"), col("pred_lang"), col("bin_id"),
+        col("split"), col("shard"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("split", "shard")
+      .parquet(path)
+  }
 }

@@ -122,14 +122,17 @@ object TextAnalysis {
     val n = size(toks)
     val nChunks = when(n <= chunkTokens, lit(1))
       .otherwise(ceil((n - chunkTokens).cast("double") / stride).cast("int") + 1)
-    docs.select(col("doc_id"), toks.as("toks"), nChunks.as("nc"))
-      .select(col("doc_id"),
+    // non-text columns (split, lang, …) ride along so downstream packing
+    // and shard writing can compose without re-joining the corpus
+    docs.withColumn("toks", toks).withColumn("nc", nChunks)
+      .select(col("*"),
         posexplode(transform(sequence(lit(0), col("nc") - 1),
           i => array_join(slice(col("toks"), i * stride + 1, lit(chunkTokens)), " ")))
-          .as(Seq("chunk_idx", "chunk_text")))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        col("chunk_text"),
-        size(split(col("chunk_text"), " ")).cast("long").as("n_chunk_tokens"))
+          .as(Seq("_ci", "chunk_text")))
+      .withColumn("chunk_idx", col("_ci").cast("long"))
+      .withColumn("n_chunk_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
+      .drop("text", "toks", "nc", "_ci")
   }
 
   /** Pack chunks into fixed-token training bins: chunks are sharded by a
@@ -145,18 +148,18 @@ object TextAnalysis {
     * count is the parallelism knob (shards ≫ executors at 100 TB), and
     * the md5-derived shard is engine-portable, so the DuckDB oracle
     * states the identical assignment. */
-  def packChunks(chunks: DataFrame, binTokens: Int = 128,
-                 shards: Int = 8): DataFrame = {
+  def packChunks(chunks: DataFrame, binTokens: Int = 128, shards: Int = 8,
+                 extraKeys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("shard"))
+    val w = Window
+      .partitionBy(col("shard") +: extraKeys.map(col): _*)
       .orderBy(col("doc_id"), col("chunk_idx"))
     chunks
       .withColumn("shard", Sampling.hashBucket(col("doc_id"), shards))
       .withColumn("cum", sum(col("n_chunk_tokens")).over(w))
-      .select(col("doc_id"), col("chunk_idx"), col("shard"),
-        floor((col("cum") - col("n_chunk_tokens")) / binTokens).cast("long")
-          .as("bin_id"),
-        col("n_chunk_tokens"))
+      .withColumn("bin_id",
+        floor((col("cum") - col("n_chunk_tokens")) / binTokens).cast("long"))
+      .drop("cum")
   }
 
   private val LangOrder = Seq("en", "de", "es", "fr", "zh")

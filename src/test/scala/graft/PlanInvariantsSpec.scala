@@ -61,7 +61,10 @@ class PlanInvariantsSpec extends SparkSpec {
     // q08/q09/q11/q35 are pure per-row scores: their plans must be a scan
     // + one codegen'd projection — no exchange, and the projection inside
     // a WholeStageCodegen span (an interpreted native expression would
-    // fall out of it)
+    // fall out of it). Clear the cache first: another suite's cached
+    // documents table would swap the scan for an InMemoryTableScan and
+    // change the plan shape under test
+    spark.catalog.clearCache()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       Seq("q08_text_quality", "q09_token_counts", "q11_doc_fingerprint",

@@ -108,6 +108,33 @@ class CurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("writeTrainingShards lands a split/shard-partitioned layout of curated docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Curation.writeTrainingShards(corpus, benchmark, s"$dir/shards", cfg)
+    val shardsDf = spark.read.parquet(s"$dir/shards")
+    // partition layout on disk: split=... / shard=...
+    val splitDirs = new java.io.File(s"$dir/shards").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(splitDirs.subsetOf(Set("split=train", "split=val", "split=test")),
+      s"unexpected layout: $splitDirs")
+    // only curated docs appear
+    val curatedIds = out.map(_._1).toSet
+    val shardIds = shardsDf.select("doc_id").as[Long].collect().toSet
+    assert(shardIds == curatedIds,
+      s"missing=${curatedIds -- shardIds} extra=${shardIds -- curatedIds}")
+    // bin identity is (split, shard, bin_id) — the packing window is
+    // keyed on split, so capacity must hold within that scope
+    val overCap = shardsDf.groupBy($"split", $"shard", $"bin_id")
+      .agg(sum($"n_chunk_tokens").as("bin_tokens"))
+      .filter($"bin_tokens" > 128 + 19).count()
+    assert(overCap == 0, "a split-scoped bin exceeded capacity + one chunk")
+    // deterministic: a second write produces the identical row set
+    Curation.writeTrainingShards(corpus, benchmark, s"$dir/shards2", cfg)
+    val a = shardsDf.collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$dir/shards2").collect().map(_.toSeq).toSet
+    assert(a == b, "shard write must be reproducible")
+  }
+
   test("quota and split assignment are enforced") {
     val perLang = out.groupBy(_._2).map { case (l, rows) => l -> rows.length }
     perLang.foreach { case (l, n) =>
