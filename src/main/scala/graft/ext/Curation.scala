@@ -74,6 +74,64 @@ object Curation {
       .select(col("doc_id"), col("pred_lang"), col("split"))
   }
 
+  /** Curation funnel: how many documents survive each stage — the
+    * observability every production curation run reports next to its
+    * output. Returns (stage, n_docs) ordered by stage; counts are
+    * monotonically non-increasing and the final row equals
+    * `curate(...).count()`.
+    *
+    * Scale notes: the three quality/language gates are counted in ONE
+    * pass (gate outcomes as 0/1 flags, summed in a single aggregate);
+    * the dedup/decontamination/quota stages re-use the exact pipeline
+    * intermediates, so the funnel costs one extra count per
+    * materialized stage — not a rerun of the chain per row. */
+  def curationFunnel(docs: DataFrame, benchmark: DataFrame,
+                     cfg: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val flagged = docs
+      .withColumn("f_tokens",
+        (size(split(col("text"), " ")) >= cfg.minTokens).cast("long"))
+      .withColumn("f_rep",
+        (TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac)
+          .cast("long"))
+      .withColumn("pred_lang", TextAnalysis.langPrediction(col("text")))
+      .withColumn("f_lang",
+        col("pred_lang").isin(cfg.keepLangs: _*).cast("long"))
+    val g = flagged.agg(
+      count(lit(1)).as("n_input"),
+      sum(col("f_tokens")).as("n_tok"),
+      sum(col("f_tokens") * col("f_rep")).as("n_rep"),
+      sum(col("f_tokens") * col("f_rep") * col("f_lang")).as("n_lang")).head()
+    val gated = flagged
+      .filter(col("f_tokens") === 1 && col("f_rep") === 1 && col("f_lang") === 1)
+      .drop("f_tokens", "f_rep", "f_lang")
+    val exactDeduped = gated.join(
+      Dedup.exactDupGroups(gated).select(col("canonical_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val nExact = exactDeduped.count()
+    val deduped = Dedup.applyPairsCC(exactDeduped,
+      Dedup.minhashLshPairs(exactDeduped))
+    val nNear = deduped.count()
+    val clean = deduped.join(
+      Dedup.contaminationReport(deduped, benchmark)
+        .filter(col("n_overlap") > cfg.maxOverlapNgrams).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val nClean = clean.count()
+    val nFinal = Sampling.capPerGroup(
+        clean.select(col("doc_id"), col("pred_lang")),
+        "pred_lang", "doc_id", cfg.perLangCap).count()
+    Seq(
+      ("00_input", g.getLong(0)),
+      ("01_min_tokens", g.getLong(1)),
+      ("02_repetition", g.getLong(2)),
+      ("03_language", g.getLong(3)),
+      ("04_exact_dedup", nExact),
+      ("05_near_dedup", nNear),
+      ("06_decontaminated", nClean),
+      ("07_quota", nFinal)).toDF("stage", "n_docs")
+  }
+
   /** The end product on disk: curate, chunk into `chunkTokens`-token
     * windows, pack into `binTokens` bins, and write parquet training
     * shards partitioned by (split, shard) — one call from raw corpus to

@@ -135,6 +135,18 @@ class CurationSpec extends SparkSpec {
     assert(a == b, "shard write must be reproducible")
   }
 
+  test("curation funnel is monotone and lands on the curate() output count") {
+    val funnel = Curation.curationFunnel(corpus, benchmark, cfg)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(funnel.map(_._1).toSeq == funnel.map(_._1).sorted.toSeq)
+    val counts = funnel.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: ${funnel.toSeq}")
+    assert(counts.head == corpus.count())
+    assert(counts.last == out.length.toLong,
+      s"funnel tail ${counts.last} != curate() count ${out.length}")
+  }
+
   test("quota and split assignment are enforced") {
     val perLang = out.groupBy(_._2).map { case (l, rows) => l -> rows.length }
     perLang.foreach { case (l, n) =>
