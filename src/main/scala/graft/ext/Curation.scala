@@ -147,7 +147,10 @@ object Curation {
   def writeTrainingShards(docs: DataFrame, benchmark: DataFrame, path: String,
                           cfg: Config = Config(), chunkTokens: Int = 20,
                           stride: Int = 10, binTokens: Int = 128,
-                          shards: Int = 8): Unit = {
+                          shards: Int = 8,
+                          format: String = "parquet"): Unit = {
+    require(Set("parquet", "json").contains(format),
+      s"unsupported shard format: $format")
     val curated = curate(docs, benchmark, cfg)
     val withText = docs.select(col("doc_id"), col("text"))
       .join(curated, Seq("doc_id"))
@@ -160,6 +163,9 @@ object Curation {
         col("split"), col("shard"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("split", "shard")
-      .parquet(path)
+      // "json" = JSON Lines, the training-stack interchange format;
+      // parquet stays the default for anything Spark reads back
+      .format(format)
+      .save(path)
   }
 }

@@ -133,6 +133,12 @@ class CurationSpec extends SparkSpec {
     val a = shardsDf.collect().map(_.toSeq).toSet
     val b = spark.read.parquet(s"$dir/shards2").collect().map(_.toSeq).toSet
     assert(a == b, "shard write must be reproducible")
+    // JSONL export carries the same rows (training-stack interchange)
+    Curation.writeTrainingShards(corpus, benchmark, s"$dir/shards_jsonl", cfg,
+      format = "json")
+    val j = spark.read.schema(shardsDf.schema).json(s"$dir/shards_jsonl")
+      .collect().map(_.toSeq).toSet
+    assert(j == a, "jsonl shards must carry the same rows")
   }
 
   test("curation funnel is monotone and lands on the curate() output count") {
