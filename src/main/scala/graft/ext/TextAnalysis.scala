@@ -147,7 +147,9 @@ object TextAnalysis {
     * Scale notes: one shuffle — the window partitioned by shard; shard
     * count is the parallelism knob (shards ≫ executors at 100 TB), and
     * the md5-derived shard is engine-portable, so the DuckDB oracle
-    * states the identical assignment. */
+    * states the identical assignment. `extraKeys` adds columns to the
+    * window key (e.g. `split`, so train/val/test never share a bin —
+    * see Curation.writeTrainingShards); input columns pass through. */
   def packChunks(chunks: DataFrame, binTokens: Int = 128, shards: Int = 8,
                  extraKeys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
