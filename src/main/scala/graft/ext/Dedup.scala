@@ -402,6 +402,55 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Persist the corpus-side ANN state for INCREMENTAL embedding dedup:
+    * the (table, signature, vec_id) bucket relation and the vectors (as
+    * array<double>), parquet under `path`. The embedding analog of
+    * `writeMinhashIndex` — signature computation over the corpus runs
+    * once per version, each ingest batch dedups against it. */
+  def writeAnnIndex(emb: DataFrame, path: String, tables: Int = 30,
+                    bitsPerTable: Int = 5): Unit = {
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    v.select(col("vec_id"), posexplode(graft.functions.LshSignatures
+        .lsh_signatures(col("e"), tables, bitsPerTable).as("sigs"))
+        .as(Seq("table", "sig")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/buckets")
+    v.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/vectors")
+  }
+
+  /** Incremental-ingest embedding dedup: near-dup pairs between a NEW
+    * batch and an indexed corpus — (corpus vec_a, batch vec_b, cos_sim).
+    * Batch buckets (small side) broadcast against the stored bucket
+    * relation; exact cosine verifies candidates from the stored vectors.
+    * Must use the same (tables, bitsPerTable) the index was built with.
+    * Cost scales with the batch, never the corpus. */
+  def embeddingAnnPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                    newEmb: DataFrame, indexPath: String,
+                                    minCosine: Double = 0.4, tables: Int = 30,
+                                    bitsPerTable: Int = 5): DataFrame = {
+    val nv = newEmb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val newBuckets = nv.select(col("vec_id").as("vec_b"),
+      posexplode(graft.functions.LshSignatures
+        .lsh_signatures(col("e"), tables, bitsPerTable).as("sigs"))
+        .as(Seq("table", "sig")))
+    val cand = spark.read.parquet(s"$indexPath/buckets")
+      .select(col("vec_id").as("vec_a"), col("table"), col("sig"))
+      .join(broadcast(newBuckets), Seq("table", "sig"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    val corpusV = spark.read.parquet(s"$indexPath/vectors")
+      .select(col("vec_id").as("vec_a"), col("e").as("ea"))
+    cand
+      .join(corpusV, "vec_a")
+      .join(nv.select(col("vec_id").as("vec_b"), col("e").as("eb")), "vec_b")
+      .withColumn("cos_sim", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   /** Sub-quadratic embedding near-dup pairs: random-hyperplane LSH
     * buckets generate candidates (vectors sharing any of `tables`
     * sign-bit signatures from the native `LshSignatures` kernel), exact

@@ -115,6 +115,25 @@ class DedupSpec extends SparkSpec {
     assert(inc == full, s"incOnly=${inc -- full} fullOnly=${full -- inc}")
   }
 
+  test("incremental embedding dedup against a stored ANN index equals the cross-pairs") {
+    val all = Tables.embeddings(spark, sf("sf0.001"))
+    val corpus = all.filter($"vec_id" < 250)
+    // plant a guaranteed cross-duplicate: an exact copy of a corpus
+    // vector arriving in the batch (identical vectors share every table)
+    val planted = corpus.filter($"vec_id" === 0)
+      .withColumn("vec_id", org.apache.spark.sql.functions.lit(5000L))
+    val batch = all.filter($"vec_id" >= 250).unionByName(planted)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    Dedup.writeAnnIndex(corpus, s"$dir/idx")
+    val inc = Dedup.embeddingAnnPairsAgainstIndex(spark, batch, s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.embeddingAnnPairs(corpus.unionByName(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 < 250 && p._2 >= 250).toSet
+    assert(inc.contains((0L, 5000L, 1.0)), s"planted duplicate missed: $inc")
+    assert(inc == full, s"incOnly=${inc -- full} fullOnly=${full -- inc}")
+  }
+
   test("LSH bucket cap bounds a near-identical mega-cluster without inventing pairs") {
     // 40 near-identical docs (common body + one varying token) — high
     // mutual jaccard, NOT byte-identical, so exact dedup can't collapse
