@@ -237,6 +237,17 @@ object SparkEntry {
       ext.TextAnalysis.packChunks(
           ext.TextAnalysis.chunkDocuments(Tables.documents(s, dir)))
         .select("doc_id", "chunk_idx", "shard", "bin_id", "n_chunk_tokens")),
+    // north-star composition: the END-TO-END curation chain under the
+    // driver's gate — per-stage survivor counts of gates → exact dedup →
+    // LSH+CC near-dedup → decontamination → quota (the README-quickstart
+    // flagship). Rows-only: the chain includes the MinHash/CC stages that
+    // have no SQL oracle; CurationSpec pins monotonicity and that the
+    // final count equals curate()'s output
+    "q42_curation_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.Curation.curationFunnel(docs, docs.filter(col("doc_id") < 25))
+    }),
   )
 
   // DuckDB expression for the stopword-hit count of one language.

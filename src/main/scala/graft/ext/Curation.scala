@@ -82,9 +82,11 @@ object Curation {
     *
     * Scale notes: the three quality/language gates are counted in ONE
     * pass (gate outcomes as 0/1 flags, summed in a single aggregate);
-    * the dedup/decontamination/quota stages re-use the exact pipeline
-    * intermediates, so the funnel costs one extra count per
-    * materialized stage — not a rerun of the chain per row. */
+    * each later stage frame is persisted before its count and unpersisted
+    * once its successor is materialized, so the funnel costs one extra
+    * count per stage over a cached frame — the corpus itself is scanned
+    * exactly twice (the gate aggregate and the gated materialization;
+    * CurationSpec pins the scan bound with an instrumented source). */
   def curationFunnel(docs: DataFrame, benchmark: DataFrame,
                      cfg: Config = Config()): DataFrame = {
     val spark = docs.sparkSession
@@ -106,21 +108,27 @@ object Curation {
     val gated = flagged
       .filter(col("f_tokens") === 1 && col("f_rep") === 1 && col("f_lang") === 1)
       .drop("f_tokens", "f_rep", "f_lang")
+      .persist()
+    gated.count() // materialize BEFORE the dedup self-join reads it twice
     val exactDeduped = gated.join(
       Dedup.exactDupGroups(gated).select(col("canonical_id").as("doc_id")),
-      Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi").persist()
     val nExact = exactDeduped.count()
+    gated.unpersist()
     val deduped = Dedup.applyPairsCC(exactDeduped,
-      Dedup.minhashLshPairs(exactDeduped))
+      Dedup.minhashLshPairs(exactDeduped)).persist()
     val nNear = deduped.count()
+    exactDeduped.unpersist()
     val clean = deduped.join(
       Dedup.contaminationReport(deduped, benchmark)
         .filter(col("n_overlap") > cfg.maxOverlapNgrams).select("doc_id"),
-      Seq("doc_id"), "left_anti")
+      Seq("doc_id"), "left_anti").persist()
     val nClean = clean.count()
+    deduped.unpersist()
     val nFinal = Sampling.capPerGroup(
         clean.select(col("doc_id"), col("pred_lang")),
         "pred_lang", "doc_id", cfg.perLangCap).count()
+    clean.unpersist()
     Seq(
       ("00_input", g.getLong(0)),
       ("01_min_tokens", g.getLong(1)),

@@ -18,7 +18,8 @@ class SparkEntrySpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q17_dedup_minhash", "q18_dedup_simhash",
       "q21_sim_ivf", "q24_approx_distinct",
-      "q29_sim_lsh", "q32_dedup_embedding_ann", "q34_dedup_corpus_cc"),
+      "q29_sim_lsh", "q32_dedup_embedding_ann", "q34_dedup_corpus_cc",
+      "q42_curation_funnel"),
       s"unexpected rows-only set: $rowsOnly")
   }
 
