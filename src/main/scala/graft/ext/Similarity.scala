@@ -81,10 +81,16 @@ object Similarity {
 
   /** Trained IVF coarse quantizer: fixed-seed Lloyd's k-means over the
     * raw embedding column — no `label` column required, so any corpus can
-    * be indexed. Fully deterministic: seeding takes the `nCells` vectors
-    * with the smallest `xxhash64(seed, vec_id)` (a fixed pseudo-random
-    * sample, independent of row order) and runs a fixed `iters` rounds.
-    * Returns the centroid of cell i at index i.
+    * be indexed. Deterministic in practice: seeding takes the `nCells`
+    * vectors with the smallest `xxhash64(seed, vec_id)` (a fixed
+    * pseudo-random sample, independent of row order), runs a fixed
+    * `iters` rounds, and rounds every re-centered component to 9 decimal
+    * places — the per-cell `avg()` merges fp partial sums in
+    * shuffle-fetch order, so without the rounding two builds of the same
+    * corpus could differ in the last bits and flip a borderline cell. A
+    * component sitting within 1e-9 of a rounding boundary could in
+    * principle still flip; ExtSpec pins build-to-build equality on the
+    * fixture. Returns the centroid of cell i at index i.
     *
     * Scale notes (100 TB): per iteration, assignment is a NARROW map
     * (`assignCells` — no join, no shuffle) and the re-centering aggregate
@@ -108,7 +114,8 @@ object Similarity {
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          cell -> rows.sortBy(_.getInt(1))
+            .map(r => math.rint(r.getDouble(2) * 1e9) / 1e9)
         }
       cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
     }
@@ -154,6 +161,66 @@ object Similarity {
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/centroids")
+  }
+
+  /** Cheap content fingerprint of a parquet source (file or directory):
+    * 64-bit fold of every regular file's (name, size, mtime), walked in
+    * sorted order. Detects fixture regeneration without reading data —
+    * the key an index CACHE must be derived from (a path-keyed cache
+    * silently serves a stale index when the file under the path
+    * changes). */
+  def pathFingerprint(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    require(Files.exists(root), s"fingerprint source missing: $path")
+    val s = Files.walk(root)
+    val entries =
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => (root.relativize(p).toString, Files.size(p),
+          Files.getLastModifiedTime(p).toMillis)).toSeq.sorted
+      finally s.close()
+    var h = 0xcbf29ce484222325L // FNV-1a offset basis, 64-bit mix below
+    def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+    entries.foreach { case (name, size, mtime) =>
+      name.foreach(c => mix(c.toLong)); mix(size); mix(mtime)
+    }
+    java.lang.Long.toHexString(h)
+  }
+
+  /** Content-versioned, concurrency-safe IVF index cache: builds (at
+    * most once per corpus VERSION) under
+    * `cacheRoot/ivf_<fingerprint(sourcePath)>` and returns the index
+    * dir. A regenerated fixture changes the fingerprint, so a stale
+    * index can never be probed (ExtSpec pins rebuild-on-mutation and
+    * reuse-on-identical). Concurrent builders each stage under a
+    * pid-suffixed dir and adopt with one ATOMIC_MOVE; the loser of the
+    * race discards its (byte-identical — the build is deterministic)
+    * staging copy, so a probe never observes a half-written index. A
+    * leftover dir missing its `centroids` sidecar is a crashed partial
+    * build and is cleared before rebuilding. */
+  def ensureIvfIndex(emb: DataFrame, cacheRoot: String, sourcePath: String,
+                     nCells: Int = 16, iters: Int = 5,
+                     seed: Long = 42L): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val idx = Paths.get(cacheRoot, s"ivf_${pathFingerprint(sourcePath)}")
+    if (!Files.exists(idx.resolve("centroids"))) {
+      graft.lineage.AtomicSwap.deleteRecursive(idx)
+      val staging = idx.resolveSibling(
+        s"${idx.getFileName}.staging_${ProcessHandle.current().pid}")
+      graft.lineage.AtomicSwap.deleteRecursive(staging)
+      Files.createDirectories(idx.getParent)
+      writeIvfIndex(emb, staging.toString, nCells, iters, seed)
+      try Files.move(staging, idx, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          // a concurrent builder adopted the same fingerprint first; its
+          // index is identical by determinism — drop the duplicate
+          graft.lineage.AtomicSwap.deleteRecursive(staging)
+      }
+    }
+    idx.toString
   }
 
   /** Probe a written IVF index: identical output contract to `ivfTopK`,

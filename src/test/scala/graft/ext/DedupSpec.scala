@@ -152,6 +152,28 @@ class DedupSpec extends SparkSpec {
       s"cap should drop hot-bucket candidates: ${capped.size} vs ${uncapped.size}")
   }
 
+  test("SimHash bucket cap bounds a planted mega-bucket without inventing pairs") {
+    // 40 near-identical docs: fingerprints agree on (at least) their
+    // low-entropy bands, forming hot (band, chunk) buckets; one unrelated
+    // doc must stay unaffected by the cap
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val cluster = (0 until 40).map(i => (i.toLong, s"$body extra$i"))
+    val lone = Seq((900L, "completely different words here for one doc"))
+    val docs = (cluster ++ lone).toDF("doc_id", "text")
+    val uncapped = Dedup.simhashPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.simhashPairs(docs, maxBucketSize = Some(10))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.nonEmpty, "cluster must collide on simhash bands")
+    assert(capped.subsetOf(uncapped), "cap must never invent pairs")
+    assert(capped.size < uncapped.size,
+      s"cap should drop hot-bucket candidates: ${capped.size} vs ${uncapped.size}")
+    // default (None) keeps the historical q18 semantics byte-for-byte
+    val again = Dedup.simhashPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(again == uncapped)
+  }
+
   test("embeddingAnnPairs recall >= 0.95 vs exact join on sf0.001 at defaults") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val exact = pairSet(Dedup.embeddingNearDupPairs(emb))

@@ -165,6 +165,31 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("IVF index cache is content-keyed: reused when unchanged, rebuilt on mutation") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_ivf_cache")
+    val src = tmp.resolve("emb.parquet")
+    Files.copy(Paths.get(sf("sf0.001"), "embeddings.parquet"), src)
+    val cacheRoot = tmp.resolve("cache").toString
+    val embSrc = spark.read.parquet(src.toString).drop("label")
+    val idx1 = Similarity.ensureIvfIndex(embSrc, cacheRoot, src.toString)
+    // sentinel marks this physical build; an unchanged corpus must reuse it
+    Files.writeString(Paths.get(idx1, "sentinel"), "build1")
+    val idx2 = Similarity.ensureIvfIndex(embSrc, cacheRoot, src.toString)
+    assert(idx2 == idx1, "unchanged corpus must reuse the cached index")
+    assert(Files.exists(Paths.get(idx2, "sentinel")), "index was needlessly rebuilt")
+    // regenerate the fixture in place (same path, new mtime): the
+    // fingerprint must change and the probe must hit a FRESH build
+    Files.setLastModifiedTime(src, java.nio.file.attribute.FileTime.fromMillis(
+      Files.getLastModifiedTime(src).toMillis + 73000))
+    val idx3 = Similarity.ensureIvfIndex(embSrc, cacheRoot, src.toString)
+    assert(idx3 != idx1, "mutated corpus must get a new index dir")
+    assert(!Files.exists(Paths.get(idx3, "sentinel")), "stale index reused after mutation")
+    val probed = Similarity.probeIvfIndex(spark, idx3,
+      embSrc.filter($"vec_id" < 2), k = 3)
+    assert(probed.count() > 0, "rebuilt index must be probeable")
+  }
+
   test("repetition score: duplicate trigram fraction on a known loop") {
     // "a b a b a b" → 6 tokens, 4 trigrams ("a b a" ×2, "b a b" ×2),
     // 2 distinct → dup fraction 0.5; a no-repeat doc scores 0
