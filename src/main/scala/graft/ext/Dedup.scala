@@ -19,6 +19,44 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Broadcast-hint ceiling for the "small by construction" relations
+    * (frequent-shingle sets, incremental-batch buckets). The smallness
+    * assumptions are real but not laws — a tiny df cap on a web corpus or
+    * a backfill-sized ingest batch can blow past Spark's broadcast
+    * limits — so every such hint is gated on a measured row count and
+    * falls back to a shuffled join (AQE may still choose to broadcast at
+    * runtime if the actual size allows). */
+  private val MaxBroadcastRows = 10000000L
+
+  /** Write a params sidecar next to an on-disk index (properties file,
+    * written LAST so its presence implies a complete index). */
+  private def writeParams(path: String, params: Map[String, String]): Unit = {
+    val p = new java.util.Properties()
+    params.foreach { case (k, v) => p.setProperty(k, v) }
+    val out = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))
+    try p.store(out, null) finally out.close()
+  }
+
+  /** Validate probe-time parameters against an index's stored sidecar.
+    * Mismatched banding/signature parameters don't error at runtime —
+    * they produce incompatible hashes and silently return ~zero pairs,
+    * which is indistinguishable from a clean batch — so the mismatch
+    * must fail loudly here instead. */
+  private def requireParams(path: String, expected: Map[String, String],
+                            what: String): Unit = {
+    val f = java.nio.file.Paths.get(path)
+    require(java.nio.file.Files.exists(f),
+      s"$what index at ${f.getParent} has no params sidecar — rebuild it with its write*Index method")
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    expected.foreach { case (k, v) =>
+      require(p.getProperty(k) == v,
+        s"$what index was built with $k=${p.getProperty(k)} but probed with $k=$v — " +
+          "mismatched parameters hash into disjoint buckets and silently drop every pair")
+    }
+  }
+
   /** Exact duplicate groups via hash-groupBy on md5(text): canonical id =
     * min doc_id, plus copy count. */
   def exactDupGroups(docs: DataFrame): DataFrame =
@@ -57,9 +95,17 @@ object Dedup {
         // kept set, which would shuffle both full string relations to drop
         // a handful of keys. One shuffle (the df aggregate) instead of two;
         // PlanInvariantsSpec pins the broadcast anti-join in the q33 plan.
+        // The smallness assumption is ENFORCED, not trusted: the set is
+        // materialized once (localCheckpoint) and the broadcast hint is
+        // applied only under the row ceiling — a pathological cap degrades
+        // to a shuffled anti-join instead of OOMing the driver
         val frequent = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
-        val capped = shAll.join(broadcast(frequent), Seq("shingle"), "left_anti")
+          .localCheckpoint()
+        val hinted =
+          if (frequent.count() <= MaxBroadcastRows) broadcast(frequent)
+          else frequent
+        val capped = shAll.join(hinted, Seq("shingle"), "left_anti")
         // under a df cap, Jaccard is over the capped shingle universe
         (capped, capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
       case None =>
@@ -194,32 +240,44 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/shingles")
+    writeParams(s"$path/params.properties", Map(
+      "n" -> n.toString, "k" -> k.toString,
+      "bands" -> bands.toString, "seed" -> seed.toString))
   }
 
   /** Incremental-ingest dedup: near-dup pairs between a NEW batch and an
     * indexed corpus — (batch doc, corpus doc, jaccard) — computed from
     * the stored buckets/shingles, so cost scales with the batch, not the
-    * corpus. Same banding family and seed as the index; candidates are
-    * batch-buckets ⋈ stored-buckets (a new batch's bucket side is small
-    * — broadcast), verified with exact Jaccard on the stored hashed
-    * shingle sets. Apply with `applyPairs(batch, pairs)` to keep only
-    * batch docs that duplicate nothing in the corpus. */
+    * corpus. Banding family and seed are validated against the index's
+    * params sidecar (a silent mismatch would hash into disjoint buckets
+    * and report "no duplicates"). Candidates are batch-buckets ⋈
+    * stored-buckets — the batch bucket side gets a broadcast hint only
+    * while the measured batch size stays under the broadcast ceiling; a
+    * backfill-scale batch degrades to a shuffled join. Apply with
+    * `applyPairs(batch, pairs)` to keep only batch docs that duplicate
+    * nothing in the corpus. */
   def minhashLshPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                   newDocs: DataFrame, indexPath: String,
                                   n: Int = 3, k: Int = 32, bands: Int = 8,
                                   minJaccard: Double = 0.5,
                                   seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    requireParams(s"$indexPath/params.properties", Map(
+      "n" -> n.toString, "k" -> k.toString,
+      "bands" -> bands.toString, "seed" -> seed.toString), "MinHash")
     val r = k / bands
     val bandHashes = (0 until bands).map(j =>
       xxhash64(lit(j), slice(col("sig"), j * r + 1, r)))
-    val newBuckets = minhashSignatures(newDocs, n, k, seed)
+    val newBucketsRaw = minhashSignatures(newDocs, n, k, seed)
       .select(col("doc_id").as("doc_b"),
         posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    val newBuckets =
+      if (newDocs.count() * bands <= MaxBroadcastRows) broadcast(newBucketsRaw)
+      else newBucketsRaw
     val corpusBuckets = spark.read.parquet(s"$indexPath/buckets")
       .select(col("doc_id").as("doc_a"), col("band"), col("bh"))
     val cand = corpusBuckets
-      .join(broadcast(newBuckets), Seq("band", "bh"))
+      .join(newBuckets, Seq("band", "bh"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     val newSh = newDocs.select(col("doc_id").as("doc_b"),
@@ -437,27 +495,37 @@ object Dedup {
       .parquet(s"$path/buckets")
     v.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/vectors")
+    writeParams(s"$path/params.properties", Map(
+      "tables" -> tables.toString, "bitsPerTable" -> bitsPerTable.toString))
   }
 
   /** Incremental-ingest embedding dedup: near-dup pairs between a NEW
     * batch and an indexed corpus — (corpus vec_a, batch vec_b, cos_sim).
-    * Batch buckets (small side) broadcast against the stored bucket
-    * relation; exact cosine verifies candidates from the stored vectors.
-    * Must use the same (tables, bitsPerTable) the index was built with.
-    * Cost scales with the batch, never the corpus. */
+    * (tables, bitsPerTable) are validated against the index's params
+    * sidecar — a silent mismatch would bucket into disjoint signatures
+    * and report "no duplicates". Batch buckets get a broadcast hint only
+    * while the measured batch size stays under the broadcast ceiling;
+    * exact cosine verifies candidates from the stored vectors. Cost
+    * scales with the batch, never the corpus. */
   def embeddingAnnPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                     newEmb: DataFrame, indexPath: String,
                                     minCosine: Double = 0.4, tables: Int = 30,
                                     bitsPerTable: Int = 5): DataFrame = {
+    requireParams(s"$indexPath/params.properties", Map(
+      "tables" -> tables.toString, "bitsPerTable" -> bitsPerTable.toString),
+      "ANN")
     val nv = newEmb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e"))
-    val newBuckets = nv.select(col("vec_id").as("vec_b"),
+    val newBucketsRaw = nv.select(col("vec_id").as("vec_b"),
       posexplode(graft.functions.LshSignatures
         .lsh_signatures(col("e"), tables, bitsPerTable).as("sigs"))
         .as(Seq("table", "sig")))
+    val newBuckets =
+      if (newEmb.count() * tables <= MaxBroadcastRows) broadcast(newBucketsRaw)
+      else newBucketsRaw
     val cand = spark.read.parquet(s"$indexPath/buckets")
       .select(col("vec_id").as("vec_a"), col("table"), col("sig"))
-      .join(broadcast(newBuckets), Seq("table", "sig"))
+      .join(newBuckets, Seq("table", "sig"))
       .select(col("vec_a"), col("vec_b"))
       .distinct()
     val corpusV = spark.read.parquet(s"$indexPath/vectors")

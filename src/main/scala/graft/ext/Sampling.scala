@@ -36,9 +36,8 @@ object Sampling {
     *
     * Scale note: one shuffle — a window partitioned by the group key.
     * With few huge groups (languages), the reducers are hot; the scale
-    * escape is a two-phase cap: `hashSample` each group at ≈cap/|group|
-    * percent first (narrow filter), then exact-cap the small remainder
-    * with this window. */
+    * escape is `capPerGroupTwoPhase`, which pre-filters each group to an
+    * oversampled md5-order prefix before this exact window. */
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
                   cap: Int): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
@@ -46,6 +45,44 @@ object Sampling {
     df.withColumn("grp_rank", row_number().over(w).cast("long"))
       .filter(col("grp_rank") <= cap)
   }
+
+  /** Phase 1 of the two-phase quota: keep, per group, only rows whose
+    * md5 ORDER PREFIX (the first 8 hex digits as a number in [0, 2³²))
+    * falls under an `oversample`·cap/|group| threshold. Because fixed-
+    * width hex compares lexicographically exactly as it compares
+    * numerically, the kept rows are a true prefix of `capPerGroup`'s
+    * (md5, id) selection order — so as long as ≥ cap rows per group
+    * survive (overwhelmingly likely at the default 4× oversample; the
+    * shortfall probability decays exponentially in cap), the exact
+    * window over the remainder selects the identical set.
+    *
+    * Scale note: the group-count aggregate is one map-side-combined
+    * shuffle; the per-group thresholds are |groups| rows — a grouping
+    * dimension like language or source, small by construction — joined
+    * with a broadcast hint; the filter itself is a narrow projection. */
+  def presampleForCap(df: DataFrame, groupCol: String, idCol: String,
+                      cap: Int, oversample: Double = 4.0): DataFrame = {
+    require(oversample >= 1.0, "oversample must be >= 1")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_grp_n"))
+    val pfx = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.join(broadcast(counts), Seq(groupCol))
+      .filter(pfx < least(lit(1L << 32),
+        ceil(lit((1L << 32).toDouble * oversample * cap) / col("_grp_n"))
+          .cast("long")))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Two-phase per-group quota — the hot-reducer escape for few huge
+    * groups: `presampleForCap` shrinks each group to ≈ oversample·cap
+    * rows with a narrow filter, then the exact `capPerGroup` window runs
+    * over that small remainder. Selects the identical set to the
+    * one-phase cap whenever the pre-sample keeps ≥ cap rows per group
+    * (ExtSpec pins the equality on a skewed fixture). */
+  def capPerGroupTwoPhase(df: DataFrame, groupCol: String, idCol: String,
+                          cap: Int, oversample: Double = 4.0): DataFrame =
+    capPerGroup(presampleForCap(df, groupCol, idCol, cap, oversample),
+      groupCol, idCol, cap)
 
   /** Train/val/test split assignment from cumulative percentage bounds
     * (e.g. 80/10/10 → train < 80 ≤ val < 90 ≤ test). */

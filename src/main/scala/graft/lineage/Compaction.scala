@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
   * reads) dominate scan time long before data volume does; periodic
   * compaction is what keeps an incremental lake scannable.
   *
-  * Protocol: same stage-then-swap as `IncrementalLoad.rebuildPartitions`
-  * — the rewritten month is fully staged, then adopted with one atomic
-  * directory move per month, so readers never observe a half-compacted
-  * partition and a crash before the swap leaves the lake untouched.
+  * Protocol: stage-then-swap with a shelve step (the same restore
+  * contract as `AtomicSwap.writeSwap`): the rewritten month is fully
+  * staged, the live month is moved aside to a trash path, the fresh
+  * month adopted, and only then is the trash dropped. A crash before
+  * the shelve leaves the lake untouched; a crash between shelve and
+  * adopt is repaired by the restore handler (and the shelved copy is
+  * complete data either way) — the month is never simply deleted while
+  * its replacement is still pending. Staging and trash dirs are
+  * suffixed with the year_month, so concurrent compactions of
+  * DIFFERENT months never clobber each other's state.
   *
   * File sizing: `maxRecordsPerFile` (derived from the month's measured
   * bytes-per-row) enforces the target size at write time — task-count
@@ -68,7 +74,7 @@ object Compaction {
     val rowsPerFile = math.max(1L, targetFileBytes / avgRowBytes)
     val saltBuckets = math.max(1L,
       (bytes + targetFileBytes - 1) / targetFileBytes)
-    val stagingDir = s"$lakePath.compact_staging"
+    val stagingDir = s"$lakePath.compact_staging_$ym"
     AtomicSwap.deleteRecursive(Paths.get(stagingDir))
     df.withColumn("_salt", pmod(xxhash64(col("id")), lit(saltBuckets)))
       .repartition(col("country"), col("_salt"))
@@ -78,8 +84,20 @@ object Compaction {
       .partitionBy("country")
       .parquet(s"$stagingDir/year_month=$ym")
     val fresh = Paths.get(s"$stagingDir/year_month=$ym")
-    AtomicSwap.deleteRecursive(monthDir)
-    Files.move(fresh, monthDir, StandardCopyOption.ATOMIC_MOVE)
+    // shelve → adopt → drop: the live month is never deleted before its
+    // replacement is in place; on a failed adopt the shelved month is
+    // restored, so the lake always holds a complete copy of the data
+    val trash = Paths.get(s"$lakePath.compact_trash_$ym")
+    AtomicSwap.deleteRecursive(trash)
+    Files.move(monthDir, trash, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(fresh, monthDir, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        if (!Files.exists(monthDir))
+          Files.move(trash, monthDir, StandardCopyOption.ATOMIC_MOVE)
+        throw e
+    }
+    AtomicSwap.deleteRecursive(trash)
     AtomicSwap.deleteRecursive(Paths.get(stagingDir))
   }
 }

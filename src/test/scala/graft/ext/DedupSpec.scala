@@ -134,6 +134,31 @@ class DedupSpec extends SparkSpec {
     assert(inc == full, s"incOnly=${inc -- full} fullOnly=${full -- inc}")
   }
 
+  test("index params sidecar: probing with mismatched parameters fails loudly") {
+    // a parameter mismatch doesn't error at runtime — it hashes into
+    // disjoint buckets and returns ~zero pairs, indistinguishable from a
+    // clean batch — so the readers must validate the stored sidecar
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(50)
+    val emb = Tables.embeddings(spark, sf("sf0.001")).limit(50)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_params").toString
+    Dedup.writeMinhashIndex(docs, s"$dir/mh")
+    val eMh = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairsAgainstIndex(spark, docs, s"$dir/mh", bands = 4)
+    }
+    assert(eMh.getMessage.contains("bands"), eMh.getMessage)
+    Dedup.writeAnnIndex(emb, s"$dir/ann")
+    val eAnn = intercept[IllegalArgumentException] {
+      Dedup.embeddingAnnPairsAgainstIndex(spark, emb, s"$dir/ann", tables = 7)
+    }
+    assert(eAnn.getMessage.contains("tables"), eAnn.getMessage)
+    // an index predating the sidecar convention must refuse, not no-op
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/mh/params.properties"))
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairsAgainstIndex(spark, docs, s"$dir/mh")
+    }
+  }
+
   test("LSH bucket cap bounds a near-identical mega-cluster without inventing pairs") {
     // 40 near-identical docs (common body + one varying token) — high
     // mutual jaccard, NOT byte-identical, so exact dedup can't collapse

@@ -225,6 +225,29 @@ class ExtSpec extends SparkSpec {
     assert(once.forall(_._3 <= 3L))
   }
 
+  test("two-phase quota equals the one-phase window and shrinks its input") {
+    // two huge groups (the hot-reducer shape the two-phase cap exists
+    // for): the pre-sample must keep >= cap rows per group, the exact
+    // window over the remainder must pick the IDENTICAL set, and the
+    // window input must be a fraction of the corpus
+    val d = (0L until 1000L).map(i => (i, if (i < 500) "a" else "b"))
+      .toDF("doc_id", "grp")
+    val one = Sampling.capPerGroup(d, "grp", "doc_id", cap = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val two = Sampling.capPerGroupTwoPhase(d, "grp", "doc_id", cap = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(two == one, s"oneOnly=${one -- two} twoOnly=${two -- one}")
+    val pre = Sampling.presampleForCap(d, "grp", "doc_id", cap = 5)
+    val perGrp = pre.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGrp.values.forall(_ >= 5), s"pre-sample starved a group: $perGrp")
+    val preN = perGrp.values.sum
+    assert(preN < 100, s"window input not meaningfully reduced: $preN of 1000")
+    // a group smaller than the oversampled cap passes through untouched
+    val tiny = (0L until 3L).map(i => (i, "t")).toDF("doc_id", "grp")
+    assert(Sampling.presampleForCap(tiny, "grp", "doc_id", cap = 5).count() == 3)
+  }
+
   test("packed bins respect capacity up to one boundary-split chunk") {
     // boundary-splitting packing: a bin overflows binTokens by at most
     // its last chunk minus one token (chunks are <= 20 tokens here)

@@ -44,7 +44,23 @@ class CompactionSpec extends SparkSpec {
     assert(Compaction.monthFileCount(lake, 202402) == coldBefore,
       "untouched month must keep its files")
     assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$lake.compact_staging")), "staging not cleaned")
+      java.nio.file.Paths.get(s"$lake.compact_staging_202401")), "staging not cleaned")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$lake.compact_trash_202401")), "trash not cleaned")
+  }
+
+  test("per-month staging: compacting both months preserves all data and cleans up") {
+    // staging/trash dirs are keyed by year_month, so compactions of
+    // different months can't clobber each other's staged state
+    val lake = mkLake()
+    val before = spark.read.parquet(lake).collect().map(_.toSeq).toSet
+    Compaction.compactYearMonth(spark, lake, 202401)
+    Compaction.compactYearMonth(spark, lake, 202402)
+    assert(spark.read.parquet(lake).collect().map(_.toSeq).toSet == before)
+    val leftovers = new java.io.File(
+        java.nio.file.Paths.get(lake).getParent.toString).listFiles()
+      .map(_.getName).filter(n => n.contains("compact_staging") || n.contains("compact_trash"))
+    assert(leftovers.isEmpty, s"leftover swap state: ${leftovers.toSeq}")
   }
 
   test("a tiny file-size target salts countries into multiple files") {
