@@ -53,6 +53,21 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
   }
 
+  /** Time one `writeTrainingShards` run — the end product a reference
+    * user actually calls (raw corpus → curated, packed, split/shard-
+    * partitioned parquet). It's a SINK, not a DataFrame, so it can't
+    * live in the query map; it gets its own metric line instead.
+    * Single-shot by design: the run includes a real filesystem write,
+    * which min-of-reps would page-cache into meaninglessness. */
+  def timeShards(spark: SparkSession, sfDir: String, outDir: String): Double = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val t0 = System.nanoTime()
+    ext.Curation.writeTrainingShards(docs, docs.filter(col("doc_id") < 25),
+      outDir)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,6 +83,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // auxiliary metric FIRST; the driver's headline JSON stays the last line
+    val shardsDir =
+      java.nio.file.Files.createTempDirectory("graft_bench_shards")
+    val tShards = timeShards(spark, sfDir, s"$shardsDir/shards")
+    println(s"""{"metric":"shards","value":$tShards,"unit":"sec","sf":"$sfDir"}""")
+    graft.lineage.AtomicSwap.deleteRecursive(shardsDir)
     println(benchJson(spark, sfDir, SparkEntry.queries, reps))
     spark.stop()
   }

@@ -35,6 +35,14 @@ class BenchSpec extends SparkSpec {
     assert(boomRuns == 1, s"a failed query must not be retried, got $boomRuns runs")
   }
 
+  test("timeShards writes a real shard layout and reports its cost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_shards_spec")
+    val t = Bench.timeShards(spark, sf("sf0.001"), s"$dir/shards")
+    assert(t > 0.0, "shard write must take measurable time")
+    val written = spark.read.parquet(s"$dir/shards")
+    assert(written.count() > 0, "shard bench must land actual training shards")
+  }
+
   test("benchJson reports the MIN over reps, not the first-run transient") {
     // first invocation carries a deliberate 800 ms first-touch penalty —
     // exactly the JIT/page-cache shape that inflated BENCH_r05 ~6×
