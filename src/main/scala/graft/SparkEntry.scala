@@ -237,6 +237,16 @@ object SparkEntry {
       ext.TextAnalysis.packChunks(
           ext.TextAnalysis.chunkDocuments(Tables.documents(s, dir)))
         .select("doc_id", "chunk_idx", "shard", "bin_id", "n_chunk_tokens")),
+    // north-star data mixing, scale path: the TWO-PHASE quota (oversampled
+    // md5-prefix pre-filter, then the exact window over the remainder) —
+    // selects the identical set to the one-phase window, so it shares
+    // q37's oracle shape; cap=10 makes the pre-filter actually bite
+    "q43_lang_quota_two_phase" -> ((s, dir) =>
+      ext.Sampling.capPerGroupTwoPhase(
+        Tables.documents(s, dir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("lang")),
+        "lang", "doc_id", cap = 10)),
     // north-star composition: the END-TO-END curation chain under the
     // driver's gate — per-stage survivor counts of gates → exact dedup →
     // LSH+CC near-dedup → decontamination → quota (the README-quickstart
@@ -532,6 +542,15 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS grp_rank
         |  FROM documents)
         |SELECT doc_id, lang, grp_rank FROM r WHERE grp_rank <= 50""".stripMargin,
+    // the two-phase cap must select the IDENTICAL set to the one-phase
+    // window, so its oracle is the plain window SQL — the oracle compare
+    // is exactly the equality claim
+    "q43_lang_quota_two_phase" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS grp_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, grp_rank FROM r WHERE grp_rank <= 10""".stripMargin,
     // rolling polynomial hash restated in SQL: HUGEINT (128-bit)
     // intermediates keep h*Base in range; ascii(substr) = byte because
     // the fixture corpus is pure ASCII (checked at all SFs)

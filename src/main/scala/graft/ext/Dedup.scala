@@ -295,6 +295,78 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Append a batch's bucket/shingle rows to an existing MinHash index
+    * (params validated against the sidecar first). Plain parquet appends:
+    * on a real cluster the adoption belongs inside a table format's
+    * commit; locally a crash between the two appends leaves buckets
+    * whose docs can't be verified — rerun the batch (appends are
+    * idempotent only at the batch level, so dedup the batch id space
+    * before retrying). */
+  def appendMinhashIndex(docs: DataFrame, path: String, n: Int = 3,
+                         k: Int = 32, bands: Int = 8,
+                         seed: Long = 42L): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    requireParams(s"$path/params.properties", Map(
+      "n" -> n.toString, "k" -> k.toString,
+      "bands" -> bands.toString, "seed" -> seed.toString), "MinHash")
+    val r = k / bands
+    val bandHashes = (0 until bands).map(j =>
+      xxhash64(lit(j), slice(col("sig"), j * r + 1, r)))
+    minhashSignatures(docs, n, k, seed)
+      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/buckets")
+    docs.select(col("doc_id"),
+        graft.functions.Shingles.shingle_hashes(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/shingles")
+  }
+
+  /** One CONTINUOUS-INGEST dedup cycle: drop batch docs that duplicate
+    * the indexed corpus (cross-pairs from the stored buckets) or an
+    * earlier batch doc (within-batch pairs, greedy policy), then append
+    * the survivors' signatures to the index so the NEXT batch sees them.
+    * Returns the surviving batch rows.
+    *
+    * Semantics: with ids monotone in arrival order (the natural ingest
+    * id scheme) and duplicate CLIQUES (mutual copies — what exact-dup
+    * groups and near-dup clusters of a common source actually look
+    * like), replaying batches through this cycle reproduces EXACTLY the
+    * monolithic greedy dedup (`applyPairs` over `minhashLshPairs`) of
+    * the concatenated corpus — pinned by DedupSpec on a 3-way split of
+    * the fixture. Both pair sets are computed on the FULL batch (not
+    * post-cross survivors) so dropped docs still witness their
+    * within-batch pairs, matching the monolithic pair graph. On CHAIN
+    * topologies the replay can keep a doc whose only duplicates were
+    * dropped in earlier cycles (they're not in the index) — the same
+    * local-minimum character greedy `applyPairs` itself has; use
+    * periodic full re-clustering (`applyPairsCC`) if chain-exact
+    * semantics matter.
+    *
+    * Scale notes (100 TB): per cycle, the signature pass runs over the
+    * BATCH only; the corpus contributes its (bands per doc) stored
+    * bucket rows to one equi-join. Index growth is the survivors'
+    * bucket/shingle rows — corpus text is never re-read. This is the
+    * steady-state shape of a training-data ingest pipeline: cost per
+    * cycle ∝ batch size, never corpus size. */
+  def ingestDedupBatch(spark: org.apache.spark.sql.SparkSession,
+                       newDocs: DataFrame, indexPath: String,
+                       n: Int = 3, k: Int = 32, bands: Int = 8,
+                       minJaccard: Double = 0.5,
+                       seed: Long = 42L): DataFrame = {
+    val cross = minhashLshPairsAgainstIndex(spark, newDocs, indexPath,
+      n, k, bands, minJaccard, seed)
+    val within = minhashLshPairs(newDocs, n, k, bands, minJaccard, seed)
+    val dropIds = cross.select(col("doc_b").as("doc_id"))
+      .unionByName(within.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val survivors = newDocs.join(dropIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // materialize BEFORE the append mutates the index
+    appendMinhashIndex(survivors, indexPath, n, k, bands, seed)
+    survivors
+  }
+
   /** 64-bit SimHash fingerprint of the token multiset: bit b is set when
     * the sum of ±1 contributions (sign of token-hash bit b) is positive.
     * Backed by the native single-pass codegen expression (the nested
@@ -536,6 +608,47 @@ object Dedup {
       .withColumn("cos_sim", Similarity.cosine(col("ea"), col("eb")))
       .filter(col("cos_sim") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  /** Append a batch's bucket/vector rows to an existing ANN index
+    * (params validated against the sidecar). Same append contract as
+    * `appendMinhashIndex`. */
+  def appendAnnIndex(newEmb: DataFrame, path: String, tables: Int = 30,
+                     bitsPerTable: Int = 5): Unit = {
+    requireParams(s"$path/params.properties", Map(
+      "tables" -> tables.toString, "bitsPerTable" -> bitsPerTable.toString),
+      "ANN")
+    val v = newEmb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    v.select(col("vec_id"), posexplode(graft.functions.LshSignatures
+        .lsh_signatures(col("e"), tables, bitsPerTable).as("sigs"))
+        .as(Seq("table", "sig")))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/buckets")
+    v.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/vectors")
+  }
+
+  /** One continuous-ingest embedding-dedup cycle — the `ingestDedupBatch`
+    * analog over vectors: drop batch vectors duplicating the indexed
+    * corpus or an earlier batch vector (greedy), append the survivors to
+    * the index, return them. With monotone ids, replay equals the
+    * monolithic `applyPairs(emb, embeddingAnnPairs(emb))` (DedupSpec).
+    * Cost per cycle ∝ batch size; corpus vectors are never re-read. */
+  def ingestAnnBatch(spark: org.apache.spark.sql.SparkSession,
+                     newEmb: DataFrame, indexPath: String,
+                     minCosine: Double = 0.4, tables: Int = 30,
+                     bitsPerTable: Int = 5): DataFrame = {
+    val cross = embeddingAnnPairsAgainstIndex(spark, newEmb, indexPath,
+      minCosine, tables, bitsPerTable)
+    val within = embeddingAnnPairs(newEmb, minCosine, tables, bitsPerTable)
+    val dropIds = cross.select(col("vec_b").as("vec_id"))
+      .unionByName(within.select(col("vec_b").as("vec_id")))
+      .distinct()
+    val survivors = newEmb.join(dropIds, Seq("vec_id"), "left_anti")
+      .localCheckpoint() // materialize BEFORE the append mutates the index
+    appendAnnIndex(survivors, indexPath, tables, bitsPerTable)
+    survivors
   }
 
   /** Sub-quadratic embedding near-dup pairs: random-hyperplane LSH

@@ -134,6 +134,70 @@ class DedupSpec extends SparkSpec {
     assert(inc == full, s"incOnly=${inc -- full} fullOnly=${full -- inc}")
   }
 
+  test("replayed text ingest cycles reproduce the monolithic greedy dedup and grow the index") {
+    import org.apache.spark.sql.functions.lit
+    val all = Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    def cp(src: Long, as: Long) =
+      all.filter($"doc_id" === src).withColumn("doc_id", lit(as))
+    // corpus pre-deduped (as a production index would be); copies planted
+    // across every boundary: corpus→b1 (8000), corpus→b2 (9000), and
+    // b1-survivor→b2 (9001) — the last one only drops if the cycle-1
+    // APPEND actually grew the index
+    val corpusRaw = all.filter($"doc_id" < 200)
+    val corpus = Dedup.applyPairs(corpusRaw, Dedup.minhashLshPairs(corpusRaw))
+    val b1 = all.filter($"doc_id" >= 200 && $"doc_id" < 350)
+      .unionByName(cp(1L, 8000L))
+    val b2 = all.filter($"doc_id" >= 350)
+      .unionByName(cp(0L, 9000L)).unionByName(cp(250L, 9001L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_mh").toString
+    Dedup.writeMinhashIndex(corpus, s"$dir/idx")
+    val bucketsBefore = spark.read.parquet(s"$dir/idx/buckets").count()
+    val s1 = Dedup.ingestDedupBatch(spark, b1, s"$dir/idx")
+    val s2 = Dedup.ingestDedupBatch(spark, b2, s"$dir/idx")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val seq = ids(corpus) ++ ids(s1) ++ ids(s2)
+    val monoIn = corpus.unionByName(b1).unionByName(b2)
+    val mono = ids(Dedup.applyPairs(monoIn, Dedup.minhashLshPairs(monoIn)))
+    assert(seq == mono, s"seqOnly=${seq -- mono} monoOnly=${mono -- seq}")
+    assert(Seq(8000L, 9000L, 9001L).forall(!seq.contains(_)),
+      "planted cross-cycle copies must all be dropped")
+    assert(spark.read.parquet(s"$dir/idx/buckets").count() > bucketsBefore,
+      "survivor signatures must be appended to the index")
+  }
+
+  test("replayed embedding ingest cycles reproduce the monolithic dedup on copy cliques") {
+    import org.apache.spark.sql.functions.lit
+    val all = Tables.embeddings(spark, sf("sf0.001"))
+    def cp(src: Long, as: Long) =
+      all.filter($"vec_id" === src).withColumn("vec_id", lit(as))
+    // at minCosine 0.9 the fixture pairs nothing (max random cosine
+    // 0.48) — only the planted exact copies form (clique) duplicates
+    val corpus = all.filter($"vec_id" < 200)
+    val b1 = all.filter($"vec_id" >= 200 && $"vec_id" < 350)
+      .unionByName(cp(0L, 8000L))
+    val b2 = all.filter($"vec_id" >= 350)
+      .unionByName(cp(0L, 9000L)).unionByName(cp(250L, 9001L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_ann").toString
+    Dedup.writeAnnIndex(corpus, s"$dir/idx")
+    val s1 = Dedup.ingestAnnBatch(spark, b1, s"$dir/idx", minCosine = 0.9)
+    val s2 = Dedup.ingestAnnBatch(spark, b2, s"$dir/idx", minCosine = 0.9)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").as[Long].collect().toSet
+    val seq = ids(corpus) ++ ids(s1) ++ ids(s2)
+    val monoIn = corpus.unionByName(b1).unionByName(b2)
+    val mono = ids(Dedup.applyPairs(
+      monoIn.withColumnRenamed("vec_id", "doc_id"),
+      Dedup.embeddingAnnPairs(monoIn, minCosine = 0.9)
+        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
+      .withColumnRenamed("doc_id", "vec_id"))
+    assert(seq == mono, s"seqOnly=${seq -- mono} monoOnly=${mono -- seq}")
+    assert(Seq(8000L, 9000L, 9001L).forall(!seq.contains(_)),
+      "planted copies must all be dropped")
+    assert(seq.contains(250L), "the copied-from original must survive")
+  }
+
   test("index params sidecar: probing with mismatched parameters fails loudly") {
     // a parameter mismatch doesn't error at runtime — it hashes into
     // disjoint buckets and returns ~zero pairs, indistinguishable from a
