@@ -247,6 +247,11 @@ object SparkEntry {
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("lang")),
         "lang", "doc_id", cap = 10)),
+    // north-star quality scoring, corpus-statistics family: unigram
+    // negative log-likelihood per document (the perplexity-proxy filter —
+    // both tails of the distribution are drop candidates)
+    "q44_unigram_nll" -> ((s, dir) =>
+      ext.TextAnalysis.unigramNllScores(Tables.documents(s, dir))),
     // north-star composition: the END-TO-END curation chain under the
     // driver's gate — per-stage survivor counts of gates → exact dedup →
     // LSH+CC near-dedup → decontamination → quota (the README-quickstart
@@ -542,6 +547,16 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS grp_rank
         |  FROM documents)
         |SELECT doc_id, lang, grp_rank FROM r WHERE grp_rank <= 50""".stripMargin,
+    // avg() both sides is fp-order-dependent -> ROUND 6dp (cosine rule)
+    "q44_unigram_nll" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(AVG(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))), 6) AS unigram_nll
+        |FROM toks t JOIN counts USING (tok) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
     // the two-phase cap must select the IDENTICAL set to the one-phase
     // window, so its oracle is the plain window SQL — the oracle compare
     // is exactly the equality claim

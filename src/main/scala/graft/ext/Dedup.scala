@@ -349,12 +349,20 @@ object Dedup {
     * bucket rows to one equi-join. Index growth is the survivors'
     * bucket/shingle rows — corpus text is never re-read. This is the
     * steady-state shape of a training-data ingest pipeline: cost per
-    * cycle ∝ batch size, never corpus size. */
+    * cycle ∝ batch size, never corpus size.
+    *
+    * `accept` (e.g. an append to the accepted-corpus table) runs over
+    * the materialized survivors BEFORE the index append: a replayed
+    * batch then at worst duplicates rows in the sink (dedupable by
+    * doc_id downstream) instead of silently losing them — if the index
+    * were grown first, a crash before the sink would make the replay
+    * drop its own survivors as "duplicates" with the text gone for
+    * good. Production would wrap both in a table format's commit. */
   def ingestDedupBatch(spark: org.apache.spark.sql.SparkSession,
                        newDocs: DataFrame, indexPath: String,
                        n: Int = 3, k: Int = 32, bands: Int = 8,
-                       minJaccard: Double = 0.5,
-                       seed: Long = 42L): DataFrame = {
+                       minJaccard: Double = 0.5, seed: Long = 42L,
+                       accept: DataFrame => Unit = _ => ()): DataFrame = {
     val cross = minhashLshPairsAgainstIndex(spark, newDocs, indexPath,
       n, k, bands, minJaccard, seed)
     val within = minhashLshPairs(newDocs, n, k, bands, minJaccard, seed)
@@ -363,6 +371,7 @@ object Dedup {
       .distinct()
     val survivors = newDocs.join(dropIds, Seq("doc_id"), "left_anti")
       .localCheckpoint() // materialize BEFORE the append mutates the index
+    accept(survivors)
     appendMinhashIndex(survivors, indexPath, n, k, bands, seed)
     survivors
   }

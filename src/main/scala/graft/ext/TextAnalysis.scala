@@ -164,6 +164,41 @@ object TextAnalysis {
       .drop("cum")
   }
 
+  /** Unigram negative-log-likelihood quality score — the corpus-LM
+    * perplexity proxy (CCNet-style pipelines score documents against a
+    * language model and drop the tails; a unigram model over the corpus
+    * itself is the self-contained version): for each document,
+    * `nll = mean over tokens of ln(N / count(token))` where N is the
+    * corpus token total. Low = stereotypical high-frequency text, high
+    * = rare-token-heavy (gibberish, codes, OCR noise); both tails are
+    * filter candidates. Deterministic: counts are exact, the mean is
+    * rounded to 6dp so fp association order can't flip the hash compare
+    * (same convention as cosine).
+    *
+    * Scale notes (100 TB): the vocabulary count is one map-side-combined
+    * aggregate (shuffle = one (token, partial) per token per partition);
+    * the corpus total rides a vocab-sized single-partition window, never
+    * a second corpus pass; the token→count join is broadcast-hinted only
+    * while the measured vocab stays under the 10M-row ceiling (web-scale
+    * vocabularies fall back to a shuffled join keyed on the token); the
+    * per-doc mean is map-side combined. Nothing touches the corpus more
+    * than twice. */
+  def unigramNllScores(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("n_total", sum(col("c")).over(Window.partitionBy()))
+      .localCheckpoint() // vocab-sized; reused by the gate count + the join
+    val hinted =
+      if (counts.count() <= 10000000L) broadcast(counts) else counts
+    toks.join(hinted, "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(log(col("n_total").cast("double") / col("c").cast("double"))), 6)
+          .as("unigram_nll"))
+  }
+
   private val LangOrder = Seq("en", "de", "es", "fr", "zh")
 
   /** Predicted language of a text column (stopword-hit scoring with the

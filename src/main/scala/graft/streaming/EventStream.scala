@@ -108,6 +108,37 @@ object EventStream {
       .toDF()
   }
 
+  /** Continuous-ingest dedup as a STREAM — the batch/stream unification
+    * of `ext.Dedup.ingestDedupBatch`: each micro-batch of documents is
+    * deduplicated against the on-disk MinHash index (cross-corpus and
+    * within-batch), survivors are appended to `acceptedPath`, and the
+    * index grows by exactly those survivors — so a duplicate arriving in
+    * a LATER micro-batch is dropped against an earlier batch's survivor.
+    * Dedup state lives in the index on disk, not in executor memory, so
+    * it is unbounded-stream-safe and shared with every batch job that
+    * probes the same index.
+    *
+    * Delivery: foreachBatch is at-least-once; the accept-before-append
+    * ordering inside `ingestDedupBatch` means a replayed batch can
+    * duplicate survivors in `acceptedPath` (dedupable by doc_id) but
+    * never lose them. Production wants both writes inside one table
+    * format commit. */
+  def ingestDedupStream(docs: DataFrame, indexPath: String,
+                        acceptedPath: String,
+                        checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Dedup.ingestDedupBatch(batch.sparkSession, batch,
+            indexPath, accept =
+              _.write.mode(SaveMode.Append).parquet(acceptedPath))
+          ()
+        }
+      }
+
   /** Incremental lake maintenance via foreachBatch: each micro-batch's
     * touched partitions are overwritten in place (dynamic partition
     * overwrite ≡ the reference's drop-partition-and-rebuild, applied

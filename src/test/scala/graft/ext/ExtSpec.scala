@@ -202,6 +202,18 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) == ((2L, 0L, 0.0)), "sub-trigram doc must score 0, not NaN")
   }
 
+  test("unigram NLL matches the closed form on a tiny corpus") {
+    // counts: a=2 b=2 c=1, N=5 → doc1 (a a b): ln(5/2); doc2 (b c):
+    // (ln(5/2)+ln(5/1))/2
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNllScores(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 3L && out(2L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - math.log(2.5)) < 1e-6, s"got ${out(1L)}")
+    assert(math.abs(out(2L)._2 - (math.log(2.5) + math.log(5.0)) / 2) < 1e-6,
+      s"got ${out(2L)}")
+  }
+
   test("contamination report counts benchmark-overlapping n-grams only") {
     val corpus = Seq(
       (100L, "w1 w2 w3 w4 zz"),   // shares trigrams "w1 w2 w3", "w2 w3 w4"

@@ -19,6 +19,41 @@ class EventStreamSpec extends SparkSpec {
   case class AggRow(window_start: Timestamp, event_type: String,
                     n_events: Long, value_sum: Double)
 
+  case class IngestDoc(doc_id: Long, text: String)
+
+  test("streaming ingest dedup drops cross-batch duplicates via the on-disk index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
+    // seed corpus indexed ONCE; the stream grows it micro-batch by
+    // micro-batch — dedup state on disk, not in executor memory
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    graft.ext.Dedup.writeMinhashIndex(corpus, s"$dir/idx")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.ingestDedupStream(mem.toDF(), s"$dir/idx",
+        s"$dir/accepted", s"$dir/ckpt").start()
+      q.awaitTermination() // AvailableNow: processes what's queued, stops
+    }
+    // micro-batch 1: one new doc + a copy of corpus doc 1
+    mem.addData(
+      IngestDoc(10L, "red orange yellow green blue indigo violet"),
+      IngestDoc(11L, "alpha beta gamma delta epsilon zeta"))
+    drain()
+    // micro-batch 2 (fresh query, same checkpoint — the restart path):
+    // a copy of batch-1 SURVIVOR 10 — dropped only because batch 1 grew
+    // the index — plus one genuinely new doc
+    mem.addData(
+      IngestDoc(20L, "red orange yellow green blue indigo violet"),
+      IngestDoc(21L, "cat dog bird fish horse cow sheep"))
+    drain()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted == Set(10L, 21L),
+      s"accepted should hold exactly the two unique new docs: $accepted")
+  }
+
   test("watermarked windowed agg finalizes windows and drops late rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
