@@ -223,6 +223,27 @@ object Similarity {
     idx.toString
   }
 
+  /** Append new vectors to a written IVF index: assign them to the
+    * EXISTING trained centroids (the quantizer is not retrained — the
+    * standard serving-index behavior; rebuild via `writeIvfIndex` when
+    * distribution drift warrants) and append into the cell partitions.
+    * Probes see the new vectors immediately. Cost: one narrow codegen
+    * assignment map over the batch + a partitioned append — the indexed
+    * corpus is never re-read, so continuous embedding ingest
+    * (`Dedup.ingestAnnBatch` for dedup, this for serving) stays ∝ batch
+    * size. Same append-atomicity caveat as the dedup indexes: a real
+    * deployment puts the append inside a table format's commit. */
+  def appendToIvfIndex(newEmb: DataFrame, path: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    assignCells(newEmb, cents)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(s"$path/data")
+  }
+
   /** Probe a written IVF index: identical output contract to `ivfTopK`,
     * but candidates come from `spark.read.parquet(index/data)` joined on
     * the routed cells — the broadcast join on the partition column turns

@@ -140,6 +140,28 @@ class PlanInvariantsSpec extends SparkSpec {
       s"BroadcastNestedLoopJoin in q32 plan:\n$p")
   }
 
+  test("q44 scores tokens against a broadcast vocabulary (one exchange in the final plan)") {
+    // the vocabulary (counts + total) is materialized once into a
+    // checkpoint; the scoring query itself must then be: token generate →
+    // BROADCAST join against the vocab → one map-side-combined per-doc
+    // aggregate. A shuffled vocab join would re-shuffle the full token
+    // relation — the thing the gate exists to avoid at fixture scale
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q44_unigram_nll")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+      assert(p.collect { case e: ShuffleExchangeExec => e }.length == 1,
+        s"expected exactly one exchange (the per-doc aggregate):\n$p")
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"vocab join lost its broadcast:\n$p")
+      assert(p.collect {
+          case j: ShuffledHashJoinExec => j
+          case j: SortMergeJoinExec => j
+        }.isEmpty,
+        s"vocab join fell back to a shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q33 df-cap is a broadcast anti-join (no second shuffle of the shingle relation)") {
     // the frequent set (df > cap) is tiny by construction; dropping it must
     // be a broadcast LeftAnti on the shingle relation — an inner join

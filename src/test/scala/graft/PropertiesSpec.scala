@@ -34,6 +34,25 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("md5 8-hex-prefix order is a coarsening of full-hash order (two-phase quota lemma)") {
+    // the claim Sampling.presampleForCap rests on: filtering on the
+    // numeric value of the first 8 hex digits keeps a TRUE PREFIX of the
+    // (md5-string, id) window order — i.e. full-string order can never
+    // place a row with a larger prefix before one with a smaller prefix.
+    // Fixed-width lowercase hex compares lexicographically exactly as it
+    // compares numerically, so this must hold for arbitrary ids.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def prefix(h: String): Long = java.lang.Long.parseLong(h.take(8), 16)
+    check(Prop.forAll(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (a, b) =>
+      val (ha, hb) = (md5hex(a.toString), md5hex(b.toString))
+      !(ha < hb) || prefix(ha) <= prefix(hb)
+    })
+  }
+
   test("jdbc partition options never exceed the key range") {
     val gen = for {
       lo <- Gen.chooseNum(-1000000L, 1000000L)

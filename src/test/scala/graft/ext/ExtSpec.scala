@@ -165,6 +165,24 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("IVF index append: new vectors are probeable without retraining") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    val unlabeled = emb.drop("label")
+    val base = unlabeled.filter($"vec_id" =!= 0L)
+    val extra = unlabeled.filter($"vec_id" === 0L)
+    Similarity.writeIvfIndex(base, s"$dir/index")
+    val before = spark.read.parquet(s"$dir/index/data").count()
+    Similarity.appendToIvfIndex(extra, s"$dir/index")
+    assert(spark.read.parquet(s"$dir/index/data").count() == before + 1,
+      "append must land exactly the new vectors in the cell partitions")
+    // the appended vector is immediately servable: rank-1 self-retrieval
+    val r1 = Similarity.probeIvfIndex(spark, s"$dir/index", extra, k = 3)
+      .filter($"rank" === 1L).head()
+    assert(r1.getAs[Long]("neighbor_id") == 0L &&
+      math.abs(r1.getAs[Double]("cos_sim") - 1.0) < 1e-6,
+      s"appended vector not retrieved: $r1")
+  }
+
   test("IVF index cache is content-keyed: reused when unchanged, rebuilt on mutation") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_ivf_cache")
