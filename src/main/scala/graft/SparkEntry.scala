@@ -247,6 +247,26 @@ object SparkEntry {
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("lang")),
         "lang", "doc_id", cap = 10)),
+    // north-star data mixing: per-language TOKEN budget (training mixes
+    // are specified in tokens, not documents) — hash-ordered running sum,
+    // boundary doc included, budget 500 tokens per language
+    "q45_token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      ext.Sampling.capTokensPerGroup(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "lang", "doc_id", "n_tok", budget = 500L)
+    }),
+    // north-star data mixing: deterministic fractional-epoch repetition
+    // (repeat src0 2.5x, halve src1, drop src2, everything else 1x) —
+    // binary-exact weights so the hash-parity claim is cross-engine
+    "q46_epoch_weights" -> ((s, dir) =>
+      ext.Sampling.repeatByWeight(
+        Tables.documents(s, dir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("source")),
+        "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))),
     // north-star quality scoring, corpus-statistics family: unigram
     // negative log-likelihood per document (the perplexity-proxy filter —
     // both tails of the distribution are drop candidates)
@@ -547,6 +567,33 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS grp_rank
         |  FROM documents)
         |SELECT doc_id, lang, grp_rank FROM r WHERE grp_rank <= 50""".stripMargin,
+    // running sum over the same (md5, id) order as q37; boundary doc
+    // (the first to cross the budget) included on both sides
+    "q45_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |  CAST(SUM(n_tok) OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, lang, n_tok, cum_tokens FROM c
+        |WHERE cum_tokens - n_tok < 500""".stripMargin,
+    // same md5-bucket expression as q31; binary-exact weights keep
+    // (wt % 1) * 100 integral in IEEE arithmetic on both engines
+    "q46_epoch_weights" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+        |       WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |  CAST(floor(wt) + CASE WHEN
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |        < round((wt % 1) * 100) THEN 1 ELSE 0 END AS INT) AS n
+        |  FROM w)
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS epoch
+        |FROM c WHERE n > 0""".stripMargin,
     // avg() both sides is fp-order-dependent -> ROUND 6dp (cosine rule)
     "q44_unigram_nll" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

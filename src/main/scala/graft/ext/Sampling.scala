@@ -84,6 +84,60 @@ object Sampling {
     capPerGroup(presampleForCap(df, groupCol, idCol, cap, oversample),
       groupCol, idCol, cap)
 
+  /** Per-group TOKEN budget — the mixing primitive real training mixes
+    * are specified in ("50B tokens of code, 20B of web"), as opposed to
+    * `capPerGroup`'s document counts: walk each group in md5-of-id order
+    * accumulating `tokenCol`, keep every row that STARTS under the
+    * budget (so the budget is met or first exceeded by one boundary
+    * document — the same boundary convention as sequence packing).
+    * Selection is content-addressed and engine-portable; the DuckDB
+    * oracle states the identical running sum.
+    *
+    * Scale note: one window shuffle on the group key, exactly
+    * `capPerGroup`'s shape — and the same two-phase escape applies when
+    * groups are few and huge (pre-filter on an oversampled md5-prefix
+    * threshold derived from budget/avg-tokens, then this exact window). */
+  def capTokensPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w).cast("long"))
+      .filter(col("cum_tokens") - col(tokenCol) < budget)
+  }
+
+  /** Deterministic fractional-epoch repetition — the mixture-weighting
+    * primitive ("repeat wiki 2.5 epochs, downsample web to 0.5"): every
+    * row appears `floor(w)` times plus one more for the
+    * hash-of-id-selected `frac(w)` fraction of its group, with an
+    * `epoch` index column (0-based) so downstream shuffles can spread
+    * repeats. Weight 0 drops the group. Hash selection means the SAME
+    * documents are upsampled on every run/engine — reproducible mixes,
+    * and the fractional subset is itself a uniform hash sample.
+    *
+    * Scale note: a narrow projection + generate (rows explode in place,
+    * no shuffle); weights arrive as a literal CASE over the group
+    * column, so the plan stays codegen'd. Use binary-exact weights
+    * (halves/quarters) if cross-engine hash parity matters — 0.1 * 100
+    * is 10.000000000000002 in any IEEE engine. */
+  def repeatByWeight(df: DataFrame, idCol: String, groupCol: String,
+                     weights: Map[String, Double],
+                     defaultWeight: Double = 1.0): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),
+      "weights must be >= 0")
+    val wt = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, w)) =>
+      when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    val copies = (floor(wt) +
+      when(hashBucket(col(idCol)) < round(wt % 1.0 * 100), 1).otherwise(0))
+      .cast("int")
+    df.withColumn("_n_epochs", copies)
+      .filter(col("_n_epochs") > 0)
+      .select(col("*"),
+        explode(sequence(lit(0), col("_n_epochs") - 1)).as("epoch"))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .drop("_n_epochs")
+  }
+
   /** Train/val/test split assignment from cumulative percentage bounds
     * (e.g. 80/10/10 → train < 80 ≤ val < 90 ≤ test). */
   def trainValTest(df: DataFrame, idCol: String,

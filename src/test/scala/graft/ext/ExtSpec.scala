@@ -255,6 +255,50 @@ class ExtSpec extends SparkSpec {
     assert(once.forall(_._3 <= 3L))
   }
 
+  test("token budget keeps each group at budget up to one boundary doc") {
+    val d = (0L until 100L).map(i =>
+        (i, if (i % 2 == 0) "a" else "b", 10L + (i % 5)))
+      .toDF("doc_id", "grp", "n_tok")
+    val out = Sampling.capTokensPerGroup(d, "grp", "doc_id", "n_tok", 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // every kept row STARTS under the budget; per-group totals exceed the
+    // budget by at most one document's tokens
+    assert(out.forall { case (_, _, tok, cum) => cum - tok < 100L })
+    out.groupBy(_._2).foreach { case (g, rows) =>
+      val total = rows.map(_._3).sum
+      val maxTok = rows.map(_._3).max
+      assert(total >= 100L || rows.length == 50,
+        s"group $g under-filled: $total")
+      assert(total < 100L + maxTok, s"group $g over budget: $total")
+    }
+    // deterministic: selection is the md5-order prefix, rerun-identical
+    val again = Sampling.capTokensPerGroup(d, "grp", "doc_id", "n_tok", 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("epoch weighting repeats, halves and drops groups deterministically") {
+    val d = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    val out = Sampling.repeatByWeight(d, "doc_id", "src",
+        Map("s0" -> 2.5, "s1" -> 0.5, "s2" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    // s2 dropped entirely; s0 docs appear 2 or 3 times; s1 docs 0 or 1
+    assert(out.forall(_._2 != "s2"))
+    val s0Counts = byDoc.collect { case (id, rows) if id % 3 == 0 => rows.length }
+    assert(s0Counts.forall(n => n == 2 || n == 3))
+    // the fractional halves land near half the group (hash-uniform)
+    val s0Three = s0Counts.count(_ == 3)
+    assert(s0Three > 30 && s0Three < 70, s"2.5-epoch fraction off: $s0Three/100")
+    val s1Docs = out.count(_._2 == "s1")
+    assert(s1Docs > 30 && s1Docs < 70, s"0.5-epoch fraction off: $s1Docs/100")
+    // epoch indexes are 0..n-1 per doc
+    byDoc.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+  }
+
   test("two-phase quota equals the one-phase window and shrinks its input") {
     // two huge groups (the hot-reducer shape the two-phase cap exists
     // for): the pre-sample must keep >= cap rows per group, the exact
