@@ -237,6 +237,13 @@ object SparkEntry {
       ext.TextAnalysis.packChunks(
           ext.TextAnalysis.chunkDocuments(Tables.documents(s, dir)))
         .select("doc_id", "chunk_idx", "shard", "bin_id", "n_chunk_tokens")),
+    // north-star sequence assembly: packed bins → flat training sequences
+    // (one row per bin, chunks concatenated in pack order) — the final
+    // chunk → pack → SEQUENCE step a trainer consumes
+    "q47_assemble" -> ((s, dir) =>
+      ext.TextAnalysis.assembleBins(
+        ext.TextAnalysis.packChunks(
+          ext.TextAnalysis.chunkDocuments(Tables.documents(s, dir))))),
     // north-star data mixing, scale path: the TWO-PHASE quota (oversampled
     // md5-prefix pre-filter, then the exact window over the remainder) —
     // selects the identical set to the one-phase window, so it shares
@@ -679,5 +686,34 @@ object SparkEntry {
         |    - n_chunk_tokens) / 128.0) AS BIGINT) AS bin_id,
         |  n_chunk_tokens
         |FROM ch""".stripMargin,
+    // q41's pipeline plus the final assembly: ordered string_agg inside
+    // each (shard, bin_id) reproduces Spark's array_sort-then-array_join
+    "q47_assemble" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        CASE WHEN len(w) <= 20 THEN 1
+        |             ELSE CAST(ceil((len(w) - 20) / 10.0) AS INT) + 1 END AS nc
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, nc),
+        |        i -> struct_pack(
+        |          idx := i - 1,
+        |          txt := array_to_string(w[(i-1)*10 + 1 : (i-1)*10 + 20], ' '),
+        |          ntok := len(w[(i-1)*10 + 1 : (i-1)*10 + 20])))) AS ch
+        |      FROM c),
+        |ch AS (SELECT doc_id, CAST(ch.idx AS BIGINT) AS chunk_idx,
+        |         ch.txt AS chunk_text,
+        |         CAST(ch.ntok AS BIGINT) AS n_chunk_tokens,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+        |       FROM e),
+        |b AS (SELECT doc_id, chunk_idx, chunk_text, shard, n_chunk_tokens,
+        |  CAST(floor((SUM(n_chunk_tokens) OVER (PARTITION BY shard
+        |      ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - n_chunk_tokens) / 128.0) AS BIGINT) AS bin_id
+        |  FROM ch)
+        |SELECT shard, bin_id,
+        |  string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_idx) AS bin_text,
+        |  CAST(SUM(n_chunk_tokens) AS BIGINT) AS bin_tokens
+        |FROM b GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -164,6 +164,34 @@ object TextAnalysis {
       .drop("cum")
   }
 
+  /** Assemble packed bins into training sequences: one row per
+    * (shard, bin_id [, extraKeys]) with the bin's chunks concatenated in
+    * their deterministic pack order — the final step of
+    * chunk → pack → SEQUENCE that a trainer actually consumes (the shard
+    * writer keeps chunks as rows for lineage; this produces the flat
+    * text). `collect_list` order is partition-dependent, so the chunks
+    * are gathered as (doc_id, chunk_idx, text) structs and `array_sort`ed
+    * — struct ordering is field order, which is exactly the pack
+    * window's (doc_id, chunk_idx) order — before joining.
+    *
+    * Scale notes: ONE map-side-combined aggregate keyed on the bin
+    * identity; per-bin arrays are bounded by binTokens/min-chunk-size,
+    * so the interpreted `transform` over them is per-bin-tiny (same
+    * budget argument as chunking); no window, no second shuffle. */
+  def assembleBins(packed: DataFrame, extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = (Seq("shard", "bin_id") ++ extraKeys).map(col)
+    packed
+      .groupBy(keys: _*)
+      .agg(
+        array_sort(collect_list(struct(col("doc_id"), col("chunk_idx"),
+          col("chunk_text")))).as("_chunks"),
+        sum(col("n_chunk_tokens")).cast("long").as("bin_tokens"))
+      .select(keys ++ Seq(
+        array_join(transform(col("_chunks"), c => c.getField("chunk_text")), " ")
+          .as("bin_text"),
+        col("bin_tokens")): _*)
+  }
+
   /** Unigram negative-log-likelihood quality score — the corpus-LM
     * perplexity proxy (CCNet-style pipelines score documents against a
     * language model and drop the tails; a unigram model over the corpus

@@ -339,6 +339,34 @@ class ExtSpec extends SparkSpec {
       "most bins should be near capacity")
   }
 
+  test("assembled bins concatenate chunks in pack order, independent of partitioning") {
+    val packed = TextAnalysis.packChunks(
+      TextAnalysis.chunkDocuments(docs), binTokens = 128)
+    val assembled = TextAnalysis.assembleBins(packed)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // one row per bin; token totals conserved
+    assert(assembled.size ==
+      packed.select($"shard", $"bin_id").distinct().count())
+    val totalChunkToks = packed.agg(sum($"n_chunk_tokens")).as[Long].head()
+    assert(assembled.values.map(_._2).sum == totalChunkToks)
+    // bin_text is exactly the chunks joined in (doc_id, chunk_idx) order
+    val expected = packed
+      .orderBy($"shard", $"bin_id", $"doc_id", $"chunk_idx")
+      .select($"shard", $"bin_id", $"chunk_text")
+      .collect().groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.map(_.getString(2)).mkString(" ") }
+    expected.foreach { case (k, txt) =>
+      assert(assembled(k)._1 == txt, s"bin $k text mismatch")
+    }
+    // collect_list order must not leak: a shuffled input assembles identically
+    val shuffled = TextAnalysis.assembleBins(
+        packed.repartition(17, $"chunk_idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(shuffled == assembled)
+  }
+
   test("media near-dup: byte-identical payloads always found via the ANN path") {
     // plant exact copies of five documents under new ids: identical bytes
     // → identical stub features → every LSH table collides → all five
