@@ -586,8 +586,8 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, lang, n_tok, cum_tokens FROM c
         |WHERE cum_tokens - n_tok < 500""".stripMargin,
-    // same md5-bucket expression as q31; binary-exact weights keep
-    // (wt % 1) * 100 integral in IEEE arithmetic on both engines
+    // raw 32-bit md5 prefix vs frac·2^32 (no percent quantization);
+    // binary-exact weights keep frac·2^32 exact in IEEE on both engines
     "q46_epoch_weights" ->
       """WITH w AS (SELECT doc_id, source,
         |  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
@@ -595,8 +595,9 @@ object SparkEntry {
         |  FROM documents),
         |c AS (SELECT doc_id, source,
         |  CAST(floor(wt) + CASE WHEN
-        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
-        |        < round((wt % 1) * 100) THEN 1 ELSE 0 END AS INT) AS n
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |           AS DOUBLE) < (wt % 1) * 4294967296.0
+        |    THEN 1 ELSE 0 END AS INT) AS n
         |  FROM w)
         |SELECT doc_id, source,
         |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS epoch

@@ -357,19 +357,26 @@ object Dedup {
     * doc_id downstream) instead of silently losing them — if the index
     * were grown first, a crash before the sink would make the replay
     * drop its own survivors as "duplicates" with the text gone for
-    * good. Production would wrap both in a table format's commit. */
+    * good. Production would wrap both in a table format's commit.
+    *
+    * The batch frame is localCheckpointed ONCE at entry: it is consumed
+    * four more times downstream (broadcast-gate count, cross-pair
+    * signatures/shingles, within-batch pairs, survivor anti-join), and
+    * a streaming-`foreachBatch` or expensive upstream source must not
+    * be recomputed per consumer. */
   def ingestDedupBatch(spark: org.apache.spark.sql.SparkSession,
                        newDocs: DataFrame, indexPath: String,
                        n: Int = 3, k: Int = 32, bands: Int = 8,
                        minJaccard: Double = 0.5, seed: Long = 42L,
                        accept: DataFrame => Unit = _ => ()): DataFrame = {
-    val cross = minhashLshPairsAgainstIndex(spark, newDocs, indexPath,
+    val batch = newDocs.localCheckpoint()
+    val cross = minhashLshPairsAgainstIndex(spark, batch, indexPath,
       n, k, bands, minJaccard, seed)
-    val within = minhashLshPairs(newDocs, n, k, bands, minJaccard, seed)
+    val within = minhashLshPairs(batch, n, k, bands, minJaccard, seed)
     val dropIds = cross.select(col("doc_b").as("doc_id"))
       .unionByName(within.select(col("doc_b").as("doc_id")))
       .distinct()
-    val survivors = newDocs.join(dropIds, Seq("doc_id"), "left_anti")
+    val survivors = batch.join(dropIds, Seq("doc_id"), "left_anti")
       .localCheckpoint() // materialize BEFORE the append mutates the index
     accept(survivors)
     appendMinhashIndex(survivors, indexPath, n, k, bands, seed)
@@ -643,18 +650,22 @@ object Dedup {
     * corpus or an earlier batch vector (greedy), append the survivors to
     * the index, return them. With monotone ids, replay equals the
     * monolithic `applyPairs(emb, embeddingAnnPairs(emb))` (DedupSpec).
-    * Cost per cycle ∝ batch size; corpus vectors are never re-read. */
+    * Cost per cycle ∝ batch size; corpus vectors are never re-read.
+    * As in `ingestDedupBatch`, the batch is localCheckpointed once at
+    * entry so its four downstream consumers never recompute the
+    * (possibly expensive) upstream frame. */
   def ingestAnnBatch(spark: org.apache.spark.sql.SparkSession,
                      newEmb: DataFrame, indexPath: String,
                      minCosine: Double = 0.4, tables: Int = 30,
                      bitsPerTable: Int = 5): DataFrame = {
-    val cross = embeddingAnnPairsAgainstIndex(spark, newEmb, indexPath,
+    val batch = newEmb.localCheckpoint()
+    val cross = embeddingAnnPairsAgainstIndex(spark, batch, indexPath,
       minCosine, tables, bitsPerTable)
-    val within = embeddingAnnPairs(newEmb, minCosine, tables, bitsPerTable)
+    val within = embeddingAnnPairs(batch, minCosine, tables, bitsPerTable)
     val dropIds = cross.select(col("vec_b").as("vec_id"))
       .unionByName(within.select(col("vec_b").as("vec_id")))
       .distinct()
-    val survivors = newEmb.join(dropIds, Seq("vec_id"), "left_anti")
+    val survivors = batch.join(dropIds, Seq("vec_id"), "left_anti")
       .localCheckpoint() // materialize BEFORE the append mutates the index
     appendAnnIndex(survivors, indexPath, tables, bitsPerTable)
     survivors

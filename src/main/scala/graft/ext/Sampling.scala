@@ -59,14 +59,18 @@ object Sampling {
     * Scale note: the group-count aggregate is one map-side-combined
     * shuffle; the per-group thresholds are |groups| rows — a grouping
     * dimension like language or source, small by construction — joined
-    * with a broadcast hint; the filter itself is a narrow projection. */
+    * with a broadcast hint; the filter itself is a narrow projection.
+    * The join is NULL-SAFE (`<=>`): `capPerGroup`'s window treats a null
+    * group as its own partition, so the pre-sample must keep null-group
+    * rows too for the two-phase equality to hold on them. */
   def presampleForCap(df: DataFrame, groupCol: String, idCol: String,
                       cap: Int, oversample: Double = 4.0): DataFrame = {
     require(oversample >= 1.0, "oversample must be >= 1")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_grp_n"))
+      .withColumnRenamed(groupCol, "_grp_key")
     val pfx = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
-    df.join(broadcast(counts), Seq(groupCol))
+    df.join(broadcast(counts), col(groupCol) <=> col("_grp_key"))
       .filter(pfx < least(lit(1L << 32),
         ceil(lit((1L << 32).toDouble * oversample * cap) / col("_grp_n"))
           .cast("long")))
@@ -114,11 +118,16 @@ object Sampling {
     * documents are upsampled on every run/engine — reproducible mixes,
     * and the fractional subset is itself a uniform hash sample.
     *
+    * The fractional subset is chosen on the raw 32-bit md5 prefix
+    * against `frac(w)·2³²` (~2⁻³² granularity), not a percent bucket —
+    * weight 1.333 really upsamples 33.3%, and fractions below 1% still
+    * select their share instead of silently rounding to zero.
+    *
     * Scale note: a narrow projection + generate (rows explode in place,
     * no shuffle); weights arrive as a literal CASE over the group
     * column, so the plan stays codegen'd. Use binary-exact weights
-    * (halves/quarters) if cross-engine hash parity matters — 0.1 * 100
-    * is 10.000000000000002 in any IEEE engine. */
+    * (halves/quarters) if cross-engine hash parity matters — frac·2³²
+    * is then exact in IEEE arithmetic on every engine. */
   def repeatByWeight(df: DataFrame, idCol: String, groupCol: String,
                      weights: Map[String, Double],
                      defaultWeight: Double = 1.0): DataFrame = {
@@ -127,8 +136,11 @@ object Sampling {
     val wt = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, w)) =>
       when(col(groupCol) === g, lit(w)).otherwise(acc)
     }
+    val pfx = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
     val copies = (floor(wt) +
-      when(hashBucket(col(idCol)) < round(wt % 1.0 * 100), 1).otherwise(0))
+      when(pfx.cast("double") < (wt % 1.0) * lit(4294967296.0), 1)
+        .otherwise(0))
       .cast("int")
     df.withColumn("_n_epochs", copies)
       .filter(col("_n_epochs") > 0)

@@ -194,31 +194,48 @@ object Similarity {
     * dir. A regenerated fixture changes the fingerprint, so a stale
     * index can never be probed (ExtSpec pins rebuild-on-mutation and
     * reuse-on-identical). Concurrent builders each stage under a
-    * pid-suffixed dir and adopt with one ATOMIC_MOVE; the loser of the
-    * race discards its (byte-identical — the build is deterministic)
-    * staging copy, so a probe never observes a half-written index. A
-    * leftover dir missing its `centroids` sidecar is a crashed partial
-    * build and is cleared before rebuilding. */
+    * pid-suffixed dir and adopt with one ATOMIC_MOVE; builders serialize
+    * on an exclusive advisory lock file (probers take no lock), so the
+    * check → clear-partial → build → adopt sequence can never delete an
+    * index a concurrent builder just adopted — with the lock held, a
+    * complete index found at the re-check is simply a cache hit. A
+    * probe never observes a half-written index: adoption stays one
+    * atomic rename, and a dir missing its `centroids` sidecar (a
+    * crashed partial build) is only ever cleared under the lock. */
   def ensureIvfIndex(emb: DataFrame, cacheRoot: String, sourcePath: String,
                      nCells: Int = 16, iters: Int = 5,
                      seed: Long = 42L): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val idx = Paths.get(cacheRoot, s"ivf_${pathFingerprint(sourcePath)}")
     if (!Files.exists(idx.resolve("centroids"))) {
-      graft.lineage.AtomicSwap.deleteRecursive(idx)
-      val staging = idx.resolveSibling(
-        s"${idx.getFileName}.staging_${ProcessHandle.current().pid}")
-      graft.lineage.AtomicSwap.deleteRecursive(staging)
       Files.createDirectories(idx.getParent)
-      writeIvfIndex(emb, staging.toString, nCells, iters, seed)
-      try Files.move(staging, idx, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException =>
-          // a concurrent builder adopted the same fingerprint first; its
-          // index is identical by determinism — drop the duplicate
-          graft.lineage.AtomicSwap.deleteRecursive(staging)
-      }
+      val lockPath = idx.resolveSibling(s"${idx.getFileName}.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val held = ch.lock() // blocks until any concurrent builder is done
+        try {
+          // re-check under the lock: a builder that held it before us may
+          // have adopted a complete index — that's a cache hit, and
+          // deleting it here was exactly the pre-lock race hazard
+          if (!Files.exists(idx.resolve("centroids"))) {
+            graft.lineage.AtomicSwap.deleteRecursive(idx)
+            val staging = idx.resolveSibling(
+              s"${idx.getFileName}.staging_${ProcessHandle.current().pid}")
+            graft.lineage.AtomicSwap.deleteRecursive(staging)
+            writeIvfIndex(emb, staging.toString, nCells, iters, seed)
+            try Files.move(staging, idx, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.DirectoryNotEmptyException =>
+                // belt-and-braces (unreachable under the lock): an index
+                // appeared anyway; it is identical by determinism — drop
+                // the duplicate
+                graft.lineage.AtomicSwap.deleteRecursive(staging)
+            }
+          }
+        } finally held.release()
+      } finally ch.close()
     }
     idx.toString
   }

@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions._
   * contract as `AtomicSwap.writeSwap`): the rewritten month is fully
   * staged, the live month is moved aside to a trash path, the fresh
   * month adopted, and only then is the trash dropped. A crash before
-  * the shelve leaves the lake untouched; a crash between shelve and
-  * adopt is repaired by the restore handler (and the shelved copy is
-  * complete data either way) — the month is never simply deleted while
-  * its replacement is still pending. Staging and trash dirs are
-  * suffixed with the year_month, so concurrent compactions of
-  * DIFFERENT months never clobber each other's state.
+  * the shelve leaves the lake untouched. An IN-PROCESS failure between
+  * shelve and adopt is repaired immediately by the restore handler; a
+  * HARD crash there (process killed between the two moves) leaves the
+  * month shelved in the trash path until the next `compactYearMonth`
+  * on that month, whose opening repair step restores it before doing
+  * anything else — the shelved copy is complete data either way, and
+  * the month is never simply deleted while its replacement is pending.
+  * Staging and trash dirs are suffixed with the year_month, so
+  * concurrent compactions of DIFFERENT months never clobber each
+  * other's state.
   *
   * File sizing: `maxRecordsPerFile` (derived from the month's measured
   * bytes-per-row) enforces the target size at write time — task-count
@@ -66,6 +70,16 @@ object Compaction {
   def compactYearMonth(spark: SparkSession, lakePath: String, ym: Int,
                        targetFileBytes: Long = 128L << 20): Unit = {
     val monthDir = Paths.get(s"$lakePath/year_month=$ym")
+    // crash repair: a hard crash between shelve and adopt left the month
+    // in the trash path — restore it before (re)compacting. A trash dir
+    // ALONGSIDE a live month is a crash between adopt and drop: the lake
+    // already holds the fresh copy, so the trash is stale — clear it.
+    val leftoverTrash = Paths.get(s"$lakePath.compact_trash_$ym")
+    if (Files.exists(leftoverTrash)) {
+      if (!Files.exists(monthDir))
+        Files.move(leftoverTrash, monthDir, StandardCopyOption.ATOMIC_MOVE)
+      else AtomicSwap.deleteRecursive(leftoverTrash)
+    }
     if (!Files.exists(monthDir)) return
     val bytes = parquetBytes(monthDir)
     val df = spark.read.parquet(monthDir.toString)

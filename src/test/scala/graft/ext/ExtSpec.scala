@@ -322,6 +322,30 @@ class ExtSpec extends SparkSpec {
     assert(Sampling.presampleForCap(tiny, "grp", "doc_id", cap = 5).count() == 3)
   }
 
+  test("two-phase quota keeps null-group rows identical to the one-phase window") {
+    // capPerGroup's window treats NULL as its own partition; the
+    // pre-sample join must be null-safe or those rows silently vanish
+    val d = (0L until 200L)
+      .map(i => (i, if (i % 4 == 0) null else s"g${i % 2}"))
+      .toDF("doc_id", "grp")
+    val one = Sampling.capPerGroup(d, "grp", "doc_id", cap = 5)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val two = Sampling.capPerGroupTwoPhase(d, "grp", "doc_id", cap = 5)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(one.exists(_._2.isEmpty), "fixture must exercise the null group")
+    assert(two == one, s"oneOnly=${one -- two} twoOnly=${two -- one}")
+  }
+
+  test("fractional epochs resolve below one percent") {
+    // weight 1.001: the raw 32-bit-prefix selector keeps ~0.1% of the
+    // group for a second epoch; a percent-quantized selector keeps none
+    val d = (0L until 20000L).map(i => (i, "s")).toDF("doc_id", "src")
+    val extra = Sampling.repeatByWeight(d, "doc_id", "src",
+      Map("s" -> 1.001)).count() - 20000L
+    assert(extra > 0, "sub-1% fraction must select a non-empty subset")
+    assert(extra < 200, s"0.1% fraction selected far too many: $extra")
+  }
+
   test("packed bins respect capacity up to one boundary-split chunk") {
     // boundary-splitting packing: a bin overflows binTokens by at most
     // its last chunk minus one token (chunks are <= 20 tokens here)

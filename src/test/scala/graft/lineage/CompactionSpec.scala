@@ -78,4 +78,35 @@ class CompactionSpec extends SparkSpec {
     Compaction.compactYearMonth(spark, lake, 999999)
     assert(spark.read.parquet(lake).collect().map(_.toSeq).toSet == before)
   }
+
+  test("a hard crash between shelve and adopt is repaired on the next run") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val lake = mkLake()
+    val before = spark.read.parquet(lake).collect().map(_.toSeq).toSet
+    // simulate the kill window: the month was shelved to trash, the
+    // process died before adopting the staged replacement
+    Files.move(Paths.get(s"$lake/year_month=202401"),
+      Paths.get(s"$lake.compact_trash_202401"), StandardCopyOption.ATOMIC_MOVE)
+    // readers currently see the month gone; the next compaction run must
+    // restore it first, then compact normally
+    Compaction.compactYearMonth(spark, lake, 202401)
+    assert(spark.read.parquet(lake).collect().map(_.toSeq).toSet == before,
+      "repair + compact must restore the shelved month's data")
+    assert(Compaction.monthFileCount(lake, 202401) == 2)
+    assert(!Files.exists(Paths.get(s"$lake.compact_trash_202401")))
+  }
+
+  test("stale trash beside a live month is cleared, month left as-is") {
+    import java.nio.file.{Files, Paths}
+    val lake = mkLake()
+    val before = spark.read.parquet(lake).collect().map(_.toSeq).toSet
+    // simulate a crash between adopt and drop: the live month is the
+    // fresh copy, the trash holds the superseded one
+    val trash = Paths.get(s"$lake.compact_trash_202402")
+    Files.createDirectories(trash)
+    Files.writeString(trash.resolve("stale.txt"), "superseded")
+    Compaction.compactYearMonth(spark, lake, 202402)
+    assert(spark.read.parquet(lake).collect().map(_.toSeq).toSet == before)
+    assert(!Files.exists(trash), "stale trash must be cleared")
+  }
 }
