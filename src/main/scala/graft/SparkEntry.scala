@@ -290,6 +290,23 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       ext.Curation.curationFunnel(docs, docs.filter(col("doc_id") < 25))
     }),
+    // north-star corpus hygiene BELOW the document: cross-document
+    // LINE-level dedup (the C4/RefinedWeb recipe) — boilerplate lines
+    // keep one copy at their first (doc_id, line_no) occurrence; docs
+    // are reassembled from surviving lines. On the single-line fixture
+    // this collapses exact-duplicate documents to their first copy
+    "q48_line_dedup" -> ((s, dir) =>
+      ext.Dedup.dedupLines(Tables.documents(s, dir))),
+    // north-star pre-training scrub: typed PII redaction (emails → IPv4
+    // → long digit runs, fixed order) with a per-doc redaction count —
+    // the patterns are RE2-safe so the DuckDB oracle replays them
+    "q49_pii_redact" -> ((s, dir) =>
+      ext.TextAnalysis.redactPii(Tables.documents(s, dir))),
+    // north-star canonicalization: the normal form exact-dedup should
+    // hash (control chars → space, lowercase, whitespace runs → one
+    // space, trim)
+    "q50_normalize" -> ((s, dir) =>
+      ext.TextAnalysis.normalizeText(Tables.documents(s, dir))),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -716,5 +733,56 @@ object SparkEntry {
         |  string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_idx) AS bin_text,
         |  CAST(SUM(n_chunk_tokens) AS BIGINT) AS bin_tokens
         |FROM b GROUP BY 1, 2""".stripMargin,
+    // same md5 line key and (doc_id, line_no) windows as the Spark op;
+    // string_agg/count skip the CASE's NULLs exactly like collect_list
+    "q48_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |l AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(ls)),
+        |          i -> struct_pack(line_no := i - 1, line := ls[i]))) AS e
+        |      FROM t),
+        |l2 AS (SELECT doc_id, CAST(e.line_no AS INT) AS line_no, e.line AS line
+        |       FROM l),
+        |k AS (SELECT doc_id, line_no, line,
+        |        count(*) OVER (PARTITION BY md5(line)) AS occ,
+        |        row_number() OVER (PARTITION BY md5(line)
+        |          ORDER BY doc_id, line_no) AS rn
+        |      FROM l2)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN occ < 2 OR rn = 1 THEN line END,
+        |    chr(10) ORDER BY line_no) AS clean_text,
+        |  CAST(count(CASE WHEN occ < 2 OR rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+        |  CAST(count(CASE WHEN NOT (occ < 2 OR rn = 1) THEN 1 END) AS BIGINT)
+        |    AS n_dropped
+        |FROM k GROUP BY doc_id
+        |HAVING count(CASE WHEN occ < 2 OR rn = 1 THEN 1 END) > 0""".stripMargin,
+    // the same three RE2-safe patterns in the same order; per-stage
+    // match counts on each stage's input, 'g' for replace-all parity
+    "q49_pii_redact" ->
+      """WITH s1 AS (SELECT doc_id,
+        |  regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS c1
+        |  FROM documents),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(t1,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2, c1,
+        |  len(regexp_extract_all(t1,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS c2
+        |  FROM s1)
+        |SELECT doc_id, regexp_replace(t2, '\d{7,}', '<NUM>', 'g') AS redacted,
+        |  CAST(c1 + c2 + len(regexp_extract_all(t2, '\d{7,}', 0)) AS BIGINT)
+        |    AS n_redactions
+        |FROM s2""".stripMargin,
+    "q50_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    lower(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g')),
+        |    '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        |FROM n""".stripMargin,
   )
 }

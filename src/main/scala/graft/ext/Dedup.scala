@@ -428,6 +428,58 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-document LINE-level dedup (the C4/RefinedWeb recipe —
+    * reference's corpus hygiene concern generalized below the document:
+    * boilerplate lines — headers, nav bars, cookie banners, license
+    * blurbs — repeat across unrelated pages and survive document-level
+    * dedup): a line occurring in `minOccurrences`+ places is kept only
+    * at its FIRST occurrence (min (doc_id, line_no)); every document is
+    * reassembled from its surviving lines in original order. Documents
+    * left with zero lines drop out entirely.
+    *
+    * Returns (doc_id, clean_text, n_kept, n_dropped) — deterministic:
+    * the keep rule depends only on content and ids, never partitioning.
+    *
+    * Scale notes (100 TB): lines are keyed by md5 (the window shuffles
+    * 16-byte keys + the line payload once — same shape as any shuffle
+    * dedup; md5 also makes the rule engine-portable, so the DuckDB
+    * oracle states the identical windows). Occurrence counting and
+    * first-occurrence ranking ride ONE window shuffle. Skew caveat: a
+    * pathological boilerplate line ("", "-----") lands its whole
+    * occurrence set on one reducer; at web scale, pre-drop lines above
+    * an occurrence ceiling with a df-cap-style frequent-set anti-join
+    * (`ngramJaccardPairsCapped`'s shape) before ranking — at that
+    * frequency the line is boilerplate by definition and keeping one
+    * copy is noise either way. Reassembly's `transform` is interpreted
+    * (CLAUDE.md), but runs per kept doc over its own lines — never on
+    * the hot cross-corpus path. */
+  def dedupLines(docs: DataFrame, minOccurrences: Int = 2,
+                 sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("line_no", "line")))
+      .withColumn("lk", md5(col("line")))
+    val w = Window.partitionBy(col("lk"))
+    val wo = w.orderBy(col("doc_id"), col("line_no"))
+    lines
+      .withColumn("occ", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("keep", col("occ") < minOccurrences || col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("line_no"), col("line"))))),
+            x => x.getField("line")),
+          sep).as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .filter(col("n_kept") > 0)
+  }
+
   /** Apply a near-dup pair list to a corpus: greedy survivor selection —
     * drop every document that is the HIGHER id of any pair (for pair
     * clusters this keeps exactly the min id; for chains it keeps the

@@ -251,4 +251,56 @@ object TextAnalysis {
     docs.select((col("doc_id") +: col("lang").as("lang_label") +: scores)
       :+ langPrediction(col("text")).as("pred_lang"): _*)
   }
+
+  /** PII patterns shared by `redactPii` and its oracle: deliberately
+    * RE2-safe (character classes, bounded repetition, \b, no lookaround)
+    * so Java regex (Spark) and RE2 (DuckDB) agree match-for-match. Order
+    * matters and is fixed: emails first (they contain digit runs), then
+    * IPv4 (dots interrupt digit runs, so the stages never double-count),
+    * then bare long digit runs (phones, SSNs, account numbers). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\d{7,}" -> "<NUM>")
+
+  /** PII redaction — the pre-training scrub every public-web corpus
+    * goes through before the text is allowed near a training mix:
+    * emails, IPv4 addresses and long digit runs are replaced with typed
+    * placeholder tokens, applied in the fixed `PiiPatterns` order.
+    * Returns (doc_id, redacted, n_redactions); `n_redactions` counts
+    * matches stage-by-stage on each stage's INPUT, so overlapping
+    * pattern classes are never counted twice.
+    *
+    * Scale notes (100 TB): a pure per-row projection — no shuffle, no
+    * UDF (regexp_replace / regexp_extract_all are codegen'd built-ins);
+    * the filter-worthy outputs (n_redactions gates) compose with the
+    * curation chain as plain Column predicates. Regex cost is linear in
+    * text length with RE2-safe patterns (no catastrophic backtracking
+    * classes). */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val (redacted, nRed) = PiiPatterns.foldLeft((col("text"), lit(0L))) {
+      case ((txt, n), (pat, token)) =>
+        (regexp_replace(txt, pat, token),
+          n + size(regexp_extract_all(txt, lit(pat), lit(0))).cast("long"))
+    }
+    docs.select(col("doc_id"), redacted.as("redacted"),
+      nRed.as("n_redactions"))
+  }
+
+  /** Canonical text normalization — the form exact-dedup and
+    * fingerprinting should run on so trivial variants (case, runs of
+    * whitespace, stray control characters) hash identically: control
+    * chars → space, lowercase, all whitespace runs collapsed to one
+    * space, trimmed. Returns (doc_id, norm_text, n_chars_norm).
+    * Compose as `exactDupGroups` over `norm_text` for
+    * normalization-robust dedup.
+    *
+    * Scale note: per-row projection of codegen'd built-ins — no
+    * shuffle; normalization never touches the dedup shuffle itself. */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      trim(regexp_replace(
+        lower(regexp_replace(col("text"), "[\\x00-\\x1f\\x7f]", " ")),
+        "\\s+", " ")).as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
 }

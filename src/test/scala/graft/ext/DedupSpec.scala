@@ -263,6 +263,26 @@ class DedupSpec extends SparkSpec {
     assert(again == uncapped)
   }
 
+  test("line dedup keeps boilerplate at its first occurrence only") {
+    val docs = Seq(
+      (0L, "header\nunique a\nfooter"),
+      (1L, "header\nunique b\nfooter"),
+      (2L, "header")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 0 holds the first occurrence of header and footer: intact
+    assert(out(0L) == ("header\nunique a\nfooter", 3L, 0L))
+    // doc 1 loses both boilerplate lines, keeps its unique middle
+    assert(out(1L) == ("unique b", 1L, 2L))
+    // doc 2 was pure boilerplate: no surviving lines, dropped entirely
+    assert(!out.contains(2L))
+    // minOccurrences above any line's count disables the rule
+    val loose = Dedup.dedupLines(docs, minOccurrences = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(2L) == "header" && loose(0L) == "header\nunique a\nfooter")
+  }
+
   test("embeddingAnnPairs recall >= 0.95 vs exact join on sf0.001 at defaults") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val exact = pairSet(Dedup.embeddingNearDupPairs(emb))

@@ -336,6 +336,36 @@ class ExtSpec extends SparkSpec {
     assert(two == one, s"oneOnly=${one -- two} twoOnly=${two -- one}")
   }
 
+  test("PII redaction replaces emails, IPs and digit runs without double-counting") {
+    val d = Seq(
+      (0L, "contact john.doe99@example.com or call 12345678 today"),
+      (1L, "server 192.168.0.1 listens on port 8080"),
+      (2L, "no pii in this text at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(d)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the email's digit run is consumed by the email stage, not recounted
+    assert(out(0L) == ("contact <EMAIL> or call <NUM> today", 2L))
+    // 8080 is under the 7-digit floor; the IP's octets never chain into it
+    assert(out(1L) == ("server <IP> listens on port 8080", 1L))
+    assert(out(2L) == ("no pii in this text at all", 0L))
+  }
+
+  test("normalization canonicalizes case, whitespace runs and control chars") {
+    val d = Seq(
+      (0L, "  Hello\tWORLD\n\nfoobar  "),
+      (1L, "already clean text")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeText(d)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(0L) == ("hello world foo bar", 19L))
+    assert(out(1L) == ("already clean text", 18L))
+    // canonical form makes trivially-variant docs exact-dedup equal
+    val variants = Seq((0L, "Some   Text"), (1L, "some text\n"))
+      .toDF("doc_id", "text")
+    val norms = TextAnalysis.normalizeText(variants)
+      .select("norm_text").as[String].collect()
+    assert(norms.distinct.length == 1)
+  }
+
   test("fractional epochs resolve below one percent") {
     // weight 1.001: the raw 32-bit-prefix selector keeps ~0.1% of the
     // group for a second epoch; a percent-quantized selector keeps none
