@@ -205,20 +205,22 @@ object TextAnalysis {
     *
     * Scale notes (100 TB): the vocabulary count is one map-side-combined
     * aggregate (shuffle = one (token, partial) per token per partition);
-    * the corpus total rides a vocab-sized single-partition window, never
-    * a second corpus pass; the token→count join is broadcast-hinted only
-    * while the measured vocab stays under the 10M-row ceiling (web-scale
-    * vocabularies fall back to a shuffled join keyed on the token); the
-    * per-doc mean is map-side combined. Nothing touches the corpus more
-    * than twice. */
+    * the corpus total is a scalar aggregate over the checkpointed vocab
+    * attached with a one-row broadcast cross-join — never a second
+    * corpus pass and never a single-partition window (a global window
+    * would move the whole vocabulary, hundreds of millions of token
+    * types at web scale, onto ONE reducer); the token→count join is
+    * broadcast-hinted only while the measured vocab stays under the
+    * 10M-row ceiling (web-scale vocabularies fall back to a shuffled
+    * join keyed on the token); the per-doc mean is map-side combined.
+    * Nothing touches the corpus more than twice. */
   def unigramNllScores(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .withColumn("n_total", sum(col("c")).over(Window.partitionBy()))
-      .localCheckpoint() // vocab-sized; reused by the gate count + the join
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocab-sized; reused by total + gate count + join
+    val counts = vocabWithTotal(vocab)
     val hinted =
-      if (counts.count() <= 10000000L) broadcast(counts) else counts
+      if (vocab.count() <= 10000000L) broadcast(counts) else counts
     toks.join(hinted, "tok")
       .groupBy(col("doc_id"))
       .agg(
@@ -226,6 +228,15 @@ object TextAnalysis {
         round(avg(log(col("n_total").cast("double") / col("c").cast("double"))), 6)
           .as("unigram_nll"))
   }
+
+  /** Attach the corpus token total to the vocab frame as a constant
+    * column: scalar aggregate → one-row broadcast cross-join. Kept
+    * separate (and pre-checkpoint-visible) so PlanInvariantsSpec can
+    * machine-assert the plan carries no Window operator — the shape a
+    * naive `sum over Window.partitionBy()` would take, concentrating
+    * the entire vocabulary on one reducer. */
+  private[graft] def vocabWithTotal(vocab: DataFrame): DataFrame =
+    vocab.crossJoin(broadcast(vocab.agg(sum(col("c")).as("n_total"))))
 
   private val LangOrder = Seq("en", "de", "es", "fr", "zh")
 

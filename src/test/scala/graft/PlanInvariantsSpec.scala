@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Executable plan-shape claims (the spec PLANS.md and the Dedup scaladoc
   * cite): these are the invariants that distinguish "right answer" from
@@ -159,7 +160,25 @@ class PlanInvariantsSpec extends SparkSpec {
           case j: SortMergeJoinExec => j
         }.isEmpty,
         s"vocab join fell back to a shuffle:\n$p")
+      assert(p.collect { case w: WindowExec => w }.isEmpty,
+        s"corpus total regressed to a single-partition global window:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q44 corpus total is a one-row broadcast, never a global window") {
+    // sum(c) over Window.partitionBy() would move the ENTIRE vocabulary
+    // (hundreds of millions of token types at web scale) onto one
+    // reducer; the total must instead be a scalar aggregate attached by
+    // a one-row broadcast nested-loop join
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val vocab = Tables.documents(spark, sf("sf0.001"))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().withColumnRenamed("count", "c")
+    val p = ext.TextAnalysis.vocabWithTotal(vocab).queryExecution.executedPlan
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      s"global window in vocab-total plan:\n$p")
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty,
+      s"one-row total lost its broadcast attach:\n$p")
   }
 
   test("q33 df-cap is a broadcast anti-join (no second shuffle of the shingle relation)") {
