@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
@@ -151,8 +152,15 @@ class PlanInvariantsSpec extends SparkSpec {
     try {
       val p = SparkEntry.queries("q44_unigram_nll")(spark, sf("sf0.001"))
         .queryExecution.executedPlan
-      assert(p.collect { case e: ShuffleExchangeExec => e }.length == 1,
-        s"expected exactly one exchange (the per-doc aggregate):\n$p")
+      // count only exchanges that move the token/doc relation: the scalar
+      // corpus-total aggregate legitimately adds one one-row SinglePartition
+      // exchange (partial_sum → final sum), which moves a single row
+      val hashExchanges = p.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashExchanges.length == 1,
+        s"expected exactly one hash exchange (the per-doc aggregate):\n$p")
       assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
         s"vocab join lost its broadcast:\n$p")
       assert(p.collect {
@@ -171,10 +179,15 @@ class PlanInvariantsSpec extends SparkSpec {
     // reducer; the total must instead be a scalar aggregate attached by
     // a one-row broadcast nested-loop join
     import org.apache.spark.sql.functions.{col, explode, split}
+    // localCheckpoint mirrors unigramNllScores' production input (the
+    // vocab is checkpointed before the total is attached); sparkPlan is
+    // used because executedPlan roots at AdaptiveSparkPlanExec under AQE
+    // and collect would never traverse into it
     val vocab = Tables.documents(spark, sf("sf0.001"))
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").count().withColumnRenamed("count", "c")
-    val p = ext.TextAnalysis.vocabWithTotal(vocab).queryExecution.executedPlan
+      .localCheckpoint()
+    val p = ext.TextAnalysis.vocabWithTotal(vocab).queryExecution.sparkPlan
     assert(p.collect { case w: WindowExec => w }.isEmpty,
       s"global window in vocab-total plan:\n$p")
     assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty,
