@@ -444,29 +444,46 @@ object Dedup {
     * 16-byte keys + the line payload once — same shape as any shuffle
     * dedup; md5 also makes the rule engine-portable, so the DuckDB
     * oracle states the identical windows). Occurrence counting and
-    * first-occurrence ranking ride ONE window shuffle. Skew caveat: a
-    * pathological boilerplate line ("", "-----") lands its whole
-    * occurrence set on one reducer; at web scale, pre-drop lines above
-    * an occurrence ceiling with a df-cap-style frequent-set anti-join
-    * (`ngramJaccardPairsCapped`'s shape) before ranking — at that
-    * frequency the line is boilerplate by definition and keeping one
-    * copy is noise either way. Reassembly's `transform` is interpreted
-    * (CLAUDE.md), but runs per kept doc over its own lines — never on
-    * the hot cross-corpus path. */
+    * first-occurrence ranking ride ONE window shuffle. Skew guard:
+    * a pathological boilerplate line ("", "-----") would land its whole
+    * occurrence set on one reducer; `maxLineOccurrences` pre-drops lines
+    * above the ceiling with a df-cap-style frequent-set broadcast
+    * anti-join (`ngramJaccardPairsCapped`'s shape) BEFORE the ranking
+    * window — at that frequency the line is boilerplate by definition
+    * and keeping one copy is noise either way, so capped lines are
+    * dropped at EVERY occurrence (no survivor). The frequent set is
+    * one extra vocab-sized aggregate (count per line key), materialized
+    * once and broadcast only under the 10M-row ceiling (a pathological
+    * cap degrades to a shuffled anti-join instead of OOMing the driver).
+    * Per-doc n_kept/n_dropped accounting stays exact: capped lines
+    * rejoin the per-doc aggregate as keep=false rows via the same
+    * broadcast set (a semi-join), distributed by doc_id — never through
+    * the window. Off by default — q48 semantics unchanged. Reassembly's
+    * `transform` is interpreted (CLAUDE.md), but runs per kept doc over
+    * its own lines — never on the hot cross-corpus path. */
   def dedupLines(docs: DataFrame, minOccurrences: Int = 2,
-                 sep: String = "\n"): DataFrame = {
+                 sep: String = "\n",
+                 maxLineOccurrences: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
           .as(Seq("line_no", "line")))
       .withColumn("lk", md5(col("line")))
-    val w = Window.partitionBy(col("lk"))
-    val wo = w.orderBy(col("doc_id"), col("line_no"))
-    lines
-      .withColumn("occ", count(lit(1)).over(w))
-      .withColumn("rn", row_number().over(wo))
-      .withColumn("keep", col("occ") < minOccurrences || col("rn") === 1)
+    val ranked = maxLineOccurrences match {
+      case Some(cap) =>
+        val hot = lines.groupBy(col("lk")).agg(count(lit(1)).as("occ_all"))
+          .filter(col("occ_all") > cap).select("lk")
+          .localCheckpoint()
+        val hinted =
+          if (hot.count() <= MaxBroadcastRows) broadcast(hot) else hot
+        val cold = lines.join(hinted, Seq("lk"), "left_anti")
+        val capped = lines.join(hinted, Seq("lk"), "left_semi")
+          .withColumn("keep", lit(false))
+        rankLines(cold, minOccurrences).unionByName(capped)
+      case None => rankLines(lines, minOccurrences)
+    }
+    ranked
       .groupBy(col("doc_id"))
       .agg(
         array_join(
@@ -478,6 +495,21 @@ object Dedup {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
       .filter(col("n_kept") > 0)
+  }
+
+  /** The window half of `dedupLines`: occurrence count + first-occurrence
+    * rank over the line-key partition, keep = rare-or-first. One window
+    * shuffle; callers guarantee the input carries no hot keys when a cap
+    * is in force. */
+  private def rankLines(lines: DataFrame, minOccurrences: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lk"))
+    val wo = w.orderBy(col("doc_id"), col("line_no"))
+    lines
+      .withColumn("occ", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("keep", col("occ") < minOccurrences || col("rn") === 1)
+      .drop("occ", "rn")
   }
 
   /** Apply a near-dup pair list to a corpus: greedy survivor selection —

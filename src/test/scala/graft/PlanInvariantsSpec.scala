@@ -194,6 +194,26 @@ class PlanInvariantsSpec extends SparkSpec {
       s"one-row total lost its broadcast attach:\n$p")
   }
 
+  test("dedupLines occurrence cap is a broadcast anti-join ahead of the ranking window") {
+    // the hot-line set is tiny by construction (lines with > cap
+    // occurrences); dropping it must be a broadcast LeftAnti on the line
+    // relation — a shuffled join would re-shuffle the full line relation,
+    // and the window itself must never see the hot keys
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val p = plan(ext.Dedup.dedupLines(docs, maxLineOccurrences = Some(100)))
+    val bAnti = p.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+    }
+    assert(bAnti.nonEmpty, s"no broadcast LeftAnti join in capped dedupLines plan:\n$p")
+    val shuffled = p.collect {
+      case j: ShuffledHashJoinExec if j.joinType == LeftAnti || j.joinType == LeftSemi => j
+      case j: SortMergeJoinExec if j.joinType == LeftAnti || j.joinType == LeftSemi => j
+    }
+    assert(shuffled.isEmpty, s"hot-line cap fell back to a shuffled join:\n$p")
+  }
+
   test("q33 df-cap is a broadcast anti-join (no second shuffle of the shingle relation)") {
     // the frequent set (df > cap) is tiny by construction; dropping it must
     // be a broadcast LeftAnti on the shingle relation — an inner join

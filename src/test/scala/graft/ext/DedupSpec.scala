@@ -283,6 +283,32 @@ class DedupSpec extends SparkSpec {
     assert(loose(2L) == "header" && loose(0L) == "header\nunique a\nfooter")
   }
 
+  test("line dedup occurrence cap drops a planted mega-line at every occurrence") {
+    // 2000 docs all carrying the same boilerplate line — the skew shape
+    // the cap exists for — plus one unique line each; one doc is pure
+    // boilerplate
+    val docs = ((0 until 2000).map(i => (i.toLong, s"-----\nunique $i"))
+      :+ (9999L, "-----")).toDF("doc_id", "text")
+    val capped = Dedup.dedupLines(docs, maxLineOccurrences = Some(100))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // the mega-line is boilerplate by definition: dropped everywhere,
+    // including its first occurrence; unique lines are untouched
+    (0 until 2000).foreach { i =>
+      assert(capped(i.toLong) == (s"unique $i", 1L, 1L),
+        s"doc $i: ${capped(i.toLong)}")
+    }
+    assert(!capped.contains(9999L), "pure-boilerplate doc must drop out")
+    // under the default (no cap) the mega-line keeps its first occurrence
+    val uncapped = Dedup.dedupLines(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(uncapped(0L) == "-----\nunique 0")
+    // a cap higher than any occurrence count is byte-identical to default
+    val high = Dedup.dedupLines(docs, maxLineOccurrences = Some(1000000))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(high == uncapped)
+  }
+
   test("embeddingAnnPairs recall >= 0.95 vs exact join on sf0.001 at defaults") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val exact = pairSet(Dedup.embeddingNearDupPairs(emb))
