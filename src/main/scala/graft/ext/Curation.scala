@@ -26,7 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Curation thresholds; defaults sized for the fixture corpus. */
+  /** Curation thresholds; defaults sized for the fixture corpus. The
+    * hygiene flags (off by default — the default chain is byte-identical
+    * to previous rounds) splice the corpus-hygiene operators in as
+    * chain stages:
+    *   - `redactPii`: rewrite text through [[TextAnalysis.redactPii]]
+    *     BEFORE anything else — scrub first, so digit-run variants of the
+    *     same boilerplate collapse in every later dedup stage;
+    *     `maxRedactionsPerDoc` additionally DROPS PII-saturated docs
+    *     (requires `redactPii=true`); `piiPatterns` extends the typed
+    *     pattern list (RE2-safety enforced by `redactPii`).
+    *   - `dedupLines`: cross-document line dedup ([[Dedup.dedupLines]])
+    *     after the scrub, before the quality gates — so gates score the
+    *     text a model would actually see; `maxLineOccurrences` is its
+    *     hot-line skew cap.
+    *   - `normalizeForDedup`: exact dedup keys on
+    *     [[TextAnalysis.normalizeText]] output instead of raw text, so
+    *     trivial variants (case, whitespace runs) collapse; survivors
+    *     keep their ORIGINAL text. */
   final case class Config(
       minTokens: Int = 15,
       maxDupTrigramFrac: Double = 0.5,
@@ -34,16 +51,60 @@ object Curation {
       maxOverlapNgrams: Long = 4,
       perLangCap: Int = 100,
       trainPct: Int = 80,
-      valPct: Int = 10)
+      valPct: Int = 10,
+      redactPii: Boolean = false,
+      maxRedactionsPerDoc: Option[Long] = None,
+      piiPatterns: Seq[(String, String)] = TextAnalysis.PiiPatterns,
+      dedupLines: Boolean = false,
+      lineMinOccurrences: Int = 2,
+      maxLineOccurrences: Option[Int] = None,
+      normalizeForDedup: Boolean = false)
+
+  private def requireConfig(cfg: Config): Unit =
+    require(cfg.maxRedactionsPerDoc.isEmpty || cfg.redactPii,
+      "maxRedactionsPerDoc gates the redaction stage — set redactPii=true to enable it")
+
+  /** The optional hygiene pre-stages as one (doc_id, text) rewrite:
+    * PII scrub (+ saturation gate), then cross-document line dedup.
+    * With all flags off this is exactly `docs.select(doc_id, text)` —
+    * zero added plan nodes, so the default chain and its pinned scan
+    * bound are untouched. Redaction is a pure codegen projection (fuses
+    * into the scan); line dedup adds its documented single window
+    * shuffle. */
+  private def hygiene(docs: DataFrame, cfg: Config): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val scrubbed = if (cfg.redactPii) {
+      val r = TextAnalysis.redactPii(base, cfg.piiPatterns)
+      cfg.maxRedactionsPerDoc.fold(r)(m => r.filter(col("n_redactions") <= m))
+        .select(col("doc_id"), col("redacted").as("text"))
+    } else base
+    if (cfg.dedupLines)
+      Dedup.dedupLines(scrubbed, cfg.lineMinOccurrences,
+        maxLineOccurrences = cfg.maxLineOccurrences)
+        .select(col("doc_id"), col("clean_text").as("text"))
+    else scrubbed
+  }
+
+  /** Exact-dedup key frame: raw text, or normalized text when
+    * `normalizeForDedup` is on (survivors keep original text — only the
+    * grouping key changes, same single digest-groupBy shuffle). */
+  private def exactDedupKey(gated: DataFrame, cfg: Config): DataFrame =
+    if (cfg.normalizeForDedup)
+      TextAnalysis.normalizeText(gated)
+        .select(col("doc_id"), col("norm_text").as("text"))
+    else gated
 
   /** Run the full curation chain. `docs` needs (doc_id, text); the
     * returned frame is (doc_id, pred_lang, split) — the curated,
     * deduplicated, decontaminated, quota-balanced training mix. */
   def curate(docs: DataFrame, benchmark: DataFrame,
              cfg: Config = Config()): DataFrame = {
+    requireConfig(cfg)
+    // 0. optional hygiene rewrite (PII scrub, line dedup) — identity
+    // with default flags
     // 1+2. quality + language gates: pure column expressions, fused by
     // Catalyst into the document scan — no extra pass over the corpus
-    val gated = docs
+    val gated = hygiene(docs, cfg)
       .withColumn("pred_lang", TextAnalysis.langPrediction(col("text")))
       .filter(size(split(col("text"), " ")) >= cfg.minTokens &&
         TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac &&
@@ -54,7 +115,8 @@ object Curation {
     // before LSH is what keeps the bucket-size assumptions (bounded
     // candidates per bucket) honest on real corpora
     val exactDeduped = gated.join(
-      Dedup.exactDupGroups(gated).select(col("canonical_id").as("doc_id")),
+      Dedup.exactDupGroups(exactDedupKey(gated, cfg))
+        .select(col("canonical_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
     // 3b. near-dup removal: LSH candidates → exact Jaccard verify →
     // min-id-per-component survivors
@@ -84,14 +146,43 @@ object Curation {
     * pass (gate outcomes as 0/1 flags, summed in a single aggregate);
     * each later stage frame is persisted before its count and unpersisted
     * once its successor is materialized, so the funnel costs one extra
-    * count per stage over a cached frame — the corpus itself is scanned
-    * exactly twice (the gate aggregate and the gated materialization;
-    * CurationSpec pins the scan bound with an instrumented source). */
+    * count per stage over a cached frame — with hygiene flags off the
+    * corpus itself is scanned exactly twice (the gate aggregate and the
+    * gated materialization; CurationSpec pins the scan bound with an
+    * instrumented source). A drop-capable hygiene stage (PII gate, line
+    * dedup) adds its own funnel row plus ONE extra doc_id-only count of
+    * the raw input; the rewritten frame is persisted so the gates read
+    * the cache, not a recomputation. */
   def curationFunnel(docs: DataFrame, benchmark: DataFrame,
                      cfg: Config = Config()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val flagged = docs
+    requireConfig(cfg)
+    val hygieneRows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val hygieneCached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val base = docs.select(col("doc_id"), col("text"))
+    val scrubbed = if (cfg.redactPii) {
+      val r = TextAnalysis.redactPii(base, cfg.piiPatterns)
+      cfg.maxRedactionsPerDoc match {
+        case Some(m) =>
+          val kept = r.filter(col("n_redactions") <= m)
+            .select(col("doc_id"), col("redacted").as("text")).persist()
+          hygieneCached += kept
+          hygieneRows += (("00a_pii_gate", kept.count()))
+          kept
+        case None =>
+          r.select(col("doc_id"), col("redacted").as("text"))
+      }
+    } else base
+    val lineClean = if (cfg.dedupLines) {
+      val ld = Dedup.dedupLines(scrubbed, cfg.lineMinOccurrences,
+          maxLineOccurrences = cfg.maxLineOccurrences)
+        .select(col("doc_id"), col("clean_text").as("text")).persist()
+      hygieneCached += ld
+      hygieneRows += (("00b_line_dedup", ld.count()))
+      ld
+    } else scrubbed
+    val flagged = lineClean
       .withColumn("f_tokens",
         (size(split(col("text"), " ")) >= cfg.minTokens).cast("long"))
       .withColumn("f_rep",
@@ -105,13 +196,20 @@ object Curation {
       sum(col("f_tokens")).as("n_tok"),
       sum(col("f_tokens") * col("f_rep")).as("n_rep"),
       sum(col("f_tokens") * col("f_rep") * col("f_lang")).as("n_lang")).head()
+    // with a drop-capable hygiene stage in force the gate aggregate no
+    // longer sees the raw corpus — count it separately (doc_id only)
+    val nInput =
+      if (hygieneRows.nonEmpty) docs.select(col("doc_id")).count()
+      else g.getLong(0)
     val gated = flagged
       .filter(col("f_tokens") === 1 && col("f_rep") === 1 && col("f_lang") === 1)
       .drop("f_tokens", "f_rep", "f_lang")
       .persist()
     gated.count() // materialize BEFORE the dedup self-join reads it twice
+    hygieneCached.foreach(_.unpersist())
     val exactDeduped = gated.join(
-      Dedup.exactDupGroups(gated).select(col("canonical_id").as("doc_id")),
+      Dedup.exactDupGroups(exactDedupKey(gated, cfg))
+        .select(col("canonical_id").as("doc_id")),
       Seq("doc_id"), "left_semi").persist()
     val nExact = exactDeduped.count()
     gated.unpersist()
@@ -129,15 +227,14 @@ object Curation {
         clean.select(col("doc_id"), col("pred_lang")),
         "pred_lang", "doc_id", cfg.perLangCap).count()
     clean.unpersist()
-    Seq(
-      ("00_input", g.getLong(0)),
+    (Seq(("00_input", nInput)) ++ hygieneRows ++ Seq(
       ("01_min_tokens", g.getLong(1)),
       ("02_repetition", g.getLong(2)),
       ("03_language", g.getLong(3)),
       ("04_exact_dedup", nExact),
       ("05_near_dedup", nNear),
       ("06_decontaminated", nClean),
-      ("07_quota", nFinal)).toDF("stage", "n_docs")
+      ("07_quota", nFinal))).toDF("stage", "n_docs")
   }
 
   /** The end product on disk: curate, chunk into `chunkTokens`-token
@@ -160,7 +257,10 @@ object Curation {
     require(Set("parquet", "json").contains(format),
       s"unsupported shard format: $format")
     val curated = curate(docs, benchmark, cfg)
-    val withText = docs.select(col("doc_id"), col("text"))
+    // shard text is the HYGIENE output (identity with default flags): a
+    // training job must see the scrubbed/line-deduped text the gates and
+    // dedup stages scored, never the raw corpus
+    val withText = hygiene(docs, cfg)
       .join(curated, Seq("doc_id"))
     val packed = TextAnalysis.packChunks(
       TextAnalysis.chunkDocuments(withText, chunkTokens, stride),

@@ -287,9 +287,19 @@ object TextAnalysis {
     * the filter-worthy outputs (n_redactions gates) compose with the
     * curation chain as plain Column predicates. Regex cost is linear in
     * text length with RE2-safe patterns (no catastrophic backtracking
-    * classes). */
-  def redactPii(docs: DataFrame): DataFrame = {
-    val (redacted, nRed) = PiiPatterns.foldLeft((col("text"), lit(0L))) {
+    * classes).
+    *
+    * `patterns` extends the typed list (pattern → placeholder token,
+    * applied in order, each stage counting on its own INPUT); every
+    * pattern must honor the `PiiPatterns` RE2-safety contract —
+    * enforced here, because a lookaround or backreference would compile
+    * fine in Spark's Java regex and then silently diverge from (or
+    * error in) an RE2-based oracle, and backreference patterns are also
+    * the catastrophic-backtracking class. */
+  def redactPii(docs: DataFrame,
+                patterns: Seq[(String, String)] = PiiPatterns): DataFrame = {
+    requireRe2Safe(patterns)
+    val (redacted, nRed) = patterns.foldLeft((col("text"), lit(0L))) {
       case ((txt, n), (pat, token)) =>
         (regexp_replace(txt, pat, token),
           n + size(regexp_extract_all(txt, lit(pat), lit(0))).cast("long"))
@@ -297,6 +307,21 @@ object TextAnalysis {
     docs.select(col("doc_id"), redacted.as("redacted"),
       nRed.as("n_redactions"))
   }
+
+  /** The RE2-safety contract on a redaction pattern list: valid Java
+    * regex, no lookaround, no backreferences — the constructs Java
+    * accepts but RE2 rejects (engine-parity breakers) and the ones that
+    * reintroduce exponential backtracking. Fails loudly at plan time,
+    * not mid-job. */
+  private def requireRe2Safe(patterns: Seq[(String, String)]): Unit =
+    patterns.foreach { case (pat, token) =>
+      java.util.regex.Pattern.compile(pat)
+      require(!pat.matches("""(?s).*\(\?<?[=!].*"""),
+        s"redaction pattern '$pat' uses lookaround — not RE2-safe")
+      require("""\\[1-9]""".r.findFirstIn(pat).isEmpty,
+        s"redaction pattern '$pat' uses a backreference — not RE2-safe")
+      require(token.nonEmpty, "empty redaction placeholder token")
+    }
 
   /** Canonical text normalization — the form exact-dedup and
     * fingerprinting should run on so trivial variants (case, runs of

@@ -170,6 +170,74 @@ class CurationSpec extends SparkSpec {
       s"funnel scanned the corpus ${scans.value} times — stage persistence lost?")
   }
 
+  test("normalizeForDedup collapses trivially-variant docs at the exact-dedup stage") {
+    val d = Seq(
+      (1L, "The cat sat on the mat for a while"),
+      (2L, "the   cat sat on the mat for a while\n"),
+      (3L, "der hund und die katze sind gut da heute")).toDF("doc_id", "text")
+    val bench = Seq((100L, "completely unrelated benchmark material"))
+      .toDF("doc_id", "text")
+    val cfgN = Curation.Config(minTokens = 3)
+    val off = Curation.curationFunnel(d, bench, cfgN)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val on = Curation.curationFunnel(d, bench,
+        cfgN.copy(normalizeForDedup = true))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // raw bytes differ (case, whitespace) → no collapse without the flag
+    assert(off("04_exact_dedup") == 3L, s"got $off")
+    assert(on("04_exact_dedup") == 2L, s"got $on")
+    // exactly one variant survives end-to-end; the distinct doc is kept
+    val kept = Curation.curate(d, bench, cfgN.copy(normalizeForDedup = true))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(3L) && (kept & Set(1L, 2L)).size == 1, s"got $kept")
+  }
+
+  test("PII gate and line dedup run as funnel stages and drop what they must") {
+    val boiler = "subscribe to our newsletter today"
+    val d = Seq(
+      (1L, s"$boiler\nwrite to bob@example.com please dear friend"),
+      (2L, s"$boiler\nthe dog ran over the hill for an hour"),
+      (3L, s"$boiler\n$boiler"), // nothing left after line dedup
+      (4L, "call 12345678 or 87654321 or 11223344 now")) // PII-saturated
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "completely unrelated benchmark material"))
+      .toDF("doc_id", "text")
+    val hcfg = Curation.Config(minTokens = 3,
+      redactPii = true, maxRedactionsPerDoc = Some(2),
+      dedupLines = true, normalizeForDedup = true)
+    val funnel = Curation.curationFunnel(d, bench, hcfg)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // hygiene rows sort into place and the funnel stays monotone
+    assert(funnel.map(_._1).toSeq == funnel.map(_._1).sorted.toSeq)
+    val counts = funnel.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: ${funnel.toSeq}")
+    val byStage = funnel.toMap
+    assert(byStage("00_input") == 4L)
+    assert(byStage("00a_pii_gate") == 3L, s"got ${funnel.toSeq}")
+    assert(byStage("00b_line_dedup") == 2L, s"got ${funnel.toSeq}")
+    val kept = Curation.curate(d, bench, hcfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"got $kept")
+    assert(byStage("07_quota") == kept.size.toLong)
+    // shards carry the HYGIENE text: scrubbed, line-deduped — raw PII and
+    // repeated boilerplate must not reach the training layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyg").toString
+    Curation.writeTrainingShards(d, bench, s"$dir/shards", hcfg)
+    val texts = spark.read.parquet(s"$dir/shards")
+      .select("chunk_text").as[String].collect()
+    assert(texts.forall(!_.contains("bob@example.com")), "raw PII leaked")
+    assert(texts.exists(_.contains("<EMAIL>")), "redaction token missing")
+    // the boilerplate line survives exactly once across the whole corpus
+    assert(texts.map(t => boiler.r.findAllIn(t).size).sum == 1,
+      s"boilerplate not line-deduped: ${texts.toSeq}")
+    // config misuse fails loudly: the gate without the stage
+    intercept[IllegalArgumentException] {
+      Curation.curate(d, bench,
+        Curation.Config(maxRedactionsPerDoc = Some(1)))
+    }
+  }
+
   test("quota and split assignment are enforced") {
     val perLang = out.groupBy(_._2).map { case (l, rows) => l -> rows.length }
     perLang.foreach { case (l, n) =>

@@ -350,6 +350,30 @@ class ExtSpec extends SparkSpec {
     assert(out(2L) == ("no pii in this text at all", 0L))
   }
 
+  test("PII redaction accepts extended pattern lists and enforces the RE2 contract") {
+    val d = Seq((0L, "ssh to host-a.internal as root, card 4111111111111111"))
+      .toDF("doc_id", "text")
+    // a caller-supplied typed pattern composes with the builtin order
+    val out = TextAnalysis.redactPii(d, TextAnalysis.PiiPatterns :+
+        ("\\bhost-[a-z]+\\.internal\\b" -> "<HOST>"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(out == ("ssh to <HOST> as root, card <NUM>", 2L))
+    // engine-parity breakers fail loudly at plan time: lookaround,
+    // backreferences, invalid regex
+    for (bad <- Seq("(?=x)y", "foo(?!bar)", "(?<=a)b", "(a)\\1")) {
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.redactPii(d, Seq(bad -> "<X>"))
+      }
+      assert(e.getMessage.contains("RE2"), s"$bad: ${e.getMessage}")
+    }
+    intercept[java.util.regex.PatternSyntaxException] {
+      TextAnalysis.redactPii(d, Seq("[unclosed" -> "<X>"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.redactPii(d, Seq("x" -> ""))
+    }
+  }
+
   test("normalization canonicalizes case, whitespace runs and control chars") {
     val d = Seq(
       (0L, "  Hello\tWORLD\n\nfoobar  "),
