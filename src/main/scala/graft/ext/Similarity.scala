@@ -201,13 +201,35 @@ object Similarity {
     * complete index found at the re-check is simply a cache hit. A
     * probe never observes a half-written index: adoption stays one
     * atomic rename, and a dir missing its `centroids` sidecar (a
-    * crashed partial build) is only ever cleared under the lock. */
+    * crashed partial build) is only ever cleared under the lock.
+    *
+    * Thread-safety: `FileChannel.lock` serializes PROCESSES but throws
+    * `OverlappingFileLockException` at a second thread of the same JVM
+    * (file locks are held per-process), so builders first serialize on
+    * a per-index JVM monitor — two threads racing a cold cache both
+    * return the same adopted index, the second as a re-check cache
+    * hit. */
   def ensureIvfIndex(emb: DataFrame, cacheRoot: String, sourcePath: String,
                      nCells: Int = 16, iters: Int = 5,
                      seed: Long = 42L): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val idx = Paths.get(cacheRoot, s"ivf_${pathFingerprint(sourcePath)}")
-    if (!Files.exists(idx.resolve("centroids"))) {
+    if (!Files.exists(idx.resolve("centroids")))
+      buildMonitors.computeIfAbsent(idx.toString, _ => new Object)
+        .synchronized { buildIvfUnderFileLock(emb, idx, nCells, iters, seed) }
+    idx.toString
+  }
+
+  /** Same-JVM half of the `ensureIvfIndex` locking ladder (monitor →
+    * file lock → re-check); see its scaladoc. */
+  private val buildMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def buildIvfUnderFileLock(emb: DataFrame, idx: java.nio.file.Path,
+                                    nCells: Int, iters: Int,
+                                    seed: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
+    {
       Files.createDirectories(idx.getParent)
       val lockPath = idx.resolveSibling(s"${idx.getFileName}.lock")
       val ch = java.nio.channels.FileChannel.open(lockPath,
@@ -237,7 +259,6 @@ object Similarity {
         } finally held.release()
       } finally ch.close()
     }
-    idx.toString
   }
 
   /** Append new vectors to a written IVF index: assign them to the

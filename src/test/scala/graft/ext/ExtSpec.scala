@@ -208,6 +208,31 @@ class ExtSpec extends SparkSpec {
     assert(probed.count() > 0, "rebuilt index must be probeable")
   }
 
+  test("IVF index cache builder is safe from two threads of one JVM") {
+    // FileChannel.lock throws OverlappingFileLockException at a second
+    // thread of the SAME process — the JVM-monitor half of the locking
+    // ladder must serialize them instead: both racers return the same
+    // adopted index, neither throws
+    import java.nio.file.{Files, Paths}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tmp = Files.createTempDirectory("graft_ivf_race")
+    val src = tmp.resolve("emb.parquet")
+    Files.copy(Paths.get(sf("sf0.001"), "embeddings.parquet"), src)
+    val cacheRoot = tmp.resolve("cache").toString
+    val embSrc = spark.read.parquet(src.toString).drop("label")
+    val racers = Future.sequence((1 to 2).map(_ => Future {
+      Similarity.ensureIvfIndex(embSrc, cacheRoot, src.toString)
+    }))
+    val dirs = Await.result(racers, 5.minutes)
+    assert(dirs.distinct.size == 1, s"racers diverged: $dirs")
+    assert(Files.exists(Paths.get(dirs.head, "centroids")),
+      "raced build left no complete index")
+    assert(Similarity.probeIvfIndex(spark, dirs.head,
+      embSrc.filter($"vec_id" < 2), k = 3).count() > 0)
+  }
+
   test("repetition score: duplicate trigram fraction on a known loop") {
     // "a b a b a b" → 6 tokens, 4 trigrams ("a b a" ×2, "b a b" ×2),
     // 2 distinct → dup fraction 0.5; a no-repeat doc scores 0
