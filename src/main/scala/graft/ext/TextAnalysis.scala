@@ -118,21 +118,19 @@ object TextAnalysis {
   def chunkDocuments(docs: DataFrame, chunkTokens: Int = 20,
                      stride: Int = 10): DataFrame = {
     require(chunkTokens >= 1 && stride >= 1, "chunkTokens and stride must be >= 1")
-    val toks = tokens(col("text"))
-    val n = size(toks)
-    val nChunks = when(n <= chunkTokens, lit(1))
-      .otherwise(ceil((n - chunkTokens).cast("double") / stride).cast("int") + 1)
     // non-text columns (split, lang, …) ride along so downstream packing
-    // and shard writing can compose without re-joining the corpus
-    docs.withColumn("toks", toks).withColumn("nc", nChunks)
+    // and shard writing can compose without re-joining the corpus; the
+    // chunk windows come from the native codegen kernel (the equivalent
+    // transform(sequence(...)) lambda evaluates interpreted — CLAUDE.md)
+    docs
       .select(col("*"),
-        posexplode(transform(sequence(lit(0), col("nc") - 1),
-          i => array_join(slice(col("toks"), i * stride + 1, lit(chunkTokens)), " ")))
+        posexplode(graft.functions.Chunks.text_chunks(
+          col("text"), chunkTokens, stride))
           .as(Seq("_ci", "chunk_text")))
       .withColumn("chunk_idx", col("_ci").cast("long"))
       .withColumn("n_chunk_tokens",
         size(split(col("chunk_text"), " ")).cast("long"))
-      .drop("text", "toks", "nc", "_ci")
+      .drop("text", "_ci")
   }
 
   /** Pack chunks into fixed-token training bins: chunks are sharded by a

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native sliding-window text chunking. The higher-order formulation
+  * (`transform(sequence(0, nc-1), i => array_join(slice(toks, ...)))`)
+  * evaluates INTERPRETED (CLAUDE.md) — dormant at fixture scale (the
+  * round-10 drift check measured q40 steady at ~0.3 s/sf0.1), but
+  * chunking feeds the training-shard writer, which IS a hot 100 TB
+  * path. One generated-Java pass per document replaces the per-chunk
+  * lambda interpretation, and the token array never materializes as a
+  * column.
+  *
+  * Semantics (shared with the DuckDB oracle and the prior
+  * formulation): tokens = text split on single spaces (empties kept);
+  * chunk i = tokens[i*stride, i*stride+chunkTokens) joined by a space;
+  * nChunks = 1 if n <= chunkTokens else ceil((n-chunkTokens)/stride)+1.
+  * A stride beyond the final tokens yields the same ""-chunks the
+  * slice-based formulation produced.
+  */
+case class TextChunks(child: Expression, chunkTokens: Int, stride: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && chunkTokens >= 1 && stride >= 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (string, chunkTokens>=1, stride>=1), " +
+          s"got ${child.dataType}, chunkTokens=$chunkTokens, stride=$stride")
+
+  override def nullSafeEval(input: Any): Any =
+    Chunks.chunkStrings(input.asInstanceOf[UTF8String], chunkTokens, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Chunks.chunkStrings($c, $chunkTokens, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextChunks =
+    copy(child = newChild)
+  override def prettyName: String = "text_chunks"
+}
+
+object Chunks {
+  private final val Space = UTF8String.fromString(" ")
+
+  /** Kernel: sliding-window chunk strings (called from generated code). */
+  def chunkStrings(text: UTF8String, chunkTokens: Int, stride: Int): ArrayData = {
+    val toks = text.split(Space, -1)
+    val n = toks.length
+    val nChunks =
+      if (n <= chunkTokens) 1
+      else ((n - chunkTokens) + stride - 1) / stride + 1
+    val out = new Array[Any](nChunks)
+    var i = 0
+    while (i < nChunks) {
+      val start = i * stride
+      val end = math.min(start + chunkTokens, n)
+      out(i) =
+        if (start >= end) UTF8String.EMPTY_UTF8
+        else UTF8String.concatWs(Space,
+          java.util.Arrays.copyOfRange(toks, start, end): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def text_chunks(c: Column, chunkTokens: Int, stride: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(TextChunks(ColumnBridge.expression(c), chunkTokens, stride))
+  }
+}

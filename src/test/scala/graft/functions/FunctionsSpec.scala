@@ -33,6 +33,30 @@ class FunctionsSpec extends SparkSpec {
     assert(a == fromRows)
   }
 
+  test("text_chunks matches the higher-order slice formulation on all window shapes") {
+    // the kernel replaced transform(sequence(...), slice) — pin exact
+    // equivalence against that formulation across the shapes that differ:
+    // short doc (1 chunk), exact fit, overlap (stride<chunk), gap
+    // (stride>chunk, incl. a final ""-chunk), empty text, unicode
+    val texts = Seq("", "one", "a b c", "a b c d e f g h i j",
+      "héllo wörld 中文 a b c d e", "x " * 50)
+    for ((c, s) <- Seq((3, 1), (3, 3), (2, 5), (20, 10), (1, 1))) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .withColumn("toks", split($"text", " "))
+        .withColumn("nc", when(size($"toks") <= c, lit(1))
+          .otherwise(ceil((size($"toks") - c).cast("double") / s).cast("int") + 1))
+      val legacy = df.select($"doc_id",
+          transform(sequence(lit(0), $"nc" - 1),
+            i => array_join(slice($"toks", i * s + 1, lit(c)), " ")).as("ch"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val native = df.select($"doc_id",
+          Chunks.text_chunks($"text", c, s).as("ch"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native == legacy, s"chunk=$c stride=$s: $native vs $legacy")
+    }
+  }
+
   test("multimodal metadata: mapPartitions path agrees with its SQL contract") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val meta = Multimodal.metadataQuery(spark, docs)
