@@ -290,6 +290,20 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       ext.Curation.curationFunnel(docs, docs.filter(col("doc_id") < 25))
     }),
+    // the same chain with every hygiene stage ON: PII scrub + saturation
+    // gate (00a), cross-document line dedup with its skew cap (00b),
+    // normalization-keyed exact dedup — the full-hygiene configuration a
+    // 100 TB pipeline would run. Rows-only like q42 (MinHash/CC stages);
+    // CurationSpec pins the hygiene stage semantics on planted fixtures
+    "q51_curation_hygiene" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.Curation.curationFunnel(docs, docs.filter(col("doc_id") < 25),
+        ext.Curation.Config(
+          redactPii = true, maxRedactionsPerDoc = Some(8L),
+          dedupLines = true, maxLineOccurrences = Some(10000),
+          normalizeForDedup = true))
+    }),
     // north-star corpus hygiene BELOW the document: cross-document
     // LINE-level dedup (the C4/RefinedWeb recipe) — boilerplate lines
     // keep one copy at their first (doc_id, line_no) occurrence; docs
