@@ -64,6 +64,13 @@ object Curation {
     require(cfg.maxRedactionsPerDoc.isEmpty || cfg.redactPii,
       "maxRedactionsPerDoc gates the redaction stage — set redactPii=true to enable it")
 
+  /** True when `hygiene` is a real rewrite rather than the identity —
+    * the callers that reuse the hygiene frame persist it only then, so
+    * the default path's plan shape (and its pinned scan bounds) never
+    * grows a cache step. */
+  private def hygieneActive(cfg: Config): Boolean =
+    cfg.redactPii || cfg.dedupLines
+
   /** The optional hygiene pre-stages as one (doc_id, text) rewrite:
     * PII scrub (+ saturation gate), then cross-document line dedup.
     * With all flags off this is exactly `docs.select(doc_id, text)` —
@@ -102,9 +109,18 @@ object Curation {
     requireConfig(cfg)
     // 0. optional hygiene rewrite (PII scrub, line dedup) — identity
     // with default flags
+    curateHygiened(hygiene(docs, cfg), benchmark, cfg)
+  }
+
+  /** The chain downstream of hygiene; `hygiened` must be the (doc_id,
+    * text) output of [[hygiene]] for the same config. Split out so
+    * [[writeTrainingShards]] can compute the hygiene rewrite ONCE and
+    * feed both the gates and the shard-text join. */
+  private def curateHygiened(hygiened: DataFrame, benchmark: DataFrame,
+                             cfg: Config): DataFrame = {
     // 1+2. quality + language gates: pure column expressions, fused by
     // Catalyst into the document scan — no extra pass over the corpus
-    val gated = hygiene(docs, cfg)
+    val gated = hygiened
       .withColumn("pred_lang", TextAnalysis.langPrediction(col("text")))
       .filter(size(split(col("text"), " ")) >= cfg.minTokens &&
         TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac &&
@@ -256,24 +272,33 @@ object Curation {
                           format: String = "parquet"): Unit = {
     require(Set("parquet", "json").contains(format),
       s"unsupported shard format: $format")
-    val curated = curate(docs, benchmark, cfg)
+    requireConfig(cfg)
     // shard text is the HYGIENE output (identity with default flags): a
     // training job must see the scrubbed/line-deduped text the gates and
-    // dedup stages scored, never the raw corpus
-    val withText = hygiene(docs, cfg)
-      .join(curated, Seq("doc_id"))
-    val packed = TextAnalysis.packChunks(
-      TextAnalysis.chunkDocuments(withText, chunkTokens, stride),
-      binTokens, shards, extraKeys = Seq("split"))
-    packed
-      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
-        col("n_chunk_tokens"), col("pred_lang"), col("bin_id"),
-        col("split"), col("shard"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("split", "shard")
-      // "json" = JSON Lines, the training-stack interchange format;
-      // parquet stays the default for anything Spark reads back
-      .format(format)
-      .save(path)
+    // dedup stages scored, never the raw corpus. The rewrite is computed
+    // ONCE — persisted when the flags make it a real rewrite — and feeds
+    // both the curation gates and the shard-text join; a second hygiene
+    // pass would re-run the cross-corpus line-dedup window (the most
+    // expensive hygiene stage) over the full corpus (CurationSpec pins
+    // the scan bound with an instrumented source)
+    val hy = hygiene(docs, cfg)
+    val hygiened = if (hygieneActive(cfg)) hy.persist() else hy
+    try {
+      val curated = curateHygiened(hygiened, benchmark, cfg)
+      val withText = hygiened.join(curated, Seq("doc_id"))
+      val packed = TextAnalysis.packChunks(
+        TextAnalysis.chunkDocuments(withText, chunkTokens, stride),
+        binTokens, shards, extraKeys = Seq("split"))
+      packed
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          col("n_chunk_tokens"), col("pred_lang"), col("bin_id"),
+          col("split"), col("shard"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("split", "shard")
+        // "json" = JSON Lines, the training-stack interchange format;
+        // parquet stays the default for anything Spark reads back
+        .format(format)
+        .save(path)
+    } finally if (hygieneActive(cfg)) hygiened.unpersist()
   }
 }

@@ -455,6 +455,13 @@ object Dedup {
     * one extra vocab-sized aggregate (count per line key), materialized
     * once and broadcast only under the 10M-row ceiling (a pathological
     * cap degrades to a shuffled anti-join instead of OOMing the driver).
+    * With a cap in force the exploded line relation itself — the widest
+    * frame the hygiene path touches, corpus × lines — is localCheckpointed
+    * ONCE, so the hot aggregate and the anti/semi branches read
+    * materialized blocks instead of each re-running posexplode+md5 over
+    * the corpus (one source scan total; DedupSpec pins it). The blocks
+    * live at MEMORY_AND_DISK (spill, never recompute) and are released
+    * by the ContextCleaner when the frame goes out of scope.
     * Per-doc n_kept/n_dropped accounting stays exact: capped lines
     * rejoin the per-doc aggregate as keep=false rows via the same
     * broadcast set (a semi-join), distributed by doc_id — never through
@@ -472,13 +479,18 @@ object Dedup {
       .withColumn("lk", md5(col("line")))
     val ranked = maxLineOccurrences match {
       case Some(cap) =>
-        val hot = lines.groupBy(col("lk")).agg(count(lit(1)).as("occ_all"))
+        // materialize the corpus-wide explode ONCE — the hot aggregate
+        // and both join branches below would otherwise each re-run
+        // posexplode+md5 over the full corpus (a 3× constant on the
+        // widest relation in the chain)
+        val mat = lines.localCheckpoint()
+        val hot = mat.groupBy(col("lk")).agg(count(lit(1)).as("occ_all"))
           .filter(col("occ_all") > cap).select("lk")
           .localCheckpoint()
         val hinted =
           if (hot.count() <= MaxBroadcastRows) broadcast(hot) else hot
-        val cold = lines.join(hinted, Seq("lk"), "left_anti")
-        val capped = lines.join(hinted, Seq("lk"), "left_semi")
+        val cold = mat.join(hinted, Seq("lk"), "left_anti")
+        val capped = mat.join(hinted, Seq("lk"), "left_semi")
           .withColumn("keep", lit(false))
         rankLines(cold, minOccurrences).unionByName(capped)
       case None => rankLines(lines, minOccurrences)

@@ -238,6 +238,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("writeTrainingShards computes the hygiene rewrite once (flags on)") {
+    // the r10 double-hygiene finding, machine-checked: the PII scrub +
+    // line-dedup rewrite must feed BOTH the curation gates and the
+    // shard-text join from ONE persisted frame — a second hygiene pass
+    // would re-run the cross-corpus line-dedup window over the full
+    // corpus. Instrumented source → the whole shard write reads the
+    // raw corpus exactly once
+    val boiler = "subscribe to our newsletter today"
+    val d = Seq(
+      (1L, s"$boiler\nwrite to bob@example.com please dear friend"),
+      (2L, s"$boiler\nthe dog ran over the hill for an hour"),
+      (3L, s"$boiler\n$boiler"),
+      (4L, "call 12345678 or 87654321 or 11223344 now"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "completely unrelated benchmark material"))
+      .toDF("doc_id", "text")
+    val hcfg = Curation.Config(minTokens = 3,
+      redactPii = true, maxRedactionsPerDoc = Some(2),
+      dedupLines = true, normalizeForDedup = true)
+    val scans = spark.sparkContext.longAccumulator("shard_corpus_scans")
+    val rdd = spark.sparkContext.parallelize(d.collect().toSeq, 1)
+      .mapPartitions { it => scans.add(1); it }
+    val instrumented = spark.createDataFrame(rdd, d.schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyg_once").toString
+    Curation.writeTrainingShards(instrumented, bench, s"$dir/shards", hcfg)
+    assert(scans.value == 1,
+      s"shard write scanned the corpus ${scans.value} times — hygiene recomputed?")
+    // caching only, no semantic change: identical rows to the plain path
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_hyg_ref").toString
+    Curation.writeTrainingShards(d, bench, s"$dir2/shards", hcfg)
+    val a = spark.read.parquet(s"$dir/shards").collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$dir2/shards").collect().map(_.toSeq).toSet
+    assert(a == b, "instrumented and plain shard writes must agree")
+  }
+
   test("quota and split assignment are enforced") {
     val perLang = out.groupBy(_._2).map { case (l, rows) => l -> rows.length }
     perLang.foreach { case (l, n) =>

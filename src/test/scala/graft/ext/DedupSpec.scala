@@ -309,6 +309,25 @@ class DedupSpec extends SparkSpec {
     assert(high == uncapped)
   }
 
+  test("line dedup cap path scans the document source exactly once") {
+    // the scale note's cost claim, machine-checked (the CurationSpec
+    // instrumented-source pattern): with a cap in force the exploded
+    // line relation is localCheckpointed once, so the hot-line
+    // aggregate and the anti/semi join branches read materialized
+    // blocks — never re-run the corpus explode
+    val scans = spark.sparkContext.longAccumulator("dedup_lines_scans")
+    val rows = ((0 until 200).map(i => (i.toLong, s"-----\nunique $i"))
+      :+ (9999L, "-----")).toDF("doc_id", "text")
+    val rdd = spark.sparkContext.parallelize(rows.collect().toSeq, 1)
+      .mapPartitions { it => scans.add(1); it }
+    val instrumented = spark.createDataFrame(rdd, rows.schema)
+    val out = Dedup.dedupLines(instrumented, maxLineOccurrences = Some(20))
+      .collect()
+    assert(out.length == 200)
+    assert(scans.value == 1,
+      s"cap path scanned the corpus ${scans.value} times — explode materialization lost?")
+  }
+
   test("embeddingAnnPairs recall >= 0.95 vs exact join on sf0.001 at defaults") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val exact = pairSet(Dedup.embeddingNearDupPairs(emb))
