@@ -215,15 +215,25 @@ object Similarity {
     import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val idx = Paths.get(cacheRoot, s"ivf_${pathFingerprint(sourcePath)}")
     if (!Files.exists(idx.resolve("centroids")))
-      buildMonitors.computeIfAbsent(idx.toString, _ => new Object)
-        .synchronized { buildIvfUnderFileLock(emb, idx, nCells, iters, seed) }
+      buildMonitor(idx.toString).synchronized {
+        buildIvfUnderFileLock(emb, idx, nCells, iters, seed)
+      }
     idx.toString
   }
 
   /** Same-JVM half of the `ensureIvfIndex` locking ladder (monitor →
-    * file lock → re-check); see its scaladoc. */
-  private val buildMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    * file lock → re-check); see its scaladoc. A FIXED stripe of
+    * monitors rather than a per-path map: a long-lived driver cycling
+    * many fingerprinted corpora must not accumulate one permanent
+    * monitor per index ever built (and remove-after-release schemes
+    * race — a third thread can mint a fresh monitor while a second
+    * still holds the old one, re-exposing the same-JVM
+    * OverlappingFileLockException). Two distinct indexes hashing to
+    * one stripe merely serialize their COLD builds; warm probes
+    * short-circuit on `Files.exists` and never touch a monitor. */
+  private val buildMonitors: Array[Object] = Array.fill(64)(new Object)
+  private def buildMonitor(key: String): Object =
+    buildMonitors(math.floorMod(key.hashCode, buildMonitors.length))
 
   private def buildIvfUnderFileLock(emb: DataFrame, idx: java.nio.file.Path,
                                     nCells: Int, iters: Int,

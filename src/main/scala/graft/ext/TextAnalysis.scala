@@ -297,26 +297,51 @@ object TextAnalysis {
   def redactPii(docs: DataFrame,
                 patterns: Seq[(String, String)] = PiiPatterns): DataFrame = {
     requireRe2Safe(patterns)
-    val (redacted, nRed) = patterns.foldLeft((col("text"), lit(0L))) {
-      case ((txt, n), (pat, token)) =>
-        (regexp_replace(txt, pat, token),
-          n + size(regexp_extract_all(txt, lit(pat), lit(0))).cast("long"))
+    // The stage chain is built LINEARLY: each stage is a named
+    // intermediate column, so its two consumers (the replace and the
+    // match count) reference ONE attribute instead of inlining the
+    // previous stage's whole expression subtree twice. An inlined fold
+    // doubles the tree per pattern (2^k nodes) — fine for the 3
+    // builtins, plan-time death once `patterns` is caller-extended.
+    // Catalyst keeps the stages un-collapsed because each regexp stage
+    // is a non-cheap expression referenced twice (CollapseProject's
+    // duplicate-expensive-expression guard); ExtSpec pins a 24-pattern
+    // list end-to-end.
+    val staged = patterns.zipWithIndex.foldLeft(
+        docs.select(col("doc_id"), col("text").as("_t0"))) {
+      case (df, ((pat, token), i)) =>
+        df.withColumn(s"_n$i",
+            size(regexp_extract_all(col(s"_t$i"), lit(pat), lit(0))).cast("long"))
+          .withColumn(s"_t${i + 1}", regexp_replace(col(s"_t$i"), pat, token))
     }
-    docs.select(col("doc_id"), redacted.as("redacted"),
-      nRed.as("n_redactions"))
+    val nRed = patterns.indices
+      .map(i => col(s"_n$i")).foldLeft(lit(0L))(_ + _)
+    staged.select(col("doc_id"),
+      col(s"_t${patterns.size}").as("redacted"), nRed.as("n_redactions"))
   }
 
   /** The RE2-safety contract on a redaction pattern list: valid Java
-    * regex, no lookaround, no backreferences — the constructs Java
-    * accepts but RE2 rejects (engine-parity breakers) and the ones that
-    * reintroduce exponential backtracking. Fails loudly at plan time,
-    * not mid-job. */
+    * regex; no lookaround, atomic groups, possessive quantifiers,
+    * Java-style named groups, or backreferences (numbered or named) —
+    * the constructs Java accepts but RE2 rejects (engine-parity
+    * breakers) and the ones that reintroduce exponential backtracking.
+    * Fails loudly at plan time, not mid-job. The possessive check is a
+    * conservative blacklist: a quantifier character followed by `+` is
+    * rejected unless escaped, so write a literal-plus run as `\++` and
+    * a literal-brace run as `[}]+`. */
   private def requireRe2Safe(patterns: Seq[(String, String)]): Unit =
     patterns.foreach { case (pat, token) =>
       java.util.regex.Pattern.compile(pat)
       require(!pat.matches("""(?s).*\(\?<?[=!].*"""),
         s"redaction pattern '$pat' uses lookaround — not RE2-safe")
-      require("""\\[1-9]""".r.findFirstIn(pat).isEmpty,
+      require(!pat.contains("(?<"),
+        s"redaction pattern '$pat' uses a Java-style named group or " +
+          "lookbehind — not RE2-safe (RE2 spells named groups (?P<name>))")
+      require(!pat.contains("(?>"),
+        s"redaction pattern '$pat' uses an atomic group — not RE2-safe")
+      require("""(?<!\\)[*+?}]\+""".r.findFirstIn(pat).isEmpty,
+        s"redaction pattern '$pat' uses a possessive quantifier — not RE2-safe")
+      require("""\\[1-9]""".r.findFirstIn(pat).isEmpty && !pat.contains("\\k<"),
         s"redaction pattern '$pat' uses a backreference — not RE2-safe")
       require(token.nonEmpty, "empty redaction placeholder token")
     }

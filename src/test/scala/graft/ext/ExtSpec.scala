@@ -384,19 +384,47 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getLong(2))).head
     assert(out == ("ssh to <HOST> as root, card <NUM>", 2L))
     // engine-parity breakers fail loudly at plan time: lookaround,
-    // backreferences, invalid regex
-    for (bad <- Seq("(?=x)y", "foo(?!bar)", "(?<=a)b", "(a)\\1")) {
+    // backreferences (numbered AND named), atomic groups, possessive
+    // quantifiers, Java-style named groups, invalid regex
+    for (bad <- Seq("(?=x)y", "foo(?!bar)", "(?<=a)b", "(a)\\1",
+        "(?>atomic)x", "a*+b", "\\d++", "x?+", "\\d{2,}+",
+        "(?<g>a)\\k<g>")) {
       val e = intercept[IllegalArgumentException] {
         TextAnalysis.redactPii(d, Seq(bad -> "<X>"))
       }
       assert(e.getMessage.contains("RE2"), s"$bad: ${e.getMessage}")
     }
+    // the possessive blacklist is conservative, not trigger-happy: an
+    // ESCAPED quantifier char before '+' is an ordinary greedy repeat
+    val esc = TextAnalysis.redactPii(
+        Seq((0L, "c++ and more +++ plus [}]")).toDF("doc_id", "text"),
+        Seq("\\++" -> "<P>", "[}]+" -> "<B>"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(esc == ("c<P> and more <P> plus [<B>]", 3L))
     intercept[java.util.regex.PatternSyntaxException] {
       TextAnalysis.redactPii(d, Seq("[unclosed" -> "<X>"))
     }
     intercept[IllegalArgumentException] {
       TextAnalysis.redactPii(d, Seq("x" -> ""))
     }
+  }
+
+  test("PII redaction stays linear in the pattern-list length at plan time") {
+    // the stage chain must reference each stage as a named column, not
+    // inline it — an inlined fold doubles the expression tree per
+    // pattern (2^24 nodes here would hang analysis long before codegen)
+    val many = (0 until 24).map(i => f"tok$i%02d" -> f"<T$i%02d>")
+    val out = TextAnalysis.redactPii(
+        Seq((0L, "tok00 tok05 and tok23 remain")).toDF("doc_id", "text"),
+        many)
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(out == ("<T00> <T05> and <T23> remain", 3L))
+    // builtin three-pattern semantics are byte-identical to the q49
+    // oracle formulation (stage counts on each stage's INPUT)
+    val d3 = Seq((0L, "a@b.co at 10.0.0.1 acct 12345678")).toDF("doc_id", "text")
+    val r3 = TextAnalysis.redactPii(d3)
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(r3 == ("<EMAIL> at <IP> acct <NUM>", 3L))
   }
 
   test("normalization canonicalizes case, whitespace runs and control chars") {
