@@ -273,6 +273,18 @@ class CurationSpec extends SparkSpec {
     assert(a == b, "instrumented and plain shard writes must agree")
   }
 
+  test("README full-hygiene quickstart literal compiles and runs") {
+    // the README.md "full-hygiene variant" example, verbatim — keeps the
+    // user-facing doc honest the way the coverage table rows are
+    val hygieneCfg = Curation.Config(
+      redactPii = true, maxRedactionsPerDoc = Some(20),
+      dedupLines = true, maxLineOccurrences = Some(10000),
+      normalizeForDedup = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_readme").toString
+    Curation.writeTrainingShards(corpus, benchmark, s"$dir/shards", hygieneCfg)
+    assert(spark.read.parquet(s"$dir/shards").count() > 0)
+  }
+
   test("quota and split assignment are enforced") {
     val perLang = out.groupBy(_._2).map { case (l, rows) => l -> rows.length }
     perLang.foreach { case (l, n) =>

@@ -309,6 +309,59 @@ class DedupSpec extends SparkSpec {
     assert(high == uncapped)
   }
 
+  test("line dedup reassembly matches an in-driver reference on random corpora") {
+    // ScalaCheck over random docs/separators/caps against a direct
+    // reimplementation of the documented semantics (first occurrence
+    // survives, capped lines drop everywhere, docs reassemble in
+    // original line order, n_kept + n_dropped = line count). Equality
+    // with the reference subsumes the subsequence and accounting
+    // invariants. ScalaCheck is driven via Prop/Test.check (CLAUDE.md:
+    // the scalatest bridge isn't offline-resolvable).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.util.regex.Pattern
+    // a tiny line alphabet forces cross-doc collisions; empty lines
+    // exercise the split-keeps-trailing-empties (-1 limit) semantics
+    val lineGen = Gen.oneOf("alpha", "beta", "gamma", "", "x y", "-----")
+    val docGen = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, lineGen))
+    val corpusGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, docGen))
+    val sepGen = Gen.oneOf("\n", "|", "@@")
+    val capGen = Gen.oneOf(Gen.const(Option.empty[Int]),
+      Gen.chooseNum(2, 5).map(Some(_)))
+    val prop = Prop.forAll(corpusGen, sepGen, Gen.chooseNum(2, 4), capGen) {
+      (corpus, sep, minOcc, cap) =>
+        val docs = corpus.zipWithIndex.map {
+          case (ls, i) => (i.toLong, ls.mkString(sep))
+        }
+        val all = docs.flatMap { case (id, text) =>
+          text.split(Pattern.quote(sep), -1).toSeq.zipWithIndex
+            .map { case (l, i) => (id, i, l) }
+        }
+        val occ = all.groupBy(_._3).map { case (l, g) => l -> g.size }
+        val firstAt = all.groupBy(_._3)
+          .map { case (l, g) => l -> g.map(t => (t._1, t._2)).min }
+        val expected = docs.flatMap { case (id, text) =>
+          val ls = text.split(Pattern.quote(sep), -1).toSeq.zipWithIndex
+          val kept = ls.filter { case (l, i) =>
+            !cap.exists(occ(l) > _) &&
+              (occ(l) < minOcc || firstAt(l) == ((id, i)))
+          }
+          if (kept.nonEmpty)
+            Some(id -> ((kept.map(_._1).mkString(sep),
+              kept.size.toLong, (ls.size - kept.size).toLong)))
+          else None
+        }.toMap
+        val got = Dedup.dedupLines(docs.toDF("doc_id", "text"),
+            minOcc, sep, cap)
+          .collect()
+          .map(r => r.getLong(0) ->
+            ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+        got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("line dedup cap path scans the document source exactly once") {
     // the scale note's cost claim, machine-checked (the CurationSpec
     // instrumented-source pattern): with a cap in force the exploded
