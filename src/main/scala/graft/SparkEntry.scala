@@ -180,6 +180,19 @@ object SparkEntry {
       ext.Dedup.applyPairs(emb.withColumnRenamed("vec_id", "doc_id"), pairs)
         .select(col("doc_id").as("vec_id"), col("label"))
     }),
+    // north-star dedup: SemDedup — k-means cells scope the candidate
+    // join (cluster-then-dedup-within-clusters), exact cosine verifies.
+    // The learned-partition alternative to q32's LSH buckets; probes=2
+    // recovers cell-boundary pairs. Rows-only: the trained quantizer
+    // isn't SQL-expressible; DedupSpec pins probes=nCells == exact join
+    "q52_dedup_semantic" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, dir)
+      val pairs = ext.Dedup.semanticDedupPairs(emb, nCells = 8, probes = 2)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      ext.Dedup.applyPairs(emb.withColumnRenamed("vec_id", "doc_id"), pairs)
+        .select(col("doc_id").as("vec_id"), col("label"))
+    }),
     // north-star dedup: df-capped exact Jaccard pairs — same shape as q16
     // but with the frequent-shingle cap ON, oracle-checked (the cap is
     // plain SQL: HAVING count(*) <= 8 on the shingle relation)

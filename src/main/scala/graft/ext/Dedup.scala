@@ -799,4 +799,72 @@ object Dedup {
       .filter(col("cos_sim") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
+
+  /** SemDedup-style semantic near-dup pairs: a fixed-seed k-means
+    * quantizer (the q21 IVF trainer) partitions the embedding space,
+    * candidates are generated WITHIN trained cells only, and exact
+    * cosine verifies them — the learned-partition alternative to
+    * `embeddingAnnPairs`' random-hyperplane buckets (the SemDedup
+    * recipe: cluster, then dedup within clusters). Where LSH recall
+    * comes from OR-ing many random tables, here it comes from the
+    * quantizer adapting to the corpus: near-dups are by definition
+    * close, so they land in the same trained cell — on real corpora
+    * (planted duplicate clusters) a handful of probes reaches the
+    * recall LSH needs ~30 tables for. `probes` assigns each vector to
+    * its top-`probes` cells (ties to the lowest cell id, matching
+    * `Similarity.assignCells`) to recover pairs straddling a cell
+    * boundary; probes = nCells degenerates to the exact triangular
+    * join (pinned by DedupSpec — the IVF full-probe analog).
+    *
+    * Scale notes (100 TB): the assignment is the same NARROW codegen
+    * map as `Similarity.assignCells` (native cosine kernels against
+    * literal centroids, top-probes via one array_sort over nCells
+    * structs — no crossJoin, no shuffle); the candidate shuffle
+    * carries (vec_id, cell) ids only, probes× the corpus, and vectors
+    * join back by id AFTER candidate distinct. Cell population is
+    * corpus-dependent, so the skew guard mirrors `minhashLshPairs`'
+    * hot-bucket design: cells above `maxCellSize` are dropped from
+    * candidate generation (a cell that big means nCells is undersized
+    * for the corpus — resize rather than quadratic-join it). Size
+    * nCells so the expected population n/nCells keeps within-cell
+    * pairing bounded; the quantizer itself trains in
+    * O(iters × n × nCells) narrow map work. */
+  def semanticDedupPairs(emb: DataFrame, minCosine: Double = 0.4,
+                         nCells: Int = 8, iters: Int = 5, seed: Long = 42L,
+                         probes: Int = 1,
+                         maxCellSize: Option[Int] = None): DataFrame = {
+    require(probes >= 1 && probes <= nCells, "need 1 <= probes <= nCells")
+    val cents = Similarity.kmeansCentroids(emb, nCells, iters, seed)
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    // top-`probes` cells per vector: negated similarity sorts ascending,
+    // so ties break toward the LOWER cell id (assignCells' rule)
+    val ranked = cents.toSeq.zipWithIndex.map { case (c, i) =>
+      struct((Similarity.cosine(col("e"), typedLit(c.toSeq)) * -1).as("neg_sim"),
+        lit(i).as("cell"))
+    }
+    val bucketsAll = v
+      .select(col("vec_id"),
+        explode(slice(array_sort(array(ranked: _*)), 1, probes)).as("cs"))
+      .select(col("vec_id"), col("cs.cell").as("cell"))
+    val buckets = maxCellSize match {
+      case Some(cap) =>
+        val hot = bucketsAll.groupBy(col("cell"))
+          .agg(count(lit(1)).as("sz")).filter(col("sz") > cap)
+          .select(col("cell"))
+        bucketsAll.join(broadcast(hot), Seq("cell"), "left_anti")
+      case None => bucketsAll
+    }
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb")), "vec_b")
+      .withColumn("cos_sim", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
 }

@@ -93,33 +93,50 @@ object Similarity {
     * fixture. Returns the centroid of cell i at index i.
     *
     * Scale notes (100 TB): per iteration, assignment is a NARROW map
-    * (`assignCells` — no join, no shuffle) and the re-centering aggregate
-    * is map-side combined, so the per-iteration shuffle volume is
-    * O(partitions × nCells × dim) partial sums — independent of row
-    * count. Centroids live on the driver between rounds: nCells × dim
-    * doubles, bounded metadata. Empty cells keep their previous centroid. */
+    * (`assignCells` — no join, no shuffle) and re-centering is ONE
+    * hash aggregate of dim per-dimension sums + a count per cell — all
+    * codegen'd `element_at` sums, map-side combined, so the shuffle is
+    * O(partitions × nCells × dim) partial sums, independent of row
+    * count, and the corpus is never row-multiplied (the posexplode
+    * formulation widened every iteration dim×). The projected
+    * (vec_id, e) working set is persisted MEMORY_AND_DISK for the
+    * duration of training (the MLlib k-means discipline): iters + 1
+    * passes re-read cached blocks — which spill rather than recompute a
+    * possibly expensive upstream — instead of re-running the
+    * scan/decode per round; released before return. Centroids live on
+    * the driver between rounds: nCells × dim doubles, bounded metadata.
+    * Empty cells keep their previous centroid. */
   def kmeansCentroids(emb: DataFrame, nCells: Int = 16, iters: Int = 5,
                       seed: Long = 42L): Array[Array[Double]] = {
     require(nCells >= 2, "nCells must be >= 2")
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    var cents: Array[Array[Double]] = v
-      .orderBy(xxhash64(lit(seed), col("vec_id")), col("vec_id"))
-      .limit(nCells)
-      .select(col("e")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    for (_ <- 1 to iters) {
-      val means = assignCells(v, cents, embCol = "e")
-        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1))
-            .map(r => math.rint(r.getDouble(2) * 1e9) / 1e9)
-        }
-      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
-    }
-    cents
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Array[Double]] = v
+        .orderBy(xxhash64(lit(seed), col("vec_id")), col("vec_id"))
+        .limit(nCells)
+        .select(col("e")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val dim = cents.headOption.map(_.length).getOrElse(0)
+      val dimSums = (0 until dim).map(p =>
+        sum(element_at(col("e"), p + 1)).as(s"s$p"))
+      for (_ <- 1 to iters) {
+        val means = assignCells(v, cents, embCol = "e")
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"), dimSums: _*)
+          .collect()
+          .map { r =>
+            val n = r.getLong(1).toDouble
+            // same arithmetic as the previous avg() formulation (sum of
+            // shuffle-fetch-ordered partials, one final divide), so the
+            // 9-dp centroid rounding keeps builds reproducible
+            r.getInt(0) -> Array.tabulate(dim)(p =>
+              math.rint(r.getDouble(2 + p) / n * 1e9) / 1e9)
+          }.toMap
+        cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+      }
+      cents
+    } finally v.unpersist()
   }
 
   /** Assign every vector to its nearest centroid (max cosine; ties go to

@@ -53,6 +53,17 @@ class PlanInvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q52 semantic dedup is equi-join only: no cartesian, no nested-loop") {
+    // the candidate join is keyed on the trained cell id and the verify
+    // joins are keyed on vec ids — a CartesianProduct would mean the
+    // literal-centroid assignment fell out of the plan
+    val p = plan(SparkEntry.queries("q52_dedup_semantic")(spark, sf("sf0.001")))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"CartesianProduct in q52 plan:\n$p")
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"BroadcastNestedLoopJoin in q52 plan:\n$p")
+  }
+
   test("q20 brute-force broadcasts the query side (no shuffle of the corpus)") {
     val p = plan(SparkEntry.queries("q20_sim_bruteforce")(spark, sf("sf0.001")))
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,

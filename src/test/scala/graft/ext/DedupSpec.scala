@@ -392,4 +392,49 @@ class DedupSpec extends SparkSpec {
     // exact-cosine verification means no false positives above threshold
     assert((ann -- exact).isEmpty, s"spurious pairs: ${ann -- exact}")
   }
+
+  test("semanticDedupPairs with probes = nCells equals the exact join") {
+    // the IVF full-probe analog: every vector lands in every cell, so
+    // within-cell candidates degenerate to all pairs — same (vec_a,
+    // vec_b, cos_sim) set as the exact triangular join
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    def full(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("vec_a", "vec_b", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = full(Dedup.embeddingNearDupPairs(emb))
+    val sem = full(Dedup.semanticDedupPairs(emb, nCells = 4, probes = 4))
+    assert(sem == exact,
+      s"full-probe semantic dedup diverged: missing=${exact -- sem} " +
+        s"spurious=${sem -- exact}")
+  }
+
+  test("semanticDedupPairs: measured recall vs exact, no false positives") {
+    // the 0.4 fixture threshold is adversarial for ANY bucketing scheme
+    // (the qualifying pairs are the tail of a random cosine distribution,
+    // not planted clusters — see embeddingNearDupPairs' scale note), so
+    // this pins the measured fixture floor, not a production claim; on
+    // planted-duplicate corpora the quantizer adapts to the clusters
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val exact = pairSet(Dedup.embeddingNearDupPairs(emb))
+    val sem = pairSet(Dedup.semanticDedupPairs(emb, nCells = 8, probes = 2))
+    val recall = (sem intersect exact).size.toDouble / exact.size
+    println(s"[semdedup] recall vs exact = $recall (${sem.size} of ${exact.size} pairs)")
+    assert(recall >= 0.5, s"semantic dedup recall collapsed: $recall")
+    // exact-cosine verification means no false positives above threshold
+    assert((sem -- exact).isEmpty, s"spurious pairs: ${sem -- exact}")
+  }
+
+  test("semanticDedupPairs maxCellSize: generous cap is identity, tight cap a subset") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val unc = pairSet(Dedup.semanticDedupPairs(emb, nCells = 4, probes = 1))
+    assert(unc.nonEmpty)
+    val loose = pairSet(Dedup.semanticDedupPairs(emb, nCells = 4, probes = 1,
+      maxCellSize = Some(1000000)))
+    assert(loose == unc, "a never-binding cap must not change the pairs")
+    val tight = pairSet(Dedup.semanticDedupPairs(emb, nCells = 4, probes = 1,
+      maxCellSize = Some(50)))
+    assert(tight.subsetOf(unc), "capped pairs must come from uncapped pairs")
+    assert(tight.size < unc.size,
+      "500 vectors over 4 cells must trip a 50-vector cap somewhere")
+  }
 }
