@@ -193,6 +193,14 @@ object SparkEntry {
       ext.Dedup.applyPairs(emb.withColumnRenamed("vec_id", "doc_id"), pairs)
         .select(col("doc_id").as("vec_id"), col("label"))
     }),
+    // north-star similarity: product-quantized ADC top-k — the
+    // memory-scale path (codes are 8 small ints/vec vs 256 B raw; the
+    // candidate scan never touches raw vectors, exact-cosine re-rank
+    // restores exact reported similarities). Rows-only: the trained
+    // codebooks aren't SQL-expressible; ExtSpec pins refine=|corpus| ==
+    // brute force plus a measured recall floor
+    "q53_sim_pq" -> ((s, dir) =>
+      ext.Similarity.pqTopK(Tables.embeddings(s, dir).drop("label"))),
     // north-star dedup: df-capped exact Jaccard pairs — same shape as q16
     // but with the frequent-shingle cap ON, oracle-checked (the cap is
     // plain SQL: HAVING count(*) <= 8 on the shingle relation)

@@ -351,6 +351,160 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Train product-quantization codebooks: split the `dim`-dimensional
+    * embedding into `nSub` contiguous subvectors and run an independent
+    * fixed-seed squared-L2 Lloyd's k-means (`nCodes` codewords, `iters`
+    * rounds) in every subspace. Returns `codebooks(i)(j)` = codeword j of
+    * subspace i, each of length `dim / nSub`.
+    *
+    * Determinism mirrors `kmeansCentroids`: seeding takes the `nCodes`
+    * vectors with the smallest `xxhash64(seed, vec_id)` (their subvector
+    * slices seed every subspace), assignment ties go to the lowest
+    * codeword index (strict `<` in the kernel), and every re-centered
+    * component is rounded to 9 dp so shuffle-fetch-order fp merge noise
+    * can't flip a borderline assignment between builds. Empty codewords
+    * keep their previous value.
+    *
+    * Scale notes (100 TB): per iteration, encoding is ONE narrow codegen
+    * map (`PqEncode` — the full nSub×nCodes×subDim distance loop fused
+    * per row, no join) and re-centering is one hash aggregate over a
+    * `posexplode` of the code array — nSub slim rows per vector
+    * (sub, code, subvector), map-side combined down to nSub·nCodes
+    * groups × subDim partial sums, so the shuffle is independent of row
+    * count. Codebooks live on the driver: nSub·nCodes·subDim doubles
+    * (= `dim`·nCodes — 8 KiB at 64-dim/16 codes), broadcast as a flat
+    * literal. The projected working set is persisted for the duration of
+    * training (iters+1 passes re-read cached blocks, the MLlib k-means
+    * discipline) and released before return. */
+  def trainPqCodebooks(emb: DataFrame, nSub: Int = 8, nCodes: Int = 16,
+                       iters: Int = 5, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(nSub >= 1 && nCodes >= 2, "need nSub >= 1 and nCodes >= 2")
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = v
+        .orderBy(xxhash64(lit(seed), col("vec_id")), col("vec_id"))
+        .limit(nCodes)
+        .select(col("e")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(seeds.length == nCodes,
+        s"corpus has ${seeds.length} vectors; need >= nCodes = $nCodes")
+      val dim = seeds.head.length
+      require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+      val subDim = dim / nSub
+      var cbs: Array[Array[Array[Double]]] = Array.tabulate(nSub)(i =>
+        seeds.map(s => s.slice(i * subDim, (i + 1) * subDim)))
+      val dimSums = (0 until subDim).map(d =>
+        sum(element_at(col("subvec"), d + 1)).as(s"s$d"))
+      for (_ <- 1 to iters) {
+        val flat = typedLit(cbs.flatten.flatten.toSeq)
+        val means = v
+          .select(col("e"), posexplode(
+            graft.functions.PqEncode.pq_encode(col("e"), flat, nSub, nCodes))
+            .as(Seq("sub", "code")))
+          .withColumn("subvec", slice(col("e"), col("sub") * subDim + 1, lit(subDim)))
+          .groupBy(col("sub"), col("code"))
+          .agg(count(lit(1)).as("n"), dimSums: _*)
+          .collect()
+          .map { r =>
+            val n = r.getLong(2).toDouble
+            // same arithmetic as kmeansCentroids (sum of shuffle-fetch-
+            // ordered partials, one divide, 9-dp rounding) → reproducible
+            (r.getInt(0), r.getInt(1)) -> Array.tabulate(subDim)(d =>
+              math.rint(r.getDouble(3 + d) / n * 1e9) / 1e9)
+          }.toMap
+        cbs = Array.tabulate(nSub)(i => Array.tabulate(nCodes)(j =>
+          means.getOrElse((i, j), cbs(i)(j))))
+      }
+      cbs
+    } finally v.unpersist()
+  }
+
+  /** Encode every vector to its `nSub` PQ codes: adds an `array<int>`
+    * `codes` column — the stored form of a PQ index. At 64-dim float
+    * (256 B raw) and 8×16 codes this is 8 small ints per vector — with a
+    * byte-packed physical layout, 32× compression, the piece that lets a
+    * billion-vector index sit in cluster memory (SCALE.md). One narrow
+    * codegen map; no shuffle. */
+  def pqEncode(emb: DataFrame, codebooks: Array[Array[Array[Double]]],
+               embCol: String = "embedding"): DataFrame = {
+    val nSub = codebooks.length
+    val nCodes = codebooks.head.length
+    emb.withColumn("codes", graft.functions.PqEncode.pq_encode(
+      asDouble(col(embCol)), typedLit(codebooks.flatten.flatten.toSeq),
+      nSub, nCodes))
+  }
+
+  /** PQ approximate top-k via asymmetric distance computation (ADC):
+    * train codebooks, encode the corpus once, then score candidates
+    * against each query's precomputed lookup table — approx dot =
+    * Σᵢ lut[i][codeᵢ], `nSub` array lookups per (query, vector) pair
+    * instead of a `dim`-wide float loop, and the scan reads CODES ONLY
+    * (8 B/vec), never raw vectors. The top `refine·k` by approx score
+    * are then fetched (point-read by vec_id) and re-ranked by exact
+    * cosine, so reported `cos_sim` values are exact; approximation only
+    * affects which candidates reach the re-rank. Same output contract as
+    * `bruteForceTopK`; `refine·k >= |corpus|` degenerates to exact
+    * brute force (ExtSpec pins that equality; recall at the default
+    * refine is measured and floored).
+    *
+    * The fixture embeddings are unit-L2 (generator contract), so the
+    * ADC dot ranks by cosine; a non-normalized corpus should be
+    * normalized before encoding (standard PQ-for-cosine practice).
+    *
+    * Scale notes (100 TB): LUTs are driver-computed per query
+    * (nSub·nCodes doubles — 1 KiB each) and travel with the broadcast
+    * query table; the ADC scan shuffles |Q|·|N| slim
+    * (query_id, vec_id, approx) rows through the per-query top-refine·k
+    * window — 32× less I/O than scanning raw vectors, and composable
+    * with the IVF cell layout (probe a cell, ADC within it) for the
+    * canonical IVF-PQ billion-scale shape. */
+  def pqTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+             nSub: Int = 8, nCodes: Int = 16, iters: Int = 5,
+             seed: Long = 42L, refine: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val cbs = trainPqCodebooks(emb, nSub, nCodes, iters, seed)
+    val subDim = cbs.head.head.length
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val enc = pqEncode(v, cbs, embCol = "e").select(col("vec_id"), col("codes"))
+    // per-query ADC lookup tables, computed on the driver from the tiny
+    // codebooks: lut[i*nCodes + j] = dot(query_sub_i, codebook(i)(j))
+    val qRows = v.filter(col("vec_id") < nQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qData = qRows.toSeq.map { case (qid, qe) =>
+      val lut = Array.tabulate(nSub * nCodes) { x =>
+        val i = x / nCodes; val j = x % nCodes
+        var dot = 0.0
+        var d = 0
+        while (d < subDim) { dot += qe(i * subDim + d) * cbs(i)(j)(d); d += 1 }
+        dot
+      }
+      (qid, qe.toSeq, lut.toSeq)
+    }
+    import spark.implicits._
+    val queries = qData.toDF("query_id", "qe", "lut")
+    val approx = (0 until nSub).map(i =>
+      element_at(col("lut"), lit(i * nCodes + 1) + element_at(col("codes"), i + 1)))
+      .reduce(_ + _)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = broadcast(queries).crossJoin(enc)
+      .select(col("query_id"), col("qe"), col("vec_id").as("neighbor_id"),
+        approx.as("approx"))
+      .withColumn("approx_rank", row_number().over(wApprox))
+      .filter(col("approx_rank") <= refine * k)
+      .select(col("query_id"), col("qe"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(cand)
+      .join(v.select(col("vec_id").as("neighbor_id"), col("e").as("ne")), "neighbor_id")
+      .withColumn("cos_sim", round(cosine(col("qe"), col("ne")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** IVF top-k, in-memory variant on an UNLABELED corpus: train the
     * k-means quantizer, assign cells, route each query to its `nProbe`
     * nearest centroids, rank only those cells' vectors. Same output shape

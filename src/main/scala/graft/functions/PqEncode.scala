@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Native product-quantization encoder: split an `array<double>` vector
+  * into `nSub` contiguous subvectors and emit, per subvector, the index
+  * of the nearest codeword (squared-L2; ties to the lowest index) from a
+  * flat literal codebook — `array<int>` of length `nSub` out.
+  *
+  * The codebook layout is flat row-major: codeword j of subspace i
+  * occupies `[(i*nCodes + j)*subDim, …+subDim)` of the `codebooks`
+  * argument, `subDim = |vec| / nSub`.
+  *
+  * Why native: encoding is an O(nSub·nCodes·subDim) per-row loop (1 024
+  * mul-adds at 64-dim/8×16) — a Column-tree formulation is nSub·nCodes
+  * distance expressions per row and the higher-order-function version
+  * evaluates interpreted (CLAUDE.md: the all-pairs cosine lesson). This
+  * is one fused generated-code call per row, whole-stage-codegen'd.
+  *
+  * Nulls: null if either argument is null; vector elements are assumed
+  * non-null (embedding arrays). A vector length not divisible by `nSub`
+  * is rejected at the API layer (`Similarity.trainPqCodebooks`).
+  */
+case class PqEncode(left: Expression, right: Expression,
+                    nSub: Int, nCodes: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok && nSub >= 1 && nCodes >= 2)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pq_encode needs (array<double>, array<double>) and nSub>=1, nCodes>=2; got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString}, $nSub, $nCodes)")
+  }
+
+  override def nullSafeEval(v: Any, cb: Any): Any =
+    PqEncode.compute(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      nSub, nCodes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, cb) =>
+      s"graft.functions.PqEncode.compute($v, $cb, $nSub, $nCodes)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "pq_encode"
+}
+
+object PqEncode {
+
+  /** Per-row encode kernel; called from generated code. */
+  def compute(vec: ArrayData, codebooks: ArrayData,
+              nSub: Int, nCodes: Int): ArrayData = {
+    val dim = vec.numElements()
+    val subDim = dim / nSub
+    val codes = new Array[Int](nSub)
+    var i = 0
+    while (i < nSub) {
+      var best = 0
+      var bestDist = Double.MaxValue
+      var j = 0
+      while (j < nCodes) {
+        val base = (i * nCodes + j) * subDim
+        var dist = 0.0
+        var d = 0
+        while (d < subDim) {
+          val diff = vec.getDouble(i * subDim + d) - codebooks.getDouble(base + d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = j } // strict: ties → lowest j
+        j += 1
+      }
+      codes(i) = best
+      i += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Column-API entry point; `vec` must already be array<double>,
+    * `codebooks` a flat literal (see class doc for layout). */
+  def pq_encode(vec: Column, codebooks: Column, nSub: Int, nCodes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(PqEncode(
+      ColumnBridge.expression(vec), ColumnBridge.expression(codebooks),
+      nSub, nCodes))
+  }
+}

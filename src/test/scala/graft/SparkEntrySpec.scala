@@ -19,7 +19,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(rowsOnly == Set("q17_dedup_minhash", "q18_dedup_simhash",
       "q21_sim_ivf", "q24_approx_distinct",
       "q29_sim_lsh", "q32_dedup_embedding_ann", "q34_dedup_corpus_cc",
-      "q42_curation_funnel", "q51_curation_hygiene", "q52_dedup_semantic"),
+      "q42_curation_funnel", "q51_curation_hygiene", "q52_dedup_semantic",
+      "q53_sim_pq"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -139,6 +139,80 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall collapsed: $recall")
   }
 
+  test("PQ codebooks are deterministic; encode covers every vector with valid codes") {
+    val unlabeled = emb.drop("label")
+    val a = Similarity.trainPqCodebooks(unlabeled, nSub = 8, nCodes = 16, iters = 3)
+    val b = Similarity.trainPqCodebooks(unlabeled, nSub = 8, nCodes = 16, iters = 3)
+    assert(a.length == 8 && a.forall(_.length == 16) &&
+      a.forall(_.forall(_.length == 8)))
+    assert(a.map(_.map(_.toSeq).toSeq).toSeq == b.map(_.map(_.toSeq).toSeq).toSeq,
+      "same seed must reproduce identical codebooks")
+    val codes = Similarity.pqEncode(unlabeled, a)
+      .select($"codes").as[Seq[Int]].collect()
+    assert(codes.length == unlabeled.count())
+    assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+  }
+
+  test("PQ quantization reconstructs vectors closer than a random codebook") {
+    // decode(encode(x)) error must beat assigning every subvector to
+    // codeword 0 — i.e. training actually moved the codewords to the data
+    val unlabeled = emb.drop("label")
+    val cbs = Similarity.trainPqCodebooks(unlabeled)
+    val rows = unlabeled.select($"embedding".cast("array<double>")).as[Seq[Double]]
+      .collect().map(_.toArray)
+    def subErr(x: Array[Double], i: Int, cw: Array[Double]): Double =
+      x.slice(i * 8, i * 8 + 8).zip(cw).map { case (u, v) => (u - v) * (u - v) }.sum
+    val trained = rows.map { x =>
+      val codes = graft.functions.PqEncode.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(x),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          cbs.flatten.flatten), 8, 16).toIntArray()
+      (0 until 8).map(i => subErr(x, i, cbs(i)(codes(i)))).sum
+    }.sum / rows.length
+    // untrained yardstick: distance to codeword 0 everywhere
+    val untrained = rows.map { x =>
+      (0 until 8).map(i => subErr(x, i, cbs(i)(0))).sum
+    }.sum / rows.length
+    println(s"[pq] trained mse=$trained untrained(code0)=$untrained")
+    assert(trained < untrained, "training must beat a constant assignment")
+    assert(trained < 1.0, s"unit vectors should quantize with mse < 1, got $trained")
+  }
+
+  test("PQ top-k: refine covering the corpus equals brute force exactly") {
+    val unlabeled = emb.drop("label")
+    val n = unlabeled.count().toInt
+    val full = Similarity.pqTopK(unlabeled, nQueries = 3, k = 5, refine = n)
+      .collect().map(_.toSeq).toSet
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 3, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(full == brute,
+      "exhaustive refine must reduce PQ to exact brute force")
+  }
+
+  test("PQ top-k: self-retrieval, exact reported cosines, measured recall floor") {
+    val unlabeled = emb.drop("label")
+    val pq = Similarity.pqTopK(unlabeled, nQueries = 5, k = 10)
+      .collect()
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // reported cos_sim is EXACT (re-ranked): any (query, neighbor) pair
+    // that brute force also surfaced must carry the identical similarity
+    pq.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach(exact =>
+        assert(r.getDouble(3) == exact, "re-ranked cosine must be exact"))
+    }
+    val byQ = pq.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    (0L until 5L).foreach(q =>
+      assert(byQ(q).exists(_._2 == q), s"query $q lost itself"))
+    val bruteByQ = brute.keys.groupBy(_._1)
+    val recall = (0L until 5L).map { q =>
+      val b = bruteByQ(q).map(_._2).toSet
+      (byQ(q).map(_._2).toSet intersect b).size.toDouble / b.size
+    }.sum / 5
+    println(s"[pq] recall@10 (refine=5) = $recall")
+    assert(recall >= 0.5, s"recall collapsed: $recall")
+  }
+
   test("IVF index on disk: probe is partition-pruned and matches in-memory IVF") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val unlabeled = emb.drop("label")
