@@ -193,6 +193,18 @@ object SparkEntry {
       ext.Dedup.applyPairs(emb.withColumnRenamed("vec_id", "doc_id"), pairs)
         .select(col("doc_id").as("vec_id"), col("label"))
     }),
+    // north-star data selection: DSIR importance resampling — score raw
+    // docs by hashed unigram+bigram log-likelihood ratio vs the English
+    // subset as the target, Gumbel-top-100 resample. Fully
+    // content-addressed (md5 buckets + md5-derived Gumbel noise), so the
+    // DuckDB oracle restates the whole computation and the hash compare
+    // is the cross-engine equality claim
+    "q54_dsir_select" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.Selection.selectByImportance(
+        docs, docs.filter(col("lang") === "en"), n = 100)
+    }),
     // north-star similarity: product-quantized ADC top-k — the
     // memory-scale path (codes are 8 small ints/vec vs 256 B raw; the
     // candidate scan never touches raw vectors, exact-cosine re-rank
@@ -654,6 +666,41 @@ object SparkEntry {
         |SELECT doc_id, source,
         |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS epoch
         |FROM c WHERE n > 0""".stripMargin,
+    // DSIR restated: hashed unigram+bigram bucket log-ratios vs the
+    // 'en' target, Gumbel-perturbed top-100. Both the importance sum
+    // and the selection key ROUND 6dp before ranking (cosine rule);
+    // hex→BIGINT via the ('0x'||…)::BIGINT cast, md5-uniform u=(pfx+0.5)/2³²
+    "q54_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(
+        |    string_split(text, ' ') ||
+        |    list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+        |  ) AS tok FROM documents),
+        |tb AS (SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS bucket
+        |       FROM toks),
+        |rc AS (SELECT bucket, COUNT(*) AS rc FROM tb GROUP BY 1),
+        |tc AS (SELECT bucket, COUNT(*) AS tc
+        |       FROM tb JOIN documents USING (doc_id)
+        |       WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(rc) FROM rc) AS rn,
+        |               (SELECT SUM(tc) FROM tc) AS tn),
+        |lam AS (SELECT r.bucket,
+        |          ln((COALESCE(t.tc, 0) + 1.0) / (tn + 4096.0)) -
+        |          ln((r.rc + 1.0) / (rn + 4096.0)) AS log_ratio
+        |        FROM rc r LEFT JOIN tc t USING (bucket) CROSS JOIN tot),
+        |imp AS (SELECT tb.doc_id, SUM(log_ratio) AS s
+        |        FROM tb JOIN lam USING (bucket) GROUP BY 1),
+        |keyed AS (SELECT doc_id, ROUND(s, 6) AS importance,
+        |            ROUND(s + -ln(-ln(
+        |              (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |                + 0.5) / 4294967296.0)), 6) AS sel_key
+        |          FROM imp)
+        |SELECT doc_id, importance, sel_key,
+        |  CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id) AS BIGINT)
+        |    AS sel_rank
+        |FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin,
     // avg() both sides is fp-order-dependent -> ROUND 6dp (cosine rule)
     "q44_unigram_nll" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

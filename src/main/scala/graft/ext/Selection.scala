@@ -1,0 +1,137 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (the DSIR recipe, Xie et
+  * al. 2023): score every raw document by how much its hashed-n-gram
+  * distribution looks like a TARGET corpus (the high-quality set you
+  * wish you had more of), then resample the raw corpus toward the
+  * target with deterministic Gumbel top-k.
+  *
+  * The estimator is the paper's bag-of-hashed-n-grams model: unigram +
+  * bigram occurrences hashed into `buckets` cells, Laplace-smoothed
+  * unigram bucket distributions p (target) and q (raw), and per-doc
+  * importance log w(x) = Σ_features [ln p(b) − ln q(b)] — a sum of one
+  * log-ratio lookup per token occurrence. Resampling uses the Gumbel
+  * trick (top-n of log w + Gumbel noise); the noise is derived from
+  * md5(doc_id), so selection is content-addressed, reproducible across
+  * engines/runs/partitionings, and SQL-expressible — q54's DuckDB
+  * oracle restates the whole computation and the hash compare is the
+  * cross-engine equality claim.
+  *
+  * Counterpart of the reference pipeline's quality gates
+  * (data_quality.py:1-40 filters on hand heuristics): importance
+  * resampling is the corpus-level generalization a training-data
+  * pipeline runs to match a web crawl to a curated target.
+  *
+  * Scale notes (100 TB): bucket-count aggregates are map-side combined
+  * to ≤ `buckets` groups (shuffle independent of corpus size); the
+  * log-ratio table is ≤ `buckets` rows — small BY CONSTRUCTION (a
+  * constructor parameter, not data-dependent), broadcast without a
+  * count gate; per-doc scoring is one explode + broadcast join +
+  * doc-keyed aggregate (the q44 unigram-NLL shape, the widest shuffle
+  * here and linear in token count); the final top-n is TakeOrdered (per
+  * partition top-n, merged on the driver — no global-window single
+  * reducer; driver holds n rows, so for corpus-sized n use a threshold
+  * filter on sel_key instead of a limit).
+  */
+object Selection {
+
+  /** Unigram + bigram feature stream of a text column, every occurrence
+    * kept (native codegen kernel for the bigrams; the q44 space-split
+    * tokenizer for unigrams — both DuckDB-restatable). */
+  private def features(text: Column): Column =
+    concat(split(text, " "),
+      graft.functions.Shingles.word_shingles_all(text, 2))
+
+  /** Feature → bucket in [0, buckets): first 8 md5 hex digits mod
+    * `buckets` — `Sampling.hashBucket`'s content-addressed expression,
+    * engine-portable (DuckDB: ('0x' || substr(md5(tok),1,8))::BIGINT). */
+  private def bucketOf(tok: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  private def bucketed(docs: DataFrame, idCol: String, textCol: String,
+                       buckets: Int): DataFrame =
+    docs.select(col(idCol), explode(features(col(textCol))).as("tok"))
+      .select(col(idCol), bucketOf(col("tok"), buckets).as("bucket"))
+
+  /** Per-bucket importance log-ratio table: ln p̂_target(b) − ln
+    * q̂_raw(b) over Laplace-smoothed hashed-feature distributions
+    * (smoothing denominator spans all `buckets` cells). Restricted to
+    * buckets OBSERVED IN RAW (left join): only those can be looked up
+    * when scoring raw documents, and dropping the unmatchable rows
+    * keeps the broadcast minimal. ≤ `buckets` rows by construction. */
+  def hashedFeatureLogRatios(raw: DataFrame, target: DataFrame,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             buckets: Int = 4096,
+                             alpha: Double = 1.0): DataFrame = {
+    require(buckets >= 2 && alpha > 0, "need buckets >= 2 and alpha > 0")
+    val rc = bucketed(raw, idCol, textCol, buckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
+    val tc = bucketed(target, idCol, textCol, buckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+    // totals ride along as broadcast 1-row frames (the q44 vocabWithTotal
+    // pattern) — the whole computation stays one lazy plan
+    val withTotals = rc
+      .crossJoin(broadcast(rc.agg(sum(col("rc")).as("rn"))))
+      .join(tc, Seq("bucket"), "left")
+      .crossJoin(broadcast(tc.agg(sum(col("tc")).as("tn"))))
+    withTotals.select(col("bucket"),
+      (log((coalesce(col("tc"), lit(0L)) + alpha) / (col("tn") + alpha * buckets)) -
+        log((col("rc") + alpha) / (col("rn") + alpha * buckets)))
+        .as("log_ratio"))
+  }
+
+  /** Per-document raw (unrounded) importance: Σ over the doc's feature
+    * occurrences of the bucket log-ratio. One explode + broadcast join +
+    * doc-keyed aggregate. */
+  private def rawImportance(raw: DataFrame, lam: DataFrame, idCol: String,
+                            textCol: String, buckets: Int): DataFrame =
+    bucketed(raw, idCol, textCol, buckets)
+      .join(broadcast(lam), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("log_ratio")).as("_imp_raw"))
+
+  /** Importance-score a corpus against a target: every raw doc with its
+    * 6-dp-rounded log importance weight (positive ⇒ more target-like
+    * than the raw average). */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
+    val lam = hashedFeatureLogRatios(raw, target, idCol, textCol, buckets, alpha)
+    rawImportance(raw, lam, idCol, textCol, buckets)
+      .select(col(idCol), round(col("_imp_raw"), 6).as("importance"))
+  }
+
+  /** DSIR selection: top `n` raw documents by Gumbel-perturbed
+    * importance — sampling WITHOUT replacement ∝ exp(importance), made
+    * deterministic by deriving the Gumbel noise g = −ln(−ln(u)) from
+    * u = (md5-prefix(doc_id) + 0.5) / 2³² (u ∈ (0,1) strictly, so g is
+    * finite; the `repeatByWeight` hash-uniform). Both the score sum and
+    * the perturbed key are rounded to 6 dp BEFORE ranking (the cosine
+    * rule — cross-engine fp noise must not flip an order), ties broken
+    * by id. Returns (id, importance, sel_key, sel_rank); `sel_rank` is
+    * computed by a window over the already-limited n rows, never the
+    * corpus. */
+  def selectByImportance(raw: DataFrame, target: DataFrame, n: Int,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val lam = hashedFeatureLogRatios(raw, target, idCol, textCol, buckets, alpha)
+    val pfx = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val gumbel = -log(-log((pfx.cast("double") + 0.5) / lit(4294967296.0)))
+    val keyed = rawImportance(raw, lam, idCol, textCol, buckets)
+      .select(col(idCol),
+        round(col("_imp_raw"), 6).as("importance"),
+        round(col("_imp_raw") + gumbel, 6).as("sel_key"))
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(n)
+    keyed.withColumn("sel_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("sel_key").desc, col(idCol))).cast("long"))
+  }
+}

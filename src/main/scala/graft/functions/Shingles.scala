@@ -13,10 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * query (≈5 s per evaluation at sf0.1, and plans evaluate it once per
   * subtree reference). These run one generated-Java pass per row.
   *
-  * Semantics (shared by both, and by the DuckDB oracle SQL): tokens =
+  * Semantics (shared, and matched by the DuckDB oracle SQL): tokens =
   * text split on single spaces (empties kept), shingles = all n
-  * consecutive tokens joined by a space, de-duplicated; fewer than n
-  * tokens ⇒ empty array.
+  * consecutive tokens joined by a space — de-duplicated in
+  * `WordShingles`/`ShingleHashes`, every occurrence kept in
+  * `WordShinglesAll`; fewer than n tokens ⇒ empty array.
   */
 abstract class ShingleExpression extends UnaryExpression {
   def n: Int
@@ -43,6 +44,25 @@ case class WordShingles(child: Expression, n: Int) extends ShingleExpression {
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
   override def prettyName: String = "word_shingles"
+}
+
+/** ALL word n-gram shingles (occurrences kept, document order) as
+  * array<string> — the count-preserving variant `WordShingles` dedupes:
+  * distribution estimators (hashed n-gram counts for importance
+  * weighting) need every occurrence, not the distinct set. */
+case class WordShinglesAll(child: Expression, n: Int) extends ShingleExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles.shingleStringsAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Shingles.shingleStringsAll($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesAll =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles_all"
 }
 
 /** Distinct word n-gram shingles hashed straight to 32-bit-masked
@@ -84,6 +104,19 @@ object Shingles {
     new GenericArrayData(out)
   }
 
+  /** Kernel: every shingle occurrence in document order (no dedup). */
+  def shingleStringsAll(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.split(Space, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      out(i) = UTF8String.concatWs(Space, java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Kernel: distinct 32-bit-masked xxhash64 of each shingle, hashing the
     * exact bytes `shingleStrings` would produce (token bytes joined by a
     * single space) without allocating the joined string. */
@@ -107,6 +140,11 @@ object Shingles {
   def word_shingles(c: Column, n: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
+  }
+
+  def word_shingles_all(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(WordShinglesAll(ColumnBridge.expression(c), n))
   }
 
   def shingle_hashes(c: Column, n: Int): Column = {

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Invariants for DSIR importance resampling (`ext/Selection`); the
+  * cross-engine value equality itself is q54's DuckDB oracle hash. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf("sf0.001")).cache()
+  private lazy val target = docs.filter($"lang" === "en")
+
+  test("importance scores every raw doc once, deterministically") {
+    val a = Selection.importanceWeights(docs, target).collect()
+    assert(a.length == docs.count())
+    val b = Selection.importanceWeights(docs, target)
+      .collect().map(_.toSeq).toSet
+    assert(a.map(_.toSeq).toSet == b, "same inputs must reproduce scores")
+  }
+
+  test("target-like documents outscore the rest on average") {
+    val scored = Selection.importanceWeights(docs, target)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang" === "en").agg(avg($"importance")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    println(s"[dsir] mean importance en=${scored(true)} other=${scored(false)}")
+    assert(scored(true) > scored(false),
+      "docs drawn from the target language must score above the rest")
+  }
+
+  test("synthetic direction check: a target-vocabulary doc beats a foreign one") {
+    val raw = Seq(
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "delta epsilon delta epsilon zeta"),
+      (3L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val tgt = Seq((10L, "alpha beta gamma alpha beta gamma")).toDF("doc_id", "text")
+    val w = Selection.importanceWeights(raw, tgt, buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(1L) > w(2L) && w(3L) > w(2L),
+      s"target-vocab docs must outscore the foreign doc: $w")
+  }
+
+  test("selectByImportance returns exactly n ranked rows in key order") {
+    val sel = Selection.selectByImportance(docs, target, n = 25).collect()
+    assert(sel.length == 25)
+    val ranks = sel.map(_.getAs[Long]("sel_rank")).sorted.toSeq
+    assert(ranks == (1L to 25L), s"ranks must be 1..25: $ranks")
+    val ordered = sel.sortBy(_.getAs[Long]("sel_rank"))
+      .map(r => (r.getAs[Double]("sel_key"), r.getAs[Long]("doc_id")))
+    val resorted = ordered.sortBy { case (k, id) => (-k, id) }.toSeq
+    assert(ordered.toSeq == resorted, "sel_rank must follow (sel_key desc, id)")
+    // the selection is a subset of the scored corpus with matching weights
+    val all = Selection.importanceWeights(docs, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sel.foreach(r => assert(all(r.getAs[Long]("doc_id")) ==
+      r.getAs[Double]("importance")))
+  }
+
+  test("word_shingles_all keeps every occurrence in order") {
+    val got = Seq(("a b a b c"))
+      .toDF("t")
+      .select(graft.functions.Shingles.word_shingles_all($"t", 2))
+      .as[Seq[String]].head()
+    assert(got == Seq("a b", "b a", "a b", "b c"))
+    // fewer than n tokens -> empty
+    val empty = Seq(("solo")).toDF("t")
+      .select(graft.functions.Shingles.word_shingles_all($"t", 2))
+      .as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+}
