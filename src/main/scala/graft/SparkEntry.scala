@@ -677,12 +677,13 @@ object SparkEntry {
         |    list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
         |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
         |  ) AS tok FROM documents),
-        |tb AS (SELECT doc_id,
-        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS bucket
-        |       FROM toks),
-        |rc AS (SELECT bucket, COUNT(*) AS rc FROM tb GROUP BY 1),
-        |tc AS (SELECT bucket, COUNT(*) AS tc
-        |       FROM tb JOIN documents USING (doc_id)
+        |dc AS (SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS bucket,
+        |         COUNT(*) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |rc AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS rc FROM dc GROUP BY 1),
+        |tc AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS tc
+        |       FROM dc JOIN documents USING (doc_id)
         |       WHERE lang = 'en' GROUP BY 1),
         |tot AS (SELECT (SELECT SUM(rc) FROM rc) AS rn,
         |               (SELECT SUM(tc) FROM tc) AS tn),
@@ -690,8 +691,8 @@ object SparkEntry {
         |          ln((COALESCE(t.tc, 0) + 1.0) / (tn + 4096.0)) -
         |          ln((r.rc + 1.0) / (rn + 4096.0)) AS log_ratio
         |        FROM rc r LEFT JOIN tc t USING (bucket) CROSS JOIN tot),
-        |imp AS (SELECT tb.doc_id, SUM(log_ratio) AS s
-        |        FROM tb JOIN lam USING (bucket) GROUP BY 1),
+        |imp AS (SELECT dc.doc_id, SUM(c * log_ratio) AS s
+        |        FROM dc JOIN lam USING (bucket) GROUP BY 1),
         |keyed AS (SELECT doc_id, ROUND(s, 6) AS importance,
         |            ROUND(s + -ln(-ln(
         |              (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * The estimator is the paper's bag-of-hashed-n-grams model: unigram +
   * bigram occurrences hashed into `buckets` cells, Laplace-smoothed
   * unigram bucket distributions p (target) and q (raw), and per-doc
-  * importance log w(x) = Σ_features [ln p(b) − ln q(b)] — a sum of one
-  * log-ratio lookup per token occurrence. Resampling uses the Gumbel
+  * importance log w(x) = Σ_b c_b(x)·[ln p(b) − ln q(b)] over the doc's
+  * bucket counts. Resampling uses the Gumbel
   * trick (top-n of log w + Gumbel noise); the noise is derived from
   * md5(doc_id), so selection is content-addressed, reproducible across
   * engines/runs/partitionings, and SQL-expressible — q54's DuckDB
@@ -25,16 +25,17 @@ import org.apache.spark.sql.functions._
   * resampling is the corpus-level generalization a training-data
   * pipeline runs to match a web crawl to a curated target.
   *
-  * Scale notes (100 TB): bucket-count aggregates are map-side combined
-  * to ≤ `buckets` groups (shuffle independent of corpus size); the
-  * log-ratio table is ≤ `buckets` rows — small BY CONSTRUCTION (a
-  * constructor parameter, not data-dependent), broadcast without a
-  * count gate; per-doc scoring is one explode + broadcast join +
-  * doc-keyed aggregate (the q44 unigram-NLL shape, the widest shuffle
-  * here and linear in token count); the final top-n is TakeOrdered (per
-  * partition top-n, merged on the driver — no global-window single
-  * reducer; driver holds n rows, so for corpus-sized n use a threshold
-  * filter on sel_key instead of a limit).
+  * Scale notes (100 TB): the tokenize+md5 pass — the dominant cost —
+  * runs ONCE, into per-doc bucket counts (map-side combined in place:
+  * a doc's tokens are partition-local), which are checkpointed and
+  * re-read by both the distribution aggregate (≤ `buckets` groups,
+  * shuffle independent of corpus size) and the per-doc scoring join
+  * (Σ c·λ over count rows — never the raw token stream). The log-ratio
+  * table is ≤ `buckets` rows — small BY CONSTRUCTION (a parameter, not
+  * data-dependent), broadcast without a count gate. The final top-n is
+  * TakeOrdered (per-partition top-n, merged on the driver — no
+  * global-window single reducer; driver holds n rows, so for
+  * corpus-sized n use a threshold filter on sel_key instead).
   */
 object Selection {
 
@@ -52,10 +53,19 @@ object Selection {
     pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"),
       lit(buckets.toLong))
 
-  private def bucketed(docs: DataFrame, idCol: String, textCol: String,
-                       buckets: Int): DataFrame =
+  /** Per-document bucket occurrence counts — the ONE tokenize/hash pass
+    * everything else derives from: the corpus distribution is a
+    * re-aggregate of these counts and the per-doc score is Σ c·λ, so
+    * the md5-per-token work (the expensive part) is paid once, and the
+    * doc-keyed shuffle carries ≤ distinct-buckets-per-doc rows instead
+    * of the raw token stream. Map-side combine is effective by
+    * construction: a document's tokens are colocated in its partition. */
+  private def docBucketCounts(docs: DataFrame, idCol: String, textCol: String,
+                              buckets: Int): DataFrame =
     docs.select(col(idCol), explode(features(col(textCol))).as("tok"))
       .select(col(idCol), bucketOf(col("tok"), buckets).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("c"))
 
   /** Per-bucket importance log-ratio table: ln p̂_target(b) − ln
     * q̂_raw(b) over Laplace-smoothed hashed-feature distributions
@@ -69,10 +79,22 @@ object Selection {
                              buckets: Int = 4096,
                              alpha: Double = 1.0): DataFrame = {
     require(buckets >= 2 && alpha > 0, "need buckets >= 2 and alpha > 0")
-    val rc = bucketed(raw, idCol, textCol, buckets)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
-    val tc = bucketed(target, idCol, textCol, buckets)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+    hashedFeatureLogRatiosFrom(
+      docBucketCounts(raw, idCol, textCol, buckets),
+      docBucketCounts(target, idCol, textCol, buckets), buckets, alpha)
+  }
+
+  /** `hashedFeatureLogRatios` over pre-computed per-doc bucket counts
+    * (so one `docBucketCounts` pass can feed both the distribution
+    * estimate and the per-doc scoring). */
+  private def hashedFeatureLogRatiosFrom(rawCounts: DataFrame,
+                                         targetCounts: DataFrame,
+                                         buckets: Int,
+                                         alpha: Double): DataFrame = {
+    val rc = rawCounts.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("rc"))
+    val tc = targetCounts.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("tc"))
     // totals ride along as broadcast 1-row frames (the q44 vocabWithTotal
     // pattern) — the whole computation stays one lazy plan
     val withTotals = rc
@@ -85,15 +107,23 @@ object Selection {
         .as("log_ratio"))
   }
 
-  /** Per-document raw (unrounded) importance: Σ over the doc's feature
-    * occurrences of the bucket log-ratio. One explode + broadcast join +
-    * doc-keyed aggregate. */
-  private def rawImportance(raw: DataFrame, lam: DataFrame, idCol: String,
-                            textCol: String, buckets: Int): DataFrame =
-    bucketed(raw, idCol, textCol, buckets)
-      .join(broadcast(lam), "bucket")
+  /** Per-document raw (unrounded) importance from pre-computed bucket
+    * counts: Σ c·λ — one broadcast join + doc-keyed aggregate over
+    * count rows, never the raw token stream. */
+  private def rawImportanceFrom(dc: DataFrame, lam: DataFrame,
+                                idCol: String): DataFrame =
+    dc.join(broadcast(lam), "bucket")
       .groupBy(col(idCol))
-      .agg(sum(col("log_ratio")).as("_imp_raw"))
+      .agg(sum(col("c") * col("log_ratio")).as("_imp_raw"))
+
+  /** The raw corpus's per-doc bucket counts, computed ONCE and
+    * lineage-truncated (the q44 vocab-checkpoint discipline): both the
+    * raw distribution aggregate and the per-doc scoring join read the
+    * materialized counts, so the tokenize+md5 pass — the dominant cost —
+    * is never evaluated twice. */
+  private def checkpointedCounts(raw: DataFrame, idCol: String,
+                                 textCol: String, buckets: Int): DataFrame =
+    docBucketCounts(raw, idCol, textCol, buckets).localCheckpoint()
 
   /** Importance-score a corpus against a target: every raw doc with its
     * 6-dp-rounded log importance weight (positive ⇒ more target-like
@@ -101,8 +131,10 @@ object Selection {
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text",
                         buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
-    val lam = hashedFeatureLogRatios(raw, target, idCol, textCol, buckets, alpha)
-    rawImportance(raw, lam, idCol, textCol, buckets)
+    val dc = checkpointedCounts(raw, idCol, textCol, buckets)
+    val lam = hashedFeatureLogRatiosFrom(dc,
+      docBucketCounts(target, idCol, textCol, buckets), buckets, alpha)
+    rawImportanceFrom(dc, lam, idCol)
       .select(col(idCol), round(col("_imp_raw"), 6).as("importance"))
   }
 
@@ -120,11 +152,13 @@ object Selection {
                          idCol: String = "doc_id", textCol: String = "text",
                          buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
     require(n >= 1, "need n >= 1")
-    val lam = hashedFeatureLogRatios(raw, target, idCol, textCol, buckets, alpha)
+    val dc = checkpointedCounts(raw, idCol, textCol, buckets)
+    val lam = hashedFeatureLogRatiosFrom(dc,
+      docBucketCounts(target, idCol, textCol, buckets), buckets, alpha)
     val pfx = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
     val gumbel = -log(-log((pfx.cast("double") + 0.5) / lit(4294967296.0)))
-    val keyed = rawImportance(raw, lam, idCol, textCol, buckets)
+    val keyed = rawImportanceFrom(dc, lam, idCol)
       .select(col(idCol),
         round(col("_imp_raw"), 6).as("importance"),
         round(col("_imp_raw") + gumbel, 6).as("sel_key"))

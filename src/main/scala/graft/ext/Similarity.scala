@@ -505,6 +505,119 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Physical IVF-PQ index: the `writeIvfIndex` cell-partitioned layout
+    * with a PQ `codes` column on every row and the trained codebooks as
+    * a second sidecar. A probe then composes BOTH scale levers:
+    * partition pruning reads only the routed cells, and the ADC
+    * candidate scan projects (vec_id, codes) — parquet column pruning
+    * skips the raw embedding bytes, so candidate generation reads
+    * ~8 B/vec instead of 256 B/vec (PlanInvariantsSpec pins both scan
+    * properties). Raw vectors are only read for the refine·k survivors'
+    * exact-cosine re-rank. This is the canonical billion-vector serving
+    * layout (IVF for I/O locality, PQ for bytes-per-candidate). */
+  def writePqIndex(emb: DataFrame, path: String, nCells: Int = 16,
+                   nSub: Int = 8, nCodes: Int = 16, iters: Int = 5,
+                   seed: Long = 42L): Unit = {
+    val spark = emb.sparkSession
+    val cents = kmeansCentroids(emb, nCells, iters, seed)
+    val cbs = trainPqCodebooks(emb, nSub, nCodes, iters, seed)
+    pqEncode(assignCells(emb, cents), cbs)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/data")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+    cbs.zipWithIndex.flatMap { case (cw, i) =>
+      cw.zipWithIndex.map { case (c, j) => (i, j, c.toSeq) }
+    }.toSeq
+      .toDF("sub", "code", "codeword")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codebooks")
+  }
+
+  /** Probe a written IVF-PQ index: route each query to its `nProbe`
+    * best cells, ADC-score that slice's CODES against the query's
+    * driver-computed LUT, then fetch and exact-cosine re-rank the top
+    * `refine·k`. Identical output contract to `probeIvfIndex`/`pqTopK`;
+    * `nProbe` covering every cell with `refine·k >= |corpus|`
+    * degenerates to exact brute force (spec-pinned). */
+  def probePqIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                   queries: DataFrame, k: Int = 10, nProbe: Int = 1,
+                   refine: Int = 5): DataFrame = {
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$indexPath/codebooks")
+      .orderBy("sub", "code").collect()
+    val nSub = cbRows.map(_.getInt(0)).max + 1
+    val nCodes = cbRows.map(_.getInt(1)).max + 1
+    val cbs: Array[Array[Array[Double]]] = Array.tabulate(nSub)(i =>
+      Array.tabulate(nCodes)(j =>
+        cbRows(i * nCodes + j).getSeq[Double](2).toArray))
+    val subDim = cbs.head.head.length
+    // queries with per-query LUTs (driver-computed: queries are the
+    // small side by contract, LUTs are nSub·nCodes doubles each)
+    val qRows = queries
+      .select(col("vec_id"), asDouble(col("embedding")).as("qe")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qData = qRows.toSeq.map { case (qid, qe) =>
+      val lut = Array.tabulate(nSub * nCodes) { x =>
+        val i = x / nCodes; val j = x % nCodes
+        var dot = 0.0
+        var d = 0
+        while (d < subDim) { dot += qe(i * subDim + d) * cbs(i)(j)(d); d += 1 }
+        dot
+      }
+      (qid, qe.toSeq, lut.toSeq)
+    }
+    import spark.implicits._
+    // cell routing stays a distributed filter over the tiny query set
+    // (`rankRoutedCells`' shape, same 6-dp routing semantics) — the
+    // SELECTIVE predicate is what lets Catalyst plant the dynamic
+    // partition-pruning subquery on the index scan; a driver-computed
+    // cell list (bare LocalRelation, no filter) never triggers DPP
+    val sims = cents.toSeq.map(c => round(cosine(col("qe"), typedLit(c.toSeq)), 6))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cell"))
+    val routed = qData.toDF("query_id", "qe", "lut")
+      .select(col("query_id"), col("qe"), col("lut"),
+        posexplode(array(sims: _*)).as(Seq("cell", "cent_sim")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("query_id"), col("qe"), col("lut"), col("cell"))
+    val index = spark.read.parquet(s"$indexPath/data")
+    // ADC stage: project codes only — column pruning keeps embedding
+    // bytes on disk for every non-surviving candidate
+    val codesOnly = index.select(col("vec_id").as("neighbor_id"),
+      col("cell"), col("codes"))
+    val approx = (0 until nSub).map(i =>
+      element_at(col("lut"), lit(i * nCodes + 1) + element_at(col("codes"), i + 1)))
+      .reduce(_ + _)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = broadcast(routed).join(codesOnly, "cell")
+      .select(col("query_id"), col("qe"), col("neighbor_id"),
+        approx.as("approx"))
+      .withColumn("approx_rank", row_number().over(wApprox))
+      .filter(col("approx_rank") <= refine * k)
+      .select(col("query_id"), col("qe"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(cand)
+      .join(index.select(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("ne")), "neighbor_id")
+      .withColumn("cos_sim", round(cosine(col("qe"), col("ne")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** IVF top-k, in-memory variant on an UNLABELED corpus: train the
     * k-means quantizer, assign cells, route each query to its `nProbe`
     * nearest centroids, rank only those cells' vectors. Same output shape

@@ -213,6 +213,44 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall collapsed: $recall")
   }
 
+  test("IVF-PQ index on disk: exhaustive probe is brute force; ADC scan reads codes, not vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val unlabeled = emb.drop("label")
+    Similarity.writePqIndex(unlabeled, s"$dir/index")
+    val queries = unlabeled.filter($"vec_id" < 3)
+    val n = unlabeled.count().toInt
+    // nProbe covering every cell + refine covering the corpus ⇒ exact
+    val full = Similarity.probePqIndex(spark, s"$dir/index", queries,
+      k = 5, nProbe = 16, refine = n)
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 3, k = 5)
+    assert(full.collect().map(_.toSeq).toSet ==
+      brute.collect().map(_.toSeq).toSet)
+    // all-cells disk probe == in-memory pqTopK (same trained codebooks)
+    val allCells = Similarity.probePqIndex(spark, s"$dir/index", queries,
+      k = 5, nProbe = 16)
+    val inMem = Similarity.pqTopK(unlabeled, nQueries = 3, k = 5)
+    assert(allCells.collect().map(_.toSeq).toSet ==
+      inMem.collect().map(_.toSeq).toSet)
+    // candidate generation must be partition-pruned AND column-pruned:
+    // the ADC scan projects codes (8 B/vec) and never the raw embedding
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Similarity.probePqIndex(spark, s"$dir/index", queries, k = 5)
+        .queryExecution.executedPlan
+      val scans = p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("index/data")) => s
+      }
+      val adc = scans.filter(_.schema.fieldNames.contains("codes"))
+      assert(adc.nonEmpty, s"no codes-projecting index scan found in:\n$p")
+      adc.foreach(s => assert(!s.schema.fieldNames.contains("embedding"),
+        s"ADC scan must not read raw embeddings: ${s.schema.fieldNames.toSeq}"))
+      assert(adc.exists(_.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning"))),
+        s"no dynamic partition pruning on the ADC scan:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("IVF index on disk: probe is partition-pruned and matches in-memory IVF") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val unlabeled = emb.drop("label")
