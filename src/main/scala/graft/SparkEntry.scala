@@ -685,8 +685,8 @@ object SparkEntry {
         |tc AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS tc
         |       FROM dc JOIN documents USING (doc_id)
         |       WHERE lang = 'en' GROUP BY 1),
-        |tot AS (SELECT (SELECT SUM(rc) FROM rc) AS rn,
-        |               (SELECT SUM(tc) FROM tc) AS tn),
+        |tot AS (SELECT (SELECT COALESCE(SUM(rc), 0) FROM rc) AS rn,
+        |               (SELECT COALESCE(SUM(tc), 0) FROM tc) AS tn),
         |lam AS (SELECT r.bucket,
         |          ln((COALESCE(t.tc, 0) + 1.0) / (tn + 4096.0)) -
         |          ln((r.rc + 1.0) / (rn + 4096.0)) AS log_ratio

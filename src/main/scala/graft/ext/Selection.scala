@@ -97,10 +97,12 @@ object Selection {
       .agg(sum(col("c")).as("tc"))
     // totals ride along as broadcast 1-row frames (the q44 vocabWithTotal
     // pattern) — the whole computation stays one lazy plan
+    // totals coalesce to 0 so a degenerate EMPTY target yields finite
+    // (uniformly negative) scores instead of a null column
     val withTotals = rc
-      .crossJoin(broadcast(rc.agg(sum(col("rc")).as("rn"))))
+      .crossJoin(broadcast(rc.agg(coalesce(sum(col("rc")), lit(0L)).as("rn"))))
       .join(tc, Seq("bucket"), "left")
-      .crossJoin(broadcast(tc.agg(sum(col("tc")).as("tn"))))
+      .crossJoin(broadcast(tc.agg(coalesce(sum(col("tc")), lit(0L)).as("tn"))))
     withTotals.select(col("bucket"),
       (log((coalesce(col("tc"), lit(0L)) + alpha) / (col("tn") + alpha * buckets)) -
         log((col("rc") + alpha) / (col("rn") + alpha * buckets)))

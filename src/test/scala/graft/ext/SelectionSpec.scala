@@ -57,6 +57,71 @@ class SelectionSpec extends SparkSpec {
       r.getAs[Double]("importance")))
   }
 
+  test("importance matches an in-driver reference on random corpora") {
+    // ScalaCheck against a direct reimplementation of the documented
+    // math (md5 feature buckets, Laplace-smoothed distributions,
+    // Σ c·λ), tolerance one ulp of the 6-dp rounding. ScalaCheck is
+    // driven via Prop/Test.check (CLAUDE.md: the scalatest bridge
+    // isn't offline-resolvable).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val B = 64
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(tok: String): Long =
+      java.lang.Long.parseLong(md5hex(tok).substring(0, 8), 16) % B
+    def feats(text: String): Seq[String] = {
+      val toks = text.split(" ", -1).toSeq
+      toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def reference(corpus: Seq[(Long, String)],
+                  targetIds: Set[Long]): Map[Long, Double] = {
+      val dc = corpus.map { case (id, t) =>
+        id -> feats(t).groupBy(bucket).map { case (b, g) => b -> g.size.toLong }
+      }.toMap
+      def total(m: Iterable[Map[Long, Long]]): Map[Long, Long] =
+        m.flatten.groupBy(_._1).map { case (b, g) => b -> g.map(_._2).sum }
+      val rc = total(dc.values)
+      val tc = total(corpus.collect { case (id, _) if targetIds(id) => dc(id) })
+      val rn = rc.values.sum.toDouble
+      val tn = tc.values.sum.toDouble
+      val lam = rc.map { case (b, r) =>
+        b -> (math.log((tc.getOrElse(b, 0L) + 1.0) / (tn + B)) -
+          math.log((r + 1.0) / (rn + B)))
+      }
+      dc.map { case (id, cs) =>
+        id -> cs.map { case (b, c) => c * lam(b) }.sum
+      }
+    }
+    val wordGen = Gen.oneOf("the", "cat", "sat", "zz", "qq", "")
+    val docGen = Gen.chooseNum(1, 8)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(2, 10).flatMap(n => Gen.listOfN(n, docGen))
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val targetIds = corpus.map(_._1).filter(_ % 2 == 0).toSet
+      val df = corpus.toDF("doc_id", "text")
+      val got = Selection.importanceWeights(
+          df, df.filter($"doc_id" % 2 === 0), buckets = B)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = reference(corpus, targetIds)
+      got.keySet == want.keySet && got.forall { case (id, v) =>
+        math.abs(v - want(id)) <= 1e-6
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("an empty target corpus yields finite scores, not nulls") {
+    val raw = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val w = Selection.importanceWeights(raw, raw.filter($"doc_id" < 0),
+        buckets = 64)
+      .collect().map(_.getDouble(1))
+    assert(w.length == 2 && w.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("word_shingles_all keeps every occurrence in order") {
     val got = Seq(("a b a b c"))
       .toDF("t")
