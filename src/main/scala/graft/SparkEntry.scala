@@ -213,6 +213,24 @@ object SparkEntry {
     // brute force plus a measured recall floor
     "q53_sim_pq" -> ((s, dir) =>
       ext.Similarity.pqTopK(Tables.embeddings(s, dir).drop("label"))),
+    // north-star dedup: passage-level duplicate stats (Lee et al. 2021
+    // exact-substring recipe over 8-token sliding windows) — per-doc
+    // fraction of windows whose hash repeats anywhere in the corpus.
+    // Content-addressed (md5 of q40's chunk semantics at stride 1), so
+    // the DuckDB oracle restates the windows verbatim
+    "q55_passage_dup" -> ((s, dir) =>
+      ext.Dedup.passageDupStats(Tables.documents(s, dir))),
+    // north-star text analysis: per-doc TF-IDF top-3 keywords (smoothed
+    // sklearn idf), scores rounded 6dp before ranking, term tie-break —
+    // fully SQL-restatable corpus-statistics scoring
+    "q56_tfidf_keywords" -> ((s, dir) =>
+      ext.TextAnalysis.tfidfKeywords(Tables.documents(s, dir))),
+    // north-star mixing: temperature-scaled mixture weights (mT5/XLM-R
+    // p^alpha recipe) per source; alpha=0.5 is binary-exact (sqrt), so
+    // the 6dp-rounded doubles hash-match DuckDB
+    "q57_temperature_mix" -> ((s, dir) =>
+      ext.Sampling.temperatureMixWeights(
+        Tables.documents(s, dir), "source", alpha = 0.5)),
     // north-star dedup: df-capped exact Jaccard pairs — same shape as q16
     // but with the frequent-shingle cap ON, oracle-checked (the cap is
     // plain SQL: HAVING count(*) <= 8 on the shingle relation)
@@ -702,6 +720,55 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id) AS BIGINT)
         |    AS sel_rank
         |FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin,
+    // q40's window semantics at stride 1 (1-based inclusive list slice =
+    // the kernel's tokens[i-1, i+7)); dup = hash total >= 2 corpus-wide;
+    // SUM(BIGINT) is HUGEINT -> CAST; `/` is float division both engines
+    "q55_passage_dup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |f AS (SELECT doc_id, w FROM t WHERE len(w) >= 8),
+        |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+        |        i -> md5(array_to_string(w[i : i + 7], ' ')))) AS wk
+        |      FROM f),
+        |k AS (SELECT doc_id, wk, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |d AS (SELECT wk FROM k GROUP BY wk HAVING SUM(c) >= 2)
+        |SELECT k.doc_id,
+        |  CAST(SUM(k.c) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN d.wk IS NOT NULL THEN k.c ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows,
+        |  ROUND(SUM(CASE WHEN d.wk IS NOT NULL THEN k.c ELSE 0 END) / SUM(k.c), 6)
+        |    AS dup_frac
+        |FROM k LEFT JOIN d ON k.wk = d.wk
+        |GROUP BY 1""".stripMargin,
+    // smoothed sklearn idf = ln((N+1)/(df+1)) + 1; ROUND 6dp BEFORE the
+    // rank (cosine rule), term tie-break; empty tokens are separators
+    "q56_tfidf_keywords" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |       WHERE len(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+        |        ROUND(tf.tf * (ln((n_docs + 1.0) / (df.df + 1)) + 1.0), 6) AS tfidf
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term) AS rk FROM s)
+        |SELECT doc_id, term, tf, tfidf, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3""".stripMargin,
+    // q_g ∝ p_g^0.5 over per-source counts; epochs = p_temp*N/n feeds
+    // repeatByWeight; sqrt keeps pow() bit-identical across engines
+    "q57_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+        |b AS (SELECT source, n_docs, n_total,
+        |        pow(n_docs / CAST(n_total AS DOUBLE), 0.5) AS pa
+        |      FROM c CROSS JOIN t),
+        |z AS (SELECT SUM(pa) AS z FROM b)
+        |SELECT source, n_docs,
+        |  ROUND(n_docs / CAST(n_total AS DOUBLE), 6) AS p_raw,
+        |  ROUND(pa / z, 6) AS p_temp,
+        |  ROUND(pa / z * n_total / n_docs, 6) AS epochs
+        |FROM b CROSS JOIN z""".stripMargin,
     // avg() both sides is fp-order-dependent -> ROUND 6dp (cosine rule)
     "q44_unigram_nll" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -867,4 +867,63 @@ object Dedup {
       .filter(col("cos_sim") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
+
+  /** Passage-level duplicate statistics — the exact-substring-dedup
+    * recipe of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better") re-expressed over sliding token windows:
+    * every `windowTokens`-token window of every document is hashed, and
+    * a window is DUPLICATED when its hash occurs ≥ 2 times anywhere in
+    * the corpus (across documents or repeated inside one — both are the
+    * memorization hazard the recipe targets). Returns per-doc
+    * (n_windows, n_dup_windows, dup_frac): the fraction of a document
+    * made of passages that exist elsewhere — the passage-granular
+    * complement of whole-doc dedup (`exactDupGroups`) and fuzzy-doc
+    * dedup (MinHash/SimHash), which both miss a unique document wrapping
+    * a big copied block. Documents shorter than `windowTokens` tokens
+    * have no full window and are excluded (the oracle states the same
+    * predicate). Counterpart of the reference's whole-row dedup notion
+    * (load_sales_history.py:1-253 keys rows by id); windows use the
+    * `TextChunks` codegen kernel at stride 1, so tokenization matches
+    * q40's chunking and the DuckDB oracle restates it verbatim.
+    *
+    * Scale notes (100 TB): the window explode is the widest relation
+    * this op touches — ~one row per corpus token, each carrying a
+    * `windowTokens`× slice of text — but it collapses IMMEDIATELY to
+    * (doc_id, md5) pairs inside the same projection (the strings never
+    * shuffle), then to per-doc window counts by a map-side-combined
+    * aggregate (a doc's windows are partition-local), which are
+    * localCheckpointed ONCE and re-read by both consumers — the
+    * tokenize+hash pass is never paid twice. The duplicated-key set
+    * (total ≥ 2) rides the DSIR re-aggregate shape: grouped from the
+    * materialized counts (shuffle = distinct (doc, window) keys, not
+    * the raw window stream), then joined back broadcast-hinted only
+    * under the 10M-row ceiling — boilerplate-heavy corpora where the
+    * dup set is corpus-sized degrade to a shuffled join instead of
+    * OOMing the driver. Per-doc aggregation is doc-keyed: no hot-key
+    * window, no skew hazard (hot WINDOW hashes land in the count
+    * aggregate, where partial aggregation absorbs them). */
+  def passageDupStats(docs: DataFrame, windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val counts = docs
+      .filter(size(split(col("text"), " ")) >= windowTokens)
+      .select(col("doc_id"),
+        explode(graft.functions.Chunks.text_chunks(
+          col("text"), windowTokens, 1)).as("win"))
+      .select(col("doc_id"), md5(col("win")).as("wk"))
+      .groupBy(col("doc_id"), col("wk")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val dupKeys = counts.groupBy(col("wk")).agg(sum(col("c")).as("tot"))
+      .filter(col("tot") >= 2).select("wk")
+      .localCheckpoint() // forced by the gate count; the join re-reads it
+    val hinted =
+      if (dupKeys.count() <= MaxBroadcastRows) broadcast(dupKeys) else dupKeys
+    counts
+      .join(hinted.withColumn("_dup", lit(true)), Seq("wk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_windows"),
+        sum(when(col("_dup"), col("c")).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows") / col("n_windows"), 6))
+  }
 }

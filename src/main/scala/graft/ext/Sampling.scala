@@ -150,6 +150,48 @@ object Sampling {
       .drop("_n_epochs")
   }
 
+  /** Temperature-scaled mixture weights — the multilingual-training
+    * sampling recipe (mT5/XLM-R): resample groups toward
+    * q_g ∝ p_g^alpha, flattening the raw size distribution so
+    * low-resource groups (languages, sources) are seen more often
+    * without hand-tuned per-group knobs. alpha = 1 keeps the raw mix,
+    * alpha → 0 approaches uniform. Returns one row per group:
+    * (group, n_docs, p_raw, p_temp, epochs) where `epochs` =
+    * p_temp·N/n_g is exactly the per-group weight that feeds
+    * `repeatByWeight` to realize the mix at the document level
+    * (Σ_g epochs_g·n_g = N: the corpus token budget is preserved, only
+    * its composition shifts). The generalization of the reference's
+    * hard-coded per-client extract quotas (load_sales_mart.py:1-113
+    * fixes the mix by hand). All doubles are 6-dp rounded (cosine
+    * rule); prefer binary-exact alphas (0.5 = sqrt) when cross-engine
+    * hash parity matters.
+    *
+    * Scale note (100 TB): one map-side-combined count per group — the
+    * only corpus-wide pass; everything after runs on the
+    * group-cardinality frame (localCheckpointed once, re-read by the
+    * total and normalizer aggregates), with the two scalars attached as
+    * one-row broadcast cross-joins (the `vocabWithTotal` pattern — no
+    * global window, no second corpus scan). */
+  def temperatureMixWeights(df: DataFrame, groupCol: String,
+                            alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // group-cardinality rows; three consumers below
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+    val base = counts.crossJoin(broadcast(tot))
+      .withColumn("_pa",
+        pow(col("n_docs").cast("double") / col("n_total"), alpha))
+    val z = base.agg(sum(col("_pa")).as("_z"))
+    base.crossJoin(broadcast(z))
+      .select(col(groupCol),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("p_raw"),
+        round(col("_pa") / col("_z"), 6).as("p_temp"),
+        round(col("_pa") / col("_z") * col("n_total") / col("n_docs"), 6)
+          .as("epochs"))
+  }
+
   /** Train/val/test split assignment from cumulative percentage bounds
     * (e.g. 80/10/10 → train < 80 ≤ val < 90 ≤ test). */
   def trainValTest(df: DataFrame, idCol: String,

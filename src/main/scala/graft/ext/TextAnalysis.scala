@@ -346,6 +346,54 @@ object TextAnalysis {
       require(token.nonEmpty, "empty redaction placeholder token")
     }
 
+  /** Per-document TF-IDF keyword extraction: the top-`k` terms of each
+    * document by tf·idf with smoothed idf = ln((N+1)/(df+1)) + 1 (the
+    * scikit-learn convention — never negative, defined for df = N).
+    * The distributed retrieval-side counterpart of the reference's
+    * hand-rolled quality heuristics (data_quality.py:1-40): corpus-level
+    * term statistics scoring every document, the building block for
+    * keyword tagging, topic routing, and search-index construction over
+    * a training corpus. Tokenization is the q44 space-split (empty
+    * tokens dropped — they are separators, not terms). Scores are
+    * rounded to 6 dp BEFORE ranking (the cosine rule: cross-engine fp
+    * noise must not flip an order), ties broken by term; output is
+    * (doc_id, term, tf, tfidf, rk) with rk ≤ k.
+    *
+    * Scale notes (100 TB): one tokenize pass into per-doc term counts
+    * (map-side combined — a doc's tokens are partition-local),
+    * localCheckpointed and re-read by both the document-frequency
+    * re-aggregate (shuffle = distinct (doc, term) keys, never the raw
+    * token stream — the DSIR single-pass discipline) and the scoring
+    * join. The df table is vocab-sized: broadcast-hinted only under the
+    * 10M-row ceiling, shuffled join on the term key beyond it (the q44
+    * gate). N is a one-row broadcast cross-join (the `vocabWithTotal`
+    * pattern — no global window). The top-k window partitions by
+    * doc_id: per-document row sets, no corpus-wide ordering, no hot
+    * reducer. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint() // forced by the gate count; the join re-reads it
+    val hinted = if (dfreq.count() <= 10000000L) broadcast(dfreq) else dfreq
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val scored = tf.join(hinted, "term").crossJoin(nDocs)
+      .withColumn("tfidf",
+        round(col("tf") *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1))) + lit(1.0)), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rk"))
+  }
+
   /** Canonical text normalization — the form exact-dedup and
     * fingerprinting should run on so trivial variants (case, runs of
     * whitespace, stray control characters) hash identically: control

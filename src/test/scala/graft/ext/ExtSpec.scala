@@ -665,6 +665,114 @@ class ExtSpec extends SparkSpec {
       s"misidentified: ${r.getString(0)} -> ${r.getString(1)}"))
   }
 
+  test("passage dup stats: shared, repeated and unique windows on a hand fixture") {
+    val fixture = Seq(
+      (1L, "a b c d e"),       // windows: "a b c","b c d","c d e"
+      (2L, "x y z b c d"),     // shares "b c d" with doc 1
+      (3L, "p q"),             // shorter than the window → excluded
+      (4L, "r r r r"))         // "r r r" twice WITHIN one doc → both dup
+      .toDF("doc_id", "text")
+    val out = Dedup.passageDupStats(fixture, windowTokens = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(out == Map(
+      1L -> ((3L, 1L, 0.333333)),
+      2L -> ((4L, 1L, 0.25)),
+      4L -> ((2L, 2L, 1.0))), s"got $out")
+  }
+
+  test("passage dup stats: an all-unique corpus reports zero duplicated windows") {
+    val unique = Seq((1L, "one two three four"), (2L, "five six seven eight"))
+      .toDF("doc_id", "text")
+    val out = Dedup.passageDupStats(unique, windowTokens = 3)
+    assert(out.agg(sum($"n_dup_windows")).head().getLong(0) == 0L)
+    assert(out.count() == 2)
+  }
+
+  test("passage dup stats: a corpus unioned with an id-shifted copy is 100% duplicated") {
+    // every window of every doc exists in the shifted twin, so tot >= 2
+    // corpus-wide — dup_frac must be exactly 1.0 on every surviving row
+    val base = docs.limit(50).select($"doc_id", $"text")
+    val doubled = base.unionByName(
+      base.withColumn("doc_id", $"doc_id" + 1000000L))
+    val out = Dedup.passageDupStats(doubled)
+    assert(out.count() > 0)
+    assert(out.filter($"dup_frac" =!= 1.0 || $"n_dup_windows" =!= $"n_windows")
+      .isEmpty)
+  }
+
+  test("tf-idf keywords: closed-form scores, rank order and term tie-break") {
+    val fixture = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "x  y")) // double space → empty token, dropped as a separator
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(fixture, k = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        ((r.getAs[Long]("tf"), r.getAs[Double]("tfidf"),
+          r.getAs[Long]("rk")))).toMap
+    // N=3; idf(df=1) = ln(4/2)+1, idf(df=2) = ln(4/3)+1 (6dp-rounded)
+    val idf1 = BigDecimal(math.log(2.0) + 1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idf1x2 = BigDecimal(2 * (math.log(2.0) + 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idf2 = BigDecimal(math.log(4.0 / 3) + 1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map(
+      (1L, "apple") -> ((2L, idf1x2, 1L)),
+      (1L, "banana") -> ((1L, idf2, 2L)),
+      (2L, "cherry") -> ((1L, idf1, 1L)),
+      (2L, "banana") -> ((1L, idf2, 2L)),
+      // x and y tie at idf1 → term ascending breaks it
+      (3L, "x") -> ((1L, idf1, 1L)),
+      (3L, "y") -> ((1L, idf1, 2L))), s"got $out")
+  }
+
+  test("tf-idf keywords: k caps the per-document keyword count") {
+    val out = TextAnalysis.tfidfKeywords(docs, k = 2)
+    val perDoc = out.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    assert(perDoc.agg(max($"n")).head().getLong(0) <= 2L)
+    assert(out.filter($"rk" > 2).isEmpty)
+  }
+
+  test("temperature mix weights: closed form at alpha=0.5 and budget preservation") {
+    // 9:1 split at alpha=0.5 → pa ratio sqrt(.9):sqrt(.1) = 3:1, so
+    // p_temp is exactly 0.75/0.25; epochs = p_temp*N/n = 0.833333 / 2.5
+    val fixture = (1L to 9L).map(i => (i, "a")) :+ ((10L, "b"))
+    val out = Sampling.temperatureMixWeights(
+        fixture.toDF("doc_id", "source"), "source", alpha = 0.5)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("p_raw"),
+          r.getAs[Double]("p_temp"), r.getAs[Double]("epochs")))).toMap
+    assert(out == Map(
+      "a" -> ((9L, 0.9, 0.75, 0.833333)),
+      "b" -> ((1L, 0.1, 0.25, 2.5))), s"got $out")
+
+    // Σ epochs·n = N (the corpus budget is preserved, composition shifts)
+    val w = Sampling.temperatureMixWeights(docs, "source", alpha = 0.5)
+      .select(sum($"epochs" * $"n_docs"), sum($"n_docs")).head()
+    assert(math.abs(w.getDouble(0) - w.getLong(1)) < 1e-2,
+      s"budget drifted: ${w.getDouble(0)} vs ${w.getLong(1)}")
+  }
+
+  test("temperature mix epochs feed repeatByWeight to realize the mix") {
+    val fixture = ((1L to 8L).map(i => (i, "a")) ++ Seq((9L, "b"), (10L, "b")))
+      .toDF("doc_id", "source")
+    val weights = Sampling.temperatureMixWeights(fixture, "source", alpha = 0.5)
+      .collect().map(r =>
+        r.getAs[String]("source") -> r.getAs[Double]("epochs")).toMap
+    val resampled = Sampling.repeatByWeight(fixture, "doc_id", "source", weights)
+    val byGroup = resampled.groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every group lands within one fractional-selection step of n·epochs
+    weights.foreach { case (g, e) =>
+      val n = if (g == "a") 8L else 2L
+      assert(math.abs(byGroup(g) - n * e) <= n * 0.5 + 1,
+        s"group $g: ${byGroup(g)} rows vs expected ~${n * e}")
+    }
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
