@@ -220,6 +220,13 @@ object SparkEntry {
     // the DuckDB oracle restates the windows verbatim
     "q55_passage_dup" -> ((s, dir) =>
       ext.Dedup.passageDupStats(Tables.documents(s, dir))),
+    // the transform half of q55: cut every non-first occurrence of a
+    // duplicated 8-token window, global first kept (doc_id, pos order).
+    // Fully content-addressed → the DuckDB oracle restates the whole
+    // rewrite including the span merge, and the hash compare covers the
+    // reconstructed clean_text byte-for-byte
+    "q58_passage_strip" -> ((s, dir) =>
+      ext.Dedup.stripDuplicatePassages(Tables.documents(s, dir))),
     // north-star text analysis: per-doc TF-IDF top-3 keywords (smoothed
     // sklearn idf), scores rounded 6dp before ranking, term tie-break —
     // fully SQL-restatable corpus-statistics scoring
@@ -739,6 +746,45 @@ object SparkEntry {
         |    AS dup_frac
         |FROM k LEFT JOIN d ON k.wk = d.wk
         |GROUP BY 1""".stripMargin,
+    // the q55 windows with 0-based positions; global first occurrence
+    // per hash survives (row_number over doc_id, pos), later spans are
+    // cut; kept tokens rebuild clean_text in position order. Short docs
+    // pass through; fully-stripped docs drop (n_tokens_kept > 0)
+    "q58_passage_strip" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |lng AS (SELECT doc_id, w FROM t WHERE len(w) >= 8),
+        |srt AS (SELECT doc_id, array_to_string(w, ' ') AS clean_text,
+        |          CAST(len(w) AS BIGINT) AS n_tokens_kept,
+        |          CAST(0 AS BIGINT) AS n_tokens_dropped
+        |        FROM t WHERE len(w) < 8),
+        |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+        |        i -> struct_pack(pos := i - 1,
+        |               wk := md5(array_to_string(w[i : i + 7], ' '))))) AS s
+        |      FROM lng),
+        |o AS (SELECT doc_id, s.pos AS pos, s.wk AS wk FROM e),
+        |r AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY wk ORDER BY doc_id, pos) AS rk
+        |      FROM o),
+        |drops AS (SELECT doc_id, pos FROM r WHERE rk >= 2),
+        |cov AS (SELECT DISTINCT doc_id,
+        |          unnest(generate_series(pos, pos + 7)) AS tp FROM drops),
+        |tk AS (SELECT doc_id, s.tp AS tp, s.tok AS tok FROM (
+        |         SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+        |           i -> struct_pack(tp := i - 1, tok := w[i]))) AS s FROM lng)),
+        |kept AS (SELECT tk.doc_id, tk.tp, tk.tok FROM tk
+        |         LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tp = cov.tp
+        |         WHERE cov.tp IS NULL),
+        |reb AS (SELECT doc_id,
+        |          array_to_string(list(tok ORDER BY tp), ' ') AS clean_text,
+        |          CAST(COUNT(*) AS BIGINT) AS n_tokens_kept
+        |        FROM kept GROUP BY 1),
+        |fl AS (SELECT l.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+        |         COALESCE(reb.n_tokens_kept, 0) AS n_tokens_kept,
+        |         CAST(len(l.w) AS BIGINT) - COALESCE(reb.n_tokens_kept, 0)
+        |           AS n_tokens_dropped
+        |       FROM lng l LEFT JOIN reb ON l.doc_id = reb.doc_id)
+        |SELECT * FROM (SELECT * FROM fl UNION ALL SELECT * FROM srt)
+        |WHERE n_tokens_kept > 0""".stripMargin,
     // smoothed sklearn idf = ln((N+1)/(df+1)) + 1; ROUND 6dp BEFORE the
     // rank (cosine rule), term tie-break; empty tokens are separators
     "q56_tfidf_keywords" ->

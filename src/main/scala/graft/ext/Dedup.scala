@@ -926,4 +926,67 @@ object Dedup {
       .withColumn("dup_frac",
         round(col("n_dup_windows") / col("n_windows"), 6))
   }
+
+  /** Passage-level dedup REWRITE — the transform half of
+    * `passageDupStats` (which only reports): every duplicated
+    * `windowTokens`-token window keeps its global FIRST occurrence
+    * (ordered by doc_id, then position — content-addressed and
+    * engine-portable) and every later occurrence's token span is cut
+    * from its document, exactly the Lee et al. 2021 substring-dedup
+    * semantics at window granularity. Overlapping duplicate spans merge
+    * naturally (a token survives only if NO dropped window covers it).
+    * Returns (doc_id, clean_text, n_tokens_kept, n_tokens_dropped);
+    * docs shorter than the window pass through untouched, and docs
+    * losing every token are dropped (the q48 n_kept > 0 rule).
+    *
+    * Scale notes (100 TB): same single tokenize+window+md5 pass as
+    * `passageDupStats` — but this op genuinely needs positions, so the
+    * occurrence ranking is ONE window shuffle keyed on the 16-byte
+    * window hash (the q48 line-window shape, one row per corpus token).
+    * A pathological boilerplate window concentrates its occurrence list
+    * on one reducer — the same hazard q48 caps with
+    * `maxLineOccurrences`; at that frequency use `dedupLines`-style
+    * pre-dropping or raise `windowTokens`. The span-merge rebuild runs
+    * per document over its own (bounded) drop list — the interpreted
+    * lambda lives on the per-doc path, never the corpus-wide shuffle
+    * (the q48 reassembly rule). */
+  def stripDuplicatePassages(docs: DataFrame,
+                             windowTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val sized = docs.withColumn("_n", size(split(col("text"), " ")))
+    val short = sized.filter(col("_n") < windowTokens)
+      .select(col("doc_id"), col("text").as("clean_text"),
+        col("_n").cast("long").as("n_tokens_kept"),
+        lit(0L).as("n_tokens_dropped"))
+    val long = sized.filter(col("_n") >= windowTokens)
+    val wins = long
+      .select(col("doc_id"),
+        posexplode(graft.functions.Chunks.text_chunks(
+          col("text"), windowTokens, 1)).as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos"), md5(col("win")).as("wk"))
+    // global first occurrence survives; rk >= 2 exists only when the
+    // window is duplicated, so no separate occurrence count is needed
+    val drops = wins
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("wk")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rk") >= 2)
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("_drop"))
+    val rebuilt = long
+      .join(drops, Seq("doc_id"), "left")
+      .withColumn("_drop", coalesce(col("_drop"), array().cast("array<int>")))
+      .withColumn("_kept",
+        filter(
+          transform(split(col("text"), " "),
+            (t, i) => struct(i.as("tp"), t.as("tok"))),
+          s => !exists(col("_drop"),
+            p => s.getField("tp") >= p &&
+              s.getField("tp") < p + lit(windowTokens))))
+      .select(col("doc_id"),
+        array_join(transform(col("_kept"), s => s.getField("tok")), " ")
+          .as("clean_text"),
+        size(col("_kept")).cast("long").as("n_tokens_kept"),
+        (col("_n") - size(col("_kept"))).cast("long").as("n_tokens_dropped"))
+    rebuilt.unionByName(short).filter(col("n_tokens_kept") > 0)
+  }
 }

@@ -702,6 +702,35 @@ class ExtSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("passage strip: first occurrence survives, later spans cut, overlaps merge") {
+    val fixture = Seq(
+      (1L, "a b c d unique tail here"),     // owns the first "a b c"
+      (2L, "x a b c y"),                    // later occurrence → span cut
+      (3L, "p q"),                          // short doc passes through
+      (4L, "a b c d unique tail here"))     // full dup of doc 1 → dropped
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatePassages(fixture, windowTokens = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_kept"),
+          r.getAs[Long]("n_tokens_dropped")))).toMap
+    assert(out == Map(
+      1L -> (("a b c d unique tail here", 7L, 0L)),
+      2L -> (("x y", 2L, 3L)),
+      3L -> (("p q", 2L, 0L))), s"got $out")
+    // doc 4 loses every window (all its windows first-occur in doc 1),
+    // every token is covered, so it drops under the n_kept > 0 rule
+    assert(!out.contains(4L))
+  }
+
+  test("passage strip: a duplicate-free corpus is returned byte-identical") {
+    val base = docs.limit(30).select($"doc_id", $"text")
+    val out = Dedup.stripDuplicatePassages(
+      base.filter(!$"doc_id".isin( // drop the fixture's planted near-dups
+        Dedup.passageDupStats(base).filter($"n_dup_windows" > 0)
+          .select("doc_id").as[Long].collect().toSeq: _*)))
+    assert(out.filter($"n_tokens_dropped" > 0).isEmpty)
+  }
+
   test("tf-idf keywords: closed-form scores, rank order and term tie-break") {
     val fixture = Seq(
       (1L, "apple banana apple"),
