@@ -43,7 +43,12 @@ object Curation {
     *   - `normalizeForDedup`: exact dedup keys on
     *     [[TextAnalysis.normalizeText]] output instead of raw text, so
     *     trivial variants (case, whitespace runs) collapse; survivors
-    *     keep their ORIGINAL text. */
+    *     keep their ORIGINAL text.
+    *   - `stripPassages`: passage-level dedup rewrite
+    *     ([[Dedup.stripDuplicatePassages]]) after line dedup — cut
+    *     every non-first occurrence of a duplicated
+    *     `passageWindowTokens`-token window, so big copied blocks
+    *     inside otherwise-unique documents never reach training. */
   final case class Config(
       minTokens: Int = 15,
       maxDupTrigramFrac: Double = 0.5,
@@ -58,7 +63,9 @@ object Curation {
       dedupLines: Boolean = false,
       lineMinOccurrences: Int = 2,
       maxLineOccurrences: Option[Int] = None,
-      normalizeForDedup: Boolean = false)
+      normalizeForDedup: Boolean = false,
+      stripPassages: Boolean = false,
+      passageWindowTokens: Int = 8)
 
   private def requireConfig(cfg: Config): Unit =
     require(cfg.maxRedactionsPerDoc.isEmpty || cfg.redactPii,
@@ -69,7 +76,7 @@ object Curation {
     * the default path's plan shape (and its pinned scan bounds) never
     * grows a cache step. */
   private def hygieneActive(cfg: Config): Boolean =
-    cfg.redactPii || cfg.dedupLines
+    cfg.redactPii || cfg.dedupLines || cfg.stripPassages
 
   /** The optional hygiene pre-stages as one (doc_id, text) rewrite:
     * PII scrub (+ saturation gate), then cross-document line dedup.
@@ -85,11 +92,16 @@ object Curation {
       cfg.maxRedactionsPerDoc.fold(r)(m => r.filter(col("n_redactions") <= m))
         .select(col("doc_id"), col("redacted").as("text"))
     } else base
-    if (cfg.dedupLines)
-      Dedup.dedupLines(scrubbed, cfg.lineMinOccurrences,
-        maxLineOccurrences = cfg.maxLineOccurrences)
+    val lineClean =
+      if (cfg.dedupLines)
+        Dedup.dedupLines(scrubbed, cfg.lineMinOccurrences,
+          maxLineOccurrences = cfg.maxLineOccurrences)
+          .select(col("doc_id"), col("clean_text").as("text"))
+      else scrubbed
+    if (cfg.stripPassages)
+      Dedup.stripDuplicatePassages(lineClean, cfg.passageWindowTokens)
         .select(col("doc_id"), col("clean_text").as("text"))
-    else scrubbed
+    else lineClean
   }
 
   /** Exact-dedup key frame: raw text, or normalized text when
@@ -198,7 +210,14 @@ object Curation {
       hygieneRows += (("00b_line_dedup", ld.count()))
       ld
     } else scrubbed
-    val flagged = lineClean
+    val passageClean = if (cfg.stripPassages) {
+      val ps = Dedup.stripDuplicatePassages(lineClean, cfg.passageWindowTokens)
+        .select(col("doc_id"), col("clean_text").as("text")).persist()
+      hygieneCached += ps
+      hygieneRows += (("00c_passage_strip", ps.count()))
+      ps
+    } else lineClean
+    val flagged = passageClean
       .withColumn("f_tokens",
         (size(split(col("text"), " ")) >= cfg.minTokens).cast("long"))
       .withColumn("f_rep",

@@ -954,26 +954,49 @@ object Dedup {
                              windowTokens: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(windowTokens >= 2, "windowTokens must be >= 2")
-    val sized = docs.withColumn("_n", size(split(col("text"), " ")))
-    val short = sized.filter(col("_n") < windowTokens)
-      .select(col("doc_id"), col("text").as("clean_text"),
-        col("_n").cast("long").as("n_tokens_kept"),
-        lit(0L).as("n_tokens_dropped"))
-    val long = sized.filter(col("_n") >= windowTokens)
-    val wins = long
-      .select(col("doc_id"),
-        posexplode(graft.functions.Chunks.text_chunks(
-          col("text"), windowTokens, 1)).as(Seq("pos", "win")))
-      .select(col("doc_id"), col("pos"), md5(col("win")).as("wk"))
+    val (short, long) = splitByWindow(docs, windowTokens)
+    val wins = passageWindows(long, windowTokens)
     // global first occurrence survives; rk >= 2 exists only when the
     // window is duplicated, so no separate occurrence count is needed
     val drops = wins
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("wk")).orderBy(col("doc_id"), col("pos"))))
       .filter(col("rk") >= 2)
-      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("_drop"))
-    val rebuilt = long
-      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("pos"))
+    cutSpans(long, drops, windowTokens).unionByName(short)
+      .filter(col("n_tokens_kept") > 0)
+  }
+
+  /** Split a (doc_id, text) frame on whether a full `windowTokens`
+    * window exists: (short pass-through rows, long rows carrying `_n`). */
+  private def splitByWindow(docs: DataFrame,
+                            windowTokens: Int): (DataFrame, DataFrame) = {
+    val sized = docs.withColumn("_n", size(split(col("text"), " ")))
+    val short = sized.filter(col("_n") < windowTokens)
+      .select(col("doc_id"), col("text").as("clean_text"),
+        col("_n").cast("long").as("n_tokens_kept"),
+        lit(0L).as("n_tokens_dropped"))
+    (short, sized.filter(col("_n") >= windowTokens))
+  }
+
+  /** The one tokenize+window+md5 pass: (doc_id, pos, wk) for every
+    * stride-1 full window (same chunk semantics as q40/q55). */
+  private def passageWindows(long: DataFrame, windowTokens: Int): DataFrame =
+    long
+      .select(col("doc_id"),
+        posexplode(graft.functions.Chunks.text_chunks(
+          col("text"), windowTokens, 1)).as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos"), md5(col("win")).as("wk"))
+
+  /** Rebuild documents with the given window start positions cut: a
+    * token survives only if NO dropped window covers it (overlapping
+    * spans merge). Per-doc interpreted lambda — the q48 reassembly
+    * rule: never on the corpus-wide shuffle path. */
+  private def cutSpans(long: DataFrame, drops: DataFrame,
+                       windowTokens: Int): DataFrame =
+    long
+      .join(drops.groupBy(col("doc_id")).agg(collect_set(col("pos")).as("_drop")),
+        Seq("doc_id"), "left")
       .withColumn("_drop", coalesce(col("_drop"), array().cast("array<int>")))
       .withColumn("_kept",
         filter(
@@ -987,6 +1010,69 @@ object Dedup {
           .as("clean_text"),
         size(col("_kept")).cast("long").as("n_tokens_kept"),
         (col("_n") - size(col("_kept"))).cast("long").as("n_tokens_dropped"))
-    rebuilt.unionByName(short).filter(col("n_tokens_kept") > 0)
+
+  /** On-disk passage-window index: the distinct window hashes of a
+    * corpus, for incremental-ingest stripping (`stripPassagesAgainstIndex`)
+    * without re-scanning the accumulated corpus — the passage-granular
+    * member of the incremental family (`dedupIngestBatch`,
+    * `annIngestBatch`). Layout: `keys/` parquet of (wk) + the standard
+    * params sidecar (window size is load-bearing: mismatched windows
+    * hash into disjoint keys and silently strip nothing —
+    * `requireParams` fails loudly instead).
+    *
+    * Scale note: the index is distinct-window-sized (bounded by corpus
+    * tokens); writing is one distinct aggregate + executor-side write.
+    * `append = true` unions new keys in (parquet append — dedup against
+    * the index tolerates duplicate key rows, so no re-distinct pass is
+    * needed on append). */
+  def writePassageIndex(docs: DataFrame, path: String,
+                        windowTokens: Int = 8,
+                        append: Boolean = false): Unit = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val (_, long) = splitByWindow(docs, windowTokens)
+    passageWindows(long, windowTokens).select("wk").distinct()
+      .write.mode(if (append) "append" else "overwrite")
+      .parquet(s"$path/keys")
+    if (!append)
+      writeParams(s"$path/params.properties",
+        Map("windowTokens" -> windowTokens.toString))
+    else
+      requireParams(s"$path/params.properties",
+        Map("windowTokens" -> windowTokens.toString), "passage")
+  }
+
+  /** Strip an ingest batch against an on-disk passage index plus itself:
+    * a window present in the index drops at EVERY batch occurrence (the
+    * accumulated corpus owns its first occurrence); a window new in the
+    * batch keeps its batch-first occurrence and drops the rest. When
+    * every indexed doc id precedes every batch id, this equals
+    * `stripDuplicatePassages` over (accumulated ∪ batch) restricted to
+    * the batch — the incremental-family equality claim, spec-pinned.
+    *
+    * Scale note: the batch's window pass runs once (batch-sized,
+    * localCheckpointed); the index is never loaded into memory — the
+    * membership test is a shuffled semi/anti join against the parquet
+    * keys (AQE broadcasts small batches at runtime). Call
+    * `writePassageIndex(batch, path, append = true)` after a clean
+    * strip to admit the batch's windows for the next cycle. */
+  def stripPassagesAgainstIndex(batch: DataFrame, indexPath: String,
+                                windowTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    requireParams(s"$indexPath/params.properties",
+      Map("windowTokens" -> windowTokens.toString), "passage")
+    val idx = batch.sparkSession.read.parquet(s"$indexPath/keys")
+    val (short, long) = splitByWindow(batch, windowTokens)
+    val wins = passageWindows(long, windowTokens).localCheckpoint()
+    val inIdx = wins.join(idx, Seq("wk"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val batchDups = wins.join(idx, Seq("wk"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("wk")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rk") >= 2)
+      .select(col("doc_id"), col("pos"))
+    cutSpans(long, inIdx.unionByName(batchDups), windowTokens)
+      .unionByName(short)
+      .filter(col("n_tokens_kept") > 0)
   }
 }

@@ -238,6 +238,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("passage strip runs as a hygiene funnel stage and cuts copied blocks") {
+    val block = "this exact eight token block repeats across documents verbatim"
+    val d = Seq(
+      (1L, s"the quick brown fox jumps over lazy dogs while $block"),
+      (2L, s"$block and then completely different trailing content follows here"),
+      (3L, s"$block"), // nothing but the copied block → fully stripped
+      (4L, "entirely unique prose with no shared passages at all today"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "unrelated benchmark material"))
+      .toDF("doc_id", "text")
+    val cfg = Curation.Config(minTokens = 3, stripPassages = true)
+    val funnel = Curation.curationFunnel(d, bench, cfg)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel("00_input") == 4L)
+    // doc 3 loses every token (its only windows first-occur in doc 1's
+    // tail... or doc 2 — ownership is by (doc_id, pos), so doc 1 owns it)
+    assert(funnel("00c_passage_strip") == 3L, s"got $funnel")
+    // the copied block survives in exactly one curated doc's text
+    val hygieneTexts = Curation.curate(d, bench, cfg)
+    assert(hygieneTexts.count() > 0)
+    // default config is byte-identical: no 00c row
+    val defFunnel = Curation.curationFunnel(d, bench,
+        Curation.Config(minTokens = 3))
+      .collect().map(_.getString(0))
+    assert(!defFunnel.contains("00c_passage_strip"))
+  }
+
   test("writeTrainingShards computes the hygiene rewrite once (flags on)") {
     // the r10 double-hygiene finding, machine-checked: the PII scrub +
     // line-dedup rewrite must feed BOTH the curation gates and the

@@ -167,6 +167,42 @@ class DedupSpec extends SparkSpec {
       "survivor signatures must be appended to the index")
   }
 
+  test("incremental passage strip against the on-disk index equals the monolithic strip") {
+    import org.apache.spark.sql.functions.lit
+    val all = Tables.documents(spark, sf("sf0.001")).select($"doc_id", $"text")
+    def cp(src: Long, as: Long) =
+      all.filter($"doc_id" === src).withColumn("doc_id", lit(as))
+    // indexed ids all precede batch ids — the precondition under which
+    // incremental == monolithic-restricted-to-batch holds exactly
+    val corpus = all.filter($"doc_id" < 200)
+    val batch = all.filter($"doc_id" >= 200 && $"doc_id" < 300)
+      .unionByName(cp(1L, 8000L))    // cross-boundary copy → fully cut
+      .unionByName(cp(250L, 9000L))  // batch-internal copy → 250 owns it
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx").toString
+    Dedup.writePassageIndex(corpus, s"$dir/idx")
+    def byDoc(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_kept"),
+          r.getAs[Long]("n_tokens_dropped")))).toMap
+    val inc = byDoc(Dedup.stripPassagesAgainstIndex(batch, s"$dir/idx"))
+    val mono = byDoc(Dedup.stripDuplicatePassages(corpus.unionByName(batch))
+      .filter($"doc_id" >= 200))
+    assert(inc == mono,
+      s"incOnly=${inc.keySet -- mono.keySet} monoOnly=${mono.keySet -- inc.keySet}")
+    assert(!inc.contains(8000L) && !inc.contains(9000L),
+      "planted copies must be fully stripped")
+    // append the batch's windows, then a copy of a batch doc in the next
+    // cycle is cut — only if the append actually grew the index
+    Dedup.writePassageIndex(batch, s"$dir/idx", append = true)
+    val next = Dedup.stripPassagesAgainstIndex(cp(250L, 9500L), s"$dir/idx")
+    assert(next.filter($"doc_id" === 9500L).isEmpty,
+      "next-cycle copy of an admitted doc must be fully stripped")
+    // mismatched window size fails loudly instead of stripping nothing
+    intercept[IllegalArgumentException] {
+      Dedup.stripPassagesAgainstIndex(batch, s"$dir/idx", windowTokens = 5)
+    }
+  }
+
   test("replayed embedding ingest cycles reproduce the monolithic dedup on copy cliques") {
     import org.apache.spark.sql.functions.lit
     val all = Tables.embeddings(spark, sf("sf0.001"))
