@@ -145,6 +145,33 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(shuffledSemi.isEmpty, s"benchmark semi-join fell back to a shuffle:\n$p")
   }
 
+  test("q55 dup-key membership is a broadcast join over the checkpointed counts") {
+    // the per-(doc, window) counts are materialized once; the final
+    // query must be: counts → BROADCAST left join against the dup-key
+    // set → one map-side-combined doc aggregate. A shuffled dup-key
+    // join would re-shuffle the whole window-count relation; window
+    // strings must never appear past the checkpoint (they collapse to
+    // md5 in-projection).
+    val p = plan(SparkEntry.queries("q55_passage_dup")(spark, sf("sf0.001")))
+    assert(p.collect {
+      case j: BroadcastHashJoinExec => j
+    }.nonEmpty, s"dup-key join is not broadcast in q55 plan:\n$p")
+    // the doc_id aggregate is the only exchange the final plan may hold
+    // (zero when the checkpointed counts collapse to one partition at
+    // fixture scale) — a shuffled dup-key join would add a second
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"dup-key join added a shuffle to q55's final plan (${shuffles.size}):\n$p")
+  }
+
+  test("q58 span rebuild joins drop-lists per doc without cartesian or nested-loop") {
+    val p = plan(SparkEntry.queries("q58_passage_strip")(spark, sf("sf0.001")))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"CartesianProduct in q58 plan:\n$p")
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"BroadcastNestedLoopJoin in q58 plan:\n$p")
+  }
+
   test("q32 ANN near-dup join is an equi-join: no cartesian, no nested-loop") {
     val p = plan(SparkEntry.queries("q32_dedup_embedding_ann")(spark, sf("sf0.001")))
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
