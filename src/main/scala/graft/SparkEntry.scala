@@ -227,6 +227,20 @@ object SparkEntry {
     // reconstructed clean_text byte-for-byte
     "q58_passage_strip" -> ((s, dir) =>
       ext.Dedup.stripDuplicatePassages(Tables.documents(s, dir))),
+    // corpus-versioning observability: raw vs the passage-stripped
+    // rewrite — removed = fully stripped, changed = spans cut; digests
+    // computed in the scan projection, join shuffles 16 B + id per side
+    "q59_corpus_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.Curation.corpusDiff(docs,
+        ext.Dedup.stripDuplicatePassages(docs)
+          .select(col("doc_id"), col("clean_text").as("text")))
+    }),
+    // corpus shape observability: power-of-two token-length histogram,
+    // bit-length bucketing (exact in integers on both engines)
+    "q60_length_histogram" -> ((s, dir) =>
+      ext.TextAnalysis.lengthHistogram(Tables.documents(s, dir))),
     // north-star text analysis: per-doc TF-IDF top-3 keywords (smoothed
     // sklearn idf), scores rounded 6dp before ranking, term tie-break —
     // fully SQL-restatable corpus-statistics scoring
@@ -404,6 +418,44 @@ object SparkEntry {
       |  l.l_shipdate AS updated_date,
       |  CAST(strftime(o.o_orderdate, '%Y%m') AS INT) AS year_month,
       |  n.n_name AS country""".stripMargin
+
+  /** The q58 rewrite as reusable CTEs (q59 diffs raw vs this output, so
+    * its oracle restates the identical computation). */
+  private val PassageStripCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |lng AS (SELECT doc_id, w FROM t WHERE len(w) >= 8),
+      |srt AS (SELECT doc_id, array_to_string(w, ' ') AS clean_text,
+      |          CAST(len(w) AS BIGINT) AS n_tokens_kept,
+      |          CAST(0 AS BIGINT) AS n_tokens_dropped
+      |        FROM t WHERE len(w) < 8),
+      |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+      |        i -> struct_pack(pos := i - 1,
+      |               wk := md5(array_to_string(w[i : i + 7], ' '))))) AS s
+      |      FROM lng),
+      |o AS (SELECT doc_id, s.pos AS pos, s.wk AS wk FROM e),
+      |r AS (SELECT doc_id, pos,
+      |        row_number() OVER (PARTITION BY wk ORDER BY doc_id, pos) AS rk
+      |      FROM o),
+      |drops AS (SELECT doc_id, pos FROM r WHERE rk >= 2),
+      |cov AS (SELECT DISTINCT doc_id,
+      |          unnest(generate_series(pos, pos + 7)) AS tp FROM drops),
+      |tk AS (SELECT doc_id, s.tp AS tp, s.tok AS tok FROM (
+      |         SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+      |           i -> struct_pack(tp := i - 1, tok := w[i]))) AS s FROM lng)),
+      |kept AS (SELECT tk.doc_id, tk.tp, tk.tok FROM tk
+      |         LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tp = cov.tp
+      |         WHERE cov.tp IS NULL),
+      |reb AS (SELECT doc_id,
+      |          array_to_string(list(tok ORDER BY tp), ' ') AS clean_text,
+      |          CAST(COUNT(*) AS BIGINT) AS n_tokens_kept
+      |        FROM kept GROUP BY 1),
+      |fl AS (SELECT l.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+      |         COALESCE(reb.n_tokens_kept, 0) AS n_tokens_kept,
+      |         CAST(len(l.w) AS BIGINT) - COALESCE(reb.n_tokens_kept, 0)
+      |           AS n_tokens_dropped
+      |       FROM lng l LEFT JOIN reb ON l.doc_id = reb.doc_id),
+      |strip AS (SELECT * FROM (SELECT * FROM fl UNION ALL SELECT * FROM srt)
+      |          WHERE n_tokens_kept > 0)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_full_extract" ->
@@ -751,40 +803,27 @@ object SparkEntry {
     // cut; kept tokens rebuild clean_text in position order. Short docs
     // pass through; fully-stripped docs drop (n_tokens_kept > 0)
     "q58_passage_strip" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |lng AS (SELECT doc_id, w FROM t WHERE len(w) >= 8),
-        |srt AS (SELECT doc_id, array_to_string(w, ' ') AS clean_text,
-        |          CAST(len(w) AS BIGINT) AS n_tokens_kept,
-        |          CAST(0 AS BIGINT) AS n_tokens_dropped
-        |        FROM t WHERE len(w) < 8),
-        |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
-        |        i -> struct_pack(pos := i - 1,
-        |               wk := md5(array_to_string(w[i : i + 7], ' '))))) AS s
-        |      FROM lng),
-        |o AS (SELECT doc_id, s.pos AS pos, s.wk AS wk FROM e),
-        |r AS (SELECT doc_id, pos,
-        |        row_number() OVER (PARTITION BY wk ORDER BY doc_id, pos) AS rk
-        |      FROM o),
-        |drops AS (SELECT doc_id, pos FROM r WHERE rk >= 2),
-        |cov AS (SELECT DISTINCT doc_id,
-        |          unnest(generate_series(pos, pos + 7)) AS tp FROM drops),
-        |tk AS (SELECT doc_id, s.tp AS tp, s.tok AS tok FROM (
-        |         SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
-        |           i -> struct_pack(tp := i - 1, tok := w[i]))) AS s FROM lng)),
-        |kept AS (SELECT tk.doc_id, tk.tp, tk.tok FROM tk
-        |         LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tp = cov.tp
-        |         WHERE cov.tp IS NULL),
-        |reb AS (SELECT doc_id,
-        |          array_to_string(list(tok ORDER BY tp), ' ') AS clean_text,
-        |          CAST(COUNT(*) AS BIGINT) AS n_tokens_kept
-        |        FROM kept GROUP BY 1),
-        |fl AS (SELECT l.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
-        |         COALESCE(reb.n_tokens_kept, 0) AS n_tokens_kept,
-        |         CAST(len(l.w) AS BIGINT) - COALESCE(reb.n_tokens_kept, 0)
-        |           AS n_tokens_dropped
-        |       FROM lng l LEFT JOIN reb ON l.doc_id = reb.doc_id)
-        |SELECT * FROM (SELECT * FROM fl UNION ALL SELECT * FROM srt)
-        |WHERE n_tokens_kept > 0""".stripMargin,
+      s"WITH $PassageStripCtes\nSELECT * FROM strip",
+    // raw corpus FULL OUTER JOIN its passage-stripped rewrite on 128-bit
+    // digests: removed = fully stripped, changed = spans cut
+    "q59_corpus_diff" ->
+      s"""WITH $PassageStripCtes,
+        |od AS (SELECT doc_id, md5(text) AS oh FROM documents),
+        |nd AS (SELECT doc_id, md5(clean_text) AS nh FROM strip)
+        |SELECT COALESCE(od.doc_id, nd.doc_id) AS doc_id,
+        |  CASE WHEN oh IS NULL THEN 'added'
+        |       WHEN nh IS NULL THEN 'removed'
+        |       WHEN oh = nh THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id""".stripMargin,
+    // bit-length buckets are exact in integers on both engines — a
+    // floor(log2) through doubles rounds wrong at power-of-2 boundaries
+    "q60_length_histogram" ->
+      """WITH b AS (SELECT CAST(length(bin(CAST(len(string_split(text, ' '))
+        |             AS BIGINT))) AS BIGINT) AS bucket FROM documents)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(pow(2, bucket - 1) AS BIGINT) AS min_tokens
+        |FROM b GROUP BY 1""".stripMargin,
     // smoothed sklearn idf = ln((N+1)/(df+1)) + 1; ROUND 6dp BEFORE the
     // rank (cosine rule), term tie-break; empty tokens are separators
     "q56_tfidf_keywords" ->

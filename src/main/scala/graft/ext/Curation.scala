@@ -272,6 +272,33 @@ object Curation {
       ("07_quota", nFinal))).toDF("stage", "n_docs")
   }
 
+  /** Corpus snapshot diff — the observability report between two
+    * versions of a corpus (raw vs hygiene-rewritten, yesterday's crawl
+    * vs today's): per-doc status `added` / `removed` / `changed` /
+    * `unchanged` by comparing 128-bit content digests under a full
+    * outer join on doc_id. The corpus-level generalization of the
+    * reference's load validation counts (load_sales_history.py:1-253
+    * compares row counts before publishing) — this one says WHICH
+    * documents moved, so a hygiene or re-crawl run can be audited
+    * before training reads it.
+    *
+    * Scale note (100 TB): digests are computed in the scan projection,
+    * so the full-outer join shuffles 16 bytes + id per side — never
+    * document bodies; one shuffle each side, AQE handles skewless
+    * id-keyed partitioning. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val o = oldDocs.select(col(idCol), md5(col(textCol)).as("_oh"))
+    val n = newDocs.select(col(idCol), md5(col(textCol)).as("_nh"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_oh").isNull, "added")
+          .when(col("_nh").isNull, "removed")
+          .when(col("_oh") === col("_nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** The end product on disk: curate, chunk into `chunkTokens`-token
     * windows, pack into `binTokens` bins, and write parquet training
     * shards partitioned by (split, shard) — one call from raw corpus to

@@ -394,6 +394,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rk"))
   }
 
+  /** Power-of-two document-length histogram — the shape report every
+    * corpus dashboard carries (truncation risk at the long tail, junk
+    * at the short one). Bucket = bit length of the token count
+    * (bucket b holds docs with 2^(b-1) ≤ tokens < 2^b), computed via
+    * the binary string length — EXACT in integers on every engine,
+    * where floor(log2(n)) via doubles rounds wrong at power-of-two
+    * boundaries (log(8)/log(2) can be 2.999…). The aggregate profile
+    * counterpart of the reference's row-count validation
+    * (load_sales_history.py:1-253).
+    *
+    * Scale note: one map-side-combined aggregate over ≤ 64 buckets —
+    * shuffle independent of corpus size. */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs
+      .select(length(bin(size(split(col("text"), " ")).cast("long")))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("min_tokens",
+        pow(lit(2.0), col("bucket") - 1).cast("long"))
+
   /** Canonical text normalization — the form exact-dedup and
     * fingerprinting should run on so trivial variants (case, runs of
     * whitespace, stray control characters) hash identically: control

@@ -765,6 +765,31 @@ class ExtSpec extends SparkSpec {
     assert(out.filter($"rk" > 2).isEmpty)
   }
 
+  test("corpus diff labels added, removed, changed and unchanged docs") {
+    val oldC = Seq((1L, "same text"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val newC = Seq((1L, "same text"), (2L, "has changed"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = Curation.corpusDiff(oldC, newC).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), s"got $out")
+  }
+
+  test("length histogram buckets are exact powers of two and cover every doc") {
+    // 1 token → bucket 1; 2,3 → bucket 2; 4..7 → bucket 3
+    val d = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lengthHistogram(d).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("min_tokens")))).toMap
+    assert(out == Map(1L -> ((1L, 1L)), 2L -> ((2L, 2L)), 3L -> ((1L, 4L))),
+      s"got $out")
+    val total = TextAnalysis.lengthHistogram(docs)
+      .agg(sum($"n_docs")).head().getLong(0)
+    assert(total == docs.count())
+  }
+
   test("temperature mix weights: closed form at alpha=0.5 and budget preservation") {
     // 9:1 split at alpha=0.5 → pa ratio sqrt(.9):sqrt(.1) = 3:1, so
     // p_temp is exactly 0.75/0.25; epochs = p_temp*N/n = 0.833333 / 2.5
