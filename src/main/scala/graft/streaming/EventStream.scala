@@ -139,6 +139,35 @@ object EventStream {
         }
       }
 
+  /** Streaming passage-level dedup ingest — the passage-granular twin
+    * of `ingestDedupStream`: each micro-batch is stripped against the
+    * accumulated on-disk window-hash index
+    * ([[graft.ext.Dedup.stripPassagesAgainstIndex]]), survivors' CLEANED
+    * text lands in `acceptedPath`, and the batch's windows are appended
+    * to the index so later batches cut repeats of anything seen.
+    * Same crash-window contract as `ingestDedupStream`: accepted is
+    * written before the index append, so a retry may re-write survivors
+    * (dedupable by doc_id) but never lose them; duplicate index key
+    * rows are tolerated by the semi-join, so a replayed append is
+    * harmless. The batch is scanned twice (strip + window append) —
+    * batch-sized, not corpus-sized. */
+  def ingestStripStream(docs: DataFrame, indexPath: String,
+                        acceptedPath: String, checkpoint: String,
+                        windowTokens: Int = 8): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Dedup.stripPassagesAgainstIndex(batch, indexPath,
+              windowTokens)
+            .write.mode(SaveMode.Append).parquet(acceptedPath)
+          graft.ext.Dedup.writePassageIndex(batch, indexPath, windowTokens,
+            append = true)
+        }
+      }
+
   /** Incremental lake maintenance via foreachBatch: each micro-batch's
     * touched partitions are overwritten in place (dynamic partition
     * overwrite ≡ the reference's drop-partition-and-rebuild, applied

@@ -54,6 +54,40 @@ class EventStreamSpec extends SparkSpec {
       s"accepted should hold exactly the two unique new docs: $accepted")
   }
 
+  test("streaming passage strip cuts cross-batch copied blocks via the on-disk index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_strip").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    graft.ext.Dedup.writePassageIndex(corpus, s"$dir/idx")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.ingestStripStream(mem.toDF(), s"$dir/idx",
+        s"$dir/accepted", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // batch 1: a unique doc + a full copy of corpus doc 1 (stripped away)
+    mem.addData(
+      IngestDoc(10L, "red orange yellow green blue indigo violet ultraviolet"),
+      IngestDoc(11L, "alpha beta gamma delta epsilon zeta eta theta"))
+    drain()
+    // batch 2 (fresh query, same checkpoint): a copy of batch-1 SURVIVOR
+    // 10 — cut only because batch 1 appended its windows — plus a new doc
+    mem.addData(
+      IngestDoc(20L, "red orange yellow green blue indigo violet ultraviolet"),
+      IngestDoc(21L, "cat dog bird fish horse cow sheep goat"))
+    drain()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+    val ids = accepted.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(10L, 21L),
+      s"accepted should hold exactly the two unique new docs: $ids")
+    // survivors carry their full cleaned text (nothing was cut from them)
+    val kept = accepted.filter($"doc_id" === 10L)
+      .select("clean_text").as[String].head()
+    assert(kept == "red orange yellow green blue indigo violet ultraviolet")
+  }
+
   test("watermarked windowed agg finalizes windows and drops late rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
