@@ -241,6 +241,16 @@ object SparkEntry {
     // bit-length bucketing (exact in integers on both engines)
     "q60_length_histogram" -> ((s, dir) =>
       ext.TextAnalysis.lengthHistogram(Tables.documents(s, dir))),
+    // dedup eval harness: what does the df-cap trade away? precision/
+    // recall of the capped Jaccard pair set vs the exact yardstick —
+    // deliberately runs BOTH pair jobs (the q16 cost is the price of
+    // the measurement, not an accident)
+    "q61_cap_fidelity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      ext.Dedup.pairSetFidelity(
+        ext.Dedup.ngramJaccardPairs(docs),
+        ext.Dedup.ngramJaccardPairs(docs, maxShingleDf = Some(8)))
+    }),
     // north-star text analysis: per-doc TF-IDF top-3 keywords (smoothed
     // sklearn idf), scores rounded 6dp before ranking, term tie-break —
     // fully SQL-restatable corpus-statistics scoring
@@ -816,6 +826,44 @@ object SparkEntry {
         |       WHEN oh = nh THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id""".stripMargin,
+    // both pair sets restated (the q16/q33 SQL verbatim, CTE-renamed),
+    // FULL OUTER on the pair key, one scalar aggregate; NULLIF both
+    // engines on empty denominators
+    "q61_cap_fidelity" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |       FROM tok),
+        |rsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY 1),
+        |rp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |       FROM sh0 a JOIN sh0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |ref AS (SELECT doc_a, doc_b FROM rp
+        |        JOIN rsz sa ON doc_a = sa.doc_id
+        |        JOIN rsz sb ON doc_b = sb.doc_id
+        |        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+        |kept AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 8),
+        |csh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+        |csz AS (SELECT doc_id, COUNT(*) AS n_sh FROM csh GROUP BY 1),
+        |cp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |       FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |cand AS (SELECT doc_a, doc_b FROM cp
+        |         JOIN csz sa ON doc_a = sa.doc_id
+        |         JOIN csz sb ON doc_b = sb.doc_id
+        |         WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+        |f AS (SELECT CASE WHEN ref.doc_a IS NOT NULL THEN 1 ELSE 0 END AS r,
+        |             CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END AS c
+        |      FROM ref FULL OUTER JOIN cand
+        |        ON ref.doc_a = cand.doc_a AND ref.doc_b = cand.doc_b),
+        |agg AS (SELECT CAST(SUM(r) AS BIGINT) AS n_reference,
+        |               CAST(SUM(c) AS BIGINT) AS n_candidate,
+        |               CAST(SUM(r * c) AS BIGINT) AS n_common FROM f)
+        |SELECT n_reference, n_candidate, n_common,
+        |  ROUND(n_common / CAST(NULLIF(n_candidate, 0) AS DOUBLE), 6) AS precision,
+        |  ROUND(n_common / CAST(NULLIF(n_reference, 0) AS DOUBLE), 6) AS recall
+        |FROM agg""".stripMargin,
     // bit-length buckets are exact in integers on both engines — a
     // floor(log2) through doubles rounds wrong at power-of-2 boundaries
     "q60_length_histogram" ->

@@ -868,6 +868,37 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Fidelity report of a candidate duplicate-pair set against a
+    * reference set — the eval harness that turns "the df-cap / LSH /
+    * ANN approximation is probably fine" into a measured number before
+    * a 100 TB run commits to it. One row: set sizes, overlap, precision
+    * and recall (6-dp rounded, NULL on an empty denominator — both
+    * engines agree via NULLIF). The specs use this shape ad hoc
+    * (recall floors on fixtures); exposing it as an operator lets a
+    * pipeline assert the same floors on ITS corpus sample as a
+    * pre-flight gate, the production counterpart of the reference's
+    * pre-publish validation step (load_sales_history.py:241-246).
+    *
+    * Scale note: one shuffle on the normalized (doc_a, doc_b) key per
+    * side, then a scalar aggregate — runs on pair sets, never corpora;
+    * the expensive part is producing the pair sets, which is the
+    * caller's (deliberate) choice of yardstick. */
+  def pairSetFidelity(reference: DataFrame, candidate: DataFrame): DataFrame = {
+    val r = reference.select(col("doc_a"), col("doc_b"))
+      .withColumn("_r", lit(1L))
+    val c = candidate.select(col("doc_a"), col("doc_b"))
+      .withColumn("_c", lit(1L))
+    r.join(c, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("_r")), lit(0L)).as("n_reference"),
+        coalesce(sum(col("_c")), lit(0L)).as("n_candidate"),
+        coalesce(sum(col("_r") * col("_c")), lit(0L)).as("n_common"))
+      .withColumn("precision",
+        round(col("n_common") / nullif(col("n_candidate"), lit(0L)), 6))
+      .withColumn("recall",
+        round(col("n_common") / nullif(col("n_reference"), lit(0L)), 6))
+  }
+
   /** Passage-level duplicate statistics — the exact-substring-dedup
     * recipe of Lee et al. 2021 ("Deduplicating Training Data Makes
     * Language Models Better") re-expressed over sliding token windows:

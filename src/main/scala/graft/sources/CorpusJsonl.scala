@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSONL corpus ingest — the landing step for the format LLM training
+  * corpora actually arrive in (one JSON document per line), with the
+  * validation the reference applies to its RDBMS extracts
+  * (load_sales_history.py:1-253 validates row counts before publishing)
+  * done row-level: malformed JSON and rows missing required fields are
+  * QUARANTINED, not dropped — a crawler bug shows up as a quarantine
+  * count, never as silent corpus shrinkage.
+  *
+  * Spark-first shape: schema-on-read with PERMISSIVE mode and
+  * `columnNameOfCorruptRecord` (the raw line is preserved for triage),
+  * explicit schema (no sampling-based inference pass over 100 TB), and
+  * executor-side parquet landing writes.
+  *
+  * Scale notes (100 TB): `ingest` runs the JSON parse twice (one pass
+  * per landing write) rather than caching the parsed corpus —
+  * re-parsing is cheap and linear; materializing a corpus-sized
+  * checkpoint to save one scan is not. JSONL splits by line, so the
+  * source parallelizes by file block like any text source; landing as
+  * parquet immediately is what makes every downstream operator
+  * column-prunable. */
+object CorpusJsonl {
+
+  /** The documents-table contract (doc_id + text required; lang/source
+    * optional metadata). */
+  val DocumentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  private val Corrupt = "_corrupt_record"
+
+  /** Raw permissive parse: every input line becomes a row — parsed
+    * fields when valid, the original line in `_corrupt_record` when not. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(DocumentSchema.add(StructField(Corrupt, StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Corrupt)
+      .json(path)
+
+  /** A row is ingestible when it parsed AND carries the required fields
+    * (doc_id, text) — anything else goes to quarantine with a reason. */
+  private def validity(df: DataFrame): DataFrame =
+    df.withColumn("_reason",
+      when(col(Corrupt).isNotNull, "malformed_json")
+        .when(col("doc_id").isNull, "missing_doc_id")
+        .when(col("text").isNull, "missing_text"))
+
+  /** Split a permissive parse into (valid docs, quarantine rows). The
+    * quarantine keeps the raw line (or the parsed fragment) plus the
+    * rejection reason. */
+  def split(raw: DataFrame): (DataFrame, DataFrame) = {
+    val flagged = validity(raw)
+    (flagged.filter(col("_reason").isNull)
+       .select("doc_id", "text", "lang", "source"),
+     flagged.filter(col("_reason").isNotNull)
+       .select(col("doc_id"), col("text"), col(Corrupt).as("raw_line"),
+         col("_reason").as("reason")))
+  }
+
+  /** Land a JSONL drop as parquet: valid docs to `docsPath`, rejects to
+    * `quarantinePath`. Returns (n_valid, n_quarantined) — the counts a
+    * pipeline run should assert against its manifest before publishing
+    * (the reference's validation step, row-level). */
+  def ingest(spark: SparkSession, path: String,
+             docsPath: String, quarantinePath: String): (Long, Long) = {
+    val (good, bad) = split(read(spark, path))
+    good.write.mode(SaveMode.Overwrite).parquet(docsPath)
+    bad.write.mode(SaveMode.Overwrite).parquet(quarantinePath)
+    (spark.read.parquet(docsPath).count(),
+      spark.read.parquet(quarantinePath).count())
+  }
+}

@@ -765,6 +765,20 @@ class ExtSpec extends SparkSpec {
     assert(out.filter($"rk" > 2).isEmpty)
   }
 
+  test("pair-set fidelity: closed-form precision/recall and null on empty sets") {
+    val ref = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val cand = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val row = Dedup.pairSetFidelity(ref, cand).head()
+    assert((row.getAs[Long]("n_reference"), row.getAs[Long]("n_candidate"),
+      row.getAs[Long]("n_common")) == ((3L, 2L, 1L)))
+    assert(row.getAs[Double]("precision") == 0.5)
+    assert(row.getAs[Double]("recall") == 0.333333)
+    val empty = Dedup.pairSetFidelity(ref, cand.filter(lit(false))).head()
+    assert(empty.isNullAt(empty.fieldIndex("precision")),
+      "empty candidate set must yield NULL precision, not NaN")
+    assert(empty.getAs[Double]("recall") == 0.0)
+  }
+
   test("corpus diff labels added, removed, changed and unchanged docs") {
     val oldC = Seq((1L, "same text"), (2L, "will change"), (3L, "will vanish"))
       .toDF("doc_id", "text")

@@ -7,6 +7,7 @@ import graft.{SparkSpec, Tables}
   * (schema-explicit reads — no inference in production paths), and
   * Parquet remains the canonical columnar format. */
 class FormatsSpec extends SparkSpec {
+  import spark.implicits._
 
   private def canon(df: org.apache.spark.sql.DataFrame) =
     df.select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -31,6 +32,33 @@ class FormatsSpec extends SparkSpec {
     orders.write.json(s"$dir/orders_json")
     val back = spark.read.schema(orders.schema).json(s"$dir/orders_json")
     assert(canon(back) == canon(orders))
+  }
+
+  test("jsonl corpus ingest quarantines malformed and incomplete rows with reasons") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/drop.jsonl"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "a fine document", "lang": "en", "source": "web"}""",
+        """{"doc_id": 2, "text": "another good one"}""",
+        """{"doc_id": 3, "lang": "en"}""",            // missing text
+        """{"text": "no id on this row"}""",          // missing doc_id
+        """{not json at all"""))                      // malformed
+    val (nGood, nBad) = CorpusJsonl.ingest(spark, s"$dir/drop.jsonl",
+      s"$dir/docs", s"$dir/quarantine")
+    assert((nGood, nBad) == ((2L, 3L)))
+    val docs = spark.read.parquet(s"$dir/docs")
+    assert(docs.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // optional metadata survives as nulls, the schema is the contract
+    assert(docs.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
+    val reasons = spark.read.parquet(s"$dir/quarantine")
+      .select("reason").as[String].collect().sorted.toSeq
+    assert(reasons == Seq("malformed_json", "missing_doc_id", "missing_text"),
+      s"got $reasons")
+    // the raw line is preserved for triage on parse failures
+    val rawKept = spark.read.parquet(s"$dir/quarantine")
+      .filter($"reason" === "malformed_json")
+      .select("raw_line").as[String].head()
+    assert(rawKept.contains("not json"))
   }
 
   test("partitioned parquet write prunes on read") {
