@@ -241,6 +241,12 @@ object SparkEntry {
     // bit-length bucketing (exact in integers on both engines)
     "q60_length_histogram" -> ((s, dir) =>
       ext.TextAnalysis.lengthHistogram(Tables.documents(s, dir))),
+    // north-star tokenizer training: BPE merge-table induction — one
+    // corpus pass to word frequencies, then vocab-sized merge rounds.
+    // Rows-only: the iterative loop isn't SQL-expressible; ExtSpec pins
+    // the classic low/lower/newest/widest merge sequence + determinism
+    "q62_bpe_merges" -> ((s, dir) =>
+      ext.TextAnalysis.learnBpeMerges(Tables.documents(s, dir), nMerges = 8)),
     // dedup eval harness: what does the df-cap trade away? precision/
     // recall of the capped Jaccard pair set vs the exact yardstick —
     // deliberately runs BOTH pair jobs (the q16 cost is the price of

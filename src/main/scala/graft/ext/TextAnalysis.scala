@@ -415,6 +415,84 @@ object TextAnalysis {
       .withColumn("min_tokens",
         pow(lit(2.0), col("bucket") - 1).cast("long"))
 
+  /** BPE-style tokenizer-vocabulary induction (Sennrich et al. 2016) on
+    * Spark — the "train a tokenizer on the corpus" step of a training-
+    * data pipeline, distributed the way production BPE trainers are:
+    * ONE corpus pass builds the word-frequency table, and every merge
+    * round after that runs on the VOCAB frame (distinct words × their
+    * symbol arrays, weighted by count) — corpus size only affects the
+    * first aggregate, never the loop. Each round: count adjacent symbol
+    * pairs (weighted), pick the most frequent (ties broken
+    * lexicographically — fully deterministic), rewrite every vocab
+    * word's symbol array with the pair merged (leftmost-first,
+    * non-overlapping — the reference semantics), repeat. Returns the
+    * ordered merge table (rank, left, right, pair_count): exactly the
+    * `merges.txt` artifact a tokenizer consumes.
+    *
+    * Rows-only correctness (the loop isn't SQL-expressible): a
+    * closed-form spec pins the merge sequence on the classic
+    * low/lower/newest/widest corpus, and determinism is pinned by
+    * re-running.
+    *
+    * Scale notes (100 TB): the corpus pass is the q44 word-count shape
+    * (map-side combined, shuffle = one partial per distinct word per
+    * partition). The loop's pair-count aggregate is vocab-sized (web
+    * vocab ~10⁸ rows — fine for an aggregate), the argmax is
+    * TakeOrdered(1) (no global sort), and each round's rewrite is a
+    * narrow per-word lambda. The vocab frame is localCheckpointed per
+    * round to truncate the growing lineage (nMerges-deep plans
+    * otherwise re-derive every prior merge each action). Driver holds
+    * one row per round. */
+  def learnBpeMerges(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one corpus pass: word frequencies, then symbols = characters
+    var vocab = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(split(col("word"), "").as("sym"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    while (round <= nMerges) {
+      // weighted adjacent-pair counts over the vocab frame
+      val best = vocab
+        .select(col("n"), explode(
+          zip_with(slice(col("sym"), lit(1), size(col("sym")) - 1),
+            slice(col("sym"), lit(2), size(col("sym")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) round = nMerges + 1 // every word is one symbol
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((merges.size + 1L, l, r, c))
+        // leftmost-first non-overlapping merge of (l, r) in every word:
+        // a fold over the symbol array (vocab-sized, narrow). No
+        // lookahead guard is needed — after a merge the tail symbol is
+        // l+r, which can never equal l again (r is non-empty), so the
+        // single-accumulator fold realizes exactly the reference's
+        // scan-after-merge semantics
+        val merged = aggregate(col("sym"),
+          array().cast("array<string>"),
+          (out, s) =>
+            when(size(out) > 0 &&
+                element_at(out, -1) === lit(l) && s === lit(r),
+              concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+              .otherwise(concat(out, array(s))))
+        vocab = vocab.select(merged.as("sym"), col("n")).localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+      .repartition(1)
+  }
+
   /** Canonical text normalization — the form exact-dedup and
     * fingerprinting should run on so trivial variants (case, runs of
     * whitespace, stray control characters) hash identically: control

@@ -765,6 +765,33 @@ class ExtSpec extends SparkSpec {
     assert(out.filter($"rk" > 2).isEmpty)
   }
 
+  test("BPE merges reproduce the classic example and stop when saturated") {
+    // Sennrich et al.'s corpus: low x5, lower x2, newest x6, widest x3.
+    // Hand-computed pair counts put (e,s) first at 9 (tie with (s,t)
+    // broken lexicographically), then the merged (es,t) at 9
+    val classic = Seq((1L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.learnBpeMerges(classic, nMerges = 2).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count"))).toSeq
+    assert(m == Seq((1L, "e", "s", 9L), (2L, "es", "t", 9L)), s"got $m")
+
+    // saturation: once every word is a single symbol the loop stops
+    // early instead of inventing merges
+    val tiny = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val t = TextAnalysis.learnBpeMerges(tiny, nMerges = 5).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count"))).toSeq
+    assert(t == Seq((1L, "a", "a", 2L), (2L, "a", "b", 1L)), s"got $t")
+
+    // deterministic: same corpus, same merge table
+    val again = TextAnalysis.learnBpeMerges(classic, nMerges = 2).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(again == Seq(("e", "s"), ("es", "t")))
+  }
+
   test("pair-set fidelity: closed-form precision/recall and null on empty sets") {
     val ref = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
     val cand = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
