@@ -398,6 +398,55 @@ class DedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("passage strip matches an in-driver reference on random corpora") {
+    // ScalaCheck vs a direct reimplementation of the documented
+    // semantics: global first occurrence (doc_id, pos) survives, later
+    // occurrences' [pos, pos+w) spans are cut, overlaps merge, short
+    // docs pass through, empty survivors drop. Equality subsumes the
+    // accounting invariant n_kept + n_dropped = n_tokens.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val tokGen = Gen.oneOf("a", "b", "c", "")
+    val docGen = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, tokGen))
+    val corpusGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, docGen))
+    val prop = Prop.forAll(corpusGen, Gen.chooseNum(2, 3)) { (corpus, w) =>
+      val docs = corpus.zipWithIndex.map {
+        case (ts, i) => (i.toLong, ts.mkString(" "))
+      }
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val wins = docs.flatMap { case (id, _) =>
+        val ts = toks(id)
+        if (ts.size < w) Nil
+        else (0 to ts.size - w).map(p =>
+          (ts.slice(p, p + w).mkString(" "), id, p))
+      }
+      val firstAt = wins.groupBy(_._1)
+        .map { case (k, g) => k -> g.map(t => (t._2, t._3)).min }
+      val expected = docs.flatMap { case (id, text) =>
+        val ts = toks(id)
+        if (ts.size < w) Some(id -> ((text, ts.size.toLong, 0L)))
+        else {
+          val dropPos = (0 to ts.size - w).filter { p =>
+            firstAt(ts.slice(p, p + w).mkString(" ")) != ((id, p))
+          }
+          val covered = dropPos.flatMap(p => p until p + w).toSet
+          val kept = ts.zipWithIndex.collect {
+            case (t, i) if !covered(i) => t
+          }
+          if (kept.isEmpty) None
+          else Some(id -> ((kept.mkString(" "), kept.size.toLong,
+            (ts.size - kept.size).toLong)))
+        }
+      }.toMap
+      val got = Dedup.stripDuplicatePassages(docs.toDF("doc_id", "text"), w)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("line dedup cap path scans the document source exactly once") {
     // the scale note's cost claim, machine-checked (the CurationSpec
     // instrumented-source pattern): with a cap in force the exploded

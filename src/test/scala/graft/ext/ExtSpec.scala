@@ -792,6 +792,47 @@ class ExtSpec extends SparkSpec {
     assert(again == Seq(("e", "s"), ("es", "t")))
   }
 
+  test("BPE merges match an in-driver reference on random corpora") {
+    // ScalaCheck vs a direct reimplementation: weighted pair counts over
+    // the word-frequency table, argmax with (count desc, l, r) tie-break,
+    // leftmost non-overlapping fold, stop when saturated
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val wordGen = Gen.chooseNum(1, 4)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString))
+    val corpusGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, wordGen))
+    def mergeSeq(sym: Vector[String], l: String, r: String): Vector[String] =
+      sym.foldLeft(Vector.empty[String]) { (out, s) =>
+        if (out.nonEmpty && out.last == l && s == r) out.init :+ (l + r)
+        else out :+ s
+      }
+    val prop = Prop.forAll(corpusGen, Gen.chooseNum(1, 3)) { (words, k) =>
+      var vocab = words.groupBy(identity).toSeq
+        .map { case (w, g) => (w.map(_.toString).toVector, g.size.toLong) }
+      val expected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      var continue = true
+      while (continue && expected.size < k) {
+        val pairs = vocab.flatMap { case (sym, n) =>
+          sym.sliding(2).collect { case Seq(a, b) => ((a, b), n) }
+        }.groupBy(_._1).map { case (p, g) => (p, g.map(_._2).sum) }
+        if (pairs.isEmpty) continue = false
+        else {
+          val ((l, r), c) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+          expected += ((l, r, c))
+          vocab = vocab.map { case (sym, n) => (mergeSeq(sym, l, r), n) }
+        }
+      }
+      val got = TextAnalysis.learnBpeMerges(
+          Seq((1L, words.mkString(" "))).toDF("doc_id", "text"), k)
+        .collect().map(r => (r.getAs[String]("left"),
+          r.getAs[String]("right"), r.getAs[Long]("pair_count"))).toSeq
+      got == expected.toSeq
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("pair-set fidelity: closed-form precision/recall and null on empty sets") {
     val ref = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
     val cand = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
