@@ -247,6 +247,15 @@ object SparkEntry {
     // the classic low/lower/newest/widest merge sequence + determinism
     "q62_bpe_merges" -> ((s, dir) =>
       ext.TextAnalysis.learnBpeMerges(Tables.documents(s, dir), nMerges = 8)),
+    // the apply half of q62: tokenize the corpus under the learned
+    // merge table — per-doc word vs BPE-token counts (the number a
+    // token-budget mix should be fed). Rows-only like its trainer
+    "q63_bpe_token_counts" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = ext.TextAnalysis.learnBpeMerges(docs, nMerges = 8)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      ext.TextAnalysis.bpeTokenCounts(docs, merges)
+    }),
     // dedup eval harness: what does the df-cap trade away? precision/
     // recall of the capped Jaccard pair set vs the exact yardstick —
     // deliberately runs BOTH pair jobs (the q16 cost is the price of

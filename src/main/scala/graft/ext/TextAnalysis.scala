@@ -472,25 +472,63 @@ object TextAnalysis {
         val (l, r, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((merges.size + 1L, l, r, c))
-        // leftmost-first non-overlapping merge of (l, r) in every word:
-        // a fold over the symbol array (vocab-sized, narrow). No
-        // lookahead guard is needed — after a merge the tail symbol is
-        // l+r, which can never equal l again (r is non-empty), so the
-        // single-accumulator fold realizes exactly the reference's
-        // scan-after-merge semantics
-        val merged = aggregate(col("sym"),
-          array().cast("array<string>"),
-          (out, s) =>
-            when(size(out) > 0 &&
-                element_at(out, -1) === lit(l) && s === lit(r),
-              concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
-              .otherwise(concat(out, array(s))))
-        vocab = vocab.select(merged.as("sym"), col("n")).localCheckpoint()
+        vocab = vocab.select(mergePair(col("sym"), l, r).as("sym"), col("n"))
+          .localCheckpoint()
         round += 1
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
       .repartition(1)
+  }
+
+  /** Leftmost-first non-overlapping merge of the (l, r) symbol pair in a
+    * symbol array — a fold. No lookahead guard is needed: after a merge
+    * the tail symbol is l+r, which can never equal l again (r is
+    * non-empty), so the single-accumulator fold realizes exactly the
+    * reference's scan-after-merge semantics. Interpreted (HOF), used
+    * only on vocab-sized frames. */
+  private def mergePair(sym: Column, l: String, r: String): Column =
+    aggregate(sym,
+      array().cast("array<string>"),
+      (out, s) =>
+        when(size(out) > 0 &&
+            element_at(out, -1) === lit(l) && s === lit(r),
+          concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+          .otherwise(concat(out, array(s))))
+
+  /** Tokenize the corpus under a learned BPE merge table: per-doc word
+    * and BPE-token counts (`n_bpe_tokens` is what the corpus costs a
+    * model using that vocabulary — the number a token-budget mix or a
+    * shard packer should be fed). `merges` is the collected
+    * (left, right) sequence from [[learnBpeMerges]], applied in rank
+    * order.
+    *
+    * Scale notes (100 TB): the merge table is applied to the DISTINCT
+    * word vocabulary — k chained vocab-sized folds — never to the
+    * corpus; the corpus pays one tokenize pass into per-doc word counts
+    * (map-side combined, checkpointed — the q55/q56 discipline) and one
+    * word-keyed join against the sized vocab (broadcast-gated at 10M
+    * rows, the q44 gate). Keep k modest (≤ ~64) or checkpoint
+    * mid-fold: the k-deep expression tree is analyzed once per query. */
+  def bpeTokenCounts(docs: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val wordCounts = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vocab0 = wordCounts.select(col("word")).distinct()
+      .withColumn("sym", split(col("word"), ""))
+    val sized = merges.foldLeft(vocab0) { case (v, (l, r)) =>
+        v.withColumn("sym", mergePair(col("sym"), l, r))
+      }
+      .select(col("word"), size(col("sym")).cast("long").as("n_bpe"))
+      .localCheckpoint() // forced by the gate count; the join re-reads it
+    val hinted = if (sized.count() <= 10000000L) broadcast(sized) else sized
+    wordCounts.join(hinted, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_bpe")).as("n_bpe_tokens"))
   }
 
   /** Canonical text normalization — the form exact-dedup and

@@ -792,6 +792,21 @@ class ExtSpec extends SparkSpec {
     assert(again == Seq(("e", "s"), ("es", "t")))
   }
 
+  test("BPE token counts apply the learned merges word-by-word") {
+    // classic corpus, 2 merges: (e,s) then (es,t) — newest tokenizes to
+    // n,e,w,est (4) and widest to w,i,d,est (4); low/lower stay chars
+    val classic = Seq((1L, "low lower newest widest"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.learnBpeMerges(classic, nMerges = 2)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val counts = TextAnalysis.bpeTokenCounts(classic, merges).head()
+    assert((counts.getAs[Long]("n_words"),
+      counts.getAs[Long]("n_bpe_tokens")) == ((4L, 3L + 5L + 4L + 4L)))
+    // an empty merge table tokenizes to characters
+    val chars = TextAnalysis.bpeTokenCounts(classic, Nil).head()
+    assert(chars.getAs[Long]("n_bpe_tokens") == (3L + 5L + 6L + 6L))
+  }
+
   test("BPE merges match an in-driver reference on random corpora") {
     // ScalaCheck vs a direct reimplementation: weighted pair counts over
     // the word-frequency table, argmax with (count desc, l, r) tie-break,
