@@ -300,6 +300,25 @@ class CurationSpec extends SparkSpec {
     assert(a == b, "instrumented and plain shard writes must agree")
   }
 
+  test("README passage/tokenizer quickstart literals compile and run") {
+    import graft.{ext, Tables}
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(40)
+    val corpusDocs = docs.filter(col("doc_id") < 20)
+    val batchDocs = docs.filter(col("doc_id") >= 20)
+    val pidxDir = java.nio.file.Files.createTempDirectory("graft_qs_pidx")
+      .toString + "/idx"
+    // the README lines, verbatim (dirs/frames bound above)
+    val dupReport = ext.Dedup.passageDupStats(docs)
+    val rewritten = ext.Dedup.stripDuplicatePassages(docs)
+    ext.Dedup.writePassageIndex(corpusDocs, pidxDir)
+    val cleanBatch = ext.Dedup.stripPassagesAgainstIndex(batchDocs, pidxDir)
+    val merges = ext.TextAnalysis.learnBpeMerges(docs, nMerges = 32)
+    val tokenCosts = ext.TextAnalysis.bpeTokenCounts(docs,
+      merges.collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+    assert(dupReport.count() > 0 && rewritten.count() > 0 &&
+      cleanBatch.count() > 0 && tokenCosts.count() > 0)
+  }
+
   test("README full-hygiene quickstart literal compiles and runs") {
     // the README.md "full-hygiene variant" example, verbatim — keeps the
     // user-facing doc honest the way the coverage table rows are
