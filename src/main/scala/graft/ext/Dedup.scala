@@ -834,6 +834,15 @@ object Dedup {
                          probes: Int = 1,
                          maxCellSize: Option[Int] = None): DataFrame = {
     require(probes >= 1 && probes <= nCells, "need 1 <= probes <= nCells")
+    // an empty corpus can't train a quantizer (assignCells requires
+    // centroids) — an incremental batch that filters to nothing must
+    // yield zero pairs, not a crash (the Selection empty-target
+    // precedent). One limit-1 existence probe, paid before the
+    // 5-iteration training loop it guards.
+    if (emb.isEmpty)
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_a"), lit(0L).as("vec_b"),
+          lit(0.0).as("cos_sim")).limit(0)
     val cents = Similarity.kmeansCentroids(emb, nCells, iters, seed)
     val v = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e"))
@@ -879,15 +888,27 @@ object Dedup {
     * pre-flight gate, the production counterpart of the reference's
     * pre-publish validation step (load_sales_history.py:241-246).
     *
-    * Scale note: one shuffle on the normalized (doc_a, doc_b) key per
-    * side, then a scalar aggregate — runs on pair sets, never corpora;
-    * the expensive part is producing the pair sets, which is the
-    * caller's (deliberate) choice of yardstick. */
+    * Inputs are normalized here — unordered (least, greatest) keys,
+    * duplicates dropped — so pair sets with mixed orientation (the
+    * incremental ops emit (corpus id, batch id) unordered) or repeated
+    * rows compare correctly.
+    *
+    * Scale note: one distinct shuffle on the normalized pair key per
+    * side (reused by the join), then a scalar aggregate — runs on pair
+    * sets, never corpora; the expensive part is producing the pair
+    * sets, which is the caller's (deliberate) choice of yardstick. */
   def pairSetFidelity(reference: DataFrame, candidate: DataFrame): DataFrame = {
-    val r = reference.select(col("doc_a"), col("doc_b"))
-      .withColumn("_r", lit(1L))
-    val c = candidate.select(col("doc_a"), col("doc_b"))
-      .withColumn("_c", lit(1L))
+    // normalize BOTH sides to unordered distinct pairs: incremental ops
+    // emit (corpus id, batch id) with no doc_a < doc_b ordering, and a
+    // duplicate row would fan out the full-outer join — either would
+    // silently corrupt the counts this op exists to make trustworthy
+    def norm(df: DataFrame, flag: String): DataFrame = df
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+      .withColumn(flag, lit(1L))
+    val r = norm(reference, "_r")
+    val c = norm(candidate, "_c")
     r.join(c, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
         coalesce(sum(col("_r")), lit(0L)).as("n_reference"),
@@ -1060,6 +1081,12 @@ object Dedup {
                         windowTokens: Int = 8,
                         append: Boolean = false): Unit = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
+    // validate BEFORE the write: an append under a mismatched window
+    // size must fail without mutating the index (keys written first
+    // would pollute it with hashes no probe can ever match)
+    if (append)
+      requireParams(s"$path/params.properties",
+        Map("windowTokens" -> windowTokens.toString), "passage")
     val (_, long) = splitByWindow(docs, windowTokens)
     passageWindows(long, windowTokens).select("wk").distinct()
       .write.mode(if (append) "append" else "overwrite")
@@ -1067,9 +1094,6 @@ object Dedup {
     if (!append)
       writeParams(s"$path/params.properties",
         Map("windowTokens" -> windowTokens.toString))
-    else
-      requireParams(s"$path/params.properties",
-        Map("windowTokens" -> windowTokens.toString), "passage")
   }
 
   /** Strip an ingest batch against an on-disk passage index plus itself:

@@ -108,10 +108,22 @@ object Similarity {
     * Empty cells keep their previous centroid. */
   def kmeansCentroids(emb: DataFrame, nCells: Int = 16, iters: Int = 5,
                       seed: Long = 42L): Array[Array[Double]] = {
-    require(nCells >= 2, "nCells must be >= 2")
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val v = projected(emb)
+    try kmeansCentroidsOn(v, nCells, iters, seed) finally v.unpersist()
+  }
+
+  /** The (vec_id, e: array<double>) training working set, persisted —
+    * shared by both trainers so `writePqIndex` fills it once instead of
+    * paying the upstream scan/decode per trainer. */
+  private def projected(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+
+  /** `kmeansCentroids` over a pre-persisted `projected` frame. */
+  private def kmeansCentroidsOn(v: DataFrame, nCells: Int, iters: Int,
+                                seed: Long): Array[Array[Double]] = {
+    require(nCells >= 2, "nCells must be >= 2")
+    locally {
       var cents: Array[Array[Double]] = v
         .orderBy(xxhash64(lit(seed), col("vec_id")), col("vec_id"))
         .limit(nCells)
@@ -136,7 +148,7 @@ object Similarity {
         cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
       }
       cents
-    } finally v.unpersist()
+    }
   }
 
   /** Assign every vector to its nearest centroid (max cosine; ties go to
@@ -378,10 +390,16 @@ object Similarity {
     * discipline) and released before return. */
   def trainPqCodebooks(emb: DataFrame, nSub: Int = 8, nCodes: Int = 16,
                        iters: Int = 5, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val v = projected(emb)
+    try trainPqCodebooksOn(v, nSub, nCodes, iters, seed) finally v.unpersist()
+  }
+
+  /** `trainPqCodebooks` over a pre-persisted `projected` frame. */
+  private def trainPqCodebooksOn(v: DataFrame, nSub: Int, nCodes: Int,
+                                 iters: Int,
+                                 seed: Long): Array[Array[Array[Double]]] = {
     require(nSub >= 1 && nCodes >= 2, "need nSub >= 1 and nCodes >= 2")
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    locally {
       val seeds = v
         .orderBy(xxhash64(lit(seed), col("vec_id")), col("vec_id"))
         .limit(nCodes)
@@ -417,7 +435,7 @@ object Similarity {
           means.getOrElse((i, j), cbs(i)(j))))
       }
       cbs
-    } finally v.unpersist()
+    }
   }
 
   /** Encode every vector to its `nSub` PQ codes: adds an `array<int>`
@@ -459,20 +477,17 @@ object Similarity {
     * window — 32× less I/O than scanning raw vectors, and composable
     * with the IVF cell layout (probe a cell, ADC within it) for the
     * canonical IVF-PQ billion-scale shape. */
-  def pqTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
-             nSub: Int = 8, nCodes: Int = 16, iters: Int = 5,
-             seed: Long = 42L, refine: Int = 5): DataFrame = {
-    val spark = emb.sparkSession
-    val cbs = trainPqCodebooks(emb, nSub, nCodes, iters, seed)
+  /** Per-query ADC lookup tables, driver-computed from the tiny
+    * codebooks: lut[i·nCodes + j] = dot(query_sub_i, codebook(i)(j)).
+    * ONE implementation shared by the in-memory (`pqTopK`) and on-disk
+    * (`probePqIndex`) ADC paths, so the flat LUT layout can never
+    * silently diverge between them. */
+  private def adcQueryData(qRows: Seq[(Long, Array[Double])],
+                           cbs: Array[Array[Array[Double]]],
+                           nSub: Int, nCodes: Int)
+      : Seq[(Long, Seq[Double], Seq[Double])] = {
     val subDim = cbs.head.head.length
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val enc = pqEncode(v, cbs, embCol = "e").select(col("vec_id"), col("codes"))
-    // per-query ADC lookup tables, computed on the driver from the tiny
-    // codebooks: lut[i*nCodes + j] = dot(query_sub_i, codebook(i)(j))
-    val qRows = v.filter(col("vec_id") < nQueries).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val qData = qRows.toSeq.map { case (qid, qe) =>
+    qRows.map { case (qid, qe) =>
       val lut = Array.tabulate(nSub * nCodes) { x =>
         val i = x / nCodes; val j = x % nCodes
         var dot = 0.0
@@ -482,11 +497,31 @@ object Similarity {
       }
       (qid, qe.toSeq, lut.toSeq)
     }
-    import spark.implicits._
-    val queries = qData.toDF("query_id", "qe", "lut")
-    val approx = (0 until nSub).map(i =>
+  }
+
+  /** The ADC approximate score: Σᵢ lut[i·nCodes + codesᵢ] (1-based
+    * `element_at`) — `adcQueryData`'s flat-layout twin. */
+  private def adcApprox(nSub: Int, nCodes: Int): Column =
+    (0 until nSub).map(i =>
       element_at(col("lut"), lit(i * nCodes + 1) + element_at(col("codes"), i + 1)))
       .reduce(_ + _)
+
+  def pqTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+             nSub: Int = 8, nCodes: Int = 16, iters: Int = 5,
+             seed: Long = 42L, refine: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val cbs = trainPqCodebooks(emb, nSub, nCodes, iters, seed)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val enc = pqEncode(v, cbs, embCol = "e").select(col("vec_id"), col("codes"))
+    // per-query ADC lookup tables, computed on the driver from the tiny
+    // codebooks: lut[i*nCodes + j] = dot(query_sub_i, codebook(i)(j))
+    val qRows = v.filter(col("vec_id") < nQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qData = adcQueryData(qRows.toSeq, cbs, nSub, nCodes)
+    import spark.implicits._
+    val queries = qData.toDF("query_id", "qe", "lut")
+    val approx = adcApprox(nSub, nCodes)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id"))
     val cand = broadcast(queries).crossJoin(enc)
@@ -519,8 +554,14 @@ object Similarity {
                    nSub: Int = 8, nCodes: Int = 16, iters: Int = 5,
                    seed: Long = 42L): Unit = {
     val spark = emb.sparkSession
-    val cents = kmeansCentroids(emb, nCells, iters, seed)
-    val cbs = trainPqCodebooks(emb, nSub, nCodes, iters, seed)
+    // ONE persisted working set feeds both trainers — each used to
+    // project/persist/fill its own identical frame, doubling the
+    // upstream scan and cache churn on the billion-vector layout op
+    val v = projected(emb)
+    val (cents, cbs) =
+      try (kmeansCentroidsOn(v, nCells, iters, seed),
+        trainPqCodebooksOn(v, nSub, nCodes, iters, seed))
+      finally v.unpersist()
     pqEncode(assignCells(emb, cents), cbs)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell")
@@ -559,23 +600,13 @@ object Similarity {
     val cbs: Array[Array[Array[Double]]] = Array.tabulate(nSub)(i =>
       Array.tabulate(nCodes)(j =>
         cbRows(i * nCodes + j).getSeq[Double](2).toArray))
-    val subDim = cbs.head.head.length
     // queries with per-query LUTs (driver-computed: queries are the
     // small side by contract, LUTs are nSub·nCodes doubles each)
     val qRows = queries
       .select(col("vec_id"), asDouble(col("embedding")).as("qe")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val qData = qRows.toSeq.map { case (qid, qe) =>
-      val lut = Array.tabulate(nSub * nCodes) { x =>
-        val i = x / nCodes; val j = x % nCodes
-        var dot = 0.0
-        var d = 0
-        while (d < subDim) { dot += qe(i * subDim + d) * cbs(i)(j)(d); d += 1 }
-        dot
-      }
-      (qid, qe.toSeq, lut.toSeq)
-    }
+    val qData = adcQueryData(qRows.toSeq, cbs, nSub, nCodes)
     import spark.implicits._
     // cell routing stays a distributed filter over the tiny query set
     // (`rankRoutedCells`' shape, same 6-dp routing semantics) — the
@@ -596,9 +627,7 @@ object Similarity {
     // bytes on disk for every non-surviving candidate
     val codesOnly = index.select(col("vec_id").as("neighbor_id"),
       col("cell"), col("codes"))
-    val approx = (0 until nSub).map(i =>
-      element_at(col("lut"), lit(i * nCodes + 1) + element_at(col("codes"), i + 1)))
-      .reduce(_ + _)
+    val approx = adcApprox(nSub, nCodes)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id"))
     val cand = broadcast(routed).join(codesOnly, "cell")

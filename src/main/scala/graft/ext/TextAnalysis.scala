@@ -339,12 +339,35 @@ object TextAnalysis {
           "lookbehind — not RE2-safe (RE2 spells named groups (?P<name>))")
       require(!pat.contains("(?>"),
         s"redaction pattern '$pat' uses an atomic group — not RE2-safe")
-      require("""(?<!\\)[*+?}]\+""".r.findFirstIn(pat).isEmpty,
+      require(!hasPossessiveQuantifier(pat),
         s"redaction pattern '$pat' uses a possessive quantifier — not RE2-safe")
       require("""\\[1-9]""".r.findFirstIn(pat).isEmpty && !pat.contains("\\k<"),
         s"redaction pattern '$pat' uses a backreference — not RE2-safe")
       require(token.nonEmpty, "empty redaction placeholder token")
     }
+
+  /** Escape-aware possessive-quantifier scan: an UNESCAPED quantifier
+    * character (* + ? }) followed by `+` is possessive. A lookbehind
+    * regex can't express this (`\\++` — a possessively quantified
+    * backslash literal — slips past `(?<!\\)` because the escape pair
+    * consumes two characters); a linear scan tracking escape state
+    * classifies every position correctly. */
+  private def hasPossessiveQuantifier(pat: String): Boolean = {
+    var i = 0
+    var escaped = false
+    var prevQuant = false
+    while (i < pat.length) {
+      val ch = pat.charAt(i)
+      if (escaped) { escaped = false; prevQuant = false }
+      else if (ch == '\\') { escaped = true; prevQuant = false }
+      else {
+        if (prevQuant && ch == '+') return true
+        prevQuant = "*+?}".indexOf(ch.toInt) >= 0
+      }
+      i += 1
+    }
+    false
+  }
 
   /** Per-document TF-IDF keyword extraction: the top-`k` terms of each
     * document by tf·idf with smoothed idf = ln((N+1)/(df+1)) + 1 (the

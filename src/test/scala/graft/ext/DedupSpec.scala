@@ -201,6 +201,22 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.stripPassagesAgainstIndex(batch, s"$dir/idx", windowTokens = 5)
     }
+    // ...and a mismatched APPEND fails BEFORE writing: the index must
+    // not be polluted with keys no probe can ever match
+    val keysBefore = spark.read.parquet(s"$dir/idx/keys").count()
+    intercept[IllegalArgumentException] {
+      Dedup.writePassageIndex(batch, s"$dir/idx", windowTokens = 5,
+        append = true)
+    }
+    assert(spark.read.parquet(s"$dir/idx/keys").count() == keysBefore,
+      "a rejected append must leave the index untouched")
+  }
+
+  test("semantic dedup on an empty corpus yields zero pairs, not a crash") {
+    val empty = Tables.embeddings(spark, sf("sf0.001")).filter(lit(false))
+    val out = Dedup.semanticDedupPairs(empty)
+    assert(out.columns.toSeq == Seq("vec_a", "vec_b", "cos_sim"))
+    assert(out.isEmpty)
   }
 
   test("replayed embedding ingest cycles reproduce the monolithic dedup on copy cliques") {

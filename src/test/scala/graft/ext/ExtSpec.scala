@@ -500,6 +500,8 @@ class ExtSpec extends SparkSpec {
     // quantifiers, Java-style named groups, invalid regex
     for (bad <- Seq("(?=x)y", "foo(?!bar)", "(?<=a)b", "(a)\\1",
         "(?>atomic)x", "a*+b", "\\d++", "x?+", "\\d{2,}+",
+        "\\\\++", // possessively-quantified backslash literal — the case
+                  // a lookbehind-based check misses (escape pair = 2 chars)
         "(?<g>a)\\k<g>")) {
       val e = intercept[IllegalArgumentException] {
         TextAnalysis.redactPii(d, Seq(bad -> "<X>"))
@@ -846,6 +848,18 @@ class ExtSpec extends SparkSpec {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("pair-set fidelity normalizes orientation and duplicate rows") {
+    // the incremental ops emit (corpus id, batch id) unordered — a
+    // reversed pair and a repeated row must compare as the same set
+    val ref = Seq((1L, 2L), (3L, 1L)).toDF("doc_a", "doc_b")
+    val cand = Seq((2L, 1L), (2L, 1L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val row = Dedup.pairSetFidelity(ref, cand).head()
+    assert((row.getAs[Long]("n_reference"), row.getAs[Long]("n_candidate"),
+      row.getAs[Long]("n_common"),
+      row.getAs[Double]("precision"), row.getAs[Double]("recall")) ==
+      ((2L, 2L, 2L, 1.0, 1.0)))
   }
 
   test("pair-set fidelity: closed-form precision/recall and null on empty sets") {
