@@ -347,4 +347,59 @@ object Curation {
         .save(path)
     } finally if (hygieneActive(cfg)) hygiened.unpersist()
   }
+
+  /** Per-shard manifest of a training-shard layout: row count, token
+    * count, and an ORDER-INDEPENDENT content digest (sum of per-row
+    * xxhash64 over every content column, in decimal so ANSI mode can't
+    * overflow) for each (split, shard). This is the handoff artifact
+    * between the data pipeline and the training job — the row-count
+    * validation the reference runs before publishing
+    * (load_sales_history.py:241-246), made per-shard and
+    * content-addressed so silent corruption (a truncated file, a
+    * re-written shard) is detectable, not just a missing row count.
+    *
+    * Scale note: one pass over the shard layout, map-side combined to
+    * one row per (split, shard) — the aggregate is manifest-sized. The
+    * row digest must be order-independent because parquet read order
+    * within a shard is not stable across executions/partitionings. */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession,
+                    shardsPath: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    spark.read.parquet(shardsPath)
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chunk_tokens")).as("n_tokens"),
+        sum(xxhash64(col("doc_id"), col("chunk_idx"), col("bin_id"),
+            col("chunk_text")).cast(DecimalType(38, 0)))
+          .as("content_hash"))
+  }
+
+  /** Write the manifest next to (or wherever the caller points) a shard
+    * layout — one small parquet the training job reads first. */
+  def writeShardManifest(spark: org.apache.spark.sql.SparkSession,
+                         shardsPath: String, manifestPath: String): Unit =
+    shardManifest(spark, shardsPath).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(manifestPath)
+
+  /** Verify a shard layout against its manifest: one row per
+    * (split, shard) with status `ok`, `mismatch` (content drifted),
+    * `missing` (manifest shard absent on disk) or `unexpected` (on-disk
+    * shard the manifest never recorded). A training job gates on
+    * every status being `ok` before reading a byte of shard data. */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession,
+                   shardsPath: String, manifestPath: String): DataFrame = {
+    val actual = shardManifest(spark, shardsPath)
+    val expected = spark.read.parquet(manifestPath)
+      .withColumnsRenamed(Map("n_rows" -> "e_rows", "n_tokens" -> "e_tokens",
+        "content_hash" -> "e_hash"))
+    expected.join(actual, Seq("split", "shard"), "full_outer")
+      .select(col("split"), col("shard"),
+        when(col("e_rows").isNull, "unexpected")
+          .when(col("n_rows").isNull, "missing")
+          .when(col("e_rows") === col("n_rows") &&
+            col("e_tokens") === col("n_tokens") &&
+            col("e_hash") === col("content_hash"), "ok")
+          .otherwise("mismatch").as("status"))
+  }
 }

@@ -300,6 +300,31 @@ class CurationSpec extends SparkSpec {
     assert(a == b, "instrumented and plain shard writes must agree")
   }
 
+  test("shard manifest verifies a clean layout and catches drift, loss and strays") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    Curation.writeTrainingShards(corpus, benchmark, s"$dir/shards", cfg)
+    Curation.writeShardManifest(spark, s"$dir/shards", s"$dir/manifest")
+    def statuses() = Curation.verifyShards(spark, s"$dir/shards", s"$dir/manifest")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    val clean = statuses()
+    assert(clean.nonEmpty && clean.values.forall(_ == "ok"), s"got $clean")
+    // drift: rewrite one shard with a row dropped → mismatch, others ok
+    val victim = clean.keys.head
+    val part = s"$dir/shards/split=${victim._1}/shard=${victim._2}"
+    val rows = spark.read.parquet(part)
+    rows.limit(rows.count().toInt - 1)
+      .write.mode("overwrite").parquet(s"$dir/tmp_part")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(s"$dir/tmp_part"), new java.io.File(part))
+    val drifted = statuses()
+    assert(drifted(victim) == "mismatch", s"got $drifted")
+    assert(drifted.filter(_._1 != victim).values.forall(_ == "ok"))
+    // loss: delete the shard directory entirely → missing
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+    assert(statuses()(victim) == "missing")
+  }
+
   test("README passage/tokenizer quickstart literals compile and run") {
     import graft.{ext, Tables}
     val docs = Tables.documents(spark, sf("sf0.001")).limit(40)
