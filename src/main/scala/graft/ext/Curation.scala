@@ -48,7 +48,10 @@ object Curation {
     *     ([[Dedup.stripDuplicatePassages]]) after line dedup — cut
     *     every non-first occurrence of a duplicated
     *     `passageWindowTokens`-token window, so big copied blocks
-    *     inside otherwise-unique documents never reach training. */
+    *     inside otherwise-unique documents never reach training;
+    *     `maxPassageOccurrences` is its hot-window skew cap (the
+    *     passage-granular twin of `maxLineOccurrences` — windows above
+    *     the ceiling are boilerplate and cut at every occurrence). */
   final case class Config(
       minTokens: Int = 15,
       maxDupTrigramFrac: Double = 0.5,
@@ -65,7 +68,8 @@ object Curation {
       maxLineOccurrences: Option[Int] = None,
       normalizeForDedup: Boolean = false,
       stripPassages: Boolean = false,
-      passageWindowTokens: Int = 8)
+      passageWindowTokens: Int = 8,
+      maxPassageOccurrences: Option[Int] = None)
 
   private def requireConfig(cfg: Config): Unit =
     require(cfg.maxRedactionsPerDoc.isEmpty || cfg.redactPii,
@@ -99,7 +103,8 @@ object Curation {
           .select(col("doc_id"), col("clean_text").as("text"))
       else scrubbed
     if (cfg.stripPassages)
-      Dedup.stripDuplicatePassages(lineClean, cfg.passageWindowTokens)
+      Dedup.stripDuplicatePassages(lineClean, cfg.passageWindowTokens,
+          cfg.maxPassageOccurrences)
         .select(col("doc_id"), col("clean_text").as("text"))
     else lineClean
   }
@@ -211,7 +216,8 @@ object Curation {
       ld
     } else scrubbed
     val passageClean = if (cfg.stripPassages) {
-      val ps = Dedup.stripDuplicatePassages(lineClean, cfg.passageWindowTokens)
+      val ps = Dedup.stripDuplicatePassages(lineClean, cfg.passageWindowTokens,
+          cfg.maxPassageOccurrences)
         .select(col("doc_id"), col("clean_text").as("text")).persist()
       hygieneCached += ps
       hygieneRows += (("00c_passage_strip", ps.count()))
@@ -307,15 +313,25 @@ object Curation {
     * shard), and every stage is deterministic, so re-running produces
     * byte-identical shard contents.
     *
+    * The shard manifest (`[[shardManifest]]`) is written to
+    * `path/_manifest` BY DEFAULT (`manifest = false` to skip — a flag
+    * to opt out, not in): the integrity gate must always be available
+    * to the training job, the same way the reference never skips its
+    * pre-publish validation (load_sales_history.py:241-246). The
+    * underscore prefix keeps the manifest invisible to readers of the
+    * shard layout itself (Spark's hidden-file convention).
+    *
     * Scale notes: curation's shuffles are the documented bounded ones;
     * chunk→pack adds one window shuffle; the final write is
     * executor-side, partitioned, with shard count as the file-layout
-    * parallelism knob. */
+    * parallelism knob; the manifest pass re-reads the WRITTEN layout
+    * (columns pruned to the digest inputs), never the raw corpus. */
   def writeTrainingShards(docs: DataFrame, benchmark: DataFrame, path: String,
                           cfg: Config = Config(), chunkTokens: Int = 20,
                           stride: Int = 10, binTokens: Int = 128,
                           shards: Int = 8,
-                          format: String = "parquet"): Unit = {
+                          format: String = "parquet",
+                          manifest: Boolean = true): Unit = {
     require(Set("parquet", "json").contains(format),
       s"unsupported shard format: $format")
     requireConfig(cfg)
@@ -345,40 +361,90 @@ object Curation {
         // parquet stays the default for anything Spark reads back
         .format(format)
         .save(path)
+      if (manifest)
+        writeShardManifest(docs.sparkSession, path, defaultManifestPath(path),
+          format)
     } finally if (hygieneActive(cfg)) hygiened.unpersist()
   }
 
+  /** Where [[writeTrainingShards]] lands the manifest: inside the shard
+    * layout, underscore-hidden from layout readers. */
+  def defaultManifestPath(shardsPath: String): String =
+    s"$shardsPath/_manifest"
+
+  /** Read a shard layout written by [[writeTrainingShards]] in either
+    * landing format. The JSON read carries an explicit schema (no
+    * inference pass), typed to match the parquet layout so the manifest
+    * digest is format-independent. */
+  private def readShardLayout(spark: org.apache.spark.sql.SparkSession,
+                              shardsPath: String, format: String): DataFrame =
+    format match {
+      case "parquet" => spark.read.parquet(shardsPath)
+      case "json" =>
+        import org.apache.spark.sql.types._
+        spark.read.schema(StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("chunk_idx", LongType),
+            StructField("chunk_text", StringType),
+            StructField("n_chunk_tokens", LongType),
+            StructField("pred_lang", StringType),
+            StructField("bin_id", LongType))))
+          .json(shardsPath)
+      case other => throw new IllegalArgumentException(
+        s"unsupported shard format: $other")
+    }
+
   /** Per-shard manifest of a training-shard layout: row count, token
-    * count, and an ORDER-INDEPENDENT content digest (sum of per-row
-    * xxhash64 over every content column, in decimal so ANSI mode can't
-    * overflow) for each (split, shard). This is the handoff artifact
-    * between the data pipeline and the training job — the row-count
-    * validation the reference runs before publishing
-    * (load_sales_history.py:241-246), made per-shard and
-    * content-addressed so silent corruption (a truncated file, a
-    * re-written shard) is detectable, not just a missing row count.
+    * count, and TWO ORDER-INDEPENDENT content digests (sums of per-row
+    * xxhash64 over every content column — one plain, one under a fixed
+    * salt prefix — in decimal so ANSI mode can't overflow) for each
+    * (split, shard). This is the handoff artifact between the data
+    * pipeline and the training job — the row-count validation the
+    * reference runs before publishing (load_sales_history.py:241-246),
+    * made per-shard and content-addressed so silent corruption (a
+    * truncated file, a re-written shard) is detectable, not just a
+    * missing row count.
+    *
+    * Collision model: a SUM of row hashes is a multiset hash — a single
+    * corrupted/added/dropped row is always caught, but a pair of edits
+    * whose 64-bit hash deltas cancel would collide in one sum. The two
+    * sums use independent hash functions (the salt prefix changes every
+    * row's hash), so a compensating edit must cancel in BOTH
+    * simultaneously (~2^-128 by accident) — plenty against corruption;
+    * an adversary with write access is out of scope (they could rewrite
+    * the manifest too).
     *
     * Scale note: one pass over the shard layout, map-side combined to
     * one row per (split, shard) — the aggregate is manifest-sized. The
     * row digest must be order-independent because parquet read order
-    * within a shard is not stable across executions/partitionings. */
+    * within a shard is not stable across executions/partitionings.
+    * Digest inputs are cast to fixed types (long/string) so the same
+    * content hashes identically from a parquet or JSONL landing. */
   def shardManifest(spark: org.apache.spark.sql.SparkSession,
-                    shardsPath: String): DataFrame = {
+                    shardsPath: String,
+                    format: String = "parquet"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    spark.read.parquet(shardsPath)
+    val key = Seq(col("doc_id").cast("long"), col("chunk_idx").cast("long"),
+      col("bin_id").cast("long"), col("chunk_text"))
+    readShardLayout(spark, shardsPath, format)
       .groupBy(col("split"), col("shard"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("n_chunk_tokens")).as("n_tokens"),
-        sum(xxhash64(col("doc_id"), col("chunk_idx"), col("bin_id"),
-            col("chunk_text")).cast(DecimalType(38, 0)))
-          .as("content_hash"))
+        sum(col("n_chunk_tokens").cast("long")).as("n_tokens"),
+        sum(xxhash64(key: _*).cast(DecimalType(38, 0)))
+          .as("content_hash"),
+        sum(xxhash64((lit("graft.manifest.salt") +: key): _*)
+            .cast(DecimalType(38, 0)))
+          .as("content_hash_salted"))
   }
 
   /** Write the manifest next to (or wherever the caller points) a shard
-    * layout — one small parquet the training job reads first. */
+    * layout — one small parquet the training job reads first. The
+    * manifest itself is always parquet; `format` is the SHARD layout's
+    * landing format. */
   def writeShardManifest(spark: org.apache.spark.sql.SparkSession,
-                         shardsPath: String, manifestPath: String): Unit =
-    shardManifest(spark, shardsPath).coalesce(1)
+                         shardsPath: String, manifestPath: String,
+                         format: String = "parquet"): Unit =
+    shardManifest(spark, shardsPath, format).coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(manifestPath)
 
@@ -388,18 +454,20 @@ object Curation {
     * shard the manifest never recorded). A training job gates on
     * every status being `ok` before reading a byte of shard data. */
   def verifyShards(spark: org.apache.spark.sql.SparkSession,
-                   shardsPath: String, manifestPath: String): DataFrame = {
-    val actual = shardManifest(spark, shardsPath)
+                   shardsPath: String, manifestPath: String,
+                   format: String = "parquet"): DataFrame = {
+    val actual = shardManifest(spark, shardsPath, format)
     val expected = spark.read.parquet(manifestPath)
       .withColumnsRenamed(Map("n_rows" -> "e_rows", "n_tokens" -> "e_tokens",
-        "content_hash" -> "e_hash"))
+        "content_hash" -> "e_hash", "content_hash_salted" -> "e_hash2"))
     expected.join(actual, Seq("split", "shard"), "full_outer")
       .select(col("split"), col("shard"),
         when(col("e_rows").isNull, "unexpected")
           .when(col("n_rows").isNull, "missing")
           .when(col("e_rows") === col("n_rows") &&
             col("e_tokens") === col("n_tokens") &&
-            col("e_hash") === col("content_hash"), "ok")
+            col("e_hash") === col("content_hash") &&
+            col("e_hash2") === col("content_hash_salted"), "ok")
           .otherwise("mismatch").as("status"))
   }
 }

@@ -19,15 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Broadcast-hint ceiling for the "small by construction" relations
-    * (frequent-shingle sets, incremental-batch buckets). The smallness
-    * assumptions are real but not laws — a tiny df cap on a web corpus or
-    * a backfill-sized ingest batch can blow past Spark's broadcast
-    * limits — so every such hint is gated on a measured row count and
-    * falls back to a shuffled join (AQE may still choose to broadcast at
-    * runtime if the actual size allows). */
-  private val MaxBroadcastRows = 10000000L
-
   /** Write a params sidecar next to an on-disk index (properties file,
     * written LAST so its presence implies a complete index). */
   private def writeParams(path: String, params: Map[String, String]): Unit = {
@@ -997,26 +988,58 @@ object Dedup {
     * window hash (the q48 line-window shape, one row per corpus token).
     * A pathological boilerplate window concentrates its occurrence list
     * on one reducer — the same hazard q48 caps with
-    * `maxLineOccurrences`; at that frequency use `dedupLines`-style
-    * pre-dropping or raise `windowTokens`. The span-merge rebuild runs
-    * per document over its own (bounded) drop list — the interpreted
-    * lambda lives on the per-doc path, never the corpus-wide shuffle
-    * (the q48 reassembly rule). */
+    * `maxLineOccurrences`, and the same knob closes it here:
+    * `maxWindowOccurrences` pre-drops window keys above the ceiling via
+    * a count-gated broadcast anti-join BEFORE the ranking window, and
+    * cuts those windows at EVERY occurrence (at that frequency the
+    * passage is boilerplate by definition — keeping one copy is noise
+    * either way; same no-survivor rule as capped lines). The hot set is
+    * one extra aggregate over the materialized window pass (the exploded
+    * relation is localCheckpointed ONCE in the cap branch, so the hot
+    * aggregate and both join branches read materialized blocks — the
+    * q48 one-scan rule), broadcast only under the `MaxBroadcastRows`
+    * ceiling with a shuffled fallback. Off by default — q58 semantics
+    * unchanged. The span-merge rebuild runs per document over its own
+    * (bounded) drop list — the interpreted lambda lives on the per-doc
+    * path, never the corpus-wide shuffle (the q48 reassembly rule). */
   def stripDuplicatePassages(docs: DataFrame,
-                             windowTokens: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                             windowTokens: Int = 8,
+                             maxWindowOccurrences: Option[Int] = None): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
     val (short, long) = splitByWindow(docs, windowTokens)
-    val wins = passageWindows(long, windowTokens)
-    // global first occurrence survives; rk >= 2 exists only when the
-    // window is duplicated, so no separate occurrence count is needed
-    val drops = wins
+    val drops = maxWindowOccurrences match {
+      case Some(cap) =>
+        require(cap >= 1, "maxWindowOccurrences must be >= 1")
+        val wins = passageWindows(long, windowTokens).localCheckpoint()
+        val hot = wins.groupBy(col("wk")).agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > cap).select("wk")
+          .localCheckpoint() // forced by the gate count; the joins re-read it
+        val hinted =
+          if (hot.count() <= MaxBroadcastRows) broadcast(hot) else hot
+        // cold keys rank normally; hot keys drop at EVERY occurrence —
+        // they never reach the row_number window, so no reducer ever
+        // sees more than `cap` rows for one key
+        rankDrops(wins.join(hinted, Seq("wk"), "left_anti"))
+          .unionByName(wins.join(hinted, Seq("wk"), "left_semi")
+            .select(col("doc_id"), col("pos")))
+      case None => rankDrops(passageWindows(long, windowTokens))
+    }
+    cutSpans(long, drops, windowTokens).unionByName(short)
+      .filter(col("n_tokens_kept") > 0)
+  }
+
+  /** The ranking half of the passage strip: global first occurrence
+    * (by doc_id, then position) survives, every later occurrence is a
+    * drop. rk >= 2 exists only when the window is duplicated, so no
+    * separate occurrence count is needed. One window shuffle; callers
+    * guarantee the input carries no hot keys when a cap is in force. */
+  private def rankDrops(wins: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    wins
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("wk")).orderBy(col("doc_id"), col("pos"))))
       .filter(col("rk") >= 2)
       .select(col("doc_id"), col("pos"))
-    cutSpans(long, drops, windowTokens).unionByName(short)
-      .filter(col("n_tokens_kept") > 0)
   }
 
   /** Split a (doc_id, text) frame on whether a full `windowTokens`
@@ -1076,10 +1099,16 @@ object Dedup {
     * tokens); writing is one distinct aggregate + executor-side write.
     * `append = true` unions new keys in (parquet append — dedup against
     * the index tolerates duplicate key rows, so no re-distinct pass is
-    * needed on append). */
+    * needed on append). `batchId` tags the appended keys with their
+    * originating micro-batch so an at-least-once replay of the SAME
+    * batch can strip against the index minus its own contribution
+    * (`stripPassagesAgainstIndex(excludeBatchId)`) — the streaming
+    * crash-window fix; batch ids must be unique per index (one owning
+    * stream), which Structured Streaming's checkpoint guarantees. */
   def writePassageIndex(docs: DataFrame, path: String,
                         windowTokens: Int = 8,
-                        append: Boolean = false): Unit = {
+                        append: Boolean = false,
+                        batchId: Option[Long] = None): Unit = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
     // validate BEFORE the write: an append under a mismatched window
     // size must fail without mutating the index (keys written first
@@ -1089,6 +1118,8 @@ object Dedup {
         Map("windowTokens" -> windowTokens.toString), "passage")
     val (_, long) = splitByWindow(docs, windowTokens)
     passageWindows(long, windowTokens).select("wk").distinct()
+      .withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
       .write.mode(if (append) "append" else "overwrite")
       .parquet(s"$path/keys")
     if (!append)
@@ -1109,23 +1140,34 @@ object Dedup {
     * membership test is a shuffled semi/anti join against the parquet
     * keys (AQE broadcasts small batches at runtime). Call
     * `writePassageIndex(batch, path, append = true)` after a clean
-    * strip to admit the batch's windows for the next cycle. */
+    * strip to admit the batch's windows for the next cycle.
+    * `excludeBatchId` ignores index keys tagged with that batch id
+    * (see [[writePassageIndex]]): an at-least-once replay that already
+    * appended its windows then reproduces the pre-append survivor set
+    * byte-for-byte instead of over-stripping its own first
+    * occurrences. */
   def stripPassagesAgainstIndex(batch: DataFrame, indexPath: String,
-                                windowTokens: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                                windowTokens: Int = 8,
+                                excludeBatchId: Option[Long] = None): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
     requireParams(s"$indexPath/params.properties",
       Map("windowTokens" -> windowTokens.toString), "passage")
-    val idx = batch.sparkSession.read.parquet(s"$indexPath/keys")
+    val idxRaw = batch.sparkSession.read.parquet(s"$indexPath/keys")
+    val idx = excludeBatchId match {
+      case Some(b) =>
+        require(idxRaw.columns.contains("batch_id"),
+          s"index at $indexPath has no batch_id column — it was not " +
+            "written by a batch-tagging writer, so replay exclusion " +
+            "cannot be honored")
+        idxRaw.filter(col("batch_id").isNull || col("batch_id") =!= b)
+          .select("wk")
+      case None => idxRaw.select("wk")
+    }
     val (short, long) = splitByWindow(batch, windowTokens)
     val wins = passageWindows(long, windowTokens).localCheckpoint()
     val inIdx = wins.join(idx, Seq("wk"), "left_semi")
       .select(col("doc_id"), col("pos"))
-    val batchDups = wins.join(idx, Seq("wk"), "left_anti")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("wk")).orderBy(col("doc_id"), col("pos"))))
-      .filter(col("rk") >= 2)
-      .select(col("doc_id"), col("pos"))
+    val batchDups = rankDrops(wins.join(idx, Seq("wk"), "left_anti"))
     cutSpans(long, inIdx.unionByName(batchDups), windowTokens)
       .unionByName(short)
       .filter(col("n_tokens_kept") > 0)

@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   * oracle restates the whole computation and the hash compare is the
   * cross-engine equality claim.
   *
-  * Counterpart of the reference pipeline's quality gates
-  * (data_quality.py:1-40 filters on hand heuristics): importance
-  * resampling is the corpus-level generalization a training-data
-  * pipeline runs to match a web crawl to a curated target.
+  * Counterpart of the reference pipeline's pre-publish quality gate
+  * (load_sales_history.py:241-246 compares counts/sums against the
+  * source before marking the run valid): importance resampling is the
+  * corpus-level generalization a training-data pipeline runs to match
+  * a web crawl to a curated target.
   *
   * Scale notes (100 TB): the tokenize+md5 pass — the dominant cost —
   * runs ONCE, into per-doc bucket counts (map-side combined in place:

@@ -26,6 +26,13 @@ object TextAnalysis {
 
   private def tokens(text: Column): Column = split(text, " ")
 
+  /** [[bpeTokenCounts]] localCheckpoints its vocab-sized merge fold
+    * every this-many merges: deep enough that small merge tables keep a
+    * single-chunk plan, shallow enough that a 32k-merge production
+    * table costs 500 bounded-depth plans instead of one 32k-deep
+    * expression tree the analyzer re-walks per action. */
+  private[ext] val BpeCheckpointEvery = 64
+
   private def stopwordHits(text: Column, lang: String): Column =
     size(filter(tokens(text), t => t.isin(stopwords(lang): _*)))
 
@@ -218,7 +225,7 @@ object TextAnalysis {
       .localCheckpoint() // vocab-sized; reused by total + gate count + join
     val counts = vocabWithTotal(vocab)
     val hinted =
-      if (vocab.count() <= 10000000L) broadcast(counts) else counts
+      if (vocab.count() <= MaxBroadcastRows) broadcast(counts) else counts
     toks.join(hinted, "tok")
       .groupBy(col("doc_id"))
       .agg(
@@ -325,10 +332,10 @@ object TextAnalysis {
     * Java-style named groups, or backreferences (numbered or named) —
     * the constructs Java accepts but RE2 rejects (engine-parity
     * breakers) and the ones that reintroduce exponential backtracking.
-    * Fails loudly at plan time, not mid-job. The possessive check is a
-    * conservative blacklist: a quantifier character followed by `+` is
-    * rejected unless escaped, so write a literal-plus run as `\++` and
-    * a literal-brace run as `[}]+`. */
+    * Fails loudly at plan time, not mid-job. The possessive check is
+    * class- and bound-aware: quantifier characters inside a character
+    * class (`[*+]`) and a `}` that doesn't close a `{m,n}` bound are
+    * literals, not quantifiers; write a literal-plus run as `\++`. */
   private def requireRe2Safe(patterns: Seq[(String, String)]): Unit =
     patterns.foreach { case (pat, token) =>
       java.util.regex.Pattern.compile(pat)
@@ -346,34 +353,61 @@ object TextAnalysis {
       require(token.nonEmpty, "empty redaction placeholder token")
     }
 
-  /** Escape-aware possessive-quantifier scan: an UNESCAPED quantifier
-    * character (* + ? }) followed by `+` is possessive. A lookbehind
-    * regex can't express this (`\\++` — a possessively quantified
-    * backslash literal — slips past `(?<!\\)` because the escape pair
-    * consumes two characters); a linear scan tracking escape state
-    * classifies every position correctly. */
+  /** Escape- and character-class-aware possessive-quantifier scan: an
+    * UNESCAPED quantifier (`*` `+` `?`, or a `}` that closes a real
+    * `{m}`/`{m,}`/`{m,n}` bound) followed by `+`, outside any character
+    * class, is possessive. A lookbehind regex can't express this
+    * (`\\++` — a possessively quantified backslash literal — slips past
+    * `(?<!\\)` because the escape pair consumes two characters), and a
+    * class-blind scan rejects valid patterns like `[*+]` or a literal
+    * `}` run — a linear scan tracking escape state, class membership,
+    * and brace bounds classifies every position correctly. */
   private def hasPossessiveQuantifier(pat: String): Boolean = {
     var i = 0
     var escaped = false
+    var inClass = false
     var prevQuant = false
     while (i < pat.length) {
       val ch = pat.charAt(i)
       if (escaped) { escaped = false; prevQuant = false }
       else if (ch == '\\') { escaped = true; prevQuant = false }
+      else if (inClass) { if (ch == ']') inClass = false; prevQuant = false }
+      else if (ch == '[') { inClass = true; prevQuant = false }
       else {
         if (prevQuant && ch == '+') return true
-        prevQuant = "*+?}".indexOf(ch.toInt) >= 0
+        prevQuant = ch == '*' || ch == '+' || ch == '?' ||
+          (ch == '}' && closesQuantifierBound(pat, i))
       }
       i += 1
     }
     false
   }
 
+  /** True when `pat(i)` (a `}`) closes a `{m}`, `{m,}` or `{m,n}`
+    * quantifier bound whose opening `{` is unescaped — a literal `}`
+    * (e.g. in "${VAR}+") is not a quantifier and a `+` after it is a
+    * plain repeat, not a possessive marker. */
+  private def closesQuantifierBound(pat: String, i: Int): Boolean = {
+    var j = i - 1
+    var dRight = 0
+    while (j >= 0 && pat.charAt(j).isDigit) { dRight += 1; j -= 1 }
+    val hadComma = j >= 0 && pat.charAt(j) == ','
+    if (hadComma) j -= 1
+    var dLeft = 0
+    while (j >= 0 && pat.charAt(j).isDigit) { dLeft += 1; j -= 1 }
+    val digitsOk = if (hadComma) dLeft >= 1 else dRight >= 1
+    // the '{' itself must be unescaped: an even backslash run before it
+    var k = j - 1
+    while (k >= 0 && pat.charAt(k) == '\\') k -= 1
+    digitsOk && j >= 0 && pat.charAt(j) == '{' && (j - 1 - k) % 2 == 0
+  }
+
   /** Per-document TF-IDF keyword extraction: the top-`k` terms of each
     * document by tf·idf with smoothed idf = ln((N+1)/(df+1)) + 1 (the
     * scikit-learn convention — never negative, defined for df = N).
-    * The distributed retrieval-side counterpart of the reference's
-    * hand-rolled quality heuristics (data_quality.py:1-40): corpus-level
+    * The retrieval-side analog of the reference's mart aggregates
+    * (load_sales_mart.py:25-28,60-64 derives grouped COUNT/SUM scores
+    * over the whole history table): corpus-level
     * term statistics scoring every document, the building block for
     * keyword tagging, topic routing, and search-index construction over
     * a training corpus. Tokenization is the q44 space-split (empty
@@ -403,7 +437,7 @@ object TextAnalysis {
       .localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .localCheckpoint() // forced by the gate count; the join re-reads it
-    val hinted = if (dfreq.count() <= 10000000L) broadcast(dfreq) else dfreq
+    val hinted = if (dfreq.count() <= MaxBroadcastRows) broadcast(dfreq) else dfreq
     val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val scored = tf.join(hinted, "term").crossJoin(nDocs)
       .withColumn("tfidf",
@@ -531,8 +565,12 @@ object TextAnalysis {
     * corpus; the corpus pays one tokenize pass into per-doc word counts
     * (map-side combined, checkpointed — the q55/q56 discipline) and one
     * word-keyed join against the sized vocab (broadcast-gated at 10M
-    * rows, the q44 gate). Keep k modest (≤ ~64) or checkpoint
-    * mid-fold: the k-deep expression tree is analyzed once per query. */
+    * rows, the q44 gate). The merge fold is localCheckpointed every
+    * [[BpeCheckpointEvery]] merges, so a production-sized merge table
+    * (32k+) never builds one chunk-deeper expression tree than the
+    * analyzer has to walk — analysis cost stays linear in k instead of
+    * one k-deep plan; for k ≤ one chunk the plan is exactly the
+    * original unchunked fold (q63 unchanged). */
   def bpeTokenCounts(docs: DataFrame,
                      merges: Seq[(String, String)]): DataFrame = {
     val wordCounts = docs
@@ -542,12 +580,21 @@ object TextAnalysis {
       .localCheckpoint()
     val vocab0 = wordCounts.select(col("word")).distinct()
       .withColumn("sym", split(col("word"), ""))
-    val sized = merges.foldLeft(vocab0) { case (v, (l, r)) =>
-        v.withColumn("sym", mergePair(col("sym"), l, r))
-      }
+    val chunks = merges.grouped(BpeCheckpointEvery).toSeq
+    val merged = chunks.zipWithIndex.foldLeft(vocab0) {
+      case (v, (chunk, i)) =>
+        val folded = chunk.foldLeft(v) { case (vv, (l, r)) =>
+          vv.withColumn("sym", mergePair(col("sym"), l, r))
+        }
+        // truncate lineage BETWEEN chunks only — the last chunk is
+        // materialized by the `sized` checkpoint below, so small merge
+        // tables keep the original single-checkpoint plan shape
+        if (i == chunks.size - 1) folded else folded.localCheckpoint()
+    }
+    val sized = merged
       .select(col("word"), size(col("sym")).cast("long").as("n_bpe"))
       .localCheckpoint() // forced by the gate count; the join re-reads it
-    val hinted = if (sized.count() <= 10000000L) broadcast(sized) else sized
+    val hinted = if (sized.count() <= MaxBroadcastRows) broadcast(sized) else sized
     wordCounts.join(hinted, "word")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_words"),

@@ -1,0 +1,19 @@
+package graft
+
+/** Cross-operator tuning constants for the north-star (LLM-data) ops. */
+package object ext {
+
+  /** Broadcast-hint ceiling for the "small by construction" relations
+    * (frequent-shingle sets, incremental-batch buckets, df tables,
+    * sized BPE vocabularies, hot-key sets). The smallness assumptions
+    * are real but not laws — a tiny df cap on a web corpus or a
+    * backfill-sized ingest batch can blow past Spark's broadcast
+    * limits — so every such hint is gated on a measured row count and
+    * falls back to a shuffled join (AQE may still choose to broadcast
+    * at runtime if the actual size allows). ONE policy constant
+    * (CLAUDE.md treats the 10M-row gate as a single policy): every
+    * count-gated broadcast in graft.ext must reference it, never an
+    * inline literal that can drift.
+    */
+  val MaxBroadcastRows: Long = 10000000L
+}

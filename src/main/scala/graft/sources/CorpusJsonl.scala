@@ -20,10 +20,13 @@ import org.apache.spark.sql.types._
   * Scale notes (100 TB): `ingest` runs the JSON parse twice (one pass
   * per landing write) rather than caching the parsed corpus —
   * re-parsing is cheap and linear; materializing a corpus-sized
-  * checkpoint to save one scan is not. JSONL splits by line, so the
-  * source parallelizes by file block like any text source; landing as
-  * parquet immediately is what makes every downstream operator
-  * column-prunable. */
+  * checkpoint to save one scan is not. The returned counts are
+  * captured FROM the landing writes themselves (`Dataset.observe`) —
+  * no read-back scans, and the counts describe exactly what this run
+  * wrote, not whatever happens to sit at the output paths. JSONL
+  * splits by line, so the source parallelizes by file block like any
+  * text source; landing as parquet immediately is what makes every
+  * downstream operator column-prunable. */
 object CorpusJsonl {
 
   /** The documents-table contract (doc_id + text required; lang/source
@@ -68,13 +71,39 @@ object CorpusJsonl {
   /** Land a JSONL drop as parquet: valid docs to `docsPath`, rejects to
     * `quarantinePath`. Returns (n_valid, n_quarantined) — the counts a
     * pipeline run should assert against its manifest before publishing
-    * (the reference's validation step, row-level). */
+    * (the reference's validation step, row-level) — observed on the
+    * landing writes themselves, not read back.
+    *
+    * `maxQuarantineRatio` is the run-level gate: when the quarantined
+    * fraction of the drop exceeds it, the ingest FAILS loudly (after
+    * both landings are on disk — the quarantine rows are the triage
+    * evidence) instead of returning counts nobody checks — the
+    * row-level analog of the reference failing its run on a validation
+    * mismatch (load_sales_history.py:241-246 marks the run FAILED). A
+    * mostly-garbage drop is a crawler bug, not a corpus. An empty drop
+    * has ratio 0 (nothing quarantined = nothing wrong). */
   def ingest(spark: SparkSession, path: String,
-             docsPath: String, quarantinePath: String): (Long, Long) = {
+             docsPath: String, quarantinePath: String,
+             maxQuarantineRatio: Option[Double] = None): (Long, Long) = {
+    maxQuarantineRatio.foreach(m => require(m >= 0.0 && m <= 1.0,
+      s"maxQuarantineRatio must be in [0, 1], got $m"))
     val (good, bad) = split(read(spark, path))
-    good.write.mode(SaveMode.Overwrite).parquet(docsPath)
-    bad.write.mode(SaveMode.Overwrite).parquet(quarantinePath)
-    (spark.read.parquet(docsPath).count(),
-      spark.read.parquet(quarantinePath).count())
+    val goodObs = new org.apache.spark.sql.Observation()
+    val badObs = new org.apache.spark.sql.Observation()
+    good.observe(goodObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(docsPath)
+    bad.observe(badObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(quarantinePath)
+    val nValid = goodObs.get("n").asInstanceOf[Long]
+    val nQuarantined = badObs.get("n").asInstanceOf[Long]
+    maxQuarantineRatio.foreach { max =>
+      val total = nValid + nQuarantined
+      val ratio = if (total == 0L) 0.0 else nQuarantined.toDouble / total
+      if (ratio > max) throw new IllegalStateException(
+        f"JSONL ingest quarantined $nQuarantined of $total rows " +
+          f"(ratio $ratio%.4f > allowed $max%.4f) — failing the run; " +
+          s"triage evidence at $quarantinePath")
+    }
+    (nValid, nQuarantined)
   }
 }

@@ -145,12 +145,26 @@ object EventStream {
     * ([[graft.ext.Dedup.stripPassagesAgainstIndex]]), survivors' CLEANED
     * text lands in `acceptedPath`, and the batch's windows are appended
     * to the index so later batches cut repeats of anything seen.
-    * Same crash-window contract as `ingestDedupStream`: accepted is
-    * written before the index append, so a retry may re-write survivors
-    * (dedupable by doc_id) but never lose them; duplicate index key
-    * rows are tolerated by the semi-join, so a replayed append is
-    * harmless. The batch is scanned twice (strip + window append) —
-    * batch-sized, not corpus-sized. */
+    *
+    * Crash-window contract — STRONGER than `ingestDedupStream`'s,
+    * because it has to be: a whole-doc dedup replay re-writes
+    * byte-identical survivor rows, but a strip replayed against an
+    * index that already absorbed the batch's OWN windows would cut
+    * every first occurrence too, landing over-stripped variants next to
+    * the originals. Two mechanisms close that window and make the batch
+    * effectively exactly-once: (1) the index append tags its keys with
+    * the micro-batch id and the strip EXCLUDES the current batch's own
+    * keys, so a replay reproduces the pre-append survivor set
+    * byte-for-byte regardless of whether the first attempt's append
+    * committed; (2) accepted rows land in a batch-id-keyed
+    * subdirectory (`acceptedPath/batch_id=N/`) with overwrite, so the
+    * replay replaces its own partial output instead of appending a
+    * second copy. Consumers read `acceptedPath` as a partitioned table
+    * (batch_id becomes a partition column). Duplicate index key rows
+    * from a replayed append are tolerated by the semi-join. The batch
+    * is scanned twice (strip + window append) — batch-sized, not
+    * corpus-sized. The index must be owned by this one stream
+    * (checkpoint-scoped batch ids are what make the exclusion sound). */
   def ingestStripStream(docs: DataFrame, indexPath: String,
                         acceptedPath: String, checkpoint: String,
                         windowTokens: Int = 8): DataStreamWriter[Row] =
@@ -158,13 +172,14 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.ext.Dedup.stripPassagesAgainstIndex(batch, indexPath,
-              windowTokens)
-            .write.mode(SaveMode.Append).parquet(acceptedPath)
+              windowTokens, excludeBatchId = Some(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$acceptedPath/batch_id=$batchId")
           graft.ext.Dedup.writePassageIndex(batch, indexPath, windowTokens,
-            append = true)
+            append = true, batchId = Some(batchId))
         }
       }
 

@@ -113,8 +113,10 @@ class CurationSpec extends SparkSpec {
     Curation.writeTrainingShards(corpus, benchmark, s"$dir/shards", cfg)
     val shardsDf = spark.read.parquet(s"$dir/shards")
     // partition layout on disk: split=... / shard=...
+    // underscore dirs (the default _manifest) are hidden metadata by
+    // Spark's convention — invisible to layout readers, excluded here
     val splitDirs = new java.io.File(s"$dir/shards").listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
+      .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_")).toSet
     assert(splitDirs.subsetOf(Set("split=train", "split=val", "split=test")),
       s"unexpected layout: $splitDirs")
     // only curated docs appear
@@ -323,6 +325,59 @@ class CurationSpec extends SparkSpec {
     // loss: delete the shard directory entirely → missing
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
     assert(statuses()(victim) == "missing")
+  }
+
+  test("writeTrainingShards writes its manifest by default; the gate sees value drift") {
+    // the integrity gate must exist without the caller remembering to
+    // ask (the reference never skips its pre-publish validation) —
+    // manifest = false is the opt-OUT
+    val dir = java.nio.file.Files.createTempDirectory("graft_def_manifest").toString
+    Curation.writeTrainingShards(corpus, benchmark, s"$dir/shards", cfg)
+    val mpath = Curation.defaultManifestPath(s"$dir/shards")
+    def statuses() = Curation.verifyShards(spark, s"$dir/shards", mpath)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    val clean = statuses()
+    assert(clean.nonEmpty && clean.values.forall(_ == "ok"), s"got $clean")
+    // the underscore dir is invisible to readers of the layout itself
+    assert(!spark.read.parquet(s"$dir/shards").columns.contains("content_hash"))
+    // corrupt ONE shard's text keeping row and token counts identical —
+    // only the content digests can catch this class of drift
+    val victim = clean.keys.head
+    val part = s"$dir/shards/split=${victim._1}/shard=${victim._2}"
+    val rows = spark.read.parquet(part)
+    rows.withColumn("chunk_text", concat($"chunk_text", lit("!")))
+      .write.mode("overwrite").parquet(s"$dir/tmp_part")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(part))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(s"$dir/tmp_part"), new java.io.File(part))
+    val drifted = statuses()
+    assert(drifted(victim) == "mismatch", s"got $drifted")
+    assert(drifted.filter(_._1 != victim).values.forall(_ == "ok"))
+    // opt-out: no manifest written
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_no_manifest").toString
+    Curation.writeTrainingShards(corpus, benchmark, s"$dir2/shards", cfg,
+      manifest = false)
+    assert(!new java.io.File(
+      Curation.defaultManifestPath(s"$dir2/shards")).exists())
+  }
+
+  test("shard manifest is format-independent: json layout verifies with the same digest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_manifest").toString
+    Curation.writeTrainingShards(corpus, benchmark, s"$dir/shards", cfg,
+      format = "json")
+    val mpath = Curation.defaultManifestPath(s"$dir/shards")
+    val st = Curation.verifyShards(spark, s"$dir/shards", mpath, format = "json")
+      .collect().map(_.getString(2))
+    assert(st.nonEmpty && st.forall(_ == "ok"), s"got ${st.toSeq}")
+    // the digest is content-addressed, not format-addressed: a parquet
+    // layout of the same corpus carries identical manifest rows
+    val dirP = java.nio.file.Files.createTempDirectory("graft_pq_manifest").toString
+    Curation.writeTrainingShards(corpus, benchmark, s"$dirP/shards", cfg)
+    val a = spark.read.parquet(Curation.defaultManifestPath(s"$dir/shards"))
+      .collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(Curation.defaultManifestPath(s"$dirP/shards"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "json and parquet layouts must digest identically")
   }
 
   test("README passage/tokenizer quickstart literals compile and run") {

@@ -482,6 +482,74 @@ class DedupSpec extends SparkSpec {
       s"cap path scanned the corpus ${scans.value} times — explode materialization lost?")
   }
 
+  test("passage strip hot-window cap agrees with exact on cold keys and cuts hot windows everywhere") {
+    // planted mega-window: "x y z" occurs in 4 docs (> cap 2) — the
+    // boilerplate case that would concentrate one reducer at scale.
+    // Cold dup windows ("p q r" and the overlaps it induces, occ 2)
+    // must behave EXACTLY as in the uncapped strip; the hot window is
+    // cut at every occurrence including the global first (the q48
+    // capped-line no-survivor rule)
+    val docs = Seq(
+      (1L, "a1 b1 c1 x y z p q r"),
+      (2L, "a2 b2 c2 x y z p q r"),
+      (3L, "a3 b3 c3 x y z d3 e3 f3"),
+      (4L, "a4 b4 c4 x y z d4 e4 f4")).toDF("doc_id", "text")
+    def byDoc(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val capped =
+      byDoc(Dedup.stripDuplicatePassages(docs, 3, maxWindowOccurrences = Some(2)))
+    val exact = byDoc(Dedup.stripDuplicatePassages(docs, 3))
+    // doc 1 owns every first occurrence → untouched by the exact strip,
+    // but the hot window is cut from it under the cap
+    assert(exact(1L) == (("a1 b1 c1 x y z p q r", 9L, 0L)))
+    assert(capped(1L) == (("a1 b1 c1 p q r", 6L, 3L)))
+    // docs whose drops are all cold (or hot-covered either way) agree
+    // with the exact strip byte-for-byte — the cap changes hot keys ONLY
+    assert(capped(2L) == exact(2L), s"${capped(2L)} vs ${exact(2L)}")
+    assert(capped(3L) == (("a3 b3 c3 d3 e3 f3", 6L, 3L)))
+    assert(capped(4L) == (("a4 b4 c4 d4 e4 f4", 6L, 3L)))
+    // a cap above every occurrence count is the identity vs exact
+    val loose =
+      byDoc(Dedup.stripDuplicatePassages(docs, 3, maxWindowOccurrences = Some(100)))
+    assert(loose == exact)
+  }
+
+  test("passage index replay: excluding the batch's own append reproduces the pre-append strip") {
+    // the streaming crash window: index append committed, checkpoint
+    // not — the replayed batch must strip to the SAME survivors, not
+    // over-strip against its own windows
+    val all = Tables.documents(spark, sf("sf0.001")).select($"doc_id", $"text")
+    val corpus = all.filter($"doc_id" < 100)
+    val batch = all.filter($"doc_id" >= 100 && $"doc_id" < 150)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx_replay").toString
+    Dedup.writePassageIndex(corpus, s"$dir/idx")
+    def byDoc(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val before = byDoc(Dedup.stripPassagesAgainstIndex(batch, s"$dir/idx",
+      excludeBatchId = Some(7L)))
+    Dedup.writePassageIndex(batch, s"$dir/idx", append = true,
+      batchId = Some(7L))
+    val replay = byDoc(Dedup.stripPassagesAgainstIndex(batch, s"$dir/idx",
+      excludeBatchId = Some(7L)))
+    assert(replay == before,
+      "replay after a committed append must be byte-identical")
+    // …and the hazard is real: WITHOUT the exclusion the polluted index
+    // cuts every batch window, so long docs lose all tokens and vanish
+    val naive = byDoc(Dedup.stripPassagesAgainstIndex(batch, s"$dir/idx"))
+    assert(naive.size < before.size,
+      s"polluted index should over-strip: ${naive.size} vs ${before.size}")
+    // a LATER batch still dedups against batch 7's windows (exclusion
+    // is per-batch, not a bypass)
+    val copy = batch.filter(size(split($"text", " ")) >= 8)
+      .limit(1).withColumn("doc_id", lit(999999L))
+    val next = Dedup.stripPassagesAgainstIndex(copy, s"$dir/idx",
+      excludeBatchId = Some(8L))
+    assert(next.filter($"doc_id" === 999999L).isEmpty,
+      "a next-batch copy of an admitted doc must be fully stripped")
+  }
+
   test("embeddingAnnPairs recall >= 0.95 vs exact join on sf0.001 at defaults") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val exact = pairSet(Dedup.embeddingNearDupPairs(emb))

@@ -515,6 +515,21 @@ class ExtSpec extends SparkSpec {
         Seq("\\++" -> "<P>", "[}]+" -> "<B>"))
       .collect().map(r => (r.getString(1), r.getLong(2))).head
     assert(esc == ("c<P> and more <P> plus [<B>]", 3L))
+    // …and class/bound-aware: quantifier chars INSIDE a character class
+    // are literals, and a '}' that closes no {m,n} bound is a literal,
+    // so "[*+]" and a bare "}+" are valid RE2-safe greedy patterns
+    val cls = TextAnalysis.redactPii(
+        Seq((0L, "a*b+c and x}y}} end")).toDF("doc_id", "text"),
+        Seq("[*+]" -> "<Q>", "}+" -> "<R>"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(cls == ("a<Q>b<Q>c and x<R>y<R> end", 4L))
+    // while a '}' that DOES close a bound still flags the possessive
+    for (bad <- Seq("a{2}+", "a{2,}+", "a{1,3}+", "[+]++")) {
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.redactPii(d, Seq(bad -> "<X>"))
+      }
+      assert(e.getMessage.contains("RE2"), s"$bad: ${e.getMessage}")
+    }
     intercept[java.util.regex.PatternSyntaxException] {
       TextAnalysis.redactPii(d, Seq("[unclosed" -> "<X>"))
     }
@@ -807,6 +822,39 @@ class ExtSpec extends SparkSpec {
     // an empty merge table tokenizes to characters
     val chars = TextAnalysis.bpeTokenCounts(classic, Nil).head()
     assert(chars.getAs[Long]("n_bpe_tokens") == (3L + 5L + 6L + 6L))
+  }
+
+  test("BPE apply completes a 128-merge table, counts matching the in-driver fold") {
+    // a production-sized merge table crosses the BpeCheckpointEvery=64
+    // chunk boundary twice — the mid-fold localCheckpoints must keep
+    // the plan bounded AND change nothing about the result. Reference =
+    // the same leftmost non-overlapping fold, run in the driver.
+    val alphabet = Vector("a", "b", "c")
+    val chain = (0 to 128).map(i => alphabet(i % 3))
+    val merges = (1 to 128).map(k => (chain.take(k).mkString, chain(k)))
+    assert(merges.size > 2 * TextAnalysis.BpeCheckpointEvery - 1)
+    val texts = Map(
+      1L -> (chain.mkString + " " + chain.take(65).mkString + " abc"),
+      2L -> (chain.take(10).mkString + " cab abcabc a"))
+    val docs128 = texts.toSeq.toDF("doc_id", "text")
+    def mergeSeq(sym: Vector[String], l: String, r: String): Vector[String] =
+      sym.foldLeft(Vector.empty[String]) { (out, s) =>
+        if (out.nonEmpty && out.last == l && s == r) out.init :+ (l + r)
+        else out :+ s
+      }
+    def refTokens(word: String): Long = merges.foldLeft(
+      word.map(_.toString).toVector) { case (sym, (l, r)) => mergeSeq(sym, l, r) }
+      .size.toLong
+    val got = TextAnalysis.bpeTokenCounts(docs128, merges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))).toMap
+    val expected = texts.map { case (id, t) =>
+      val words = t.split(" ").filter(_.nonEmpty)
+      id -> ((words.length.toLong, words.map(refTokens).sum))
+    }
+    assert(got == expected, s"$got vs $expected")
+    // the chained merges really fire: the full-chain word must compress
+    assert(refTokens(chain.mkString) < chain.size)
   }
 
   test("BPE merges match an in-driver reference on random corpora") {

@@ -61,6 +61,34 @@ class FormatsSpec extends SparkSpec {
     assert(rawKept.contains("not json"))
   }
 
+  test("jsonl ingest quarantine-rate gate fails a mostly-garbage drop loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_gate").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/drop.jsonl"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "the one good row"}""",
+        """{broken""", """{also broken""", """{"doc_id": 9}"""))
+    // 3 of 4 quarantined > 0.5 → the run FAILS (the reference's
+    // validation-mismatch semantics, row-level)…
+    val e = intercept[IllegalStateException] {
+      CorpusJsonl.ingest(spark, s"$dir/drop.jsonl",
+        s"$dir/docs", s"$dir/quarantine", maxQuarantineRatio = Some(0.5))
+    }
+    assert(e.getMessage.contains("quarantined 3 of 4"), e.getMessage)
+    // …but BOTH landings are on disk — the quarantine is the triage
+    // evidence, failing the run must not destroy it
+    assert(spark.read.parquet(s"$dir/quarantine").count() == 3L)
+    assert(spark.read.parquet(s"$dir/docs").count() == 1L)
+    // a tolerant gate passes and returns the observed counts
+    val (v, q) = CorpusJsonl.ingest(spark, s"$dir/drop.jsonl",
+      s"$dir/docs2", s"$dir/quarantine2", maxQuarantineRatio = Some(0.8))
+    assert((v, q) == ((1L, 3L)))
+    // gate parameter is validated
+    intercept[IllegalArgumentException] {
+      CorpusJsonl.ingest(spark, s"$dir/drop.jsonl",
+        s"$dir/docs3", s"$dir/quarantine3", maxQuarantineRatio = Some(1.5))
+    }
+  }
+
   test("partitioned parquet write prunes on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val orders = Tables.orders(spark, sf("sf0.001"))
