@@ -227,6 +227,36 @@ object SparkEntry {
     // reconstructed clean_text byte-for-byte
     "q58_passage_strip" -> ((s, dir) =>
       ext.Dedup.stripDuplicatePassages(Tables.documents(s, dir))),
+    // q58 under the hot-window skew cap: windows occurring more than
+    // twice are boilerplate — cut at EVERY occurrence (the q48
+    // capped-line no-survivor rule); cold duplicate windows rank
+    // exactly as in q58. Fully SQL-restatable: the cap is one
+    // occurrence-count CTE spliced into the q58 oracle's drops chain
+    "q64_passage_strip_capped" -> ((s, dir) =>
+      ext.Dedup.stripDuplicatePassages(Tables.documents(s, dir),
+        maxWindowOccurrences = Some(2))),
+    // north-star decontamination at benchmark scale: the q36 report via
+    // a Bloom filter of the benchmark's n-grams — no broadcast
+    // relation, membership probed by a codegen'd expression. Rows-only:
+    // Bloom false-positive sets are implementation-defined; ExtSpec
+    // pins the no-false-negative superset property against exact q36
+    "q65_contamination_bloom" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.Dedup.contaminationReportBloom(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        expectedItems = 100000L)
+    }),
+    // north-star mixing: deterministic per-stratum Bernoulli sampling
+    // (downsample en, halve de, keep the rest) — content-addressed
+    // uniform draw, bit-identical in both engines
+    "q66_stratified_sample" -> ((s, dir) =>
+      ext.Sampling.stratifiedSampleByHash(
+        Tables.documents(s, dir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("lang"),
+            org.apache.spark.sql.functions.col("source")),
+        "doc_id", "lang", rates = Map("en" -> 0.25, "de" -> 0.5))),
     // corpus-versioning observability: raw vs the passage-stripped
     // rewrite — removed = fully stripped, changed = spans cut; digests
     // computed in the scan projection, join shuffles 16 B + id per side
@@ -444,10 +474,14 @@ object SparkEntry {
       |  CAST(strftime(o.o_orderdate, '%Y%m') AS INT) AS year_month,
       |  n.n_name AS country""".stripMargin
 
-  /** The q58 rewrite as reusable CTEs (q59 diffs raw vs this output, so
-    * its oracle restates the identical computation). */
-  private val PassageStripCtes =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** The q58 rewrite as reusable CTEs, parameterized on the CTE chain
+    * that derives `drops` from the window relation `o` — q58/q59 use
+    * the plain global-first-occurrence ranking, q64 splices in the
+    * hot-window occurrence cap ahead of it. Everything around the drops
+    * derivation (tokenize, window, span cover, rebuild) is shared, so
+    * the three oracles restate the identical computation. */
+  private def passageStripCtes(dropsCtes: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |lng AS (SELECT doc_id, w FROM t WHERE len(w) >= 8),
       |srt AS (SELECT doc_id, array_to_string(w, ' ') AS clean_text,
       |          CAST(len(w) AS BIGINT) AS n_tokens_kept,
@@ -458,10 +492,7 @@ object SparkEntry {
       |               wk := md5(array_to_string(w[i : i + 7], ' '))))) AS s
       |      FROM lng),
       |o AS (SELECT doc_id, s.pos AS pos, s.wk AS wk FROM e),
-      |r AS (SELECT doc_id, pos,
-      |        row_number() OVER (PARTITION BY wk ORDER BY doc_id, pos) AS rk
-      |      FROM o),
-      |drops AS (SELECT doc_id, pos FROM r WHERE rk >= 2),
+      |$dropsCtes,
       |cov AS (SELECT DISTINCT doc_id,
       |          unnest(generate_series(pos, pos + 7)) AS tp FROM drops),
       |tk AS (SELECT doc_id, s.tp AS tp, s.tok AS tok FROM (
@@ -481,6 +512,29 @@ object SparkEntry {
       |       FROM lng l LEFT JOIN reb ON l.doc_id = reb.doc_id),
       |strip AS (SELECT * FROM (SELECT * FROM fl UNION ALL SELECT * FROM srt)
       |          WHERE n_tokens_kept > 0)""".stripMargin
+
+  /** q58/q59's drops: global first occurrence survives, later ranks cut. */
+  private val RankedDrops =
+    """r AS (SELECT doc_id, pos,
+      |        row_number() OVER (PARTITION BY wk ORDER BY doc_id, pos) AS rk
+      |      FROM o),
+      |drops AS (SELECT doc_id, pos FROM r WHERE rk >= 2)""".stripMargin
+
+  /** q64's drops: windows occurring more than twice are boilerplate —
+    * cut at EVERY occurrence; cold keys rank exactly like q58. */
+  private val CappedDrops =
+    """occ AS (SELECT wk, COUNT(*) AS c FROM o GROUP BY 1),
+      |hot AS (SELECT wk FROM occ WHERE c > 2),
+      |cold AS (SELECT o.doc_id, o.pos, o.wk FROM o
+      |         LEFT JOIN hot ON o.wk = hot.wk WHERE hot.wk IS NULL),
+      |r AS (SELECT doc_id, pos,
+      |        row_number() OVER (PARTITION BY wk ORDER BY doc_id, pos) AS rk
+      |      FROM cold),
+      |drops AS (SELECT doc_id, pos FROM r WHERE rk >= 2
+      |          UNION ALL
+      |          SELECT o.doc_id, o.pos FROM o JOIN hot ON o.wk = hot.wk)""".stripMargin
+
+  private val PassageStripCtes = passageStripCtes(RankedDrops)
 
   def oracleSql: Map[String, String] = Map(
     "q01_full_extract" ->
@@ -829,6 +883,18 @@ object SparkEntry {
     // pass through; fully-stripped docs drop (n_tokens_kept > 0)
     "q58_passage_strip" ->
       s"WITH $PassageStripCtes\nSELECT * FROM strip",
+    // the q58 pipeline with the hot-window cap spliced into the drops
+    // derivation: occ > 2 keys cut everywhere, cold keys ranked as q58
+    "q64_passage_strip_capped" ->
+      s"WITH ${passageStripCtes(CappedDrops)}\nSELECT * FROM strip",
+    // deterministic per-stratum Bernoulli keep: u = first 32 md5 bits
+    // over 2^32 (exact in double on both engines), rate via CASE
+    "q66_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5('graft.strat.v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        / 4294967296.0
+        |      < CASE WHEN lang = 'en' THEN 0.25
+        |             WHEN lang = 'de' THEN 0.5 ELSE 1.0 END""".stripMargin,
     // raw corpus FULL OUTER JOIN its passage-stripped rewrite on 128-bit
     // digests: removed = fully stripped, changed = spans cut
     "q59_corpus_diff" ->

@@ -654,6 +654,70 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Benchmark decontamination via a Bloom filter — the scale path for
+    * [[contaminationReport]] (q36) when the benchmark suite's n-gram
+    * set outgrows a broadcast hash relation: the whole suite compresses
+    * to a fixed `numBits`-bit sketch embedded once in the probe
+    * expression, and the corpus side stays a narrow generate + codegen
+    * membership probe + per-doc count (map-side combined) — NO join at
+    * all, so nothing on the corpus-side plan scales with the benchmark.
+    * Built on Spark's own runtime-filter machinery
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`, the join
+    * pruning path of `InjectRuntimeFilter`), driven explicitly.
+    *
+    * Semantics: Bloom membership has NO false negatives, so per doc
+    * `n_flagged` >= q36's exact `n_overlap` and every doc the exact
+    * report flags appears here (ExtSpec pins the superset property);
+    * false positives inflate counts at ~`fpp`. Same
+    * approx-then-exact-adjudicate ladder as MinHash→Jaccard: run this
+    * over the full corpus, run q36 on the flagged slice. Deterministic:
+    * the sketch uses Spark's fixed XXH64 seed, no RNG. Reference
+    * counterpart: the same pre-publish validation gate as q36
+    * (load_sales_history.py:241-246), approximated for benchmark scale.
+    *
+    * `expectedItems` sizes the sketch (bits = -n·ln(fpp)/ln(2)^2 —
+    * capped by Spark's runtime-filter conf maxima, so keep it ≤ the
+    * 4M-item default unless the session raises them); an undersized
+    * estimate degrades fpp, never correctness. */
+  def contaminationReportBloom(docs: DataFrame, benchmark: DataFrame,
+                               n: Int = 3,
+                               expectedItems: Long = 1000000L,
+                               fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(expectedItems > 0, s"expectedItems must be > 0: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    def hashed(c: Column) =
+      new XxHash64(Seq(ColumnBridge.expression(c)))
+    val agg = ColumnBridge.column(
+      new BloomFilterAggregate(hashed(col("shingle")),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bloomBytes = benchmark
+      .select(explode(wordShingles(col("text"), n)).as("shingle"))
+      .agg(agg.as("bf")).head().getAs[Array[Byte]]("bf")
+    val corpusSh = docs.select(col("doc_id"),
+      explode(wordShingles(col("text"), n)).as("shingle"))
+    // an empty benchmark aggregates to a NULL sketch — nothing can be
+    // contaminated, and the probe expression would reject a null filter
+    if (bloomBytes == null)
+      corpusSh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"), sum(lit(0L)).as("n_flagged"))
+        .filter(lit(false))
+    else {
+      val probe = ColumnBridge.column(new BloomFilterMightContain(
+        Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        hashed(col("shingle"))))
+      corpusSh
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(probe, 1L).otherwise(0L)).as("n_flagged"))
+        .filter(col("n_flagged") > 0)
+    }
+  }
+
   /** Persist the corpus-side ANN state for INCREMENTAL embedding dedup:
     * the (table, signature, vec_id) bucket relation and the vectors (as
     * array<double>), parquet under `path`. The embedding analog of

@@ -192,6 +192,45 @@ object Sampling {
           .as("epochs"))
   }
 
+  /** Deterministic per-stratum Bernoulli sampling: keep each row with
+    * its stratum's rate, decided by a content-addressed uniform draw
+    * u = first-32-bits-of-md5(salt ++ id) / 2^32 — no RNG, no wall
+    * clock, so the sample is reproducible across runs, engines and
+    * partitionings (the q54 md5-Gumbel discipline in rate-threshold
+    * form). This is the corpus-mixing primitive a 100 TB pipeline runs
+    * ahead of training ("downsample the crawl to 10%, keep curated
+    * sources whole" — the fractional counterpart of `capPerGroup`'s
+    * count quotas): rates are per-stratum-value, strata absent from the
+    * map fall back to `defaultRate`. Rate-mix counterpart of the
+    * reference's predicate-scoped extracts (load_sales_history.py:
+    * 117-133 slices the table by partition predicate) — the membership
+    * predicate is content-addressed instead of time-addressed.
+    *
+    * u is exact in double (a 32-bit integer divided by 2^32), so the
+    * keep decision `u < rate` is bit-identical cross-engine — the
+    * DuckDB oracle restates the whole computation (q66).
+    *
+    * Scale notes: one narrow codegen'd projection + filter — no
+    * shuffle, no state, no driver round-trip; the rate lookup is a
+    * literal CASE chain (strata are enum-sized: languages, source
+    * buckets), and the filter lands next to the scan so downstream
+    * stages never see the dropped rows. */
+  def stratifiedSampleByHash(df: DataFrame, idCol: String, groupCol: String,
+                             rates: Map[String, Double],
+                             defaultRate: Double = 1.0,
+                             salt: String = "graft.strat.v1"): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"sampling rate out of [0, 1]: $r"))
+    val u = conv(substring(md5(concat(lit(salt),
+        col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+        when(col(groupCol) === lit(k), lit(v)).otherwise(acc)
+      }
+    df.filter(u < rate)
+  }
+
   /** Train/val/test split assignment from cumulative percentage bounds
     * (e.g. 80/10/10 → train < 80 ≤ val < 90 ≤ test). */
   def trainValTest(df: DataFrame, idCol: String,

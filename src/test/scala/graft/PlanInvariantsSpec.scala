@@ -108,6 +108,47 @@ class PlanInvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q65 bloom decontamination probes with NO join and one count shuffle") {
+    // the whole point of the sketch: nothing on the corpus-side plan
+    // scales with the benchmark — membership is a codegen'd expression,
+    // so the ONLY exchange is the per-doc count aggregate and there is
+    // no join node of any kind
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q65_contamination_bloom")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+      val joins = p.collect {
+        case j: SortMergeJoinExec => j
+        case j: BroadcastHashJoinExec => j
+        case j: ShuffledHashJoinExec => j
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      }
+      assert(joins.isEmpty, s"join in the bloom probe plan:\n$p")
+      assert(p.collect { case e: ShuffleExchangeExec => e }.length == 1,
+        s"expected exactly one exchange (the per-doc count):\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q66 stratified sample is a shuffle-free codegen filter at the scan") {
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q66_stratified_sample")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+      assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"q66 shuffles a per-row filter:\n$p")
+      assert(p.collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+        }.nonEmpty,
+        s"q66 filter fell out of whole-stage codegen:\n$p")
+      // column pruning reaches the scan: 3 columns, not the documents width
+      val scans = p.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty && scans.forall(_.output.length == 3),
+        s"q66 scan reads more than (doc_id, lang, source):\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q41 packing runs on a single shard-window shuffle") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

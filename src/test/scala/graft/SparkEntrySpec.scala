@@ -20,7 +20,8 @@ class SparkEntrySpec extends SparkSpec {
       "q21_sim_ivf", "q24_approx_distinct",
       "q29_sim_lsh", "q32_dedup_embedding_ann", "q34_dedup_corpus_cc",
       "q42_curation_funnel", "q51_curation_hygiene", "q52_dedup_semantic",
-      "q53_sim_pq", "q62_bpe_merges", "q63_bpe_token_counts"),
+      "q53_sim_pq", "q62_bpe_merges", "q63_bpe_token_counts",
+      "q65_contamination_bloom"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -380,6 +380,73 @@ class ExtSpec extends SparkSpec {
     assert(out == Map(100L -> 2L), s"got $out")
   }
 
+  test("bloom contamination report is a no-false-negative superset of exact") {
+    // the q36/q65 pair on the real fixture: every doc the exact report
+    // flags must appear in the bloom report with n_flagged >= n_overlap
+    // (bloom membership has no false negatives); false positives are
+    // bounded by fpp on the disjoint-vocabulary fixture below
+    val corpus = docs.filter($"doc_id" >= 25)
+    val bench = docs.filter($"doc_id" < 25)
+    val exact = Dedup.contaminationReport(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Dedup.contaminationReportBloom(corpus, bench)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(exact.nonEmpty, "fixture should contain contamination")
+    exact.foreach { case (id, nOverlap) =>
+      assert(bloom.contains(id), s"doc $id flagged by exact, missed by bloom")
+      assert(bloom(id)._2 >= nOverlap,
+        s"doc $id: bloom ${bloom(id)._2} < exact $nOverlap")
+    }
+    // determinism: the sketch is seed-fixed, two runs agree exactly
+    val again = Dedup.contaminationReportBloom(corpus, bench)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == bloom)
+    // disjoint vocabularies: flagged n-gram fraction stays ~fpp
+    val clean = Seq((200L, "aa bb cc dd ee ff gg hh ii jj")).toDF("doc_id", "text")
+    val farBench = Seq((1L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text")
+    val fp = Dedup.contaminationReportBloom(clean, farBench, fpp = 0.001)
+      .collect()
+    assert(fp.isEmpty || fp.map(_.getLong(2)).sum <= 1,
+      s"unexpected false-positive volume: ${fp.toSeq}")
+    // empty benchmark: nothing is contaminated, schema intact
+    val none = Dedup.contaminationReportBloom(corpus, bench.filter(lit(false)))
+    assert(none.columns.toSeq == Seq("doc_id", "n_ngrams", "n_flagged"))
+    assert(none.count() == 0L)
+  }
+
+  test("stratified hash sample is deterministic, per-stratum, and rate-accurate") {
+    val d = docs.select($"doc_id", $"lang")
+    val rates = Map("en" -> 0.25, "de" -> 0.5)
+    val kept = Sampling.stratifiedSampleByHash(d, "doc_id", "lang", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val again = Sampling.stratifiedSampleByHash(d, "doc_id", "lang", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSeq == again.toSeq, "sample must be reproducible")
+    // per-stratum keep fraction lands near its rate (binomial, fixture-
+    // sized tolerance); unlisted strata keep everything (default 1.0)
+    val byLang = d.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.length).toMap
+    val keptByLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    rates.foreach { case (lang, rate) =>
+      val n = byLang.getOrElse(lang, 0)
+      assert(n > 20, s"fixture too small for $lang")
+      val frac = keptByLang.getOrElse(lang, 0).toDouble / n
+      assert(math.abs(frac - rate) < 0.15, s"$lang kept $frac, wanted ~$rate")
+    }
+    (byLang.keySet -- rates.keySet).foreach { lang =>
+      assert(keptByLang.getOrElse(lang, 0) == byLang(lang),
+        s"default-rate stratum $lang must keep every row")
+    }
+    // the kept set is a subset decided row-by-row: rate 0 drops all
+    val zero = Sampling.stratifiedSampleByHash(d, "doc_id", "lang",
+      Map("en" -> 0.0))
+    assert(zero.filter($"lang" === "en").count() == 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSampleByHash(d, "doc_id", "lang", Map("en" -> 1.5))
+    }
+  }
+
   test("per-group quota cap is deterministic and respects the cap") {
     val d = (0L until 20L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("doc_id", "grp")
