@@ -901,16 +901,7 @@ object Dedup {
     val cents = Similarity.kmeansCentroids(emb, nCells, iters, seed)
     val v = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e"))
-    // top-`probes` cells per vector: negated similarity sorts ascending,
-    // so ties break toward the LOWER cell id (assignCells' rule)
-    val ranked = cents.toSeq.zipWithIndex.map { case (c, i) =>
-      struct((Similarity.cosine(col("e"), typedLit(c.toSeq)) * -1).as("neg_sim"),
-        lit(i).as("cell"))
-    }
-    val bucketsAll = v
-      .select(col("vec_id"),
-        explode(slice(array_sort(array(ranked: _*)), 1, probes)).as("cs"))
-      .select(col("vec_id"), col("cs.cell").as("cell"))
+    val bucketsAll = multiProbeCells(v, cents, probes)
     val buckets = maxCellSize match {
       case Some(cap) =>
         val hot = bucketsAll.groupBy(col("cell"))
@@ -919,6 +910,16 @@ object Dedup {
         bucketsAll.join(broadcast(hot), Seq("cell"), "left_anti")
       case None => bucketsAll
     }
+    withinCellPairs(v, buckets, minCosine)
+  }
+
+  /** Candidate pairs within shared cells + exact-cosine verify over a
+    * `(vec_id, e)` frame and its `(vec_id, cell)` buckets — the verify
+    * half shared by monolithic SemDedup and the frozen-quantizer batch
+    * path. The candidate shuffle carries ids only; vectors join back by
+    * id AFTER the candidate distinct. */
+  private def withinCellPairs(v: DataFrame, buckets: DataFrame,
+                              minCosine: Double): DataFrame = {
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -930,6 +931,183 @@ object Dedup {
       .withColumn("cos_sim", Similarity.cosine(col("ea"), col("eb")))
       .filter(col("cos_sim") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  /** Top-`probes` trained cells per vector over a `(vec_id, e)` frame:
+    * negated similarity sorts ascending, so ties break toward the LOWER
+    * cell id (`Similarity.assignCells`' rule). Narrow codegen map —
+    * native cosine kernels against literal centroids, one array_sort
+    * over nCells structs; no shuffle. */
+  private def multiProbeCells(v: DataFrame, cents: Array[Array[Double]],
+                              probes: Int): DataFrame = {
+    val ranked = cents.toSeq.zipWithIndex.map { case (c, i) =>
+      struct((Similarity.cosine(col("e"), typedLit(c.toSeq)) * -1).as("neg_sim"),
+        lit(i).as("cell"))
+    }
+    v.select(col("vec_id"),
+        explode(slice(array_sort(array(ranked: _*)), 1, probes)).as("cs"))
+      .select(col("vec_id"), col("cs.cell").as("cell"))
+  }
+
+  /** Persist the corpus-side SemDedup state for INCREMENTAL semantic
+    * dedup: the trained quantizer (`centroids`), the corpus's
+    * multi-probe cell assignments (`cells`) and the vectors, parquet
+    * under `path` — the semantic member of the index ladder
+    * (`writeMinhashIndex` / `writeAnnIndex` / `writePassageIndex`).
+    * Training runs ONCE per corpus version; each ingest batch then
+    * assigns itself to the FROZEN cells and pairs within them, so batch
+    * cost never includes re-training. The quantizer drifts as the
+    * corpus grows — re-run this writer on the compacted corpus at the
+    * same cadence the reference rebuilds its mart (stage-then-swap),
+    * rather than appending forever.
+    *
+    * Params sidecar (nCells, iters, seed, probes) is written LAST —
+    * its presence implies a complete index; probe/append calls validate
+    * against it before touching data (the pinned append rule). */
+  def writeSemanticIndex(emb: DataFrame, path: String, nCells: Int = 8,
+                         iters: Int = 5, seed: Long = 42L,
+                         probes: Int = 1): Unit = {
+    require(probes >= 1 && probes <= nCells, "need 1 <= probes <= nCells")
+    val cents = Similarity.kmeansCentroids(emb, nCells, iters, seed)
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    emb.sparkSession
+      .createDataFrame(cents.toSeq.zipWithIndex.map { case (c, i) =>
+        (i, c.toSeq) })
+      .toDF("cell", "e")
+      .repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+    multiProbeCells(v, cents, probes)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/cells")
+    v.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/vectors")
+    writeParams(s"$path/params.properties", Map(
+      "nCells" -> nCells.toString, "iters" -> iters.toString,
+      "seed" -> seed.toString, "probes" -> probes.toString))
+  }
+
+  /** Incremental-ingest semantic dedup: near-dup pairs between a NEW
+    * batch and an indexed corpus — (corpus vec_a, batch vec_b, cos_sim)
+    * — without re-training or re-scanning the corpus. The batch is
+    * assigned to the index's FROZEN centroids (read back k-sized from
+    * `centroids`), candidates come from the stored corpus cell
+    * assignments joined to the batch's cells, and exact cosine verifies
+    * from the stored vectors. probes = nCells degenerates to the exact
+    * corpus×batch join (DedupSpec pins it, the monolithic full-probe
+    * analog); `maxCellSize` drops index cells above the cap from
+    * candidate generation (the monolithic hot-cell rule, measured on
+    * the INDEX population — a one-pass aggregate over the id-sized
+    * `cells` relation).
+    *
+    * Scale notes: batch cells get a broadcast hint only under the
+    * `MaxBroadcastRows` ceiling (shuffled join fallback); cost scales
+    * with the batch and the touched cells' populations, never the
+    * corpus; the corpus-side reads are column-pruned id relations plus
+    * the candidate vectors. */
+  def semanticDedupPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                     newEmb: DataFrame, indexPath: String,
+                                     minCosine: Double = 0.4,
+                                     nCells: Int = 8, probes: Int = 1,
+                                     maxCellSize: Option[Int] = None): DataFrame = {
+    requireParams(s"$indexPath/params.properties", Map(
+      "nCells" -> nCells.toString, "probes" -> probes.toString), "semantic")
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val nv = newEmb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val newCellsRaw = multiProbeCells(nv, cents, probes)
+      .select(col("vec_id").as("vec_b"), col("cell"))
+    val newCells =
+      if (newEmb.count() * probes <= MaxBroadcastRows) broadcast(newCellsRaw)
+      else newCellsRaw
+    val idxCellsAll = spark.read.parquet(s"$indexPath/cells")
+    val idxCells = maxCellSize match {
+      case Some(cap) =>
+        val hot = idxCellsAll.groupBy(col("cell"))
+          .agg(count(lit(1)).as("sz")).filter(col("sz") > cap)
+          .select(col("cell"))
+        idxCellsAll.join(broadcast(hot), Seq("cell"), "left_anti")
+      case None => idxCellsAll
+    }
+    val cand = idxCells.select(col("vec_id").as("vec_a"), col("cell"))
+      .join(newCells, Seq("cell"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    val corpusV = spark.read.parquet(s"$indexPath/vectors")
+      .select(col("vec_id").as("vec_a"), col("e").as("ea"))
+    cand
+      .join(corpusV, "vec_a")
+      .join(nv.select(col("vec_id").as("vec_b"), col("e").as("eb")), "vec_b")
+      .withColumn("cos_sim", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  /** One semantic-dedup ingest cycle against an on-disk index — the
+    * embedding-space member of the `ingestDedupBatch` family: drop
+    * batch vectors near-duplicating the indexed corpus (cross) OR an
+    * earlier batch vector (within, lower vec_id survives — the same
+    * survivor rule as MinHash ingest), hand survivors to `accept`, then
+    * append exactly the survivors to the index so later batches dedup
+    * against them. Within-batch pairing runs under the index's FROZEN
+    * quantizer (read k-sized from `centroids`) — no retraining on the
+    * batch, which both bounds batch cost and keeps assignments
+    * consistent with the stored corpus cells.
+    *
+    * Accept-before-append ordering: a replayed batch may re-write
+    * survivors (dedupable by vec_id) but never lose them; duplicate
+    * index rows from a replayed append only widen candidate sets. */
+  def ingestSemanticDedupBatch(spark: org.apache.spark.sql.SparkSession,
+                               newEmb: DataFrame, indexPath: String,
+                               minCosine: Double = 0.4, nCells: Int = 8,
+                               probes: Int = 1,
+                               maxCellSize: Option[Int] = None,
+                               accept: DataFrame => Unit = _ => ()): DataFrame = {
+    val batch = newEmb.localCheckpoint()
+    val cross = semanticDedupPairsAgainstIndex(spark, batch, indexPath,
+      minCosine, nCells, probes, maxCellSize)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val nv = batch.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val within = withinCellPairs(nv, multiProbeCells(nv, cents, probes),
+      minCosine)
+    val dropIds = cross.select(col("vec_b").as("vec_id"))
+      .unionByName(within.select(col("vec_b").as("vec_id")))
+      .distinct()
+    val survivors = batch.join(dropIds, Seq("vec_id"), "left_anti")
+      .localCheckpoint() // materialize BEFORE the append mutates the index
+    accept(survivors)
+    appendSemanticIndex(spark, survivors, indexPath, nCells, probes)
+    survivors
+  }
+
+  /** Append a clean batch's cell/vector rows to an existing semantic
+    * index so later batches dedup against it. Params are validated
+    * BEFORE any write (a rejected append must not mutate the index —
+    * the pinned passage-index rule); the batch is assigned to the
+    * index's frozen centroids, so an append never shifts cells.
+    * Duplicate vec_ids are the caller's contract, as in
+    * `appendAnnIndex`. */
+  def appendSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                          newEmb: DataFrame, path: String,
+                          nCells: Int = 8, probes: Int = 1): Unit = {
+    requireParams(s"$path/params.properties", Map(
+      "nCells" -> nCells.toString, "probes" -> probes.toString), "semantic")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val nv = newEmb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    multiProbeCells(nv, cents, probes)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/cells")
+    nv.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/vectors")
   }
 
   /** Fidelity report of a candidate duplicate-pair set against a

@@ -187,6 +187,39 @@ object EventStream {
     * touched partitions are overwritten in place (dynamic partition
     * overwrite ≡ the reference's drop-partition-and-rebuild, applied
     * per micro-batch instead of per 15-min run). */
+  /** Streaming semantic (embedding-space) dedup ingest — the SemDedup
+    * twin of `ingestDedupStream`: each micro-batch of vectors is
+    * deduplicated against the frozen-quantizer index (cross-corpus and
+    * within-batch, via [[graft.ext.Dedup.ingestSemanticDedupBatch]]),
+    * survivors append to `acceptedPath` and grow the index — so a
+    * near-duplicate of ANY earlier accepted vector is dropped, however
+    * many batches ago it arrived. State lives in the on-disk index,
+    * not executor memory (unbounded-stream-safe, shared with batch
+    * jobs); the quantizer is frozen, so the stream never pays a
+    * training pass — rebuild the index on the compacted corpus at
+    * mart-rebuild cadence to counter drift.
+    *
+    * Same crash-window contract as `ingestDedupStream`: accepted is
+    * written before the index append, so a retry may re-write survivors
+    * (dedupable by vec_id) but never lose them; duplicate index rows
+    * from a replayed append only widen candidate sets. */
+  def ingestSemanticDedupStream(emb: DataFrame, indexPath: String,
+                                acceptedPath: String, checkpoint: String,
+                                minCosine: Double = 0.4, nCells: Int = 8,
+                                probes: Int = 1): DataStreamWriter[Row] =
+    emb.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Dedup.ingestSemanticDedupBatch(batch.sparkSession, batch,
+            indexPath, minCosine, nCells, probes, accept =
+              _.write.mode(SaveMode.Append).parquet(acceptedPath))
+          ()
+        }
+      }
+
   def sinkToPartitionedLake(agg: DataFrame, lakePath: String,
                             checkpoint: String): DataStreamWriter[Row] =
     agg.writeStream

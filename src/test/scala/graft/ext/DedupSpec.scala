@@ -593,6 +593,60 @@ class DedupSpec extends SparkSpec {
     assert((sem -- exact).isEmpty, s"spurious pairs: ${sem -- exact}")
   }
 
+  test("incremental semantic dedup against a stored index equals the exact cross-pairs at full probes") {
+    // the index twin of the monolithic full-probe pin: with probes =
+    // nCells every vector sits in every cell, so index-vs-batch
+    // candidates degenerate to the exact corpus×batch join — and the
+    // frozen-quantizer design means NO retraining happened on the batch
+    val all = Tables.embeddings(spark, sf("sf0.001"))
+    val corpus = all.filter($"vec_id" < 250)
+    val planted = corpus.filter($"vec_id" === 0)
+      .withColumn("vec_id", org.apache.spark.sql.functions.lit(5000L))
+    val batch = all.filter($"vec_id" >= 250).unionByName(planted)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semidx").toString
+    Dedup.writeSemanticIndex(corpus, s"$dir/idx", nCells = 4, probes = 4)
+    val inc = Dedup.semanticDedupPairsAgainstIndex(spark, batch, s"$dir/idx",
+        nCells = 4, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.embeddingNearDupPairs(corpus.unionByName(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 < 250 && (p._2 >= 250)).toSet
+    assert(inc.contains((0L, 5000L, 1.0)), s"planted duplicate missed")
+    assert(inc == full, s"incOnly=${inc -- full} fullOnly=${full -- inc}")
+    // a never-binding cap must not change the pairs (checked BEFORE the
+    // append below — afterwards the index contains the batch itself)
+    val sub = Dedup.semanticDedupPairsAgainstIndex(spark, batch, s"$dir/idx",
+        nCells = 4, probes = 4, maxCellSize = Some(1000000))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sub == inc, "a never-binding cap must not change the pairs")
+    // append admits the batch: a later copy of a BATCH vector now pairs
+    // against it through the index without any corpus re-scan
+    Dedup.appendSemanticIndex(spark, batch, s"$dir/idx",
+      nCells = 4, probes = 4)
+    val copy = batch.filter($"vec_id" === 5000L)
+      .withColumn("vec_id", org.apache.spark.sql.functions.lit(6000L))
+    val next = Dedup.semanticDedupPairsAgainstIndex(spark, copy, s"$dir/idx",
+        nCells = 4, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(next.contains((5000L, 6000L)),
+      s"appended batch not visible to the next cycle: $next")
+  }
+
+  test("semantic index: parameter mismatch fails loudly and a rejected append mutates nothing") {
+    val emb = Tables.embeddings(spark, sf("sf0.001")).filter($"vec_id" < 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semparam").toString
+    Dedup.writeSemanticIndex(emb, s"$dir/idx", nCells = 4, probes = 2)
+    val cellRows = spark.read.parquet(s"$dir/idx/cells").count()
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(Dedup.semanticDedupPairsAgainstIndex(spark, emb, s"$dir/idx",
+      nCells = 8, probes = 2)).contains("semantic"))
+    assert(msg(Dedup.appendSemanticIndex(spark, emb, s"$dir/idx",
+      nCells = 4, probes = 1)).contains("semantic"))
+    assert(spark.read.parquet(s"$dir/idx/cells").count() == cellRows,
+      "a rejected append must not mutate the index")
+  }
+
   test("semanticDedupPairs maxCellSize: generous cap is identity, tight cap a subset") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val unc = pairSet(Dedup.semanticDedupPairs(emb, nCells = 4, probes = 1))

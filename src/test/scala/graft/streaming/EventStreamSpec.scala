@@ -21,6 +21,8 @@ class EventStreamSpec extends SparkSpec {
 
   case class IngestDoc(doc_id: Long, text: String)
 
+  case class IngestVec(vec_id: Long, embedding: Array[Float])
+
   test("streaming ingest dedup drops cross-batch duplicates via the on-disk index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
@@ -86,6 +88,41 @@ class EventStreamSpec extends SparkSpec {
     val kept = accepted.filter($"doc_id" === 10L)
       .select("clean_text").as[String].head()
     assert(kept == "red orange yellow green blue indigo violet ultraviolet")
+  }
+
+  test("streaming semantic dedup drops embedding near-dups across batches via the frozen index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sem").toString
+    def v(hot: Int): Array[Float] = Array.tabulate(8)(i => if (i == hot) 1f else 0f)
+    // seed corpus trains the quantizer ONCE; probes = nCells makes the
+    // tiny-fixture recall deterministic (full probing ≡ exact join)
+    val corpus = Seq((1L, v(0)), (2L, v(1))).toDF("vec_id", "embedding")
+    graft.ext.Dedup.writeSemanticIndex(corpus, s"$dir/idx", nCells = 2, probes = 2)
+    val mem = MemoryStream[IngestVec]
+    def drain(): Unit = {
+      val q = EventStream.ingestSemanticDedupStream(mem.toDF(), s"$dir/idx",
+        s"$dir/accepted", s"$dir/ckpt", nCells = 2, probes = 2).start()
+      q.awaitTermination()
+    }
+    // batch 1: a new direction (10), a copy of corpus vector 1 (cross
+    // dup — dropped), and a within-batch copy of 10 (lower id survives)
+    mem.addData(IngestVec(10L, v(2)), IngestVec(11L, v(0)),
+      IngestVec(12L, v(2)))
+    drain()
+    // batch 2 (fresh query, same checkpoint): a copy of batch-1
+    // SURVIVOR 10 — dropped only because batch 1 grew the index — plus
+    // one genuinely new direction
+    mem.addData(IngestVec(20L, v(2)), IngestVec(21L, v(3)))
+    drain()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("vec_id").as[Long].collect().toSet
+    assert(accepted == Set(10L, 21L),
+      s"accepted should hold exactly the two unique directions: $accepted")
+    // the index grew by exactly the survivors (2 corpus + 2 accepted,
+    // probes=2 rows per vector)
+    val indexed = spark.read.parquet(s"$dir/idx/vectors")
+      .select("vec_id").as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 10L, 21L), s"index vectors: $indexed")
   }
 
   test("watermarked windowed agg finalizes windows and drops late rows") {
