@@ -51,7 +51,13 @@ object Curation {
     *     inside otherwise-unique documents never reach training;
     *     `maxPassageOccurrences` is its hot-window skew cap (the
     *     passage-granular twin of `maxLineOccurrences` — windows above
-    *     the ceiling are boilerplate and cut at every occurrence). */
+    *     the ceiling are boilerplate and cut at every occurrence).
+    *   - `langSampleRates`: per-language Bernoulli keep rates
+    *     ([[Sampling.stratifiedSampleByHash]] on `pred_lang`) applied
+    *     ahead of the count quota — the fractional mixing knob
+    *     ("downsample en to 25%") beside `perLangCap`'s hard ceiling;
+    *     languages absent from the map keep everything. Empty (the
+    *     default) adds zero plan nodes. */
   final case class Config(
       minTokens: Int = 15,
       maxDupTrigramFrac: Double = 0.5,
@@ -69,11 +75,15 @@ object Curation {
       normalizeForDedup: Boolean = false,
       stripPassages: Boolean = false,
       passageWindowTokens: Int = 8,
-      maxPassageOccurrences: Option[Int] = None)
+      maxPassageOccurrences: Option[Int] = None,
+      langSampleRates: Map[String, Double] = Map.empty)
 
-  private def requireConfig(cfg: Config): Unit =
+  private def requireConfig(cfg: Config): Unit = {
     require(cfg.maxRedactionsPerDoc.isEmpty || cfg.redactPii,
       "maxRedactionsPerDoc gates the redaction stage — set redactPii=true to enable it")
+    cfg.langSampleRates.values.foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"langSampleRates value out of [0, 1]: $r"))
+  }
 
   /** True when `hygiene` is a real rewrite rather than the identity —
     * the callers that reuse the hygiene frame persist it only then, so
@@ -161,10 +171,18 @@ object Curation {
       .filter(col("n_overlap") > cfg.maxOverlapNgrams)
       .select("doc_id")
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-    // 5+6. quota-balance per predicted language, then assign splits
+    // 5+6. mix (optional per-language rate sample, then the count
+    // quota), then assign splits. Rates first: the cap's md5-order
+    // selection then applies to the sampled population, so both knobs
+    // compose deterministically
+    val mixBase = clean.select(col("doc_id"), col("pred_lang"))
+    val rated =
+      if (cfg.langSampleRates.nonEmpty)
+        Sampling.stratifiedSampleByHash(mixBase, "doc_id", "pred_lang",
+          cfg.langSampleRates)
+      else mixBase
     Sampling.trainValTest(
-        Sampling.capPerGroup(clean.select(col("doc_id"), col("pred_lang")),
-          "pred_lang", "doc_id", cfg.perLangCap),
+        Sampling.capPerGroup(rated, "pred_lang", "doc_id", cfg.perLangCap),
         "doc_id", cfg.trainPct, cfg.valPct)
       .select(col("doc_id"), col("pred_lang"), col("split"))
   }
@@ -264,17 +282,24 @@ object Curation {
       Seq("doc_id"), "left_anti").persist()
     val nClean = clean.count()
     deduped.unpersist()
-    val nFinal = Sampling.capPerGroup(
-        clean.select(col("doc_id"), col("pred_lang")),
-        "pred_lang", "doc_id", cfg.perLangCap).count()
+    val mixBase = clean.select(col("doc_id"), col("pred_lang"))
+    val (rated, sampleRows) =
+      if (cfg.langSampleRates.nonEmpty) {
+        val r = Sampling.stratifiedSampleByHash(mixBase, "doc_id",
+          "pred_lang", cfg.langSampleRates).persist()
+        (r, Seq(("06a_lang_sample", r.count())))
+      } else (mixBase, Nil)
+    val nFinal = Sampling.capPerGroup(rated,
+      "pred_lang", "doc_id", cfg.perLangCap).count()
     clean.unpersist()
+    if (sampleRows.nonEmpty) rated.unpersist()
     (Seq(("00_input", nInput)) ++ hygieneRows ++ Seq(
       ("01_min_tokens", g.getLong(1)),
       ("02_repetition", g.getLong(2)),
       ("03_language", g.getLong(3)),
       ("04_exact_dedup", nExact),
       ("05_near_dedup", nNear),
-      ("06_decontaminated", nClean),
+      ("06_decontaminated", nClean)) ++ sampleRows ++ Seq(
       ("07_quota", nFinal))).toDF("stage", "n_docs")
   }
 

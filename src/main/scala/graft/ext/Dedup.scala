@@ -1110,6 +1110,88 @@ object Dedup {
       .parquet(s"$path/vectors")
   }
 
+  /** Distinct-rewrite each of an index's appended relations behind an
+    * atomic stage-then-swap (`AtomicSwap.writeSwap` — the mart publish
+    * mechanism): a crash leaves the old complete relation, never a
+    * missing one. Readers tolerate duplicate rows, so compaction is
+    * pure maintenance — it changes scan cost, never results. */
+  private def compactRelations(spark: org.apache.spark.sql.SparkSession,
+                               path: String, rels: Seq[String]): Unit =
+    rels.foreach { rel =>
+      // materialize the distinct BEFORE the swap shelves the source:
+      // writeSwap's writer job would otherwise read the directory it is
+      // about to replace
+      val compact = spark.read.parquet(s"$path/$rel").distinct()
+        .localCheckpoint()
+      graft.lineage.AtomicSwap.writeSwap(s"$path/$rel")(tmp =>
+        compact.write.parquet(tmp))
+    }
+
+  /** Compact an appended MinHash index: drop the duplicate bucket/
+    * shingle rows that replayed or repeated appends accumulate. Results
+    * are unchanged (the semi-joins tolerate duplicates — spec-pinned);
+    * scan cost stops growing with append history. Run at the same
+    * cadence the reference rebuilds its mart (stage-then-swap, crash
+    * leaves the previous complete index). */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/params.properties")),
+      s"no index at $path")
+    compactRelations(spark, path, Seq("buckets", "shingles"))
+  }
+
+  /** Compact an appended ANN (hyperplane-LSH) index — see
+    * [[compactMinhashIndex]]. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/params.properties")),
+      s"no index at $path")
+    compactRelations(spark, path, Seq("buckets", "vectors"))
+  }
+
+  /** Compact an appended semantic (frozen-quantizer) index — see
+    * [[compactMinhashIndex]]. Centroids are k-sized and never
+    * duplicated; only the appended cells/vectors compact. */
+  def compactSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/params.properties")),
+      s"no index at $path")
+    compactRelations(spark, path, Seq("cells", "vectors"))
+  }
+
+  /** Compact an appended passage index. Window keys collapse to one row
+    * each; the surviving `batch_id` is the EARLIEST tag, with the
+    * untagged (base-corpus, NULL) tag winning outright — the tag exists
+    * so a replayed batch can exclude ITS OWN contribution
+    * ([[stripPassagesAgainstIndex]]), and "earliest introduction" is
+    * exactly the provenance that keeps replay semantics intact after
+    * compaction: a window the corpus already had must never become
+    * excludable (NULL stays NULL), a window batch b introduced must
+    * stay excludable by b. Legacy indexes without the column compact by
+    * plain distinct. */
+  def compactPassageIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/params.properties")),
+      s"no index at $path")
+    val keys = spark.read.parquet(s"$path/keys")
+    val compact = (
+      if (keys.columns.contains("batch_id"))
+        keys.groupBy(col("wk"))
+          .agg(min(col("batch_id")).as("_mb"),
+            max(col("batch_id").isNull.cast("int")).as("_hasNull"))
+          .select(col("wk"),
+            when(col("_hasNull") === 1, lit(null))
+              .otherwise(col("_mb")).cast("long").as("batch_id"))
+      else keys.distinct()
+    ).localCheckpoint() // materialize BEFORE the swap shelves the source
+    graft.lineage.AtomicSwap.writeSwap(s"$path/keys")(tmp =>
+      compact.write.parquet(tmp))
+  }
+
   /** Fidelity report of a candidate duplicate-pair set against a
     * reference set — the eval harness that turns "the df-cap / LSH /
     * ANN approximation is probably fine" into a measured number before

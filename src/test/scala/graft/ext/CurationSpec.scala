@@ -56,6 +56,42 @@ class CurationSpec extends SparkSpec {
     assert(dirty.isEmpty, s"contaminated docs survived: ${dirty.toSeq}")
   }
 
+  test("langSampleRates mixes the curated set by the content-addressed rule") {
+    // an unbinding count quota isolates the rate stage: curation with
+    // rates must equal curation without, filtered by the SAME hash rule
+    // stratifiedSampleByHash applies (composition is deterministic)
+    val wide = cfg.copy(perLangCap = 1000000)
+    val rates = Map("en" -> 0.3)
+    val base = Curation.curate(corpus, benchmark, wide)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val mixed = Curation.curate(corpus, benchmark,
+        wide.copy(langSampleRates = rates))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val keptByRule = Sampling.stratifiedSampleByHash(
+        spark.createDataset(base.toSeq).toDF("doc_id", "pred_lang"),
+        "doc_id", "pred_lang", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(mixed == keptByRule,
+      s"rate mix diverged: extra=${mixed.keySet -- keptByRule.keySet} " +
+        s"missing=${keptByRule.keySet -- mixed.keySet}")
+    assert(mixed.size < base.size, "a 0.3 en rate must drop something")
+    assert(base.filter(_._2 != "en").keySet.subsetOf(mixed.keySet),
+      "unlisted languages must keep every row")
+    // the funnel grows its own row, stays monotone, ties to curate()
+    val funnel = Curation.curationFunnel(corpus, benchmark,
+        wide.copy(langSampleRates = rates))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(funnel.map(_._1).contains("06a_lang_sample"), s"$funnel")
+    assert(funnel.sliding(2).forall(w => w(0)._2 >= w(1)._2),
+      s"funnel not monotone: $funnel")
+    assert(funnel.last == (("07_quota", mixed.size.toLong)), s"$funnel")
+    // plan-time validation, not mid-job
+    intercept[IllegalArgumentException] {
+      Curation.curate(corpus, benchmark,
+        wide.copy(langSampleRates = Map("en" -> 1.5)))
+    }
+  }
+
   test("exact copies collapse to one survivor before LSH sees them") {
     // plant 30 byte-identical copies of one corpus doc: exact dedup must
     // collapse the clique to its min id (protecting LSH's bucket-size

@@ -647,6 +647,78 @@ class DedupSpec extends SparkSpec {
       "a rejected append must not mutate the index")
   }
 
+  test("index compaction shrinks appended relations without changing any result") {
+    val all = Tables.documents(spark, sf("sf0.001")).select($"doc_id", $"text")
+    val corpus = all.filter($"doc_id" < 200)
+    val batch = all.filter($"doc_id" >= 200 && $"doc_id" < 260)
+    val probe = all.filter($"doc_id" >= 260 && $"doc_id" < 320)
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // minhash: the same batch appended twice = duplicated bucket rows
+    Dedup.writeMinhashIndex(corpus, s"$dir/mh")
+    Dedup.appendMinhashIndex(batch, s"$dir/mh")
+    Dedup.appendMinhashIndex(batch, s"$dir/mh")
+    def mhPairs() = Dedup.minhashLshPairsAgainstIndex(spark, probe, s"$dir/mh")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mhBefore = mhPairs()
+    val mhRows = spark.read.parquet(s"$dir/mh/buckets").count()
+    Dedup.compactMinhashIndex(spark, s"$dir/mh")
+    assert(spark.read.parquet(s"$dir/mh/buckets").count() < mhRows,
+      "duplicate bucket rows should compact away")
+    assert(mhPairs() == mhBefore, "compaction must not change pairs")
+    // semantic: same double-append shape over embeddings
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val eCorpus = emb.filter($"vec_id" < 200)
+    val eBatch = emb.filter($"vec_id" >= 200 && $"vec_id" < 260)
+    val eProbe = emb.filter($"vec_id" >= 260 && $"vec_id" < 320)
+    Dedup.writeSemanticIndex(eCorpus, s"$dir/sem", nCells = 4, probes = 4)
+    Dedup.appendSemanticIndex(spark, eBatch, s"$dir/sem", nCells = 4, probes = 4)
+    Dedup.appendSemanticIndex(spark, eBatch, s"$dir/sem", nCells = 4, probes = 4)
+    def semPairs() = Dedup.semanticDedupPairsAgainstIndex(spark, eProbe,
+        s"$dir/sem", nCells = 4, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val semBefore = semPairs()
+    val semRows = spark.read.parquet(s"$dir/sem/cells").count()
+    Dedup.compactSemanticIndex(spark, s"$dir/sem")
+    assert(spark.read.parquet(s"$dir/sem/cells").count() < semRows)
+    assert(semPairs() == semBefore, "compaction must not change pairs")
+  }
+
+  test("passage index compaction keeps earliest batch provenance (corpus NULL wins)") {
+    val all = Tables.documents(spark, sf("sf0.001")).select($"doc_id", $"text")
+    val corpus = all.filter($"doc_id" < 100)
+    val batch = all.filter($"doc_id" >= 100 && $"doc_id" < 150)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pcompact").toString
+    Dedup.writePassageIndex(corpus, s"$dir/idx")
+    // batch 7 appended twice (replayed append) — its windows carry tag 7;
+    // a RE-APPEND of corpus content under batch 9 duplicates corpus keys
+    // with a batch tag that compaction must NOT let shadow the NULL
+    Dedup.writePassageIndex(batch, s"$dir/idx", append = true, batchId = Some(7L))
+    Dedup.writePassageIndex(batch, s"$dir/idx", append = true, batchId = Some(7L))
+    Dedup.writePassageIndex(corpus, s"$dir/idx", append = true, batchId = Some(9L))
+    def byDoc(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val replay7 = byDoc(Dedup.stripPassagesAgainstIndex(batch, s"$dir/idx",
+      excludeBatchId = Some(7L)))
+    val replay9 = byDoc(Dedup.stripPassagesAgainstIndex(corpus, s"$dir/idx",
+      excludeBatchId = Some(9L)))
+    val keyRows = spark.read.parquet(s"$dir/idx/keys").count()
+    Dedup.compactPassageIndex(spark, s"$dir/idx")
+    val keysAfter = spark.read.parquet(s"$dir/idx/keys")
+    assert(keysAfter.count() < keyRows, "duplicate keys should compact away")
+    assert(keysAfter.groupBy($"wk").count().filter($"count" > 1).isEmpty,
+      "one row per window key after compaction")
+    // batch 7's replay exclusion survives compaction byte-for-byte…
+    assert(byDoc(Dedup.stripPassagesAgainstIndex(batch, s"$dir/idx",
+      excludeBatchId = Some(7L))) == replay7)
+    // …and corpus windows stayed NULL-tagged: batch 9's "replay" still
+    // strips against them exactly as before (its tag never captured them)
+    assert(byDoc(Dedup.stripPassagesAgainstIndex(corpus, s"$dir/idx",
+      excludeBatchId = Some(9L))) == replay9)
+    assert(keysAfter.filter($"batch_id".isNull).count() > 0,
+      "base-corpus keys must keep their NULL tag")
+  }
+
   test("semanticDedupPairs maxCellSize: generous cap is identity, tight cap a subset") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val unc = pairSet(Dedup.semanticDedupPairs(emb, nCells = 4, probes = 1))
