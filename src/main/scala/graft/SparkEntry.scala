@@ -406,6 +406,12 @@ object SparkEntry {
     // both tails of the distribution are drop candidates)
     "q44_unigram_nll" -> ((s, dir) =>
       ext.TextAnalysis.unigramNllScores(Tables.documents(s, dir))),
+    // north-star quality: linear quality-MODEL inference over hashed
+    // unigram features (offline-trained weights injected; binary-exact
+    // default vector) — the classifier-based filter beside q08's
+    // heuristics, fully SQL-restatable
+    "q67_quality_model" -> ((s, dir) =>
+      ext.TextAnalysis.qualityModelScores(Tables.documents(s, dir))),
     // north-star composition: the END-TO-END curation chain under the
     // driver's gate — per-stage survivor counts of gates → exact dedup →
     // LSH+CC near-dedup → decontamination → quota (the README-quickstart
@@ -993,6 +999,23 @@ object SparkEntry {
         |  ROUND(AVG(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))), 6) AS unigram_nll
         |FROM toks t JOIN counts USING (tok) CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
+    // weight literal restated from the SAME Scala vector; binary-exact
+    // weights (multiples of 1/16) make SUM associativity-proof, so 6dp
+    // rounding is stable on both engines; DuckDB list indexing is
+    // 1-based like element_at
+    "q67_quality_model" -> {
+      val w = ext.TextAnalysis.DefaultQualityWeights.mkString("[", ", ", "]")
+      val n = ext.TextAnalysis.DefaultQualityWeights.size
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |              FROM documents),
+         |wts AS (SELECT doc_id,
+         |          (CAST($w AS DOUBLE[]))[
+         |            ('0x' || substr(md5(tok), 1, 8))::BIGINT % $n + 1] AS w
+         |        FROM toks)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  ROUND(SUM(w) / COUNT(*), 6) AS quality_score
+         |FROM wts GROUP BY 1""".stripMargin
+    },
     // the two-phase cap must select the IDENTICAL set to the one-phase
     // window, so its oracle is the plain window SQL — the oracle compare
     // is exactly the equality claim

@@ -234,6 +234,47 @@ object TextAnalysis {
           .as("unigram_nll"))
   }
 
+  /** Default weight vector for [[qualityModelScores]]: 64 buckets,
+    * every weight an exact multiple of 1/16 in [-5/8, 5/8] — binary
+    * fractions make every partial sum exactly representable, so the
+    * per-doc sum is associativity-proof across engines and partition
+    * orders (the q57 binary-exact discipline applied to sums). A real
+    * deployment injects its trained vector; the default exists so the
+    * fixture query is self-contained and deterministic. */
+  val DefaultQualityWeights: Seq[Double] =
+    (0 until 64).map(i => ((i * 37) % 21 - 10) / 16.0)
+
+  /** Linear quality-model scoring over hashed unigram features — the
+    * MODEL-based member of the quality family beside q08's hand
+    * heuristics (the fasttext-style quality classifier every large
+    * pipeline runs, reduced to its inference step): score =
+    * Σ w[bucket(tok)] / n_tokens under an injected, offline-trained
+    * weight vector. Training is out of scope by design — the engine is
+    * deterministic inference (no wall clock, no RNG); bucketing is the
+    * md5 hash rule (`Sampling.hashBucket`'s convention), so the DuckDB
+    * oracle restates the whole computation and the hash compare is the
+    * cross-engine equality claim (q67).
+    *
+    * Scale notes (100 TB): one explode → per-doc aggregate (map-side
+    * combined) — NO join anywhere: the weight lookup is `element_at`
+    * on a literal array, inside the codegen'd projection. Weight
+    * vectors are model artifacts (≤ thousands of buckets), so the
+    * literal stays plan-sized; a web-scale feature space hashes down
+    * to the vector length by construction. */
+  def qualityModelScores(docs: DataFrame,
+                         weights: Seq[Double] = DefaultQualityWeights): DataFrame = {
+    require(weights.nonEmpty, "need a non-empty weight vector")
+    val bucket = pmod(
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+      lit(weights.size.toLong))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        element_at(typedlit(weights), (bucket + 1).cast("int")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(sum(col("w")) / count(lit(1)), 6).as("quality_score"))
+  }
+
   /** Attach the corpus token total to the vocab frame as a constant
     * column: scalar aggregate → one-row broadcast cross-join. Kept
     * separate (and pre-checkpoint-visible) so PlanInvariantsSpec can

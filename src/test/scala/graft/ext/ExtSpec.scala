@@ -380,6 +380,38 @@ class ExtSpec extends SparkSpec {
     assert(out == Map(100L -> 2L), s"got $out")
   }
 
+  test("quality model scores match an in-driver reference and are bounded by the weights") {
+    // the same md5-bucket + weight-lookup + mean, computed in the driver
+    def refScore(text: String): (Long, Double) = {
+      val ws = TextAnalysis.DefaultQualityWeights
+      val toks = text.split(" ", -1)
+      val s = toks.map { t =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8)
+        ws((java.lang.Long.parseLong(hex, 16) % ws.size).toInt)
+      }.sum
+      (toks.length.toLong,
+        math.rint(s / toks.length * 1e6) / 1e6)
+    }
+    val sample = docs.limit(25).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val got = TextAnalysis.qualityModelScores(docs.limit(25))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    sample.foreach { case (id, text) =>
+      assert(got(id) == refScore(text), s"doc $id: ${got(id)} vs ${refScore(text)}")
+    }
+    // scores are means of weights → bounded by the weight range
+    val (lo, hi) = (TextAnalysis.DefaultQualityWeights.min,
+      TextAnalysis.DefaultQualityWeights.max)
+    val all = TextAnalysis.qualityModelScores(docs)
+      .select($"quality_score").as[Double].collect()
+    assert(all.forall(s => s >= lo - 1e-9 && s <= hi + 1e-9))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.qualityModelScores(docs, Seq.empty)
+    }
+  }
+
   test("bloom contamination report is a no-false-negative superset of exact") {
     // the q36/q65 pair on the real fixture: every doc the exact report
     // flags must appear in the bloom report with n_flagged >= n_overlap
