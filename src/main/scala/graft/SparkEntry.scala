@@ -412,6 +412,34 @@ object SparkEntry {
     // heuristics, fully SQL-restatable
     "q67_quality_model" -> ((s, dir) =>
       ext.TextAnalysis.qualityModelScores(Tables.documents(s, dir))),
+    // north-star hygiene: C4-style rule-based line filtering. Fixture
+    // docs are single-line, so re-line them on 8-token boundaries (the
+    // q40 chunker — itself oracle-restatable) so the word-count rule
+    // does real per-line work; the punctuation rule stays off here (the
+    // synthetic corpus has none) and is spec-pinned on planted fixtures
+    "q68_line_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      val lined = Tables.documents(s, dir).select(col("doc_id"),
+        array_join(graft.functions.Chunks.text_chunks(col("text"), 8, 8), "\n")
+          .as("text"))
+      ext.TextAnalysis.filterLines(lined, minLineWords = 8,
+        requireTerminalPunct = false)
+    }),
+    // north-star canonicalization policy: keep the BEST copy of each
+    // variant group — group on the normalized 10-token LEAD (crawl
+    // variants share their lead and diverge in tails), keep the longest
+    // raw text, ties → min id. The survivor-selection rule beside
+    // q15's min-id: production dedup collapses onto the best copy
+    "q69_dedup_canonical" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array_join, col, md5, slice, split}
+      ext.Dedup.canonicalByScore(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"),
+            col("n_chars")),
+          md5(array_join(slice(
+            split(ext.TextAnalysis.normTextExpr(col("text")), " "), 1, 10), " ")),
+          col("n_chars"))
+        .select(col("doc_id"), col("n_chars"), col("n_copies"))
+    }),
     // north-star composition: the END-TO-END curation chain under the
     // driver's gate — per-stage survivor counts of gates → exact dedup →
     // LSH+CC near-dedup → decontamination → quota (the README-quickstart
@@ -1016,6 +1044,43 @@ object SparkEntry {
          |  ROUND(SUM(w) / COUNT(*), 6) AS quality_score
          |FROM wts GROUP BY 1""".stripMargin
     },
+    // re-line on 8-token boundaries (the q40 chunk CTE with
+    // chunkTokens = stride = 8), then the line rules: the word count is
+    // len(string_split(l, ' ')) — spaces + 1, empties kept — matching
+    // the kernel's byte scan; out-of-range tail slices give '' on both
+    // engines and '' has word count 1, so it is always dropped
+    "q68_line_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        CASE WHEN len(w) <= 8 THEN 1
+        |             ELSE CAST(ceil((len(w) - 8) / 8.0) AS INT) + 1 END AS nc
+        |      FROM t),
+        |l AS (SELECT doc_id,
+        |        list_transform(generate_series(1, nc),
+        |          i -> array_to_string(w[(i-1)*8 + 1 : (i-1)*8 + 8], ' ')) AS lines
+        |      FROM c),
+        |f AS (SELECT doc_id, lines,
+        |        list_filter(lines, x -> len(string_split(x, ' ')) >= 8) AS kept
+        |      FROM l)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped
+        |FROM f""".stripMargin,
+    // group key = md5 of the normalized 10-token lead (the q50
+    // normalization, then a 1-based-inclusive clamped slice on both
+    // engines); survivor = max n_chars, ties min doc_id — both window
+    // functions restated
+    "q69_dedup_canonical" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |  md5(array_to_string((string_split(trim(regexp_replace(
+        |    lower(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g')),
+        |    '\s+', ' ', 'g')), ' '))[1:10], ' ')) AS ck
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY ck ORDER BY n_chars DESC, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY ck) AS n_copies
+        |  FROM k)
+        |SELECT doc_id, n_chars, n_copies FROM r WHERE rn = 1""".stripMargin,
     // the two-phase cap must select the IDENTICAL set to the one-phase
     // window, so its oracle is the plain window SQL — the oracle compare
     // is exactly the equality claim

@@ -36,6 +36,11 @@ object Curation {
     *     `maxRedactionsPerDoc` additionally DROPS PII-saturated docs
     *     (requires `redactPii=true`); `piiPatterns` extends the typed
     *     pattern list (RE2-safety enforced by `redactPii`).
+    *   - `filterLines`: C4-style rule-based line filtering
+    *     ([[TextAnalysis.filterLines]]) after the scrub (rules see the
+    *     text a model would) and BEFORE line dedup — junk lines never
+    *     reach the cross-document window; `minLineWords` /
+    *     `lineTerminalPunct` are its rules.
     *   - `dedupLines`: cross-document line dedup ([[Dedup.dedupLines]])
     *     after the scrub, before the quality gates — so gates score the
     *     text a model would actually see; `maxLineOccurrences` is its
@@ -69,6 +74,9 @@ object Curation {
       redactPii: Boolean = false,
       maxRedactionsPerDoc: Option[Long] = None,
       piiPatterns: Seq[(String, String)] = TextAnalysis.PiiPatterns,
+      filterLines: Boolean = false,
+      minLineWords: Int = 3,
+      lineTerminalPunct: Boolean = true,
       dedupLines: Boolean = false,
       lineMinOccurrences: Int = 2,
       maxLineOccurrences: Option[Int] = None,
@@ -90,7 +98,7 @@ object Curation {
     * the default path's plan shape (and its pinned scan bounds) never
     * grows a cache step. */
   private def hygieneActive(cfg: Config): Boolean =
-    cfg.redactPii || cfg.dedupLines || cfg.stripPassages
+    cfg.redactPii || cfg.filterLines || cfg.dedupLines || cfg.stripPassages
 
   /** The optional hygiene pre-stages as one (doc_id, text) rewrite:
     * PII scrub (+ saturation gate), then cross-document line dedup.
@@ -106,12 +114,17 @@ object Curation {
       cfg.maxRedactionsPerDoc.fold(r)(m => r.filter(col("n_redactions") <= m))
         .select(col("doc_id"), col("redacted").as("text"))
     } else base
-    val lineClean =
-      if (cfg.dedupLines)
-        Dedup.dedupLines(scrubbed, cfg.lineMinOccurrences,
-          maxLineOccurrences = cfg.maxLineOccurrences)
+    val ruleClean =
+      if (cfg.filterLines)
+        TextAnalysis.filterLines(scrubbed, cfg.minLineWords, cfg.lineTerminalPunct)
           .select(col("doc_id"), col("clean_text").as("text"))
       else scrubbed
+    val lineClean =
+      if (cfg.dedupLines)
+        Dedup.dedupLines(ruleClean, cfg.lineMinOccurrences,
+          maxLineOccurrences = cfg.maxLineOccurrences)
+          .select(col("doc_id"), col("clean_text").as("text"))
+      else ruleClean
     if (cfg.stripPassages)
       Dedup.stripDuplicatePassages(lineClean, cfg.passageWindowTokens,
           cfg.maxPassageOccurrences)
@@ -225,14 +238,24 @@ object Curation {
           r.select(col("doc_id"), col("redacted").as("text"))
       }
     } else base
+    // 00ab: sorts between 00a and 00b — funnel stage labels are
+    // lexicographic-ordered so consumers may sort by stage
+    val ruleClean = if (cfg.filterLines) {
+      val rf = TextAnalysis.filterLines(scrubbed, cfg.minLineWords,
+          cfg.lineTerminalPunct)
+        .select(col("doc_id"), col("clean_text").as("text")).persist()
+      hygieneCached += rf
+      hygieneRows += (("00ab_line_filter", rf.count()))
+      rf
+    } else scrubbed
     val lineClean = if (cfg.dedupLines) {
-      val ld = Dedup.dedupLines(scrubbed, cfg.lineMinOccurrences,
+      val ld = Dedup.dedupLines(ruleClean, cfg.lineMinOccurrences,
           maxLineOccurrences = cfg.maxLineOccurrences)
         .select(col("doc_id"), col("clean_text").as("text")).persist()
       hygieneCached += ld
       hygieneRows += (("00b_line_dedup", ld.count()))
       ld
-    } else scrubbed
+    } else ruleClean
     val passageClean = if (cfg.stripPassages) {
       val ps = Dedup.stripDuplicatePassages(lineClean, cfg.passageWindowTokens,
           cfg.maxPassageOccurrences)

@@ -55,6 +55,41 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
 
+  /** Quality-aware canonical selection: within each duplicate group
+    * (`key` — e.g. `md5(text)` for exact groups, `md5(normTextExpr)`
+    * for trivial-variant groups), keep the single row with the HIGHEST
+    * `score` (ties → smallest id). The survivor-policy counterpart of
+    * [[exactDupGroups]]'s min-id rule: production pipelines collapse
+    * variant clusters onto their best copy (longest text, highest
+    * quality-model score), not their first — min-id keeps whichever
+    * variant happened to be crawled first (reference: the DISTINCT
+    * recode in etl/transform_sales.py:1-120 has no notion of "best",
+    * which is exactly what this adds).
+    *
+    * Output: all input columns plus `n_copies` (group size); survivors
+    * only. Deterministic for any (score, id) — the tiebreak never
+    * depends on partitioning.
+    *
+    * Scale notes (100 TB): ONE shuffle on the group key; both window
+    * functions (rank + group count) share the same partitioning so
+    * Catalyst plans a single exchange. The key is computed in the scan
+    * projection — no join against a separate normalized frame. Groups
+    * are duplicate clusters (bounded fan-in), so no skew cap is needed
+    * on real corpora; a degenerate key (constant) would funnel the
+    * corpus into one partition — callers own key selectivity. */
+  def canonicalByScore(docs: DataFrame, key: Column, score: Column,
+                       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.withColumn("_ck", key)
+    val byKey = Window.partitionBy(col("_ck"))
+    keyed
+      .withColumn("_rn",
+        row_number().over(byKey.orderBy(score.desc, col(idCol))))
+      .withColumn("n_copies", count(lit(1)).over(byKey))
+      .filter(col("_rn") === 1)
+      .drop("_ck", "_rn")
+  }
+
   /** Distinct word n-gram shingles of a text column (empty array when the
     * text has fewer than n tokens). Native codegen expression — the
     * equivalent `transform(sequence(...))` composition evaluates

@@ -368,6 +368,39 @@ object TextAnalysis {
       col(s"_t${patterns.size}").as("redacted"), nRed.as("n_redactions"))
   }
 
+  /** C4-style rule-based line filtering (Raffel et al. 2020 §2.2 —
+    * reference quality gates: etl/transform_sales.py's row-level
+    * filters, lifted to line granularity): rewrite each document
+    * keeping only lines with ≥ `minLineWords` space-separated words
+    * that (when `requireTerminalPunct`) end in `.` `!` `?` or `"` —
+    * the boilerplate cut (nav menus, cookie banners, code fragments)
+    * every large text pipeline runs before dedup. Pure rewrite: one
+    * row out per row in — docs whose every line is junk come out with
+    * an empty `clean_text` and get dropped by a downstream minTokens
+    * gate, so composition stays explicit.
+    *
+    * Output: (doc_id, clean_text, n_lines_kept, n_lines_dropped).
+    *
+    * Scale notes (100 TB): a pure per-row projection fused into the
+    * scan — zero shuffles, and the line pass is a native codegen
+    * expression ([[graft.functions.LineFilter]]): the higher-order
+    * `filter(split(...))` formulation would interpret a lambda per
+    * line (CLAUDE.md). Fully SQL-restatable, so the DuckDB oracle
+    * hash-verifies the whole rewrite (q68). */
+  def filterLines(docs: DataFrame, minLineWords: Int = 3,
+                  requireTerminalPunct: Boolean = true): DataFrame = {
+    require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
+    docs.select(col("doc_id"), col("text"),
+        graft.functions.LineFilter
+          .line_filter(col("text"), minLineWords, requireTerminalPunct)
+          .as("kept"))
+      .select(col("doc_id"),
+        array_join(col("kept"), "\n").as("clean_text"),
+        size(col("kept")).cast("long").as("n_lines_kept"),
+        (size(split(col("text"), "\n")) - size(col("kept"))).cast("long")
+          .as("n_lines_dropped"))
+  }
+
   /** The RE2-safety contract on a redaction pattern list: valid Java
     * regex; no lookaround, atomic groups, possessive quantifiers,
     * Java-style named groups, or backreferences (numbered or named) —
@@ -653,9 +686,16 @@ object TextAnalysis {
     * Scale note: per-row projection of codegen'd built-ins — no
     * shuffle; normalization never touches the dedup shuffle itself. */
   def normalizeText(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      trim(regexp_replace(
-        lower(regexp_replace(col("text"), "[\\x00-\\x1f\\x7f]", " ")),
-        "\\s+", " ")).as("norm_text"))
+    docs.select(col("doc_id"), normTextExpr(col("text")).as("norm_text"))
       .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+
+  /** The normalization expression itself (control chars → space,
+    * lowercase, whitespace-run collapse, trim) — exposed so dedup keys
+    * can normalize inline without a join against [[normalizeText]]'s
+    * frame (q69's canonical selection groups on `md5(normTextExpr)`
+    * in the scan projection). */
+  private[graft] def normTextExpr(text: Column): Column =
+    trim(regexp_replace(
+      lower(regexp_replace(text, "[\\x00-\\x1f\\x7f]", " ")),
+      "\\s+", " "))
 }

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native rule-based line filter — the C4-style line-quality pass
+  * (Raffel et al. 2020 §2.2's "we only retained lines that ended in a
+  * terminal punctuation mark" / minimum-word rules) as one generated-
+  * Java pass per document: returns the ARRAY of lines that survive
+  *   - word count ≥ `minWords` (tokens = split on single spaces,
+  *     empties kept — the engine-wide convention), and
+  *   - (when `requireTerminal`) last character ∈ { . ! ? " }.
+  *
+  * The higher-order formulation (`filter(split(text, '\n'), l -> ...)`)
+  * evaluates INTERPRETED (CLAUDE.md); this pass runs in whole-stage
+  * codegen and counts words by scanning bytes — no per-line token
+  * arrays are ever materialized. The terminal-punctuation check is a
+  * last-BYTE check, which equals the last-character check because all
+  * four targets are ASCII and UTF-8 continuation bytes are ≥ 0x80.
+  */
+case class LineFilter(child: Expression, minWords: Int, requireTerminal: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && minWords >= 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (string, minWords>=1), " +
+          s"got ${child.dataType}, minWords=$minWords")
+
+  override def nullSafeEval(input: Any): Any =
+    LineFilter.keptLines(input.asInstanceOf[UTF8String], minWords, requireTerminal)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LineFilter.keptLines($c, $minWords, $requireTerminal)")
+
+  override protected def withNewChildInternal(newChild: Expression): LineFilter =
+    copy(child = newChild)
+  override def prettyName: String = "line_filter"
+}
+
+object LineFilter {
+  private final val Newline = UTF8String.fromString("\n")
+
+  /** Kernel: surviving lines (called from generated code). */
+  def keptLines(text: UTF8String, minWords: Int, requireTerminal: Boolean): ArrayData = {
+    val lines = text.split(Newline, -1)
+    val out = new java.util.ArrayList[Any](lines.length)
+    var i = 0
+    while (i < lines.length) {
+      if (lineOk(lines(i), minWords, requireTerminal)) out.add(lines(i))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def lineOk(l: UTF8String, minWords: Int, requireTerminal: Boolean): Boolean = {
+    val nb = l.numBytes
+    // word count = spaces + 1: matches size(split(line, ' ')) with
+    // empties kept on both engines, without materializing the tokens
+    var words = 1
+    var i = 0
+    while (words < minWords && i < nb) {
+      if (l.getByte(i) == ' ') words += 1
+      i += 1
+    }
+    if (words < minWords) return false
+    if (!requireTerminal) return true
+    if (nb == 0) return false
+    val last = l.getByte(nb - 1)
+    last == '.' || last == '!' || last == '?' || last == '"'
+  }
+
+  def line_filter(c: Column, minWords: Int, requireTerminal: Boolean): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(LineFilter(ColumnBridge.expression(c), minWords, requireTerminal))
+  }
+}

@@ -276,6 +276,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("line filter runs as a hygiene funnel stage ahead of line dedup") {
+    val nav = "home | products | about"   // junk: no terminal punct
+    val d = Seq(
+      (1L, s"$nav\nthe dog ran over the green hill today.\nok"),
+      (2L, s"$nav\nthe cat slept on the warm mat yesterday."),
+      (3L, s"$nav\n$nav"),                // nothing survives the rules
+      (4L, "an entirely unique document with enough words to pass gates."))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "unrelated benchmark material")).toDF("doc_id", "text")
+    val cfg = Curation.Config(minTokens = 3, filterLines = true,
+      dedupLines = true)
+    val funnel = Curation.curationFunnel(d, bench, cfg)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // the new stage label sorts between the pii and line-dedup stages
+    assert(funnel.map(_._1).toSeq == funnel.map(_._1).sorted.toSeq)
+    val byStage = funnel.toMap
+    assert(byStage("00ab_line_filter") == 4L, s"got ${funnel.toSeq}")
+    // junk lines never reach training text, and because the filter runs
+    // BEFORE line dedup, the nav line is gone everywhere (not kept once)
+    val kept = Curation.curate(d, bench, cfg)
+    assert(kept.count() > 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lf").toString
+    Curation.writeTrainingShards(d, bench, s"$dir/shards", cfg)
+    val texts = spark.read.parquet(s"$dir/shards")
+      .select("chunk_text").as[String].collect()
+    assert(texts.forall(!_.contains(nav)), s"junk line leaked: ${texts.toSeq}")
+    // default config: no 00ab row
+    val defFunnel = Curation.curationFunnel(d, bench,
+        Curation.Config(minTokens = 3))
+      .collect().map(_.getString(0))
+    assert(!defFunnel.contains("00ab_line_filter"))
+  }
+
   test("passage strip runs as a hygiene funnel stage and cuts copied blocks") {
     val block = "this exact eight token block repeats across documents verbatim"
     val d = Seq(

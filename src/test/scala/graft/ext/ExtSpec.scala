@@ -412,6 +412,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("line filter applies the C4 rules and reassembles exactly") {
+    val fixture = Seq(
+      (1L, "keep me here today.\ndrop\nalso kept lines stay!\nno terminal punct"),
+      (2L, "all junk\nno.\n"),          // trailing \n → empty last line
+      (3L, "\"quoted line stays.\"\nends with q mark ok?"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.filterLines(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("keep me here today.\nalso kept lines stay!", 2L, 2L)))
+    assert(out(2L) == (("", 0L, 3L)))   // "no." has 1 word; "" fails both
+    assert(out(3L) == (("\"quoted line stays.\"\nends with q mark ok?", 2L, 0L)))
+    assert(out(4L) == (("", 0L, 1L)))
+    // rules are parameters: terminal-punct off keeps the word-count-only set
+    val loose = TextAnalysis.filterLines(fixture, minLineWords = 1,
+        requireTerminalPunct = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loose(1L) == 4L && loose(2L) == 3L)  // every line has >= 1 word
+    intercept[IllegalArgumentException] {
+      TextAnalysis.filterLines(fixture, minLineWords = 0)
+    }
+  }
+
+  test("canonical-by-score keeps the best copy per group, min id on ties") {
+    val fixture = Seq(
+      // group A: case/whitespace variants — longest raw text wins
+      (10L, "Hello   World", 13L),
+      (11L, "hello world", 11L),
+      (12L, "HELLO    WORLD ", 15L),
+      // group B: exact tie on score — min doc_id wins
+      (20L, "lone doc", 8L),
+      (21L, "LONE DOC", 8L),
+      // group C: singleton
+      (30L, "unique text", 11L)).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.canonicalByScore(fixture,
+        md5(TextAnalysis.normTextExpr(col("text"))), col("n_chars"))
+      .select("doc_id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(12L -> 3L, 20L -> 2L, 30L -> 1L), s"got $out")
+    // survivors of the real corpus: one per normalized group, covering all
+    val survivors = Dedup.canonicalByScore(docs.select(col("doc_id"),
+        col("text"), col("n_chars")),
+      md5(TextAnalysis.normTextExpr(col("text"))), col("n_chars"))
+    assert(survivors.agg(sum("n_copies")).head.getLong(0) == docs.count())
+  }
+
   test("bloom contamination report is a no-false-negative superset of exact") {
     // the q36/q65 pair on the real fixture: every doc the exact report
     // flags must appear in the bloom report with n_flagged >= n_overlap

@@ -57,6 +57,37 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("line_filter matches the higher-order filter formulation and the rules") {
+    // kernel vs the interpreted filter(split(...)) it replaced, across
+    // rule combinations, unicode, empty lines, and trailing newlines
+    val samples = Seq(
+      "one two three.\nshort\nfour five six!\n",
+      "no punct line here\nends right?\n\"quoted.\"",
+      "", "\n\n", "a.\nb c d.", "héllo wörld 中文.\ntail",
+      "ends with quote \"", "one  two   three.")  // double spaces: empties count
+    for {
+      text <- samples
+      minW <- Seq(1, 2, 3)
+      term <- Seq(true, false)
+    } {
+      val viaKernel = Seq(text).toDF("t")
+        .select(LineFilter.line_filter($"t", minW, term)).head.getSeq[String](0)
+      val viaHof = Seq(text).toDF("t")
+        .select(filter(split($"t", "\n"), l => {
+          val words = size(split(l, " ")) >= minW
+          if (term) words && substring(l, -1, 1).isin(".", "!", "?", "\"")
+          else words
+        })).head.getSeq[String](0)
+      assert(viaKernel == viaHof,
+        s"text=${text.take(30)} minW=$minW term=$term: $viaKernel vs $viaHof")
+    }
+    // codegen path over a real scan: non-degenerate at minWords=1
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(20)
+    val n = docs.select(LineFilter.line_filter($"text", 1, false).as("k"))
+      .agg(sum(size($"k"))).head.getLong(0)
+    assert(n > 0)
+  }
+
   test("multimodal metadata: mapPartitions path agrees with its SQL contract") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val meta = Multimodal.metadataQuery(spark, docs)
