@@ -90,6 +90,129 @@ object Dedup {
       .drop("_ck", "_rn")
   }
 
+  /** Canonical rendering of a key/score recipe — the params-sidecar
+    * identity for the canonical index. Probing with a differently-built
+    * Column renders differently and fails the sidecar check loudly,
+    * instead of silently keying into disjoint groups. `Column.toString`
+    * renders the column NODE tree (stable across sessions — no
+    * expression ids in unresolved trees); the bridged Expression's
+    * `.sql` is useless here, it's a lazy wrapper that renders as
+    * `columnnodeexpression()` for every column. */
+  private def colTag(c: Column): String = c.toString
+
+  /** On-disk canonical-selection index: the per-key BEST (score, id) of
+    * an accumulated corpus — the state behind incremental
+    * "keep-the-best-version" ingest ([[canonicalAgainstIndex]]), the
+    * recrawl use case: a page's later crawl replaces the stored copy
+    * only when it scores higher. Layout: `best/` parquet of
+    * (ck, score, <idCol>, batch_id) + the standard params sidecar; the
+    * key and score RECIPES (their canonical SQL) are the sidecar
+    * identity, so a probe built from a different expression fails
+    * loudly rather than grouping into disjoint keys.
+    *
+    * Scale note: the index is distinct-key-sized; the write is one
+    * window shuffle over (id, score, key) — bodies never shuffle. */
+  def writeCanonicalIndex(docs: DataFrame, path: String, key: Column,
+                          score: Column, idCol: String = "doc_id"): Unit = {
+    canonicalByScore(
+        docs.select(col(idCol), key.as("_ck0"), score.cast("double").as("_cs0")),
+        col("_ck0"), col("_cs0"), idCol)
+      .select(col("_ck0").as("ck"), col("_cs0").as("score"), col(idCol))
+      .withColumn("batch_id", lit(null).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/best")
+    writeParams(s"$path/params.properties", Map(
+      "key" -> colTag(key), "score" -> colTag(score), "idCol" -> idCol))
+  }
+
+  /** Incremental canonical selection: the batch rows that are the best
+    * copy of their key across (accumulated corpus ∪ batch) — within-
+    * batch winners ([[canonicalByScore]]) that then STRICTLY beat the
+    * stored best (ties → the corpus wins: earliest-wins is what makes
+    * replay idempotent). When every indexed id precedes every batch id,
+    * this equals `canonicalByScore` over the union restricted to the
+    * batch — the incremental-family equality claim, spec-pinned.
+    *
+    * Scale note: cost scales with the batch, not the corpus — the
+    * index is probed via a semi-join on the batch's (broadcast-gated)
+    * key set and only the hits aggregate; the corpus-wide `best/`
+    * relation is never aggregated whole. `excludeBatchId` ignores index
+    * rows tagged with that batch id (see [[appendCanonicalIndex]]): an
+    * at-least-once replay that already appended reproduces its original
+    * survivor set instead of losing every doc to its own stored copy. */
+  def canonicalAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                            newDocs: DataFrame, indexPath: String,
+                            key: Column, score: Column,
+                            idCol: String = "doc_id",
+                            excludeBatchId: Option[Long] = None): DataFrame = {
+    requireParams(s"$indexPath/params.properties", Map(
+      "key" -> colTag(key), "score" -> colTag(score), "idCol" -> idCol),
+      "canonical")
+    val keyed = newDocs
+      .withColumn("_bck", key).withColumn("_bcs", score.cast("double"))
+    val withinBest = canonicalByScore(keyed, col("_bck"), col("_bcs"), idCol)
+    val idxRaw = spark.read.parquet(s"$indexPath/best")
+    val idx = excludeBatchId match {
+      case Some(b) =>
+        require(idxRaw.columns.contains("batch_id"),
+          s"index at $indexPath has no batch_id column — it was not " +
+            "written by a batch-tagging writer, so replay exclusion " +
+            "cannot be honored")
+        idxRaw.filter(col("batch_id").isNull || col("batch_id") =!= b)
+      case None => idxRaw
+    }
+    val keys = withinBest.select(col("_bck").as("ck")).distinct()
+      .localCheckpoint()
+    val hinted = if (keys.count() <= MaxBroadcastRows) broadcast(keys) else keys
+    val stored = idx.join(hinted, Seq("ck"), "left_semi")
+      .groupBy(col("ck")).agg(max(col("score")).as("_idx_best"))
+    withinBest
+      .join(stored, withinBest("_bck") === stored("ck"), "left")
+      .filter(col("_idx_best").isNull || col("_bcs") > col("_idx_best"))
+      .drop("ck", "_idx_best", "_bck", "_bcs", "n_copies")
+  }
+
+  /** Append a batch's per-key best rows to a canonical index (params
+    * validated BEFORE the write — a rejected append must not mutate the
+    * index). `batchId` tags the rows for replay exclusion; readers take
+    * the max score per key, so duplicate rows from a replayed append
+    * are tolerated. */
+  def appendCanonicalIndex(docs: DataFrame, path: String, key: Column,
+                           score: Column, idCol: String = "doc_id",
+                           batchId: Option[Long] = None): Unit = {
+    requireParams(s"$path/params.properties", Map(
+      "key" -> colTag(key), "score" -> colTag(score), "idCol" -> idCol),
+      "canonical")
+    canonicalByScore(
+        docs.select(col(idCol), key.as("_ck0"), score.cast("double").as("_cs0")),
+        col("_ck0"), col("_cs0"), idCol)
+      .select(col("_ck0").as("ck"), col("_cs0").as("score"), col(idCol))
+      .withColumn("batch_id", batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/best")
+  }
+
+  /** One canonical-ingest cycle: batch → survivors vs the index (replay-
+    * safe via `batchId` exclusion) → `accept` sink → index append of
+    * exactly the survivors. The batch is localCheckpointed once at
+    * entry (streaming sources must not recompute per consumer) and the
+    * survivors before the append mutates the index they were computed
+    * against. */
+  def ingestCanonicalBatch(spark: org.apache.spark.sql.SparkSession,
+                           newDocs: DataFrame, indexPath: String,
+                           key: Column, score: Column,
+                           idCol: String = "doc_id",
+                           batchId: Option[Long] = None,
+                           accept: DataFrame => Unit = _ => ()): DataFrame = {
+    val batch = newDocs.localCheckpoint()
+    val survivors = canonicalAgainstIndex(spark, batch, indexPath, key,
+        score, idCol, excludeBatchId = batchId)
+      .localCheckpoint()
+    accept(survivors)
+    appendCanonicalIndex(survivors, indexPath, key, score, idCol, batchId)
+    survivors
+  }
+
   /** Distinct word n-gram shingles of a text column (empty array when the
     * text has fewer than n tokens). Native codegen expression — the
     * equivalent `transform(sequence(...))` composition evaluates
@@ -1224,6 +1347,33 @@ object Dedup {
       else keys.distinct()
     ).localCheckpoint() // materialize BEFORE the swap shelves the source
     graft.lineage.AtomicSwap.writeSwap(s"$path/keys")(tmp =>
+      compact.write.parquet(tmp))
+  }
+
+  /** Compact an appended canonical index: keep ONE row per key — the
+    * max score, ties broken by earliest provenance (NULL base corpus
+    * first, then min batch_id) and then min id. Probe results are
+    * unchanged (readers take max score per key, and only strictly-
+    * better batch rows are ever appended, so the kept row is the row
+    * every probe decision depends on); replay exclusion survives
+    * because the LAST batch's append — the only replayable one — is by
+    * construction the strict per-key max, so excluding its tag restores
+    * exactly the pre-append decision. */
+  def compactCanonicalIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/params.properties")),
+      s"no index at $path")
+    val rows = spark.read.parquet(s"$path/best")
+    val idCol = rows.columns
+      .filterNot(Set("ck", "score", "batch_id")).head
+    val w = Window.partitionBy(col("ck")).orderBy(col("score").desc,
+      col("batch_id").asc_nulls_first, col(idCol).asc)
+    val compact = rows.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint() // materialize BEFORE the swap shelves the source
+    graft.lineage.AtomicSwap.writeSwap(s"$path/best")(tmp =>
       compact.write.parquet(tmp))
   }
 

@@ -183,6 +183,44 @@ object EventStream {
         }
       }
 
+  /** Streaming canonical-selection ingest — the keep-the-best-version
+    * twin of `ingestDedupStream` (the recrawl case: a later copy of a
+    * page replaces the stored one only when it scores higher): each
+    * micro-batch's per-key winners that STRICTLY beat the on-disk
+    * canonical index land in `acceptedPath`, and the index absorbs
+    * exactly those rows. State lives in the distinct-key-sized index on
+    * disk, not executor memory.
+    *
+    * Same crash-window contract as `ingestStripStream` — and it has to
+    * be: a replayed batch probed against an index holding its OWN rows
+    * would lose every doc to its stored copy (scores tie, corpus wins).
+    * The index append tags rows with the micro-batch id and the probe
+    * excludes the current batch's tags, and accepted rows land in a
+    * batch-id-keyed subdirectory with overwrite — together the batch is
+    * effectively exactly-once. Consumers read `acceptedPath` as a
+    * partitioned table; because later batches can still supersede a
+    * key, the canonical view at read time is "max score per key" (or
+    * read the compacted index itself). The index must be owned by this
+    * one stream. */
+  def ingestCanonicalStream(docs: DataFrame, indexPath: String,
+                            acceptedPath: String, checkpoint: String,
+                            key: org.apache.spark.sql.Column,
+                            score: org.apache.spark.sql.Column,
+                            idCol: String = "doc_id"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Dedup.ingestCanonicalBatch(batch.sparkSession, batch,
+            indexPath, key, score, idCol, batchId = Some(batchId),
+            accept = _.write.mode(SaveMode.Overwrite)
+              .parquet(s"$acceptedPath/batch_id=$batchId"))
+          ()
+        }
+      }
+
   /** Incremental lake maintenance via foreachBatch: each micro-batch's
     * touched partitions are overwritten in place (dynamic partition
     * overwrite ≡ the reference's drop-partition-and-rebuild, applied

@@ -647,6 +647,71 @@ class DedupSpec extends SparkSpec {
       "a rejected append must not mutate the index")
   }
 
+  test("incremental canonical selection equals the monolithic best-copy rule") {
+    import org.apache.spark.sql.functions.{element_at, length, md5, split}
+    // key = first token, score = text length — crawl variants share a
+    // lead; longer copy wins, corpus wins ties
+    val key = md5(element_at(split($"text", " "), 1))
+    val score = length($"text")
+    val corpus = Seq(
+      (1L, "k1 corpus short"),
+      (2L, "k2 corpus version long"),
+      (3L, "k3 corpuz")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "k1 batch version that is much longer"), // beats corpus k1
+      (11L, "k2 x"),                                 // loses to corpus k2
+      (12L, "k4 brand new key"),                     // loses within batch
+      (13L, "k4 brand new key longer"),              // new key, batch best
+      (14L, "k3 corpus")).toDF("doc_id", "text")     // ties corpus k3 → loses
+    val dir = java.nio.file.Files.createTempDirectory("graft_canidx").toString
+    Dedup.writeCanonicalIndex(corpus, s"$dir/idx", key, score)
+    val inc = Dedup.canonicalAgainstIndex(spark, batch, s"$dir/idx", key, score)
+      .select("doc_id").as[Long].collect().toSet
+    val mono = Dedup.canonicalByScore(corpus.unionByName(batch), key, score)
+      .select("doc_id").as[Long].collect().toSet.filter(_ >= 10L)
+    assert(inc == Set(10L, 13L), s"got $inc")
+    assert(inc == mono, s"incremental $inc vs monolithic-batch-side $mono")
+    // ingest cycle appends exactly the survivors, tagged for replay
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    Dedup.ingestCanonicalBatch(spark, batch, s"$dir/idx", key, score,
+      batchId = Some(7L),
+      accept = df => accepted ++= df.select("doc_id").as[Long].collect())
+    assert(accepted.toSet == Set(10L, 13L))
+    // replay: WITHOUT exclusion every doc loses to its own stored copy;
+    // excluding the batch's tag reproduces the original decision
+    val naive = Dedup.canonicalAgainstIndex(spark, batch, s"$dir/idx",
+      key, score).select("doc_id").as[Long].collect().toSet
+    assert(naive.isEmpty, s"survivors should lose to their own rows: $naive")
+    val replay = Dedup.canonicalAgainstIndex(spark, batch, s"$dir/idx",
+        key, score, excludeBatchId = Some(7L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay == Set(10L, 13L), s"got $replay")
+    // parameter mismatch fails loudly BEFORE any mutation
+    val rows = spark.read.parquet(s"$dir/idx/best").count()
+    intercept[IllegalArgumentException] {
+      Dedup.canonicalAgainstIndex(spark, batch, s"$dir/idx", key, length($"text") * 2)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.appendCanonicalIndex(batch, s"$dir/idx", md5($"text"), score)
+    }
+    assert(spark.read.parquet(s"$dir/idx/best").count() == rows,
+      "a rejected append must not mutate the index")
+    // compaction: one row per key, probe decisions and replay unchanged
+    Dedup.compactCanonicalIndex(spark, s"$dir/idx")
+    val compacted = spark.read.parquet(s"$dir/idx/best")
+    assert(compacted.groupBy("ck").count().filter($"count" > 1).isEmpty)
+    val afterCompact = Dedup.canonicalAgainstIndex(spark, batch, s"$dir/idx",
+        key, score, excludeBatchId = Some(7L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(afterCompact == Set(10L, 13L), s"got $afterCompact")
+    // a later, better copy still supersedes the compacted index
+    val batch2 = Seq((20L, "k1 batch version that is much longer still"))
+      .toDF("doc_id", "text")
+    val s2 = Dedup.canonicalAgainstIndex(spark, batch2, s"$dir/idx", key, score)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 == Set(20L), s"got $s2")
+  }
+
   test("index compaction shrinks appended relations without changing any result") {
     val all = Tables.documents(spark, sf("sf0.001")).select($"doc_id", $"text")
     val corpus = all.filter($"doc_id" < 200)

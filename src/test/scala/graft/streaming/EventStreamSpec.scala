@@ -90,6 +90,47 @@ class EventStreamSpec extends SparkSpec {
     assert(kept == "red orange yellow green blue indigo violet ultraviolet")
   }
 
+  test("streaming canonical ingest keeps only strictly-better copies across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_canon").toString
+    // key = first token (the "page identity"), score = text length —
+    // the recrawl rule: a later copy replaces the stored one only when
+    // it is strictly longer. Same Column recipes at write and probe
+    // time (the sidecar pins their SQL rendering).
+    val key = org.apache.spark.sql.functions.md5(
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.split($"text", " "), 1))
+    val score = org.apache.spark.sql.functions.length($"text")
+    val corpus = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    graft.ext.Dedup.writeCanonicalIndex(corpus, s"$dir/idx", key, score)
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.ingestCanonicalStream(mem.toDF(), s"$dir/idx",
+        s"$dir/accepted", s"$dir/ckpt", key, score).start()
+      q.awaitTermination()
+    }
+    // batch 1: a longer alpha (beats the corpus) + a brand-new key
+    mem.addData(
+      IngestDoc(10L, "alpha beta gamma delta"),
+      IngestDoc(11L, "zeta one"))
+    drain()
+    // batch 2 (fresh query, same checkpoint): a SHORTER alpha — loses
+    // to batch 1's stored winner, not to the seed corpus — plus a
+    // longer zeta that supersedes batch 1's
+    mem.addData(
+      IngestDoc(20L, "alpha beta"),
+      IngestDoc(21L, "zeta one two three"))
+    drain()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+    val ids = accepted.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(10L, 11L, 21L),
+      s"accepted should hold the three strictly-best copies: $ids")
+    // the canonical read-time view: max score per key over accepted
+    val best = graft.ext.Dedup.canonicalByScore(accepted, key, score)
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == Set(10L, 21L), s"got $best")
+  }
+
   test("streaming semantic dedup drops embedding near-dups across batches via the frozen index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_sem").toString
