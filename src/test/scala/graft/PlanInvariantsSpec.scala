@@ -149,6 +149,38 @@ class PlanInvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q68 line filter is a shuffle-free whole-stage-codegen rewrite") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q68_line_filter")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+      assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"q68 shuffles a per-row rewrite:\n$p")
+      assert(p.collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+        }.nonEmpty,
+        s"q68 rewrite fell out of whole-stage codegen:\n$p")
+      val scans = p.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty && scans.forall(_.output.length == 2),
+        s"q68 scan reads more than (doc_id, text):\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q69 canonical selection is one exchange and never shuffles text") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q69_dedup_canonical")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+      val ex = p.collect { case e: ShuffleExchangeExec => e }
+      assert(ex.length == 1,
+        s"expected exactly one exchange (the group-key window):\n$p")
+      // the shuffled relation carries (id, score, 16-byte key) — the
+      // key is computed in the scan projection and text is pruned out
+      assert(!ex.head.output.map(_.name).contains("text"),
+        s"document bodies reach the shuffle:\n${ex.head.output}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q41 packing runs on a single shard-window shuffle") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
