@@ -440,6 +440,15 @@ object SparkEntry {
           col("n_chars"))
         .select(col("doc_id"), col("n_chars"), col("n_copies"))
     }),
+    // north-star observability: unigram-distribution drift between two
+    // corpus slices (per-source here — the recrawl/mix monitoring
+    // metric): JS divergence + vocabulary overlap, one row
+    "q70_corpus_divergence" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = Tables.documents(s, dir)
+      ext.TextAnalysis.corpusDivergence(
+        d.filter(col("source") === "src0"), d.filter(col("source") === "src1"))
+    }),
     // north-star composition: the END-TO-END curation chain under the
     // driver's gate — per-stage survivor counts of gates → exact dedup →
     // LSH+CC near-dedup → decontamination → quota (the README-quickstart
@@ -1081,6 +1090,33 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY ck) AS n_copies
         |  FROM k)
         |SELECT doc_id, n_chars, n_copies FROM r WHERE rn = 1""".stripMargin,
+    // DuckDB integer `/` is double division (like the explicit casts on
+    // the Spark side), so the per-token JS terms are the same IEEE ops
+    // on both engines; 6-dp rounding absorbs the sum-association tail
+    // (the q44 discipline)
+    "q70_corpus_divergence" ->
+      """WITH va AS (SELECT tok, count(*) AS ca FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE source = 'src0') GROUP BY 1),
+        |vb AS (SELECT tok, count(*) AS cb FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE source = 'src1') GROUP BY 1),
+        |j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM va FULL OUTER JOIN vb USING (tok)),
+        |t AS (SELECT sum(ca) AS tta, sum(cb) AS ttb FROM j)
+        |SELECT CAST(sum(ca) AS BIGINT) AS n_tokens_a,
+        |  CAST(sum(cb) AS BIGINT) AS n_tokens_b,
+        |  CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+        |  CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+        |  CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_shared,
+        |  ROUND((sum(CASE WHEN ca > 0
+        |           THEN (ca / tta) * ln((ca / tta) / ((ca / tta + cb / ttb) / 2))
+        |           ELSE 0 END)
+        |       + sum(CASE WHEN cb > 0
+        |           THEN (cb / ttb) * ln((cb / ttb) / ((ca / tta + cb / ttb) / 2))
+        |           ELSE 0 END)) / 2, 6) AS js_divergence
+        |FROM j CROSS JOIN t""".stripMargin,
     // the two-phase cap must select the IDENTICAL set to the one-phase
     // window, so its oracle is the plain window SQL — the oracle compare
     // is exactly the equality claim

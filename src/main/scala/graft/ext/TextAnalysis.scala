@@ -234,6 +234,50 @@ object TextAnalysis {
           .as("unigram_nll"))
   }
 
+  /** Unigram-distribution drift between two corpora — the recrawl /
+    * source-mix monitoring metric (reference: load_sales_history.py's
+    * pre-publish count validation, lifted from "same row count?" to
+    * "same token DISTRIBUTION?"): Jensen–Shannon divergence (natural
+    * log; 0 = identical, ln 2 = disjoint) of the two unigram
+    * distributions, plus vocabulary sizes and overlap. JS rather than
+    * KL because it is defined for tokens one side has never seen —
+    * exactly the tokens drift monitoring cares about. One row:
+    * (n_tokens_a, n_tokens_b, vocab_a, vocab_b, vocab_shared,
+    * js_divergence).
+    *
+    * Scale notes (100 TB): two map-side-combined vocab aggregates, a
+    * token-keyed full-outer join that REUSES the aggregates'
+    * partitioning (no extra exchange), totals via one-row broadcast
+    * cross-join (the q44 pattern), one scalar aggregate. Nothing here
+    * is corpus-row-sized after the first aggregate — every later
+    * relation is vocabulary-sized. */
+  def corpusDivergence(docsA: DataFrame, docsB: DataFrame): DataFrame = {
+    def vocabOf(d: DataFrame, cName: String) =
+      d.select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(cName))
+    val joined = vocabOf(docsA, "ca").join(vocabOf(docsB, "cb"),
+        Seq("tok"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint() // vocab-sized; read twice (totals + divergence)
+    val tots = joined.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val p = col("ca").cast("double") / col("ta").cast("double")
+    val q = col("cb").cast("double") / col("tb").cast("double")
+    val m = (p + q) / lit(2.0)
+    joined.crossJoin(broadcast(tots))
+      .agg(
+        sum(col("ca")).cast("long").as("n_tokens_a"),
+        sum(col("cb")).cast("long").as("n_tokens_b"),
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).cast("long").as("vocab_a"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).cast("long").as("vocab_b"),
+        sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+          .cast("long").as("vocab_shared"),
+        round(
+          (sum(when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0))) +
+            sum(when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0)))) / 2.0,
+          6).as("js_divergence"))
+  }
+
   /** Default weight vector for [[qualityModelScores]]: 64 buckets,
     * every weight an exact multiple of 1/16 in [-5/8, 5/8] — binary
     * fractions make every partial sum exactly representable, so the

@@ -457,6 +457,36 @@ class ExtSpec extends SparkSpec {
     assert(survivors.agg(sum("n_copies")).head.getLong(0) == docs.count())
   }
 
+  test("corpus divergence: closed form, identity zero, disjoint ln 2") {
+    def js(a: Seq[String], b: Seq[String]): org.apache.spark.sql.Row =
+      TextAnalysis.corpusDivergence(
+        a.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        b.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+        .head
+    // closed form: A = {a:2/3, b:1/3}, B = {a:1/3, b:2/3} →
+    // JS = 2/3 ln(4/3) + 1/3 ln(2/3) (symmetric halves collapse)
+    val r = js(Seq("a a b"), Seq("a b b"))
+    val expected = math.rint(
+      (2.0 / 3 * math.log(4.0 / 3) + 1.0 / 3 * math.log(2.0 / 3)) * 1e6) / 1e6
+    assert(r.getAs[Double]("js_divergence") == expected, s"got $r")
+    assert(r.getAs[Long]("vocab_a") == 2L && r.getAs[Long]("vocab_shared") == 2L)
+    assert(r.getAs[Long]("n_tokens_a") == 3L && r.getAs[Long]("n_tokens_b") == 3L)
+    // identical corpora diverge by exactly zero
+    assert(js(Seq("x y z"), Seq("x y z")).getAs[Double]("js_divergence") == 0.0)
+    // disjoint vocabularies saturate at ln 2
+    val d = js(Seq("p q r"), Seq("s t u"))
+    assert(d.getAs[Double]("js_divergence") ==
+      math.rint(math.log(2.0) * 1e6) / 1e6, s"got $d")
+    assert(d.getAs[Long]("vocab_shared") == 0L)
+    // real corpus: bounded by [0, ln 2], and same-slice is zero
+    val src0 = docs.filter($"source" === "src0")
+    val real = TextAnalysis.corpusDivergence(src0,
+      docs.filter($"source" === "src1")).head.getAs[Double]("js_divergence")
+    assert(real > 0.0 && real < math.log(2.0), s"got $real")
+    assert(TextAnalysis.corpusDivergence(src0, src0)
+      .head.getAs[Double]("js_divergence") == 0.0)
+  }
+
   test("bloom contamination report is a no-false-negative superset of exact") {
     // the q36/q65 pair on the real fixture: every doc the exact report
     // flags must appear in the bloom report with n_flagged >= n_overlap
