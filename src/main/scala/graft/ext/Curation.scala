@@ -57,6 +57,12 @@ object Curation {
     *     `maxPassageOccurrences` is its hot-window skew cap (the
     *     passage-granular twin of `maxLineOccurrences` — windows above
     *     the ceiling are boilerplate and cut at every occurrence).
+    *   - `dedupKeepLongest`: exact-dedup survivor POLICY — keep the
+    *     longest original text per group ([[Dedup.canonicalByScore]],
+    *     ties → min id) instead of the min-id copy. Meaningful with
+    *     `normalizeForDedup` (raw-key groups are byte-identical, where
+    *     it degrades to exactly the default); the "keep the best crawl
+    *     variant" rule.
     *   - `langSampleRates`: per-language Bernoulli keep rates
     *     ([[Sampling.stratifiedSampleByHash]] on `pred_lang`) applied
     *     ahead of the count quota — the fractional mixing knob
@@ -81,6 +87,7 @@ object Curation {
       lineMinOccurrences: Int = 2,
       maxLineOccurrences: Option[Int] = None,
       normalizeForDedup: Boolean = false,
+      dedupKeepLongest: Boolean = false,
       stripPassages: Boolean = false,
       passageWindowTokens: Int = 8,
       maxPassageOccurrences: Option[Int] = None,
@@ -141,6 +148,26 @@ object Curation {
         .select(col("doc_id"), col("norm_text").as("text"))
     else gated
 
+  /** Surviving doc_ids of the exact-dedup stage under the configured
+    * key and survivor policy. Both policies are ONE shuffle on the
+    * 16-byte digest, computed in the scan projection (bodies never
+    * shuffle): min-id rides the digest groupBy; keep-longest pays the
+    * same exchange as a window ([[Dedup.canonicalByScore]] with score
+    * = original text length, ties → min id). */
+  private def exactDedupSurvivors(gated: DataFrame, cfg: Config): DataFrame =
+    if (cfg.dedupKeepLongest) {
+      val keyCol =
+        if (cfg.normalizeForDedup) md5(TextAnalysis.normTextExpr(col("text")))
+        else md5(col("text"))
+      Dedup.canonicalByScore(
+          gated.select(col("doc_id"), keyCol.as("_k"),
+            length(col("text")).as("_s")),
+          col("_k"), col("_s"))
+        .select(col("doc_id"))
+    } else
+      Dedup.exactDupGroups(exactDedupKey(gated, cfg))
+        .select(col("canonical_id").as("doc_id"))
+
   /** Run the full curation chain. `docs` needs (doc_id, text); the
     * returned frame is (doc_id, pred_lang, split) — the curated,
     * deduplicated, decontaminated, quota-balanced training mix. */
@@ -170,9 +197,7 @@ object Curation {
     // documents shares every LSH banding bucket, so running exact dedup
     // before LSH is what keeps the bucket-size assumptions (bounded
     // candidates per bucket) honest on real corpora
-    val exactDeduped = gated.join(
-      Dedup.exactDupGroups(exactDedupKey(gated, cfg))
-        .select(col("canonical_id").as("doc_id")),
+    val exactDeduped = gated.join(exactDedupSurvivors(gated, cfg),
       Seq("doc_id"), "left_semi")
     // 3b. near-dup removal: LSH candidates → exact Jaccard verify →
     // min-id-per-component survivors
@@ -289,9 +314,7 @@ object Curation {
       .persist()
     gated.count() // materialize BEFORE the dedup self-join reads it twice
     hygieneCached.foreach(_.unpersist())
-    val exactDeduped = gated.join(
-      Dedup.exactDupGroups(exactDedupKey(gated, cfg))
-        .select(col("canonical_id").as("doc_id")),
+    val exactDeduped = gated.join(exactDedupSurvivors(gated, cfg),
       Seq("doc_id"), "left_semi").persist()
     val nExact = exactDeduped.count()
     gated.unpersist()

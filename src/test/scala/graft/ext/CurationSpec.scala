@@ -228,6 +228,22 @@ class CurationSpec extends SparkSpec {
     val kept = Curation.curate(d, bench, cfgN.copy(normalizeForDedup = true))
       .select("doc_id").as[Long].collect().toSet
     assert(kept.contains(3L) && (kept & Set(1L, 2L)).size == 1, s"got $kept")
+    // survivor POLICY: default keeps the min-id variant; dedupKeepLongest
+    // keeps the longer raw text even though its id is higher
+    assert((kept & Set(1L, 2L)) == Set(1L), s"got $kept")
+    val longest = Curation.curate(d, bench,
+        cfgN.copy(normalizeForDedup = true, dedupKeepLongest = true))
+      .select("doc_id").as[Long].collect().toSet
+    // doc 2's raw text is longer (whitespace run + trailing newline)
+    assert((longest & Set(1L, 2L)) == Set(2L), s"got $longest")
+    assert(longest.contains(3L))
+    // on raw keys (groups byte-identical) the policy degrades to default
+    val rawPolicy = Curation.curate(d, bench,
+        cfgN.copy(dedupKeepLongest = true))
+      .select("doc_id").as[Long].collect().toSet
+    val rawDefault = Curation.curate(d, bench, cfgN)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rawPolicy == rawDefault, s"$rawPolicy vs $rawDefault")
   }
 
   test("PII gate and line dedup run as funnel stages and drop what they must") {
