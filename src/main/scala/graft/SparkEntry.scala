@@ -440,6 +440,15 @@ object SparkEntry {
           col("n_chars"))
         .select(col("doc_id"), col("n_chars"), col("n_copies"))
     }),
+    // north-star decontamination, semantic flavor: per-vector max cosine
+    // to a (disjoint) benchmark slice + flag — catches paraphrased
+    // leakage the n-gram overlap (q36) misses
+    "q71_contamination_semantic" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.embeddings(s, dir)
+      ext.Dedup.semanticContamination(
+        e.filter(col("vec_id") >= 25), e.filter(col("vec_id") < 25))
+    }),
     // north-star observability: unigram-distribution drift between two
     // corpus slices (per-source here — the recrawl/mix monitoring
     // metric): JS divergence + vocabulary overlap, one row
@@ -1090,6 +1099,21 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY ck) AS n_copies
         |  FROM k)
         |SELECT doc_id, n_chars, n_copies FROM r WHERE rn = 1""".stripMargin,
+    // the contaminated flag is computed on the ROUNDED max on both
+    // sides, so the threshold decision itself is part of the hash claim
+    "q71_contamination_semantic" ->
+      """WITH b AS (SELECT embedding::DOUBLE[] AS be
+        |           FROM embeddings WHERE vec_id < 25),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |      FROM embeddings WHERE vec_id >= 25),
+        |m AS (SELECT vec_id,
+        |        ROUND(MAX(list_cosine_similarity(e, be)), 6)
+        |          AS max_benchmark_cosine
+        |      FROM c CROSS JOIN b GROUP BY 1)
+        |SELECT vec_id, max_benchmark_cosine,
+        |  CAST(CASE WHEN max_benchmark_cosine >= 0.4 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS contaminated
+        |FROM m""".stripMargin,
     // DuckDB integer `/` is double division (like the explicit casts on
     // the Spark side), so the per-token JS terms are the same IEEE ops
     // on both engines; 6-dp rounding absorbs the sum-association tail

@@ -812,6 +812,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Embedding-space decontamination — [[contaminationReport]]'s
+    * SEMANTIC counterpart (n-gram overlap misses paraphrased benchmark
+    * leakage; embedding cosine catches it): per corpus vector, the max
+    * cosine to any benchmark vector plus a 0/1 contaminated flag at
+    * `minCosine`. The flag is computed on the 6-dp-ROUNDED max so the
+    * decision is restatable cross-engine (q71).
+    *
+    * Scale notes (100 TB): benchmark eval sets are small by
+    * construction → count-gated broadcast (shuffled-join fallback over
+    * the `MaxBroadcastRows` ceiling, the q36 discipline); the corpus
+    * side is one pass with a map-side-combined max — corpus × bench
+    * pairs never shuffle, only per-vector partial maxima do. Cosine is
+    * the native codegen kernel. */
+  def semanticContamination(emb: DataFrame, bench: DataFrame,
+                            minCosine: Double = 0.4): DataFrame = {
+    val b = bench.select(col("vec_id").as("bid"),
+        col("embedding").cast("array<double>").as("be"))
+      .localCheckpoint() // sized by the gate count; the join re-reads it
+    val nBench = b.count()
+    // an empty benchmark must report "nothing contaminated", not drop
+    // every vector through the empty cross join (the q65 empty-build
+    // guard, join-flavored)
+    if (nBench == 0)
+      emb.select(col("vec_id"),
+        lit(null).cast("double").as("max_benchmark_cosine"),
+        lit(0L).as("contaminated"))
+    else {
+      val hinted = if (nBench <= MaxBroadcastRows) broadcast(b) else b
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .crossJoin(hinted)
+        .groupBy(col("vec_id"))
+        .agg(round(max(Similarity.cosine(col("e"), col("be"))), 6)
+          .as("max_benchmark_cosine"))
+        .withColumn("contaminated",
+          (col("max_benchmark_cosine") >= minCosine).cast("long"))
+    }
+  }
+
   /** Benchmark decontamination via a Bloom filter — the scale path for
     * [[contaminationReport]] (q36) when the benchmark suite's n-gram
     * set outgrows a broadcast hash relation: the whole suite compresses

@@ -457,6 +457,30 @@ class ExtSpec extends SparkSpec {
     assert(survivors.agg(sum("n_copies")).head.getLong(0) == docs.count())
   }
 
+  test("semantic contamination flags cosine-near benchmark vectors") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val bench = Seq((100L, v(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, v(1, 0, 0, 0)),                    // identical → cos 1
+      (2L, v(0, 1, 0, 0)),                    // orthogonal → cos 0
+      (3L, v(1, 1, 0, 0))                     // 45° → cos ≈ 0.707107
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticContamination(corpus, bench).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1.0, 1L)), s"got $out")
+    assert(out(2L) == ((0.0, 0L)), s"got $out")
+    assert(out(3L) == ((math.rint(math.sqrt(0.5) * 1e6) / 1e6, 1L)), s"got $out")
+    // threshold is a parameter: at 0.8 only the identical vector flags
+    val strict = Dedup.semanticContamination(corpus, bench, minCosine = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(strict == Map(1L -> 1L, 2L -> 0L, 3L -> 0L), s"got $strict")
+    // empty benchmark: every vector reported, none contaminated
+    val none = Dedup.semanticContamination(corpus, bench.limit(0)).collect()
+      .map(r => (r.getLong(0), r.isNullAt(1), r.getLong(2)))
+    assert(none.length == 3 && none.forall(t => t._2 && t._3 == 0L),
+      s"got ${none.toSeq}")
+  }
+
   test("corpus divergence: closed form, identity zero, disjoint ln 2") {
     def js(a: Seq[String], b: Seq[String]): org.apache.spark.sql.Row =
       TextAnalysis.corpusDivergence(
@@ -841,6 +865,25 @@ class ExtSpec extends SparkSpec {
     val fp = d.select($"doc_id", Dedup.simhash($"text").as("fp"))
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(!fp(1L) && fp(2L), s"simhash null contract broken: $fp")
+    // round-12 ops honor the same contracts: line filter (native
+    // expression) nulls through; quality scores keep a row per doc;
+    // canonical selection neither crashes nor loses the null-text doc
+    // (null keys form their own window group); divergence ignores docs
+    // that explode to nothing
+    val lf = TextAnalysis.filterLines(d).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!lf(1L) && lf(2L) && !lf(3L), s"line-filter null contract: $lf")
+    // explode of a null token array emits nothing → null-text docs drop
+    // out of the score (the shingle-operator contract, not a crash)
+    assert(TextAnalysis.qualityModelScores(d).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 3L))
+    val canon = Dedup.canonicalByScore(
+        d.withColumn("n", length($"text")),
+        org.apache.spark.sql.functions.md5($"text"), $"n")
+      .select("doc_id").as[Long].collect().toSet
+    assert(canon == Set(1L, 2L, 3L), s"got $canon")
+    assert(TextAnalysis.corpusDivergence(d, d)
+      .head.getAs[Double]("js_divergence") == 0.0)
   }
 
   test("language ID predicts the labeled language on stopword-bearing text") {
