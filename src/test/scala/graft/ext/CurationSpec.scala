@@ -489,8 +489,9 @@ class CurationSpec extends SparkSpec {
     // user-facing doc honest the way the coverage table rows are
     val hygieneCfg = Curation.Config(
       redactPii = true, maxRedactionsPerDoc = Some(20),
+      filterLines = true, lineTerminalPunct = false,
       dedupLines = true, maxLineOccurrences = Some(10000),
-      normalizeForDedup = true)
+      normalizeForDedup = true, dedupKeepLongest = true)
     val dir = java.nio.file.Files.createTempDirectory("graft_readme").toString
     Curation.writeTrainingShards(corpus, benchmark, s"$dir/shards", hygieneCfg)
     assert(spark.read.parquet(s"$dir/shards").count() > 0)
