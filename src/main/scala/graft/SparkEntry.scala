@@ -449,6 +449,18 @@ object SparkEntry {
       ext.Dedup.semanticContamination(
         e.filter(col("vec_id") >= 25), e.filter(col("vec_id") < 25))
     }),
+    // north-star mixing, semantic flavor: cluster-balanced downsampling —
+    // k-means cells over the embeddings, at most 5 vectors kept per cell
+    // by md5 order (topic-balanced coverage of the embedding space).
+    // Rows-only: the trained quantizer isn't SQL-expressible; ExtSpec
+    // pins the cap, the no-loss-under-cap count, and determinism
+    "q72_balanced_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      ext.Sampling.balancedSampleByCluster(
+        Tables.embeddings(s, dir).drop("label"), perCell = 5, nCells = 8)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("grp_rank"))
+    }),
     // north-star observability: unigram-distribution drift between two
     // corpus slices (per-source here — the recrawl/mix monitoring
     // metric): JS divergence + vocabulary overlap, one row

@@ -231,6 +231,44 @@ object Sampling {
     df.filter(u < rate)
   }
 
+  /** Cluster-balanced downsampling: train a k-means quantizer on the
+    * corpus embeddings (`vec_id`, `embedding` — the q52/q21 contract),
+    * assign every vector to its nearest cell, and keep at most `perCell`
+    * vectors per cell by md5-of-id order. A web crawl is dominated by a
+    * few dense regions of embedding space (boilerplate genres, hub
+    * topics); per-cell quotas flatten that density so a fixed-size
+    * training subset COVERS the space instead of re-sampling its modes —
+    * `capPerGroup`'s count quota applied to semantic strata the data
+    * learns, rather than metadata strata a human lists (the semantic
+    * counterpart of the reference's partition-scoped extracts,
+    * load_sales_history.py:117-133). Output keeps the `cell` column so
+    * callers can audit per-cluster composition; selection within a cell
+    * is content-addressed (the capPerGroup discipline), so reruns and
+    * engines agree given the same trained centroids (fixed seed,
+    * deterministic init order, 9-dp centroid rounding).
+    *
+    * Scale notes: training pays `iters` narrow codegen assignment passes
+    * plus a k-row aggregate each (the q52 argument — no crossJoin, no
+    * all-pairs); the sampling itself is ONE shuffle, the cap window on
+    * `cell`. nCells is the reducer fan-out — size it like any grouping
+    * dimension; a pathological cell (near-duplicate flood) concentrates
+    * one reducer, and the escape is the same as q43's: pre-filter each
+    * cell to an oversampled md5-prefix with `presampleForCap` on the
+    * assigned frame before the exact window. */
+  def balancedSampleByCluster(emb: DataFrame, perCell: Int,
+                              nCells: Int = 16, iters: Int = 5,
+                              seed: Long = 42L): DataFrame = {
+    require(perCell >= 1, "perCell must be >= 1")
+    // an empty corpus can't train a quantizer (assignCells requires
+    // centroids) — the semanticDedupPairs empty-input precedent: return
+    // the empty sample, shaped, instead of crashing in training
+    if (emb.isEmpty)
+      return emb.withColumn("cell", lit(0).cast("int"))
+        .withColumn("grp_rank", lit(0L)).limit(0)
+    val cents = Similarity.kmeansCentroids(emb, nCells, iters, seed)
+    capPerGroup(Similarity.assignCells(emb, cents), "cell", "vec_id", perCell)
+  }
+
   /** Train/val/test split assignment from cumulative percentage bounds
     * (e.g. 80/10/10 → train < 80 ≤ val < 90 ≤ test). */
   def trainValTest(df: DataFrame, idCol: String,

@@ -181,6 +181,31 @@ class PlanInvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q72 balanced sample is one exchange with a map-side group limit") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q72_balanced_sample")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+      val ex = p.collect { case e: ShuffleExchangeExec => e }
+      assert(ex.length == 1,
+        s"expected exactly one exchange (the cell-cap window):\n$p")
+      // the scale claim: Spark's PARTIAL WindowGroupLimit trims every map
+      // task to <= perCell rows per cell BEFORE the exchange, so the
+      // shuffle is bounded at tasks*nCells*perCell rows whatever the
+      // corpus size — if this pin breaks, the cap window regressed to
+      // shuffling the whole assigned corpus
+      val partial = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.mode == org.apache.spark.sql.execution.window.Partial => w
+      }
+      assert(partial.nonEmpty, s"no map-side group limit under the exchange:\n$p")
+      // the q72 binding keeps (vec_id, cell, rank): pruning must drop the
+      // embedding column before the shuffle
+      assert(!ex.head.output.map(_.name).contains("embedding"),
+        s"embeddings reach the shuffle:\n${ex.head.output}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q41 packing runs on a single shard-window shuffle") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -578,6 +578,42 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("cluster-balanced sample caps per cell, loses nothing under cap, reproduces") {
+    val e = emb.drop("label")
+    val once = Sampling.balancedSampleByCluster(e, perCell = 3, nCells = 4)
+    val rows = once.select($"vec_id", $"cell", $"grp_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // cap respected, rank within bounds
+    val perCell = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perCell.values.forall(_ <= 3), s"cell over cap: $perCell")
+    assert(rows.forall(_._3 <= 3L))
+    // the kept count is exactly sum(min(|cell|, cap)) over the SAME
+    // assignment the op used — nothing dropped from under-cap cells
+    val cents = Similarity.kmeansCentroids(e, nCells = 4)
+    val assignedSizes = Similarity.assignCells(e, cents)
+      .groupBy($"cell").count().collect()
+      .map(r => r.getLong(1)).map(n => math.min(n, 3L)).sum
+    assert(rows.length.toLong == assignedSizes,
+      s"kept ${rows.length}, expected $assignedSizes")
+    // sample is a subset of the corpus and reproducible
+    val ids = rows.map(_._1).toSet
+    val all = e.select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(all))
+    val again = Sampling.balancedSampleByCluster(e, perCell = 3, nCells = 4)
+      .select($"vec_id", $"cell", $"grp_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq,
+      "balanced sample must be reproducible")
+    // empty corpus: shaped empty result, no training crash
+    val none = Sampling.balancedSampleByCluster(e.filter(lit(false)), perCell = 3)
+    assert(none.count() == 0L)
+    assert(none.columns.contains("cell") && none.columns.contains("grp_rank"))
+    intercept[IllegalArgumentException] {
+      Sampling.balancedSampleByCluster(e, perCell = 0)
+    }
+  }
+
   test("per-group quota cap is deterministic and respects the cap") {
     val d = (0L until 20L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("doc_id", "grp")
