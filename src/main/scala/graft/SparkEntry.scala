@@ -449,6 +449,18 @@ object SparkEntry {
       ext.Dedup.semanticContamination(
         e.filter(col("vec_id") >= 25), e.filter(col("vec_id") < 25))
     }),
+    // q71's over-`MaxBroadcastRows` fallback run EXPLICITLY at full
+    // probes: cell-scoped shuffled equi-join against a quantizer trained
+    // on the benchmark — shares q71's oracle verbatim because full probe
+    // is exact (max over the same pair set; max is order-exact, unlike
+    // sum), so the driver hash-verifies fallback ≡ broadcast every round
+    "q73_contamination_cellscoped" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.embeddings(s, dir)
+      ext.Dedup.semanticContaminationCellScoped(
+        e.filter(col("vec_id") >= 25), e.filter(col("vec_id") < 25),
+        nCells = 8)
+    }),
     // north-star mixing, semantic flavor: cluster-balanced downsampling —
     // k-means cells over the embeddings, at most 5 vectors kept per cell
     // by md5 order (topic-balanced coverage of the embedding space).
@@ -1117,6 +1129,22 @@ object SparkEntry {
     // the contaminated flag is computed on the ROUNDED max on both
     // sides, so the threshold decision itself is part of the hash claim
     "q71_contamination_semantic" ->
+      """WITH b AS (SELECT embedding::DOUBLE[] AS be
+        |           FROM embeddings WHERE vec_id < 25),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |      FROM embeddings WHERE vec_id >= 25),
+        |m AS (SELECT vec_id,
+        |        ROUND(MAX(list_cosine_similarity(e, be)), 6)
+        |          AS max_benchmark_cosine
+        |      FROM c CROSS JOIN b GROUP BY 1)
+        |SELECT vec_id, max_benchmark_cosine,
+        |  CAST(CASE WHEN max_benchmark_cosine >= 0.4 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS contaminated
+        |FROM m""".stripMargin,
+    // the cell-scoped fallback at full probes scores the SAME pair set
+    // (every bench vector in exactly one cell, corpus probing all of
+    // them) and max is order-exact — so q71's oracle applies verbatim
+    "q73_contamination_cellscoped" ->
       """WITH b AS (SELECT embedding::DOUBLE[] AS be
         |           FROM embeddings WHERE vec_id < 25),
         |c AS (SELECT vec_id, embedding::DOUBLE[] AS e

@@ -820,13 +820,19 @@ object Dedup {
     * decision is restatable cross-engine (q71).
     *
     * Scale notes (100 TB): benchmark eval sets are small by
-    * construction → count-gated broadcast (shuffled-join fallback over
-    * the `MaxBroadcastRows` ceiling, the q36 discipline); the corpus
-    * side is one pass with a map-side-combined max — corpus × bench
-    * pairs never shuffle, only per-vector partial maxima do. Cosine is
-    * the native codegen kernel. */
+    * construction → count-gated broadcast (one corpus pass, a
+    * map-side-combined max — corpus × bench pairs never shuffle, only
+    * per-vector partial maxima do; cosine is the native codegen
+    * kernel). Over the `MaxBroadcastRows` ceiling the fallback is
+    * [[semanticContaminationCellScoped]] — a cell-scoped shuffled
+    * equi-join against a quantizer trained on the benchmark, NOT a
+    * CartesianProduct (the one plan shape the repo's gate discipline
+    * forbids; PlanInvariantsSpec pins both branches). Full probe keeps
+    * the fallback an exact max, so the gate never changes results. */
   def semanticContamination(emb: DataFrame, bench: DataFrame,
-                            minCosine: Double = 0.4): DataFrame = {
+                            minCosine: Double = 0.4,
+                            fallbackNCells: Int = 64,
+                            fallbackProbes: Option[Int] = None): DataFrame = {
     val b = bench.select(col("vec_id").as("bid"),
         col("embedding").cast("array<double>").as("be"))
       .localCheckpoint() // sized by the gate count; the join re-reads it
@@ -838,16 +844,124 @@ object Dedup {
       emb.select(col("vec_id"),
         lit(null).cast("double").as("max_benchmark_cosine"),
         lit(0L).as("contaminated"))
-    else {
-      val hinted = if (nBench <= MaxBroadcastRows) broadcast(b) else b
+    else if (nBench <= MaxBroadcastRows)
       emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        .crossJoin(hinted)
+        .crossJoin(broadcast(b))
         .groupBy(col("vec_id"))
         .agg(round(max(Similarity.cosine(col("e"), col("be"))), 6)
           .as("max_benchmark_cosine"))
         .withColumn("contaminated",
           (col("max_benchmark_cosine") >= minCosine).cast("long"))
-    }
+    else
+      // reuse the checkpointed benchmark the gate count materialized
+      semanticContaminationCellScoped(emb,
+        b.select(col("bid").as("vec_id"), col("be").as("embedding")),
+        minCosine, nCells = fallbackNCells, probes = fallbackProbes)
+  }
+
+  /** [[semanticContamination]]'s over-gate scale path: train a
+    * fixed-seed quantizer on the BENCHMARK (the q52/q21 trainer),
+    * assign each benchmark vector to its one nearest cell, probe the
+    * corpus against the top-`probes` cells, and take the per-vector max
+    * over a shuffled equi-join on `cell` — cells, not pairs, are the
+    * join key, so the plan is an ordinary hash/sort-merge join however
+    * big both sides get, never a CartesianProduct.
+    *
+    * `probes = None` (→ nCells) is EXACT: every benchmark vector lives
+    * in exactly one cell and the corpus probes all of them, so every
+    * corpus×bench pair is scored exactly once and the result equals the
+    * broadcast path bit-for-bit (ExtSpec pins it — the q52 full-probe
+    * anchor). `probes < nCells` is the approximate screen: the max is
+    * over the probed cells only, and a vector whose probed cells hold
+    * no benchmark vector reports a NULL max + contaminated = 0. Near-
+    * threshold cosines concentrate in nearby cells, so small probe
+    * counts recover the flag long before they recover the exact max.
+    *
+    * Scale notes (100 TB): the corpus side explodes probes× carrying
+    * the vector once per probed cell (no join-back by id — that would
+    * re-shuffle the corpus); the benchmark shuffles once. Size `nCells`
+    * well above the cluster's core count — the join's parallelism is
+    * the distinct-cell count (the default 64 is a floor, not a
+    * recommendation; at a real 10M+-row benchmark size it so cell
+    * populations stay reducer-sized). Exactness costs probes = nCells;
+    * a decontamination screen usually wants probes ≪ nCells and the
+    * exact max only on the flagged slice (the MinHash→Jaccard
+    * adjudication ladder, embedding-flavored). */
+  def semanticContaminationCellScoped(emb: DataFrame, bench: DataFrame,
+                                      minCosine: Double = 0.4,
+                                      nCells: Int = 64, iters: Int = 5,
+                                      seed: Long = 42L,
+                                      probes: Option[Int] = None): DataFrame = {
+    val p = probes.getOrElse(nCells)
+    require(p >= 1 && p <= nCells, "need 1 <= probes <= nCells")
+    if (bench.isEmpty)
+      return emb.select(col("vec_id"),
+        lit(null).cast("double").as("max_benchmark_cosine"),
+        lit(0L).as("contaminated"))
+    val cents = Similarity.kmeansCentroids(bench, nCells, iters, seed)
+    val bv = bench.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val benchCells = multiProbeCells(bv, cents, 1, keep = Seq("e"))
+      .select(col("cell"), col("e").as("be"))
+    val corpusCells = multiProbeCells(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+      cents, p, keep = Seq("e"))
+    cellScopedMaxCosine(corpusCells, benchCells, minCosine)
+  }
+
+  /** Per-corpus-vector max benchmark cosine over (vec_id, e, cell) ⋈
+    * (cell, be) — the shared tail of the cell-scoped and index-routed
+    * contamination paths. LEFT OUTER keeps the one-row-per-corpus-
+    * vector contract when a probed cell holds no benchmark vector
+    * (max → NULL, flag → 0 via the coalesce). */
+  private def cellScopedMaxCosine(corpusCells: DataFrame,
+                                  benchCells: DataFrame,
+                                  minCosine: Double): DataFrame =
+    corpusCells.join(benchCells, Seq("cell"), "left_outer")
+      .groupBy(col("vec_id"))
+      .agg(round(max(Similarity.cosine(col("e"), col("be"))), 6)
+        .as("max_benchmark_cosine"))
+      .withColumn("contaminated",
+        coalesce((col("max_benchmark_cosine") >= minCosine).cast("long"),
+          lit(0L)))
+
+  /** Recurring-ingest semantic decontamination: score a corpus (or an
+    * ingest batch) against a benchmark suite FROZEN on disk as a
+    * semantic index (`writeSemanticIndex` over the benchmark
+    * embeddings) — same output contract as [[semanticContamination]],
+    * no benchmark re-scan, no quantizer re-training per run. The corpus
+    * assigns itself to the index's stored centroids (k-sized collect)
+    * with `probes` cells per vector and equi-joins the stored
+    * cell→vector relations; probes = None (→ nCells) is the exact max
+    * (every stored vector is reachable), smaller probe counts are the
+    * screen. A multi-probe index (sidecar probes > 1) only duplicates
+    * (cell, vector) rows — max is duplicate-tolerant, so any valid
+    * semantic index works as a benchmark index.
+    *
+    * Scale notes: the per-run cost is one narrow corpus pass (probes×
+    * explode) + a cell equi-join against benchmark-sized relations —
+    * the corpus never shuffles by id and the benchmark never re-reads
+    * its source. The sidecar `nCells` is validated BEFORE any read
+    * (the pinned append/probe rule). */
+  def semanticContaminationAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                        emb: DataFrame, indexPath: String,
+                                        minCosine: Double = 0.4,
+                                        nCells: Int = 8,
+                                        probes: Option[Int] = None): DataFrame = {
+    requireParams(s"$indexPath/params.properties", Map(
+      "nCells" -> nCells.toString), "semantic")
+    val p = probes.getOrElse(nCells)
+    require(p >= 1 && p <= nCells, "need 1 <= probes <= nCells")
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val benchCells = spark.read.parquet(s"$indexPath/cells")
+      .join(spark.read.parquet(s"$indexPath/vectors"), "vec_id")
+      .select(col("cell"), col("e").as("be"))
+    val corpusCells = multiProbeCells(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+      cents, p, keep = Seq("e"))
+    cellScopedMaxCosine(corpusCells, benchCells, minCosine)
   }
 
   /** Benchmark decontamination via a Bloom filter — the scale path for
@@ -1133,16 +1247,21 @@ object Dedup {
     * negated similarity sorts ascending, so ties break toward the LOWER
     * cell id (`Similarity.assignCells`' rule). Narrow codegen map —
     * native cosine kernels against literal centroids, one array_sort
-    * over nCells structs; no shuffle. */
+    * over nCells structs; no shuffle. `keep` carries extra columns of
+    * `v` through the explode (the cell-scoped contamination join needs
+    * the vector itself alongside its cells without a join-back, which
+    * would re-shuffle the corpus by id). */
   private def multiProbeCells(v: DataFrame, cents: Array[Array[Double]],
-                              probes: Int): DataFrame = {
+                              probes: Int,
+                              keep: Seq[String] = Nil): DataFrame = {
     val ranked = cents.toSeq.zipWithIndex.map { case (c, i) =>
       struct((Similarity.cosine(col("e"), typedLit(c.toSeq)) * -1).as("neg_sim"),
         lit(i).as("cell"))
     }
-    v.select(col("vec_id"),
-        explode(slice(array_sort(array(ranked: _*)), 1, probes)).as("cs"))
-      .select(col("vec_id"), col("cs.cell").as("cell"))
+    v.select(col("vec_id") +: keep.map(col) :+
+        explode(slice(array_sort(array(ranked: _*)), 1, probes)).as("cs"): _*)
+      .select(col("vec_id") +: keep.map(col) :+
+        col("cs.cell").as("cell"): _*)
   }
 
   /** Persist the corpus-side SemDedup state for INCREMENTAL semantic

@@ -64,6 +64,22 @@ class PlanInvariantsSpec extends SparkSpec {
       s"BroadcastNestedLoopJoin in q52 plan:\n$p")
   }
 
+  test("q71's over-gate fallback is a cell equi-join: no cartesian, no nested-loop") {
+    // the one plan shape the gate discipline forbids: the old fallback
+    // was a corpus×benchmark CartesianProduct; the cell-scoped path must
+    // join on the trained cell id (hash/sort-merge), with the corpus
+    // side a narrow literal-centroid explode — however big both sides get
+    import org.apache.spark.sql.functions.col
+    val all = Tables.embeddings(spark, sf("sf0.001"))
+    val p = plan(ext.Dedup.semanticContaminationCellScoped(
+      all.filter(col("vec_id") >= 25), all.filter(col("vec_id") < 25),
+      nCells = 8))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"CartesianProduct in cell-scoped contamination plan:\n$p")
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"BroadcastNestedLoopJoin in cell-scoped contamination plan:\n$p")
+  }
+
   test("q20 brute-force broadcasts the query side (no shuffle of the corpus)") {
     val p = plan(SparkEntry.queries("q20_sim_bruteforce")(spark, sf("sf0.001")))
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,

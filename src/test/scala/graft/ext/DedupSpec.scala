@@ -632,6 +632,52 @@ class DedupSpec extends SparkSpec {
       s"appended batch not visible to the next cycle: $next")
   }
 
+  test("cell-scoped contamination fallback equals the broadcast path at full probes") {
+    // the q71 over-gate branch: full probe scores every corpus×bench
+    // pair exactly once, and max is order-exact (unlike sum), so the
+    // shuffled cell equi-join must reproduce the broadcast result
+    // bit-for-bit — this is the equality the gate relies on to never
+    // change results
+    val all = Tables.embeddings(spark, sf("sf0.001"))
+    val corpus = all.filter($"vec_id" >= 25)
+    val bench = all.filter($"vec_id" < 25)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getLong(2))).toSet
+    val exact = key(Dedup.semanticContamination(corpus, bench))
+    val scoped = key(Dedup.semanticContaminationCellScoped(corpus, bench,
+      nCells = 8))
+    assert(scoped == exact,
+      s"scopedOnly=${scoped -- exact} exactOnly=${exact -- scoped}")
+    // approximate probes: a max over FEWER pairs — per-vector max is a
+    // lower bound and the flagged set shrinks, never grows
+    val exactBy = exact.map(t => t._1 -> t).toMap
+    val approx = Dedup.semanticContaminationCellScoped(corpus, bench,
+      nCells = 8, probes = Some(1)).collect()
+    assert(approx.length == exactBy.size, "one row per corpus vector")
+    approx.foreach { r =>
+      val (_, exMax, exFlag) = exactBy(r.getLong(0))
+      if (!r.isNullAt(1))
+        assert(r.getDouble(1) <= exMax.get + 1e-9,
+          s"probed max exceeds exact max for ${r.getLong(0)}")
+      assert(r.getLong(2) <= exFlag, "approx flag must be a subset")
+    }
+    // index-routed twin: benchmark frozen on disk as a semantic index,
+    // corpus probes the stored cells — exact at full probes, and a
+    // multi-probe index (duplicate cell rows) must not change the max
+    val dir = java.nio.file.Files.createTempDirectory("graft_semcont").toString
+    Dedup.writeSemanticIndex(bench, s"$dir/idx", nCells = 4, probes = 2)
+    val viaIdx = key(Dedup.semanticContaminationAgainstIndex(spark, corpus,
+      s"$dir/idx", nCells = 4))
+    assert(viaIdx == exact,
+      s"idxOnly=${viaIdx -- exact} exactOnly=${exact -- viaIdx}")
+    // sidecar mismatch fails loudly before any read
+    assert(intercept[IllegalArgumentException](
+      Dedup.semanticContaminationAgainstIndex(spark, corpus, s"$dir/idx",
+        nCells = 8)).getMessage.contains("semantic"))
+  }
+
   test("semantic index: parameter mismatch fails loudly and a rejected append mutates nothing") {
     val emb = Tables.embeddings(spark, sf("sf0.001")).filter($"vec_id" < 100)
     val dir = java.nio.file.Files.createTempDirectory("graft_semparam").toString
