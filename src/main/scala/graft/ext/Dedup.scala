@@ -28,6 +28,24 @@ object Dedup {
     try p.store(out, null) finally out.close()
   }
 
+  /** Read one recorded parameter back from an index's sidecar (for
+    * values the index OWNS rather than validates — e.g. the id column
+    * name a compaction must order by). Fails loudly when the sidecar or
+    * the key is missing: guessing from the schema picks an arbitrary
+    * column when the layout ever grows one. */
+  private def readParam(path: String, key: String, what: String): String = {
+    val f = java.nio.file.Paths.get(path)
+    require(java.nio.file.Files.exists(f),
+      s"$what index at ${f.getParent} has no params sidecar — rebuild it with its write*Index method")
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    val v = p.getProperty(key)
+    require(v != null,
+      s"$what index sidecar at $path records no '$key' — rebuild it with its write*Index method")
+    v
+  }
+
   /** Validate probe-time parameters against an index's stored sidecar.
     * Mismatched banding/signature parameters don't error at runtime —
     * they produce incompatible hashes and silently return ~zero pairs,
@@ -46,6 +64,20 @@ object Dedup {
         s"$what index was built with $k=${p.getProperty(k)} but probed with $k=$v — " +
           "mismatched parameters hash into disjoint buckets and silently drop every pair")
     }
+  }
+
+  /** Fail loudly when a caller's frame already carries one of an
+    * operator's working column names — silently overwriting (and then
+    * dropping) a user column is the failure mode the sidecar checks
+    * exist to prevent, so the column contract gets the same
+    * fail-loud treatment. */
+  private def rejectReserved(df: DataFrame, reserved: Seq[String],
+                             what: String): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$what reserves working column name(s) ${clash.mkString(", ")} — " +
+        "rename the input column(s); the operator would silently " +
+        "overwrite and then drop them")
   }
 
   /** Exact duplicate groups via hash-groupBy on md5(text): canonical id =
@@ -80,6 +112,7 @@ object Dedup {
   def canonicalByScore(docs: DataFrame, key: Column, score: Column,
                        idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    rejectReserved(docs, Seq("_ck", "_rn", "n_copies"), "canonicalByScore")
     val keyed = docs.withColumn("_ck", key)
     val byKey = Window.partitionBy(col("_ck"))
     keyed
@@ -148,6 +181,8 @@ object Dedup {
     requireParams(s"$indexPath/params.properties", Map(
       "key" -> colTag(key), "score" -> colTag(score), "idCol" -> idCol),
       "canonical")
+    rejectReserved(newDocs, Seq("_bck", "_bcs", "ck", "_idx_best"),
+      "canonicalAgainstIndex")
     val keyed = newDocs
       .withColumn("_bck", key).withColumn("_bcs", score.cast("double"))
     val withinBest = canonicalByScore(keyed, col("_bck"), col("_bcs"), idCol)
@@ -1485,8 +1520,12 @@ object Dedup {
     * exactly the provenance that keeps replay semantics intact after
     * compaction: a window the corpus already had must never become
     * excludable (NULL stays NULL), a window batch b introduced must
-    * stay excludable by b. Legacy indexes without the column compact by
-    * plain distinct. */
+    * stay excludable by b. Legacy indexes without the column are
+    * MIGRATED in place: every window is backfilled with `batch_id =
+    * NULL` — the base-corpus tag, exactly the semantics their windows
+    * already had (never excludable) — so a stream resumed against a
+    * pre-tagging index works after one compaction instead of requiring
+    * a rebuild. */
   def compactPassageIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit = {
     require(java.nio.file.Files.exists(
@@ -1501,7 +1540,8 @@ object Dedup {
           .select(col("wk"),
             when(col("_hasNull") === 1, lit(null))
               .otherwise(col("_mb")).cast("long").as("batch_id"))
-      else keys.distinct()
+      else // legacy pre-tagging index: backfill the base-corpus tag
+        keys.distinct().withColumn("batch_id", lit(null).cast("long"))
     ).localCheckpoint() // materialize BEFORE the swap shelves the source
     graft.lineage.AtomicSwap.writeSwap(s"$path/keys")(tmp =>
       compact.write.parquet(tmp))
@@ -1523,8 +1563,18 @@ object Dedup {
       java.nio.file.Paths.get(s"$path/params.properties")),
       s"no index at $path")
     val rows = spark.read.parquet(s"$path/best")
-    val idCol = rows.columns
-      .filterNot(Set("ck", "score", "batch_id")).head
+    // the sidecar RECORDS the id column — never infer it from the
+    // schema, which silently picks an arbitrary column (and orders the
+    // tiebreak by the wrong thing) the moment the layout grows one
+    val idCol = readParam(s"$path/params.properties", "idCol", "canonical")
+    require(rows.columns.contains(idCol),
+      s"canonical index at $path records idCol=$idCol but best/ has " +
+        s"columns ${rows.columns.mkString(", ")}")
+    val leftover = rows.columns.filterNot(Set("ck", "score", "batch_id"))
+    require(leftover.sameElements(Array(idCol)),
+      s"canonical index best/ at $path carries unexpected column(s) " +
+        s"${leftover.filterNot(_ == idCol).mkString(", ")} — a hand-" +
+        "edited layout; rebuild or remove them before compacting")
     val w = Window.partitionBy(col("ck")).orderBy(col("score").desc,
       col("batch_id").asc_nulls_first, col(idCol).asc)
     val compact = rows.withColumn("_rn", row_number().over(w))
@@ -1822,9 +1872,10 @@ object Dedup {
     val idx = excludeBatchId match {
       case Some(b) =>
         require(idxRaw.columns.contains("batch_id"),
-          s"index at $indexPath has no batch_id column — it was not " +
-            "written by a batch-tagging writer, so replay exclusion " +
-            "cannot be honored")
+          s"index at $indexPath has no batch_id column — it predates " +
+            "the batch-tagging writer, so replay exclusion cannot be " +
+            "honored; run compactPassageIndex once to migrate it in " +
+            "place (legacy windows backfill as base-corpus NULL)")
         idxRaw.filter(col("batch_id").isNull || col("batch_id") =!= b)
           .select("wk")
       case None => idxRaw.select("wk")

@@ -794,6 +794,86 @@ class DedupSpec extends SparkSpec {
     assert(semPairs() == semBefore, "compaction must not change pairs")
   }
 
+  test("canonical ops reject reserved working column names up front") {
+    val key = md5($"text")
+    val score = length($"text")
+    val docs = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "text")
+    // canonicalByScore: _ck / _rn / n_copies would be silently
+    // overwritten and dropped — must fail loudly instead
+    Seq("_ck", "_rn", "n_copies").foreach { c =>
+      val msg = intercept[IllegalArgumentException](
+        Dedup.canonicalByScore(docs.withColumn(c, lit(1)), key, score)
+      ).getMessage
+      assert(msg.contains(c), s"error should name the clashing column $c")
+    }
+    // the clean frame still works
+    assert(Dedup.canonicalByScore(docs, key, score).count() == 1)
+    // canonicalAgainstIndex has its own working set (incl. the join's ck)
+    val dir = java.nio.file.Files.createTempDirectory("graft_resv").toString
+    Dedup.writeCanonicalIndex(docs, s"$dir/idx", key, score)
+    Seq("_bck", "_bcs", "ck", "_idx_best").foreach { c =>
+      val msg = intercept[IllegalArgumentException](
+        Dedup.canonicalAgainstIndex(spark, docs.withColumn(c, lit(1)),
+          s"$dir/idx", key, score)
+      ).getMessage
+      assert(msg.contains(c), s"error should name the clashing column $c")
+    }
+  }
+
+  test("legacy passage index (no batch_id) migrates in place via compaction") {
+    val all = Tables.documents(spark, sf("sf0.001")).select($"doc_id", $"text")
+    val corpus = all.filter($"doc_id" < 100)
+    val batch = all.filter($"doc_id" >= 100 && $"doc_id" < 150)
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy").toString
+    Dedup.writePassageIndex(corpus, s"$dir/idx")
+    // simulate a pre-round-12 index: strip the batch_id column off keys/
+    val legacy = spark.read.parquet(s"$dir/idx/keys").drop("batch_id")
+      .localCheckpoint()
+    graft.lineage.AtomicSwap.writeSwap(s"$dir/idx/keys")(tmp =>
+      legacy.write.parquet(tmp))
+    // a resumed stream's replay exclusion fails loudly, pointing at the
+    // migration path…
+    val msg = intercept[IllegalArgumentException](
+      Dedup.stripPassagesAgainstIndex(batch, s"$dir/idx",
+        excludeBatchId = Some(7L)).collect()).getMessage
+    assert(msg.contains("compactPassageIndex"))
+    // …and one compaction backfills the base-corpus NULL tag
+    Dedup.compactPassageIndex(spark, s"$dir/idx")
+    val keys = spark.read.parquet(s"$dir/idx/keys")
+    assert(keys.columns.contains("batch_id"))
+    assert(keys.filter($"batch_id".isNotNull).isEmpty,
+      "legacy windows are base corpus: all NULL tags")
+    // the migrated index honors exclusion AND keeps corpus windows
+    // unexcludable (NULL never matches a batch tag) — same strip result
+    // as probing without exclusion
+    val without = Dedup.stripPassagesAgainstIndex(batch, s"$dir/idx")
+      .collect().map(_.toString).sorted
+    val withEx = Dedup.stripPassagesAgainstIndex(batch, s"$dir/idx",
+        excludeBatchId = Some(7L)).collect().map(_.toString).sorted
+    assert(withEx.sameElements(without))
+  }
+
+  test("compactCanonicalIndex reads idCol from the sidecar and rejects stray columns") {
+    val key = md5(element_at(split($"text", " "), 1))
+    val score = length($"text")
+    // the id column sorts AFTER 'zz_extra' alphabetically, so schema-order
+    // inference would have picked the stray column; the sidecar must win
+    val docs = Seq((1L, "k1 a"), (2L, "k1 ab")).toDF("item_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idcol").toString
+    Dedup.writeCanonicalIndex(docs, s"$dir/idx", key, score, idCol = "item_id")
+    Dedup.compactCanonicalIndex(spark, s"$dir/idx") // sidecar-driven: works
+    val best = spark.read.parquet(s"$dir/idx/best")
+    assert(best.columns.contains("item_id"))
+    // a hand-grown layout (extra column) fails loudly instead of letting
+    // the tiebreak order by an arbitrary leftover
+    val grown = best.withColumn("zz_extra", lit(1)).localCheckpoint()
+    graft.lineage.AtomicSwap.writeSwap(s"$dir/idx/best")(tmp =>
+      grown.write.parquet(tmp))
+    val msg = intercept[IllegalArgumentException](
+      Dedup.compactCanonicalIndex(spark, s"$dir/idx")).getMessage
+    assert(msg.contains("zz_extra"))
+  }
+
   test("passage index compaction keeps earliest batch provenance (corpus NULL wins)") {
     val all = Tables.documents(spark, sf("sf0.001")).select($"doc_id", $"text")
     val corpus = all.filter($"doc_id" < 100)
