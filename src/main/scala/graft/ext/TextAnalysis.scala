@@ -606,34 +606,159 @@ object TextAnalysis {
     *
     * Rows-only correctness (the loop isn't SQL-expressible): a
     * closed-form spec pins the merge sequence on the classic
-    * low/lower/newest/widest corpus, and determinism is pinned by
-    * re-running.
+    * low/lower/newest/widest corpus, a ScalaCheck spec pins equality
+    * with an in-driver sequential reference, and a dual-path spec pins
+    * the distributed fallback ≡ the driver loop.
     *
     * Scale notes (100 TB): the corpus pass is the q44 word-count shape
     * (map-side combined, shuffle = one partial per distinct word per
-    * partition). The loop's pair-count aggregate is vocab-sized (web
-    * vocab ~10⁸ rows — fine for an aggregate), the argmax is
-    * TakeOrdered(1) (no global sort), and each round's rewrite is a
-    * narrow per-word lambda. The vocab frame is localCheckpointed per
-    * round to truncate the growing lineage (nMerges-deep plans
-    * otherwise re-derive every prior merge each action). Driver holds
-    * one row per round. */
-  def learnBpeMerges(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    * partition) — the ONLY corpus-sized work. The merge loop is
+    * count-gated on the DISTINCT-WORD vocab: under `maxDriverVocab`
+    * (any real corpus — web-scale distinct words fit the broadcast
+    * ceiling) the vocab collects ONCE and the classic in-memory trainer
+    * runs on the driver (incremental pair counts + a lazy-deletion
+    * heap), so a production 32k–50k-merge table costs ONE Spark job
+    * instead of one distributed round per merge — the round count is
+    * decoupled from nMerges. Over the gate, rounds are distributed but
+    * BATCHED: each round collects the top pairs once and accepts the
+    * longest prefix provably safe to merge together (pairwise
+    * symbol-disjoint, each count strictly above the worst-case count
+    * any earlier merge in the batch could create or inflate — created
+    * pairs are bounded by the pairs adjacent to the merged symbols, the
+    * rest by the collection cutoff), so the job count is sublinear in
+    * nMerges while the merge sequence stays EXACTLY the sequential one
+    * (a batch is only taken when no interleaving argmax is possible;
+    * worst case — all counts tied — degrades to one merge per round,
+    * never to a wrong table). */
+  def learnBpeMerges(docs: DataFrame, nMerges: Int = 10,
+                     maxDriverVocab: Long = MaxBroadcastRows,
+                     batchTopK: Int = 4096): DataFrame = {
     require(nMerges >= 1, "nMerges must be >= 1")
+    require(batchTopK >= 1, "batchTopK must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     // one corpus pass: word frequencies, then symbols = characters
-    var vocab = docs
+    val vocab0 = docs
       .select(explode(tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .select(split(col("word"), "").as("sym"), col("n"))
       .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var round = 1
-    while (round <= nMerges) {
-      // weighted adjacent-pair counts over the vocab frame
-      val best = vocab
+    val merges =
+      if (vocab0.count() <= maxDriverVocab)
+        learnMergesInMemory(
+          vocab0.collect().map(r => (r.getSeq[String](0).toArray, r.getLong(1))),
+          nMerges)
+      else learnMergesBatched(vocab0, nMerges, batchTopK)
+    merges.toDF("rank", "left", "right", "pair_count").repartition(1)
+  }
+
+  /** The classic sequential BPE trainer on the collected vocab —
+    * incremental pair-count maintenance (only words containing the
+    * merged pair are rescanned) + a lazy-deletion max-heap for the
+    * argmax, tie-break (count desc, left, right) identical to the
+    * distributed path. One driver pass per merge over the affected
+    * words only; no Spark jobs at all. */
+  private def learnMergesInMemory(rows: Array[(Array[String], Long)],
+                                  nMerges: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val words = rows.map(_._1)
+    val weight = rows.map(_._2)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // max-heap on (count, left, right): highest count first, ties to the
+    // lexicographically smallest pair — the sequential argmax rule
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = b._2.compareTo(a._2)
+          if (l != 0) l else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    def contribute(i: Int, sign: Long): mutable.Set[(String, String)] = {
+      val touched = mutable.HashSet.empty[(String, String)]
+      val sym = words(i)
+      var j = 0
+      while (j < sym.length - 1) {
+        val p = (sym(j), sym(j + 1))
+        val nc = pairCounts.getOrElse(p, 0L) + sign * weight(i)
+        if (nc == 0L) pairCounts.remove(p) else pairCounts(p) = nc
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        else pairWords.get(p).foreach { s =>
+          // only drop the word when the rewritten form no longer holds
+          // the pair — contribute(+1) re-adds it right after
+          s -= i; if (s.isEmpty) pairWords.remove(p)
+        }
+        touched += p
+        j += 1
+      }
+      touched
+    }
+    words.indices.foreach(i => contribute(i, 1L))
+    pairCounts.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+    val out = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    while (out.size < nMerges && heap.nonEmpty) {
+      val (c, l, r) = heap.dequeue()
+      // lazy deletion: stale entries no longer match the live count
+      if (pairCounts.get((l, r)).contains(c)) {
+        out += ((out.size + 1L, l, r, c))
+        val affected = pairWords.get((l, r)).map(_.toArray).getOrElse(Array.empty)
+        val touched = mutable.HashSet.empty[(String, String)]
+        affected.foreach { i =>
+          touched ++= contribute(i, -1L)
+          words(i) = mergeSeqInPlace(words(i), l, r)
+          touched ++= contribute(i, 1L)
+        }
+        touched.foreach { p =>
+          pairCounts.get(p).foreach(nc => heap.enqueue((nc, p._1, p._2)))
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Leftmost-first non-overlapping merge of (l, r) in a symbol array —
+    * the driver twin of [[mergePair]], same single-accumulator fold. */
+  private def mergeSeqInPlace(sym: Array[String], l: String,
+                              r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](sym.length)
+    sym.foreach { s =>
+      if (out.nonEmpty && out.last == l && s == r)
+        out(out.length - 1) = l + r
+      else out += s
+    }
+    out.toArray
+  }
+
+  /** Over-gate distributed trainer: one pair-count aggregate + top-K
+    * collect per ROUND, each round applying the longest provably-safe
+    * prefix of the count-ordered pair list in one vocab rewrite. A
+    * prefix pair is safe when (a) its symbols (and its merged symbol)
+    * are disjoint from every earlier accepted merge — so its count is
+    * unchanged by them — and (b) its count strictly exceeds the MAX of
+    * the earlier merges' created-pair bounds plus the collection cutoff
+    * — a pair created by merge i is bounded by the pairs adjacent to
+    * i's symbols (a pair bridging two merges is bounded by the pre-
+    * existing pair between them, itself adjacent to both), and a
+    * sub-cutoff pair inflated by a merged-symbol collision by cutoff +
+    * that same bound — so nothing an earlier merge creates or inflates
+    * can outrank it. The first failure closes the batch, so accepted
+    * merges are consecutive sequential argmaxes with their exact
+    * counts: isolated high-count digrams batch by the hundreds, while
+    * densely-adjacent heads (natural-language letter pairs) degrade
+    * toward one merge per round — exactness is never traded. */
+  private def learnMergesBatched(vocabIn: DataFrame, nMerges: Int,
+                                 batchTopK: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    var vocab = vocabIn
+    val merges = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var saturated = false
+    while (merges.size < nMerges && !saturated) {
+      val top = vocab
         .select(col("n"), explode(
           zip_with(slice(col("sym"), lit(1), size(col("sym")) - 1),
             slice(col("sym"), lit(2), size(col("sym")) - 1),
@@ -641,19 +766,60 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("n")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty) round = nMerges + 1 // every word is one symbol
+        .limit(batchTopK)
+        .collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      if (top.isEmpty) saturated = true
       else {
-        val (l, r, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((merges.size + 1L, l, r, c))
-        vocab = vocab.select(mergePair(col("sym"), l, r).as("sym"), col("n"))
-          .localCheckpoint()
-        round += 1
+        // pairs beyond the collected K can hold at most the cutoff count
+        val cutoff = if (top.length < batchTopK) 0L else top.last._3
+        val symbolsInTop =
+          top.iterator.flatMap(t => Iterator(t._1, t._2)).toSet
+        def adjBound(l: String, r: String, c: Long): Long = {
+          // a merge of (l, r) creates pairs from occurrences adjacent to
+          // it: (x, l·r) bounded by count(x, l), (l·r, y) by count(r, y)
+          val adj = top.iterator.collect {
+            case (x, y, cc) if (y == l || x == r) && (x, y) != ((l, r)) => cc
+          }
+          math.min(c, (adj ++ Iterator(cutoff)).max)
+        }
+        val used = mutable.HashSet.empty[String]
+        val accepted = mutable.ArrayBuffer.empty[(String, String, Long)]
+        var boundMax = 0L
+        var open = true
+        top.iterator.takeWhile(_ => open && merges.size + accepted.size < nMerges)
+          .foreach { case (l, r, c) =>
+            val m = l + r
+            val safe =
+              if (accepted.isEmpty) !symbolsInTop.contains(m)
+              else !used.contains(l) && !used.contains(r) &&
+                !used.contains(m) && !symbolsInTop.contains(m) &&
+                c > boundMax + cutoff
+            if (accepted.isEmpty || safe) {
+              accepted += ((l, r, c))
+              used ++= Seq(l, r, m)
+              boundMax = math.max(boundMax, adjBound(l, r, c))
+            }
+            // a merged symbol colliding with a live top-K symbol makes
+            // later counts unboundable from the collected list — close
+            // the batch after the (unconditional) first argmax
+            if (!safe) open = false
+          }
+        accepted.foreach { case (l, r, c) =>
+          merges += ((merges.size + 1L, l, r, c))
+        }
+        // chunk the rewrite fold (the bpeTokenCounts discipline): a
+        // several-hundred-merge batch must not build one batch-deep
+        // expression tree for the analyzer to walk
+        vocab = accepted.grouped(BpeCheckpointEvery).foldLeft(vocab) {
+          case (v, chunk) =>
+            chunk.foldLeft(v) { case (vv, (l, r, _)) =>
+              vv.select(mergePair(col("sym"), l, r).as("sym"), col("n"))
+            }.localCheckpoint()
+        }
       }
     }
-    merges.toSeq.toDF("rank", "left", "right", "pair_count")
-      .repartition(1)
+    merges.toSeq
   }
 
   /** Leftmost-first non-overlapping merge of the (l, r) symbol pair in a

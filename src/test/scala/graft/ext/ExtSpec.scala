@@ -1151,6 +1151,84 @@ class ExtSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  // ~700 distinct 4–6 letter words over a 6-letter alphabet, counts
+  // varied by index — deterministic, and deep enough that a 256-merge
+  // table never saturates
+  private lazy val bpeDeepCorpus = {
+    val alpha = "abcdef"
+    // base-6 5-digit encodings of 0..699: 700 genuinely distinct words
+    val words = (0 until 700).map { i =>
+      var (v, s) = (i, List.empty[Char])
+      (0 until 5).foreach { _ => s = alpha(v % 6) :: s; v /= 6 }
+      s.mkString
+    }
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(i % 7 + 1)(w) }.mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("BPE trainer: distributed batched path equals the driver loop at 256 merges") {
+    // the over-gate fallback (forced via maxDriverVocab = 0) must emit
+    // the EXACT sequential merge table — batching is only ever a prefix
+    // of consecutive argmaxes, never a reordering. The parquet fixture
+    // has only 31 distinct words (saturates at ~90 merges), so train on
+    // a deterministic synthetic vocab deep enough for 256
+    val corpus = bpeDeepCorpus
+    val driver = TextAnalysis.learnBpeMerges(corpus, nMerges = 256).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(driver.size == 256, s"fixture saturated early: ${driver.size}")
+    val dist = TextAnalysis.learnBpeMerges(corpus, nMerges = 256,
+        maxDriverVocab = 0L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(dist == driver,
+      s"first divergence: ${dist.zip(driver).find(p => p._1 != p._2)}")
+  }
+
+  test("BPE trainer job count is decoupled from nMerges") {
+    // the q44 instrumented-listener pattern: count Spark jobs during a
+    // 256-merge train. The driver path pays one corpus pass (a constant
+    // handful of jobs), NOT one round per merge; the batched fallback
+    // stays sublinear (one aggregate per accepted batch).
+    class Counter extends org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def countJobs(body: => Unit): Int = {
+      val c = new Counter
+      spark.sparkContext.addSparkListener(c)
+      try { body; Thread.sleep(200) } // let queued listener events drain
+      finally spark.sparkContext.removeSparkListener(c)
+      c.jobs.get()
+    }
+    val corpus = bpeDeepCorpus.localCheckpoint()
+    val driverJobs = countJobs(
+      TextAnalysis.learnBpeMerges(corpus, nMerges = 256).collect())
+    assert(driverJobs < 16,
+      s"driver-loop path ran $driverJobs jobs for 256 merges — the round " +
+        "count is coupled to nMerges again")
+    // the batched fallback's safety bound engages where the top pairs
+    // are adjacency-isolated: 256 disjoint digram words with strictly
+    // decreasing counts batch in a handful of rounds. (On densely-
+    // adjacent vocabularies batches legitimately shrink toward 1 —
+    // exactness is pinned by the dual-path spec above.)
+    val isolated = Seq((1L, (0 until 256).flatMap { i =>
+      val w = "" + (0x3041 + 2 * i).toChar + (0x3042 + 2 * i).toChar
+      Seq.fill(1000 - 3 * i)(w)
+    }.mkString(" "))).toDF("doc_id", "text").localCheckpoint()
+    val distJobs = countJobs {
+      val m = TextAnalysis.learnBpeMerges(isolated, nMerges = 256,
+        maxDriverVocab = 0L).collect()
+      assert(m.length == 256, s"expected 256 merges, got ${m.length}")
+    }
+    assert(distJobs < 64,
+      s"batched fallback ran $distJobs jobs for 256 isolated merges — " +
+        "batching is not engaging")
+  }
+
   test("pair-set fidelity normalizes orientation and duplicate rows") {
     // the incremental ops emit (corpus id, batch id) unordered — a
     // reversed pair and a repeated row must compare as the same set
