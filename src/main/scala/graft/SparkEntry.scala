@@ -473,6 +473,23 @@ object SparkEntry {
         .select(col("vec_id"), col("cell").cast("long").as("cell"),
           col("grp_rank"))
     }),
+    // q72 through the FROZEN-quantizer index ladder: build the
+    // balanced-sample index once (content-fingerprint cache, the q21
+    // discipline), then sample against its stored centroids — on the
+    // training corpus this equals q72 exactly (spec-pinned), so the
+    // driver re-checks the frozen path's parity every round.
+    // Rows-only for the same reason as q72
+    "q74_balanced_sample_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.embeddings(s, dir).drop("label")
+      val idx = ext.Sampling.ensureBalancedSampleIndex(e,
+        "/tmp/graft_bal_cache", s"$dir/embeddings.parquet",
+        perCell = 5, nCells = 8)
+      ext.Sampling.balancedSampleAgainstIndex(s, e, idx,
+        perCell = 5, nCells = 8)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("grp_rank"))
+    }),
     // north-star observability: unigram-distribution drift between two
     // corpus slices (per-source here — the recrawl/mix monitoring
     // metric): JS divergence + vocabulary overlap, one row

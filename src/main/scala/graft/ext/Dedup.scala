@@ -21,7 +21,7 @@ object Dedup {
 
   /** Write a params sidecar next to an on-disk index (properties file,
     * written LAST so its presence implies a complete index). */
-  private def writeParams(path: String, params: Map[String, String]): Unit = {
+  private[ext] def writeParams(path: String, params: Map[String, String]): Unit = {
     val p = new java.util.Properties()
     params.foreach { case (k, v) => p.setProperty(k, v) }
     val out = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))
@@ -33,7 +33,7 @@ object Dedup {
     * name a compaction must order by). Fails loudly when the sidecar or
     * the key is missing: guessing from the schema picks an arbitrary
     * column when the layout ever grows one. */
-  private def readParam(path: String, key: String, what: String): String = {
+  private[ext] def readParam(path: String, key: String, what: String): String = {
     val f = java.nio.file.Paths.get(path)
     require(java.nio.file.Files.exists(f),
       s"$what index at ${f.getParent} has no params sidecar — rebuild it with its write*Index method")
@@ -51,7 +51,7 @@ object Dedup {
     * they produce incompatible hashes and silently return ~zero pairs,
     * which is indistinguishable from a clean batch — so the mismatch
     * must fail loudly here instead. */
-  private def requireParams(path: String, expected: Map[String, String],
+  private[ext] def requireParams(path: String, expected: Map[String, String],
                             what: String): Unit = {
     val f = java.nio.file.Paths.get(path)
     require(java.nio.file.Files.exists(f),
@@ -71,7 +71,7 @@ object Dedup {
     * dropping) a user column is the failure mode the sidecar checks
     * exist to prevent, so the column contract gets the same
     * fail-loud treatment. */
-  private def rejectReserved(df: DataFrame, reserved: Seq[String],
+  private[ext] def rejectReserved(df: DataFrame, reserved: Seq[String],
                              what: String): Unit = {
     val clash = df.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,

@@ -252,13 +252,17 @@ object Sampling {
     * all-pairs); the sampling itself is ONE shuffle, the cap window on
     * `cell`. nCells is the reducer fan-out — size it like any grouping
     * dimension; a pathological cell (near-duplicate flood) concentrates
-    * one reducer, and the escape is the same as q43's: pre-filter each
-    * cell to an oversampled md5-prefix with `presampleForCap` on the
-    * assigned frame before the exact window. */
+    * one reducer, and the escape is the same as q43's, wired here as
+    * `presampleOversample`: pre-filter each cell to an oversampled
+    * md5-prefix with `presampleForCap` on the assigned frame before the
+    * exact window (selection is identical whenever the pre-sample keeps
+    * ≥ perCell rows per cell — the pinned two-phase lemma). */
   def balancedSampleByCluster(emb: DataFrame, perCell: Int,
                               nCells: Int = 16, iters: Int = 5,
-                              seed: Long = 42L): DataFrame = {
+                              seed: Long = 42L,
+                              presampleOversample: Option[Double] = None): DataFrame = {
     require(perCell >= 1, "perCell must be >= 1")
+    Dedup.rejectReserved(emb, Seq("cell", "grp_rank"), "balancedSampleByCluster")
     // an empty corpus can't train a quantizer (assignCells requires
     // centroids) — the semanticDedupPairs empty-input precedent: return
     // the empty sample, shaped, instead of crashing in training
@@ -266,7 +270,158 @@ object Sampling {
       return emb.withColumn("cell", lit(0).cast("int"))
         .withColumn("grp_rank", lit(0L)).limit(0)
     val cents = Similarity.kmeansCentroids(emb, nCells, iters, seed)
-    capPerGroup(Similarity.assignCells(emb, cents), "cell", "vec_id", perCell)
+    cappedByCell(Similarity.assignCells(emb, cents), perCell, presampleOversample)
+  }
+
+  /** The shared cap tail of the balanced-sample family: optional
+    * two-phase pre-filter (the q43 escape, on the `cell` column), then
+    * the exact md5-order window. */
+  private def cappedByCell(assigned: DataFrame, perCell: Int,
+                           presampleOversample: Option[Double]): DataFrame = {
+    val pre = presampleOversample match {
+      case Some(ov) => presampleForCap(assigned, "cell", "vec_id", perCell, ov)
+      case None     => assigned
+    }
+    capPerGroup(pre, "cell", "vec_id", perCell)
+  }
+
+  /** Persist the balanced-sample state for INCREMENTAL cluster-balanced
+    * downsampling: the trained quantizer (`centroids`) and the current
+    * kept sample (`sample`: vec_id, e, cell — at most perCell rows per
+    * cell), parquet under `path` — the sampling member of the on-disk
+    * index ladder (`writeSemanticIndex` / `writeMinhashIndex` /
+    * `writePassageIndex`). Training runs ONCE per corpus version; each
+    * ingest batch then assigns itself to the FROZEN cells and competes
+    * for the per-cell slots, so a recurring mix job never re-pays the
+    * `iters` training passes (the round-12 gap: per-call training on
+    * every run). The quantizer drifts as the corpus grows — re-run this
+    * writer at the reference's mart-rebuild cadence (stage-then-swap,
+    * load_sales_history.py:201-238) rather than ingesting forever.
+    *
+    * Params sidecar (perCell, nCells, iters, seed) is written LAST —
+    * its presence implies a complete index; probe/ingest calls validate
+    * against it before touching data (the pinned append rule: a
+    * mismatched perCell would silently maintain the wrong quota).
+    *
+    * Scale notes (100 TB): training is `iters` narrow assignment passes
+    * + a k-row aggregate each; the sample write is the one cap-window
+    * shuffle; the stored `sample` relation is ≤ nCells·perCell rows —
+    * bounded state, like the canonical index's distinct-key bound. */
+  def writeBalancedSampleIndex(emb: DataFrame, path: String, perCell: Int,
+                               nCells: Int = 16, iters: Int = 5,
+                               seed: Long = 42L,
+                               presampleOversample: Option[Double] = None): Unit = {
+    require(perCell >= 1, "perCell must be >= 1")
+    val spark = emb.sparkSession
+    val cents = Similarity.kmeansCentroids(emb, nCells, iters, seed)
+    spark.createDataFrame(cents.toSeq.zipWithIndex.map { case (c, i) =>
+        (i, c.toSeq) })
+      .toDF("cell", "e")
+      .repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+    val nv = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    cappedByCell(Similarity.assignCells(nv, cents, embCol = "e"),
+        perCell, presampleOversample)
+      .select(col("vec_id"), col("e"), col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sample")
+    Dedup.writeParams(s"$path/params.properties", Map(
+      "perCell" -> perCell.toString, "nCells" -> nCells.toString,
+      "iters" -> iters.toString, "seed" -> seed.toString))
+  }
+
+  /** Balanced sample of a frame under an index's FROZEN quantizer — no
+    * retraining: assign to the stored centroids (k-sized collect), then
+    * the same optional-presample + exact cap window as the per-call op.
+    * On the corpus the index was trained on this equals
+    * `balancedSampleByCluster` exactly (spec-pinned — centroids round-
+    * trip parquet doubles losslessly); on a grown corpus it is the
+    * frozen-quantizer sample the ingest ladder maintains
+    * incrementally. */
+  def balancedSampleAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                 emb: DataFrame, indexPath: String,
+                                 perCell: Int, nCells: Int = 16,
+                                 presampleOversample: Option[Double] = None): DataFrame = {
+    Dedup.requireParams(s"$indexPath/params.properties", Map(
+      "perCell" -> perCell.toString, "nCells" -> nCells.toString),
+      "balanced-sample")
+    Dedup.rejectReserved(emb, Seq("cell", "grp_rank"),
+      "balancedSampleAgainstIndex")
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    cappedByCell(Similarity.assignCells(emb, cents), perCell,
+      presampleOversample)
+  }
+
+  /** One balanced-sample ingest cycle against an on-disk index — the
+    * sampling member of the `ingestDedupBatch` family: assign the batch
+    * to the FROZEN quantizer, let it compete with the stored sample for
+    * the per-cell slots (one md5-order window over sample ∪ batch —
+    * bounded by nCells·perCell + |batch| rows, never corpus-sized),
+    * hand the batch rows that WON slots to `accept`, and swap the
+    * stored sample to the merged winners. Because per-cell top-k by a
+    * fixed total order is mergeable — top_k(A ∪ B) = top_k(top_k(A) ∪
+    * B) — the maintained sample is EXACTLY the frozen-quantizer sample
+    * of everything ever ingested (`balancedSampleAgainstIndex` on the
+    * union; spec-pinned), and a REPLAYED batch is idempotent: its rows
+    * are already stored or already outranked, so both the sample and
+    * the accepted set reproduce bit-for-bit (which is what lets the
+    * streaming twin land accepted rows batch-keyed with overwrite).
+    * Unlike the append-only indexes, a merge can DISPLACE stored rows —
+    * the sample rewrite goes through `AtomicSwap.writeSwap` (the mart
+    * publish mechanism, load_sales_history.py:201-238): a crash leaves
+    * the previous complete sample. Duplicate vec_ids within a batch,
+    * or a batch vec_id re-used with a different embedding, are the
+    * caller's contract (the `appendAnnIndex` rule). */
+  def ingestBalancedSampleBatch(spark: org.apache.spark.sql.SparkSession,
+                                newEmb: DataFrame, indexPath: String,
+                                perCell: Int, nCells: Int = 16,
+                                accept: DataFrame => Unit = _ => ()): DataFrame = {
+    Dedup.requireParams(s"$indexPath/params.properties", Map(
+      "perCell" -> perCell.toString, "nCells" -> nCells.toString),
+      "balanced-sample")
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val assigned = Similarity.assignCells(
+        newEmb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e")),
+        cents, embCol = "e")
+      .select(col("vec_id"), col("e"), col("cell"))
+    val stored = spark.read.parquet(s"$indexPath/sample")
+    // a replayed batch's rows are already stored — dedup BEFORE ranking
+    // so one vector never occupies two slots (rows are identical: same
+    // e, same frozen cell)
+    val kept = capPerGroup(
+        stored.unionByName(assigned).dropDuplicates("vec_id"),
+        "cell", "vec_id", perCell)
+      .drop("grp_rank")
+      .localCheckpoint() // materialize BEFORE the swap shelves its source
+    val accepted = kept.join(assigned.select(col("vec_id")), "vec_id")
+    accept(accepted)
+    graft.lineage.AtomicSwap.writeSwap(s"$indexPath/sample")(tmp =>
+      kept.write.parquet(tmp))
+    accepted
+  }
+
+  /** Content-versioned, concurrency-safe balanced-sample index cache —
+    * the `ensureIvfIndex` ladder (monitor → file lock → re-check →
+    * atomic adopt; see its scaladoc for the race analysis) applied to
+    * the quantizer+sample artifact. Keyed on the source's content
+    * fingerprint AND the quota parameters, so a regenerated fixture or
+    * a different (perCell, nCells) can never probe a stale index. */
+  def ensureBalancedSampleIndex(emb: DataFrame, cacheRoot: String,
+                                sourcePath: String, perCell: Int,
+                                nCells: Int = 16, iters: Int = 5,
+                                seed: Long = 42L): String = {
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"bal${perCell}_${nCells}_${Similarity.pathFingerprint(sourcePath)}")
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writeBalancedSampleIndex(emb, tmp, perCell, nCells, iters, seed))
+    idx.toString
   }
 
   /** Train/val/test split assignment from cumulative percentage bounds

@@ -241,12 +241,10 @@ object Similarity {
   def ensureIvfIndex(emb: DataFrame, cacheRoot: String, sourcePath: String,
                      nCells: Int = 16, iters: Int = 5,
                      seed: Long = 42L): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
-    val idx = Paths.get(cacheRoot, s"ivf_${pathFingerprint(sourcePath)}")
-    if (!Files.exists(idx.resolve("centroids")))
-      buildMonitor(idx.toString).synchronized {
-        buildIvfUnderFileLock(emb, idx, nCells, iters, seed)
-      }
+    val idx = java.nio.file.Paths.get(
+      cacheRoot, s"ivf_${pathFingerprint(sourcePath)}")
+    ensureCachedIndex(idx, "centroids")(tmp =>
+      writeIvfIndex(emb, tmp, nCells, iters, seed))
     idx.toString
   }
 
@@ -264,11 +262,19 @@ object Similarity {
   private def buildMonitor(key: String): Object =
     buildMonitors(math.floorMod(key.hashCode, buildMonitors.length))
 
-  private def buildIvfUnderFileLock(emb: DataFrame, idx: java.nio.file.Path,
-                                    nCells: Int, iters: Int,
-                                    seed: Long): Unit = {
+  /** Generic content-cached index build behind the full locking ladder
+    * (monitor → file lock → re-check → pid-staged build → atomic
+    * adopt) — the `ensureIvfIndex` machinery factored out so every
+    * fingerprint-cached index (IVF, balanced-sample quantizer) shares
+    * one audited implementation instead of re-deriving the race
+    * analysis. `marker` names the artifact the writer emits LAST, so
+    * its presence implies a complete index (the sidecar rule). `build`
+    * must write a complete index under the staging path it is given. */
+  private[ext] def ensureCachedIndex(idx: java.nio.file.Path, marker: String)
+                                    (build: String => Unit): Unit = {
     import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
-    {
+    if (Files.exists(idx.resolve(marker))) return
+    buildMonitor(idx.toString).synchronized {
       Files.createDirectories(idx.getParent)
       val lockPath = idx.resolveSibling(s"${idx.getFileName}.lock")
       val ch = java.nio.channels.FileChannel.open(lockPath,
@@ -279,12 +285,12 @@ object Similarity {
           // re-check under the lock: a builder that held it before us may
           // have adopted a complete index — that's a cache hit, and
           // deleting it here was exactly the pre-lock race hazard
-          if (!Files.exists(idx.resolve("centroids"))) {
+          if (!Files.exists(idx.resolve(marker))) {
             graft.lineage.AtomicSwap.deleteRecursive(idx)
             val staging = idx.resolveSibling(
               s"${idx.getFileName}.staging_${ProcessHandle.current().pid}")
             graft.lineage.AtomicSwap.deleteRecursive(staging)
-            writeIvfIndex(emb, staging.toString, nCells, iters, seed)
+            build(staging.toString)
             try Files.move(staging, idx, StandardCopyOption.ATOMIC_MOVE)
             catch {
               case _: java.nio.file.FileAlreadyExistsException |

@@ -258,6 +258,46 @@ object EventStream {
         }
       }
 
+  /** Streaming cluster-balanced downsampling — the sampling twin of
+    * `ingestSemanticDedupStream`: each micro-batch of vectors competes
+    * with the on-disk sample for the per-cell quota slots under the
+    * index's FROZEN quantizer
+    * ([[graft.ext.Sampling.ingestBalancedSampleBatch]]); the batch rows
+    * that win slots land in `acceptedPath`, and the stored sample swaps
+    * to the merged winners. State is the ≤ nCells·perCell-row sample
+    * relation on disk, not executor memory, and the maintained sample
+    * is exactly the frozen-quantizer balanced sample of everything ever
+    * streamed (the mergeable-top-k argument in the batch op's
+    * scaladoc).
+    *
+    * Delivery: a replayed batch reproduces both the sample and its
+    * accepted set bit-for-bit (already-stored rows re-win their slots;
+    * outranked rows stay outranked), so accepted rows land in a
+    * batch-id-keyed subdirectory with overwrite — effectively
+    * exactly-once, the `ingestStripStream` landing contract without
+    * needing batch-tag exclusion. Consumers read `acceptedPath` as a
+    * partitioned table, but note rows accepted at batch N can be
+    * DISPLACED by batch N+k — the authoritative sample is the index's
+    * `sample` relation, not the accepted log (which records admission
+    * history). The index must be owned by this one stream. */
+  def ingestBalancedSampleStream(emb: DataFrame, indexPath: String,
+                                 acceptedPath: String, checkpoint: String,
+                                 perCell: Int,
+                                 nCells: Int = 16): DataStreamWriter[Row] =
+    emb.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Sampling.ingestBalancedSampleBatch(batch.sparkSession,
+            batch, indexPath, perCell, nCells,
+            accept = _.write.mode(SaveMode.Overwrite)
+              .parquet(s"$acceptedPath/batch_id=$batchId"))
+          ()
+        }
+      }
+
   def sinkToPartitionedLake(agg: DataFrame, lakePath: String,
                             checkpoint: String): DataStreamWriter[Row] =
     agg.writeStream

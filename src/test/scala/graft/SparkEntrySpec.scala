@@ -21,7 +21,8 @@ class SparkEntrySpec extends SparkSpec {
       "q29_sim_lsh", "q32_dedup_embedding_ann", "q34_dedup_corpus_cc",
       "q42_curation_funnel", "q51_curation_hygiene", "q52_dedup_semantic",
       "q53_sim_pq", "q62_bpe_merges", "q63_bpe_token_counts",
-      "q65_contamination_bloom", "q72_balanced_sample"),
+      "q65_contamination_bloom", "q72_balanced_sample",
+      "q74_balanced_sample_indexed"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

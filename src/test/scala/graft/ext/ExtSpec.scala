@@ -614,6 +614,68 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("balanced-sample index: frozen-quantizer probe equals per-call training") {
+    val e = emb.drop("label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_balidx").toString
+    Sampling.writeBalancedSampleIndex(e, s"$dir/idx", perCell = 3, nCells = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cell", $"grp_rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val direct = rows(Sampling.balancedSampleByCluster(e, perCell = 3, nCells = 4))
+    val frozen = rows(Sampling.balancedSampleAgainstIndex(spark, e, s"$dir/idx",
+      perCell = 3, nCells = 4))
+    assert(frozen == direct,
+      "against-index on the training corpus must equal per-call training")
+    // the stored sample relation IS the capped selection
+    val stored = spark.read.parquet(s"$dir/idx/sample")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(stored == direct.map(_._1).toSet)
+    // mismatched quota/quantizer params fail loudly BEFORE touching data
+    intercept[IllegalArgumentException] {
+      Sampling.balancedSampleAgainstIndex(spark, e, s"$dir/idx",
+        perCell = 3, nCells = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.ingestBalancedSampleBatch(spark, e, s"$dir/idx",
+        perCell = 5, nCells = 4)
+    }
+    // the presample escape selects the identical set on both paths
+    assert(rows(Sampling.balancedSampleByCluster(e, perCell = 3, nCells = 4,
+      presampleOversample = Some(4.0))) == direct)
+    assert(rows(Sampling.balancedSampleAgainstIndex(spark, e, s"$dir/idx",
+      perCell = 3, nCells = 4, presampleOversample = Some(4.0))) == direct)
+  }
+
+  test("balanced-sample ingest is decision-preserving and replay-idempotent") {
+    val e = emb.drop("label")
+    val seed = e.filter($"vec_id" < 25)
+    val batch = e.filter($"vec_id" >= 25).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft_baling").toString
+    Sampling.writeBalancedSampleIndex(seed, s"$dir/idx", perCell = 2, nCells = 4)
+    val accepted1 = Sampling.ingestBalancedSampleBatch(spark, batch, s"$dir/idx",
+        perCell = 2, nCells = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    // the maintained sample == the frozen-quantizer sample of the union
+    // (mergeable top-k), and accepted == its batch-side members
+    val expected = Sampling.balancedSampleAgainstIndex(spark, e, s"$dir/idx",
+        perCell = 2, nCells = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    val stored1 = spark.read.parquet(s"$dir/idx/sample")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(stored1 == expected,
+      s"incremental sample diverged from the monolithic union sample")
+    assert(accepted1 == expected.filter(_ >= 25L), s"accepted: $accepted1")
+    assert(accepted1.nonEmpty, "fixture should admit some batch rows")
+    // replay: same batch again — sample unchanged, accepted reproduced
+    val accepted2 = Sampling.ingestBalancedSampleBatch(spark, batch, s"$dir/idx",
+        perCell = 2, nCells = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    val stored2 = spark.read.parquet(s"$dir/idx/sample")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(stored2 == stored1, "replay must not change the stored sample")
+    assert(accepted2 == accepted1, "replay must reproduce the accepted set")
+  }
+
   test("per-group quota cap is deterministic and respects the cap") {
     val d = (0L until 20L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("doc_id", "grp")

@@ -166,6 +166,43 @@ class EventStreamSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 10L, 21L), s"index vectors: $indexed")
   }
 
+  test("streaming balanced-sample ingest maintains the per-cell quota across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_bal").toString
+    def v(hot: Int): Array[Float] = Array.tabulate(8)(i => if (i == hot) 1f else 0f)
+    // seed corpus trains the quantizer ONCE (2 cells, 1 slot each)
+    val corpus = Seq((1L, v(0)), (2L, v(4))).toDF("vec_id", "embedding")
+      .localCheckpoint()
+    graft.ext.Sampling.writeBalancedSampleIndex(corpus, s"$dir/idx",
+      perCell = 1, nCells = 2)
+    val mem = MemoryStream[IngestVec]
+    def drain(): Unit = {
+      val q = EventStream.ingestBalancedSampleStream(mem.toDF(), s"$dir/idx",
+        s"$dir/accepted", s"$dir/ckpt", perCell = 1, nCells = 2).start()
+      q.awaitTermination()
+    }
+    mem.addData(IngestVec(10L, v(0)), IngestVec(11L, v(4)))
+    drain()
+    mem.addData(IngestVec(20L, v(0)), IngestVec(21L, v(4)))
+    drain()
+    // the maintained sample is EXACTLY the frozen-quantizer balanced
+    // sample of everything ever seen (mergeable top-k)
+    val all = corpus.unionByName(
+      Seq((10L, v(0)), (11L, v(4)), (20L, v(0)), (21L, v(4)))
+        .toDF("vec_id", "embedding"))
+    val expected = graft.ext.Sampling.balancedSampleAgainstIndex(spark, all,
+        s"$dir/idx", perCell = 1, nCells = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val stored = spark.read.parquet(s"$dir/idx/sample")
+      .select("vec_id").as[Long].collect().toSet
+    assert(stored == expected, s"stored $stored vs expected $expected")
+    assert(stored.size == 2, s"one slot per cell: $stored")
+    // accepted lands batch-keyed; every accepted row won a slot at its
+    // batch (admission history — later batches may displace)
+    val accepted = spark.read.parquet(s"$dir/accepted")
+    assert(accepted.columns.contains("batch_id"))
+  }
+
   test("watermarked windowed agg finalizes windows and drops late rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
