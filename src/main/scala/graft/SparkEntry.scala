@@ -391,6 +391,18 @@ object SparkEntry {
           size(split(col("text"), " ")).cast("long").as("n_tok")),
         "lang", "doc_id", "n_tok", budget = 500L)
     }),
+    // north-star data mixing, scale path: the TWO-PHASE token budget
+    // (oversampled md5-prefix pre-filter sized from budget/Σtokens, then
+    // the exact running-sum window) — selects the identical set to the
+    // one-phase window, so its oracle is q45's SQL shape; budget 200
+    // makes the pre-filter actually bite
+    "q75_token_budget_two_phase" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      ext.Sampling.capTokensPerGroupTwoPhase(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "lang", "doc_id", "n_tok", budget = 200L)
+    }),
     // north-star data mixing: deterministic fractional-epoch repetition
     // (repeat src0 2.5x, halve src1, drop src2, everything else 1x) —
     // binary-exact weights so the hash-parity claim is cross-engine
@@ -902,6 +914,19 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, lang, n_tok, cum_tokens FROM c
         |WHERE cum_tokens - n_tok < 500""".stripMargin,
+    // the two-phase token budget must select the IDENTICAL set to the
+    // one-phase window, so its oracle is the plain running-sum SQL — the
+    // oracle compare is exactly the equality claim (the q43 rule)
+    "q75_token_budget_two_phase" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |  CAST(SUM(n_tok) OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, lang, n_tok, cum_tokens FROM c
+        |WHERE cum_tokens - n_tok < 200""".stripMargin,
     // raw 32-bit md5 prefix vs frac·2^32 (no percent quantization);
     // binary-exact weights keep frac·2^32 exact in IEEE on both engines
     "q46_epoch_weights" ->

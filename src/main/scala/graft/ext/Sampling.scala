@@ -99,8 +99,9 @@ object Sampling {
     *
     * Scale note: one window shuffle on the group key, exactly
     * `capPerGroup`'s shape — and the same two-phase escape applies when
-    * groups are few and huge (pre-filter on an oversampled md5-prefix
-    * threshold derived from budget/avg-tokens, then this exact window). */
+    * groups are few and huge: `capTokensPerGroupTwoPhase` pre-filters on
+    * an oversampled md5-prefix threshold derived from budget/avg-tokens,
+    * then runs this exact window on the remainder. */
   def capTokensPerGroup(df: DataFrame, groupCol: String, idCol: String,
                         tokenCol: String, budget: Long): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
@@ -108,6 +109,62 @@ object Sampling {
     df.withColumn("cum_tokens", sum(col(tokenCol)).over(w).cast("long"))
       .filter(col("cum_tokens") - col(tokenCol) < budget)
   }
+
+  /** Phase 1 of the two-phase TOKEN budget — `presampleForCap`'s lemma,
+    * token-weighted: the one-phase kept set is a PREFIX of the (md5, id)
+    * order (the predecessors' running sum is monotone along it), with
+    * expected length ≈ budget/avg-tokens + 1 boundary row, so keeping
+    * each group's rows whose 32-bit md5 prefix falls under an
+    * `oversample`-inflated estimate of that prefix's hash-space share —
+    * budget/Σtokens + 1/n of 2³² — retains a true selection-order prefix
+    * that contains the kept rows with shortfall probability decaying
+    * exponentially in the oversample (a group of zero total tokens keeps
+    * everything: every row starts at 0, all are under any positive
+    * budget).
+    *
+    * Scale note: one map-side-combined (count, sum) aggregate over the
+    * corpus; thresholds are |groups| rows broadcast back; the filter is
+    * a narrow projection. The fraction is clamped to 1 BEFORE scaling by
+    * 2³² so the threshold arithmetic stays finite (ANSI mode: an
+    * Infinity→long cast throws). NULL-SAFE join on the group, as in
+    * `presampleForCap`. */
+  def presampleForTokenBudget(df: DataFrame, groupCol: String, idCol: String,
+                              tokenCol: String, budget: Long,
+                              oversample: Double = 4.0): DataFrame = {
+    require(oversample >= 1.0, "oversample must be >= 1")
+    require(budget >= 0, "budget must be >= 0")
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_grp_n"), sum(col(tokenCol)).as("_grp_tok"))
+      .withColumnRenamed(groupCol, "_grp_key")
+    val pfx = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val frac = least(lit(1.0),
+      when(col("_grp_tok") > 0,
+        lit(oversample) * (lit(budget.toDouble) / col("_grp_tok").cast("double")
+          + lit(1.0) / col("_grp_n").cast("double")))
+        .otherwise(lit(1.0)))
+    df.join(broadcast(stats), col(groupCol) <=> col("_grp_key"))
+      .filter(pfx < ceil(frac * lit((1L << 32).toDouble)).cast("long"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Two-phase per-group TOKEN budget — the hot-reducer escape the
+    * `capTokensPerGroup` scaladoc promises (the q43 lemma,
+    * token-weighted): `presampleForTokenBudget` shrinks each group to an
+    * oversampled selection-order prefix with a narrow filter, then the
+    * exact running-sum window runs over that small remainder. Because
+    * the pre-sample is a true prefix of each group's (md5, id) order,
+    * the window computes the same running sums for the surviving rows,
+    * so the kept set is IDENTICAL to the one-phase op whenever the
+    * pre-sample covers the kept prefix (ExtSpec pins the equality on a
+    * skewed fixture; the driver hash-verifies it against the one-phase
+    * SQL oracle every round). */
+  def capTokensPerGroupTwoPhase(df: DataFrame, groupCol: String, idCol: String,
+                                tokenCol: String, budget: Long,
+                                oversample: Double = 4.0): DataFrame =
+    capTokensPerGroup(
+      presampleForTokenBudget(df, groupCol, idCol, tokenCol, budget, oversample),
+      groupCol, idCol, tokenCol, budget)
 
   /** Deterministic fractional-epoch repetition — the mixture-weighting
     * primitive ("repeat wiki 2.5 epochs, downsample web to 0.5"): every

@@ -755,6 +755,51 @@ class ExtSpec extends SparkSpec {
     assert(Sampling.presampleForCap(tiny, "grp", "doc_id", cap = 5).count() == 3)
   }
 
+  test("two-phase token budget equals the one-phase window and shrinks its input") {
+    // two huge groups with SKEWED per-doc token counts (the realistic
+    // mix spec: a few-huge-group token budget concentrates hot
+    // reducers): the pre-sample must retain the kept prefix, the exact
+    // running-sum window over the remainder must pick the IDENTICAL
+    // set, and the window input must be a fraction of the corpus
+    val d = (0L until 1000L)
+      .map(i => (i, if (i < 500) "a" else "b", 10L + i % 90L))
+      .toDF("doc_id", "grp", "n_tok")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val one = rows(Sampling.capTokensPerGroup(d, "grp", "doc_id", "n_tok",
+      budget = 400L))
+    val two = rows(Sampling.capTokensPerGroupTwoPhase(d, "grp", "doc_id",
+      "n_tok", budget = 400L))
+    assert(one.nonEmpty && one.size < 50, s"fixture off: ${one.size} kept")
+    assert(two == one, s"oneOnly=${one -- two} twoOnly=${two -- one}")
+    val pre = Sampling.presampleForTokenBudget(d, "grp", "doc_id", "n_tok",
+      budget = 400L)
+    val preN = pre.count()
+    assert(preN < 200, s"window input not meaningfully reduced: $preN of 1000")
+    // the boundary document (first to cross the budget) is kept by both
+    val aKept = one.filter(_._2 == "a")
+    assert(aKept.map(_._4).max >= 400L,
+      s"boundary doc missing: max cum ${aKept.map(_._4).max}")
+    // a zero-token group keeps every row on both paths (no ANSI
+    // Infinity, no division blow-up)
+    val z = (0L until 20L).map(i => (i, "z", 0L)).toDF("doc_id", "grp", "n_tok")
+    assert(rows(Sampling.capTokensPerGroupTwoPhase(z, "grp", "doc_id", "n_tok",
+      budget = 100L)) ==
+      rows(Sampling.capTokensPerGroup(z, "grp", "doc_id", "n_tok", 100L)))
+    // null groups survive the null-safe pre-sample join
+    val n = (0L until 100L)
+      .map(i => (i, if (i % 4 == 0) null else s"g${i % 2}", 5L))
+      .toDF("doc_id", "grp", "n_tok")
+    val oneN = Sampling.capTokensPerGroup(n, "grp", "doc_id", "n_tok", 30L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val twoN = Sampling.capTokensPerGroupTwoPhase(n, "grp", "doc_id", "n_tok", 30L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(oneN.exists(_._2.isEmpty), "fixture must exercise the null group")
+    assert(twoN == oneN, s"oneOnly=${oneN -- twoN} twoOnly=${twoN -- oneN}")
+  }
+
   test("two-phase quota keeps null-group rows identical to the one-phase window") {
     // capPerGroup's window treats NULL as its own partition; the
     // pre-sample join must be null-safe or those rows silently vanish
