@@ -424,6 +424,21 @@ object SparkEntry {
     // heuristics, fully SQL-restatable
     "q67_quality_model" -> ((s, dir) =>
       ext.TextAnalysis.qualityModelScores(Tables.documents(s, dir))),
+    // q67 with TRAINED weights: the deterministic fixed-iteration
+    // logistic trainer learns the vector from an is-English label
+    // (content-derived, no injected artifact), then inference re-scores
+    // the corpus under it. Rows-only: the training loop isn't
+    // SQL-expressible; ExtSpec pins label separation and
+    // partitioning-independence of the trained vector
+    "q76_quality_model_trained" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = Tables.documents(s, dir)
+      val w = ext.TextAnalysis.trainQualityModel(
+        d.select(col("doc_id"), col("text"),
+          (col("lang") === "en").cast("int").as("label")),
+        iters = 5)
+      ext.TextAnalysis.qualityModelScores(d, w)
+    }),
     // north-star hygiene: C4-style rule-based line filtering. Fixture
     // docs are single-line, so re-line them on 8-token boundaries (the
     // q40 chunker — itself oracle-restatable) so the word-count rule

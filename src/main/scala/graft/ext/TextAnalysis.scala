@@ -319,6 +319,74 @@ object TextAnalysis {
         round(sum(col("w")) / count(lit(1)), 6).as("quality_score"))
   }
 
+  /** Train the weight vector [[qualityModelScores]] consumes —
+    * deterministic fixed-iteration batch logistic regression over the
+    * SAME hashed-unigram features inference uses (md5 bucket rule,
+    * per-doc token-count normalization: the per-doc margin Σ w[bucket
+    * (tok)]/n IS `quality_score`), completing the fastText-style
+    * ladder the way BPE train/apply pairs do. `docs` carries
+    * (doc_id, text, `labelCol` ∈ {0, 1}); returns `nBuckets` weights.
+    * Zero init, binary-exact default learning rate, and per-round 9-dp
+    * weight rounding (the k-means centroid discipline) make the
+    * trained vector reproducible across runs, engines and
+    * PARTITIONINGS — gradient partial-sum order cannot leak into the
+    * stored model (spec-pinned).
+    *
+    * Scale notes (100 TB): the corpus is tokenized ONCE into a
+    * per-(doc, bucket) feature relation — ≤ nBuckets rows per doc,
+    * repartitioned by doc_id and localCheckpointed (the one-pass
+    * token-stats discipline; iterative loops re-derive every prior
+    * round otherwise). Each iteration then runs entirely on that
+    * partitioning: the margin aggregate and the residual join need NO
+    * exchange, and the only shuffle is the nBuckets-row gradient
+    * aggregate (map-side combined — corpus-size-independent, the
+    * k-means re-center shape). Driver holds nBuckets doubles per
+    * round. Reference counterpart: the mart's hand-tuned CASE recode
+    * (load_sales_mart.py:44-76) is the static scoring rule this
+    * trainer learns from labels instead. */
+  def trainQualityModel(docs: DataFrame, labelCol: String = "label",
+                        nBuckets: Int = 64, iters: Int = 8,
+                        learningRate: Double = 0.5): Seq[Double] = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    val bucket = pmod(
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val feat = docs
+      .select(col("doc_id"), col(labelCol).cast("double").as("y"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("y"), bucket.as("bucket"))
+      .groupBy(col("doc_id"), col("y"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .withColumn("x", col("cnt") / sum(col("cnt")).over(byDoc))
+      .select(col("doc_id"), col("y"), col("bucket"), col("x"))
+      .repartition(col("doc_id"))
+      .localCheckpoint()
+    val nDocs = feat.select(col("doc_id")).distinct().count().toDouble
+    require(nDocs > 0, "cannot train on an empty corpus")
+    val w = Array.fill(nBuckets)(0.0)
+    for (_ <- 1 to iters) {
+      val wLit = typedlit(w.toSeq)
+      val perDoc = feat.groupBy(col("doc_id"))
+        .agg(first(col("y")).as("y"),
+          sum(element_at(wLit, (col("bucket") + 1).cast("int")) * col("x"))
+            .as("m"))
+      val resid = perDoc.select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("r"))
+      val grad = feat.join(resid, "doc_id")
+        .groupBy(col("bucket"))
+        .agg(sum(col("x") * col("r")).as("g"))
+        .collect()
+      grad.foreach { r =>
+        val b = r.getLong(0).toInt
+        w(b) = math.rint(
+          (w(b) - learningRate * r.getDouble(1) / nDocs) * 1e9) / 1e9
+      }
+    }
+    w.toSeq
+  }
+
   /** Attach the corpus token total to the vocab frame as a constant
     * column: scalar aggregate → one-row broadcast cross-join. Kept
     * separate (and pre-checkpoint-visible) so PlanInvariantsSpec can

@@ -412,6 +412,41 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("quality-model trainer separates labels and ignores partitioning") {
+    // two disjoint vocabularies: "good" docs repeat a clean wordlist,
+    // "spam" docs repeat a junk wordlist — a linear model over hashed
+    // unigrams must push their score distributions apart
+    val goodWords = Seq("science", "method", "theory", "result", "careful")
+    val spamWords = Seq("click", "winner", "free", "prize", "buyy")
+    val d = ((0L until 30L).map { i =>
+      val ws = (0 until 12).map(j => goodWords((i + j).toInt % 5))
+      (i, ws.mkString(" "), 1)
+    } ++ (30L until 60L).map { i =>
+      val ws = (0 until 12).map(j => spamWords((i + j).toInt % 5))
+      (i, ws.mkString(" "), 0)
+    }).toDF("doc_id", "text", "label").localCheckpoint()
+    val w = TextAnalysis.trainQualityModel(d, iters = 8)
+    assert(w.size == 64)
+    val scored = TextAnalysis.qualityModelScores(d, w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val goodMean = (0L until 30L).map(scored).sum / 30.0
+    val spamMean = (30L until 60L).map(scored).sum / 30.0
+    assert(goodMean > spamMean + 0.1,
+      s"trained weights fail to separate: good=$goodMean spam=$spamMean")
+    // every good doc outranks every spam doc on this separable fixture
+    assert((0L until 30L).map(scored).min > (30L until 60L).map(scored).max,
+      "separable fixture should be perfectly ranked")
+    // the trained vector is partitioning-independent (9-dp rounding per
+    // round keeps gradient partial-sum order out of the model)
+    val w7 = TextAnalysis.trainQualityModel(d.repartition(7), iters = 8)
+    val w3 = TextAnalysis.trainQualityModel(d.repartition(3), iters = 8)
+    assert(w7 == w && w3 == w,
+      "trained weights must not depend on input partitioning")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainQualityModel(d.filter(lit(false)))
+    }
+  }
+
   test("line filter applies the C4 rules and reassembles exactly") {
     val fixture = Seq(
       (1L, "keep me here today.\ndrop\nalso kept lines stay!\nno terminal punct"),
