@@ -26,12 +26,20 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Session settings every graft entry point needs (Verify/Bench/tests).
-    * - nanosAsLong: the `events` fixture stores TIMESTAMP(NANOS), which
-    *   Spark 4 otherwise refuses to read; `events()` converts back to
-    *   TimestampType (fixture nanos are exact microseconds — lossless).
+    * - nanosAsLong: some fixture generations store `events.ts` as
+    *   TIMESTAMP(NANOS), which Spark 4 otherwise refuses to read;
+    *   `events()` converts back to TimestampType (fixture nanos are
+    *   exact microseconds — lossless).
+    * - inferTimestampNTZ off: other generations store plain
+    *   `timestamp[us]` with isAdjustedToUTC=false, which Spark 4 would
+    *   infer as TIMESTAMP_NTZ — a type DuckDB's naive timestamps and our
+    *   `unix_micros`-based ops don't line up with. Reading it as
+    *   TimestampType under the pinned UTC session preserves the wall
+    *   values exactly (same rule as the nanos restore).
     * - AQE on: runtime join-strategy switch + skew splitting at scale. */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.sources.partitionOverwriteMode" -> "dynamic",
@@ -45,17 +53,28 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) → read as Long (nanosAsLong)
-    * → restored to TimestampType at microsecond precision. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  /** `events.ts` arrives as TimestampType regardless of which physical
+    * encoding this fixture generation used — see [[restoreEventTs]]. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    restoreEventTs(table(spark, sfDir, "events"))
+
+  /** Normalize `ts` to TimestampType across the fixture encodings seen
+    * so far: TIMESTAMP(NANOS) read as Long under nanosAsLong (restored
+    * at microsecond precision), TIMESTAMP_NTZ from an
+    * isAdjustedToUTC=false writer read without [[sessionConfs]]'s
+    * inference override (cast — identical wall values under the pinned
+    * UTC session), or already TimestampType (passthrough). Public so
+    * raw/streaming reads of the fixture apply the same rule. */
+  def restoreEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    val raw = table(spark, sfDir, "events")
-    // NOTE: integral `div`, not `/` — Column `/` is double division, which
-    // is lossy above 2^53 and shifts 2024-era nanos by ±1 µs
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      // NOTE: integral `div`, not `/` — Column `/` is double division,
+      // which is lossy above 2^53 and shifts 2024-era nanos by ±1 µs
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

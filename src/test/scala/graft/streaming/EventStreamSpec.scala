@@ -326,12 +326,9 @@ class EventStreamSpec extends SparkSpec {
       java.nio.file.Paths.get(sf("sf0.001") + "/events.parquet"),
       dir.resolve("part-0.parquet"))
     val batchEvents = graft.Tables.events(spark, sf("sf0.001"))
-    val streamEvents = spark.readStream
+    val streamEvents = graft.Tables.restoreEventTs(spark.readStream
       .schema(spark.read.parquet(dir.toString).schema)
-      .parquet(dir.toString)
-      // integral `div`, not `/` — Column `/` is double division, lossy
-      // above 2^53 (shifts 2024-era nanos by ±1 µs); same rule as Tables
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir.toString))
     val q = EventStream.windowedAgg(streamEvents).writeStream
       .format("memory").queryName("replay_agg").outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
