@@ -398,6 +398,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Replay-exclusion filter shared by the batch-tagged index probes:
+    * drop index rows carrying `excludeBatchId`'s tag (a replayed
+    * batch's OWN earlier contribution), keeping NULL-tagged (base
+    * corpus) rows and every other batch's. Fails loudly on a legacy
+    * relation without the column — the index compactions migrate those
+    * in place by backfilling the base-corpus NULL tag. */
+  private def excludeTagged(df: DataFrame, indexPath: String, rel: String,
+                            excludeBatchId: Option[Long]): DataFrame =
+    excludeBatchId match {
+      case Some(b) =>
+        require(df.columns.contains("batch_id"),
+          s"index at $indexPath has no batch_id column in $rel/ — it " +
+            "predates batch tagging, so replay exclusion cannot be " +
+            "honored; run the index's compaction once to migrate it")
+        df.filter(col("batch_id").isNull || col("batch_id") =!= b)
+      case None => df
+    }
+
   /** Persist the corpus-side MinHash state for INCREMENTAL dedup: the
     * (band, band-hash, doc_id) bucket relation and the hashed shingle
     * sets, as parquet under `path`. Written once per corpus version;
@@ -417,11 +435,13 @@ object Dedup {
       xxhash64(lit(j), slice(col("sig"), j * r + 1, r)))
     minhashSignatures(docs, n, k, seed)
       .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+      .withColumn("batch_id", lit(null).cast("long"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/buckets")
     docs.select(col("doc_id"),
         graft.functions.Shingles.shingle_hashes(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("batch_id", lit(null).cast("long"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/shingles")
     writeParams(s"$path/params.properties", Map(
@@ -439,12 +459,17 @@ object Dedup {
     * while the measured batch size stays under the broadcast ceiling; a
     * backfill-scale batch degrades to a shuffled join. Apply with
     * `applyPairs(batch, pairs)` to keep only batch docs that duplicate
-    * nothing in the corpus. */
+    * nothing in the corpus. `excludeBatchId` ignores index rows tagged
+    * with that batch id (see [[appendMinhashIndex]]): an at-least-once
+    * replay that already appended reproduces its original pair set
+    * instead of reporting every survivor as a duplicate of its own
+    * stored copy. */
   def minhashLshPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                   newDocs: DataFrame, indexPath: String,
                                   n: Int = 3, k: Int = 32, bands: Int = 8,
                                   minJaccard: Double = 0.5,
-                                  seed: Long = 42L): DataFrame = {
+                                  seed: Long = 42L,
+                                  excludeBatchId: Option[Long] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     requireParams(s"$indexPath/params.properties", Map(
       "n" -> n.toString, "k" -> k.toString,
@@ -458,7 +483,9 @@ object Dedup {
     val newBuckets =
       if (newDocs.count() * bands <= MaxBroadcastRows) broadcast(newBucketsRaw)
       else newBucketsRaw
-    val corpusBuckets = spark.read.parquet(s"$indexPath/buckets")
+    val corpusBuckets = excludeTagged(
+        spark.read.parquet(s"$indexPath/buckets"),
+        indexPath, "buckets", excludeBatchId)
       .select(col("doc_id").as("doc_a"), col("band"), col("bh"))
     val cand = corpusBuckets
       .join(newBuckets, Seq("band", "bh"))
@@ -467,7 +494,9 @@ object Dedup {
     val newSh = newDocs.select(col("doc_id").as("doc_b"),
         graft.functions.Shingles.shingle_hashes(col("text"), n).as("sh_b"))
       .filter(size(col("sh_b")) > 0)
-    val corpusSh = spark.read.parquet(s"$indexPath/shingles")
+    val corpusSh = excludeTagged(
+        spark.read.parquet(s"$indexPath/shingles"),
+        indexPath, "shingles", excludeBatchId)
       .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     cand
       .join(corpusSh, "doc_a")
@@ -485,10 +514,13 @@ object Dedup {
     * commit; locally a crash between the two appends leaves buckets
     * whose docs can't be verified — rerun the batch (appends are
     * idempotent only at the batch level, so dedup the batch id space
-    * before retrying). */
+    * before retrying). `batchId` tags the appended rows for replay
+    * exclusion (`minhashLshPairsAgainstIndex(excludeBatchId)`) — the
+    * streaming crash-window mechanism. */
   def appendMinhashIndex(docs: DataFrame, path: String, n: Int = 3,
                          k: Int = 32, bands: Int = 8,
-                         seed: Long = 42L): Unit = {
+                         seed: Long = 42L,
+                         batchId: Option[Long] = None): Unit = {
     require(k % bands == 0, "bands must divide k")
     requireParams(s"$path/params.properties", Map(
       "n" -> n.toString, "k" -> k.toString,
@@ -496,13 +528,16 @@ object Dedup {
     val r = k / bands
     val bandHashes = (0 until bands).map(j =>
       xxhash64(lit(j), slice(col("sig"), j * r + 1, r)))
+    val tag = batchId.map(lit(_)).getOrElse(lit(null)).cast("long")
     minhashSignatures(docs, n, k, seed)
       .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+      .withColumn("batch_id", tag)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/buckets")
     docs.select(col("doc_id"),
         graft.functions.Shingles.shingle_hashes(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("batch_id", tag)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/shingles")
   }
@@ -547,15 +582,24 @@ object Dedup {
     * four more times downstream (broadcast-gate count, cross-pair
     * signatures/shingles, within-batch pairs, survivor anti-join), and
     * a streaming-`foreachBatch` or expensive upstream source must not
-    * be recomputed per consumer. */
+    * be recomputed per consumer.
+    *
+    * `batchId` makes the cycle REPLAY-DETERMINISTIC: the index append
+    * tags its rows and the cross-pair probe excludes the current
+    * batch's own tags, so a replay whose first attempt already appended
+    * reproduces the pre-append survivor set byte-for-byte (instead of
+    * dropping every survivor as a duplicate of its own stored copy).
+    * That determinism is what lets the streaming twin land `accept`
+    * output batch-keyed with overwrite — effectively exactly-once. */
   def ingestDedupBatch(spark: org.apache.spark.sql.SparkSession,
                        newDocs: DataFrame, indexPath: String,
                        n: Int = 3, k: Int = 32, bands: Int = 8,
                        minJaccard: Double = 0.5, seed: Long = 42L,
+                       batchId: Option[Long] = None,
                        accept: DataFrame => Unit = _ => ()): DataFrame = {
     val batch = newDocs.localCheckpoint()
     val cross = minhashLshPairsAgainstIndex(spark, batch, indexPath,
-      n, k, bands, minJaccard, seed)
+      n, k, bands, minJaccard, seed, excludeBatchId = batchId)
     val within = minhashLshPairs(batch, n, k, bands, minJaccard, seed)
     val dropIds = cross.select(col("doc_b").as("doc_id"))
       .unionByName(within.select(col("doc_b").as("doc_id")))
@@ -563,7 +607,7 @@ object Dedup {
     val survivors = batch.join(dropIds, Seq("doc_id"), "left_anti")
       .localCheckpoint() // materialize BEFORE the append mutates the index
     accept(survivors)
-    appendMinhashIndex(survivors, indexPath, n, k, bands, seed)
+    appendMinhashIndex(survivors, indexPath, n, k, bands, seed, batchId)
     survivors
   }
 
@@ -1329,9 +1373,11 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/centroids")
     multiProbeCells(v, cents, probes)
+      .withColumn("batch_id", lit(null).cast("long"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/cells")
-    v.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    v.withColumn("batch_id", lit(null).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/vectors")
     writeParams(s"$path/params.properties", Map(
       "nCells" -> nCells.toString, "iters" -> iters.toString,
@@ -1355,12 +1401,16 @@ object Dedup {
     * `MaxBroadcastRows` ceiling (shuffled join fallback); cost scales
     * with the batch and the touched cells' populations, never the
     * corpus; the corpus-side reads are column-pruned id relations plus
-    * the candidate vectors. */
+    * the candidate vectors. `excludeBatchId` ignores index cells tagged
+    * with that batch id (see [[appendSemanticIndex]]) — the hot-cell
+    * cap is then also measured on the pre-append population, so a
+    * replay reproduces its original pair set exactly. */
   def semanticDedupPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                      newEmb: DataFrame, indexPath: String,
                                      minCosine: Double = 0.4,
                                      nCells: Int = 8, probes: Int = 1,
-                                     maxCellSize: Option[Int] = None): DataFrame = {
+                                     maxCellSize: Option[Int] = None,
+                                     excludeBatchId: Option[Long] = None): DataFrame = {
     requireParams(s"$indexPath/params.properties", Map(
       "nCells" -> nCells.toString, "probes" -> probes.toString), "semantic")
     val cents = spark.read.parquet(s"$indexPath/centroids")
@@ -1373,7 +1423,9 @@ object Dedup {
     val newCells =
       if (newEmb.count() * probes <= MaxBroadcastRows) broadcast(newCellsRaw)
       else newCellsRaw
-    val idxCellsAll = spark.read.parquet(s"$indexPath/cells")
+    val idxCellsAll = excludeTagged(
+      spark.read.parquet(s"$indexPath/cells"),
+      indexPath, "cells", excludeBatchId)
     val idxCells = maxCellSize match {
       case Some(cap) =>
         val hot = idxCellsAll.groupBy(col("cell"))
@@ -1408,17 +1460,23 @@ object Dedup {
     * consistent with the stored corpus cells.
     *
     * Accept-before-append ordering: a replayed batch may re-write
-    * survivors (dedupable by vec_id) but never lose them; duplicate
-    * index rows from a replayed append only widen candidate sets. */
+    * survivors but never lose them. `batchId` makes the cycle
+    * replay-deterministic (the `ingestDedupBatch` contract): the append
+    * tags its cell/vector rows and the cross probe excludes the current
+    * batch's own tags, so a replay whose first attempt already appended
+    * reproduces the pre-append survivor set exactly — which is what
+    * lets the streaming twin land `accept` output batch-keyed with
+    * overwrite, effectively exactly-once. */
   def ingestSemanticDedupBatch(spark: org.apache.spark.sql.SparkSession,
                                newEmb: DataFrame, indexPath: String,
                                minCosine: Double = 0.4, nCells: Int = 8,
                                probes: Int = 1,
                                maxCellSize: Option[Int] = None,
+                               batchId: Option[Long] = None,
                                accept: DataFrame => Unit = _ => ()): DataFrame = {
     val batch = newEmb.localCheckpoint()
     val cross = semanticDedupPairsAgainstIndex(spark, batch, indexPath,
-      minCosine, nCells, probes, maxCellSize)
+      minCosine, nCells, probes, maxCellSize, excludeBatchId = batchId)
     val cents = spark.read.parquet(s"$indexPath/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
@@ -1432,7 +1490,7 @@ object Dedup {
     val survivors = batch.join(dropIds, Seq("vec_id"), "left_anti")
       .localCheckpoint() // materialize BEFORE the append mutates the index
     accept(survivors)
-    appendSemanticIndex(spark, survivors, indexPath, nCells, probes)
+    appendSemanticIndex(spark, survivors, indexPath, nCells, probes, batchId)
     survivors
   }
 
@@ -1442,10 +1500,12 @@ object Dedup {
     * the pinned passage-index rule); the batch is assigned to the
     * index's frozen centroids, so an append never shifts cells.
     * Duplicate vec_ids are the caller's contract, as in
-    * `appendAnnIndex`. */
+    * `appendAnnIndex`. `batchId` tags the rows for replay exclusion
+    * (`semanticDedupPairsAgainstIndex(excludeBatchId)`). */
   def appendSemanticIndex(spark: org.apache.spark.sql.SparkSession,
                           newEmb: DataFrame, path: String,
-                          nCells: Int = 8, probes: Int = 1): Unit = {
+                          nCells: Int = 8, probes: Int = 1,
+                          batchId: Option[Long] = None): Unit = {
     requireParams(s"$path/params.properties", Map(
       "nCells" -> nCells.toString, "probes" -> probes.toString), "semantic")
     val cents = spark.read.parquet(s"$path/centroids")
@@ -1453,10 +1513,13 @@ object Dedup {
       .map(_.getSeq[Double](1).toArray)
     val nv = newEmb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e"))
+    val tag = batchId.map(lit(_)).getOrElse(lit(null)).cast("long")
     multiProbeCells(nv, cents, probes)
+      .withColumn("batch_id", tag)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/cells")
-    nv.write.mode(org.apache.spark.sql.SaveMode.Append)
+    nv.withColumn("batch_id", tag)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/vectors")
   }
 
@@ -1477,18 +1540,49 @@ object Dedup {
         compact.write.parquet(tmp))
     }
 
-  /** Compact an appended MinHash index: drop the duplicate bucket/
-    * shingle rows that replayed or repeated appends accumulate. Results
-    * are unchanged (the semi-joins tolerate duplicates — spec-pinned);
-    * scan cost stops growing with append history. Run at the same
-    * cadence the reference rebuilds its mart (stage-then-swap, crash
-    * leaves the previous complete index). */
+  /** [[compactRelations]] for batch-TAGGED relations: one row per
+    * distinct content key, surviving `batch_id` = the EARLIEST tag with
+    * the untagged (base-corpus, NULL) tag winning outright — the
+    * compactPassageIndex provenance rule, which is exactly what keeps
+    * replay exclusion decision-preserving (a row the corpus already had
+    * must never become excludable; a row batch b introduced must stay
+    * excludable by b). Legacy pre-tagging relations are MIGRATED in
+    * place: every row backfilled with the base-corpus NULL tag. */
+  private def compactTaggedRelations(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, rels: Seq[String]): Unit =
+    rels.foreach { rel =>
+      val rows = spark.read.parquet(s"$path/$rel")
+      val compact = (
+        if (rows.columns.contains("batch_id")) {
+          val keyCols = rows.columns.filterNot(_ == "batch_id").map(col(_))
+          rows.groupBy(keyCols: _*)
+            .agg(min(col("batch_id")).as("_mb"),
+              max(col("batch_id").isNull.cast("int")).as("_hasNull"))
+            .withColumn("batch_id",
+              when(col("_hasNull") === 1, lit(null))
+                .otherwise(col("_mb")).cast("long"))
+            .drop("_mb", "_hasNull")
+        } else // legacy pre-tagging relation: backfill the base-corpus tag
+          rows.distinct().withColumn("batch_id", lit(null).cast("long"))
+      ).localCheckpoint() // materialize BEFORE the swap shelves the source
+      graft.lineage.AtomicSwap.writeSwap(s"$path/$rel")(tmp =>
+        compact.write.parquet(tmp))
+    }
+
+  /** Compact an appended MinHash index: collapse the duplicate bucket/
+    * shingle rows that replayed or repeated appends accumulate, keeping
+    * the earliest `batch_id` tag per row (NULL base corpus wins — see
+    * [[compactTaggedRelations]]; legacy untagged indexes are migrated
+    * in place). Results are unchanged (the semi-joins tolerate
+    * duplicates — spec-pinned); scan cost stops growing with append
+    * history. Run at the same cadence the reference rebuilds its mart
+    * (stage-then-swap, crash leaves the previous complete index). */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit = {
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$path/params.properties")),
       s"no index at $path")
-    compactRelations(spark, path, Seq("buckets", "shingles"))
+    compactTaggedRelations(spark, path, Seq("buckets", "shingles"))
   }
 
   /** Compact an appended ANN (hyperplane-LSH) index — see
@@ -1502,14 +1596,15 @@ object Dedup {
   }
 
   /** Compact an appended semantic (frozen-quantizer) index — see
-    * [[compactMinhashIndex]]. Centroids are k-sized and never
+    * [[compactMinhashIndex]] (same earliest-tag/NULL-wins provenance
+    * rule, same legacy migration). Centroids are k-sized and never
     * duplicated; only the appended cells/vectors compact. */
   def compactSemanticIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String): Unit = {
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$path/params.properties")),
       s"no index at $path")
-    compactRelations(spark, path, Seq("cells", "vectors"))
+    compactTaggedRelations(spark, path, Seq("cells", "vectors"))
   }
 
   /** Compact an appended passage index. Window keys collapse to one row

@@ -111,18 +111,31 @@ object EventStream {
   /** Continuous-ingest dedup as a STREAM — the batch/stream unification
     * of `ext.Dedup.ingestDedupBatch`: each micro-batch of documents is
     * deduplicated against the on-disk MinHash index (cross-corpus and
-    * within-batch), survivors are appended to `acceptedPath`, and the
+    * within-batch), survivors land under `acceptedPath`, and the
     * index grows by exactly those survivors — so a duplicate arriving in
     * a LATER micro-batch is dropped against an earlier batch's survivor.
     * Dedup state lives in the index on disk, not in executor memory, so
     * it is unbounded-stream-safe and shared with every batch job that
     * probes the same index.
     *
-    * Delivery: foreachBatch is at-least-once; the accept-before-append
-    * ordering inside `ingestDedupBatch` means a replayed batch can
-    * duplicate survivors in `acceptedPath` (dedupable by doc_id) but
-    * never lose them. Production wants both writes inside one table
-    * format commit. */
+    * Crash-window contract — the `ingestStripStream` mechanism, and it
+    * has to be: a replayed batch probed against an index that already
+    * absorbed its OWN survivors would drop every one of them as a
+    * duplicate of its stored copy, so a plain overwrite landing would
+    * LOSE rows and a plain append landing would duplicate them. Two
+    * mechanisms close the window and make the batch effectively
+    * exactly-once: (1) the index append tags its bucket/shingle rows
+    * with the micro-batch id and the cross-pair probe EXCLUDES the
+    * current batch's own tags, so a replay reproduces the pre-append
+    * survivor set byte-for-byte regardless of whether the first
+    * attempt's append committed; (2) accepted rows land in a
+    * batch-id-keyed subdirectory (`acceptedPath/batch_id=N/`) with
+    * overwrite, so the replay replaces its own partial output instead
+    * of appending a second copy. Consumers read `acceptedPath` as a
+    * partitioned table. Duplicate index rows from a replayed append are
+    * tolerated by the probes and collapsed by `compactMinhashIndex`.
+    * The index must be owned by this one stream (checkpoint-scoped
+    * batch ids are what make the exclusion sound). */
   def ingestDedupStream(docs: DataFrame, indexPath: String,
                         acceptedPath: String,
                         checkpoint: String): DataStreamWriter[Row] =
@@ -130,11 +143,12 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.ext.Dedup.ingestDedupBatch(batch.sparkSession, batch,
-            indexPath, accept =
-              _.write.mode(SaveMode.Append).parquet(acceptedPath))
+            indexPath, batchId = Some(batchId),
+            accept = _.write.mode(SaveMode.Overwrite)
+              .parquet(s"$acceptedPath/batch_id=$batchId"))
           ()
         }
       }
@@ -146,13 +160,13 @@ object EventStream {
     * text lands in `acceptedPath`, and the batch's windows are appended
     * to the index so later batches cut repeats of anything seen.
     *
-    * Crash-window contract — STRONGER than `ingestDedupStream`'s,
-    * because it has to be: a whole-doc dedup replay re-writes
-    * byte-identical survivor rows, but a strip replayed against an
-    * index that already absorbed the batch's OWN windows would cut
-    * every first occurrence too, landing over-stripped variants next to
-    * the originals. Two mechanisms close that window and make the batch
-    * effectively exactly-once: (1) the index append tags its keys with
+    * Crash-window contract — the same batch-tag mechanism every ingest
+    * twin now shares, and the strip is where it is least optional: a
+    * strip replayed against an index that already absorbed the batch's
+    * OWN windows would cut every first occurrence too, landing
+    * over-stripped variants next to the originals. Two mechanisms close
+    * that window and make the batch effectively exactly-once: (1) the
+    * index append tags its keys with
     * the micro-batch id and the strip EXCLUDES the current batch's own
     * keys, so a replay reproduces the pre-append survivor set
     * byte-for-byte regardless of whether the first attempt's append
@@ -237,10 +251,15 @@ object EventStream {
     * training pass — rebuild the index on the compacted corpus at
     * mart-rebuild cadence to counter drift.
     *
-    * Same crash-window contract as `ingestDedupStream`: accepted is
-    * written before the index append, so a retry may re-write survivors
-    * (dedupable by vec_id) but never lose them; duplicate index rows
-    * from a replayed append only widen candidate sets. */
+    * Same crash-window contract as `ingestDedupStream`: the index
+    * append tags its cell/vector rows with the micro-batch id, the
+    * cross probe excludes the current batch's own tags (a replay
+    * reproduces its original survivor set instead of dropping every
+    * vector against its own stored copy), and accepted rows land in a
+    * batch-id-keyed subdirectory with overwrite — effectively
+    * exactly-once. Duplicate index rows from a replayed append are
+    * collapsed by `compactSemanticIndex`. The index must be owned by
+    * this one stream. */
   def ingestSemanticDedupStream(emb: DataFrame, indexPath: String,
                                 acceptedPath: String, checkpoint: String,
                                 minCosine: Double = 0.4, nCells: Int = 8,
@@ -249,11 +268,12 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.ext.Dedup.ingestSemanticDedupBatch(batch.sparkSession, batch,
-            indexPath, minCosine, nCells, probes, accept =
-              _.write.mode(SaveMode.Append).parquet(acceptedPath))
+            indexPath, minCosine, nCells, probes, batchId = Some(batchId),
+            accept = _.write.mode(SaveMode.Overwrite)
+              .parquet(s"$acceptedPath/batch_id=$batchId"))
           ()
         }
       }

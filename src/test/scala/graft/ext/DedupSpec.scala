@@ -167,6 +167,104 @@ class DedupSpec extends SparkSpec {
       "survivor signatures must be appended to the index")
   }
 
+  test("batch-tagged ingest replay reproduces its survivor set after a committed append") {
+    import org.apache.spark.sql.functions.lit
+    val all = Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    def cp(src: Long, as: Long) =
+      all.filter($"doc_id" === src).withColumn("doc_id", lit(as))
+    val corpus = all.filter($"doc_id" < 200)
+    val batch = all.filter($"doc_id" >= 200 && $"doc_id" < 300)
+      .unionByName(cp(1L, 8000L)) // cross-dup against the corpus — dropped
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_mh").toString
+    Dedup.writeMinhashIndex(corpus, s"$dir/idx")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val first = ids(Dedup.ingestDedupBatch(spark, batch, s"$dir/idx",
+      batchId = Some(3L)))
+    assert(!first.contains(8000L) && first.nonEmpty)
+    // the crash window: the first attempt's append COMMITTED but the
+    // stream checkpoint did not — the replay probes an index already
+    // holding the batch's own survivors. Without tag exclusion every
+    // survivor is a jaccard-1.0 duplicate of its stored copy:
+    val unexcluded = Dedup.minhashLshPairsAgainstIndex(spark, batch, s"$dir/idx")
+      .filter($"jaccard" >= 0.999).count()
+    assert(unexcluded >= first.size,
+      "sanity: the stored copies must be visible to an untagged probe")
+    // ...with exclusion, the replay reproduces the original decision:
+    val replay = ids(Dedup.ingestDedupBatch(spark, batch, s"$dir/idx",
+      batchId = Some(3L)))
+    assert(replay == first,
+      s"firstOnly=${first -- replay} replayOnly=${replay -- first}")
+    // compaction collapses the doubled append and preserves provenance:
+    // base-corpus rows keep the NULL tag, batch rows keep tag 3 — so
+    // the SAME replay still reproduces its survivors afterwards
+    Dedup.compactMinhashIndex(spark, s"$dir/idx")
+    val tags = spark.read.parquet(s"$dir/idx/buckets")
+      .select($"doc_id", $"batch_id").distinct().collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(tags.filter(_._1 < 200).values.forall(_ == -1L),
+      "base-corpus rows must keep the NULL tag")
+    assert(tags.filter(_._1 >= 200).values.forall(_ == 3L),
+      "batch rows must keep their batch tag")
+    val postCompact = ids(Dedup.ingestDedupBatch(spark, batch, s"$dir/idx",
+      batchId = Some(3L)))
+    assert(postCompact == first, s"compaction broke replay: $postCompact")
+
+    // the semantic (frozen-quantizer) twin honors the same contract
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val eCorpus = emb.filter($"vec_id" < 250)
+    val planted = eCorpus.filter($"vec_id" === 0)
+      .withColumn("vec_id", lit(5000L))
+    val eBatch = emb.filter($"vec_id" >= 250).unionByName(planted)
+    Dedup.writeSemanticIndex(eCorpus, s"$dir/sem", nCells = 4, probes = 4)
+    def vids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").as[Long].collect().toSet
+    val s1 = vids(Dedup.ingestSemanticDedupBatch(spark, eBatch, s"$dir/sem",
+      nCells = 4, probes = 4, batchId = Some(5L)))
+    assert(!s1.contains(5000L) && s1.nonEmpty)
+    val s2 = vids(Dedup.ingestSemanticDedupBatch(spark, eBatch, s"$dir/sem",
+      nCells = 4, probes = 4, batchId = Some(5L)))
+    assert(s2 == s1, s"firstOnly=${s1 -- s2} replayOnly=${s2 -- s1}")
+    Dedup.compactSemanticIndex(spark, s"$dir/sem")
+    val s3 = vids(Dedup.ingestSemanticDedupBatch(spark, eBatch, s"$dir/sem",
+      nCells = 4, probes = 4, batchId = Some(5L)))
+    assert(s3 == s1, s"compaction broke semantic replay: $s3")
+  }
+
+  test("compaction migrates legacy untagged index relations in place") {
+    val all = Tables.documents(spark, sf("sf0.001")).select($"doc_id", $"text")
+    val corpus = all.filter($"doc_id" < 150)
+    val batch = all.filter($"doc_id" >= 150 && $"doc_id" < 220)
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy_mh").toString
+    Dedup.writeMinhashIndex(corpus, s"$dir/mh")
+    // fake a pre-tagging index: strip batch_id from the stored relations
+    for (rel <- Seq("buckets", "shingles")) {
+      val legacy = spark.read.parquet(s"$dir/mh/$rel")
+        .drop("batch_id").localCheckpoint() // materialize BEFORE overwrite
+      legacy.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/mh/$rel")
+    }
+    val base = Dedup.minhashLshPairsAgainstIndex(spark, batch, s"$dir/mh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a stream resumed against the legacy index fails loudly, naming
+    // the migration path instead of silently ignoring the exclusion
+    val e = intercept[IllegalArgumentException](
+      Dedup.minhashLshPairsAgainstIndex(spark, batch, s"$dir/mh",
+        excludeBatchId = Some(0L)))
+    assert(e.getMessage.contains("compaction"), e.getMessage)
+    // one compaction backfills the base-corpus NULL tag in place...
+    Dedup.compactMinhashIndex(spark, s"$dir/mh")
+    // ...after which exclusion is legal and — on an index that batch
+    // never touched — a no-op
+    val migrated = Dedup.minhashLshPairsAgainstIndex(spark, batch, s"$dir/mh",
+        excludeBatchId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(migrated == base,
+      s"baseOnly=${base -- migrated} migratedOnly=${migrated -- base}")
+  }
+
   test("incremental passage strip against the on-disk index equals the monolithic strip") {
     import org.apache.spark.sql.functions.lit
     val all = Tables.documents(spark, sf("sf0.001")).select($"doc_id", $"text")

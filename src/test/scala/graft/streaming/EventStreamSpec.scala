@@ -56,6 +56,73 @@ class EventStreamSpec extends SparkSpec {
       s"accepted should hold exactly the two unique new docs: $accepted")
   }
 
+  test("dedup ingest stream: a replayed micro-batch lands exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mh_replay").toString
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeMinhashIndex(corpus, s"$dir/idx")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.ingestDedupStream(mem.toDF(), s"$dir/idx",
+        s"$dir/accepted", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // micro-batch 0: one new doc + a copy of corpus doc 1 (dropped)
+    mem.addData(
+      IngestDoc(10L, "red orange yellow green blue indigo violet"),
+      IngestDoc(11L, "alpha beta gamma delta epsilon zeta"))
+    drain()
+    // crash window: the batch's side effects (accepted landing + index
+    // append) committed, but the stream checkpoint commit was lost —
+    // the restart REPLAYS micro-batch 0 against an index that already
+    // holds its own survivors
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists( // the local-FS checksum sidecar
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    val ids = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toList.sorted
+    assert(ids == List(10L),
+      s"exactly-once landing violated (dup or loss): $ids")
+    // and the stream continues correctly: a dup of the replayed
+    // survivor still drops against the index, a new doc passes
+    mem.addData(
+      IngestDoc(20L, "red orange yellow green blue indigo violet"),
+      IngestDoc(21L, "cat dog bird fish horse cow sheep"))
+    drain()
+    val after = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == Set(10L, 21L), s"got $after")
+  }
+
+  test("semantic ingest stream: a replayed micro-batch lands exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sem_replay").toString
+    def v(hot: Int): Array[Float] = Array.tabulate(8)(i => if (i == hot) 1f else 0f)
+    val corpus = Seq((1L, v(0)), (2L, v(1))).toDF("vec_id", "embedding")
+    graft.ext.Dedup.writeSemanticIndex(corpus, s"$dir/idx", nCells = 2, probes = 2)
+    val mem = MemoryStream[IngestVec]
+    def drain(): Unit = {
+      val q = EventStream.ingestSemanticDedupStream(mem.toDF(), s"$dir/idx",
+        s"$dir/accepted", s"$dir/ckpt", nCells = 2, probes = 2).start()
+      q.awaitTermination()
+    }
+    // micro-batch 0: one new direction + a copy of corpus vector 1
+    mem.addData(IngestVec(10L, v(2)), IngestVec(11L, v(0)))
+    drain()
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists( // the local-FS checksum sidecar
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain() // replay against an index holding the batch's own survivors
+    val ids = spark.read.parquet(s"$dir/accepted")
+      .select("vec_id").as[Long].collect().toList.sorted
+    assert(ids == List(10L),
+      s"exactly-once landing violated (dup or loss): $ids")
+  }
+
   test("streaming passage strip cuts cross-batch copied blocks via the on-disk index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_strip").toString
