@@ -526,6 +526,20 @@ object SparkEntry {
       ext.TextAnalysis.corpusDivergence(
         d.filter(col("source") === "src0"), d.filter(col("source") === "src1"))
     }),
+    // the stored-profile drift variant: the src0 unigram distribution is
+    // FROZEN on disk once (content-fingerprint cache, the q21 pattern)
+    // and the live slice diffs against the artifact without re-scanning
+    // the base corpus — the recurring-monitor path. Same oracle as q70:
+    // the equality of the two routes is the hash-compare claim
+    "q77_drift_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = Tables.documents(s, dir)
+      val prof = ext.TextAnalysis.ensureCorpusProfile(
+        d.filter(col("source") === "src0"), "/tmp/graft_profile_cache",
+        s"$dir/documents.parquet", variant = "_src0")
+      ext.TextAnalysis.divergenceAgainstProfile(
+        s, d.filter(col("source") === "src1"), prof)
+    }),
     // north-star composition: the END-TO-END curation chain under the
     // driver's gate — per-stage survivor counts of gates → exact dedup →
     // LSH+CC near-dedup → decontamination → quota (the README-quickstart
@@ -1219,6 +1233,31 @@ object SparkEntry {
     // on both engines; 6-dp rounding absorbs the sum-association tail
     // (the q44 discipline)
     "q70_corpus_divergence" ->
+      """WITH va AS (SELECT tok, count(*) AS ca FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE source = 'src0') GROUP BY 1),
+        |vb AS (SELECT tok, count(*) AS cb FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE source = 'src1') GROUP BY 1),
+        |j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM va FULL OUTER JOIN vb USING (tok)),
+        |t AS (SELECT sum(ca) AS tta, sum(cb) AS ttb FROM j)
+        |SELECT CAST(sum(ca) AS BIGINT) AS n_tokens_a,
+        |  CAST(sum(cb) AS BIGINT) AS n_tokens_b,
+        |  CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+        |  CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+        |  CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_shared,
+        |  ROUND((sum(CASE WHEN ca > 0
+        |           THEN (ca / tta) * ln((ca / tta) / ((ca / tta + cb / ttb) / 2))
+        |           ELSE 0 END)
+        |       + sum(CASE WHEN cb > 0
+        |           THEN (cb / ttb) * ln((cb / ttb) / ((ca / tta + cb / ttb) / 2))
+        |           ELSE 0 END)) / 2, 6) AS js_divergence
+        |FROM j CROSS JOIN t""".stripMargin,
+    // q77 restates q70 exactly: the stored profile holds src0's counts
+    // verbatim, so the profile route must hash-match the two-frame SQL
+    "q77_drift_profile" ->
       """WITH va AS (SELECT tok, count(*) AS ca FROM (
         |        SELECT unnest(string_split(text, ' ')) AS tok
         |        FROM documents WHERE source = 'src0') GROUP BY 1),

@@ -251,12 +251,21 @@ object TextAnalysis {
     * cross-join (the q44 pattern), one scalar aggregate. Nothing here
     * is corpus-row-sized after the first aggregate — every later
     * relation is vocabulary-sized. */
-  def corpusDivergence(docsA: DataFrame, docsB: DataFrame): DataFrame = {
-    def vocabOf(d: DataFrame, cName: String) =
-      d.select(explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as(cName))
-    val joined = vocabOf(docsA, "ca").join(vocabOf(docsB, "cb"),
-        Seq("tok"), "full_outer")
+  def corpusDivergence(docsA: DataFrame, docsB: DataFrame): DataFrame =
+    divergenceOfVocabs(vocabOf(docsA, "ca"), vocabOf(docsB, "cb"))
+
+  /** The unigram count relation (tok, <cName>) of a corpus — the
+    * aggregate both divergence entry points reduce their sides to. */
+  private def vocabOf(d: DataFrame, cName: String): DataFrame =
+    d.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as(cName))
+
+  /** [[corpusDivergence]]'s comparison over two pre-aggregated vocab
+    * relations (tok, ca) / (tok, cb) — shared by the live two-frame op
+    * and the stored-profile variant, so their results are the same
+    * IEEE operations by construction. */
+  private def divergenceOfVocabs(va: DataFrame, vb: DataFrame): DataFrame = {
+    val joined = va.join(vb, Seq("tok"), "full_outer")
       .select(coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
       .localCheckpoint() // vocab-sized; read twice (totals + divergence)
@@ -276,6 +285,101 @@ object TextAnalysis {
           (sum(when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0))) +
             sum(when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0)))) / 2.0,
           6).as("js_divergence"))
+  }
+
+  /** Sidecar identity of an on-disk corpus profile: the tokenizer
+    * recipe is pinned so a profile built under one tokenization is
+    * never silently compared under another (the dedup-index params
+    * rule applied to drift monitoring). */
+  private val ProfileParams: Map[String, String] =
+    Map("kind" -> "unigram", "tokenizer" -> "whitespace-split-v1")
+
+  /** Persist a corpus's unigram distribution as an on-disk PROFILE —
+    * the stored-artifact member of the [[corpusDivergence]] family
+    * (reference: the pre-publish validation gate,
+    * load_sales_history.py:241-246, lifted from a recomputed row count
+    * to a persisted distribution): recurring ingest then monitors
+    * drift against the artifact ([[divergenceAgainstProfile]]) without
+    * ever re-scanning the base corpus — the same motivation as the
+    * dedup/canonical index ladder, applied to observability. Layout:
+    * `counts/` parquet of (tok, c) + the standard params sidecar,
+    * written LAST (its presence implies a complete profile).
+    *
+    * Scale notes (100 TB): one map-side-combined vocab aggregate over
+    * the corpus — the only corpus-sized pass in the ladder; the stored
+    * relation is vocabulary-sized. */
+  def writeCorpusProfile(docs: DataFrame, path: String): Unit = {
+    vocabOf(docs, "c")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/counts")
+    Dedup.writeParams(s"$path/params.properties", ProfileParams)
+  }
+
+  /** Merge a new batch's unigram counts into a stored profile (counts
+    * are mergeable — the sketch property the ladder leans on). Params
+    * are validated BEFORE any write: a rejected append must not mutate
+    * the profile (the pinned index-append rule). Appended duplicates
+    * of a token are summed by the readers; run
+    * [[compactCorpusProfile]] at mart-rebuild cadence to collapse
+    * them. */
+  def appendCorpusProfile(docs: DataFrame, path: String): Unit = {
+    Dedup.requireParams(s"$path/params.properties", ProfileParams, "profile")
+    vocabOf(docs, "c")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/counts")
+  }
+
+  /** Collapse a profile's appended count rows to one row per token
+    * (sum — unlike the dedup indexes there is no provenance to keep:
+    * counts are commutative). Stage-then-swap via `AtomicSwap`; a
+    * crash leaves the previous complete relation. */
+  def compactCorpusProfile(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit = {
+    Dedup.requireParams(s"$path/params.properties", ProfileParams, "profile")
+    val compact = spark.read.parquet(s"$path/counts")
+      .groupBy(col("tok")).agg(sum(col("c")).as("c"))
+      .localCheckpoint() // materialize BEFORE the swap shelves the source
+    graft.lineage.AtomicSwap.writeSwap(s"$path/counts")(tmp =>
+      compact.write.parquet(tmp))
+  }
+
+  /** Drift of a live frame against a STORED profile — identical output
+    * contract to [[corpusDivergence]] (profile = side a, live frame =
+    * side b) and, when the profile holds exactly `docsA`'s counts, the
+    * identical result (spec-pinned): both routes reduce to
+    * [[divergenceOfVocabs]] over the same aggregates, so the JS terms
+    * are the same IEEE operations. The stored side re-aggregates first
+    * (appends may have left duplicate token rows — sum-merging them is
+    * what makes append-then-compare ≡ recompute-over-union).
+    *
+    * Scale notes: per run, one vocab aggregate over the BATCH plus a
+    * vocabulary-sized scan of the stored counts; the base corpus is
+    * never touched. */
+  def divergenceAgainstProfile(spark: org.apache.spark.sql.SparkSession,
+                               docs: DataFrame,
+                               profilePath: String): DataFrame = {
+    Dedup.requireParams(s"$profilePath/params.properties", ProfileParams,
+      "profile")
+    val va = spark.read.parquet(s"$profilePath/counts")
+      .groupBy(col("tok")).agg(sum(col("c")).as("ca"))
+    divergenceOfVocabs(va, vocabOf(docs, "cb"))
+  }
+
+  /** Content-fingerprint-cached [[writeCorpusProfile]] — the
+    * `ensureIvfIndex` pattern: the cache key is a fingerprint of the
+    * source parquet (size+mtime), never the path, so a regenerated
+    * fixture rebuilds instead of silently comparing against a stale
+    * profile; concurrent builders adopt one staged build behind the
+    * shared locking ladder. `variant` distinguishes different slices
+    * of one source (the fingerprint alone cannot — it hashes the
+    * file, not the filter). Returns the profile path. */
+  def ensureCorpusProfile(docs: DataFrame, cacheRoot: String,
+                          sourcePath: String, variant: String = ""): String = {
+    val idx = java.nio.file.Paths.get(
+      cacheRoot, s"profile${variant}_${Similarity.pathFingerprint(sourcePath)}")
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writeCorpusProfile(docs, tmp))
+    idx.toString
   }
 
   /** Default weight vector for [[qualityModelScores]]: 64 buckets,

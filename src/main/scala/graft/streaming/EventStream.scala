@@ -318,6 +318,34 @@ object EventStream {
         }
       }
 
+  /** Streaming drift monitor — the observability twin of the ingest
+    * streams: each micro-batch of documents is scored against a STORED
+    * corpus profile ([[graft.ext.TextAnalysis.divergenceAgainstProfile]])
+    * and the one-row divergence report lands under
+    * `metricsPath/batch_id=N`. The profile is read-only here — the
+    * monitor never mutates the artifact it measures against (rebuild or
+    * append to it at mart-rebuild cadence, the batch ops own that) —
+    * so each batch's report is a pure deterministic function of the
+    * batch and the overwrite landing makes replays exactly-once with
+    * no batch-tag machinery at all. Consumers read `metricsPath` as a
+    * partitioned table: one row per micro-batch, js_divergence over
+    * time IS the drift dashboard. */
+  def driftMonitorStream(docs: DataFrame, profilePath: String,
+                         metricsPath: String,
+                         checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.TextAnalysis.divergenceAgainstProfile(
+              batch.sparkSession, batch, profilePath)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+        }
+      }
+
   def sinkToPartitionedLake(agg: DataFrame, lakePath: String,
                             checkpoint: String): DataStreamWriter[Row] =
     agg.writeStream

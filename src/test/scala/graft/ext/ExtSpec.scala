@@ -546,6 +546,41 @@ class ExtSpec extends SparkSpec {
       .head.getAs[Double]("js_divergence") == 0.0)
   }
 
+  test("stored corpus profile reproduces the live divergence across append and compaction") {
+    val a1 = docs.filter($"source" === "src0" && $"doc_id" % 2 === 0)
+    val a2 = docs.filter($"source" === "src0" && $"doc_id" % 2 === 1)
+    val a = docs.filter($"source" === "src0")
+    val b = docs.filter($"source" === "src1")
+    val dir = java.nio.file.Files.createTempDirectory("graft_profile").toString
+    def row(df: org.apache.spark.sql.DataFrame) = df.head
+    // the stored route is the live two-frame op, bit for bit
+    TextAnalysis.writeCorpusProfile(a1, s"$dir/p")
+    assert(row(TextAnalysis.divergenceAgainstProfile(spark, b, s"$dir/p")) ==
+      row(TextAnalysis.corpusDivergence(a1, b)))
+    // appending the other half ≡ recomputing over the union
+    TextAnalysis.appendCorpusProfile(a2, s"$dir/p")
+    assert(row(TextAnalysis.divergenceAgainstProfile(spark, b, s"$dir/p"))
+      == row(TextAnalysis.corpusDivergence(a, b)))
+    // append a1 AGAIN (a replayed batch): its token rows now appear
+    // twice — readers sum-merge, so the profile ≡ the doubled union
+    TextAnalysis.appendCorpusProfile(a1, s"$dir/p")
+    val expect = row(TextAnalysis.corpusDivergence(a.unionByName(a1), b))
+    assert(row(TextAnalysis.divergenceAgainstProfile(spark, b, s"$dir/p"))
+      == expect)
+    // compaction collapses the duplicated token rows and changes nothing
+    val before = spark.read.parquet(s"$dir/p/counts").count()
+    TextAnalysis.compactCorpusProfile(spark, s"$dir/p")
+    assert(spark.read.parquet(s"$dir/p/counts").count() < before,
+      "duplicated token rows must compact away")
+    assert(row(TextAnalysis.divergenceAgainstProfile(spark, b, s"$dir/p"))
+      == expect)
+    // a rejected append (no profile there) must not create one
+    intercept[Exception](TextAnalysis.appendCorpusProfile(a2, s"$dir/nope"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/nope/counts")),
+      "a rejected append must not mutate anything")
+  }
+
   test("bloom contamination report is a no-false-negative superset of exact") {
     // the q36/q65 pair on the real fixture: every doc the exact report
     // flags must appear in the bloom report with n_flagged >= n_overlap

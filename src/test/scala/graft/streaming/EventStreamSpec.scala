@@ -123,6 +123,40 @@ class EventStreamSpec extends SparkSpec {
       s"exactly-once landing violated (dup or loss): $ids")
   }
 
+  test("streaming drift monitor lands one report per micro-batch against the frozen profile") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_drift").toString
+    val base = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    graft.ext.TextAnalysis.writeCorpusProfile(base, s"$dir/prof")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.driftMonitorStream(mem.toDF(), s"$dir/prof",
+        s"$dir/metrics", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // batch 0 overlaps the profile heavily; batch 1 is disjoint vocab
+    val b0 = IngestDoc(10L, "alpha beta gamma")
+    mem.addData(b0)
+    drain()
+    mem.addData(IngestDoc(11L, "zeta eta theta"))
+    drain()
+    val m = spark.read.parquet(s"$dir/metrics")
+    val byBatch = m.collect()
+      .map(r => r.getAs[Int]("batch_id") -> r.getAs[Double]("js_divergence"))
+      .toMap
+    assert(byBatch.keySet == Set(0, 1), s"one report per batch: $byBatch")
+    // each report equals the batch op against the same stored profile
+    val expect0 = graft.ext.TextAnalysis.divergenceAgainstProfile(spark,
+        Seq((b0.doc_id, b0.text)).toDF("doc_id", "text"), s"$dir/prof")
+      .head.getAs[Double]("js_divergence")
+    assert(byBatch(0) == expect0, s"got ${byBatch(0)} want $expect0")
+    // the disjoint batch saturates at ln 2 — drift is visible over time
+    assert(byBatch(1) == math.rint(math.log(2.0) * 1e6) / 1e6,
+      s"got ${byBatch(1)}")
+    assert(byBatch(0) < byBatch(1))
+  }
+
   test("streaming passage strip cuts cross-batch copied blocks via the on-disk index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_strip").toString
