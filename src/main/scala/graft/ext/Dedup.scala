@@ -1119,9 +1119,11 @@ object Dedup {
     v.select(col("vec_id"), posexplode(graft.functions.LshSignatures
         .lsh_signatures(col("e"), tables, bitsPerTable).as("sigs"))
         .as(Seq("table", "sig")))
+      .withColumn("batch_id", lit(null).cast("long"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/buckets")
-    v.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    v.withColumn("batch_id", lit(null).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/vectors")
     writeParams(s"$path/params.properties", Map(
       "tables" -> tables.toString, "bitsPerTable" -> bitsPerTable.toString))
@@ -1134,11 +1136,15 @@ object Dedup {
     * and report "no duplicates". Batch buckets get a broadcast hint only
     * while the measured batch size stays under the broadcast ceiling;
     * exact cosine verifies candidates from the stored vectors. Cost
-    * scales with the batch, never the corpus. */
+    * scales with the batch, never the corpus. `excludeBatchId` ignores
+    * index rows tagged with that batch id (see [[appendAnnIndex]]) —
+    * the replay-determinism contract shared by every `*AgainstIndex`
+    * probe. */
   def embeddingAnnPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                     newEmb: DataFrame, indexPath: String,
                                     minCosine: Double = 0.4, tables: Int = 30,
-                                    bitsPerTable: Int = 5): DataFrame = {
+                                    bitsPerTable: Int = 5,
+                                    excludeBatchId: Option[Long] = None): DataFrame = {
     requireParams(s"$indexPath/params.properties", Map(
       "tables" -> tables.toString, "bitsPerTable" -> bitsPerTable.toString),
       "ANN")
@@ -1151,7 +1157,8 @@ object Dedup {
     val newBuckets =
       if (newEmb.count() * tables <= MaxBroadcastRows) broadcast(newBucketsRaw)
       else newBucketsRaw
-    val cand = spark.read.parquet(s"$indexPath/buckets")
+    val cand = excludeTagged(spark.read.parquet(s"$indexPath/buckets"),
+        indexPath, "buckets", excludeBatchId)
       .select(col("vec_id").as("vec_a"), col("table"), col("sig"))
       .join(newBuckets, Seq("table", "sig"))
       .select(col("vec_a"), col("vec_b"))
@@ -1168,46 +1175,57 @@ object Dedup {
 
   /** Append a batch's bucket/vector rows to an existing ANN index
     * (params validated against the sidecar). Same append contract as
-    * `appendMinhashIndex`. */
+    * `appendMinhashIndex`; `batchId` tags the rows for replay
+    * exclusion (`embeddingAnnPairsAgainstIndex(excludeBatchId)`). */
   def appendAnnIndex(newEmb: DataFrame, path: String, tables: Int = 30,
-                     bitsPerTable: Int = 5): Unit = {
+                     bitsPerTable: Int = 5,
+                     batchId: Option[Long] = None): Unit = {
     requireParams(s"$path/params.properties", Map(
       "tables" -> tables.toString, "bitsPerTable" -> bitsPerTable.toString),
       "ANN")
     val v = newEmb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e"))
+    val tag = batchId.map(lit(_)).getOrElse(lit(null)).cast("long")
     v.select(col("vec_id"), posexplode(graft.functions.LshSignatures
         .lsh_signatures(col("e"), tables, bitsPerTable).as("sigs"))
         .as(Seq("table", "sig")))
+      .withColumn("batch_id", tag)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/buckets")
-    v.write.mode(org.apache.spark.sql.SaveMode.Append)
+    v.withColumn("batch_id", tag)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/vectors")
   }
 
   /** One continuous-ingest embedding-dedup cycle — the `ingestDedupBatch`
     * analog over vectors: drop batch vectors duplicating the indexed
-    * corpus or an earlier batch vector (greedy), append the survivors to
-    * the index, return them. With monotone ids, replay equals the
-    * monolithic `applyPairs(emb, embeddingAnnPairs(emb))` (DedupSpec).
+    * corpus or an earlier batch vector (greedy), hand survivors to
+    * `accept` (before the append — the family's crash-ordering rule),
+    * append exactly the survivors to the index, return them. With
+    * monotone ids, replay equals the monolithic
+    * `applyPairs(emb, embeddingAnnPairs(emb))` (DedupSpec).
     * Cost per cycle ∝ batch size; corpus vectors are never re-read.
     * As in `ingestDedupBatch`, the batch is localCheckpointed once at
     * entry so its four downstream consumers never recompute the
-    * (possibly expensive) upstream frame. */
+    * (possibly expensive) upstream frame, and `batchId` makes the
+    * cycle replay-deterministic (tagged append + probe exclusion). */
   def ingestAnnBatch(spark: org.apache.spark.sql.SparkSession,
                      newEmb: DataFrame, indexPath: String,
                      minCosine: Double = 0.4, tables: Int = 30,
-                     bitsPerTable: Int = 5): DataFrame = {
+                     bitsPerTable: Int = 5,
+                     batchId: Option[Long] = None,
+                     accept: DataFrame => Unit = _ => ()): DataFrame = {
     val batch = newEmb.localCheckpoint()
     val cross = embeddingAnnPairsAgainstIndex(spark, batch, indexPath,
-      minCosine, tables, bitsPerTable)
+      minCosine, tables, bitsPerTable, excludeBatchId = batchId)
     val within = embeddingAnnPairs(batch, minCosine, tables, bitsPerTable)
     val dropIds = cross.select(col("vec_b").as("vec_id"))
       .unionByName(within.select(col("vec_b").as("vec_id")))
       .distinct()
     val survivors = batch.join(dropIds, Seq("vec_id"), "left_anti")
       .localCheckpoint() // materialize BEFORE the append mutates the index
-    appendAnnIndex(survivors, indexPath, tables, bitsPerTable)
+    accept(survivors)
+    appendAnnIndex(survivors, indexPath, tables, bitsPerTable, batchId)
     survivors
   }
 
@@ -1528,19 +1546,7 @@ object Dedup {
     * mechanism): a crash leaves the old complete relation, never a
     * missing one. Readers tolerate duplicate rows, so compaction is
     * pure maintenance — it changes scan cost, never results. */
-  private def compactRelations(spark: org.apache.spark.sql.SparkSession,
-                               path: String, rels: Seq[String]): Unit =
-    rels.foreach { rel =>
-      // materialize the distinct BEFORE the swap shelves the source:
-      // writeSwap's writer job would otherwise read the directory it is
-      // about to replace
-      val compact = spark.read.parquet(s"$path/$rel").distinct()
-        .localCheckpoint()
-      graft.lineage.AtomicSwap.writeSwap(s"$path/$rel")(tmp =>
-        compact.write.parquet(tmp))
-    }
-
-  /** [[compactRelations]] for batch-TAGGED relations: one row per
+  /** Compaction for batch-TAGGED index relations: one row per
     * distinct content key, surviving `batch_id` = the EARLIEST tag with
     * the untagged (base-corpus, NULL) tag winning outright — the
     * compactPassageIndex provenance rule, which is exactly what keeps
@@ -1586,13 +1592,14 @@ object Dedup {
   }
 
   /** Compact an appended ANN (hyperplane-LSH) index — see
-    * [[compactMinhashIndex]]. */
+    * [[compactMinhashIndex]] (same earliest-tag/NULL-wins provenance
+    * rule, same legacy migration). */
   def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$path/params.properties")),
       s"no index at $path")
-    compactRelations(spark, path, Seq("buckets", "vectors"))
+    compactTaggedRelations(spark, path, Seq("buckets", "vectors"))
   }
 
   /** Compact an appended semantic (frozen-quantizer) index — see

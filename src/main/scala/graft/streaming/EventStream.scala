@@ -278,6 +278,40 @@ object EventStream {
         }
       }
 
+  /** Streaming hyperplane-LSH embedding dedup — the bucketed-LSH twin
+    * of `ingestSemanticDedupStream` (same vector space, LSH signature
+    * buckets instead of a trained quantizer — no training pass at all,
+    * the right trade when the corpus drifts faster than a quantizer
+    * stays representative): each micro-batch dedups against the
+    * on-disk ANN index ([[graft.ext.Dedup.ingestAnnBatch]], cross-
+    * corpus and within-batch), survivors land batch-keyed and grow the
+    * index. State lives in the on-disk index, not executor memory.
+    *
+    * Same crash-window contract as `ingestDedupStream`: tagged index
+    * appends + probe exclusion make the replay decision-identical, and
+    * the batch-id-keyed overwrite landing makes it effectively
+    * exactly-once. Duplicate index rows from a replayed append are
+    * collapsed by `compactAnnIndex`. The index must be owned by this
+    * one stream. */
+  def ingestAnnStream(emb: DataFrame, indexPath: String,
+                      acceptedPath: String, checkpoint: String,
+                      minCosine: Double = 0.4, tables: Int = 30,
+                      bitsPerTable: Int = 5): DataStreamWriter[Row] =
+    emb.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Dedup.ingestAnnBatch(batch.sparkSession, batch,
+            indexPath, minCosine, tables, bitsPerTable,
+            batchId = Some(batchId),
+            accept = _.write.mode(SaveMode.Overwrite)
+              .parquet(s"$acceptedPath/batch_id=$batchId"))
+          ()
+        }
+      }
+
   /** Streaming cluster-balanced downsampling — the sampling twin of
     * `ingestSemanticDedupStream`: each micro-batch of vectors competes
     * with the on-disk sample for the per-cell quota slots under the

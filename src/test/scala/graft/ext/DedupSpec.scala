@@ -231,6 +231,19 @@ class DedupSpec extends SparkSpec {
     val s3 = vids(Dedup.ingestSemanticDedupBatch(spark, eBatch, s"$dir/sem",
       nCells = 4, probes = 4, batchId = Some(5L)))
     assert(s3 == s1, s"compaction broke semantic replay: $s3")
+
+    // the hyperplane-LSH (ANN) twin honors the same contract
+    Dedup.writeAnnIndex(eCorpus, s"$dir/ann")
+    val a1 = vids(Dedup.ingestAnnBatch(spark, eBatch, s"$dir/ann",
+      minCosine = 0.9, batchId = Some(9L)))
+    assert(!a1.contains(5000L) && a1.nonEmpty)
+    val a2 = vids(Dedup.ingestAnnBatch(spark, eBatch, s"$dir/ann",
+      minCosine = 0.9, batchId = Some(9L)))
+    assert(a2 == a1, s"firstOnly=${a1 -- a2} replayOnly=${a2 -- a1}")
+    Dedup.compactAnnIndex(spark, s"$dir/ann")
+    val a3 = vids(Dedup.ingestAnnBatch(spark, eBatch, s"$dir/ann",
+      minCosine = 0.9, batchId = Some(9L)))
+    assert(a3 == a1, s"compaction broke ANN replay: $a3")
   }
 
   test("compaction migrates legacy untagged index relations in place") {

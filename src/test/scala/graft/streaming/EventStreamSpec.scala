@@ -123,6 +123,38 @@ class EventStreamSpec extends SparkSpec {
       s"exactly-once landing violated (dup or loss): $ids")
   }
 
+  test("ann ingest stream drops cross-batch near-dups and replays exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ann").toString
+    def v(hot: Int): Array[Float] = Array.tabulate(8)(i => if (i == hot) 1f else 0f)
+    val corpus = Seq((1L, v(0)), (2L, v(1))).toDF("vec_id", "embedding")
+    graft.ext.Dedup.writeAnnIndex(corpus, s"$dir/idx")
+    val mem = MemoryStream[IngestVec]
+    def drain(): Unit = {
+      val q = EventStream.ingestAnnStream(mem.toDF(), s"$dir/idx",
+        s"$dir/accepted", s"$dir/ckpt", minCosine = 0.9).start()
+      q.awaitTermination()
+    }
+    // micro-batch 0: a new direction + a copy of corpus vector 1
+    mem.addData(IngestVec(10L, v(2)), IngestVec(11L, v(0)))
+    drain()
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists( // the local-FS checksum sidecar
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain() // replay against an index holding the batch's own survivors
+    val ids = spark.read.parquet(s"$dir/accepted")
+      .select("vec_id").as[Long].collect().toList.sorted
+    assert(ids == List(10L),
+      s"exactly-once landing violated (dup or loss): $ids")
+    // micro-batch 1: a copy of the replayed survivor still drops
+    mem.addData(IngestVec(20L, v(2)), IngestVec(21L, v(3)))
+    drain()
+    val after = spark.read.parquet(s"$dir/accepted")
+      .select("vec_id").as[Long].collect().toSet
+    assert(after == Set(10L, 21L), s"got $after")
+  }
+
   test("streaming drift monitor lands one report per micro-batch against the frozen profile") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_drift").toString
