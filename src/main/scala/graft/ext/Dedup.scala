@@ -1071,22 +1071,40 @@ object Dedup {
   def contaminationReportBloom(docs: DataFrame, benchmark: DataFrame,
                                n: Int = 3,
                                expectedItems: Long = 1000000L,
-                               fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+                               fpp: Double = 0.01): DataFrame =
+    bloomProbeReport(docs, n,
+      buildBenchmarkSketch(benchmark, n, expectedItems, fpp))
+
+  /** Aggregate the benchmark's n-gram set into Bloom sketch bytes
+    * (Spark's `BloomFilterAggregate`; null on an empty benchmark —
+    * the aggregate's own empty-input contract, handled by the probe). */
+  private def buildBenchmarkSketch(benchmark: DataFrame, n: Int,
+                                   expectedItems: Long,
+                                   fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
     require(expectedItems > 0, s"expectedItems must be > 0: $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    def hashed(c: Column) =
-      new XxHash64(Seq(ColumnBridge.expression(c)))
     val agg = ColumnBridge.column(
-      new BloomFilterAggregate(hashed(col("shingle")),
+      new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnBridge.expression(col("shingle")))),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    val bloomBytes = benchmark
+    benchmark
       .select(explode(wordShingles(col("text"), n)).as("shingle"))
       .agg(agg.as("bf")).head().getAs[Array[Byte]]("bf")
+  }
+
+  /** The corpus half of the Bloom decontamination: codegen membership
+    * probe against an in-plan sketch literal + per-doc count. Shared by
+    * the live op and the stored-sketch route, so both produce the same
+    * flags by construction. */
+  private def bloomProbeReport(docs: DataFrame, n: Int,
+                               bloomBytes: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val corpusSh = docs.select(col("doc_id"),
       explode(wordShingles(col("text"), n)).as("shingle"))
     // an empty benchmark aggregates to a NULL sketch — nothing can be
@@ -1098,13 +1116,96 @@ object Dedup {
     else {
       val probe = ColumnBridge.column(new BloomFilterMightContain(
         Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
-        hashed(col("shingle"))))
+        new XxHash64(Seq(ColumnBridge.expression(col("shingle"))))))
       corpusSh
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_ngrams"),
           sum(when(probe, 1L).otherwise(0L)).as("n_flagged"))
         .filter(col("n_flagged") > 0)
     }
+  }
+
+  /** Persist the benchmark suite's Bloom sketch as an on-disk artifact
+    * — the stored member of the decontamination family (q36 exact →
+    * q65 sketch → this, the recurring-run form): every ingest batch
+    * probes the same few-MB `sketch.bin` without re-aggregating the
+    * benchmark suite, the way the drift monitor reads its stored
+    * profile. Layout: `sketch.bin` (raw aggregate bytes; zero-length
+    * for an empty benchmark) + the params sidecar written LAST. The
+    * sketch parameters are the artifact's identity: a probe or append
+    * under different (n, expectedItems, fpp) fails loudly — merging or
+    * comparing incompatible sketches would silently under-flag.
+    *
+    * Scale notes: the artifact is O(numBits) regardless of benchmark
+    * or corpus size; the recurring probe plan is exactly q65's (narrow
+    * generate + codegen membership + map-side-combined count, NO
+    * join). */
+  def writeBloomIndex(benchmark: DataFrame, path: String, n: Int = 3,
+                      expectedItems: Long = 1000000L,
+                      fpp: Double = 0.01): Unit = {
+    val bytes = buildBenchmarkSketch(benchmark, n, expectedItems, fpp)
+    writeSketchBytes(path, if (bytes == null) Array.emptyByteArray else bytes)
+    writeParams(s"$path/params.properties", Map(
+      "n" -> n.toString, "expectedItems" -> expectedItems.toString,
+      "fpp" -> fpp.toString))
+  }
+
+  /** OR-merge a new benchmark's n-grams into a stored Bloom sketch —
+    * Bloom bits are position-determined per item, so the merged sketch
+    * is BIT-IDENTICAL to one built over the concatenated suites
+    * (spec-pinned); appends never degrade below a rebuild. Params are
+    * validated BEFORE any aggregation or write (the pinned append
+    * rule); the artifact swap is a tmp-file atomic move, so a crash
+    * leaves the previous complete sketch. */
+  def appendBloomIndex(benchmark: DataFrame, path: String, n: Int = 3,
+                       expectedItems: Long = 1000000L,
+                       fpp: Double = 0.01): Unit = {
+    requireParams(s"$path/params.properties", Map(
+      "n" -> n.toString, "expectedItems" -> expectedItems.toString,
+      "fpp" -> fpp.toString), "bloom")
+    val add = buildBenchmarkSketch(benchmark, n, expectedItems, fpp)
+    if (add == null) return // empty addition: the stored sketch stands
+    val old = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/sketch.bin"))
+    val merged =
+      if (old.isEmpty) add
+      else {
+        import org.apache.spark.util.sketch.BloomFilter
+        val a = BloomFilter.readFrom(new java.io.ByteArrayInputStream(old))
+        a.mergeInPlace(
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(add)))
+        val bos = new java.io.ByteArrayOutputStream()
+        a.writeTo(bos)
+        bos.toByteArray
+      }
+    writeSketchBytes(path, merged)
+  }
+
+  /** Probe a corpus against a STORED benchmark sketch — q65's exact
+    * plan with the aggregation pass replaced by one small file read.
+    * Same output contract and no-false-negative guarantee as
+    * [[contaminationReportBloom]]. */
+  def contaminationReportAgainstBloomIndex(docs: DataFrame,
+                                           indexPath: String, n: Int = 3,
+                                           expectedItems: Long = 1000000L,
+                                           fpp: Double = 0.01): DataFrame = {
+    requireParams(s"$indexPath/params.properties", Map(
+      "n" -> n.toString, "expectedItems" -> expectedItems.toString,
+      "fpp" -> fpp.toString), "bloom")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$indexPath/sketch.bin"))
+    bloomProbeReport(docs, n, if (bytes.isEmpty) null else bytes)
+  }
+
+  /** Stage-then-atomic-move of the single-file sketch artifact (the
+    * AtomicSwap discipline at file granularity). */
+  private def writeSketchBytes(path: String, bytes: Array[Byte]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(path))
+    val tmp = Paths.get(s"$path/.sketch.bin.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, Paths.get(s"$path/sketch.bin"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Persist the corpus-side ANN state for INCREMENTAL embedding dedup:

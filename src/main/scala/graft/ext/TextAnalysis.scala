@@ -893,6 +893,47 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** Sidecar identity of an on-disk BPE model: the tokenizer recipe is
+    * pinned so merges learned under one pre-tokenization are never
+    * silently applied under another. */
+  private val BpeModelParams: Map[String, String] =
+    Map("kind" -> "bpe-merges", "tokenizer" -> "whitespace-split-v1")
+
+  /** Persist a learned merge table ([[learnBpeMerges]] output) as an
+    * on-disk MODEL artifact — the train→artifact→apply split every
+    * production tokenizer has (train once on a corpus snapshot, apply
+    * to every later batch and stream): recurring tokenization reads
+    * the model-sized `merges/` relation instead of re-training.
+    * Sidecar written LAST (complete-artifact marker). */
+  def writeBpeModel(merges: DataFrame, path: String): Unit = {
+    require(merges.columns.sameElements(
+        Array("rank", "left", "right", "pair_count")),
+      s"not a learnBpeMerges table: ${merges.columns.mkString(", ")}")
+    merges.repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/merges")
+    Dedup.writeParams(s"$path/params.properties", BpeModelParams)
+  }
+
+  /** Read a stored BPE model back as the ordered merge list
+    * [[bpeTokenCounts]] consumes. Model-sized collect (a tokenizer is
+    * tens of thousands of rows); params validated first — applying a
+    * model trained under a different tokenization fails loudly. */
+  def readBpeModel(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Seq[(String, String)] = {
+    Dedup.requireParams(s"$path/params.properties", BpeModelParams, "BPE")
+    spark.read.parquet(s"$path/merges").orderBy(col("rank"))
+      .collect().map(r =>
+        (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+  }
+
+  /** [[bpeTokenCounts]] against a stored model — the recurring-batch
+    * form: one small artifact read, then the standard one-tokenize-pass
+    * apply. */
+  def bpeTokenCountsAgainstModel(spark: org.apache.spark.sql.SparkSession,
+                                 docs: DataFrame, path: String): DataFrame =
+    bpeTokenCounts(docs, readBpeModel(spark, path))
+
   /** Leftmost-first non-overlapping merge of (l, r) in a symbol array —
     * the driver twin of [[mergePair]], same single-accumulator fold. */
   private def mergeSeqInPlace(sym: Array[String], l: String,

@@ -616,6 +616,70 @@ class ExtSpec extends SparkSpec {
     assert(none.count() == 0L)
   }
 
+  test("stored bloom sketch reproduces the live report; appends merge bit-exactly") {
+    val corpus = docs.filter($"doc_id" >= 25)
+    val benchA = docs.filter($"doc_id" < 12)
+    val benchB = docs.filter($"doc_id" >= 12 && $"doc_id" < 25)
+    val bench = docs.filter($"doc_id" < 25)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomidx").toString
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val live = key(Dedup.contaminationReportBloom(corpus, bench))
+    assert(live.nonEmpty)
+    // the stored route is the live op (shared probe, same sketch bytes)
+    Dedup.writeBloomIndex(bench, s"$dir/bl")
+    assert(key(Dedup.contaminationReportAgainstBloomIndex(corpus, s"$dir/bl"))
+      == live)
+    // append: sketch(A) OR sketch(B) == sketch(A ∪ B), bit for bit
+    Dedup.writeBloomIndex(benchA, s"$dir/inc")
+    Dedup.appendBloomIndex(benchB, s"$dir/inc")
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/bl/sketch.bin")),
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/inc/sketch.bin"))),
+      "merged sketch must equal the union-built sketch")
+    // parameter mismatch fails loudly BEFORE mutating the artifact
+    val before = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/inc/sketch.bin"))
+    intercept[IllegalArgumentException](
+      Dedup.appendBloomIndex(benchB, s"$dir/inc", n = 4))
+    intercept[IllegalArgumentException](
+      Dedup.contaminationReportAgainstBloomIndex(corpus, s"$dir/inc",
+        fpp = 0.1))
+    assert(java.util.Arrays.equals(before,
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/inc/sketch.bin"))),
+      "a rejected append must not mutate the sketch")
+    // an empty benchmark stores a zero-length sketch: all-clear, and a
+    // later append upgrades it to the full suite
+    Dedup.writeBloomIndex(bench.limit(0), s"$dir/empty")
+    assert(Dedup.contaminationReportAgainstBloomIndex(corpus,
+      s"$dir/empty").count() == 0)
+    Dedup.appendBloomIndex(bench, s"$dir/empty")
+    assert(key(Dedup.contaminationReportAgainstBloomIndex(corpus,
+      s"$dir/empty")) == live)
+  }
+
+  test("stored BPE model round-trips and reproduces live tokenization") {
+    val merges = TextAnalysis.learnBpeMerges(docs, nMerges = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpemodel").toString
+    TextAnalysis.writeBpeModel(merges, s"$dir/m")
+    val live = merges.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(TextAnalysis.readBpeModel(spark, s"$dir/m") == live,
+      "model must read back as the ordered merge list")
+    val viaModel = TextAnalysis.bpeTokenCountsAgainstModel(spark, docs, s"$dir/m")
+      .collect().map(_.toSeq).toSet
+    val direct = TextAnalysis.bpeTokenCounts(docs, live)
+      .collect().map(_.toSeq).toSet
+    assert(viaModel == direct)
+    // a frame that is not a merge table is rejected up front
+    intercept[IllegalArgumentException](
+      TextAnalysis.writeBpeModel(docs, s"$dir/bad"))
+    // applying against a path with no model fails loudly
+    intercept[Exception](TextAnalysis.readBpeModel(spark, s"$dir/nope"))
+  }
+
   test("stratified hash sample is deterministic, per-stratum, and rate-accurate") {
     val d = docs.select($"doc_id", $"lang")
     val rates = Map("en" -> 0.25, "de" -> 0.5)
