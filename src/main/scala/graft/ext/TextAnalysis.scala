@@ -893,6 +893,57 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** Sidecar identity of an on-disk quality model: tokenizer + feature
+    * hashing recipe, so weights trained under one bucketing are never
+    * silently applied under another. */
+  private val QualityModelParams: Map[String, String] =
+    Map("kind" -> "quality-linear",
+      "features" -> "md5-hashed-unigrams-v1",
+      "tokenizer" -> "whitespace-split-v1")
+
+  /** Persist a trained weight vector ([[trainQualityModel]] output) as
+    * an on-disk MODEL artifact — the train→artifact→apply split for
+    * the quality classifier, mirroring the BPE model: train once per
+    * corpus snapshot, score every later batch and stream without a
+    * training pass. Layout: `weights/` parquet of (bucket, weight) +
+    * the params sidecar (recording nBuckets) written LAST. */
+  def writeQualityModel(weights: Seq[Double], path: String): Unit = {
+    require(weights.nonEmpty, "need a non-empty weight vector")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    weights.zipWithIndex.map { case (w, b) => (b, w) }
+      .toDF("bucket", "weight").repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/weights")
+    Dedup.writeParams(s"$path/params.properties",
+      QualityModelParams + ("nBuckets" -> weights.size.toString))
+  }
+
+  /** Read a stored quality model back as the weight vector
+    * [[qualityModelScores]] consumes (model-sized collect; the bucket
+    * count is validated against the sidecar so a truncated relation
+    * fails loudly instead of scoring with missing buckets). */
+  def readQualityModel(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[Double] = {
+    Dedup.requireParams(s"$path/params.properties", QualityModelParams,
+      "quality-model")
+    val n = Dedup.readParam(s"$path/params.properties", "nBuckets",
+      "quality-model").toInt
+    val rows = spark.read.parquet(s"$path/weights")
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Double]("weight")))
+    require(rows.length == n && rows.map(_._1).sameElements(0 until n),
+      s"quality model at $path records nBuckets=$n but weights/ holds " +
+        s"${rows.length} rows — a partial or hand-edited artifact")
+    rows.map(_._2).toSeq
+  }
+
+  /** [[qualityModelScores]] against a stored model — one small
+    * artifact read, then the standard no-join scoring projection. */
+  def qualityModelScoresAgainstModel(spark: org.apache.spark.sql.SparkSession,
+                                     docs: DataFrame, path: String): DataFrame =
+    qualityModelScores(docs, readQualityModel(spark, path))
+
   /** Sidecar identity of an on-disk BPE model: the tokenizer recipe is
     * pinned so merges learned under one pre-tokenization are never
     * silently applied under another. */

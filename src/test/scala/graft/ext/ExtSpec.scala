@@ -661,6 +661,29 @@ class ExtSpec extends SparkSpec {
       s"$dir/empty")) == live)
   }
 
+  test("stored quality model round-trips and reproduces live scoring") {
+    val labeled = docs.select($"doc_id", $"text",
+      ($"lang" === "en").cast("int").as("label"))
+    val w = TextAnalysis.trainQualityModel(labeled, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qmodel").toString
+    TextAnalysis.writeQualityModel(w, s"$dir/m")
+    assert(TextAnalysis.readQualityModel(spark, s"$dir/m") == w,
+      "weights must read back exactly")
+    val viaModel = TextAnalysis.qualityModelScoresAgainstModel(spark, docs,
+      s"$dir/m").collect().map(_.toSeq).toSet
+    val direct = TextAnalysis.qualityModelScores(docs, w)
+      .collect().map(_.toSeq).toSet
+    assert(viaModel == direct)
+    // a truncated weights relation fails loudly instead of mis-scoring
+    val truncated = spark.read.parquet(s"$dir/m/weights")
+      .filter($"bucket" < 32).localCheckpoint()
+    truncated.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/m/weights")
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.readQualityModel(spark, s"$dir/m"))
+    assert(e.getMessage.contains("partial"), e.getMessage)
+  }
+
   test("stored BPE model round-trips and reproduces live tokenization") {
     val merges = TextAnalysis.learnBpeMerges(docs, nMerges = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_bpemodel").toString
