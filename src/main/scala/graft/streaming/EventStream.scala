@@ -352,6 +352,45 @@ object EventStream {
         }
       }
 
+  /** Streaming benchmark decontamination — the gate twin of
+    * [[driftMonitorStream]]: each micro-batch probes the STORED Bloom
+    * sketch ([[graft.ext.Dedup.contaminationReportAgainstBloomIndex]]);
+    * docs with more than `maxFlagged` suspicious n-grams are cut, the
+    * clean remainder lands under `acceptedPath/batch_id=N`, and the
+    * per-doc flag counts of the cut docs land under
+    * `flaggedPath/batch_id=N` for the exact-adjudication pass (run q36
+    * on the flagged slice — the approx-then-exact ladder's audit
+    * trail). The sketch is read-only here — grow it with
+    * `appendBloomIndex` at suite-update cadence, never from the stream
+    * — so each batch's split is a pure deterministic function of the
+    * batch and the overwrite landings are effectively exactly-once
+    * with no batch-tag machinery. Bloom has no false negatives: a doc
+    * the exact report would flag is never accepted. */
+  def decontaminationStream(docs: DataFrame, sketchPath: String,
+                            acceptedPath: String, flaggedPath: String,
+                            checkpoint: String, n: Int = 3,
+                            expectedItems: Long = 1000000L,
+                            fpp: Double = 0.01,
+                            maxFlagged: Long = 0L): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed twice below
+          val flagged = graft.ext.Dedup.contaminationReportAgainstBloomIndex(
+              b, sketchPath, n, expectedItems, fpp)
+            .filter(col("n_flagged") > maxFlagged)
+            .localCheckpoint() // consumed twice: audit landing + anti-join
+          flagged.write.mode(SaveMode.Overwrite)
+            .parquet(s"$flaggedPath/batch_id=$batchId")
+          b.join(flagged.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$acceptedPath/batch_id=$batchId")
+        }
+      }
+
   /** Streaming drift monitor — the observability twin of the ingest
     * streams: each micro-batch of documents is scored against a STORED
     * corpus profile ([[graft.ext.TextAnalysis.divergenceAgainstProfile]])

@@ -155,6 +155,38 @@ class EventStreamSpec extends SparkSpec {
     assert(after == Set(10L, 21L), s"got $after")
   }
 
+  test("streaming decontamination cuts flagged docs against the stored sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_decon").toString
+    // benchmark suite frozen once as a Bloom sketch
+    val bench = Seq((1L, "the quick brown fox jumps over lazy dogs"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeBloomIndex(bench, s"$dir/sketch")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.decontaminationStream(mem.toDF(), s"$dir/sketch",
+        s"$dir/accepted", s"$dir/flagged", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // batch 0: a leaked benchmark phrase (cut) + a clean doc (kept)
+    mem.addData(
+      IngestDoc(10L, "prefix the quick brown fox jumps over something"),
+      IngestDoc(11L, "completely unrelated training text with new words"))
+    drain()
+    // batch 1: clean again — separate batch dir
+    mem.addData(IngestDoc(20L, "another clean document entirely fresh"))
+    drain()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+    assert(accepted.select("doc_id").as[Long].collect().toSet == Set(11L, 20L),
+      "leaked doc must be cut, clean docs kept")
+    assert(accepted.columns.contains("batch_id"))
+    // the audit trail holds the cut doc with its flag count
+    val flagged = spark.read.parquet(s"$dir/flagged")
+    val audit = flagged.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_flagged")).toMap
+    assert(audit.keySet == Set(10L) && audit(10L) > 0, s"got $audit")
+  }
+
   test("streaming drift monitor lands one report per micro-batch against the frozen profile") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_drift").toString
