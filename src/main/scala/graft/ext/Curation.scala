@@ -68,7 +68,15 @@ object Curation {
     *     ahead of the count quota — the fractional mixing knob
     *     ("downsample en to 25%") beside `perLangCap`'s hard ceiling;
     *     languages absent from the map keep everything. Empty (the
-    *     default) adds zero plan nodes. */
+    *     default) adds zero plan nodes.
+    *   - `qualityModelWeights` + `minModelScore`: MODEL-based quality
+    *     gate ([[TextAnalysis.qualityModelScores]] under trained or
+    *     injected weights — the fastText-style classifier beside the
+    *     hand heuristics) applied after the heuristic gates, before
+    *     dedup. None (the default) adds zero plan nodes; when on, the
+    *     gate costs one tokenize pass over the already-gated frame
+    *     (map-side-combined per-doc aggregate + semi-join — the
+    *     one-pass token-stats shape, never a second corpus scan). */
   final case class Config(
       minTokens: Int = 15,
       maxDupTrigramFrac: Double = 0.5,
@@ -91,14 +99,35 @@ object Curation {
       stripPassages: Boolean = false,
       passageWindowTokens: Int = 8,
       maxPassageOccurrences: Option[Int] = None,
-      langSampleRates: Map[String, Double] = Map.empty)
+      langSampleRates: Map[String, Double] = Map.empty,
+      qualityModelWeights: Option[Seq[Double]] = None,
+      minModelScore: Double = 0.0)
 
   private def requireConfig(cfg: Config): Unit = {
     require(cfg.maxRedactionsPerDoc.isEmpty || cfg.redactPii,
       "maxRedactionsPerDoc gates the redaction stage — set redactPii=true to enable it")
     cfg.langSampleRates.values.foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"langSampleRates value out of [0, 1]: $r"))
+    require(cfg.qualityModelWeights.forall(_.nonEmpty),
+      "qualityModelWeights, when set, needs a non-empty vector")
+    require(cfg.qualityModelWeights.nonEmpty || cfg.minModelScore == 0.0,
+      "minModelScore gates the model stage — set qualityModelWeights to enable it")
   }
+
+  /** The optional model-score gate: semi-join on docs whose
+    * [[TextAnalysis.qualityModelScores]] under `cfg`'s weights clears
+    * `minModelScore`. Identity (zero plan nodes) when no weights are
+    * configured. */
+  private def modelGate(gated: DataFrame, cfg: Config): DataFrame =
+    cfg.qualityModelWeights match {
+      case Some(w) =>
+        gated.join(
+          TextAnalysis.qualityModelScores(gated, w)
+            .filter(col("quality_score") >= cfg.minModelScore)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      case None => gated
+    }
 
   /** True when `hygiene` is a real rewrite rather than the identity —
     * the callers that reuse the hygiene frame persist it only then, so
@@ -187,11 +216,13 @@ object Curation {
                              cfg: Config): DataFrame = {
     // 1+2. quality + language gates: pure column expressions, fused by
     // Catalyst into the document scan — no extra pass over the corpus
-    val gated = hygiened
+    val heuristicGated = hygiened
       .withColumn("pred_lang", TextAnalysis.langPrediction(col("text")))
       .filter(size(split(col("text"), " ")) >= cfg.minTokens &&
         TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac &&
         col("pred_lang").isin(cfg.keepLangs: _*))
+    // 2b. optional model-score gate — identity with default flags
+    val gated = modelGate(heuristicGated, cfg)
     // 3a. EXACT dedup first: identical copies collapse via the cheap
     // digest groupBy. Ordering matters at scale — a clique of identical
     // documents shares every LSH banding bucket, so running exact dedup
@@ -308,12 +339,22 @@ object Curation {
     val nInput =
       if (hygieneRows.nonEmpty) docs.select(col("doc_id")).count()
       else g.getLong(0)
-    val gated = flagged
+    val heuristicGated = flagged
       .filter(col("f_tokens") === 1 && col("f_rep") === 1 && col("f_lang") === 1)
       .drop("f_tokens", "f_rep", "f_lang")
       .persist()
-    gated.count() // materialize BEFORE the dedup self-join reads it twice
+    heuristicGated.count() // materialize BEFORE the next stage reads it twice
     hygieneCached.foreach(_.unpersist())
+    // 03a: the optional model gate reports its own funnel row (reads
+    // the cached gate output twice: score aggregate + semi-join)
+    val (gated, modelRows) = cfg.qualityModelWeights match {
+      case Some(_) =>
+        val mg = modelGate(heuristicGated, cfg).persist()
+        val rows = Seq(("03a_model_gate", mg.count()))
+        heuristicGated.unpersist()
+        (mg, rows)
+      case None => (heuristicGated, Seq.empty[(String, Long)])
+    }
     val exactDeduped = gated.join(exactDedupSurvivors(gated, cfg),
       Seq("doc_id"), "left_semi").persist()
     val nExact = exactDeduped.count()
@@ -342,7 +383,7 @@ object Curation {
     (Seq(("00_input", nInput)) ++ hygieneRows ++ Seq(
       ("01_min_tokens", g.getLong(1)),
       ("02_repetition", g.getLong(2)),
-      ("03_language", g.getLong(3)),
+      ("03_language", g.getLong(3))) ++ modelRows ++ Seq(
       ("04_exact_dedup", nExact),
       ("05_near_dedup", nNear),
       ("06_decontaminated", nClean)) ++ sampleRows ++ Seq(

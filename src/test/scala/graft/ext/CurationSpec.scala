@@ -497,6 +497,38 @@ class CurationSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/shards").count() > 0)
   }
 
+  test("model-score gate slots into the chain, identity when never binding") {
+    val w = TextAnalysis.DefaultQualityWeights
+    // a never-binding threshold leaves the chain exactly at its default
+    val base = Curation.curate(corpus, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    val loose = Curation.curate(corpus, benchmark,
+        cfg.copy(qualityModelWeights = Some(w), minModelScore = -1e9))
+      .collect().map(_.toSeq).toSet
+    assert(loose == base)
+    // a data-derived binding threshold (median score) drops real docs
+    // and every survivor clears it
+    val scores = TextAnalysis.qualityModelScores(corpus, w)
+      .select($"doc_id", $"quality_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val thr = scores.values.toSeq.sorted.apply(scores.size / 2)
+    val bound = cfg.copy(qualityModelWeights = Some(w), minModelScore = thr)
+    val curated = Curation.curate(corpus, benchmark, bound)
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated.nonEmpty && curated.forall(id => scores(id) >= thr))
+    // the funnel reports the gate between language and exact dedup and
+    // still lands on curate()'s count
+    val byStage = Curation.curationFunnel(corpus, benchmark, bound)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.contains("03a_model_gate"))
+    assert(byStage("03a_model_gate") <= byStage("03_language"))
+    assert(byStage("04_exact_dedup") <= byStage("03a_model_gate"))
+    assert(byStage("07_quota") == curated.size.toLong)
+    // minModelScore without weights fails loudly
+    intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark, cfg.copy(minModelScore = 0.5)))
+  }
+
   test("quota and split assignment are enforced") {
     val perLang = out.groupBy(_._2).map { case (l, rows) => l -> rows.length }
     perLang.foreach { case (l, n) =>
