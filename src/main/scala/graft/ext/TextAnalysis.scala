@@ -310,6 +310,7 @@ object TextAnalysis {
     * relation is vocabulary-sized. */
   def writeCorpusProfile(docs: DataFrame, path: String): Unit = {
     vocabOf(docs, "c")
+      .withColumn("batch_id", lit(null).cast("long"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/counts")
     Dedup.writeParams(s"$path/params.properties", ProfileParams)
@@ -321,24 +322,75 @@ object TextAnalysis {
     * the profile (the pinned index-append rule). Appended duplicates
     * of a token are summed by the readers; run
     * [[compactCorpusProfile]] at mart-rebuild cadence to collapse
-    * them. */
-  def appendCorpusProfile(docs: DataFrame, path: String): Unit = {
+    * them.
+    *
+    * `batchId` makes the append REPLAY-IDEMPOTENT for the streaming
+    * twin: a batch's (tok, c, batch_id) rows are a deterministic
+    * function of the batch, so readers collapse byte-identical tagged
+    * rows (distinct) before summing — a replayed append changes
+    * nothing. Untagged (None) appends are summed raw: two deliberate
+    * batch-API appends that happen to produce identical counts both
+    * count (only streams, which own their checkpoint-scoped ids, get
+    * the dedup semantics). */
+  def appendCorpusProfile(docs: DataFrame, path: String,
+                          batchId: Option[Long] = None): Unit = {
     Dedup.requireParams(s"$path/params.properties", ProfileParams, "profile")
     vocabOf(docs, "c")
+      .withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/counts")
   }
 
-  /** Collapse a profile's appended count rows to one row per token
-    * (sum — unlike the dedup indexes there is no provenance to keep:
-    * counts are commutative). Stage-then-swap via `AtomicSwap`; a
-    * crash leaves the previous complete relation. */
+  /** The profile's effective (tok, c-summed) relation under the replay
+    * rule of [[appendCorpusProfile]]: tagged rows dedup by identical
+    * row first (a replayed stream append contributes once), untagged
+    * rows sum raw. Legacy profiles without the column sum raw.
+    * `excludeBatchId` drops rows carrying that tag — a replayed
+    * micro-batch then scores against exactly the profile its first
+    * attempt saw, whether or not that attempt's absorb committed. */
+  private def profileCounts(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            excludeBatchId: Option[Long]): DataFrame = {
+    val rawAll = spark.read.parquet(s"$path/counts")
+    val raw = excludeBatchId match {
+      case Some(b) =>
+        require(rawAll.columns.contains("batch_id"),
+          s"profile at $path has no batch_id column — it predates batch " +
+            "tagging; run compactCorpusProfile once to migrate it")
+        rawAll.filter(col("batch_id").isNull || col("batch_id") =!= b)
+      case None => rawAll
+    }
+    val rows =
+      if (!raw.columns.contains("batch_id")) raw.select(col("tok"), col("c"))
+      else raw.filter(col("batch_id").isNull).select(col("tok"), col("c"))
+        .unionByName(raw.filter(col("batch_id").isNotNull)
+          .distinct().select(col("tok"), col("c")))
+    rows.groupBy(col("tok")).agg(sum(col("c")).as("c"))
+  }
+
+  /** Collapse a profile's appended count rows: untagged rows fold to
+    * one summed row per token; tagged (stream-appended) rows collapse
+    * to their distinct set but KEEP their tags — the replay-idempotence
+    * of the last uncommitted micro-batch must survive maintenance (the
+    * dedup-index compaction discipline). Stage-then-swap via
+    * `AtomicSwap`; a crash leaves the previous complete relation.
+    * Legacy untagged relations are migrated in place (batch_id = NULL
+    * backfilled). */
   def compactCorpusProfile(spark: org.apache.spark.sql.SparkSession,
                            path: String): Unit = {
     Dedup.requireParams(s"$path/params.properties", ProfileParams, "profile")
-    val compact = spark.read.parquet(s"$path/counts")
-      .groupBy(col("tok")).agg(sum(col("c")).as("c"))
-      .localCheckpoint() // materialize BEFORE the swap shelves the source
+    val raw = spark.read.parquet(s"$path/counts")
+    val compact = (
+      if (!raw.columns.contains("batch_id"))
+        raw.groupBy(col("tok")).agg(sum(col("c")).as("c"))
+          .withColumn("batch_id", lit(null).cast("long"))
+      else
+        raw.filter(col("batch_id").isNull)
+          .groupBy(col("tok")).agg(sum(col("c")).as("c"))
+          .withColumn("batch_id", lit(null).cast("long"))
+          .unionByName(raw.filter(col("batch_id").isNotNull).distinct())
+    ).localCheckpoint() // materialize BEFORE the swap shelves the source
     graft.lineage.AtomicSwap.writeSwap(s"$path/counts")(tmp =>
       compact.write.parquet(tmp))
   }
@@ -356,13 +408,14 @@ object TextAnalysis {
     * vocabulary-sized scan of the stored counts; the base corpus is
     * never touched. */
   def divergenceAgainstProfile(spark: org.apache.spark.sql.SparkSession,
-                               docs: DataFrame,
-                               profilePath: String): DataFrame = {
+                               docs: DataFrame, profilePath: String,
+                               excludeBatchId: Option[Long] = None): DataFrame = {
     Dedup.requireParams(s"$profilePath/params.properties", ProfileParams,
       "profile")
-    val va = spark.read.parquet(s"$profilePath/counts")
-      .groupBy(col("tok")).agg(sum(col("c")).as("ca"))
-    divergenceOfVocabs(va, vocabOf(docs, "cb"))
+    divergenceOfVocabs(
+      profileCounts(spark, profilePath, excludeBatchId)
+        .withColumnRenamed("c", "ca"),
+      vocabOf(docs, "cb"))
   }
 
   /** Content-fingerprint-cached [[writeCorpusProfile]] — the

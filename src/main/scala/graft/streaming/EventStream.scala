@@ -391,6 +391,82 @@ object EventStream {
         }
       }
 
+  /** Streaming SEMANTIC decontamination — the paraphrase-robust twin
+    * of [[decontaminationStream]]: each micro-batch of embedding rows
+    * probes the benchmark suite FROZEN as a semantic index
+    * ([[graft.ext.Dedup.semanticContaminationAgainstIndex]]); vectors
+    * whose max benchmark cosine clears the index threshold are cut,
+    * the clean remainder lands under `acceptedPath/batch_id=N`, and
+    * the flagged rows (with their scores) land under
+    * `flaggedPath/batch_id=N` for adjudication. The index is read-only
+    * here (rebuild it at suite-update cadence), so each batch's split
+    * is deterministic and the overwrite landings are effectively
+    * exactly-once without batch tags. Default probes = None scores the
+    * EXACT per-vector max (every stored benchmark vector reachable);
+    * a probe budget turns it into the documented screen. */
+  def semanticDecontaminationStream(emb: DataFrame, indexPath: String,
+                                    acceptedPath: String, flaggedPath: String,
+                                    checkpoint: String,
+                                    minCosine: Double = 0.4, nCells: Int = 8,
+                                    probes: Option[Int] = None): DataStreamWriter[Row] =
+    emb.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed twice below
+          val flagged = graft.ext.Dedup.semanticContaminationAgainstIndex(
+              b.sparkSession, b, indexPath, minCosine, nCells, probes)
+            .filter(col("contaminated") === 1L)
+            .localCheckpoint() // consumed twice: audit landing + anti-join
+          flagged.write.mode(SaveMode.Overwrite)
+            .parquet(s"$flaggedPath/batch_id=$batchId")
+          b.join(flagged.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$acceptedPath/batch_id=$batchId")
+        }
+      }
+
+  /** Streaming profile ABSORB — the maintaining twin of
+    * [[driftMonitorStream]]: each micro-batch is first scored against
+    * the profile AS IT STOOD (the drift report lands under
+    * `metricsPath/batch_id=N` — measured before absorption, so the
+    * metric answers "how different was this batch from everything
+    * before it"), then its unigram counts are merged into the profile
+    * ([[graft.ext.TextAnalysis.appendCorpusProfile]] with the
+    * micro-batch id). The running profile converges to the whole
+    * stream's distribution without any batch ever re-scanning history.
+    *
+    * Crash-window contract (the ingest-twin mechanism, count
+    * edition): the scoring pass EXCLUDES rows tagged with the current
+    * batch id — a replay reports against exactly the profile its
+    * first attempt saw, whether or not that attempt's absorb
+    * committed — and re-appended tagged rows are byte-identical, so
+    * the readers' dedup-then-sum never double-absorbs them. Report
+    * landings are batch-keyed overwrite. The profile must be owned by
+    * this one stream; grow the base corpus through untagged batch
+    * appends only while the stream is stopped. */
+  def ingestProfileStream(docs: DataFrame, profilePath: String,
+                          metricsPath: String,
+                          checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed twice: score + absorb
+          graft.ext.TextAnalysis.divergenceAgainstProfile(
+              b.sparkSession, b, profilePath,
+              excludeBatchId = Some(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+          graft.ext.TextAnalysis.appendCorpusProfile(b, profilePath,
+            batchId = Some(batchId))
+        }
+      }
+
   /** Streaming drift monitor — the observability twin of the ingest
     * streams: each micro-batch of documents is scored against a STORED
     * corpus profile ([[graft.ext.TextAnalysis.divergenceAgainstProfile]])

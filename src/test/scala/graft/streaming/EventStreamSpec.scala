@@ -187,6 +187,88 @@ class EventStreamSpec extends SparkSpec {
     assert(audit.keySet == Set(10L) && audit(10L) > 0, s"got $audit")
   }
 
+  test("semantic decontamination stream cuts embedding-level leaks against the frozen index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_semdecon").toString
+    def v(hot: Int): Array[Float] = Array.tabulate(8)(i => if (i == hot) 1f else 0f)
+    // benchmark embeddings frozen once as a semantic index
+    val bench = Seq((1L, v(0)), (2L, v(1))).toDF("vec_id", "embedding")
+    graft.ext.Dedup.writeSemanticIndex(bench, s"$dir/idx", nCells = 2, probes = 2)
+    val mem = MemoryStream[IngestVec]
+    def drain(): Unit = {
+      val q = EventStream.semanticDecontaminationStream(mem.toDF(),
+        s"$dir/idx", s"$dir/accepted", s"$dir/flagged", s"$dir/ckpt",
+        nCells = 2).start()
+      q.awaitTermination()
+    }
+    // batch 0: a vector aligned with the benchmark (cut) + an
+    // orthogonal one (kept)
+    mem.addData(IngestVec(10L, v(0)), IngestVec(11L, v(3)))
+    drain()
+    mem.addData(IngestVec(20L, v(5))) // batch 1: clean
+    drain()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+    assert(accepted.select("vec_id").as[Long].collect().toSet == Set(11L, 20L))
+    val flagged = spark.read.parquet(s"$dir/flagged").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Double]("max_benchmark_cosine")).toMap
+    assert(flagged.keySet == Set(10L) && flagged(10L) == 1.0, s"got $flagged")
+  }
+
+  test("profile absorb stream measures drift before absorbing, exactly once under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_absorb").toString
+    val base = Seq((1L, "alpha beta gamma"), (2L, "alpha delta"))
+      .toDF("doc_id", "text")
+    graft.ext.TextAnalysis.writeCorpusProfile(base, s"$dir/prof")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.ingestProfileStream(mem.toDF(), s"$dir/prof",
+        s"$dir/metrics", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    val b0 = Seq((10L, "alpha epsilon zeta")).toDF("doc_id", "text")
+    mem.addData(IngestDoc(10L, "alpha epsilon zeta"))
+    drain()
+    // crash window: report + absorb committed, checkpoint commit lost
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain() // replay: scores against the pre-absorb profile, re-absorbs
+    val b1 = Seq((11L, "eta theta iota")).toDF("doc_id", "text")
+    mem.addData(IngestDoc(11L, "eta theta iota"))
+    drain()
+    // batch 0's report is the drift vs the BASE profile — and the
+    // replayed report must be byte-identical to the original
+    val metrics = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => r.getAs[Int]("batch_id") -> r).toMap
+    val expect0 = graft.ext.TextAnalysis.corpusDivergence(base, b0).head
+    assert(metrics(0).getAs[Double]("js_divergence") ==
+      expect0.getAs[Double]("js_divergence"))
+    assert(metrics(0).getAs[Long]("n_tokens_a") ==
+      expect0.getAs[Long]("n_tokens_a"))
+    // batch 1 saw base + batch 0 — the profile absorbed the stream
+    val expect1 = graft.ext.TextAnalysis.corpusDivergence(
+      base.unionByName(b0), b1).head
+    assert(metrics(1).getAs[Long]("n_tokens_a") ==
+      expect1.getAs[Long]("n_tokens_a"))
+    assert(metrics(1).getAs[Double]("js_divergence") ==
+      expect1.getAs[Double]("js_divergence"))
+    // despite the replayed absorb, counts landed exactly once: the
+    // final profile IS base ∪ b0 ∪ b1
+    val probe = Seq((99L, "alpha theta unknown")).toDF("doc_id", "text")
+    val viaProfile = graft.ext.TextAnalysis.divergenceAgainstProfile(
+      spark, probe, s"$dir/prof").head
+    val exact = graft.ext.TextAnalysis.corpusDivergence(
+      base.unionByName(b0).unionByName(b1), probe).head
+    assert(viaProfile.getAs[Long]("n_tokens_a") ==
+      exact.getAs[Long]("n_tokens_a"),
+      "a replayed absorb must not double-count")
+    assert(viaProfile.getAs[Double]("js_divergence") ==
+      exact.getAs[Double]("js_divergence"))
+  }
+
   test("streaming drift monitor lands one report per micro-batch against the frozen profile") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_drift").toString
