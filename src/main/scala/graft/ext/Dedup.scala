@@ -218,6 +218,7 @@ object Dedup {
     requireParams(s"$path/params.properties", Map(
       "key" -> colTag(key), "score" -> colTag(score), "idCol" -> idCol),
       "canonical")
+    requireTaggedRelation(docs.sparkSession, path, "best")
     canonicalByScore(
         docs.select(col(idCol), key.as("_ck0"), score.cast("double").as("_cs0")),
         col("_ck0"), col("_cs0"), idCol)
@@ -416,6 +417,23 @@ object Dedup {
       case None => df
     }
 
+  /** Appending tagged rows into a PRE-tagging relation would mix
+    * schemas in one parquet directory (later reads then resolve the
+    * schema from an arbitrary footer — batch_id silently appears or
+    * vanishes per listing order), so tagged appenders fail loudly and
+    * point at the compaction, which migrates legacy relations in place
+    * by backfilling the base-corpus NULL tag. */
+  private[ext] def requireTaggedRelation(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, rel: String): Unit = {
+    val dir = s"$path/$rel"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      require(spark.read.parquet(dir).columns.contains("batch_id"),
+        s"index at $path has a pre-batch-tagging $rel/ relation — " +
+          "appending tagged rows would mix file schemas; run the " +
+          "index's compaction once to migrate it in place first")
+  }
+
   /** Persist the corpus-side MinHash state for INCREMENTAL dedup: the
     * (band, band-hash, doc_id) bucket relation and the hashed shingle
     * sets, as parquet under `path`. Written once per corpus version;
@@ -525,6 +543,8 @@ object Dedup {
     requireParams(s"$path/params.properties", Map(
       "n" -> n.toString, "k" -> k.toString,
       "bands" -> bands.toString, "seed" -> seed.toString), "MinHash")
+    Seq("buckets", "shingles").foreach(
+      requireTaggedRelation(docs.sparkSession, path, _))
     val r = k / bands
     val bandHashes = (0 until bands).map(j =>
       xxhash64(lit(j), slice(col("sig"), j * r + 1, r)))
@@ -1284,6 +1304,8 @@ object Dedup {
     requireParams(s"$path/params.properties", Map(
       "tables" -> tables.toString, "bitsPerTable" -> bitsPerTable.toString),
       "ANN")
+    Seq("buckets", "vectors").foreach(
+      requireTaggedRelation(newEmb.sparkSession, path, _))
     val v = newEmb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e"))
     val tag = batchId.map(lit(_)).getOrElse(lit(null)).cast("long")
@@ -1627,6 +1649,7 @@ object Dedup {
                           batchId: Option[Long] = None): Unit = {
     requireParams(s"$path/params.properties", Map(
       "nCells" -> nCells.toString, "probes" -> probes.toString), "semantic")
+    Seq("cells", "vectors").foreach(requireTaggedRelation(spark, path, _))
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
@@ -2032,9 +2055,11 @@ object Dedup {
     // validate BEFORE the write: an append under a mismatched window
     // size must fail without mutating the index (keys written first
     // would pollute it with hashes no probe can ever match)
-    if (append)
+    if (append) {
       requireParams(s"$path/params.properties",
         Map("windowTokens" -> windowTokens.toString), "passage")
+      requireTaggedRelation(docs.sparkSession, path, "keys")
+    }
     val (_, long) = splitByWindow(docs, windowTokens)
     passageWindows(long, windowTokens).select("wk").distinct()
       .withColumn("batch_id",

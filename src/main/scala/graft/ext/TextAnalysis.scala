@@ -335,6 +335,7 @@ object TextAnalysis {
   def appendCorpusProfile(docs: DataFrame, path: String,
                           batchId: Option[Long] = None): Unit = {
     Dedup.requireParams(s"$path/params.properties", ProfileParams, "profile")
+    Dedup.requireTaggedRelation(docs.sparkSession, path, "counts")
     vocabOf(docs, "c")
       .withColumn("batch_id",
         batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))

@@ -267,6 +267,11 @@ class DedupSpec extends SparkSpec {
       Dedup.minhashLshPairsAgainstIndex(spark, batch, s"$dir/mh",
         excludeBatchId = Some(0L)))
     assert(e.getMessage.contains("compaction"), e.getMessage)
+    // ...and so does an APPEND: tagged files in an untagged directory
+    // would give the relation a footer-order-dependent schema
+    val ea = intercept[IllegalArgumentException](
+      Dedup.appendMinhashIndex(batch, s"$dir/mh"))
+    assert(ea.getMessage.contains("compaction"), ea.getMessage)
     // one compaction backfills the base-corpus NULL tag in place...
     Dedup.compactMinhashIndex(spark, s"$dir/mh")
     // ...after which exclusion is legal and — on an index that batch
@@ -276,6 +281,7 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(migrated == base,
       s"baseOnly=${base -- migrated} migratedOnly=${migrated -- base}")
+    Dedup.appendMinhashIndex(batch, s"$dir/mh") // append now legal too
   }
 
   test("incremental passage strip against the on-disk index equals the monolithic strip") {

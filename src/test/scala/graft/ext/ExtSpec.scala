@@ -579,6 +579,23 @@ class ExtSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/nope/counts")),
       "a rejected append must not mutate anything")
+    // legacy pre-tagging profile: reads work, appends fail loudly with
+    // the migration pointer, one compaction migrates in place
+    TextAnalysis.writeCorpusProfile(a1, s"$dir/legacy")
+    val stripped = spark.read.parquet(s"$dir/legacy/counts")
+      .drop("batch_id").localCheckpoint() // materialize BEFORE overwrite
+    stripped.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/legacy/counts")
+    val legacyRead = row(
+      TextAnalysis.divergenceAgainstProfile(spark, b, s"$dir/legacy"))
+    assert(legacyRead == row(TextAnalysis.corpusDivergence(a1, b)))
+    val el = intercept[IllegalArgumentException](
+      TextAnalysis.appendCorpusProfile(a2, s"$dir/legacy"))
+    assert(el.getMessage.contains("compaction"), el.getMessage)
+    TextAnalysis.compactCorpusProfile(spark, s"$dir/legacy")
+    TextAnalysis.appendCorpusProfile(a2, s"$dir/legacy")
+    assert(row(TextAnalysis.divergenceAgainstProfile(spark, b, s"$dir/legacy"))
+      == row(TextAnalysis.corpusDivergence(a, b)))
   }
 
   test("bloom contamination report is a no-false-negative superset of exact") {
