@@ -76,7 +76,15 @@ object Curation {
     *     dedup. None (the default) adds zero plan nodes; when on, the
     *     gate costs one tokenize pass over the already-gated frame
     *     (map-side-combined per-doc aggregate + semi-join — the
-    *     one-pass token-stats shape, never a second corpus scan). */
+    *     one-pass token-stats shape, never a second corpus scan).
+    *   - `tokenBudgetPerLang`: per-language TOKEN budget
+    *     ([[Sampling.capTokensPerGroup]] — the boundary doc included,
+    *     q45 semantics) applied between the rate mix and the count
+    *     quota: training mixes are specified in tokens, and the count
+    *     cap alone cannot express "200k tokens of en". Rates → budget
+    *     → cap compose deterministically because every stage's
+    *     md5-order selection runs on its predecessor's population.
+    *     None (the default) adds zero plan nodes. */
   final case class Config(
       minTokens: Int = 15,
       maxDupTrigramFrac: Double = 0.5,
@@ -101,7 +109,8 @@ object Curation {
       maxPassageOccurrences: Option[Int] = None,
       langSampleRates: Map[String, Double] = Map.empty,
       qualityModelWeights: Option[Seq[Double]] = None,
-      minModelScore: Double = 0.0)
+      minModelScore: Double = 0.0,
+      tokenBudgetPerLang: Option[Long] = None)
 
   private def requireConfig(cfg: Config): Unit = {
     require(cfg.maxRedactionsPerDoc.isEmpty || cfg.redactPii,
@@ -112,6 +121,8 @@ object Curation {
       "qualityModelWeights, when set, needs a non-empty vector")
     require(cfg.qualityModelWeights.nonEmpty || cfg.minModelScore == 0.0,
       "minModelScore gates the model stage — set qualityModelWeights to enable it")
+    require(cfg.tokenBudgetPerLang.forall(_ > 0L),
+      "tokenBudgetPerLang must be positive")
   }
 
   /** The optional model-score gate: semi-join on docs whose
@@ -240,18 +251,28 @@ object Curation {
       .filter(col("n_overlap") > cfg.maxOverlapNgrams)
       .select("doc_id")
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-    // 5+6. mix (optional per-language rate sample, then the count
-    // quota), then assign splits. Rates first: the cap's md5-order
-    // selection then applies to the sampled population, so both knobs
-    // compose deterministically
-    val mixBase = clean.select(col("doc_id"), col("pred_lang"))
+    // 5+6. mix (optional per-language rate sample, optional token
+    // budget, then the count quota), then assign splits. Rates →
+    // budget → cap: each stage's md5-order selection runs on its
+    // predecessor's population, so the knobs compose deterministically
+    val mixBase = cfg.tokenBudgetPerLang match {
+      case Some(_) => clean.select(col("doc_id"), col("pred_lang"),
+        size(split(col("text"), " ")).cast("long").as("_n_tok"))
+      case None => clean.select(col("doc_id"), col("pred_lang"))
+    }
     val rated =
       if (cfg.langSampleRates.nonEmpty)
         Sampling.stratifiedSampleByHash(mixBase, "doc_id", "pred_lang",
           cfg.langSampleRates)
       else mixBase
+    val budgeted = cfg.tokenBudgetPerLang match {
+      case Some(b) =>
+        Sampling.capTokensPerGroup(rated, "pred_lang", "doc_id", "_n_tok", b)
+          .select(col("doc_id"), col("pred_lang"))
+      case None => rated
+    }
     Sampling.trainValTest(
-        Sampling.capPerGroup(rated, "pred_lang", "doc_id", cfg.perLangCap),
+        Sampling.capPerGroup(budgeted, "pred_lang", "doc_id", cfg.perLangCap),
         "doc_id", cfg.trainPct, cfg.valPct)
       .select(col("doc_id"), col("pred_lang"), col("split"))
   }
@@ -369,24 +390,37 @@ object Curation {
       Seq("doc_id"), "left_anti").persist()
     val nClean = clean.count()
     deduped.unpersist()
-    val mixBase = clean.select(col("doc_id"), col("pred_lang"))
+    val mixBase = cfg.tokenBudgetPerLang match {
+      case Some(_) => clean.select(col("doc_id"), col("pred_lang"),
+        size(split(col("text"), " ")).cast("long").as("_n_tok"))
+      case None => clean.select(col("doc_id"), col("pred_lang"))
+    }
     val (rated, sampleRows) =
       if (cfg.langSampleRates.nonEmpty) {
         val r = Sampling.stratifiedSampleByHash(mixBase, "doc_id",
           "pred_lang", cfg.langSampleRates).persist()
         (r, Seq(("06a_lang_sample", r.count())))
       } else (mixBase, Nil)
-    val nFinal = Sampling.capPerGroup(rated,
+    val (budgeted, budgetRows) = cfg.tokenBudgetPerLang match {
+      case Some(b) =>
+        val t = Sampling.capTokensPerGroup(rated, "pred_lang", "doc_id",
+            "_n_tok", b)
+          .select(col("doc_id"), col("pred_lang")).persist()
+        (t, Seq(("06b_token_budget", t.count())))
+      case None => (rated, Seq.empty[(String, Long)])
+    }
+    val nFinal = Sampling.capPerGroup(budgeted,
       "pred_lang", "doc_id", cfg.perLangCap).count()
     clean.unpersist()
     if (sampleRows.nonEmpty) rated.unpersist()
+    if (budgetRows.nonEmpty) budgeted.unpersist()
     (Seq(("00_input", nInput)) ++ hygieneRows ++ Seq(
       ("01_min_tokens", g.getLong(1)),
       ("02_repetition", g.getLong(2)),
       ("03_language", g.getLong(3))) ++ modelRows ++ Seq(
       ("04_exact_dedup", nExact),
       ("05_near_dedup", nNear),
-      ("06_decontaminated", nClean)) ++ sampleRows ++ Seq(
+      ("06_decontaminated", nClean)) ++ sampleRows ++ budgetRows ++ Seq(
       ("07_quota", nFinal))).toDF("stage", "n_docs")
   }
 

@@ -529,6 +529,45 @@ class CurationSpec extends SparkSpec {
       Curation.curate(corpus, benchmark, cfg.copy(minModelScore = 0.5)))
   }
 
+  test("per-language token budget slots between rate mix and count quota") {
+    // a never-binding budget leaves the chain exactly at its default
+    val base = Curation.curate(corpus, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    val loose = Curation.curate(corpus, benchmark,
+        cfg.copy(tokenBudgetPerLang = Some(1000000000000L)))
+      .collect().map(_.toSeq).toSet
+    assert(loose == base)
+    // a binding budget: q45 boundary semantics per language — the kept
+    // set exceeds the budget by at most its boundary document
+    val budget = 60L
+    val bound = cfg.copy(tokenBudgetPerLang = Some(budget))
+    val curated = Curation.curate(corpus, benchmark, bound)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(curated.nonEmpty && curated.size < base.size,
+      "a 60-token budget must bind on the fixture")
+    val toks = corpus
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    curated.groupBy(_._2).foreach { case (lang, docs) =>
+      val kept = docs.map(d => toks(d._1))
+      assert(kept.sum < budget + kept.max,
+        s"$lang: ${kept.sum} tokens exceeds budget $budget by more than " +
+          "the boundary document")
+    }
+    // the funnel reports the stage between decontamination and quota
+    // and still lands on curate()'s count
+    val byStage = Curation.curationFunnel(corpus, benchmark, bound)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.contains("06b_token_budget"))
+    assert(byStage("06b_token_budget") <= byStage("06_decontaminated"))
+    assert(byStage("07_quota") <= byStage("06b_token_budget"))
+    assert(byStage("07_quota") == curated.size.toLong)
+    // a non-positive budget is rejected up front
+    intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark, cfg.copy(tokenBudgetPerLang = Some(0L))))
+  }
+
   test("quota and split assignment are enforced") {
     val perLang = out.groupBy(_._2).map { case (l, rows) => l -> rows.length }
     perLang.foreach { case (l, n) =>
