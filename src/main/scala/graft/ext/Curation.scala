@@ -223,17 +223,31 @@ object Curation {
     * text) output of [[hygiene]] for the same config. Split out so
     * [[writeTrainingShards]] can compute the hygiene rewrite ONCE and
     * feed both the gates and the shard-text join. */
-  private def curateHygiened(hygiened: DataFrame, benchmark: DataFrame,
-                             cfg: Config): DataFrame = {
-    // 1+2. quality + language gates: pure column expressions, fused by
-    // Catalyst into the document scan — no extra pass over the corpus
-    val heuristicGated = hygiened
+  /** The chain's STATELESS gate stages (quality heuristics + language
+    * + the optional model-score gate) as one batch-applicable
+    * transform over (doc_id, text) — exactly the expressions `curate`
+    * fuses into its scan, exposed so a per-micro-batch stream
+    * (`EventStream.curationStream`) applies the identical rules. The
+    * heuristic gates are pure column expressions (no extra pass); the
+    * model gate, when configured, adds its documented aggregate +
+    * semi-join. Output carries `pred_lang`. */
+  def streamingGates(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    requireConfig(cfg)
+    val heuristicGated = docs.select(col("doc_id"), col("text"))
       .withColumn("pred_lang", TextAnalysis.langPrediction(col("text")))
       .filter(size(split(col("text"), " ")) >= cfg.minTokens &&
         TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac &&
         col("pred_lang").isin(cfg.keepLangs: _*))
-    // 2b. optional model-score gate — identity with default flags
-    val gated = modelGate(heuristicGated, cfg)
+    // optional model-score gate — identity with default flags
+    modelGate(heuristicGated, cfg)
+  }
+
+  private def curateHygiened(hygiened: DataFrame, benchmark: DataFrame,
+                             cfg: Config): DataFrame = {
+    // 1+2(+2b). quality + language (+ model) gates: the shared
+    // stateless stage — pure column expressions fused by Catalyst into
+    // the document scan, no extra pass over the corpus
+    val gated = streamingGates(hygiened, cfg)
     // 3a. EXACT dedup first: identical copies collapse via the cheap
     // digest groupBy. Ordering matters at scale — a clique of identical
     // documents shares every LSH banding bucket, so running exact dedup

@@ -391,6 +391,61 @@ object EventStream {
         }
       }
 
+  /** Streaming CURATION — the end-to-end continuous-ingest composition
+    * of the batch chain (`ext.Curation.curate`) over on-disk state:
+    * per micro-batch, (1) the chain's stateless gates (min tokens,
+    * repetition, language, optional model score — the same column
+    * expressions, fused into the batch scan), (2) whole-doc near-dup
+    * removal against the accumulated MinHash index (cross-corpus AND
+    * within-batch, index grown by exactly the survivors), (3) Bloom
+    * decontamination against the frozen benchmark sketch, (4) the
+    * clean remainder lands under `acceptedPath/batch_id=N`. The
+    * decontaminated set is what lands, but the INDEX absorbs all dedup
+    * survivors — a future duplicate of a contaminated page must still
+    * drop.
+    *
+    * This is the "curate the crawl as it arrives" loop: state lives in
+    * the index + sketch on disk (shared with batch jobs, unbounded-
+    * stream-safe), and cost per cycle ∝ batch size, never corpus size.
+    * Per-batch corpus-wide stages the batch chain also offers (line
+    * dedup, passage strip, quotas) are deliberately absent — lines and
+    * passages have their own index-backed stream twins, and a quota is
+    * a corpus-level decision, not a batch one.
+    *
+    * Crash-window contract: gates and the sketch probe are pure
+    * functions of the batch; the dedup cycle is replay-deterministic
+    * via tagged appends + own-tag exclusion; the landing is batch-
+    * keyed overwrite — end to end effectively exactly-once (the spec
+    * replays a doctored checkpoint through the whole composition).
+    * Both index and checkpoint must be owned by this one stream. */
+  def curationStream(docs: DataFrame, minhashIndexPath: String,
+                     sketchPath: String, acceptedPath: String,
+                     checkpoint: String,
+                     cfg: graft.ext.Curation.Config =
+                       graft.ext.Curation.Config(),
+                     maxFlagged: Long = 0L): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val gated = graft.ext.Curation.streamingGates(batch, cfg)
+          graft.ext.Dedup.ingestDedupBatch(batch.sparkSession, gated,
+            minhashIndexPath, batchId = Some(batchId),
+            accept = { survivors =>
+              val flagged = graft.ext.Dedup
+                .contaminationReportAgainstBloomIndex(survivors, sketchPath)
+                .filter(col("n_flagged") > maxFlagged)
+                .select(col("doc_id"))
+              survivors.join(flagged, Seq("doc_id"), "left_anti")
+                .write.mode(SaveMode.Overwrite)
+                .parquet(s"$acceptedPath/batch_id=$batchId")
+            })
+          ()
+        }
+      }
+
   /** Streaming SEMANTIC decontamination — the paraphrase-robust twin
     * of [[decontaminationStream]]: each micro-batch of embedding rows
     * probes the benchmark suite FROZEN as a semantic index

@@ -187,6 +187,57 @@ class EventStreamSpec extends SparkSpec {
     assert(audit.keySet == Set(10L) && audit(10L) > 0, s"got $audit")
   }
 
+  test("curation stream gates, dedups against the index, decontaminates, and replays exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_curate").toString
+    // on-disk state frozen/seeded once: the corpus MinHash index and
+    // the benchmark Bloom sketch
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeMinhashIndex(corpus, s"$dir/idx")
+    val bench = Seq(
+      (1L, "benchmark secret question about ancient rome history facts"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeBloomIndex(bench, s"$dir/sketch")
+    val cfg = graft.ext.Curation.Config(minTokens = 5)
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.curationStream(mem.toDF(), s"$dir/idx",
+        s"$dir/sketch", s"$dir/accepted", s"$dir/ckpt", cfg).start()
+      q.awaitTermination()
+    }
+    // batch 0: a corpus dup, a gate failure, a benchmark leak, a keeper
+    mem.addData(
+      IngestDoc(10L, "the quick brown fox jumps over the lazy dog today"),
+      IngestDoc(11L, "short one"),
+      IngestDoc(12L, "this document shares the benchmark secret question about ancient rome history facts"),
+      IngestDoc(13L, "a perfectly clean and useful training document about cooking pasta"))
+    drain()
+    // crash window: side effects committed, checkpoint commit lost —
+    // the replay runs the WHOLE composition again
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    val after0 = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toList.sorted
+    assert(after0 == List(13L),
+      s"batch 0 must land exactly its one clean doc once: $after0")
+    // batch 1: dups of batch-0 SURVIVORS — including the contaminated
+    // one, which entered the index but never the accepted set — plus a
+    // genuinely new doc
+    mem.addData(
+      IngestDoc(20L, "a perfectly clean and useful training document about cooking pasta"),
+      IngestDoc(21L, "this document shares the benchmark secret question about ancient rome history facts"),
+      IngestDoc(22L, "another genuinely fresh sentence about gardening tomatoes in spring"))
+    drain()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted == Set(13L, 22L), s"got $accepted")
+  }
+
   test("semantic decontamination stream cuts embedding-level leaks against the frozen index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_semdecon").toString
