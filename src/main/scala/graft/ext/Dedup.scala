@@ -1217,6 +1217,23 @@ object Dedup {
     bloomProbeReport(docs, n, if (bytes.isEmpty) null else bytes)
   }
 
+  /** Content-fingerprint-cached [[writeBloomIndex]] — the
+    * `ensureIvfIndex` pattern: keyed on a fingerprint of the benchmark
+    * source parquet (size+mtime), never the path, so an updated suite
+    * rebuilds instead of silently probing a stale sketch; concurrent
+    * builders adopt one staged build behind the shared locking ladder.
+    * Returns the sketch path. */
+  def ensureBloomIndex(benchmark: DataFrame, cacheRoot: String,
+                       sourcePath: String, n: Int = 3,
+                       expectedItems: Long = 1000000L,
+                       fpp: Double = 0.01): String = {
+    val idx = java.nio.file.Paths.get(
+      cacheRoot, s"bloom_${Similarity.pathFingerprint(sourcePath)}")
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writeBloomIndex(benchmark, tmp, n, expectedItems, fpp))
+    idx.toString
+  }
+
   /** Stage-then-atomic-move of the single-file sketch artifact (the
     * AtomicSwap discipline at file granularity). */
   private def writeSketchBytes(path: String, bytes: Array[Byte]): Unit = {

@@ -1039,6 +1039,21 @@ object TextAnalysis {
                                  docs: DataFrame, path: String): DataFrame =
     bpeTokenCounts(docs, readBpeModel(spark, path))
 
+  /** Content-fingerprint-cached train-then-store: [[learnBpeMerges]] +
+    * [[writeBpeModel]] behind the `ensureIvfIndex` cache — the
+    * training pass (the expensive half of the tokenizer ladder) runs
+    * once per corpus version, and a regenerated corpus rebuilds
+    * instead of silently applying a stale vocabulary. Returns the
+    * model path. */
+  def ensureBpeModel(docs: DataFrame, cacheRoot: String,
+                     sourcePath: String, nMerges: Int = 10): String = {
+    val idx = java.nio.file.Paths.get(
+      cacheRoot, s"bpe${nMerges}_${Similarity.pathFingerprint(sourcePath)}")
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writeBpeModel(learnBpeMerges(docs, nMerges), tmp))
+    idx.toString
+  }
+
   /** Leftmost-first non-overlapping merge of (l, r) in a symbol array —
     * the driver twin of [[mergePair]], same single-accumulator fold. */
   private def mergeSeqInPlace(sym: Array[String], l: String,

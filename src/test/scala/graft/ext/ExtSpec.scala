@@ -720,6 +720,36 @@ class ExtSpec extends SparkSpec {
     intercept[Exception](TextAnalysis.readBpeModel(spark, s"$dir/nope"))
   }
 
+  test("fingerprint caches build the bloom sketch and BPE model once per corpus version") {
+    val cacheRoot = java.nio.file.Files
+      .createTempDirectory("graft_ensure").toString
+    val src = sf("sf0.001") + "/documents.parquet"
+    val bench = docs.filter($"doc_id" < 25)
+    // first call builds; the sidecar is the completeness marker
+    val p1 = Dedup.ensureBloomIndex(bench, cacheRoot, src)
+    val marker = java.nio.file.Paths.get(s"$p1/params.properties")
+    val built = java.nio.file.Files.getLastModifiedTime(marker)
+    // second call is a cache hit: same path, artifact untouched
+    assert(Dedup.ensureBloomIndex(bench, cacheRoot, src) == p1)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == built)
+    // and the cached sketch probes identically to a live build
+    val corpus = docs.filter($"doc_id" >= 25)
+    assert(Dedup.contaminationReportAgainstBloomIndex(corpus, p1)
+        .collect().map(_.toSeq).toSet ==
+      Dedup.contaminationReportBloom(corpus, bench)
+        .collect().map(_.toSeq).toSet)
+    // BPE: the expensive training pass runs once, the model re-applies
+    val m1 = TextAnalysis.ensureBpeModel(docs, cacheRoot, src, nMerges = 8)
+    val mMarker = java.nio.file.Paths.get(s"$m1/params.properties")
+    val mBuilt = java.nio.file.Files.getLastModifiedTime(mMarker)
+    assert(TextAnalysis.ensureBpeModel(docs, cacheRoot, src, nMerges = 8) == m1)
+    assert(java.nio.file.Files.getLastModifiedTime(mMarker) == mBuilt)
+    assert(TextAnalysis.readBpeModel(spark, m1).size == 8)
+    // a different merge budget is a different artifact, not a stale hit
+    val m2 = TextAnalysis.ensureBpeModel(docs, cacheRoot, src, nMerges = 4)
+    assert(m2 != m1 && TextAnalysis.readBpeModel(spark, m2).size == 4)
+  }
+
   test("stratified hash sample is deterministic, per-stratum, and rate-accurate") {
     val d = docs.select($"doc_id", $"lang")
     val rates = Map("en" -> 0.25, "de" -> 0.5)
