@@ -1170,35 +1170,84 @@ object Dedup {
       "fpp" -> fpp.toString))
   }
 
+  /** The Bloom sketch's identity parameters, bundled so every API that
+    * builds or probes a sketch (batch chain config, curation stream)
+    * carries the full triple — a probe under different parameters than
+    * the artifact's sidecar must fail loudly, so the parameters must be
+    * expressible wherever a sketch path is. */
+  final case class BloomSketchParams(n: Int = 3,
+                                     expectedItems: Long = 1000000L,
+                                     fpp: Double = 0.01)
+
   /** OR-merge a new benchmark's n-grams into a stored Bloom sketch —
     * Bloom bits are position-determined per item, so the merged sketch
     * is BIT-IDENTICAL to one built over the concatenated suites
     * (spec-pinned); appends never degrade below a rebuild. Params are
     * validated BEFORE any aggregation or write (the pinned append
     * rule); the artifact swap is a tmp-file atomic move, so a crash
-    * leaves the previous complete sketch. */
+    * leaves the previous complete sketch.
+    *
+    * Concurrency: the read-merge-write runs under the shared per-path
+    * lock ladder (JVM monitor + advisory file lock —
+    * `Similarity.withExclusiveLock`), so two concurrent appends (or an
+    * append racing a [[rebuildBloomIndex]]) serialize instead of the
+    * last writer silently dropping the other suite's n-grams — the
+    * lost-update shape the parquet-append indexes never had but a
+    * single-file artifact does. Only the merge-and-swap holds the
+    * lock; probes take no lock (the swap is atomic). */
   def appendBloomIndex(benchmark: DataFrame, path: String, n: Int = 3,
                        expectedItems: Long = 1000000L,
                        fpp: Double = 0.01): Unit = {
     requireParams(s"$path/params.properties", Map(
       "n" -> n.toString, "expectedItems" -> expectedItems.toString,
       "fpp" -> fpp.toString), "bloom")
+    // the aggregation runs OUTSIDE the lock (it reads no sketch state);
+    // only the read-merge-swap is the critical section
     val add = buildBenchmarkSketch(benchmark, n, expectedItems, fpp)
     if (add == null) return // empty addition: the stored sketch stands
-    val old = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$path/sketch.bin"))
-    val merged =
-      if (old.isEmpty) add
-      else {
-        import org.apache.spark.util.sketch.BloomFilter
-        val a = BloomFilter.readFrom(new java.io.ByteArrayInputStream(old))
-        a.mergeInPlace(
-          BloomFilter.readFrom(new java.io.ByteArrayInputStream(add)))
-        val bos = new java.io.ByteArrayOutputStream()
-        a.writeTo(bos)
-        bos.toByteArray
-      }
-    writeSketchBytes(path, merged)
+    Similarity.withExclusiveLock(java.nio.file.Paths.get(path)) {
+      val old = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$path/sketch.bin"))
+      val merged =
+        if (old.isEmpty) add
+        else {
+          import org.apache.spark.util.sketch.BloomFilter
+          val a = BloomFilter.readFrom(new java.io.ByteArrayInputStream(old))
+          a.mergeInPlace(
+            BloomFilter.readFrom(new java.io.ByteArrayInputStream(add)))
+          val bos = new java.io.ByteArrayOutputStream()
+          a.writeTo(bos)
+          bos.toByteArray
+        }
+      writeSketchBytes(path, merged)
+    }
+  }
+
+  /** Rebuild a stored Bloom sketch from the CURRENT benchmark frame,
+    * in place, under the artifact's recorded parameters — the
+    * maintenance op for a suite that SHRINKS. Bloom filters cannot
+    * unlearn: after a benchmark is retired, [[appendBloomIndex]] can
+    * only keep its bits set, so stale positives accumulate and the
+    * effective fpp degrades as appends pile up. The rule: APPEND when
+    * the suite grows (bit-identical to a union rebuild, no benchmark
+    * re-scan), REBUILD when anything is removed or when accumulated
+    * appends push the item count past `expectedItems` (fpp erosion).
+    * Params are validated against the sidecar first — a rebuild under
+    * different parameters is a new artifact, not a maintenance step
+    * (use [[writeBloomIndex]] at a fresh path). The swap runs under
+    * the same per-path lock as appends, and append-after-rebuild
+    * remains bit-identical to a union build (spec-pinned). */
+  def rebuildBloomIndex(benchmark: DataFrame, path: String, n: Int = 3,
+                        expectedItems: Long = 1000000L,
+                        fpp: Double = 0.01): Unit = {
+    requireParams(s"$path/params.properties", Map(
+      "n" -> n.toString, "expectedItems" -> expectedItems.toString,
+      "fpp" -> fpp.toString), "bloom")
+    val bytes = buildBenchmarkSketch(benchmark, n, expectedItems, fpp)
+    Similarity.withExclusiveLock(java.nio.file.Paths.get(path)) {
+      writeSketchBytes(path,
+        if (bytes == null) Array.emptyByteArray else bytes)
+    }
   }
 
   /** Probe a corpus against a STORED benchmark sketch — q65's exact
@@ -1222,13 +1271,19 @@ object Dedup {
     * source parquet (size+mtime), never the path, so an updated suite
     * rebuilds instead of silently probing a stale sketch; concurrent
     * builders adopt one staged build behind the shared locking ladder.
-    * Returns the sketch path. */
+    * The sketch parameters are PART OF THE KEY (the `ensureBpeModel`
+    * different-budget-different-artifact rule): a second call on the
+    * same suite with different (n, expectedItems, fpp) builds its own
+    * artifact instead of adopting the first call's — which every
+    * subsequent probe would then reject with a sidecar error that
+    * reads like corruption. Returns the sketch path. */
   def ensureBloomIndex(benchmark: DataFrame, cacheRoot: String,
                        sourcePath: String, n: Int = 3,
                        expectedItems: Long = 1000000L,
                        fpp: Double = 0.01): String = {
-    val idx = java.nio.file.Paths.get(
-      cacheRoot, s"bloom_${Similarity.pathFingerprint(sourcePath)}")
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"bloom_${n}_${expectedItems}_${fpp}_" +
+        Similarity.pathFingerprint(sourcePath))
     Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
       writeBloomIndex(benchmark, tmp, n, expectedItems, fpp))
     idx.toString

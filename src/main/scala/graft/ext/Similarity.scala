@@ -262,6 +262,29 @@ object Similarity {
   private def buildMonitor(key: String): Object =
     buildMonitors(math.floorMod(key.hashCode, buildMonitors.length))
 
+  /** Exclusive cross-process + cross-thread lock on an artifact path:
+    * the monitor → FileChannel-lock half of the `ensureIvfIndex`
+    * ladder, factored so read-merge-write artifact mutations (the Bloom
+    * sketch's OR-merge append/rebuild) get the same serialization as
+    * index builds — an unlocked read-merge-write is a lost-update race
+    * where the last writer silently drops the other's contribution.
+    * The lock file is a sibling (`<name>.lock`), so builders, appenders
+    * and rebuilders of one artifact all serialize on the same file. */
+  private[ext] def withExclusiveLock[T](target: java.nio.file.Path)
+                                       (body: => T): T = {
+    import java.nio.file.{Files, StandardOpenOption}
+    buildMonitor(target.toString).synchronized {
+      Files.createDirectories(target.getParent)
+      val lockPath = target.resolveSibling(s"${target.getFileName}.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val held = ch.lock() // blocks until any concurrent holder is done
+        try body finally held.release()
+      } finally ch.close()
+    }
+  }
+
   /** Generic content-cached index build behind the full locking ladder
     * (monitor → file lock → re-check → pid-staged build → atomic
     * adopt) — the `ensureIvfIndex` machinery factored out so every
@@ -272,37 +295,28 @@ object Similarity {
     * must write a complete index under the staging path it is given. */
   private[ext] def ensureCachedIndex(idx: java.nio.file.Path, marker: String)
                                     (build: String => Unit): Unit = {
-    import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
+    import java.nio.file.{Files, StandardCopyOption}
     if (Files.exists(idx.resolve(marker))) return
-    buildMonitor(idx.toString).synchronized {
-      Files.createDirectories(idx.getParent)
-      val lockPath = idx.resolveSibling(s"${idx.getFileName}.lock")
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try {
-        val held = ch.lock() // blocks until any concurrent builder is done
-        try {
-          // re-check under the lock: a builder that held it before us may
-          // have adopted a complete index — that's a cache hit, and
-          // deleting it here was exactly the pre-lock race hazard
-          if (!Files.exists(idx.resolve(marker))) {
-            graft.lineage.AtomicSwap.deleteRecursive(idx)
-            val staging = idx.resolveSibling(
-              s"${idx.getFileName}.staging_${ProcessHandle.current().pid}")
+    withExclusiveLock(idx) {
+      // re-check under the lock: a builder that held it before us may
+      // have adopted a complete index — that's a cache hit, and
+      // deleting it here was exactly the pre-lock race hazard
+      if (!Files.exists(idx.resolve(marker))) {
+        graft.lineage.AtomicSwap.deleteRecursive(idx)
+        val staging = idx.resolveSibling(
+          s"${idx.getFileName}.staging_${ProcessHandle.current().pid}")
+        graft.lineage.AtomicSwap.deleteRecursive(staging)
+        build(staging.toString)
+        try Files.move(staging, idx, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            // belt-and-braces (unreachable under the lock): an index
+            // appeared anyway; it is identical by determinism — drop
+            // the duplicate
             graft.lineage.AtomicSwap.deleteRecursive(staging)
-            build(staging.toString)
-            try Files.move(staging, idx, StandardCopyOption.ATOMIC_MOVE)
-            catch {
-              case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.DirectoryNotEmptyException =>
-                // belt-and-braces (unreachable under the lock): an index
-                // appeared anyway; it is identical by determinism — drop
-                // the duplicate
-                graft.lineage.AtomicSwap.deleteRecursive(staging)
-            }
-          }
-        } finally held.release()
-      } finally ch.close()
+        }
+      }
     }
   }
 

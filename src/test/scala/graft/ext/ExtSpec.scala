@@ -678,6 +678,77 @@ class ExtSpec extends SparkSpec {
       s"$dir/empty")) == live)
   }
 
+  test("bloom rebuild forgets a removed suite; append-after-rebuild equals union") {
+    import java.nio.file.{Files, Paths}
+    val corpus = docs.filter($"doc_id" >= 25)
+    val benchA = docs.filter($"doc_id" < 12)
+    val benchB = docs.filter($"doc_id" >= 12 && $"doc_id" < 25)
+    val union = docs.filter($"doc_id" < 25)
+    def flaggedIds(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = Files.createTempDirectory("graft_bloomrebuild").toString
+    Dedup.writeBloomIndex(union, s"$dir/s")
+    val viaUnion = flaggedIds(
+      Dedup.contaminationReportAgainstBloomIndex(corpus, s"$dir/s"))
+    val viaAOnly = flaggedIds(Dedup.contaminationReportBloom(corpus, benchA))
+    assert(viaAOnly != viaUnion,
+      "fixture must flag different docs under the shrunk suite")
+    // suite shrinks to A: an append can only keep bits set — rebuild
+    // must make the retired suite's docs stop flagging
+    Dedup.rebuildBloomIndex(benchA, s"$dir/s")
+    assert(flaggedIds(Dedup.contaminationReportAgainstBloomIndex(
+      corpus, s"$dir/s")) == viaAOnly)
+    // append-after-rebuild: still bit-identical to a union build
+    Dedup.appendBloomIndex(benchB, s"$dir/s")
+    Dedup.writeBloomIndex(union, s"$dir/u")
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(s"$dir/s/sketch.bin")),
+      Files.readAllBytes(Paths.get(s"$dir/u/sketch.bin"))),
+      "rebuild + append must equal the union-built sketch bit for bit")
+    // a rebuild under different params is a new artifact, not maintenance
+    intercept[IllegalArgumentException](
+      Dedup.rebuildBloomIndex(benchA, s"$dir/s", n = 4))
+  }
+
+  test("concurrent bloom appends serialize — no lost update") {
+    import java.nio.file.{Files, Paths}
+    val benchA = docs.filter($"doc_id" < 8)
+    val benchB = docs.filter($"doc_id" >= 8 && $"doc_id" < 16)
+    val benchC = docs.filter($"doc_id" >= 16 && $"doc_id" < 25)
+    val dir = Files.createTempDirectory("graft_bloomrace").toString
+    Dedup.writeBloomIndex(benchA, s"$dir/s")
+    // two appenders race the single-file read-merge-write; the per-path
+    // lock must serialize them — unlocked, the last writer drops the
+    // other suite's n-grams (silent under-flagging)
+    val threads = Seq(benchB, benchC).map(b => new Thread(() =>
+      Dedup.appendBloomIndex(b, s"$dir/s")))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    Dedup.writeBloomIndex(docs.filter($"doc_id" < 25), s"$dir/u")
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(s"$dir/s/sketch.bin")),
+      Files.readAllBytes(Paths.get(s"$dir/u/sketch.bin"))),
+      "both concurrent appends must land (== union sketch)")
+  }
+
+  test("bloom cache key includes sketch params — no cross-param adoption") {
+    val cacheRoot = java.nio.file.Files
+      .createTempDirectory("graft_bloomkey").toString
+    val src = sf("sf0.001") + "/documents.parquet"
+    val bench = docs.filter($"doc_id" < 25)
+    val corpus = docs.filter($"doc_id" >= 25)
+    val p1 = Dedup.ensureBloomIndex(bench, cacheRoot, src)
+    val p2 = Dedup.ensureBloomIndex(bench, cacheRoot, src, n = 4)
+    assert(p1 != p2,
+      "different sketch params must build distinct cached artifacts")
+    // each artifact probes cleanly under its own params — with a shared
+    // slot the second variant would fail its sidecar check forever
+    assert(Dedup.contaminationReportAgainstBloomIndex(corpus, p1)
+      .count() >= 0)
+    assert(Dedup.contaminationReportAgainstBloomIndex(corpus, p2, n = 4)
+      .count() >= 0)
+  }
+
   test("stored quality model round-trips and reproduces live scoring") {
     val labeled = docs.select($"doc_id", $"text",
       ($"lang" === "en").cast("int").as("label"))
