@@ -551,6 +551,35 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       ext.Curation.curationFunnel(docs, docs.filter(col("doc_id") < 25))
     }),
+    // the chain with the STORED decontamination artifacts as gate
+    // stages: the benchmark suite frozen once as a Bloom sketch (q65's
+    // artifact) and as a semantic quantizer index (q73's), both
+    // fingerprint-cached, then curationFunnel gates survivors against
+    // them (rows 05a/05b) — the recurring-batch cadence where the
+    // suite is aggregated at update time, never per run. Rows-only
+    // like q42; CurationSpec pins never-binding ≡ default, funnel
+    // monotonicity, and the binding-gate drop semantics
+    "q78_curation_stored_gates" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") < 25)
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val bloom = ext.Dedup.ensureBloomIndex(bench,
+        "/tmp/graft_bloom_cache", s"$dir/documents.parquet",
+        expectedItems = 100000L, variant = "_lt25")
+      val sem = ext.Dedup.ensureSemanticIndex(
+        emb.filter(col("doc_id") < 25)
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        "/tmp/graft_semidx_cache", s"$dir/embeddings.parquet",
+        variant = "_lt25")
+      ext.Curation.curationFunnel(docs, bench,
+        ext.Curation.Config(
+          bloomIndexPath = Some(bloom),
+          bloomParams = ext.Dedup.BloomSketchParams(expectedItems = 100000L),
+          semanticIndexPath = Some(sem), semanticMinCosine = 0.999),
+        embeddings = Some(emb))
+    }),
     // the chain with the round-10 hygiene stages ON: PII scrub +
     // saturation gate (00a), cross-document line dedup with its skew cap
     // (00b), normalization-keyed exact dedup. Kept at this exact

@@ -84,7 +84,31 @@ object Curation {
     *     cap alone cannot express "200k tokens of en". Rates → budget
     *     → cap compose deterministically because every stage's
     *     md5-order selection runs on its predecessor's population.
-    *     None (the default) adds zero plan nodes. */
+    *     None (the default) adds zero plan nodes.
+    *   - `bloomIndexPath` (+ `bloomParams`, `maxBloomFlagged`): gate
+    *     dedup survivors against a STORED benchmark Bloom sketch
+    *     ([[Dedup.contaminationReportAgainstBloomIndex]] — the q65
+    *     artifact) — the recurring-batch decontamination stage: the
+    *     suite is aggregated once at suite-update cadence, never per
+    *     run. Applied after near-dup dedup and BEFORE the live n-gram
+    *     stage: the sketch probe is join-free (codegen membership
+    *     against an in-plan literal), so the cheap screen shrinks the
+    *     frame the exact-overlap join scans. Bloom has no false
+    *     negatives — a doc the exact stage would cut at the same
+    *     (n, threshold) never survives the sketch gate. `bloomParams`
+    *     must match the artifact's sidecar (validated loudly).
+    *   - `semanticIndexPath` (+ `semanticMinCosine`, `semanticNCells`,
+    *     `semanticProbes`): gate survivors against a benchmark suite
+    *     frozen as a SEMANTIC index
+    *     ([[Dedup.semanticContaminationAgainstIndex]] — the q73
+    *     artifact; catches paraphrased leakage n-grams miss). Needs a
+    *     doc-keyed `embeddings` frame (doc_id, embedding) passed to
+    *     `curate`/`curationFunnel`/`writeTrainingShards`; only
+    *     SURVIVORS' embeddings are probed (semi-join first), and docs
+    *     with no embedding row pass un-probed. `semanticProbes = None`
+    *     scores the exact per-doc max; a budget makes it the
+    *     documented screen. Both artifact gates are None by default =
+    *     zero plan nodes; the default chain is byte-identical. */
   final case class Config(
       minTokens: Int = 15,
       maxDupTrigramFrac: Double = 0.5,
@@ -110,7 +134,14 @@ object Curation {
       langSampleRates: Map[String, Double] = Map.empty,
       qualityModelWeights: Option[Seq[Double]] = None,
       minModelScore: Double = 0.0,
-      tokenBudgetPerLang: Option[Long] = None)
+      tokenBudgetPerLang: Option[Long] = None,
+      bloomIndexPath: Option[String] = None,
+      bloomParams: Dedup.BloomSketchParams = Dedup.BloomSketchParams(),
+      maxBloomFlagged: Long = 0L,
+      semanticIndexPath: Option[String] = None,
+      semanticMinCosine: Double = 0.4,
+      semanticNCells: Int = 8,
+      semanticProbes: Option[Int] = None)
 
   private def requireConfig(cfg: Config): Unit = {
     require(cfg.maxRedactionsPerDoc.isEmpty || cfg.redactPii,
@@ -123,7 +154,63 @@ object Curation {
       "minModelScore gates the model stage — set qualityModelWeights to enable it")
     require(cfg.tokenBudgetPerLang.forall(_ > 0L),
       "tokenBudgetPerLang must be positive")
+    require(cfg.maxBloomFlagged >= 0L, "maxBloomFlagged must be >= 0")
+    require(cfg.semanticProbes.forall(p => p >= 1 && p <= cfg.semanticNCells),
+      "need 1 <= semanticProbes <= semanticNCells")
   }
+
+  /** Validate the (config, embeddings) pairing once, at every public
+    * entry point: the semantic artifact gate scores embeddings, so a
+    * config that enables it without a frame to score must fail at call
+    * time, not midway through the chain. */
+  private def requireEmbeddings(cfg: Config,
+                                embeddings: Option[DataFrame]): Unit = {
+    require(cfg.semanticIndexPath.isEmpty || embeddings.nonEmpty,
+      "semanticIndexPath gates on document embeddings — pass " +
+        "embeddings = Some(frame with (doc_id, embedding))")
+    embeddings.foreach(e =>
+      require(Seq("doc_id", "embedding").forall(e.columns.contains),
+        s"embeddings frame needs (doc_id, embedding); got ${e.columns.mkString(", ")}"))
+  }
+
+  /** The optional stored-artifact decontamination gates, applied to the
+    * near-dup survivors: (1) the Bloom-sketch n-gram gate — join-free
+    * codegen probe against the stored suite sketch, the cheap screen
+    * that runs FIRST so later stages scan a smaller frame; (2) the
+    * semantic gate — survivors' embeddings (semi-joined first, so only
+    * live docs pay the probes× explode) against the frozen benchmark
+    * quantizer index. Docs with no embedding row pass the semantic gate
+    * un-probed (they have nothing to score). Both default to identity —
+    * zero plan nodes, the pinned default-chain shape. */
+  private def artifactGates(deduped: DataFrame, cfg: Config,
+                            embeddings: Option[DataFrame]): DataFrame =
+    semanticGate(bloomGate(deduped, cfg), cfg, embeddings)
+
+  private def bloomGate(df: DataFrame, cfg: Config): DataFrame =
+    cfg.bloomIndexPath.fold(df) { p =>
+      df.join(
+        Dedup.contaminationReportAgainstBloomIndex(df, p,
+            cfg.bloomParams.n, cfg.bloomParams.expectedItems,
+            cfg.bloomParams.fpp)
+          .filter(col("n_flagged") > cfg.maxBloomFlagged)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    }
+
+  private def semanticGate(df: DataFrame, cfg: Config,
+                           embeddings: Option[DataFrame]): DataFrame =
+    cfg.semanticIndexPath.fold(df) { p =>
+      val probed = embeddings.get
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        .join(df.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+      val flagged = Dedup.semanticContaminationAgainstIndex(
+          df.sparkSession, probed, p, cfg.semanticMinCosine,
+          cfg.semanticNCells, cfg.semanticProbes)
+        .filter(col("contaminated") === 1L)
+        .select(col("vec_id").as("doc_id"))
+      df.join(flagged, Seq("doc_id"), "left_anti")
+    }
 
   /** The optional model-score gate: semi-join on docs whose
     * [[TextAnalysis.qualityModelScores]] under `cfg`'s weights clears
@@ -210,13 +297,17 @@ object Curation {
 
   /** Run the full curation chain. `docs` needs (doc_id, text); the
     * returned frame is (doc_id, pred_lang, split) — the curated,
-    * deduplicated, decontaminated, quota-balanced training mix. */
+    * deduplicated, decontaminated, quota-balanced training mix.
+    * `embeddings` (doc_id, embedding) is required exactly when
+    * `cfg.semanticIndexPath` turns the semantic artifact gate on. */
   def curate(docs: DataFrame, benchmark: DataFrame,
-             cfg: Config = Config()): DataFrame = {
+             cfg: Config = Config(),
+             embeddings: Option[DataFrame] = None): DataFrame = {
     requireConfig(cfg)
+    requireEmbeddings(cfg, embeddings)
     // 0. optional hygiene rewrite (PII scrub, line dedup) — identity
     // with default flags
-    curateHygiened(hygiene(docs, cfg), benchmark, cfg)
+    curateHygiened(hygiene(docs, cfg), benchmark, cfg, embeddings)
   }
 
   /** The chain downstream of hygiene; `hygiened` must be the (doc_id,
@@ -243,7 +334,8 @@ object Curation {
   }
 
   private def curateHygiened(hygiened: DataFrame, benchmark: DataFrame,
-                             cfg: Config): DataFrame = {
+                             cfg: Config,
+                             embeddings: Option[DataFrame] = None): DataFrame = {
     // 1+2(+2b). quality + language (+ model) gates: the shared
     // stateless stage — pure column expressions fused by Catalyst into
     // the document scan, no extra pass over the corpus
@@ -259,12 +351,16 @@ object Curation {
     // min-id-per-component survivors
     val deduped = Dedup.applyPairsCC(exactDeduped,
       Dedup.minhashLshPairs(exactDeduped))
+    // 4a+4b. optional stored-artifact gates (Bloom sketch, semantic
+    // index) — identity with default flags; the join-free sketch screen
+    // runs first so every later stage scans a smaller frame
+    val artifactClean = artifactGates(deduped, cfg, embeddings)
     // 4. decontamination: drop docs sharing more than the allowed number
     // of n-grams with the benchmark set
-    val contaminated = Dedup.contaminationReport(deduped, benchmark)
+    val contaminated = Dedup.contaminationReport(artifactClean, benchmark)
       .filter(col("n_overlap") > cfg.maxOverlapNgrams)
       .select("doc_id")
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = artifactClean.join(contaminated, Seq("doc_id"), "left_anti")
     // 5+6. mix (optional per-language rate sample, optional token
     // budget, then the count quota), then assign splits. Rates →
     // budget → cap: each stage's md5-order selection runs on its
@@ -309,10 +405,12 @@ object Curation {
     * the raw input; the rewritten frame is persisted so the gates read
     * the cache, not a recomputation. */
   def curationFunnel(docs: DataFrame, benchmark: DataFrame,
-                     cfg: Config = Config()): DataFrame = {
+                     cfg: Config = Config(),
+                     embeddings: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     requireConfig(cfg)
+    requireEmbeddings(cfg, embeddings)
     val hygieneRows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val hygieneCached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val base = docs.select(col("doc_id"), col("text"))
@@ -398,12 +496,31 @@ object Curation {
       Dedup.minhashLshPairs(exactDeduped)).persist()
     val nNear = deduped.count()
     exactDeduped.unpersist()
-    val clean = deduped.join(
-      Dedup.contaminationReport(deduped, benchmark)
+    // 05a/05b: the optional stored-artifact gates, one funnel row each
+    // (each persists its output and releases its predecessor, the
+    // standard funnel cadence)
+    val (bloomed, bloomRows) = cfg.bloomIndexPath match {
+      case Some(_) =>
+        val b = bloomGate(deduped, cfg).persist()
+        val rows = Seq(("05a_bloom_gate", b.count()))
+        deduped.unpersist()
+        (b, rows)
+      case None => (deduped, Seq.empty[(String, Long)])
+    }
+    val (artifactClean, semRows) = cfg.semanticIndexPath match {
+      case Some(_) =>
+        val sg = semanticGate(bloomed, cfg, embeddings).persist()
+        val rows = Seq(("05b_semantic_gate", sg.count()))
+        bloomed.unpersist()
+        (sg, rows)
+      case None => (bloomed, Seq.empty[(String, Long)])
+    }
+    val clean = artifactClean.join(
+      Dedup.contaminationReport(artifactClean, benchmark)
         .filter(col("n_overlap") > cfg.maxOverlapNgrams).select("doc_id"),
       Seq("doc_id"), "left_anti").persist()
     val nClean = clean.count()
-    deduped.unpersist()
+    artifactClean.unpersist()
     val mixBase = cfg.tokenBudgetPerLang match {
       case Some(_) => clean.select(col("doc_id"), col("pred_lang"),
         size(split(col("text"), " ")).cast("long").as("_n_tok"))
@@ -433,7 +550,7 @@ object Curation {
       ("02_repetition", g.getLong(2)),
       ("03_language", g.getLong(3))) ++ modelRows ++ Seq(
       ("04_exact_dedup", nExact),
-      ("05_near_dedup", nNear),
+      ("05_near_dedup", nNear)) ++ bloomRows ++ semRows ++ Seq(
       ("06_decontaminated", nClean)) ++ sampleRows ++ budgetRows ++ Seq(
       ("07_quota", nFinal))).toDF("stage", "n_docs")
   }
@@ -491,10 +608,12 @@ object Curation {
                           stride: Int = 10, binTokens: Int = 128,
                           shards: Int = 8,
                           format: String = "parquet",
-                          manifest: Boolean = true): Unit = {
+                          manifest: Boolean = true,
+                          embeddings: Option[DataFrame] = None): Unit = {
     require(Set("parquet", "json").contains(format),
       s"unsupported shard format: $format")
     requireConfig(cfg)
+    requireEmbeddings(cfg, embeddings)
     // shard text is the HYGIENE output (identity with default flags): a
     // training job must see the scrubbed/line-deduped text the gates and
     // dedup stages scored, never the raw corpus. The rewrite is computed
@@ -506,7 +625,7 @@ object Curation {
     val hy = hygiene(docs, cfg)
     val hygiened = if (hygieneActive(cfg)) hy.persist() else hy
     try {
-      val curated = curateHygiened(hygiened, benchmark, cfg)
+      val curated = curateHygiened(hygiened, benchmark, cfg, embeddings)
       val withText = hygiened.join(curated, Seq("doc_id"))
       val packed = TextAnalysis.packChunks(
         TextAnalysis.chunkDocuments(withText, chunkTokens, stride),

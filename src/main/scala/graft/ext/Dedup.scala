@@ -1276,13 +1276,16 @@ object Dedup {
     * same suite with different (n, expectedItems, fpp) builds its own
     * artifact instead of adopting the first call's — which every
     * subsequent probe would then reject with a sidecar error that
-    * reads like corruption. Returns the sketch path. */
+    * reads like corruption. `variant` distinguishes different slices
+    * of one source (the fingerprint hashes the file, not the filter —
+    * the `ensureCorpusProfile` rule). Returns the sketch path. */
   def ensureBloomIndex(benchmark: DataFrame, cacheRoot: String,
                        sourcePath: String, n: Int = 3,
                        expectedItems: Long = 1000000L,
-                       fpp: Double = 0.01): String = {
+                       fpp: Double = 0.01,
+                       variant: String = ""): String = {
     val idx = java.nio.file.Paths.get(cacheRoot,
-      s"bloom_${n}_${expectedItems}_${fpp}_" +
+      s"bloom${variant}_${n}_${expectedItems}_${fpp}_" +
         Similarity.pathFingerprint(sourcePath))
     Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
       writeBloomIndex(benchmark, tmp, n, expectedItems, fpp))
@@ -1595,6 +1598,26 @@ object Dedup {
     writeParams(s"$path/params.properties", Map(
       "nCells" -> nCells.toString, "iters" -> iters.toString,
       "seed" -> seed.toString, "probes" -> probes.toString))
+  }
+
+  /** Content-fingerprint-cached [[writeSemanticIndex]] — the
+    * `ensureBloomIndex` pattern for the semantic artifact: keyed on the
+    * source parquet's fingerprint AND the quantizer parameters (a
+    * different parameterization is a different artifact, never a stale
+    * cache hit), built at most once per corpus version behind the
+    * shared locking ladder. `variant` distinguishes different slices
+    * of one source (the `ensureCorpusProfile` rule). Returns the
+    * index path. */
+  def ensureSemanticIndex(emb: DataFrame, cacheRoot: String,
+                          sourcePath: String, nCells: Int = 8,
+                          iters: Int = 5, seed: Long = 42L,
+                          probes: Int = 1, variant: String = ""): String = {
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"semantic${variant}_${nCells}_${iters}_${seed}_${probes}_" +
+        Similarity.pathFingerprint(sourcePath))
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writeSemanticIndex(emb, tmp, nCells, iters, seed, probes))
+    idx.toString
   }
 
   /** Incremental-ingest semantic dedup: near-dup pairs between a NEW

@@ -22,7 +22,8 @@ class SparkEntrySpec extends SparkSpec {
       "q42_curation_funnel", "q51_curation_hygiene", "q52_dedup_semantic",
       "q53_sim_pq", "q62_bpe_merges", "q63_bpe_token_counts",
       "q65_contamination_bloom", "q72_balanced_sample",
-      "q74_balanced_sample_indexed", "q76_quality_model_trained"),
+      "q74_balanced_sample_indexed", "q76_quality_model_trained",
+      "q78_curation_stored_gates"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

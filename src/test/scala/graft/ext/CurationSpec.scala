@@ -497,6 +497,68 @@ class CurationSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/shards").count() > 0)
   }
 
+  test("stored decontamination artifacts slot into the chain as gates") {
+    val embAll = Tables.embeddings(spark, sf("sf0.001"))
+    val emb = embAll.select($"vec_id".as("doc_id"), $"embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_artifacts").toString
+    // never-binding artifacts (empty-suite sketch; cosine threshold no
+    // vector can reach) leave the chain exactly at its default
+    Dedup.writeBloomIndex(benchmark.limit(0), s"$dir/bloom0")
+    Dedup.writeSemanticIndex(embAll.filter($"vec_id" < 25), s"$dir/sem")
+    val base = Curation.curate(corpus, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    val never = Curation.curate(corpus, benchmark,
+        cfg.copy(bloomIndexPath = Some(s"$dir/bloom0"),
+          semanticIndexPath = Some(s"$dir/sem"), semanticMinCosine = 1.5),
+        embeddings = Some(emb))
+      .collect().map(_.toSeq).toSet
+    assert(never == base,
+      "never-binding artifact gates must reproduce the default chain")
+    // binding bloom gate: a doc the live sketch flags can never survive
+    // (it is cut before quota ever sees it)
+    Dedup.writeBloomIndex(benchmark, s"$dir/bloom", expectedItems = 100000L)
+    val bloomCfg = cfg.copy(bloomIndexPath = Some(s"$dir/bloom"),
+      bloomParams = Dedup.BloomSketchParams(expectedItems = 100000L))
+    val gated = Curation.curate(corpus, benchmark, bloomCfg)
+      .collect().map(_.getLong(0)).toSet
+    val flaggedLive = Dedup.contaminationReportBloom(corpus, benchmark,
+        expectedItems = 100000L)
+      .filter($"n_flagged" > 0).select("doc_id").as[Long].collect().toSet
+    assert(flaggedLive.nonEmpty, "fixture must contain sketch hits")
+    assert(gated.intersect(flaggedLive).isEmpty,
+      "bloom-flagged docs must not survive the chain")
+    // binding semantic gate, maximal case: an index holding EVERY
+    // corpus vector flags each survivor against itself (cosine 1.0)
+    Dedup.writeSemanticIndex(embAll, s"$dir/semall")
+    val semAll = Curation.curate(corpus, benchmark,
+      cfg.copy(semanticIndexPath = Some(s"$dir/semall"),
+        semanticMinCosine = 0.999999),
+      embeddings = Some(emb))
+    assert(semAll.isEmpty,
+      "a self-covering semantic index must cut every doc")
+    // funnel: both artifact rows appear in order and counts stay monotone;
+    // the final row still equals curate()'s output
+    val funnelCfg = bloomCfg.copy(semanticIndexPath = Some(s"$dir/sem"),
+      semanticMinCosine = 0.999)
+    val funnel = Curation.curationFunnel(corpus, benchmark, funnelCfg,
+        embeddings = Some(emb))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val stages = funnel.map(_._1)
+    assert(stages.contains("05a_bloom_gate") &&
+      stages.contains("05b_semantic_gate"), stages.mkString(", "))
+    funnel.sliding(2).foreach { case Array((sa, na), (sb, nb)) =>
+      assert(nb <= na, s"funnel not monotone: $sa=$na -> $sb=$nb") }
+    assert(funnel.last._2 == Curation.curate(corpus, benchmark, funnelCfg,
+      embeddings = Some(emb)).count())
+    // a semantic config without an embeddings frame fails at call time
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(semanticIndexPath = Some(s"$dir/sem"))))
+    // mismatched sketch params fail loudly at the sidecar, not silently
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(bloomIndexPath = Some(s"$dir/bloom"))).count())
+  }
+
   test("model-score gate slots into the chain, identity when never binding") {
     val w = TextAnalysis.DefaultQualityWeights
     // a never-binding threshold leaves the chain exactly at its default
