@@ -242,17 +242,7 @@ object Curation {
     * into the scan); line dedup adds its documented single window
     * shuffle. */
   private def hygiene(docs: DataFrame, cfg: Config): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"))
-    val scrubbed = if (cfg.redactPii) {
-      val r = TextAnalysis.redactPii(base, cfg.piiPatterns)
-      cfg.maxRedactionsPerDoc.fold(r)(m => r.filter(col("n_redactions") <= m))
-        .select(col("doc_id"), col("redacted").as("text"))
-    } else base
-    val ruleClean =
-      if (cfg.filterLines)
-        TextAnalysis.filterLines(scrubbed, cfg.minLineWords, cfg.lineTerminalPunct)
-          .select(col("doc_id"), col("clean_text").as("text"))
-      else scrubbed
+    val ruleClean = statelessHygiene(docs, cfg)
     val lineClean =
       if (cfg.dedupLines)
         Dedup.dedupLines(ruleClean, cfg.lineMinOccurrences,
@@ -264,6 +254,31 @@ object Curation {
           cfg.maxPassageOccurrences)
         .select(col("doc_id"), col("clean_text").as("text"))
     else lineClean
+  }
+
+  /** The hygiene ladder's STATELESS prefix — PII scrub (+ saturation
+    * gate) and the C4 rule-based line filter — as one (doc_id, text)
+    * rewrite. These are pure per-document functions (no cross-document
+    * state), so they are micro-batch-safe by construction: applying
+    * them to a stream batch produces byte-identical text to the batch
+    * chain on the same rows. Factored out of [[hygiene]] exactly so
+    * `EventStream.curationStream` can run the same rewrites ahead of
+    * its gates; the corpus-wide hygiene stages (line dedup, passage
+    * strip) stay batch-only — their streaming forms are the
+    * index-backed ingest twins. Identity (zero plan nodes) with the
+    * flags off. */
+  def statelessHygiene(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    requireConfig(cfg)
+    val base = docs.select(col("doc_id"), col("text"))
+    val scrubbed = if (cfg.redactPii) {
+      val r = TextAnalysis.redactPii(base, cfg.piiPatterns)
+      cfg.maxRedactionsPerDoc.fold(r)(m => r.filter(col("n_redactions") <= m))
+        .select(col("doc_id"), col("redacted").as("text"))
+    } else base
+    if (cfg.filterLines)
+      TextAnalysis.filterLines(scrubbed, cfg.minLineWords, cfg.lineTerminalPunct)
+        .select(col("doc_id"), col("clean_text").as("text"))
+    else scrubbed
   }
 
   /** Exact-dedup key frame: raw text, or normalized text when

@@ -393,13 +393,18 @@ object EventStream {
 
   /** Streaming CURATION — the end-to-end continuous-ingest composition
     * of the batch chain (`ext.Curation.curate`) over on-disk state:
-    * per micro-batch, (1) the chain's stateless gates (min tokens,
+    * per micro-batch, (1) the chain's STATELESS hygiene rewrites (PII
+    * scrub + saturation gate, C4 line filter — pure per-doc functions,
+    * `Curation.statelessHygiene`, byte-identical to the batch chain's
+    * scrub on the same rows), (2) the stateless gates (min tokens,
     * repetition, language, optional model score — the same column
-    * expressions, fused into the batch scan), (2) whole-doc near-dup
+    * expressions, fused into the batch scan), (3) whole-doc near-dup
     * removal against the accumulated MinHash index (cross-corpus AND
-    * within-batch, index grown by exactly the survivors), (3) Bloom
-    * decontamination against the frozen benchmark sketch, (4) the
-    * clean remainder lands under `acceptedPath/batch_id=N`. The
+    * within-batch, index grown by exactly the survivors), (4) Bloom
+    * decontamination against the frozen benchmark sketch
+    * (`sketchParams` must match the artifact's sidecar — a non-default
+    * sketch is probed with its own parameters, validated loudly), (5)
+    * the clean remainder lands under `acceptedPath/batch_id=N`. The
     * decontaminated set is what lands, but the INDEX absorbs all dedup
     * survivors — a future duplicate of a contaminated page must still
     * drop.
@@ -408,34 +413,41 @@ object EventStream {
     * the index + sketch on disk (shared with batch jobs, unbounded-
     * stream-safe), and cost per cycle ∝ batch size, never corpus size.
     * Per-batch corpus-wide stages the batch chain also offers (line
-    * dedup, passage strip, quotas) are deliberately absent — lines and
-    * passages have their own index-backed stream twins, and a quota is
-    * a corpus-level decision, not a batch one.
+    * dedup, passage strip, exact-dedup policies, quotas) are
+    * deliberately absent — lines and passages have their own
+    * index-backed stream twins, and a quota is a corpus-level
+    * decision, not a batch one.
     *
-    * Crash-window contract: gates and the sketch probe are pure
-    * functions of the batch; the dedup cycle is replay-deterministic
-    * via tagged appends + own-tag exclusion; the landing is batch-
-    * keyed overwrite — end to end effectively exactly-once (the spec
-    * replays a doctored checkpoint through the whole composition).
-    * Both index and checkpoint must be owned by this one stream. */
+    * Crash-window contract: hygiene, gates and the sketch probe are
+    * pure functions of the batch; the dedup cycle is
+    * replay-deterministic via tagged appends + own-tag exclusion; the
+    * landing is batch-keyed overwrite — end to end effectively
+    * exactly-once (the spec replays a doctored checkpoint through the
+    * whole composition, hygiene flags on). Both index and checkpoint
+    * must be owned by this one stream. */
   def curationStream(docs: DataFrame, minhashIndexPath: String,
                      sketchPath: String, acceptedPath: String,
                      checkpoint: String,
                      cfg: graft.ext.Curation.Config =
                        graft.ext.Curation.Config(),
-                     maxFlagged: Long = 0L): DataStreamWriter[Row] =
+                     maxFlagged: Long = 0L,
+                     sketchParams: graft.ext.Dedup.BloomSketchParams =
+                       graft.ext.Dedup.BloomSketchParams()): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val gated = graft.ext.Curation.streamingGates(batch, cfg)
+          val gated = graft.ext.Curation.streamingGates(
+            graft.ext.Curation.statelessHygiene(batch, cfg), cfg)
           graft.ext.Dedup.ingestDedupBatch(batch.sparkSession, gated,
             minhashIndexPath, batchId = Some(batchId),
             accept = { survivors =>
               val flagged = graft.ext.Dedup
-                .contaminationReportAgainstBloomIndex(survivors, sketchPath)
+                .contaminationReportAgainstBloomIndex(survivors, sketchPath,
+                  sketchParams.n, sketchParams.expectedItems,
+                  sketchParams.fpp)
                 .filter(col("n_flagged") > maxFlagged)
                 .select(col("doc_id"))
               survivors.join(flagged, Seq("doc_id"), "left_anti")

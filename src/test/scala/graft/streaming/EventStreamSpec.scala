@@ -238,6 +238,67 @@ class EventStreamSpec extends SparkSpec {
     assert(accepted == Set(13L, 22L), s"got $accepted")
   }
 
+  test("curation stream applies stateless hygiene, honors sketch params, replays exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_curhyg").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeMinhashIndex(corpus, s"$dir/idx")
+    // NON-default sketch parameters: the stream must be able to probe
+    // any artifact, not just one built with the probe's defaults
+    val params = graft.ext.Dedup.BloomSketchParams(
+      n = 3, expectedItems = 50000L, fpp = 0.001)
+    graft.ext.Dedup.writeBloomIndex(
+      Seq((1L, "benchmark secret question about ancient rome history facts"))
+        .toDF("doc_id", "text"),
+      s"$dir/sketch", params.n, params.expectedItems, params.fpp)
+    val cfg = graft.ext.Curation.Config(minTokens = 5,
+      redactPii = true, filterLines = true, minLineWords = 3,
+      lineTerminalPunct = false)
+    val t30 = "contact me at bob@example.com about the pasta cooking recipe tonight"
+    val t31 = "word word\nthis second line contains plenty of english words for the gate"
+    val t32 = "a perfectly clean and useful training document about cooking pasta"
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.curationStream(mem.toDF(), s"$dir/idx",
+        s"$dir/sketch", s"$dir/accepted", s"$dir/ckpt", cfg,
+        sketchParams = params).start()
+      q.awaitTermination()
+    }
+    mem.addData(IngestDoc(30L, t30), IngestDoc(31L, t31), IngestDoc(32L, t32))
+    drain()
+    // crash window: side effects committed, checkpoint commit lost —
+    // the replay must land the identical accepted set exactly once
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    val acc = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(acc.length == acc.toMap.size,
+      s"replay must not duplicate accepted rows: ${acc.toSeq}")
+    assert(acc.toMap.keySet == Set(30L, 31L, 32L), s"got ${acc.toSeq}")
+    // the landed text is byte-identical to the batch chain's stateless
+    // hygiene rewrite on the same rows (scrubbed email, filtered line)
+    val expected = graft.ext.Curation.statelessHygiene(
+        Seq((30L, t30), (31L, t31), (32L, t32)).toDF("doc_id", "text"), cfg)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    acc.foreach { case (id, t) =>
+      assert(t == expected(id), s"doc $id text diverged from batch hygiene") }
+    assert(expected(30L) != t30, "the email must actually be scrubbed")
+    assert(expected(31L) != t31, "the junk line must actually be filtered")
+    // probing the non-default sketch with default params fails loudly
+    // (fresh checkpoint; the failure hits before any landing)
+    mem.addData(IngestDoc(40L, "one more clean document about gardening tomatoes"))
+    intercept[Exception] {
+      EventStream.curationStream(mem.toDF(), s"$dir/idx", s"$dir/sketch",
+        s"$dir/accepted2", s"$dir/ckpt2", cfg).start().awaitTermination()
+    }
+  }
+
   test("semantic decontamination stream cuts embedding-level leaks against the frozen index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_semdecon").toString
