@@ -3,7 +3,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 object Bench {
 
-  /** Run every query against `sfDir` and render the one-line bench JSON.
+  /** Run every query against `sfDir` and render the bench JSON lines:
+    * a `{"metric":"passes"}` diagnostic line (one suite total per full
+    * pass) followed by the driver's headline `{"metric":"total"}` line,
+    * which must stay LAST.
     *
     * The whole suite is executed in `reps` FULL PASSES (default 3) and
     * each query reports its MIN across passes: a single-shot measurement
@@ -13,16 +16,24 @@ object Bench {
     * reps) matter because pass 1 warms the JIT across every code path, so
     * later passes measure the plan, not compilation transients.
     *
+    * The per-pass totals make a loaded-box run self-diagnosing from the
+    * JSON alone: on a quiet box passes 2..n agree within noise, while
+    * co-resident load shows as uniformly inflated pass totals (min-of-3
+    * cannot shed load that spans the whole bench — the r13 q51 phantom).
+    * Pass totals are mutually comparable only when `"failed"` is empty
+    * (a pass-1 crash removes that query from later passes).
+    *
     * A query that throws is recorded with the sentinel time `-1` and named
     * in the `"failed"` list — a crash must never read as a fast run (its
     * elapsed-until-crash time is NOT reported), and a failed query is not
     * retried in later passes. Exposed for testing. */
-  def benchJson(spark: SparkSession, sfDir: String,
-                queries: Map[String, (SparkSession, String) => DataFrame],
-                reps: Int = 3): String = {
+  def benchLines(spark: SparkSession, sfDir: String,
+                 queries: Map[String, (SparkSession, String) => DataFrame],
+                 reps: Int = 3): Seq[String] = {
     require(reps >= 1, "reps must be >= 1")
     val names = queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val passTotals = Array.fill(reps)(0.0)
     val crashed = scala.collection.mutable.LinkedHashSet.empty[String]
     for (pass <- 1 to reps; name <- names if !crashed.contains(name)) {
       // collect the PREVIOUS query's garbage (and the ContextCleaner work
@@ -36,6 +47,7 @@ object Bench {
         queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         if (!best.get(name).exists(_ <= t)) best(name) = t
+        passTotals(pass - 1) += t
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name (pass $pass): $e")
@@ -50,8 +62,16 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    Seq(
+      s"""{"metric":"passes","values":${passTotals.mkString("[", ",", "]")},"unit":"sec","sf":"$sfDir"}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
   }
+
+  /** The headline line alone (the last of [[benchLines]]). */
+  def benchJson(spark: SparkSession, sfDir: String,
+                queries: Map[String, (SparkSession, String) => DataFrame],
+                reps: Int = 3): String =
+    benchLines(spark, sfDir, queries, reps).last
 
   /** Time one `writeTrainingShards` run — the end product a reference
     * user actually calls (raw corpus → curated, packed, split/shard-
@@ -89,7 +109,8 @@ object Bench {
     val tShards = timeShards(spark, sfDir, s"$shardsDir/shards")
     println(s"""{"metric":"shards","value":$tShards,"unit":"sec","sf":"$sfDir"}""")
     graft.lineage.AtomicSwap.deleteRecursive(shardsDir)
-    println(benchJson(spark, sfDir, SparkEntry.queries, reps))
+    // passes line precedes the headline; the driver's total stays LAST
+    benchLines(spark, sfDir, SparkEntry.queries, reps).foreach(println)
     spark.stop()
   }
 }

@@ -35,6 +35,23 @@ class BenchSpec extends SparkSpec {
     assert(boomRuns == 1, s"a failed query must not be retried, got $boomRuns runs")
   }
 
+  test("benchLines emits one pass total per rep ahead of the headline line") {
+    val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "ok_query" -> ((s, _) => s.range(10).toDF("id")))
+    val lines = Bench.benchLines(spark, "unused", queries, reps = 3)
+    assert(lines.length == 2, lines.mkString("\n"))
+    assert(lines.head.contains("\"metric\":\"passes\""), lines.head)
+    assert(lines.last.contains("\"metric\":\"total\""), lines.last)
+    val values = "\"values\":\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(lines.head).get.group(1).split(",").map(_.toDouble)
+    assert(values.length == 3, s"one total per pass: ${values.toSeq}")
+    val total = "\"value\":([0-9.eE-]+)".r
+      .findFirstMatchIn(lines.last).get.group(1).toDouble
+    // the headline is a sum of per-query minima, so no pass can beat it
+    values.foreach(v => assert(v >= total,
+      s"pass total $v below the min-sum headline $total"))
+  }
+
   test("timeShards writes a real shard layout and reports its cost") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_shards_spec")
     val t = Bench.timeShards(spark, sf("sf0.001"), s"$dir/shards")
