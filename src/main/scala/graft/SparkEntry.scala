@@ -840,12 +840,18 @@ object SparkEntry {
         |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
         |      FROM c)
         |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 10""".stripMargin,
+    // n_bytes adds the synthesized container-header prefix (PNG 29 /
+    // JPEG 15 bytes); width/height are what the REAL header parse reads
+    // back — the same n-derived values the synthesis wrote, so the
+    // oracle restates the round trip
     "q22_multimodal_meta" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |    (['jpg','png','wav'])[CAST(doc_id % 3 AS INT) + 1] AS format,
         |    octet_length(encode(text)) AS n
         |  FROM documents)
-        |SELECT media_id, format, n AS n_bytes,
+        |SELECT media_id, format,
+        |  n + CASE format WHEN 'png' THEN 29 WHEN 'jpg' THEN 15 ELSE 0 END
+        |    AS n_bytes,
         |  CAST(64 + (n % 192) AS INT) AS width,
         |  CAST(64 + ((n // 7) % 192) AS INT) AS height,
         |  CAST(CASE WHEN format = 'wav' THEN 1 + (n % 300) ELSE 1 END AS INT) AS n_frames

@@ -1,21 +1,27 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as
   * opaque `binary` columns with typed metadata, processed per-partition
   * in batches. The Spark-side machinery — schema, encoders, partition
-  * batching, deterministic outputs — is real; the codec itself is a
-  * STUB (this environment has no image/audio libraries), clearly marked
-  * below, producing deterministic fake metadata/features from the bytes.
+  * batching, deterministic outputs — is real, and so is the IMAGE
+  * codec: PNG and JPEG dimensions are fixed-offset reads of public
+  * container formats, parsed here in pure JVM code with no external
+  * library. Only the AUDIO branch (wav) remains a clearly-marked STUB
+  * (no audio libraries in this environment), producing deterministic
+  * fake metadata/features from the bytes.
   *
   * Scale notes (100 TB of media): payloads stay on executors end-to-end
   * (no collect); per-partition `mapPartitions` amortizes codec init
   * across a whole batch (the same shape a JNI decoder or an inference
   * runtime needs); downstream feature tables are narrow and columnar
   * while the heavy bytes are read once and dropped from the plan as soon
-  * as features are extracted (column pruning).
+  * as features are extracted (column pruning). Malformed payloads are
+  * dropped by the typed extractors and surfaced by [[malformedMedia]] —
+  * the quarantine split a crawl pipeline lands next to its accepted set
+  * (the CorpusJsonl quarantine contract, media-flavored).
   */
 object Multimodal {
 
@@ -24,34 +30,166 @@ object Multimodal {
                              width: Int, height: Int, n_frames: Int)
   final case class MediaFeature(media_id: Long, feature: Array[Float])
 
-  /** Fixture adapter: wraps `documents.text` as fake media payloads
-    * (UTF-8 bytes; format round-robins jpg/png/wav). */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
+  /** PNG header prefix length under [[mediaFromDocuments]]'s synthesis:
+    * signature(8) + IHDR length(4) + "IHDR"(4) + w(4) + h(4) + bit
+    * depth/color/compression/filter/interlace(5). */
+  val PngHeaderBytes = 29
+  /** JPEG header prefix length under [[mediaFromDocuments]]'s synthesis:
+    * SOI(2) + SOF0 marker(2) + seg length(2) + precision(1) + h(2) +
+    * w(2) + 1 component(1 + 3). */
+  val JpegHeaderBytes = 15
+
+  /** Big-endian binary rendering of an int column, `width` hex digits
+    * (8 → u32, 4 → u16) — how container formats store dimensions. */
+  private def beBytes(c: Column, width: Int): Column =
+    unhex(lpad(hex(c), width, "0"))
+
+  /** Fixture adapter: wraps `documents.text` as media payloads with
+    * VALID container headers (format round-robins jpg/png/wav), so the
+    * real image decoders below are exercised deterministically. The
+    * synthesized dimensions derive from the text's byte length n
+    * (width = 64 + n % 192, height = 64 + (n div 7) % 192 — the
+    * original stub arithmetic, now carried in real headers); wav
+    * payloads stay raw text bytes for the stub branch. Header
+    * synthesis is plain column expressions (hex/lpad/unhex/concat), so
+    * the q22 oracle restates the whole computation in SQL. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val txt = encode(col("text"), "UTF-8")
+    val n = octet_length(txt)
+    val w = (lit(64) + pmod(n, lit(192))).cast("int")
+    val h = (lit(64) + pmod(floor(n / lit(7)).cast("int"), lit(192))).cast("int")
+    val pngPayload = concat(
+      lit(PngSignature),
+      lit(Array[Byte](0, 0, 0, 13)),            // IHDR data length
+      lit("IHDR".getBytes("US-ASCII")),
+      beBytes(w, 8), beBytes(h, 8),
+      lit(Array[Byte](8, 6, 0, 0, 0)),          // depth, color, std tail
+      txt)
+    val jpgPayload = concat(
+      lit(Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x0B, 0x08).map(_.toByte)),
+      beBytes(h, 4), beBytes(w, 4),             // SOF stores height first
+      lit(Array(0x01, 0x01, 0x11, 0x00).map(_.toByte)),
+      txt)
     docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("jpg"), lit("png"), lit("wav")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
-      encode(col("text"), "UTF-8").as("payload"))
+        col("doc_id").as("media_id"),
+        element_at(array(lit("jpg"), lit("png"), lit("wav")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+        col("text"))
+      .withColumn("payload",
+        when(col("format") === "png", pngPayload)
+          .when(col("format") === "jpg", jpgPayload)
+          .otherwise(txt))
+      .select(col("media_id"), col("format"), col("payload"))
+  }
 
   // ======================================================================
-  // STUB CODEC — deterministic fakes in place of real decoders.
-  // A production build replaces the bodies (and only the bodies) with
-  // e.g. javax.imageio / ffmpeg-JNI calls; signatures and the Spark
-  // plumbing around them stay identical.
+  // IMAGE CODECS — REAL header parsing, pure JVM, no external libraries.
+  // PNG: ISO/IEC 15948 §5.2/§11.2.2 (signature + IHDR width/height).
+  // JPEG: ITU-T T.81 §B.2.2 (marker walk to the SOFn frame header).
+  // The WAV branch below is the one remaining STUB (this environment has
+  // no audio libraries): deterministic fake metadata from the bytes. A
+  // production build replaces that stub body (and only it); signatures
+  // and the Spark plumbing stay identical.
   // ======================================================================
 
-  /** STUB: "decode" media metadata from payload bytes. Deterministic pure
-    * function of payload length (so the DuckDB oracle can restate it). */
-  private def decodeStub(format: String, payload: Array[Byte]): (Int, Int, Int) = {
+  private val PngSignature =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  /** REAL PNG dimension read: 8-byte signature, then the first chunk
+    * (spec-mandated to be IHDR) whose first two big-endian u32 fields
+    * are width and height (byte offsets 16 and 20). None on any
+    * malformed layout — the quarantine path, never an exception. */
+  private def decodePng(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 &&
+        b.take(8).sameElements(PngSignature) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val w = be32(b, 16); val h = be32(b, 20)
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } else None
+
+  /** REAL JPEG dimension read: from SOI, walk the marker segments
+    * (each FF xx + big-endian length including itself) until a frame
+    * header SOFn (C0–CF minus the non-frame C4/C8/CC); its payload is
+    * precision(1) + height(2) + width(2). None on a malformed
+    * stream. */
+  private def decodeJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8)
+      return None
+    var i = 2
+    while (i + 3 < b.length && (b(i) & 0xFF) == 0xFF) {
+      val marker = b(i + 1) & 0xFF
+      if (marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+        if (i + 8 >= b.length) return None
+        val h = be16(b, i + 5); val w = be16(b, i + 7)
+        return if (w > 0 && h > 0) Some((w, h)) else None
+      }
+      i += 2 + be16(b, i + 2)
+    }
+    None
+  }
+
+  /** STUB (wav only): deterministic fake metadata from payload length —
+    * real audio decoding needs libraries absent here. */
+  private def decodeWavStub(payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length
-    val width = 64 + (n % 192)
-    val height = 64 + ((n / 7) % 192)
-    val frames = if (format == "wav") 1 + n % 300 else 1
-    (width, height, frames)
+    (64 + (n % 192), 64 + ((n / 7) % 192), 1 + n % 300)
+  }
+
+  /** Decode media metadata — REAL for images, stub for wav; None marks
+    * a malformed payload (quarantined by the callers, never thrown). */
+  private def decodeMedia(format: String,
+                          payload: Array[Byte]): Option[(Int, Int, Int)] =
+    format match {
+      case "png"          => decodePng(payload).map { case (w, h) => (w, h, 1) }
+      case "jpg" | "jpeg" => decodeJpeg(payload).map { case (w, h) => (w, h, 1) }
+      case _              => Some(decodeWavStub(payload))
+    }
+
+  /** Re-encode an image payload at new dimensions: a fresh header for
+    * (w1, h1) plus the body truncated proportionally to the target
+    * area — the size-accounting stand-in for a real scaler (which
+    * would go here), kept DECODABLE so downstream metadata extraction
+    * still works on resized media. */
+  private def reencode(format: String, payload: Array[Byte], bodyOffset: Int,
+                       w0: Int, h0: Int, w1: Int, h1: Int): Array[Byte] = {
+    val ratio = math.min(1.0,
+      (w1.toLong * h1).toDouble / math.max(1L, w0.toLong * h0))
+    val body = java.util.Arrays.copyOfRange(payload, bodyOffset, payload.length)
+    val newBody = java.util.Arrays.copyOf(body,
+      math.max(0, (body.length * ratio).toInt))
+    headerBytes(format, w1, h1) ++ newBody
+  }
+
+  /** JVM-side twin of [[mediaFromDocuments]]'s header synthesis (used
+    * by [[resize]]'s re-encode; spec-pinned to round-trip through the
+    * decoders). */
+  private def headerBytes(format: String, w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(
+      if (format == "png") PngHeaderBytes else JpegHeaderBytes)
+    if (format == "png") {
+      bb.put(PngSignature).putInt(13).put("IHDR".getBytes("US-ASCII"))
+        .putInt(w).putInt(h)
+        .put(Array[Byte](8, 6, 0, 0, 0))
+    } else {
+      bb.put(Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x0B, 0x08).map(_.toByte))
+        .putShort(h.toShort).putShort(w.toShort)
+        .put(Array(0x01, 0x01, 0x11, 0x00).map(_.toByte))
+    }
+    bb.array()
   }
 
   /** STUB: fixed-width feature vector (8 dims) from payload bytes — a
-    * rolling byte histogram projection, deterministic. */
+    * rolling byte histogram projection, deterministic. (A production
+    * build replaces this with a real embedding model; byte-identical
+    * payloads still map to identical vectors, the property the
+    * near-dup path relies on.) */
   private def featureStub(payload: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](8)
     var i = 0
@@ -62,15 +200,6 @@ object Multimodal {
     acc
   }
 
-  /** STUB: "resize" — in a real build this re-encodes the image; here it
-    * deterministically truncates the payload proportionally to the target
-    * area so downstream size accounting stays meaningful. */
-  private def resizeStub(payload: Array[Byte], w0: Int, h0: Int,
-                         w1: Int, h1: Int): Array[Byte] = {
-    val ratio = math.min(1.0, (w1.toLong * h1).toDouble / math.max(1L, w0.toLong * h0))
-    java.util.Arrays.copyOf(payload, math.max(1, (payload.length * ratio).toInt))
-  }
-
   /** STUB: "frame sampling" — every k-th frame of a fake frame list
     * derived from the payload (a real build pulls frames via the codec). */
   private def frameSampleStub(payload: Array[Byte], nFrames: Int,
@@ -79,15 +208,28 @@ object Multimodal {
       if (payload.isEmpty) 0 else payload(i % payload.length) & 0xFF)
 
   /** Resize pipeline stage: metadata-aware payload transform, typed
-    * in/out, executed per-partition. */
+    * in/out, executed per-partition. Media already inside the bounds
+    * pass through untouched; larger images are re-encoded at the
+    * aspect-preserving fit (never below 1×1) so the result still
+    * decodes to dimensions within the bounds. Malformed payloads are
+    * DROPPED (use [[malformedMedia]] for the quarantine split). */
   def resize(spark: SparkSession, media: DataFrame,
              maxW: Int, maxH: Int): Dataset[MediaRaw] = {
     import spark.implicits._
     media.as[MediaRaw].mapPartitions { batch =>
-      batch.map { m =>
-        val (w, h, _) = decodeStub(m.format, m.payload)
-        if (w <= maxW && h <= maxH) m
-        else m.copy(payload = resizeStub(m.payload, w, h, maxW, maxH))
+      batch.flatMap { m =>
+        decodeMedia(m.format, m.payload).map { case (w, h, _) =>
+          if (w <= maxW && h <= maxH) m
+          else {
+            val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
+            val w1 = math.max(1, (w * scale).toInt)
+            val h1 = math.max(1, (h * scale).toInt)
+            if (m.format == "wav") m // stub branch: no image header to rewrite
+            else m.copy(payload = reencode(m.format, m.payload,
+              if (m.format == "png") PngHeaderBytes else JpegHeaderBytes,
+              w, h, w1, h1))
+          }
+        }
       }
     }
   }
@@ -95,44 +237,53 @@ object Multimodal {
   final case class FrameSample(media_id: Long, frame_idx: Int, frame_value: Int)
 
   /** Frame-sampling stage (video/audio path): one row per sampled frame —
-    * the explode-shaped output an inference pipeline consumes. */
+    * the explode-shaped output an inference pipeline consumes. Malformed
+    * payloads are dropped. */
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    every: Int = 10): Dataset[FrameSample] = {
     import spark.implicits._
     media.as[MediaRaw].flatMap { m =>
-      val (_, _, frames) = decodeStub(m.format, m.payload)
-      frameSampleStub(m.payload, frames, every).zipWithIndex.map {
-        case (v, i) => FrameSample(m.media_id, i * every, v)
+      decodeMedia(m.format, m.payload).toSeq.flatMap { case (_, _, frames) =>
+        frameSampleStub(m.payload, frames, every).zipWithIndex.map {
+          case (v, i) => FrameSample(m.media_id, i * every, v)
+        }
       }
     }
   }
 
   /** Batch metadata extraction: one codec "session" per partition
-    * (mapPartitions), typed output. */
+    * (mapPartitions), typed output. Image dimensions come from the REAL
+    * header parse; malformed payloads are dropped here and surfaced by
+    * [[malformedMedia]]. */
   def extractMetadata(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.as[MediaRaw].mapPartitions { batch =>
       // real codecs initialize here, once per partition
-      batch.map { m =>
-        val (w, h, f) = decodeStub(m.format, m.payload)
-        MediaMeta(m.media_id, m.format, m.payload.length.toLong, w, h, f)
+      batch.flatMap { m =>
+        decodeMedia(m.format, m.payload).map { case (w, h, f) =>
+          MediaMeta(m.media_id, m.format, m.payload.length.toLong, w, h, f)
+        }
       }
     }
   }
 
-  /** Batch feature extraction (the inference-shaped path): per-partition
-    * batches, fixed-dim float vectors out, payload dropped from the plan
-    * afterwards. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
+  /** The quarantine split: media rows whose payload does NOT decode
+    * (bad signature, truncated header, zero dimensions) — the rows
+    * [[extractMetadata]]/[[resize]]/[[sampleFrames]] drop. A crawl
+    * pipeline lands these next to the accepted set for adjudication,
+    * exactly like the JSONL ingest quarantine. One narrow pass;
+    * payloads never leave the executors. */
+  def malformedMedia(spark: SparkSession, media: DataFrame): Dataset[MediaRaw] = {
     import spark.implicits._
     media.as[MediaRaw].mapPartitions { batch =>
-      batch.map(m => MediaFeature(m.media_id, featureStub(m.payload)))
+      batch.filter(m => decodeMedia(m.format, m.payload).isEmpty)
     }
   }
 
   /** Metadata as a plain DataFrame query (for the driver contract): the
-    * stub's arithmetic is simple enough to state in SQL, so this one IS
-    * oracle-checkable — the mapPartitions path and the SQL must agree. */
+    * synthesized headers carry dimensions derived from the text length,
+    * so the decoder's output is restatable in SQL — the mapPartitions
+    * path (REAL header parse) and the oracle's arithmetic must agree. */
   def metadataQuery(spark: SparkSession, docs: DataFrame): DataFrame =
     extractMetadata(spark, mediaFromDocuments(docs)).toDF()
 
@@ -151,4 +302,14 @@ object Multimodal {
         minCosine)
       .select(col("vec_a").as("media_a"), col("vec_b").as("media_b"),
         col("cos_sim"))
+
+  /** Batch feature extraction (the inference-shaped path): per-partition
+    * batches, fixed-dim float vectors out, payload dropped from the plan
+    * afterwards. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.as[MediaRaw].mapPartitions { batch =>
+      batch.map(m => MediaFeature(m.media_id, featureStub(m.payload)))
+    }
+  }
 }

@@ -1246,14 +1246,16 @@ class ExtSpec extends SparkSpec {
   test("media near-dup: byte-identical payloads always found via the ANN path") {
     // plant exact copies of five documents under new ids: identical bytes
     // → identical stub features → every LSH table collides → all five
-    // planted pairs must surface at cosine 1.0
+    // planted pairs must surface at cosine 1.0. The id shift is a
+    // multiple of 3 so the copy keeps its FORMAT — payloads now carry
+    // format-specific container headers, so byte-identity requires it
     val base = docs.limit(20)
     val copies = base.filter($"doc_id" < 5)
-      .withColumn("doc_id", $"doc_id" + 1000L)
+      .withColumn("doc_id", $"doc_id" + 999L)
     val media = Multimodal.mediaFromDocuments(base.unionByName(copies))
     val pairs = Multimodal.nearDupMedia(spark, media)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val planted = (0L until 5L).map(i => (i, i + 1000L)).toSet
+    val planted = (0L until 5L).map(i => (i, i + 999L)).toSet
     val found = pairs.map(p => (p._1, p._2)).toSet
     assert(planted.subsetOf(found), s"missed copies: ${planted -- found}")
     pairs.filter(p => planted((p._1, p._2))).foreach { case (_, _, c) =>

@@ -88,22 +88,56 @@ class FunctionsSpec extends SparkSpec {
     assert(n > 0)
   }
 
-  test("multimodal metadata: mapPartitions path agrees with its SQL contract") {
+  test("multimodal metadata: real header parse agrees with its SQL contract") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val meta = Multimodal.metadataQuery(spark, docs)
+    // n_bytes = text bytes + the synthesized container header (PNG 29 /
+    // JPEG 15 / wav raw)
     val a = meta.select($"media_id", $"n_bytes").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = docs.select(
         $"doc_id".as("media_id"),
-        octet_length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
+        (octet_length(encode($"text", "UTF-8")) +
+          when(pmod($"doc_id", lit(3)) === 1, lit(Multimodal.PngHeaderBytes))
+            .when(pmod($"doc_id", lit(3)) === 0, lit(Multimodal.JpegHeaderBytes))
+            .otherwise(lit(0))).cast("long").as("n_bytes"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(meta.count() == docs.count())
+    assert(meta.count() == docs.count(),
+      "every synthesized payload must decode — none quarantined")
     assert(a == b)
-    // deterministic width/height arithmetic
-    val r = meta.filter($"media_id" === 0).head()
-    val n = r.getAs[Long]("n_bytes")
-    assert(r.getAs[Int]("width") == 64 + (n % 192).toInt)
-    assert(r.getAs[Int]("height") == 64 + ((n / 7) % 192).toInt)
+    // the width/height READ BACK from the real headers equal the
+    // n-derived values the synthesis wrote (round trip)
+    Seq(0L, 1L, 2L).foreach { id => // one of each format
+      val r = meta.filter($"media_id" === id).head()
+      val n = docs.filter($"doc_id" === id)
+        .select(octet_length(encode($"text", "UTF-8"))).head().getInt(0)
+      assert(r.getAs[Int]("width") == 64 + (n % 192).toInt,
+        s"media $id (${r.getAs[String]("format")})")
+      assert(r.getAs[Int]("height") == 64 + ((n / 7) % 192).toInt)
+    }
+  }
+
+  test("multimodal malformed payloads are quarantined, not crashed or faked") {
+    import graft.ext.Multimodal.MediaRaw
+    val good = Multimodal.mediaFromDocuments(
+      Tables.documents(spark, sf("sf0.001")).limit(9))
+    // corrupt one of each failure class: bad signature, truncated
+    // header, and a marker walk that never finds a SOF
+    val bad = Seq(
+      MediaRaw(9001L, "png", "not a png at all".getBytes),
+      MediaRaw(9002L, "png", Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)),
+      MediaRaw(9003L, "jpg", Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00)
+        .map(_.toByte)))
+    val media = good.unionByName(spark.createDataFrame(bad))
+    val meta = Multimodal.extractMetadata(spark, media)
+    assert(meta.count() == 9, "malformed rows must be dropped from metadata")
+    val quarantined = Multimodal.malformedMedia(spark, media)
+      .collect().map(_.media_id).toSet
+    assert(quarantined == Set(9001L, 9002L, 9003L), s"got $quarantined")
+    // wav never quarantines (stub decodes any bytes)
+    assert(!Multimodal.malformedMedia(spark,
+      spark.createDataFrame(Seq(MediaRaw(1L, "wav", Array[Byte](1, 2)))))
+      .collect().map(_.media_id).toSet.contains(1L))
   }
 
   test("multimodal resize and frame sampling: deterministic, bounds respected") {
@@ -113,8 +147,15 @@ class FunctionsSpec extends SparkSpec {
     val metaAfter = Multimodal.extractMetadata(spark, resized.toDF()).collect()
     val metaBefore = Multimodal.extractMetadata(spark, media).collect()
       .map(m => m.media_id -> m).toMap
+    assert(metaAfter.length == metaBefore.size,
+      "re-encoded payloads must still decode — resize keeps every row")
     metaAfter.foreach { m =>
       assert(m.n_bytes <= metaBefore(m.media_id).n_bytes)
+      // images decode to within the bounds after re-encode (the wav
+      // stub branch has no image header to rewrite)
+      if (m.format != "wav")
+        assert(m.width <= 100 && m.height <= 100,
+          s"media ${m.media_id}: ${m.width}x${m.height} exceeds bounds")
     }
     val frames = Multimodal.sampleFrames(spark,
       media.filter(org.apache.spark.sql.functions.col("format") === "wav"))
