@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared machinery for on-disk COUNT-PROFILE artifacts: a parquet
+  * relation of (key…, c) occurrence counts under `path/counts` plus the
+  * standard params sidecar, with mergeable-append, replay-idempotent
+  * batch tagging, and stage-then-swap compaction. Counts are the one
+  * sketch whose merge is exact (long sums), which is what lets a
+  * recurring pipeline freeze a corpus distribution once and grow it
+  * per batch instead of re-scanning the base corpus — the motivation
+  * behind the reference's persisted validation state
+  * (load_sales_history.py:241-246), generalized.
+  *
+  * Two artifact families ride on this one audited implementation: the
+  * unigram corpus profile (drift monitoring,
+  * [[TextAnalysis.writeCorpusProfile]]) and the DSIR hashed-feature
+  * bucket profile (importance selection,
+  * [[Selection.writeSelectionProfile]]). The key columns are whatever
+  * the stored relation carries besides `c`/`batch_id`, so new count
+  * profiles need no new merge/compact/replay analysis.
+  *
+  * Tagging contract (pinned by the corpus-profile specs): NULL
+  * `batch_id` rows are deliberate batch-API contributions and SUM RAW
+  * (two identical deliberate appends both count); tagged rows are
+  * stream appends — a deterministic function of their micro-batch — so
+  * readers collapse byte-identical tagged rows (distinct) before
+  * summing, making a replayed append a no-op. `excludeBatchId` drops a
+  * batch's own tags so a replayed micro-batch scores against exactly
+  * the state its first attempt saw. Compaction folds NULL rows to one
+  * summed row per key but KEEPS tagged rows distinct — the
+  * replay-idempotence of the last uncommitted micro-batch survives
+  * maintenance (the dedup-index compaction discipline).
+  *
+  * Scale notes (100 TB): every relation here is vocabulary- or
+  * parameter-sized (tokens observed / hash buckets), never
+  * corpus-sized; the corpus-sized aggregation happens once in the
+  * caller's `write`/`append` count pass.
+  */
+private[ext] object CountProfile {
+
+  private def keyCols(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filterNot(c => c == "c" || c == "batch_id")
+
+  /** Overwrite `path` with a complete profile: the counts relation
+    * (tagged NULL = base corpus) then the params sidecar LAST (its
+    * presence implies a complete artifact — the sidecar rule). */
+  def write(counts: DataFrame, path: String,
+            params: Map[String, String]): Unit = {
+    counts.withColumn("batch_id", lit(null).cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/counts")
+    Dedup.writeParams(s"$path/params.properties", params)
+  }
+
+  /** Append a batch's counts (params must have been validated by the
+    * caller BEFORE this — a rejected append must not mutate the
+    * artifact). Tagged appends into a pre-tagging relation fail loudly
+    * with the migration pointer (mixed parquet schemas resolve from an
+    * arbitrary footer otherwise). */
+  def append(counts: DataFrame, path: String,
+             batchId: Option[Long]): Unit = {
+    Dedup.requireTaggedRelation(counts.sparkSession, path, "counts")
+    counts.withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .write.mode(SaveMode.Append).parquet(s"$path/counts")
+  }
+
+  /** The profile's effective (key…, c-summed) relation under the
+    * tagging contract above. `what`/`compactOp` name the owning
+    * artifact in the legacy-relation error. */
+  def effective(spark: SparkSession, path: String, what: String,
+                compactOp: String,
+                excludeBatchId: Option[Long]): DataFrame = {
+    val rawAll = spark.read.parquet(s"$path/counts")
+    val raw = excludeBatchId match {
+      case Some(b) =>
+        require(rawAll.columns.contains("batch_id"),
+          s"$what at $path has no batch_id column — it predates batch " +
+            s"tagging; run $compactOp once to migrate it")
+        rawAll.filter(col("batch_id").isNull || col("batch_id") =!= b)
+      case None => rawAll
+    }
+    val keys = keyCols(raw).map(col)
+    val rows =
+      if (!raw.columns.contains("batch_id"))
+        raw.select(keys :+ col("c"): _*)
+      else raw.filter(col("batch_id").isNull).select(keys :+ col("c"): _*)
+        .unionByName(raw.filter(col("batch_id").isNotNull)
+          .distinct().select(keys :+ col("c"): _*))
+    rows.groupBy(keys: _*).agg(sum(col("c")).as("c"))
+  }
+
+  /** Collapse appended count rows (untagged fold to one summed row per
+    * key, tagged collapse to their distinct set, tags kept); legacy
+    * untagged relations are migrated in place (batch_id = NULL
+    * backfilled). Stage-then-swap via `AtomicSwap`; a crash leaves the
+    * previous complete relation. Params must have been validated by
+    * the caller. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val raw = spark.read.parquet(s"$path/counts")
+    val keys = keyCols(raw).map(col)
+    val compacted = (
+      if (!raw.columns.contains("batch_id"))
+        raw.groupBy(keys: _*).agg(sum(col("c")).as("c"))
+          .withColumn("batch_id", lit(null).cast("long"))
+      else
+        raw.filter(col("batch_id").isNull)
+          .groupBy(keys: _*).agg(sum(col("c")).as("c"))
+          .withColumn("batch_id", lit(null).cast("long"))
+          .unionByName(raw.filter(col("batch_id").isNotNull).distinct())
+    ).localCheckpoint() // materialize BEFORE the swap shelves the source
+    graft.lineage.AtomicSwap.writeSwap(s"$path/counts")(tmp =>
+      compacted.write.parquet(tmp))
+  }
+}

@@ -308,13 +308,8 @@ object TextAnalysis {
     * Scale notes (100 TB): one map-side-combined vocab aggregate over
     * the corpus — the only corpus-sized pass in the ladder; the stored
     * relation is vocabulary-sized. */
-  def writeCorpusProfile(docs: DataFrame, path: String): Unit = {
-    vocabOf(docs, "c")
-      .withColumn("batch_id", lit(null).cast("long"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/counts")
-    Dedup.writeParams(s"$path/params.properties", ProfileParams)
-  }
+  def writeCorpusProfile(docs: DataFrame, path: String): Unit =
+    CountProfile.write(vocabOf(docs, "c"), path, ProfileParams)
 
   /** Merge a new batch's unigram counts into a stored profile (counts
     * are mergeable — the sketch property the ladder leans on). Params
@@ -335,12 +330,7 @@ object TextAnalysis {
   def appendCorpusProfile(docs: DataFrame, path: String,
                           batchId: Option[Long] = None): Unit = {
     Dedup.requireParams(s"$path/params.properties", ProfileParams, "profile")
-    Dedup.requireTaggedRelation(docs.sparkSession, path, "counts")
-    vocabOf(docs, "c")
-      .withColumn("batch_id",
-        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$path/counts")
+    CountProfile.append(vocabOf(docs, "c"), path, batchId)
   }
 
   /** The profile's effective (tok, c-summed) relation under the replay
@@ -352,23 +342,9 @@ object TextAnalysis {
     * attempt saw, whether or not that attempt's absorb committed. */
   private def profileCounts(spark: org.apache.spark.sql.SparkSession,
                             path: String,
-                            excludeBatchId: Option[Long]): DataFrame = {
-    val rawAll = spark.read.parquet(s"$path/counts")
-    val raw = excludeBatchId match {
-      case Some(b) =>
-        require(rawAll.columns.contains("batch_id"),
-          s"profile at $path has no batch_id column — it predates batch " +
-            "tagging; run compactCorpusProfile once to migrate it")
-        rawAll.filter(col("batch_id").isNull || col("batch_id") =!= b)
-      case None => rawAll
-    }
-    val rows =
-      if (!raw.columns.contains("batch_id")) raw.select(col("tok"), col("c"))
-      else raw.filter(col("batch_id").isNull).select(col("tok"), col("c"))
-        .unionByName(raw.filter(col("batch_id").isNotNull)
-          .distinct().select(col("tok"), col("c")))
-    rows.groupBy(col("tok")).agg(sum(col("c")).as("c"))
-  }
+                            excludeBatchId: Option[Long]): DataFrame =
+    CountProfile.effective(spark, path, "profile", "compactCorpusProfile",
+      excludeBatchId)
 
   /** Collapse a profile's appended count rows: untagged rows fold to
     * one summed row per token; tagged (stream-appended) rows collapse
@@ -381,19 +357,7 @@ object TextAnalysis {
   def compactCorpusProfile(spark: org.apache.spark.sql.SparkSession,
                            path: String): Unit = {
     Dedup.requireParams(s"$path/params.properties", ProfileParams, "profile")
-    val raw = spark.read.parquet(s"$path/counts")
-    val compact = (
-      if (!raw.columns.contains("batch_id"))
-        raw.groupBy(col("tok")).agg(sum(col("c")).as("c"))
-          .withColumn("batch_id", lit(null).cast("long"))
-      else
-        raw.filter(col("batch_id").isNull)
-          .groupBy(col("tok")).agg(sum(col("c")).as("c"))
-          .withColumn("batch_id", lit(null).cast("long"))
-          .unionByName(raw.filter(col("batch_id").isNotNull).distinct())
-    ).localCheckpoint() // materialize BEFORE the swap shelves the source
-    graft.lineage.AtomicSwap.writeSwap(s"$path/counts")(tmp =>
-      compact.write.parquet(tmp))
+    CountProfile.compact(spark, path)
   }
 
   /** Drift of a live frame against a STORED profile — identical output

@@ -122,6 +122,91 @@ class SelectionSpec extends SparkSpec {
     assert(w.length == 2 && w.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("stored target profile reproduces live selection across append and compaction") {
+    val t1 = target.filter($"doc_id" % 2 === 0)
+    val t2 = target.filter($"doc_id" % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // the stored route is the live op, bit for bit
+    Selection.writeSelectionProfile(t1, s"$dir/p")
+    assert(rows(Selection.selectByImportanceAgainstProfile(docs, s"$dir/p", 25))
+      == rows(Selection.selectByImportance(docs, t1, 25)))
+    assert(rows(Selection.importanceWeightsAgainstProfile(docs, s"$dir/p"))
+      == rows(Selection.importanceWeights(docs, t1)))
+    // appending the other half ≡ recomputing over the full target
+    Selection.appendSelectionProfile(t2, s"$dir/p")
+    val expect = rows(Selection.selectByImportance(docs, target, 25))
+    assert(rows(Selection.selectByImportanceAgainstProfile(docs, s"$dir/p", 25))
+      == expect)
+    // compaction collapses appended bucket rows and changes nothing
+    val before = spark.read.parquet(s"$dir/p/counts").count()
+    Selection.compactSelectionProfile(spark, s"$dir/p")
+    assert(spark.read.parquet(s"$dir/p/counts").count() < before,
+      "duplicated bucket rows must compact away")
+    assert(rows(Selection.selectByImportanceAgainstProfile(docs, s"$dir/p", 25))
+      == expect)
+    // a rejected append (no profile there) must not create one
+    intercept[Exception](Selection.appendSelectionProfile(t2, s"$dir/nope"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/nope/counts")),
+      "a rejected append must not mutate anything")
+    // a non-selection artifact fails the kind check loudly
+    TextAnalysis.writeCorpusProfile(t1, s"$dir/drift")
+    val e = intercept[IllegalArgumentException](
+      Selection.importanceWeightsAgainstProfile(docs, s"$dir/drift"))
+    assert(e.getMessage.contains("kind"), e.getMessage)
+  }
+
+  test("two-profile scorer matches the live op and rejects width mismatch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir2").toString
+    Selection.writeSelectionProfile(docs, s"$dir/raw")
+    Selection.writeSelectionProfile(target, s"$dir/tgt")
+    val stored = Selection.importanceWeightsAgainstProfiles(
+        docs, s"$dir/raw", s"$dir/tgt")
+      .collect().map(_.toSeq).toSet
+    val live = Selection.importanceWeights(docs, target)
+      .collect().map(_.toSeq).toSet
+    assert(stored == live,
+      "fully-frozen scoring of the profiled corpus must equal the live op")
+    // a batch carrying buckets the frozen raw corpus never observed
+    // still scores finite (full-domain Laplace smoothing)
+    val foreign = Seq((999999L, "zzzqqq xxyyzz zzzqqq xxyyzz"))
+      .toDF("doc_id", "text")
+    val w = Selection.importanceWeightsAgainstProfiles(
+        foreign, s"$dir/raw", s"$dir/tgt")
+      .collect().map(_.getDouble(1))
+    assert(w.length == 1 && !w.head.isNaN && !w.head.isInfinite)
+    // profiles at different widths are incomparable — loud, not silent
+    Selection.writeSelectionProfile(target, s"$dir/tgt64", buckets = 64)
+    val e = intercept[IllegalArgumentException](
+      Selection.importanceWeightsAgainstProfiles(
+        docs, s"$dir/raw", s"$dir/tgt64"))
+    assert(e.getMessage.contains("buckets"), e.getMessage)
+  }
+
+  test("ensureSelectionProfile caches per (buckets, variant, content)") {
+    val cache = java.nio.file.Files.createTempDirectory("graft_dsir_c").toString
+    val src = s"${sf("sf0.001")}/documents.parquet"
+    val p1 = Selection.ensureSelectionProfile(target, cache, src,
+      variant = "_en", buckets = 64)
+    val p2 = Selection.ensureSelectionProfile(target, cache, src,
+      variant = "_en", buckets = 128)
+    assert(p1 != p2, "different widths must occupy different cache slots")
+    val p1again = Selection.ensureSelectionProfile(target, cache, src,
+      variant = "_en", buckets = 64)
+    assert(p1again == p1)
+    assert(rows64(p1) == rows64live,
+      "the cached artifact must serve the width it was built at")
+  }
+
+  private def rows64(path: String) =
+    Selection.selectByImportanceAgainstProfile(docs, path, 10)
+      .collect().map(_.toSeq).toSet
+  private lazy val rows64live =
+    Selection.selectByImportance(docs, target, 10, buckets = 64)
+      .collect().map(_.toSeq).toSet
+
   test("word_shingles_all keeps every occurrence in order") {
     val got = Seq(("a b a b c"))
       .toDF("t")
