@@ -108,7 +108,18 @@ object Curation {
     *     with no embedding row pass un-probed. `semanticProbes = None`
     *     scores the exact per-doc max; a budget makes it the
     *     documented screen. Both artifact gates are None by default =
-    *     zero plan nodes; the default chain is byte-identical. */
+    *     zero plan nodes; the default chain is byte-identical.
+    *   - `dsirProfilePath` (+ `dsirTopN`, `dsirAlpha`): DSIR resample
+    *     toward a STORED target profile
+    *     ([[Selection.selectByImportanceAgainstProfile]] — the q79
+    *     artifact): keep the `dsirTopN` decontaminated survivors most
+    *     target-like by hashed-feature importance, first in the mix
+    *     block (before rates/budget/quota). The target corpus is
+    *     never re-scanned — the run reads a buckets-sized artifact;
+    *     the raw distribution is the survivor population itself. None
+    *     (the default) adds zero plan nodes; `dsirTopN` ≥ the
+    *     survivor count keeps everything (never-binding ≡ default,
+    *     spec-pinned). */
   final case class Config(
       minTokens: Int = 15,
       maxDupTrigramFrac: Double = 0.5,
@@ -141,7 +152,10 @@ object Curation {
       semanticIndexPath: Option[String] = None,
       semanticMinCosine: Double = 0.4,
       semanticNCells: Int = 8,
-      semanticProbes: Option[Int] = None)
+      semanticProbes: Option[Int] = None,
+      dsirProfilePath: Option[String] = None,
+      dsirTopN: Int = 0,
+      dsirAlpha: Double = 1.0)
 
   private def requireConfig(cfg: Config): Unit = {
     require(cfg.maxRedactionsPerDoc.isEmpty || cfg.redactPii,
@@ -157,6 +171,12 @@ object Curation {
     require(cfg.maxBloomFlagged >= 0L, "maxBloomFlagged must be >= 0")
     require(cfg.semanticProbes.forall(p => p >= 1 && p <= cfg.semanticNCells),
       "need 1 <= semanticProbes <= semanticNCells")
+    require(cfg.dsirProfilePath.nonEmpty || cfg.dsirTopN == 0,
+      "dsirTopN gates the DSIR stage — set dsirProfilePath to enable it")
+    require(cfg.dsirProfilePath.isEmpty || cfg.dsirTopN >= 1,
+      "dsirProfilePath needs dsirTopN >= 1 — the stage keeps the top-n " +
+        "most target-like survivors")
+    require(cfg.dsirAlpha > 0, "dsirAlpha must be positive")
   }
 
   /** Validate the (config, embeddings) pairing once, at every public
@@ -185,6 +205,27 @@ object Curation {
   private def artifactGates(deduped: DataFrame, cfg: Config,
                             embeddings: Option[DataFrame]): DataFrame =
     semanticGate(bloomGate(deduped, cfg), cfg, embeddings)
+
+  /** The optional DSIR selection stage: keep the `dsirTopN` most
+    * target-like decontaminated survivors
+    * ([[Selection.selectByImportanceAgainstProfile]] against the
+    * stored target profile — the q79 artifact). The raw-side
+    * distribution is estimated from the survivor population itself (it
+    * IS the corpus being resampled toward the target); the target
+    * corpus is never re-scanned — the recurring run reads a
+    * buckets-sized artifact. Slots FIRST in the mix block: resample
+    * toward the target, then apply the mix knobs (rates, budget,
+    * quota) to the resampled population. Identity (zero plan nodes)
+    * when no profile is configured. */
+  private def dsirSelect(clean: DataFrame, cfg: Config): DataFrame =
+    cfg.dsirProfilePath.fold(clean) { p =>
+      clean.join(
+        Selection.selectByImportanceAgainstProfile(
+            clean.select(col("doc_id"), col("text")), p, cfg.dsirTopN,
+            alpha = cfg.dsirAlpha)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    }
 
   private def bloomGate(df: DataFrame, cfg: Config): DataFrame =
     cfg.bloomIndexPath.fold(df) { p =>
@@ -376,14 +417,16 @@ object Curation {
       .filter(col("n_overlap") > cfg.maxOverlapNgrams)
       .select("doc_id")
     val clean = artifactClean.join(contaminated, Seq("doc_id"), "left_anti")
-    // 5+6. mix (optional per-language rate sample, optional token
-    // budget, then the count quota), then assign splits. Rates →
-    // budget → cap: each stage's md5-order selection runs on its
+    // 5+6. mix (optional DSIR resample toward the stored target
+    // profile, optional per-language rate sample, optional token
+    // budget, then the count quota), then assign splits. DSIR → rates
+    // → budget → cap: each stage's deterministic selection runs on its
     // predecessor's population, so the knobs compose deterministically
+    val selected = dsirSelect(clean, cfg)
     val mixBase = cfg.tokenBudgetPerLang match {
-      case Some(_) => clean.select(col("doc_id"), col("pred_lang"),
+      case Some(_) => selected.select(col("doc_id"), col("pred_lang"),
         size(split(col("text"), " ")).cast("long").as("_n_tok"))
-      case None => clean.select(col("doc_id"), col("pred_lang"))
+      case None => selected.select(col("doc_id"), col("pred_lang"))
     }
     val rated =
       if (cfg.langSampleRates.nonEmpty)
@@ -536,10 +579,19 @@ object Curation {
       Seq("doc_id"), "left_anti").persist()
     val nClean = clean.count()
     artifactClean.unpersist()
+    // 06a0: the optional DSIR resample reports its own funnel row
+    // (label sorts between 06_decontaminated and 06a_lang_sample —
+    // stage labels stay lexicographic)
+    val (selected, dsirRows) = cfg.dsirProfilePath match {
+      case Some(_) =>
+        val sel = dsirSelect(clean, cfg).persist()
+        (sel, Seq(("06a0_dsir_select", sel.count())))
+      case None => (clean, Seq.empty[(String, Long)])
+    }
     val mixBase = cfg.tokenBudgetPerLang match {
-      case Some(_) => clean.select(col("doc_id"), col("pred_lang"),
+      case Some(_) => selected.select(col("doc_id"), col("pred_lang"),
         size(split(col("text"), " ")).cast("long").as("_n_tok"))
-      case None => clean.select(col("doc_id"), col("pred_lang"))
+      case None => selected.select(col("doc_id"), col("pred_lang"))
     }
     val (rated, sampleRows) =
       if (cfg.langSampleRates.nonEmpty) {
@@ -558,6 +610,7 @@ object Curation {
     val nFinal = Sampling.capPerGroup(budgeted,
       "pred_lang", "doc_id", cfg.perLangCap).count()
     clean.unpersist()
+    if (dsirRows.nonEmpty) selected.unpersist()
     if (sampleRows.nonEmpty) rated.unpersist()
     if (budgetRows.nonEmpty) budgeted.unpersist()
     (Seq(("00_input", nInput)) ++ hygieneRows ++ Seq(
@@ -566,7 +619,8 @@ object Curation {
       ("03_language", g.getLong(3))) ++ modelRows ++ Seq(
       ("04_exact_dedup", nExact),
       ("05_near_dedup", nNear)) ++ bloomRows ++ semRows ++ Seq(
-      ("06_decontaminated", nClean)) ++ sampleRows ++ budgetRows ++ Seq(
+      ("06_decontaminated", nClean)) ++ dsirRows ++ sampleRows ++
+      budgetRows ++ Seq(
       ("07_quota", nFinal))).toDF("stage", "n_docs")
   }
 

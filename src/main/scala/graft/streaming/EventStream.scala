@@ -562,6 +562,54 @@ object EventStream {
         }
       }
 
+  /** Streaming DSIR gate — the continuous-ingest form of importance
+    * selection: each micro-batch of documents is scored against TWO
+    * stored selection profiles (raw and target —
+    * [[graft.ext.Selection.importanceWeightsAgainstProfiles]], the
+    * fully-frozen scorer: two buckets-sized artifact scans + one
+    * tokenize pass over the batch; neither base corpus is ever
+    * touched), docs whose importance clears `minImportance` land with
+    * their scores under `acceptedPath/batch_id=N`, the rest under
+    * `rejectedPath/batch_id=N` for adjudication. A stream cannot run
+    * the batch chain's top-n (`Config.dsirTopN` is a corpus-level
+    * decision); the threshold is the per-batch form — calibrate it
+    * from a batch run's importance distribution (e.g. the q80 scores).
+    *
+    * Both profiles are read-only here (grow them with
+    * `appendSelectionProfile` at mart-rebuild cadence, never from the
+    * stream), so each batch's split is a pure deterministic function
+    * of the batch and the overwrite landings are effectively
+    * exactly-once with no batch-tag machinery — the
+    * [[driftMonitorStream]] contract. */
+  def importanceGateStream(docs: DataFrame, rawProfilePath: String,
+                           targetProfilePath: String,
+                           minImportance: Double,
+                           acceptedPath: String, rejectedPath: String,
+                           checkpoint: String,
+                           alpha: Double = 1.0): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed twice below
+          val scored = graft.ext.Selection.importanceWeightsAgainstProfiles(
+              b, rawProfilePath, targetProfilePath, alpha = alpha)
+            .localCheckpoint() // consumed twice: accept join + reject join
+          b.join(scored.filter(col("importance") >= minImportance),
+              Seq("doc_id"), "inner")
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$acceptedPath/batch_id=$batchId")
+          b.join(scored.filter(col("importance") >= minImportance)
+              .select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .join(scored.select(col("doc_id"), col("importance")),
+              Seq("doc_id"), "left")
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$rejectedPath/batch_id=$batchId")
+        }
+      }
+
   def sinkToPartitionedLake(agg: DataFrame, lakePath: String,
                             checkpoint: String): DataStreamWriter[Row] =
     agg.writeStream

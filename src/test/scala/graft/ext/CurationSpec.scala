@@ -559,6 +559,44 @@ class CurationSpec extends SparkSpec {
       cfg.copy(bloomIndexPath = Some(s"$dir/bloom"))).count())
   }
 
+  test("DSIR resample slots into the chain against a stored target profile") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_dsir").toString
+    Selection.writeSelectionProfile(docs.filter($"lang" === "en"), s"$dir/tgt")
+    // never-binding topN (≥ the survivor population) reproduces the
+    // default chain exactly
+    val base = Curation.curate(corpus, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    val never = Curation.curate(corpus, benchmark,
+        cfg.copy(dsirProfilePath = Some(s"$dir/tgt"), dsirTopN = 1000000))
+      .collect().map(_.toSeq).toSet
+    assert(never == base,
+      "a never-binding DSIR stage must reproduce the default chain")
+    // binding topN: the funnel reports the stage (labels still sort
+    // lexicographically into chain order), counts stay monotone, the
+    // dsir row is exactly topN, and the final row equals curate()
+    val bCfg = cfg.copy(dsirProfilePath = Some(s"$dir/tgt"), dsirTopN = 30)
+    val funnel = Curation.curationFunnel(corpus, benchmark, bCfg)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val stages = funnel.map(_._1).toSeq
+    assert(stages.contains("06a0_dsir_select"), stages.mkString(", "))
+    assert(stages.sorted == stages,
+      s"stage labels must sort into chain order: $stages")
+    assert(funnel.toMap.apply("06a0_dsir_select") == 30L,
+      "a binding DSIR stage keeps exactly topN survivors")
+    funnel.sliding(2).foreach { case Array((sa, na), (sb, nb)) =>
+      assert(nb <= na, s"funnel not monotone: $sa=$na -> $sb=$nb") }
+    val curated = Curation.curate(corpus, benchmark, bCfg)
+    assert(funnel.last._2 == curated.count())
+    assert(curated.count() <= 30L)
+    // config guards: each knob requires the other
+    intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark, cfg.copy(dsirTopN = 10)))
+    intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark,
+        cfg.copy(dsirProfilePath = Some(s"$dir/tgt"))))
+  }
+
   test("model-score gate slots into the chain, identity when never binding") {
     val w = TextAnalysis.DefaultQualityWeights
     // a never-binding threshold leaves the chain exactly at its default

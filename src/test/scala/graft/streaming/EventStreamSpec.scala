@@ -415,6 +415,62 @@ class EventStreamSpec extends SparkSpec {
     assert(byBatch(0) < byBatch(1))
   }
 
+  test("streaming importance gate splits batches by the frozen-profile scores, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dsir").toString
+    // both distributions frozen once: the raw crawl profile and the
+    // curated target profile (SelectionSpec's synthetic direction
+    // fixture — target vocabulary is alpha/beta/gamma)
+    val raw = Seq(
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "delta epsilon delta epsilon zeta"),
+      (3L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val tgt = Seq((10L, "alpha beta gamma alpha beta gamma"))
+      .toDF("doc_id", "text")
+    graft.ext.Selection.writeSelectionProfile(raw, s"$dir/raw", buckets = 64)
+    graft.ext.Selection.writeSelectionProfile(tgt, s"$dir/tgt", buckets = 64)
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.importanceGateStream(mem.toDF(), s"$dir/raw",
+        s"$dir/tgt", minImportance = -2.0, s"$dir/accepted",
+        s"$dir/rejected", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // batch 0: a target-like doc (kept) + a foreign-vocab doc (cut)
+    val b0 = Seq(
+      IngestDoc(20L, "alpha beta gamma alpha"),
+      IngestDoc(21L, "delta epsilon zeta delta"))
+    mem.addData(b0: _*)
+    drain()
+    // the split must equal the batch scorer's verdict on the same rows
+    val batchScores = graft.ext.Selection.importanceWeightsAgainstProfiles(
+        b0.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        s"$dir/raw", s"$dir/tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wantAccepted = batchScores.filter(_._2 >= -2.0).keySet
+    assert(wantAccepted == Set(20L) && batchScores(21L) < -2.0,
+      s"fixture must split (direction check): $batchScores")
+    val accepted = spark.read.parquet(s"$dir/accepted")
+    assert(accepted.select("doc_id").as[Long].collect().toSet == wantAccepted)
+    // accepted rows carry their scores; the reject audit does too
+    assert(accepted.filter($"doc_id" === 20L)
+      .head.getAs[Double]("importance") == batchScores(20L))
+    val rejected = spark.read.parquet(s"$dir/rejected")
+    assert(rejected.select("doc_id").as[Long].collect().toSet == Set(21L))
+    assert(rejected.head.getAs[Double]("importance") == batchScores(21L))
+    // doctored-checkpoint replay: the batch-keyed overwrite (profiles
+    // read-only) makes the landing effectively exactly-once
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    val replayed = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toList.sorted
+    assert(replayed == List(20L),
+      s"exactly-once landing violated (dup or loss): $replayed")
+  }
+
   test("streaming passage strip cuts cross-batch copied blocks via the on-disk index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_strip").toString
