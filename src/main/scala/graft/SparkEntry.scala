@@ -236,6 +236,28 @@ object SparkEntry {
         s"$dir/documents.parquet", variant = "_en")
       ext.Selection.importanceWeightsAgainstProfiles(docs, rawProf, tgtProf)
     }),
+    // north-star quality scoring: the CCNet perplexity filter (Wenzek
+    // et al. 2020) — per-doc average bigram log-likelihood under a
+    // Laplace-smoothed LM trained on the 'en' slice. Fully
+    // content-addressed, so the DuckDB oracle restates the whole model
+    "q81_lm_logprob" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.TextAnalysis.bigramLogProbs(docs, docs.filter(col("lang") === "en"))
+    }),
+    // q81 with the LM FROZEN as a stored count profile (the q79
+    // pattern for language models): the recurring scoring run reads
+    // the bigram-count artifact instead of re-tokenizing the LM
+    // corpus. Same oracle as q81 — the route equality is the
+    // hash-compare claim
+    "q82_lm_logprob_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val prof = ext.TextAnalysis.ensureLmProfile(
+        docs.filter(col("lang") === "en"), "/tmp/graft_lm_cache",
+        s"$dir/documents.parquet", variant = "_en")
+      ext.TextAnalysis.bigramLogProbsAgainstLm(docs, prof)
+    }),
     // north-star similarity: product-quantized ADC top-k — the
     // memory-scale path (codes are 8 small ints/vec vs 256 B raw; the
     // candidate scan never touches raw vectors, exact-cosine re-rank
@@ -763,6 +785,39 @@ object SparkEntry {
       |imp AS (SELECT dc.doc_id, SUM(c * log_ratio) AS s
       |        FROM dc JOIN lam USING (bucket) GROUP BY 1)""".stripMargin
 
+  /** q81's oracle (also q82's — the stored-LM route must hash-match
+    * the live computation): the Laplace-smoothed bigram LM restated in
+    * DuckDB. Bigrams via q54's shingle construction (whitespace tokens
+    * carry no spaces, so splitting the 2-gram back is unambiguous);
+    * ctx(w1) = Σ_w2 c(w1,w2) is the MLE denominator; V = distinct LM
+    * vocabulary via UNION (dedups); docs under two tokens have no
+    * bigram rows and drop out of both engines identically. ROUND 6dp
+    * on the per-doc average (cosine rule); CAST(SUM AS BIGINT) dodges
+    * HUGEINT. */
+  private val LmLogProbSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |db AS (SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1])) AS bg
+      |       FROM t),
+      |dk AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+      |         string_split(bg, ' ')[2] AS w2, COUNT(*) AS k
+      |       FROM db GROUP BY 1, 2, 3),
+      |lmb AS (SELECT string_split(bg, ' ')[1] AS w1,
+      |          string_split(bg, ' ')[2] AS w2, COUNT(*) AS c
+      |        FROM db JOIN documents USING (doc_id) WHERE lang = 'en'
+      |        GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx FROM lmb GROUP BY 1),
+      |vv AS (SELECT COUNT(*) AS v FROM
+      |         (SELECT w1 AS tok FROM lmb UNION SELECT w2 FROM lmb))
+      |SELECT dk.doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+      |  ROUND(SUM(k * ln((COALESCE(lmb.c, 0) + 1.0) /
+      |          (COALESCE(ctx.ctx, 0) + 1.0 * v)))
+      |      / CAST(SUM(k) AS BIGINT), 6) AS avg_logprob
+      |FROM dk LEFT JOIN lmb USING (w1, w2) LEFT JOIN ctx USING (w1)
+      |CROSS JOIN vv
+      |GROUP BY 1""".stripMargin
+
   /** q54's full oracle (also q79's — the stored-profile route must
     * hash-match the live computation): Gumbel-perturbed top-100 over
     * the importance CTEs. Both the importance sum and the selection
@@ -1101,6 +1156,11 @@ object SparkEntry {
     // live λ bit for bit, so the importance CTEs restate it verbatim
     "q80_dsir_score_frozen" -> (DsirImportanceCtes +
       "\nSELECT doc_id, ROUND(s, 6) AS importance FROM imp"),
+    "q81_lm_logprob" -> LmLogProbSql,
+    // q82 restates q81 exactly: the stored LM profile holds the
+    // en-slice's bigram counts verbatim (long sums are exact), so the
+    // stored route must hash-match the live SQL
+    "q82_lm_logprob_profile" -> LmLogProbSql,
     // q40's window semantics at stride 1 (1-based inclusive list slice =
     // the kernel's tokens[i-1, i+7)); dup = hash total >= 2 corpus-wide;
     // SUM(BIGINT) is HUGEINT -> CAST; `/` is float division both engines

@@ -119,7 +119,17 @@ object Curation {
     *     the raw distribution is the survivor population itself. None
     *     (the default) adds zero plan nodes; `dsirTopN` ≥ the
     *     survivor count keeps everything (never-binding ≡ default,
-    *     spec-pinned). */
+    *     spec-pinned).
+    *   - `lmProfilePath` (+ `minLmLogProb`, `lmAlpha`): LM PERPLEXITY
+    *     gate (CCNet's filter,
+    *     [[TextAnalysis.bigramLogProbsAgainstLm]] against the stored
+    *     bigram LM — the q82 artifact) after the model gate: cut docs
+    *     whose average bigram log-likelihood falls below the
+    *     threshold (avg_logprob is strictly negative — calibrate from
+    *     a q81 scoring run). Docs with under two tokens pass
+    *     un-scored. Stateless given the read-only artifact, so the
+    *     gate rides [[streamingGates]] into the curation stream. None
+    *     (the default) adds zero plan nodes. */
   final case class Config(
       minTokens: Int = 15,
       maxDupTrigramFrac: Double = 0.5,
@@ -155,7 +165,10 @@ object Curation {
       semanticProbes: Option[Int] = None,
       dsirProfilePath: Option[String] = None,
       dsirTopN: Int = 0,
-      dsirAlpha: Double = 1.0)
+      dsirAlpha: Double = 1.0,
+      lmProfilePath: Option[String] = None,
+      minLmLogProb: Option[Double] = None,
+      lmAlpha: Double = 1.0)
 
   private def requireConfig(cfg: Config): Unit = {
     require(cfg.maxRedactionsPerDoc.isEmpty || cfg.redactPii,
@@ -177,6 +190,10 @@ object Curation {
       "dsirProfilePath needs dsirTopN >= 1 — the stage keeps the top-n " +
         "most target-like survivors")
     require(cfg.dsirAlpha > 0, "dsirAlpha must be positive")
+    require(cfg.lmProfilePath.isEmpty == cfg.minLmLogProb.isEmpty,
+      "lmProfilePath and minLmLogProb enable the LM perplexity gate " +
+        "together — calibrate the threshold from a q81 scoring run")
+    require(cfg.lmAlpha > 0, "lmAlpha must be positive")
   }
 
   /** Validate the (config, embeddings) pairing once, at every public
@@ -265,6 +282,27 @@ object Curation {
             .filter(col("quality_score") >= cfg.minModelScore)
             .select(col("doc_id")),
           Seq("doc_id"), "left_semi")
+      case None => gated
+    }
+
+  /** The optional LM perplexity gate (CCNet's filter as a chain
+    * stage): cut docs whose average bigram log-likelihood under the
+    * STORED LM ([[TextAnalysis.bigramLogProbsAgainstLm]] — the q82
+    * artifact) falls below `minLmLogProb`. Anti-join against the
+    * below-threshold set, so docs with nothing to score (under two
+    * tokens — the min-token gate owns those) pass un-scored, the
+    * semantic-gate convention. Stateless given the read-only artifact
+    * (pure per-doc function of the batch), so it rides
+    * [[streamingGates]] into `EventStream.curationStream` unchanged.
+    * Identity (zero plan nodes) when no profile is configured. */
+  private def lmGate(gated: DataFrame, cfg: Config): DataFrame =
+    cfg.lmProfilePath match {
+      case Some(p) =>
+        gated.join(
+          TextAnalysis.bigramLogProbsAgainstLm(gated, p, alpha = cfg.lmAlpha)
+            .filter(col("avg_logprob") < cfg.minLmLogProb.get)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
       case None => gated
     }
 
@@ -385,8 +423,9 @@ object Curation {
       .filter(size(split(col("text"), " ")) >= cfg.minTokens &&
         TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac &&
         col("pred_lang").isin(cfg.keepLangs: _*))
-    // optional model-score gate — identity with default flags
-    modelGate(heuristicGated, cfg)
+    // optional model-score and LM perplexity gates — identity with
+    // default flags
+    lmGate(modelGate(heuristicGated, cfg), cfg)
   }
 
   private def curateHygiened(hygiened: DataFrame, benchmark: DataFrame,
@@ -538,13 +577,22 @@ object Curation {
     hygieneCached.foreach(_.unpersist())
     // 03a: the optional model gate reports its own funnel row (reads
     // the cached gate output twice: score aggregate + semi-join)
-    val (gated, modelRows) = cfg.qualityModelWeights match {
+    val (modelGated, modelRows) = cfg.qualityModelWeights match {
       case Some(_) =>
         val mg = modelGate(heuristicGated, cfg).persist()
         val rows = Seq(("03a_model_gate", mg.count()))
         heuristicGated.unpersist()
         (mg, rows)
       case None => (heuristicGated, Seq.empty[(String, Long)])
+    }
+    // 03b: the optional LM perplexity gate, same cadence
+    val (gated, lmRows) = cfg.lmProfilePath match {
+      case Some(_) =>
+        val lg = lmGate(modelGated, cfg).persist()
+        val rows = Seq(("03b_lm_gate", lg.count()))
+        modelGated.unpersist()
+        (lg, rows)
+      case None => (modelGated, Seq.empty[(String, Long)])
     }
     val exactDeduped = gated.join(exactDedupSurvivors(gated, cfg),
       Seq("doc_id"), "left_semi").persist()
@@ -616,7 +664,7 @@ object Curation {
     (Seq(("00_input", nInput)) ++ hygieneRows ++ Seq(
       ("01_min_tokens", g.getLong(1)),
       ("02_repetition", g.getLong(2)),
-      ("03_language", g.getLong(3))) ++ modelRows ++ Seq(
+      ("03_language", g.getLong(3))) ++ modelRows ++ lmRows ++ Seq(
       ("04_exact_dedup", nExact),
       ("05_near_dedup", nNear)) ++ bloomRows ++ semRows ++ Seq(
       ("06_decontaminated", nClean)) ++ dsirRows ++ sampleRows ++

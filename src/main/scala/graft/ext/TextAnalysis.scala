@@ -400,6 +400,159 @@ object TextAnalysis {
     idx.toString
   }
 
+  // --------------------------------------------------------------------
+  // Bigram language-model scoring — the CCNet-style perplexity filter
+  // (Wenzek et al. 2020: score web documents by an LM trained on a
+  // clean corpus; low likelihood = boilerplate/gibberish). Laplace-
+  // smoothed bigram model, fully content-addressed, so the DuckDB
+  // oracle restates it and the LM counts freeze as a CountProfile
+  // artifact exactly like the drift and selection profiles.
+  // --------------------------------------------------------------------
+
+  /** Sidecar identity of a stored bigram LM (the tokenizer recipe is
+    * pinned — counts built under one tokenization must never score
+    * under another; `alpha` is an apply-time smoothing knob,
+    * deliberately not stored). */
+  private val LmParams: Map[String, String] =
+    Map("kind" -> "bigram-lm", "tokenizer" -> "whitespace-split-v1")
+
+  /** Per-occurrence bigram stream of a corpus as (idCol, w1, w2) —
+    * built on the codegen 2-shingle kernel (q54's feature recipe);
+    * whitespace tokens carry no spaces, so splitting the shingle back
+    * is unambiguous. */
+  private def docBigrams(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.functions.Shingles.word_shingles_all(col(textCol), 2))
+          .as("bg"))
+      .select(col(idCol),
+        split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+
+  /** An LM corpus's bigram count relation (w1, w2, c) — what the
+    * stored profile holds and what the live route aggregates. */
+  private def lmCountsOf(lm: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docBigrams(lm, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+
+  /** Score documents under a bigram LM given its count relation: per
+    * doc, avg log P(w_i | w_{i-1}) with Laplace smoothing
+    * P = (c(w1,w2)+α)/(ctx(w1)+α·V), ctx(w1) = Σ_w2 c(w1,w2) (the
+    * bigram-context count — exactly the MLE denominator), V = distinct
+    * LM vocabulary. Unseen bigrams/contexts coalesce to 0 and stay
+    * finite under the smoothing. Documents with fewer than two tokens
+    * have nothing to score and are absent from the output (the
+    * min-token gate owns them).
+    *
+    * Scale notes (100 TB): `counts` is consumed three times (probe
+    * join, context aggregate, vocabulary distinct) — the live wrapper
+    * localCheckpoints the aggregated relation once so the LM corpus is
+    * tokenized exactly once (the stored route reads parquet instead);
+    * V rides as a one-row broadcast (the q44 totals pattern); the
+    * probe is a (w1, w2)-keyed join of per-doc pair counts (map-side
+    * combined — a doc's bigrams are partition-local) against the
+    * vocabulary²-observed count relation, AQE-planned; the per-doc
+    * re-aggregate carries count rows, never the token stream. */
+  private def bigramLogProbsFrom(docs: DataFrame, counts: DataFrame,
+                                 idCol: String, textCol: String,
+                                 alpha: Double): DataFrame = {
+    val ctx = counts.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
+    val vocab = counts.select(col("w1").as("tok"))
+      .union(counts.select(col("w2")))
+      .distinct().agg(count(lit(1)).as("v"))
+    val db = docBigrams(docs, idCol, textCol)
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    db.join(counts, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("k"),
+        (col("k") * log((coalesce(col("c"), lit(0L)) + alpha) /
+          (coalesce(col("ctx"), lit(0L)) + lit(alpha) * col("v")))).as("_lp"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).cast("long").as("n_bigrams"),
+        round(sum(col("_lp")) / sum(col("k")), 6).as("avg_logprob"))
+  }
+
+  /** Score documents against an LM trained live on `lmCorpus` — per
+    * doc (n_bigrams, avg_logprob), 6-dp-rounded (the cosine rule; a
+    * perplexity is exp(−avg_logprob), left to the caller — rounding
+    * the log keeps the cross-engine compare in q54's safe magnitude).
+    * The q81 DuckDB oracle restates the whole computation. */
+  def bigramLogProbs(docs: DataFrame, lmCorpus: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, "need alpha > 0")
+    bigramLogProbsFrom(docs,
+      lmCountsOf(lmCorpus, idCol, textCol).localCheckpoint(),
+      idCol, textCol, alpha)
+  }
+
+  /** Freeze an LM corpus's bigram counts at `path` (counts relation +
+    * params sidecar written last) — one tokenize pass over the LM
+    * corpus; recurring scoring runs then read the stored relation
+    * instead of re-tokenizing (the selection-profile motivation, LM
+    * edition). For web-scale LM corpora prune rare bigrams at BUILD
+    * time by filtering the corpus, not the counts — count pruning
+    * does not merge with later appends. */
+  def writeLmProfile(lmCorpus: DataFrame, path: String,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): Unit =
+    CountProfile.write(lmCountsOf(lmCorpus, idCol, textCol), path, LmParams)
+
+  /** Merge a new batch's bigram counts into a stored LM (sidecar
+    * validated BEFORE any write; `batchId` tags stream appends for
+    * replay idempotence — the [[CountProfile]] contract). */
+  def appendLmProfile(docs: DataFrame, path: String,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      batchId: Option[Long] = None): Unit = {
+    Dedup.requireParams(s"$path/params.properties", LmParams, "bigram LM")
+    CountProfile.append(lmCountsOf(docs, idCol, textCol), path, batchId)
+  }
+
+  /** Collapse an LM profile's appended count rows (tags kept — see
+    * [[CountProfile.compact]]). */
+  def compactLmProfile(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    Dedup.requireParams(s"$path/params.properties", LmParams, "bigram LM")
+    CountProfile.compact(spark, path)
+  }
+
+  /** Content-fingerprint-cached [[writeLmProfile]] (the
+    * `ensureSelectionProfile` pattern; `variant` distinguishes slices
+    * of one source). Returns the profile path. */
+  def ensureLmProfile(docs: DataFrame, cacheRoot: String,
+                      sourcePath: String, variant: String = "",
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): String = {
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"lm$variant" + s"_${Similarity.pathFingerprint(sourcePath)}")
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writeLmProfile(docs, tmp, idCol, textCol))
+    idx.toString
+  }
+
+  /** [[bigramLogProbs]] with the LM read from a stored profile —
+    * bit-identical to the live op when the profile holds the LM
+    * corpus's counts (spec-pinned; stored long counts sum exactly, so
+    * c/ctx/V — and every smoothed log — are the same doubles; q82's
+    * same-oracle-as-q81 claim). `excludeBatchId` is the streaming-
+    * replay hook. */
+  def bigramLogProbsAgainstLm(docs: DataFrame, profilePath: String,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              alpha: Double = 1.0,
+                              excludeBatchId: Option[Long] = None): DataFrame = {
+    require(alpha > 0, "need alpha > 0")
+    Dedup.requireParams(s"$profilePath/params.properties", LmParams,
+      "bigram LM")
+    bigramLogProbsFrom(docs,
+      CountProfile.effective(docs.sparkSession, profilePath, "bigram LM",
+        "compactLmProfile", excludeBatchId),
+      idCol, textCol, alpha)
+  }
+
   /** Default weight vector for [[qualityModelScores]]: 64 buckets,
     * every weight an exact multiple of 1/16 in [-5/8, 5/8] — binary
     * fractions make every partial sum exactly representable, so the

@@ -397,8 +397,10 @@ object EventStream {
     * scrub + saturation gate, C4 line filter — pure per-doc functions,
     * `Curation.statelessHygiene`, byte-identical to the batch chain's
     * scrub on the same rows), (2) the stateless gates (min tokens,
-    * repetition, language, optional model score — the same column
-    * expressions, fused into the batch scan), (3) whole-doc near-dup
+    * repetition, language, optional model score, optional LM
+    * perplexity against the stored bigram LM — the same expressions;
+    * artifact-backed gates read their read-only artifacts per batch),
+    * (3) whole-doc near-dup
     * removal against the accumulated MinHash index (cross-corpus AND
     * within-batch, index grown by exactly the survivors), (4) Bloom
     * decontamination against the frozen benchmark sketch

@@ -597,6 +597,52 @@ class CurationSpec extends SparkSpec {
         cfg.copy(dsirProfilePath = Some(s"$dir/tgt"))))
   }
 
+  test("LM perplexity gate slots into the chain against the stored bigram LM") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_lm").toString
+    TextAnalysis.writeLmProfile(docs.filter($"lang" === "en"), s"$dir/lm")
+    // never-binding threshold reproduces the default chain exactly
+    val base = Curation.curate(corpus, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    val never = Curation.curate(corpus, benchmark,
+        cfg.copy(lmProfilePath = Some(s"$dir/lm"),
+          minLmLogProb = Some(-1e9)))
+      .collect().map(_.toSeq).toSet
+    assert(never == base,
+      "a never-binding LM gate must reproduce the default chain")
+    // binding threshold: docs the stored LM scores below the median
+    // must not survive the chain
+    val scores = TextAnalysis.bigramLogProbsAgainstLm(corpus, s"$dir/lm")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob"))
+      .toMap
+    val thr = scores.values.toSeq.sorted.apply(scores.size / 2)
+    val gatedCfg = cfg.copy(lmProfilePath = Some(s"$dir/lm"),
+      minLmLogProb = Some(thr))
+    val kept = Curation.curate(corpus, benchmark, gatedCfg)
+      .collect().map(_.getLong(0)).toSet
+    val below = scores.filter(_._2 < thr).keySet
+    assert(below.nonEmpty, "fixture must have below-threshold docs")
+    assert(kept.intersect(below).isEmpty,
+      "below-threshold docs must not survive the LM gate")
+    // funnel: the 03b row appears in chain order, counts stay
+    // monotone, the final row still equals curate()'s output
+    val funnel = Curation.curationFunnel(corpus, benchmark, gatedCfg)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val stages = funnel.map(_._1).toSeq
+    assert(stages.contains("03b_lm_gate"), stages.mkString(", "))
+    assert(stages.sorted == stages,
+      s"stage labels must sort into chain order: $stages")
+    funnel.sliding(2).foreach { case Array((sa, na), (sb, nb)) =>
+      assert(nb <= na, s"funnel not monotone: $sa=$na -> $sb=$nb") }
+    assert(funnel.last._2 ==
+      Curation.curate(corpus, benchmark, gatedCfg).count())
+    // config guards: each knob requires the other
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(lmProfilePath = Some(s"$dir/lm"))))
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(minLmLogProb = Some(-1.0))))
+  }
+
   test("model-score gate slots into the chain, identity when never binding") {
     val w = TextAnalysis.DefaultQualityWeights
     // a never-binding threshold leaves the chain exactly at its default

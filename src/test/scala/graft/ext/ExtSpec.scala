@@ -598,6 +598,49 @@ class ExtSpec extends SparkSpec {
       == row(TextAnalysis.corpusDivergence(a, b)))
   }
 
+  test("stored bigram LM reproduces the live scores across append and compaction") {
+    val lm1 = docs.filter($"lang" === "en" && $"doc_id" % 2 === 0)
+    val lm2 = docs.filter($"lang" === "en" && $"doc_id" % 2 === 1)
+    val lmAll = docs.filter($"lang" === "en")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // the stored route is the live op, bit for bit
+    TextAnalysis.writeLmProfile(lm1, s"$dir/lm")
+    assert(rows(TextAnalysis.bigramLogProbsAgainstLm(docs, s"$dir/lm")) ==
+      rows(TextAnalysis.bigramLogProbs(docs, lm1)))
+    // appending the other half ≡ retraining on the union
+    TextAnalysis.appendLmProfile(lm2, s"$dir/lm")
+    val expect = rows(TextAnalysis.bigramLogProbs(docs, lmAll))
+    assert(rows(TextAnalysis.bigramLogProbsAgainstLm(docs, s"$dir/lm"))
+      == expect)
+    // compaction collapses appended bigram rows and changes nothing
+    val before = spark.read.parquet(s"$dir/lm/counts").count()
+    TextAnalysis.compactLmProfile(spark, s"$dir/lm")
+    assert(spark.read.parquet(s"$dir/lm/counts").count() < before,
+      "duplicated bigram rows must compact away")
+    assert(rows(TextAnalysis.bigramLogProbsAgainstLm(docs, s"$dir/lm"))
+      == expect)
+    // a rejected append (no profile there) must not create one
+    intercept[Exception](TextAnalysis.appendLmProfile(lm2, s"$dir/nope"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/nope/counts")),
+      "a rejected append must not mutate anything")
+    // a non-LM artifact fails the kind check loudly
+    Selection.writeSelectionProfile(lm1, s"$dir/sel", buckets = 64)
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.bigramLogProbsAgainstLm(docs, s"$dir/sel"))
+    assert(e.getMessage.contains("kind"), e.getMessage)
+    // in-model text maxes out the likelihood: a doc drawn from the LM
+    // corpus scores above the corpus-wide mean
+    val scores = TextAnalysis.bigramLogProbsAgainstLm(docs, s"$dir/lm")
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang" === "en").agg(avg($"avg_logprob")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(scores(true) > scores(false),
+      s"LM-corpus docs must outscore the rest: $scores")
+  }
+
   test("bloom contamination report is a no-false-negative superset of exact") {
     // the q36/q65 pair on the real fixture: every doc the exact report
     // flags must appear in the bloom report with n_flagged >= n_overlap
