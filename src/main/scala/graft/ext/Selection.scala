@@ -366,13 +366,18 @@ object Selection {
     * against profiles of (raw, target) reproduces [[importanceWeights]]
     * exactly (spec-pinned): every batch bucket then exists in the raw
     * profile, where the full-domain λ matches the live λ bit for
-    * bit. */
+    * bit. `excludeRawBatchId` drops the RAW profile's rows tagged with
+    * that batch — the streaming-absorb replay hook
+    * (`EventStream.ingestSelectionProfileStream` scores each batch
+    * against the raw distribution as it stood before absorbing it;
+    * the target profile is read-only in that loop). */
   def importanceWeightsAgainstProfiles(docs: DataFrame,
                                        rawProfilePath: String,
                                        targetProfilePath: String,
                                        idCol: String = "doc_id",
                                        textCol: String = "text",
-                                       alpha: Double = 1.0): DataFrame = {
+                                       alpha: Double = 1.0,
+                                       excludeRawBatchId: Option[Long] = None): DataFrame = {
     require(alpha > 0, "need alpha > 0")
     val bR = storedBuckets(rawProfilePath)
     val bT = storedBuckets(targetProfilePath)
@@ -381,7 +386,7 @@ object Selection {
         "different widths are incomparable; rebuild one at the other's width")
     val spark = docs.sparkSession
     val lam = fullDomainLogRatios(spark,
-      storedCounts(spark, rawProfilePath, None),
+      storedCounts(spark, rawProfilePath, excludeRawBatchId),
       storedCounts(spark, targetProfilePath, None), bR, alpha)
     rawImportanceFrom(docBucketCounts(docs, idCol, textCol, bR), lam, idCol)
       .select(col(idCol), round(col("_imp_raw"), 6).as("importance"))

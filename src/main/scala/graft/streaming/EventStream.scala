@@ -612,6 +612,59 @@ object EventStream {
         }
       }
 
+  /** Streaming DSIR gate + ABSORB — the maintaining twin of
+    * [[importanceGateStream]] (the `ingestProfileStream` mechanism,
+    * selection edition): each micro-batch is scored against the raw
+    * profile AS IT STOOD (own-tag excluded) and the frozen target,
+    * split by `minImportance` into accepted/rejected landings, and
+    * then the WHOLE batch's bucket counts are merged into the raw
+    * profile ([[graft.ext.Selection.appendSelectionProfile]] with the
+    * micro-batch id) — the raw distribution models the arriving crawl,
+    * not the kept subset, so rejected docs absorb too. The running q̂
+    * converges to the stream's distribution without any batch ever
+    * re-scanning history; the target profile is read-only (grow it
+    * with the batch API at suite-update cadence, stream stopped).
+    *
+    * Crash-window contract: scoring excludes the current batch's tag
+    * (a replay scores against exactly the distribution its first
+    * attempt saw, whether or not that attempt's absorb committed),
+    * re-appended tagged rows are byte-identical (readers
+    * dedup-then-sum — never double-absorbed), and the landings are
+    * batch-keyed overwrite — effectively exactly-once end to end. The
+    * raw profile and checkpoint must be owned by this one stream. */
+  def ingestSelectionProfileStream(docs: DataFrame, rawProfilePath: String,
+                                   targetProfilePath: String,
+                                   minImportance: Double,
+                                   acceptedPath: String,
+                                   rejectedPath: String,
+                                   checkpoint: String,
+                                   alpha: Double = 1.0): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed thrice below
+          val scored = graft.ext.Selection.importanceWeightsAgainstProfiles(
+              b, rawProfilePath, targetProfilePath, alpha = alpha,
+              excludeRawBatchId = Some(batchId))
+            .localCheckpoint() // consumed twice: accept join + reject join
+          b.join(scored.filter(col("importance") >= minImportance),
+              Seq("doc_id"), "inner")
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$acceptedPath/batch_id=$batchId")
+          b.join(scored.filter(col("importance") >= minImportance)
+              .select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .join(scored.select(col("doc_id"), col("importance")),
+              Seq("doc_id"), "left")
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$rejectedPath/batch_id=$batchId")
+          graft.ext.Selection.appendSelectionProfile(b, rawProfilePath,
+            batchId = Some(batchId))
+        }
+      }
+
   def sinkToPartitionedLake(agg: DataFrame, lakePath: String,
                             checkpoint: String): DataStreamWriter[Row] =
     agg.writeStream

@@ -471,6 +471,72 @@ class EventStreamSpec extends SparkSpec {
       s"exactly-once landing violated (dup or loss): $replayed")
   }
 
+  test("selection absorb stream scores before absorbing and replays exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dsir_abs").toString
+    val seed = Seq(
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "delta epsilon delta epsilon zeta")).toDF("doc_id", "text")
+    val tgt = Seq((10L, "alpha beta gamma alpha beta gamma"))
+      .toDF("doc_id", "text")
+    graft.ext.Selection.writeSelectionProfile(seed, s"$dir/raw", buckets = 64)
+    graft.ext.Selection.writeSelectionProfile(tgt, s"$dir/tgt", buckets = 64)
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.ingestSelectionProfileStream(mem.toDF(), s"$dir/raw",
+        s"$dir/tgt", minImportance = -2.0, s"$dir/accepted",
+        s"$dir/rejected", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    val b0 = Seq(
+      IngestDoc(20L, "alpha beta gamma alpha"),
+      IngestDoc(21L, "delta epsilon zeta delta"))
+    mem.addData(b0: _*)
+    drain()
+    // the split equals the batch scorer's verdict against the PRE-batch
+    // profile (the absorb happens after scoring)
+    val preScores = graft.ext.Selection.importanceWeightsAgainstProfiles(
+        b0.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        s"$dir/raw", s"$dir/tgt", excludeRawBatchId = Some(0L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val accepted0 = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted0 == preScores.filter(_._2 >= -2.0).keySet, s"$preScores")
+    // crash window: replay batch 0 against a profile that already holds
+    // its own tagged counts — scores (own tag excluded) and landings
+    // must come out identical, and the profile must not double-absorb
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    assert(spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toSet == accepted0,
+      "replayed landing must be byte-identical")
+    // the absorbed profile ≡ a rebuild over seed ∪ batch: probing a
+    // fresh frame through both routes gives identical scores
+    val probe = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    graft.ext.Selection.writeSelectionProfile(
+      seed.unionByName(b0.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")),
+      s"$dir/raw_ref", buckets = 64)
+    def score(raw: String) =
+      graft.ext.Selection.importanceWeightsAgainstProfiles(
+          probe, raw, s"$dir/tgt")
+        .collect().map(_.toSeq).toSet
+    assert(score(s"$dir/raw") == score(s"$dir/raw_ref"),
+      "replayed absorb must not double-count the batch")
+    // batch 1 scores against the grown distribution and absorbs too
+    mem.addData(IngestDoc(30L, "alpha beta gamma beta"))
+    drain()
+    graft.ext.Selection.writeSelectionProfile(
+      seed.unionByName(b0.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+        .unionByName(Seq((30L, "alpha beta gamma beta")).toDF("doc_id", "text")),
+      s"$dir/raw_ref2", buckets = 64)
+    assert(score(s"$dir/raw") == score(s"$dir/raw_ref2"),
+      "the running profile must converge to the whole stream's counts")
+  }
+
   test("streaming passage strip cuts cross-batch copied blocks via the on-disk index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_strip").toString
