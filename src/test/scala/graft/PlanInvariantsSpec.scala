@@ -86,6 +86,30 @@ class PlanInvariantsSpec extends SparkSpec {
       s"corpus-shuffling CartesianProduct in q20 plan (broadcast lost):\n$p")
   }
 
+  test("profile-scoring queries join on keys: no cartesian; crosses are one-row attaches") {
+    // q79-q82 probe stored count profiles: every data-sized join must be
+    // keyed (bucket / (w1,w2) / w1); the only BroadcastNestedLoopJoins
+    // allowed are the pinned one-row scalar attaches (totals, vocab
+    // size), whose build side is a single-row aggregate — a
+    // CartesianProduct or a multi-row nested loop would mean the
+    // λ/count probe degenerated
+    Seq("q79_dsir_profile", "q80_dsir_score_frozen", "q81_lm_logprob",
+        "q82_lm_logprob_profile").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf("sf0.001")))
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"CartesianProduct in $q plan:\n$p")
+      p.collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { b =>
+        assert(b.buildSide.toString.contains("Right"), s"$q BNLJ build side")
+        val agg = b.right.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+            if a.groupingExpressions.isEmpty => a
+        }
+        assert(agg.nonEmpty,
+          s"$q nested-loop build side is not a one-row (global) aggregate:\n$b")
+      }
+    }
+  }
+
   test("text scoring queries are shuffle-free whole-stage-codegen projections") {
     // q08/q09/q11/q35 are pure per-row scores: their plans must be a scan
     // + one codegen'd projection — no exchange, and the projection inside
