@@ -258,6 +258,20 @@ object SparkEntry {
         s"$dir/documents.parquet", variant = "_en")
       ext.TextAnalysis.bigramLogProbsAgainstLm(docs, prof)
     }),
+    // threshold calibration for the score-gated chain stages: exact
+    // per-language quantiles of the q81 LM scores (type-1, k = ⌈q·n⌉ —
+    // integer rank selection, no interpolation, bit-portable). This is
+    // how a minLmLogProb value is actually chosen: "keep the top 90%
+    // of each language" = its 0.1 quantile
+    "q83_lm_thresholds" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val scored = ext.TextAnalysis.bigramLogProbs(docs,
+          docs.filter(col("lang") === "en"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      ext.Sampling.scoreQuantiles(scored, "avg_logprob", "lang",
+        Seq(0.1, 0.25, 0.5, 0.9))
+    }),
     // north-star similarity: product-quantized ADC top-k — the
     // memory-scale path (codes are 8 small ints/vec vs 256 B raw; the
     // candidate scan never touches raw vectors, exact-cosine re-rank
@@ -1161,6 +1175,25 @@ object SparkEntry {
     // en-slice's bigram counts verbatim (long sums are exact), so the
     // stored route must hash-match the live SQL
     "q82_lm_logprob_profile" -> LmLogProbSql,
+    // q83: exact type-1 quantiles over the q81 scores — k-th smallest
+    // with k = CEIL(q*n) (double math identical both engines; under
+    // ties the k-th VALUE is well-defined though row_number is not)
+    "q83_lm_thresholds" ->
+      (s"""WITH sc AS (SELECT doc_id, avg_logprob FROM (
+         |$LmLogProbSql
+         |) s),
+         |j AS (SELECT d.lang, sc.avg_logprob
+         |      FROM sc JOIN documents d USING (doc_id)),
+         |r AS (SELECT lang, avg_logprob,
+         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_logprob)
+         |          AS rn
+         |      FROM j),
+         |n AS (SELECT lang, COUNT(*) AS n FROM j GROUP BY 1),
+         |q AS (SELECT unnest([0.1, 0.25, 0.5, 0.9]) AS quantile),
+         |k AS (SELECT lang, quantile, CEIL(quantile * n) AS k
+         |      FROM n CROSS JOIN q)
+         |SELECT r.lang, k.quantile, r.avg_logprob
+         |FROM r JOIN k ON r.lang = k.lang AND r.rn = k.k""".stripMargin),
     // q40's window semantics at stride 1 (1-based inclusive list slice =
     // the kernel's tokens[i-1, i+7)); dup = hash total >= 2 corpus-wide;
     // SUM(BIGINT) is HUGEINT -> CAST; `/` is float division both engines

@@ -483,6 +483,46 @@ object Sampling {
 
   /** Train/val/test split assignment from cumulative percentage bounds
     * (e.g. 80/10/10 → train < 80 ≤ val < 90 ≤ test). */
+  /** Exact per-group score quantiles — the threshold-calibration op
+    * behind every score-gated stage (`Config.minLmLogProb`,
+    * `minImportance`, `minModelScore`): for each group and each
+    * requested q ∈ (0, 1], the k-th smallest score with k = ⌈q·n⌉
+    * (1-based). Type-1 quantiles deliberately — integer rank
+    * selection, NO interpolation, so the reported value is an actual
+    * score from the data and the whole computation is bit-portable
+    * across engines (q83's oracle restates it; interpolated
+    * definitions differ engine to engine). The k-th smallest VALUE is
+    * well-defined under ties even though row_number breaks them
+    * arbitrarily.
+    *
+    * Output: (groupCol, quantile, scoreCol) — one row per (group, q).
+    *
+    * Scale notes (100 TB): one sort shuffle of the narrow
+    * (group, score) projection (the window), plus a groups×|qs| rank
+    * table joined back as a broadcast — nothing else is data-sized.
+    * Calibration runs on score relations (already one row per doc);
+    * for quick-and-dirty thresholds at extreme scale
+    * `percentile_approx` is cheaper but engine-specific — this op is
+    * the auditable exact form. */
+  def scoreQuantiles(scored: DataFrame, scoreCol: String, groupCol: String,
+                     qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "need quantiles in (0, 1]")
+    val spark = scored.sparkSession
+    val qdf = spark.createDataset(qs)(
+      org.apache.spark.sql.Encoders.scalaDouble).toDF("quantile")
+    val ranked = scored.select(col(groupCol), col(scoreCol))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))))
+    val ks = scored.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .crossJoin(broadcast(qdf))
+      .select(col(groupCol), col("quantile"),
+        ceil(col("quantile") * col("_n")).as("_k"))
+    ranked.join(broadcast(ks),
+        ranked(groupCol) === ks(groupCol) && col("_rn") === col("_k"))
+      .select(ranked(groupCol), col("quantile"), col(scoreCol))
+  }
+
   def trainValTest(df: DataFrame, idCol: String,
                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     val b = hashBucket(col(idCol))

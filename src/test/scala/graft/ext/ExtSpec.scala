@@ -598,6 +598,28 @@ class ExtSpec extends SparkSpec {
       == row(TextAnalysis.corpusDivergence(a, b)))
   }
 
+  test("scoreQuantiles selects exact type-1 ranks per group, stable under ties") {
+    val scored = Seq(
+      ("a", 1L, 3.0), ("a", 2L, 1.0), ("a", 3L, 2.0), ("a", 4L, 2.0),
+      ("b", 5L, 10.0)).toDF("grp", "doc_id", "score")
+    val got = Sampling.scoreQuantiles(scored, "score", "grp",
+        Seq(0.25, 0.5, 0.75, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    // group a (n=4, sorted 1,2,2,3): k = ceil(q*4) -> 1,2,3,4
+    assert(got(("a", 0.25)) == 1.0 && got(("a", 0.5)) == 2.0 &&
+      got(("a", 0.75)) == 2.0 && got(("a", 1.0)) == 3.0, got.toString)
+    // singleton group: every quantile is the one value
+    Seq(0.25, 0.5, 0.75, 1.0).foreach(q => assert(got(("b", q)) == 10.0))
+    // exactly one row per (group, quantile)
+    assert(got.size == 8)
+    // guards
+    intercept[IllegalArgumentException](
+      Sampling.scoreQuantiles(scored, "score", "grp", Seq(0.0)))
+    intercept[IllegalArgumentException](
+      Sampling.scoreQuantiles(scored, "score", "grp", Seq.empty))
+  }
+
   test("stored bigram LM reproduces the live scores across append and compaction") {
     val lm1 = docs.filter($"lang" === "en" && $"doc_id" % 2 === 0)
     val lm2 = docs.filter($"lang" === "en" && $"doc_id" % 2 === 1)
