@@ -988,20 +988,30 @@ object SparkEntry {
         |      FROM c)
         |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 10""".stripMargin,
     // n_bytes adds the synthesized container-header prefix (PNG 29 /
-    // JPEG 15 bytes); width/height are what the REAL header parse reads
-    // back — the same n-derived values the synthesis wrote, so the
-    // oracle restates the round trip
+    // JPEG 15 / WAV 44 bytes); every other column is what the REAL
+    // header parses read back — the same n-derived values the synthesis
+    // wrote, so the oracle restates the round trip. Audio rows carry
+    // NULL width/height; image rows NULL sample_rate/n_channels; wav's
+    // n_frames is the true PCM frame count n div blockAlign where
+    // blockAlign = 2 · channels (16-bit samples).
     "q22_multimodal_meta" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |    (['jpg','png','wav'])[CAST(doc_id % 3 AS INT) + 1] AS format,
         |    octet_length(encode(text)) AS n
         |  FROM documents)
         |SELECT media_id, format,
-        |  n + CASE format WHEN 'png' THEN 29 WHEN 'jpg' THEN 15 ELSE 0 END
+        |  n + CASE format WHEN 'png' THEN 29 WHEN 'jpg' THEN 15 ELSE 44 END
         |    AS n_bytes,
-        |  CAST(64 + (n % 192) AS INT) AS width,
-        |  CAST(64 + ((n // 7) % 192) AS INT) AS height,
-        |  CAST(CASE WHEN format = 'wav' THEN 1 + (n % 300) ELSE 1 END AS INT) AS n_frames
+        |  CAST(CASE WHEN format = 'wav' THEN NULL
+        |       ELSE 64 + (n % 192) END AS INT) AS width,
+        |  CAST(CASE WHEN format = 'wav' THEN NULL
+        |       ELSE 64 + ((n // 7) % 192) END AS INT) AS height,
+        |  CAST(CASE WHEN format = 'wav' THEN n // (2 * (1 + n % 2))
+        |       ELSE 1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN format = 'wav' THEN 8000 + (n % 192) * 100
+        |       END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN format = 'wav' THEN 1 + n % 2
+        |       END AS INT) AS n_channels
         |FROM m""".stripMargin,
     "q23_top_countries" ->
       s"""SELECT n.n_name AS country,

@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads travel as
   * opaque `binary` columns with typed metadata, processed per-partition
   * in batches. The Spark-side machinery — schema, encoders, partition
-  * batching, deterministic outputs — is real, and so is the IMAGE
-  * codec: PNG and JPEG dimensions are fixed-offset reads of public
-  * container formats, parsed here in pure JVM code with no external
-  * library. Only the AUDIO branch (wav) remains a clearly-marked STUB
-  * (no audio libraries in this environment), producing deterministic
-  * fake metadata/features from the bytes.
+  * batching, deterministic outputs — is real, and so are ALL the
+  * container codecs: PNG and JPEG dimensions are fixed-offset reads of
+  * public image formats, and WAV audio properties (channels, sample
+  * rate, frame count) come from a real RIFF chunk walk — all parsed in
+  * pure JVM code with no external library. Only CONTENT-level work
+  * (pixel decode, audio resample, embedding inference) remains stubbed
+  * (deterministic byte-derived stand-ins), since the media libraries
+  * are absent in this environment.
   *
   * Scale notes (100 TB of media): payloads stay on executors end-to-end
   * (no collect); per-partition `mapPartitions` amortizes codec init
@@ -26,9 +28,21 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class MediaRaw(media_id: Long, format: String, payload: Array[Byte])
+
+  /** Decoded container metadata, format-generic: images carry
+    * width/height (audio fields null); audio carries sample_rate /
+    * n_channels and a REAL n_frames (PCM sample frames = data bytes /
+    * block align; images report 1 frame). */
   final case class MediaMeta(media_id: Long, format: String, n_bytes: Long,
-                             width: Int, height: Int, n_frames: Int)
+                             width: Option[Int], height: Option[Int],
+                             n_frames: Int, sample_rate: Option[Int],
+                             n_channels: Option[Int])
   final case class MediaFeature(media_id: Long, feature: Array[Float])
+
+  /** Internal decoder result shared by every codec branch. */
+  private final case class Decoded(width: Option[Int], height: Option[Int],
+                                   frames: Int, sampleRate: Option[Int],
+                                   channels: Option[Int])
 
   /** PNG header prefix length under [[mediaFromDocuments]]'s synthesis:
     * signature(8) + IHDR length(4) + "IHDR"(4) + w(4) + h(4) + bit
@@ -38,26 +52,53 @@ object Multimodal {
     * SOI(2) + SOF0 marker(2) + seg length(2) + precision(1) + h(2) +
     * w(2) + 1 component(1 + 3). */
   val JpegHeaderBytes = 15
+  /** Canonical WAV header length under [[mediaFromDocuments]]'s
+    * synthesis: "RIFF"(4) + riff size(4) + "WAVE"(4) + "fmt "(4) +
+    * fmt size(4) + PCM fmt payload(16) + "data"(4) + data size(4). */
+  val WavHeaderBytes = 44
 
   /** Big-endian binary rendering of an int column, `width` hex digits
-    * (8 → u32, 4 → u16) — how container formats store dimensions. */
+    * (8 → u32, 4 → u16) — how the PNG/JPEG formats store dimensions. */
   private def beBytes(c: Column, width: Int): Column =
     unhex(lpad(hex(c), width, "0"))
 
+  /** Little-endian binary rendering of an int column, `width` hex
+    * digits — how RIFF (WAV) stores every numeric field: the hex byte
+    * pairs of the big-endian rendering, concatenated in reverse. */
+  private def leBytes(c: Column, width: Int): Column = {
+    val h = lpad(hex(c), width, "0")
+    concat((1 to width - 1 by 2).reverse.map(p => unhex(substring(h, p, 2))): _*)
+  }
+
   /** Fixture adapter: wraps `documents.text` as media payloads with
     * VALID container headers (format round-robins jpg/png/wav), so the
-    * real image decoders below are exercised deterministically. The
-    * synthesized dimensions derive from the text's byte length n
-    * (width = 64 + n % 192, height = 64 + (n div 7) % 192 — the
-    * original stub arithmetic, now carried in real headers); wav
-    * payloads stay raw text bytes for the stub branch. Header
-    * synthesis is plain column expressions (hex/lpad/unhex/concat), so
-    * the q22 oracle restates the whole computation in SQL. */
+    * real decoders below are exercised deterministically. The
+    * synthesized properties derive from the text's byte length n
+    * (images: width = 64 + n % 192, height = 64 + (n div 7) % 192;
+    * audio: channels = 1 + n % 2, sample rate = 8000 + (n % 192)·100,
+    * 16-bit PCM with the text bytes as sample data). Header synthesis
+    * is plain column expressions (hex/lpad/unhex/concat), so the q22
+    * oracle restates the whole computation in SQL. */
   def mediaFromDocuments(docs: DataFrame): DataFrame = {
     val txt = encode(col("text"), "UTF-8")
     val n = octet_length(txt)
     val w = (lit(64) + pmod(n, lit(192))).cast("int")
     val h = (lit(64) + pmod(floor(n / lit(7)).cast("int"), lit(192))).cast("int")
+    val nInt = n.cast("int")
+    val channels = (lit(1) + pmod(nInt, lit(2))).cast("int")
+    val sampleRate = (lit(8000) + pmod(nInt, lit(192)) * lit(100)).cast("int")
+    val blockAlign = (channels * lit(2)).cast("int") // 16-bit PCM
+    val wavPayload = concat(
+      lit("RIFF".getBytes("US-ASCII")), leBytes(nInt + lit(36), 8),
+      lit("WAVEfmt ".getBytes("US-ASCII")), leBytes(lit(16), 8),
+      leBytes(lit(1), 4),                       // audio format: PCM
+      leBytes(channels, 4),
+      leBytes(sampleRate, 8),
+      leBytes(sampleRate * blockAlign, 8),      // byte rate
+      leBytes(blockAlign, 4),
+      leBytes(lit(16), 4),                      // bits per sample
+      lit("data".getBytes("US-ASCII")), leBytes(nInt, 8),
+      txt)
     val pngPayload = concat(
       lit(PngSignature),
       lit(Array[Byte](0, 0, 0, 13)),            // IHDR data length
@@ -78,18 +119,19 @@ object Multimodal {
       .withColumn("payload",
         when(col("format") === "png", pngPayload)
           .when(col("format") === "jpg", jpgPayload)
-          .otherwise(txt))
+          .otherwise(wavPayload))
       .select(col("media_id"), col("format"), col("payload"))
   }
 
   // ======================================================================
-  // IMAGE CODECS — REAL header parsing, pure JVM, no external libraries.
+  // CONTAINER CODECS — REAL header parsing, pure JVM, no external
+  // libraries.
   // PNG: ISO/IEC 15948 §5.2/§11.2.2 (signature + IHDR width/height).
   // JPEG: ITU-T T.81 §B.2.2 (marker walk to the SOFn frame header).
-  // The WAV branch below is the one remaining STUB (this environment has
-  // no audio libraries): deterministic fake metadata from the bytes. A
-  // production build replaces that stub body (and only it); signatures
-  // and the Spark plumbing stay identical.
+  // WAV: RIFF (Microsoft/IBM multimedia spec): chunk walk to "fmt "
+  //      (channels, sample rate, block align) and "data" (frame count).
+  // Content-level work (pixel decode, resampling, embeddings) is the
+  // only stubbed layer — see featureStub/frameSampleStub below.
   // ======================================================================
 
   private val PngSignature =
@@ -135,21 +177,56 @@ object Multimodal {
     None
   }
 
-  /** STUB (wav only): deterministic fake metadata from payload length —
-    * real audio decoding needs libraries absent here. */
-  private def decodeWavStub(payload: Array[Byte]): (Int, Int, Int) = {
-    val n = payload.length
-    (64 + (n % 192), 64 + ((n / 7) % 192), 1 + n % 300)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    t.indices.forall(k => b(i + k) == t.charAt(k).toByte)
+
+  /** REAL WAV property read: verify the RIFF/WAVE preamble, then walk
+    * the chunk list (4-byte id + little-endian u32 size, word-aligned)
+    * collecting "fmt " (channels, sample rate, block align) and "data"
+    * (payload size → PCM frame count = size / block align). None on any
+    * malformed layout — the quarantine path, never an exception. */
+  private def decodeWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+    var i = 12
+    var channels = 0; var sampleRate = 0; var blockAlign = 0
+    var dataSize = -1L
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
+      if (tag(b, i, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > b.length) return None
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        blockAlign = le16(b, i + 20)
+      } else if (tag(b, i, "data")) {
+        dataSize = math.min(size, (b.length - i - 8).toLong)
+      }
+      // a declared size beyond the buffer means this was the last chunk
+      // (truncated or lying header) — stop; never advance backwards
+      if (size > b.length.toLong) i = b.length
+      else i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels > 0 && sampleRate > 0 && blockAlign > 0 && dataSize >= 0)
+      Some((channels, sampleRate, (dataSize / blockAlign).toInt))
+    else None
   }
 
-  /** Decode media metadata — REAL for images, stub for wav; None marks
-    * a malformed payload (quarantined by the callers, never thrown). */
+  /** Decode media metadata — a REAL container parse for every format;
+    * None marks a malformed payload (quarantined by the callers, never
+    * thrown). */
   private def decodeMedia(format: String,
-                          payload: Array[Byte]): Option[(Int, Int, Int)] =
+                          payload: Array[Byte]): Option[Decoded] =
     format match {
-      case "png"          => decodePng(payload).map { case (w, h) => (w, h, 1) }
-      case "jpg" | "jpeg" => decodeJpeg(payload).map { case (w, h) => (w, h, 1) }
-      case _              => Some(decodeWavStub(payload))
+      case "png" => decodePng(payload).map { case (w, h) =>
+        Decoded(Some(w), Some(h), 1, None, None) }
+      case "jpg" | "jpeg" => decodeJpeg(payload).map { case (w, h) =>
+        Decoded(Some(w), Some(h), 1, None, None) }
+      case _ => decodeWav(payload).map { case (ch, sr, frames) =>
+        Decoded(None, None, frames, Some(sr), Some(ch)) }
     }
 
   /** Re-encode an image payload at new dimensions: a fresh header for
@@ -218,16 +295,16 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRaw].mapPartitions { batch =>
       batch.flatMap { m =>
-        decodeMedia(m.format, m.payload).map { case (w, h, _) =>
-          if (w <= maxW && h <= maxH) m
-          else {
-            val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
-            val w1 = math.max(1, (w * scale).toInt)
-            val h1 = math.max(1, (h * scale).toInt)
-            if (m.format == "wav") m // stub branch: no image header to rewrite
-            else m.copy(payload = reencode(m.format, m.payload,
-              if (m.format == "png") PngHeaderBytes else JpegHeaderBytes,
-              w, h, w1, h1))
+        decodeMedia(m.format, m.payload).map { d =>
+          (d.width, d.height) match {
+            case (Some(w), Some(h)) if w > maxW || h > maxH =>
+              val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
+              val w1 = math.max(1, (w * scale).toInt)
+              val h1 = math.max(1, (h * scale).toInt)
+              m.copy(payload = reencode(m.format, m.payload,
+                if (m.format == "png") PngHeaderBytes else JpegHeaderBytes,
+                w, h, w1, h1))
+            case _ => m // within bounds, or audio (no spatial dims)
           }
         }
       }
@@ -243,8 +320,8 @@ object Multimodal {
                    every: Int = 10): Dataset[FrameSample] = {
     import spark.implicits._
     media.as[MediaRaw].flatMap { m =>
-      decodeMedia(m.format, m.payload).toSeq.flatMap { case (_, _, frames) =>
-        frameSampleStub(m.payload, frames, every).zipWithIndex.map {
+      decodeMedia(m.format, m.payload).toSeq.flatMap { d =>
+        frameSampleStub(m.payload, d.frames, every).zipWithIndex.map {
           case (v, i) => FrameSample(m.media_id, i * every, v)
         }
       }
@@ -260,8 +337,9 @@ object Multimodal {
     media.as[MediaRaw].mapPartitions { batch =>
       // real codecs initialize here, once per partition
       batch.flatMap { m =>
-        decodeMedia(m.format, m.payload).map { case (w, h, f) =>
-          MediaMeta(m.media_id, m.format, m.payload.length.toLong, w, h, f)
+        decodeMedia(m.format, m.payload).map { d =>
+          MediaMeta(m.media_id, m.format, m.payload.length.toLong,
+            d.width, d.height, d.frames, d.sampleRate, d.channels)
         }
       }
     }

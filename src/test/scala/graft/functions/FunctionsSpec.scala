@@ -92,7 +92,7 @@ class FunctionsSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val meta = Multimodal.metadataQuery(spark, docs)
     // n_bytes = text bytes + the synthesized container header (PNG 29 /
-    // JPEG 15 / wav raw)
+    // JPEG 15 / WAV 44)
     val a = meta.select($"media_id", $"n_bytes").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = docs.select(
@@ -100,20 +100,32 @@ class FunctionsSpec extends SparkSpec {
         (octet_length(encode($"text", "UTF-8")) +
           when(pmod($"doc_id", lit(3)) === 1, lit(Multimodal.PngHeaderBytes))
             .when(pmod($"doc_id", lit(3)) === 0, lit(Multimodal.JpegHeaderBytes))
-            .otherwise(lit(0))).cast("long").as("n_bytes"))
+            .otherwise(lit(Multimodal.WavHeaderBytes)))
+          .cast("long").as("n_bytes"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(meta.count() == docs.count(),
       "every synthesized payload must decode — none quarantined")
     assert(a == b)
-    // the width/height READ BACK from the real headers equal the
+    // the properties READ BACK from the real headers equal the
     // n-derived values the synthesis wrote (round trip)
     Seq(0L, 1L, 2L).foreach { id => // one of each format
       val r = meta.filter($"media_id" === id).head()
       val n = docs.filter($"doc_id" === id)
         .select(octet_length(encode($"text", "UTF-8"))).head().getInt(0)
-      assert(r.getAs[Int]("width") == 64 + (n % 192).toInt,
-        s"media $id (${r.getAs[String]("format")})")
-      assert(r.getAs[Int]("height") == 64 + ((n / 7) % 192).toInt)
+      if (r.getAs[String]("format") == "wav") {
+        assert(r.isNullAt(r.fieldIndex("width")) &&
+          r.isNullAt(r.fieldIndex("height")), s"media $id: audio has no dims")
+        assert(r.getAs[Int]("sample_rate") == 8000 + (n % 192) * 100)
+        assert(r.getAs[Int]("n_channels") == 1 + n % 2)
+        assert(r.getAs[Int]("n_frames") == n / (2 * (1 + n % 2)),
+          s"media $id: PCM frame count must be data bytes / block align")
+      } else {
+        assert(r.getAs[Int]("width") == 64 + (n % 192).toInt,
+          s"media $id (${r.getAs[String]("format")})")
+        assert(r.getAs[Int]("height") == 64 + ((n / 7) % 192).toInt)
+        assert(r.isNullAt(r.fieldIndex("sample_rate")) &&
+          r.isNullAt(r.fieldIndex("n_channels")), s"media $id: image has no audio props")
+      }
     }
   }
 
@@ -122,22 +134,31 @@ class FunctionsSpec extends SparkSpec {
     val good = Multimodal.mediaFromDocuments(
       Tables.documents(spark, sf("sf0.001")).limit(9))
     // corrupt one of each failure class: bad signature, truncated
-    // header, and a marker walk that never finds a SOF
+    // header, a marker walk that never finds a SOF, raw bytes with no
+    // RIFF preamble, and a RIFF/WAVE whose chunk walk never finds fmt
     val bad = Seq(
       MediaRaw(9001L, "png", "not a png at all".getBytes),
       MediaRaw(9002L, "png", Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)),
       MediaRaw(9003L, "jpg", Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00)
-        .map(_.toByte)))
+        .map(_.toByte)),
+      MediaRaw(9004L, "wav", "no riff preamble here".getBytes),
+      MediaRaw(9005L, "wav",
+        ("RIFF" + "\u0004\u0000\u0000\u0000" + "WAVE")
+          .getBytes("ISO-8859-1")))
     val media = good.unionByName(spark.createDataFrame(bad))
     val meta = Multimodal.extractMetadata(spark, media)
     assert(meta.count() == 9, "malformed rows must be dropped from metadata")
     val quarantined = Multimodal.malformedMedia(spark, media)
       .collect().map(_.media_id).toSet
-    assert(quarantined == Set(9001L, 9002L, 9003L), s"got $quarantined")
-    // wav never quarantines (stub decodes any bytes)
-    assert(!Multimodal.malformedMedia(spark,
-      spark.createDataFrame(Seq(MediaRaw(1L, "wav", Array[Byte](1, 2)))))
-      .collect().map(_.media_id).toSet.contains(1L))
+    assert(quarantined == Set(9001L, 9002L, 9003L, 9004L, 9005L),
+      s"got $quarantined")
+    // an adversarial chunk size (u32 max) must terminate, not loop
+    val lying = "RIFFxxxxWAVEfmt xxxx".getBytes("ISO-8859-1")
+      .map(identity).zipWithIndex.map { case (b, i) => // u32-max sizes at 4..7, 16..19
+        if ((i >= 4 && i < 8) || i >= 16) 0xFF.toByte else b }
+    assert(Multimodal.malformedMedia(spark,
+      spark.createDataFrame(Seq(MediaRaw(9006L, "wav", lying))))
+      .collect().map(_.media_id).toSet == Set(9006L))
   }
 
   test("multimodal resize and frame sampling: deterministic, bounds respected") {
@@ -151,10 +172,10 @@ class FunctionsSpec extends SparkSpec {
       "re-encoded payloads must still decode — resize keeps every row")
     metaAfter.foreach { m =>
       assert(m.n_bytes <= metaBefore(m.media_id).n_bytes)
-      // images decode to within the bounds after re-encode (the wav
-      // stub branch has no image header to rewrite)
+      // images decode to within the bounds after re-encode (audio has
+      // no spatial dims to resize — passes through untouched)
       if (m.format != "wav")
-        assert(m.width <= 100 && m.height <= 100,
+        assert(m.width.get <= 100 && m.height.get <= 100,
           s"media ${m.media_id}: ${m.width}x${m.height} exceeds bounds")
     }
     val frames = Multimodal.sampleFrames(spark,
