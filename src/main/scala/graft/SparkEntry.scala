@@ -272,6 +272,21 @@ object SparkEntry {
       ext.Sampling.scoreQuantiles(scored, "avg_logprob", "lang",
         Seq(0.1, 0.25, 0.5, 0.9))
     }),
+    // north-star data mixing: exact water-filling of a total token
+    // budget toward target domain weights (the DoReMi-shaped mix
+    // planner) — scarce languages saturate, their unmet share
+    // redistributes to the rest; every decision is long arithmetic so
+    // the oracle restates the whole solve with window prefix sums
+    "q84_mixture_allocation" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      ext.Sampling.mixtureAllocation(
+        Tables.documents(s, dir).select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "lang", "n_tok",
+        weights = Seq("en" -> 1L, "de" -> 4L, "es" -> 3L, "fr" -> 2L,
+          "zh" -> 5L),
+        totalBudget = 20000L)
+    }),
     // north-star similarity: product-quantized ADC top-k — the
     // memory-scale path (codes are 8 small ints/vec vs 256 B raw; the
     // candidate scan never touches raw vectors, exact-cosine re-rank
@@ -1204,6 +1219,49 @@ object SparkEntry {
          |      FROM n CROSS JOIN q)
          |SELECT r.lang, k.quantile, r.avg_logprob
          |FROM r JOIN k ON r.lang = k.lang AND r.rn = k.k""".stripMargin),
+    // q84: the water-filling solve restated with window prefix sums over
+    // the (avail/weight)-sorted groups — saturation and allocation are
+    // pure BIGINT arithmetic (exact both engines); rate is one IEEE
+    // division of identical longs; `//` matches Spark's `div`
+    "q84_mixture_allocation" ->
+      """WITH avail AS (SELECT lang,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |w(lang, weight) AS (VALUES ('en', CAST(1 AS BIGINT)), ('de', 4),
+        |                           ('es', 3), ('fr', 2), ('zh', 5)),
+        |j AS (SELECT a.lang, a.avail_tokens, w.weight
+        |      FROM avail a JOIN w USING (lang)),
+        |o AS (SELECT *,
+        |        COALESCE(SUM(avail_tokens) OVER win_b, 0) AS cum_a,
+        |        COALESCE(SUM(weight) OVER win_b, 0) AS cum_w,
+        |        SUM(weight) OVER () AS tot_w
+        |      FROM j
+        |      WINDOW win_b AS (
+        |        ORDER BY CASE WHEN weight > 0 THEN 0 ELSE 1 END,
+        |                 CASE WHEN weight > 0
+        |                      THEN avail_tokens * 1.0 / weight ELSE 0 END,
+        |                 lang
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s AS (SELECT *, CASE WHEN (weight > 0 OR avail_tokens = 0)
+        |          AND weight * (20000 - cum_a) >=
+        |            avail_tokens * (tot_w - cum_w) THEN 1 ELSE 0 END AS sat
+        |      FROM o),
+        |t AS (SELECT *,
+        |        COALESCE(SUM(CASE WHEN sat = 1 THEN avail_tokens END)
+        |          OVER (), 0) AS a_sat,
+        |        COALESCE(SUM(CASE WHEN sat = 0 THEN weight END)
+        |          OVER (), 0) AS w_unsat
+        |      FROM s),
+        |alloc AS (SELECT *,
+        |        CAST(CASE WHEN sat = 1 THEN avail_tokens
+        |             WHEN w_unsat = 0 THEN 0
+        |             ELSE weight * (20000 - a_sat) // w_unsat
+        |             END AS BIGINT) AS alloc_tokens
+        |      FROM t)
+        |SELECT lang, avail_tokens, weight, alloc_tokens,
+        |  alloc_tokens / avail_tokens AS rate,
+        |  CAST(sat AS INT) AS saturated
+        |FROM alloc""".stripMargin,
     // q40's window semantics at stride 1 (1-based inclusive list slice =
     // the kernel's tokens[i-1, i+7)); dup = hash total >= 2 corpus-wide;
     // SUM(BIGINT) is HUGEINT -> CAST; `/` is float division both engines

@@ -249,6 +249,84 @@ object Sampling {
           .as("epochs"))
   }
 
+  /** Mixture-budget allocation: split a total TOKEN budget across
+    * groups toward target weights, letting scarce groups saturate and
+    * redistributing their unmet share to the rest — exact water-filling
+    * (the mix-planning step behind DoReMi-style domain reweighting,
+    * Xie et al. 2023: a target mix meets finite per-domain supply).
+    * Sorting groups by available/weight ascending makes the saturated
+    * set a prefix, so the whole solve is two window passes over the
+    * group-cardinality relation — no iteration. A group g saturates
+    * (keeps ALL its tokens) iff
+    * `weight_g · (budget − Σ_before avail) ≥ avail_g · (Σ_after weight)`
+    * with plain prefix sums (monotone along the sort: removing a group
+    * whose ratio exceeds the running waterline only lowers it); the
+    * rest split the remaining budget by integer-proportional weight.
+    * All saturation decisions and allocations are LONG arithmetic
+    * (exact cross-engine; the q84 oracle restates them — requires
+    * avail · Σweights < 2⁶³, comfortably true for token counts and
+    * enum-sized weights), and `rate` is one IEEE division of those
+    * longs. Groups absent from `weights` are dropped (their share
+    * redistributes); zero-weight groups order last and allocate 0.
+    * Budget-mix counterpart of the reference's predicate-scoped
+    * extracts (load_sales_history.py:117-133) — supply, not time,
+    * bounds each slice.
+    *
+    * Scale notes: one map-side-combined aggregate over the corpus;
+    * everything after operates on |groups| rows (enum-sized — the
+    * k-means rule), so the unpartitioned windows are bounded regardless
+    * of corpus size; the weights relation is a broadcast literal. Feed
+    * the returned rates to [[stratifiedSampleByHash]] to materialize
+    * the planned mix as a deterministic row sample. */
+  def mixtureAllocation(df: DataFrame, groupCol: String, tokenCol: String,
+                        weights: Seq[(String, Long)],
+                        totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0, "budget must be >= 0")
+    require(weights.nonEmpty, "need at least one target weight")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate group in weights")
+    weights.foreach { case (g, w) => require(w >= 0, s"negative weight: $g") }
+    require(weights.exists(_._2 > 0), "need at least one positive weight")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val avail = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("long").as("avail_tokens"))
+    val joined = avail.join(broadcast(weights.toDF(groupCol, "weight")),
+      Seq(groupCol))
+    val ord = Seq(
+      when(col("weight") > 0, lit(0)).otherwise(lit(1)),
+      when(col("weight") > 0,
+        col("avail_tokens").cast("double") / col("weight")).otherwise(lit(0.0)),
+      col(groupCol))
+    val before = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    joined
+      .withColumn("_cum_a",
+        coalesce(sum(col("avail_tokens")).over(before), lit(0L)))
+      .withColumn("_cum_w", coalesce(sum(col("weight")).over(before), lit(0L)))
+      .withColumn("_tot_w", sum(col("weight")).over(whole))
+      .withColumn("_sat", // zero-weight groups never saturate supply
+        (col("weight") > 0 || col("avail_tokens") === 0) &&
+          col("weight") * (lit(totalBudget) - col("_cum_a")) >=
+            col("avail_tokens") * (col("_tot_w") - col("_cum_w")))
+      .withColumn("_a_sat", coalesce(
+        sum(when(col("_sat"), col("avail_tokens"))).over(whole), lit(0L)))
+      .withColumn("_w_unsat", coalesce(
+        sum(when(!col("_sat"), col("weight"))).over(whole), lit(0L)))
+      .withColumn("alloc_tokens",
+        when(col("_sat"), col("avail_tokens"))
+          .when(col("_w_unsat") === 0, lit(0L))
+          .otherwise(expr(
+            s"weight * (${totalBudget}L - _a_sat) div _w_unsat")))
+      .select(col(groupCol), col("avail_tokens"), col("weight"),
+        col("alloc_tokens"),
+        (col("alloc_tokens").cast("double") /
+          col("avail_tokens")).as("rate"),
+        col("_sat").cast("int").as("saturated"))
+  }
+
   /** Deterministic per-stratum Bernoulli sampling: keep each row with
     * its stratum's rate, decided by a content-addressed uniform draw
     * u = first-32-bits-of-md5(salt ++ id) / 2^32 — no RNG, no wall

@@ -1749,6 +1749,76 @@ class ExtSpec extends SparkSpec {
       s"budget drifted: ${w.getDouble(0)} vs ${w.getLong(1)}")
   }
 
+  test("mixture allocation equals iterative water-filling on crafted and fixture data") {
+    // reference: the classic fixed-point iteration — saturate any group
+    // whose proportional share of the remaining budget covers its
+    // supply, re-split, repeat. The op's one-pass sorted-prefix solve
+    // must agree on both the allocation and the saturation set.
+    def brute(avail: Map[String, Long], w: Map[String, Long],
+              budget: Long): Map[String, (Long, Boolean)] = {
+      var sat = Set.empty[String]
+      var changed = true
+      while (changed) {
+        changed = false
+        val aSat = sat.toSeq.map(avail).sum
+        val wUn = (avail.keySet -- sat).toSeq.map(w).sum
+        // at most one saturation per sweep so the sums are always fresh
+        // (the textbook iteration recomputes after every removal)
+        for (g <- avail.keys.toSeq.sorted if !sat(g) && !changed)
+          if (wUn != 0 && w(g) * (budget - aSat) >= avail(g) * wUn) {
+            sat += g; changed = true
+          }
+      }
+      val aSat = sat.toSeq.map(avail).sum
+      val wUn = (avail.keySet -- sat).toSeq.map(w).sum
+      avail.keys.map { g =>
+        g -> (if (sat(g)) (avail(g), true)
+              else if (wUn == 0) (0L, false)
+              else (w(g) * (budget - aSat) / wUn, false))
+      }.toMap
+    }
+    val cases = Seq(
+      // (avail, weights, budget)
+      (Map("a" -> 100L, "b" -> 1000L), Map("a" -> 5L, "b" -> 1L), 600L),
+      (Map("a" -> 100L, "b" -> 1000L), Map("a" -> 5L, "b" -> 1L), 0L),
+      (Map("a" -> 100L, "b" -> 200L), Map("a" -> 1L, "b" -> 1L), 5000L),
+      (Map("a" -> 7L, "b" -> 13L, "c" -> 1L), Map("a" -> 3L, "b" -> 0L, "c" -> 2L), 10L),
+      (Map("solo" -> 42L), Map("solo" -> 9L), 17L),
+      (Map("a" -> 10L, "b" -> 10L, "c" -> 10L, "d" -> 1000L),
+        Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L), 500L))
+    cases.foreach { case (avail, w, budget) =>
+      val df = avail.toSeq.flatMap { case (g, a) => // split supply in two
+        Seq((g, a / 2), (g, a - a / 2))            // rows: exercises the agg
+      }.toDF("g", "n_tok")
+      val got = Sampling.mixtureAllocation(df, "g", "n_tok",
+          w.toSeq.sortBy(_._1), budget)
+        .collect().map(r => r.getAs[String]("g") ->
+          ((r.getAs[Long]("alloc_tokens"),
+            r.getAs[Int]("saturated") == 1))).toMap
+      val want = brute(avail, w, budget)
+      assert(got == want, s"case ($avail, $w, $budget): got $got want $want")
+      // invariants: never over budget, never over supply
+      assert(got.values.map(_._1).sum <= budget.max(0L))
+      got.foreach { case (g, (alloc, _)) => assert(alloc <= avail(g)) }
+    }
+    // groups absent from the weights are dropped (share redistributes)
+    val partial = Sampling.mixtureAllocation(
+      Seq(("a", 10L), ("b", 10L)).toDF("g", "n_tok"), "g", "n_tok",
+      Seq("a" -> 1L), 4L)
+    assert(partial.collect().map(r =>
+      (r.getString(0), r.getAs[Long]("alloc_tokens"))).toSeq == Seq(("a", 4L)))
+    // fixture run: the q84 configuration's invariants hold end to end
+    val fx = Sampling.mixtureAllocation(
+      docs.select($"lang", size(split($"text", " ")).cast("long").as("n_tok")),
+      "lang", "n_tok",
+      Seq("en" -> 1L, "de" -> 4L, "es" -> 3L, "fr" -> 2L, "zh" -> 5L), 20000L)
+      .collect()
+    assert(fx.map(_.getAs[Long]("alloc_tokens")).sum <= 20000L)
+    assert(fx.exists(_.getAs[Int]("saturated") == 1) &&
+      fx.exists(_.getAs[Int]("saturated") == 0),
+      "q84's config should exercise both branches at sf0.001")
+  }
+
   test("temperature mix epochs feed repeatByWeight to realize the mix") {
     val fixture = ((1L to 8L).map(i => (i, "a")) ++ Seq((9L, "b"), (10L, "b")))
       .toDF("doc_id", "source")
