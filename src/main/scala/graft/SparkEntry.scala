@@ -287,6 +287,21 @@ object SparkEntry {
           "zh" -> 5L),
         totalBudget = 20000L)
     }),
+    // north-star observability: per-segment NOVELTY of an arriving
+    // batch against a STORED HLL cardinality profile — how many new
+    // unique users each event segment brings, without re-scanning the
+    // profiled corpus. Rows-only: DataSketches estimates aren't
+    // SQL-restatable in DuckDB; CardinalitySpec pins estimate-vs-exact
+    // accuracy, stored ≡ live, append ≡ monolithic, and replay rules
+    "q85_cardinality_novelty" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, dir)
+      val prof = ext.Cardinality.ensureCardinalityProfile(
+        ev.filter(col("event_id") % 5 =!= 0), "/tmp/graft_card_cache",
+        s"$dir/events.parquet", "event_type", "user_id", variant = "_mod5")
+      ext.Cardinality.noveltyAgainstProfile(s,
+        ev.filter(col("event_id") % 5 === 0), prof)
+    }),
     // north-star similarity: product-quantized ADC top-k — the
     // memory-scale path (codes are 8 small ints/vec vs 256 B raw; the
     // candidate scan never touches raw vectors, exact-cosine re-rank

@@ -1,0 +1,197 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-group distinct-count tracking via Apache DataSketches HLL — the
+  * cardinality observability a 100 TB pipeline needs without ever
+  * running exact COUNT(DISTINCT) over the corpus: how many unique
+  * users/URLs/shingles each segment has, and how many NEW uniques an
+  * arriving batch brings (novelty). The stored-profile counterpart of
+  * the reference's recomputed validation aggregates
+  * (load_sales_history.py:241-246), where the persisted state is a
+  * KB-sized sketch per group rather than the data itself.
+  *
+  * This family deliberately does NOT ride [[CountProfile]]: its replay
+  * safety comes from ALGEBRA, not row identity. HLL union is a
+  * register-wise max — idempotent and commutative — so a replayed
+  * append is a semantic no-op even when the duplicate sketch rows are
+  * not byte-identical (DataSketches serialization in coupon mode is
+  * insertion-order-sensitive, so byte-level dedup would be unsound as
+  * a replay contract). Tags exist here ONLY so a replayed micro-batch
+  * can score against the profile state its first attempt saw
+  * (`excludeBatchId`); the union itself never needs them.
+  *
+  * Scale notes (100 TB): the only corpus-sized pass is the map-side
+  * partial `hll_sketch_agg` in write/append/probe — one shuffle of
+  * |groups| × |partitions| partial sketches (KBs each), never rows;
+  * the stored relation is |groups| × |appends| KB-sized rows, collapsed
+  * by compaction. Probing a batch touches the batch plus a
+  * groups-sized artifact scan. Estimates are exact in the sketch's
+  * coupon regime (hundreds of uniques at lgK=12) and ~1.6 % RSE
+  * beyond, the documented DataSketches HLL behavior.
+  */
+object Cardinality {
+
+  /** 2^12 registers ≈ 1.6 % relative standard error, 4 KB max sketch —
+    * the DataSketches-recommended general-purpose setting. */
+  val DefaultLgK = 12
+
+  private def profileParams(groupCol: String, idCol: String,
+                            lgK: Int): Map[String, String] =
+    Map("kind" -> "hll-cardinality", "groupCol" -> groupCol,
+      "idCol" -> idCol, "lgK" -> lgK.toString)
+
+  /** Live per-group distinct estimate: one map-side-combined sketch
+    * aggregate, |groups| result rows. */
+  def groupCardinality(df: DataFrame, groupCol: String, idCol: String,
+                       lgK: Int = DefaultLgK): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(idCol), lgK))
+        .as("n_distinct"))
+
+  /** Freeze a corpus's per-group sketches at `path`: `sketches/`
+    * parquet of (group, sketch, batch_id NULL = base corpus) + the
+    * standard params sidecar written LAST (presence implies a complete
+    * artifact). The group/id column names and lgK are ARTIFACT-OWNED
+    * (the canonical-index idCol rule): probes and appends read them
+    * back instead of taking parameters that could disagree — a
+    * mismatched lgK would make strict union throw mid-job, and a
+    * mismatched id column would silently measure the wrong thing. */
+  def writeCardinalityProfile(df: DataFrame, path: String,
+                              groupCol: String, idCol: String,
+                              lgK: Int = DefaultLgK): Unit = {
+    require(groupCol != "sketch" && idCol != "sketch" &&
+      groupCol != "batch_id" && idCol != "batch_id",
+      "'sketch'/'batch_id' are reserved column names in a cardinality profile")
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(idCol), lgK).as("sketch"))
+      .withColumn("batch_id", lit(null).cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/sketches")
+    Dedup.writeParams(s"$path/params.properties",
+      profileParams(groupCol, idCol, lgK))
+  }
+
+  /** The artifact's stored identity — group/id column names and lgK
+    * read back from the sidecar (fails loudly when absent). */
+  private def storedIdentity(path: String): (String, String, Int) = {
+    val side = s"$path/params.properties"
+    require(Dedup.readParam(side, "kind", "cardinality profile") ==
+      "hll-cardinality",
+      s"artifact at $path is not a cardinality profile")
+    (Dedup.readParam(side, "groupCol", "cardinality profile"),
+      Dedup.readParam(side, "idCol", "cardinality profile"),
+      Dedup.readParam(side, "lgK", "cardinality profile").toInt)
+  }
+
+  /** Merge a batch's per-group sketches into a stored profile. The
+    * sketch recipe comes from the SIDECAR (artifact-owned), so an
+    * append can never be built under different columns or lgK than the
+    * base. `batchId` tags the appended rows for `excludeBatchId`
+    * replay scoring; the union itself is idempotent either way (see
+    * the object scaladoc), so both tagged and untagged duplicate
+    * appends leave the effective cardinalities unchanged — deliberate
+    * re-appends of the SAME items are a no-op by set semantics, which
+    * is the correct meaning for a distinct count. */
+  def appendCardinalityProfile(df: DataFrame, path: String,
+                               batchId: Option[Long] = None): Unit = {
+    val (groupCol, idCol, lgK) = storedIdentity(path)
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(idCol), lgK).as("sketch"))
+      .withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .write.mode(SaveMode.Append).parquet(s"$path/sketches")
+  }
+
+  /** The profile's effective (group, sketch) relation: all stored rows
+    * union-merged per group (minus `excludeBatchId`'s tags — a
+    * replayed micro-batch scores against exactly the state its first
+    * attempt saw, whether or not that attempt's absorb committed). */
+  private def effectiveSketches(spark: SparkSession, path: String,
+                                excludeBatchId: Option[Long]): DataFrame = {
+    val (groupCol, _, _) = storedIdentity(path)
+    val raw = spark.read.parquet(s"$path/sketches")
+    val kept = excludeBatchId match {
+      case Some(b) =>
+        raw.filter(col("batch_id").isNull || col("batch_id") =!= b)
+      case None => raw
+    }
+    kept.groupBy(col(groupCol)).agg(hll_union_agg(col("sketch")).as("sketch"))
+  }
+
+  /** Stored-route per-group distinct estimates — must equal
+    * [[groupCardinality]] over the profiled corpus exactly
+    * (spec-pinned: union over the stored partials reaches the same
+    * register state as the one-pass aggregate). */
+  def cardinalityAgainstProfile(spark: SparkSession, path: String,
+                                excludeBatchId: Option[Long] = None): DataFrame = {
+    val (groupCol, _, _) = storedIdentity(path)
+    effectiveSketches(spark, path, excludeBatchId)
+      .select(col(groupCol), hll_sketch_estimate(col("sketch")).as("n_distinct"))
+  }
+
+  /** Novelty of a batch against a stored profile, per group:
+    * (group, corpus_distinct, batch_distinct, union_distinct,
+    * novel_distinct = union − corpus). Groups the profile has never
+    * seen report their whole batch as novel. One sketch pass over the
+    * BATCH plus a groups-sized artifact scan — the base corpus is
+    * never touched; this is the "how much new signal does this crawl
+    * bring per segment" probe a recurring ingest runs before paying
+    * for full processing. */
+  def noveltyAgainstProfile(spark: SparkSession, batch: DataFrame,
+                            path: String,
+                            excludeBatchId: Option[Long] = None): DataFrame = {
+    val (groupCol, idCol, lgK) = storedIdentity(path)
+    val b = batch.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(idCol), lgK).as("_b_sketch"))
+    val c = effectiveSketches(spark, path, excludeBatchId)
+      .withColumnRenamed("sketch", "_c_sketch")
+    b.join(c, Seq(groupCol), "left")
+      .select(col(groupCol),
+        coalesce(hll_sketch_estimate(col("_c_sketch")), lit(0L))
+          .as("corpus_distinct"),
+        hll_sketch_estimate(col("_b_sketch")).as("batch_distinct"),
+        coalesce(
+          hll_sketch_estimate(hll_union(col("_b_sketch"), col("_c_sketch"))),
+          hll_sketch_estimate(col("_b_sketch"))).as("union_distinct"))
+      .withColumn("novel_distinct",
+        col("union_distinct") - col("corpus_distinct"))
+  }
+
+  /** Collapse appended sketch rows to one union per (group, batch_id)
+    * — tags are KEPT: folding a tagged batch into the base would
+    * change what `excludeBatchId` removes, so a replayed micro-batch
+    * would score against post-batch state and overwrite its landing
+    * with a different report (the CountProfile compaction discipline;
+    * union idempotence protects the MERGE against replays, not the
+    * SCORE). Duplicate rows of one tag collapse to one row whose
+    * union is the same registers. Stage-then-swap via `AtomicSwap`; a
+    * crash leaves the previous complete relation. */
+  def compactCardinalityProfile(spark: SparkSession, path: String): Unit = {
+    val (groupCol, _, _) = storedIdentity(path)
+    val compacted = spark.read.parquet(s"$path/sketches")
+      .groupBy(col(groupCol), col("batch_id"))
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+      .select(col(groupCol), col("sketch"), col("batch_id"))
+      .localCheckpoint() // materialize BEFORE the swap shelves the source
+    graft.lineage.AtomicSwap.writeSwap(s"$path/sketches")(tmp =>
+      compacted.write.parquet(tmp))
+  }
+
+  /** Content-fingerprint-cached [[writeCardinalityProfile]] — the
+    * `ensureIvfIndex` pattern: keyed on the source parquet's
+    * fingerprint plus the sketch parameters (the ensureBloomIndex
+    * param-key lesson) and a `variant` for slice-of-source builds.
+    * Returns the profile path. */
+  def ensureCardinalityProfile(df: DataFrame, cacheRoot: String,
+                               sourcePath: String, groupCol: String,
+                               idCol: String, lgK: Int = DefaultLgK,
+                               variant: String = ""): String = {
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"card_${groupCol}_${idCol}_${lgK}${variant}_" +
+        Similarity.pathFingerprint(sourcePath))
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writeCardinalityProfile(df, tmp, groupCol, idCol, lgK))
+    idx.toString
+  }
+}

@@ -536,6 +536,39 @@ object EventStream {
         }
       }
 
+  /** Absorbing cardinality stream — the distinct-count twin of
+    * [[ingestProfileStream]] (score against the pre-batch artifact,
+    * then merge): each micro-batch is scored for per-group NOVELTY
+    * against the stored HLL profile with its own tag excluded
+    * ([[graft.ext.Cardinality.noveltyAgainstProfile]] — a replay
+    * reproduces the report its first attempt computed, committed or
+    * not), the report lands under `metricsPath/batch_id=N` with
+    * overwrite, and the batch's sketches are union-appended LAST with
+    * the batch tag. The MERGE needs no replay machinery at all — HLL
+    * union is idempotent, so a replayed append is algebraically a
+    * no-op — the tag exists purely for the scoring pass (the
+    * score-then-merge contract, with the cheapest possible absorb
+    * half). */
+  def ingestCardinalityStream(rows: DataFrame, profilePath: String,
+                              metricsPath: String,
+                              checkpoint: String): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed twice: score + absorb
+          graft.ext.Cardinality.noveltyAgainstProfile(
+              b.sparkSession, b, profilePath,
+              excludeBatchId = Some(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+          graft.ext.Cardinality.appendCardinalityProfile(b, profilePath,
+            batchId = Some(batchId))
+        }
+      }
+
   /** Streaming drift monitor — the observability twin of the ingest
     * streams: each micro-batch of documents is scored against a STORED
     * corpus profile ([[graft.ext.TextAnalysis.divergenceAgainstProfile]])

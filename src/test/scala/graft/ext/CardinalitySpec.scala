@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Invariants for the HLL cardinality-profile family (no SQL oracle —
+  * DataSketches estimates aren't restatable in DuckDB): exactness in
+  * the coupon regime, bounded error at fixture scale, stored ≡ live,
+  * append ≡ monolithic, algebraic replay idempotence, tag-preserving
+  * compaction, and the sidecar ownership rules. */
+class CardinalitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private lazy val events = Tables.events(spark, sf("sf0.001")).cache()
+
+  private def estimates(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+
+  test("group cardinality is exact in the coupon regime and tight on the fixture") {
+    // crafted: a few hundred uniques per group — HLL at lgK=12 stores
+    // raw coupons here, so the estimate is EXACT
+    val crafted = (1L to 300L).map(i => ("a", i)) ++
+      (1L to 40L).map(i => ("b", i * 7)) ++ Seq(("c", 1L), ("c", 1L))
+    val got = estimates(Cardinality.groupCardinality(
+      crafted.toDF("g", "uid"), "g", "uid"))
+    assert(got == Map("a" -> 300L, "b" -> 40L, "c" -> 1L), s"got $got")
+    // fixture: within the documented ~1.6 % RSE (5 % slack)
+    val est = estimates(Cardinality.groupCardinality(
+      events, "event_type", "user_id"))
+    val exact = events.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (g, e) =>
+      assert(math.abs(e - exact(g)).toDouble / exact(g) < 0.05,
+        s"group $g: estimate $e vs exact ${exact(g)}")
+    }
+  }
+
+  test("stored route equals live, and append equals the monolithic build") {
+    val dir = tmp("graft_card_eq")
+    val half1 = events.filter($"event_id" % 2 === 0)
+    val half2 = events.filter($"event_id" % 2 =!= 0)
+    // stored ≡ live on the full corpus
+    Cardinality.writeCardinalityProfile(events, s"$dir/full",
+      "event_type", "user_id")
+    val live = estimates(Cardinality.groupCardinality(
+      events, "event_type", "user_id"))
+    assert(estimates(Cardinality.cardinalityAgainstProfile(
+      spark, s"$dir/full")) == live)
+    // write(half) + append(half) ≡ write(full): union reaches the same
+    // register state as the one-pass aggregate
+    Cardinality.writeCardinalityProfile(half1, s"$dir/grown",
+      "event_type", "user_id")
+    Cardinality.appendCardinalityProfile(half2, s"$dir/grown")
+    assert(estimates(Cardinality.cardinalityAgainstProfile(
+      spark, s"$dir/grown")) == live)
+  }
+
+  test("novelty: disjoint, subset and unseen-group batches") {
+    val dir = tmp("graft_card_nov")
+    val corpus = ((1L to 100L).map(i => ("a", i)) ++
+      (1L to 50L).map(i => ("b", i))).toDF("g", "uid")
+    Cardinality.writeCardinalityProfile(corpus, dir, "g", "uid")
+    val batch = ((101L to 120L).map(i => ("a", i)) ++  // 20 new to a
+      (1L to 10L).map(i => ("b", i)) ++                // all seen in b
+      (1L to 5L).map(i => ("z", i))).toDF("g", "uid")  // unseen group
+    val got = Cardinality.noveltyAgainstProfile(spark, batch, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("corpus_distinct"), r.getAs[Long]("batch_distinct"),
+          r.getAs[Long]("union_distinct"), r.getAs[Long]("novel_distinct"))))
+      .toMap
+    // coupon-regime cardinalities: all numbers exact
+    assert(got == Map(
+      "a" -> ((100L, 20L, 120L, 20L)),
+      "b" -> ((50L, 10L, 50L, 0L)),
+      "z" -> ((0L, 5L, 5L, 5L))), s"got $got")
+  }
+
+  test("tagged append is replay-idempotent and excludable; compaction keeps tags") {
+    val dir = tmp("graft_card_replay")
+    val corpus = (1L to 100L).map(i => ("a", i)).toDF("g", "uid")
+    Cardinality.writeCardinalityProfile(corpus, dir, "g", "uid")
+    val before = estimates(Cardinality.cardinalityAgainstProfile(spark, dir))
+    val batch = (91L to 130L).map(i => ("a", i)).toDF("g", "uid")
+    Cardinality.appendCardinalityProfile(batch, dir, batchId = Some(7L))
+    // a replayed append (same tag) changes nothing — union is idempotent
+    Cardinality.appendCardinalityProfile(batch, dir, batchId = Some(7L))
+    val after = estimates(Cardinality.cardinalityAgainstProfile(spark, dir))
+    assert(after == Map("a" -> 130L), s"got $after")
+    // excluding the batch's own tag reproduces the pre-append state —
+    // what a replayed micro-batch must score against
+    assert(estimates(Cardinality.cardinalityAgainstProfile(
+      spark, dir, excludeBatchId = Some(7L))) == before)
+    // novelty under self-exclusion: scored as if the absorb never ran
+    val nov = Cardinality.noveltyAgainstProfile(spark, batch, dir,
+      excludeBatchId = Some(7L)).head()
+    assert(nov.getAs[Long]("corpus_distinct") == 100L &&
+      nov.getAs[Long]("novel_distinct") == 30L, s"got $nov")
+    // compaction collapses rows but KEEPS tags: both routes unchanged
+    val rowsBefore = spark.read.parquet(s"$dir/sketches").count()
+    Cardinality.compactCardinalityProfile(spark, dir)
+    assert(spark.read.parquet(s"$dir/sketches").count() == 2,
+      "one base row + one row for tag 7")
+    assert(spark.read.parquet(s"$dir/sketches").count() < rowsBefore)
+    assert(estimates(Cardinality.cardinalityAgainstProfile(
+      spark, dir)) == Map("a" -> 130L))
+    assert(estimates(Cardinality.cardinalityAgainstProfile(
+      spark, dir, excludeBatchId = Some(7L))) == before,
+      "a replayed batch must still score pre-append after maintenance")
+  }
+
+  test("sidecar ownership: probes read the stored recipe; wrong kinds fail loudly") {
+    val dir = tmp("graft_card_side")
+    Cardinality.writeCardinalityProfile(
+      Seq(("a", 1L)).toDF("seg", "member"), s"$dir/p", "seg", "member",
+      lgK = 10)
+    // append supplies NO column/lgK parameters — they come from the
+    // sidecar, so a frame with the right columns just works ...
+    Cardinality.appendCardinalityProfile(
+      Seq(("a", 2L), ("b", 5L)).toDF("seg", "member"), s"$dir/p")
+    val got = estimates(Cardinality.cardinalityAgainstProfile(spark, s"$dir/p"))
+    assert(got == Map("a" -> 2L, "b" -> 1L), s"got $got")
+    // ... and one missing the stored columns fails at plan time
+    intercept[Exception] {
+      Cardinality.appendCardinalityProfile(
+        Seq(("a", 1L)).toDF("wrong", "cols"), s"$dir/p")
+    }
+    // a non-cardinality artifact is rejected before any read
+    TextAnalysis.writeCorpusProfile(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), s"$dir/other")
+    val e = intercept[IllegalArgumentException] {
+      Cardinality.cardinalityAgainstProfile(spark, s"$dir/other")
+    }
+    assert(e.getMessage.contains("not a cardinality profile") ||
+      e.getMessage.contains("records no"), e.getMessage)
+    // reserved working names are rejected at write time
+    intercept[IllegalArgumentException] {
+      Cardinality.writeCardinalityProfile(
+        Seq(("a", Array[Byte](1))).toDF("g", "sketch"), s"$dir/r",
+        "g", "sketch")
+    }
+  }
+}

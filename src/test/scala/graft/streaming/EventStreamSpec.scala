@@ -23,6 +23,8 @@ class EventStreamSpec extends SparkSpec {
 
   case class IngestVec(vec_id: Long, embedding: Array[Float])
 
+  case class IngestUser(event_type: String, user_id: Long)
+
   test("streaming ingest dedup drops cross-batch duplicates via the on-disk index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
@@ -379,6 +381,48 @@ class EventStreamSpec extends SparkSpec {
       "a replayed absorb must not double-count")
     assert(viaProfile.getAs[Double]("js_divergence") ==
       exact.getAs[Double]("js_divergence"))
+  }
+
+  test("cardinality absorb stream scores novelty pre-batch, exactly once under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_card").toString
+    val base = ((1L to 50L).map(u => ("click", u)) ++
+      (1L to 30L).map(u => ("view", u))).toDF("event_type", "user_id")
+    graft.ext.Cardinality.writeCardinalityProfile(base, s"$dir/prof",
+      "event_type", "user_id")
+    val mem = MemoryStream[IngestUser]
+    def drain(): Unit = {
+      val q = EventStream.ingestCardinalityStream(mem.toDF(), s"$dir/prof",
+        s"$dir/metrics", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // batch 0: 30 click users, 20 of them new
+    mem.addData((41L to 70L).map(u => IngestUser("click", u)): _*)
+    drain()
+    // crash window: report + absorb committed, checkpoint commit lost
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain() // replay: must score against the PRE-absorb profile
+    // batch 1: all-seen view users + 5 new click users
+    mem.addData(((1L to 10L).map(u => IngestUser("view", u)) ++
+      (71L to 75L).map(u => IngestUser("click", u))): _*)
+    drain()
+    val metrics = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => (r.getAs[Int]("batch_id"), r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("corpus_distinct"), r.getAs[Long]("novel_distinct"))))
+      .toMap
+    // batch 0's replayed report still reflects the pre-batch profile
+    assert(metrics((0, "click")) == ((50L, 20L)), s"got $metrics")
+    // batch 1 saw batch 0 absorbed exactly once
+    assert(metrics((1, "click")) == ((70L, 5L)), s"got $metrics")
+    assert(metrics((1, "view")) == ((30L, 0L)), s"got $metrics")
+    // the final profile absorbed every batch once (coupon-exact counts)
+    val est = graft.ext.Cardinality.cardinalityAgainstProfile(
+        spark, s"$dir/prof").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    assert(est == Map("click" -> 75L, "view" -> 30L), s"got $est")
   }
 
   test("streaming drift monitor lands one report per micro-batch against the frozen profile") {
