@@ -287,6 +287,21 @@ object SparkEntry {
           "zh" -> 5L),
         totalBudget = 20000L)
     }),
+    // the realization half of q84: keep each language's hash-ordered
+    // token prefix up to ITS water-filled allocation (q45's boundary
+    // semantics, per-group budgets) — plan → realize end to end, both
+    // halves restated by the composed oracle CTEs
+    "q86_mixture_realized" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      val toks = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val alloc = ext.Sampling.mixtureAllocation(toks, "lang", "n_tok",
+        weights = Seq("en" -> 1L, "de" -> 4L, "es" -> 3L, "fr" -> 2L,
+          "zh" -> 5L),
+        totalBudget = 20000L)
+      ext.Sampling.realizeMixtureAllocation(toks, "lang", "doc_id", "n_tok",
+        alloc)
+    }),
     // north-star observability: per-segment NOVELTY of an arriving
     // batch against a STORED HLL cardinality profile — how many new
     // unique users each event segment brings, without re-scanning the
@@ -867,6 +882,46 @@ object SparkEntry {
     * the importance CTEs. Both the importance sum and the selection
     * key ROUND 6dp before ranking (cosine rule); hex→BIGINT via the
     * ('0x'||…)::BIGINT cast, md5-uniform u=(pfx+0.5)/2³². */
+  /** q84's water-filling CTEs, factored for q86's composed oracle (the
+    * shared-val rule): `alloc` holds (lang, avail_tokens, weight, sat,
+    * alloc_tokens) for the fixed q84 configuration (weights en 1 / de 4
+    * / es 3 / fr 2 / zh 5, budget 20 000). */
+  private val MixtureAllocationCtes =
+    """WITH avail AS (SELECT lang,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+      |  FROM documents GROUP BY 1),
+      |w(lang, weight) AS (VALUES ('en', CAST(1 AS BIGINT)), ('de', 4),
+      |                           ('es', 3), ('fr', 2), ('zh', 5)),
+      |j AS (SELECT a.lang, a.avail_tokens, w.weight
+      |      FROM avail a JOIN w USING (lang)),
+      |o AS (SELECT *,
+      |        COALESCE(SUM(avail_tokens) OVER win_b, 0) AS cum_a,
+      |        COALESCE(SUM(weight) OVER win_b, 0) AS cum_w,
+      |        SUM(weight) OVER () AS tot_w
+      |      FROM j
+      |      WINDOW win_b AS (
+      |        ORDER BY CASE WHEN weight > 0 THEN 0 ELSE 1 END,
+      |                 CASE WHEN weight > 0
+      |                      THEN avail_tokens * 1.0 / weight ELSE 0 END,
+      |                 lang
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |s AS (SELECT *, CASE WHEN (weight > 0 OR avail_tokens = 0)
+      |          AND weight * (20000 - cum_a) >=
+      |            avail_tokens * (tot_w - cum_w) THEN 1 ELSE 0 END AS sat
+      |      FROM o),
+      |t AS (SELECT *,
+      |        COALESCE(SUM(CASE WHEN sat = 1 THEN avail_tokens END)
+      |          OVER (), 0) AS a_sat,
+      |        COALESCE(SUM(CASE WHEN sat = 0 THEN weight END)
+      |          OVER (), 0) AS w_unsat
+      |      FROM s),
+      |alloc AS (SELECT *,
+      |        CAST(CASE WHEN sat = 1 THEN avail_tokens
+      |             WHEN w_unsat = 0 THEN 0
+      |             ELSE weight * (20000 - a_sat) // w_unsat
+      |             END AS BIGINT) AS alloc_tokens
+      |      FROM t)""".stripMargin
+
   private val DsirSelectSql = DsirImportanceCtes +
     """,
       |keyed AS (SELECT doc_id, ROUND(s, 6) AS importance,
@@ -1238,45 +1293,28 @@ object SparkEntry {
     // the (avail/weight)-sorted groups — saturation and allocation are
     // pure BIGINT arithmetic (exact both engines); rate is one IEEE
     // division of identical longs; `//` matches Spark's `div`
-    "q84_mixture_allocation" ->
-      """WITH avail AS (SELECT lang,
-        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
-        |  FROM documents GROUP BY 1),
-        |w(lang, weight) AS (VALUES ('en', CAST(1 AS BIGINT)), ('de', 4),
-        |                           ('es', 3), ('fr', 2), ('zh', 5)),
-        |j AS (SELECT a.lang, a.avail_tokens, w.weight
-        |      FROM avail a JOIN w USING (lang)),
-        |o AS (SELECT *,
-        |        COALESCE(SUM(avail_tokens) OVER win_b, 0) AS cum_a,
-        |        COALESCE(SUM(weight) OVER win_b, 0) AS cum_w,
-        |        SUM(weight) OVER () AS tot_w
-        |      FROM j
-        |      WINDOW win_b AS (
-        |        ORDER BY CASE WHEN weight > 0 THEN 0 ELSE 1 END,
-        |                 CASE WHEN weight > 0
-        |                      THEN avail_tokens * 1.0 / weight ELSE 0 END,
-        |                 lang
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-        |s AS (SELECT *, CASE WHEN (weight > 0 OR avail_tokens = 0)
-        |          AND weight * (20000 - cum_a) >=
-        |            avail_tokens * (tot_w - cum_w) THEN 1 ELSE 0 END AS sat
-        |      FROM o),
-        |t AS (SELECT *,
-        |        COALESCE(SUM(CASE WHEN sat = 1 THEN avail_tokens END)
-        |          OVER (), 0) AS a_sat,
-        |        COALESCE(SUM(CASE WHEN sat = 0 THEN weight END)
-        |          OVER (), 0) AS w_unsat
-        |      FROM s),
-        |alloc AS (SELECT *,
-        |        CAST(CASE WHEN sat = 1 THEN avail_tokens
-        |             WHEN w_unsat = 0 THEN 0
-        |             ELSE weight * (20000 - a_sat) // w_unsat
-        |             END AS BIGINT) AS alloc_tokens
-        |      FROM t)
+    "q84_mixture_allocation" -> (MixtureAllocationCtes +
+      """
         |SELECT lang, avail_tokens, weight, alloc_tokens,
         |  alloc_tokens / avail_tokens AS rate,
         |  CAST(sat AS INT) AS saturated
-        |FROM alloc""".stripMargin,
+        |FROM alloc""".stripMargin),
+    // q86 composes the SAME allocation CTEs (factored, never copied)
+    // with q45's hash-ordered running-sum selection, per-group budget —
+    // the oracle restates plan AND realization end to end
+    "q86_mixture_realized" -> (MixtureAllocationCtes +
+      """,
+        |docs_tok AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |  CAST(SUM(n_tok) OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |  FROM docs_tok)
+        |SELECT c.doc_id, c.lang, c.n_tok, c.cum_tokens
+        |FROM c JOIN alloc a ON c.lang = a.lang
+        |WHERE c.cum_tokens - c.n_tok < a.alloc_tokens""".stripMargin),
     // q40's window semantics at stride 1 (1-based inclusive list slice =
     // the kernel's tokens[i-1, i+7)); dup = hash total >= 2 corpus-wide;
     // SUM(BIGINT) is HUGEINT -> CAST; `/` is float division both engines

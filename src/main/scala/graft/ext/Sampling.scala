@@ -327,6 +327,35 @@ object Sampling {
         col("_sat").cast("int").as("saturated"))
   }
 
+  /** Realize a planned mixture as an actual document selection: keep
+    * each group's hash-ordered token PREFIX up to its own allocation —
+    * [[capTokensPerGroup]]'s q45 semantics (md5-then-id order, the
+    * boundary document that crosses the budget included) with a
+    * per-group budget column instead of one shared constant, so the
+    * output of [[mixtureAllocation]] plugs in directly:
+    * plan (`mixtureAllocation`) → realize (this) is the full
+    * deterministic mix pipeline, and both halves are SQL-restatable
+    * (q86 hash-matches the composed CTEs). `alloc` must carry
+    * (groupCol, alloc_tokens); groups absent from it are dropped —
+    * identical to a zero allocation.
+    *
+    * Scale notes: `alloc` is |groups| rows BY CONSTRUCTION (it is an
+    * aggregate over the group column), so the budget attach is an
+    * unconditional broadcast; the selection itself is the one
+    * group-partitioned window q45 already pays — no new shuffle
+    * shape. */
+  def realizeMixtureAllocation(df: DataFrame, groupCol: String,
+                               idCol: String, tokenCol: String,
+                               alloc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(alloc.select(col(groupCol), col("alloc_tokens"))),
+        Seq(groupCol))
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w).cast("long"))
+      .filter(col("cum_tokens") - col(tokenCol) < col("alloc_tokens"))
+      .drop("alloc_tokens")
+  }
+
   /** Deterministic per-stratum Bernoulli sampling: keep each row with
     * its stratum's rate, decided by a content-addressed uniform draw
     * u = first-32-bits-of-md5(salt ++ id) / 2^32 — no RNG, no wall

@@ -1819,6 +1819,34 @@ class ExtSpec extends SparkSpec {
       "q84's config should exercise both branches at sf0.001")
   }
 
+  test("realized mixture keeps each group's hash-order prefix to its own budget") {
+    val toks = docs.select($"doc_id", $"lang",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    val weights = Seq("en" -> 1L, "de" -> 4L, "es" -> 3L, "fr" -> 2L,
+      "zh" -> 5L)
+    val alloc = Sampling.mixtureAllocation(toks, "lang", "n_tok", weights,
+      20000L).localCheckpoint()
+    val realized = Sampling.realizeMixtureAllocation(toks, "lang", "doc_id",
+      "n_tok", alloc).localCheckpoint()
+    // per group: identical to the single-budget q45 op at THAT budget —
+    // the per-group generalization changes the budget, not the order
+    alloc.collect().foreach { r =>
+      val g = r.getString(0)
+      val got = realized.filter($"lang" === g)
+        .select("doc_id").as[Long].collect().toSet
+      val viaSingle = Sampling.capTokensPerGroup(
+          toks.filter($"lang" === g), "lang", "doc_id", "n_tok",
+          r.getAs[Long]("alloc_tokens"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == viaSingle, s"group $g")
+    }
+    // a group absent from the allocation is dropped (zero allocation)
+    val only = Sampling.realizeMixtureAllocation(toks, "lang", "doc_id",
+      "n_tok", Seq(("en", 100L)).toDF("lang", "alloc_tokens"))
+    assert(only.select("lang").distinct().as[String].collect().toSeq ==
+      Seq("en"))
+  }
+
   test("temperature mix epochs feed repeatByWeight to realize the mix") {
     val fixture = ((1L to 8L).map(i => (i, "a")) ++ Seq((9L, "b"), (10L, "b")))
       .toDF("doc_id", "source")
