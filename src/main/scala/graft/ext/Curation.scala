@@ -85,6 +85,21 @@ object Curation {
     *     → cap compose deterministically because every stage's
     *     md5-order selection runs on its predecessor's population.
     *     None (the default) adds zero plan nodes.
+    *   - `mixtureWeights` + `mixtureBudget`: water-filled TARGET MIX
+    *     over the rate-sampled population
+    *     ([[Sampling.mixtureAllocation]] plans the per-language token
+    *     allocation — scarce languages saturate, unmet share
+    *     redistributes — and [[Sampling.realizeMixtureAllocation]]
+    *     keeps each language's hash-ordered prefix to its own
+    *     allocation, q45 boundary semantics). This is "hit THESE
+    *     domain proportions inside THIS budget" where
+    *     `tokenBudgetPerLang` is "at most N tokens of each"; the two
+    *     compose (mixture first — the uniform ceiling then trims the
+    *     realized mix). Languages absent from the weights are DROPPED
+    *     — a target mix defines the population. A budget at or above
+    *     the population's total supply saturates every group ≡
+    *     default (spec-pinned). None (the default) adds zero plan
+    *     nodes. Funnel row `06aa_mixture`.
     *   - `bloomIndexPath` (+ `bloomParams`, `maxBloomFlagged`): gate
     *     dedup survivors against a STORED benchmark Bloom sketch
     *     ([[Dedup.contaminationReportAgainstBloomIndex]] — the q65
@@ -156,6 +171,8 @@ object Curation {
       qualityModelWeights: Option[Seq[Double]] = None,
       minModelScore: Double = 0.0,
       tokenBudgetPerLang: Option[Long] = None,
+      mixtureWeights: Option[Seq[(String, Long)]] = None,
+      mixtureBudget: Option[Long] = None,
       bloomIndexPath: Option[String] = None,
       bloomParams: Dedup.BloomSketchParams = Dedup.BloomSketchParams(),
       maxBloomFlagged: Long = 0L,
@@ -181,6 +198,14 @@ object Curation {
       "minModelScore gates the model stage — set qualityModelWeights to enable it")
     require(cfg.tokenBudgetPerLang.forall(_ > 0L),
       "tokenBudgetPerLang must be positive")
+    require(cfg.mixtureWeights.isDefined == cfg.mixtureBudget.isDefined,
+      "mixtureWeights and mixtureBudget enable the mixture stage together " +
+        "— the plan needs both the target weights and the total budget")
+    require(cfg.mixtureBudget.forall(_ > 0L), "mixtureBudget must be positive")
+    require(cfg.mixtureWeights.forall(ws =>
+        ws.nonEmpty && ws.exists(_._2 > 0) && ws.forall(_._2 >= 0) &&
+          ws.map(_._1).distinct.size == ws.size),
+      "mixtureWeights needs distinct groups and at least one positive weight")
     require(cfg.maxBloomFlagged >= 0L, "maxBloomFlagged must be >= 0")
     require(cfg.semanticProbes.forall(p => p >= 1 && p <= cfg.semanticNCells),
       "need 1 <= semanticProbes <= semanticNCells")
@@ -457,26 +482,36 @@ object Curation {
       .select("doc_id")
     val clean = artifactClean.join(contaminated, Seq("doc_id"), "left_anti")
     // 5+6. mix (optional DSIR resample toward the stored target
-    // profile, optional per-language rate sample, optional token
-    // budget, then the count quota), then assign splits. DSIR → rates
-    // → budget → cap: each stage's deterministic selection runs on its
-    // predecessor's population, so the knobs compose deterministically
+    // profile, optional per-language rate sample, optional water-filled
+    // target mixture, optional token budget, then the count quota),
+    // then assign splits. DSIR → rates → mixture → budget → cap: each
+    // stage's deterministic selection runs on its predecessor's
+    // population, so the knobs compose deterministically
     val selected = dsirSelect(clean, cfg)
-    val mixBase = cfg.tokenBudgetPerLang match {
-      case Some(_) => selected.select(col("doc_id"), col("pred_lang"),
+    val needTok =
+      cfg.tokenBudgetPerLang.isDefined || cfg.mixtureWeights.isDefined
+    val mixBase =
+      if (needTok) selected.select(col("doc_id"), col("pred_lang"),
         size(split(col("text"), " ")).cast("long").as("_n_tok"))
-      case None => selected.select(col("doc_id"), col("pred_lang"))
-    }
+      else selected.select(col("doc_id"), col("pred_lang"))
     val rated =
       if (cfg.langSampleRates.nonEmpty)
         Sampling.stratifiedSampleByHash(mixBase, "doc_id", "pred_lang",
           cfg.langSampleRates)
       else mixBase
+    val mixed = cfg.mixtureWeights match {
+      case Some(ws) =>
+        val alloc = Sampling.mixtureAllocation(rated, "pred_lang", "_n_tok",
+          ws, cfg.mixtureBudget.get)
+        Sampling.realizeMixtureAllocation(rated, "pred_lang", "doc_id",
+          "_n_tok", alloc).drop("cum_tokens")
+      case None => rated
+    }
     val budgeted = cfg.tokenBudgetPerLang match {
       case Some(b) =>
-        Sampling.capTokensPerGroup(rated, "pred_lang", "doc_id", "_n_tok", b)
+        Sampling.capTokensPerGroup(mixed, "pred_lang", "doc_id", "_n_tok", b)
           .select(col("doc_id"), col("pred_lang"))
-      case None => rated
+      case None => mixed.select(col("doc_id"), col("pred_lang"))
     }
     Sampling.trainValTest(
         Sampling.capPerGroup(budgeted, "pred_lang", "doc_id", cfg.perLangCap),
@@ -636,30 +671,45 @@ object Curation {
         (sel, Seq(("06a0_dsir_select", sel.count())))
       case None => (clean, Seq.empty[(String, Long)])
     }
-    val mixBase = cfg.tokenBudgetPerLang match {
-      case Some(_) => selected.select(col("doc_id"), col("pred_lang"),
+    val needTok =
+      cfg.tokenBudgetPerLang.isDefined || cfg.mixtureWeights.isDefined
+    val mixBase =
+      if (needTok) selected.select(col("doc_id"), col("pred_lang"),
         size(split(col("text"), " ")).cast("long").as("_n_tok"))
-      case None => selected.select(col("doc_id"), col("pred_lang"))
-    }
+      else selected.select(col("doc_id"), col("pred_lang"))
     val (rated, sampleRows) =
       if (cfg.langSampleRates.nonEmpty) {
         val r = Sampling.stratifiedSampleByHash(mixBase, "doc_id",
           "pred_lang", cfg.langSampleRates).persist()
         (r, Seq(("06a_lang_sample", r.count())))
       } else (mixBase, Nil)
+    // 06aa: the optional water-filled target mixture (label sorts
+    // between 06a_lang_sample and 06b_token_budget)
+    val (mixed, mixtureRows) = cfg.mixtureWeights match {
+      case Some(ws) =>
+        val alloc = Sampling.mixtureAllocation(rated, "pred_lang",
+          "_n_tok", ws, cfg.mixtureBudget.get)
+        val m = Sampling.realizeMixtureAllocation(rated, "pred_lang",
+          "doc_id", "_n_tok", alloc).drop("cum_tokens").persist()
+        val rows = Seq(("06aa_mixture", m.count()))
+        if (sampleRows.nonEmpty) rated.unpersist()
+        (m, rows)
+      case None => (rated, Seq.empty[(String, Long)])
+    }
     val (budgeted, budgetRows) = cfg.tokenBudgetPerLang match {
       case Some(b) =>
-        val t = Sampling.capTokensPerGroup(rated, "pred_lang", "doc_id",
+        val t = Sampling.capTokensPerGroup(mixed, "pred_lang", "doc_id",
             "_n_tok", b)
           .select(col("doc_id"), col("pred_lang")).persist()
         (t, Seq(("06b_token_budget", t.count())))
-      case None => (rated, Seq.empty[(String, Long)])
+      case None => (mixed, Seq.empty[(String, Long)])
     }
     val nFinal = Sampling.capPerGroup(budgeted,
       "pred_lang", "doc_id", cfg.perLangCap).count()
     clean.unpersist()
     if (dsirRows.nonEmpty) selected.unpersist()
-    if (sampleRows.nonEmpty) rated.unpersist()
+    if (sampleRows.nonEmpty && mixtureRows.isEmpty) rated.unpersist()
+    if (mixtureRows.nonEmpty) mixed.unpersist()
     if (budgetRows.nonEmpty) budgeted.unpersist()
     (Seq(("00_input", nInput)) ++ hygieneRows ++ Seq(
       ("01_min_tokens", g.getLong(1)),
@@ -668,7 +718,7 @@ object Curation {
       ("04_exact_dedup", nExact),
       ("05_near_dedup", nNear)) ++ bloomRows ++ semRows ++ Seq(
       ("06_decontaminated", nClean)) ++ dsirRows ++ sampleRows ++
-      budgetRows ++ Seq(
+      mixtureRows ++ budgetRows ++ Seq(
       ("07_quota", nFinal))).toDF("stage", "n_docs")
   }
 

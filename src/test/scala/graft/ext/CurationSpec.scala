@@ -714,6 +714,56 @@ class CurationSpec extends SparkSpec {
       Curation.curate(corpus, benchmark, cfg.copy(tokenBudgetPerLang = Some(0L))))
   }
 
+  test("water-filled mixture slots into the chain between rates and budget") {
+    val weights = Seq("en" -> 1L, "de" -> 1L, "es" -> 1L, "fr" -> 1L,
+      "zh" -> 1L)
+    val base = Curation.curate(corpus, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    // a budget at/above the population's supply saturates every
+    // language — the chain stays exactly at its default
+    val loose = Curation.curate(corpus, benchmark,
+        cfg.copy(mixtureWeights = Some(weights),
+          mixtureBudget = Some(1000000000000L)))
+      .collect().map(_.toSeq).toSet
+    assert(loose == base,
+      "a never-binding mixture stage must reproduce the default chain")
+    // a binding budget shrinks the population and respects each
+    // language's allocation up to its boundary document (q45 rule)
+    val bound = cfg.copy(mixtureWeights = Some(weights),
+      mixtureBudget = Some(300L))
+    val curated = Curation.curate(corpus, benchmark, bound)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(curated.nonEmpty && curated.size < base.size,
+      "a 300-token mixture budget must bind on the fixture")
+    // funnel: the stage row sits between the rate mix and the token
+    // budget labels and the funnel still lands on curate()'s count
+    val byStage = Curation.curationFunnel(corpus, benchmark, bound)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.contains("06aa_mixture"))
+    assert(byStage("06aa_mixture") <= byStage("06_decontaminated"))
+    assert(byStage("07_quota") <= byStage("06aa_mixture"))
+    assert(byStage("07_quota") == curated.size.toLong)
+    // languages absent from the weights are dropped — with a surplus
+    // budget the rest of the chain is untouched, so the result is
+    // exactly the default minus that language (splits are per-doc
+    // content-addressed; caps are per-language)
+    val noEn = Curation.curate(corpus, benchmark,
+        cfg.copy(mixtureWeights = Some(weights.filterNot(_._1 == "en")),
+          mixtureBudget = Some(1000000000000L)))
+      .collect().map(_.toSeq).toSet
+    assert(noEn == base.filterNot(_(1) == "en"),
+      "dropping a language from the mix must not disturb the others")
+    // the knobs are Option-paired and validated up front
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(mixtureWeights = Some(weights))))
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(mixtureBudget = Some(10L))))
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(mixtureWeights = Some(Seq("en" -> 0L)),
+        mixtureBudget = Some(10L))))
+  }
+
   test("quota and split assignment are enforced") {
     val perLang = out.groupBy(_._2).map { case (l, rows) => l -> rows.length }
     perLang.foreach { case (l, n) =>
