@@ -347,6 +347,12 @@ object SparkEntry {
     "q64_passage_strip_capped" -> ((s, dir) =>
       ext.Dedup.stripDuplicatePassages(Tables.documents(s, dir),
         maxWindowOccurrences = Some(2))),
+    // the WITHIN-document half of the substring-dedup recipe: a window
+    // repeated inside ONE doc keeps its first occurrence by position —
+    // cross-doc duplicates untouched. Same factored oracle CTEs with a
+    // doc-scoped ranking; stream-safe per-doc rewrite (statelessHygiene)
+    "q87_intra_doc_strip" -> ((s, dir) =>
+      ext.Dedup.stripIntraDocRepeats(Tables.documents(s, dir))),
     // north-star decontamination at benchmark scale: the q36 report via
     // a Bloom filter of the benchmark's n-grams — no broadcast
     // relation, membership probed by a codegen'd expression. Rows-only:
@@ -811,6 +817,14 @@ object SparkEntry {
       |drops AS (SELECT doc_id, pos FROM r WHERE rk >= 2
       |          UNION ALL
       |          SELECT o.doc_id, o.pos FROM o JOIN hot ON o.wk = hot.wk)""".stripMargin
+
+  /** q87's drops: first occurrence WITHIN each document survives —
+    * the ranking partitions on (doc_id, wk) instead of wk alone. */
+  private val IntraDocDrops =
+    """r AS (SELECT doc_id, pos,
+      |        row_number() OVER (PARTITION BY doc_id, wk ORDER BY pos) AS rk
+      |      FROM o),
+      |drops AS (SELECT doc_id, pos FROM r WHERE rk >= 2)""".stripMargin
 
   private val PassageStripCtes = passageStripCtes(RankedDrops)
 
@@ -1344,6 +1358,10 @@ object SparkEntry {
     // derivation: occ > 2 keys cut everywhere, cold keys ranked as q58
     "q64_passage_strip_capped" ->
       s"WITH ${passageStripCtes(CappedDrops)}\nSELECT * FROM strip",
+    // the q58 pipeline with a DOC-SCOPED ranking spliced in: repeats
+    // within one document cut, cross-document duplicates untouched
+    "q87_intra_doc_strip" ->
+      s"WITH ${passageStripCtes(IntraDocDrops)}\nSELECT * FROM strip",
     // deterministic per-stratum Bernoulli keep: u = first 32 md5 bits
     // over 2^32 (exact in double on both engines), rate via CASE
     "q66_stratified_sample" ->

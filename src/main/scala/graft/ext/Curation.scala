@@ -41,6 +41,13 @@ object Curation {
     *     text a model would) and BEFORE line dedup — junk lines never
     *     reach the cross-document window; `minLineWords` /
     *     `lineTerminalPunct` are its rules.
+    *   - `stripIntraDocRepeats`: WITHIN-document repeated-passage
+    *     strip ([[Dedup.stripIntraDocRepeats]]) after the line filter
+    *     and before the cross-document stages — templated pages
+    *     repeating their own boilerplate are cleaned per doc
+    *     (`intraDocWindowTokens` is its window). A pure per-document
+    *     rewrite, so it rides [[statelessHygiene]] into the curation
+    *     stream. Funnel row `00ac_intra_doc_strip`.
     *   - `dedupLines`: cross-document line dedup ([[Dedup.dedupLines]])
     *     after the scrub, before the quality gates — so gates score the
     *     text a model would actually see; `maxLineOccurrences` is its
@@ -159,6 +166,8 @@ object Curation {
       filterLines: Boolean = false,
       minLineWords: Int = 3,
       lineTerminalPunct: Boolean = true,
+      stripIntraDocRepeats: Boolean = false,
+      intraDocWindowTokens: Int = 8,
       dedupLines: Boolean = false,
       lineMinOccurrences: Int = 2,
       maxLineOccurrences: Option[Int] = None,
@@ -196,6 +205,8 @@ object Curation {
       "qualityModelWeights, when set, needs a non-empty vector")
     require(cfg.qualityModelWeights.nonEmpty || cfg.minModelScore == 0.0,
       "minModelScore gates the model stage — set qualityModelWeights to enable it")
+    require(cfg.intraDocWindowTokens >= 2,
+      "intraDocWindowTokens must be >= 2")
     require(cfg.tokenBudgetPerLang.forall(_ > 0L),
       "tokenBudgetPerLang must be positive")
     require(cfg.mixtureWeights.isDefined == cfg.mixtureBudget.isDefined,
@@ -361,14 +372,15 @@ object Curation {
   }
 
   /** The hygiene ladder's STATELESS prefix — PII scrub (+ saturation
-    * gate) and the C4 rule-based line filter — as one (doc_id, text)
-    * rewrite. These are pure per-document functions (no cross-document
-    * state), so they are micro-batch-safe by construction: applying
-    * them to a stream batch produces byte-identical text to the batch
-    * chain on the same rows. Factored out of [[hygiene]] exactly so
+    * gate), the C4 rule-based line filter, and the intra-document
+    * repeat strip — as one (doc_id, text) rewrite. These are pure
+    * per-document functions (no cross-document state), so they are
+    * micro-batch-safe by construction: applying them to a stream batch
+    * produces byte-identical text to the batch chain on the same rows.
+    * Factored out of [[hygiene]] exactly so
     * `EventStream.curationStream` can run the same rewrites ahead of
-    * its gates; the corpus-wide hygiene stages (line dedup, passage
-    * strip) stay batch-only — their streaming forms are the
+    * its gates; the corpus-wide hygiene stages (line dedup, cross-doc
+    * passage strip) stay batch-only — their streaming forms are the
     * index-backed ingest twins. Identity (zero plan nodes) with the
     * flags off. */
   def statelessHygiene(docs: DataFrame, cfg: Config = Config()): DataFrame = {
@@ -379,10 +391,16 @@ object Curation {
       cfg.maxRedactionsPerDoc.fold(r)(m => r.filter(col("n_redactions") <= m))
         .select(col("doc_id"), col("redacted").as("text"))
     } else base
-    if (cfg.filterLines)
-      TextAnalysis.filterLines(scrubbed, cfg.minLineWords, cfg.lineTerminalPunct)
+    val ruleClean =
+      if (cfg.filterLines)
+        TextAnalysis.filterLines(scrubbed, cfg.minLineWords,
+            cfg.lineTerminalPunct)
+          .select(col("doc_id"), col("clean_text").as("text"))
+      else scrubbed
+    if (cfg.stripIntraDocRepeats)
+      Dedup.stripIntraDocRepeats(ruleClean, cfg.intraDocWindowTokens)
         .select(col("doc_id"), col("clean_text").as("text"))
-    else scrubbed
+    else ruleClean
   }
 
   /** Exact-dedup key frame: raw text, or normalized text when
@@ -569,8 +587,16 @@ object Curation {
       hygieneRows += (("00ab_line_filter", rf.count()))
       rf
     } else scrubbed
+    // 00ac: sorts between 00ab and 00b (the label-namespace rule)
+    val intraClean = if (cfg.stripIntraDocRepeats) {
+      val ic = Dedup.stripIntraDocRepeats(ruleClean, cfg.intraDocWindowTokens)
+        .select(col("doc_id"), col("clean_text").as("text")).persist()
+      hygieneCached += ic
+      hygieneRows += (("00ac_intra_doc_strip", ic.count()))
+      ic
+    } else ruleClean
     val lineClean = if (cfg.dedupLines) {
-      val ld = Dedup.dedupLines(ruleClean, cfg.lineMinOccurrences,
+      val ld = Dedup.dedupLines(intraClean, cfg.lineMinOccurrences,
           maxLineOccurrences = cfg.maxLineOccurrences)
         .select(col("doc_id"), col("clean_text").as("text")).persist()
       hygieneCached += ld

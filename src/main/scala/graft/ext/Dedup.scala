@@ -2065,6 +2065,39 @@ object Dedup {
       .filter(col("n_tokens_kept") > 0)
   }
 
+  /** Strip WITHIN-document repeated passages: every repeat of a
+    * `windowTokens`-token window INSIDE one document keeps its first
+    * occurrence (by position) and later occurrences' spans are cut —
+    * the intra-document half of the Lee et al. 2021 substring-dedup
+    * recipe (templated pages repeat their own boilerplate),
+    * complementing [[stripDuplicatePassages]]'s cross-document rule;
+    * output contract and short-doc/empty-doc handling are identical.
+    * A pure per-document function — no cross-document state — so it is
+    * micro-batch-safe by construction and rides
+    * `Curation.statelessHygiene` into the streaming chain unchanged.
+    *
+    * Scale notes (100 TB): the same single tokenize+window+md5 pass as
+    * the cross-doc strip, but the ranking window keys on
+    * (doc_id, wk) — the shuffle is document-scoped, so a corpus-wide
+    * boilerplate window CANNOT concentrate on one reducer (a key's
+    * occurrence list is bounded by one document's length), which is
+    * why this op needs no hot-key cap knob. */
+  def stripIntraDocRepeats(docs: DataFrame,
+                           windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val (short, long) = splitByWindow(docs, windowTokens)
+    val drops = {
+      import org.apache.spark.sql.expressions.Window
+      passageWindows(long, windowTokens)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id"), col("wk")).orderBy(col("pos"))))
+        .filter(col("rk") >= 2)
+        .select(col("doc_id"), col("pos"))
+    }
+    cutSpans(long, drops, windowTokens).unionByName(short)
+      .filter(col("n_tokens_kept") > 0)
+  }
+
   /** The ranking half of the passage strip: global first occurrence
     * (by doc_id, then position) survives, every later occurrence is a
     * drop. rk >= 2 exists only when the window is duplicated, so no

@@ -764,6 +764,37 @@ class CurationSpec extends SparkSpec {
         mixtureBudget = Some(10L))))
   }
 
+  test("intra-doc strip rides the stateless hygiene prefix with its funnel row") {
+    val on = Curation.Config(stripIntraDocRepeats = true)
+    val phrase = "a b c d e f g h"
+    val crafted = Seq(
+      (1L, s"$phrase then content $phrase"),
+      (2L, "plain document with no internal repeats at all")
+    ).toDF("doc_id", "text")
+    // the stateless prefix applies exactly the op's rewrite (the
+    // contract that makes the curation stream's text byte-identical)
+    val viaHygiene = Curation.statelessHygiene(crafted, on)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaOp = Dedup.stripIntraDocRepeats(crafted)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+    assert(viaHygiene == viaOp)
+    assert(viaHygiene(1L) == s"$phrase then content")
+    // defaults off: statelessHygiene is the identity projection
+    assert(Curation.statelessHygiene(crafted).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      crafted.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    // funnel: the stage reports between the line filter slot and line
+    // dedup, monotone, on the real fixture
+    val byStage = Curation.curationFunnel(corpus, benchmark,
+        cfg.copy(stripIntraDocRepeats = true))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.contains("00ac_intra_doc_strip"))
+    assert(byStage("00ac_intra_doc_strip") <= byStage("00_input"))
+    // window bound validated up front
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(stripIntraDocRepeats = true, intraDocWindowTokens = 1)))
+  }
+
   test("quota and split assignment are enforced") {
     val perLang = out.groupBy(_._2).map { case (l, rows) => l -> rows.length }
     perLang.foreach { case (l, n) =>

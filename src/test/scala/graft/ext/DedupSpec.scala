@@ -599,6 +599,37 @@ class DedupSpec extends SparkSpec {
       s"cap path scanned the corpus ${scans.value} times — explode materialization lost?")
   }
 
+  test("intra-doc strip cuts within-doc repeats only; cross-doc duplicates untouched") {
+    val phrase = "a b c d e f g h" // exactly one 8-token window
+    val docs = Seq(
+      (1L, s"$phrase x y z $phrase"),      // repeats ITSELF → second cut
+      (2L, s"$phrase unique tail follows"),// duplicates doc 1 ACROSS docs
+      (3L, "short doc")                    // under the window: pass-through
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripIntraDocRepeats(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_kept"),
+          r.getAs[Long]("n_tokens_dropped")))).toMap
+    // doc 1: window at pos 11 repeats pos 0 → tokens 11..18 cut
+    assert(out(1L) == ((s"$phrase x y z", 11L, 8L)), s"got ${out(1L)}")
+    // doc 2: its window is unique WITHIN the doc — untouched, even
+    // though the cross-doc strip would cut it (the contrast claim)
+    assert(out(2L) == ((s"$phrase unique tail follows", 11L, 0L)))
+    val crossDoc = Dedup.stripDuplicatePassages(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens_dropped")).toMap
+    assert(crossDoc(2L) > 0L,
+      "sanity: the cross-doc op does cut doc 2's duplicated window")
+    // doc 3: short pass-through
+    assert(out(3L) == (("short doc", 2L, 0L)))
+    // a doc that is ONE phrase repeated collapses to its first window;
+    // overlapping drop spans merge
+    val rep = Seq((9L, s"$phrase $phrase $phrase")).toDF("doc_id", "text")
+    val r9 = Dedup.stripIntraDocRepeats(rep).head()
+    assert(r9.getAs[String]("clean_text") == phrase &&
+      r9.getAs[Long]("n_tokens_kept") == 8L &&
+      r9.getAs[Long]("n_tokens_dropped") == 16L, s"got $r9")
+  }
+
   test("passage strip hot-window cap agrees with exact on cold keys and cuts hot windows everywhere") {
     // planted mega-window: "x y z" occurs in 4 docs (> cap 2) — the
     // boilerplate case that would concentrate one reducer at scale.
