@@ -353,6 +353,17 @@ object SparkEntry {
     // doc-scoped ranking; stream-safe per-doc rewrite (statelessHygiene)
     "q87_intra_doc_strip" -> ((s, dir) =>
       ext.Dedup.stripIntraDocRepeats(Tables.documents(s, dir))),
+    // event analytics: ordered-sequence funnel (click → view →
+    // purchase, strict timestamp order) — per-step min-reach
+    // aggregates, restated by chained min-filter CTEs in the oracle
+    "q88_event_funnel" -> ((s, dir) =>
+      ext.Events.funnel(Tables.events(s, dir),
+        Seq("click", "view", "purchase"))),
+    // event analytics: weekly cohort retention (first-event week ×
+    // week offset) — Monday-truncated weeks and exact integer offsets
+    // keep the hash compare engine-portable
+    "q89_cohort_retention" -> ((s, dir) =>
+      ext.Events.cohortRetention(Tables.events(s, dir))),
     // north-star decontamination at benchmark scale: the q36 report via
     // a Bloom filter of the benchmark's n-grams — no broadcast
     // relation, membership probed by a codegen'd expression. Rows-only:
@@ -1362,6 +1373,40 @@ object SparkEntry {
     // within one document cut, cross-document duplicates untouched
     "q87_intra_doc_strip" ->
       s"WITH ${passageStripCtes(IntraDocDrops)}\nSELECT * FROM strip",
+    // chained per-step min-reach: step k's earliest time strictly after
+    // the user's step-(k-1) reach; counts non-increasing by construction
+    "q88_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |            WHERE event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'click' AS step,
+        |  CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'view',
+        |  CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase',
+        |  CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""".stripMargin,
+    // Monday-truncated weeks both engines; the day difference of two
+    // week-truncated stamps is an exact multiple of 7
+    "q89_cohort_retention" ->
+      """WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events
+        |           GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id,
+        |        strftime(date_trunc('week', f.first_ts), '%Y-%m-%d')
+        |          AS cohort_week,
+        |        CAST(date_diff('day',
+        |               date_trunc('week', f.first_ts),
+        |               date_trunc('week', e.ts)) // 7 AS BIGINT)
+        |          AS week_offset
+        |      FROM events e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
     // deterministic per-stratum Bernoulli keep: u = first 32 md5 bits
     // over 2^32 (exact in double on both engines), rate via CASE
     "q66_stratified_sample" ->

@@ -70,6 +70,73 @@ object Events {
         round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.9)"), 4).as("p90"))
 
+  /** Ordered-sequence funnel: how many users complete each prefix of
+    * `steps` in timestamp order (step k counts users with a step-k
+    * event STRICTLY after their earliest in-order completion of step
+    * k−1). The classic product-analytics query, expressed as a fold of
+    * per-step min-timestamp aggregates — each step is one
+    * filter + user-keyed join + map-side-combined min, so the whole
+    * funnel is |steps| narrow passes over the (pushdown-pruned) step
+    * slices, never a per-user collect or sequence sort. Returns
+    * (step_idx, step, n_users) with n_users non-increasing by
+    * construction. Counterpart of the reference's staged load
+    * validation (load_sales_history.py:241-246 counts survivors of
+    * each stage) applied to user journeys.
+    *
+    * Scale notes (100 TB of events): each stage's frame is
+    * |users-reaching-that-step| rows keyed by user_id — the joins
+    * shuffle ids + one timestamp, never event payloads; the
+    * event-type filters push to the scan. Steps are enum-sized, so
+    * the plan is a short static chain, and AQE broadcasts the
+    * shrinking reach frames as they fall under the threshold. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("reach_ts"))
+    val reached = steps.tail.scanLeft(first) { (prev, st) =>
+      events.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("reach_ts").as("_prev_ts")),
+          Seq("user_id"))
+        .filter(col("ts") > col("_prev_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("reach_ts"))
+    }
+    reached.zip(steps).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step_idx"), lit(st).as("step"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * FIRST event; for each cohort, how many distinct users were active
+    * 0, 1, 2 … weeks later. Returns (cohort_week, week_offset,
+    * n_users); offset 0 is the cohort size. Both engines truncate
+    * weeks to Monday and the offset is an exact integer (both
+    * endpoints are week-truncated, so the day difference is a
+    * multiple of 7), which is what keeps the q89 oracle hash-exact;
+    * the cohort week is reported as a yyyy-MM-dd STRING (date columns
+    * round-trip as different physical types across engines).
+    *
+    * Scale notes: one user-keyed min aggregate (map-side combined) +
+    * one user-keyed join that carries a timestamp per side, then a
+    * distinct + count on (user, cohort, offset) — cardinality-bounded
+    * by active user-weeks, not events. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+    events.join(firsts, Seq("user_id"))
+      .select(col("user_id"),
+        date_format(date_trunc("week", col("first_ts")), "yyyy-MM-dd")
+          .as("cohort_week"),
+        (datediff(to_date(date_trunc("week", col("ts"))),
+            to_date(date_trunc("week", col("first_ts")))) / 7)
+          .cast("long").as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Gap-based sessionization: a new session starts after `gapMinutes` of
     * inactivity. Window functions over (user_id, ts) — deterministic
     * tie-break on event_id. Returns per-user session/event counts. */

@@ -1864,6 +1864,63 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("funnel counts in-order step completion; order violations don't count") {
+    def ev(rows: (Long, Long, String, String)*) = rows
+      .map { case (e, u, t, ty) =>
+        (e, u, java.sql.Timestamp.valueOf(t), ty) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val events = ev(
+      // user 1: full in-order journey
+      (1L, 1L, "2024-01-01 10:00:00", "click"),
+      (2L, 1L, "2024-01-01 10:05:00", "view"),
+      (3L, 1L, "2024-01-01 10:10:00", "purchase"),
+      // user 2: purchase BEFORE the view → stops at step 2
+      (4L, 2L, "2024-01-01 09:00:00", "click"),
+      (5L, 2L, "2024-01-01 09:01:00", "purchase"),
+      (6L, 2L, "2024-01-01 09:02:00", "view"),
+      // user 3: never clicks → counts nowhere
+      (7L, 3L, "2024-01-01 08:00:00", "view"),
+      (8L, 3L, "2024-01-01 08:01:00", "purchase"),
+      // user 4: clicks only
+      (9L, 4L, "2024-01-01 07:00:00", "click"))
+    val out = Events.funnel(events, Seq("click", "view", "purchase"))
+      .collect().map(r => (r.getAs[Long]("step_idx"),
+        r.getAs[String]("step"), r.getAs[Long]("n_users"))).toSet
+    assert(out == Set((1L, "click", 3L), (2L, "view", 2L),
+      (3L, "purchase", 1L)), s"got $out")
+    // user 2's later view re-opens step 2 but there is no purchase
+    // AFTER it — the strict-order rule the oracle restates
+    val withLate = events.unionByName(
+      ev((10L, 2L, "2024-01-01 09:01:30", "purchase")).select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type")))
+    // still no purchase after 09:02 view → step 3 unchanged
+    val again = Events.funnel(withLate, Seq("click", "view", "purchase"))
+      .filter(col("step_idx") === 3).head().getAs[Long]("n_users")
+    assert(again == 1L)
+  }
+
+  test("cohort retention groups by first-event week with exact offsets") {
+    def ev(rows: (Long, Long, String)*) = rows
+      .map { case (e, u, t) => (e, u, java.sql.Timestamp.valueOf(t)) }
+      .toDF("event_id", "user_id", "ts")
+    // weeks: 2024-01-01 and 2024-01-08 are both Mondays
+    val events = ev(
+      (1L, 1L, "2024-01-02 10:00:00"),  // cohort W0
+      (2L, 1L, "2024-01-10 10:00:00"),  // active W0+1
+      (3L, 1L, "2024-01-11 10:00:00"),  // same week — counted once
+      (4L, 2L, "2024-01-03 10:00:00"),  // cohort W0, never returns
+      (5L, 3L, "2024-01-09 10:00:00"),  // cohort W1
+      (6L, 3L, "2024-01-21 10:00:00"))  // W1+1? 01-21 is a Sunday → offset 1
+    val out = Events.cohortRetention(events).collect()
+      .map(r => (r.getAs[String]("cohort_week"),
+        r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L,
+      ("2024-01-01", 1L) -> 1L,
+      ("2024-01-08", 0L) -> 1L,
+      ("2024-01-08", 1L) -> 1L), s"got $out")
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
