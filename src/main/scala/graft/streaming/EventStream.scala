@@ -30,6 +30,12 @@ final case class SessionState(startMs: Long, lastMs: Long, nEvents: Int)
 final case class SessionOut(user_id: Long, session_start_ms: Long,
                             session_end_ms: Long, n_events: Int)
 
+/** Per-user funnel progression: the next step awaited (0-based) and the
+  * event-time (ms) the previous step was reached. */
+final case class FunnelState(nextStep: Int, reachMs: Long)
+final case class FunnelOut(user_id: Long, step_idx: Int, step: String,
+                           reach_ms: Long)
+
 object EventStream {
 
   /** Tumbling windowed count/sum with watermark — the streaming twin of
@@ -104,6 +110,55 @@ object EventStream {
             }
             closed.result().iterator
           }
+      }
+      .toDF()
+  }
+
+  /** Streaming funnel — `ext.Events.funnel`'s continuous twin: a
+    * per-user state machine advances through `steps` as events arrive,
+    * emitting one (user, step_idx, step, reach_ms) row the moment a
+    * user completes each step strictly after their previous one. On
+    * event-time-ordered input the emitted reach times equal the batch
+    * op's min-reach chain (each step is first completed at its
+    * earliest qualifying event — spec-pinned on the fixture); input
+    * arriving out of event-time order ACROSS micro-batches is the
+    * documented approximation (within a batch rows are sorted), the
+    * standard trade of streaming sequence detection.
+    *
+    * Scale notes: state is ONE small record per user ever seen —
+    * bounded by the user population, not the stream — and completed
+    * users keep their terminal record (removing it would silently
+    * restart their journey on the next matching event; a retention
+    * policy belongs to the platform's key-expiry, not this operator).
+    * No timeout: a funnel has no inactivity semantics. */
+  def funnelStream(spark: org.apache.spark.sql.SparkSession,
+                   events: DataFrame, steps: Seq[String],
+                   watermark: String = "5 minutes"): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OM.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[FunnelState]) =>
+          val sorted = rows.map(r => (r._2.getTime, r._3)).toSeq.sortBy(_._1)
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val outs = Seq.newBuilder[FunnelOut]
+          sorted.foreach { case (t, ty) =>
+            if (st.nextStep < steps.length && ty == steps(st.nextStep) &&
+                t > st.reachMs) {
+              st = FunnelState(st.nextStep + 1, t)
+              outs += FunnelOut(userId, st.nextStep, steps(st.nextStep - 1), t)
+            }
+          }
+          state.update(st)
+          outs.result().iterator
       }
       .toDF()
   }

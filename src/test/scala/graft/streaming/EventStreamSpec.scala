@@ -789,6 +789,66 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel advances per-user state across micro-batches in order") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventStream.funnelStream(spark, mem.toDF(),
+      Seq("click", "view", "purchase"))
+    val q = out.writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 clicks; user 2 purchases first (no credit)
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+        Ev(2, ts("2024-01-01 10:00:00"), 2, "purchase", 1.0, "{}"),
+        Ev(3, ts("2024-01-01 10:01:00"), 2, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: user 1 completes view+purchase (same batch, ordered);
+      // user 2 views — purchase came BEFORE, so they stop at step 2
+      mem.addData(
+        Ev(4, ts("2024-01-01 10:05:00"), 1, "view", 1.0, "{}"),
+        Ev(5, ts("2024-01-01 10:06:00"), 1, "purchase", 1.0, "{}"),
+        Ev(6, ts("2024-01-01 10:07:00"), 2, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step_idx"),
+          r.getAs[String]("step"), r.getAs[Long]("reach_ms"))).toSet
+      assert(rows == Set(
+        (1L, 1, "click", ts("2024-01-01 10:00:00").getTime),
+        (1L, 2, "view", ts("2024-01-01 10:05:00").getTime),
+        (1L, 3, "purchase", ts("2024-01-01 10:06:00").getTime),
+        (2L, 1, "click", ts("2024-01-01 10:01:00").getTime),
+        (2L, 2, "view", ts("2024-01-01 10:07:00").getTime)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming funnel agrees with the batch funnel on ordered fixture replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.Tables.events(spark, sf("sf0.001"))
+    val steps = Seq("click", "view", "purchase")
+    val mem = MemoryStream[Ev]
+    val q = EventStream.funnelStream(spark, mem.toDF(), steps)
+      .writeStream.format("memory").queryName("funnel_replay")
+      .outputMode("append").start()
+    try {
+      // one micro-batch holds the whole fixture; rows sort in-batch, so
+      // the stream sees event-time order and must equal the batch op
+      mem.addData(fixture.collect().map(r => Ev(
+        r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value"), r.getAs[String]("props"))): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_replay")
+        .groupBy($"step_idx").count()
+        .collect().map(r => r.getAs[Int]("step_idx").toLong -> r.getLong(1))
+        .toMap
+      val batch = graft.ext.Events.funnel(fixture, steps)
+        .collect().map(r => r.getAs[Long]("step_idx") ->
+          r.getAs[Long]("n_users")).toMap
+      assert(streamed == batch.filter(_._2 > 0L), s"$streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming sessionizer agrees with batch sessionize on a full replay") {
     implicit val sqlCtx = spark.sqlContext
     val fixture = graft.Tables.events(spark, sf("sf0.001"))
