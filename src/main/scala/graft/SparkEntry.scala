@@ -364,6 +364,29 @@ object SparkEntry {
     // keep the hash compare engine-portable
     "q89_cohort_retention" -> ((s, dir) =>
       ext.Events.cohortRetention(Tables.events(s, dir))),
+    // north-star hygiene: C4-style word-blocklist scoring — per-doc
+    // blocklisted-token occurrences (codegen set probe, multiplicities)
+    // plus the keep decision at ceiling 2; also a Curation.Config gate
+    "q90_blocklist" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      ext.TextAnalysis.blocklistHits(Tables.documents(s, dir),
+          Seq("slow", "dup"))
+        .withColumn("kept", col("n_hits") <= 2L)
+    }),
+    // north-star skew observability: hot-token screen against a stored
+    // count-min frequency sketch — distinct tokens whose estimate
+    // reaches 2% of total adds (share-scaled, so the split survives SF
+    // changes). Rows-only: CMS estimates aren't SQL-expressible; ExtSpec
+    // pins the never-undercount superset property against exact counts
+    "q91_hot_tokens" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, explode, split}
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val path = ext.Frequency.ensureFrequencySketch(toks,
+        "/tmp/graft_cms_cache", s"$dir/documents.parquet", "tok")
+      ext.Frequency.hotValuesAgainstSketch(toks, path,
+        ext.Frequency.totalAdds(s, path) / 50L)
+    }),
     // north-star decontamination at benchmark scale: the q36 report via
     // a Bloom filter of the benchmark's n-grams — no broadcast
     // relation, membership probed by a codegen'd expression. Rows-only:
@@ -1407,6 +1430,18 @@ object SparkEntry {
         |      FROM events e JOIN f USING (user_id))
         |SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM a GROUP BY 1, 2""".stripMargin,
+    // blocklist hits = tokens (single-space split, empties kept) whose
+    // lowercase form is on the list, counting multiplicities — the
+    // list_filter length restates the codegen set probe exactly
+    "q90_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |         t -> list_contains(['slow', 'dup'], t))) AS BIGINT)
+        |    AS n_hits,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |         t -> list_contains(['slow', 'dup'], t))) AS BIGINT) <= 2
+        |    AS kept
+        |FROM documents""".stripMargin,
     // deterministic per-stratum Bernoulli keep: u = first 32 md5 bits
     // over 2^32 (exact in double on both engines), rate via CASE
     "q66_stratified_sample" ->

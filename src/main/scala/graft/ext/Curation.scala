@@ -70,6 +70,15 @@ object Curation {
     *     `normalizeForDedup` (raw-key groups are byte-identical, where
     *     it degrades to exactly the default); the "keep the best crawl
     *     variant" rule.
+    *   - `blocklist` (+ `maxBlocklistHits`): C4-style word-blocklist
+    *     gate ([[TextAnalysis.blocklistHits]] — Raffel et al. 2020
+    *     §2.2's banned-word page cut): drop docs with more than
+    *     `maxBlocklistHits` blocklisted-token occurrences (the C4 rule
+    *     is the default ceiling 0 — any hit drops the page). Rides the
+    *     heuristic gate block — a pure codegen conjunct fused into the
+    *     same scan (zero extra passes, stream-safe via
+    *     [[streamingGates]]). Empty (the default) adds zero plan
+    *     nodes. Funnel row `03_word_blocklist`.
     *   - `langSampleRates`: per-language Bernoulli keep rates
     *     ([[Sampling.stratifiedSampleByHash]] on `pred_lang`) applied
     *     ahead of the count quota — the fractional mixing knob
@@ -156,6 +165,8 @@ object Curation {
       minTokens: Int = 15,
       maxDupTrigramFrac: Double = 0.5,
       keepLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
+      blocklist: Seq[String] = Nil,
+      maxBlocklistHits: Long = 0L,
       maxOverlapNgrams: Long = 4,
       perLangCap: Int = 100,
       trainPct: Int = 80,
@@ -207,6 +218,11 @@ object Curation {
       "minModelScore gates the model stage — set qualityModelWeights to enable it")
     require(cfg.intraDocWindowTokens >= 2,
       "intraDocWindowTokens must be >= 2")
+    require(cfg.blocklist.nonEmpty || cfg.maxBlocklistHits == 0L,
+      "maxBlocklistHits gates the blocklist stage — set blocklist to enable it")
+    require(cfg.blocklist.forall(w => w.nonEmpty && !w.contains(' ')),
+      "blocklist entries must be non-empty single tokens (no spaces)")
+    require(cfg.maxBlocklistHits >= 0L, "maxBlocklistHits must be >= 0")
     require(cfg.tokenBudgetPerLang.forall(_ > 0L),
       "tokenBudgetPerLang must be positive")
     require(cfg.mixtureWeights.isDefined == cfg.mixtureBudget.isDefined,
@@ -461,11 +477,19 @@ object Curation {
     * semi-join. Output carries `pred_lang`. */
   def streamingGates(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     requireConfig(cfg)
+    val heuristic = size(split(col("text"), " ")) >= cfg.minTokens &&
+      TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac &&
+      col("pred_lang").isin(cfg.keepLangs: _*)
+    // the optional blocklist conjunct fuses into the same scan — a
+    // codegen set probe, no extra pass; absent entirely by default
+    val gateCond =
+      if (cfg.blocklist.nonEmpty)
+        heuristic && graft.functions.BlocklistHits
+          .blocklist_hits(col("text"), cfg.blocklist) <= cfg.maxBlocklistHits
+      else heuristic
     val heuristicGated = docs.select(col("doc_id"), col("text"))
       .withColumn("pred_lang", TextAnalysis.langPrediction(col("text")))
-      .filter(size(split(col("text"), " ")) >= cfg.minTokens &&
-        TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac &&
-        col("pred_lang").isin(cfg.keepLangs: _*))
+      .filter(gateCond)
     // optional model-score and LM perplexity gates — identity with
     // default flags
     lmGate(modelGate(heuristicGated, cfg), cfg)
@@ -611,7 +635,7 @@ object Curation {
       hygieneRows += (("00c_passage_strip", ps.count()))
       ps
     } else lineClean
-    val flagged = passageClean
+    val flaggedBase = passageClean
       .withColumn("f_tokens",
         (size(split(col("text"), " ")) >= cfg.minTokens).cast("long"))
       .withColumn("f_rep",
@@ -620,19 +644,41 @@ object Curation {
       .withColumn("pred_lang", TextAnalysis.langPrediction(col("text")))
       .withColumn("f_lang",
         col("pred_lang").isin(cfg.keepLangs: _*).cast("long"))
-    val g = flagged.agg(
-      count(lit(1)).as("n_input"),
+    // 03_word: the optional blocklist gate gets its own flag + funnel
+    // slot (label sorts between 03_language and 03a_model_gate)
+    val flagged =
+      if (cfg.blocklist.nonEmpty)
+        flaggedBase.withColumn("f_block",
+          (graft.functions.BlocklistHits
+            .blocklist_hits(col("text"), cfg.blocklist) <=
+            cfg.maxBlocklistHits).cast("long"))
+      else flaggedBase
+    val aggExprs = Seq(
       sum(col("f_tokens")).as("n_tok"),
       sum(col("f_tokens") * col("f_rep")).as("n_rep"),
-      sum(col("f_tokens") * col("f_rep") * col("f_lang")).as("n_lang")).head()
+      sum(col("f_tokens") * col("f_rep") * col("f_lang")).as("n_lang")) ++
+      (if (cfg.blocklist.nonEmpty)
+        Seq(sum(col("f_tokens") * col("f_rep") * col("f_lang") *
+          col("f_block")).as("n_block"))
+      else Nil)
+    val g = flagged.agg(count(lit(1)).as("n_input"), aggExprs: _*).head()
     // with a drop-capable hygiene stage in force the gate aggregate no
     // longer sees the raw corpus — count it separately (doc_id only)
     val nInput =
       if (hygieneRows.nonEmpty) docs.select(col("doc_id")).count()
       else g.getLong(0)
+    val gateFilter =
+      if (cfg.blocklist.nonEmpty)
+        col("f_tokens") === 1 && col("f_rep") === 1 && col("f_lang") === 1 &&
+          col("f_block") === 1
+      else
+        col("f_tokens") === 1 && col("f_rep") === 1 && col("f_lang") === 1
+    val blockRows =
+      if (cfg.blocklist.nonEmpty) Seq(("03_word_blocklist", g.getLong(4)))
+      else Seq.empty[(String, Long)]
     val heuristicGated = flagged
-      .filter(col("f_tokens") === 1 && col("f_rep") === 1 && col("f_lang") === 1)
-      .drop("f_tokens", "f_rep", "f_lang")
+      .filter(gateFilter)
+      .drop("f_tokens", "f_rep", "f_lang", "f_block")
       .persist()
     heuristicGated.count() // materialize BEFORE the next stage reads it twice
     hygieneCached.foreach(_.unpersist())
@@ -740,7 +786,7 @@ object Curation {
     (Seq(("00_input", nInput)) ++ hygieneRows ++ Seq(
       ("01_min_tokens", g.getLong(1)),
       ("02_repetition", g.getLong(2)),
-      ("03_language", g.getLong(3))) ++ modelRows ++ lmRows ++ Seq(
+      ("03_language", g.getLong(3))) ++ blockRows ++ modelRows ++ lmRows ++ Seq(
       ("04_exact_dedup", nExact),
       ("05_near_dedup", nNear)) ++ bloomRows ++ semRows ++ Seq(
       ("06_decontaminated", nClean)) ++ dsirRows ++ sampleRows ++

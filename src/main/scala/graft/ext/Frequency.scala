@@ -1,0 +1,240 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Approximate value-frequency tracking via a stored count-min sketch —
+  * the hot-key observability a 100 TB pipeline needs without an exact
+  * full-value shuffle: how often does each line / token / window occur
+  * across the corpus, asked as point estimates against an eps-sized
+  * artifact. The skew caps this engine already runs
+  * (`maxLineOccurrences`, `maxPassageOccurrences`) compute exact
+  * occurrence counts in-job; at recurring-ingest cadence the same
+  * question ("which keys are hot?") is answered here from stored state
+  * in one scan-fused probe — the frequency twin of the reference's
+  * recomputed validation aggregates (load_sales_history.py:241-246).
+  *
+  * CMS algebra drives every contract below: counters are integer sums
+  * of per-row increments, so (a) merge = counter-wise add — commutative
+  * and associative, partial aggregation order can't change a register —
+  * which makes a sketch's serialized bytes DETERMINISTIC for a given
+  * input multiset and parameters; (b) estimates NEVER undercount
+  * (each row's counter ≥ the true count), so a hot-value probe returns
+  * a SUPERSET of the truly-hot keys — the same no-false-negative shape
+  * as the Bloom decontamination gate, and exactly what a skew-cap
+  * screen needs; (c) add-merge is NOT idempotent (unlike HLL's
+  * register-max), so replayed appends WOULD double-count — this family
+  * therefore rides the CountProfile replay discipline: appends carry
+  * batch tags, readers dedup tagged rows by identical row before
+  * merging (sound precisely because of (a)'s byte determinism), and
+  * NULL-tagged rows merge raw so deliberate batch-API double-appends
+  * still count.
+  *
+  * Scale notes (100 TB): the only corpus-sized pass is the map-side
+  * partial `count_min_sketch` aggregate in write/append — one shuffle
+  * of |partitions| partial sketches (eps-sized, KBs–MBs), never rows.
+  * The stored relation is |appends| sketch rows, collapsed by
+  * compaction; probes broadcast one merged sketch as expression state
+  * ([[graft.functions.CmsEstimate]]) and fuse into the scan. The
+  * hot-value screen filters BEFORE its distinct, so the shuffle
+  * carries only (superset-of-)hot keys.
+  */
+object Frequency {
+
+  /** eps 1e-3 → width 2000 (over-count slack ≤ eps × total adds);
+    * confidence 0.99 → depth 7; ~112 KB of counters. */
+  final case class CmsParams(eps: Double = 1e-3, confidence: Double = 0.99,
+                             seed: Int = 17) {
+    require(eps > 0 && eps < 1, s"eps must be in (0, 1), got $eps")
+    require(confidence > 0 && confidence < 1,
+      s"confidence must be in (0, 1), got $confidence")
+  }
+
+  private val SketchSchema = StructType(Seq(
+    StructField("sketch", BinaryType, nullable = false),
+    StructField("batch_id", LongType, nullable = true)))
+
+  private def sketchParams(valueCol: String, p: CmsParams): Map[String, String] =
+    Map("kind" -> "cms-frequency", "valueCol" -> valueCol,
+      "eps" -> p.eps.toString, "confidence" -> p.confidence.toString,
+      "seed" -> p.seed.toString)
+
+  /** One deterministic sketch over `df(valueCol)` as serialized bytes.
+    * The 1-row global aggregate collects KBs (metadata-sized); an empty
+    * input aggregates to NULL (the BloomFilterAggregate behavior —
+    * CLAUDE.md) and is replaced by the empty sketch so artifact reads
+    * never see a null row. */
+  private def sketchBytesOf(df: DataFrame, valueCol: String,
+                            p: CmsParams): Array[Byte] = {
+    val row = df.agg(count_min_sketch(col(valueCol), lit(p.eps),
+      lit(p.confidence), lit(p.seed)).as("sketch")).head()
+    if (row.isNullAt(0)) CountMinSketch.create(p.eps, p.confidence, p.seed)
+      .toByteArray
+    else row.getAs[Array[Byte]](0)
+  }
+
+  private def writeRows(spark: SparkSession, path: String,
+                        rows: Seq[Row], mode: SaveMode): Unit =
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), SketchSchema)
+      .write.mode(mode).parquet(s"$path/sketches")
+
+  /** Freeze a corpus's value-frequency sketch at `path`: `sketches/`
+    * parquet of (sketch, batch_id NULL = base corpus) + the standard
+    * params sidecar written LAST (presence implies a complete
+    * artifact). The value column name and the sketch parameters are
+    * ARTIFACT-OWNED (the canonical-index idCol rule): appends and
+    * probes read them back — mismatched eps/width would make the merge
+    * throw mid-job, and a mismatched value column would silently count
+    * the wrong thing. */
+  def writeFrequencySketch(df: DataFrame, path: String, valueCol: String,
+                           params: CmsParams = CmsParams()): Unit = {
+    require(valueCol != "sketch" && valueCol != "batch_id",
+      "'sketch'/'batch_id' are reserved column names in a frequency sketch")
+    val bytes = sketchBytesOf(df, valueCol, params)
+    writeRows(df.sparkSession, path,
+      Seq(Row(bytes, null)), SaveMode.Overwrite)
+    Dedup.writeParams(s"$path/params.properties",
+      sketchParams(valueCol, params))
+  }
+
+  /** The artifact's stored identity — value column and CMS parameters
+    * read back from the sidecar (fails loudly when absent). */
+  private def storedIdentity(path: String): (String, CmsParams) = {
+    val side = s"$path/params.properties"
+    require(Dedup.readParam(side, "kind", "frequency sketch") ==
+      "cms-frequency",
+      s"artifact at $path is not a frequency sketch")
+    (Dedup.readParam(side, "valueCol", "frequency sketch"),
+      CmsParams(
+        Dedup.readParam(side, "eps", "frequency sketch").toDouble,
+        Dedup.readParam(side, "confidence", "frequency sketch").toDouble,
+        Dedup.readParam(side, "seed", "frequency sketch").toInt))
+  }
+
+  /** Merge a batch's counts into a stored sketch: one appended row.
+    * The recipe comes from the SIDECAR. `batchId` tags the row for the
+    * replay contract: a tagged row's bytes are deterministic (counter
+    * adds commute), so a replayed append lands an IDENTICAL row and
+    * readers collapse it — effectively exactly-once. Untagged (batch
+    * API) appends merge raw: appending the same data twice counts
+    * twice, deliberately — that is what a frequency count means. */
+  def appendFrequencySketch(df: DataFrame, path: String,
+                            batchId: Option[Long] = None): Unit = {
+    val (valueCol, p) = storedIdentity(path)
+    val bytes = sketchBytesOf(df, valueCol, p)
+    writeRows(df.sparkSession, path,
+      Seq(Row(bytes, batchId.map(Long.box).orNull)), SaveMode.Append)
+  }
+
+  /** The effective merged sketch: NULL-tagged rows merge raw; tagged
+    * rows dedup by identical (batch_id, bytes) first (the CountProfile
+    * stream-vs-batch rule — only replayed stream appends get dedup
+    * semantics), minus `excludeBatchId`'s tags so a replayed
+    * micro-batch scores against exactly the state its first attempt
+    * saw. Driver-side: the relation is |appends| eps-sized rows,
+    * bounded by compaction cadence, never corpus-sized. */
+  private[ext] def effectiveSketchBytes(
+      spark: SparkSession, path: String,
+      excludeBatchId: Option[Long] = None): Array[Byte] = {
+    val (_, p) = storedIdentity(path)
+    val rows = spark.read.parquet(s"$path/sketches").collect()
+    val kept = rows.filter(r =>
+      r.isNullAt(1) || !excludeBatchId.contains(r.getLong(1)))
+    val (tagged, untagged) = kept.partition(r => !r.isNullAt(1))
+    val taggedOnce = tagged
+      .map(r => (r.getLong(1), r.getAs[Array[Byte]](0).toSeq)).distinct
+      .map(_._2.toArray)
+    val all = untagged.map(_.getAs[Array[Byte]](0)) ++ taggedOnce
+    val merged = CountMinSketch.create(p.eps, p.confidence, p.seed)
+    all.foreach(b => merged.mergeInPlace(CountMinSketch.readFrom(b)))
+    merged.toByteArray
+  }
+
+  /** Total adds recorded by the effective merged sketch — exact (a
+    * counter sum, not an estimate). The denominator for share-based
+    * hot-key thresholds ("every value above 2 % of the corpus"), so
+    * callers scale cutoffs with corpus size instead of hard-coding
+    * absolute counts. */
+  def totalAdds(spark: SparkSession, path: String,
+                excludeBatchId: Option[Long] = None): Long =
+    CountMinSketch.readFrom(
+      effectiveSketchBytes(spark, path, excludeBatchId)).totalCount
+
+  /** Point estimates for a query value set against the stored sketch:
+    * (value, est_count). Estimates never undercount; over-count is
+    * bounded by eps × total adds with the sketch's confidence. The
+    * query set is caller-sized (the k-sized-collect rule). */
+  def estimateCounts(spark: SparkSession, path: String,
+                     values: Seq[String],
+                     excludeBatchId: Option[Long] = None): DataFrame = {
+    val bytes = effectiveSketchBytes(spark, path, excludeBatchId)
+    val cms = CountMinSketch.readFrom(bytes)
+    import spark.implicits._
+    values.map(v => (v, cms.estimateCount(
+        v.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      .toDF("value", "est_count")
+  }
+
+  /** Distributed hot-value screen: the distinct values of `df(valueCol)`
+    * whose stored-sketch estimate reaches `minCount`, with the
+    * estimate. Because CMS never undercounts, this is a guaranteed
+    * SUPERSET of the truly-hot values (spec-pinned against exact
+    * counts) — the candidate set a skew cap or a hot-key mitigation
+    * feeds on. The filter runs BEFORE the distinct: the shuffle
+    * carries only (superset-of-)hot keys, never the corpus. */
+  def hotValuesAgainstSketch(df: DataFrame, path: String, minCount: Long,
+                             excludeBatchId: Option[Long] = None): DataFrame = {
+    val (valueCol, _) = storedIdentity(path)
+    val bytes = effectiveSketchBytes(df.sparkSession, path, excludeBatchId)
+    df.select(col(valueCol).as("value"))
+      .withColumn("est_count",
+        graft.functions.CmsEstimate.cms_estimate(col("value"), bytes))
+      .filter(col("est_count") >= minCount)
+      .distinct()
+  }
+
+  /** Collapse the stored rows: all NULL-tagged rows merge into one;
+    * tagged rows are first deduped by identical row, then KEPT one row
+    * per tag — folding a tag into the base would change what
+    * `excludeBatchId` removes, so a replayed micro-batch would score
+    * against post-batch state (the CountProfile compaction
+    * discipline). Stage-then-swap via `AtomicSwap`; a crash leaves the
+    * previous complete relation. */
+  def compactFrequencySketch(spark: SparkSession, path: String): Unit = {
+    val (_, p) = storedIdentity(path)
+    val rows = spark.read.parquet(s"$path/sketches").collect()
+    val (tagged, untagged) = rows.partition(r => !r.isNullAt(1))
+    val base = CountMinSketch.create(p.eps, p.confidence, p.seed)
+    untagged.foreach(r =>
+      base.mergeInPlace(CountMinSketch.readFrom(r.getAs[Array[Byte]](0))))
+    val taggedOnce = tagged
+      .map(r => (r.getLong(1), r.getAs[Array[Byte]](0).toSeq)).distinct
+      .map { case (b, bytes) => Row(bytes.toArray, Long.box(b)) }
+    val out = Row(base.toByteArray, null) +: taggedOnce.toSeq
+    graft.lineage.AtomicSwap.writeSwap(s"$path/sketches")(tmp =>
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(out, 1), SketchSchema)
+        .write.parquet(tmp))
+  }
+
+  /** Content-fingerprint-cached [[writeFrequencySketch]] — the
+    * `ensureIvfIndex` pattern, keyed on the source parquet's
+    * fingerprint plus the sketch parameters (the ensureBloomIndex
+    * param-key lesson) and a `variant` for slice-of-source builds.
+    * Returns the sketch path. */
+  def ensureFrequencySketch(df: DataFrame, cacheRoot: String,
+                            sourcePath: String, valueCol: String,
+                            params: CmsParams = CmsParams(),
+                            variant: String = ""): String = {
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"cms_${valueCol}_${params.eps}_${params.confidence}_" +
+        s"${params.seed}${variant}_" +
+        Similarity.pathFingerprint(sourcePath))
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writeFrequencySketch(df, tmp, valueCol, params))
+    idx.toString
+  }
+}

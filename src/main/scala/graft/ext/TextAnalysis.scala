@@ -788,6 +788,31 @@ object TextAnalysis {
           .as("n_lines_dropped"))
   }
 
+  /** C4-style word-blocklist scoring (Raffel et al. 2020 §2.2's
+    * banned-word page cut — reference counterpart: the keep-list
+    * membership gates in load_sales_mart.py:40-44, inverted to a
+    * drop-list over token content): per document, the number of
+    * whitespace tokens whose lowercased form is on `words`, counting
+    * multiplicities. The gate itself stays with the caller
+    * (`n_hits <= k` — C4's rule is k = 0); exposing the count keeps
+    * the op a pure report and lets the curation chain pick its own
+    * ceiling.
+    *
+    * Output: (doc_id, n_hits).
+    *
+    * Scale notes (100 TB): a pure per-row codegen projection
+    * ([[graft.functions.BlocklistHits]] — one `HashSet[UTF8String]`
+    * probe per token, no regex, no join) fused into the scan: zero
+    * shuffles, and the blocklist is configuration-sized, never a
+    * broadcast. Fully SQL-restatable (q90's oracle is the DuckDB
+    * `list_filter`/`list_contains` formulation). */
+  def blocklistHits(docs: DataFrame, words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklistHits needs a non-empty word list")
+    docs.select(col("doc_id"),
+      graft.functions.BlocklistHits.blocklist_hits(col("text"), words)
+        .as("n_hits"))
+  }
+
   /** The RE2-safety contract on a redaction pattern list: valid Java
     * regex; no lookaround, atomic groups, possessive quantifiers,
     * Java-style named groups, or backreferences (numbered or named) —

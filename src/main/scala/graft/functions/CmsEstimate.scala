@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Count-min-sketch point estimate as a native codegen expression —
+  * the probe half of the stored frequency sketch
+  * ([[graft.ext.Frequency]]): per row, the sketch's estimated
+  * occurrence count of the string value. The estimate hashes the
+  * value's UTF-8 BYTES, the exact representation Spark's
+  * `count_min_sketch` aggregate adds for a string column, so probe and
+  * build agree bit-for-bit (spec-pinned).
+  *
+  * Design mirrors Catalyst's `BloomFilterMightContain` (q65): the
+  * sketch enters the plan as expression state, deserialized once
+  * lazily and shipped to executors as a codegen reference object
+  * (`CountMinSketchImpl` is `java.io.Serializable`), then probed with
+  * zero allocation per row — never a join. A sketch is eps-sized
+  * (~depth × width longs, KBs–MBs), independent of corpus size: at
+  * 100 TB the probe stays a pure scan-fused projection.
+  */
+case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && sketchBytes.nonEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (string, non-empty sketch bytes), " +
+          s"got ${child.dataType}")
+
+  @transient private lazy val cms: CountMinSketch =
+    CountMinSketch.readFrom(sketchBytes)
+
+  override def nullSafeEval(input: Any): Any =
+    cms.estimateCount(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cms", cms,
+      classOf[CountMinSketch].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.estimateCount($c.getBytes())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
+    copy(child = newChild)
+  override def prettyName: String = "cms_estimate"
+}
+
+object CmsEstimate {
+  def cms_estimate(c: Column, sketchBytes: Array[Byte]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CmsEstimate(ColumnBridge.expression(c), sketchBytes))
+  }
+}

@@ -624,6 +624,40 @@ object EventStream {
         }
       }
 
+  /** Absorbing frequency stream — the occurrence-count twin of
+    * [[ingestCardinalityStream]] (score against the pre-batch
+    * artifact, then merge): each micro-batch's values are screened for
+    * corpus-hot keys against the stored count-min sketch with the
+    * batch's own tag excluded
+    * ([[graft.ext.Frequency.hotValuesAgainstSketch]] — a replay
+    * reproduces the report its first attempt computed, committed or
+    * not), the hot-value report lands under `metricsPath/batch_id=N`
+    * with overwrite, and the batch's counts are add-merged LAST as one
+    * tagged row. Unlike HLL, CMS merge is NOT idempotent — the replay
+    * contract is the CountProfile one: a replayed tagged append lands
+    * a byte-identical row (counter adds commute) that readers
+    * collapse, so the effective counts absorb each batch exactly once.
+    * The sketch must be owned by this one stream; grow it through
+    * untagged batch appends only while the stream is stopped. */
+  def ingestFrequencyStream(rows: DataFrame, sketchPath: String,
+                            metricsPath: String, minCount: Long,
+                            checkpoint: String): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed twice: score + absorb
+          graft.ext.Frequency.hotValuesAgainstSketch(b, sketchPath,
+              minCount, excludeBatchId = Some(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+          graft.ext.Frequency.appendFrequencySketch(b, sketchPath,
+            batchId = Some(batchId))
+        }
+      }
+
   /** Streaming drift monitor — the observability twin of the ingest
     * streams: each micro-batch of documents is scored against a STORED
     * corpus profile ([[graft.ext.TextAnalysis.divergenceAgainstProfile]])

@@ -23,7 +23,8 @@ class SparkEntrySpec extends SparkSpec {
       "q53_sim_pq", "q62_bpe_merges", "q63_bpe_token_counts",
       "q65_contamination_bloom", "q72_balanced_sample",
       "q74_balanced_sample_indexed", "q76_quality_model_trained",
-      "q78_curation_stored_gates", "q85_cardinality_novelty"),
+      "q78_curation_stored_gates", "q85_cardinality_novelty",
+      "q91_hot_tokens"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -675,6 +675,43 @@ class CurationSpec extends SparkSpec {
       Curation.curate(corpus, benchmark, cfg.copy(minModelScore = 0.5)))
   }
 
+  test("word-blocklist gate rides the heuristic gate block with its funnel row") {
+    // a never-binding list (hits allowed up to Long.MaxValue) leaves the
+    // chain exactly at its default
+    val base = Curation.curate(corpus, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    val loose = Curation.curate(corpus, benchmark,
+        cfg.copy(blocklist = Seq("slow"), maxBlocklistHits = Long.MaxValue))
+      .collect().map(_.toSeq).toSet
+    assert(loose == base,
+      "a never-binding blocklist must reproduce the default chain")
+    // a binding list drops exactly the docs over the ceiling, and every
+    // survivor clears it
+    val bound = cfg.copy(blocklist = Seq("slow", "dup"), maxBlocklistHits = 1L)
+    val hits = TextAnalysis.blocklistHits(corpus, Seq("slow", "dup"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val curated = Curation.curate(corpus, benchmark, bound)
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated.nonEmpty && curated.forall(id => hits(id) <= 1L))
+    assert(curated != Curation.curate(corpus, benchmark, cfg)
+      .select("doc_id").as[Long].collect().toSet,
+      "the fixture blocklist must actually bind")
+    // the funnel reports the gate after language, still monotone, and
+    // lands on curate()'s count
+    val byStage = Curation.curationFunnel(corpus, benchmark, bound)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.contains("03_word_blocklist"))
+    assert(byStage("03_word_blocklist") <= byStage("03_language"))
+    assert(byStage("04_exact_dedup") <= byStage("03_word_blocklist"))
+    assert(byStage("07_quota") == curated.size.toLong)
+    // a ceiling without a list, and a multi-token entry, fail loudly
+    intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark, cfg.copy(maxBlocklistHits = 1L)))
+    intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark,
+        cfg.copy(blocklist = Seq("two words"), maxBlocklistHits = 1L)))
+  }
+
   test("per-language token budget slots between rate mix and count quota") {
     // a never-binding budget leaves the chain exactly at its default
     val base = Curation.curate(corpus, benchmark, cfg)

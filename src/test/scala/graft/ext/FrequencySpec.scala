@@ -1,0 +1,160 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Invariants for the count-min frequency-sketch family (no SQL oracle —
+  * CMS estimates aren't restatable in DuckDB): never-undercount with
+  * bounded overcount, bit-identical append ≡ monolithic (counter adds
+  * commute), the CountProfile replay discipline (tagged dedup,
+  * exclusion, untagged double-appends count), tag-preserving
+  * compaction, the hot-value superset guarantee, and sidecar
+  * ownership. */
+class FrequencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private lazy val toks = Tables.documents(spark, sf("sf0.001"))
+    .select(explode(split(col("text"), " ")).as("tok")).cache()
+
+  private lazy val exact: Map[String, Long] = toks.groupBy($"tok").count()
+    .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def estimates(path: String,
+                        exclude: Option[Long] = None): Map[String, Long] =
+    Frequency.estimateCounts(spark, path, exact.keys.toSeq, exclude)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("estimates never undercount and overcount within the eps bound") {
+    val dir = tmp("graft_cms_acc")
+    Frequency.writeFrequencySketch(toks, dir, "tok")
+    val total = Frequency.totalAdds(spark, dir)
+    assert(total == toks.count(), "totalCount is exact, not an estimate")
+    val est = estimates(dir)
+    val slack = (Frequency.CmsParams().eps * total).toLong
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"'$t' undercounted: ${est(t)} < $n")
+      assert(est(t) <= n + slack,
+        s"'$t' overcounted past eps bound: ${est(t)} vs $n + $slack")
+    }
+    // a value never added estimates within the same bound of zero
+    val unseen = Frequency.estimateCounts(spark, dir, Seq("never_added_tok"))
+      .head.getLong(1)
+    assert(unseen >= 0L && unseen <= slack)
+  }
+
+  test("append equals the monolithic build bit-for-bit; empty input is the zero sketch") {
+    val dir = tmp("graft_cms_eq")
+    Frequency.writeFrequencySketch(toks, s"$dir/full", "tok")
+    // write(half) + append(rest): the checkpointed id split makes the
+    // two frames exact complements of the full multiset
+    val withId = toks.withColumn("_i",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy($"tok")).cast("long"))
+      .localCheckpoint()
+    val a = withId.filter($"_i" % 2 === 0).select($"tok")
+    val b = withId.filter($"_i" % 2 =!= 0).select($"tok")
+    Frequency.writeFrequencySketch(a, s"$dir/grown", "tok")
+    Frequency.appendFrequencySketch(b, s"$dir/grown")
+    val full = Frequency.effectiveSketchBytes(spark, s"$dir/full")
+    val grown = Frequency.effectiveSketchBytes(spark, s"$dir/grown")
+    assert(java.util.Arrays.equals(full, grown),
+      "counter adds commute: merged partials must serialize identically")
+    // empty input: a complete artifact whose sketch recorded zero adds
+    Frequency.writeFrequencySketch(toks.filter(lit(false)), s"$dir/empty", "tok")
+    assert(Frequency.totalAdds(spark, s"$dir/empty") == 0L)
+  }
+
+  test("replay discipline: tagged appends dedup, exclusion sees pre-batch state, untagged count") {
+    val dir = tmp("graft_cms_replay")
+    val base = Seq.fill(10)("x").toDF("tok")
+    Frequency.writeFrequencySketch(base, dir, "tok")
+    val batch = Seq.fill(5)("x").toDF("tok")
+    Frequency.appendFrequencySketch(batch, dir, batchId = Some(3L))
+    // a replayed tagged append lands an identical row — collapsed
+    Frequency.appendFrequencySketch(batch, dir, batchId = Some(3L))
+    def estX(exclude: Option[Long] = None): Long =
+      Frequency.estimateCounts(spark, dir, Seq("x"), exclude).head.getLong(1)
+    assert(estX() == 15L, s"replayed tagged append must not double-count")
+    // self-exclusion reproduces the pre-append state
+    assert(estX(Some(3L)) == 10L)
+    // deliberate batch-API double-append (untagged) COUNTS twice
+    Frequency.appendFrequencySketch(batch, dir)
+    Frequency.appendFrequencySketch(batch, dir)
+    assert(estX() == 25L, "untagged appends are raw merges by design")
+  }
+
+  test("compaction folds untagged rows, keeps tags, and changes no estimate") {
+    val dir = tmp("graft_cms_compact")
+    Frequency.writeFrequencySketch(Seq.fill(4)("x").toDF("tok"), dir, "tok")
+    Frequency.appendFrequencySketch(Seq.fill(2)("x").toDF("tok"), dir)
+    Frequency.appendFrequencySketch(Seq.fill(1)("x").toDF("tok"), dir,
+      batchId = Some(9L))
+    Frequency.appendFrequencySketch(Seq.fill(1)("x").toDF("tok"), dir,
+      batchId = Some(9L)) // replay duplicate
+    val before = Frequency.estimateCounts(spark, dir, Seq("x")).head.getLong(1)
+    val beforeExcl = Frequency.estimateCounts(spark, dir, Seq("x"),
+      Some(9L)).head.getLong(1)
+    Frequency.compactFrequencySketch(spark, dir)
+    val rows = spark.read.parquet(s"$dir/sketches").collect()
+    assert(rows.length == 2, s"one base row + one tag-9 row, got ${rows.length}")
+    assert(Frequency.estimateCounts(spark, dir, Seq("x"))
+      .head.getLong(1) == before)
+    assert(Frequency.estimateCounts(spark, dir, Seq("x"), Some(9L))
+      .head.getLong(1) == beforeExcl,
+      "a replayed batch must still score pre-append after maintenance")
+  }
+
+  test("hot-value screen returns a superset of the truly-hot values") {
+    val dir = tmp("graft_cms_hot")
+    Frequency.writeFrequencySketch(toks, dir, "tok")
+    val minCount = Frequency.totalAdds(spark, dir) / 50L
+    val hot = Frequency.hotValuesAgainstSketch(toks, dir, minCount)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trulyHot = exact.filter(_._2 >= minCount).keySet
+    assert(trulyHot.subsetOf(hot.keySet),
+      s"missing truly-hot values: ${trulyHot -- hot.keySet}")
+    hot.foreach { case (v, e) =>
+      assert(e >= exact.getOrElse(v, 0L), s"'$v' undercounted")
+      assert(e >= minCount)
+    }
+    // the fixture split is non-trivial: 'dup' is rare, 'scan' is hot
+    assert(hot.contains("scan") && !hot.contains("dup"))
+  }
+
+  test("sidecar ownership: appends read the stored recipe; wrong kinds fail loudly") {
+    val dir = tmp("graft_cms_side")
+    Frequency.writeFrequencySketch(Seq("a").toDF("v"), s"$dir/p", "v",
+      Frequency.CmsParams(eps = 0.01))
+    // append supplies NO column/param arguments — sidecar-owned
+    Frequency.appendFrequencySketch(Seq("a", "b").toDF("v"), s"$dir/p")
+    assert(Frequency.estimateCounts(spark, s"$dir/p", Seq("a"))
+      .head.getLong(1) == 2L)
+    // a frame missing the stored value column fails at plan time
+    intercept[Exception] {
+      Frequency.appendFrequencySketch(Seq("a").toDF("wrong"), s"$dir/p")
+    }
+    // a non-frequency artifact is rejected before any read
+    Cardinality.writeCardinalityProfile(
+      Seq(("a", 1L)).toDF("g", "uid"), s"$dir/card", "g", "uid")
+    val e = intercept[IllegalArgumentException] {
+      Frequency.estimateCounts(spark, s"$dir/card", Seq("a"))
+    }
+    assert(e.getMessage.contains("not a frequency sketch"), e.getMessage)
+    // reserved working names are rejected at write time
+    intercept[IllegalArgumentException] {
+      Frequency.writeFrequencySketch(
+        Seq(Array[Byte](1)).toDF("sketch"), s"$dir/r", "sketch")
+    }
+    // parameter variants get distinct cache slots (the ensureBloomIndex
+    // param-key lesson)
+    val c1 = Frequency.ensureFrequencySketch(Seq("a").toDF("v"),
+      s"$dir/cache", sf("sf0.001") + "/documents.parquet", "v")
+    val c2 = Frequency.ensureFrequencySketch(Seq("a").toDF("v"),
+      s"$dir/cache", sf("sf0.001") + "/documents.parquet", "v",
+      Frequency.CmsParams(eps = 0.01))
+    assert(c1 != c2)
+  }
+}

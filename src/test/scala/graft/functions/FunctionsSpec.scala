@@ -88,6 +88,32 @@ class FunctionsSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("blocklist_hits matches the higher-order formulation, multiplicities and case") {
+    val words = Seq("slow", "dup")
+    // crafted edges: multiplicity, case folding, hyphenated non-match,
+    // empty text, double spaces (empty tokens never match)
+    val crafted = Seq(
+      ("Slow slow SLOW dup", 4L), ("", 0L), ("clean text only", 0L),
+      ("dup", 1L), ("a slow-ish token", 0L), ("slow  dup", 2L))
+    crafted.foreach { case (t, want) =>
+      val got = Seq(t).toDF("t")
+        .select(BlocklistHits.blocklist_hits($"t", words)).head.getLong(0)
+      assert(got == want, s"text='$t': got $got want $want")
+    }
+    // codegen path over a real scan vs the interpreted higher-order
+    // formulation it replaces
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val viaKernel = docs.select($"doc_id",
+        BlocklistHits.blocklist_hits($"text", words).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaHof = docs.select($"doc_id",
+        size(filter(split(lower($"text"), " "),
+          t => t.isin(words: _*))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaHof)
+    assert(viaKernel.values.sum > 0, "fixture should contain blocklisted tokens")
+  }
+
   test("multimodal metadata: real header parse agrees with its SQL contract") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val meta = Multimodal.metadataQuery(spark, docs)

@@ -25,6 +25,8 @@ class EventStreamSpec extends SparkSpec {
 
   case class IngestUser(event_type: String, user_id: Long)
 
+  case class IngestTok(tok: String)
+
   test("streaming ingest dedup drops cross-batch duplicates via the on-disk index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
@@ -423,6 +425,45 @@ class EventStreamSpec extends SparkSpec {
         spark, s"$dir/prof").collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
     assert(est == Map("click" -> 75L, "view" -> 30L), s"got $est")
+  }
+
+  test("frequency absorb stream screens hot keys pre-batch, exactly once under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cms").toString
+    // base corpus: 'x' is hot (10), 'y' is not (2)
+    val base = (Seq.fill(10)("x") ++ Seq.fill(2)("y")).toDF("tok")
+    graft.ext.Frequency.writeFrequencySketch(base, s"$dir/sketch", "tok")
+    val mem = MemoryStream[IngestTok]
+    def drain(): Unit = {
+      val q = EventStream.ingestFrequencyStream(mem.toDF(), s"$dir/sketch",
+        s"$dir/metrics", minCount = 10L, s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // batch 0: 8 more 'y' (corpus y = 2 pre-batch → not yet hot) + 'x'
+    mem.addData((Seq.fill(8)(IngestTok("y")) :+ IngestTok("x")): _*)
+    drain()
+    // crash window: report + absorb committed, checkpoint commit lost
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain() // replay: must screen against the PRE-absorb sketch
+    // batch 1: 'y' again — NOW hot (2 + 8 = 10 after one absorb)
+    mem.addData(IngestTok("y"))
+    drain()
+    val metrics = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => (r.getAs[Int]("batch_id"), r.getAs[String]("value")) ->
+        r.getAs[Long]("est_count")).toMap
+    // batch 0's replayed report reflects pre-batch state: x hot, y not
+    assert(metrics.contains((0, "x")) && !metrics.contains((0, "y")),
+      s"got $metrics")
+    // batch 1 saw batch 0 absorbed exactly once: y reached exactly 10
+    assert(metrics.get((1, "y")).contains(10L), s"got $metrics")
+    // the final sketch absorbed every batch once
+    val est = graft.ext.Frequency.estimateCounts(spark, s"$dir/sketch",
+        Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("x" -> 11L, "y" -> 11L), s"got $est")
   }
 
   test("streaming drift monitor lands one report per micro-batch against the frozen profile") {
