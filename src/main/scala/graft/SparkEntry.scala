@@ -373,6 +373,29 @@ object SparkEntry {
           Seq("slow", "dup"))
         .withColumn("kept", col("n_hits") <= 2L)
     }),
+    // north-star semantic drift: per-label cosine between the mean
+    // vectors of two corpus slices — everything reduces to per-(label,
+    // dim) sums (cosine is scale-invariant: no division enters), so
+    // the whole op is oracle-hashed at 6dp
+    "q92_centroid_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, dir)
+      ext.Centroids.centroidDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "label", "embedding")
+    }),
+    // semantic drift via the STORED centroid profile (freeze the even
+    // slice, drift the odd slice against it) — hashes the q92 SQL
+    // verbatim: the stored/live equality IS the claim (q77≡q70 rule)
+    "q93_centroid_drift_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, dir)
+      val path = ext.Centroids.ensureCentroidProfile(
+        emb.filter(col("vec_id") % 2 === 0), "/tmp/graft_cent_cache",
+        s"$dir/embeddings.parquet", "label", "embedding", variant = "even")
+      ext.Centroids.driftAgainstCentroidProfile(s,
+        emb.filter(col("vec_id") % 2 === 1), path)
+    }),
     // north-star skew observability: hot-token screen against a stored
     // count-min frequency sketch — distinct tokens whose estimate
     // reaches 2% of total adds (share-scaled, so the split survives SF
@@ -970,6 +993,34 @@ object SparkEntry {
       |             END AS BIGINT) AS alloc_tokens
       |      FROM t)""".stripMargin
 
+  /** q92's full drift SQL; q93 (the stored-profile route) hashes it
+    * VERBATIM — the stored/live equality claim (the q77≡q70 rule).
+    * Cosine of per-label SUM vectors (scale invariance: ≡ cosine of
+    * means, no division), 6dp. */
+  private val CentroidDriftSql =
+    """WITH ea AS (SELECT label AS g, i - 1 AS pos,
+      |              CAST(embedding[i] AS DOUBLE) AS v
+      |            FROM embeddings
+      |            CROSS JOIN unnest(generate_series(1, len(embedding))) AS t(i)
+      |            WHERE vec_id % 2 = 0),
+      |eb AS (SELECT label AS g, i - 1 AS pos,
+      |         CAST(embedding[i] AS DOUBLE) AS v
+      |       FROM embeddings
+      |       CROSS JOIN unnest(generate_series(1, len(embedding))) AS t(i)
+      |       WHERE vec_id % 2 = 1),
+      |sa AS (SELECT g, pos, SUM(v) AS s FROM ea GROUP BY 1, 2),
+      |sb AS (SELECT g, pos, SUM(v) AS s FROM eb GROUP BY 1, 2),
+      |d AS (SELECT sa.g, SUM(sa.s * sb.s) AS dot,
+      |        SUM(sa.s * sa.s) AS aa, SUM(sb.s * sb.s) AS bb
+      |      FROM sa JOIN sb ON sa.g = sb.g AND sa.pos = sb.pos GROUP BY 1),
+      |na AS (SELECT label AS g, CAST(COUNT(*) AS BIGINT) AS n_a
+      |       FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
+      |nb AS (SELECT label AS g, CAST(COUNT(*) AS BIGINT) AS n_b
+      |       FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1)
+      |SELECT d.g AS label, ROUND(dot / sqrt(aa * bb), 6) AS cos_sim,
+      |  n_a, n_b
+      |FROM d JOIN na ON d.g = na.g JOIN nb ON d.g = nb.g""".stripMargin
+
   private val DsirSelectSql = DsirImportanceCtes +
     """,
       |keyed AS (SELECT doc_id, ROUND(s, 6) AS importance,
@@ -1430,6 +1481,9 @@ object SparkEntry {
         |      FROM events e JOIN f USING (user_id))
         |SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM a GROUP BY 1, 2""".stripMargin,
+    "q92_centroid_drift" -> CentroidDriftSql,
+    // the stored route must hash the LIVE SQL verbatim — equality claim
+    "q93_centroid_drift_profile" -> CentroidDriftSql,
     // blocklist hits = tokens (single-space split, empties kept) whose
     // lowercase form is on the list, counting multiplicities — the
     // list_filter length restates the codegen set probe exactly

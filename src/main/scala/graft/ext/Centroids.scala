@@ -1,0 +1,249 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-group embedding centroids and SEMANTIC drift — the vector twin
+  * of the token-distribution drift ladder (q70 live / q77 stored):
+  * does this week's crawl still "mean" the same thing per segment as
+  * the corpus a model was trained on, asked as the cosine between
+  * per-group mean vectors. Token drift catches vocabulary shift;
+  * centroid drift catches topical/semantic shift that identical
+  * vocabularies can hide. The stored-profile counterpart of the
+  * reference's recomputed validation aggregates
+  * (load_sales_history.py:241-246), with a |groups| × dim artifact
+  * instead of the corpus.
+  *
+  * Everything reduces to per-(group, dimension) SUMS: cosine is
+  * scale-invariant, so cos(mean_a, mean_b) = cos(sum_a, sum_b) and no
+  * division ever enters the formula — fewer fp ops and an exact SQL
+  * restatement (q92 is oracle-hashed; the stored route q93 hashes the
+  * SAME SQL verbatim, the q77≡q70 discipline). Sums are mergeable
+  * (append = element-wise add), which gives this family the full
+  * freeze → append → compact ladder.
+  *
+  * Replay contract (the THIRD class, beside CountProfile's byte-dedup
+  * and HLL's algebraic idempotence): double sums are mergeable but NOT
+  * byte-deterministic in general (fp addition doesn't associate), so
+  * tagged rows dedup by KEY (group, pos, batch_id) with a
+  * deterministic `min` pick rather than by identical row. A replayed
+  * append in practice lands the identical plan output; where ulps do
+  * differ the pick is still deterministic and the drift report — which
+  * rounds to 6dp — is unchanged. NULL-tagged (batch-API) rows merge
+  * raw: appending the same corpus twice doubles its weight,
+  * deliberately.
+  *
+  * Scale notes (100 TB): the one corpus-sized pass is the posexplode →
+  * per-(group, pos) sum — map-side combined, so the shuffle carries
+  * |groups| × dim × |partitions| partial rows (doubles), never
+  * vectors. The stored relation is |groups| × dim × |appends| rows,
+  * collapsed by compaction; drift against the profile touches the
+  * batch plus that artifact scan — the base corpus is never re-read.
+  */
+object Centroids {
+
+  private val Reserved = Set("pos", "s", "n", "batch_id")
+
+  /** Per-group per-dimension sums: (g, pos, s). */
+  private def vecSums(df: DataFrame, groupCol: String,
+                      vecCol: String): DataFrame =
+    df.select(col(groupCol).as("g"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("g"), col("pos"))
+      .agg(sum(col("v").cast("double")).as("s"))
+
+  private def groupNs(df: DataFrame, groupCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
+
+  /** The uniform vector width, validated in one aggregate — mixed
+    * widths would silently misalign dimension sums. */
+  private def uniformDim(df: DataFrame, vecCol: String): Int = {
+    val r = df.agg(min(size(col(vecCol))).as("lo"),
+      max(size(col(vecCol))).as("hi")).head()
+    require(!r.isNullAt(0), s"cannot profile centroids of an empty corpus")
+    require(r.getInt(0) == r.getInt(1),
+      s"mixed vector widths: ${r.getInt(0)} vs ${r.getInt(1)}")
+    r.getInt(0)
+  }
+
+  /** Live per-group semantic drift between two corpora:
+    * (groupCol, cos_sim, n_a, n_b) — cosine of the group's mean
+    * vectors (6dp, the engine-wide cosine convention), inner on groups
+    * present in both sides (drift needs both operands). */
+  def centroidDrift(dfA: DataFrame, dfB: DataFrame, groupCol: String,
+                    vecCol: String): DataFrame = {
+    val sa = vecSums(dfA, groupCol, vecCol)
+    val sb = vecSums(dfB, groupCol, vecCol)
+      .withColumnRenamed("s", "sb")
+    driftOfSums(sa, sb, groupNs(dfA, groupCol), groupNs(dfB, groupCol),
+      groupCol)
+  }
+
+  /** The shared cosine-of-sums reduction: sa(g, pos, s) × sb(g, pos,
+    * sb) → (groupCol, cos_sim, n_a, n_b). */
+  private def driftOfSums(sa: DataFrame, sb: DataFrame, na: DataFrame,
+                          nb: DataFrame, groupCol: String): DataFrame =
+    sa.join(sb, Seq("g", "pos"))
+      .groupBy(col("g"))
+      .agg(sum(col("s") * col("sb")).as("dot"),
+        sum(col("s") * col("s")).as("aa"),
+        sum(col("sb") * col("sb")).as("bb"))
+      .join(na.withColumnRenamed("n", "n_a"), Seq("g"))
+      .join(nb.withColumnRenamed("n", "n_b"), Seq("g"))
+      .select(col("g").as(groupCol),
+        round(col("dot") / sqrt(col("aa") * col("bb")), 6).as("cos_sim"),
+        col("n_a"), col("n_b"))
+
+  private def profileParams(groupCol: String, vecCol: String,
+                            dim: Int): Map[String, String] =
+    Map("kind" -> "centroid-profile", "groupCol" -> groupCol,
+      "vecCol" -> vecCol, "dim" -> dim.toString)
+
+  /** Freeze a corpus's per-group centroid sums at `path`: `sums/`
+    * parquet of (g, pos, s, n, batch_id NULL = base corpus) — `n` is
+    * the append's per-group row count, carried on every pos row and
+    * read from pos 0 — plus the standard params sidecar written LAST.
+    * Column names, and the vector width, are ARTIFACT-OWNED: appends
+    * and probes read them back, and a batch with a different width
+    * fails loudly instead of misaligning sums. */
+  def writeCentroidProfile(df: DataFrame, path: String, groupCol: String,
+                           vecCol: String): Unit = {
+    require(!Reserved(groupCol) && !Reserved(vecCol),
+      s"${Reserved.mkString("/")} are reserved column names in a centroid profile")
+    val dim = uniformDim(df, vecCol)
+    sumRows(df, groupCol, vecCol, None)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/sums")
+    Dedup.writeParams(s"$path/params.properties",
+      profileParams(groupCol, vecCol, dim))
+  }
+
+  private def sumRows(df: DataFrame, groupCol: String, vecCol: String,
+                      batchId: Option[Long]): DataFrame =
+    vecSums(df, groupCol, vecCol)
+      .join(groupNs(df, groupCol), Seq("g"))
+      .withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .select(col("g"), col("pos"), col("s"), col("n"), col("batch_id"))
+
+  private def storedIdentity(path: String): (String, String, Int) = {
+    val side = s"$path/params.properties"
+    require(Dedup.readParam(side, "kind", "centroid profile") ==
+      "centroid-profile",
+      s"artifact at $path is not a centroid profile")
+    (Dedup.readParam(side, "groupCol", "centroid profile"),
+      Dedup.readParam(side, "vecCol", "centroid profile"),
+      Dedup.readParam(side, "dim", "centroid profile").toInt)
+  }
+
+  /** Merge a batch's centroid sums into a stored profile. The recipe
+    * (columns, width) comes from the SIDECAR; a mismatched vector
+    * width is rejected BEFORE writing (a rejected append must not
+    * mutate the index). `batchId` tags rows for the key-dedup replay
+    * contract (object scaladoc). */
+  def appendCentroidProfile(df: DataFrame, path: String,
+                            batchId: Option[Long] = None): Unit = {
+    val (groupCol, vecCol, dim) = storedIdentity(path)
+    require(uniformDim(df, vecCol) == dim,
+      s"batch vector width != stored width $dim")
+    sumRows(df, groupCol, vecCol, batchId)
+      .write.mode(SaveMode.Append).parquet(s"$path/sums")
+  }
+
+  /** The profile's effective sums and counts: tagged rows collapse by
+    * key (group, pos, batch_id) with a deterministic `min` pick (minus
+    * `excludeBatchId`'s tags — a replayed micro-batch scores against
+    * exactly the state its first attempt saw); NULL-tagged rows merge
+    * raw. Returns (sums (g, pos, s), counts (g, n)). */
+  private def effective(spark: SparkSession, path: String,
+                        excludeBatchId: Option[Long])
+      : (DataFrame, DataFrame) = {
+    val raw = spark.read.parquet(s"$path/sums")
+    val kept = excludeBatchId match {
+      case Some(b) =>
+        raw.filter(col("batch_id").isNull || col("batch_id") =!= b)
+      case None => raw
+    }
+    val once = kept.filter(col("batch_id").isNotNull)
+      .groupBy(col("g"), col("pos"), col("batch_id"))
+      .agg(min(col("s")).as("s"), min(col("n")).as("n"))
+      .unionByName(kept.filter(col("batch_id").isNull)
+        .select(col("g"), col("pos"), col("batch_id"), col("s"), col("n")),
+        allowMissingColumns = false)
+    val sums = once.groupBy(col("g"), col("pos")).agg(sum(col("s")).as("s"))
+    val ns = once.filter(col("pos") === 0)
+      .groupBy(col("g")).agg(sum(col("n")).as("n"))
+    (sums, ns)
+  }
+
+  /** Stored-route per-group mean vectors: (group, centroid, n). The
+    * rebuild runs on the groups-sized artifact relation — the
+    * interpreted `transform` never sees corpus rows. */
+  def centroidsAgainstProfile(spark: SparkSession, path: String,
+                              excludeBatchId: Option[Long] = None): DataFrame = {
+    val (groupCol, _, _) = storedIdentity(path)
+    val (sums, ns) = effective(spark, path, excludeBatchId)
+    sums.join(ns, Seq("g"))
+      .groupBy(col("g"), col("n"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("s") / col("n")).as("m")))).as("a"))
+      .select(col("g").as(groupCol),
+        transform(col("a"), e => e.getField("m")).as("centroid"),
+        col("n"))
+  }
+
+  /** Per-group drift of a batch against the STORED profile —
+    * (groupCol, cos_sim, n_a, n_b) with the profile as side A, the
+    * exact [[centroidDrift]] shape: over the profiled corpus this
+    * hashes the same oracle SQL verbatim (q93 ≡ q92, the stored/live
+    * equality claim). One batch pass + a groups × dim artifact scan. */
+  def driftAgainstCentroidProfile(spark: SparkSession, batch: DataFrame,
+                                  path: String,
+                                  excludeBatchId: Option[Long] = None): DataFrame = {
+    val (groupCol, vecCol, dim) = storedIdentity(path)
+    require(uniformDim(batch, vecCol) == dim,
+      s"batch vector width != stored width $dim")
+    val (sums, ns) = effective(spark, path, excludeBatchId)
+    driftOfSums(sums,
+      vecSums(batch, groupCol, vecCol).withColumnRenamed("s", "sb"),
+      ns, groupNs(batch, groupCol), groupCol)
+  }
+
+  /** Collapse the stored rows: NULL-tagged rows fold to one row per
+    * (g, pos) — their counts re-total from pos 0 — and tagged rows are
+    * key-deduped but KEPT one row per (g, pos, tag) (folding a tag
+    * into the base would change what `excludeBatchId` removes — the
+    * CountProfile compaction discipline). Stage-then-swap via
+    * `AtomicSwap`. */
+  def compactCentroidProfile(spark: SparkSession, path: String): Unit = {
+    val raw = spark.read.parquet(s"$path/sums")
+    val tagged = raw.filter(col("batch_id").isNotNull)
+      .groupBy(col("g"), col("pos"), col("batch_id"))
+      .agg(min(col("s")).as("s"), min(col("n")).as("n"))
+      .select(col("g"), col("pos"), col("s"), col("n"), col("batch_id"))
+    val nulls = raw.filter(col("batch_id").isNull)
+    val nullNs = nulls.filter(col("pos") === 0)
+      .groupBy(col("g")).agg(sum(col("n")).as("n"))
+    val nullSums = nulls.groupBy(col("g"), col("pos"))
+      .agg(sum(col("s")).as("s"))
+      .join(nullNs, Seq("g"))
+      .withColumn("batch_id", lit(null).cast("long"))
+      .select(col("g"), col("pos"), col("s"), col("n"), col("batch_id"))
+    val compacted = nullSums.unionByName(tagged).localCheckpoint()
+    graft.lineage.AtomicSwap.writeSwap(s"$path/sums")(tmp =>
+      compacted.write.parquet(tmp))
+  }
+
+  /** Content-fingerprint-cached [[writeCentroidProfile]] — the
+    * `ensureIvfIndex` pattern with the param-keyed cache slot and a
+    * `variant` for slice-of-source builds. Returns the profile path. */
+  def ensureCentroidProfile(df: DataFrame, cacheRoot: String,
+                            sourcePath: String, groupCol: String,
+                            vecCol: String, variant: String = ""): String = {
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"cent_${groupCol}_${vecCol}${variant}_" +
+        Similarity.pathFingerprint(sourcePath))
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writeCentroidProfile(df, tmp, groupCol, vecCol))
+    idx.toString
+  }
+}

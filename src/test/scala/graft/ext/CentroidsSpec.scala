@@ -1,0 +1,172 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Invariants for the centroid-profile family: self-drift identity,
+  * stored ≡ live, append ≡ monolithic at the exposed 6dp, the
+  * key-dedup replay contract (the fp-mergeable third class beside
+  * byte-dedup and algebraic idempotence), tag-preserving compaction,
+  * and sidecar ownership incl. the vector-width guard. Crafted rows
+  * use small binary-exact values so sums are exact regardless of
+  * association order and equality asserts can be bit-level. */
+class CentroidsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private lazy val emb = Tables.embeddings(spark, sf("sf0.001")).cache()
+  private lazy val evens = emb.filter($"vec_id" % 2 === 0)
+  private lazy val odds = emb.filter($"vec_id" % 2 === 1)
+
+  private def report(df: org.apache.spark.sql.DataFrame)
+      : Map[Int, (Double, Long, Long)] =
+    df.collect().map(r => r.getInt(0) ->
+      ((r.getDouble(1), r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))).toMap
+
+  test("self-drift is exactly 1 per group; split drift is strictly below") {
+    val self = report(Centroids.centroidDrift(emb, emb, "label", "embedding"))
+    val counts = emb.groupBy($"label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(self.keySet == counts.keySet)
+    self.foreach { case (g, (c, na, nb)) =>
+      assert(c == 1.0, s"label $g self-cosine $c")
+      assert(na == counts(g) && nb == counts(g))
+    }
+    val split = report(Centroids.centroidDrift(evens, odds,
+      "label", "embedding"))
+    assert(split.values.forall { case (c, _, _) => c < 1.0 && c > -1.0 })
+  }
+
+  test("stored route equals live bit-for-bit; append matches monolithic at 6dp") {
+    val dir = tmp("graft_cent_eq")
+    Centroids.writeCentroidProfile(evens, s"$dir/full", "label", "embedding")
+    val live = report(Centroids.centroidDrift(evens, odds,
+      "label", "embedding"))
+    val stored = report(Centroids.driftAgainstCentroidProfile(
+      spark, odds, s"$dir/full"))
+    assert(stored == live,
+      "one write + one read must reproduce the live sums exactly")
+    // write(half) + append(half) ≡ monolithic at the exposed rounding
+    val e1 = evens.filter($"vec_id" % 4 === 0)
+    val e2 = evens.filter($"vec_id" % 4 === 2)
+    Centroids.writeCentroidProfile(e1, s"$dir/grown", "label", "embedding")
+    Centroids.appendCentroidProfile(e2, s"$dir/grown")
+    val grown = report(Centroids.driftAgainstCentroidProfile(
+      spark, odds, s"$dir/grown"))
+    assert(grown.keySet == live.keySet)
+    grown.foreach { case (g, (c, na, nb)) =>
+      assert(c == live(g)._1 && na == live(g)._2 && nb == live(g)._3,
+        s"label $g: grown $c vs live ${live(g)._1}")
+    }
+  }
+
+  test("centroidsAgainstProfile reconstructs per-group means") {
+    val dir = tmp("graft_cent_mean")
+    val crafted = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
+      ("b", Array(4.0f, 0.0f))).toDF("g_name", "vec")
+    Centroids.writeCentroidProfile(crafted, dir, "g_name", "vec")
+    val got = Centroids.centroidsAgainstProfile(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Double](1), r.getAs[Long]("n")))).toMap
+    assert(got == Map(
+      "a" -> ((Seq(2.0, 4.0), 2L)),
+      "b" -> ((Seq(4.0, 0.0), 1L))), s"got $got")
+  }
+
+  test("replay contract: tagged appends collapse by key, exclusion sees pre-batch state") {
+    val dir = tmp("graft_cent_replay")
+    val base = Seq(("a", Array(1.0f, 0.0f)), ("a", Array(1.0f, 2.0f)))
+      .toDF("g", "vec")
+    Centroids.writeCentroidProfile(base, dir, "g", "vec")
+    val batch = Seq(("a", Array(0.0f, 4.0f))).toDF("g", "vec")
+    val preBatch = Centroids.driftAgainstCentroidProfile(spark, batch, dir)
+      .collect().map(r => (r.getDouble(1), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))).toSeq
+    Centroids.appendCentroidProfile(batch, dir, batchId = Some(5L))
+    Centroids.appendCentroidProfile(batch, dir, batchId = Some(5L)) // replay
+    def cents(exclude: Option[Long] = None) =
+      Centroids.centroidsAgainstProfile(spark, dir, exclude)
+        .collect().map(r => r.getString(0) ->
+          ((r.getSeq[Double](1), r.getAs[Long]("n")))).toMap
+    // sums absorb the batch exactly once: (2, 2) + (0, 4) over n = 3
+    assert(cents() == Map("a" -> ((Seq(2.0 / 3, 2.0), 3L))), s"got ${cents()}")
+    // excluding the batch's own tag reproduces the pre-append state
+    assert(cents(Some(5L)) == Map("a" -> ((Seq(1.0, 1.0), 2L))))
+    // a replayed drift score equals its first attempt
+    val replayScore = Centroids.driftAgainstCentroidProfile(
+        spark, batch, dir, excludeBatchId = Some(5L))
+      .collect().map(r => (r.getDouble(1), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))).head
+    assert(Seq(replayScore) == preBatch)
+    // deliberate untagged double-append counts twice
+    Centroids.appendCentroidProfile(batch, dir)
+    Centroids.appendCentroidProfile(batch, dir)
+    assert(cents()("a")._2 == 5L, "untagged appends are raw merges by design")
+  }
+
+  test("compaction folds untagged rows, keeps tags, and changes no report") {
+    val dir = tmp("graft_cent_compact")
+    val mk = (x: Float, y: Float) => Array(x, y)
+    Centroids.writeCentroidProfile(
+      Seq(("a", mk(1f, 0f))).toDF("g", "vec"), dir, "g", "vec")
+    Centroids.appendCentroidProfile(
+      Seq(("a", mk(0f, 2f))).toDF("g", "vec"), dir)
+    Centroids.appendCentroidProfile(
+      Seq(("a", mk(4f, 4f))).toDF("g", "vec"), dir, batchId = Some(2L))
+    Centroids.appendCentroidProfile(
+      Seq(("a", mk(4f, 4f))).toDF("g", "vec"), dir, batchId = Some(2L))
+    def cents(exclude: Option[Long] = None) =
+      Centroids.centroidsAgainstProfile(spark, dir, exclude)
+        .collect().map(r => r.getString(0) ->
+          ((r.getSeq[Double](1), r.getAs[Long]("n")))).toMap
+    val before = cents()
+    val beforeExcl = cents(Some(2L))
+    val rowsBefore = spark.read.parquet(s"$dir/sums").count()
+    Centroids.compactCentroidProfile(spark, dir)
+    val after = spark.read.parquet(s"$dir/sums")
+    assert(after.count() == 4L, // 2 dims × (one NULL row + one tag-2 row)
+      s"got ${after.count()} rows (before: $rowsBefore)")
+    assert(cents() == before)
+    assert(cents(Some(2L)) == beforeExcl,
+      "a replayed batch must still score pre-append after maintenance")
+  }
+
+  test("sidecar ownership: stored recipe drives appends; width and kind guarded") {
+    val dir = tmp("graft_cent_side")
+    Centroids.writeCentroidProfile(
+      Seq(("a", Array(1.0f, 2.0f))).toDF("seg", "v"), s"$dir/p", "seg", "v")
+    // append supplies NO column parameters — sidecar-owned
+    Centroids.appendCentroidProfile(
+      Seq(("b", Array(3.0f, 4.0f))).toDF("seg", "v"), s"$dir/p")
+    assert(Centroids.centroidsAgainstProfile(spark, s"$dir/p").count() == 2)
+    // a batch with a different vector width is rejected BEFORE writing
+    val rowsBefore = spark.read.parquet(s"$dir/p/sums").count()
+    intercept[IllegalArgumentException] {
+      Centroids.appendCentroidProfile(
+        Seq(("a", Array(1.0f, 2.0f, 3.0f))).toDF("seg", "v"), s"$dir/p")
+    }
+    assert(spark.read.parquet(s"$dir/p/sums").count() == rowsBefore,
+      "a rejected append must not mutate the artifact")
+    // mixed widths inside one corpus fail at write time
+    intercept[IllegalArgumentException] {
+      Centroids.writeCentroidProfile(
+        Seq(("a", Array(1.0f)), ("a", Array(1.0f, 2.0f))).toDF("g", "v"),
+        s"$dir/m", "g", "v")
+    }
+    // a non-centroid artifact is rejected before any read
+    Cardinality.writeCardinalityProfile(
+      Seq(("a", 1L)).toDF("g", "uid"), s"$dir/card", "g", "uid")
+    val e = intercept[IllegalArgumentException] {
+      Centroids.centroidsAgainstProfile(spark, s"$dir/card")
+    }
+    assert(e.getMessage.contains("not a centroid profile"), e.getMessage)
+    // reserved working names are rejected at write time
+    intercept[IllegalArgumentException] {
+      Centroids.writeCentroidProfile(
+        Seq(("a", Array(1.0f))).toDF("pos", "v"), s"$dir/r", "pos", "v")
+    }
+  }
+}
