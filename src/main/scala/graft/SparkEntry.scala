@@ -373,6 +373,21 @@ object SparkEntry {
           Seq("slow", "dup"))
         .withColumn("kept", col("n_hits") <= 2L)
     }),
+    // north-star end product: fixed-length token-ID training sequences
+    // under the STORED BPE model (ensure-cached artifact) — tokenize
+    // per doc, then GPT-style contiguous packing with eos separators;
+    // docs cross sequence boundaries. Rows-only (BPE not
+    // SQL-expressible); ExtSpec pins ids↔counts equality, exact-length
+    // packing and stream reconstruction
+    "q94_token_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = ext.TextAnalysis.ensureBpeModel(docs,
+        "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
+      val merges = ext.TextAnalysis.readBpeModel(s, path)
+      ext.TextAnalysis.packTokenSequences(
+        ext.TextAnalysis.bpeTokenIds(docs, merges),
+        seqLen = 128, shards = 4)
+    }),
     // north-star semantic drift: per-label cosine between the mean
     // vectors of two corpus slices — everything reduces to per-(label,
     // dim) sums (cosine is scale-invariant: no division enters), so

@@ -44,16 +44,19 @@ object Centroids {
 
   private val Reserved = Set("pos", "s", "n", "batch_id")
 
-  /** Per-group per-dimension sums: (g, pos, s). */
+  /** Per-group per-dimension sums WITH the group's row count riding the
+    * same aggregate: (g, pos, s, n) — every input row contributes one
+    * exploded row per pos, so count(*) per (g, pos) IS the group's row
+    * count, identical on every pos. One corpus pass covers sums and
+    * counts (two scans would double the 100 TB read). */
   private def vecSums(df: DataFrame, groupCol: String,
                       vecCol: String): DataFrame =
     df.select(col(groupCol).as("g"),
         posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("g"), col("pos"))
-      .agg(sum(col("v").cast("double")).as("s"))
+      .agg(sum(col("v").cast("double")).as("s"),
+        count(lit(1)).as("n"))
 
-  private def groupNs(df: DataFrame, groupCol: String): DataFrame =
-    df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
 
   /** The uniform vector width, validated in one aggregate — mixed
     * widths would silently misalign dimension sums. */
@@ -71,25 +74,25 @@ object Centroids {
     * vectors (6dp, the engine-wide cosine convention), inner on groups
     * present in both sides (drift needs both operands). */
   def centroidDrift(dfA: DataFrame, dfB: DataFrame, groupCol: String,
-                    vecCol: String): DataFrame = {
-    val sa = vecSums(dfA, groupCol, vecCol)
-    val sb = vecSums(dfB, groupCol, vecCol)
-      .withColumnRenamed("s", "sb")
-    driftOfSums(sa, sb, groupNs(dfA, groupCol), groupNs(dfB, groupCol),
+                    vecCol: String): DataFrame =
+    driftOfSums(vecSums(dfA, groupCol, vecCol),
+      vecSums(dfB, groupCol, vecCol)
+        .withColumnRenamed("s", "sb").withColumnRenamed("n", "nb"),
       groupCol)
-  }
 
-  /** The shared cosine-of-sums reduction: sa(g, pos, s) × sb(g, pos,
-    * sb) → (groupCol, cos_sim, n_a, n_b). */
-  private def driftOfSums(sa: DataFrame, sb: DataFrame, na: DataFrame,
-                          nb: DataFrame, groupCol: String): DataFrame =
+  /** The shared cosine-of-sums reduction: sa(g, pos, s, n) × sb(g, pos,
+    * sb, nb) → (groupCol, cos_sim, n_a, n_b). The counts ride the
+    * joined rows (constant per group — `min` just reads them), so the
+    * whole reduction is ONE join of two aggregates: exactly one scan
+    * per corpus side, no separate count subtrees. */
+  private def driftOfSums(sa: DataFrame, sb: DataFrame,
+                          groupCol: String): DataFrame =
     sa.join(sb, Seq("g", "pos"))
       .groupBy(col("g"))
       .agg(sum(col("s") * col("sb")).as("dot"),
         sum(col("s") * col("s")).as("aa"),
-        sum(col("sb") * col("sb")).as("bb"))
-      .join(na.withColumnRenamed("n", "n_a"), Seq("g"))
-      .join(nb.withColumnRenamed("n", "n_b"), Seq("g"))
+        sum(col("sb") * col("sb")).as("bb"),
+        min(col("n")).as("n_a"), min(col("nb")).as("n_b"))
       .select(col("g").as(groupCol),
         round(col("dot") / sqrt(col("aa") * col("bb")), 6).as("cos_sim"),
         col("n_a"), col("n_b"))
@@ -120,7 +123,6 @@ object Centroids {
   private def sumRows(df: DataFrame, groupCol: String, vecCol: String,
                       batchId: Option[Long]): DataFrame =
     vecSums(df, groupCol, vecCol)
-      .join(groupNs(df, groupCol), Seq("g"))
       .withColumn("batch_id",
         batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
       .select(col("g"), col("pos"), col("s"), col("n"), col("batch_id"))
@@ -153,26 +155,25 @@ object Centroids {
     * key (group, pos, batch_id) with a deterministic `min` pick (minus
     * `excludeBatchId`'s tags — a replayed micro-batch scores against
     * exactly the state its first attempt saw); NULL-tagged rows merge
-    * raw. Returns (sums (g, pos, s), counts (g, n)). */
+    * raw. Returns the effective (g, pos, s, n) relation — per-append
+    * counts total per (g, pos), identical on every pos, the vecSums
+    * shape. */
   private def effective(spark: SparkSession, path: String,
-                        excludeBatchId: Option[Long])
-      : (DataFrame, DataFrame) = {
+                        excludeBatchId: Option[Long]): DataFrame = {
     val raw = spark.read.parquet(s"$path/sums")
     val kept = excludeBatchId match {
       case Some(b) =>
         raw.filter(col("batch_id").isNull || col("batch_id") =!= b)
       case None => raw
     }
-    val once = kept.filter(col("batch_id").isNotNull)
+    kept.filter(col("batch_id").isNotNull)
       .groupBy(col("g"), col("pos"), col("batch_id"))
       .agg(min(col("s")).as("s"), min(col("n")).as("n"))
       .unionByName(kept.filter(col("batch_id").isNull)
         .select(col("g"), col("pos"), col("batch_id"), col("s"), col("n")),
         allowMissingColumns = false)
-    val sums = once.groupBy(col("g"), col("pos")).agg(sum(col("s")).as("s"))
-    val ns = once.filter(col("pos") === 0)
-      .groupBy(col("g")).agg(sum(col("n")).as("n"))
-    (sums, ns)
+      .groupBy(col("g"), col("pos"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
   }
 
   /** Stored-route per-group mean vectors: (group, centroid, n). The
@@ -181,10 +182,9 @@ object Centroids {
   def centroidsAgainstProfile(spark: SparkSession, path: String,
                               excludeBatchId: Option[Long] = None): DataFrame = {
     val (groupCol, _, _) = storedIdentity(path)
-    val (sums, ns) = effective(spark, path, excludeBatchId)
-    sums.join(ns, Seq("g"))
-      .groupBy(col("g"), col("n"))
-      .agg(array_sort(collect_list(struct(col("pos"),
+    effective(spark, path, excludeBatchId)
+      .groupBy(col("g"))
+      .agg(min(col("n")).as("n"), array_sort(collect_list(struct(col("pos"),
         (col("s") / col("n")).as("m")))).as("a"))
       .select(col("g").as(groupCol),
         transform(col("a"), e => e.getField("m")).as("centroid"),
@@ -202,10 +202,10 @@ object Centroids {
     val (groupCol, vecCol, dim) = storedIdentity(path)
     require(uniformDim(batch, vecCol) == dim,
       s"batch vector width != stored width $dim")
-    val (sums, ns) = effective(spark, path, excludeBatchId)
-    driftOfSums(sums,
-      vecSums(batch, groupCol, vecCol).withColumnRenamed("s", "sb"),
-      ns, groupNs(batch, groupCol), groupCol)
+    driftOfSums(effective(spark, path, excludeBatchId),
+      vecSums(batch, groupCol, vecCol)
+        .withColumnRenamed("s", "sb").withColumnRenamed("n", "nb"),
+      groupCol)
   }
 
   /** Collapse the stored rows: NULL-tagged rows fold to one row per

@@ -1337,20 +1337,7 @@ object TextAnalysis {
       .filter(length(col("word")) > 0)
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val vocab0 = wordCounts.select(col("word")).distinct()
-      .withColumn("sym", split(col("word"), ""))
-    val chunks = merges.grouped(BpeCheckpointEvery).toSeq
-    val merged = chunks.zipWithIndex.foldLeft(vocab0) {
-      case (v, (chunk, i)) =>
-        val folded = chunk.foldLeft(v) { case (vv, (l, r)) =>
-          vv.withColumn("sym", mergePair(col("sym"), l, r))
-        }
-        // truncate lineage BETWEEN chunks only — the last chunk is
-        // materialized by the `sized` checkpoint below, so small merge
-        // tables keep the original single-checkpoint plan shape
-        if (i == chunks.size - 1) folded else folded.localCheckpoint()
-    }
-    val sized = merged
+    val sized = bpeVocab(wordCounts, merges)
       .select(col("word"), size(col("sym")).cast("long").as("n_bpe"))
       .localCheckpoint() // forced by the gate count; the join re-reads it
     val hinted = if (sized.count() <= MaxBroadcastRows) broadcast(sized) else sized
@@ -1358,6 +1345,134 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_words"),
         sum(col("c") * col("n_bpe")).as("n_bpe_tokens"))
+  }
+
+  /** The distinct-word vocabulary tokenized under a merge table:
+    * (word, sym ARRAY<STRING>) — k chained vocab-sized folds, never a
+    * corpus pass, localCheckpointed every [[BpeCheckpointEvery]]
+    * merges so analysis cost stays linear in k (the q62/q63
+    * discipline). Shared by the per-doc count and the per-doc
+    * token-id paths. */
+  private def bpeVocab(words: DataFrame,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val vocab0 = words.select(col("word")).distinct()
+      .withColumn("sym", split(col("word"), ""))
+    val chunks = merges.grouped(BpeCheckpointEvery).toSeq
+    chunks.zipWithIndex.foldLeft(vocab0) {
+      case (v, (chunk, i)) =>
+        val folded = chunk.foldLeft(v) { case (vv, (l, r)) =>
+          vv.withColumn("sym", mergePair(col("sym"), l, r))
+        }
+        // truncate lineage BETWEEN chunks only — the caller's own
+        // checkpoint materializes the last chunk, so small merge
+        // tables keep the original single-checkpoint plan shape
+        if (i == chunks.size - 1) folded else folded.localCheckpoint()
+    }
+  }
+
+  /** Per-document token-ID sequences under a learned BPE merge table —
+    * the representation a trainer actually consumes. Ids are assigned
+    * by SORTED token string over the realized vocabulary (rank 0 = the
+    * lexicographically first token): deterministic for a given corpus
+    * + merges, no persisted id table needed. Documents whose text
+    * yields zero words (empty strings) drop from the output — feed the
+    * curation chain's output, whose minTokens gate already removed
+    * them.
+    *
+    * Output: (doc_id, token_ids ARRAY<LONG>, n_bpe_tokens).
+    *
+    * Scale notes (100 TB): merges fold over the DISTINCT-word
+    * vocabulary ([[bpeVocab]]) and ids join on vocabulary-sized
+    * relations (the id-assignment window is single-partition but
+    * vocabulary-sized — tokens ≤ alphabet + merge count, never corpus
+    * rows); the corpus pays one tokenize pass and one word-keyed join
+    * (broadcast-gated at the shared 10M ceiling). Per-doc reassembly
+    * is one map-side-combined aggregate; the interpreted
+    * `array_sort`/`flatten` run on per-doc-bounded arrays (the
+    * chunking budget argument). */
+  def bpeTokenIds(docs: DataFrame,
+                  merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("wpos", "word")))
+      .filter(length(col("word")) > 0)
+      .localCheckpoint() // consumed twice: vocab derivation + the join
+    val vocab = bpeVocab(words, merges)
+    val ids = vocab.select(explode(col("sym")).as("tok")).distinct()
+      .withColumn("tok_id",
+        (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long"))
+    val wordIds = vocab
+      .select(col("word"), posexplode(col("sym")).as(Seq("sp", "tok")))
+      .join(ids, "tok")
+      .groupBy(col("word"))
+      .agg(array_sort(collect_list(struct(col("sp"), col("tok_id"))))
+        .as("a"))
+      .select(col("word"),
+        transform(col("a"), e => e.getField("tok_id")).as("wids"))
+      .localCheckpoint() // forced by the gate count; the join re-reads it
+    val hinted =
+      if (wordIds.count() <= MaxBroadcastRows) broadcast(wordIds) else wordIds
+    words.join(hinted, "word")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("wpos"), col("wids"))))
+        .as("a"))
+      .select(col("doc_id"),
+        flatten(transform(col("a"), e => e.getField("wids")))
+          .as("token_ids"))
+      .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** Pack per-document token-id sequences into FIXED-length training
+    * rows: each document (plus one trailing `eosId`) is laid into its
+    * shard's deterministic (doc_id-ordered) token stream, and the
+    * stream is cut into `seqLen`-token windows — documents cross
+    * sequence boundaries, exactly how LM pretraining data is packed
+    * (GPT-style contiguous packing; the eos token is the document
+    * separator the loss mask keys on). Every sequence except possibly
+    * each shard's last has exactly `seqLen` tokens (spec-pinned).
+    *
+    * Output: (shard, seq_id, token_ids ARRAY<LONG>, n_tokens).
+    *
+    * Scale notes (100 TB): one running-sum window per shard over
+    * doc-sized rows (the q45 shape — state is a single long), one
+    * explode into per-(doc, sequence) pieces (a doc touches
+    * ⌈len/seqLen⌉ + 1 sequences), one map-side-combined reassembly
+    * aggregate keyed on (shard, seq_id); all offset arithmetic is
+    * integral `div` (exact — Column `/` is double division,
+    * CLAUDE.md). Shard count is the parallelism knob: streams are
+    * per-shard, so no global window exists. */
+  def packTokenSequences(tokDocs: DataFrame, seqLen: Int = 128,
+                         shards: Int = 8, eosId: Long = -1L): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val laid = tokDocs
+      .withColumn("shard", Sampling.hashBucket(col("doc_id"), shards))
+      .withColumn("ids", concat(col("token_ids"),
+        array(lit(eosId).cast("long"))))
+      .withColumn("len", size(col("ids")).cast("long"))
+      .withColumn("off", sum(col("len")).over(w) - col("len"))
+    val pieces = laid
+      .select(col("shard"), col("ids"), col("len"), col("off"),
+        explode(sequence(expr(s"off div $seqLen"),
+          expr(s"(off + len - 1) div $seqLen"))).as("seq_id"))
+      .withColumn("start_in_doc",
+        greatest(col("seq_id") * seqLen - col("off"), lit(0L)))
+      .withColumn("end_in_doc",
+        least((col("seq_id") + 1) * seqLen - col("off"), col("len")))
+      .select(col("shard"), col("seq_id"),
+        (col("off") + col("start_in_doc")).as("gpos"),
+        slice(col("ids"), (col("start_in_doc") + 1).cast("int"),
+          (col("end_in_doc") - col("start_in_doc")).cast("int"))
+          .as("piece"))
+    pieces.groupBy(col("shard"), col("seq_id"))
+      .agg(array_sort(collect_list(struct(col("gpos"), col("piece"))))
+        .as("a"))
+      .select(col("shard"), col("seq_id"),
+        flatten(transform(col("a"), e => e.getField("piece")))
+          .as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 
   /** Canonical text normalization — the form exact-dedup and

@@ -658,6 +658,41 @@ object EventStream {
         }
       }
 
+  /** Absorbing centroid stream — the semantic-drift twin of
+    * [[ingestCardinalityStream]] (score against the pre-batch
+    * artifact, then merge): each micro-batch of grouped vectors is
+    * scored for per-group drift against the stored centroid profile
+    * with its own tag excluded
+    * ([[graft.ext.Centroids.driftAgainstCentroidProfile]] — a replay
+    * reproduces the report its first attempt computed), the drift
+    * report lands under `metricsPath/batch_id=N` with overwrite, and
+    * the batch's centroid sums are appended LAST with the batch tag.
+    * Replay safety is the KEY-DEDUP contract (fp sums are mergeable
+    * but not byte-deterministic — Centroids scaladoc): a replayed
+    * tagged append collapses by (group, pos, batch_id), so the
+    * effective profile absorbs each batch exactly once. The profile
+    * must be owned by this one stream; grow the base through untagged
+    * batch appends only while the stream is stopped. */
+  def ingestCentroidStream(rows: DataFrame, profilePath: String,
+                           metricsPath: String,
+                           checkpoint: String): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed twice: score + absorb
+          graft.ext.Centroids.driftAgainstCentroidProfile(
+              b.sparkSession, b, profilePath,
+              excludeBatchId = Some(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+          graft.ext.Centroids.appendCentroidProfile(b, profilePath,
+            batchId = Some(batchId))
+        }
+      }
+
   /** Streaming drift monitor — the observability twin of the ingest
     * streams: each micro-batch of documents is scored against a STORED
     * corpus profile ([[graft.ext.TextAnalysis.divergenceAgainstProfile]])

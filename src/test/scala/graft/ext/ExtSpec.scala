@@ -1526,6 +1526,66 @@ class ExtSpec extends SparkSpec {
     assert(chars.getAs[Long]("n_bpe_tokens") == (3L + 5L + 6L + 6L))
   }
 
+  test("BPE token-id sequences: deterministic ids, counts equality with the count path") {
+    // crafted: merges [(a,b)] on "ab ab c" — realized tokens sorted
+    // lexicographically: ab→0, c→1; the doc reads [0, 0, 1]
+    val crafted = Seq((1L, "ab ab c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenIds(crafted, Seq(("a", "b"))).head()
+    assert(got.getSeq[Long](1) == Seq(0L, 0L, 1L) &&
+      got.getAs[Long]("n_bpe_tokens") == 3L, s"got $got")
+    // fixture: the id path's per-doc lengths equal the count path's
+    // (two independent reassemblies of the same vocabulary fold)
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(120).cache()
+    val merges = TextAnalysis.learnBpeMerges(docs, nMerges = 8)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val viaIds = TextAnalysis.bpeTokenIds(docs, merges)
+      .select($"doc_id", $"n_bpe_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCounts = TextAnalysis.bpeTokenCounts(docs, merges)
+      .select($"doc_id", $"n_bpe_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaIds == viaCounts)
+    docs.unpersist()
+  }
+
+  test("token-sequence packing: exact lengths, boundary crossing, stream reconstruction") {
+    // crafted streams (shards = 1 keeps one deterministic stream):
+    // doc 1 = [10,11,12,13,14], doc 2 = [20] — with eos −1 the stream
+    // is 10,11,12,13,14,−1,20,−1; seqLen 3 cuts [10,11,12] [13,14,−1]
+    // [20,−1]: docs cross boundaries, last sequence is short
+    val tok = Seq((1L, Seq(10L, 11L, 12L, 13L, 14L)), (2L, Seq(20L)))
+      .toDF("doc_id", "token_ids")
+    val seqs = TextAnalysis.packTokenSequences(tok, seqLen = 3, shards = 1)
+      .orderBy($"seq_id")
+      .collect().map(r => (r.getLong(1), r.getSeq[Long](2)))
+    assert(seqs.toSeq == Seq(
+      (0L, Seq(10L, 11L, 12L)), (1L, Seq(13L, 14L, -1L)),
+      (2L, Seq(20L, -1L))), s"got ${seqs.toSeq}")
+    // fixture-scale invariants across shards: every non-final sequence
+    // is exactly seqLen; totals conserve every token + one eos per doc
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(150)
+    val merges = TextAnalysis.learnBpeMerges(docs, nMerges = 4)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val ids = TextAnalysis.bpeTokenIds(docs, merges).localCheckpoint()
+    val packed = TextAnalysis.packTokenSequences(ids, seqLen = 128,
+      shards = 4).cache()
+    val lastPerShard = packed.groupBy($"shard")
+      .agg(max($"seq_id").as("last")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    packed.collect().foreach { r =>
+      val (shard, seqId, n) =
+        (r.getLong(0), r.getLong(1), r.getAs[Long]("n_tokens"))
+      if (seqId != lastPerShard(shard))
+        assert(n == 128L, s"shard $shard seq $seqId has $n tokens")
+      else assert(n >= 1L && n <= 128L)
+    }
+    val totalIn = ids.agg(sum($"n_bpe_tokens")).head.getLong(0) +
+      ids.count() // one eos per doc
+    val totalOut = packed.agg(sum($"n_tokens")).head.getLong(0)
+    assert(totalIn == totalOut, s"$totalIn tokens in vs $totalOut out")
+    packed.unpersist()
+  }
+
   test("BPE apply completes a 128-merge table, counts matching the in-driver fold") {
     // a production-sized merge table crosses the BpeCheckpointEvery=64
     // chunk boundary twice — the mid-fold localCheckpoints must keep

@@ -27,6 +27,8 @@ class EventStreamSpec extends SparkSpec {
 
   case class IngestTok(tok: String)
 
+  case class IngestGVec(g: String, vec: Array[Float])
+
   test("streaming ingest dedup drops cross-batch duplicates via the on-disk index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
@@ -464,6 +466,47 @@ class EventStreamSpec extends SparkSpec {
         Seq("x", "y")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est == Map("x" -> 11L, "y" -> 11L), s"got $est")
+  }
+
+  test("centroid absorb stream scores drift pre-batch, exactly once under key-dedup replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cent").toString
+    // binary-exact values: every sum is exact regardless of association
+    val base = Seq(("a", Array(1f, 0f)), ("a", Array(1f, 2f)))
+      .toDF("g", "vec")
+    graft.ext.Centroids.writeCentroidProfile(base, s"$dir/prof", "g", "vec")
+    val mem = MemoryStream[IngestGVec]
+    def drain(): Unit = {
+      val q = EventStream.ingestCentroidStream(mem.toDF(), s"$dir/prof",
+        s"$dir/metrics", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // batch 0: (0,4) vs base sums (2,2): cos = 8/sqrt(8*16) ≈ 0.707107
+    mem.addData(IngestGVec("a", Array(0f, 4f)))
+    drain()
+    // crash window: report + absorb committed, checkpoint commit lost
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain() // replay: must score against the PRE-absorb profile
+    // batch 1: (2,6) — exactly the post-batch-0 sums, so drift = 1
+    mem.addData(IngestGVec("a", Array(2f, 6f)))
+    drain()
+    val metrics = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => r.getAs[Int]("batch_id") ->
+        ((r.getDouble(1), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))))
+      .toMap
+    // batch 0's replayed report reflects pre-batch state (n_a = 2)
+    assert(metrics(0) == ((0.707107, 2L, 1L)), s"got $metrics")
+    // batch 1 saw batch 0 absorbed exactly once (n_a = 3, cosine 1)
+    assert(metrics(1) == ((1.0, 3L, 1L)), s"got $metrics")
+    // the final profile absorbed every batch once: mean (1, 3) over 4
+    val cents = graft.ext.Centroids.centroidsAgainstProfile(
+        spark, s"$dir/prof").collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Double](1), r.getAs[Long]("n"))))
+      .toMap
+    assert(cents == Map("a" -> ((Seq(1.0, 3.0), 4L))), s"got $cents")
   }
 
   test("streaming drift monitor lands one report per micro-batch against the frozen profile") {
