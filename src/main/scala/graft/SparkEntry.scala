@@ -383,9 +383,8 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val path = ext.TextAnalysis.ensureBpeModel(docs,
         "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
-      val merges = ext.TextAnalysis.readBpeModel(s, path)
       ext.TextAnalysis.packTokenSequences(
-        ext.TextAnalysis.bpeTokenIds(docs, merges),
+        ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path),
         seqLen = 128, shards = 4)
     }),
     // north-star semantic drift: per-label cosine between the mean

@@ -1189,10 +1189,14 @@ object TextAnalysis {
     * model path. */
   def ensureBpeModel(docs: DataFrame, cacheRoot: String,
                      sourcePath: String, nMerges: Int = 10): String = {
+    // key prefix bpe<N>v: ensured models carry the frozen vocabulary
+    // (older vocab-less cache slots are simply never adopted)
     val idx = java.nio.file.Paths.get(
-      cacheRoot, s"bpe${nMerges}_${Similarity.pathFingerprint(sourcePath)}")
-    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
-      writeBpeModel(learnBpeMerges(docs, nMerges), tmp))
+      cacheRoot, s"bpe${nMerges}v_${Similarity.pathFingerprint(sourcePath)}")
+    Similarity.ensureCachedIndex(idx, "params.properties") { tmp =>
+      writeBpeModel(learnBpeMerges(docs, nMerges), tmp)
+      writeBpeVocab(docs, tmp)
+    }
     idx.toString
   }
 
@@ -1392,22 +1396,44 @@ object TextAnalysis {
     * chunking budget argument). */
   def bpeTokenIds(docs: DataFrame,
                   merges: Seq[(String, String)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = docs
-      .select(col("doc_id"),
+    val words = wordPositions(docs)
+    val vocab = bpeVocab(words, merges)
+    // ids derived from THIS corpus's realized vocabulary — every token
+    // resolves, the unk id never fires
+    assembleTokenIds(words, vocab, vocabIdsOf(vocab), unkId = -2L)
+  }
+
+  /** (doc_id, wpos, word) positions — checkpointed because both the
+    * vocabulary fold and the reassembly join consume it. */
+  private def wordPositions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("wpos", "word")))
       .filter(length(col("word")) > 0)
-      .localCheckpoint() // consumed twice: vocab derivation + the join
-    val vocab = bpeVocab(words, merges)
-    val ids = vocab.select(explode(col("sym")).as("tok")).distinct()
+      .localCheckpoint()
+
+  /** Dense token-id table of a realized vocabulary: (tok, tok_id),
+    * rank 0 = lexicographically first token. The single-partition
+    * window is vocabulary-sized (tokens ≤ alphabet + merges), never
+    * corpus rows. */
+  private def vocabIdsOf(vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vocab.select(explode(col("sym")).as("tok")).distinct()
       .withColumn("tok_id",
         (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long"))
+  }
+
+  /** The shared reassembly: word positions × tokenized vocab × id
+    * table → per-doc id arrays. Tokens absent from `ids` (a stored
+    * vocabulary probed by an out-of-distribution batch) map to
+    * `unkId`. */
+  private def assembleTokenIds(words: DataFrame, vocab: DataFrame,
+                               ids: DataFrame, unkId: Long): DataFrame = {
     val wordIds = vocab
       .select(col("word"), posexplode(col("sym")).as(Seq("sp", "tok")))
-      .join(ids, "tok")
+      .join(ids, Seq("tok"), "left")
       .groupBy(col("word"))
-      .agg(array_sort(collect_list(struct(col("sp"), col("tok_id"))))
-        .as("a"))
+      .agg(array_sort(collect_list(struct(col("sp"),
+        coalesce(col("tok_id"), lit(unkId)).as("tok_id")))).as("a"))
       .select(col("word"),
         transform(col("a"), e => e.getField("tok_id")).as("wids"))
       .localCheckpoint() // forced by the gate count; the join re-reads it
@@ -1421,6 +1447,62 @@ object TextAnalysis {
         flatten(transform(col("a"), e => e.getField("wids")))
           .as("token_ids"))
       .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** Freeze the model's VOCABULARY: the realized token set of
+    * `docs` (normally the training corpus) under the stored merges,
+    * with dense sorted-rank ids, written to `vocab/` under the model
+    * path (atomic swap — a crash leaves the previous vocab). This is
+    * the piece a production tokenizer ships beside its merges: id
+    * assignment must come from the MODEL, not each batch's realized
+    * vocabulary, or the same token would get different ids batch to
+    * batch (the streaming consistency requirement — spec-pinned). */
+  def writeBpeVocab(docs: DataFrame, modelPath: String): Unit = {
+    val merges = readBpeModel(docs.sparkSession, modelPath)
+    val ids = vocabIdsOf(bpeVocab(wordPositions(docs), merges))
+      .localCheckpoint() // materialize BEFORE the swap shelves nothing
+    graft.lineage.AtomicSwap.writeSwap(s"$modelPath/vocab")(tmp =>
+      ids.write.parquet(tmp))
+  }
+
+  /** The stored id table (tok, tok_id); fails loudly on a model
+    * without a frozen vocabulary. */
+  private def readBpeVocabIds(spark: org.apache.spark.sql.SparkSession,
+                              modelPath: String): DataFrame = {
+    Dedup.requireParams(s"$modelPath/params.properties", BpeModelParams, "BPE")
+    require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(modelPath, "vocab")),
+      s"BPE model at $modelPath has no stored vocabulary — " +
+        "run writeBpeVocab on the training corpus first")
+    spark.read.parquet(s"$modelPath/vocab")
+  }
+
+  /** Per-document token-id sequences under the STORED model — merges
+    * AND vocabulary both come from the artifact, so ids are consistent
+    * across every batch and stream that applies the model (the
+    * production tokenize path; [[bpeTokenIds]] is the
+    * training-corpus-local form). Tokens outside the stored vocabulary
+    * map to the UNK id = |vocab| (one past the densely-assigned
+    * range).
+    *
+    * Runs as ONE memoized codegen scan projection
+    * ([[graft.functions.BpeEncode]] — model-sized merges + vocab as
+    * driver state, word→ids memo shared across tasks): no shuffle, no
+    * per-occurrence rows, no distinct-word relation in the hot path.
+    * Spec-pinned equal to the distributed vocabulary-fold route
+    * ([[bpeTokenIds]]) on the training corpus. */
+  def bpeTokenIdsAgainstModel(spark: org.apache.spark.sql.SparkSession,
+                              docs: DataFrame, path: String): DataFrame = {
+    val merges = readBpeModel(spark, path).toArray
+    val vocab = readBpeVocabIds(spark, path).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("tok_id")))
+    val codec = new graft.functions.BpeCodec(merges, vocab,
+      unkId = vocab.length.toLong) // dense ids are 0..n-1; n is free
+    docs.select(col("doc_id"),
+        graft.functions.BpeEncode.bpe_encode(col("text"), codec)
+          .as("token_ids"))
+      .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
+      .filter(col("n_bpe_tokens") > 0)
   }
 
   /** Pack per-document token-id sequences into FIXED-length training

@@ -624,6 +624,40 @@ object EventStream {
         }
       }
 
+  /** Streaming tokenizer — the end-product stream over the READ-ONLY
+    * BPE model artifact: each micro-batch of documents is tokenized to
+    * id sequences under the STORED merges + vocabulary
+    * ([[graft.ext.TextAnalysis.bpeTokenIdsAgainstModel]] — the frozen
+    * vocab is what keeps ids consistent across batches; out-of-vocab
+    * tokens map to the UNK id) and packed into fixed-`seqLen` training
+    * rows SCOPED TO THE BATCH
+    * ([[graft.ext.TextAnalysis.packTokenSequences]]), landing under
+    * `sequencesPath/batch_id=N`. Packing is per batch by design — a
+    * global token stream would make every past sequence's offsets
+    * depend on future batches; per-batch streams keep each landing a
+    * pure deterministic function of the batch, so the batch-keyed
+    * overwrite is effectively exactly-once with no tag machinery (the
+    * decontaminationStream contract). Each landed batch's non-final
+    * per-shard sequences are exactly `seqLen` tokens; trainers
+    * concatenate landings. */
+  def tokenizeStream(docs: DataFrame, modelPath: String,
+                     sequencesPath: String, checkpoint: String,
+                     seqLen: Int = 128, shards: Int = 8): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.TextAnalysis.packTokenSequences(
+              graft.ext.TextAnalysis.bpeTokenIdsAgainstModel(
+                batch.sparkSession, batch, modelPath),
+              seqLen, shards)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$sequencesPath/batch_id=$batchId")
+        }
+      }
+
   /** Absorbing frequency stream — the occurrence-count twin of
     * [[ingestCardinalityStream]] (score against the pre-batch
     * artifact, then merge): each micro-batch's values are screened for

@@ -1548,6 +1548,41 @@ class ExtSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("stored BPE vocabulary freezes ids: model route equals live, OOV maps to UNK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_vocab").toString
+    // training corpus: words ab×3, c×2 → one merge (a,b); realized
+    // tokens sorted: ab=0, c=1; UNK = 2
+    val train = Seq((1L, "ab ab c"), (2L, "c ab")).toDF("doc_id", "text")
+    TextAnalysis.writeBpeModel(
+      TextAnalysis.learnBpeMerges(train, nMerges = 1), dir)
+    TextAnalysis.writeBpeVocab(train, dir)
+    def idsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    // on the training corpus the stored route IS the live assignment
+    val merges = TextAnalysis.readBpeModel(spark, dir)
+    assert(idsOf(TextAnalysis.bpeTokenIdsAgainstModel(spark, train, dir)) ==
+      idsOf(TextAnalysis.bpeTokenIds(train, merges)))
+    // an out-of-distribution batch keeps the TRAINING ids (the
+    // cross-batch consistency the stream needs) and maps unseen
+    // tokens to UNK = |vocab|
+    val batch = Seq((9L, "ab zq")).toDF("doc_id", "text")
+    assert(idsOf(TextAnalysis.bpeTokenIdsAgainstModel(spark, batch, dir)) ==
+      Map(9L -> Seq(0L, 2L, 2L)))
+    // the batch-local form re-derives DIFFERENT ids from the batch's
+    // own realized vocabulary ({ab, q, z} → zq reads [2, 1]) — exactly
+    // the inconsistency the stored vocabulary exists to prevent
+    assert(idsOf(TextAnalysis.bpeTokenIds(batch, merges)) ==
+      Map(9L -> Seq(0L, 2L, 1L)))
+    // a model without a frozen vocabulary fails loudly
+    val bare = java.nio.file.Files.createTempDirectory("graft_bpe_bare").toString
+    TextAnalysis.writeBpeModel(
+      TextAnalysis.learnBpeMerges(train, nMerges = 1), bare)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTokenIdsAgainstModel(spark, train, bare)
+    }
+    assert(e.getMessage.contains("no stored vocabulary"), e.getMessage)
+  }
+
   test("token-sequence packing: exact lengths, boundary crossing, stream reconstruction") {
     // crafted streams (shards = 1 keeps one deterministic stream):
     // doc 1 = [10,11,12,13,14], doc 2 = [20] — with eos −1 the stream

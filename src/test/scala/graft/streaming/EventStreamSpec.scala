@@ -429,6 +429,40 @@ class EventStreamSpec extends SparkSpec {
     assert(est == Map("click" -> 75L, "view" -> 30L), s"got $est")
   }
 
+  test("tokenize stream lands per-batch sequences with model-frozen ids, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_tok").toString
+    // train: merge (a,b); vocab ab=0, c=1; UNK=2 (the ExtSpec fixture)
+    val train = Seq((1L, "ab ab c"), (2L, "c ab")).toDF("doc_id", "text")
+    graft.ext.TextAnalysis.writeBpeModel(
+      graft.ext.TextAnalysis.learnBpeMerges(train, nMerges = 1), s"$dir/model")
+    graft.ext.TextAnalysis.writeBpeVocab(train, s"$dir/model")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.tokenizeStream(mem.toDF(), s"$dir/model",
+        s"$dir/seqs", s"$dir/ckpt", seqLen = 3, shards = 1).start()
+      q.awaitTermination()
+    }
+    // batch 0: "ab ab c" → [0,0,1] + eos → [0,0,1] [−1]
+    mem.addData(IngestDoc(1L, "ab ab c"))
+    drain()
+    // crash window: landing committed, checkpoint commit lost
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain() // replay overwrites with the identical deterministic landing
+    // batch 1: "c zq" → c keeps its TRAINING id 1; z, q → UNK 2
+    mem.addData(IngestDoc(9L, "c zq"))
+    drain()
+    val seqs = spark.read.parquet(s"$dir/seqs").collect()
+      .map(r => (r.getAs[Int]("batch_id"), r.getAs[Long]("seq_id")) ->
+        r.getSeq[Long](2).toList).toMap
+    assert(seqs == Map(
+      (0, 0L) -> List(0L, 0L, 1L), (0, 1L) -> List(-1L),
+      (1, 0L) -> List(1L, 2L, 2L), (1, 1L) -> List(-1L)), s"got $seqs")
+  }
+
   test("frequency absorb stream screens hot keys pre-batch, exactly once under replay") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_cms").toString
