@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composition a training-data team
@@ -940,20 +940,37 @@ object Curation {
     * content hashes identically from a parquet or JSONL landing. */
   def shardManifest(spark: org.apache.spark.sql.SparkSession,
                     shardsPath: String,
-                    format: String = "parquet"): DataFrame = {
+                    format: String = "parquet"): DataFrame =
+    manifestOfLayout(readShardLayout(spark, shardsPath, format),
+      Seq(col("doc_id").cast("long"), col("chunk_idx").cast("long"),
+        col("bin_id").cast("long"), col("chunk_text")),
+      col("n_chunk_tokens").cast("long"))
+
+  /** The shared per-(split, shard) digest aggregate: row count, token
+    * sum, and dual salted content hashes over the caller's row-identity
+    * key (order-independent — a sum of xxhash64 values). */
+  private def manifestOfLayout(layout: DataFrame, key: Seq[Column],
+                               nTokens: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val key = Seq(col("doc_id").cast("long"), col("chunk_idx").cast("long"),
-      col("bin_id").cast("long"), col("chunk_text"))
-    readShardLayout(spark, shardsPath, format)
-      .groupBy(col("split"), col("shard"))
+    layout.groupBy(col("split"), col("shard"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("n_chunk_tokens").cast("long")).as("n_tokens"),
+        sum(nTokens).as("n_tokens"),
         sum(xxhash64(key: _*).cast(DecimalType(38, 0)))
           .as("content_hash"),
         sum(xxhash64((lit("graft.manifest.salt") +: key): _*)
             .cast(DecimalType(38, 0)))
           .as("content_hash_salted"))
   }
+
+  /** Manifest of a TOKEN-sequence shard layout
+    * ([[writeTokenShards]]): the row identity is (seq_id, token_ids) —
+    * xxhash64 digests the id array directly, so any token change,
+    * reorder or loss flips the hash. */
+  def tokenShardManifest(spark: org.apache.spark.sql.SparkSession,
+                         shardsPath: String): DataFrame =
+    manifestOfLayout(spark.read.parquet(shardsPath),
+      Seq(col("seq_id").cast("long"), col("token_ids")),
+      col("n_tokens").cast("long"))
 
   /** Write the manifest next to (or wherever the caller points) a shard
     * layout — one small parquet the training job reads first. The
@@ -973,8 +990,20 @@ object Curation {
     * every status being `ok` before reading a byte of shard data. */
   def verifyShards(spark: org.apache.spark.sql.SparkSession,
                    shardsPath: String, manifestPath: String,
-                   format: String = "parquet"): DataFrame = {
-    val actual = shardManifest(spark, shardsPath, format)
+                   format: String = "parquet"): DataFrame =
+    verifyAgainstManifest(spark, shardManifest(spark, shardsPath, format),
+      manifestPath)
+
+  /** [[verifyShards]] for a token-sequence layout — same statuses,
+    * token-layout digests. */
+  def verifyTokenShards(spark: org.apache.spark.sql.SparkSession,
+                        shardsPath: String, manifestPath: String): DataFrame =
+    verifyAgainstManifest(spark, tokenShardManifest(spark, shardsPath),
+      manifestPath)
+
+  private def verifyAgainstManifest(spark: org.apache.spark.sql.SparkSession,
+                                    actual: DataFrame,
+                                    manifestPath: String): DataFrame = {
     val expected = spark.read.parquet(manifestPath)
       .withColumnsRenamed(Map("n_rows" -> "e_rows", "n_tokens" -> "e_tokens",
         "content_hash" -> "e_hash", "content_hash_salted" -> "e_hash2"))
@@ -987,5 +1016,56 @@ object Curation {
             col("e_hash") === col("content_hash") &&
             col("e_hash2") === col("content_hash_salted"), "ok")
           .otherwise("mismatch").as("status"))
+  }
+
+  /** The trainer-ready end product: curate, tokenize under the STORED
+    * BPE model (merges + frozen vocabulary —
+    * [[TextAnalysis.bpeTokenIdsAgainstModel]], the memoized codegen
+    * kernel), pack into fixed-`seqLen` token-id sequences with eos
+    * separators, and land parquet partitioned by (split, shard) — raw
+    * corpus to the layout an LM training job memory-maps, in one call.
+    * Sequences never mix splits (the pack streams are keyed on split as
+    * well as shard); every stage is deterministic, so re-running
+    * reproduces identical shard contents. The token-layout manifest
+    * ([[tokenShardManifest]]) lands at `path/_manifest` by default —
+    * the same always-available integrity gate as the text shards
+    * (reference: the pre-publish validation,
+    * load_sales_history.py:241-246).
+    *
+    * Scale notes: curation's shuffles are the documented bounded ones;
+    * tokenization is a scan projection (no shuffle); packing adds one
+    * per-(split, shard) running-sum window and one map-side-combined
+    * reassembly; the write is executor-side and partitioned. The model
+    * is read once, driver-side, model-sized. */
+  def writeTokenShards(docs: DataFrame, benchmark: DataFrame, path: String,
+                       modelPath: String, cfg: Config = Config(),
+                       seqLen: Int = 128, shards: Int = 8,
+                       eosId: Long = -1L, manifest: Boolean = true,
+                       embeddings: Option[DataFrame] = None): Unit = {
+    requireConfig(cfg)
+    requireEmbeddings(cfg, embeddings)
+    val spark = docs.sparkSession
+    val hy = hygiene(docs, cfg)
+    val hygiened = if (hygieneActive(cfg)) hy.persist() else hy
+    try {
+      val curated = curateHygiened(hygiened, benchmark, cfg, embeddings)
+      // tokenize the HYGIENE text of curated docs (the text every gate
+      // scored), then re-attach the split assignment
+      val withText = hygiened.join(curated, Seq("doc_id"))
+      val toks = TextAnalysis.bpeTokenIdsAgainstModel(spark, withText,
+          modelPath)
+        .join(withText.select(col("doc_id"), col("split")), Seq("doc_id"))
+      TextAnalysis.packTokenSequences(toks, seqLen, shards, eosId,
+          extraKeys = Seq("split"))
+        .select(col("split"), col("shard"), col("seq_id"),
+          col("token_ids"), col("n_tokens"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("split", "shard")
+        .parquet(path)
+      if (manifest)
+        tokenShardManifest(spark, path).coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(defaultManifestPath(path))
+    } finally if (hygieneActive(cfg)) hygiened.unpersist()
   }
 }

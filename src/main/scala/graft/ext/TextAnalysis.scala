@@ -1525,10 +1525,14 @@ object TextAnalysis {
     * CLAUDE.md). Shard count is the parallelism knob: streams are
     * per-shard, so no global window exists. */
   def packTokenSequences(tokDocs: DataFrame, seqLen: Int = 128,
-                         shards: Int = 8, eosId: Long = -1L): DataFrame = {
+                         shards: Int = 8, eosId: Long = -1L,
+                         extraKeys: Seq[String] = Nil): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    // extraKeys scope the token streams (the packChunks discipline —
+    // sequences never mix splits)
+    val keyCols = col("shard") +: extraKeys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("doc_id"))
     val laid = tokDocs
       .withColumn("shard", Sampling.hashBucket(col("doc_id"), shards))
       .withColumn("ids", concat(col("token_ids"),
@@ -1536,24 +1540,24 @@ object TextAnalysis {
       .withColumn("len", size(col("ids")).cast("long"))
       .withColumn("off", sum(col("len")).over(w) - col("len"))
     val pieces = laid
-      .select(col("shard"), col("ids"), col("len"), col("off"),
+      .select(keyCols :+ col("ids") :+ col("len") :+ col("off") :+
         explode(sequence(expr(s"off div $seqLen"),
-          expr(s"(off + len - 1) div $seqLen"))).as("seq_id"))
+          expr(s"(off + len - 1) div $seqLen"))).as("seq_id"): _*)
       .withColumn("start_in_doc",
         greatest(col("seq_id") * seqLen - col("off"), lit(0L)))
       .withColumn("end_in_doc",
         least((col("seq_id") + 1) * seqLen - col("off"), col("len")))
-      .select(col("shard"), col("seq_id"),
-        (col("off") + col("start_in_doc")).as("gpos"),
+      .select(keyCols :+ col("seq_id") :+
+        (col("off") + col("start_in_doc")).as("gpos") :+
         slice(col("ids"), (col("start_in_doc") + 1).cast("int"),
           (col("end_in_doc") - col("start_in_doc")).cast("int"))
-          .as("piece"))
-    pieces.groupBy(col("shard"), col("seq_id"))
+          .as("piece"): _*)
+    pieces.groupBy(keyCols :+ col("seq_id"): _*)
       .agg(array_sort(collect_list(struct(col("gpos"), col("piece"))))
         .as("a"))
-      .select(col("shard"), col("seq_id"),
+      .select(keyCols :+ col("seq_id") :+
         flatten(transform(col("a"), e => e.getField("piece")))
-          .as("token_ids"))
+          .as("token_ids"): _*)
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 

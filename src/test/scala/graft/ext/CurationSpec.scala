@@ -675,6 +675,51 @@ class CurationSpec extends SparkSpec {
       Curation.curate(corpus, benchmark, cfg.copy(minModelScore = 0.5)))
   }
 
+  test("writeTokenShards lands a trainer-ready token layout with a verifying manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok_shards").toString
+    val model = s"$dir/model"
+    TextAnalysis.writeBpeModel(
+      TextAnalysis.learnBpeMerges(corpus, nMerges = 8), model)
+    TextAnalysis.writeBpeVocab(corpus, model)
+    Curation.writeTokenShards(corpus, benchmark, s"$dir/shards", model,
+      cfg, seqLen = 64, shards = 2)
+    val layout = spark.read.parquet(s"$dir/shards").cache()
+    assert(layout.columns.toSet ==
+      Set("seq_id", "token_ids", "n_tokens", "split", "shard"))
+    // sequences never mix splits and every non-final one is exactly
+    // seqLen tokens
+    val lastPer = layout.groupBy($"split", $"shard")
+      .agg(max($"seq_id").as("last")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    layout.collect().foreach { r =>
+      val key = (r.getAs[String]("split"), r.getAs[Int]("shard"))
+      if (r.getAs[Long]("seq_id") != lastPer(key))
+        assert(r.getAs[Long]("n_tokens") == 64L, s"short mid-stream seq at $key")
+    }
+    // token conservation: the layout carries every curated doc's tokens
+    // plus one eos per doc, nothing else
+    val curatedIds = Curation.curate(corpus, benchmark, cfg)
+      .select($"doc_id")
+    val toks = TextAnalysis.bpeTokenIdsAgainstModel(spark, corpus, model)
+      .join(curatedIds, Seq("doc_id"), "left_semi")
+    val expected = toks.agg(sum($"n_bpe_tokens")).head.getLong(0) +
+      toks.count()
+    assert(layout.agg(sum($"n_tokens")).head.getLong(0) == expected)
+    // the manifest gate: clean layout verifies ok ...
+    val mf = Curation.defaultManifestPath(s"$dir/shards")
+    val ok = Curation.verifyTokenShards(spark, s"$dir/shards", mf)
+      .collect().map(_.getString(2))
+    assert(ok.nonEmpty && ok.forall(_ == "ok"), ok.mkString(","))
+    layout.unpersist()
+    // ... and a vanished shard flags missing
+    val victim = new java.io.File(s"$dir/shards/split=train/shard=0")
+    assert(victim.exists)
+    victim.listFiles().foreach(_.delete()); victim.delete()
+    val after = Curation.verifyTokenShards(spark, s"$dir/shards", mf)
+      .collect().map(_.getString(2))
+    assert(after.contains("missing"), after.mkString(","))
+  }
+
   test("word-blocklist gate rides the heuristic gate block with its funnel row") {
     // a never-binding list (hits allowed up to Long.MaxValue) leaves the
     // chain exactly at its default
