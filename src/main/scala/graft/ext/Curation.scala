@@ -116,6 +116,15 @@ object Curation {
     *     the population's total supply saturates every group ≡
     *     default (spec-pinned). None (the default) adds zero plan
     *     nodes. Funnel row `06aa_mixture`.
+    *   - `tokenCountModelPath`: count MODEL tokens in the
+    *     token-denominated mix stages — `tokenBudgetPerLang` and the
+    *     mixture budget run on the stored BPE model's token counts
+    *     ([[TextAnalysis.bpeTokenCountColumn]], a memoized codegen
+    *     projection) instead of whitespace words: "200k tokens of en"
+    *     then means the tokens a TRAINER pays under that tokenizer.
+    *     None (the default) keeps the whitespace count; setting it
+    *     without a token-denominated stage changes nothing (the
+    *     column is never built).
     *   - `bloomIndexPath` (+ `bloomParams`, `maxBloomFlagged`): gate
     *     dedup survivors against a STORED benchmark Bloom sketch
     *     ([[Dedup.contaminationReportAgainstBloomIndex]] — the q65
@@ -193,6 +202,7 @@ object Curation {
       tokenBudgetPerLang: Option[Long] = None,
       mixtureWeights: Option[Seq[(String, Long)]] = None,
       mixtureBudget: Option[Long] = None,
+      tokenCountModelPath: Option[String] = None,
       bloomIndexPath: Option[String] = None,
       bloomParams: Dedup.BloomSketchParams = Dedup.BloomSketchParams(),
       maxBloomFlagged: Long = 0L,
@@ -419,6 +429,19 @@ object Curation {
     else ruleClean
   }
 
+  /** The token count the token-denominated mix stages (mixture, token
+    * budget) run on: whitespace words by default, or STORED-MODEL BPE
+    * tokens when `tokenCountModelPath` points at a model with a frozen
+    * vocabulary — training mixes are specified in the tokens a trainer
+    * pays. Either way a pure scan projection (the BPE form is the
+    * memoized codegen kernel). */
+  private def tokenCountCol(frame: DataFrame, cfg: Config): Column =
+    cfg.tokenCountModelPath match {
+      case Some(mp) =>
+        TextAnalysis.bpeTokenCountColumn(frame.sparkSession, mp)(col("text"))
+      case None => size(split(col("text"), " ")).cast("long")
+    }
+
   /** Exact-dedup key frame: raw text, or normalized text when
     * `normalizeForDedup` is on (survivors keep original text — only the
     * grouping key changes, same single digest-groupBy shuffle). */
@@ -534,7 +557,7 @@ object Curation {
       cfg.tokenBudgetPerLang.isDefined || cfg.mixtureWeights.isDefined
     val mixBase =
       if (needTok) selected.select(col("doc_id"), col("pred_lang"),
-        size(split(col("text"), " ")).cast("long").as("_n_tok"))
+        tokenCountCol(selected, cfg).as("_n_tok"))
       else selected.select(col("doc_id"), col("pred_lang"))
     val rated =
       if (cfg.langSampleRates.nonEmpty)
@@ -747,7 +770,7 @@ object Curation {
       cfg.tokenBudgetPerLang.isDefined || cfg.mixtureWeights.isDefined
     val mixBase =
       if (needTok) selected.select(col("doc_id"), col("pred_lang"),
-        size(split(col("text"), " ")).cast("long").as("_n_tok"))
+        tokenCountCol(selected, cfg).as("_n_tok"))
       else selected.select(col("doc_id"), col("pred_lang"))
     val (rated, sampleRows) =
       if (cfg.langSampleRates.nonEmpty) {

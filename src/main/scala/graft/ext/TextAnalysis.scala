@@ -1200,6 +1200,23 @@ object TextAnalysis {
     idx.toString
   }
 
+  /** Column form of the stored-model token count: how many BPE tokens
+    * a text costs under the model at `modelPath` — one memoized codegen
+    * projection ([[graft.functions.BpeEncode]]), no shuffle, usable
+    * anywhere a whitespace `size(split(...))` count is (the curation
+    * chain's token-denominated stages take it via
+    * `Config.tokenCountModelPath`: training mixes are specified in the
+    * tokens a TRAINER pays, not whitespace words). */
+  def bpeTokenCountColumn(spark: org.apache.spark.sql.SparkSession,
+                          modelPath: String)(text: Column): Column = {
+    val merges = readBpeModel(spark, modelPath).toArray
+    val vocab = readBpeVocabIds(spark, modelPath).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("tok_id")))
+    val codec = new graft.functions.BpeCodec(merges, vocab,
+      unkId = vocab.length.toLong)
+    size(graft.functions.BpeEncode.bpe_encode(text, codec)).cast("long")
+  }
+
   /** Leftmost-first non-overlapping merge of (l, r) in a symbol array —
     * the driver twin of [[mergePair]], same single-accumulator fold. */
   private def mergeSeqInPlace(sym: Array[String], l: String,

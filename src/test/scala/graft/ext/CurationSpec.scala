@@ -720,6 +720,44 @@ class CurationSpec extends SparkSpec {
     assert(after.contains("missing"), after.mkString(","))
   }
 
+  test("token budget counts MODEL tokens when tokenCountModelPath is set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_modeltok").toString
+    val model = s"$dir/model"
+    TextAnalysis.writeBpeModel(
+      TextAnalysis.learnBpeMerges(corpus, nMerges = 8), model)
+    TextAnalysis.writeBpeVocab(corpus, model)
+    // the path alone (no token-denominated stage) changes nothing
+    val base = Curation.curate(corpus, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    assert(Curation.curate(corpus, benchmark,
+        cfg.copy(tokenCountModelPath = Some(model)))
+      .collect().map(_.toSeq).toSet == base)
+    // the same numeric budget binds HARDER in model tokens (a doc costs
+    // more BPE tokens than whitespace words on this corpus)
+    val budget = 3000L
+    val ws = Curation.curate(corpus, benchmark,
+        cfg.copy(tokenBudgetPerLang = Some(budget)))
+      .select($"doc_id").as[Long].collect().toSet
+    val bpeOut = Curation.curate(corpus, benchmark,
+        cfg.copy(tokenBudgetPerLang = Some(budget),
+          tokenCountModelPath = Some(model)))
+      .select($"doc_id", $"pred_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val bpe = bpeOut.map(_._1).toSet
+    assert(bpe.nonEmpty && bpe.size < ws.size,
+      s"model-token budget must bind harder: ${bpe.size} vs ${ws.size}")
+    // the q45 boundary rule holds in MODEL tokens: per language,
+    // survivors minus the boundary doc stay under the budget
+    val modelToks = TextAnalysis.bpeTokenIdsAgainstModel(spark, corpus, model)
+      .select($"doc_id", $"n_bpe_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bpeOut.groupBy(_._2).foreach { case (lang, docs) =>
+      val toks = docs.map(d => modelToks(d._1))
+      assert(toks.sum - toks.max < budget,
+        s"$lang exceeds the model-token budget beyond its boundary doc")
+    }
+  }
+
   test("word-blocklist gate rides the heuristic gate block with its funnel row") {
     // a never-binding list (hits allowed up to Long.MaxValue) leaves the
     // chain exactly at its default
