@@ -56,7 +56,29 @@ object GraftExtensions {
         "shingle_hashes(str, n) - distinct hashed word n-gram shingles"),
       { case Seq(e, n) => ShingleHashes(e, GraftExtensions.intLiteral(n, "shingle_hashes"))
         case other => throw new IllegalArgumentException(
-          s"shingle_hashes expects 2 arguments, got ${other.size}") }))
+          s"shingle_hashes expects 2 arguments, got ${other.size}") }),
+    ("blocklist_hits",
+      info("blocklist_hits",
+        "blocklist_hits(str, array('w', ...)) - blocklisted-token occurrences"),
+      { case Seq(e, words) =>
+          BlocklistHits(e,
+            GraftExtensions.stringArrayLiteral(words, "blocklist_hits"))
+        case other => throw new IllegalArgumentException(
+          s"blocklist_hits expects 2 arguments, got ${other.size}") }))
+
+  private def stringArrayLiteral(e: Expression, fn: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    e match {
+      case CreateArray(children, _) => children.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          s.toString
+        case _ => throw new IllegalArgumentException(
+          s"$fn: words must be string literals")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"$fn: words must be a literal array('w', ...)")
+    }
+  }
 
   private def intLiteral(e: Expression, fn: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

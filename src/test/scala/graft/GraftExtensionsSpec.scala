@@ -12,12 +12,18 @@ class GraftExtensionsSpec extends SparkSpec {
         |  simhash64('a b c') AS sh,
         |  cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
         |  size(word_shingles('a b c d', 3)) AS ws,
-        |  size(shingle_hashes('a b c d', 3)) AS shn""".stripMargin).head()
+        |  size(shingle_hashes('a b c d', 3)) AS shn,
+        |  blocklist_hits('Bad bad apple', array('bad')) AS bh""".stripMargin)
+      .head()
     assert(r.getAs[Long]("rh") ==
       RollingHash.hashBytes("hello world".getBytes("UTF-8")))
     assert(math.abs(r.getAs[Double]("cs") - 1.0) < 1e-12)
     assert(r.getAs[Int]("ws") == 2)
     assert(r.getAs[Int]("shn") == 2)
+    assert(r.getAs[Long]("bh") == 2L)
+    // a non-literal word list is rejected at plan time
+    intercept[Exception](
+      spark.sql("SELECT blocklist_hits('a', array(lower('B')))").head())
   }
 
   test("sql registration rejects wrong arity") {
