@@ -1081,7 +1081,7 @@ object Curation {
       TextAnalysis.packTokenSequences(toks, seqLen, shards, eosId,
           extraKeys = Seq("split"))
         .select(col("split"), col("shard"), col("seq_id"),
-          col("token_ids"), col("n_tokens"))
+          col("token_ids"), col("segment_ids"), col("n_tokens"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("split", "shard")
         .parquet(path)

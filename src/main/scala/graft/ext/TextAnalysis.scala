@@ -1531,7 +1531,10 @@ object TextAnalysis {
     * separator the loss mask keys on). Every sequence except possibly
     * each shard's last has exactly `seqLen` tokens (spec-pinned).
     *
-    * Output: (shard, seq_id, token_ids ARRAY<LONG>, n_tokens).
+    * Output: (shard, seq_id, token_ids ARRAY<LONG>, segment_ids
+    * ARRAY<LONG>, n_tokens) — `segment_ids(i)` is the document index
+    * of token i WITHIN its sequence (0, 1, …), the boundary signal an
+    * attention/loss mask keys on (eos closes each segment).
     *
     * Scale notes (100 TB): one running-sum window per shard over
     * doc-sized rows (the q45 shape — state is a single long), one
@@ -1574,7 +1577,14 @@ object TextAnalysis {
         .as("a"))
       .select(keyCols :+ col("seq_id") :+
         flatten(transform(col("a"), e => e.getField("piece")))
-          .as("token_ids"): _*)
+          .as("token_ids") :+
+        // per-token document index WITHIN the sequence (a doc
+        // contributes at most one piece per sequence, so the piece
+        // index IS the segment) — the boundary signal an attention
+        // mask / loss mask keys on
+        flatten(transform(col("a"), (e, i) =>
+          transform(e.getField("piece"), _ => i)))
+          .cast("array<long>").as("segment_ids"): _*)
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 

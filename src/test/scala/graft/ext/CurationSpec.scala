@@ -685,7 +685,13 @@ class CurationSpec extends SparkSpec {
       cfg, seqLen = 64, shards = 2)
     val layout = spark.read.parquet(s"$dir/shards").cache()
     assert(layout.columns.toSet ==
-      Set("seq_id", "token_ids", "n_tokens", "split", "shard"))
+      Set("seq_id", "token_ids", "segment_ids", "n_tokens", "split", "shard"))
+    // segment ids parallel the tokens and never decrease
+    layout.collect().foreach { r =>
+      val segs = r.getSeq[Long](r.fieldIndex("segment_ids"))
+      assert(segs.length == r.getSeq[Long](r.fieldIndex("token_ids")).length)
+      assert(segs.zip(segs.drop(1)).forall { case (a, b) => a <= b })
+    }
     // sequences never mix splits and every non-final one is exactly
     // seqLen tokens
     val lastPer = layout.groupBy($"split", $"shard")

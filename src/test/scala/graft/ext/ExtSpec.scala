@@ -1596,6 +1596,15 @@ class ExtSpec extends SparkSpec {
     assert(seqs.toSeq == Seq(
       (0L, Seq(10L, 11L, 12L)), (1L, Seq(13L, 14L, -1L)),
       (2L, Seq(20L, -1L))), s"got ${seqs.toSeq}")
+    // segment ids mark per-sequence doc boundaries: at seqLen 4 the
+    // second sequence holds doc 1's tail piece (segment 0) then doc 2
+    // (segment 1)
+    val seg = TextAnalysis.packTokenSequences(tok, seqLen = 4, shards = 1)
+      .orderBy($"seq_id")
+      .collect().map(r => (r.getSeq[Long](2), r.getSeq[Long](3)))
+    assert(seg.toSeq == Seq(
+      (Seq(10L, 11L, 12L, 13L), Seq(0L, 0L, 0L, 0L)),
+      (Seq(14L, -1L, 20L, -1L), Seq(0L, 0L, 1L, 1L))), s"got ${seg.toSeq}")
     // fixture-scale invariants across shards: every non-final sequence
     // is exactly seqLen; totals conserve every token + one eos per doc
     val docs = Tables.documents(spark, sf("sf0.001")).limit(150)
