@@ -489,7 +489,17 @@ object EventStream {
                        graft.ext.Curation.Config(),
                      maxFlagged: Long = 0L,
                      sketchParams: graft.ext.Dedup.BloomSketchParams =
-                       graft.ext.Dedup.BloomSketchParams()): DataStreamWriter[Row] =
+                       graft.ext.Dedup.BloomSketchParams(),
+                     tokenModelPath: Option[String] = None,
+                     tokensPath: Option[String] = None,
+                     seqLen: Int = 128,
+                     tokenShards: Int = 8): DataStreamWriter[Row] = {
+    // optional trainer-ready landing: tokenize each batch's ACCEPTED
+    // docs under the stored BPE model (read-only; model-frozen ids keep
+    // batches consistent) and land packed sequences beside the text —
+    // crawl in, curated token shards out, one stream
+    require(tokenModelPath.isDefined == tokensPath.isDefined,
+      "tokenModelPath and tokensPath enable the token landing together")
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -507,13 +517,26 @@ object EventStream {
                   sketchParams.fpp)
                 .filter(col("n_flagged") > maxFlagged)
                 .select(col("doc_id"))
-              survivors.join(flagged, Seq("doc_id"), "left_anti")
-                .write.mode(SaveMode.Overwrite)
+              val cleanRaw = survivors.join(flagged, Seq("doc_id"), "left_anti")
+              // checkpoint only when a second consumer exists — the
+              // default path's plan is untouched
+              val clean = if (tokenModelPath.isDefined)
+                cleanRaw.localCheckpoint() else cleanRaw
+              clean.write.mode(SaveMode.Overwrite)
                 .parquet(s"$acceptedPath/batch_id=$batchId")
+              tokenModelPath.foreach { mp =>
+                graft.ext.TextAnalysis.packTokenSequences(
+                    graft.ext.TextAnalysis.bpeTokenIdsAgainstModel(
+                      clean.sparkSession, clean, mp),
+                    seqLen, tokenShards)
+                  .write.mode(SaveMode.Overwrite)
+                  .parquet(s"${tokensPath.get}/batch_id=$batchId")
+              }
             })
           ()
         }
       }
+  }
 
   /** Streaming SEMANTIC decontamination — the paraphrase-robust twin
     * of [[decontaminationStream]]: each micro-batch of embedding rows

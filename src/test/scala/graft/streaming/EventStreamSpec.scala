@@ -305,6 +305,59 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("curation stream lands trainer-ready token sequences beside the accepted text") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_curtok").toString
+    graft.ext.Dedup.writeMinhashIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text"), s"$dir/idx")
+    graft.ext.Dedup.writeBloomIndex(
+      Seq((1L, "benchmark secret question about ancient rome"))
+        .toDF("doc_id", "text"), s"$dir/sketch")
+    val cfg = graft.ext.Curation.Config(minTokens = 5)
+    val keep = "a perfectly clean and useful training document about cooking pasta"
+    val modelCorpus = Seq((1L, keep)).toDF("doc_id", "text")
+    graft.ext.TextAnalysis.writeBpeModel(
+      graft.ext.TextAnalysis.learnBpeMerges(modelCorpus, nMerges = 4),
+      s"$dir/model")
+    graft.ext.TextAnalysis.writeBpeVocab(modelCorpus, s"$dir/model")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.curationStream(mem.toDF(), s"$dir/idx",
+        s"$dir/sketch", s"$dir/accepted", s"$dir/ckpt", cfg,
+        tokenModelPath = Some(s"$dir/model"),
+        tokensPath = Some(s"$dir/tokens"),
+        seqLen = 16, tokenShards = 1).start()
+      q.awaitTermination()
+    }
+    mem.addData(IngestDoc(50L, keep), IngestDoc(51L, "too short"))
+    drain()
+    // crash window: landings committed, checkpoint commit lost
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain() // replay: identical token landing, no duplicates
+    assert(spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toSeq == Seq(50L))
+    val landed = spark.read.parquet(s"$dir/tokens")
+      .select("shard", "seq_id", "token_ids", "segment_ids", "n_tokens")
+      .collect().map(_.toSeq).toSet
+    val expected = graft.ext.TextAnalysis.packTokenSequences(
+        graft.ext.TextAnalysis.bpeTokenIdsAgainstModel(spark,
+          Seq((50L, keep)).toDF("doc_id", "text"), s"$dir/model"),
+        seqLen = 16, shards = 1)
+      .select("shard", "seq_id", "token_ids", "segment_ids", "n_tokens")
+      .collect().map(_.toSeq).toSet
+    assert(landed == expected,
+      "the stream's token landing must equal the batch tokenization of the accepted rows")
+    // half-configured token landing fails loudly
+    intercept[IllegalArgumentException] {
+      EventStream.curationStream(mem.toDF(), s"$dir/idx", s"$dir/sketch",
+        s"$dir/a2", s"$dir/c2", cfg, tokensPath = Some(s"$dir/t2"))
+    }
+  }
+
   test("semantic decontamination stream cuts embedding-level leaks against the frozen index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_semdecon").toString
