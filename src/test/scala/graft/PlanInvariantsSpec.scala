@@ -121,7 +121,7 @@ class PlanInvariantsSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       Seq("q08_text_quality", "q09_token_counts", "q11_doc_fingerprint",
-          "q35_repetition_score").foreach { q =>
+          "q35_repetition_score", "q90_blocklist").foreach { q =>
         val p = SparkEntry.queries(q)(spark, sf("sf0.001"))
           .queryExecution.executedPlan
         assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
@@ -131,6 +131,39 @@ class PlanInvariantsSpec extends SparkSpec {
           }.nonEmpty,
           s"$q projection fell out of whole-stage codegen:\n$p")
       }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q92 centroid drift scans each corpus side exactly once (counts ride the sums)") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q92_centroid_drift")(spark, sf("sf0.001"))
+    val p = plan(df)
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"non-equi join in q92 plan:\n$p")
+    val scans = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.length == 2,
+      s"q92 must scan embeddings once per side, got ${scans.length}:\n$p")
+  }
+
+  test("stored-model tokenization is a shuffle-free codegen projection") {
+    spark.catalog.clearCache()
+    val dir = sf("sf0.001")
+    val modelPath = ext.TextAnalysis.ensureBpeModel(
+      Tables.documents(spark, dir), "/tmp/graft_bpe_cache",
+      s"$dir/documents.parquet", nMerges = 8)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = ext.TextAnalysis.bpeTokenIdsAgainstModel(spark,
+          Tables.documents(spark, dir), modelPath)
+        .queryExecution.executedPlan
+      assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"tokenization must not shuffle:\n$p")
+      assert(p.collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+        }.nonEmpty,
+        s"BpeEncode fell out of whole-stage codegen:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
