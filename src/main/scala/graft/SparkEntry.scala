@@ -387,6 +387,15 @@ object SparkEntry {
         ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path),
         seqLen = 128, shards = 4)
     }),
+    // north-star multimodal CONTENT decode: real 16-bit PCM sample
+    // stats from the WAV data chunk (count / amplitude sum / peak) —
+    // the one media format whose content layer needs no external
+    // library, so the decode is full, not a stub; oracle-hashed (the
+    // synthesized data chunk is the text bytes; ASCII fixture ⇒
+    // ascii(substr) = byte, the q11 precedent)
+    "q95_audio_stats" -> ((s, dir) =>
+      ext.Multimodal.audioStats(s,
+        ext.Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF()),
     // north-star semantic drift: per-label cosine between the mean
     // vectors of two corpus slices — everything reduces to per-(label,
     // dim) sums (cosine is scale-invariant: no division enters), so
@@ -1495,6 +1504,27 @@ object SparkEntry {
         |      FROM events e JOIN f USING (user_id))
         |SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM a GROUP BY 1, 2""".stripMargin,
+    // the PCM decode restated: little-endian signed-16 samples over the
+    // text bytes (the synthesized data chunk); trailing odd byte is not
+    // a sample
+    "q95_audio_stats" ->
+      """WITH wav AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |             WHERE doc_id % 3 = 2),
+        |s AS (SELECT doc_id, n,
+        |        list_transform(generate_series(1, n // 2), k ->
+        |          CASE WHEN ascii(substr(text, 2*k - 1, 1)) +
+        |                    256 * ascii(substr(text, 2*k, 1)) >= 32768
+        |               THEN ascii(substr(text, 2*k - 1, 1)) +
+        |                    256 * ascii(substr(text, 2*k, 1)) - 65536
+        |               ELSE ascii(substr(text, 2*k - 1, 1)) +
+        |                    256 * ascii(substr(text, 2*k, 1)) END) AS sm
+        |      FROM wav)
+        |SELECT doc_id AS media_id,
+        |  CAST(n // 2 AS BIGINT) AS n_samples,
+        |  CAST(COALESCE(list_sum(sm), 0) AS BIGINT) AS sum_amplitude,
+        |  CAST(COALESCE(list_max(list_transform(sm, x -> abs(x))), 0)
+        |    AS BIGINT) AS peak_amplitude
+        |FROM s""".stripMargin,
     "q92_centroid_drift" -> CentroidDriftSql,
     // the stored route must hash the LIVE SQL verbatim — equality claim
     "q93_centroid_drift_profile" -> CentroidDriftSql,

@@ -130,8 +130,10 @@ object Multimodal {
   // JPEG: ITU-T T.81 §B.2.2 (marker walk to the SOFn frame header).
   // WAV: RIFF (Microsoft/IBM multimedia spec): chunk walk to "fmt "
   //      (channels, sample rate, block align) and "data" (frame count).
-  // Content-level work (pixel decode, resampling, embeddings) is the
-  // only stubbed layer — see featureStub/frameSampleStub below.
+  // Content-level audio decode is REAL too ([[audioStats]] — 16-bit
+  // PCM samples are the bytes, no library needed). The remaining
+  // stubbed layer is image/video content work (pixel decode,
+  // resampling, embeddings) — see featureStub/frameSampleStub below.
   // ======================================================================
 
   private val PngSignature =
@@ -214,6 +216,45 @@ object Multimodal {
       Some((channels, sampleRate, (dataSize / blockAlign).toInt))
     else None
   }
+
+  /** The data chunk's (offset, byte length) inside a well-formed WAV —
+    * the RIFF walk of [[decodeWav]], pointed at the payload bytes;
+    * length clamps to the buffer (a lying size never reads past the
+    * end). */
+  private def wavDataRange(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
+      if (tag(b, i, "data"))
+        return Some((i + 8, math.min(size, (b.length - i - 8).toLong).toInt))
+      if (size > b.length.toLong) i = b.length
+      else i += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
+  /** REAL 16-bit PCM content decode: little-endian signed samples from
+    * the data chunk → (n_samples, sum_amplitude, peak_amplitude). The
+    * one media format whose CONTENT layer needs no external library —
+    * PCM samples are the bytes — so this is a full decode, not a stub;
+    * a trailing odd byte is not a sample. None on a malformed
+    * container (the quarantine path). */
+  private def decodePcmStats(b: Array[Byte]): Option[(Long, Long, Long)] =
+    wavDataRange(b).map { case (off, len) =>
+      val n = len / 2
+      var sum = 0L; var peak = 0L
+      var k = 0
+      while (k < n) {
+        val v = (((b(off + 2 * k + 1) & 0xFF) << 8) |
+          (b(off + 2 * k) & 0xFF)).toShort.toLong
+        sum += v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        k += 1
+      }
+      (n.toLong, sum, peak)
+    }
 
   /** Decode media metadata — a REAL container parse for every format;
     * None marks a malformed payload (quarantined by the callers, never
@@ -364,6 +405,31 @@ object Multimodal {
     * path (REAL header parse) and the oracle's arithmetic must agree. */
   def metadataQuery(spark: SparkSession, docs: DataFrame): DataFrame =
     extractMetadata(spark, mediaFromDocuments(docs)).toDF()
+
+  final case class AudioStats(media_id: Long, n_samples: Long,
+                              sum_amplitude: Long, peak_amplitude: Long)
+
+  /** REAL audio content decode: per WAV payload, the 16-bit PCM sample
+    * stats (count, amplitude sum, peak |amplitude|) read from the data
+    * chunk — full content-level decode with zero external libraries
+    * (PCM samples ARE the bytes), so unlike pixel decode this layer is
+    * not a stub. Non-wav rows and malformed containers are dropped
+    * (the [[malformedMedia]] quarantine discipline). Per-partition
+    * mapPartitions; payloads never leave executors; output is narrow.
+    * Under [[mediaFromDocuments]]'s synthesis the data chunk is the
+    * document's text bytes, so the whole decode is restatable in SQL —
+    * q95 oracle-hashes it (ASCII fixture ⇒ ascii(substr) = byte, the
+    * q11 precedent). */
+  def audioStats(spark: SparkSession, media: DataFrame): Dataset[AudioStats] = {
+    import spark.implicits._
+    media.as[MediaRaw].mapPartitions { batch =>
+      batch.filter(_.format == "wav").flatMap { m =>
+        decodePcmStats(m.payload).map { case (n, sum, peak) =>
+          AudioStats(m.media_id, n, sum, peak)
+        }
+      }
+    }
+  }
 
   /** Media near-duplicate pairs: extracted feature vectors routed through
     * the sub-quadratic embedding ANN path (`Dedup.embeddingAnnPairs`) —

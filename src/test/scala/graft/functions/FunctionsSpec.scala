@@ -217,6 +217,27 @@ class FunctionsSpec extends SparkSpec {
       frames2.map(f => (f.media_id, f.frame_idx, f.frame_value)).toSet)
   }
 
+  test("audio stats: real PCM decode, signed samples, malformed dropped") {
+    // "ab" → one sample 97 + 98·256 = 25185; "abc" → the trailing odd
+    // byte is not a sample; "é" (UTF-8 C3 A9) → 0xA9C3 reads as the
+    // SIGNED 16-bit value −22077
+    val media = Multimodal.mediaFromDocuments(
+      Seq((2L, "ab"), (5L, "abc"), (8L, "é")).toDF("doc_id", "text"))
+    val got = Multimodal.audioStats(spark, media).collect()
+      .map(a => a.media_id ->
+        ((a.n_samples, a.sum_amplitude, a.peak_amplitude))).toMap
+    assert(got == Map(
+      2L -> ((1L, 25185L, 25185L)),
+      5L -> ((1L, 25185L, 25185L)),
+      8L -> ((1L, -22077L, 22077L))), s"got $got")
+    // non-wav rows and malformed containers are dropped, never thrown
+    assert(Multimodal.audioStats(spark,
+      media.filter($"format" =!= "wav")).collect().isEmpty)
+    val broken = Seq((9L, "wav", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "format", "payload")
+    assert(Multimodal.audioStats(spark, broken).collect().isEmpty)
+  }
+
   test("jaccard df-cap: capped pairs are a subset computed over capped universe") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val uncapped = graft.ext.Dedup.ngramJaccardPairs(docs, minJaccard = 0.5)
