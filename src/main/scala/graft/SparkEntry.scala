@@ -396,6 +396,16 @@ object SparkEntry {
     "q95_audio_stats" -> ((s, dir) =>
       ext.Multimodal.audioStats(s,
         ext.Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF()),
+    // north-star multimodal CONTENT decode, image half: every doc
+    // becomes a VALID small PNG (real zlib IDAT, CRC-correct; pixels =
+    // text bytes cycled), then imageStats REALLY decodes it — inflate,
+    // filter reconstruction, per-channel sums. decode∘encode is the
+    // identity on pixels, so the oracle restates the fill rule —
+    // the whole pure-JVM PNG codec is oracle-hashed end to end
+    "q96_image_stats" -> ((s, dir) =>
+      ext.Multimodal.imageStats(s,
+        ext.Multimodal.validPngMedia(s, Tables.documents(s, dir)).toDF())
+        .toDF()),
     // north-star semantic drift: per-label cosine between the mean
     // vectors of two corpus slices — everything reduces to per-(label,
     // dim) sums (cosine is scale-invariant: no division enters), so
@@ -1525,6 +1535,28 @@ object SparkEntry {
         |  CAST(COALESCE(list_max(list_transform(sm, x -> abs(x))), 0)
         |    AS BIGINT) AS peak_amplitude
         |FROM s""".stripMargin,
+    // the PNG pixel round trip restated: pixels are the text bytes
+    // cycled to w·h·4, so channel c's sum reads every 4th cycled byte
+    "q96_image_stats" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n,
+        |             8 + length(text) % 8 AS w,
+        |             8 + (length(text) // 7) % 8 AS h
+        |           FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(list_sum(list_transform(generate_series(0, w*h - 1), k ->
+        |    ascii(substr(text, CAST((4*k + 0) % n AS INT) + 1, 1))))
+        |    AS BIGINT) AS sum_r,
+        |  CAST(list_sum(list_transform(generate_series(0, w*h - 1), k ->
+        |    ascii(substr(text, CAST((4*k + 1) % n AS INT) + 1, 1))))
+        |    AS BIGINT) AS sum_g,
+        |  CAST(list_sum(list_transform(generate_series(0, w*h - 1), k ->
+        |    ascii(substr(text, CAST((4*k + 2) % n AS INT) + 1, 1))))
+        |    AS BIGINT) AS sum_b,
+        |  CAST(list_sum(list_transform(generate_series(0, w*h - 1), k ->
+        |    ascii(substr(text, CAST((4*k + 3) % n AS INT) + 1, 1))))
+        |    AS BIGINT) AS sum_a
+        |FROM d""".stripMargin,
     "q92_centroid_drift" -> CentroidDriftSql,
     // the stored route must hash the LIVE SQL verbatim — equality claim
     "q93_centroid_drift_profile" -> CentroidDriftSql,

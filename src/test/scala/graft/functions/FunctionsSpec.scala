@@ -217,6 +217,33 @@ class FunctionsSpec extends SparkSpec {
       frames2.map(f => (f.media_id, f.frame_idx, f.frame_value)).toSet)
   }
 
+  test("png pixel codec: all five filters round-trip; malformed payloads quarantined") {
+    val w = 5; val h = 4
+    val pix = Array.tabulate(w * h * 4)(i => ((i * 37 + 11) % 256).toByte)
+    val sums = Array.tabulate(4)(c =>
+      pix.indices.filter(_ % 4 == c).map(i => (pix(i) & 0xFF).toLong).sum)
+    for (ft <- 0 to 4) {
+      val png = Multimodal.encodePng(w, h, pix, ft)
+      val media = Seq((ft.toLong, "png", png))
+        .toDF("media_id", "format", "payload")
+      val got = Multimodal.imageStats(spark, media).head()
+      assert((got.width, got.height) == ((5, 4)), s"filter $ft dims")
+      assert((got.sum_r, got.sum_g, got.sum_b, got.sum_a) ==
+        ((sums(0), sums(1), sums(2), sums(3))),
+        s"filter $ft pixels diverged through encode→decode")
+    }
+    // the q22-style header-only synthesis has no valid IDAT → quarantined
+    val headerOnly = Multimodal.mediaFromDocuments(
+      Seq((1L, "some png document text")).toDF("doc_id", "text"))
+    assert(Multimodal.imageStats(spark, headerOnly).collect().isEmpty)
+    // a truncated IDAT is quarantined, never thrown
+    val png = Multimodal.encodePng(2, 2, Array.fill(16)(7.toByte))
+    val trunc = java.util.Arrays.copyOf(png, png.length - 20)
+    assert(Multimodal.imageStats(spark,
+      Seq((9L, "png", trunc)).toDF("media_id", "format", "payload"))
+      .collect().isEmpty)
+  }
+
   test("audio stats: real PCM decode, signed samples, malformed dropped") {
     // "ab" → one sample 97 + 98·256 = 25185; "abc" → the trailing odd
     // byte is not a sample; "é" (UTF-8 C3 A9) → 0xA9C3 reads as the
