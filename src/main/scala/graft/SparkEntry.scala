@@ -406,6 +406,14 @@ object SparkEntry {
       ext.Multimodal.imageStats(s,
         ext.Multimodal.validPngMedia(s, Tables.documents(s, dir)).toDF())
         .toDF()),
+    // north-star quality filtering: the FULL Gopher repetition suite
+    // (duplicate-line fraction by occurrence and by character, top
+    // 2/3/4-gram character share, duplicated 5/10-gram character
+    // share) — one codegen kernel pass per doc; every fraction is a
+    // single exact-integer division, so the whole profile is
+    // oracle-hashed at 6dp
+    "q97_repetition_profile" -> ((s, dir) =>
+      ext.TextAnalysis.repetitionProfile(Tables.documents(s, dir))),
     // north-star semantic drift: per-label cosine between the mean
     // vectors of two corpus slices — everything reduces to per-(label,
     // dim) sums (cosine is scale-invariant: no division enters), so
@@ -1557,6 +1565,68 @@ object SparkEntry {
         |    ascii(substr(text, CAST((4*k + 3) % n AS INT) + 1, 1))))
         |    AS BIGINT) AS sum_a
         |FROM d""".stripMargin,
+    // the Gopher repetition suite restated: line counts via unnest +
+    // group-by; n-gram counts per n ∈ {2,3,4,5,10} via the 1-based
+    // INCLUSIVE slice windows (w[i : i+n-1] is n tokens); every
+    // fraction one exact-integer division, rounded 6dp both engines
+    "q97_repetition_profile" ->
+      """WITH base AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         string_split(text, chr(10)) AS ls,
+        |         string_split(text, ' ') AS w
+        |  FROM documents),
+        |lc AS (
+        |  SELECT doc_id, line, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(ls) AS line FROM base)
+        |  GROUP BY 1, 2),
+        |lstats AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+        |      / SUM(cnt) AS dup_line_frac,
+        |    CASE WHEN SUM(cnt * length(line)) > 0
+        |      THEN CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(line)
+        |                         ELSE 0 END) AS DOUBLE)
+        |        / SUM(cnt * length(line))
+        |      ELSE 0.0 END AS dup_line_char_frac
+        |  FROM lc GROUP BY 1),
+        |gc AS (
+        |  SELECT doc_id, n, g, COUNT(*) AS cnt
+        |  FROM (
+        |    SELECT b.doc_id, t.n,
+        |      unnest(list_transform(generate_series(1, len(b.w) - t.n + 1),
+        |        i -> array_to_string(b.w[i : i + t.n - 1], ' '))) AS g
+        |    FROM base b, (VALUES (2), (3), (4), (5), (10)) AS t(n)
+        |    WHERE len(b.w) >= t.n)
+        |  GROUP BY 1, 2, 3),
+        |gs AS (
+        |  SELECT doc_id, n,
+        |    MAX(cnt * length(g)) AS top_chars,
+        |    SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dup_chars
+        |  FROM gc GROUP BY 1, 2)
+        |SELECT b.doc_id, l.n_lines,
+        |  ROUND(l.dup_line_frac, 6) AS dup_line_frac,
+        |  ROUND(l.dup_line_char_frac, 6) AS dup_line_char_frac,
+        |  ROUND(CASE WHEN b.n_chars > 0 THEN
+        |    CAST(COALESCE(MAX(CASE WHEN g.n = 2 THEN g.top_chars END), 0)
+        |      AS DOUBLE) / b.n_chars ELSE 0.0 END, 6) AS top2_char_frac,
+        |  ROUND(CASE WHEN b.n_chars > 0 THEN
+        |    CAST(COALESCE(MAX(CASE WHEN g.n = 3 THEN g.top_chars END), 0)
+        |      AS DOUBLE) / b.n_chars ELSE 0.0 END, 6) AS top3_char_frac,
+        |  ROUND(CASE WHEN b.n_chars > 0 THEN
+        |    CAST(COALESCE(MAX(CASE WHEN g.n = 4 THEN g.top_chars END), 0)
+        |      AS DOUBLE) / b.n_chars ELSE 0.0 END, 6) AS top4_char_frac,
+        |  ROUND(CASE WHEN b.n_chars > 0 THEN
+        |    CAST(COALESCE(MAX(CASE WHEN g.n = 5 THEN g.dup_chars END), 0)
+        |      AS DOUBLE) / b.n_chars ELSE 0.0 END, 6) AS dup5_char_frac,
+        |  ROUND(CASE WHEN b.n_chars > 0 THEN
+        |    CAST(COALESCE(MAX(CASE WHEN g.n = 10 THEN g.dup_chars END), 0)
+        |      AS DOUBLE) / b.n_chars ELSE 0.0 END, 6) AS dup10_char_frac
+        |FROM base b
+        |JOIN lstats l USING (doc_id)
+        |LEFT JOIN gs g USING (doc_id)
+        |GROUP BY b.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+        |  b.n_chars""".stripMargin,
     "q92_centroid_drift" -> CentroidDriftSql,
     // the stored route must hash the LIVE SQL verbatim — equality claim
     "q93_centroid_drift_profile" -> CentroidDriftSql,

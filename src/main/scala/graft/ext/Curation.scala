@@ -79,6 +79,17 @@ object Curation {
     *     same scan (zero extra passes, stream-safe via
     *     [[streamingGates]]). Empty (the default) adds zero plan
     *     nodes. Funnel row `03_word_blocklist`.
+    *   - `repetitionCaps`: the FULL Gopher repetition suite as extra
+    *     heuristic-gate ceilings ([[graft.functions.RepetitionProfile]]
+    *     — Rae et al. 2021 §A1.1), keyed by profile field name
+    *     (`dup_line_frac`, `dup_line_char_frac`, `top{n}_char_frac`,
+    *     `dup{n}_char_frac` for any n ≥ 1): a doc survives when every
+    *     named RAW fraction is ≤ its ceiling. Joins the dup-trigram
+    *     rule inside the `02_repetition` stage — one more codegen
+    *     conjunct fused into the same scan (the kernel computes every
+    *     requested statistic in one pass; zero extra passes,
+    *     stream-safe via [[streamingGates]]). Empty (the default) adds
+    *     zero plan nodes.
     *   - `langSampleRates`: per-language Bernoulli keep rates
     *     ([[Sampling.stratifiedSampleByHash]] on `pred_lang`) applied
     *     ahead of the count quota — the fractional mixing knob
@@ -173,6 +184,7 @@ object Curation {
   final case class Config(
       minTokens: Int = 15,
       maxDupTrigramFrac: Double = 0.5,
+      repetitionCaps: Map[String, Double] = Map.empty,
       keepLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
       blocklist: Seq[String] = Nil,
       maxBlocklistHits: Long = 0L,
@@ -217,7 +229,40 @@ object Curation {
       minLmLogProb: Option[Double] = None,
       lmAlpha: Double = 1.0)
 
+  /** The valid `repetitionCaps` key shapes: the line-family fields plus
+    * `top{n}_char_frac` / `dup{n}_char_frac` for any n ≥ 1 (groups 2/3
+    * capture the n). */
+  private val RepCapKey =
+    """^(dup_line_frac|dup_line_char_frac|top([1-9]\d*)_char_frac|dup([1-9]\d*)_char_frac)$""".r
+
+  /** The optional Gopher repetition-suite conjunct: every configured
+    * ceiling as one predicate over a SINGLE kernel evaluation (the
+    * kernel is built with exactly the n sets the keys reference, so no
+    * unrequested statistic is computed; whole-stage codegen CSE shares
+    * the one struct across the field reads). None when no caps are
+    * configured — zero plan nodes. */
+  private def repetitionCapsCond(cfg: Config): Option[Column] =
+    if (cfg.repetitionCaps.isEmpty) None
+    else {
+      val keys = cfg.repetitionCaps.keys.toSeq.sorted
+      val topNs = keys.collect {
+        case RepCapKey(_, t, _) if t != null => t.toInt }.distinct.sorted
+      val dupNs = keys.collect {
+        case RepCapKey(_, _, d) if d != null => d.toInt }.distinct.sorted
+      val r = graft.functions.RepetitionStats
+        .repetition_stats(col("text"), topNs, dupNs)
+      Some(keys.map(k => r.getField(k) <= lit(cfg.repetitionCaps(k)))
+        .reduce(_ && _))
+    }
+
   private def requireConfig(cfg: Config): Unit = {
+    cfg.repetitionCaps.foreach { case (k, v) =>
+      require(RepCapKey.pattern.matcher(k).matches(),
+        s"repetitionCaps key is not a repetition-profile field: $k " +
+          "(valid: dup_line_frac, dup_line_char_frac, top{n}_char_frac, " +
+          "dup{n}_char_frac)")
+      require(v >= 0.0, s"repetitionCaps ceiling must be >= 0: $k -> $v")
+    }
     require(cfg.maxRedactionsPerDoc.isEmpty || cfg.redactPii,
       "maxRedactionsPerDoc gates the redaction stage — set redactPii=true to enable it")
     cfg.langSampleRates.values.foreach(r =>
@@ -500,9 +545,14 @@ object Curation {
     * semi-join. Output carries `pred_lang`. */
   def streamingGates(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     requireConfig(cfg)
+    // the optional Gopher repetition-suite ceilings join the
+    // dup-trigram rule (same 02_repetition stage, same fused scan)
+    val repCond = repetitionCapsCond(cfg)
+      .map(TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac && _)
+      .getOrElse(
+        TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac)
     val heuristic = size(split(col("text"), " ")) >= cfg.minTokens &&
-      TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac &&
-      col("pred_lang").isin(cfg.keepLangs: _*)
+      repCond && col("pred_lang").isin(cfg.keepLangs: _*)
     // the optional blocklist conjunct fuses into the same scan — a
     // codegen set probe, no extra pass; absent entirely by default
     val gateCond =
@@ -662,7 +712,11 @@ object Curation {
       .withColumn("f_tokens",
         (size(split(col("text"), " ")) >= cfg.minTokens).cast("long"))
       .withColumn("f_rep",
-        (TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac)
+        (repetitionCapsCond(cfg)
+          .map(TextAnalysis.dupTrigramFraction(col("text")) <=
+            cfg.maxDupTrigramFrac && _)
+          .getOrElse(TextAnalysis.dupTrigramFraction(col("text")) <=
+            cfg.maxDupTrigramFrac))
           .cast("long"))
       .withColumn("pred_lang", TextAnalysis.langPrediction(col("text")))
       .withColumn("f_lang",

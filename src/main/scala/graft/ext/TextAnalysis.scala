@@ -82,6 +82,28 @@ object TextAnalysis {
       greatest(size(tokens(col("text"))) - 2, lit(0)).cast("long").as("n_trigrams"),
       dupTrigramFraction(col("text")).as("dup_trigram_frac"))
 
+  /** Gopher-style per-document repetition profile: duplicate-line
+    * fraction (by occurrence and by character), the character share of
+    * the single most repeated n-gram (n ∈ topNs), and the character
+    * share of all duplicated n-grams (n ∈ dupNs) — the full repetition
+    * filter family from Rae et al. 2021 §A1.1, of which
+    * [[repetitionScores]]' dup-trigram fraction is the one-statistic
+    * ancestor. Exact semantics are pinned on the
+    * [[graft.functions.RepetitionProfile]] kernel (and matched by the
+    * q97 DuckDB oracle).
+    *
+    * Scale: one codegen kernel evaluation per document fused into the
+    * scan (whole-stage codegen CSE shares the single evaluation across
+    * the projected fields); no shuffle, no state. */
+  def repetitionProfile(docs: DataFrame,
+      topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    val r = graft.functions.RepetitionStats
+      .repetition_stats(col("text"), topNs, dupNs)
+    val fracs = graft.functions.RepetitionStats.fracFieldNames(topNs, dupNs)
+    docs.select(Seq(col("doc_id"), r.getField("n_lines").as("n_lines")) ++
+      fracs.map(f => round(r.getField(f), 6).as(f)): _*)
+  }
+
   /** Corpus-wide top-k n-grams by document frequency — the vocabulary
     * statistics a tokenizer-training / boilerplate-detection pass needs.
     * Deterministic tie-break (df desc, ngram asc) so the cut at k is

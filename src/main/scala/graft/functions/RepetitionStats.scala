@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-document repetition profile — the Gopher-style repetition
+  * filter family (duplicate-line fraction, top n-gram character fraction,
+  * duplicated n-gram character fraction) used to drop degenerate, loopy
+  * web text before training. Extends the reference's quality-gate idea
+  * (`load_sales_history.py:241-246` gates a pipeline on data-shape
+  * checks) to the document-corpus north star; the specific statistics
+  * follow the published Gopher/MassiveText rules (Rae et al. 2021, §A1.1).
+  *
+  * One generated-Java pass per row builds all statistics at once (line
+  * counts + one hash map per n) — the higher-order-function formulation
+  * evaluates interpreted and would re-tokenize per statistic, the reason
+  * every per-row text loop in this repo is a codegen kernel
+  * (see `Shingles`, `LineFilter`, `BpeEncode`).
+  *
+  * Pinned semantics (matched exactly by the DuckDB oracle SQL):
+  *  - lines = text split on '\n' (empties kept); n_lines = count.
+  *  - dup_line_frac = (occurrences of lines occurring more than once)
+  *    / n_lines.
+  *  - dup_line_char_frac = Σ_{line: cnt>1} cnt·len(line) / Σ cnt·len(line)
+  *    (0 when the character total is 0).
+  *  - n-grams = ALL space-token n-grams joined by single spaces
+  *    (occurrences kept; fewer than n tokens ⇒ none).
+  *  - top{n}_char_frac = max_g cnt(g)·len(g) / len(text) — the character
+  *    share of the single most repeated n-gram.
+  *  - dup{n}_char_frac = Σ_{g: cnt>1} cnt(g)·len(g) / len(text) — the
+  *    occurrence-sum variant (overlapping occurrences each count, so the
+  *    value may exceed 1; it upper-bounds Gopher's positional-union
+  *    definition and needs no per-position bookkeeping).
+  * All lengths are Unicode code points (Spark `length` / DuckDB `length`
+  * agree on that unit); every fraction is a single exact-integer division
+  * in double, so cross-engine equality after 6-dp rounding is exact.
+  *
+  * Scale: a narrow projection — fuses into the document scan under
+  * whole-stage codegen, no shuffle, no state; per-row memory is one
+  * HashMap per statistic family, bounded by the document's own token
+  * count.
+  */
+case class RepetitionProfile(child: Expression, topNs: Seq[Int], dupNs: Seq[Int])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && (topNs ++ dupNs).forall(_ >= 1) &&
+        topNs.distinct.size == topNs.size && dupNs.distinct.size == dupNs.size)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (string, distinct ns >= 1), got " +
+          s"${child.dataType}, topNs=$topNs, dupNs=$dupNs")
+
+  override def dataType: DataType = StructType(
+    Seq(StructField("n_lines", LongType, nullable = false),
+      StructField("dup_line_frac", DoubleType, nullable = false),
+      StructField("dup_line_char_frac", DoubleType, nullable = false)) ++
+      topNs.map(n => StructField(s"top${n}_char_frac", DoubleType, nullable = false)) ++
+      dupNs.map(n => StructField(s"dup${n}_char_frac", DoubleType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[UTF8String],
+      topNs.toArray, dupNs.toArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val topRef = ctx.addReferenceObj("topNs", topNs.toArray, "int[]")
+    val dupRef = ctx.addReferenceObj("dupNs", dupNs.toArray, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RepetitionStats.compute($c, $topRef, $dupRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionProfile =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStats {
+  private final val Space = UTF8String.fromString(" ")
+  private final val Newline = UTF8String.fromString("\n")
+
+  /** Struct field names the profile emits for the given n sets — the
+    * validation surface for gate configs that reference fields by name. */
+  def fracFieldNames(topNs: Seq[Int], dupNs: Seq[Int]): Seq[String] =
+    Seq("dup_line_frac", "dup_line_char_frac") ++
+      topNs.map(n => s"top${n}_char_frac") ++ dupNs.map(n => s"dup${n}_char_frac")
+
+  /** Per-n n-gram character stats: (max over distinct n-grams of
+    * cnt·charlen, sum over duplicated n-grams of cnt·charlen). */
+  private def ngramCharStats(toks: Array[UTF8String], n: Int): (Long, Long) = {
+    if (toks.length < n) return (0L, 0L)
+    val counts = new java.util.HashMap[UTF8String, Int]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val g = UTF8String.concatWs(Space,
+        java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+      val prev = counts.get(g)
+      counts.put(g, if (prev == 0) 1 else prev + 1)
+      i += 1
+    }
+    var maxChars = 0L
+    var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val prod = e.getValue.toLong * e.getKey.numChars()
+      if (prod > maxChars) maxChars = prod
+      if (e.getValue > 1) dupChars += prod
+    }
+    (maxChars, dupChars)
+  }
+
+  /** Kernel (called from generated code): all repetition statistics in
+    * one pass. Fractions are RAW doubles — callers round (6 dp) so the
+    * rounding semantics stay Spark's own `round`. */
+  def compute(text: UTF8String, topNs: Array[Int], dupNs: Array[Int]): InternalRow = {
+    // line family
+    val lines = text.split(Newline, -1)
+    val lineCounts = new java.util.HashMap[UTF8String, Int]()
+    var i = 0
+    while (i < lines.length) {
+      val prev = lineCounts.get(lines(i))
+      lineCounts.put(lines(i), if (prev == 0) 1 else prev + 1)
+      i += 1
+    }
+    var dupLineOcc = 0L
+    var lineChars = 0L
+    var dupLineChars = 0L
+    val lit0 = lineCounts.entrySet().iterator()
+    while (lit0.hasNext) {
+      val e = lit0.next()
+      val chars = e.getValue.toLong * e.getKey.numChars()
+      lineChars += chars
+      if (e.getValue > 1) { dupLineOcc += e.getValue; dupLineChars += chars }
+    }
+    val nLines = lines.length
+    val dupLineFrac = if (nLines > 0) dupLineOcc.toDouble / nLines else 0.0
+    val dupLineCharFrac =
+      if (lineChars > 0) dupLineChars.toDouble / lineChars else 0.0
+
+    // n-gram families (each distinct n counted once, then read per field)
+    val toks = text.split(Space, -1)
+    val nChars = text.numChars()
+    val perN = new java.util.HashMap[Int, (Long, Long)]()
+    var j = 0
+    while (j < topNs.length) {
+      if (!perN.containsKey(topNs(j))) perN.put(topNs(j), ngramCharStats(toks, topNs(j)))
+      j += 1
+    }
+    j = 0
+    while (j < dupNs.length) {
+      if (!perN.containsKey(dupNs(j))) perN.put(dupNs(j), ngramCharStats(toks, dupNs(j)))
+      j += 1
+    }
+    val out = new Array[Any](3 + topNs.length + dupNs.length)
+    out(0) = nLines.toLong
+    out(1) = dupLineFrac
+    out(2) = dupLineCharFrac
+    var k = 3
+    j = 0
+    while (j < topNs.length) {
+      out(k) = if (nChars > 0) perN.get(topNs(j))._1.toDouble / nChars else 0.0
+      k += 1; j += 1
+    }
+    j = 0
+    while (j < dupNs.length) {
+      out(k) = if (nChars > 0) perN.get(dupNs(j))._2.toDouble / nChars else 0.0
+      k += 1; j += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  def repetition_stats(c: Column, topNs: Seq[Int], dupNs: Seq[Int]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(RepetitionProfile(ColumnBridge.expression(c), topNs, dupNs))
+  }
+}

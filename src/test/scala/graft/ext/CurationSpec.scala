@@ -497,6 +497,47 @@ class CurationSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/shards").count() > 0)
   }
 
+  test("repetition caps join the heuristic gate, identity when never binding") {
+    // never-binding ceilings (dup fracs are occurrence-sums, so "never
+    // binding" means a bound above any reachable value) ≡ default chain
+    val base = Curation.curate(corpus, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    val never = Curation.curate(corpus, benchmark, cfg.copy(repetitionCaps =
+        Map("dup_line_frac" -> 1.0, "top2_char_frac" -> 1.0,
+          "dup5_char_frac" -> 1e9)))
+      .collect().map(_.toSeq).toSet
+    assert(never == base,
+      "never-binding repetition caps must reproduce the default chain")
+    // a binding cap keeps a subset, and every survivor honors it
+    val capCfg = cfg.copy(repetitionCaps = Map("top2_char_frac" -> 0.08))
+    val capped = Curation.curate(corpus, benchmark, capCfg)
+      .collect().map(_.getLong(0)).toSet
+    val fracs = TextAnalysis.repetitionProfile(corpus)
+      .select($"doc_id", $"top2_char_frac")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(corpus.select("doc_id").as[Long].collect()
+        .exists(id => fracs(id) > 0.08),
+      "fixture must contain docs the cap would cut")
+    capped.foreach(id => assert(fracs(id) <= 0.08,
+      s"doc $id survives with top2_char_frac=${fracs(id)}"))
+    // the funnel folds the caps into the 02_repetition stage: its count
+    // shrinks vs the default funnel while 01_min_tokens is unchanged
+    val f0 = Curation.curationFunnel(corpus, benchmark, cfg)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val f1 = Curation.curationFunnel(corpus, benchmark, capCfg)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f1("01_min_tokens") == f0("01_min_tokens"))
+    assert(f1("02_repetition") < f0("02_repetition"),
+      s"binding cap must shrink the repetition stage: $f1 vs $f0")
+    // unknown field names and negative ceilings fail loudly at plan time
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(repetitionCaps = Map("top0_char_frac" -> 0.5))))
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(repetitionCaps = Map("no_such_frac" -> 0.5))))
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(repetitionCaps = Map("dup_line_frac" -> -0.1))))
+  }
+
   test("stored decontamination artifacts slot into the chain as gates") {
     val embAll = Tables.embeddings(spark, sf("sf0.001"))
     val emb = embAll.select($"vec_id".as("doc_id"), $"embedding")

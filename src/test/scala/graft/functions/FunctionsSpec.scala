@@ -114,6 +114,79 @@ class FunctionsSpec extends SparkSpec {
     assert(viaKernel.values.sum > 0, "fixture should contain blocklisted tokens")
   }
 
+  /** Straight-line reference of the repetition profile (collections
+    * code, no shared helpers with the kernel). */
+  private def refRepetition(text: String, topNs: Seq[Int], dupNs: Seq[Int])
+      : Seq[Double] = {
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    val lines = text.split("\n", -1).toSeq
+    val lcounts = lines.groupBy(identity).map { case (l, o) => (l, o.size) }
+    val nLines = lines.size
+    val dupOcc = lcounts.collect { case (_, c) if c > 1 => c.toLong }.sum
+    val lineChars = lcounts.map { case (l, c) => c * cp(l) }.sum
+    val dupLineChars =
+      lcounts.collect { case (l, c) if c > 1 => c * cp(l) }.sum
+    val toks = text.split(" ", -1).toSeq
+    val nChars = cp(text)
+    def gramStats(n: Int): (Long, Long) =
+      if (toks.size < n) (0L, 0L)
+      else {
+        val gc = toks.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).map { case (g, o) => (g, o.size) }
+        (gc.map { case (g, c) => c * cp(g) }.max,
+          gc.collect { case (g, c) if c > 1 => c * cp(g) }.sum)
+      }
+    Seq(nLines.toDouble,
+      if (nLines > 0) dupOcc.toDouble / nLines else 0.0,
+      if (lineChars > 0) dupLineChars.toDouble / lineChars else 0.0) ++
+      topNs.map(n =>
+        if (nChars > 0) gramStats(n)._1.toDouble / nChars else 0.0) ++
+      dupNs.map(n =>
+        if (nChars > 0) gramStats(n)._2.toDouble / nChars else 0.0)
+  }
+
+  test("repetition_stats matches a straight-line reference, interpreted and codegen") {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 10)
+    val crafted = Seq(
+      "", // empty: 1 empty line, no chars
+      "single line no repeats at all here",
+      "a a a a a a a a a a a a", // maximal 1-token loop
+      "spam line\nspam line\nspam line\nreal content sentence here",
+      "one two three four five one two three four five tail", // dup 5-gram
+      "héllo wörld 中文 héllo wörld 中文 héllo wörld 中文", // unicode
+      "x\n\n\ny\n\n", // repeated empty lines
+      ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 4).trim)
+    // interpreted path: expression eval without a scan
+    crafted.foreach { t =>
+      val row = Seq(t).toDF("text")
+        .select(RepetitionStats.repetition_stats($"text", topNs, dupNs).as("r"))
+        .select($"r.*").head()
+      val got = (0 until row.length).map(i =>
+        if (i == 0) row.getLong(0).toDouble else row.getDouble(i))
+      val want = refRepetition(t, topNs, dupNs)
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(math.abs(g - w) < 1e-12,
+          s"field $i mismatch for '${t.take(30)}': $g vs $w") }
+    }
+    // codegen path through a real scan on fixture docs, and the public
+    // op's rounded output agrees with the rounded reference
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(50).cache()
+    val viaOp = graft.ext.TextAnalysis.repetitionProfile(docs)
+      .collect().map(r => r.getLong(0) ->
+        (1 until r.length).map(i =>
+          if (i == 1) r.getLong(1).toDouble else r.getDouble(i))).toMap
+    val viaRef = docs.select($"doc_id", $"text").collect().map { r =>
+      val raw = refRepetition(r.getString(1), topNs, dupNs)
+      r.getLong(0) -> (raw.head +: raw.tail.map(v =>
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    assert(viaOp == viaRef)
+    // loopy text scores high, clean text low — the gate is discriminative
+    val loopy = refRepetition("a b c d e a b c d e a b c d e", topNs, dupNs)
+    assert(loopy(6) > 0.9, s"dup5_char_frac should flag the loop: $loopy")
+  }
+
   test("multimodal metadata: real header parse agrees with its SQL contract") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val meta = Multimodal.metadataQuery(spark, docs)
