@@ -387,6 +387,26 @@ object SparkEntry {
         ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path),
         seqLen = 128, shards = 4)
     }),
+    // trainer data-order reproducibility: content-addressed shard +
+    // per-epoch md5 permutation — the deterministic data-loader
+    // shuffle (resume/replay/compare runs sample-for-sample); both
+    // engines restate the md5 order exactly, so it's oracle-hashed
+    "q99_epoch_order" -> ((s, dir) =>
+      ext.Sampling.epochDataOrder(Tables.documents(s, dir), "doc_id",
+        nEpochs = 3, shards = 4)),
+    // tokenizer round trip: encode under the stored BPE model, decode
+    // under its frozen vocabulary — decode∘encode = text minus spaces
+    // (encode concatenates per-word ids), so the oracle is
+    // replace(text,' ','') and a hash match verifies the WHOLE ladder:
+    // merge training, vocab id assignment, encode kernel, decode kernel
+    "q98_detokenize_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = ext.TextAnalysis.ensureBpeModel(docs,
+        "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
+      ext.TextAnalysis.detokenizeAgainstModel(s,
+          ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path), path)
+        .select("doc_id", "decoded")
+    }),
     // north-star multimodal CONTENT decode: real 16-bit PCM sample
     // stats from the WAV data chunk (count / amplitude sum / peak) —
     // the one media format whose content layer needs no external
@@ -1525,6 +1545,28 @@ object SparkEntry {
     // the PCM decode restated: little-endian signed-16 samples over the
     // text bytes (the synthesized data chunk); trailing odd byte is not
     // a sample
+    // the per-epoch permutation restated: same salt, same 8-hex-digit
+    // shard hash (the '0x'||hex cast), same md5 order key
+    "q99_epoch_order" ->
+      """WITH e AS (
+        |  SELECT doc_id, epoch
+        |  FROM documents, (SELECT unnest(generate_series(0, 2)) AS epoch)),
+        |s AS (
+        |  SELECT doc_id, epoch,
+        |    ('0x' || substr(md5('graft.epoch.v1' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 4 AS shard
+        |  FROM e)
+        |SELECT doc_id, epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard
+        |    ORDER BY md5('graft.epoch.v1' || CAST(epoch AS VARCHAR) || ':' ||
+        |      CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS position
+        |FROM s""".stripMargin,
+    // decode∘encode = the text minus spaces; the empty-after-despace
+    // guard mirrors bpeTokenIdsAgainstModel's n_bpe_tokens > 0 filter
+    "q98_detokenize_roundtrip" ->
+      """SELECT doc_id, replace(text, ' ', '') AS decoded
+        |FROM documents
+        |WHERE replace(text, ' ', '') <> ''""".stripMargin,
     "q95_audio_stats" ->
       """WITH wav AS (SELECT doc_id, text, length(text) AS n FROM documents
         |             WHERE doc_id % 3 = 2),

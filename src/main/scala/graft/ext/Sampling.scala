@@ -630,6 +630,47 @@ object Sampling {
       .select(ranked(groupCol), col("quantile"), col(scoreCol))
   }
 
+  /** Deterministic per-epoch training data ORDER: every id is assigned
+    * a content-addressed shard (stable across epochs — a trainer
+    * streams one shard set) and, within each (epoch, shard), a
+    * position by md5(salt ‖ epoch ‖ ':' ‖ id) — a fresh deterministic
+    * permutation per epoch, reproducible from (salt, nEpochs, shards)
+    * alone. This is the data-loader shuffle contract LM pretraining
+    * needs pinned (resume from any step, re-run bit-identically,
+    * compare runs sample-for-sample) — the reference's deterministic
+    * run-id admission (`load_sales_history.py:86-99`) applied to epoch
+    * ordering. No wall clock, no RNG state: the order IS a pure
+    * function of content, like every cutoff and salt in this repo.
+    *
+    * Output: (idCol, epoch, shard, position); `position` is 1-based
+    * within its (epoch, shard).
+    *
+    * Scale: the only shuffle is the (epoch, shard) window — there is
+    * deliberately NO global order (a global row_number would funnel
+    * 100 TB through one partition); `shards` is the parallelism knob
+    * and should scale with the corpus (thousands at production scale)
+    * so each per-shard sort stays executor-sized. Epochs multiply rows
+    * nEpochs× — callers order one epoch at a time when materializing
+    * (`nEpochs = 1` + epoch-specific salt composes identically). */
+  def epochDataOrder(df: DataFrame, idCol: String, nEpochs: Int,
+                     shards: Int = 8,
+                     salt: String = "graft.epoch.v1"): DataFrame = {
+    require(nEpochs >= 1, "nEpochs must be >= 1")
+    require(shards >= 1, "shards must be >= 1")
+    val shard = conv(substring(md5(concat(lit(salt),
+        col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % shards
+    val ordKey = md5(concat(lit(salt), col("epoch").cast("string"),
+      lit(":"), col(idCol).cast("string")))
+    df.select(col(idCol),
+        explode(sequence(lit(0L), lit(nEpochs - 1L))).as("epoch"))
+      .withColumn("shard", shard)
+      .withColumn("position", row_number().over(
+          Window.partitionBy(col("epoch"), col("shard"))
+            .orderBy(ordKey, col(idCol)))
+        .cast("long"))
+  }
+
   def trainValTest(df: DataFrame, idCol: String,
                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     val b = hashBucket(col(idCol))

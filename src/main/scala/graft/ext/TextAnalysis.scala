@@ -1230,13 +1230,20 @@ object TextAnalysis {
     * `Config.tokenCountModelPath`: training mixes are specified in the
     * tokens a TRAINER pays, not whitespace words). */
   def bpeTokenCountColumn(spark: org.apache.spark.sql.SparkSession,
-                          modelPath: String)(text: Column): Column = {
+                          modelPath: String)(text: Column): Column =
+    size(graft.functions.BpeEncode.bpe_encode(text, storedCodec(spark, modelPath)))
+      .cast("long")
+
+  /** The stored model as an executor-shippable codec (merges + dense
+    * vocabulary ids + the UNK id one past the range) — the single
+    * construction every stored-model kernel path shares. */
+  private def storedCodec(spark: org.apache.spark.sql.SparkSession,
+                          modelPath: String): graft.functions.BpeCodec = {
     val merges = readBpeModel(spark, modelPath).toArray
     val vocab = readBpeVocabIds(spark, modelPath).collect()
       .map(r => (r.getAs[String]("tok"), r.getAs[Long]("tok_id")))
-    val codec = new graft.functions.BpeCodec(merges, vocab,
-      unkId = vocab.length.toLong)
-    size(graft.functions.BpeEncode.bpe_encode(text, codec)).cast("long")
+    new graft.functions.BpeCodec(merges, vocab,
+      unkId = vocab.length.toLong) // dense ids are 0..n-1; n is free
   }
 
   /** Leftmost-first non-overlapping merge of (l, r) in a symbol array —
@@ -1531,18 +1538,36 @@ object TextAnalysis {
     * Spec-pinned equal to the distributed vocabulary-fold route
     * ([[bpeTokenIds]]) on the training corpus. */
   def bpeTokenIdsAgainstModel(spark: org.apache.spark.sql.SparkSession,
-                              docs: DataFrame, path: String): DataFrame = {
-    val merges = readBpeModel(spark, path).toArray
-    val vocab = readBpeVocabIds(spark, path).collect()
-      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("tok_id")))
-    val codec = new graft.functions.BpeCodec(merges, vocab,
-      unkId = vocab.length.toLong) // dense ids are 0..n-1; n is free
+                              docs: DataFrame, path: String): DataFrame =
     docs.select(col("doc_id"),
-        graft.functions.BpeEncode.bpe_encode(col("text"), codec)
+        graft.functions.BpeEncode
+          .bpe_encode(col("text"), storedCodec(spark, path))
           .as("token_ids"))
       .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
       .filter(col("n_bpe_tokens") > 0)
-  }
+
+  /** Detokenize: render token-id sequences back to text under the
+    * stored model — the audit/recovery half of the tokenizer (inspect
+    * packed training shards as text, debug id drift, human-review what
+    * a trainer would actually consume). Adds a `decoded` column from
+    * `idsCol`; vocabulary lookups against the model's dense id table,
+    * out-of-vocabulary ids (UNK included) rendered as U+FFFD so losses
+    * stay visible.
+    *
+    * decode∘encode drops exactly the whitespace (encode concatenates
+    * per-word ids), so on an UNK-free corpus
+    * `detokenize(bpeTokenIdsAgainstModel(docs)) = replace(text, ' ', '')`
+    * byte for byte — q98 oracle-hashes that round trip, which
+    * transitively verifies the whole ladder: merge training, the frozen
+    * vocabulary's id assignment, the encode kernel and this inverse.
+    *
+    * Scale: one codegen projection per row (model-sized reference
+    * object, no shuffle, no join) — same shape as the encode path. */
+  def detokenizeAgainstModel(spark: org.apache.spark.sql.SparkSession,
+                             df: DataFrame, path: String,
+                             idsCol: String = "token_ids"): DataFrame =
+    df.withColumn("decoded",
+      graft.functions.BpeEncode.bpe_decode(col(idsCol), storedCodec(spark, path)))
 
   /** Pack per-document token-id sequences into FIXED-length training
     * rows: each document (plus one trailing `eosId`) is laid into its

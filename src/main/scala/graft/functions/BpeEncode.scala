@@ -98,6 +98,38 @@ final class BpeCodec(merges: Array[(String, String)],
     }
   }
 
+  /** Dense id → token text, rebuilt per JVM. Ids are 0..n-1 by the
+    * vocabulary contract ([[graft.ext.TextAnalysis.writeBpeVocab]]); any
+    * id outside the stored range (the UNK id included) decodes to
+    * U+FFFD so lossy spots stay visible instead of vanishing. */
+  @transient private lazy val idToToken: Array[String] = {
+    val a = new Array[String](vocab.length)
+    vocab.foreach { case (t, i) =>
+      require(i >= 0 && i < vocab.length && a(i.toInt) == null,
+        s"BPE vocabulary ids must be dense 0..n-1, got id $i for '$t'")
+      a(i.toInt) = t
+    }
+    a
+  }
+
+  /** Kernel: ids → text (called from generated code). The inverse of
+    * [[encode]] up to whitespace: encode drops word boundaries (ids of
+    * all words concatenate), so decode(encode(text)) is text with the
+    * spaces removed — the exact round-trip contract q98's oracle
+    * hashes. */
+  def decode(ids: ArrayData): UTF8String = {
+    val n = ids.numElements()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      val id = ids.getLong(i)
+      if (id >= 0 && id < idToToken.length) sb.append(idToToken(id.toInt))
+      else sb.append('�')
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Kernel: per-document id array (called from generated code). */
   def encode(text: UTF8String): ArrayData = {
     val words = text.toString.split(" ", -1)
@@ -128,9 +160,48 @@ final class BpeCodec(merges: Array[(String, String)],
   }
 }
 
+/** Detokenization as a generated-Java projection — the audit/recovery
+  * half of the tokenizer (render stored token-id sequences back to
+  * text): vocabulary lookups against the model's dense id table, any
+  * out-of-vocabulary id (UNK included) rendered as U+FFFD. Inverse of
+  * [[BpeEncode]] up to whitespace (spec- and oracle-pinned: q98 hashes
+  * decode∘encode against `replace(text, ' ', '')`). */
+case class BpeDecode(child: Expression, codec: BpeCodec)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<bigint> token ids, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    codec.decode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCodec", codec,
+      classOf[BpeCodec].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.decode($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecode =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_decode"
+}
+
 object BpeEncode {
   def bpe_encode(c: Column, codec: BpeCodec): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(c), codec))
+  }
+
+  def bpe_decode(c: Column, codec: BpeCodec): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(BpeDecode(ColumnBridge.expression(c), codec))
   }
 }

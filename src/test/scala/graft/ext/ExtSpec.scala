@@ -886,6 +886,80 @@ class ExtSpec extends SparkSpec {
     assert(m2 != m1 && TextAnalysis.readBpeModel(spark, m2).size == 4)
   }
 
+  test("detokenization inverts the stored-model tokenizer up to whitespace") {
+    val cacheRoot = java.nio.file.Files
+      .createTempDirectory("graft_detok").toString
+    val src = sf("sf0.001") + "/documents.parquet"
+    val path = TextAnalysis.ensureBpeModel(docs, cacheRoot, src, nMerges = 8)
+    // round trip on the training corpus: decode∘encode = the despaced
+    // text, byte for byte (no UNK — the vocab was frozen on this corpus)
+    val sample = docs.limit(60).cache()
+    val decoded = TextAnalysis.detokenizeAgainstModel(spark,
+        TextAnalysis.bpeTokenIdsAgainstModel(spark, sample, path), path)
+      .select($"doc_id", $"decoded").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = sample.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).replace(" ", ""))
+      .filter(_._2.nonEmpty).toMap
+    assert(decoded == expect,
+      "decode∘encode must equal the despaced source text")
+    // out-of-vocabulary characters decode to U+FFFD — lossy spots stay
+    // visible, they never silently vanish or corrupt neighbors
+    val alien = Seq((1L, "the ζζ word")).toDF("doc_id", "text")
+    val aDec = TextAnalysis.detokenizeAgainstModel(spark,
+        TextAnalysis.bpeTokenIdsAgainstModel(spark, alien, path), path)
+      .select($"decoded").head().getString(0)
+    assert(aDec.contains("�") && !aDec.contains("ζ"), aDec)
+    assert(aDec.startsWith("the") && aDec.endsWith("word"), aDec)
+    // whitespace structure (runs, leading/trailing) is exactly what the
+    // round trip forgets — never letters
+    val spaced = Seq((1L, "  a   b c  ")).toDF("doc_id", "text")
+    val sDec = TextAnalysis.detokenizeAgainstModel(spark,
+        TextAnalysis.bpeTokenIdsAgainstModel(spark, spaced, path), path)
+      .select($"decoded").head().getString(0)
+    assert(sDec == "abc", sDec)
+    // a corrupt id stream fails loudly at the vocabulary bound too:
+    // ids beyond the UNK id also render U+FFFD (defensive, spec-pinned)
+    import org.apache.spark.sql.functions.{array, lit}
+    val bad = Seq(1L).toDF("doc_id")
+      .withColumn("token_ids", array(lit(999999L)))
+    val bDec = TextAnalysis.detokenizeAgainstModel(spark, bad, path)
+      .select($"decoded").head().getString(0)
+    assert(bDec == "�", bDec)
+  }
+
+  test("epoch data order: fresh deterministic permutation per epoch, stable shards") {
+    val d = docs.select($"doc_id")
+    val n = d.count()
+    val o = Sampling.epochDataOrder(d, "doc_id", nEpochs = 3, shards = 4)
+      .cache()
+    assert(o.count() == 3 * n)
+    // every epoch holds every id exactly once (it's a permutation)
+    assert(o.groupBy($"epoch").agg(countDistinct($"doc_id").as("u"))
+      .collect().forall(_.getAs[Long]("u") == n))
+    // positions are contiguous 1..count within each (epoch, shard)
+    val bad = o.groupBy($"epoch", $"shard")
+      .agg(count(lit(1)).as("c"), min($"position").as("mn"),
+        max($"position").as("mx"), countDistinct($"position").as("dp"))
+      .filter(!($"mn" === 1 && $"mx" === $"c" && $"dp" === $"c"))
+    assert(bad.isEmpty, bad.collect().mkString(", "))
+    // the shard is content-addressed, NOT epoch-dependent — a trainer
+    // streams one stable shard set across all epochs
+    assert(o.groupBy($"doc_id").agg(countDistinct($"shard").as("s"))
+      .filter($"s" > 1).isEmpty)
+    // consecutive epochs really are different permutations
+    val byEpoch = (0 to 1).map(e => o.filter($"epoch" === e)
+      .select($"doc_id", $"shard", $"position")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    assert(byEpoch(0) != byEpoch(1),
+      "epoch 1 must reorder relative to epoch 0")
+    // and the whole thing is reproducible from the salt alone
+    val again = Sampling.epochDataOrder(d, "doc_id", nEpochs = 3, shards = 4)
+      .collect().map(_.toSeq).toSet
+    assert(again == o.collect().map(_.toSeq).toSet)
+    o.unpersist()
+  }
+
   test("stratified hash sample is deterministic, per-stratum, and rate-accurate") {
     val d = docs.select($"doc_id", $"lang")
     val rates = Map("en" -> 0.25, "de" -> 0.5)
