@@ -434,6 +434,16 @@ object SparkEntry {
     // oracle-hashed at 6dp
     "q97_repetition_profile" -> ((s, dir) =>
       ext.TextAnalysis.repetitionProfile(Tables.documents(s, dir))),
+    // north-star multimodal CONTENT decode, JPEG: every doc becomes a
+    // VALID baseline JPEG (real JDK DCT encode), then jpegStats REALLY
+    // entropy-decodes it back to per-channel sums. JPEG is lossy, so
+    // unlike q96 the round trip is near-identity, not SQL-restatable —
+    // rows-only; the spec pins dims-exact / content-tolerance /
+    // determinism / quarantine
+    "q100_jpeg_stats" -> ((s, dir) =>
+      ext.Multimodal.jpegStats(s,
+        ext.Multimodal.validJpegMedia(s, Tables.documents(s, dir)).toDF())
+        .toDF()),
     // north-star semantic drift: per-label cosine between the mean
     // vectors of two corpus slices — everything reduces to per-(label,
     // dim) sums (cosine is scale-invariant: no division enters), so

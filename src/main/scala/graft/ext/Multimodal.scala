@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * container codecs: PNG and JPEG dimensions are fixed-offset reads of
   * public image formats, and WAV audio properties (channels, sample
   * rate, frame count) come from a real RIFF chunk walk — all parsed in
-  * pure JVM code with no external library. Only CONTENT-level work
-  * (pixel decode, audio resample, embedding inference) remains stubbed
-  * (deterministic byte-derived stand-ins), since the media libraries
-  * are absent in this environment.
+  * pure JVM code with no external library. CONTENT-level decode is real
+  * too for wav (PCM samples are the bytes), png (java.util.zip inflate +
+  * filter reconstruction) AND jpeg (the JDK's javax.imageio baseline
+  * DCT codec); only video and embedding inference remain stubbed
+  * (deterministic byte-derived stand-ins), since those genuinely need
+  * libraries absent in this environment.
   *
   * Scale notes (100 TB of media): payloads stay on executors end-to-end
   * (no collect); per-partition `mapPartitions` amortizes codec init
@@ -131,10 +133,11 @@ object Multimodal {
   // WAV: RIFF (Microsoft/IBM multimedia spec): chunk walk to "fmt "
   //      (channels, sample rate, block align) and "data" (frame count).
   // Content-level decode is REAL for wav ([[audioStats]] — PCM samples
-  // are the bytes) AND png ([[imageStats]] — full zlib inflate +
-  // filter reconstruction via java.util.zip; [[encodePng]] is its
-  // CRC-correct inverse). The remaining stubbed layer is JPEG pixel
-  // work, video, and embedding inference — the pieces that genuinely
+  // are the bytes), png ([[imageStats]] — full zlib inflate + filter
+  // reconstruction via java.util.zip; [[encodePng]] is its CRC-correct
+  // inverse) AND jpeg ([[jpegStats]] — the JDK's javax.imageio
+  // baseline DCT codec, real entropy decode). The remaining stubbed
+  // layer is video and embedding inference — the pieces that genuinely
   // need absent libraries; see featureStub/frameSampleStub below.
   // ======================================================================
 
@@ -414,8 +417,9 @@ object Multimodal {
   // CRC-correct, any filter type) + decoder (IDAT inflate + full
   // filter reconstruction, ISO/IEC 15948 §9: None/Sub/Up/Average/
   // Paeth) for 8-bit RGBA non-interlaced — the synthesis profile.
-  // With this, the multimodal content stub narrows to JPEG pixel work
-  // and video, which genuinely need absent libraries.
+  // With this and the JPEG codec below, the multimodal content stub
+  // narrows to video and embedding inference, which genuinely need
+  // absent libraries.
   // ======================================================================
 
   /** Encode 8-bit RGBA pixels as a VALID PNG (zlib IDAT, CRC32-correct
@@ -595,6 +599,123 @@ object Multimodal {
       batch.filter(_.format == "png").flatMap { m =>
         pngPixelStats(m.payload).map { case (w, h, s) =>
           ImageStats(m.media_id, w, h, s(0), s(1), s(2), s(3))
+        }
+      }
+    }
+  }
+
+  // ======================================================================
+  // REAL JPEG PIXEL CODEC — the JDK's built-in baseline JPEG
+  // reader/writer (`javax.imageio`, part of the java.desktop module
+  // every JDK ships — no external library, headless-safe): a real DCT
+  // entropy encode/decode, not a stand-in. JPEG is LOSSY, so unlike
+  // the PNG codec the pixel round trip is near-identity rather than
+  // exact — q100 is therefore rows-only, with invariant specs pinning
+  // what IS exact (dimensions, determinism, quarantine) and tolerance
+  // bounds on channel content. With this, the multimodal content stub
+  // narrows to video and embedding inference — the two layers that
+  // genuinely need absent libraries.
+  // ======================================================================
+
+  /** Encode 8-bit RGB pixels as a real baseline JPEG via the JDK
+    * codec, explicit quality (deterministic for fixed input + JDK). */
+  private[graft] def encodeJpeg(w: Int, h: Int, rgb: Array[Byte],
+                                quality: Float = 0.9f): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} RGB bytes")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((rgb(p) & 0xFF) << 16) |
+          ((rgb(p + 1) & 0xFF) << 8) | (rgb(p + 2) & 0xFF))
+        p += 3
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** REAL JPEG pixel decode via the JDK codec: full entropy decode +
+    * IDCT to (w, h, per-channel RGB sums). None on malformed or
+    * truncated streams (the reader returns null or throws IIOException
+    * — both quarantine, never crash). Per-image cost is the decode
+    * itself; at scale prefer one Raster grab per image over per-pixel
+    * getRGB if profiling demands (fixture images are small). */
+  private[graft] def jpegPixelStats(b: Array[Byte])
+      : Option[(Int, Int, Array[Long])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x, y)
+            sums(0) += (px >> 16) & 0xFF
+            sums(1) += (px >> 8) & 0xFF
+            sums(2) += px & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sums))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Fixture adapter for the JPEG pixel path: every document becomes a
+    * VALID baseline JPEG (real JDK DCT encode) whose RGB bytes are the
+    * text's bytes cycled to fill width = 8 + n % 8, height = 8 +
+    * (n div 7) % 8 — the [[validPngMedia]] rule, 3-channel. Lossy
+    * encode ⇒ not SQL-restatable; q100 is rows-only with the content
+    * bounds spec-pinned. */
+  def validJpegMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRaw] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val n = bytes.length
+          val w = 8 + n % 8
+          val h = 8 + (n / 7) % 8
+          val rgb = Array.tabulate(w * h * 3)(p => bytes(p % n))
+          MediaRaw(id, "jpg", encodeJpeg(w, h, rgb))
+        }
+      }
+  }
+
+  final case class JpegStats(media_id: Long, width: Int, height: Int,
+                             sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL JPEG content decode: per payload, dimensions and per-channel
+    * RGB sums from the actual entropy-decoded, IDCT-reconstructed
+    * pixels (JDK codec). Non-jpg rows and malformed/truncated streams
+    * drop to the quarantine path. Per-partition mapPartitions —
+    * payloads stay on executors, output is narrow. */
+  def jpegStats(spark: SparkSession, media: DataFrame): Dataset[JpegStats] = {
+    import spark.implicits._
+    media.as[MediaRaw].mapPartitions { batch =>
+      batch.filter(m => m.format == "jpg" || m.format == "jpeg").flatMap { m =>
+        jpegPixelStats(m.payload).map { case (w, h, s) =>
+          JpegStats(m.media_id, w, h, s(0), s(1), s(2))
         }
       }
     }

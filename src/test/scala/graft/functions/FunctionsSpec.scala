@@ -317,6 +317,43 @@ class FunctionsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("jpeg pixel codec: real JDK DCT round trip — dims exact, content near, quarantine") {
+    // solid color survives the lossy round trip almost exactly (flat DCT)
+    val (w, h) = (16, 12)
+    val solid = Array.tabulate(w * h * 3)(p =>
+      (p % 3 match { case 0 => 200; case 1 => 30; case _ => 90 }).toByte)
+    val enc = Multimodal.encodeJpeg(w, h, solid)
+    assert((enc(0) & 0xFF) == 0xFF && (enc(1) & 0xFF) == 0xD8, "not a JPEG")
+    val Some((dw, dh, sums)) = Multimodal.jpegPixelStats(enc)
+    assert((dw, dh) == ((w, h)), "dimensions must survive exactly")
+    val n = (w * h).toDouble
+    assert(math.abs(sums(0) / n - 200) <= 3 && math.abs(sums(1) / n - 30) <= 3 &&
+      math.abs(sums(2) / n - 90) <= 3, s"channel means drifted: ${sums.toSeq}")
+    // encode is deterministic byte-for-byte (fixed input + JDK codec)
+    assert(java.util.Arrays.equals(enc, Multimodal.encodeJpeg(w, h, solid)))
+    // textured content: means still within a loose lossy tolerance
+    val tex = Array.tabulate(w * h * 3)(p => ((p * 37) % 251).toByte)
+    val Some((_, _, tsums)) = Multimodal.jpegPixelStats(Multimodal.encodeJpeg(w, h, tex))
+    val want = Array(0, 1, 2).map(c =>
+      (0 until w * h).map(i => tex(i * 3 + c) & 0xFF).sum / n)
+    Array(0, 1, 2).foreach(c => assert(math.abs(tsums(c) / n - want(c)) <= 16,
+      s"channel $c mean ${tsums(c) / n} vs source ${want(c)}"))
+    // malformed and truncated streams quarantine, never throw
+    assert(Multimodal.jpegPixelStats(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.jpegPixelStats(java.util.Arrays.copyOf(enc, enc.length / 2)).isEmpty)
+    // the Spark op end to end on fixture docs: every doc decodes, and
+    // dims follow the synthesis rule
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(40).cache()
+    val stats = Multimodal.jpegStats(spark,
+        Multimodal.validJpegMedia(spark, docs).toDF())
+      .collect().map(s => s.media_id -> ((s.width, s.height))).toMap
+    val wantDims = docs.collect().map { r =>
+      val nb = r.getAs[String]("text").getBytes("UTF-8").length
+      r.getAs[Long]("doc_id") -> ((8 + nb % 8, 8 + (nb / 7) % 8))
+    }.toMap
+    assert(stats == wantDims)
+  }
+
   test("audio stats: real PCM decode, signed samples, malformed dropped") {
     // "ab" → one sample 97 + 98·256 = 25185; "abc" → the trailing odd
     // byte is not a sample; "é" (UTF-8 C3 A9) → 0xA9C3 reads as the
