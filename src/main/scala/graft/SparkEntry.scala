@@ -387,6 +387,32 @@ object SparkEntry {
         ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path),
         seqLen = 128, shards = 4)
     }),
+    // the token-sequence INDEX route: freeze the even half as the base
+    // layout, absorb the odd half as an append in the same global
+    // seq_id namespace, and report the per-(shard, batch) shape.
+    // Rows-only: the layout rides the BPE artifacts (not
+    // SQL-expressible); ExtSpec pins additive-append/replay/rebuild
+    // equalities
+    "q101_token_sequence_index" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val docs = Tables.documents(s, dir)
+      val model = ext.TextAnalysis.ensureBpeModel(docs,
+        "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
+      val idx = "/tmp/graft_tokseq_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ext.TextAnalysis.writeTokenSequenceIndex(
+        ext.TextAnalysis.bpeTokenIdsAgainstModel(s,
+          docs.filter(col("doc_id") % 2 === 0), model),
+        idx, seqLen = 128, shards = 4)
+      ext.TextAnalysis.appendTokenSequences(s,
+        ext.TextAnalysis.bpeTokenIdsAgainstModel(s,
+          docs.filter(col("doc_id") % 2 === 1), model),
+        idx, batchId = 0L)
+      ext.TextAnalysis.readTokenSequences(s, idx)
+        .groupBy(col("shard"), col("batch_id").cast("long").as("batch_id"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+    }),
     // trainer data-order reproducibility: content-addressed shard +
     // per-epoch md5 permutation — the deterministic data-loader
     // shuffle (resume/replay/compare runs sample-for-sample); both

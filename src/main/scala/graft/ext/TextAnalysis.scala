@@ -1635,6 +1635,165 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 
+  // ======================================================================
+  // TOKEN-SEQUENCE INDEX — the incremental ladder for the trainer-ready
+  // layout: freeze a packed corpus ONCE, then absorb each crawl/ingest
+  // batch as new sequences in a GLOBAL, stable, monotone per-shard
+  // seq_id namespace (trainers address samples by id; per-batch-scoped
+  // ids — `EventStream.tokenizeStream` — cannot give a resumable global
+  // order). Appends are purely additive: a batch's sequences land under
+  // their own batch_id partition, so at most ONE partial (< seqLen)
+  // sequence exists per (shard, batch) — bounded slack a trainer pads
+  // or drops — and nothing ever rewrites base rows.
+  // Replay-safety class: per-batch PARTITION OVERWRITE + seq_id
+  // continuation computed with the batch's own tag excluded — a
+  // replayed batch reproduces byte-identical rows in the same ids
+  // (the decontaminationStream determinism contract plus the
+  // excludeTagged id rule). The base tag is -1, NOT the NULL other
+  // artifacts use: batch_id is a PARTITION column here (that is what
+  // makes the per-batch overwrite atomic per batch), and a partition
+  // column cannot hold NULL; stream batch ids are >= 0.
+  // `rebuildTokenSequenceIndex` is the maintenance op (the
+  // rebuildBloomIndex precedent): re-cut every stream, in base-then-
+  // batch order, into one contiguous canonical base — it deliberately
+  // RESETS provenance (merging partial tails across batches is
+  // inherently tag-destroying), so run it only while no stream owns
+  // the index.
+  // ======================================================================
+
+  private val TokenSeqKind = Map("kind" -> "tokenseq")
+
+  /** Sequence-layout parameters are OWNED by the artifact (the
+    * canonical-index idCol rule): every append/read pulls them back
+    * from the sidecar instead of taking arguments that could
+    * disagree. */
+  private def tokenSeqParamsOf(path: String): (Int, Int, Long) = {
+    Dedup.requireParams(s"$path/params.properties", TokenSeqKind,
+      "token-sequence")
+    (Dedup.readParam(s"$path/params.properties", "seqLen",
+        "token-sequence").toInt,
+      Dedup.readParam(s"$path/params.properties", "shards",
+        "token-sequence").toInt,
+      Dedup.readParam(s"$path/params.properties", "eosId",
+        "token-sequence").toLong)
+  }
+
+  private val SeqCols = Seq("shard", "seq_id", "token_ids", "segment_ids",
+    "n_tokens")
+
+  /** Freeze a tokenized corpus as the base of a token-sequence index:
+    * [[packTokenSequences]] output partitioned by `batch_id` (= -1 for
+    * the base), atomically swapped, the params sidecar written LAST
+    * (its presence implies a complete index — the pinned append
+    * rule). */
+  def writeTokenSequenceIndex(toks: DataFrame, path: String,
+                              seqLen: Int = 128, shards: Int = 8,
+                              eosId: Long = -1L): Unit = {
+    val packed = packTokenSequences(toks, seqLen, shards, eosId)
+      .withColumn("batch_id", lit(-1L))
+      .select((SeqCols :+ "batch_id").map(col): _*)
+    graft.lineage.AtomicSwap.writeSwap(s"$path/seqs")(tmp =>
+      packed.write.partitionBy("batch_id").parquet(tmp))
+    Dedup.writeParams(s"$path/params.properties",
+      TokenSeqKind ++ Map("seqLen" -> seqLen.toString,
+        "shards" -> shards.toString, "eosId" -> eosId.toString))
+  }
+
+  /** The stored layout, sidecar-validated: (shard, seq_id, token_ids,
+    * segment_ids, n_tokens, batch_id). */
+  def readTokenSequences(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    Dedup.requireParams(s"$path/params.properties", TokenSeqKind,
+      "token-sequence")
+    spark.read.parquet(s"$path/seqs")
+  }
+
+  /** Absorb one tokenized batch into the index: pack the batch under
+    * the STORED parameters, continue each shard's seq_id range from
+    * the per-shard max among rows NOT carrying this batch's own tag
+    * (replay exclusion — a replayed batch recomputes the same ids),
+    * and land under `seqs/batch_id=N` with overwrite (exactly-once
+    * per batch). Sidecar validated BEFORE any write — a rejected
+    * append must not mutate the index.
+    *
+    * Scale: packing is the documented per-shard window; the id
+    * continuation is a shard-count-sized aggregate broadcast back —
+    * batch cost never includes re-reading base sequence DATA (the
+    * aggregate prunes to the seq_id column). */
+  def appendTokenSequences(spark: org.apache.spark.sql.SparkSession,
+                           batchToks: DataFrame, path: String,
+                           batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"batch ids are >= 0 (-1 is the reserved base tag), got $batchId")
+    val (seqLen, shards, eosId) = tokenSeqParamsOf(path)
+    // materialized EAGERLY: on a replay the target partition already
+    // exists, and the overwrite below deletes the very files a lazy
+    // aggregate would still be reading
+    val nextIds = spark.read.parquet(s"$path/seqs")
+      .filter(col("batch_id") =!= batchId)
+      .groupBy(col("shard")).agg(max(col("seq_id")).as("_last_id"))
+      .localCheckpoint()
+    packTokenSequences(batchToks, seqLen, shards, eosId)
+      .join(broadcast(nextIds), Seq("shard"), "left")
+      .withColumn("seq_id",
+        col("seq_id") + coalesce(col("_last_id") + 1L, lit(0L)))
+      .select(SeqCols.map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/seqs/batch_id=$batchId")
+  }
+
+  /** Canonicalize the index: re-cut every shard's token stream — base
+    * first, then batches in tag order, sequences in id order — into
+    * one contiguous base layout (batch_id = -1, seq_ids dense from 0,
+    * at most one partial sequence per shard). Segment ids are
+    * recomputed from the eos separators
+    * ([[graft.functions.SegmentsFromEos]] — piece-index numbering is
+    * wrong here: a repacked piece boundary may fall mid-document).
+    * Deliberately RESETS batch provenance (tails merge across
+    * batches); single-writer maintenance, never under a live stream.
+    * The result is spec-pinned equal to a fresh
+    * [[writeTokenSequenceIndex]] over the same per-shard streams. */
+  def rebuildTokenSequenceIndex(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Unit = {
+    val (seqLen, _, eosId) = tokenSeqParamsOf(path)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("batch_id"), col("seq_id"))
+    val rows = spark.read.parquet(s"$path/seqs")
+      .select(col("shard"), col("batch_id"), col("seq_id"),
+        col("token_ids").as("ids"))
+      .withColumn("len", size(col("ids")).cast("long"))
+      .filter(col("len") > 0)
+      .withColumn("off", sum(col("len")).over(w) - col("len"))
+    val pieces = rows
+      .select(col("shard"), col("ids"), col("len"), col("off"),
+        explode(sequence(expr(s"off div $seqLen"),
+          expr(s"(off + len - 1) div $seqLen"))).as("seq_id"))
+      .withColumn("start_in_doc",
+        greatest(col("seq_id") * seqLen - col("off"), lit(0L)))
+      .withColumn("end_in_doc",
+        least((col("seq_id") + 1) * seqLen - col("off"), col("len")))
+      .select(col("shard"), col("seq_id"),
+        (col("off") + col("start_in_doc")).as("gpos"),
+        slice(col("ids"), (col("start_in_doc") + 1).cast("int"),
+          (col("end_in_doc") - col("start_in_doc")).cast("int"))
+          .as("piece"))
+    val repacked = pieces.groupBy(col("shard"), col("seq_id"))
+      .agg(array_sort(collect_list(struct(col("gpos"), col("piece"))))
+        .as("a"))
+      .select(col("shard"), col("seq_id"),
+        flatten(transform(col("a"), e => e.getField("piece")))
+          .as("token_ids"))
+      .withColumn("segment_ids",
+        graft.functions.Segments.segments_from_eos(col("token_ids"), eosId))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+      .withColumn("batch_id", lit(-1L))
+      .select((SeqCols :+ "batch_id").map(col): _*)
+      .localCheckpoint() // materialize BEFORE the swap reads-from-self
+    graft.lineage.AtomicSwap.writeSwap(s"$path/seqs")(tmp =>
+      repacked.write.partitionBy("batch_id").parquet(tmp))
+  }
+
   /** Canonical text normalization — the form exact-dedup and
     * fingerprinting should run on so trivial variants (case, runs of
     * whitespace, stray control characters) hash identically: control

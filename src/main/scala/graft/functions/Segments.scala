@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Per-token segment ids derived from eos separators: `out(i)` = number
+  * of `eosId` tokens STRICTLY before position i — for eos-terminated
+  * document pieces this is exactly the piece-index segment numbering
+  * `packTokenSequences` emits (an eos token belongs to the document it
+  * closes), which is what lets a repacked token stream recompute its
+  * attention/loss-mask boundaries without the source documents
+  * ([[graft.ext.TextAnalysis.rebuildTokenSequenceIndex]]).
+  *
+  * A higher-order restatement (`transform` + `filter` over a prefix
+  * slice) is O(n²) AND interpreted — this is one generated-Java linear
+  * pass per row (the repo's per-row-loop rule). */
+case class SegmentsFromEos(child: Expression, eosId: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<bigint> token ids, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Segments.fromEos(input.asInstanceOf[ArrayData], eosId)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Segments.fromEos($c, ${eosId}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): SegmentsFromEos =
+    copy(child = newChild)
+  override def prettyName: String = "segments_from_eos"
+}
+
+object Segments {
+  /** Kernel (called from generated code): one linear pass. */
+  def fromEos(ids: ArrayData, eosId: Long): ArrayData = {
+    val n = ids.numElements()
+    val out = new Array[Any](n)
+    var seg = 0L
+    var i = 0
+    while (i < n) {
+      out(i) = seg
+      if (ids.getLong(i) == eosId) seg += 1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def segments_from_eos(c: Column, eosId: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SegmentsFromEos(ColumnBridge.expression(c), eosId))
+  }
+}

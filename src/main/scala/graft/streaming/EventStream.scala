@@ -681,6 +681,37 @@ object EventStream {
         }
       }
 
+  /** Absorbing token-sequence stream — [[tokenizeStream]] upgraded to
+    * a GLOBAL sequence namespace: each micro-batch of documents is
+    * tokenized under the READ-ONLY BPE model and absorbed into the
+    * stored token-sequence index
+    * ([[graft.ext.TextAnalysis.appendTokenSequences]] — seq_ids
+    * continue each shard's monotone range, so trainers address every
+    * sample by one stable (shard, seq_id) across the whole ingest
+    * history). Exactly-once without tag-dedup machinery: the id
+    * continuation excludes the batch's own tag (a replay recomputes
+    * identical ids) and the landing is a per-batch partition
+    * overwrite. The model is read-only here; the index is owned by
+    * this ONE stream — batch appends and rebuilds only while it is
+    * stopped (the ingestFrequencyStream ownership rule, and
+    * [[graft.ext.TextAnalysis.rebuildTokenSequenceIndex]] resets the
+    * tags a replay would need). */
+  def ingestTokenSequenceStream(docs: DataFrame, modelPath: String,
+                                indexPath: String,
+                                checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.TextAnalysis.appendTokenSequences(batch.sparkSession,
+            graft.ext.TextAnalysis.bpeTokenIdsAgainstModel(
+              batch.sparkSession, batch, modelPath),
+            indexPath, batchId)
+        }
+      }
+
   /** Absorbing frequency stream — the occurrence-count twin of
     * [[ingestCardinalityStream]] (score against the pre-batch
     * artifact, then merge): each micro-batch's values are screened for

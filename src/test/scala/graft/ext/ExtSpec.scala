@@ -928,6 +928,69 @@ class ExtSpec extends SparkSpec {
     assert(bDec == "�", bDec)
   }
 
+  test("token-sequence index: stable global ids, additive appends, canonical rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tokidx").toString
+    val base = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L, 5L)),
+      (2L, Seq(6L, 7L, 8L)),
+      (3L, Seq(9L, 10L, 11L, 12L))).toDF("doc_id", "token_ids")
+    TextAnalysis.writeTokenSequenceIndex(base, s"$dir/idx",
+      seqLen = 4, shards = 2)
+    def layout(p: String) = TextAnalysis.readTokenSequences(spark, p)
+      .select($"shard", $"seq_id", $"token_ids", $"segment_ids",
+        $"n_tokens", $"batch_id".cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2),
+        r.getSeq[Long](3), r.getLong(4), r.getLong(5))).toSet
+    val s0 = layout(s"$dir/idx")
+    assert(s0.nonEmpty && s0.forall(_._6 == -1L), "base rows carry tag -1")
+    // invariant: at most one partial (< seqLen) sequence per (shard, tag),
+    // and within each shard the partial is the LAST sequence
+    def checkPartials(s: Set[(Long, Long, Seq[Long], Seq[Long], Long, Long)]): Unit =
+      s.groupBy(r => (r._1, r._6)).foreach { case (k, rows) =>
+        val partials = rows.filter(_._5 < 4)
+        assert(partials.size <= 1, s"group $k has ${partials.size} partials")
+        partials.foreach(p => assert(p._2 == rows.map(_._2).max,
+          s"partial not last in $k"))
+      }
+    checkPartials(s0)
+    // token conservation: every doc's ids + one eos each
+    assert(s0.toSeq.map(_._5).sum == (5 + 1) + (3 + 1) + (4 + 1))
+    // append: base rows untouched, new rows tagged, ids CONTINUE monotone
+    val batch = Seq((10L, Seq(20L, 21L, 22L, 23L, 24L, 25L)))
+      .toDF("doc_id", "token_ids")
+    TextAnalysis.appendTokenSequences(spark, batch, s"$dir/idx", batchId = 0L)
+    val s1 = layout(s"$dir/idx")
+    assert(s1.filter(_._6 == -1L) == s0, "append must not rewrite base rows")
+    val appended = s1.filter(_._6 == 0L)
+    assert(appended.nonEmpty)
+    checkPartials(s1)
+    appended.groupBy(_._1).foreach { case (shard, rows) =>
+      val baseMax = s0.filter(_._1 == shard).map(_._2).maxOption.getOrElse(-1L)
+      assert(rows.map(_._2).min == baseMax + 1,
+        s"shard $shard ids must continue from $baseMax")
+    }
+    // replaying the SAME batch id is exactly-once (identical layout)
+    TextAnalysis.appendTokenSequences(spark, batch, s"$dir/idx", batchId = 0L)
+    assert(layout(s"$dir/idx") == s1, "replayed append must be a no-op")
+    // guards: reserved tag, and a non-index path fails BEFORE mutating
+    intercept[IllegalArgumentException](TextAnalysis.appendTokenSequences(
+      spark, batch, s"$dir/idx", batchId = -1L))
+    intercept[IllegalArgumentException](TextAnalysis.appendTokenSequences(
+      spark, batch, s"$dir/nope", batchId = 1L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/nope/seqs")))
+    // rebuild ≡ a fresh base build over the union (batch ids sort after
+    // base ids, so the per-shard streams coincide); provenance resets
+    TextAnalysis.rebuildTokenSequenceIndex(spark, s"$dir/idx")
+    TextAnalysis.writeTokenSequenceIndex(base.unionByName(batch),
+      s"$dir/idx2", seqLen = 4, shards = 2)
+    val rebuilt = layout(s"$dir/idx")
+    assert(rebuilt == layout(s"$dir/idx2"),
+      "rebuild must equal the fresh canonical build")
+    assert(rebuilt.forall(_._6 == -1L), "rebuild resets tags to base")
+  }
+
   test("epoch data order: fresh deterministic permutation per epoch, stable shards") {
     val d = docs.select($"doc_id")
     val n = d.count()

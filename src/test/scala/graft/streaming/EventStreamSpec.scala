@@ -932,6 +932,72 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("token-sequence ingest stream: global ids continue; replayed batch lands once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_tokidx").toString
+    // frozen model + a base index over the seed corpus
+    val corpus = Seq((1L, "aa bb cc dd aa bb"), (2L, "ee ff gg aa"))
+      .toDF("doc_id", "text")
+    graft.ext.TextAnalysis.writeBpeModel(
+      graft.ext.TextAnalysis.learnBpeMerges(corpus, nMerges = 2),
+      s"$dir/model")
+    graft.ext.TextAnalysis.writeBpeVocab(corpus, s"$dir/model")
+    graft.ext.TextAnalysis.writeTokenSequenceIndex(
+      graft.ext.TextAnalysis.bpeTokenIdsAgainstModel(spark, corpus,
+        s"$dir/model"),
+      s"$dir/idx", seqLen = 4, shards = 2)
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.ingestTokenSequenceStream(mem.toDF(),
+        s"$dir/model", s"$dir/idx", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    def layout() = graft.ext.TextAnalysis
+      .readTokenSequences(spark, s"$dir/idx")
+      .select($"shard", $"seq_id", $"token_ids", $"batch_id".cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2),
+        r.getLong(3))).toSet
+    val base = layout()
+    mem.addData(IngestDoc(10L, "aa bb cc aa bb cc dd"),
+      IngestDoc(11L, "ee ff gg"))
+    drain()
+    val afterB0 = layout()
+    assert(afterB0.filter(_._4 == -1L) == base, "base rows untouched")
+    assert(afterB0.exists(_._4 == 0L), "batch 0 must land tagged")
+    // crash window: side effects committed, stream commit lost — the
+    // restart replays micro-batch 0 against an index already holding
+    // its own sequences
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    assert(layout() == afterB0,
+      "a replayed micro-batch must reproduce byte-identical rows")
+    // the next batch continues each shard's monotone id range
+    mem.addData(IngestDoc(20L, "dd cc bb aa"))
+    drain()
+    val afterB1 = layout()
+    val b1 = afterB1.filter(_._4 == 1L)
+    assert(b1.nonEmpty, "batch 1 must land tagged 1")
+    b1.groupBy(_._1).foreach { case (shard, rows) =>
+      val prevMax = afterB0.filter(_._1 == shard).map(_._2).max
+      assert(rows.map(_._2).min == prevMax + 1,
+        s"shard $shard ids must continue from $prevMax")
+    }
+    // per (shard, batch) at most one partial sequence, and ids within
+    // each shard are globally distinct
+    afterB1.groupBy(r => (r._1, r._4)).foreach { case (k, rows) =>
+      assert(rows.count(_._3.size < 4) <= 1, s"multiple partials in $k")
+    }
+    afterB1.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._2).size == rows.size,
+        s"duplicate seq_id in shard $shard")
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap and timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
