@@ -1794,6 +1794,101 @@ object TextAnalysis {
       repacked.write.partitionBy("batch_id").parquet(tmp))
   }
 
+  /** Export the token-sequence index as the flat binary pair an LM
+    * trainer memory-maps (the Megatron-LM indexed-dataset shape —
+    * public format: a `.bin` of raw token words plus an `.idx` of
+    * offsets): per shard, `shard_<S>.bin` holds every sequence's
+    * tokens as little-endian u32 in (batch, seq_id) order, and
+    * `shard_<S>.idx` holds (n_seqs + 1) little-endian u64 TOKEN
+    * offsets — prefix sums; `idx[k]..idx[k+1]` delimit sequence k.
+    * The stored eos separator (`eosId`, -1 by default — outside u32)
+    * is rewritten to `eodId`, the trainer's in-vocabulary
+    * end-of-document token; any other id outside [0, 2^32) fails the
+    * export loudly (silent truncation would corrupt training data).
+    * A `summary/` parquet (per-shard sequence/token counts) and the
+    * params sidecar land beside the shard files.
+    *
+    * Scale: executors write their OWN shard files directly (`outDir`
+    * must be shared storage — the same contract as every parquet
+    * landing); one hash repartition puts each shard's rows in one
+    * task, `sortWithinPartitions` gives the (batch, seq) order, and
+    * both files stream row by row (no shard is ever held in memory).
+    * The whole export goes through the atomic swap, so a crash leaves
+    * the previous export intact. `shards` is the parallelism knob,
+    * exactly as at packing time. */
+  def exportTokenShardsBinary(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, outDir: String,
+                              eodId: Long): Unit = {
+    val (_, shards, eosId) = tokenSeqParamsOf(indexPath)
+    require(eodId >= 0L && eodId <= 0xFFFFFFFFL,
+      s"eodId must fit u32, got $eodId")
+    val rows = readTokenSequences(spark, indexPath)
+      .select(col("shard"), col("batch_id").cast("long").as("batch_id"),
+        col("seq_id"), col("token_ids"))
+    graft.lineage.AtomicSwap.writeSwap(outDir) { tmp =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      val eos = eosId
+      val eod = eodId
+      val dir = tmp
+      rows.repartition(shards, col("shard"))
+        .sortWithinPartitions(col("shard"), col("batch_id"), col("seq_id"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          var curShard = -1L
+          var bin: java.io.DataOutputStream = null
+          var idx: java.io.DataOutputStream = null
+          var offset = 0L
+          def u32le(out: java.io.DataOutputStream, v: Long): Unit = {
+            out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+            out.write(((v >> 16) & 0xFF).toInt)
+            out.write(((v >> 24) & 0xFF).toInt)
+          }
+          def u64le(out: java.io.DataOutputStream, v: Long): Unit = {
+            var k = 0
+            while (k < 8) { out.write(((v >> (8 * k)) & 0xFF).toInt); k += 1 }
+          }
+          def closeShard(): Unit = if (bin != null) {
+            u64le(idx, offset) // the closing total offset
+            bin.close(); idx.close()
+            bin = null; idx = null
+          }
+          it.foreach { r =>
+            val shard = r.getLong(0)
+            if (shard != curShard) {
+              closeShard()
+              curShard = shard
+              offset = 0L
+              bin = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+                java.nio.file.Files.newOutputStream(
+                  java.nio.file.Paths.get(dir, s"shard_$shard.bin"))))
+              idx = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+                java.nio.file.Files.newOutputStream(
+                  java.nio.file.Paths.get(dir, s"shard_$shard.idx"))))
+            }
+            u64le(idx, offset) // this sequence's starting token offset
+            val ids = r.getSeq[Long](3)
+            ids.foreach { raw =>
+              val id = if (raw == eos) eod else raw
+              if (id < 0L || id > 0xFFFFFFFFL)
+                throw new IllegalArgumentException(
+                  s"token id $raw does not fit u32 (shard $shard) — " +
+                    "remap or retrain before exporting")
+              u32le(bin, id)
+              offset += 1L
+            }
+          }
+          closeShard()
+        }
+      rows.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(size(col("token_ids"))).cast("long").as("n_tokens"))
+        .coalesce(1)
+        .write.parquet(s"$dir/summary")
+      Dedup.writeParams(s"$dir/params.properties",
+        Map("kind" -> "tokenbin", "dtype" -> "u32le",
+          "eodId" -> eodId.toString))
+    }
+  }
+
   /** Canonical text normalization — the form exact-dedup and
     * fingerprinting should run on so trivial variants (case, runs of
     * whitespace, stray control characters) hash identically: control

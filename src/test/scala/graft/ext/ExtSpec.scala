@@ -991,6 +991,67 @@ class ExtSpec extends SparkSpec {
     assert(rebuilt.forall(_._6 == -1L), "rebuild resets tags to base")
   }
 
+  test("binary token-shard export: u32 stream + u64 offsets reproduce the index exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tokbin").toString
+    val toks = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L, 5L)),
+      (2L, Seq(6L, 7L, 8L)),
+      (3L, Seq(9L, 10L, 11L, 12L)),
+      (4L, Seq(13L, 14L))).toDF("doc_id", "token_ids")
+    TextAnalysis.writeTokenSequenceIndex(toks, s"$dir/idx",
+      seqLen = 4, shards = 2)
+    TextAnalysis.appendTokenSequences(spark,
+      Seq((10L, Seq(30L, 31L, 32L))).toDF("doc_id", "token_ids"),
+      s"$dir/idx", batchId = 0L)
+    val eod = 999L
+    TextAnalysis.exportTokenShardsBinary(spark, s"$dir/idx",
+      s"$dir/out", eodId = eod)
+    // reference: the stored layout in (shard, batch, seq) order, with
+    // the eos separator (-1) rewritten to the trainer's eod id
+    val expect = TextAnalysis.readTokenSequences(spark, s"$dir/idx")
+      .select($"shard", $"batch_id".cast("long"), $"seq_id", $"token_ids")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)),
+        r.getSeq[Long](3).map(t => if (t == -1L) eod else t)))
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    def u32s(b: Array[Byte]): Seq[Long] = b.grouped(4).map(g =>
+      (g(0) & 0xFFL) | ((g(1) & 0xFFL) << 8) | ((g(2) & 0xFFL) << 16) |
+        ((g(3) & 0xFFL) << 24)).toSeq
+    def u64s(b: Array[Byte]): Seq[Long] = b.grouped(8).map(g =>
+      (0 until 8).map(k => (g(k) & 0xFFL) << (8 * k)).sum).toSeq
+    expect.foreach { case (shard, seqs) =>
+      val bin = u32s(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/out/shard_$shard.bin")))
+      val idx = u64s(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/out/shard_$shard.idx")))
+      assert(bin == seqs.flatten, s"shard $shard token stream differs")
+      val offsets = seqs.scanLeft(0L)(_ + _.size)
+      assert(idx == offsets, s"shard $shard offsets differ: $idx vs $offsets")
+      // every slice idx[k]..idx[k+1] reproduces sequence k
+      seqs.indices.foreach { k =>
+        assert(bin.slice(idx(k).toInt, idx(k + 1).toInt) == seqs(k)) }
+    }
+    // summary parquet agrees with the layout
+    val summary = spark.read.parquet(s"$dir/out/summary")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    expect.foreach { case (shard, seqs) =>
+      assert(summary(shard) == ((seqs.size.toLong,
+        seqs.map(_.size.toLong).sum)), s"summary wrong for shard $shard") }
+    // an id that cannot fit u32 fails loudly, and the previous export
+    // survives the failed swap
+    TextAnalysis.appendTokenSequences(spark,
+      Seq((20L, Seq(0x1_0000_0000L))).toDF("doc_id", "token_ids"),
+      s"$dir/idx", batchId = 1L)
+    intercept[org.apache.spark.SparkException](
+      TextAnalysis.exportTokenShardsBinary(spark, s"$dir/idx",
+        s"$dir/out", eodId = eod))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/out/params.properties")),
+      "a failed export must leave the previous one intact")
+  }
+
   test("epoch data order: fresh deterministic permutation per epoch, stable shards") {
     val d = docs.select($"doc_id")
     val n = d.count()
