@@ -387,6 +387,28 @@ object SparkEntry {
         ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path),
         seqLen = 128, shards = 4)
     }),
+    // the curation chain's OWN observability: record two runs (default
+    // vs tightened quota) in the run ledger, then report the second
+    // funnel's per-stage drift against the first — the reference's
+    // lineage discipline (MAX+1 admission + validation rows) pointed
+    // at the north-star chain. Rows-only (ledger artifact + chain);
+    // CurationSpec pins admission/fingerprint/drift semantics
+    "q102_curation_ledger" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val all = Tables.documents(s, dir)
+      val docs = all.filter(col("doc_id") % 5 === 0)
+      val bench = all.filter(col("doc_id") % 5 === 1)
+      val ledger = "/tmp/graft_ledger_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // fresh ledger per invocation — determinism over append history
+      graft.lineage.AtomicSwap.deleteRecursive(
+        java.nio.file.Paths.get(ledger))
+      val cfg1 = ext.Curation.Config(perLangCap = 60)
+      ext.Curation.recordCurationRun(
+        ext.Curation.curationFunnel(docs, bench, cfg1), ledger, cfg1)
+      val cfg2 = ext.Curation.Config(perLangCap = 20)
+      ext.Curation.funnelDriftAgainstLedger(
+        ext.Curation.curationFunnel(docs, bench, cfg2), ledger)
+    }),
     // the token-sequence INDEX route: freeze the even half as the base
     // layout, absorb the odd half as an append in the same global
     // seq_id namespace, and report the per-(shard, batch) shape.

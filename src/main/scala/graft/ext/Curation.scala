@@ -871,6 +871,77 @@ object Curation {
       ("07_quota", nFinal))).toDF("stage", "n_docs")
   }
 
+  /** Deterministic fingerprint of a chain configuration — what the run
+    * ledger records beside each funnel so "did the config change
+    * between runs" is answerable from the artifact alone. Case-class
+    * `toString` is a total, stable rendering of every knob (the
+    * canonical-sidecar `Column.toString` precedent); the md5 keeps the
+    * ledger row narrow. */
+  def configFingerprint(cfg: Config): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(cfg.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xFF}%02x").mkString
+  }
+
+  /** Curation run LEDGER — the reference's lineage discipline (MAX+1
+    * run admission, `load_sales_history.py:86-99`, plus the per-run
+    * validation rows it publishes, `:241-246`) applied to the curation
+    * chain itself: each recorded run appends its funnel's stage counts
+    * under a fresh monotone `run_id` together with the config
+    * fingerprint, so a recurring pipeline answers "what changed since
+    * the last run, and was it the data or the config" from a
+    * run-keyed artifact instead of re-running anything. Returns the
+    * admitted run id.
+    *
+    * Single-writer at the run cadence (the reference's own DAG
+    * discipline); the landing is one `run_id=N` partition per run —
+    * a crashed run leaves at worst an orphan partition that the next
+    * MAX+1 admission supersedes, never a half-visible ledger row set
+    * (partition lands are file-atomic per directory).
+    *
+    * Scale: the ledger is stage-count-sized (tens of rows per run) —
+    * reading it back is a metadata read forever. */
+  def recordCurationRun(funnel: DataFrame, ledgerPath: String,
+                        cfg: Config): Long = {
+    val spark = funnel.sparkSession
+    val runId =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(ledgerPath)))
+        // run_id is a partition column (discovery infers int) — cast
+        spark.read.parquet(ledgerPath)
+          .agg(coalesce(max(col("run_id")).cast("long"), lit(0L)))
+          .head().getLong(0) + 1L
+      else 1L
+    funnel.select(col("stage"), col("n_docs"))
+      .withColumn("cfg_fingerprint", lit(configFingerprint(cfg)))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$ledgerPath/run_id=$runId")
+    runId
+  }
+
+  /** A fresh funnel compared against the ledger's LATEST recorded run:
+    * per stage, current and previous counts plus the survival ratio
+    * current/previous (6 dp; null for stages absent from the previous
+    * run — a config change adds or removes funnel rows, which is
+    * itself the signal). The drift-monitor shape
+    * ([[TextAnalysis.corpusDivergence]] family) pointed at the
+    * pipeline's own health: a collapsing 05_near_dedup ratio means the
+    * crawl got more duplicated, a collapsing 03_language ratio means
+    * the source mix moved — BEFORE any training data is written. */
+  def funnelDriftAgainstLedger(funnel: DataFrame,
+                               ledgerPath: String): DataFrame = {
+    val spark = funnel.sparkSession
+    val ledger = spark.read.parquet(ledgerPath)
+    val last = ledger.agg(max(col("run_id")).cast("long")).head().getLong(0)
+    val prev = ledger.filter(col("run_id") === last)
+      .select(col("stage"), col("n_docs").as("prev_n_docs"))
+    funnel.select(col("stage"), col("n_docs"))
+      .join(prev, Seq("stage"), "full_outer")
+      .select(col("stage"), col("n_docs"), col("prev_n_docs"),
+        round(col("n_docs").cast("double") / col("prev_n_docs"), 6)
+          .as("ratio"))
+  }
+
   /** Corpus snapshot diff — the observability report between two
     * versions of a corpus (raw vs hygiene-rewritten, yesterday's crawl
     * vs today's): per-doc status `added` / `removed` / `changed` /

@@ -497,6 +497,40 @@ class CurationSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/shards").count() > 0)
   }
 
+  test("curation run ledger: MAX+1 admission, config fingerprints, funnel drift") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger").toString
+    val f1 = Curation.curationFunnel(corpus, benchmark, cfg)
+    assert(Curation.recordCurationRun(f1, s"$dir/ledger", cfg) == 1L)
+    val cfg2 = cfg.copy(perLangCap = 10)
+    val f2 = Curation.curationFunnel(corpus, benchmark, cfg2)
+    assert(Curation.recordCurationRun(f2, s"$dir/ledger", cfg2) == 2L,
+      "admission must be MAX+1")
+    // the ledger holds each run's funnel verbatim under its id
+    val led = spark.read.parquet(s"$dir/ledger")
+    val run1 = led.filter($"run_id" === 1L)
+      .select($"stage", $"n_docs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run1 == f1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // fingerprints: equal configs agree, any knob change shows
+    assert(Curation.configFingerprint(cfg) ==
+      Curation.configFingerprint(Curation.Config(maxOverlapNgrams = 4,
+        perLangCap = 60)))
+    assert(Curation.configFingerprint(cfg) != Curation.configFingerprint(cfg2))
+    assert(led.select($"run_id", $"cfg_fingerprint").distinct().count() == 2)
+    // drift vs the LATEST run: the same funnel is ratio 1.0 everywhere
+    val same = Curation.funnelDriftAgainstLedger(f2, s"$dir/ledger")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(same.nonEmpty && same.forall(_._2 == 1.0), same.mkString(", "))
+    // and a real change surfaces where it happened: the looser quota's
+    // funnel, diffed against the tight run 2, moves ONLY at the quota
+    val moved = Curation.funnelDriftAgainstLedger(f1, s"$dir/ledger")
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(moved("07_quota") > 1.0,
+      s"loosening the quota must lift the quota stage: $moved")
+    assert(moved.filter(_._1 != "07_quota").values.forall(_ == 1.0),
+      s"stages above the quota must not move: $moved")
+  }
+
   test("repetition caps join the heuristic gate, identity when never binding") {
     // never-binding ceilings (dup fracs are occurrence-sums, so "never
     // binding" means a bound above any reachable value) ≡ default chain
