@@ -8,7 +8,8 @@ import graft.functions._
 
 /** SQL surface for the native graft expressions: registers
   * `rolling_hash`, `simhash64`, `cosine_similarity`, `word_shingles`,
-  * `shingle_hashes` so `spark.sql("SELECT rolling_hash(text) ...")`
+  * `shingle_hashes`, `blocklist_hits`, `repetition_stats`,
+  * `segments_from_eos` so `spark.sql("SELECT rolling_hash(text) ...")`
   * works — via `SparkSessionExtensions` for new sessions
   * (`.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`), or
@@ -64,7 +65,25 @@ object GraftExtensions {
           BlocklistHits(e,
             GraftExtensions.stringArrayLiteral(words, "blocklist_hits"))
         case other => throw new IllegalArgumentException(
-          s"blocklist_hits expects 2 arguments, got ${other.size}") }))
+          s"blocklist_hits expects 2 arguments, got ${other.size}") }),
+    ("repetition_stats",
+      info("repetition_stats",
+        "repetition_stats(str, array(topN, ...), array(dupN, ...)) - " +
+          "Gopher repetition profile struct"),
+      { case Seq(e, topNs, dupNs) =>
+          RepetitionProfile(e,
+            GraftExtensions.intArrayLiteral(topNs, "repetition_stats"),
+            GraftExtensions.intArrayLiteral(dupNs, "repetition_stats"))
+        case other => throw new IllegalArgumentException(
+          s"repetition_stats expects 3 arguments, got ${other.size}") }),
+    ("segments_from_eos",
+      info("segments_from_eos",
+        "segments_from_eos(array<bigint>, eosId) - per-token segment ids"),
+      { case Seq(e, eos) =>
+          SegmentsFromEos(e,
+            GraftExtensions.longLiteral(eos, "segments_from_eos"))
+        case other => throw new IllegalArgumentException(
+          s"segments_from_eos expects 2 arguments, got ${other.size}") }))
 
   private def stringArrayLiteral(e: Expression, fn: String): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
@@ -83,6 +102,26 @@ object GraftExtensions {
   private def intLiteral(e: Expression, fn: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case _ => throw new IllegalArgumentException(s"$fn: n must be an int literal")
+  }
+
+  private def longLiteral(e: Expression, fn: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case _ => throw new IllegalArgumentException(
+      s"$fn: the id must be an integer literal")
+  }
+
+  private def intArrayLiteral(e: Expression, fn: String): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    e match {
+      case CreateArray(children, _) => children.map {
+        case Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          s"$fn: n values must be int literals")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"$fn: expected a literal array(n, ...)")
+    }
   }
 
   /** Register on an already-built session. */

@@ -902,22 +902,27 @@ object Curation {
     * Scale: the ledger is stage-count-sized (tens of rows per run) —
     * reading it back is a metadata read forever. */
   def recordCurationRun(funnel: DataFrame, ledgerPath: String,
-                        cfg: Config): Long = {
-    val spark = funnel.sparkSession
-    val runId =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(ledgerPath)))
-        // run_id is a partition column (discovery infers int) — cast
-        spark.read.parquet(ledgerPath)
-          .agg(coalesce(max(col("run_id")).cast("long"), lit(0L)))
-          .head().getLong(0) + 1L
-      else 1L
-    funnel.select(col("stage"), col("n_docs"))
-      .withColumn("cfg_fingerprint", lit(configFingerprint(cfg)))
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$ledgerPath/run_id=$runId")
-    runId
-  }
+                        cfg: Config): Long =
+    // the admission read + landing is a read-modify-write over shared
+    // state — serialized behind the monitor + file lock ladder (the
+    // appendBloomIndex discipline), so two concurrent recorders cannot
+    // adopt the same run_id and clobber each other's partition
+    Similarity.withExclusiveLock(java.nio.file.Paths.get(ledgerPath)) {
+      val spark = funnel.sparkSession
+      val runId =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(ledgerPath)))
+          // run_id is a partition column (discovery infers int) — cast
+          spark.read.parquet(ledgerPath)
+            .agg(coalesce(max(col("run_id")).cast("long"), lit(0L)))
+            .head().getLong(0) + 1L
+        else 1L
+      funnel.select(col("stage"), col("n_docs"))
+        .withColumn("cfg_fingerprint", lit(configFingerprint(cfg)))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$ledgerPath/run_id=$runId")
+      runId
+    }
 
   /** A fresh funnel compared against the ledger's LATEST recorded run:
     * per stage, current and previous counts plus the survival ratio

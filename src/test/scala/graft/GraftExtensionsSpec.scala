@@ -13,7 +13,9 @@ class GraftExtensionsSpec extends SparkSpec {
         |  cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
         |  size(word_shingles('a b c d', 3)) AS ws,
         |  size(shingle_hashes('a b c d', 3)) AS shn,
-        |  blocklist_hits('Bad bad apple', array('bad')) AS bh""".stripMargin)
+        |  blocklist_hits('Bad bad apple', array('bad')) AS bh,
+        |  repetition_stats('a b a b', array(2), array(2)).dup2_char_frac AS rf,
+        |  segments_from_eos(array(1L, -1L, 2L, 3L, -1L), -1) AS seg""".stripMargin)
       .head()
     assert(r.getAs[Long]("rh") ==
       RollingHash.hashBytes("hello world".getBytes("UTF-8")))
@@ -21,6 +23,9 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Int]("ws") == 2)
     assert(r.getAs[Int]("shn") == 2)
     assert(r.getAs[Long]("bh") == 2L)
+    // 'a b' occurs twice (2·3 chars) of 7 total chars
+    assert(math.abs(r.getAs[Double]("rf") - 6.0 / 7) < 1e-12)
+    assert(r.getSeq[Long](r.fieldIndex("seg")) == Seq(0L, 0L, 1L, 1L, 1L))
     // a non-literal word list is rejected at plan time
     intercept[Exception](
       spark.sql("SELECT blocklist_hits('a', array(lower('B')))").head())
