@@ -26,6 +26,37 @@ object SparkEntry {
     Mart.dataset2(spark, "/root/testdata/sf0.001", RefreshDate)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // north-star multimodal VIDEO container: every doc becomes a VALID
+    // minimal MP4 (real ISO BMFF box structure), then videoMeta REALLY
+    // walks the boxes back — mvhd timescale/duration, tkhd 16.16
+    // dims, stsz frame count. Synthesized properties derive from the
+    // text length, so the whole box walk is oracle-hashed (the q96
+    // precedent: JVM synthesis, SQL-checked decode)
+    "q103_video_meta" -> ((s, dir) =>
+      ext.Multimodal.videoMeta(s,
+        ext.Multimodal.validMp4Media(s, Tables.documents(s, dir)).toDF())
+        .toDF()),
+    // north-star embedding inference, EXACT form: the hashed
+    // random-projection model's integer components per (doc, dim) —
+    // one salted md5 per token supplies 64 ±1 signs; pure integer
+    // arithmetic end to end, so the whole embedding model is
+    // oracle-hashed (DuckDB md5 + hex-nibble bit reads)
+    "q104_embedding_components" -> ((s, dir) =>
+      ext.Embedding.embeddingComponents(Tables.documents(s, dir))),
+    // north-star embedding inference, end to end: model-free semantic
+    // near-dup pairs straight from TEXT — embed (hashed projection) →
+    // the existing sub-quadratic LSH-bucketed ANN join. Rows-only
+    // (LSH banding isn't SQL-expressible); ExtSpec pins exact-copy
+    // recall 1.0 and the normalized-geometry invariants
+    "q105_text_ann_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      // plant exact copies so recall has something to find at any SF
+      val copies = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      ext.Embedding.textNearDupPairs(docs.unionByName(copies),
+        minCosine = 0.95)
+    }),
     // S1+J1+P1+P2: full-load denormalized extract (sale_date < cutoff)
     "q01_full_extract" -> ((s, dir) =>
       Relational.fullExtract(s, dir, FullCutoff)),
@@ -1153,6 +1184,38 @@ object SparkEntry {
       |FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the MP4 box walk restated: the synthesized container's
+    // properties are pure functions of the text byte length (ASCII
+    // fixture ⇒ length = bytes), and the decoder reads back exactly
+    // what the boxes encode — container overhead is the fixed 288
+    // bytes (ftyp 20 + moov 260 + mdat header 8)
+    "q103_video_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(length(text) + 288 AS BIGINT) AS n_bytes,
+        |  CAST(64 + length(text) % 192 AS INT) AS width,
+        |  CAST(64 + (length(text) // 7) % 192 AS INT) AS height,
+        |  CAST(1 + length(text) % 240 AS INT) AS n_frames,
+        |  CAST(1000 AS INT) AS timescale,
+        |  CAST((1 + length(text) % 240) * 40 AS BIGINT) AS duration
+        |FROM documents""".stripMargin,
+    // the hashed random-projection embedding restated: one salted md5
+    // per token; bit j of the 128-bit digest is bit (3 - j%4) of hex
+    // nibble j//4 (the '0x'||nibble cast) and contributes ±1 to
+    // component j — exact integer sums, no fp anywhere
+    "q104_embedding_components" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5('graft.embed.v1:' || tok) AS hx FROM t),
+        |b AS (
+        |  SELECT h.doc_id, d.dim,
+        |    CASE WHEN ((('0x' || substr(h.hx, d.dim // 4 + 1, 1))::BIGINT
+        |                >> (3 - d.dim % 4)) & 1) = 1
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM h, (SELECT unnest(generate_series(0, 63)) AS dim) d)
+        |SELECT doc_id, CAST(dim AS INT) AS dim,
+        |  CAST(SUM(s) AS BIGINT) AS component
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "q01_full_extract" ->
       s"""$DenormSelect
          |$DenormFrom

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashedEmbedding
+
+/** Text → fixed-dim embedding vectors with NO external model: the
+  * hashed random-projection kernel ([[graft.functions.HashedEmbedding]])
+  * gives every document a real (classical) embedding whose cosine
+  * geometry tracks bag-of-words overlap — which is exactly the geometry
+  * the semantic stack (ANN pairs, SemDedup, semantic decontamination,
+  * centroid drift) consumes. This closes the "embedding inference"
+  * boundary with a genuine model: a neural encoder replaces ONE call
+  * here (`embedDocuments`), and everything downstream — LSH banding,
+  * IVF cells, frozen quantizers, stored indexes — is unchanged, because
+  * they only ever see (id, array<float>) rows.
+  *
+  * Reference counterpart: the reference pipeline has no embedding
+  * column at all (`data_generation.py:1-179` synthesizes relational
+  * rows); the embeddings fixture the north-star ops consume assumes a
+  * model ran upstream. This module IS that upstream for the model-free
+  * case.
+  *
+  * Determinism: the projection basis is the salted md5 bit matrix —
+  * content-addressed, no RNG state, identical across runs/engines
+  * (the q66 content-addressed-uniform discipline applied to vectors).
+  *
+  * Scale notes: embedding is one codegen pass per row (no shuffle, no
+  * model state to distribute); the downstream ANN join is the existing
+  * sub-quadratic bucketed path. At 100 TB the embed step pipelines into
+  * the scan it reads from — zero extra exchanges.
+  */
+object Embedding {
+
+  /** Default dimensionality: 64 of the 128 md5 bits — enough for the
+    * JL concentration the near-dup threshold relies on at corpus scale,
+    * small enough that vectors stay negligible next to the text. */
+  val DefaultDims = 64
+
+  /** The L2-normalized embedding column for arbitrary text. */
+  def embed(text: Column, dims: Int = DefaultDims): Column =
+    HashedEmbedding.hashed_embedding(text, dims)
+
+  /** Per-document embeddings in the semantic stack's input shape:
+    * (idCol, embedding array<float>, L2-normalized). */
+  def embedDocuments(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     dims: Int = DefaultDims): DataFrame =
+    docs.select(col(idCol),
+      HashedEmbedding.hashed_embedding(col(textCol), dims).as("embedding"))
+
+  /** The EXACT integer projection components, exploded to
+    * (idCol, dim, component) — pure integer arithmetic end to end, so
+    * the whole model is oracle-restatable in SQL (DuckDB md5 +
+    * hex-nibble bit reads); q104 hash-matches it. */
+  def embeddingComponents(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          dims: Int = DefaultDims): DataFrame =
+    docs.select(col(idCol),
+        posexplode(HashedEmbedding.hashed_embedding_counts(col(textCol), dims))
+          .as(Seq("dim", "component")))
+      .select(col(idCol), col("dim").cast("int").as("dim"),
+        col("component"))
+
+  /** Model-free semantic near-duplicate pairs straight from TEXT:
+    * embed → the existing sub-quadratic LSH-bucketed ANN join
+    * ([[Dedup.embeddingAnnPairs]]). Exact text duplicates embed
+    * identically, share every signature, and always surface with
+    * cos_sim = 1.0 (recall 1.0 for exact copies regardless of
+    * banding) — the q32 contract without a model in sight. */
+  def textNearDupPairs(docs: DataFrame, minCosine: Double = 0.9,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       dims: Int = DefaultDims,
+                       tables: Int = 30, bitsPerTable: Int = 5): DataFrame =
+    Dedup.embeddingAnnPairs(
+      embedDocuments(docs, idCol, textCol, dims)
+        .select(col(idCol).as("vec_id"), col("embedding")),
+      minCosine, tables, bitsPerTable)
+}

@@ -25,7 +25,8 @@ class SparkEntrySpec extends SparkSpec {
       "q74_balanced_sample_indexed", "q76_quality_model_trained",
       "q78_curation_stored_gates", "q85_cardinality_novelty",
       "q91_hot_tokens", "q94_token_sequences", "q100_jpeg_stats",
-      "q101_token_sequence_index", "q102_curation_ledger"),
+      "q101_token_sequence_index", "q102_curation_ledger",
+      "q105_text_ann_pairs"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

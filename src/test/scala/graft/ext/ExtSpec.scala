@@ -2223,6 +2223,37 @@ class ExtSpec extends SparkSpec {
       ("2024-01-08", 1L) -> 1L), s"got $out")
   }
 
+  test("text embedding → ANN: exact copies always surface at cos 1.0; geometry sane") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // every planted exact copy must pair with its source at cos 1.0 —
+    // identical text ⇒ identical embedding ⇒ every LSH signature
+    // shared (recall 1.0 for exact copies regardless of banding)
+    val planted = docs.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val expected = planted.select((col("doc_id") - 1000000L).as("a"),
+      col("doc_id").as("b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    val pairs = Embedding.textNearDupPairs(docs.unionByName(planted),
+        minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = pairs.filter(p => expected.contains((p._1, p._2)) ||
+      expected.contains((p._2, p._1)))
+    assert(exact.size == expected.size,
+      s"found ${exact.size} of ${expected.size} planted copies")
+    assert(exact.forall(_._3 == 1.0), "identical text must embed identically")
+    // unrelated docs do NOT all collide: the pair set is sparse
+    val n = docs.count() + planted.count()
+    assert(pairs.length.toLong < n * (n - 1) / 4,
+      "near-dup pairs should be sparse, not all-pairs")
+    // the embedding frame slots into the stored semantic-index ladder
+    // unchanged (same (vec_id, embedding) contract as the fixture)
+    val emb = Embedding.embedDocuments(docs.limit(50))
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val exactPairs = Dedup.semanticDedupPairs(emb, minCosine = 0.999)
+    assert(exactPairs.columns.toSet.intersect(Set("vec_a", "vec_b")).size == 2)
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),

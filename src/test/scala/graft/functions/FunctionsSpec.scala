@@ -394,6 +394,115 @@ class FunctionsSpec extends SparkSpec {
     assert(tight1 == tight2)
   }
 
+  /** Independent reference for the hashed-projection embedding: derives
+    * the signs from the md5 HEX STRING's nibbles — exactly the oracle's
+    * formula — so it cross-checks both the kernel's byte-level bit
+    * reads and the DuckDB restatement at once. */
+  private def refEmbedComponents(text: String, dims: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Long](dims)
+    text.split(" ", -1).foreach { tok =>
+      md.reset()
+      val hex = md.digest((HashedEmbedding.Salt + tok).getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString
+      var j = 0
+      while (j < dims) {
+        val nib = Integer.parseInt(hex.charAt(j / 4).toString, 16)
+        acc(j) += (if (((nib >> (3 - j % 4)) & 1) == 1) 1L else -1L)
+        j += 1
+      }
+    }
+    acc.toSeq
+  }
+
+  test("hashed embedding: kernel matches the md5-nibble reference; vector is its normalization") {
+    val samples = Seq("", "a", "hello world hello", "a  b", // empties kept
+      "héllo wörld — 中文 text", ("tok " * 500).trim)
+    samples.foreach { s =>
+      val ref = refEmbedComponents(s, 64)
+      val viaKernel = Seq(s).toDF("t")
+        .select(HashedEmbedding.hashed_embedding_counts($"t", 64))
+        .head().getSeq[Long](0)
+      assert(viaKernel == ref, s"counts mismatch for '${s.take(20)}'")
+      val norm = math.sqrt(ref.map(c => c.toDouble * c).sum)
+      val viaVec = Seq(s).toDF("t")
+        .select(HashedEmbedding.hashed_embedding($"t", 64))
+        .head().getSeq[Float](0)
+      viaVec.zip(ref).foreach { case (v, c) =>
+        assert(math.abs(v - (if (norm == 0) 0.0 else c / norm)) < 1e-6) }
+      // unit norm (unless the zero vector)
+      if (norm > 0)
+        assert(math.abs(viaVec.map(v => v.toDouble * v).sum - 1.0) < 1e-5)
+    }
+    // parity invariant: each component ≡ token count (mod 2), |c| ≤ count
+    val s = "one two three four five"
+    val n = s.split(" ", -1).length
+    refEmbedComponents(s, 64).foreach { c =>
+      assert(math.abs(c) <= n && ((c - n) % 2 == 0)) }
+    // through a real scan + codegen, stable under repartitioning
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(40)
+    val a = graft.ext.Embedding.embedDocuments(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = graft.ext.Embedding.embedDocuments(docs.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+    // dims bound enforced at analysis
+    intercept[Exception] {
+      Seq("x").toDF("t")
+        .select(HashedEmbedding.hashed_embedding($"t", 129)).head() }
+  }
+
+  test("mp4 codec: box walk round-trips the encoder; size grammar; malformed quarantined") {
+    import graft.ext.Multimodal.MediaRaw
+    val payload = "mdat payload bytes".getBytes("UTF-8")
+    val enc = Multimodal.encodeMp4(w = 640, h = 360, frames = 125,
+      timescale = 1000, duration = 5000L, payload)
+    assert(enc.length == Multimodal.Mp4ContainerBytes + payload.length)
+    def decode(bytes: Array[Byte]) = Multimodal.videoMeta(spark,
+        spark.createDataFrame(Seq(MediaRaw(1L, "mp4", bytes))))
+      .collect().headOption
+    val m = decode(enc).get
+    assert((m.width, m.height, m.n_frames, m.timescale, m.duration) ==
+      (640, 360, 125, 1000, 5000L))
+    assert(m.n_bytes == enc.length.toLong)
+    // largesize grammar: rewrite mdat's header to the 16-byte form
+    val head = enc.take(enc.length - payload.length - 8)
+    val large = head ++ Array[Byte](0, 0, 0, 1) ++ "mdat".getBytes ++
+      java.nio.ByteBuffer.allocate(8).putLong(16L + payload.length).array() ++
+      payload
+    assert(decode(large).exists(v => v.width == 640 && v.n_frames == 125))
+    // size-0 grammar ("extends to end"): zero mdat's u32 size
+    val toEnd = enc.clone()
+    var k = head.length
+    while (k < head.length + 4) { toEnd(k) = 0; k += 1 }
+    assert(decode(toEnd).exists(_.height == 360))
+    // malformed: truncated moov, unknown mvhd version, garbage — all
+    // quarantine (None), never crash or fake values
+    assert(decode(enc.take(100)).isEmpty)
+    val badVer = enc.clone(); badVer(36) = 99 // mvhd version byte
+    assert(decode(badVer).isEmpty)
+    assert(decode("not an mp4 stream".getBytes).isEmpty)
+    assert(Multimodal.malformedMedia(spark, spark.createDataFrame(Seq(
+        MediaRaw(7L, "mp4", enc.take(50)))))
+      .collect().map(_.media_id).toSet == Set(7L))
+    // generic metadata path: video rows carry dims + frames, audio
+    // fields null; resize passes video through untouched (a real frame
+    // rescale needs the absent codec — never a fake rewrite)
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(12)
+    val media = Multimodal.validMp4Media(spark, docs).toDF()
+    val meta = Multimodal.extractMetadata(spark, media).collect()
+    assert(meta.length == 12)
+    meta.foreach { mm =>
+      assert(mm.width.nonEmpty && mm.height.nonEmpty && mm.n_frames >= 1)
+      assert(mm.sample_rate.isEmpty && mm.n_channels.isEmpty)
+    }
+    val before = media.collect().map(r =>
+      r.getLong(0) -> r.getAs[Array[Byte]](2).toSeq).toMap
+    val after = Multimodal.resize(spark, media, maxW = 10, maxH = 10)
+      .collect().map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(after == before)
+  }
+
   test("multimodal features: fixed-dim, deterministic, no driver collect of payloads") {
     val docs = Tables.documents(spark, sf("sf0.001")).limit(20)
     val f1 = Multimodal.extractFeatures(spark, Multimodal.mediaFromDocuments(docs))
