@@ -160,6 +160,13 @@ object Curation {
     *     scores the exact per-doc max; a budget makes it the
     *     documented screen. Both artifact gates are None by default =
     *     zero plan nodes; the default chain is byte-identical.
+    *     `embedDims` is the MODEL-FREE alternative to the embeddings
+    *     frame: survivors' vectors derive from their (hygiened) text
+    *     via the hashed projection ([[Embedding.embed]]) — no join, no
+    *     upstream model; the index must be frozen in the same space
+    *     ([[Embedding.ensureTextIndex]]) and its sidecar-recorded dims
+    *     are re-validated loudly at probe time (the cosine kernel
+    *     would otherwise truncate a width mismatch silently).
     *   - `dsirProfilePath` (+ `dsirTopN`, `dsirAlpha`): DSIR resample
     *     toward a STORED target profile
     *     ([[Selection.selectByImportanceAgainstProfile]] — the q79
@@ -222,6 +229,7 @@ object Curation {
       semanticMinCosine: Double = 0.4,
       semanticNCells: Int = 8,
       semanticProbes: Option[Int] = None,
+      embedDims: Option[Int] = None,
       dsirProfilePath: Option[String] = None,
       dsirTopN: Int = 0,
       dsirAlpha: Double = 1.0,
@@ -291,6 +299,11 @@ object Curation {
     require(cfg.maxBloomFlagged >= 0L, "maxBloomFlagged must be >= 0")
     require(cfg.semanticProbes.forall(p => p >= 1 && p <= cfg.semanticNCells),
       "need 1 <= semanticProbes <= semanticNCells")
+    require(cfg.embedDims.isEmpty || cfg.semanticIndexPath.nonEmpty,
+      "embedDims derives vectors for the semantic artifact gate — set " +
+        "semanticIndexPath to enable it")
+    require(cfg.embedDims.forall(d => d >= 1 && d <= 128),
+      "embedDims must be in 1..128 (the hashed-projection digest width)")
     require(cfg.dsirProfilePath.nonEmpty || cfg.dsirTopN == 0,
       "dsirTopN gates the DSIR stage — set dsirProfilePath to enable it")
     require(cfg.dsirProfilePath.isEmpty || cfg.dsirTopN >= 1,
@@ -309,9 +322,15 @@ object Curation {
     * time, not midway through the chain. */
   private def requireEmbeddings(cfg: Config,
                                 embeddings: Option[DataFrame]): Unit = {
-    require(cfg.semanticIndexPath.isEmpty || embeddings.nonEmpty,
+    require(cfg.semanticIndexPath.isEmpty || embeddings.nonEmpty ||
+        cfg.embedDims.nonEmpty,
       "semanticIndexPath gates on document embeddings — pass " +
-        "embeddings = Some(frame with (doc_id, embedding))")
+        "embeddings = Some(frame with (doc_id, embedding)), or set " +
+        "embedDims to derive them from text (model-free route; the " +
+        "index must be built in the same space — Embedding.ensureTextIndex)")
+    require(embeddings.isEmpty || cfg.embedDims.isEmpty,
+      "pass model embeddings OR set embedDims, not both — an ambiguous " +
+        "vector source is a config error, not a preference")
     embeddings.foreach(e =>
       require(Seq("doc_id", "embedding").forall(e.columns.contains),
         s"embeddings frame needs (doc_id, embedding); got ${e.columns.mkString(", ")}"))
@@ -365,10 +384,26 @@ object Curation {
   private def semanticGate(df: DataFrame, cfg: Config,
                            embeddings: Option[DataFrame]): DataFrame =
     cfg.semanticIndexPath.fold(df) { p =>
-      val probed = embeddings.get
-        .select(col("doc_id").as("vec_id"), col("embedding"))
-        .join(df.select(col("doc_id").as("vec_id")),
-          Seq("vec_id"), "left_semi")
+      val probed = cfg.embedDims match {
+        case Some(d) =>
+          // model-free route: derive survivors' vectors from TEXT via
+          // the hashed projection — no join, no upstream model. The
+          // index must live in the SAME space: the cosine kernel
+          // truncates silently on a width mismatch, so check the
+          // artifact-owned dims loudly first (sidecar-sized read).
+          val stored = Dedup.semanticIndexDims(df.sparkSession, p)
+          require(stored == d,
+            s"semantic index at $p stores $stored-dim vectors but " +
+              s"embedDims=$d — build the index from the benchmark TEXT " +
+              "at the same width (Embedding.ensureTextIndex)")
+          df.select(col("doc_id").as("vec_id"),
+            Embedding.embed(col("text"), d).as("embedding"))
+        case None =>
+          embeddings.get
+            .select(col("doc_id").as("vec_id"), col("embedding"))
+            .join(df.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi")
+      }
       val flagged = Dedup.semanticContaminationAgainstIndex(
           df.sparkSession, probed, p, cfg.semanticMinCosine,
           cfg.semanticNCells, cfg.semanticProbes)

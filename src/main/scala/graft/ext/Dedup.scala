@@ -1597,7 +1597,31 @@ object Dedup {
       .parquet(s"$path/vectors")
     writeParams(s"$path/params.properties", Map(
       "nCells" -> nCells.toString, "iters" -> iters.toString,
-      "seed" -> seed.toString, "probes" -> probes.toString))
+      "seed" -> seed.toString, "probes" -> probes.toString,
+      // embedding dimensionality is an ARTIFACT-owned property (the
+      // canonical-index idCol rule): probes in a different embedding
+      // space must fail loudly, not cosine-truncate silently
+      "dims" -> cents.head.length.toString))
+  }
+
+  /** The embedding dimensionality a semantic index stores: from its
+    * params sidecar ("dims", recorded at write time) or, for an index
+    * written before the key existed, the first stored vector. The
+    * cosine kernel TRUNCATES to the shorter array on a length
+    * mismatch, so any caller pairing an index with independently
+    * produced vectors must check this loudly first. */
+  def semanticIndexDims(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Int = {
+    val f = java.nio.file.Paths.get(s"$indexPath/params.properties")
+    require(java.nio.file.Files.exists(f),
+      s"semantic index at $indexPath has no params sidecar")
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    Option(p.getProperty("dims")).map(_.toInt).getOrElse {
+      spark.read.parquet(s"$indexPath/vectors")
+        .select(col("e")).head().getSeq[Double](0).length
+    }
   }
 
   /** Content-fingerprint-cached [[writeSemanticIndex]] — the

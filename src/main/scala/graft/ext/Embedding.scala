@@ -63,6 +63,24 @@ object Embedding {
       .select(col(idCol), col("dim").cast("int").as("dim"),
         col("component"))
 
+  /** Freeze a benchmark suite as a SEMANTIC index built from its TEXT
+    * — the [[Dedup.ensureSemanticIndex]] ladder with the hashed
+    * projection supplying the vectors, so semantic decontamination
+    * needs no upstream model anywhere. The cache variant encodes the
+    * embedding identity (kernel version + dims): a text-derived index
+    * can never collide with a model-embedding index of the same
+    * source, and the written sidecar records `dims`, which the chain's
+    * `embedDims` route re-validates loudly at probe time. */
+  def ensureTextIndex(docs: DataFrame, cacheRoot: String, sourcePath: String,
+                      dims: Int = DefaultDims, nCells: Int = 8,
+                      iters: Int = 5, seed: Long = 42L, probes: Int = 1,
+                      variant: String = ""): String =
+    Dedup.ensureSemanticIndex(
+      embedDocuments(docs, dims = dims)
+        .select(col("doc_id").as("vec_id"), col("embedding")),
+      cacheRoot, sourcePath, nCells, iters, seed, probes,
+      variant = s"hembed_v1_${dims}$variant")
+
   /** Model-free semantic near-duplicate pairs straight from TEXT:
     * embed → the existing sub-quadratic LSH-bucketed ANN join
     * ([[Dedup.embeddingAnnPairs]]). Exact text duplicates embed

@@ -634,6 +634,73 @@ class CurationSpec extends SparkSpec {
       cfg.copy(bloomIndexPath = Some(s"$dir/bloom"))).count())
   }
 
+  test("model-free semantic gate: derived text vectors ≡ explicit frame; space mismatch loud") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_embed").toString
+    // the suite frozen in the hashed-projection space, from TEXT alone
+    Dedup.writeSemanticIndex(
+      Embedding.embedDocuments(benchmark)
+        .select($"doc_id".as("vec_id"), $"embedding"), s"$dir/semtxt")
+    assert(Dedup.semanticIndexDims(spark, s"$dir/semtxt") ==
+      Embedding.DefaultDims, "sidecar must record the artifact's dims")
+    // a token-REVERSED copy of a benchmark doc: same bag of words ⇒
+    // identical hashed embedding (cos 1.0) but no shared n-grams — the
+    // paraphrase-shaped leak the n-gram stage is blind to (reversal,
+    // unlike sorting, creates no repeated-trigram runs that would trip
+    // the quality gate first)
+    val leak = benchmark.filter($"lang" === "en")
+      .orderBy(length($"text").desc).limit(1)
+      .select(lit(900000L).as("doc_id"),
+        concat_ws(" ", reverse(split($"text", " "))).as("text"),
+        $"lang", $"source", $"n_chars")
+    val corpus2 = corpus.unionByName(leak)
+    // unbinding quota (the leak must not lose the md5 lottery) and a
+    // loose n-gram budget: the fixture's tiny vocabulary makes stray
+    // trigram collisions inevitable even for reversed text (the leak
+    // shares 7), so the live n-gram stage gets headroom — the claim is
+    // precisely that the SEMANTIC gate catches what n-grams under-count
+    val wideCfg = cfg.copy(perLangCap = 1000000, maxOverlapNgrams = 50)
+    val semCfg = wideCfg.copy(semanticIndexPath = Some(s"$dir/semtxt"),
+      semanticMinCosine = 0.999)
+    // precondition: without the semantic gate the shuffled leak survives
+    assert(Curation.curate(corpus2, benchmark, wideCfg)
+        .filter($"doc_id" === 900000L).count() == 1,
+      "the shuffled leak must survive every non-semantic stage")
+    // derived route (embedDims) ≡ explicit route (embeddings frame)
+    val derived = Curation.curate(corpus2, benchmark,
+        semCfg.copy(embedDims = Some(Embedding.DefaultDims)))
+      .collect().map(_.toSeq).toSet
+    val explicit = Curation.curate(corpus2, benchmark, semCfg,
+        embeddings = Some(Embedding.embedDocuments(corpus2)))
+      .collect().map(_.toSeq).toSet
+    assert(derived == explicit,
+      "text-derived vectors must reproduce the explicit-frame route exactly")
+    assert(!derived.exists(_.head == 900000L),
+      "the semantic gate must cut the bag-of-words-identical leak")
+    // a different-width index fails LOUDLY at probe time (the cosine
+    // kernel would silently truncate otherwise)
+    Dedup.writeSemanticIndex(
+      Embedding.embedDocuments(benchmark, dims = 32)
+        .select($"doc_id".as("vec_id"), $"embedding"), s"$dir/sem32")
+    val e = intercept[IllegalArgumentException](Curation.curate(
+      corpus2, benchmark, semCfg.copy(
+        semanticIndexPath = Some(s"$dir/sem32"),
+        embedDims = Some(64))))
+    assert(e.getMessage.contains("32-dim"), e.getMessage)
+    // ambiguous vector source and an unpaired knob both fail at call time
+    intercept[IllegalArgumentException](Curation.curate(corpus2, benchmark,
+      semCfg.copy(embedDims = Some(64)),
+      embeddings = Some(Embedding.embedDocuments(corpus2))))
+    intercept[IllegalArgumentException](Curation.curate(corpus2, benchmark,
+      wideCfg.copy(embedDims = Some(64))))
+    // the ensure ladder: cached, dims-keyed variant, sidecar validated
+    val idx = Embedding.ensureTextIndex(docs, dir,
+      s"${sf("sf0.001")}/documents.parquet")
+    assert(idx == Embedding.ensureTextIndex(docs, dir,
+      s"${sf("sf0.001")}/documents.parquet"), "same content ⇒ same cache slot")
+    assert(Dedup.semanticIndexDims(spark, idx) == Embedding.DefaultDims)
+  }
+
   test("DSIR resample slots into the chain against a stored target profile") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_curation_dsir").toString
