@@ -57,6 +57,19 @@ object SparkEntry {
       ext.Embedding.textNearDupPairs(docs.unionByName(copies),
         minCosine = 0.95)
     }),
+    // split-integrity audit: near-dup pairs straddling the
+    // content-addressed train/val/test boundary — the leakage a
+    // held-out set must not have. Planted exact copies (different ids
+    // ⇒ independent split draws) guarantee cross-split pairs exist at
+    // every SF; oracle composes the q16 pair CTEs with the q31 split
+    // rule
+    "q106_split_leakage" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val copies = docs.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      ext.Curation.splitLeakageReport(docs.unionByName(copies))
+    }),
     // S1+J1+P1+P2: full-load denormalized extract (sale_date < cutoff)
     "q01_full_extract" -> ((s, dir) =>
       Relational.fullExtract(s, dir, FullCutoff)),
@@ -1216,6 +1229,46 @@ object SparkEntry {
         |SELECT doc_id, CAST(dim AS INT) AS dim,
         |  CAST(SUM(s) AS BIGINT) AS component
         |FROM b GROUP BY 1, 2""".stripMargin,
+    // q16's trigram-jaccard pair CTEs over the copy-planted corpus,
+    // joined to q31's md5-bucket split rule; only cross-split pairs
+    // survive — the audit's passing state is empty, the planted copies
+    // are what give the hash compare content at every SF
+    "q106_split_leakage" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 25 = 0),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |       FROM tok),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            COUNT(*) AS inter
+        |          FROM sh a JOIN sh b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |        CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jac
+        |      FROM pairs
+        |      JOIN sizes sa ON doc_a = sa.doc_id
+        |      JOIN sizes sb ON doc_b = sb.doc_id),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN b < 80 THEN 'train'
+        |              WHEN b < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM (SELECT doc_id,
+        |               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |                 % 100 AS b
+        |             FROM all_docs))
+        |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b,
+        |  ROUND(jac, 6) AS jaccard
+        |FROM j
+        |JOIN sp sa ON j.doc_a = sa.doc_id
+        |JOIN sp sb ON j.doc_b = sb.doc_id
+        |WHERE jac >= 0.5 AND sa.split <> sb.split""".stripMargin,
     "q01_full_extract" ->
       s"""$DenormSelect
          |$DenormFrom

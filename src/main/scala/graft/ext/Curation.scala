@@ -1030,6 +1030,40 @@ object Curation {
     * executor-side, partitioned, with shard count as the file-layout
     * parallelism knob; the manifest pass re-reads the WRITTEN layout
     * (columns pruned to the digest inputs), never the raw corpus. */
+  /** Split-integrity audit: near-duplicate pairs whose two ends land in
+    * DIFFERENT train/val/test splits under the content-addressed split
+    * rule ([[Sampling.trainValTest]]) — the leakage a held-out set must
+    * not have (a val doc whose near-copy sits in train inflates every
+    * eval). The hash split is doc-ID-addressed, so near-duplicates
+    * split independently: THIS audit is the check that near-dup DEDUP
+    * ran tight enough upstream, and its output is the work-list for a
+    * stricter pass (cut one end of each pair, or tighten minJaccard in
+    * the chain). Composes the existing sub-quadratic pair machinery
+    * with the split projection — nothing new shuffles; empty output is
+    * the passing gate.
+    *
+    * Reference counterpart: the dual-engine validation gate
+    * (load_sales_history.py:241-246) — audit an invariant BEFORE
+    * publishing; here the invariant is cross-split independence.
+    *
+    * Scale: cost is the n-gram pair join (the q16 yardstick) over the
+    * CURATED set (post-dedup, so pairs are rare); the split columns are
+    * per-row projections fused into the pair join's probe sides. */
+  def splitLeakageReport(docs: DataFrame, minJaccard: Double = 0.5,
+                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val splits = Sampling.trainValTest(
+        docs.select(col("doc_id")), "doc_id", trainPct, valPct)
+      .select(col("doc_id"), col("split"))
+    Dedup.ngramJaccardPairs(docs, minJaccard = minJaccard)
+      .join(splits.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+  }
+
   def writeTrainingShards(docs: DataFrame, benchmark: DataFrame, path: String,
                           cfg: Config = Config(), chunkTokens: Int = 20,
                           stride: Int = 10, binTokens: Int = 128,

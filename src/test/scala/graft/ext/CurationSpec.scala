@@ -634,6 +634,36 @@ class CurationSpec extends SparkSpec {
       cfg.copy(bloomIndexPath = Some(s"$dir/bloom"))).count())
   }
 
+  test("split leakage audit flags exactly the cross-split near-dup pairs") {
+    val copies = docs.filter($"doc_id" % 25 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val corpus2 = docs.unionByName(copies)
+    val rep = Curation.splitLeakageReport(corpus2).collect()
+    assert(rep.nonEmpty, "planted copies must produce cross-split pairs")
+    val split = Sampling.trainValTest(corpus2.select("doc_id"), "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    rep.foreach { r =>
+      assert(split(r.getLong(0)) == r.getString(2) &&
+        split(r.getLong(1)) == r.getString(3),
+        "reported splits must match the content-addressed rule")
+      assert(r.getString(2) != r.getString(3),
+        "only straddling pairs belong in the report")
+      assert(r.getDouble(4) >= 0.5)
+    }
+    // every planted copy whose two ids draw different splits is found
+    // (exact copies have jaccard 1.0 — nothing can miss them)
+    val expected = copies.select(($"doc_id" - 1000000L).as("a"),
+        $"doc_id".as("b")).as[(Long, Long)].collect()
+      .filter { case (a, b) => split(a) != split(b) }
+    assert(expected.nonEmpty, "fixture must split some planted pairs apart")
+    expected.foreach { case (a, b) =>
+      assert(rep.exists(r => r.getLong(0) == a && r.getLong(1) == b),
+        s"planted cross-split pair ($a, $b) missing from the report") }
+    // a single-split corpus audits clean — the passing gate is empty
+    assert(Curation.splitLeakageReport(
+      docs.filter(Sampling.hashBucket($"doc_id") < 80)).count() == 0)
+  }
+
   test("model-free semantic gate: derived text vectors ≡ explicit frame; space mismatch loud") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_curation_embed").toString
