@@ -57,6 +57,20 @@ object SparkEntry {
       ext.Embedding.textNearDupPairs(docs.unionByName(copies),
         minCosine = 0.95)
     }),
+    // trainer layout, truncation-free variant: best-fit-decreasing
+    // packing places docs WHOLE into fixed-capacity sequences (q94's
+    // concat-and-cut is the utilization-first twin). Rows-only (BPE +
+    // sequential bin state aren't SQL-expressible); ExtSpec pins the
+    // hand-computed BFD assignment, capacity, conservation and the
+    // at-most-one-half-empty-bin post-condition
+    "q107_bestfit_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = ext.TextAnalysis.ensureBpeModel(docs,
+        "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
+      ext.TextAnalysis.packTokenSequencesBestFit(
+        ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path),
+        seqLen = 128, shards = 4)
+    }),
     // split-integrity audit: near-dup pairs straddling the
     // content-addressed train/val/test boundary — the leakage a
     // held-out set must not have. Planted exact copies (different ids

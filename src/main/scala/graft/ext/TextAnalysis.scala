@@ -1635,6 +1635,122 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 
+  /** Best-fit-decreasing sequence packing — the TRUNCATION-FREE
+    * alternative to [[packTokenSequences]]: documents are placed WHOLE
+    * into fixed-capacity sequences (only docs longer than `seqLen` are
+    * pre-cut, into bin-sized chunks each packed whole), so no document
+    * is ever split across sequence boundaries by packing itself. The
+    * concat-and-cut layout maximizes utilization but fragments ~1 doc
+    * per sequence; best-fit packing trades a bounded utilization loss
+    * (BFD uses at most 11/9·OPT + 1 bins) for intact documents — the
+    * layout shown to improve trained-model quality by removing
+    * spurious truncation (the "fewer truncations" result).
+    *
+    * Algorithm, per (shard ++ extraKeys) group: sort pieces by length
+    * DESC (ties: doc_id, chunk — fully deterministic), place each into
+    * the FULLEST bin that still fits (ties: lowest bin id), open a new
+    * bin when none fits. The assignment pass sees only (id, chunk,
+    * length) triples — per-group state is lengths-only, never token
+    * arrays — and the heavy token pieces join back by key afterwards.
+    *
+    * Output matches [[packTokenSequences]]'s shape: (shard ++
+    * extraKeys, seq_id, token_ids, segment_ids, n_tokens ≤ seqLen),
+    * with segment_ids numbering pieces in bin insertion order.
+    *
+    * Reference counterpart: the chunked batch loop
+    * (load_sales_history.py:117-137) — bounded units sized to a
+    * capacity; here the capacity is the trainer's context window.
+    *
+    * Scale: one shuffle keyed on the group to run the per-group BFD
+    * (state = O(docs-per-shard) longs; `shards` is the knob that keeps
+    * a group executor-sized, thousands at 100 TB), one hash join to
+    * reattach pieces, one groupBy to reassemble — token arrays cross
+    * the wire exactly once each. */
+  def packTokenSequencesBestFit(tokDocs: DataFrame, seqLen: Int = 128,
+                                shards: Int = 8, eosId: Long = -1L,
+                                extraKeys: Seq[String] = Nil): DataFrame = {
+    require(seqLen >= 2, s"seqLen must be >= 2 (a token + its eos), got $seqLen")
+    val keyNames = "shard" +: extraKeys
+    val keyCols = keyNames.map(col)
+    val laid = tokDocs
+      .withColumn("shard", Sampling.hashBucket(col("doc_id"), shards))
+      .withColumn("ids", concat(col("token_ids"),
+        array(lit(eosId).cast("long"))))
+      .withColumn("len", size(col("ids")).cast("long"))
+    val pieces = laid
+      .select(keyCols ++ Seq(col("doc_id"), col("ids"), col("len"),
+        explode(sequence(lit(0L), expr(s"(len - 1) div $seqLen")))
+          .as("chunk")): _*)
+      .withColumn("plen",
+        least(lit(seqLen.toLong), col("len") - col("chunk") * seqLen))
+      .withColumn("piece", slice(col("ids"),
+        (col("chunk") * seqLen + 1L).cast("int"), col("plen").cast("int")))
+      .withColumn("gkey", // control-char sep: "1"+"2" never reads "12"
+        concat_ws("\u0001", keyNames.map(c => col(c).cast("string")): _*))
+      .select(keyCols ++ Seq(col("gkey"), col("doc_id"), col("chunk"),
+        col("plen"), col("piece")): _*)
+    // assignment pass: lengths only, one contiguous sorted run per group
+    val items = pieces
+      .select(col("gkey"), col("doc_id"), col("chunk"), col("plen"))
+      .repartition(col("gkey"))
+      .sortWithinPartitions(col("gkey"), col("plen").desc, col("doc_id"),
+        col("chunk"))
+    import tokDocs.sparkSession.implicits._
+    val assigned = items.as[(String, Long, Long, Long)].mapPartitions { it =>
+      val in = it.buffered
+      new Iterator[(String, Long, Long, Long, Long)] {
+        private var out: Iterator[(String, Long, Long, Long, Long)] =
+          Iterator.empty
+        def hasNext: Boolean = out.hasNext || in.hasNext
+        def next(): (String, Long, Long, Long, Long) = {
+          if (!out.hasNext) advance()
+          out.next()
+        }
+        private def advance(): Unit = {
+          val key = in.head._1
+          // load → bin ids at that load; floorEntry(cap − len) is the
+          // fullest bin the piece still fits (classic best fit)
+          val byLoad = new java.util.TreeMap[Long, java.util.TreeSet[Long]]()
+          val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val slots = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val res =
+            scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long)]
+          while (in.hasNext && in.head._1 == key) {
+            val (_, docId, chunk, plen) = in.next()
+            val fit = byLoad.floorEntry(seqLen - plen)
+            val bin =
+              if (fit == null) { loads += 0L; slots += 0L; loads.length - 1L }
+              else {
+                val b = fit.getValue.first()
+                fit.getValue.remove(b)
+                if (fit.getValue.isEmpty) byLoad.remove(fit.getKey)
+                b
+              }
+            val bi = bin.toInt
+            res += ((key, docId, chunk, bin, slots(bi)))
+            slots(bi) += 1
+            loads(bi) += plen
+            byLoad.computeIfAbsent(loads(bi),
+              _ => new java.util.TreeSet[Long]()).add(bin)
+          }
+          out = res.iterator
+        }
+      }
+    }.toDF("gkey", "doc_id", "chunk", "seq_id", "slot")
+    pieces
+      .join(assigned, Seq("gkey", "doc_id", "chunk"))
+      .groupBy(keyCols :+ col("seq_id"): _*)
+      .agg(array_sort(collect_list(struct(col("slot"), col("piece"))))
+        .as("a"))
+      .select(keyCols ++ Seq(col("seq_id"),
+        flatten(transform(col("a"), e => e.getField("piece")))
+          .as("token_ids"),
+        flatten(transform(col("a"), (e, i) =>
+          transform(e.getField("piece"), _ => i)))
+          .cast("array<long>").as("segment_ids")): _*)
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
   // ======================================================================
   // TOKEN-SEQUENCE INDEX — the incremental ladder for the trainer-ready
   // layout: freeze a packed corpus ONCE, then absorb each crawl/ingest

@@ -1828,6 +1828,61 @@ class ExtSpec extends SparkSpec {
     packed.unpersist()
   }
 
+  test("best-fit packing: docs whole, capacity kept, BFD shape, tokens conserved") {
+    // crafted, shards = 1, seqLen 10; per-doc lengths incl. eos are
+    // 7, 6, 4, 3, 2. BFD: 7→bin0; 6 fits nowhere→bin1; 4→fullest fit
+    // is bin1 (6+4=10); 3→bin0 (7+3=10); 2 fits nowhere→bin2
+    val tok = Seq(
+      (1L, (1L to 6L).toSeq), (2L, (11L to 15L).toSeq),
+      (3L, (21L to 23L).toSeq), (4L, (31L to 32L).toSeq),
+      (5L, Seq(41L)))
+      .toDF("doc_id", "token_ids")
+    val out = TextAnalysis.packTokenSequencesBestFit(tok, seqLen = 10,
+        shards = 1)
+      .orderBy($"seq_id")
+      .collect().map(r => (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3)))
+    assert(out.toSeq == Seq(
+      (0L, (1L to 6L) :+ -1L :+ 31L :+ 32L :+ -1L,
+        Seq.fill(7)(0L) ++ Seq.fill(3)(1L)),
+      (1L, (11L to 15L) :+ -1L :+ 21L :+ 22L :+ 23L :+ -1L,
+        Seq.fill(6)(0L) ++ Seq.fill(4)(1L)),
+      (2L, Seq(41L, -1L), Seq(0L, 0L))), s"got ${out.toSeq}")
+    // an oversized doc is pre-cut into bin-sized chunks, each whole:
+    // 25 tokens + eos = chunks of 10, 10, 6 → two full bins, and the
+    // 6-chunk packs with the 4-length doc
+    val big = Seq((1L, (1L to 25L).toSeq), (2L, (31L to 33L).toSeq))
+      .toDF("doc_id", "token_ids")
+    val bigOut = TextAnalysis.packTokenSequencesBestFit(big, seqLen = 10,
+        shards = 1)
+      .collect().map(r => r.getSeq[Long](2).toSeq).toSet
+    assert(bigOut == Set(
+      (1L to 10L).toSeq, (11L to 20L).toSeq,
+      (21L to 25L).toSeq :+ -1L :+ 31L :+ 32L :+ 33L :+ -1L), s"got $bigOut")
+    // fixture scale: capacity never exceeded; token multiset conserved;
+    // the BFD post-condition (at most ONE bin at or below half load per
+    // shard) holds; assignment is partitioning-independent
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(150)
+    val merges = TextAnalysis.learnBpeMerges(docs, nMerges = 4)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val ids = TextAnalysis.bpeTokenIds(docs, merges).localCheckpoint()
+    val packed = TextAnalysis.packTokenSequencesBestFit(ids, seqLen = 128,
+      shards = 4).cache()
+    assert(packed.filter($"n_tokens" > 128).count() == 0)
+    val totalIn = ids.agg(sum($"n_bpe_tokens")).head.getLong(0) + ids.count()
+    assert(packed.agg(sum($"n_tokens")).head.getLong(0) == totalIn)
+    val halfish = packed.filter($"n_tokens" <= 64)
+      .groupBy($"shard").count().collect()
+    halfish.foreach(r => assert(r.getLong(1) <= 1,
+      s"shard ${r.get(0)}: ${r.getLong(1)} bins at <= half load breaks BFD"))
+    val again = TextAnalysis.packTokenSequencesBestFit(
+        ids.repartition(13), seqLen = 128, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(packed.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet ==
+      again.toSet, "assignment must not depend on input partitioning")
+    packed.unpersist()
+  }
+
   test("BPE apply completes a 128-merge table, counts matching the in-driver fold") {
     // a production-sized merge table crosses the BpeCheckpointEvery=64
     // chunk boundary twice — the mid-fold localCheckpoints must keep
