@@ -57,6 +57,17 @@ object SparkEntry {
       ext.Embedding.textNearDupPairs(docs.unionByName(copies),
         minCosine = 0.95)
     }),
+    // model-free semantic drift: per-lang cosine between the summed
+    // hashed-embedding count vectors of the even/odd doc slices —
+    // q92's cosine-of-sums reduction with the q104 kernel supplying
+    // exact integer vectors, so the composite is oracle-hashed at 6dp
+    "q108_text_centroid_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.Embedding.textCentroidDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
     // trainer layout, truncation-free variant: best-fit-decreasing
     // packing places docs WHOLE into fixed-capacity sequences (q94's
     // concat-and-cut is the utilization-first twin). Rows-only (BPE +
@@ -1243,6 +1254,37 @@ object SparkEntry {
         |SELECT doc_id, CAST(dim AS INT) AS dim,
         |  CAST(SUM(s) AS BIGINT) AS component
         |FROM b GROUP BY 1, 2""".stripMargin,
+    // q104's md5-bit embedding CTEs summed per (lang, parity, dim) —
+    // exact integers — then q92's cosine-of-sums ratio at 6dp; group
+    // sizes are distinct-doc counts per slice
+    "q108_text_centroid_drift" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, doc_id % 2 AS par,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, lang, par,
+        |        md5('graft.embed.v1:' || tok) AS hx FROM t),
+        |b AS (
+        |  SELECT lang, par, d.dim,
+        |    CASE WHEN ((('0x' || substr(hx, d.dim // 4 + 1, 1))::BIGINT
+        |                >> (3 - d.dim % 4)) & 1) = 1
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM h, (SELECT unnest(generate_series(0, 63)) AS dim) d),
+        |su AS (SELECT lang, par, dim, CAST(SUM(s) AS DOUBLE) AS c
+        |       FROM b GROUP BY 1, 2, 3),
+        |n AS (SELECT lang, par, COUNT(DISTINCT doc_id) AS n
+        |      FROM t GROUP BY 1, 2)
+        |SELECT a.lang AS lang,
+        |  ROUND(SUM(a.c * b.c)
+        |    / sqrt(SUM(a.c * a.c) * SUM(b.c * b.c)), 6) AS cos_sim,
+        |  CAST(MIN(na.n) AS BIGINT) AS n_a,
+        |  CAST(MIN(nb.n) AS BIGINT) AS n_b
+        |FROM su a
+        |JOIN su b ON a.lang = b.lang AND a.dim = b.dim
+        |  AND a.par = 0 AND b.par = 1
+        |JOIN n na ON na.lang = a.lang AND na.par = 0
+        |JOIN n nb ON nb.lang = a.lang AND nb.par = 1
+        |GROUP BY 1""".stripMargin,
     // q16's trigram-jaccard pair CTEs over the copy-planted corpus,
     // joined to q31's md5-bucket split rule; only cross-split pairs
     // survive — the audit's passing state is empty, the planted copies

@@ -63,6 +63,24 @@ object Embedding {
       .select(col(idCol), col("dim").cast("int").as("dim"),
         col("component"))
 
+  /** Model-free semantic drift: per-group cosine between the SUMMED
+    * hashed-embedding count vectors of two corpus slices — the
+    * [[Centroids.centroidDrift]] reduction fed by [[HashedEmbedding]]'s
+    * EXACT integer components instead of model vectors. Summing the
+    * raw counts (not the normalized vectors) keeps every intermediate
+    * an exact integer in both engines, so the whole op is
+    * oracle-hashable at 6dp the way q92 is — and it answers the same
+    * production question ("did this source's content distribution move
+    * between crawls?") with zero model dependencies. Cosine of sums is
+    * scale-invariant, so no division enters before the final ratio. */
+  def textCentroidDrift(docsA: DataFrame, docsB: DataFrame,
+                        groupCol: String = "lang", textCol: String = "text",
+                        dims: Int = DefaultDims): DataFrame = {
+    def vecs(df: DataFrame) = df.select(col(groupCol),
+      HashedEmbedding.hashed_embedding_counts(col(textCol), dims).as("_e"))
+    Centroids.centroidDrift(vecs(docsA), vecs(docsB), groupCol, "_e")
+  }
+
   /** Freeze a benchmark suite as a SEMANTIC index built from its TEXT
     * — the [[Dedup.ensureSemanticIndex]] ladder with the hashed
     * projection supplying the vectors, so semantic decontamination

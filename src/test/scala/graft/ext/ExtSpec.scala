@@ -2278,6 +2278,23 @@ class ExtSpec extends SparkSpec {
       ("2024-01-08", 1L) -> 1L), s"got $out")
   }
 
+  test("text centroid drift: identical slices read 1.0; group counts ride along") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val self = Embedding.textCentroidDrift(docs, docs).collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getDouble(1) == 1.0,
+        s"${r.getString(0)}: a slice against itself must read cosine 1.0")
+      assert(r.getLong(2) == r.getLong(3))
+    }
+    // slices with disjoint vocabulary drift well below identity
+    val a = Seq((1L, "alpha beta gamma delta", "en")).toDF("doc_id", "text", "lang")
+    val b = Seq((2L, "omega sigma theta kappa", "en")).toDF("doc_id", "text", "lang")
+    val far = Embedding.textCentroidDrift(a, b).head()
+    assert(math.abs(far.getDouble(1)) < 0.9,
+      s"disjoint-vocabulary slices should not read near 1.0: ${far.getDouble(1)}")
+  }
+
   test("text embedding → ANN: exact copies always surface at cos 1.0; geometry sane") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf("sf0.001"))
