@@ -57,6 +57,18 @@ object SparkEntry {
       ext.Embedding.textNearDupPairs(docs.unionByName(copies),
         minCosine = 0.95)
     }),
+    // tokenizer-fit audit: per-lang token totals, UNK share and
+    // fertility under the stored BPE model — whether a frozen
+    // tokenizer FITS a corpus, read off before training spends
+    // compute. Rows-only (BPE not SQL-expressible); ExtSpec pins the
+    // crafted UNK/fertility arithmetic and the own-corpus-UNK-free
+    // invariant
+    "q109_tokenizer_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = ext.TextAnalysis.ensureBpeModel(docs,
+        "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
+      ext.TextAnalysis.tokenizerCoverageAgainstModel(s, docs, path)
+    }),
     // model-free semantic drift: per-lang cosine between the summed
     // hashed-embedding count vectors of the even/odd doc slices —
     // q92's cosine-of-sums reduction with the q104 kernel supplying

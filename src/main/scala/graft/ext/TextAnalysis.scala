@@ -1546,6 +1546,51 @@ object TextAnalysis {
       .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
       .filter(col("n_bpe_tokens") > 0)
 
+  /** Tokenizer coverage audit under a stored model: per group (default
+    * language), document and token totals, UNK-id counts, the OOV rate
+    * and fertility (BPE tokens per whitespace word) — the two numbers
+    * that say whether a frozen tokenizer actually FITS a corpus (a
+    * language the merges never saw shows up as high fertility and a
+    * nonzero OOV rate long before a training run wastes compute on
+    * it). UNK is the model's own convention (id = |vocab|, what
+    * [[graft.functions.BpeEncode]] emits for symbols outside the
+    * frozen vocabulary), read back from the artifact, never assumed.
+    *
+    * Rates are single exact-integer divisions rounded 6dp (the
+    * repetition-profile discipline); BPE itself is not SQL-expressible
+    * so the op is spec-pinned rather than oracle-hashed.
+    *
+    * Scale: one codegen encode pass + one group-sized aggregate; the
+    * per-token UNK scan is a per-row array fold over already-encoded
+    * ids — no joins, no second scan of the corpus. */
+  def tokenizerCoverageAgainstModel(spark: org.apache.spark.sql.SparkSession,
+                                    docs: DataFrame, modelPath: String,
+                                    groupCol: String = "lang"): DataFrame = {
+    val unkId = readBpeVocabIds(spark, modelPath).count()
+    val perDoc = docs.select(col(groupCol).as("_g"),
+        graft.functions.BpeEncode
+          .bpe_encode(col("text"), storedCodec(spark, modelPath)).as("ids"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .select(col("_g"),
+        size(col("ids")).cast("long").as("n_tok"),
+        size(filter(col("ids"), x => x === lit(unkId))).cast("long")
+          .as("n_unk"),
+        col("n_words"))
+    perDoc.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_unk")).as("n_unk_tokens"),
+        sum(col("n_words")).as("n_words"))
+      .select(col("_g").as(groupCol), col("n_docs"),
+        col("n_tokens"), col("n_unk_tokens"),
+        when(col("n_tokens") > 0,
+            round(col("n_unk_tokens") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("oov_rate"),
+        when(col("n_words") > 0,
+            round(col("n_tokens") / col("n_words"), 6))
+          .otherwise(lit(0.0)).as("fertility"))
+  }
+
   /** Detokenize: render token-id sequences back to text under the
     * stored model — the audit/recovery half of the tokenizer (inspect
     * packed training shards as text, debug id drift, human-review what

@@ -26,7 +26,8 @@ class SparkEntrySpec extends SparkSpec {
       "q78_curation_stored_gates", "q85_cardinality_novelty",
       "q91_hot_tokens", "q94_token_sequences", "q100_jpeg_stats",
       "q101_token_sequence_index", "q102_curation_ledger",
-      "q105_text_ann_pairs", "q107_bestfit_sequences"),
+      "q105_text_ann_pairs", "q107_bestfit_sequences",
+      "q109_tokenizer_coverage"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -1828,6 +1828,39 @@ class ExtSpec extends SparkSpec {
     packed.unpersist()
   }
 
+  test("tokenizer coverage: UNKs by the model's own convention; exact rates") {
+    // model trained (and vocab frozen) on an a/b-only corpus: any
+    // symbol outside {a, b, merges} encodes as UNK = |vocab|
+    val train = Seq((1L, "ab ab ab ab"), (2L, "a b a b")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_cov").toString
+    TextAnalysis.writeBpeModel(
+      TextAnalysis.learnBpeMerges(train, nMerges = 1), dir)
+    TextAnalysis.writeBpeVocab(train, dir)
+    val batch = Seq(
+      (10L, "ab ab", "en"),   // fully covered: 2 tokens / 2 words
+      (11L, "xy", "de"))      // x and y both OOV: 2 UNKs / 1 word
+      .toDF("doc_id", "text", "lang")
+    val cov = TextAnalysis.tokenizerCoverageAgainstModel(spark, batch, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    assert(cov("en") == ((1L, 2L, 0L, 0.0, 1.0)), s"got ${cov("en")}")
+    assert(cov("de") == ((1L, 2L, 2L, 1.0, 2.0)), s"got ${cov("de")}")
+    // fixture scale: the stored-model corpus audits UNK-free (q98's
+    // round-trip precondition, now directly observable)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val model = TextAnalysis.ensureBpeModel(docs, "/tmp/graft_bpe_cache",
+      s"${sf("sf0.001")}/documents.parquet", nMerges = 8)
+    val full = TextAnalysis.tokenizerCoverageAgainstModel(spark, docs, model)
+      .collect()
+    assert(full.nonEmpty)
+    full.foreach(r => assert(r.getDouble(4) == 0.0,
+      s"${r.getString(0)}: own-corpus vocab must cover every symbol"))
+    full.foreach(r => assert(r.getDouble(5) >= 1.0,
+      "fertility is at least one token per word"))
+  }
+
   test("best-fit packing: docs whole, capacity kept, BFD shape, tokens conserved") {
     // crafted, shards = 1, seqLen 10; per-doc lengths incl. eos are
     // 7, 6, 4, 3, 2. BFD: 7→bin0; 6 fits nowhere→bin1; 4→fullest fit
