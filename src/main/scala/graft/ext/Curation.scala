@@ -381,35 +381,50 @@ object Curation {
         Seq("doc_id"), "left_anti")
     }
 
-  private def semanticGate(df: DataFrame, cfg: Config,
-                           embeddings: Option[DataFrame]): DataFrame =
+  /** The model-free semantic artifact gate (the `embedDims` route):
+    * derive the frame's vectors from TEXT via the hashed projection —
+    * no join, no upstream model — and cut docs the frozen index flags.
+    * `private[graft]` because it is ALSO the curation stream's
+    * semantic stage: the artifact is read-only and the vectors are
+    * per-doc projections, so each micro-batch's split is deterministic
+    * (the gate/absorb contract — no batch tags needed). The index must
+    * live in the SAME space: the cosine kernel truncates silently on a
+    * width mismatch, so the artifact-owned dims are checked loudly
+    * first (sidecar-sized read). */
+  private[graft] def semanticTextGate(df: DataFrame, cfg: Config): DataFrame =
     cfg.semanticIndexPath.fold(df) { p =>
-      val probed = cfg.embedDims match {
-        case Some(d) =>
-          // model-free route: derive survivors' vectors from TEXT via
-          // the hashed projection — no join, no upstream model. The
-          // index must live in the SAME space: the cosine kernel
-          // truncates silently on a width mismatch, so check the
-          // artifact-owned dims loudly first (sidecar-sized read).
-          val stored = Dedup.semanticIndexDims(df.sparkSession, p)
-          require(stored == d,
-            s"semantic index at $p stores $stored-dim vectors but " +
-              s"embedDims=$d — build the index from the benchmark TEXT " +
-              "at the same width (Embedding.ensureTextIndex)")
-          df.select(col("doc_id").as("vec_id"),
-            Embedding.embed(col("text"), d).as("embedding"))
-        case None =>
-          embeddings.get
-            .select(col("doc_id").as("vec_id"), col("embedding"))
-            .join(df.select(col("doc_id").as("vec_id")),
-              Seq("vec_id"), "left_semi")
-      }
+      val d = cfg.embedDims.get
+      val stored = Dedup.semanticIndexDims(df.sparkSession, p)
+      require(stored == d,
+        s"semantic index at $p stores $stored-dim vectors but " +
+          s"embedDims=$d — build the index from the benchmark TEXT " +
+          "at the same width (Embedding.ensureTextIndex)")
+      val probed = df.select(col("doc_id").as("vec_id"),
+        Embedding.embed(col("text"), d).as("embedding"))
       val flagged = Dedup.semanticContaminationAgainstIndex(
           df.sparkSession, probed, p, cfg.semanticMinCosine,
           cfg.semanticNCells, cfg.semanticProbes)
         .filter(col("contaminated") === 1L)
         .select(col("vec_id").as("doc_id"))
       df.join(flagged, Seq("doc_id"), "left_anti")
+    }
+
+  private def semanticGate(df: DataFrame, cfg: Config,
+                           embeddings: Option[DataFrame]): DataFrame =
+    cfg.semanticIndexPath.fold(df) { p =>
+      if (cfg.embedDims.isDefined) semanticTextGate(df, cfg)
+      else {
+        val probed = embeddings.get
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+          .join(df.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        val flagged = Dedup.semanticContaminationAgainstIndex(
+            df.sparkSession, probed, p, cfg.semanticMinCosine,
+            cfg.semanticNCells, cfg.semanticProbes)
+          .filter(col("contaminated") === 1L)
+          .select(col("vec_id").as("doc_id"))
+        df.join(flagged, Seq("doc_id"), "left_anti")
+      }
     }
 
   /** The optional model-score gate: semi-join on docs whose

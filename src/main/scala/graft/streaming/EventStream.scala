@@ -500,6 +500,11 @@ object EventStream {
     // crawl in, curated token shards out, one stream
     require(tokenModelPath.isDefined == tokensPath.isDefined,
       "tokenModelPath and tokensPath enable the token landing together")
+    // a stream has no embeddings frame — the semantic artifact gate is
+    // only stream-expressible through the derived-text route
+    require(cfg.semanticIndexPath.isEmpty || cfg.embedDims.nonEmpty,
+      "the streaming semantic gate derives vectors from text — set " +
+        "embedDims (and build the index with Embedding.ensureTextIndex)")
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -517,7 +522,14 @@ object EventStream {
                   sketchParams.fpp)
                 .filter(col("n_flagged") > maxFlagged)
                 .select(col("doc_id"))
-              val cleanRaw = survivors.join(flagged, Seq("doc_id"), "left_anti")
+              val bloomClean = survivors.join(flagged, Seq("doc_id"), "left_anti")
+              // optional derived-text semantic gate (05b's stream twin:
+              // read-only index + per-doc projection = deterministic
+              // per batch); identity when the knobs are off
+              val cleanRaw =
+                if (cfg.semanticIndexPath.isDefined)
+                  graft.ext.Curation.semanticTextGate(bloomClean, cfg)
+                else bloomClean
               // checkpoint only when a second consumer exists — the
               // default path's plan is untouched
               val clean = if (tokenModelPath.isDefined)

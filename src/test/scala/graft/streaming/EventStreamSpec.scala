@@ -244,6 +244,63 @@ class EventStreamSpec extends SparkSpec {
     assert(accepted == Set(13L, 22L), s"got $accepted")
   }
 
+  test("curation stream cuts bag-of-words leaks via the derived-text semantic gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_semgate").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeMinhashIndex(corpus, s"$dir/idx")
+    val bench = Seq(
+      (1L, "benchmark secret question about ancient rome history facts"),
+      (2L, "hidden evaluation prompt concerning medieval castles defense"),
+      (3L, "another holdout item regarding modern chemistry lab results"),
+      (4L, "final protected query on classical music composer biographies"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeBloomIndex(bench, s"$dir/sketch")
+    // the suite frozen in the hashed-projection space, from TEXT alone
+    graft.ext.Dedup.writeSemanticIndex(
+      graft.ext.Embedding.embedDocuments(bench)
+        .select($"doc_id".as("vec_id"), $"embedding"),
+      s"$dir/semtxt", nCells = 2)
+    val cfg = graft.ext.Curation.Config(minTokens = 5,
+      semanticIndexPath = Some(s"$dir/semtxt"), semanticMinCosine = 0.999,
+      semanticNCells = 2, embedDims = Some(64))
+    // a stream has no embeddings frame: semanticIndexPath without
+    // embedDims must refuse at build time, not inside a micro-batch
+    intercept[IllegalArgumentException] {
+      EventStream.curationStream(MemoryStream[IngestDoc].toDF(),
+        s"$dir/idx", s"$dir/sketch", s"$dir/acc2", s"$dir/ckpt2",
+        cfg.copy(embedDims = None))
+    }
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.curationStream(mem.toDF(), s"$dir/idx",
+        s"$dir/sketch", s"$dir/accepted", s"$dir/ckpt", cfg).start()
+      q.awaitTermination()
+    }
+    // doc 10 is benchmark doc 1 token-REVERSED: no shared trigram (the
+    // Bloom gate is blind), identical bag of words (the semantic gate
+    // reads cosine 1.0); doc 11 is a clean keeper
+    mem.addData(
+      IngestDoc(10L,
+        "facts history rome ancient about question secret benchmark"),
+      IngestDoc(11L,
+        "a perfectly clean and useful training document about cooking pasta"))
+    drain()
+    // crash window: replay the whole composition, gate included
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toList.sorted
+    assert(accepted == List(11L),
+      s"the reversed leak must be cut and the keeper land once: $accepted")
+  }
+
   test("curation stream applies stateless hygiene, honors sketch params, replays exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_curhyg").toString
