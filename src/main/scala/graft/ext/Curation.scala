@@ -993,7 +993,11 @@ object Curation {
     funnel.select(col("stage"), col("n_docs"))
       .join(prev, Seq("stage"), "full_outer")
       .select(col("stage"), col("n_docs"), col("prev_n_docs"),
-        round(col("n_docs").cast("double") / col("prev_n_docs"), 6)
+        // a recorded stage can legitimately be 0 (a binding gate cut
+        // everything) — no baseline means NO ratio, never an ANSI
+        // divide-by-zero crash at materialization time
+        when(col("prev_n_docs") > 0,
+            round(col("n_docs").cast("double") / col("prev_n_docs"), 6))
           .as("ratio"))
   }
 

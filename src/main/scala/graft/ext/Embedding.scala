@@ -38,17 +38,23 @@ object Embedding {
     * small enough that vectors stay negligible next to the text. */
   val DefaultDims = 64
 
-  /** The L2-normalized embedding column for arbitrary text. */
-  def embed(text: Column, dims: Int = DefaultDims): Column =
-    HashedEmbedding.hashed_embedding(text, dims)
+  /** The L2-normalized embedding column for arbitrary text. `ngram`
+    * picks the hashed feature: 1 = single tokens (the oracle-pinned
+    * q104 space), n > 1 = consecutive n-token windows — the
+    * DISCRIMINATIVE space for near-dup work on stopword-dominated
+    * corpora, where unigram bags push every pair's cosine toward 1 and
+    * LSH banding loses its selectivity. */
+  def embed(text: Column, dims: Int = DefaultDims, ngram: Int = 1): Column =
+    HashedEmbedding.hashed_embedding(text, dims, ngram)
 
   /** Per-document embeddings in the semantic stack's input shape:
     * (idCol, embedding array<float>, L2-normalized). */
   def embedDocuments(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text",
-                     dims: Int = DefaultDims): DataFrame =
+                     dims: Int = DefaultDims, ngram: Int = 1): DataFrame =
     docs.select(col(idCol),
-      HashedEmbedding.hashed_embedding(col(textCol), dims).as("embedding"))
+      HashedEmbedding.hashed_embedding(col(textCol), dims, ngram)
+        .as("embedding"))
 
   /** The EXACT integer projection components, exploded to
     * (idCol, dim, component) — pure integer arithmetic end to end, so
@@ -94,8 +100,11 @@ object Embedding {
                       iters: Int = 5, seed: Long = 42L, probes: Int = 1,
                       variant: String = ""): String =
     Dedup.ensureSemanticIndex(
+      // checkpointed: the k-means trainer re-scans its input once per
+      // iteration, and re-embedding the suite each round is pure waste
       embedDocuments(docs, dims = dims)
-        .select(col("doc_id").as("vec_id"), col("embedding")),
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        .localCheckpoint(),
       cacheRoot, sourcePath, nCells, iters, seed, probes,
       variant = s"hembed_v1_${dims}$variant")
 
@@ -104,13 +113,29 @@ object Embedding {
     * ([[Dedup.embeddingAnnPairs]]). Exact text duplicates embed
     * identically, share every signature, and always surface with
     * cos_sim = 1.0 (recall 1.0 for exact copies regardless of
-    * banding) — the q32 contract without a model in sight. */
+    * banding) — the q32 contract without a model in sight.
+    *
+    * Defaults differ from the raw ANN op's, for two measured reasons
+    * (sf0.1, full configs swept): (1) `ngram` = 3 — on a corpus whose
+    * unigram bags share a small vocabulary, the unigram space puts
+    * most PAIRS above any band's selectivity (candidates were 61% of
+    * ALL pairs at 5 bits); trigram bags keep exact copies at cosine
+    * 1.0 while pushing unrelated pairs far apart — the same reason the
+    * Jaccard family shingles before hashing. (2) 20 tables × 12 bits —
+    * high-threshold (≥0.9) retrieval wants selective bands; at cos
+    * 0.95 a 12-bit band still matches with p ≈ 0.28, so 20 tables give
+    * > 99.8% recall while candidates drop by orders of magnitude.
+    * The embedded frame is localCheckpointed: FOUR plan branches
+    * (two bucket sides, two vector joins) would otherwise re-run the
+    * md5-per-window kernel over the corpus (the one-pass discipline —
+    * this alone was a third of the op's cost). */
   def textNearDupPairs(docs: DataFrame, minCosine: Double = 0.9,
                        idCol: String = "doc_id", textCol: String = "text",
-                       dims: Int = DefaultDims,
-                       tables: Int = 30, bitsPerTable: Int = 5): DataFrame =
+                       dims: Int = DefaultDims, ngram: Int = 3,
+                       tables: Int = 20, bitsPerTable: Int = 12): DataFrame =
     Dedup.embeddingAnnPairs(
-      embedDocuments(docs, idCol, textCol, dims)
-        .select(col(idCol).as("vec_id"), col("embedding")),
+      embedDocuments(docs, idCol, textCol, dims, ngram)
+        .select(col(idCol).as("vec_id"), col("embedding"))
+        .localCheckpoint(),
       minCosine, tables, bitsPerTable)
 }

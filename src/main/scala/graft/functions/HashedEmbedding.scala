@@ -44,27 +44,29 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 abstract class HashedEmbeddingExpression extends UnaryExpression {
   def dims: Int
+  def n: Int
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType && dims >= 1 && dims <= 128)
+    if (child.dataType == StringType && dims >= 1 && dims <= 128 && n >= 1)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs (string, 1<=dims<=128), got ${child.dataType}, dims=$dims")
+        s"$prettyName needs (string, 1<=dims<=128, n>=1), " +
+          s"got ${child.dataType}, dims=$dims, n=$n")
 }
 
 /** Exact integer projection components (array<long>) — the oracle-hashable
   * form. */
-case class HashedEmbeddingCounts(child: Expression, dims: Int)
+case class HashedEmbeddingCounts(child: Expression, dims: Int, n: Int = 1)
     extends HashedEmbeddingExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    HashedEmbedding.counts(input.asInstanceOf[UTF8String], dims)
+    HashedEmbedding.counts(input.asInstanceOf[UTF8String], dims, n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HashedEmbedding.counts($c, $dims)")
+      s"graft.functions.HashedEmbedding.counts($c, $dims, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): HashedEmbeddingCounts =
     copy(child = newChild)
@@ -73,16 +75,16 @@ case class HashedEmbeddingCounts(child: Expression, dims: Int)
 
 /** L2-normalized float vector (array<float>) — the form the ANN /
   * SemDedup / centroid stack consumes. */
-case class HashedEmbeddingVector(child: Expression, dims: Int)
+case class HashedEmbeddingVector(child: Expression, dims: Int, n: Int = 1)
     extends HashedEmbeddingExpression {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    HashedEmbedding.vector(input.asInstanceOf[UTF8String], dims)
+    HashedEmbedding.vector(input.asInstanceOf[UTF8String], dims, n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HashedEmbedding.vector($c, $dims)")
+      s"graft.functions.HashedEmbedding.vector($c, $dims, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): HashedEmbeddingVector =
     copy(child = newChild)
@@ -102,28 +104,39 @@ object HashedEmbedding {
 
   private final val Space = UTF8String.fromString(" ")
 
-  /** Kernel: exact signed-bit sums, one md5 per token (called from
-    * generated code). Bit j of the digest is bit (7 − j%8) of byte
-    * j/8 — the hex-string nibble order, so the DuckDB restatement
+  /** Kernel: exact signed-bit sums, one md5 per token n-gram (called
+    * from generated code). Bit j of the digest is bit (7 − j%8) of
+    * byte j/8 — the hex-string nibble order, so the DuckDB restatement
     * `('0x' || substr(md5_hex, j//4 + 1, 1))::BIGINT >> (3 − j%4)`
-    * reads the identical bit. */
-  def counts(text: UTF8String, dims: Int): ArrayData = {
-    val acc = countsRaw(text, dims)
+    * reads the identical bit. n = 1 hashes single tokens (the q104
+    * space); n > 1 hashes consecutive n-token windows joined by a
+    * single space — the DISCRIMINATIVE space for near-dup geometry on
+    * stopword-dominated corpora, where unigram bags make every pair
+    * look similar. Fewer than n tokens ⇒ the zero vector (nothing to
+    * hash), mirroring the shingle kernels' empty-array rule. */
+  def counts(text: UTF8String, dims: Int, n: Int): ArrayData = {
+    val acc = countsRaw(text, dims, n)
     val out = new Array[Any](dims)
     var j = 0
     while (j < dims) { out(j) = acc(j); j += 1 }
     new GenericArrayData(out)
   }
 
-  private[graft] def countsRaw(text: UTF8String, dims: Int): Array[Long] = {
+  private[graft] def countsRaw(text: UTF8String, dims: Int,
+                               n: Int): Array[Long] = {
     val acc = new Array[Long](dims)
     val toks = text.split(Space, -1)
+    if (toks.length < n) return acc
     val d = md5.get()
     var t = 0
-    while (t < toks.length) {
+    while (t <= toks.length - n) {
+      val gram =
+        if (n == 1) toks(t)
+        else UTF8String.concatWs(Space,
+          java.util.Arrays.copyOfRange(toks, t, t + n): _*)
       d.reset()
       d.update(SaltBytes)
-      d.update(toks(t).getBytes)
+      d.update(gram.getBytes)
       val dig = d.digest()
       var j = 0
       while (j < dims) {
@@ -137,8 +150,8 @@ object HashedEmbedding {
   }
 
   /** Kernel: the normalized form (called from generated code). */
-  def vector(text: UTF8String, dims: Int): ArrayData = {
-    val acc = countsRaw(text, dims)
+  def vector(text: UTF8String, dims: Int, n: Int): ArrayData = {
+    val acc = countsRaw(text, dims, n)
     var ss = 0.0
     var j = 0
     while (j < dims) { ss += acc(j).toDouble * acc(j).toDouble; j += 1 }
@@ -152,13 +165,15 @@ object HashedEmbedding {
     new GenericArrayData(out)
   }
 
-  def hashed_embedding_counts(c: Column, dims: Int): Column = {
+  def hashed_embedding_counts(c: Column, dims: Int, n: Int = 1): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(HashedEmbeddingCounts(ColumnBridge.expression(c), dims))
+    ColumnBridge.column(
+      HashedEmbeddingCounts(ColumnBridge.expression(c), dims, n))
   }
 
-  def hashed_embedding(c: Column, dims: Int): Column = {
+  def hashed_embedding(c: Column, dims: Int, n: Int = 1): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(HashedEmbeddingVector(ColumnBridge.expression(c), dims))
+    ColumnBridge.column(
+      HashedEmbeddingVector(ColumnBridge.expression(c), dims, n))
   }
 }

@@ -634,6 +634,29 @@ class CurationSpec extends SparkSpec {
       cfg.copy(bloomIndexPath = Some(s"$dir/bloom"))).count())
   }
 
+  test("ledger drift tolerates a zero-count recorded stage (no ANSI crash)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ledger_zero").toString + "/ledger"
+    // a config whose language gate cuts EVERYTHING records 0 for every
+    // stage from 03_language on — a legitimate ledger state the ratio
+    // column must survive at materialization time (caught by the
+    // noop-sink bench at sf0.1: count() had pruned the ratio column)
+    val deadCfg = cfg.copy(keepLangs = Seq("zz"))
+    Curation.recordCurationRun(
+      Curation.curationFunnel(corpus, benchmark, deadCfg), dir, deadCfg)
+    val drift = Curation.funnelDriftAgainstLedger(
+      Curation.curationFunnel(corpus, benchmark, cfg), dir).collect()
+    assert(drift.exists(r => !r.isNullAt(2) && r.getLong(2) == 0L),
+      "fixture must exercise a zero baseline")
+    drift.foreach { r =>
+      if (!r.isNullAt(2) && r.getLong(2) == 0L)
+        assert(r.isNullAt(3),
+          s"stage ${r.getString(0)}: zero baseline must yield null ratio")
+      else if (!r.isNullAt(2) && !r.isNullAt(1))
+        assert(!r.isNullAt(3), s"stage ${r.getString(0)} lost its ratio")
+    }
+  }
+
   test("split leakage audit flags exactly the cross-split near-dup pairs") {
     val copies = docs.filter($"doc_id" % 25 === 0)
       .withColumn("doc_id", $"doc_id" + 1000000L)

@@ -434,6 +434,31 @@ class FunctionsSpec extends SparkSpec {
       if (norm > 0)
         assert(math.abs(viaVec.map(v => v.toDouble * v).sum - 1.0) < 1e-5)
     }
+    // n-gram space: each consecutive window, joined by a single space,
+    // hashes exactly as one gram; the inline reference accumulates the
+    // grams of "a b c d" at n = 3 ("a b c", "b c d") independently
+    val ng = Seq("a b c d").toDF("t")
+      .select(HashedEmbedding.hashed_embedding_counts($"t", 64, 3))
+      .head().getSeq[Long](0)
+    assert(ng == {
+        // reference: hash each 3-token window independently
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val acc = new Array[Long](64)
+        Seq("a b c", "b c d").foreach { gram =>
+          md.reset()
+          val hex = md.digest((HashedEmbedding.Salt + gram).getBytes("UTF-8"))
+            .map(b => f"${b & 0xFF}%02x").mkString
+          for (j <- 0 until 64) {
+            val nib = Integer.parseInt(hex.charAt(j / 4).toString, 16)
+            acc(j) += (if (((nib >> (3 - j % 4)) & 1) == 1) 1L else -1L)
+          }
+        }
+        acc.toSeq
+      }, s"trigram kernel mismatch: $ng")
+    // fewer than n tokens ⇒ the zero vector
+    assert(Seq("one two").toDF("t")
+      .select(HashedEmbedding.hashed_embedding_counts($"t", 64, 3))
+      .head().getSeq[Long](0).forall(_ == 0L))
     // parity invariant: each component ≡ token count (mod 2), |c| ≤ count
     val s = "one two three four five"
     val n = s.split(" ", -1).length
