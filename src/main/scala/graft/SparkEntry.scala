@@ -57,6 +57,13 @@ object SparkEntry {
       ext.Embedding.textNearDupPairs(docs.unionByName(copies),
         minCosine = 0.95)
     }),
+    // north-star quality scoring: the MassiveText compression filter —
+    // per-doc deflate ratio (looped/templated text collapses, prose
+    // doesn't). Rows-only (zlib output is implementation-defined);
+    // ExtSpec pins loop/prose separation + determinism and the chain
+    // floor's never-binding ≡ default + binding behavior
+    "q110_compression_ratio" -> ((s, dir) =>
+      ext.TextAnalysis.compressionRatios(Tables.documents(s, dir))),
     // tokenizer-fit audit: per-lang token totals, UNK share and
     // fertility under the stored BPE model — whether a frozen
     // tokenizer FITS a corpus, read off before training spends

@@ -90,6 +90,13 @@ object Curation {
     *     requested statistic in one pass; zero extra passes,
     *     stream-safe via [[streamingGates]]). Empty (the default) adds
     *     zero plan nodes.
+    *   - `minCompressionRatio`: the deflate floor
+    *     ([[graft.functions.DeflateRatio]] — the MassiveText-style
+    *     compression filter): docs whose deflated/raw byte ratio falls
+    *     BELOW the floor are looped/templated in ways n-gram counters
+    *     can miss (long-range structure, token-edited paragraph
+    *     copies). Joins the same `02_repetition` stage as one more
+    *     codegen conjunct; None (the default) adds zero plan nodes.
     *   - `langSampleRates`: per-language Bernoulli keep rates
     *     ([[Sampling.stratifiedSampleByHash]] on `pred_lang`) applied
     *     ahead of the count quota — the fractional mixing knob
@@ -192,6 +199,7 @@ object Curation {
       minTokens: Int = 15,
       maxDupTrigramFrac: Double = 0.5,
       repetitionCaps: Map[String, Double] = Map.empty,
+      minCompressionRatio: Option[Double] = None,
       keepLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
       blocklist: Seq[String] = Nil,
       maxBlocklistHits: Long = 0L,
@@ -249,6 +257,21 @@ object Curation {
     * unrequested statistic is computed; whole-stage codegen CSE shares
     * the one struct across the field reads). None when no caps are
     * configured — zero plan nodes. */
+  /** The FULL 02_repetition stage condition: the dup-trigram rule,
+    * the optional Gopher-suite ceilings, and the optional compression
+    * floor (`minCompressionRatio` — text deflating below the floor is
+    * looped/templated in ways n-gram counters can miss). One Column,
+    * shared verbatim by [[streamingGates]] and the funnel's `f_rep`
+    * flag so batch, funnel and stream gate identically. */
+  private def repetitionGateCond(cfg: Config): Column = {
+    val base =
+      TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac
+    val withCaps = repetitionCapsCond(cfg).map(base && _).getOrElse(base)
+    cfg.minCompressionRatio.fold(withCaps)(m =>
+      withCaps &&
+        graft.functions.DeflateRatio.deflate_ratio(col("text")) >= m)
+  }
+
   private def repetitionCapsCond(cfg: Config): Option[Column] =
     if (cfg.repetitionCaps.isEmpty) None
     else {
@@ -271,6 +294,8 @@ object Curation {
           "dup{n}_char_frac)")
       require(v >= 0.0, s"repetitionCaps ceiling must be >= 0: $k -> $v")
     }
+    require(cfg.minCompressionRatio.forall(r => r > 0.0 && r <= 1.0),
+      "minCompressionRatio is a deflated/raw floor in (0, 1]")
     require(cfg.maxRedactionsPerDoc.isEmpty || cfg.redactPii,
       "maxRedactionsPerDoc gates the redaction stage — set redactPii=true to enable it")
     cfg.langSampleRates.values.foreach(r =>
@@ -597,10 +622,7 @@ object Curation {
     requireConfig(cfg)
     // the optional Gopher repetition-suite ceilings join the
     // dup-trigram rule (same 02_repetition stage, same fused scan)
-    val repCond = repetitionCapsCond(cfg)
-      .map(TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac && _)
-      .getOrElse(
-        TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac)
+    val repCond = repetitionGateCond(cfg)
     val heuristic = size(split(col("text"), " ")) >= cfg.minTokens &&
       repCond && col("pred_lang").isin(cfg.keepLangs: _*)
     // the optional blocklist conjunct fuses into the same scan — a
@@ -761,13 +783,7 @@ object Curation {
     val flaggedBase = passageClean
       .withColumn("f_tokens",
         (size(split(col("text"), " ")) >= cfg.minTokens).cast("long"))
-      .withColumn("f_rep",
-        (repetitionCapsCond(cfg)
-          .map(TextAnalysis.dupTrigramFraction(col("text")) <=
-            cfg.maxDupTrigramFrac && _)
-          .getOrElse(TextAnalysis.dupTrigramFraction(col("text")) <=
-            cfg.maxDupTrigramFrac))
-          .cast("long"))
+      .withColumn("f_rep", repetitionGateCond(cfg).cast("long"))
       .withColumn("pred_lang", TextAnalysis.langPrediction(col("text")))
       .withColumn("f_lang",
         col("pred_lang").isin(cfg.keepLangs: _*).cast("long"))

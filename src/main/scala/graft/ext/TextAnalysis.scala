@@ -95,6 +95,24 @@ object TextAnalysis {
     * Scale: one codegen kernel evaluation per document fused into the
     * scan (whole-stage codegen CSE shares the single evaluation across
     * the projected fields); no shuffle, no state. */
+  /** Per-document compression profile: raw byte length, deflated byte
+    * length and their ratio ([[graft.functions.DeflateRatio]] — the
+    * MassiveText/Gopher compression filter as a first-class score).
+    * Low ratios mark looped or templated text that n-gram counters can
+    * miss; calibrate a floor from these scores, then enforce it with
+    * `Curation.Config.minCompressionRatio` (same kernel, same stage).
+    * Rows-only: zlib's exact output is implementation-defined, so the
+    * score is spec-pinned (crafted loop vs prose separation,
+    * determinism), never oracle-hashed.
+    *
+    * Scale: one codegen projection per row, linear in text bytes,
+    * fused into the scan — no shuffle. */
+  def compressionRatios(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      round(graft.functions.DeflateRatio.deflate_ratio(col("text")), 6)
+        .as("compression_ratio"))
+
   def repetitionProfile(docs: DataFrame,
       topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
     val r = graft.functions.RepetitionStats

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compression ratio of a text column (deflated bytes / raw bytes) as a
+  * native codegen expression — the classic machine-generated-content
+  * and boilerplate signal: natural prose deflates to ~0.4–0.7 of its
+  * size, while looped or templated text collapses far lower, and the
+  * ratio catches repetition patterns n-gram counters miss (long-range
+  * structure, near-identical paragraphs with token-level edits). The
+  * deflate stream itself is discarded — only its length is kept, via a
+  * counting loop over a scratch buffer — and the `Deflater` is
+  * thread-local (one native zlib context per task thread, reset per
+  * row, never reallocated).
+  *
+  * Level is pinned (6, zlib's default) so the score is deterministic
+  * for a fixed JDK; the signal is a heuristic feature, not an
+  * oracle-hashable quantity (zlib's exact output is
+  * implementation-defined), so consumers are rows-only + spec-pinned.
+  *
+  * Reference counterpart: the quality-scoring family
+  * (BASELINE.json's text-analysis ops); public precedent: the
+  * compression filters in the Gopher/MassiveText data pipeline.
+  *
+  * Scale: one codegen projection per row, cost linear in text bytes,
+  * no shuffle — fuses into whatever scan feeds it. */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"deflate_ratio needs a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateRatio.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateRatio.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+
+  override def prettyName: String = "deflate_ratio"
+}
+
+object DeflateRatio {
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6) // zlib default level, pinned
+  }
+  private val scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
+  /** Kernel (called from generated code): deflated length / raw
+    * length; empty text reads 1.0 (nothing to compress, nothing
+    * saved). */
+  def compute(text: UTF8String): Double = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = deflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = scratch.get()
+    var out = 0L
+    while (!d.finished()) out += d.deflate(buf)
+    out.toDouble / bytes.length
+  }
+
+  def deflate_ratio(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DeflateRatio(ColumnBridge.expression(c)))
+  }
+}

@@ -2311,6 +2311,59 @@ class ExtSpec extends SparkSpec {
       ("2024-01-08", 1L) -> 1L), s"got $out")
   }
 
+  test("compression ratio: loops collapse, prose doesn't; chain floor gates identically") {
+    import org.apache.spark.sql.functions.col
+    val crafted = Seq(
+      (1L, ("spam line " * 60).trim, "en", "s", 0L),       // pure loop
+      (2L, "the quick brown fox jumps over a lazy dog while debugging " +
+        "parquet partition pruning on a rainy autumn afternoon", "en", "s", 0L),
+      (3L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.compressionRatios(crafted)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) < 0.15, s"a 60x loop must collapse: ${r(1L)}")
+    assert(r(2L) > 0.5, s"diverse prose must not: ${r(2L)}")
+    assert(r(3L) == 1.0, "empty text: nothing to compress, nothing saved")
+    // deterministic across partitionings
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val a = TextAnalysis.compressionRatios(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    val b = TextAnalysis.compressionRatios(docs.repartition(7)).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(a == b)
+    // the chain floor: never-binding ≡ default; a binding floor cuts
+    // exactly the docs below it, inside the 02_repetition stage
+    val bench = docs.limit(0)
+    val base = Curation.curate(docs, bench, Curation.Config())
+      .collect().map(_.toSeq).toSet
+    val never = Curation.curate(docs, bench,
+        Curation.Config(minCompressionRatio = Some(1e-9)))
+      .collect().map(_.toSeq).toSet
+    assert(never == base, "a never-binding floor must reproduce the default chain")
+    // (survivor SETS can shift when a cut doc was a CC component
+    // minimum, so the pinned claims are the gate's own: no sub-floor
+    // doc survives, and the funnel folds the floor into 02_repetition)
+    val floor = 0.45
+    val below = a.filter(_._2 < floor).keySet
+    assert(below.nonEmpty, "fixture must contain docs below the floor")
+    val kept = Curation.curate(docs, bench,
+        Curation.Config(minCompressionRatio = Some(floor),
+          perLangCap = 1000000))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(below).isEmpty,
+      "no sub-floor doc may survive the floored chain")
+    val f0 = Curation.curationFunnel(docs, bench, Curation.Config())
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val f1 = Curation.curationFunnel(docs, bench,
+        Curation.Config(minCompressionRatio = Some(floor)))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(f1("01_min_tokens") == f0("01_min_tokens"))
+    assert(f1("02_repetition") < f0("02_repetition"),
+      s"the binding floor must shrink the repetition stage: $f1 vs $f0")
+    intercept[IllegalArgumentException](Curation.curate(docs, bench,
+      Curation.Config(minCompressionRatio = Some(1.5))))
+  }
+
   test("text centroid drift: identical slices read 1.0; group counts ride along") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val self = Embedding.textCentroidDrift(docs, docs).collect()
