@@ -238,6 +238,7 @@ object Curation {
       semanticNCells: Int = 8,
       semanticProbes: Option[Int] = None,
       embedDims: Option[Int] = None,
+      embedNgram: Int = 1,
       dsirProfilePath: Option[String] = None,
       dsirTopN: Int = 0,
       dsirAlpha: Double = 1.0,
@@ -329,6 +330,10 @@ object Curation {
         "semanticIndexPath to enable it")
     require(cfg.embedDims.forall(d => d >= 1 && d <= 128),
       "embedDims must be in 1..128 (the hashed-projection digest width)")
+    require(cfg.embedNgram >= 1, "embedNgram must be >= 1")
+    require(cfg.embedNgram == 1 || cfg.embedDims.nonEmpty,
+      "embedNgram tunes the derived-embedding space - set embedDims " +
+        "to enable it")
     require(cfg.dsirProfilePath.nonEmpty || cfg.dsirTopN == 0,
       "dsirTopN gates the DSIR stage — set dsirProfilePath to enable it")
     require(cfg.dsirProfilePath.isEmpty || cfg.dsirTopN >= 1,
@@ -419,13 +424,14 @@ object Curation {
   private[graft] def semanticTextGate(df: DataFrame, cfg: Config): DataFrame =
     cfg.semanticIndexPath.fold(df) { p =>
       val d = cfg.embedDims.get
-      val stored = Dedup.semanticIndexDims(df.sparkSession, p)
-      require(stored == d,
-        s"semantic index at $p stores $stored-dim vectors but " +
-          s"embedDims=$d — build the index from the benchmark TEXT " +
-          "at the same width (Embedding.ensureTextIndex)")
+      // FULL identity check, not just width: the index must have been
+      // built from TEXT in this exact space (kernel version, dims,
+      // ngram) — a model-vector index of matching width, or a
+      // different n-gram space, cosine-compares meaninglessly and the
+      // kernel would never complain on its own
+      Embedding.requireTextIndex(p, d, cfg.embedNgram)
       val probed = df.select(col("doc_id").as("vec_id"),
-        Embedding.embed(col("text"), d).as("embedding"))
+        Embedding.embed(col("text"), d, cfg.embedNgram).as("embedding"))
       val flagged = Dedup.semanticContaminationAgainstIndex(
           df.sparkSession, probed, p, cfg.semanticMinCosine,
           cfg.semanticNCells, cfg.semanticProbes)

@@ -87,26 +87,74 @@ object Embedding {
     Centroids.centroidDrift(vecs(docsA), vecs(docsB), groupCol, "_e")
   }
 
-  /** Freeze a benchmark suite as a SEMANTIC index built from its TEXT
-    * — the [[Dedup.ensureSemanticIndex]] ladder with the hashed
-    * projection supplying the vectors, so semantic decontamination
-    * needs no upstream model anywhere. The cache variant encodes the
-    * embedding identity (kernel version + dims): a text-derived index
-    * can never collide with a model-embedding index of the same
-    * source, and the written sidecar records `dims`, which the chain's
-    * `embedDims` route re-validates loudly at probe time. */
-  def ensureTextIndex(docs: DataFrame, cacheRoot: String, sourcePath: String,
-                      dims: Int = DefaultDims, nCells: Int = 8,
-                      iters: Int = 5, seed: Long = 42L, probes: Int = 1,
-                      variant: String = ""): String =
-    Dedup.ensureSemanticIndex(
+  /** Freeze a corpus as a SEMANTIC index built from its TEXT, carrying
+    * its full embedder IDENTITY (kernel version, dims, ngram) in an
+    * `embedder.properties` sidecar next to the quantizer's own params.
+    * The identity is what makes the derived-text gate SAFE: dims alone
+    * cannot distinguish a text-built index from a model-vector index
+    * of the same width, and cosines across two different spaces are
+    * silently meaningless — so the gate demands the sidecar and
+    * validates every identity field loudly ([[requireTextIndex]]). */
+  def writeTextIndex(docs: DataFrame, path: String,
+                     dims: Int = DefaultDims, ngram: Int = 1,
+                     nCells: Int = 8, iters: Int = 5, seed: Long = 42L,
+                     probes: Int = 1): Unit = {
+    Dedup.writeSemanticIndex(
       // checkpointed: the k-means trainer re-scans its input once per
       // iteration, and re-embedding the suite each round is pure waste
-      embedDocuments(docs, dims = dims)
+      embedDocuments(docs, dims = dims, ngram = ngram)
         .select(col("doc_id").as("vec_id"), col("embedding"))
         .localCheckpoint(),
-      cacheRoot, sourcePath, nCells, iters, seed, probes,
-      variant = s"hembed_v1_${dims}$variant")
+      path, nCells, iters, seed, probes)
+    Dedup.writeParams(s"$path/$EmbedderMarker", Map(
+      "embedder" -> graft.functions.HashedEmbedding.Salt,
+      "dims" -> dims.toString, "ngram" -> ngram.toString))
+  }
+
+  private val EmbedderMarker = "embedder.properties"
+
+  /** Loud space check for the derived-text routes: the index must have
+    * been built from TEXT by this module (the sidecar exists) in
+    * exactly the configured space (kernel version, dims, ngram all
+    * match). A model-vector index of the same width passes a bare dims
+    * check and then cosine-compares garbage — which is why the
+    * identity is required, not inferred. */
+  def requireTextIndex(indexPath: String, dims: Int, ngram: Int): Unit = {
+    val f = java.nio.file.Paths.get(s"$indexPath/$EmbedderMarker")
+    require(java.nio.file.Files.exists(f),
+      s"semantic index at $indexPath carries no embedder identity — " +
+        "the derived-text gate only probes an index built from TEXT in " +
+        "the same space (Embedding.ensureTextIndex/writeTextIndex); a " +
+        "model-vector index of matching width would cosine-compare " +
+        "meaninglessly")
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    def check(k: String, want: String): Unit =
+      require(p.getProperty(k) == want,
+        s"semantic index at $indexPath was built with $k=" +
+          s"${p.getProperty(k)} but probed with $k=$want — vectors from " +
+          "different embedding spaces cosine-compare meaninglessly")
+    check("embedder", graft.functions.HashedEmbedding.Salt)
+    check("dims", dims.toString)
+    check("ngram", ngram.toString)
+  }
+
+  /** Content-fingerprint-cached [[writeTextIndex]] — the shared ensure
+    * ladder, with the embedder identity baked into BOTH the cache key
+    * (a text index can never collide with a model index of the same
+    * source) and the sidecar the probes validate. */
+  def ensureTextIndex(docs: DataFrame, cacheRoot: String, sourcePath: String,
+                      dims: Int = DefaultDims, ngram: Int = 1,
+                      nCells: Int = 8, iters: Int = 5, seed: Long = 42L,
+                      probes: Int = 1, variant: String = ""): String = {
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"semantichembed_v1_${dims}g$ngram${variant}_${nCells}_${iters}_" +
+        s"${seed}_${probes}_" + Similarity.pathFingerprint(sourcePath))
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writeTextIndex(docs, tmp, dims, ngram, nCells, iters, seed, probes))
+    idx.toString
+  }
 
   /** Model-free semantic near-duplicate pairs straight from TEXT:
     * embed → the existing sub-quadratic LSH-bucketed ANN join

@@ -691,9 +691,7 @@ class CurationSpec extends SparkSpec {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_curation_embed").toString
     // the suite frozen in the hashed-projection space, from TEXT alone
-    Dedup.writeSemanticIndex(
-      Embedding.embedDocuments(benchmark)
-        .select($"doc_id".as("vec_id"), $"embedding"), s"$dir/semtxt")
+    Embedding.writeTextIndex(benchmark, s"$dir/semtxt")
     assert(Dedup.semanticIndexDims(spark, s"$dir/semtxt") ==
       Embedding.DefaultDims, "sidecar must record the artifact's dims")
     // a token-REVERSED copy of a benchmark doc: same bag of words ⇒
@@ -732,20 +730,36 @@ class CurationSpec extends SparkSpec {
       "the semantic gate must cut the bag-of-words-identical leak")
     // a different-width index fails LOUDLY at probe time (the cosine
     // kernel would silently truncate otherwise)
-    Dedup.writeSemanticIndex(
-      Embedding.embedDocuments(benchmark, dims = 32)
-        .select($"doc_id".as("vec_id"), $"embedding"), s"$dir/sem32")
+    Embedding.writeTextIndex(benchmark, s"$dir/sem32", dims = 32)
     val e = intercept[IllegalArgumentException](Curation.curate(
       corpus2, benchmark, semCfg.copy(
         semanticIndexPath = Some(s"$dir/sem32"),
         embedDims = Some(64))))
-    assert(e.getMessage.contains("32-dim"), e.getMessage)
-    // ambiguous vector source and an unpaired knob both fail at call time
+    assert(e.getMessage.contains("dims=32"), e.getMessage)
+    // a MODEL-vector index of the same width carries no embedder
+    // identity — the derived route must refuse it (a bare dims check
+    // would pass and then cosine-compare across two different spaces)
+    Dedup.writeSemanticIndex(
+      Embedding.embedDocuments(benchmark)
+        .select($"doc_id".as("vec_id"), $"embedding"), s"$dir/model64")
+    val eId = intercept[IllegalArgumentException](Curation.curate(
+      corpus2, benchmark, semCfg.copy(
+        semanticIndexPath = Some(s"$dir/model64"),
+        embedDims = Some(64))))
+    assert(eId.getMessage.contains("no embedder identity"), eId.getMessage)
+    // same width, different n-gram space: equally meaningless, equally loud
+    val eNg = intercept[IllegalArgumentException](Curation.curate(
+      corpus2, benchmark, semCfg.copy(embedDims = Some(64),
+        embedNgram = 3)))
+    assert(eNg.getMessage.contains("ngram=1"), eNg.getMessage)
+    // ambiguous vector source and unpaired knobs all fail at call time
     intercept[IllegalArgumentException](Curation.curate(corpus2, benchmark,
       semCfg.copy(embedDims = Some(64)),
       embeddings = Some(Embedding.embedDocuments(corpus2))))
     intercept[IllegalArgumentException](Curation.curate(corpus2, benchmark,
       wideCfg.copy(embedDims = Some(64))))
+    intercept[IllegalArgumentException](Curation.curate(corpus2, benchmark,
+      wideCfg.copy(embedNgram = 3)))
     // the ensure ladder: cached, dims-keyed variant, sidecar validated
     val idx = Embedding.ensureTextIndex(docs, dir,
       s"${sf("sf0.001")}/documents.parquet")

@@ -260,10 +260,7 @@ class EventStreamSpec extends SparkSpec {
       .toDF("doc_id", "text")
     graft.ext.Dedup.writeBloomIndex(bench, s"$dir/sketch")
     // the suite frozen in the hashed-projection space, from TEXT alone
-    graft.ext.Dedup.writeSemanticIndex(
-      graft.ext.Embedding.embedDocuments(bench)
-        .select($"doc_id".as("vec_id"), $"embedding"),
-      s"$dir/semtxt", nCells = 2)
+    graft.ext.Embedding.writeTextIndex(bench, s"$dir/semtxt", nCells = 2)
     val cfg = graft.ext.Curation.Config(minTokens = 5,
       semanticIndexPath = Some(s"$dir/semtxt"), semanticMinCosine = 0.999,
       semanticNCells = 2, embedDims = Some(64))
