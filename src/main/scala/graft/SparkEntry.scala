@@ -57,6 +57,19 @@ object SparkEntry {
       ext.Embedding.textNearDupPairs(docs.unionByName(copies),
         minCosine = 0.95)
     }),
+    // score evaluation: Mann–Whitney AUC of the quality-model score
+    // against the is-English label — does the score actually RANK?
+    // Exact-integer midrank closed form, one final division at 6dp,
+    // so the whole evaluation composes q67's SQL and oracle-hashes
+    "q111_score_auc" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.TextAnalysis.scoreAuc(
+        ext.TextAnalysis.qualityModelScores(docs)
+          .join(docs.select(col("doc_id"),
+            (col("lang") === "en").cast("long").as("is_en")), "doc_id"),
+        "quality_score", "is_en")
+    }),
     // north-star quality scoring: the MassiveText compression filter —
     // per-doc deflate ratio (looped/templated text collapses, prose
     // doesn't). Rows-only (zlib output is implementation-defined);
@@ -1241,6 +1254,38 @@ object SparkEntry {
       |FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // q67's scored corpus joined to the is-English label, reduced by
+    // the midrank closed form: per-score positive/negative counts, a
+    // distinct-scores cumulative, exact-integer numerator, one ROUND
+    "q111_score_auc" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |              FROM documents),
+         |wts AS (SELECT doc_id,
+         |          (CAST(${ext.TextAnalysis.DefaultQualityWeights
+               .mkString("[", ", ", "]")} AS DOUBLE[]))[
+         |            ('0x' || substr(md5(tok), 1, 8))::BIGINT %
+         |              ${ext.TextAnalysis.DefaultQualityWeights.size} + 1] AS w
+         |        FROM toks),
+         |scored AS (SELECT doc_id, ROUND(SUM(w) / COUNT(*), 6) AS s
+         |           FROM wts GROUP BY 1),
+         |lab AS (SELECT sc.s,
+         |          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |        FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id),
+         |g AS (SELECT s, SUM(y) AS p, SUM(1 - y) AS ng FROM lab GROUP BY 1),
+         |c AS (SELECT s, p, ng,
+         |        COALESCE(SUM(ng) OVER (ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS cb
+         |      FROM g)
+         |SELECT
+         |  CASE WHEN (SELECT SUM(p) FROM g) > 0
+         |        AND (SELECT SUM(ng) FROM g) > 0
+         |    THEN ROUND(CAST(SUM(p * (2 * cb + ng)) AS DOUBLE)
+         |      / (2.0 * (SELECT SUM(p) FROM g) * (SELECT SUM(ng) FROM g)), 6)
+         |  END AS auc,
+         |  CAST((SELECT SUM(p) FROM g) AS BIGINT) AS n_pos,
+         |  CAST((SELECT SUM(ng) FROM g) AS BIGINT) AS n_neg
+         |FROM c""".stripMargin,
     // the MP4 box walk restated: the synthesized container's
     // properties are pure functions of the text byte length (ASCII
     // fixture ⇒ length = bytes), and the decoder reads back exactly

@@ -95,6 +95,47 @@ object TextAnalysis {
     * Scale: one codegen kernel evaluation per document fused into the
     * scan (whole-stage codegen CSE shares the single evaluation across
     * the projected fields); no shuffle, no state. */
+  /** Mann–Whitney AUC of a score column against a binary label — the
+    * standard threshold-free evaluation of any quality/selection score
+    * (does the score actually rank wanted docs above unwanted ones?),
+    * completing the quality-model family's train → score → calibrate
+    * (quantiles) → EVALUATE ladder. Ties get midranks (the textbook
+    * convention), via the closed form
+    *   AUC = Σ_s p_s · (2·negBelow_s + ng_s) / (2·P·N)
+    * over per-score-value counts — every intermediate an exact
+    * integer, ONE double division at the end, rounded 6dp: the
+    * cross-engine-exact discipline, so the whole evaluation is
+    * oracle-hashable. Degenerate labels (no positives or no negatives)
+    * read a null AUC, never a divide-by-zero.
+    *
+    * Scale: the heavy input reduces in ONE map-side-combined groupBy
+    * on the score value; the ordered cumulative runs over DISTINCT
+    * score values only (the q84 sorted-prefix discipline — a
+    * enum-sized single-partition window, not a corpus-sized one).
+    * The integer-exact numerator bounds the labeled set at ~4·10⁹ rows
+    * (P·2N < 2⁶³); beyond that, sample — which an evaluation would do
+    * anyway. */
+  def scoreAuc(scored: DataFrame, scoreCol: String,
+               labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored
+      .select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("ng"))
+    val below = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cb", coalesce(sum(col("ng")).over(below), lit(0L)))
+      .agg(sum(col("p") * (lit(2L) * col("cb") + col("ng"))).as("num"),
+        sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"))
+      .select(
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+            round(col("num").cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+          .as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
   /** Per-document compression profile: raw byte length, deflated byte
     * length and their ratio ([[graft.functions.DeflateRatio]] — the
     * MassiveText/Gopher compression filter as a first-class score).

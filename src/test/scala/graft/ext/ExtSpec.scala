@@ -2311,6 +2311,32 @@ class ExtSpec extends SparkSpec {
       ("2024-01-08", 1L) -> 1L), s"got $out")
   }
 
+  test("score AUC: midrank ties, perfect/inverted separation, degenerate labels") {
+    def auc(rows: Seq[(Double, Long)]): Option[Double] = {
+      val r = TextAnalysis.scoreAuc(rows.toDF("score", "y"), "score", "y")
+        .head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    // hand-computed midrank case: pos@0.1 ties neg@0.1 (0.5), pos@0.2
+    // beats neg@0.1 (1) → (0.5 + 1) / 2 = 0.75
+    assert(auc(Seq((0.1, 0L), (0.1, 1L), (0.2, 1L))) == Some(0.75))
+    assert(auc(Seq((0.1, 0L), (0.2, 0L), (0.3, 1L), (0.4, 1L))) == Some(1.0))
+    assert(auc(Seq((0.4, 0L), (0.3, 0L), (0.1, 1L), (0.2, 1L))) == Some(0.0))
+    assert(auc(Seq((0.5, 0L), (0.5, 1L))) == Some(0.5), "pure tie is chance")
+    assert(auc(Seq((0.1, 1L), (0.2, 1L))).isEmpty,
+      "one-class labels have no ranking to score — null, not a crash")
+    // counts ride along; deterministic under repartitioning
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val scored = TextAnalysis.qualityModelScores(docs)
+      .join(docs.select($"doc_id", ($"lang" === "en").cast("long").as("y")),
+        "doc_id")
+    val a = TextAnalysis.scoreAuc(scored, "quality_score", "y").head()
+    val b = TextAnalysis.scoreAuc(scored.repartition(7), "quality_score", "y")
+      .head()
+    assert(a == b)
+    assert(a.getLong(1) + a.getLong(2) == docs.count())
+  }
+
   test("compression ratio: loops collapse, prose doesn't; chain floor gates identically") {
     import org.apache.spark.sql.functions.col
     val crafted = Seq(
