@@ -9,7 +9,8 @@ import graft.functions._
 /** SQL surface for the native graft expressions: registers
   * `rolling_hash`, `simhash64`, `cosine_similarity`, `word_shingles`,
   * `shingle_hashes`, `blocklist_hits`, `repetition_stats`,
-  * `segments_from_eos` so `spark.sql("SELECT rolling_hash(text) ...")`
+  * `segments_from_eos`, `hashed_embedding`, `hashed_embedding_counts`,
+  * `deflate_ratio` so `spark.sql("SELECT rolling_hash(text) ...")`
   * works — via `SparkSessionExtensions` for new sessions
   * (`.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`), or
@@ -83,7 +84,37 @@ object GraftExtensions {
           SegmentsFromEos(e,
             GraftExtensions.longLiteral(eos, "segments_from_eos"))
         case other => throw new IllegalArgumentException(
-          s"segments_from_eos expects 2 arguments, got ${other.size}") }))
+          s"segments_from_eos expects 2 arguments, got ${other.size}") }),
+    ("hashed_embedding",
+      info("hashed_embedding",
+        "hashed_embedding(str, dims[, ngram]) - L2-normalized hashed " +
+          "random-projection embedding (array<float>)"),
+      { case Seq(e, d) =>
+          HashedEmbeddingVector(e,
+            GraftExtensions.intLiteral(d, "hashed_embedding"))
+        case Seq(e, d, n) =>
+          HashedEmbeddingVector(e,
+            GraftExtensions.intLiteral(d, "hashed_embedding"),
+            GraftExtensions.intLiteral(n, "hashed_embedding"))
+        case other => throw new IllegalArgumentException(
+          s"hashed_embedding expects 2 or 3 arguments, got ${other.size}") }),
+    ("hashed_embedding_counts",
+      info("hashed_embedding_counts",
+        "hashed_embedding_counts(str, dims[, ngram]) - exact integer " +
+          "projection components (array<bigint>)"),
+      { case Seq(e, d) =>
+          HashedEmbeddingCounts(e,
+            GraftExtensions.intLiteral(d, "hashed_embedding_counts"))
+        case Seq(e, d, n) =>
+          HashedEmbeddingCounts(e,
+            GraftExtensions.intLiteral(d, "hashed_embedding_counts"),
+            GraftExtensions.intLiteral(n, "hashed_embedding_counts"))
+        case other => throw new IllegalArgumentException(
+          s"hashed_embedding_counts expects 2 or 3 arguments, got ${other.size}") }),
+    ("deflate_ratio",
+      info("deflate_ratio",
+        "deflate_ratio(str) - deflated/raw byte ratio (compression filter)"),
+      one("deflate_ratio")(DeflateRatio(_))))
 
   private def stringArrayLiteral(e: Expression, fn: String): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}

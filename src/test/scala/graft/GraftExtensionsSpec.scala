@@ -29,6 +29,27 @@ class GraftExtensionsSpec extends SparkSpec {
     // a non-literal word list is rejected at plan time
     intercept[Exception](
       spark.sql("SELECT blocklist_hits('a', array(lower('B')))").head())
+    // the embedding + compression kernels share the same SQL surface
+    val r2 = spark.sql(
+      """SELECT size(hashed_embedding('a b c', 64)) AS hv,
+        |  hashed_embedding_counts('x', 8) AS hc,
+        |  hashed_embedding_counts('a b c d', 8, 3) AS hc3,
+        |  deflate_ratio('spam spam spam spam spam spam spam spam') AS dr
+        |""".stripMargin).head()
+    assert(r2.getAs[Int]("hv") == 64)
+    assert(r2.getSeq[Long](r2.fieldIndex("hc")).forall(c => c == 1L || c == -1L),
+      "a one-token text has unit components")
+    assert(r2.getSeq[Long](r2.fieldIndex("hc3")).forall(c => math.abs(c) <= 2L),
+      "two trigrams bound every component by 2")
+    assert(r2.getAs[Double]("dr") < 0.6, "a loop must compress")
+    // SQL results equal the Column-API kernels (same expression class)
+    import spark.implicits._
+    val viaCol = Seq("a b c").toDF("t")
+      .select(graft.functions.HashedEmbedding.hashed_embedding($"t", 64))
+      .head().getSeq[Float](0)
+    val viaSql = spark.sql("SELECT hashed_embedding('a b c', 64) AS e")
+      .head().getSeq[Float](0)
+    assert(viaCol == viaSql)
   }
 
   test("sql registration rejects wrong arity") {
