@@ -1177,6 +1177,24 @@ object SparkEntry {
     * shared-val rule): `alloc` holds (lang, avail_tokens, weight, sat,
     * alloc_tokens) for the fixed q84 configuration (weights en 1 / de 4
     * / es 3 / fr 2 / zh 5, budget 20 000). */
+  /** q67's scorer as shared CTEs (the factored-oracle rule): the
+    * hashed-bucket weight lookup and the per-doc rounded mean score.
+    * q67 reads it directly; q111 composes its AUC on top — one
+    * definition, so the two oracles can never drift apart. */
+  private val QualityScoredCtes = {
+    val w = ext.TextAnalysis.DefaultQualityWeights.mkString("[", ", ", "]")
+    val n = ext.TextAnalysis.DefaultQualityWeights.size
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |         FROM documents),
+       |wts AS (SELECT doc_id,
+       |          (CAST($w AS DOUBLE[]))[
+       |            ('0x' || substr(md5(tok), 1, 8))::BIGINT % $n + 1] AS w
+       |        FROM toks),
+       |scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |             ROUND(SUM(w) / COUNT(*), 6) AS quality_score
+       |           FROM wts GROUP BY 1)""".stripMargin
+  }
+
   private val MixtureAllocationCtes =
     """WITH avail AS (SELECT lang,
       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
@@ -1258,17 +1276,8 @@ object SparkEntry {
     // the midrank closed form: per-score positive/negative counts, a
     // distinct-scores cumulative, exact-integer numerator, one ROUND
     "q111_score_auc" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |              FROM documents),
-         |wts AS (SELECT doc_id,
-         |          (CAST(${ext.TextAnalysis.DefaultQualityWeights
-               .mkString("[", ", ", "]")} AS DOUBLE[]))[
-         |            ('0x' || substr(md5(tok), 1, 8))::BIGINT %
-         |              ${ext.TextAnalysis.DefaultQualityWeights.size} + 1] AS w
-         |        FROM toks),
-         |scored AS (SELECT doc_id, ROUND(SUM(w) / COUNT(*), 6) AS s
-         |           FROM wts GROUP BY 1),
-         |lab AS (SELECT sc.s,
+      s"""WITH $QualityScoredCtes,
+         |lab AS (SELECT sc.quality_score AS s,
          |          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
          |        FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id),
          |g AS (SELECT s, SUM(y) AS p, SUM(1 - y) AS ng FROM lab GROUP BY 1),
@@ -2088,19 +2097,10 @@ object SparkEntry {
     // weights (multiples of 1/16) make SUM associativity-proof, so 6dp
     // rounding is stable on both engines; DuckDB list indexing is
     // 1-based like element_at
-    "q67_quality_model" -> {
-      val w = ext.TextAnalysis.DefaultQualityWeights.mkString("[", ", ", "]")
-      val n = ext.TextAnalysis.DefaultQualityWeights.size
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |              FROM documents),
-         |wts AS (SELECT doc_id,
-         |          (CAST($w AS DOUBLE[]))[
-         |            ('0x' || substr(md5(tok), 1, 8))::BIGINT % $n + 1] AS w
-         |        FROM toks)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |  ROUND(SUM(w) / COUNT(*), 6) AS quality_score
-         |FROM wts GROUP BY 1""".stripMargin
-    },
+    "q67_quality_model" ->
+      s"""WITH $QualityScoredCtes
+         |SELECT doc_id, n_toks AS n_tokens, quality_score
+         |FROM scored""".stripMargin,
     // re-line on 8-token boundaries (the q40 chunk CTE with
     // chunkTokens = stride = 8), then the line rules: the word count is
     // len(string_split(l, ' ')) — spaces + 1, empties kept — matching

@@ -430,8 +430,14 @@ object Curation {
       // different n-gram space, cosine-compares meaninglessly and the
       // kernel would never complain on its own
       Embedding.requireTextIndex(p, d, cfg.embedNgram)
-      val probed = df.select(col("doc_id").as("vec_id"),
-        Embedding.embed(col("text"), d, cfg.embedNgram).as("embedding"))
+      // a doc with fewer than embedNgram tokens embeds to the zero
+      // vector and cosine-compares as NaN (which Spark orders above
+      // every threshold) — such docs pass UN-PROBED, exactly like the
+      // explicit route's docs with no embedding row
+      val probed = df
+        .filter(size(split(col("text"), " ")) >= cfg.embedNgram)
+        .select(col("doc_id").as("vec_id"),
+          Embedding.embed(col("text"), d, cfg.embedNgram).as("embedding"))
       val flagged = Dedup.semanticContaminationAgainstIndex(
           df.sparkSession, probed, p, cfg.semanticMinCosine,
           cfg.semanticNCells, cfg.semanticProbes)

@@ -1604,25 +1604,6 @@ object Dedup {
       "dims" -> cents.head.length.toString))
   }
 
-  /** The embedding dimensionality a semantic index stores: from its
-    * params sidecar ("dims", recorded at write time) or, for an index
-    * written before the key existed, the first stored vector. The
-    * cosine kernel TRUNCATES to the shorter array on a length
-    * mismatch, so any caller pairing an index with independently
-    * produced vectors must check this loudly first. */
-  def semanticIndexDims(spark: org.apache.spark.sql.SparkSession,
-                        indexPath: String): Int = {
-    val f = java.nio.file.Paths.get(s"$indexPath/params.properties")
-    require(java.nio.file.Files.exists(f),
-      s"semantic index at $indexPath has no params sidecar")
-    val p = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(f)
-    try p.load(in) finally in.close()
-    Option(p.getProperty("dims")).map(_.toInt).getOrElse {
-      spark.read.parquet(s"$indexPath/vectors")
-        .select(col("e")).head().getSeq[Double](0).length
-    }
-  }
 
   /** Content-fingerprint-cached [[writeSemanticIndex]] — the
     * `ensureBloomIndex` pattern for the semantic artifact: keyed on the

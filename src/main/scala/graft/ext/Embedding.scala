@@ -101,8 +101,13 @@ object Embedding {
                      probes: Int = 1): Unit = {
     Dedup.writeSemanticIndex(
       // checkpointed: the k-means trainer re-scans its input once per
-      // iteration, and re-embedding the suite each round is pure waste
-      embedDocuments(docs, dims = dims, ngram = ngram)
+      // iteration, and re-embedding the suite each round is pure
+      // waste. Sub-ngram docs embed to the zero vector (no n-gram
+      // geometry) — they are excluded from the stored suite the same
+      // way the probes exclude them.
+      embedDocuments(
+          docs.filter(size(split(col("text"), " ")) >= ngram),
+          dims = dims, ngram = ngram)
         .select(col("doc_id").as("vec_id"), col("embedding"))
         .localCheckpoint(),
       path, nCells, iters, seed, probes)
@@ -149,8 +154,11 @@ object Embedding {
                       nCells: Int = 8, iters: Int = 5, seed: Long = 42L,
                       probes: Int = 1, variant: String = ""): String = {
     val idx = java.nio.file.Paths.get(cacheRoot,
-      s"semantichembed_v1_${dims}g$ngram${variant}_${nCells}_${iters}_" +
-        s"${seed}_${probes}_" + Similarity.pathFingerprint(sourcePath))
+      // every field '_'-separated: dims=64,ngram=1,variant="2" must
+      // never share a slot with dims=64,ngram=12,variant=""
+      s"semantichembed_v1_${dims}_g${ngram}_v${variant}_${nCells}_" +
+        s"${iters}_${seed}_${probes}_" +
+        Similarity.pathFingerprint(sourcePath))
     Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
       writeTextIndex(docs, tmp, dims, ngram, nCells, iters, seed, probes))
     idx.toString
@@ -182,7 +190,15 @@ object Embedding {
                        dims: Int = DefaultDims, ngram: Int = 3,
                        tables: Int = 20, bitsPerTable: Int = 12): DataFrame =
     Dedup.embeddingAnnPairs(
-      embedDocuments(docs, idCol, textCol, dims, ngram)
+      // docs with fewer than ngram tokens embed to the ZERO vector:
+      // all of them would share every LSH signature (a quadratic
+      // candidate clique) and cosine-compare as 0/0 = NaN, which
+      // Spark's NaN ordering treats as above ANY threshold — so they
+      // are excluded up front (the ngramJaccardPairs size(sh) > 0
+      // rule; a sub-ngram doc has no n-gram geometry to compare)
+      embedDocuments(
+          docs.filter(size(split(col(textCol), " ")) >= ngram),
+          idCol, textCol, dims, ngram)
         .select(col(idCol).as("vec_id"), col("embedding"))
         .localCheckpoint(),
       minCosine, tables, bitsPerTable)

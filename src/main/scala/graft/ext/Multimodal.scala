@@ -319,35 +319,39 @@ object Multimodal {
       if (size < hdr || size > (to - i).toLong) return false
       val typ = new String(b, i + 4, 4, "US-ASCII")
       val p = i + hdr
+      // field reads clamp to the BOX's own end, never the enclosing
+      // range: a short or lying leaf size must quarantine, not read
+      // the next sibling's bytes as values
+      val boxEnd = i + size.toInt
       typ match {
         case t if Mp4Containers(t) =>
           if (depth >= 8) return false
-          if (!walkMp4(b, p, i + size.toInt, acc, depth + 1)) return false
+          if (!walkMp4(b, p, boxEnd, acc, depth + 1)) return false
         case "mvhd" =>
-          if (p + 4 > to) return false
+          if (p + 4 > boxEnd) return false
           (b(p) & 0xFF) match {
             case 0 =>
-              if (p + 20 > to) return false
+              if (p + 20 > boxEnd) return false
               acc.timescale = be32(b, p + 12)
               acc.duration = be32(b, p + 16).toLong & 0xFFFFFFFFL
             case 1 =>
-              if (p + 32 > to) return false
+              if (p + 32 > boxEnd) return false
               acc.timescale = be32(b, p + 20)
               acc.duration = be64(b, p + 24)
             case _ => return false
           }
         case "tkhd" =>
-          if (p + 4 > to) return false
+          if (p + 4 > boxEnd) return false
           val wOff = (b(p) & 0xFF) match {
             case 0 => p + 76 // verflags4 + times/track/reserved/dur 20 + res8 + l/a/v/r 8 + matrix 36
             case 1 => p + 88 // 64-bit create/modify/duration add 12
             case _ => return false
           }
-          if (wOff + 8 > to) return false
+          if (wOff + 8 > boxEnd) return false
           acc.width = be32(b, wOff) >>> 16   // 16.16 fixed point
           acc.height = be32(b, wOff + 4) >>> 16
         case "stsz" =>
-          if (p + 12 > to) return false
+          if (p + 12 > boxEnd) return false
           acc.sampleCount = be32(b, p + 8)
         case _ => () // unknown leaf box: skip (forward compatibility)
       }
@@ -549,6 +553,23 @@ object Multimodal {
         j += 1
       }
       i += 1
+    }
+    if (payload.length < 4) {
+      // a sub-window payload would otherwise embed to the ZERO vector —
+      // whose cosine against anything is 0/0 = NaN, which Spark's NaN
+      // ordering ranks above every threshold. Hash the short payload
+      // (length-tagged, so "" and " " differ) as one window
+      // instead: identical payloads still map to identical, nonzero
+      // vectors.
+      var w = payload.length << 24
+      var k = 0
+      while (k < payload.length) { w |= (payload(k) & 0xFF) << (16 - 8 * k); k += 1 }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(w, 43L)
+      var j = 0
+      while (j < 8) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1f else acc(j) -= 1f
+        j += 1
+      }
     }
     acc
   }

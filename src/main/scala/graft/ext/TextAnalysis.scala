@@ -1632,8 +1632,11 @@ object TextAnalysis {
         size(split(col("text"), " ")).cast("long").as("n_words"))
       .select(col("_g"),
         size(col("ids")).cast("long").as("n_tok"),
-        size(filter(col("ids"), x => x === lit(unkId))).cast("long")
-          .as("n_unk"),
+        // UNK count WITHOUT an interpreted higher-order filter():
+        // array_remove is codegen'd, so the count stays in the fused
+        // stage (the pinned hot-path rule)
+        (size(col("ids")) - size(array_remove(col("ids"), unkId)))
+          .cast("long").as("n_unk"),
         col("n_words"))
     perDoc.groupBy(col("_g"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1793,6 +1796,10 @@ object TextAnalysis {
         concat_ws("\u0001", keyNames.map(c => col(c).cast("string")): _*))
       .select(keyCols ++ Seq(col("gkey"), col("doc_id"), col("chunk"),
         col("plen"), col("piece")): _*)
+      // TWO consumers fork from here (the lengths-only assignment pass
+      // and the reattach join) — materialize once or the upstream
+      // tokenization runs twice (the pinned one-pass discipline)
+      .localCheckpoint()
     // assignment pass: lengths only, one contiguous sorted run per group
     val items = pieces
       .select(col("gkey"), col("doc_id"), col("chunk"), col("plen"))

@@ -692,8 +692,8 @@ class CurationSpec extends SparkSpec {
       .createTempDirectory("graft_curation_embed").toString
     // the suite frozen in the hashed-projection space, from TEXT alone
     Embedding.writeTextIndex(benchmark, s"$dir/semtxt")
-    assert(Dedup.semanticIndexDims(spark, s"$dir/semtxt") ==
-      Embedding.DefaultDims, "sidecar must record the artifact's dims")
+    // the identity sidecar validates silently for the matching space
+    Embedding.requireTextIndex(s"$dir/semtxt", Embedding.DefaultDims, 1)
     // a token-REVERSED copy of a benchmark doc: same bag of words ⇒
     // identical hashed embedding (cos 1.0) but no shared n-grams — the
     // paraphrase-shaped leak the n-gram stage is blind to (reversal,
@@ -765,7 +765,7 @@ class CurationSpec extends SparkSpec {
       s"${sf("sf0.001")}/documents.parquet")
     assert(idx == Embedding.ensureTextIndex(docs, dir,
       s"${sf("sf0.001")}/documents.parquet"), "same content ⇒ same cache slot")
-    assert(Dedup.semanticIndexDims(spark, idx) == Embedding.DefaultDims)
+    Embedding.requireTextIndex(idx, Embedding.DefaultDims, 1)
   }
 
   test("DSIR resample slots into the chain against a stored target profile") {

@@ -2430,6 +2430,18 @@ class ExtSpec extends SparkSpec {
     val n = docs.count() + planted.count()
     assert(pairs.length.toLong < n * (n - 1) / 4,
       "near-dup pairs should be sparse, not all-pairs")
+    // sub-ngram docs embed to the zero vector (cosine NaN, every LSH
+    // signature shared) — they must be excluded, not surfaced as a
+    // NaN clique
+    val shorts = Seq((800001L, "hi", "en", "s", 0L),
+      (800002L, "yo", "en", "s", 0L), (800003L, "ok there", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val withShorts = Embedding.textNearDupPairs(
+        docs.unionByName(shorts), minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(withShorts.forall(p => !p._3.isNaN), "no NaN cosines, ever")
+    assert(!withShorts.exists(p => p._1 >= 800001L || p._2 >= 800001L),
+      "sub-trigram docs have no n-gram geometry — never paired")
     // the embedding frame slots into the stored semantic-index ladder
     // unchanged (same (vec_id, embedding) contract as the fixture)
     val emb = Embedding.embedDocuments(docs.limit(50))

@@ -507,6 +507,14 @@ class FunctionsSpec extends SparkSpec {
     val badVer = enc.clone(); badVer(36) = 99 // mvhd version byte
     assert(decode(badVer).isEmpty)
     assert(decode("not an mp4 stream".getBytes).isEmpty)
+    // a LYING leaf size (mvhd claims 12 bytes, real fields would fall
+    // in the next sibling's bytes) must quarantine, never read across
+    // the box boundary into garbage metadata
+    val lyingLeaf = enc.clone()
+    lyingLeaf(28 + 3) = 12 // mvhd box size u32 low byte (28..31)
+    lyingLeaf(28 + 2) = 0; lyingLeaf(28 + 1) = 0; lyingLeaf(28) = 0
+    assert(decode(lyingLeaf).isEmpty,
+      "short mvhd must not read its fields from the sibling box")
     assert(Multimodal.malformedMedia(spark, spark.createDataFrame(Seq(
         MediaRaw(7L, "mp4", enc.take(50)))))
       .collect().map(_.media_id).toSet == Set(7L))
@@ -537,5 +545,19 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(m => m.media_id -> m.feature.toSeq).toMap
     assert(f1 == f2) // partitioning-independent
     assert(f1.values.forall(_.length == 8))
+    // sub-window payloads must NOT collapse to the zero vector (zero
+    // cosine-compares as NaN downstream): identical shorts identical,
+    // distinct shorts distinct, all nonzero
+    import graft.ext.Multimodal.MediaRaw
+    val shorts = Multimodal.extractFeatures(spark, spark.createDataFrame(Seq(
+        MediaRaw(1L, "bin", Array[Byte]()),
+        MediaRaw(2L, "bin", Array[Byte](7)),
+        MediaRaw(3L, "bin", Array[Byte](7)),
+        MediaRaw(4L, "bin", Array[Byte](7, 8)))))
+      .collect().map(m => m.media_id -> m.feature.toSeq).toMap
+    assert(shorts.values.forall(_.exists(_ != 0f)), "never the zero vector")
+    assert(shorts(2L) == shorts(3L), "identical payloads, identical vectors")
+    assert(shorts(2L) != shorts(4L) && shorts(1L) != shorts(2L),
+      "distinct short payloads should differ")
   }
 }
