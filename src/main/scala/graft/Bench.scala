@@ -62,9 +62,17 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // Key order inside the total line is LOAD-BEARING: the driver's
+    // capture keeps only the TAIL of the line, so the big per-query map
+    // goes FIRST and the headline scalars (value/failed/passes/sf) go
+    // LAST — fourteen rounds of BENCH_r*.json lost the total and the
+    // alphabetically-early timings to head truncation before this.
+    // BenchSpec pins the order.
+    val passes = passTotals.mkString("[", ",", "]")
     Seq(
-      s"""{"metric":"passes","values":${passTotals.mkString("[", ",", "]")},"unit":"sec","sf":"$sfDir"}""",
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"passes","values":$passes,"unit":"sec","sf":"$sfDir"}""",
+      s"""{"metric":"total","queries":$qs,"unit":"sec",""" +
+        s""""passes":$passes,"failed":$failed,"value":$total,"sf":"$sfDir"}""")
   }
 
   /** The headline line alone (the last of [[benchLines]]). */

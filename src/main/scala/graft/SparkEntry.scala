@@ -25,6 +25,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Mart.dataset2(spark, "/root/testdata/sf0.001", RefreshDate)
 
+  /** Project a packed-sequence frame (q94/q107) to scalar, pandas-sortable
+    * columns: the driver canonicalizes result sets by sorting EVERY column
+    * and raw ARRAY cells are unhashable numpy objects there. xxhash64 of
+    * `token_ids` pins the sequence content as tightly as the array itself;
+    * segment count pins the doc-boundary structure. Library APIs keep the
+    * arrays — only the driver-facing binding flattens. */
+  private def scalarizeSequences(seqs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, size, xxhash64}
+    seqs.select(col("shard"), col("seq_id"), col("n_tokens"),
+      xxhash64(col("token_ids")).as("ids_digest"),
+      size(col("segment_ids")).cast("long").as("n_segments"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // north-star multimodal VIDEO container: every doc becomes a VALID
     // minimal MP4 (real ISO BMFF box structure), then videoMeta REALLY
@@ -35,6 +48,17 @@ object SparkEntry {
     "q103_video_meta" -> ((s, dir) =>
       ext.Multimodal.videoMeta(s,
         ext.Multimodal.validMp4Media(s, Tables.documents(s, dir)).toDF())
+        .toDF()),
+    // north-star video frame CONTENT, REAL end to end: every doc
+    // becomes a valid MJPEG-in-MP4 (real stsz entry table, real JDK
+    // JPEG frames in mdat), then videoFrameStats runs the actual
+    // pipeline a video reader runs — box walk, stsz/mdat frame split,
+    // per-frame entropy decode + IDCT. Rows-only (JPEG is lossy, never
+    // hashable — the q100 rule); FunctionsSpec pins dims-exactness,
+    // frame counts, tolerance bounds, determinism and quarantine
+    "q112_video_frame_stats" -> ((s, dir) =>
+      ext.Multimodal.videoFrameStats(s,
+        ext.Multimodal.validMjpegMedia(s, Tables.documents(s, dir)).toDF())
         .toDF()),
     // north-star embedding inference, EXACT form: the hashed
     // random-projection model's integer components per (doc, dim) —
@@ -110,9 +134,13 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val path = ext.TextAnalysis.ensureBpeModel(docs,
         "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
-      ext.TextAnalysis.packTokenSequencesBestFit(
+      // binding projects SCALARS (digest of the ids, segment count): the
+      // driver canonicalizes results by sorting every column in pandas and
+      // raw ARRAY cells are unhashable there. The digest still pins the
+      // sequence CONTENT; the library API keeps the arrays.
+      scalarizeSequences(ext.TextAnalysis.packTokenSequencesBestFit(
         ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path),
-        seqLen = 128, shards = 4)
+        seqLen = 128, shards = 4))
     }),
     // split-integrity audit: near-dup pairs straddling the
     // content-addressed train/val/test boundary — the leakage a
@@ -484,9 +512,10 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val path = ext.TextAnalysis.ensureBpeModel(docs,
         "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
-      ext.TextAnalysis.packTokenSequences(
+      // scalar projection for the driver's pandas canonicalizer — see q107
+      scalarizeSequences(ext.TextAnalysis.packTokenSequences(
         ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path),
-        seqLen = 128, shards = 4)
+        seqLen = 128, shards = 4))
     }),
     // the curation chain's OWN observability: record two runs (default
     // vs tightened quota) in the run ledger, then report the second

@@ -1049,6 +1049,7 @@ object Dedup {
                                         probes: Option[Int] = None): DataFrame = {
     requireParams(s"$indexPath/params.properties", Map(
       "nCells" -> nCells.toString), "semantic")
+    requireSemanticDims(indexPath, emb, "semanticContaminationAgainstIndex")
     val p = probes.getOrElse(nCells)
     require(p >= 1 && p <= nCells, "need 1 <= probes <= nCells")
     val cents = spark.read.parquet(s"$indexPath/centroids")
@@ -1604,6 +1605,41 @@ object Dedup {
       "dims" -> cents.head.length.toString))
   }
 
+  /** Embedding dimensionality a semantic index was built in, read back
+    * from its params sidecar — None for legacy indexes written before
+    * the `dims` key existed. The probe/append paths guard on this
+    * because `CosineSimilarity.compute` TRUNCATES to the shorter array
+    * on a width mismatch: vectors from a different embedding space
+    * would produce silently meaningless cosines, not an error. */
+  def semanticIndexDims(indexPath: String): Option[Int] = {
+    val f = java.nio.file.Paths.get(s"$indexPath/params.properties")
+    require(java.nio.file.Files.exists(f),
+      s"semantic index at $indexPath has no params sidecar — rebuild it with writeSemanticIndex")
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    Option(p.getProperty("dims")).map(_.toInt)
+  }
+
+  /** Read-side dims guard for every semantic probe/append (tolerates
+    * legacy sidecars without the key): one limit-1 probe of the
+    * incoming frame's vector width — vectors in one frame share a width
+    * by the embedding contract — required equal to the stored space
+    * BEFORE any cosine runs. */
+  private def requireSemanticDims(indexPath: String, emb: DataFrame,
+                                  what: String): Unit =
+    semanticIndexDims(indexPath).foreach { stored =>
+      emb.select(size(col("embedding")).as("w")).limit(1).collect()
+        .headOption.filterNot(_.isNullAt(0)).map(_.getInt(0))
+        .foreach { w =>
+          require(w == stored,
+            s"$what: semantic index at $indexPath holds $stored-dim vectors but " +
+              s"the incoming frame carries $w-dim vectors — cross-space cosines " +
+              "silently truncate to the shorter width; re-embed in the index's " +
+              "space or rebuild the index")
+        }
+    }
+
 
   /** Content-fingerprint-cached [[writeSemanticIndex]] — the
     * `ensureBloomIndex` pattern for the semantic artifact: keyed on the
@@ -1654,6 +1690,7 @@ object Dedup {
                                      excludeBatchId: Option[Long] = None): DataFrame = {
     requireParams(s"$indexPath/params.properties", Map(
       "nCells" -> nCells.toString, "probes" -> probes.toString), "semantic")
+    requireSemanticDims(indexPath, newEmb, "semanticDedupPairsAgainstIndex")
     val cents = spark.read.parquet(s"$indexPath/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
@@ -1749,6 +1786,7 @@ object Dedup {
                           batchId: Option[Long] = None): Unit = {
     requireParams(s"$path/params.properties", Map(
       "nCells" -> nCells.toString, "probes" -> probes.toString), "semantic")
+    requireSemanticDims(path, newEmb, "appendSemanticIndex")
     Seq("cells", "vectors").foreach(requireTaggedRelation(spark, path, _))
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell")).collect()

@@ -13,14 +13,16 @@ import org.apache.spark.sql.functions._
   * pure JVM code with no external library — and so is the VIDEO
   * container: MP4 (ISO BMFF) metadata comes from a real recursive box
   * walk (mvhd timescale/duration, tkhd 16.16 dimensions, stsz sample
-  * count). CONTENT-level decode is real for wav (PCM samples are the
-  * bytes), png (java.util.zip inflate + filter reconstruction) AND jpeg
-  * (the JDK's javax.imageio baseline DCT codec); media feature vectors
-  * are a real classical embedding (signed random projection of byte
-  * 4-grams — see [[extractFeatures]]). Only video CONTENT (frame
-  * pixels) remains stubbed: sampling actual frames needs a video codec
-  * absent in this environment, and [[frameSampleStub]] marks that
-  * boundary loudly.
+  * count). CONTENT-level decode is real for EVERY fixture format: wav
+  * (PCM samples are the bytes), png (java.util.zip inflate + filter
+  * reconstruction), jpeg (the JDK's javax.imageio baseline DCT codec)
+  * AND video frames (MJPEG-in-MP4: stsz/mdat frame split + per-frame
+  * JPEG decode — [[videoFrameStats]] / [[sampleFrames]]); media feature
+  * vectors are a real classical embedding (signed random projection of
+  * byte 4-grams — see [[extractFeatures]]). The only remaining stub
+  * boundary is LEARNED embedding inference (a model runtime, not a
+  * codec); compressed video codecs beyond MJPEG (H.264 etc.) would
+  * slot in at the same frame-split seam.
   *
   * Scale notes (100 TB of media): payloads stay on executors end-to-end
   * (no collect); per-partition `mapPartitions` amortizes codec init
@@ -146,8 +148,10 @@ object Multimodal {
   // inverse) AND jpeg ([[jpegStats]] — the JDK's javax.imageio
   // baseline DCT codec, real entropy decode); media feature vectors
   // are a real classical byte-gram projection ([[extractFeatures]]).
-  // The one remaining stubbed layer is video frame CONTENT — the piece
-  // that genuinely needs an absent codec; see frameSampleStub below.
+  // Video frame CONTENT is real too: MJPEG-in-MP4 frames split by the
+  // stsz entry table and decoded by the JDK JPEG codec
+  // ([[videoFrameStats]] / [[sampleFrames]]). The remaining stub
+  // boundary is LEARNED embedding inference only.
   // ======================================================================
 
   private val PngSignature =
@@ -277,10 +281,12 @@ object Multimodal {
   // recurses through the standard container types and reads
   //   mvhd (§8.2.2): movie timescale + duration (v0 u32 / v1 u64),
   //   tkhd (§8.3.2): track width/height as 16.16 fixed point,
-  //   stsz (§8.7.3): sample (frame) count.
+  //   stsz (§8.7.3): sample (frame) count, uniform size or per-sample
+  //     entry table, and mdat: the sample-bytes region.
   // Pure JVM, zero external libraries — the same closure the WAV RIFF
-  // walk gave audio. Frame CONTENT still needs a video codec (absent
-  // here); that boundary stays loudly stubbed in [[frameSampleStub]].
+  // walk gave audio. Frame CONTENT closes via MJPEG: stsz/mdat locate
+  // each frame's bytes and the JDK JPEG codec decodes them
+  // ([[decodeMp4FrameRanges]] + [[videoFrameStats]]).
   // ======================================================================
 
   private val Mp4Containers =
@@ -297,6 +303,13 @@ object Multimodal {
     var width: Int = 0
     var height: Int = 0
     var sampleCount: Int = -1
+    // frame-content fields: stsz either declares one uniform sample
+    // size or carries a per-sample entry table; mdat is where the
+    // sample bytes live. Together they locate every frame's payload.
+    var uniformSize: Int = 0
+    var sampleSizes: Array[Int] = null
+    var mdatFrom: Int = -1
+    var mdatTo: Int = -1
   }
 
   /** REAL recursive ISO BMFF box walk over [from, to). Returns false on
@@ -324,6 +337,23 @@ object Multimodal {
       // the next sibling's bytes as values
       val boxEnd = i + size.toInt
       typ match {
+        case "trak" =>
+          // track-scoped accumulation: each trak walks into its OWN
+          // accumulator and only the FIRST trak with nonzero tkhd
+          // dimensions (the video track) contributes dims + its own
+          // stsz count. Last-box-wins here let a second (audio) trak —
+          // tkhd width/height = 0, stsz = audio frame count — overwrite
+          // the video values and quarantine a valid multi-track file.
+          if (depth >= 8) return false
+          val t = new Mp4Info
+          if (!walkMp4(b, p, boxEnd, t, depth + 1)) return false
+          if (acc.width <= 0 && acc.height <= 0 && (t.width > 0 || t.height > 0)) {
+            acc.width = t.width
+            acc.height = t.height
+            acc.sampleCount = t.sampleCount
+            acc.uniformSize = t.uniformSize
+            acc.sampleSizes = t.sampleSizes
+          }
         case t if Mp4Containers(t) =>
           if (depth >= 8) return false
           if (!walkMp4(b, p, boxEnd, acc, depth + 1)) return false
@@ -352,7 +382,22 @@ object Multimodal {
           acc.height = be32(b, wOff + 4) >>> 16
         case "stsz" =>
           if (p + 12 > boxEnd) return false
-          acc.sampleCount = be32(b, p + 8)
+          val uniform = be32(b, p + 4)
+          val count = be32(b, p + 8)
+          if (count < 0) return false
+          acc.uniformSize = uniform
+          acc.sampleCount = count
+          if (uniform == 0) {
+            // per-sample entry table follows (u32 each) — the layout a
+            // variable-size (e.g. MJPEG) stream uses
+            if (p + 12 + 4L * count > boxEnd) return false
+            val sizes = new Array[Int](count)
+            var k = 0
+            while (k < count) { sizes(k) = be32(b, p + 12 + 4 * k); k += 1 }
+            acc.sampleSizes = sizes
+          }
+        case "mdat" => // record the sample-bytes region (first mdat wins)
+          if (acc.mdatFrom < 0) { acc.mdatFrom = p; acc.mdatTo = boxEnd }
         case _ => () // unknown leaf box: skip (forward compatibility)
       }
       i += size.toInt
@@ -375,6 +420,36 @@ object Multimodal {
     else None
   }
 
+  /** Locate every sample (frame) payload inside an MP4: (offset,
+    * length) per frame, from the stsz sizes (entry table, or the
+    * uniform size repeated) laid contiguously from mdat's start — the
+    * layout [[encodeMjpegMp4]] writes and the degenerate single-chunk
+    * case of the general stco/stsc machinery. None when the container
+    * is malformed, carries no mdat/stsz, or the declared sizes overrun
+    * the mdat bytes (a lying stsz must quarantine, never slice
+    * garbage). */
+  private def decodeMp4FrameRanges(b: Array[Byte])
+      : Option[Array[(Int, Int)]] = {
+    if (b.length < 8) return None
+    val acc = new Mp4Info
+    if (!walkMp4(b, 0, b.length, acc, 0)) return None
+    if (acc.mdatFrom < 0 || acc.sampleCount < 0) return None
+    val sizes: Array[Int] =
+      if (acc.sampleSizes != null) acc.sampleSizes
+      else if (acc.uniformSize > 0) Array.fill(acc.sampleCount)(acc.uniformSize)
+      else return None
+    val ranges = new Array[(Int, Int)](sizes.length)
+    var off = acc.mdatFrom
+    var k = 0
+    while (k < sizes.length) {
+      if (sizes(k) <= 0 || off + sizes(k).toLong > acc.mdatTo) return None
+      ranges(k) = (off, sizes(k))
+      off += sizes(k)
+      k += 1
+    }
+    Some(ranges)
+  }
+
   /** Encode a minimal VALID ISO BMFF file: ftyp + moov(mvhd +
     * trak(tkhd + mdia(minf(stbl(stsz))))) + mdat(payload) — every box
     * size correct, unity matrices, 16.16 dimensions; [[decodeMp4]]'s
@@ -383,6 +458,40 @@ object Multimodal {
   private[graft] def encodeMp4(w: Int, h: Int, frames: Int, timescale: Int,
                                duration: Long,
                                payload: Array[Byte]): Array[Byte] = {
+    val stszBody = java.nio.ByteBuffer.allocate(12)
+      .putInt(0)                 // version + flags
+      .putInt(256)               // uniform sample_size (no entry table)
+      .putInt(frames)            // sample_count
+      .array()
+    buildMp4(w, h, timescale, duration, stszBody, payload)
+  }
+
+  /** Encode a VALID MJPEG-in-MP4: each frame is a real baseline JPEG
+    * ([[encodeJpeg]]) laid contiguously into mdat, located by a REAL
+    * stsz per-sample entry table (sample_size = 0 + u32 sizes — the
+    * variable-size layout every actual video stream uses). This is the
+    * q96/q100 recipe applied inside the container: synthesized frames,
+    * REAL codec both directions, so [[videoFrameStats]] exercises a
+    * genuine container-walk + frame-split + entropy-decode path. */
+  private[graft] def encodeMjpegMp4(w: Int, h: Int, timescale: Int,
+                                    duration: Long,
+                                    frames: Seq[Array[Byte]]): Array[Byte] = {
+    val stszBody = java.nio.ByteBuffer.allocate(12 + 4 * frames.length)
+      .putInt(0)                 // version + flags
+      .putInt(0)                 // sample_size 0 → per-sample entries
+      .putInt(frames.length)
+    frames.foreach(f => stszBody.putInt(f.length))
+    buildMp4(w, h, timescale, duration, stszBody.array(),
+      frames.toArray.flatten)
+  }
+
+  /** Shared ISO BMFF assembly for [[encodeMp4]] / [[encodeMjpegMp4]]:
+    * ftyp + moov(mvhd + trak(tkhd + mdia(minf(stbl(stsz))))) +
+    * mdat(payload) — every box size correct, unity matrices, 16.16
+    * dimensions. */
+  private def buildMp4(w: Int, h: Int, timescale: Int, duration: Long,
+                       stszBody: Array[Byte],
+                       payload: Array[Byte]): Array[Byte] = {
     def box(typ: String, body: Array[Byte]*): Array[Byte] = {
       val len = 8 + body.map(_.length).sum
       val bb = java.nio.ByteBuffer.allocate(len)
@@ -421,11 +530,6 @@ object Multimodal {
       bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
       bb.array()
     }
-    val stszBody = java.nio.ByteBuffer.allocate(12)
-      .putInt(0)                 // version + flags
-      .putInt(256)               // uniform sample_size (no entry table)
-      .putInt(frames)            // sample_count
-      .array()
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII"),
       Array[Byte](0, 0, 0, 0), "isom".getBytes("US-ASCII"))
     val moov = box("moov", box("mvhd", mvhdBody),
@@ -463,6 +567,69 @@ object Multimodal {
             timescale = 1000, duration = frames * 40L, bytes))
         }
       }
+  }
+
+  /** Fixture adapter for the video frame CONTENT path: every document
+    * becomes a VALID MJPEG-in-MP4 — n_frames = 1 + n % 4 real baseline
+    * JPEG frames (w = 8 + n % 8, h = 8 + (n div 7) % 8, the
+    * [[validJpegMedia]] rule), frame f's RGB bytes the text bytes
+    * cycled with offset f, located by a real stsz entry table. Frame
+    * counts stay small because every frame is a REAL DCT encode; the
+    * JPEG step is lossy ⇒ q112 is rows-only with the content bounds
+    * spec-pinned (the q100 pattern, per frame). */
+  def validMjpegMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRaw] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val n = bytes.length
+          val w = 8 + n % 8
+          val h = 8 + (n / 7) % 8
+          val nFrames = 1 + n % 4
+          val frames = (0 until nFrames).map { f =>
+            encodeJpeg(w, h, Array.tabulate(w * h * 3)(p => bytes((p + f) % n)))
+          }
+          MediaRaw(id, "mp4", encodeMjpegMp4(w, h,
+            timescale = 1000, duration = nFrames * 40L, frames))
+        }
+      }
+  }
+
+  final case class FrameStats(media_id: Long, frame_idx: Int, width: Int,
+                              height: Int, sum_r: Long, sum_g: Long,
+                              sum_b: Long)
+
+  /** REAL video frame CONTENT decode: per MP4 payload, every `every`-th
+    * frame's dimensions and per-channel RGB sums from the ACTUAL
+    * pipeline a video reader runs — recursive box walk, stsz/mdat frame
+    * split, then full JPEG entropy decode + IDCT per sampled frame
+    * (JDK codec, [[jpegPixelStats]]). Non-mp4 rows, malformed
+    * containers, lying stsz tables and frames that aren't decodable
+    * JPEG streams all drop to the quarantine path.
+    *
+    * Scale: per-partition mapPartitions, payloads never leave
+    * executors, output is narrow (7 scalars per sampled frame); cost is
+    * the per-frame decode itself, linear in sampled pixels — `every` is
+    * the knob that keeps it a sample rather than a transcode. */
+  def videoFrameStats(spark: SparkSession, media: DataFrame,
+                      every: Int = 1): Dataset[FrameStats] = {
+    import spark.implicits._
+    require(every >= 1, s"every must be >= 1: $every")
+    media.as[MediaRaw].mapPartitions { batch =>
+      batch.filter(m => m.format == "mp4" || m.format == "mov").flatMap { m =>
+        decodeMp4FrameRanges(m.payload).toSeq.flatMap { ranges =>
+          (0 until ranges.length by every).flatMap { k =>
+            val (off, len) = ranges(k)
+            jpegPixelStats(
+              java.util.Arrays.copyOfRange(m.payload, off, off + len))
+              .map { case (w, h, s) =>
+                FrameStats(m.media_id, k, w, h, s(0), s(1), s(2))
+              }
+          }
+        }
+      }
+    }
   }
 
   /** REAL video container metadata: per MP4 payload, the dimensions,
@@ -554,16 +721,24 @@ object Multimodal {
       }
       i += 1
     }
-    if (payload.length < 4) {
-      // a sub-window payload would otherwise embed to the ZERO vector —
-      // whose cosine against anything is 0/0 = NaN, which Spark's NaN
-      // ordering ranks above every threshold. Hash the short payload
-      // (length-tagged, so "" and " " differ) as one window
-      // instead: identical payloads still map to identical, nonzero
-      // vectors.
+    // the ZERO vector's cosine against anything is 0/0 = NaN, which
+    // Spark's NaN ordering ranks above every threshold — and it arises
+    // two ways: a sub-window payload contributes nothing, and a payload
+    // with an EVEN window count can have its ±1 contributions cancel on
+    // every component (each component is 0 with probability ~1/2, e.g.
+    // ~0.4% of 5-byte payloads). Whenever the accumulator ends all-zero,
+    // fall back to hashing the payload's head (length-tagged, so "" and
+    // " " differ) as one window: identical payloads still map to
+    // identical, nonzero vectors.
+    var allZero = true
+    var z = 0
+    while (z < 8 && allZero) { if (acc(z) != 0f) allZero = false; z += 1 }
+    if (allZero) {
       var w = payload.length << 24
       var k = 0
-      while (k < payload.length) { w |= (payload(k) & 0xFF) << (16 - 8 * k); k += 1 }
+      while (k < math.min(payload.length, 3)) {
+        w |= (payload(k) & 0xFF) << (16 - 8 * k); k += 1
+      }
       val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(w, 43L)
       var j = 0
       while (j < 8) {
@@ -573,13 +748,6 @@ object Multimodal {
     }
     acc
   }
-
-  /** STUB: "frame sampling" — every k-th frame of a fake frame list
-    * derived from the payload (a real build pulls frames via the codec). */
-  private def frameSampleStub(payload: Array[Byte], nFrames: Int,
-                              every: Int): Seq[Int] =
-    (0 until nFrames by every).map(i =>
-      if (payload.isEmpty) 0 else payload(i % payload.length) & 0xFF)
 
   /** Resize pipeline stage: metadata-aware payload transform, typed
     * in/out, executed per-partition. Media already inside the bounds
@@ -615,17 +783,51 @@ object Multimodal {
 
   final case class FrameSample(media_id: Long, frame_idx: Int, frame_value: Int)
 
-  /** Frame-sampling stage (video/audio path): one row per sampled frame —
-    * the explode-shaped output an inference pipeline consumes. Malformed
-    * payloads are dropped. */
+  /** Frame-sampling stage (video/audio path): one row per sampled
+    * frame — the explode-shaped output an inference pipeline consumes —
+    * with REAL content both ways. For WAV the value is the k-th PCM
+    * frame's first-channel 16-bit sample (RIFF walk + signed
+    * little-endian decode); for MP4 the value is the k-th frame's mean
+    * pixel value from the ACTUAL JPEG entropy decode (exact integer
+    * mean over 3·w·h channel bytes). Malformed containers, lying size
+    * tables and non-decodable frames are dropped (the quarantine path);
+    * single images aren't frame streams — use [[imageStats]]. */
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    every: Int = 10): Dataset[FrameSample] = {
     import spark.implicits._
+    require(every >= 1, s"every must be >= 1: $every")
     media.as[MediaRaw].flatMap { m =>
-      decodeMedia(m.format, m.payload).toSeq.flatMap { d =>
-        frameSampleStub(m.payload, d.frames, every).zipWithIndex.map {
-          case (v, i) => FrameSample(m.media_id, i * every, v)
-        }
+      m.format match {
+        case "wav" =>
+          (decodeWav(m.payload), wavDataRange(m.payload)) match {
+            case (Some((channels, _, frames)), Some((off, len)))
+                if frames > 0 && channels > 0 =>
+              val blockAlign = channels * 2 // 16-bit PCM
+              (0 until frames by every).flatMap { k =>
+                val o = off + k * blockAlign
+                // guard against a header whose block align disagrees
+                // with 16-bit PCM — skip, never read past the chunk
+                if (o + 2 <= off + len)
+                  Some(FrameSample(m.media_id, k,
+                    (((m.payload(o + 1) & 0xFF) << 8) |
+                      (m.payload(o) & 0xFF)).toShort.toInt))
+                else None
+              }
+            case _ => Nil
+          }
+        case "mp4" | "mov" =>
+          decodeMp4FrameRanges(m.payload).toSeq.flatMap { ranges =>
+            (0 until ranges.length by every).flatMap { k =>
+              val (off, len) = ranges(k)
+              jpegPixelStats(
+                java.util.Arrays.copyOfRange(m.payload, off, off + len))
+                .map { case (w, h, s) =>
+                  FrameSample(m.media_id, k,
+                    ((s(0) + s(1) + s(2)) / (3L * w * h)).toInt)
+                }
+            }
+          }
+        case _ => Nil
       }
     }
   }
@@ -673,9 +875,9 @@ object Multimodal {
   // CRC-correct, any filter type) + decoder (IDAT inflate + full
   // filter reconstruction, ISO/IEC 15948 §9: None/Sub/Up/Average/
   // Paeth) for 8-bit RGBA non-interlaced — the synthesis profile.
-  // With this and the JPEG codec below, the multimodal content stub
-  // narrows to video and embedding inference, which genuinely need
-  // absent libraries.
+  // With this, the JPEG codec below and the MJPEG frame path, the
+  // multimodal content stub narrows to learned embedding inference —
+  // the one layer that genuinely needs an absent runtime.
   // ======================================================================
 
   /** Encode 8-bit RGBA pixels as a VALID PNG (zlib IDAT, CRC32-correct
@@ -868,9 +1070,10 @@ object Multimodal {
   // the PNG codec the pixel round trip is near-identity rather than
   // exact — q100 is therefore rows-only, with invariant specs pinning
   // what IS exact (dimensions, determinism, quarantine) and tolerance
-  // bounds on channel content. With this, the multimodal content stub
-  // narrows to video and embedding inference — the two layers that
-  // genuinely need absent libraries.
+  // bounds on channel content. This codec also decodes VIDEO frames:
+  // [[videoFrameStats]] splits MJPEG-in-MP4 samples out of mdat and
+  // runs each through it — leaving learned embedding inference as the
+  // only remaining content stub.
   // ======================================================================
 
   /** Encode 8-bit RGB pixels as a real baseline JPEG via the JDK

@@ -109,9 +109,12 @@ object TextAnalysis {
     * read a null AUC, never a divide-by-zero.
     *
     * Scale: the heavy input reduces in ONE map-side-combined groupBy
-    * on the score value; the ordered cumulative runs over DISTINCT
-    * score values only (the q84 sorted-prefix discipline — a
-    * enum-sized single-partition window, not a corpus-sized one).
+    * on the score value; the ordered cumulative over the DISTINCT
+    * score values runs as a two-phase prefix sum — range-partitioned
+    * per-partition running sums in parallel plus a partition-count-
+    * sized broadcast offset map — so NO single-partition window exists
+    * even when distinct scores approach the corpus size (a linear
+    * model over hashed counts gets near-doc-count distinct values).
     * The integer-exact numerator bounds the labeled set at ~4·10⁹ rows
     * (P·2N < 2⁶³); beyond that, sample — which an evaluation would do
     * anyway. */
@@ -123,9 +126,35 @@ object TextAnalysis {
         col(labelCol).cast("long").as("y"))
       .groupBy(col("s"))
       .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("ng"))
-    val below = Window.orderBy(col("s"))
+    // TWO-PHASE prefix sum for negBelow: a bare Window.orderBy(s) would
+    // move EVERY distinct score through ONE reducer — a linear model
+    // over hashed counts has near-doc-count distinct scores, so the
+    // single-partition window that is fine on a labeled eval set
+    // becomes the bottleneck the moment this points at corpus-scale
+    // scores. Instead: range-partition the distinct scores (ascending
+    // ranges ⇔ ascending partition ids — RangePartitioner's contract),
+    // run the running sum per partition IN PARALLEL, and close the gap
+    // with a partition-count-sized offset map (the mixtureAllocation
+    // sorted-prefix discipline). All longs, so boundary placement can
+    // never change the result; localCheckpoint pins one materialization
+    // for the two consumers (offset collect + the windowed rows).
+    val nParts = math.max(1, g.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = g.repartitionByRange(nParts, col("s"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val partNg = ranged.groupBy(col("pid"))
+      .agg(sum(col("ng")).as("png"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = partNg.map(_._1)
+      .zip(partNg.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    val below = Window.partitionBy(col("pid")).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("cb", coalesce(sum(col("ng")).over(below), lit(0L)))
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col("pid")), lit(0L))
+    ranged
+      .withColumn("cb",
+        offCol + coalesce(sum(col("ng")).over(below), lit(0L)))
       .agg(sum(col("p") * (lit(2L) * col("cb") + col("ng"))).as("num"),
         sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"))
       .select(

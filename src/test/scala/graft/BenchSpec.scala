@@ -52,6 +52,22 @@ class BenchSpec extends SparkSpec {
       s"pass total $v below the min-sum headline $total"))
   }
 
+  test("headline line keeps the scalar summary in its TAIL, after the map") {
+    // the driver's capture retains only the tail of the line — if the
+    // per-query map comes last, the total and early timings fall off the
+    // truncated head (fourteen rounds of BENCH_r*.json lost them that way)
+    val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "ok_query" -> ((s, _) => s.range(10).toDF("id")))
+    val line = Bench.benchJson(spark, "unused", queries)
+    val mapEnd = line.indexOf("\"queries\":{")
+    assert(mapEnd >= 0, line)
+    for (key <- Seq("\"passes\":[", "\"failed\":[", "\"value\":", "\"sf\":"))
+      assert(line.indexOf(key) > mapEnd,
+        s"$key must follow the queries map (tail-capture contract): $line")
+    // and the line must still parse as one JSON object
+    assert(line.startsWith("{") && line.endsWith("}"), line)
+  }
+
   test("timeShards writes a real shard layout and reports its cost") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_shards_spec")
     val t = Bench.timeShards(spark, sf("sf0.001"), s"$dir/shards")

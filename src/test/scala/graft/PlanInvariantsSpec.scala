@@ -26,6 +26,18 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(bnlj.isEmpty, s"BroadcastNestedLoopJoin in q19 plan:\n$p")
   }
 
+  test("q111 AUC runs no single-partition window (two-phase prefix sum)") {
+    // an unpartitioned Window.orderBy would funnel every distinct score
+    // through ONE reducer — fine on a labeled eval set, a bottleneck on
+    // corpus-scale scores (near-doc-count distinct values). The prefix
+    // sum must stay range-partitioned + offset-broadcast.
+    val p = plan(SparkEntry.queries("q111_score_auc")(spark, sf("sf0.001")))
+    val unpartitioned = p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"unpartitioned WindowExec in q111 plan:\n$p")
+  }
+
   test("q01 pushes the cutoff into the orders parquet scan") {
     val p = plan(SparkEntry.queries("q01_full_extract")(spark, sf("sf0.001")))
     val ordersScans = p.collect {

@@ -27,7 +27,8 @@ class SparkEntrySpec extends SparkSpec {
       "q91_hot_tokens", "q94_token_sequences", "q100_jpeg_stats",
       "q101_token_sequence_index", "q102_curation_ledger",
       "q105_text_ann_pairs", "q107_bestfit_sequences",
-      "q109_tokenizer_coverage", "q110_compression_ratio"),
+      "q109_tokenizer_coverage", "q110_compression_ratio",
+      "q112_video_frame_stats"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -841,6 +841,48 @@ class DedupSpec extends SparkSpec {
       "a rejected append must not mutate the index")
   }
 
+  test("semantic index dims guard: cross-space probes fail loudly; legacy sidecars tolerated") {
+    import org.apache.spark.sql.functions.expr
+    val emb = Tables.embeddings(spark, sf("sf0.001")).filter($"vec_id" < 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdims").toString
+    Dedup.writeSemanticIndex(emb, s"$dir/idx", nCells = 4, probes = 2)
+    val dims = Dedup.semanticIndexDims(s"$dir/idx")
+    assert(dims.exists(_ > 1), s"sidecar must record the built dims: $dims")
+    // a frame from a DIFFERENT embedding space (half the width) must be
+    // refused BEFORE any cosine: CosineSimilarity.compute truncates to
+    // the shorter array, so a cross-space probe would return silently
+    // meaningless similarities instead of erroring
+    val narrow = emb.withColumn("embedding",
+      expr(s"slice(embedding, 1, ${dims.get / 2})"))
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(Dedup.semanticDedupPairsAgainstIndex(spark, narrow,
+      s"$dir/idx", nCells = 4, probes = 2)).contains("-dim"))
+    assert(msg(Dedup.appendSemanticIndex(spark, narrow, s"$dir/idx",
+      nCells = 4, probes = 2)).contains("-dim"))
+    assert(msg(Dedup.semanticContaminationAgainstIndex(spark, narrow,
+      s"$dir/idx", nCells = 4)).contains("-dim"))
+    // a rejected cross-space append must not have mutated the index
+    val cells = spark.read.parquet(s"$dir/idx/cells").count()
+    // matching width passes the guard (the normal route still works)
+    assert(Dedup.semanticDedupPairsAgainstIndex(spark, emb, s"$dir/idx",
+      nCells = 4, probes = 2).columns.sameElements(
+        Array("vec_a", "vec_b", "cos_sim")))
+    // legacy sidecar (written before the dims key existed): guard is
+    // inert — the probe must still run rather than refuse the index
+    val sidecar = java.nio.file.Paths.get(s"$dir/idx/params.properties")
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(sidecar)
+    try p.load(in) finally in.close()
+    p.remove("dims")
+    val out = java.nio.file.Files.newOutputStream(sidecar)
+    try p.store(out, null) finally out.close()
+    assert(Dedup.semanticIndexDims(s"$dir/idx").isEmpty)
+    Dedup.semanticDedupPairsAgainstIndex(spark, narrow, s"$dir/idx",
+      nCells = 4, probes = 2).count() // legacy route: no dims, no refusal
+    assert(spark.read.parquet(s"$dir/idx/cells").count() == cells)
+  }
+
   test("incremental canonical selection equals the monolithic best-copy rule") {
     import org.apache.spark.sql.functions.{element_at, length, md5, split}
     // key = first token, score = text length — crawl variants share a

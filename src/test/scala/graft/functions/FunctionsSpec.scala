@@ -354,6 +354,83 @@ class FunctionsSpec extends SparkSpec {
     assert(stats == wantDims)
   }
 
+  test("video frame content: MJPEG split + real per-frame decode — dims, tolerance, sampling, quarantine") {
+    import graft.ext.Multimodal.MediaRaw
+    // crafted: 3 solid-color frames — frame f is solid (50+60f, 20, 110),
+    // so each decoded frame's channel means pin WHICH frame was decoded
+    val (w, h) = (16, 12)
+    val frames = (0 until 3).map { f =>
+      Multimodal.encodeJpeg(w, h, Array.tabulate(w * h * 3)(p =>
+        (p % 3 match {
+          case 0 => 50 + 60 * f; case 1 => 20; case _ => 110 }).toByte))
+    }
+    val mp4 = Multimodal.encodeMjpegMp4(w, h, 1000, 120L, frames)
+    def one(bytes: Array[Byte]) =
+      spark.createDataFrame(Seq(MediaRaw(1L, "mp4", bytes)))
+    // the metadata walk reads the entry-table stsz count correctly
+    val vm = Multimodal.videoMeta(spark, one(mp4)).collect().head
+    assert((vm.width, vm.height, vm.n_frames) == ((16, 12, 3)))
+    // frame split + REAL JPEG decode: one row per frame, dims exact,
+    // channel means within the lossy tolerance of THAT frame's color
+    val fs = Multimodal.videoFrameStats(spark, one(mp4)).collect()
+      .sortBy(_.frame_idx)
+    assert(fs.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    val n = (w * h).toDouble
+    fs.foreach { s =>
+      assert((s.width, s.height) == ((w, h)), "frame dims must be exact")
+      assert(math.abs(s.sum_r / n - (50 + 60 * s.frame_idx)) <= 3,
+        s"frame ${s.frame_idx} red mean ${s.sum_r / n}")
+      assert(math.abs(s.sum_g / n - 20) <= 3 &&
+        math.abs(s.sum_b / n - 110) <= 3, s"frame ${s.frame_idx} g/b drifted")
+    }
+    // every-k sampling decodes exactly frames 0 and 2
+    assert(Multimodal.videoFrameStats(spark, one(mp4), every = 2).collect()
+      .map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    // sampleFrames (video): frame_value is the decoded integer mean pixel
+    val sv = Multimodal.sampleFrames(spark, one(mp4), every = 1).collect()
+      .map(f => f.frame_idx -> f.frame_value).toMap
+    assert(sv.keySet == Set(0, 1, 2))
+    fs.foreach(s => assert(sv(s.frame_idx) ==
+      ((s.sum_r + s.sum_g + s.sum_b) / (3L * w * h)).toInt))
+    // sampleFrames (audio): the value is the REAL first-channel PCM
+    // sample — "ab" decodes to the signed 16-bit 25185 (the audioStats
+    // crafted case), not a payload byte
+    val wav = Multimodal.mediaFromDocuments(Seq((2L, "ab")).toDF("doc_id", "text"))
+    val sw = Multimodal.sampleFrames(spark, wav, every = 1).collect()
+    assert(sw.map(f => (f.frame_idx, f.frame_value)).toSeq == Seq((0, 25185)))
+    // a truncated mdat (stsz sizes overrun the bytes) quarantines whole
+    val truncated = java.util.Arrays.copyOf(mp4, mp4.length - 10)
+    assert(Multimodal.videoFrameStats(spark, one(truncated)).collect().isEmpty)
+    // the legacy uniform-stsz text fixture has no decodable frames —
+    // metadata still reads, frame content yields zero rows, no crash
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(20).cache()
+    val legacy = Multimodal.validMp4Media(spark, docs).toDF()
+    assert(Multimodal.videoFrameStats(spark, legacy).collect().isEmpty)
+    assert(Multimodal.videoMeta(spark, legacy).collect().length == 20)
+    // fixture adapter end to end: frame counts follow 1 + n % 4, dims
+    // follow the image rule, deterministic under repartitioning
+    val mj = Multimodal.validMjpegMedia(spark, docs).toDF()
+    val got = Multimodal.videoFrameStats(spark, mj).collect()
+    val byId = got.groupBy(_.media_id)
+    val wantRule = docs.collect().map { r =>
+      val nb = r.getAs[String]("text").getBytes("UTF-8").length
+      r.getAs[Long]("doc_id") ->
+        ((1 + nb % 4, 8 + nb % 8, 8 + (nb / 7) % 8))
+    }.toMap
+    assert(byId.keySet == wantRule.keySet, "every doc's video must decode")
+    byId.foreach { case (id, rows) =>
+      val (nf, ww, hh) = wantRule(id)
+      assert(rows.length == nf, s"doc $id: ${rows.length} frames, want $nf")
+      assert(rows.forall(r => r.width == ww && r.height == hh))
+    }
+    val again = Multimodal.videoFrameStats(spark,
+        Multimodal.validMjpegMedia(spark, docs.repartition(7)).toDF())
+      .collect().map(r =>
+        (r.media_id, r.frame_idx, r.sum_r, r.sum_g, r.sum_b)).toSet
+    assert(again == got.map(r =>
+      (r.media_id, r.frame_idx, r.sum_r, r.sum_g, r.sum_b)).toSet)
+  }
+
   test("audio stats: real PCM decode, signed samples, malformed dropped") {
     // "ab" → one sample 97 + 98·256 = 25185; "abc" → the trailing odd
     // byte is not a sample; "é" (UTF-8 C3 A9) → 0xA9C3 reads as the
@@ -534,6 +611,45 @@ class FunctionsSpec extends SparkSpec {
     val after = Multimodal.resize(spark, media, maxW = 10, maxH = 10)
       .collect().map(m => m.media_id -> m.payload.toSeq).toMap
     assert(after == before)
+    // MULTI-TRACK file: a second (audio) trak carries tkhd width/height
+    // = 0 and its own stsz (audio frame count). The walk must keep the
+    // VIDEO track's dims + sample count whichever trak comes first —
+    // last-box-wins would let the audio trak zero the dims (quarantining
+    // a valid file) and report the audio count as n_frames
+    def sbox(typ: String, body: Array[Byte]*): Array[Byte] = {
+      val len = 8 + body.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      body.foreach(bb.put)
+      bb.array()
+    }
+    val audioTkhd = java.nio.ByteBuffer.allocate(84)
+      .putInt(0x00000007).putInt(0).putInt(0) // v0+flags, create, modify
+      .putInt(2).putInt(0).putInt(5000)       // track_ID 2, reserved, dur
+      .putLong(0L).putShort(0).putShort(0)    // reserved, layer, alt_group
+      .putShort(0x0100.toShort).putShort(0)   // volume 1.0 (audio), reserved
+      .putInt(0x00010000).putInt(0).putInt(0) // unity matrix
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(0).putInt(0)                    // width = height = 0 (audio)
+      .array()
+    val audioStsz = java.nio.ByteBuffer.allocate(12)
+      .putInt(0).putInt(128).putInt(999).array() // 999 audio samples
+    val audioTrak = sbox("trak", sbox("tkhd", audioTkhd),
+      sbox("mdia", sbox("minf", sbox("stbl", sbox("stsz", audioStsz)))))
+    // splice into encodeMp4's layout: ftyp [0,20) + moov [20,280)
+    // (mvhd [28,136) + video trak [136,280)) + mdat [280,...)
+    val ftyp = enc.take(20)
+    val mvhd = enc.slice(28, 136)
+    val videoTrak = enc.slice(136, 280)
+    val mdat = enc.drop(280)
+    for (traks <- Seq(videoTrak ++ audioTrak, audioTrak ++ videoTrak)) {
+      val multi = ftyp ++ sbox("moov", mvhd, traks) ++ mdat
+      val vm = decode(multi)
+      assert(vm.exists(v => v.width == 640 && v.height == 360 &&
+          v.n_frames == 125),
+        s"multi-track walk must keep the video track's metadata: $vm")
+    }
   }
 
   test("multimodal features: fixed-dim, deterministic, no driver collect of payloads") {
@@ -559,5 +675,25 @@ class FunctionsSpec extends SparkSpec {
     assert(shorts(2L) == shorts(3L), "identical payloads, identical vectors")
     assert(shorts(2L) != shorts(4L) && shorts(1L) != shorts(2L),
       "distinct short payloads should differ")
+    // an EVEN window count can cancel the ±1 contributions on every
+    // component (each component is 0 w.p. ~1/2 — ~0.4% of 5-byte
+    // payloads). Find the canceling payloads with the kernel's own hash
+    // and assert the fallback keeps them off the zero vector too
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val canceling = for {
+      a <- 0 until 256; b <- 0 until 256
+      h0 = XXH64.hashInt(a << 24, 42L) // window (a,0,0,0)
+      h1 = XXH64.hashInt(b, 42L)       // window (0,0,0,b)
+      if ((h0 ^ h1) & 0xFFL) == 0xFFL  // low 8 bits fully complementary
+    } yield Array[Byte](a.toByte, 0, 0, 0, b.toByte)
+    assert(canceling.nonEmpty, "search should find canceling 5-byte payloads")
+    val zf = Multimodal.extractFeatures(spark, spark.createDataFrame(
+        canceling.take(32).zipWithIndex.map { case (p, i) =>
+          MediaRaw(i.toLong, "bin", p) }))
+      .collect().map(m => m.media_id -> m.feature.toSeq).toMap
+    assert(zf.values.forall(_.exists(_ != 0f)),
+      "window-canceling payloads must fall back off the zero vector")
+    assert(zf.values.toSet.size > 1,
+      "fallback vectors should still distinguish distinct payloads")
   }
 }
