@@ -60,6 +60,32 @@ object SparkEntry {
       ext.Multimodal.videoFrameStats(s,
         ext.Multimodal.validMjpegMedia(s, Tables.documents(s, dir)).toDF())
         .toDF()),
+    // per-SOURCE reputation (the C4/RefinedWeb domain-filter prior):
+    // exact-integer counts per source — docs, length-floor passes,
+    // within-source exact dups, q36-rule contaminated — plus the
+    // closed-form score under binary-exact weights (0.5/0.25/0.25, the
+    // q67 discipline): every rate ONE exact division, so the whole
+    // profile is oracle-hashed. Benchmark = the q36 doc_id<25 slice
+    "q113_source_reputation" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val all = Tables.documents(s, dir)
+      ext.Reputation.sourceReputation(
+        all.filter(col("doc_id") >= 25), all.filter(col("doc_id") < 25))
+    }),
+    // the STORED route: freeze the per-source counts as a CountProfile
+    // artifact, read them back, same closed form — q114 reuses q113's
+    // oracle SQL verbatim (the q79≡q54 stored≡live pattern)
+    "q114_source_reputation_stored" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val all = Tables.documents(s, dir)
+      val path = "/tmp/graft_srcrep_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // fresh artifact per invocation — determinism over append history
+      graft.lineage.AtomicSwap.deleteRecursive(
+        java.nio.file.Paths.get(path))
+      ext.Reputation.writeSourceReputation(
+        all.filter(col("doc_id") >= 25), all.filter(col("doc_id") < 25), path)
+      ext.Reputation.sourceReputationAgainstProfile(s, path)
+    }),
     // north-star embedding inference, EXACT form: the hashed
     // random-projection model's integer components per (doc, dim) —
     // one salted md5 per token supplies 64 ±1 signs; pure integer
@@ -1288,6 +1314,39 @@ object SparkEntry {
       |  n_a, n_b
       |FROM d JOIN na ON d.g = na.g JOIN nb ON d.g = nb.g""".stripMargin
 
+  /** q113's full oracle (also q114's — the stored CountProfile route
+    * must equal the live computation, so the SQL is shared VERBATIM,
+    * the q79≡q54 rule). Contamination restates q36's shingle CTEs with
+    * its `> 4` overlap rule; every count is exact-integer; the score
+    * is three single exact divisions under binary-exact weights
+    * (0.5/0.25/0.25) summed left-to-right — bit-identical IEEE
+    * evaluation in both engines, so the doubles hash. */
+  private val SourceReputationSql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(w) - 2),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      |       FROM tok),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25),
+      |contam AS (SELECT s.doc_id FROM sh s JOIN bench b USING (shingle)
+      |           WHERE s.doc_id >= 25 GROUP BY 1 HAVING COUNT(*) > 4),
+      |agg AS (SELECT d.source,
+      |          CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |          CAST(SUM(CASE WHEN len(string_split(d.text, ' ')) >= 15
+      |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |          CAST(COUNT(*) - COUNT(DISTINCT d.text) AS BIGINT) AS n_dup,
+      |          CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_contaminated
+      |        FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+      |        WHERE d.doc_id >= 25
+      |        GROUP BY 1)
+      |SELECT source, n_docs, n_pass, n_dup, n_contaminated,
+      |  ROUND(0.5 * (n_pass / CAST(n_docs AS DOUBLE))
+      |      + 0.25 * ((n_docs - n_dup) / CAST(n_docs AS DOUBLE))
+      |      + 0.25 * ((n_docs - n_contaminated) / CAST(n_docs AS DOUBLE)), 6)
+      |    AS reputation
+      |FROM agg""".stripMargin
+
   private val DsirSelectSql = DsirImportanceCtes +
     """,
       |keyed AS (SELECT doc_id, ROUND(s, 6) AS importance,
@@ -1745,6 +1804,11 @@ object SparkEntry {
     // 'en' target, Gumbel-perturbed top-100. Both the importance sum
     // and the selection key ROUND 6dp before ranking (cosine rule);
     // hex→BIGINT via the ('0x'||…)::BIGINT cast, md5-uniform u=(pfx+0.5)/2³²
+    "q113_source_reputation" -> SourceReputationSql,
+    // q114 restates q113 EXACTLY: the stored profile holds the same
+    // counts the live aggregate computes, so one SQL text is the
+    // stored≡live equality claim (the q79≡q54 rule)
+    "q114_source_reputation_stored" -> SourceReputationSql,
     "q54_dsir_select" -> DsirSelectSql,
     // q79 restates q54 EXACTLY: the stored target profile holds the
     // en-slice's bucket counts verbatim (long sums are exact), so the

@@ -194,7 +194,31 @@ object Curation {
     *     a q81 scoring run). Docs with under two tokens pass
     *     un-scored. Stateless given the read-only artifact, so the
     *     gate rides [[streamingGates]] into the curation stream. None
-    *     (the default) adds zero plan nodes. */
+    *     (the default) adds zero plan nodes.
+    *   - `sourceReputationPath` (+ `minSourceScore`): per-SOURCE
+    *     reputation gate (the C4/RefinedWeb domain filter,
+    *     [[Reputation.sourceReputationAgainstProfile]] against the
+    *     stored q114 artifact): cut documents whose source's stored
+    *     prior (quality/dup/contamination composite) falls below the
+    *     threshold — a per-source screen ahead of the per-document
+    *     gates. Anti-join against the BELOW-threshold source list
+    *     (artifact-sized, broadcast), so sources ABSENT from the
+    *     profile pass un-scored (the LM/semantic convention). Funnel
+    *     row `03_source_reputation` (sorts between `03_language` and
+    *     `03_word_blocklist`). Needs a `source` column on the input
+    *     docs. Option-paired (never default a binding threshold —
+    *     calibrate from a q113 profile run); None (the default) adds
+    *     zero plan nodes. Read-only artifact ⇒ the gate is
+    *     micro-batch-safe and `EventStream.curationStream` applies it
+    *     after its gates.
+    *   - `sequenceLayout`: how [[writeTokenShards]] lays token ids into
+    *     fixed-length sequences — "concat" (default; GPT-style
+    *     contiguous packing, maximal utilization, docs cross sequence
+    *     boundaries) or "bestfit" (best-fit-decreasing: documents
+    *     placed WHOLE, the "fewer truncations" layout —
+    *     [[TextAnalysis.packTokenSequencesBestFit]]). Both layouts
+    *     keep sequences split-pure and emit the same token multiset
+    *     (conservation is spec-pinned); the manifest verifies either. */
   final case class Config(
       minTokens: Int = 15,
       maxDupTrigramFrac: Double = 0.5,
@@ -244,7 +268,10 @@ object Curation {
       dsirAlpha: Double = 1.0,
       lmProfilePath: Option[String] = None,
       minLmLogProb: Option[Double] = None,
-      lmAlpha: Double = 1.0)
+      lmAlpha: Double = 1.0,
+      sourceReputationPath: Option[String] = None,
+      minSourceScore: Option[Double] = None,
+      sequenceLayout: String = "concat")
 
   /** The valid `repetitionCaps` key shapes: the line-family fields plus
     * `top{n}_char_frac` / `dup{n}_char_frac` for any n ≥ 1 (groups 2/3
@@ -344,6 +371,12 @@ object Curation {
       "lmProfilePath and minLmLogProb enable the LM perplexity gate " +
         "together — calibrate the threshold from a q81 scoring run")
     require(cfg.lmAlpha > 0, "lmAlpha must be positive")
+    require(cfg.sourceReputationPath.isEmpty == cfg.minSourceScore.isEmpty,
+      "sourceReputationPath and minSourceScore enable the source gate " +
+        "together — calibrate the threshold from a q113 profile run")
+    require(Set("concat", "bestfit").contains(cfg.sequenceLayout),
+      s"sequenceLayout must be 'concat' (GPT-style contiguous packing) " +
+        s"or 'bestfit' (truncation-free BFD): ${cfg.sequenceLayout}")
   }
 
   /** Validate the (config, embeddings) pairing once, at every public
@@ -463,6 +496,39 @@ object Curation {
         df.join(flagged, Seq("doc_id"), "left_anti")
       }
     }
+
+  /** Doc ids contributed by sources whose STORED reputation falls
+    * below the configured floor — the cut set of the source gate. The
+    * below-threshold source list is artifact-sized (domain
+    * cardinality) and broadcast; `withSource` supplies the (doc_id,
+    * source) mapping, which the chain's (doc_id, text) frames dropped
+    * at hygiene time. */
+  private def badSourceDocIds(withSource: DataFrame, cfg: Config): DataFrame = {
+    require(withSource.columns.contains("source"),
+      "the source-reputation gate needs a 'source' column on the input docs")
+    val bad = Reputation.sourceReputationAgainstProfile(
+        withSource.sparkSession, cfg.sourceReputationPath.get)
+      .filter(col("reputation") < cfg.minSourceScore.get)
+      .select(col("source"))
+    withSource.select(col("doc_id"), col("source"))
+      .join(broadcast(bad), Seq("source"), "left_semi")
+      .select(col("doc_id"))
+  }
+
+  /** The optional per-SOURCE reputation gate (funnel row
+    * `03_source_reputation`): anti-join `gated` against the doc ids of
+    * below-threshold sources. Sources absent from the stored profile
+    * pass un-scored (the LM/semantic "nothing to score" convention),
+    * which also makes the never-binding form (a floor no stored source
+    * falls under) exactly the identity. `private[graft]` because the
+    * curation stream applies it per micro-batch after its gates — the
+    * artifact is read-only there, so each batch's split is
+    * deterministic (the gate/absorb contract). Identity (zero plan
+    * nodes) when unconfigured. */
+  private[graft] def sourceGate(gated: DataFrame, cfg: Config,
+                                withSource: DataFrame): DataFrame =
+    cfg.sourceReputationPath.fold(gated)(_ =>
+      gated.join(badSourceDocIds(withSource, cfg), Seq("doc_id"), "left_anti"))
 
   /** The optional model-score gate: semi-join on docs whose
     * [[TextAnalysis.qualityModelScores]] under `cfg`'s weights clears
@@ -614,8 +680,10 @@ object Curation {
     requireConfig(cfg)
     requireEmbeddings(cfg, embeddings)
     // 0. optional hygiene rewrite (PII scrub, line dedup) — identity
-    // with default flags
-    curateHygiened(hygiene(docs, cfg), benchmark, cfg, embeddings)
+    // with default flags. `docs` rides along as the (doc_id, source)
+    // carrier for the optional source-reputation gate (hygiene frames
+    // drop the source column).
+    curateHygiened(hygiene(docs, cfg), benchmark, cfg, embeddings, docs)
   }
 
   /** The chain downstream of hygiene; `hygiened` must be the (doc_id,
@@ -654,11 +722,14 @@ object Curation {
 
   private def curateHygiened(hygiened: DataFrame, benchmark: DataFrame,
                              cfg: Config,
-                             embeddings: Option[DataFrame] = None): DataFrame = {
+                             embeddings: Option[DataFrame],
+                             original: DataFrame): DataFrame = {
     // 1+2(+2b). quality + language (+ model) gates: the shared
     // stateless stage — pure column expressions fused by Catalyst into
-    // the document scan, no extra pass over the corpus
-    val gated = streamingGates(hygiened, cfg)
+    // the document scan, no extra pass over the corpus. The optional
+    // source-reputation gate follows, sourcing (doc_id, source) from
+    // the ORIGINAL docs frame (hygiene dropped the source column).
+    val gated = sourceGate(streamingGates(hygiened, cfg), cfg, original)
     // 3a. EXACT dedup first: identical copies collapse via the cheap
     // digest groupBy. Ordering matters at scale — a clique of identical
     // documents shares every LSH banding bucket, so running exact dedup
@@ -799,22 +870,38 @@ object Curation {
       .withColumn("pred_lang", TextAnalysis.langPrediction(col("text")))
       .withColumn("f_lang",
         col("pred_lang").isin(cfg.keepLangs: _*).cast("long"))
+    // 03_source: the optional source-reputation gate gets its own flag
+    // + funnel slot (label sorts between 03_language and
+    // 03_word_blocklist — the cumulative order the counts claim)
+    val flaggedSrc =
+      if (cfg.sourceReputationPath.isDefined) {
+        val bad = badSourceDocIds(docs, cfg).withColumn("_bad", lit(1L))
+        flaggedBase.join(bad, Seq("doc_id"), "left_outer")
+          .withColumn("f_src", col("_bad").isNull.cast("long"))
+          .drop("_bad")
+      } else flaggedBase
     // 03_word: the optional blocklist gate gets its own flag + funnel
-    // slot (label sorts between 03_language and 03a_model_gate)
+    // slot (label sorts between 03_source_reputation and 03a_model_gate)
     val flagged =
       if (cfg.blocklist.nonEmpty)
-        flaggedBase.withColumn("f_block",
+        flaggedSrc.withColumn("f_block",
           (graft.functions.BlocklistHits
             .blocklist_hits(col("text"), cfg.blocklist) <=
             cfg.maxBlocklistHits).cast("long"))
-      else flaggedBase
+      else flaggedSrc
+    val langCum = col("f_tokens") * col("f_rep") * col("f_lang")
+    val srcCum =
+      if (cfg.sourceReputationPath.isDefined) langCum * col("f_src")
+      else langCum
     val aggExprs = Seq(
       sum(col("f_tokens")).as("n_tok"),
       sum(col("f_tokens") * col("f_rep")).as("n_rep"),
-      sum(col("f_tokens") * col("f_rep") * col("f_lang")).as("n_lang")) ++
+      sum(langCum).as("n_lang")) ++
+      (if (cfg.sourceReputationPath.isDefined)
+        Seq(sum(srcCum).as("n_src"))
+      else Nil) ++
       (if (cfg.blocklist.nonEmpty)
-        Seq(sum(col("f_tokens") * col("f_rep") * col("f_lang") *
-          col("f_block")).as("n_block"))
+        Seq(sum(srcCum * col("f_block")).as("n_block"))
       else Nil)
     val g = flagged.agg(count(lit(1)).as("n_input"), aggExprs: _*).head()
     // with a drop-capable hygiene stage in force the gate aggregate no
@@ -822,18 +909,22 @@ object Curation {
     val nInput =
       if (hygieneRows.nonEmpty) docs.select(col("doc_id")).count()
       else g.getLong(0)
-    val gateFilter =
-      if (cfg.blocklist.nonEmpty)
-        col("f_tokens") === 1 && col("f_rep") === 1 && col("f_lang") === 1 &&
-          col("f_block") === 1
-      else
-        col("f_tokens") === 1 && col("f_rep") === 1 && col("f_lang") === 1
+    val gateFilter = Seq(
+      Some(col("f_tokens") === 1 && col("f_rep") === 1 && col("f_lang") === 1),
+      cfg.sourceReputationPath.map(_ => col("f_src") === 1),
+      if (cfg.blocklist.nonEmpty) Some(col("f_block") === 1) else None)
+      .flatten.reduce(_ && _)
+    val srcRows =
+      if (cfg.sourceReputationPath.isDefined)
+        Seq(("03_source_reputation", g.getAs[Long]("n_src")))
+      else Seq.empty[(String, Long)]
     val blockRows =
-      if (cfg.blocklist.nonEmpty) Seq(("03_word_blocklist", g.getLong(4)))
+      if (cfg.blocklist.nonEmpty)
+        Seq(("03_word_blocklist", g.getAs[Long]("n_block")))
       else Seq.empty[(String, Long)]
     val heuristicGated = flagged
       .filter(gateFilter)
-      .drop("f_tokens", "f_rep", "f_lang", "f_block")
+      .drop("f_tokens", "f_rep", "f_lang", "f_src", "f_block")
       .persist()
     heuristicGated.count() // materialize BEFORE the next stage reads it twice
     hygieneCached.foreach(_.unpersist())
@@ -941,7 +1032,8 @@ object Curation {
     (Seq(("00_input", nInput)) ++ hygieneRows ++ Seq(
       ("01_min_tokens", g.getLong(1)),
       ("02_repetition", g.getLong(2)),
-      ("03_language", g.getLong(3))) ++ blockRows ++ modelRows ++ lmRows ++ Seq(
+      ("03_language", g.getLong(3))) ++ srcRows ++ blockRows ++
+      modelRows ++ lmRows ++ Seq(
       ("04_exact_dedup", nExact),
       ("05_near_dedup", nNear)) ++ bloomRows ++ semRows ++ Seq(
       ("06_decontaminated", nClean)) ++ dsirRows ++ sampleRows ++
@@ -1133,7 +1225,7 @@ object Curation {
     val hy = hygiene(docs, cfg)
     val hygiened = if (hygieneActive(cfg)) hy.persist() else hy
     try {
-      val curated = curateHygiened(hygiened, benchmark, cfg, embeddings)
+      val curated = curateHygiened(hygiened, benchmark, cfg, embeddings, docs)
       val withText = hygiened.join(curated, Seq("doc_id"))
       val packed = TextAnalysis.packChunks(
         TextAnalysis.chunkDocuments(withText, chunkTokens, stride),
@@ -1317,15 +1409,20 @@ object Curation {
     val hy = hygiene(docs, cfg)
     val hygiened = if (hygieneActive(cfg)) hy.persist() else hy
     try {
-      val curated = curateHygiened(hygiened, benchmark, cfg, embeddings)
+      val curated = curateHygiened(hygiened, benchmark, cfg, embeddings, docs)
       // tokenize the HYGIENE text of curated docs (the text every gate
       // scored), then re-attach the split assignment
       val withText = hygiened.join(curated, Seq("doc_id"))
       val toks = TextAnalysis.bpeTokenIdsAgainstModel(spark, withText,
           modelPath)
         .join(withText.select(col("doc_id"), col("split")), Seq("doc_id"))
-      TextAnalysis.packTokenSequences(toks, seqLen, shards, eosId,
-          extraKeys = Seq("split"))
+      val packed = cfg.sequenceLayout match {
+        case "bestfit" => TextAnalysis.packTokenSequencesBestFit(toks,
+          seqLen, shards, eosId, extraKeys = Seq("split"))
+        case _ => TextAnalysis.packTokenSequences(toks, seqLen, shards,
+          eosId, extraKeys = Seq("split"))
+      }
+      packed
         .select(col("split"), col("shard"), col("seq_id"),
           col("token_ids"), col("segment_ids"), col("n_tokens"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -1,0 +1,183 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-SOURCE reputation profiles — the C4/RefinedWeb domain-filter
+  * move: aggregate quality, duplication and contamination priors per
+  * `documents.source` into a small stored artifact, then gate
+  * individual documents by their source's prior
+  * (`Curation.Config.sourceReputationPath` + `minSourceScore`). A
+  * low-reputation crawl source poisons every document it contributes,
+  * so the per-document gates get a per-SOURCE prior screen in front of
+  * them — the most common curation lever web-scale pipelines apply
+  * that per-document statistics can't express.
+  *
+  * Reference counterpart: the recurring pipeline gating on persisted
+  * validation state (load_sales_history.py:241-246) — here the
+  * persisted state is the per-source prior and the gate is a document
+  * filter.
+  *
+  * Metrics (every one an exact integer count, so the closed-form score
+  * is a sum of three single exact divisions under binary-exact weights
+  * — the q67 discipline, oracle-hashable at 6dp):
+  *   - n_docs: documents contributed by the source,
+  *   - n_pass: documents clearing the `minTokens` length floor,
+  *   - n_dup:  documents minus distinct texts (exact-duplicate burden
+  *             WITHIN the counted population),
+  *   - n_contaminated: documents whose distinct word n-gram overlap
+  *             with the benchmark exceeds `maxOverlapNgrams` (the q36
+  *             rule).
+  *   reputation = 0.5·pass_rate + 0.25·(1 − dup_rate)
+  *              + 0.25·(1 − contamination_rate), rounded 6dp.
+  *
+  * Storage rides [[CountProfile]] (long-form (source, metric, c) rows):
+  * replay-safety class (1), byte-dedup — counts are mergeable by exact
+  * long sums, tagged stream appends collapse byte-identical rows, and
+  * compaction keeps tags (the pinned CountProfile contract). The one
+  * merge caveat is `dup`: an APPEND counts only its own batch's
+  * internal duplicates (cross-batch duplicates would need the
+  * corpus-sized digest relation, which a source-sized artifact must
+  * not carry), so the stored dup rate is a lower bound under appends —
+  * rebuild at mart cadence for exactness, the Bloom-rebuild
+  * discipline.
+  *
+  * Scale notes (100 TB): the artifact is sources × 4 rows — domain
+  * cardinality, never corpus cardinality. The profile build is one
+  * corpus pass: a map-side-combined groupBy on `source` (the dup count
+  * groups on a 16-byte md5 digest, never shuffling bodies) plus q36's
+  * broadcast contamination semi-join. The gate itself is a semi-join
+  * of doc ids against the below-threshold source list (artifact-sized,
+  * broadcast). */
+object Reputation {
+
+  private val Kind = "sourceReputation"
+
+  /** Per-source exact-integer counts over (doc_id, source, text):
+    * ONE map-side-combined aggregate on `source` (the distinct-text
+    * term rides a 16-byte digest) after the q36 contamination
+    * broadcast semi-join annotates the flagged doc ids. */
+  private def sourceCounts(docs: DataFrame, benchmark: DataFrame,
+                           n: Int, maxOverlapNgrams: Long,
+                           minTokens: Int): DataFrame = {
+    val contam = Dedup.contaminationReport(docs, benchmark, n)
+      .filter(col("n_overlap") > maxOverlapNgrams)
+      .select(col("doc_id"), lit(1L).as("_contam"))
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .join(contam, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((size(split(col("text"), " ")) >= minTokens).cast("long"))
+          .as("n_pass"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup"),
+        sum(coalesce(col("_contam"), lit(0L))).as("n_contaminated"))
+  }
+
+  /** The reputation closed form over the count columns. Weights are
+    * binary-exact (0.5, 0.25, 0.25 — multiples of 1/2²), each rate is
+    * ONE exact-integer double division, and the left-to-right sum is
+    * the same IEEE evaluation DuckDB performs — bit-identical cross
+    * engine, so q113/q114 oracle-hash despite the doubles. */
+  private def withReputation(counts: DataFrame): DataFrame =
+    counts.select(col("source"), col("n_docs"), col("n_pass"),
+      col("n_dup"), col("n_contaminated"),
+      round(
+        lit(0.5) * (col("n_pass") / col("n_docs")) +
+          lit(0.25) * ((col("n_docs") - col("n_dup")) / col("n_docs")) +
+          lit(0.25) *
+            ((col("n_docs") - col("n_contaminated")) / col("n_docs")),
+        6).as("reputation"))
+
+  /** LIVE per-source reputation report (q113): one row per source with
+    * the exact counts and the closed-form score. `docs` needs (doc_id,
+    * source, text); `benchmark` is the eval suite the contamination
+    * term screens against. */
+  def sourceReputation(docs: DataFrame, benchmark: DataFrame,
+                       n: Int = 3, maxOverlapNgrams: Long = 4,
+                       minTokens: Int = 15): DataFrame =
+    withReputation(sourceCounts(docs, benchmark, n, maxOverlapNgrams,
+      minTokens))
+
+  /** Long-form (source, metric, c) rows — the CountProfile layout. */
+  private def toMetricRows(counts: DataFrame): DataFrame =
+    counts.select(col("source"),
+      explode(map(
+        lit("docs"), col("n_docs"),
+        lit("pass"), col("n_pass"),
+        lit("dup"), col("n_dup"),
+        lit("contam"), col("n_contaminated"))).as(Seq("metric", "c")))
+
+  /** Freeze the per-source counts on disk (counts relation + params
+    * sidecar written LAST — the pinned artifact rule). The scoring
+    * parameters (n, maxOverlapNgrams, minTokens) are ARTIFACT-OWNED
+    * (the canonical-index idCol rule): appends and probes read them
+    * back instead of taking arguments that could disagree. */
+  def writeSourceReputation(docs: DataFrame, benchmark: DataFrame,
+                            path: String, n: Int = 3,
+                            maxOverlapNgrams: Long = 4,
+                            minTokens: Int = 15): Unit =
+    CountProfile.write(
+      toMetricRows(sourceCounts(docs, benchmark, n, maxOverlapNgrams,
+        minTokens)),
+      path, Map(
+        "kind" -> Kind,
+        "n" -> n.toString,
+        "maxOverlapNgrams" -> maxOverlapNgrams.toString,
+        "minTokens" -> minTokens.toString))
+
+  /** Validate the sidecar and read back the artifact-owned scoring
+    * parameters. */
+  private def requireReputation(path: String): (Int, Long, Int) = {
+    val side = s"$path/params.properties"
+    Dedup.requireParams(side, Map("kind" -> Kind), "source-reputation")
+    (Dedup.readParam(side, "n", "source-reputation").toInt,
+      Dedup.readParam(side, "maxOverlapNgrams", "source-reputation").toLong,
+      Dedup.readParam(side, "minTokens", "source-reputation").toInt)
+  }
+
+  /** STORED-route reputation (q114): the same closed form over the
+    * artifact's effective summed counts — q114 reuses q113's oracle
+    * SQL verbatim, the cheapest strong stored≡live check (the q79≡q54
+    * pattern). `excludeBatchId` drops a stream batch's own tagged
+    * contribution (the replay-exclusion contract). */
+  def sourceReputationAgainstProfile(spark: SparkSession, path: String,
+                                     excludeBatchId: Option[Long] = None)
+      : DataFrame = {
+    requireReputation(path)
+    val eff = CountProfile.effective(spark, path,
+      "source-reputation profile", "Reputation.compactSourceReputation",
+      excludeBatchId)
+    withReputation(eff.groupBy(col("source")).agg(
+      sum(when(col("metric") === "docs", col("c")).otherwise(0L))
+        .as("n_docs"),
+      sum(when(col("metric") === "pass", col("c")).otherwise(0L))
+        .as("n_pass"),
+      sum(when(col("metric") === "dup", col("c")).otherwise(0L))
+        .as("n_dup"),
+      sum(when(col("metric") === "contam", col("c")).otherwise(0L))
+        .as("n_contaminated")))
+  }
+
+  /** Merge a new batch's counts into the stored profile (docs/pass/
+    * contam sums are exact; `dup` counts only within-batch duplicates —
+    * see the object scaladoc caveat). Parameters come from the sidecar;
+    * a rejected append mutates nothing. `batchId` tags the rows for
+    * replay exclusion (the CountProfile contract). */
+  def appendSourceReputation(docs: DataFrame, benchmark: DataFrame,
+                             path: String,
+                             batchId: Option[Long] = None): Unit = {
+    val (n, maxO, minT) = requireReputation(path)
+    CountProfile.append(
+      toMetricRows(sourceCounts(docs, benchmark, n, maxO, minT)),
+      path, batchId)
+  }
+
+  /** Fold appended count rows (stage-then-swap; tags kept — see
+    * [[CountProfile.compact]]). Results unchanged, scan cost stops
+    * growing with append history. */
+  def compactSourceReputation(spark: SparkSession, path: String): Unit = {
+    requireReputation(path)
+    CountProfile.compact(spark, path)
+  }
+}

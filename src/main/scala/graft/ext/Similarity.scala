@@ -320,6 +320,77 @@ object Similarity {
     }
   }
 
+  /** Garbage-collect a content-fingerprint cache root (`ivf_*`,
+    * `bpe*_*`, `semantic*_*`, profile ensures, …): fingerprinted
+    * entries accumulate one directory per SOURCE VERSION ever seen, so
+    * every fixture regeneration strands the previous variant forever
+    * without eviction. Deletes every entry directory whose path is
+    * absent from `keep` (the live set — exactly the paths the ensure*
+    * calls returned this cycle) AND older than `minAgeMillis` (0 =
+    * keep-set only; a positive floor shields entries a concurrent
+    * ensure may have just adopted whose path the sweeper's keep-set
+    * predates). Crashed `*.staging_<pid>` leftovers are always swept.
+    * Returns the deleted paths.
+    *
+    * Concurrency: each deletion runs under [[withExclusiveLock]] on
+    * its entry — the same ladder builders hold — so a sweep can never
+    * remove a directory mid-build (it blocks until the builder
+    * adopts, and an adopted entry is then protected by keep/minAge).
+    * Lock files themselves are deliberately NOT deleted: unlinking a
+    * lock file a blocked builder is about to acquire would let a
+    * third process lock a fresh inode at the same path — two holders
+    * of "the" lock. They are zero-byte; the stale DATA is what
+    * matters. Sweeping is maintenance (run it at the cadence the
+    * reference rebuilds its mart, with the keep-set of that cycle's
+    * ensures); probers of a swept entry re-ensure on next use. */
+  def sweepCacheRoot(cacheRoot: String, keep: Set[String],
+                     minAgeMillis: Long = 0L): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(cacheRoot)
+    if (!Files.exists(root)) return Nil
+    val keepNames = keep.map(p => Paths.get(p).getFileName.toString)
+    val now = System.currentTimeMillis() // maintenance op — not a query path
+    val children = {
+      val s = Files.list(root)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    children.filter(Files.isDirectory(_)).foreach { dir =>
+      val name = dir.getFileName.toString
+      val stagingOwner = name.indexOf(".staging_") match {
+        case -1 => None
+        case i => Some(dir.resolveSibling(name.substring(0, i)))
+      }
+      stagingOwner match {
+        case Some(owner) =>
+          // under the owner's lock no build is in flight for it, so any
+          // staging dir is a crashed leftover
+          withExclusiveLock(owner) {
+            if (Files.exists(dir)) {
+              graft.lineage.AtomicSwap.deleteRecursive(dir)
+              deleted += dir.toString
+            }
+          }
+        case None if !keepNames.contains(name) =>
+          val fresh = minAgeMillis > 0L &&
+            Files.getLastModifiedTime(dir).toMillis > now - minAgeMillis
+          if (!fresh) withExclusiveLock(dir) {
+            // re-check age under the lock: a builder we blocked on may
+            // have just adopted this very entry
+            val freshNow = minAgeMillis > 0L && Files.exists(dir) &&
+              Files.getLastModifiedTime(dir).toMillis > now - minAgeMillis
+            if (Files.exists(dir) && !freshNow) {
+              graft.lineage.AtomicSwap.deleteRecursive(dir)
+              deleted += dir.toString
+            }
+          }
+        case None => () // live entry
+      }
+    }
+    deleted.toSeq
+  }
+
   /** Append new vectors to a written IVF index: assign them to the
     * EXISTING trained centroids (the quantizer is not retrained — the
     * standard serving-index behavior; rebuild via `writeIvfIndex` when

@@ -511,8 +511,14 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val gated = graft.ext.Curation.streamingGates(
-            graft.ext.Curation.statelessHygiene(batch, cfg), cfg)
+          // the optional source-reputation gate follows the stateless
+          // gates, sourcing (doc_id, source) from the raw batch (the
+          // hygiene frame dropped the source column); read-only
+          // artifact ⇒ deterministic per batch, no tags needed
+          val gated = graft.ext.Curation.sourceGate(
+            graft.ext.Curation.streamingGates(
+              graft.ext.Curation.statelessHygiene(batch, cfg), cfg),
+            cfg, batch)
           graft.ext.Dedup.ingestDedupBatch(batch.sparkSession, gated,
             minhashIndexPath, batchId = Some(batchId),
             accept = { survivors =>

@@ -852,6 +852,81 @@ class CurationSpec extends SparkSpec {
       cfg.copy(minLmLogProb = Some(-1.0))))
   }
 
+  test("source-reputation gate slots into the chain against the stored profile") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_srcrep").toString
+    // history: the fixture corpus plus a disreputable source whose past
+    // contributions are short duplicated junk — its stored prior must
+    // land strictly below every fixture source's
+    val spamHistory = (0 until 20).map(i =>
+        (9000L + i, "junk junk junk", "en", "spamnet", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Reputation.writeSourceReputation(
+      corpus.unionByName(spamHistory), benchmark, s"$dir/rep")
+    val reps = Reputation.sourceReputationAgainstProfile(spark, s"$dir/rep")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("reputation"))
+      .toMap
+    val others = (reps - "spamnet").values
+    assert(others.nonEmpty && reps("spamnet") < others.min,
+      s"crafted spamnet must score strictly worst: $reps")
+    val thr = (reps("spamnet") + others.min) / 2
+    // never-binding floor (no stored source scores below 0) ≡ default
+    val base = Curation.curate(corpus, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    val never = Curation.curate(corpus, benchmark,
+        cfg.copy(sourceReputationPath = Some(s"$dir/rep"),
+          minSourceScore = Some(0.0)))
+      .collect().map(_.toSeq).toSet
+    assert(never == base,
+      "a never-binding source gate must reproduce the default chain")
+    // gate semantics directly: bad-source docs drop, docs from sources
+    // ABSENT from the profile pass un-scored (the LM/semantic
+    // "nothing to score" convention)
+    val gateCfg = cfg.copy(sourceReputationPath = Some(s"$dir/rep"),
+      minSourceScore = Some(thr))
+    val probe = Seq((1L, "t"), (2L, "t"), (3L, "t")).toDF("doc_id", "text")
+    val srcMap = Seq((1L, "spamnet"), (2L, corpus.select("source")
+        .head().getString(0)), (3L, "never_profiled_source"))
+      .toDF("doc_id", "source")
+    val keptIds = Curation.sourceGate(probe, gateCfg, srcMap)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds == Set(2L, 3L),
+      s"spamnet doc must drop, known-good and unknown sources pass: $keptIds")
+    // chain commutation: a planted spamnet doc (whatever its per-doc
+    // quality) is cut by the prior, so curating WITH it under the gate
+    // equals curating WITHOUT it — the per-source screen composes with
+    // the per-doc stages
+    val planted = corpus.limit(1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), lit("spamnet").as("source"), col("n_chars"))
+    val union = corpus.unionByName(planted)
+    val gatedUnion = Curation.curate(union, benchmark, gateCfg)
+      .collect().map(_.toSeq).toSet
+    assert(gatedUnion == Curation.curate(corpus, benchmark, gateCfg)
+      .collect().map(_.toSeq).toSet)
+    // funnel: the 03_source row appears in chain order (between
+    // 03_language and the model slot), counts stay monotone, final row
+    // still equals curate()'s output
+    val funnel = Curation.curationFunnel(union, benchmark, gateCfg)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val stages = funnel.map(_._1).toSeq
+    assert(stages.contains("03_source_reputation"), stages.mkString(", "))
+    assert(stages.sorted == stages,
+      s"stage labels must sort into chain order: $stages")
+    funnel.sliding(2).foreach { case Array((sa, na), (sb, nb)) =>
+      assert(nb <= na, s"funnel not monotone: $sa=$na -> $sb=$nb") }
+    assert(funnel.last._2 ==
+      Curation.curate(union, benchmark, gateCfg).count())
+    // config guards: each knob requires the other
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(sourceReputationPath = Some(s"$dir/rep"))))
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(minSourceScore = Some(0.5))))
+    // a configured gate over docs with no source column fails loudly
+    intercept[IllegalArgumentException](Curation.curate(
+      corpus.select($"doc_id", $"text"), benchmark, gateCfg))
+  }
+
   test("model-score gate slots into the chain, identity when never binding") {
     val w = TextAnalysis.DefaultQualityWeights
     // a never-binding threshold leaves the chain exactly at its default
@@ -933,6 +1008,56 @@ class CurationSpec extends SparkSpec {
     val after = Curation.verifyTokenShards(spark, s"$dir/shards", mf)
       .collect().map(_.getString(2))
     assert(after.contains("missing"), after.mkString(","))
+  }
+
+  test("sequenceLayout=bestfit lands whole-doc sequences with the same tokens") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tok_bestfit").toString
+    val model = s"$dir/model"
+    TextAnalysis.writeBpeModel(
+      TextAnalysis.learnBpeMerges(corpus, nMerges = 8), model)
+    TextAnalysis.writeBpeVocab(corpus, model)
+    Curation.writeTokenShards(corpus, benchmark, s"$dir/concat", model,
+      cfg, seqLen = 64, shards = 2)
+    Curation.writeTokenShards(corpus, benchmark, s"$dir/bestfit", model,
+      cfg.copy(sequenceLayout = "bestfit"), seqLen = 64, shards = 2)
+    val concat = spark.read.parquet(s"$dir/concat").cache()
+    val bestfit = spark.read.parquet(s"$dir/bestfit").cache()
+    assert(concat.columns.toSet == bestfit.columns.toSet,
+      "both layouts share one schema")
+    // token CONSERVATION across the switch: the same token multiset,
+    // just laid out differently
+    def totalTokens(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum($"n_tokens")).head.getLong(0)
+    assert(totalTokens(concat) == totalTokens(bestfit))
+    // best-fit never overfills and sequences stay split-pure
+    assert(bestfit.filter($"n_tokens" > 64).count() == 0)
+    // the truncation-free claim: packing itself never splits a doc —
+    // only the oversize PRE-CUT does, deterministically. Each doc with
+    // n tokens (+1 eos) contributes exactly ⌈(n+1)/seqLen⌉ =
+    // (n div 64) + 1 whole-packed pieces, and segment_ids number the
+    // pieces within each sequence, so the distinct-segment total must
+    // equal that closed form (concat-cut, by contrast, fragments ~1
+    // doc per sequence boundary on top of it)
+    val curatedIds = Curation.curate(corpus, benchmark, cfg)
+      .select($"doc_id")
+    val expPieces = TextAnalysis.bpeTokenIdsAgainstModel(spark, corpus, model)
+      .join(curatedIds, Seq("doc_id"), "left_semi")
+      .selectExpr("(n_bpe_tokens div 64) + 1 AS p")
+      .agg(sum($"p")).head.getLong(0)
+    val pieces = bestfit.select(explode(array_distinct($"segment_ids")))
+      .count()
+    assert(pieces == expPieces,
+      s"best-fit must place each (pre-cut) piece whole: $pieces vs $expPieces")
+    // the manifest verifies the bestfit layout exactly like concat
+    val ok = Curation.verifyTokenShards(spark, s"$dir/bestfit",
+        Curation.defaultManifestPath(s"$dir/bestfit"))
+      .collect().map(_.getString(2))
+    assert(ok.nonEmpty && ok.forall(_ == "ok"), ok.mkString(","))
+    concat.unpersist(); bestfit.unpersist()
+    // the knob is validated up front
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(sequenceLayout = "zigzag")))
   }
 
   test("token budget counts MODEL tokens when tokenCountModelPath is set") {

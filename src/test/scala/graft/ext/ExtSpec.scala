@@ -345,6 +345,71 @@ class ExtSpec extends SparkSpec {
       embSrc.filter($"vec_id" < 2), k = 3).count() > 0)
   }
 
+  test("cache-root sweep: stale variants GC'd, fresh/live/staging handled, re-ensure clean") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_cache_sweep")
+    val src = tmp.resolve("emb.parquet")
+    Files.copy(Paths.get(sf("sf0.001"), "embeddings.parquet"), src)
+    val cacheRoot = tmp.resolve("cache").toString
+    val embSrc = spark.read.parquet(src.toString).drop("label")
+    val idx1 = Similarity.ensureIvfIndex(embSrc, cacheRoot, src.toString)
+    // regenerate the source: the ensure strands variant 1 forever —
+    // exactly the sprawl the sweep exists to collect
+    Files.setLastModifiedTime(src, FileTime.fromMillis(
+      Files.getLastModifiedTime(src).toMillis + 73000))
+    val idx2 = Similarity.ensureIvfIndex(embSrc, cacheRoot, src.toString)
+    assert(idx2 != idx1)
+    val crashed = Paths.get(cacheRoot, "ivf_deadbeef.staging_99999")
+    Files.createDirectories(crashed)
+    // the age floor shields every young entry even with an empty
+    // keep-set (the concurrent-ensure guard); crashed staging always goes
+    val first = Similarity.sweepCacheRoot(cacheRoot, Set.empty,
+      minAgeMillis = 3600000L)
+    assert(first.forall(_.contains(".staging_")), first.mkString(","))
+    assert(!Files.exists(crashed))
+    assert(Files.exists(Paths.get(idx1)) && Files.exists(Paths.get(idx2)))
+    // keep-set sweep: the regenerated-source cycle leaves EXACTLY one
+    // live variant, still complete and probeable
+    val deleted = Similarity.sweepCacheRoot(cacheRoot, Set(idx2))
+    assert(deleted.contains(idx1) && !Files.exists(Paths.get(idx1)))
+    val live = {
+      val s = Files.list(Paths.get(cacheRoot))
+      try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("ivf_")).map(_.toString).toList
+      finally s.close()
+    }
+    assert(live == List(idx2), s"exactly one live variant: $live")
+    assert(Files.exists(Paths.get(idx2, "centroids")))
+    assert(Similarity.probeIvfIndex(spark, idx2,
+      embSrc.filter($"vec_id" < 2), k = 3).count() > 0)
+    // a swept fingerprint re-ensures cleanly (lock files intentionally
+    // survive the sweep)
+    Files.setLastModifiedTime(src, FileTime.fromMillis(
+      Files.getLastModifiedTime(src).toMillis + 73000))
+    val idx3 = Similarity.ensureIvfIndex(embSrc, cacheRoot, src.toString)
+    assert(Files.exists(Paths.get(idx3, "centroids")))
+    // concurrent ensure + sweep under the age floor: neither throws,
+    // the freshly adopted entry survives and probes
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Files.setLastModifiedTime(src, FileTime.fromMillis(
+      Files.getLastModifiedTime(src).toMillis + 73000))
+    val racedEnsure = Future {
+      Similarity.ensureIvfIndex(embSrc, cacheRoot, src.toString) }
+    val racedSweep = Future {
+      Similarity.sweepCacheRoot(cacheRoot, Set.empty,
+        minAgeMillis = 3600000L) }
+    val idx4 = Await.result(racedEnsure, 5.minutes)
+    Await.result(racedSweep, 5.minutes)
+    assert(Files.exists(Paths.get(idx4, "centroids")),
+      "a sweep must never remove an entry a concurrent ensure adopted")
+    assert(Similarity.probeIvfIndex(spark, idx4,
+      embSrc.filter($"vec_id" < 2), k = 3).count() > 0)
+  }
+
   test("repetition score: duplicate trigram fraction on a known loop") {
     // "a b a b a b" → 6 tokens, 4 trigrams ("a b a" ×2, "b a b" ×2),
     // 2 distinct → dup fraction 0.5; a no-repeat doc scores 0

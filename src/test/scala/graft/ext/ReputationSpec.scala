@@ -1,0 +1,98 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Contracts of the per-source reputation profile: hand-computed exact
+  * counts and closed-form score, stored ≡ live, append merge semantics
+  * (including the documented within-batch dup lower bound), replay
+  * exclusion, and sidecar validation. */
+class ReputationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // crafted corpus: "quality" texts are 16 tokens (clear the 15-token
+  // floor); the contaminated doc embeds the benchmark's 8-token run
+  // (6 distinct shared trigrams > the maxOverlapNgrams=4 rule)
+  private def longText(tag: String): String =
+    (1 to 16).map(i => s"$tag$i").mkString(" ")
+  private val benchRun = "alpha beta gamma delta epsilon zeta eta theta"
+  private lazy val bench =
+    Seq((1L, benchRun, "bench")).toDF("doc_id", "text", "source")
+  private lazy val corpus = Seq(
+    (100L, longText("x"), "a"),           // quality
+    (101L, longText("x"), "a"),           // exact dup of 100
+    (102L, "way too short", "a"),         // fails the token floor
+    (103L, "p1 p2 p3 p4 p5 p6 p7 p8 " + benchRun, "a"), // contaminated
+    (200L, longText("y"), "b"))           // clean source
+    .toDF("doc_id", "text", "source")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+
+  test("live reputation: hand-computed exact counts and closed-form score") {
+    val got = rows(Reputation.sourceReputation(corpus, bench))
+    // a: 4 docs, 3 pass the floor, 1 dup, 1 contaminated →
+    //    0.5·(3/4) + 0.25·(3/4) + 0.25·(3/4) = 0.75
+    // b: 1 doc, clean → 1.0
+    assert(got == Set(
+      ("a", 4L, 3L, 1L, 1L, 0.75),
+      ("b", 1L, 1L, 0L, 0L, 1.0)), s"got $got")
+  }
+
+  test("stored profile route equals the live computation exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Reputation.writeSourceReputation(corpus, bench, s"$dir/rep")
+    assert(rows(Reputation.sourceReputationAgainstProfile(spark, s"$dir/rep"))
+      == rows(Reputation.sourceReputation(corpus, bench)))
+  }
+
+  test("appends merge docs/pass/contam exactly; dup is the documented lower bound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_app").toString
+    val batch1 = corpus.filter($"doc_id".isin(100L, 102L))
+    val batch2 = corpus.filter($"doc_id".isin(101L, 103L, 200L))
+    Reputation.writeSourceReputation(batch1, bench, s"$dir/rep")
+    Reputation.appendSourceReputation(batch2, bench, s"$dir/rep",
+      batchId = Some(7L))
+    val merged = rows(
+      Reputation.sourceReputationAgainstProfile(spark, s"$dir/rep"))
+    // docs/pass/contam sum exactly across batches. The 100↔101 dup
+    // straddles the batch boundary, so the stored dup count is 0 — the
+    // documented lower bound (cross-batch dups would need a
+    // corpus-sized digest relation) → a = 0.5·(3/4) + 0.25·1 +
+    // 0.25·(3/4) = 0.8125
+    assert(merged == Set(
+      ("a", 4L, 3L, 0L, 1L, 0.8125),
+      ("b", 1L, 1L, 0L, 0L, 1.0)), s"got $merged")
+    // replay exclusion: dropping the batch's own tag reproduces the
+    // pre-append profile exactly
+    assert(rows(Reputation.sourceReputationAgainstProfile(spark,
+        s"$dir/rep", excludeBatchId = Some(7L)))
+      == rows(Reputation.sourceReputation(batch1, bench)))
+    // a REBUILD restores the exact dup count (the Bloom-rebuild
+    // discipline for a sketch that can't unlearn)
+    Reputation.writeSourceReputation(corpus, bench, s"$dir/rep")
+    assert(rows(Reputation.sourceReputationAgainstProfile(spark, s"$dir/rep"))
+      .contains(("a", 4L, 3L, 1L, 1L, 0.75)))
+    // compaction preserves results
+    Reputation.appendSourceReputation(batch2, bench, s"$dir/rep")
+    val before = rows(
+      Reputation.sourceReputationAgainstProfile(spark, s"$dir/rep"))
+    Reputation.compactSourceReputation(spark, s"$dir/rep")
+    assert(rows(Reputation.sourceReputationAgainstProfile(spark, s"$dir/rep"))
+      == before)
+  }
+
+  test("sidecar validation: wrong kind and missing artifacts fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_side").toString
+    // a different CountProfile kind at the path must be refused
+    TextAnalysis.writeCorpusProfile(
+      corpus.select($"doc_id", $"text"), s"$dir/other")
+    intercept[IllegalArgumentException](
+      Reputation.sourceReputationAgainstProfile(spark, s"$dir/other"))
+    intercept[IllegalArgumentException](
+      Reputation.appendSourceReputation(corpus, bench, s"$dir/other"))
+    // missing artifact
+    intercept[IllegalArgumentException](
+      Reputation.sourceReputationAgainstProfile(spark, s"$dir/absent"))
+  }
+}

@@ -21,6 +21,8 @@ class EventStreamSpec extends SparkSpec {
 
   case class IngestDoc(doc_id: Long, text: String)
 
+  case class SourcedDoc(doc_id: Long, text: String, source: String)
+
   case class IngestVec(vec_id: Long, embedding: Array[Float])
 
   case class IngestUser(event_type: String, user_id: Long)
@@ -242,6 +244,43 @@ class EventStreamSpec extends SparkSpec {
     val accepted = spark.read.parquet(s"$dir/accepted")
       .select("doc_id").as[Long].collect().toSet
     assert(accepted == Set(13L, 22L), s"got $accepted")
+  }
+
+  test("curation stream cuts low-reputation sources via the stored profile") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_srcgate").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeMinhashIndex(corpus, s"$dir/idx")
+    val bench = Seq(
+      (1L, "benchmark secret question about ancient rome history facts"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeBloomIndex(bench, s"$dir/sketch")
+    // stored priors: spamnet's history is short duplicated junk
+    // (reputation 0.25·(1/2) + 0.25 = 0.375); goodsrc is clean (1.0)
+    graft.ext.Reputation.writeSourceReputation(Seq(
+        (1L, "junk junk junk", "spamnet"),
+        (2L, "junk junk junk", "spamnet"),
+        (3L, (1 to 16).map(i => s"w$i").mkString(" "), "goodsrc"))
+      .toDF("doc_id", "text", "source"), bench, s"$dir/rep")
+    val cfg = graft.ext.Curation.Config(minTokens = 5,
+      sourceReputationPath = Some(s"$dir/rep"), minSourceScore = Some(0.5))
+    val mem = MemoryStream[SourcedDoc]
+    // a per-doc-fine document from the bad source must drop on its
+    // source's PRIOR; an unknown source passes un-scored
+    mem.addData(
+      SourcedDoc(10L, "a perfectly clean and useful training document about cooking pasta", "goodsrc"),
+      SourcedDoc(11L, "an equally fine document from a disreputable source about knitting", "spamnet"),
+      SourcedDoc(12L, "a document from a source the profile never saw about astronomy", "newsrc"))
+    val q = EventStream.curationStream(mem.toDF(), s"$dir/idx",
+      s"$dir/sketch", s"$dir/accepted", s"$dir/ckpt", cfg).start()
+    q.awaitTermination()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted == Set(10L, 12L),
+      s"spamnet doc must drop on its prior, unknown source passes: $accepted")
   }
 
   test("curation stream cuts bag-of-words leaks via the derived-text semantic gate") {
