@@ -72,6 +72,37 @@ object SparkEntry {
       ext.Reputation.sourceReputation(
         all.filter(col("doc_id") >= 25), all.filter(col("doc_id") < 25))
     }),
+    // ANN evaluation harness: per-query recall@10 of the LSH-bucketed
+    // approximate ranking vs the exact brute-force one — the "is the
+    // banding budget good enough" answer as a first-class op.
+    // Deliberately pays BOTH rankings (the q61 discipline: the exact
+    // cost IS the measurement). Rows-only (LSH isn't SQL-expressible);
+    // ExtSpec pins self-recall 1.0, table monotonicity, planted-copy
+    // recall
+    "q115_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      ext.Similarity.recallAtK(
+        ext.Similarity.lshTopK(emb, nQueries = 20, k = 10),
+        ext.Similarity.bruteForceTopK(emb, nQueries = 20, k = 10),
+        k = 10)
+    }),
+    // vocabulary coverage curve: rank words by corpus frequency and
+    // report cumulative token share — "what vocab size covers X% of
+    // tokens", the question a tokenizer design starts from. Exact long
+    // cumulatives via the shared two-phase prefix sum; oracle-hashed
+    "q116_word_coverage" -> ((s, dir) =>
+      ext.TextAnalysis.wordCoverageCurve(Tables.documents(s, dir))),
+    // distribution-shift early warning: PSI over the exact power-of-two
+    // length buckets between two corpus slices — the cheapest drift
+    // signal a recurring ingest has. Exact-integer buckets (bit-length
+    // rule), single exact divisions, ln parity (the q54/q56 precedent)
+    "q117_length_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.TextAnalysis.lengthDistributionShift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
     // the STORED route: freeze the per-source counts as a CountProfile
     // artifact, read them back, same closed form — q114 reuses q113's
     // oracle SQL verbatim (the q79≡q54 stored≡live pattern)
@@ -1804,6 +1835,54 @@ object SparkEntry {
     // 'en' target, Gumbel-perturbed top-100. Both the importance sum
     // and the selection key ROUND 6dp before ranking (cosine rule);
     // hex→BIGINT via the ('0x'||…)::BIGINT cast, md5-uniform u=(pfx+0.5)/2³²
+    // rank and cumulative restate the two-phase prefix sums as plain
+    // windows (DuckDB's single-node window is exact; the Spark side
+    // avoids it only for scale); binary string order ties match (the
+    // q56 term-tie precedent)
+    "q116_word_coverage" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |      FROM w WHERE len(word) > 0 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS total FROM c),
+        |cum AS (SELECT word, n_occurrences,
+        |          CAST(row_number() OVER
+        |            (ORDER BY n_occurrences DESC, word) AS BIGINT) AS vocab_rank,
+        |          CAST(SUM(n_occurrences) OVER
+        |            (ORDER BY n_occurrences DESC, word
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum_occurrences
+        |        FROM c)
+        |SELECT vocab_rank, word, n_occurrences, cum_occurrences,
+        |  ROUND(cum_occurrences / CAST(t.total AS DOUBLE), 6) AS coverage
+        |FROM cum CROSS JOIN t""".stripMargin,
+    // shares computed from the ROUNDED 6dp values on both sides (the
+    // psi gate and term must read identical inputs); + 0.0 folds a
+    // rounded-to-zero negative term to plain 0.0
+    "q117_length_drift" ->
+      """WITH ha AS (SELECT CAST(length(bin(CAST(len(string_split(text, ' '))
+        |              AS BIGINT))) AS BIGINT) AS bucket,
+        |              CAST(COUNT(*) AS BIGINT) AS n_a
+        |            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |hb AS (SELECT CAST(length(bin(CAST(len(string_split(text, ' '))
+        |         AS BIGINT))) AS BIGINT) AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS n_b
+        |       FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents
+        |       WHERE doc_id % 2 = 0),
+        |tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents
+        |       WHERE doc_id % 2 = 1),
+        |s AS (SELECT bucket,
+        |        CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+        |        CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+        |        ROUND(COALESCE(n_a, 0) / CAST(ta.t AS DOUBLE), 6) AS share_a,
+        |        ROUND(COALESCE(n_b, 0) / CAST(tb.t AS DOUBLE), 6) AS share_b
+        |      FROM ha FULL OUTER JOIN hb USING (bucket)
+        |      CROSS JOIN ta CROSS JOIN tb)
+        |SELECT bucket, n_a, n_b, share_a, share_b,
+        |  CASE WHEN share_a > 0 AND share_b > 0
+        |       THEN ROUND((share_a - share_b) * ln(share_a / share_b), 6) + 0.0
+        |  END AS psi_term
+        |FROM s""".stripMargin,
     "q113_source_reputation" -> SourceReputationSql,
     // q114 restates q113 EXACTLY: the stored profile holds the same
     // counts the live aggregate computes, so one SQL text is the

@@ -19,6 +19,57 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** EXCLUSIVE running long-sums over a GLOBAL ordering without a
+    * global window: range-partition by `order` (ascending partition
+    * ids ⇔ ascending ranges — RangePartitioner's contract), run the
+    * per-partition running sums in parallel, and close the gaps with a
+    * partition-count-sized offset map — the two-phase prefix
+    * discipline, factored so every globally-ordered cumulative
+    * (`TextAnalysis.scoreAuc`'s negatives-below, the vocabulary
+    * coverage curve's cumulative counts and rank) shares one audited
+    * implementation instead of a single-reducer `Window.orderBy`.
+    * Adds, for each `(value, name)`, a column `name` = the sum of
+    * `value` over all rows strictly BEFORE the row in the order. All
+    * exact long arithmetic, so partition-boundary placement can never
+    * change a result; the one materialization (localCheckpoint) pins
+    * the partition ids for the offset collect and the windowed read. */
+  private[ext] def exclusiveRunningSums(df: DataFrame, order: Seq[Column],
+                                        values: Seq[(Column, String)])
+      : DataFrame = {
+    require(values.nonEmpty, "need at least one value column")
+    val spark = df.sparkSession
+    val nParts = math.max(1,
+      spark.sessionState.conf.numShufflePartitions)
+    val tagged = values.zipWithIndex.foldLeft(df) {
+      case (d, ((v, _), i)) => d.withColumn(s"_prefix_v$i", v)
+    }
+    val ranged = tagged.repartitionByRange(nParts, order: _*)
+      .withColumn("_prefix_pid", spark_partition_id())
+      .localCheckpoint()
+    val partials = ranged.groupBy(col("_prefix_pid"))
+      .agg(sum(col("_prefix_v0")).as("_p0"),
+        values.indices.drop(1).map(i =>
+          sum(col(s"_prefix_v$i")).as(s"_p$i")): _*)
+      .collect()
+      .map(r => r.getInt(0) -> values.indices.map(i =>
+        if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
+      .sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_prefix_pid")).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    values.zipWithIndex.foldLeft(ranged) {
+      case (d, ((_, name), i)) =>
+        val offsets: Map[Int, Long] = partials.map(_._1)
+          .zip(partials.map(_._2(i)).scanLeft(0L)(_ + _).init).toMap
+        val offCol =
+          if (offsets.isEmpty) lit(0L)
+          else coalesce(element_at(typedLit(offsets), col("_prefix_pid")),
+            lit(0L))
+        d.withColumn(name,
+          offCol + coalesce(sum(col(s"_prefix_v$i")).over(w), lit(0L)))
+    }.drop("_prefix_pid" +: values.indices.map(i => s"_prefix_v$i"): _*)
+  }
+
   /** Hash bucket in [0, buckets) from an id column. */
   def hashBucket(id: Column, buckets: Int = 100): Column =
     pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),

@@ -79,6 +79,38 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Evaluation harness for the approximate-NN stack: per-query
+    * recall@k of an approximate ranking against the exact brute-force
+    * one — the "is my banding / probe budget good enough" answer as a
+    * first-class op rather than a buried spec assertion. Both inputs
+    * share the (query_id, rank, neighbor_id) contract every top-k op
+    * here emits ([[bruteForceTopK]] / [[lshTopK]] / `ivfTopK` /
+    * [[probeIvfIndex]]); recall is measured against the exact side's
+    * DETERMINISTIC top-k set (6dp cosine, neighbor-id tie-break — the
+    * standard eval caveat: boundary ties resolve the same way on both
+    * sides because both rankings use the same tie rule). Output:
+    * (query_id, n_exact, n_hit, recall), one exact division, 6dp.
+    * Monotonicity (more LSH tables / probes ⇒ per-query recall never
+    * drops) is spec-pinned — a displaced true neighbor can only be
+    * displaced by another true neighbor.
+    *
+    * Scale: both sides are (queries × k)-sized — the expensive part is
+    * producing them, not this join; the compare is a broadcast-scale
+    * equi-join + one map-side-combined aggregate. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("_hit", lit(1L))
+    e.join(a, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+  }
+
   /** Trained IVF coarse quantizer: fixed-seed Lloyd's k-means over the
     * raw embedding column — no `label` column required, so any corpus can
     * be indexed. Deterministic in practice: seeding takes the `nCells`

@@ -120,41 +120,19 @@ object TextAnalysis {
     * anyway. */
   def scoreAuc(scored: DataFrame, scoreCol: String,
                labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = scored
       .select(col(scoreCol).cast("double").as("s"),
         col(labelCol).cast("long").as("y"))
       .groupBy(col("s"))
       .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("ng"))
-    // TWO-PHASE prefix sum for negBelow: a bare Window.orderBy(s) would
-    // move EVERY distinct score through ONE reducer — a linear model
-    // over hashed counts has near-doc-count distinct scores, so the
-    // single-partition window that is fine on a labeled eval set
-    // becomes the bottleneck the moment this points at corpus-scale
-    // scores. Instead: range-partition the distinct scores (ascending
-    // ranges ⇔ ascending partition ids — RangePartitioner's contract),
-    // run the running sum per partition IN PARALLEL, and close the gap
-    // with a partition-count-sized offset map (the mixtureAllocation
-    // sorted-prefix discipline). All longs, so boundary placement can
-    // never change the result; localCheckpoint pins one materialization
-    // for the two consumers (offset collect + the windowed rows).
-    val nParts = math.max(1, g.sparkSession.sessionState.conf.numShufflePartitions)
-    val ranged = g.repartitionByRange(nParts, col("s"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val partNg = ranged.groupBy(col("pid"))
-      .agg(sum(col("ng")).as("png"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets: Map[Int, Long] = partNg.map(_._1)
-      .zip(partNg.map(_._2).scanLeft(0L)(_ + _).init).toMap
-    val below = Window.partitionBy(col("pid")).orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offCol =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(element_at(typedLit(offsets), col("pid")), lit(0L))
-    ranged
-      .withColumn("cb",
-        offCol + coalesce(sum(col("ng")).over(below), lit(0L)))
+    // negBelow via the shared TWO-PHASE prefix sum: a bare
+    // Window.orderBy(s) would move EVERY distinct score through ONE
+    // reducer — a linear model over hashed counts has near-doc-count
+    // distinct scores, so the single-partition window that is fine on
+    // a labeled eval set becomes the bottleneck the moment this points
+    // at corpus-scale scores.
+    Sampling.exclusiveRunningSums(g, Seq(col("s")),
+        Seq((col("ng"), "cb")))
       .agg(sum(col("p") * (lit(2L) * col("cb") + col("ng"))).as("num"),
         sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"))
       .select(
@@ -1067,6 +1045,88 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("min_tokens",
         pow(lit(2.0), col("bucket") - 1).cast("long"))
+
+  /** Vocabulary COVERAGE CURVE over whitespace words: rank the corpus
+    * vocabulary by frequency (count desc, word asc — fully
+    * deterministic) and report each rank's cumulative token share —
+    * the "what vocab size covers X% of tokens" curve a tokenizer
+    * design starts from (Zipf in actionable form: read the rank where
+    * coverage crosses 0.99 straight off the frame). Every cumulative
+    * is exact long arithmetic; coverage is ONE exact division per row,
+    * rounded 6dp — oracle-hashable (q116).
+    *
+    * Scale notes (100 TB): one map-side-combined word-count aggregate
+    * (the corpus-sized pass), then BOTH the rank and the cumulative
+    * count run over the vocab-sized relation via the shared two-phase
+    * prefix sum ([[Sampling.exclusiveRunningSums]]) — no
+    * single-partition window at any vocabulary size; the total is a
+    * one-row aggregate. */
+  def wordCoverageCurve(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occurrences"))
+    val total = counts.agg(sum(col("n_occurrences"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val order = Seq(col("n_occurrences").desc, col("word"))
+    Sampling.exclusiveRunningSums(counts, order,
+        Seq((col("n_occurrences"), "_cum_before"), (lit(1L), "_rank_before")))
+      .withColumn("vocab_rank", col("_rank_before") + 1L)
+      .withColumn("cum_occurrences", col("_cum_before") + col("n_occurrences"))
+      .withColumn("coverage",
+        round(col("cum_occurrences") / lit(total.toDouble), 6))
+      .select(col("vocab_rank"), col("word"), col("n_occurrences"),
+        col("cum_occurrences"), col("coverage"))
+  }
+
+  /** Population-stability report between two corpus slices over the
+    * EXACT power-of-two document-length buckets ([[lengthHistogram]]'s
+    * bit-length rule — integer-exact on every engine where
+    * floor(log2) through doubles rounds wrong at boundaries): per
+    * bucket, both sides' counts and shares plus the PSI term
+    * (share_a − share_b)·ln(share_a/share_b). The length distribution
+    * is the cheapest early-warning drift signal a recurring ingest has
+    * (a crawler change shows up here before any content statistic
+    * moves); PSI is its standard magnitude. Buckets empty on either
+    * side carry a NULL psi_term (the smoothing-free convention —
+    * deterministic, no epsilon to disagree about); shares are single
+    * exact divisions and ln matches across engines (the q54/q56
+    * precedent), so the whole report oracle-hashes (q117). Σ psi_term
+    * over the shared buckets is the headline index; > 0.25 is the
+    * conventional "major shift" line.
+    *
+    * Scale: one map-side-combined ≤64-bucket aggregate per side, a
+    * bucket-sized full outer join — shuffle independent of corpus
+    * size. */
+  def lengthDistributionShift(docsA: DataFrame, docsB: DataFrame): DataFrame = {
+    def hist(d: DataFrame, n: String) =
+      d.select(length(bin(size(split(col("text"), " ")).cast("long")))
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(n))
+    val a = hist(docsA, "n_a")
+    val b = hist(docsB, "n_b")
+    val ta = docsA.count()
+    val tb = docsB.count()
+    require(ta > 0 && tb > 0,
+      "lengthDistributionShift needs non-empty slices on both sides")
+    a.join(b, Seq("bucket"), "full_outer")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .withColumn("share_a", round(col("n_a") / lit(ta.toDouble), 6))
+      .withColumn("share_b", round(col("n_b") / lit(tb.toDouble), 6))
+      .withColumn("psi_term",
+        // gate on the ROUNDED shares, not the counts: a bucket rare
+        // enough to round to share 0.000000 would send ln to ±∞
+        when(col("share_a") > 0 && col("share_b") > 0,
+          // + 0.0 normalizes a rounded-to-zero negative term: -0.0 and
+          // 0.0 compare equal but hash differently driver-side
+          round((col("share_a") - col("share_b")) *
+            log(col("share_a") / col("share_b")), 6) + lit(0.0)))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        col("share_a"), col("share_b"), col("psi_term"))
+  }
 
   /** BPE-style tokenizer-vocabulary induction (Sennrich et al. 2016) on
     * Spark — the "train a tokenizer on the corpus" step of a training-

@@ -632,6 +632,45 @@ object EventStream {
         }
       }
 
+  /** Absorbing SOURCE-REPUTATION stream — the per-source-prior member
+    * of the score-then-merge family ([[ingestProfileStream]]'s shape):
+    * each micro-batch first lands the stored reputation report AS IT
+    * STOOD (own tag excluded — the provenance record of exactly the
+    * priors a concurrent gate would have used while this batch was in
+    * flight), then merges its per-source counts into the profile
+    * ([[graft.ext.Reputation.appendSourceReputation]] with the
+    * micro-batch tag). The running profile converges to the whole
+    * stream's per-source behavior without re-scanning history; the
+    * `benchmark` contamination reference is READ-ONLY here.
+    *
+    * Crash-window contract (the CountProfile byte-dedup class): the
+    * report excludes rows tagged with the current batch id, so a
+    * replay lands the report its first attempt computed whether or not
+    * that attempt's absorb committed; re-appended tagged rows are
+    * byte-identical and the readers' dedup-then-sum never
+    * double-absorbs them. Report landings are batch-keyed overwrite.
+    * The profile must be owned by this one stream; the within-batch
+    * dup lower bound of appends applies per micro-batch (rebuild at
+    * mart cadence — the Reputation scaladoc caveat). */
+  def ingestReputationStream(docs: DataFrame, benchmark: DataFrame,
+                             profilePath: String, metricsPath: String,
+                             checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed twice: report + absorb
+          graft.ext.Reputation.sourceReputationAgainstProfile(
+              b.sparkSession, profilePath, excludeBatchId = Some(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+          graft.ext.Reputation.appendSourceReputation(b, benchmark,
+            profilePath, batchId = Some(batchId))
+        }
+      }
+
   /** Absorbing cardinality stream — the distinct-count twin of
     * [[ingestProfileStream]] (score against the pre-batch artifact,
     * then merge): each micro-batch is scored for per-group NOVELTY

@@ -28,7 +28,7 @@ class SparkEntrySpec extends SparkSpec {
       "q101_token_sequence_index", "q102_curation_ledger",
       "q105_text_ann_pairs", "q107_bestfit_sequences",
       "q109_tokenizer_coverage", "q110_compression_ratio",
-      "q112_video_frame_stats"),
+      "q112_video_frame_stats", "q115_ann_recall"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

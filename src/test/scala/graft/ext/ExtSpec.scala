@@ -410,6 +410,91 @@ class ExtSpec extends SparkSpec {
       embSrc.filter($"vec_id" < 2), k = 3).count() > 0)
   }
 
+  test("ANN recall harness: self-recall 1.0, table monotonicity, planted copy found") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 10, k = 5)
+      .localCheckpoint()
+    // the exact ranking against itself is perfect recall by definition
+    val self = Similarity.recallAtK(exact, exact, k = 5).collect()
+    assert(self.length == 10)
+    self.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 5L &&
+        r.getAs[Double]("recall") == 1.0, s"self-recall broke: $r")
+    }
+    // more OR-construction tables can only grow each query's candidate
+    // set, and a true neighbor can only be displaced by another true
+    // neighbor — per-query recall never drops
+    def mean(tables: Int): Double = {
+      val rs = Similarity.recallAtK(
+        Similarity.lshTopK(emb, nQueries = 10, k = 5, tables = tables),
+        exact, k = 5).collect().map(_.getAs[Double]("recall"))
+      rs.sum / rs.length
+    }
+    val lo = mean(2)
+    val hi = mean(12)
+    assert(hi >= lo, s"recall must not drop with more tables: $lo -> $hi")
+    assert(hi > 0.5, s"12-table recall implausibly low: $hi")
+    // an exact copy shares every signature — always a candidate, and
+    // cosine 1.0 always makes the cut
+    val planted = emb.filter($"vec_id" === 3)
+      .withColumn("vec_id", org.apache.spark.sql.functions.lit(7000L))
+    val withCopy = emb.unionByName(planted)
+    val approx = Similarity.lshTopK(withCopy, nQueries = 10, k = 5)
+    assert(approx.filter($"query_id" === 3 && $"neighbor_id" === 7000L)
+      .count() == 1, "planted exact copy must be retrieved for its twin")
+  }
+
+  test("word coverage curve: hand-computed Zipf prefix, partitioning-independent") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a d")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordCoverageCurve(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    // counts: a=4 b=2 c=1 d=1, total 8; ties break word-ascending
+    assert(got.toSeq == Seq(
+      (1L, "a", 4L, 4L, 0.5),
+      (2L, "b", 2L, 6L, 0.75),
+      (3L, "c", 1L, 7L, 0.875),
+      (4L, "d", 1L, 8L, 1.0)), s"got ${got.toSeq}")
+    // the two-phase prefix machinery must not depend on input layout
+    val again = TextAnalysis.wordCoverageCurve(docs.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+    // fixture sanity: curve ends at full coverage, ranks are 1..V
+    val fix = TextAnalysis.wordCoverageCurve(
+      Tables.documents(spark, sf("sf0.001"))).cache()
+    val v = fix.count()
+    assert(fix.agg(org.apache.spark.sql.functions.max($"vocab_rank"))
+      .head.getLong(0) == v)
+    assert(fix.filter($"vocab_rank" === v).head.getAs[Double]("coverage") == 1.0)
+    fix.unpersist()
+  }
+
+  test("length-distribution PSI: hand-computed buckets, one-sided buckets null") {
+    def docsOf(lens: Seq[Int]) = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(k => s"w$k").mkString(" ")) }
+      .toDF("doc_id", "text")
+    // A: token counts 1,2,3 → buckets 1:1, 2:2. B: 1,8 → buckets 1:1, 4:1
+    val out = TextAnalysis.lengthDistributionShift(
+        docsOf(Seq(1, 2, 3)), docsOf(Seq(1, 8)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L), s"got ${out.keySet}")
+    val (na1, nb1, sa1, sb1, psi1) = out(1L)
+    assert((na1, nb1, sa1, sb1) == ((1L, 1L, 0.333333, 0.5)))
+    // the term is computed FROM the rounded shares — replicate exactly
+    val expPsi = BigDecimal((0.333333 - 0.5) * math.log(0.333333 / 0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(psi1.contains(expPsi), s"psi ${psi1} vs $expPsi")
+    // buckets present on one side only: counts kept, term NULL (the
+    // smoothing-free convention)
+    assert(out(2L) == ((2L, 0L, 0.666667, 0.0, None)))
+    assert(out(4L) == ((0L, 1L, 0.0, 0.5, None)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.lengthDistributionShift(docsOf(Nil), docsOf(Seq(1))))
+  }
+
   test("repetition score: duplicate trigram fraction on a known loop") {
     // "a b a b a b" → 6 tokens, 4 trigrams ("a b a" ×2, "b a b" ×2),
     // 2 distinct → dup fraction 0.5; a no-repeat doc scores 0

@@ -533,6 +533,53 @@ class EventStreamSpec extends SparkSpec {
       exact.getAs[Double]("js_divergence"))
   }
 
+  test("reputation absorb stream records pre-batch priors, exactly once under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_rep").toString
+    val bench = Seq((1L, "benchmark secret question")).toDF("doc_id", "text")
+    val longA = (1 to 16).map(i => s"a$i").mkString(" ")
+    val base = Seq((1L, longA, "srcA")).toDF("doc_id", "text", "source")
+    graft.ext.Reputation.writeSourceReputation(base, bench, s"$dir/prof")
+    val mem = MemoryStream[SourcedDoc]
+    def drain(): Unit = {
+      val q = EventStream.ingestReputationStream(mem.toDF(), bench,
+        s"$dir/prof", s"$dir/metrics", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    def reps(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(r.fieldIndex("source")),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("reputation"))).toSet
+    // batch 0: a short doc drops srcA's prior
+    mem.addData(SourcedDoc(10L, "too short", "srcA"))
+    drain()
+    // crash window: report + absorb committed, checkpoint commit lost
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain() // replay must re-land the PRE-absorb report, not double-count
+    mem.addData(SourcedDoc(11L, longA.replace("a", "b"), "srcB"))
+    drain()
+    val metrics = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => r.getAs[Int]("batch_id")).toSet
+    // batch 0's landed report is the BASE profile (own tag excluded on
+    // replay too): srcA clean, reputation 1.0
+    val m0 = reps(spark.read.parquet(s"$dir/metrics")
+      .filter(col("batch_id") === 0))
+    assert(m0 == Set(("srcA", 1L, 1.0)), s"got $m0")
+    // batch 1's report saw batch 0 absorbed: srcA is 2 docs, 1 passing
+    // → 0.5·(1/2) + 0.25·1 + 0.25·1 = 0.75
+    val m1 = reps(spark.read.parquet(s"$dir/metrics")
+      .filter(col("batch_id") === 1))
+    assert(m1 == Set(("srcA", 2L, 0.75)), s"got $m1")
+    assert(metrics == Set(0, 1))
+    // the final profile absorbed both batches exactly once
+    val fin = reps(graft.ext.Reputation.sourceReputationAgainstProfile(
+      spark, s"$dir/prof"))
+    assert(fin == Set(("srcA", 2L, 0.75), ("srcB", 1L, 1.0)), s"got $fin")
+  }
+
   test("cardinality absorb stream scores novelty pre-batch, exactly once under replay") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_card").toString
