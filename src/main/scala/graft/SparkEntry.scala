@@ -103,6 +103,48 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
     }),
+    // per-doc gate attribution: the funnel's drill-down — WHICH
+    // always-on heuristic stage dropped each doc (first-fail in the
+    // funnel's claimed cumulative order) or 'pass'. keepLangs trimmed
+    // to three so the language stage is actually reachable; one fused
+    // scan projection, fully SQL-restatable → oracle-hashed
+    "q118_gate_attribution" -> ((s, dir) =>
+      ext.Curation.gateAttribution(Tables.documents(s, dir),
+        ext.Curation.Config(keepLangs = Seq("en", "de", "es")))),
+    // corpus-redundancy shape: exact-dup cluster-size histogram — the
+    // before-you-run-it estimate of what exact dedup removes (Σ over
+    // sizes>1 of n_docs − n_clusters). Planted copies (ids % 25, the
+    // q106 discipline) guarantee multi-size clusters at every SF —
+    // the all-singletons fixture would otherwise reduce the check to
+    // one row. Exact integers end to end
+    "q119_dup_clusters" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val copies = docs.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      ext.Dedup.dupClusterHistogram(docs.unionByName(copies))
+    }),
+    // the layout trade-off as data: per-shard fill ratio of BOTH
+    // sequence layouts from ONE tokenization — best-fit buys intact
+    // docs at the utilization cost this frame prices (padding = wasted
+    // trainer FLOPs). Rows-only (BPE upstream)
+    "q120_sequence_utilization" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.lit
+      val docs = Tables.documents(s, dir)
+      val path = ext.TextAnalysis.ensureBpeModel(docs,
+        "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
+      val toks = ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path)
+        .localCheckpoint() // both layouts pack the SAME tokenization
+      ext.TextAnalysis.sequenceUtilization(
+          ext.TextAnalysis.packTokenSequences(toks, seqLen = 128, shards = 4),
+          seqLen = 128)
+        .withColumn("layout", lit("concat"))
+        .unionByName(ext.TextAnalysis.sequenceUtilization(
+            ext.TextAnalysis.packTokenSequencesBestFit(toks, seqLen = 128,
+              shards = 4),
+            seqLen = 128)
+          .withColumn("layout", lit("bestfit")))
+    }),
     // the STORED route: freeze the per-source counts as a CountProfile
     // artifact, read them back, same closed form — q114 reuses q113's
     // oracle SQL verbatim (the q79≡q54 stored≡live pattern)
@@ -1883,6 +1925,45 @@ object SparkEntry {
         |       THEN ROUND((share_a - share_b) * ln(share_a / share_b), 6) + 0.0
         |  END AS psi_term
         |FROM s""".stripMargin,
+    // verdict = the SAME first-fail CASE over q35's trigram fraction
+    // (compared on the ROUNDED value, both engines) and q10's
+    // stopword-score language chain
+    "q118_gate_attribution" -> {
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      val scoreCols = langs.map(l => s"        ${duckHits(l)} AS score_$l")
+        .mkString(",\n")
+      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+        val conds = langs.drop(i + 1).map(m => s"score_$l >= score_$m")
+          .mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+         |           FROM documents),
+         |g AS (SELECT doc_id, len(w) AS n_tokens,
+         |        GREATEST(len(w) - 2, 0) AS n_trigrams,
+         |        len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS n_distinct,
+         |$scoreCols
+         |      FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN n_tokens < 15 THEN '01_min_tokens'
+         |       WHEN (CASE WHEN n_trigrams > 0
+         |              THEN ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams, 6)
+         |              ELSE 0.0 END) > 0.5 THEN '02_repetition'
+         |       WHEN (CASE $caseChain ELSE '${langs.last}' END)
+         |         NOT IN ('en', 'de', 'es') THEN '03_language'
+         |       ELSE 'pass' END AS verdict
+         |FROM g""".stripMargin
+    },
+    "q119_dup_clusters" ->
+      """WITH u AS (SELECT text FROM documents
+        |           UNION ALL
+        |           SELECT text FROM documents WHERE doc_id % 25 = 0),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |      FROM u GROUP BY text)
+        |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        |FROM c GROUP BY 1""".stripMargin,
     "q113_source_reputation" -> SourceReputationSql,
     // q114 restates q113 EXACTLY: the stored profile holds the same
     // counts the live aggregate computes, so one SQL text is the

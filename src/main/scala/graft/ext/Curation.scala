@@ -497,6 +497,35 @@ object Curation {
       }
     }
 
+  /** Per-document gate ATTRIBUTION — the drill-down behind the
+    * funnel's aggregate counts: for EVERY input document, the first
+    * stage of the always-on heuristic prefix that drops it
+    * (`01_min_tokens`, `02_repetition`, `03_language`) or `pass`,
+    * evaluated in exactly the funnel's claimed cumulative order. The
+    * funnel answers "how many dropped where"; this answers "why did
+    * THIS doc drop" — the first question a corpus owner asks when a
+    * document goes missing from a training mix. Deliberately scoped to
+    * the always-on rules (token floor, dup-trigram ceiling, language),
+    * so the whole report is SQL-restatable and oracle-hashed (q118);
+    * the optional suites and artifact gates have their own reports
+    * (q97 repetition profile, q36/q65/q71 contamination, q113 source
+    * priors).
+    *
+    * Scale: one fused scan projection — the verdict is a single CASE
+    * chain over the same codegen kernels the gate filter uses; no
+    * join, no shuffle. */
+  def gateAttribution(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    requireConfig(cfg)
+    val nTok = size(split(col("text"), " "))
+    docs.select(col("doc_id"),
+      when(nTok < cfg.minTokens, lit("01_min_tokens"))
+        .when(TextAnalysis.dupTrigramFraction(col("text")) >
+          cfg.maxDupTrigramFrac, lit("02_repetition"))
+        .when(!TextAnalysis.langPrediction(col("text"))
+          .isin(cfg.keepLangs: _*), lit("03_language"))
+        .otherwise(lit("pass")).as("verdict"))
+  }
+
   /** Doc ids contributed by sources whose STORED reputation falls
     * below the configured floor — the cut set of the source gate. The
     * below-threshold source list is artifact-sized (domain

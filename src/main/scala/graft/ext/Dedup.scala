@@ -87,6 +87,26 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
 
+  /** Exact-duplicate CLUSTER SIZE distribution — the corpus-redundancy
+    * shape report ("how much of this crawl is copies, and in how big
+    * clusters"): one row per cluster size with the number of clusters
+    * of that size and the documents they hold. cluster_size = 1 rows
+    * are the unique mass; Σ n_docs = the corpus; n_docs − n_clusters
+    * summed over sizes > 1 = exactly what exact dedup will remove —
+    * the before-you-run-it cost estimate. All exact integer counts,
+    * oracle-hashed (q119).
+    *
+    * Scale notes (100 TB): two map-side-combined aggregates — the
+    * first groups on the 16-byte md5 digest (bodies never shuffle, the
+    * exact-dedup discipline), the second on the ≤ log-many distinct
+    * cluster sizes. */
+  def dupClusterHistogram(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("k"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   /** Quality-aware canonical selection: within each duplicate group
     * (`key` — e.g. `md5(text)` for exact groups, `md5(normTextExpr)`
     * for trivial-variant groups), keep the single row with the HIGHEST

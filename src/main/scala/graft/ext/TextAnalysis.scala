@@ -1081,6 +1081,30 @@ object TextAnalysis {
         col("cum_occurrences"), col("coverage"))
   }
 
+  /** Sequence-layout UTILIZATION report over a packed frame
+    * ([[packTokenSequences]] / [[packTokenSequencesBestFit]] output —
+    * anything with (keys…, n_tokens)): per key group, the sequence
+    * count, filled tokens, padding tokens and fill ratio at the
+    * trainer's `seqLen` capacity. This is the other half of the
+    * layout trade-off the `sequenceLayout` switch exposes: best-fit
+    * buys intact documents at a utilization cost, and this frame is
+    * where that cost becomes a number (padding tokens ARE wasted
+    * trainer FLOPs). One exact division per group, 6dp.
+    *
+    * Scale: one map-side-combined aggregate over group-cardinality
+    * keys — no shuffle of token arrays (n_tokens is already scalar). */
+  def sequenceUtilization(packed: DataFrame, seqLen: Int,
+                          keys: Seq[String] = Seq("shard")): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1: $seqLen")
+    packed.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_sequences"),
+        sum(col("n_tokens")).as("n_filled"),
+        sum(lit(seqLen.toLong) - col("n_tokens")).as("n_padding"))
+      .withColumn("utilization",
+        round(col("n_filled") /
+          (col("n_sequences") * lit(seqLen.toLong)).cast("double"), 6))
+  }
+
   /** Population-stability report between two corpus slices over the
     * EXACT power-of-two document-length buckets ([[lengthHistogram]]'s
     * bit-length rule — integer-exact on every engine where

@@ -28,7 +28,8 @@ class SparkEntrySpec extends SparkSpec {
       "q101_token_sequence_index", "q102_curation_ledger",
       "q105_text_ann_pairs", "q107_bestfit_sequences",
       "q109_tokenizer_coverage", "q110_compression_ratio",
-      "q112_video_frame_stats", "q115_ann_recall"),
+      "q112_video_frame_stats", "q115_ann_recall",
+      "q120_sequence_utilization"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -852,6 +852,32 @@ class CurationSpec extends SparkSpec {
       cfg.copy(minLmLogProb = Some(-1.0))))
   }
 
+  test("gate attribution: first-fail verdicts agree with the gate filter") {
+    val cfgA = Curation.Config(keepLangs = Seq("en"))
+    val crafted = Seq(
+      (1L, "too short"),                                     // 01_min_tokens
+      (2L, ("loop the " * 20).trim),                         // long but pure repetition
+      (3L, "le la les et dans pour avec une des il elle nous vous sont était"), // French, 15 tokens
+      (4L, "the quick brown fox jumps over a lazy dog while the rain keeps falling outside"))
+      .toDF("doc_id", "text")
+    val got = Curation.gateAttribution(crafted, cfgA)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "01_min_tokens", 2L -> "02_repetition",
+      3L -> "03_language", 4L -> "pass"), s"got $got")
+    // the CONSISTENCY claim: 'pass' is exactly the heuristic gate's
+    // survivor set — attribution and filter can never disagree
+    val docsFix = corpus
+    val attributed = Curation.gateAttribution(docsFix, cfg)
+      .filter($"verdict" === "pass").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val gated = Curation.streamingGates(docsFix, cfg)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(attributed == gated,
+      s"attrOnly=${attributed -- gated} gateOnly=${gated -- attributed}")
+    // every input doc gets exactly one verdict
+    assert(Curation.gateAttribution(docsFix, cfg).count() == docsFix.count())
+  }
+
   test("source-reputation gate slots into the chain against the stored profile") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_curation_srcrep").toString

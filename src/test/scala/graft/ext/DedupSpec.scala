@@ -841,6 +841,25 @@ class DedupSpec extends SparkSpec {
       "a rejected append must not mutate the index")
   }
 
+  test("dup-cluster histogram: hand-computed sizes and the dedup-cost identity") {
+    val crafted = Seq((1L, "aaa"), (2L, "aaa"), (3L, "aaa"),
+      (4L, "bbb"), (5L, "bbb"), (6L, "ccc")).toDF("doc_id", "text")
+    val got = Dedup.dupClusterHistogram(crafted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L)), 1L -> ((1L, 1L))),
+      s"got $got")
+    // identities on the fixture: Σ n_docs = corpus; Σ (n_docs −
+    // n_clusters) = exactly what exact dedup removes
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val hist = Dedup.dupClusterHistogram(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hist.map(_._3).sum == docs.count())
+    val removable = hist.map { case (_, nc, nd) => nd - nc }.sum
+    val survivors = Dedup.exactDupGroups(docs).count()
+    assert(removable == docs.count() - survivors,
+      "histogram must price exact dedup exactly")
+  }
+
   test("semantic index dims guard: cross-space probes fail loudly; legacy sidecars tolerated") {
     import org.apache.spark.sql.functions.expr
     val emb = Tables.embeddings(spark, sf("sf0.001")).filter($"vec_id" < 100)

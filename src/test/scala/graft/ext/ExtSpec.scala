@@ -470,6 +470,40 @@ class ExtSpec extends SparkSpec {
     fix.unpersist()
   }
 
+  test("sequence utilization: hand-computed fill ratios per shard") {
+    val packed = Seq(
+      (0, 0L, 128L), (0, 1L, 128L), (0, 2L, 60L), // shard 0: 316/384
+      (1, 0L, 128L), (1, 1L, 4L))                  // shard 1: 132/256
+      .toDF("shard", "seq_id", "n_tokens")
+    val got = TextAnalysis.sequenceUtilization(packed, seqLen = 128)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      0 -> ((3L, 316L, 68L, 0.822917)),
+      1 -> ((2L, 132L, 124L, 0.515625))), s"got $got")
+    // on a real packing: padding only ever sits in each stream's LAST
+    // sequence under concat-and-cut, so utilization ≈ 1 at any volume;
+    // best-fit is the one that pays — both layouts' ratios are ≤ 1
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val model = TextAnalysis.ensureBpeModel(docs, "/tmp/graft_bpe_cache",
+      sf("sf0.001") + "/documents.parquet", nMerges = 8)
+    val toks = TextAnalysis.bpeTokenIdsAgainstModel(spark, docs, model)
+      .localCheckpoint()
+    val cu = TextAnalysis.sequenceUtilization(
+      TextAnalysis.packTokenSequences(toks, 128, 4), 128).collect()
+    val bu = TextAnalysis.sequenceUtilization(
+      TextAnalysis.packTokenSequencesBestFit(toks, 128, 4), 128).collect()
+    (cu ++ bu).foreach { r =>
+      val u = r.getDouble(4)
+      assert(u > 0.0 && u <= 1.0, s"fill ratio out of range: $r")
+    }
+    // concat-and-cut wastes at most one partial sequence per shard
+    cu.foreach { r =>
+      assert(r.getLong(3) < 128L,
+        s"concat layout must pad only the final partial sequence: $r")
+    }
+  }
+
   test("length-distribution PSI: hand-computed buckets, one-sided buckets null") {
     def docsOf(lens: Seq[Int]) = lens.zipWithIndex.map { case (n, i) =>
       (i.toLong, (1 to n).map(k => s"w$k").mkString(" ")) }
