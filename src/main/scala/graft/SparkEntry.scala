@@ -145,6 +145,27 @@ object SparkEntry {
             seqLen = 128)
           .withColumn("layout", lit("bestfit")))
     }),
+    // the SECOND temporal operator Spark's API lacks (beside q30's
+    // as-of join): a bucketized point-in-interval range join — session
+    // intervals from the gap rule, then every event joins back to the
+    // session containing it via a hash EQUI-join on (user, bucket)
+    // with exact containment as post-filter (a bare non-equi condition
+    // would plan as BroadcastNestedLoopJoin; PlanInvariantsSpec
+    // asserts the shape). Every event lands in exactly one session —
+    // the partition property the oracle's BETWEEN join restates
+    "q121_session_range_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      val ev = Tables.events(s, dir)
+      val iv = ext.Events.sessionIntervals(ev)
+      ops.RangeJoin.pointInInterval(
+        ev.select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us")),
+        iv.select(col("user_id"), col("session_id"),
+          col("session_start_us"), col("session_end_us")),
+        "ts_us", "session_start_us", "session_end_us",
+        bucketWidth = 3600000000L, keys = Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("session_id"))
+    }),
     // the STORED route: freeze the per-source counts as a CountProfile
     // artifact, read them back, same closed form — q114 reuses q113's
     // oracle SQL verbatim (the q79≡q54 stored≡live pattern)
@@ -1964,6 +1985,33 @@ object SparkEntry {
         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
         |FROM c GROUP BY 1""".stripMargin,
+    // sessions via the q14 gap rule upgraded to intervals (running-sum
+    // session ids, min/max per session, half-open end = last + gap +
+    // 1 µs — the strict `>` split rule); the join restates the
+    // bucketized equi-join as a plain containment join
+    "q121_session_range_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |        CASE WHEN prev_ts IS NULL
+        |          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |          THEN 1 ELSE 0 END AS ns
+        |      FROM e),
+        |s AS (SELECT user_id, event_id, ts,
+        |        CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS session_id
+        |      FROM f),
+        |iv AS (SELECT user_id, session_id,
+        |         MIN(epoch_us(ts)) AS start_us,
+        |         MAX(epoch_us(ts)) + 1800000001 AS end_us
+        |       FROM s GROUP BY 1, 2)
+        |SELECT ev.event_id, ev.user_id, iv.session_id
+        |FROM events ev JOIN iv ON ev.user_id = iv.user_id
+        |  AND epoch_us(ev.ts) >= iv.start_us
+        |  AND epoch_us(ev.ts) < iv.end_us""".stripMargin,
     "q113_source_reputation" -> SourceReputationSql,
     // q114 restates q113 EXACTLY: the stored profile holds the same
     // counts the live aggregate computes, so one SQL text is the

@@ -153,4 +153,43 @@ object Events {
         sum(col("new_session")).as("n_sessions"),
         count(col("event_id")).as("n_events"))
   }
+
+  /** Session INTERVALS — [[sessionize]] upgraded from per-user counts
+    * to the actual session rows a downstream join consumes: per (user,
+    * session), the 1-based per-user session id (running sum of the
+    * same gap rule, so `max(session_id)` per user ≡ sessionize's
+    * `n_sessions` — spec-pinned), first/last event timestamps, the
+    * half-open interval end `session_end_us` = last event + gap + 1 µs
+    * — the FIRST instant that would start a new session: the gap rule
+    * is STRICT (`diff > gap` splits), so an event at exactly
+    * last + gap is still in-session and must fall inside the
+    * half-open interval — and the event count.
+    * `session_start_us`/`session_end_us` are epoch-micros longs
+    * ready for [[graft.ops.RangeJoin.pointInInterval]] (q121 joins the
+    * raw events back and every event lands in exactly one session —
+    * the partition property the intervals are FOR).
+    *
+    * Scale: one shuffle on user_id shared by the lag and the running
+    * sum (same window spec), then a map-side-combined group-by on
+    * (user, session) — no global window anywhere. */
+  def sessionIntervals(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("ns"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("last_event_ts"),
+        count(lit(1)).as("n_events"))
+      .withColumn("session_start_us", unix_micros(col("session_start")))
+      .withColumn("session_end_us",
+        unix_micros(col("last_event_ts")) + gapUs + 1L)
+  }
 }

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketized point-in-interval (range) join — the second temporal
+  * operator Spark's API lacks beside [[AsOfJoin]]: every left POINT
+  * joined to the right INTERVALS containing it (half-open
+  * `start <= point < end`, the CDC-window convention —
+  * reference: the extraction windows of
+  * /root/reference/pipeline_scripts/load_sales_history.py:100-116).
+  *
+  * Why not a plain non-equi join: Spark plans a bare
+  * `point >= start && point < end` condition as
+  * BroadcastNestedLoopJoin (or a cartesian when neither side
+  * broadcasts) — O(points × intervals) comparisons and a broadcast
+  * ceiling, the exact plan shape this repo's gate discipline forbids.
+  * Bucketizing restores a hash equi-join: each interval explodes into
+  * the fixed-width buckets it overlaps, each point maps to exactly ONE
+  * bucket, and the containment predicate filters AFTER the equi-join —
+  * so the compare volume is (points + interval-bucket rows) hashed,
+  * never the cross product. PlanInvariantsSpec machine-asserts the
+  * shape on q121.
+  *
+  * Correctness is width-independent (an interval covers every bucket
+  * it overlaps — spec-pinned across widths); `bucketWidth` only tunes
+  * the trade: small widths explode long intervals into many rows,
+  * large widths put many intervals in one bucket. Pick width ≈ the
+  * typical interval length. Degenerate intervals (`start >= end`)
+  * contain nothing and are dropped up front — Spark's `sequence(a, b)`
+  * would otherwise generate a DESCENDING bucket range for them.
+  *
+  * Contract: `pointCol`/`startCol`/`endCol` are NON-NEGATIVE longs
+  * (epoch micros, offsets…): SQL `div` truncates toward zero, so
+  * negative values would bucket off-by-one at the origin. `keys`
+  * co-scope the join (e.g. user_id) and ride the shuffle key. Note
+  * that keys alone do NOT make a plain join safe: Spark equi-joins on
+  * the keys and filters the range afterwards, which materializes each
+  * key's FULL point×interval cross product inside one task — a hot
+  * key with 10⁶ points × 10³ intervals is 10⁹ comparisons in one
+  * reducer. The bucket co-key is what bounds per-task candidates.
+  *
+  * Scale notes (100 TB): one shuffle on (keys, bucket) for each side;
+  * per-bucket population is the skew knob — a pathological interval
+  * spanning the whole timeline explodes timeline/width rows, so cap
+  * interval lengths upstream or raise the width. No window, no state;
+  * candidates never exceed Σ per-interval bucket counts. */
+object RangeJoin {
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, startCol: String, endCol: String,
+                      bucketWidth: Long,
+                      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0: $bucketWidth")
+    Seq("_rj_bucket").foreach { reserved =>
+      require(!points.columns.contains(reserved) &&
+        !intervals.columns.contains(reserved),
+        s"column name $reserved is reserved by RangeJoin")
+    }
+    val iv = intervals
+      .filter(col(startCol) < col(endCol)) // empty intervals match nothing
+      .withColumn("_rj_bucket",
+        explode(sequence(expr(s"$startCol div $bucketWidth"),
+          expr(s"($endCol - 1) div $bucketWidth"))))
+    val pt = points.withColumn("_rj_bucket",
+      expr(s"$pointCol div $bucketWidth"))
+    pt.join(iv, keys :+ "_rj_bucket")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_rj_bucket")
+  }
+}

@@ -38,6 +38,28 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(unpartitioned.isEmpty, s"unpartitioned WindowExec in q111 plan:\n$p")
   }
 
+  test("q121 range join is a hash equi-join — never the nested-loop a bare non-equi plans") {
+    val p = plan(SparkEntry.queries("q121_session_range_join")(spark, sf("sf0.001")))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"CartesianProduct in q121 plan:\n$p")
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"BroadcastNestedLoopJoin in q121 plan:\n$p")
+    // and the point is real: a KEYLESS containment condition (the
+    // general range-join case) does plan as a nested loop — the shape
+    // the bucket equi-key exists to avoid
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val iv = ext.Events.sessionIntervals(ev)
+    val naive = ev.select(unix_micros(col("ts")).as("p"))
+      .join(iv.select(col("session_start_us"), col("session_end_us")),
+        col("p") >= col("session_start_us") &&
+          col("p") < col("session_end_us"))
+    val np = plan(naive)
+    assert(np.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty ||
+      np.collect { case c: CartesianProductExec => c }.nonEmpty,
+      s"expected the naive non-equi join to nested-loop:\n$np")
+  }
+
   test("q01 pushes the cutoff into the orders parquet scan") {
     val p = plan(SparkEntry.queries("q01_full_extract")(spark, sf("sf0.001")))
     val ordersScans = p.collect {

@@ -345,6 +345,86 @@ class ExtSpec extends SparkSpec {
       embSrc.filter($"vec_id" < 2), k = 3).count() > 0)
   }
 
+  test("range join: bucketized equi-join equals the naive non-equi join at any width") {
+    import graft.ops.RangeJoin
+    val intervals = Seq(
+      ("A", 1L, 10L, 20L),  // spans several buckets at small widths
+      ("A", 2L, 25L, 26L),  // single-point interval
+      ("A", 3L, 30L, 30L),  // EMPTY — must match nothing
+      ("B", 4L, 10L, 20L))  // same range, different key
+      .toDF("k", "iv_id", "start", "end")
+    val points = Seq(
+      ("A", 100L, 10L),  // == start: included (half-open)
+      ("A", 101L, 19L),  // last inside
+      ("A", 102L, 20L),  // == end: excluded
+      ("A", 103L, 25L),  // the single-point interval
+      ("A", 104L, 30L),  // the empty interval: no match
+      ("B", 105L, 15L),  // key-scoped to B's interval only
+      ("C", 106L, 15L))  // key with no intervals
+      .toDF("k", "pt_id", "p")
+    def run(width: Long) = RangeJoin.pointInInterval(points, intervals,
+        "p", "start", "end", width, keys = Seq("k"))
+      .select($"pt_id", $"iv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((100L, 1L), (101L, 1L), (103L, 2L), (105L, 4L))
+    // the naive non-equi join is the semantics being restated
+    val naive = points.join(intervals,
+        points("k") === intervals("k") &&
+          $"p" >= $"start" && $"p" < $"end")
+      .select($"pt_id", $"iv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive == expected, s"naive join sanity: $naive")
+    // correctness is WIDTH-INDEPENDENT — width only tunes the plan
+    for (w <- Seq(1L, 4L, 7L, 1000L))
+      assert(run(w) == expected, s"width $w diverged: ${run(w)}")
+    intercept[IllegalArgumentException](RangeJoin.pointInInterval(
+      points, intervals, "p", "start", "end", 0L))
+  }
+
+  test("session intervals: gap-rule boundaries, ids match sessionize, events partition") {
+    import java.sql.Timestamp
+    def ev(rows: (Long, Long, String)*) = rows
+      .map { case (e, u, t) => (e, u, Timestamp.valueOf(t)) }
+      .toDF("event_id", "user_id", "ts")
+    val events = ev(
+      (1L, 1L, "2024-01-01 10:00:00"),
+      (2L, 1L, "2024-01-01 10:10:00"),
+      (3L, 1L, "2024-01-01 10:40:00"), // EXACTLY 30 min after e2 — the
+                                       // strict rule keeps it in-session
+      (4L, 1L, "2024-01-01 11:20:00"), // 40 min gap → new session
+      (5L, 2L, "2024-01-01 09:00:00"))
+    val iv = Events.sessionIntervals(events).collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("session_id"))) ->
+        ((r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("last_event_ts"),
+          r.getAs[Long]("n_events")))).toMap
+    assert(iv.keySet == Set((1L, 1L), (1L, 2L), (2L, 1L)), s"${iv.keySet}")
+    assert(iv((1L, 1L)) == ((Timestamp.valueOf("2024-01-01 10:00:00"),
+      Timestamp.valueOf("2024-01-01 10:40:00"), 3L)))
+    assert(iv((1L, 2L))._3 == 1L && iv((2L, 1L))._3 == 1L)
+    // per-user max session_id ≡ sessionize's n_sessions
+    val bySession = Events.sessionIntervals(events)
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.max($"session_id").as("m"),
+        org.apache.spark.sql.functions.sum($"n_events").as("ne"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val counts = Events.sessionize(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(bySession == counts, s"$bySession vs $counts")
+    // the range join partitions the events: every event in EXACTLY one
+    // session — including the boundary event (e3, at last+gap exactly)
+    val joined = graft.ops.RangeJoin.pointInInterval(
+      events.select($"event_id", $"user_id",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("p")),
+      Events.sessionIntervals(events),
+      "p", "session_start_us", "session_end_us",
+      bucketWidth = 3600000000L, keys = Seq("user_id"))
+    assert(joined.count() == events.count())
+    assert(joined.select($"event_id").distinct().count() == events.count())
+    val e4 = joined.filter($"event_id" === 4L).head()
+    assert(e4.getAs[Long]("session_id") == 2L)
+  }
+
   test("cache-root sweep: stale variants GC'd, fresh/live/staging handled, re-ensure clean") {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
