@@ -166,6 +166,93 @@ object SparkEntry {
         bucketWidth = 3600000000L, keys = Seq("user_id"))
         .select(col("event_id"), col("user_id"), col("session_id"))
     }),
+    // winnowing fingerprints (the MOSS algorithm): k-gram rolling
+    // hashes → sliding-window minima → distinct selected values; the
+    // local guarantee (shared substrings ≥ w+k−1 always collide) that
+    // the global MinHash sketch can't offer. Kernel vs SQL restatement
+    "q125_winnow_fingerprints" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      ext.Dedup.winnowFingerprints(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    }),
+    // shared-fingerprint near-dup pairs: the df cap bounds the join's
+    // per-fingerprint fan-out and the jaccard floor screens out the
+    // dozens-of-common-grams background fixture prose carries (copies
+    // read 1.0, unrelated pairs ~0.07). ONE exact division — hashed
+    "q126_winnow_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      ext.Dedup.winnowNearDupPairs(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        maxDf = Some(10), minJaccard = 0.5)
+    }),
+    // training-data ATTRIBUTION: every (sequence, segment) of the q94
+    // layout mapped back to its doc + token span — computed on demand
+    // from the content-addressed layout, never stored. Rows-only (BPE
+    // upstream); ExtSpec pins conservation + slice equality vs the
+    // packed output
+    "q128_sequence_provenance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = ext.TextAnalysis.ensureBpeModel(docs,
+        "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
+      ext.TextAnalysis.sequenceProvenance(
+        ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path),
+        seqLen = 128, shards = 4)
+    }),
+    // stored boilerplate profile → strip: hot footers planted on a
+    // third of the corpus (the fixture is one-line docs — the q119
+    // crafted-binding discipline), profile frozen from the SAME frame,
+    // so the hash claim is stored≡live for the whole ladder
+    "q127_line_profile_strip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      val crafted = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit("\nAll rights reserved.")))
+          .when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit("\nRef: "), col("doc_id").cast("string")))
+          .otherwise(col("text")))
+      val path = "/tmp/graft_lineprof_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ext.Dedup.writeLineProfile(crafted, path)
+      ext.Dedup.stripLinesAgainstProfile(crafted, path, maxOccurrences = 3)
+    }),
+    // soft dedup (D4-style "downweight, don't delete"): keep each doc
+    // with prob ≈ 1/cluster-size via the content-addressed uniform —
+    // exact LONG keep decision, survivors carry the inverse-probability
+    // weight. Planted copies (the q119 discipline) make real clusters
+    "q122_soft_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, md5}
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      ext.Dedup.softDedupSample(docs.unionByName(copies), md5(col("text")))
+        .select(col("doc_id"), col("n_copies"), col("weight"))
+    }),
+    // shard mixing audit: adjacent same-source pairs / runs / longest
+    // run per (epoch, shard) of the q99 data order — the acceptance
+    // check on the content-addressed shuffle. Exact integers via the
+    // runs identity n_adjacent_same = n_rows − n_runs
+    "q123_shard_interleaving" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.Sampling.shardInterleaving(
+        ext.Sampling.epochDataOrder(docs, "doc_id", nEpochs = 3, shards = 4)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id"),
+        "source")
+    }),
+    // calibration reliability curve: equal-population rank deciles of
+    // the q67 quality score vs the q111 label — positive rate + score
+    // range per decile; rank buckets keep every statistic exact (one
+    // integer division, order-free min/max), so the curve oracle-hashes
+    "q124_score_reliability" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.TextAnalysis.scoreReliability(
+        ext.TextAnalysis.qualityModelScores(docs)
+          .join(docs.select(col("doc_id"),
+            (col("lang") === "en").cast("long").as("is_en")), "doc_id"),
+        "quality_score", "is_en")
+    }),
     // the STORED route: freeze the per-source counts as a CountProfile
     // artifact, read them back, same closed form — q114 reuses q113's
     // oracle SQL verbatim (the q79≡q54 stored≡live pattern)
@@ -1330,6 +1417,49 @@ object SparkEntry {
     * hashed-bucket weight lookup and the per-doc rounded mean score.
     * q67 reads it directly; q111 composes its AUC on top — one
     * definition, so the two oracles can never drift apart. */
+  /** q99's epoch/shard/position assignment as composable CTEs — the
+    * content-addressed data order, ending in `pos(doc_id, epoch,
+    * shard, position)`. q123 composes it with the interleaving
+    * windows; factored so the order rule is stated once. */
+  private val EpochOrderCtes =
+    """e AS (
+      |  SELECT doc_id, epoch
+      |  FROM documents, (SELECT unnest(generate_series(0, 2)) AS epoch)),
+      |sh AS (
+      |  SELECT doc_id, epoch,
+      |    ('0x' || substr(md5('graft.epoch.v1' || CAST(doc_id AS VARCHAR)),
+      |      1, 8))::BIGINT % 4 AS shard
+      |  FROM e),
+      |pos AS (
+      |  SELECT doc_id, epoch, shard,
+      |    CAST(row_number() OVER (PARTITION BY epoch, shard
+      |      ORDER BY md5('graft.epoch.v1' || CAST(epoch AS VARCHAR) || ':' ||
+      |        CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS position
+      |  FROM sh)""".stripMargin
+
+  /** Winnowing fingerprint sets (k=8, w=4) as composable CTEs, ending
+    * in `fp(doc_id, fps)`: per-gram rolling hashes restated Horner-wise
+    * over ascii bytes (the q11 trick), window minima via 1-based
+    * INCLUSIVE list slices, `LEAST(4, ng)` the short-doc single-window
+    * rule. q125 unnests it; q126 composes the pair join. */
+  private val WinnowFingerprintCtes =
+    """g AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |      WHERE length(text) >= 8),
+      |gh AS (SELECT doc_id, n - 7 AS ng,
+      |    list_transform(range(1, n - 6),
+      |      i -> CAST(list_reduce(
+      |        list_prepend(CAST(0 AS HUGEINT),
+      |          list_transform(range(i, i + 8),
+      |            p -> CAST(ascii(substr(text, CAST(p AS INT), 1)) AS HUGEINT))),
+      |        (a, b) -> (a * 1000003 + b) % 2305843009213693951) AS BIGINT))
+      |      AS h
+      |  FROM g),
+      |fp AS (SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, ng - LEAST(4, ng) + 2),
+      |      j -> list_min(h[j : j + LEAST(4, ng) - 1]))) AS fps
+      |  FROM gh)""".stripMargin
+
   private val QualityScoredCtes = {
     val w = ext.TextAnalysis.DefaultQualityWeights.mkString("[", ", ", "]")
     val n = ext.TextAnalysis.DefaultQualityWeights.size
@@ -2152,19 +2282,121 @@ object SparkEntry {
     // the per-epoch permutation restated: same salt, same 8-hex-digit
     // shard hash (the '0x'||hex cast), same md5 order key
     "q99_epoch_order" ->
-      """WITH e AS (
-        |  SELECT doc_id, epoch
-        |  FROM documents, (SELECT unnest(generate_series(0, 2)) AS epoch)),
-        |s AS (
-        |  SELECT doc_id, epoch,
-        |    ('0x' || substr(md5('graft.epoch.v1' || CAST(doc_id AS VARCHAR)),
-        |      1, 8))::BIGINT % 4 AS shard
-        |  FROM e)
-        |SELECT doc_id, epoch, shard,
-        |  CAST(row_number() OVER (PARTITION BY epoch, shard
-        |    ORDER BY md5('graft.epoch.v1' || CAST(epoch AS VARCHAR) || ':' ||
-        |      CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS position
-        |FROM s""".stripMargin,
+      s"""WITH $EpochOrderCtes
+        |SELECT doc_id, epoch, shard, position FROM pos""".stripMargin,
+    // the q99 order composed with the interleaving windows: runs of
+    // equal source per (epoch, shard); n_adjacent_same = n_rows −
+    // n_runs is the runs identity both engines state independently
+    "q123_shard_interleaving" ->
+      s"""WITH $EpochOrderCtes,
+        |o AS (SELECT p.epoch, p.shard, p.position, d.source
+        |      FROM pos p JOIN documents d ON p.doc_id = d.doc_id),
+        |c AS (SELECT epoch, shard, position, source,
+        |        CASE WHEN lag(source) OVER w IS NULL
+        |               OR lag(source) OVER w <> source
+        |          THEN 1 ELSE 0 END AS chg
+        |      FROM o WINDOW w AS (PARTITION BY epoch, shard ORDER BY position)),
+        |r AS (SELECT epoch, shard,
+        |        SUM(chg) OVER (PARTITION BY epoch, shard ORDER BY position)
+        |          AS run
+        |      FROM c),
+        |l AS (SELECT epoch, shard, run, COUNT(*) AS len
+        |      FROM r GROUP BY 1, 2, 3)
+        |SELECT epoch, shard,
+        |  CAST(SUM(len) AS BIGINT) AS n_rows,
+        |  COUNT(*) AS n_runs,
+        |  CAST(SUM(len) - COUNT(*) AS BIGINT) AS n_adjacent_same,
+        |  CAST(MAX(len) AS BIGINT) AS max_run_len
+        |FROM l GROUP BY 1, 2""".stripMargin,
+    // the crafted footers + the stored-count strip rule restated: hot
+    // = occurrence count > 3 over the same frame the profile froze
+    "q127_line_profile_strip" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |           THEN text || chr(10) || 'All rights reserved.'
+        |         WHEN doc_id % 7 = 0
+        |           THEN text || chr(10) || 'Ref: ' || CAST(doc_id AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(ls)),
+        |          i -> struct_pack(line_no := i - 1, line := ls[i]))) AS e
+        |      FROM t),
+        |l2 AS (SELECT doc_id, CAST(e.line_no AS INT) AS line_no, e.line AS line
+        |       FROM l),
+        |k AS (SELECT doc_id, line_no, line,
+        |        count(*) OVER (PARTITION BY md5(line)) AS occ
+        |      FROM l2)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN occ <= 3 THEN line END,
+        |    chr(10) ORDER BY line_no) AS clean_text,
+        |  CAST(count(CASE WHEN occ <= 3 THEN 1 END) AS BIGINT) AS n_kept,
+        |  CAST(count(CASE WHEN occ > 3 THEN 1 END) AS BIGINT) AS n_dropped
+        |FROM k GROUP BY doc_id
+        |HAVING count(CASE WHEN occ <= 3 THEN 1 END) > 0""".stripMargin,
+    // the kernel's rolling k-gram hashes + deque minima restated as
+    // Horner reduces + list-slice minima — value-selected minima make
+    // the tie rule irrelevant, so the sets match exactly
+    "q125_winnow_fingerprints" ->
+      s"""WITH $WinnowFingerprintCtes
+        |SELECT doc_id, unnest(fps) AS fingerprint FROM fp""".stripMargin,
+    // pair join over the capped fingerprint universe: df cap → set
+    // sizes → shared counts ≥ 2 → ONE exact division for the Jaccard
+    "q126_winnow_pairs" ->
+      s"""WITH $WinnowFingerprintCtes,
+        |f0 AS (SELECT doc_id, unnest(fps) AS fingerprint FROM fp),
+        |hot AS (SELECT fingerprint FROM f0 GROUP BY 1 HAVING COUNT(*) > 10),
+        |f AS (SELECT doc_id, fingerprint FROM f0
+        |      WHERE fingerprint NOT IN (SELECT fingerprint FROM hot)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_fp FROM f GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        COUNT(*) AS shared
+        |      FROM f a JOIN f b ON a.fingerprint = b.fingerprint
+        |        AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2
+        |      HAVING COUNT(*) >= 2)
+        |SELECT doc_a, doc_b, shared AS shared_fingerprints,
+        |  ROUND(CAST(shared AS DOUBLE) / (sa.n_fp + sb.n_fp - shared), 6)
+        |    AS fp_jaccard
+        |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+        |       JOIN sz sb ON p.doc_b = sb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (sa.n_fp + sb.n_fp - shared) >= 0.5"""
+        .stripMargin,
+    // keep decision restated exactly: first-32-md5-bits × cluster size
+    // < 2^32, all LONG arithmetic — survivors and weights bit-match
+    "q122_soft_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0),
+        |c AS (SELECT doc_id,
+        |        COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+        |      FROM u)
+        |SELECT doc_id, n_copies, n_copies AS weight FROM c
+        |WHERE ('0x' || substr(md5('graft.softdedup.v1' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * n_copies
+        |      < 4294967296""".stripMargin,
+    // rank deciles of the q67 score: bucket = rank·10 div n (pure long
+    // arithmetic), positive rate = ONE exact division, min/max are
+    // order-free — the curve hashes despite double scores
+    "q124_score_reliability" ->
+      s"""WITH $QualityScoredCtes,
+        |lab AS (SELECT sc.doc_id, sc.quality_score AS s,
+        |          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |        FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id),
+        |r AS (SELECT s, y,
+        |        CAST(row_number() OVER (ORDER BY s, doc_id) - 1 AS BIGINT)
+        |          AS rk,
+        |        (SELECT COUNT(*) FROM lab) AS n
+        |      FROM lab)
+        |SELECT (rk * 10) // n AS bucket,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+        |  ROUND(MIN(s), 6) AS min_score,
+        |  ROUND(MAX(s), 6) AS max_score
+        |FROM r GROUP BY 1""".stripMargin,
     // decode∘encode = the text minus spaces; the empty-after-despace
     // guard mirrors bpeTokenIdsAgainstModel's n_bpe_tokens > 0 filter
     "q98_detokenize_roundtrip" ->

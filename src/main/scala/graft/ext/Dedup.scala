@@ -107,6 +107,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
 
+  /** Cluster-size-weighted soft dedup ("downweight, don't delete"):
+    * keep each document with probability ≈ 1/n where n is its
+    * duplicate-cluster size under `key`, decided by the
+    * content-addressed uniform draw (the q66 discipline — u32 =
+    * first-32-md5-bits of salt++id; keep iff u32 · n < 2³²). Expected
+    * one survivor per cluster with NO coordinated survivor pick, and
+    * every copy has equal survival odds — the soft counterpart of
+    * [[canonicalByScore]] for pipelines that want duplicate mass
+    * reduced stochastically while keeping the corpus distribution
+    * unbiased: survivors carry `weight` = n (the inverse-probability
+    * reweight, so Σ weight over survivors estimates the original
+    * corpus mass per cluster). Reference analogue: the DISTINCT recode
+    * (etl/transform_sales.py:1-120) collapses exact groups to one row;
+    * this keeps a weighted representative instead.
+    *
+    * The keep decision is exact LONG arithmetic (u32 < 2³², n < 2³¹ ⇒
+    * the product fits in a long) — bit-identical in any engine, which
+    * is what makes it oracle-hashable (q122).
+    *
+    * Scale notes (100 TB): ONE shuffle on the cluster key for the
+    * window count; the key is computed in the scan projection and the
+    * filter is a codegen'd comparison — no join, no state. Cluster
+    * sizes are bounded by duplicate fan-in; a degenerate constant key
+    * is the caller's responsibility (same contract as
+    * [[canonicalByScore]]). */
+  def softDedupSample(docs: DataFrame, key: Column,
+                      idCol: String = "doc_id",
+                      salt: String = "graft.softdedup.v1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    rejectReserved(docs, Seq("_sk", "n_copies", "weight"), "softDedupSample")
+    val u32 = conv(substring(md5(concat(lit(salt),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    docs.withColumn("_sk", key)
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(col("_sk"))))
+      .filter(u32 * col("n_copies") < lit(4294967296L))
+      .withColumn("weight", col("n_copies"))
+      .drop("_sk")
+  }
+
   /** Quality-aware canonical selection: within each duplicate group
     * (`key` — e.g. `md5(text)` for exact groups, `md5(normTextExpr)`
     * for trivial-variant groups), keep the single row with the HIGHEST
@@ -328,6 +368,223 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Winnowing fingerprint relation: one (doc_id, fingerprint) row per
+    * distinct selected k-gram window minimum
+    * ([[graft.functions.WinnowFingerprints]] — the MOSS algorithm).
+    * Documents shorter than k bytes carry no fingerprintable content
+    * and emit no rows. The LOCAL guarantee (any shared substring of
+    * length ≥ w + k − 1 shares a fingerprint) is what distinguishes
+    * this from the global MinHash sketch: a copied passage inside two
+    * otherwise unrelated documents still collides.
+    *
+    * Scale notes (100 TB): the kernel is one codegen pass per doc
+    * (O(bytes), monotonic-deque minima); the relation is ~2/(w+1) the
+    * size of the full gram set and carries 8-byte hashes, never text. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.WinnowFingerprints
+        .winnow_fingerprints(col("text"), k, w)).as("fingerprint"))
+
+  /** Near-dup pairs by shared winnowing fingerprints: equi-join the
+    * fingerprint relation with itself, count shared values per pair,
+    * and attach the fingerprint-set Jaccard (ONE exact integer
+    * division, rounded 6dp — oracle-hashable, q126). `minShared` ≥ 2
+    * suppresses single-collision noise; `maxDf` (when set) drops
+    * fingerprints present in more than that many documents before the
+    * join — the boilerplate heavy-hitter cap, same broadcast-anti-join
+    * discipline as [[ngramJaccardPairs]]'s shingle cap, and under it
+    * Jaccard is over the capped fingerprint universe.
+    *
+    * Scale notes (100 TB): sub-quadratic — the join is keyed on the
+    * fingerprint value, so bucket fan-out is per-fingerprint document
+    * frequency, which `maxDf` bounds; pair production makes this the
+    * q16-class fixture-content-sensitive family. */
+  def winnowNearDupPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+                         minShared: Int = 2,
+                         maxDf: Option[Int] = None,
+                         minJaccard: Double = 0.0): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+    val pruned = maxDf match {
+      case Some(cap) =>
+        val frequent = fps.groupBy("fingerprint")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("fingerprint")
+          .localCheckpoint()
+        val hinted =
+          if (frequent.count() <= MaxBroadcastRows) broadcast(frequent)
+          else frequent
+        fps.join(hinted, Seq("fingerprint"), "left_anti")
+      case None => fps
+    }
+    val sizes = pruned.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"))
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_fp", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_fp", "n_b"), "doc_b")
+      .withColumn("fp_jaccard",
+        col("shared_fingerprints").cast("double") /
+          (col("n_a") + col("n_b") - col("shared_fingerprints")))
+      .filter(col("fp_jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("shared_fingerprints"),
+        round(col("fp_jaccard"), 6).as("fp_jaccard"))
+  }
+
+  /** Persist the corpus-side winnowing state for INCREMENTAL
+    * passage-collision dedup: the exploded fingerprint relation and the
+    * per-doc set sizes, as parquet under `path` — the
+    * [[writeMinhashIndex]] discipline applied to the MOSS fingerprints,
+    * for the standing-pipeline case where each ingest batch should be
+    * screened for copied passages against the accumulated corpus
+    * without re-fingerprinting it. Params sidecar owns (k, w); probing
+    * with different parameters hashes into disjoint gram spaces and
+    * would silently report "no duplicates", so it fails loudly instead.
+    *
+    * Scale notes (100 TB): the stored relation is ~2/(w+1) of the gram
+    * count in 8-byte hashes (never text); the expensive fingerprint
+    * pass runs ONCE per corpus. */
+  def writeWinnowIndex(docs: DataFrame, path: String,
+                       k: Int = 8, w: Int = 4): Unit = {
+    val fps = winnowFingerprints(docs, k, w).localCheckpoint()
+    fps.withColumn("batch_id", lit(null).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/fps")
+    fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      .withColumn("batch_id", lit(null).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sizes")
+    writeParams(s"$path/params.properties",
+      Map("kind" -> "winnow", "k" -> k.toString, "w" -> w.toString))
+  }
+
+  /** Passage-collision pairs between a NEW batch and an indexed corpus:
+    * (corpus doc_a, batch doc_b, shared_fingerprints, fp_jaccard) from
+    * the stored fingerprints — cost scales with the batch, not the
+    * corpus. Same candidate/join discipline as
+    * [[minhashLshPairsAgainstIndex]] (count-gated broadcast of the
+    * batch side, tag exclusion for replay — see [[appendWinnowIndex]]).
+    * What this catches that the MinHash probe can't: a batch doc that
+    * COPIES A PASSAGE from a corpus doc without being globally similar
+    * to it (the winnowing local guarantee). */
+  def winnowPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                              newDocs: DataFrame, indexPath: String,
+                              k: Int = 8, w: Int = 4, minShared: Int = 2,
+                              minJaccard: Double = 0.0,
+                              excludeBatchId: Option[Long] = None)
+      : DataFrame = {
+    requireParams(s"$indexPath/params.properties",
+      Map("kind" -> "winnow", "k" -> k.toString, "w" -> w.toString),
+      "winnow")
+    val newFpsRaw = winnowFingerprints(newDocs, k, w).localCheckpoint()
+    val newFps =
+      if (newFpsRaw.count() <= MaxBroadcastRows) broadcast(newFpsRaw)
+      else newFpsRaw
+    val newSizes = newFpsRaw.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"))
+    val corpusFps = excludeTagged(
+        spark.read.parquet(s"$indexPath/fps"),
+        indexPath, "fps", excludeBatchId)
+      .select(col("doc_id").as("doc_a"), col("fingerprint"))
+      // a replayed append leaves duplicate rows until compaction —
+      // shared counts must not double-count them
+      .distinct()
+    val corpusSizes = excludeTagged(
+        spark.read.parquet(s"$indexPath/sizes"),
+        indexPath, "sizes", excludeBatchId)
+      .select(col("doc_id").as("doc_a"), col("n_fp").as("n_a"))
+      .distinct()
+    corpusFps
+      .join(newFps.select(col("doc_id").as("doc_b"), col("fingerprint")),
+        Seq("fingerprint"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+      .join(corpusSizes, "doc_a")
+      .join(newSizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_fp", "n_b"), "doc_b")
+      .withColumn("fp_jaccard",
+        col("shared_fingerprints").cast("double") /
+          (col("n_a") + col("n_b") - col("shared_fingerprints")))
+      .filter(col("fp_jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("shared_fingerprints"),
+        round(col("fp_jaccard"), 6).as("fp_jaccard"))
+  }
+
+  /** Append a batch's fingerprints to an existing winnow index (params
+    * validated BEFORE any write — a rejected append must not mutate the
+    * index). `batchId` tags rows for replay exclusion — the streaming
+    * crash-window mechanism. */
+  def appendWinnowIndex(docs: DataFrame, path: String,
+                        k: Int = 8, w: Int = 4,
+                        batchId: Option[Long] = None): Unit = {
+    requireParams(s"$path/params.properties",
+      Map("kind" -> "winnow", "k" -> k.toString, "w" -> w.toString),
+      "winnow")
+    Seq("fps", "sizes").foreach(
+      requireTaggedRelation(docs.sparkSession, path, _))
+    val tag = batchId.map(lit(_)).getOrElse(lit(null)).cast("long")
+    val fps = winnowFingerprints(docs, k, w).localCheckpoint()
+    fps.withColumn("batch_id", tag)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/fps")
+    fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      .withColumn("batch_id", tag)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/sizes")
+  }
+
+  /** Compact an appended winnow index — see [[compactMinhashIndex]]
+    * (same earliest-tag/NULL-wins provenance rule, same legacy
+    * migration). */
+  def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/params.properties")),
+      s"no index at $path")
+    compactTaggedRelations(spark, path, Seq("fps", "sizes"))
+  }
+
+  /** One CONTINUOUS-INGEST passage-collision dedup cycle — the
+    * [[ingestDedupBatch]] policy on winnowing fingerprints: drop batch
+    * docs whose fingerprint-set jaccard against the indexed corpus
+    * (cross pairs, own tag excluded) or an earlier batch doc
+    * (within-batch pairs, greedy doc_b policy) reaches `minJaccard` —
+    * the MinHash ingest threshold convention; on generated/boilerplate
+    * prose the absolute shared COUNT alone does not discriminate
+    * (winnowing preferentially selects low-hash common grams, so
+    * unrelated fixture docs share dozens of fingerprints at jaccard
+    * ~0.07 while copies read 1.0). Land survivors via `accept`, then
+    * append exactly the survivors' fingerprints so the NEXT batch sees
+    * them. */
+  def ingestWinnowBatch(spark: org.apache.spark.sql.SparkSession,
+                        newDocs: DataFrame, indexPath: String,
+                        k: Int = 8, w: Int = 4, minShared: Int = 2,
+                        minJaccard: Double = 0.5,
+                        batchId: Option[Long] = None,
+                        accept: DataFrame => Unit = _ => ()): DataFrame = {
+    val batch = newDocs.localCheckpoint()
+    val cross = winnowPairsAgainstIndex(spark, batch, indexPath,
+      k, w, minShared, minJaccard, excludeBatchId = batchId)
+    val within = winnowNearDupPairs(batch, k, w, minShared,
+      minJaccard = minJaccard)
+    val dropIds = cross.select(col("doc_b").as("doc_id"))
+      .unionByName(within.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val survivors = batch.join(dropIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // materialize BEFORE the append mutates the index
+    accept(survivors)
+    appendWinnowIndex(survivors, indexPath, k, w, batchId)
+    survivors
   }
 
   /** Fixed hash family for MinHash: odd 30-bit multiplier + 31-bit offset
@@ -790,6 +1047,102 @@ object Dedup {
       .withColumn("rn", row_number().over(wo))
       .withColumn("keep", col("occ") < minOccurrences || col("rn") === 1)
       .drop("occ", "rn")
+  }
+
+  /** Freeze a corpus's line-occurrence counts as an on-disk BOILERPLATE
+    * PROFILE: one (lk = md5(line), c) row per distinct line — the
+    * incremental counterpart of [[dedupLines]]'s in-corpus window, for
+    * the standing-pipeline case (navigation chrome, cookie banners,
+    * footers discovered over the accumulated crawl, then stripped from
+    * every future batch without re-scanning history). Only the 128-bit
+    * line digest is stored, never line text — the artifact leaks no
+    * content. Rides the audited [[CountProfile]] machinery (byte-dedup
+    * replay class: a batch's line counts are deterministic, so
+    * re-appended tagged rows are byte-identical and readers
+    * dedup-then-sum them once). Reference analogue: the recurring
+    * pipeline gating on stored state (load_sales_history.py:241-246).
+    *
+    * Scale notes (100 TB): the artifact is distinct-line-sized and the
+    * build is one map-side-combined count on 16-byte digests — line
+    * bodies never shuffle. */
+  def writeLineProfile(docs: DataFrame, path: String,
+                       sep: String = "\n"): Unit =
+    CountProfile.write(lineCounts(docs, sep), path,
+      Map("kind" -> "line_profile", "sep" -> sep))
+
+  private def lineCounts(docs: DataFrame, sep: String): DataFrame =
+    docs.select(explode(split(col("text"),
+        java.util.regex.Pattern.quote(sep))).as("line"))
+      .groupBy(md5(col("line")).as("lk"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Merge a batch's line counts into a stored profile. Sidecar
+    * validated BEFORE any write — a rejected append must not mutate
+    * the artifact. */
+  def appendLineProfile(docs: DataFrame, path: String,
+                        batchId: Option[Long] = None,
+                        sep: String = "\n"): Unit = {
+    requireParams(s"$path/params.properties",
+      Map("kind" -> "line_profile", "sep" -> sep), "line profile")
+    CountProfile.append(lineCounts(docs, sep), path, batchId)
+  }
+
+  /** Strip every line whose STORED occurrence count exceeds
+    * `maxOccurrences` from a batch — hot lines are cut at EVERY
+    * occurrence (the q48 no-survivor rule: boilerplate has no
+    * canonical copy worth keeping), lines absent from the profile PASS
+    * untouched (the unknown-passes convention shared with the LM and
+    * reputation gates, which also makes a never-binding cap ≡
+    * identity). Output matches [[dedupLines]]: (doc_id, clean_text,
+    * n_kept, n_dropped), docs stripped to nothing filtered out.
+    * Oracle-hashed (q127: profile built from the probed corpus ⇒
+    * stored ≡ live, the q79≡q54 discipline).
+    *
+    * Scale notes (100 TB): the hot set (stored count > cap) is
+    * boilerplate — small by construction — so it rides a count-gated
+    * broadcast with a shuffled-join fallback; the batch explodes ONCE
+    * and the reassembly groups on doc_id. `excludeBatchId` is the
+    * stream twin's replay-exclusion hook. */
+  def stripLinesAgainstProfile(batch: DataFrame, path: String,
+                               maxOccurrences: Long,
+                               sep: String = "\n",
+                               excludeBatchId: Option[Long] = None)
+      : DataFrame = {
+    requireParams(s"$path/params.properties",
+      Map("kind" -> "line_profile", "sep" -> sep), "line profile")
+    val hot = CountProfile.effective(batch.sparkSession, path,
+        "line profile", "compactLineProfile", excludeBatchId)
+      .filter(col("c") > maxOccurrences).select("lk")
+      .localCheckpoint()
+    val hinted =
+      if (hot.count() <= MaxBroadcastRows) broadcast(hot) else hot
+    batch
+      .select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("line_no", "line")))
+      .withColumn("lk", md5(col("line")))
+      .join(hinted.withColumn("_hot", lit(true)), Seq("lk"), "left")
+      .withColumn("keep", col("_hot").isNull)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("line_no"), col("line"))))),
+            x => x.getField("line")),
+          sep).as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .filter(col("n_kept") > 0)
+  }
+
+  /** Collapse a line profile's appended rows (tags kept — replay
+    * exclusion must survive maintenance). */
+  def compactLineProfile(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    require(readParam(s"$path/params.properties", "kind",
+      "line profile") == "line_profile", s"$path is not a line profile")
+    CountProfile.compact(spark, path)
   }
 
   /** Apply a near-dup pair list to a corpus: greedy survivor selection —

@@ -722,6 +722,49 @@ object Sampling {
         .cast("long"))
   }
 
+  /** Shard interleaving audit — "how well mixed is each training
+    * shard?": per (epoch, shard), the count of adjacent same-`sourceCol`
+    * pairs, the number of contiguous same-source runs, and the longest
+    * run, over the [[epochDataOrder]] positions. Poorly mixed shards
+    * (long single-source runs) bias gradient batches toward one source
+    * at a time, which is exactly what the content-addressed shuffle is
+    * supposed to prevent — this op is its acceptance check. The
+    * identity n_adjacent_same = n_rows − n_runs (each run of length L
+    * contributes L−1 adjacent-same pairs) means one runs-sized
+    * aggregate yields every statistic; all exact integer counts
+    * (oracle-hashed, q123). Reference analogue: the ORDER BY audit
+    * discipline of load_sales_mart.py:60-79's grouped counts, pointed
+    * at the trainer's data order.
+    *
+    * Input must carry `epochCol`/`shardCol`/`posCol` (the
+    * [[epochDataOrder]] output) plus `sourceCol` (joined from the
+    * corpus by the caller).
+    *
+    * Scale notes (100 TB): the lag + running-sum windows share ONE
+    * (epoch, shard) partitioning — a single exchange, each partition a
+    * shard's worth of (id, source) pairs, never document bodies; the
+    * per-run aggregate reuses that partitioning (epoch, shard, _run is
+    * a superset key) and the final aggregate is runs-sized. */
+  def shardInterleaving(ordered: DataFrame, sourceCol: String,
+                        epochCol: String = "epoch",
+                        shardCol: String = "shard",
+                        posCol: String = "position"): DataFrame = {
+    val w = Window.partitionBy(col(epochCol), col(shardCol))
+      .orderBy(col(posCol))
+    val prev = lag(col(sourceCol), 1).over(w)
+    val runs = ordered
+      .withColumn("_chg",
+        when(prev.isNull || prev =!= col(sourceCol), 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_chg")).over(w))
+    runs.groupBy(col(epochCol), col(shardCol), col("_run"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col(epochCol), col(shardCol))
+      .agg(sum(col("_len")).as("n_rows"),
+        count(lit(1)).as("n_runs"),
+        (sum(col("_len")) - count(lit(1))).as("n_adjacent_same"),
+        max(col("_len")).as("max_run_len"))
+  }
+
   def trainValTest(df: DataFrame, idCol: String,
                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     val b = hashBucket(col(idCol))

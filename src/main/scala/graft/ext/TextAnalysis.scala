@@ -143,6 +143,46 @@ object TextAnalysis {
         col("n_pos"), col("n_neg"))
   }
 
+  /** Calibration reliability curve of a score against a binary label:
+    * rank every row by (score, id), cut the ranking into `nBuckets`
+    * equal-population rank buckets, and report each bucket's positive
+    * rate plus its score range — the binned complement of
+    * [[scoreAuc]]'s single number (AUC says the score ranks; the curve
+    * says WHERE it ranks well and where it is flat, which is what sets
+    * a deployment threshold). Rank buckets instead of score buckets
+    * keep every statistic exact: bucket = rank·nBuckets div n is pure
+    * long arithmetic, the positive rate is ONE exact integer division
+    * (rounded 6dp), and min/max score are order-free — no double sums
+    * anywhere, so the whole curve is oracle-hashable (q124) even
+    * though scores are doubles. Deterministic tie rule (score, then
+    * id) matches the oracle's ROW_NUMBER.
+    *
+    * Scale: ranking is the shared two-phase prefix sum
+    * ([[Sampling.exclusiveRunningSums]] with a constant 1) — NO
+    * single-partition window at any score cardinality; the bucket
+    * aggregate is map-side combined over nBuckets groups. The corpus
+    * total rides in as a broadcast scalar. */
+  def scoreReliability(scored: DataFrame, scoreCol: String,
+                       labelCol: String, idCol: String = "doc_id",
+                       nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val base = scored.select(col(idCol).as("_id"),
+      col(scoreCol).cast("double").as("_s"),
+      col(labelCol).cast("long").as("_y"))
+    val ranked = Sampling.exclusiveRunningSums(base,
+      Seq(col("_s"), col("_id")), Seq((lit(1L), "_rk")))
+    ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("_n"))))
+      .withColumn("bucket", expr(s"(_rk * $nBuckets) div _n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_y")).as("n_pos"),
+        round(sum(col("_y")).cast("double") / count(lit(1)), 6)
+          .as("pos_rate"),
+        round(min(col("_s")), 6).as("min_score"),
+        round(max(col("_s")), 6).as("max_score"))
+  }
+
   /** Per-document compression profile: raw byte length, deflated byte
     * length and their ratio ([[graft.functions.DeflateRatio]] — the
     * MassiveText/Gopher compression filter as a first-class score).
@@ -1815,27 +1855,9 @@ object TextAnalysis {
                          shards: Int = 8, eosId: Long = -1L,
                          extraKeys: Seq[String] = Nil): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    import org.apache.spark.sql.expressions.Window
-    // extraKeys scope the token streams (the packChunks discipline —
-    // sequences never mix splits)
     val keyCols = col("shard") +: extraKeys.map(col)
-    val w = Window.partitionBy(keyCols: _*).orderBy(col("doc_id"))
-    val laid = tokDocs
-      .withColumn("shard", Sampling.hashBucket(col("doc_id"), shards))
-      .withColumn("ids", concat(col("token_ids"),
-        array(lit(eosId).cast("long"))))
-      .withColumn("len", size(col("ids")).cast("long"))
-      .withColumn("off", sum(col("len")).over(w) - col("len"))
-    val pieces = laid
-      .select(keyCols :+ col("ids") :+ col("len") :+ col("off") :+
-        explode(sequence(expr(s"off div $seqLen"),
-          expr(s"(off + len - 1) div $seqLen"))).as("seq_id"): _*)
-      .withColumn("start_in_doc",
-        greatest(col("seq_id") * seqLen - col("off"), lit(0L)))
-      .withColumn("end_in_doc",
-        least((col("seq_id") + 1) * seqLen - col("off"), col("len")))
-      .select(keyCols :+ col("seq_id") :+
-        (col("off") + col("start_in_doc")).as("gpos") :+
+    val pieces = sequencePieces(tokDocs, seqLen, shards, eosId, extraKeys)
+      .select(keyCols :+ col("seq_id") :+ col("gpos") :+
         slice(col("ids"), (col("start_in_doc") + 1).cast("int"),
           (col("end_in_doc") - col("start_in_doc")).cast("int"))
           .as("piece"): _*)
@@ -1853,6 +1875,74 @@ object TextAnalysis {
           transform(e.getField("piece"), _ => i)))
           .cast("array<long>").as("segment_ids"): _*)
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** The concat-and-cut layout's piece relation, shared by
+    * [[packTokenSequences]] (which aggregates pieces into sequences)
+    * and [[sequenceProvenance]] (which reports them): per doc ×
+    * overlapped sequence, the global offset (`off`), the cut bounds
+    * within the doc's eos-terminated id stream (`start_in_doc` /
+    * `end_in_doc`, half-open) and the piece's global start (`gpos`).
+    * One (shard ++ extraKeys) window — the layout is a pure function
+    * of (doc_id order, lengths), which is what makes provenance
+    * reconstructible without storing it. */
+  private def sequencePieces(tokDocs: DataFrame, seqLen: Int,
+                             shards: Int, eosId: Long,
+                             extraKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // extraKeys scope the token streams (the packChunks discipline —
+    // sequences never mix splits)
+    val keyCols = col("shard") +: extraKeys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("doc_id"))
+    tokDocs
+      .withColumn("shard", Sampling.hashBucket(col("doc_id"), shards))
+      .withColumn("ids", concat(col("token_ids"),
+        array(lit(eosId).cast("long"))))
+      .withColumn("len", size(col("ids")).cast("long"))
+      .withColumn("off", sum(col("len")).over(w) - col("len"))
+      .select(keyCols :+ col("doc_id") :+ col("ids") :+ col("len") :+
+        col("off") :+
+        explode(sequence(expr(s"off div $seqLen"),
+          expr(s"(off + len - 1) div $seqLen"))).as("seq_id"): _*)
+      .withColumn("start_in_doc",
+        greatest(col("seq_id") * seqLen - col("off"), lit(0L)))
+      .withColumn("end_in_doc",
+        least((col("seq_id") + 1) * seqLen - col("off"), col("len")))
+      .withColumn("gpos", col("off") + col("start_in_doc"))
+  }
+
+  /** Training-data ATTRIBUTION for the concat-and-cut layout: one row
+    * per (sequence, segment) mapping it back to the contributing
+    * document and token span — (shard ++ extraKeys, seq_id, segment,
+    * doc_id, seq_start, doc_start, n_piece_tokens). `segment` matches
+    * [[packTokenSequences]]' `segment_ids` values (pieces in gpos
+    * order), `seq_start` is the piece's first token position WITHIN
+    * the sequence, `doc_start` its offset in the doc's eos-terminated
+    * id stream (the final piece of a doc includes that appended eos).
+    * This is the "which document did this training token come from"
+    * join — memorization audits, per-source loss attribution, takedown
+    * tracing — derivable because the layout is content-addressed, so
+    * it is computed on demand, never stored with the shards.
+    * Joining it back to the packed output explains every token:
+    * Σ n_piece_tokens per sequence = n_tokens (spec-pinned).
+    *
+    * Scale notes (100 TB): the same ONE window shuffle as the packer
+    * (lengths only, token arrays never move — this op never touches
+    * `ids`), plus a per-sequence rank over piece-count-sized rows. */
+  def sequenceProvenance(tokDocs: DataFrame, seqLen: Int = 128,
+                         shards: Int = 8, eosId: Long = -1L,
+                         extraKeys: Seq[String] = Nil): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = col("shard") +: extraKeys.map(col)
+    val seg = Window.partitionBy(keyCols :+ col("seq_id"): _*)
+      .orderBy(col("gpos"))
+    sequencePieces(tokDocs, seqLen, shards, eosId, extraKeys)
+      .select(keyCols :+ col("seq_id") :+ col("doc_id") :+
+        (row_number().over(seg) - 1).cast("long").as("segment") :+
+        (col("gpos") - col("seq_id") * seqLen).as("seq_start") :+
+        col("start_in_doc").as("doc_start") :+
+        (col("end_in_doc") - col("start_in_doc")).as("n_piece_tokens"): _*)
   }
 
   /** Best-fit-decreasing sequence packing — the TRUNCATION-FREE

@@ -58,7 +58,7 @@ object RollingHash {
     h
   }
 
-  private def mulMod(a: Long, b: Long): Long = {
+  private[functions] def mulMod(a: Long, b: Long): Long = {
     val hi = Math.multiplyHigh(a, b)
     val lo = a * b
     // fold the 128-bit product into 61 bits: (x mod 2^61) + (x >> 61)
@@ -66,9 +66,14 @@ object RollingHash {
     if (folded >= Mod) folded - Mod else folded
   }
 
-  private def addMod(a: Long, b: Long): Long = {
+  private[functions] def addMod(a: Long, b: Long): Long = {
     val s = a + b
     if (s >= Mod) s - Mod else s
+  }
+
+  private[functions] def subMod(a: Long, b: Long): Long = {
+    val d = a - b
+    if (d < 0) d + Mod else d
   }
 
   /** Column-API entry point. */

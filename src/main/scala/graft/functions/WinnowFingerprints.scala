@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+  * SIGMOD 2003 — the MOSS algorithm): hash every character k-gram with
+  * the [[RollingHash]] polynomial (O(1) per position via the rolling
+  * update), slide a window of `w` consecutive gram hashes, and keep the
+  * minimum of each window — the sorted DISTINCT selected values are the
+  * document's fingerprint set, ~2/(w+1) the density of the full gram
+  * set with the paper's guarantee: any substring match of length
+  * ≥ w + k − 1 between two documents shares at least one fingerprint.
+  * That local guarantee is what [[graft.ext.Dedup.winnowNearDupPairs]]
+  * builds on, and what plain MinHash (a GLOBAL sketch) cannot offer:
+  * winnowing catches a long copied passage inside two otherwise
+  * unrelated documents.
+  *
+  * Boundary semantics (matched by the q125 DuckDB oracle): fewer than k
+  * bytes ⇒ empty array (nothing fingerprintable); fewer than w gram
+  * hashes ⇒ one window over all of them (the global min), so every doc
+  * with ≥ k bytes carries ≥ 1 fingerprint. Window minima are selected
+  * by VALUE, so the rightmost-tie rule used for positions cannot change
+  * the output set. The sliding minimum runs on a monotonic deque —
+  * O(n) total, not O(n·w).
+  *
+  * Native codegen expression for the same reason as [[Shingles]]: the
+  * higher-order-function formulation evaluates interpreted, and this
+  * sits in dedup hot paths. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && k >= 1 && w >= 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprints needs (string, k>=1, w>=1), got " +
+          s"${child.dataType}, k=$k, w=$w")
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.winnow(input.asInstanceOf[UTF8String].getBytes, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowFingerprints.winnow($c.getBytes(), $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WinnowFingerprints = copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprints"
+}
+
+object WinnowFingerprints {
+
+  /** Kernel (called from generated code): k-gram rolling hashes →
+    * sliding-window minima → sorted distinct values. */
+  def winnow(bytes: Array[Byte], k: Int, w: Int): ArrayData = {
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    var h = 0L
+    var i = 0
+    while (i < k) {
+      h = RollingHash.addMod(RollingHash.mulMod(h, RollingHash.Base),
+        (bytes(i) & 0xFF).toLong)
+      i += 1
+    }
+    hashes(0) = h
+    // B^(k-1) mod P for the rolling drop of the leading byte
+    var bk = 1L
+    i = 0
+    while (i < k - 1) { bk = RollingHash.mulMod(bk, RollingHash.Base); i += 1 }
+    i = 1
+    while (i < nGrams) {
+      val dropped = RollingHash.subMod(hashes(i - 1),
+        RollingHash.mulMod((bytes(i - 1) & 0xFF).toLong, bk))
+      hashes(i) = RollingHash.addMod(RollingHash.mulMod(dropped, RollingHash.Base),
+        (bytes(i + k - 1) & 0xFF).toLong)
+      i += 1
+    }
+    val eff = math.min(w, nGrams)
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    // monotonic deque of indices; >= pop keeps the rightmost min on ties
+    val deque = new java.util.ArrayDeque[Integer]()
+    i = 0
+    while (i < nGrams) {
+      while (!deque.isEmpty && hashes(deque.peekLast().intValue()) >= hashes(i))
+        deque.pollLast()
+      deque.addLast(Integer.valueOf(i))
+      if (deque.peekFirst().intValue() <= i - eff) deque.pollFirst()
+      if (i >= eff - 1) selected.add(hashes(deque.peekFirst().intValue()))
+      i += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Column-API entry point. */
+  def winnow_fingerprints(c: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w))
+  }
+}

@@ -208,6 +208,36 @@ object EventStream {
         }
       }
 
+  /** Streaming passage-COLLISION dedup ingest — `ingestDedupStream` on
+    * winnowing fingerprints instead of MinHash sketches: each
+    * micro-batch is screened against the on-disk winnow index for
+    * copied passages (the local substring guarantee the global sketch
+    * lacks) plus within-batch collisions, survivors land under
+    * `acceptedPath/batch_id=N`, and the index grows by exactly those
+    * survivors. Same crash-window contract as `ingestDedupStream`
+    * (own-tag-excluded probe + batch-keyed overwrite landing =
+    * effectively exactly-once; replayed append duplicates are
+    * tolerated by the probe's distinct and collapsed by
+    * `compactWinnowIndex`). */
+  def ingestWinnowStream(docs: DataFrame, indexPath: String,
+                         acceptedPath: String, checkpoint: String,
+                         k: Int = 8, w: Int = 4, minShared: Int = 2,
+                         minJaccard: Double = 0.5): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Dedup.ingestWinnowBatch(batch.sparkSession, batch,
+            indexPath, k, w, minShared, minJaccard,
+            batchId = Some(batchId),
+            accept = _.write.mode(SaveMode.Overwrite)
+              .parquet(s"$acceptedPath/batch_id=$batchId"))
+          ()
+        }
+      }
+
   /** Streaming passage-level dedup ingest — the passage-granular twin
     * of `ingestDedupStream`: each micro-batch is stripped against the
     * accumulated on-disk window-hash index
@@ -629,6 +659,43 @@ object EventStream {
             .parquet(s"$metricsPath/batch_id=$batchId")
           graft.ext.TextAnalysis.appendCorpusProfile(b, profilePath,
             batchId = Some(batchId))
+        }
+      }
+
+  /** Absorbing BOILERPLATE-LINE stream — the hygiene member of the
+    * score-then-merge family ([[ingestProfileStream]]'s shape): each
+    * micro-batch is stripped against the line profile AS IT STOOD (own
+    * tag excluded), the cleaned docs land under
+    * `cleanedPath/batch_id=N`, and the batch's line counts merge into
+    * the profile LAST — so boilerplate discovered across the
+    * accumulated stream is cut from every future batch without
+    * re-scanning history, and the strip each batch received is exactly
+    * reproducible from its landing.
+    *
+    * Crash-window contract (the CountProfile byte-dedup class): the
+    * strip excludes rows tagged with the current batch id, so a replay
+    * cuts against exactly the profile its first attempt saw whether or
+    * not that attempt's absorb committed; re-appended tagged counts
+    * are byte-identical and readers dedup-then-sum them once. Cleaned
+    * landings are batch-keyed overwrite. The profile must be owned by
+    * this one stream. */
+  def ingestLineProfileStream(docs: DataFrame, profilePath: String,
+                              cleanedPath: String, checkpoint: String,
+                              maxOccurrences: Long,
+                              sep: String = "\n"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed twice: strip + absorb
+          graft.ext.Dedup.stripLinesAgainstProfile(b, profilePath,
+              maxOccurrences, sep, excludeBatchId = Some(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$cleanedPath/batch_id=$batchId")
+          graft.ext.Dedup.appendLineProfile(b, profilePath,
+            batchId = Some(batchId), sep = sep)
         }
       }
 

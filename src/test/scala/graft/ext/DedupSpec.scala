@@ -860,6 +860,196 @@ class DedupSpec extends SparkSpec {
       "histogram must price exact dedup exactly")
   }
 
+  test("winnow index: against-probe equals cross pairs; tagged replay; compaction; sidecar") {
+    import org.apache.spark.sql.functions.lit
+    val all = Tables.documents(spark, sf("sf0.001")).select($"doc_id", $"text")
+    val corpus = all.filter($"doc_id" < 250)
+    val planted = corpus.filter($"doc_id" === 0)
+      .withColumn("doc_id", lit(5000L))
+    val batch = all.filter($"doc_id" >= 250).unionByName(planted)
+    val dir = java.nio.file.Files.createTempDirectory("graft_winidx").toString
+    Dedup.writeWinnowIndex(corpus, s"$dir/idx")
+    // the stored-state probe must be EXACTLY the corpus×batch cross
+    // pairs of the monolithic run on the union
+    val inc = Dedup.winnowPairsAgainstIndex(spark, batch, s"$dir/idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val full = Dedup.winnowNearDupPairs(corpus.unionByName(batch))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter(p => p._1 < 250 && p._2 >= 250).toSet
+    assert(inc.exists(p => p._1 == 0L && p._2 == 5000L && p._4 == 1.0),
+      s"planted copy missed: ${inc.take(5)}")
+    assert(inc == full, s"incOnly=${inc -- full} fullOnly=${full -- inc}")
+    // tagged ingest: a replay after a COMMITTED append reproduces its
+    // survivor set (own-tag exclusion), and compaction preserves that
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val first = ids(Dedup.ingestWinnowBatch(spark, batch, s"$dir/idx",
+      batchId = Some(3L)))
+    assert(!first.contains(5000L) && first.nonEmpty,
+      "the planted corpus copy must be dropped")
+    val unexcluded = Dedup.winnowPairsAgainstIndex(spark, batch, s"$dir/idx")
+      .filter($"fp_jaccard" >= 0.999).count()
+    assert(unexcluded >= first.size,
+      "sanity: stored copies must be visible to an untagged probe")
+    val replay = ids(Dedup.ingestWinnowBatch(spark, batch, s"$dir/idx",
+      batchId = Some(3L)))
+    assert(replay == first,
+      s"firstOnly=${first -- replay} replayOnly=${replay -- first}")
+    Dedup.compactWinnowIndex(spark, s"$dir/idx")
+    val postCompact = ids(Dedup.ingestWinnowBatch(spark, batch, s"$dir/idx",
+      batchId = Some(3L)))
+    assert(postCompact == first, s"compaction broke replay: $postCompact")
+    // mismatched params fail loudly BEFORE any write or join, and a
+    // rejected append must not mutate the index
+    val fpsRows = spark.read.parquet(s"$dir/idx/fps").count()
+    intercept[IllegalArgumentException](
+      Dedup.winnowPairsAgainstIndex(spark, batch, s"$dir/idx", k = 9))
+    intercept[IllegalArgumentException](
+      Dedup.appendWinnowIndex(batch, s"$dir/idx", w = 5))
+    assert(spark.read.parquet(s"$dir/idx/fps").count() == fpsRows,
+      "a rejected append must not mutate the index")
+  }
+
+  test("soft dedup: exact keep rule, singleton safety, weights, determinism") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val crafted = Seq((1L, "aaa"), (2L, "aaa"), (3L, "aaa"),
+      (4L, "bbb"), (5L, "bbb"), (6L, "ccc")).toDF("doc_id", "text")
+    val got = Dedup.softDedupSample(crafted, md5(col("text")))
+      .select("doc_id", "n_copies", "weight").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the keep rule restated independently: first-32-md5-bits of
+    // salt++id times cluster size under 2^32
+    def u32(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft.softdedup.v1$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val sizes = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 2L, 5L -> 2L, 6L -> 1L)
+    val expect = sizes.collect {
+      case (id, n) if u32(id) * n < 4294967296L => (id, n, n)
+    }.toSet
+    assert(got.toSet == expect, s"got ${got.toSet} expect $expect")
+    // singletons ALWAYS survive (u32 · 1 < 2^32 unconditionally) and
+    // carry weight 1; survivors are a subset of the corpus; the sample
+    // is partitioning-independent
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"text")
+    val kept = Dedup.softDedupSample(docs, md5(col("text"))).cache()
+    val singles = Dedup.exactDupGroups(docs).filter($"n_copies" === 1).count()
+    assert(kept.filter($"n_copies" === 1).count() == singles)
+    assert(kept.count() <= docs.count())
+    val again = Dedup.softDedupSample(docs.repartition(7), md5(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+    kept.unpersist()
+    // reserved working columns are refused, not silently overwritten
+    intercept[IllegalArgumentException](Dedup.softDedupSample(
+      crafted.withColumn("weight", col("doc_id")), md5(col("text"))))
+  }
+
+  test("winnow pairs: planted copies read jaccard 1.0, df cap prunes boilerplate buckets") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"text")
+    val copies = docs.filter($"doc_id" % 50 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val all = docs.unionByName(copies)
+    val pairs = Dedup.winnowNearDupPairs(all).cache()
+    val perfect = pairs.filter($"fp_jaccard" === 1.0)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = copies.select(($"doc_id" - 1000000L).as("a"), $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(perfect),
+      s"exact copies share every fingerprint: missing ${planted -- perfect}")
+    // the df cap can only REMOVE fingerprints, so shared counts only
+    // fall: capped pair keys are always a subset of the uncapped keys
+    // (winnowing preferentially selects low-hash COMMON grams, so a
+    // tight cap really binds on fixture prose — both sides checked)
+    val fpDfMax = Dedup.winnowFingerprints(all)
+      .groupBy($"fingerprint").count().agg(max($"count")).head().getLong(0)
+    assert(fpDfMax > 10, "cap must actually bind for this test to claim anything")
+    val capped = Dedup.winnowNearDupPairs(all, maxDf = Some(10)).cache()
+    val cappedKeys = capped.select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncappedKeys = pairs.select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedKeys.subsetOf(uncappedKeys))
+    // a UNIQUE duplicated passage rides through the cap untouched
+    // (df 2 ≤ cap on every fingerprint): copies still read jaccard 1.0
+    // while 30-doc boilerplate is pruned out of its own pairing
+    val boiler = (1 to 30).map(i => (100L + i,
+      s"shared boilerplate passage present in thirty documents, tail $i"))
+    val uniq = Seq(
+      (1L, "zq unique prose xj kw vb nm completely unlike the rest yy"),
+      (2L, "zq unique prose xj kw vb nm completely unlike the rest yy"))
+    val crafted = (boiler ++ uniq).toDF("doc_id", "text")
+    val craftedCapped = Dedup.winnowNearDupPairs(crafted, maxDf = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(craftedCapped.get((1L, 2L)).contains(1.0),
+      s"unique dup must survive the cap: $craftedCapped")
+    // determinism under repartitioning
+    val again = Dedup.winnowNearDupPairs(all.repartition(7))
+      .collect().map(_.toSeq).toSet
+    assert(again == pairs.collect().map(_.toSeq).toSet)
+    pairs.unpersist(); capped.unpersist()
+  }
+
+  test("line profile: strip rule, unknown lines pass, append + replay exclusion, sidecar") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_lineprof").toString
+    val base = Seq(
+      (1L, "keep me\nFOOTER\nunique a"),
+      (2L, "FOOTER\nunique b"),
+      (3L, "FOOTER\nunique c"),
+      (4L, "only unique d")).toDF("doc_id", "text")
+    Dedup.writeLineProfile(base, s"$dir/p")
+    // cap 2: FOOTER (stored count 3) is cut at EVERY occurrence, all
+    // unique lines keep; doc order inside clean_text is preserved
+    val got = Dedup.stripLinesAgainstProfile(base, s"$dir/p", 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> (("keep me\nunique a", 2L, 1L)),
+      2L -> (("unique b", 1L, 1L)),
+      3L -> (("unique c", 1L, 1L)),
+      4L -> (("only unique d", 1L, 0L))), s"got $got")
+    // lines the profile has never seen pass untouched — a NEW batch is
+    // stripped only of stored boilerplate
+    val fresh = Seq((9L, "FOOTER\nbrand new line")).toDF("doc_id", "text")
+    val f = Dedup.stripLinesAgainstProfile(fresh, s"$dir/p", 2L).head()
+    assert(f.getString(1) == "brand new line" && f.getLong(3) == 1L)
+    // a never-binding cap is the identity strip
+    val id = Dedup.stripLinesAgainstProfile(base, s"$dir/p", 1000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(id == base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    // tagged append: counts absorb; excludeBatchId = own tag reproduces
+    // the pre-append strip (the replay contract)
+    val batch = Seq((10L, "FOOTER\nbatch line"), (11L, "batch line\nz"))
+      .toDF("doc_id", "text")
+    Dedup.appendLineProfile(batch, s"$dir/p", batchId = Some(7L))
+    // after absorb, FOOTER's stored count is 4 — a cap of 3 now binds
+    assert(Dedup.stripLinesAgainstProfile(fresh, s"$dir/p", 3L)
+      .head().getLong(3) == 1L)
+    // but the batch's OWN tag excluded reads the pre-append state
+    assert(Dedup.stripLinesAgainstProfile(fresh, s"$dir/p", 3L,
+      excludeBatchId = Some(7L)).head().getLong(3) == 0L)
+    // compaction keeps tags: the exclusion read is unchanged
+    Dedup.compactLineProfile(spark, s"$dir/p")
+    assert(Dedup.stripLinesAgainstProfile(fresh, s"$dir/p", 3L,
+      excludeBatchId = Some(7L)).head().getLong(3) == 0L)
+    assert(Dedup.stripLinesAgainstProfile(fresh, s"$dir/p", 3L)
+      .head().getLong(3) == 1L)
+    // wrong-params probes fail loudly BEFORE any join or write
+    intercept[IllegalArgumentException](
+      Dedup.stripLinesAgainstProfile(base, s"$dir/p", 2L, sep = "\r\n"))
+    intercept[IllegalArgumentException](
+      Dedup.appendLineProfile(base, s"$dir/p", sep = "\r\n"))
+  }
+
   test("semantic index dims guard: cross-space probes fail loudly; legacy sidecars tolerated") {
     import org.apache.spark.sql.functions.expr
     val emb = Tables.embeddings(spark, sf("sf0.001")).filter($"vec_id" < 100)

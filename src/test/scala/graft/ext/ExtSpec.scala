@@ -550,6 +550,48 @@ class ExtSpec extends SparkSpec {
     fix.unpersist()
   }
 
+  test("sequence provenance explains every packed token, span by span") {
+    // lengths 5/10/3/2 (+eos each) over seqLen 8 force straddling docs
+    val toks = Seq(
+      (1L, (1L to 5L).toSeq), (2L, (11L to 20L).toSeq),
+      (3L, Seq(31L, 32L, 33L)), (4L, Seq(41L, 42L)))
+      .toDF("doc_id", "token_ids")
+    val packed = TextAnalysis.packTokenSequences(toks, seqLen = 8, shards = 1)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getSeq[Long](2), r.getSeq[Long](3)))).toMap
+    val prov = TextAnalysis.sequenceProvenance(toks, seqLen = 8, shards = 1)
+      .collect()
+    val idsWithEos = toks.collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1) :+ -1L)).toMap
+    // every provenance row's spans really hold that doc's tokens, the
+    // segment column matches segment_ids, and per-sequence piece
+    // lengths conserve n_tokens
+    prov.foreach { r =>
+      val (seqId, docId) = (r.getLong(1), r.getLong(2))
+      val (seg, seqSt, docSt, n) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      val (tokenIds, segmentIds) = packed(seqId)
+      assert(tokenIds.slice(seqSt.toInt, (seqSt + n).toInt) ==
+        idsWithEos(docId).slice(docSt.toInt, (docSt + n).toInt),
+        s"span mismatch for doc $docId in seq $seqId")
+      assert(segmentIds.slice(seqSt.toInt, (seqSt + n).toInt)
+        .forall(_ == seg), s"segment mismatch for doc $docId in seq $seqId")
+    }
+    val perSeq = prov.groupBy(_.getLong(1)).view
+      .mapValues(_.map(_.getLong(6)).sum).toMap
+    assert(perSeq == packed.view.mapValues(_._1.length.toLong).toMap)
+    // all four docs are attributable and the straddler spans two rows
+    assert(prov.map(_.getLong(2)).toSet == Set(1L, 2L, 3L, 4L))
+    // doc 2's eos-terminated 11 tokens sit at offsets 6..16 → pieces
+    // in sequences 0 (6-7), 1 (8-15) and 2 (16)
+    assert(prov.count(_.getLong(2) == 2L) == 3,
+      "the 11-token doc must contribute pieces to three sequences")
+    // partitioning independence (the layout is content-addressed)
+    val again = TextAnalysis.sequenceProvenance(toks.repartition(3),
+      seqLen = 8, shards = 1).collect().map(_.toSeq).toSet
+    assert(again == prov.map(_.toSeq).toSet)
+  }
+
   test("sequence utilization: hand-computed fill ratios per shard") {
     val packed = Seq(
       (0, 0L, 128L), (0, 1L, 128L), (0, 2L, 60L), // shard 0: 316/384
@@ -2599,6 +2641,67 @@ class ExtSpec extends SparkSpec {
       .head()
     assert(a == b)
     assert(a.getLong(1) + a.getLong(2) == docs.count())
+  }
+
+  test("score reliability: hand-computed deciles, tie order, partitioning independence") {
+    // 10 rows, 2 buckets: scores 1..10, labels = high half → a perfect
+    // score reads pos_rate 0.0 then 1.0 with the exact score ranges
+    val rows = (1 to 10).map(i => (i.toLong, i.toDouble, if (i > 5) 1L else 0L))
+    val r = TextAnalysis.scoreReliability(
+        rows.toDF("doc_id", "score", "y"), "score", "y", nBuckets = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4),
+          x.getDouble(5)))).toMap
+    assert(r == Map(0L -> ((5L, 0L, 0.0, 1.0, 5.0)),
+      1L -> ((5L, 5L, 1.0, 6.0, 10.0))), s"got $r")
+    // all-tied scores: rank order falls back to id — buckets stay
+    // equal-population, never merged
+    val tied = Seq((1L, 0.5, 1L), (2L, 0.5, 0L), (3L, 0.5, 1L), (4L, 0.5, 0L))
+    val t = TextAnalysis.scoreReliability(
+        tied.toDF("doc_id", "score", "y"), "score", "y", nBuckets = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(t == Map(0L -> 2L, 1L -> 2L))
+    // fixture: bucket populations differ by at most 1, cover the corpus,
+    // and the curve is partitioning-independent
+    val scored = TextAnalysis.qualityModelScores(docs)
+      .join(docs.select($"doc_id", ($"lang" === "en").cast("long").as("y")),
+        "doc_id")
+    val a = TextAnalysis.scoreReliability(scored, "quality_score", "y")
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.scoreReliability(scored.repartition(7),
+        "quality_score", "y").collect().map(_.toSeq).toSet
+    assert(a == b)
+    val pops = a.toSeq.map(s => s(1).asInstanceOf[Long])
+    assert(pops.sum == docs.count(),
+      s"every bucket must be distinct and the populations conserve: $a")
+    assert(pops.max - pops.min <= 1, s"rank deciles must be equal-population: $pops")
+  }
+
+  test("shard interleaving: hand-computed runs and the runs identity") {
+    // one shard, sources A A B B B A: runs AA|BBB|A → 3 runs, longest 3,
+    // adjacent-same = 6 − 3
+    val crafted = Seq(
+      (0L, 0L, 1L, "A"), (0L, 0L, 2L, "A"), (0L, 0L, 3L, "B"),
+      (0L, 0L, 4L, "B"), (0L, 0L, 5L, "B"), (0L, 0L, 6L, "A"),
+      (0L, 1L, 1L, "C"), (0L, 1L, 2L, "D"))
+      .toDF("epoch", "shard", "position", "source")
+    val got = Sampling.shardInterleaving(crafted, "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map((0L, 0L) -> ((6L, 3L, 3L, 3L)),
+      (0L, 1L) -> ((2L, 2L, 0L, 1L))), s"got $got")
+    // fixture: rows conserve, identity holds per shard, and the audit
+    // is partitioning-independent
+    val ord = Sampling.epochDataOrder(docs.select($"doc_id"), "doc_id",
+        nEpochs = 2, shards = 4)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+    val x = Sampling.shardInterleaving(ord, "source").collect()
+    assert(x.map(_.getLong(2)).sum == 2 * docs.count())
+    assert(x.forall(r => r.getLong(4) == r.getLong(2) - r.getLong(3)),
+      "n_adjacent_same must equal n_rows − n_runs")
+    val y = Sampling.shardInterleaving(ord.repartition(5), "source")
+      .collect().map(_.toSeq).toSet
+    assert(x.map(_.toSeq).toSet == y)
   }
 
   test("compression ratio: loops collapse, prose doesn't; chain floor gates identically") {

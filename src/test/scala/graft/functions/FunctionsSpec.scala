@@ -33,6 +33,51 @@ class FunctionsSpec extends SparkSpec {
     assert(a == fromRows)
   }
 
+  /** Straight-line winnowing reference: per-gram Horner hashes, one min
+    * per window (value-selected), distinct sorted. */
+  private def referenceWinnow(s: String, k: Int, w: Int): Seq[Long] = {
+    val bytes = s.getBytes("UTF-8")
+    if (bytes.length < k) return Seq.empty
+    val grams = (0 to bytes.length - k).map(i =>
+      bytes.slice(i, i + k).foldLeft(BigInt(0))((h, b) =>
+        (h * RollingHash.Base + (b & 0xFF)) mod BigInt(RollingHash.Mod)).toLong)
+    val eff = math.min(w, grams.length)
+    (0 to grams.length - eff).map(j => grams.slice(j, j + eff).min)
+      .distinct.sorted
+  }
+
+  test("winnow_fingerprints matches the straight-line reference; boundaries; the local guarantee") {
+    def kernel(s: String, k: Int, w: Int): Seq[Long] =
+      Seq(s).toDF("t")
+        .select(WinnowFingerprints.winnow_fingerprints($"t", k, w))
+        .head().getSeq[Long](0)
+    val samples = Seq("", "abc", "abcdefgh", "abcdefghij",
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaa", "x" * 5000)
+    for (s <- samples; (k, w) <- Seq((8, 4), (3, 2), (5, 16)))
+      assert(kernel(s, k, w) == referenceWinnow(s, k, w),
+        s"mismatch for '${s.take(20)}' k=$k w=$w")
+    // boundaries: < k bytes ⇒ empty; < w grams ⇒ the single global min
+    assert(kernel("abcdefg", 8, 4).isEmpty)
+    val short = kernel("abcdefghi", 8, 4) // 2 grams < w=4 ⇒ one window
+    assert(short.length == 1)
+    // the MOSS guarantee: a shared substring of length ≥ w + k − 1
+    // always yields a shared fingerprint, whatever surrounds it
+    val passage = "this passage is copied between two documents!"
+    val a = kernel(s"AAA unrelated prefix $passage zzz", 8, 4).toSet
+    val b = kernel(s"completely different wrapper: $passage (and more)", 8, 4).toSet
+    assert(a.intersect(b).nonEmpty,
+      "copied passage longer than w+k-1 must collide")
+    // fixture scan through whole-stage codegen = interpreted reference
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(50)
+    val viaScan = docs
+      .select($"doc_id", WinnowFingerprints.winnow_fingerprints($"text", 8, 4))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val ref = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> referenceWinnow(r.getString(1), 8, 4)).toMap
+    assert(viaScan == ref)
+  }
+
   test("text_chunks matches the higher-order slice formulation on all window shapes") {
     // the kernel replaced transform(sequence(...), slice) — pin exact
     // equivalence against that formulation across the shapes that differ:

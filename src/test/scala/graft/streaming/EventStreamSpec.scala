@@ -105,6 +105,47 @@ class EventStreamSpec extends SparkSpec {
     assert(after == Set(10L, 21L), s"got $after")
   }
 
+  test("winnow ingest stream: passage copies drop across batches, replay exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_winnow").toString
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeWinnowIndex(corpus, s"$dir/idx")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.ingestWinnowStream(mem.toDF(), s"$dir/idx",
+        s"$dir/accepted", s"$dir/ckpt", minJaccard = 0.3).start()
+      q.awaitTermination()
+    }
+    // batch 0: a new doc + a doc that COPIES A PASSAGE from the corpus
+    // doc without being an exact copy of it — exactly what the local
+    // fingerprint guarantee screens and a global sketch could miss
+    mem.addData(
+      IngestDoc(10L, "red orange yellow green blue indigo violet"),
+      IngestDoc(11L, "xx alpha beta gamma delta epsilon zeta eta theta"))
+    drain()
+    // crash window: side effects committed, checkpoint commit lost
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    val ids = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toList.sorted
+    assert(ids == List(10L),
+      s"exactly-once landing violated (dup or loss): $ids")
+    // a passage copy of the replayed SURVIVOR drops only because batch
+    // 0 grew the index; a genuinely new doc passes
+    mem.addData(
+      IngestDoc(20L, "zz red orange yellow green blue indigo violet"),
+      IngestDoc(21L, "cat dog bird fish horse cow sheep"))
+    drain()
+    val after = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == Set(10L, 21L), s"got $after")
+  }
+
   test("semantic ingest stream: a replayed micro-batch lands exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_sem_replay").toString
@@ -531,6 +572,50 @@ class EventStreamSpec extends SparkSpec {
       "a replayed absorb must not double-count")
     assert(viaProfile.getAs[Double]("js_divergence") ==
       exact.getAs[Double]("js_divergence"))
+  }
+
+  test("line-profile absorb stream strips against the pre-batch profile, exactly once under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_lines").toString
+    val base = Seq((1L, "FOOTER\na"), (2L, "FOOTER\nb"), (3L, "FOOTER\nc"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeLineProfile(base, s"$dir/prof")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.ingestLineProfileStream(mem.toDF(), s"$dir/prof",
+        s"$dir/clean", s"$dir/ckpt", maxOccurrences = 2L).start()
+      q.awaitTermination()
+    }
+    // batch 0: the STORED footer is cut (count 3 > 2), but the batch's
+    // own new hot line is NOT — the absorb happens after the strip and
+    // the strip excludes the batch's own tag
+    mem.addData(IngestDoc(10L, "FOOTER\nNEWHOT\nu1"),
+      IngestDoc(11L, "NEWHOT\nu2"), IngestDoc(12L, "NEWHOT\nu3"))
+    drain()
+    // crash window: strip + absorb committed, checkpoint commit lost
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain() // replay: same strip, byte-identical re-absorb
+    // batch 1: NEWHOT was absorbed (stored count 3 > 2) — cut now
+    mem.addData(IngestDoc(20L, "NEWHOT\nFOOTER\nfresh"))
+    drain()
+    val clean = spark.read.parquet(s"$dir/clean").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text"))
+      .toMap
+    assert(clean == Map(10L -> "NEWHOT\nu1", 11L -> "NEWHOT\nu2",
+      12L -> "NEWHOT\nu3", 20L -> "fresh"), s"got $clean")
+    // exactly once despite the replayed absorb: NEWHOT's stored count
+    // is 4 (3 from batch 0 counted ONCE + 1 from batch 1), not 7 — a
+    // cap of 4 must NOT cut it
+    val probe = Seq((99L, "NEWHOT\nok")).toDF("doc_id", "text")
+    assert(graft.ext.Dedup.stripLinesAgainstProfile(probe, s"$dir/prof",
+        4L).head().getString(1) == "NEWHOT\nok",
+      "a replayed absorb must not double-count")
+    assert(graft.ext.Dedup.stripLinesAgainstProfile(probe, s"$dir/prof",
+      2L).head().getString(1) == "ok")
   }
 
   test("reputation absorb stream records pre-batch priors, exactly once under replay") {
