@@ -185,6 +185,15 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         maxDf = Some(10), minJaccard = 0.5)
     }),
+    // curriculum/annealed sampling: per-lang keep rates interpolate
+    // 900→300‰ (en) and 600→100‰ (de) across three epochs, unknown
+    // buckets stay at 1000‰ — every decision exact LONG arithmetic on
+    // a per-epoch content-addressed draw, so the whole schedule hashes
+    "q129_annealed_sample" -> ((s, dir) =>
+      ext.Sampling.annealedSample(Tables.documents(s, dir), "doc_id",
+        "lang", nEpochs = 3,
+        startPermille = Seq("en" -> 900, "de" -> 600),
+        endPermille = Seq("en" -> 300, "de" -> 100))),
     // training-data ATTRIBUTION: every (sequence, segment) of the q94
     // layout mapped back to its doc + token span — computed on demand
     // from the content-addressed layout, never stored. Rows-only (BPE
@@ -2308,6 +2317,24 @@ object SparkEntry {
         |  CAST(SUM(len) - COUNT(*) AS BIGINT) AS n_adjacent_same,
         |  CAST(MAX(len) AS BIGINT) AS max_run_len
         |FROM l GROUP BY 1, 2""".stripMargin,
+    // the interpolation + keep rule restated: rate_e = (s·(2−e)+t·e)
+    // div 2 in permille, keep iff u32·1000 < rate·2^32 — all exact
+    "q129_annealed_sample" ->
+      """WITH e AS (SELECT doc_id, lang, epoch
+        |  FROM documents, (SELECT unnest(generate_series(0, 2)) AS epoch)),
+        |r AS (SELECT doc_id, lang, epoch,
+        |    (CASE lang WHEN 'en' THEN 900 WHEN 'de' THEN 600 ELSE 1000 END
+        |       * (2 - epoch)
+        |     + CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 100 ELSE 1000 END
+        |       * epoch) // 2 AS rate_permille
+        |  FROM e)
+        |SELECT doc_id, lang, epoch,
+        |  CAST(rate_permille AS BIGINT) AS rate_permille
+        |FROM r
+        |WHERE ('0x' || substr(md5('graft.anneal.v1' ||
+        |        CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),
+        |        1, 8))::BIGINT * 1000
+        |      < rate_permille * 4294967296""".stripMargin,
     // the crafted footers + the stored-count strip rule restated: hot
     // = occurrence count > 3 over the same frame the profile froze
     "q127_line_profile_strip" ->

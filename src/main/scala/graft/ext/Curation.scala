@@ -52,6 +52,13 @@ object Curation {
     *     after the scrub, before the quality gates — so gates score the
     *     text a model would actually see; `maxLineOccurrences` is its
     *     hot-line skew cap.
+    *   - `lineProfilePath` + `maxStoredLineOccurrences` (Option-paired):
+    *     strip lines whose count in the STORED boilerplate profile
+    *     ([[Dedup.writeLineProfile]]) exceeds the cap — the incremental
+    *     twin of `dedupLines` for boilerplate discovered over the
+    *     accumulated crawl; read-only artifact ⇒ stream-safe, so the
+    *     curation stream runs the same stage. Funnel row
+    *     `00ba_line_profile_strip`.
     *   - `normalizeForDedup`: exact dedup keys on
     *     [[TextAnalysis.normalizeText]] output instead of raw text, so
     *     trivial variants (case, whitespace runs) collapse; survivors
@@ -242,6 +249,8 @@ object Curation {
       dedupLines: Boolean = false,
       lineMinOccurrences: Int = 2,
       maxLineOccurrences: Option[Int] = None,
+      lineProfilePath: Option[String] = None,
+      maxStoredLineOccurrences: Option[Long] = None,
       normalizeForDedup: Boolean = false,
       dedupKeepLongest: Boolean = false,
       stripPassages: Boolean = false,
@@ -326,6 +335,11 @@ object Curation {
       "minCompressionRatio is a deflated/raw floor in (0, 1]")
     require(cfg.maxRedactionsPerDoc.isEmpty || cfg.redactPii,
       "maxRedactionsPerDoc gates the redaction stage — set redactPii=true to enable it")
+    require(cfg.lineProfilePath.isDefined ==
+        cfg.maxStoredLineOccurrences.isDefined,
+      "lineProfilePath and maxStoredLineOccurrences enable the stored " +
+        "boilerplate strip together (a path without a cap would " +
+        "silently strip nothing; a cap without a path has no artifact)")
     cfg.langSampleRates.values.foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"langSampleRates value out of [0, 1]: $r"))
     require(cfg.qualityModelWeights.forall(_.nonEmpty),
@@ -600,7 +614,25 @@ object Curation {
     * the default path's plan shape (and its pinned scan bounds) never
     * grows a cache step. */
   private def hygieneActive(cfg: Config): Boolean =
-    cfg.redactPii || cfg.filterLines || cfg.dedupLines || cfg.stripPassages
+    cfg.redactPii || cfg.filterLines || cfg.dedupLines ||
+      cfg.lineProfilePath.isDefined || cfg.stripPassages
+
+  /** The optional STORED-boilerplate strip ([[Dedup.stripLinesAgainstProfile]]
+    * under `Config.lineProfilePath` + `maxStoredLineOccurrences`) as a
+    * (doc_id, text) rewrite — identity (zero plan nodes) when the knobs
+    * are off. The artifact is READ-ONLY here, which is what makes the
+    * stage stream-safe (the LM-gate convention): `curationStream` runs
+    * it right after the stateless hygiene prefix, the batch chain after
+    * line dedup. Growing the profile belongs to
+    * [[graft.streaming.EventStream.ingestLineProfileStream]], never to
+    * the chain. */
+  private[graft] def lineProfileStrip(df: DataFrame, cfg: Config): DataFrame =
+    cfg.lineProfilePath match {
+      case Some(p) =>
+        Dedup.stripLinesAgainstProfile(df, p, cfg.maxStoredLineOccurrences.get)
+          .select(col("doc_id"), col("clean_text").as("text"))
+      case None => df
+    }
 
   /** The optional hygiene pre-stages as one (doc_id, text) rewrite:
     * PII scrub (+ saturation gate), then cross-document line dedup.
@@ -617,11 +649,12 @@ object Curation {
           maxLineOccurrences = cfg.maxLineOccurrences)
           .select(col("doc_id"), col("clean_text").as("text"))
       else ruleClean
+    val profClean = lineProfileStrip(lineClean, cfg)
     if (cfg.stripPassages)
-      Dedup.stripDuplicatePassages(lineClean, cfg.passageWindowTokens,
+      Dedup.stripDuplicatePassages(profClean, cfg.passageWindowTokens,
           cfg.maxPassageOccurrences)
         .select(col("doc_id"), col("clean_text").as("text"))
-    else lineClean
+    else profClean
   }
 
   /** The hygiene ladder's STATELESS prefix — PII scrub (+ saturation
@@ -884,14 +917,22 @@ object Curation {
       hygieneRows += (("00b_line_dedup", ld.count()))
       ld
     } else ruleClean
+    // 00ba: sorts between 00b and 00c ('_' 0x5F < 'a' 0x61 puts
+    // 00b_... before 00ba_...)
+    val profClean = if (cfg.lineProfilePath.isDefined) {
+      val pc = lineProfileStrip(lineClean, cfg).persist()
+      hygieneCached += pc
+      hygieneRows += (("00ba_line_profile_strip", pc.count()))
+      pc
+    } else lineClean
     val passageClean = if (cfg.stripPassages) {
-      val ps = Dedup.stripDuplicatePassages(lineClean, cfg.passageWindowTokens,
+      val ps = Dedup.stripDuplicatePassages(profClean, cfg.passageWindowTokens,
           cfg.maxPassageOccurrences)
         .select(col("doc_id"), col("clean_text").as("text")).persist()
       hygieneCached += ps
       hygieneRows += (("00c_passage_strip", ps.count()))
       ps
-    } else lineClean
+    } else profClean
     val flaggedBase = passageClean
       .withColumn("f_tokens",
         (size(split(col("text"), " ")) >= cfg.minTokens).cast("long"))

@@ -722,6 +722,60 @@ object Sampling {
         .cast("long"))
   }
 
+  /** Annealed (curriculum) sampling: per-bucket keep rates that
+    * interpolate LINEARLY from `startPermille` (epoch 0) to
+    * `endPermille` (the last epoch), decided per (doc, epoch) by a
+    * fresh content-addressed draw — the data-curriculum move (broad
+    * early epochs, focused late epochs: e.g. anneal low-quality
+    * buckets from 1000‰ down to 100‰ so the model sees breadth first
+    * and quality last) with zero RNG state. Everything is exact LONG
+    * arithmetic: rate_e = (start·(E−1−e) + end·e) div (E−1) in
+    * permille (floor-div, documented), keep iff u32·1000 <
+    * rate_e·2³² — bit-identical cross-engine (oracle-hashed, q129).
+    * Buckets absent from a map fall back to 1000‰ on that side (the
+    * unknown-passes convention). The draw is salted per EPOCH (the
+    * [[epochDataOrder]] discipline), so epochs resample independently
+    * rather than nesting.
+    *
+    * Output: one row per KEPT (doc, epoch) with the applied
+    * `rate_permille`; compose with [[epochDataOrder]] to order what
+    * survived.
+    *
+    * Scale notes (100 TB): a codegen'd CASE projection + filter next
+    * to the scan, one row per kept epoch-copy — no shuffle, no state;
+    * buckets are enum-sized (languages, quality deciles) so the CASE
+    * chains are literal. */
+  def annealedSample(df: DataFrame, idCol: String, bucketCol: String,
+                     nEpochs: Int,
+                     startPermille: Seq[(String, Int)],
+                     endPermille: Seq[(String, Int)],
+                     salt: String = "graft.anneal.v1"): DataFrame = {
+    require(nEpochs >= 1, "nEpochs must be >= 1")
+    (startPermille ++ endPermille).foreach { case (b, r) =>
+      require(r >= 0 && r <= 1000, s"permille rate out of [0, 1000]: $b -> $r")
+    }
+    def rateCase(rates: Seq[(String, Int)]): Column =
+      rates.foldLeft(lit(1000L)) { case (acc, (b, r)) =>
+        when(col(bucketCol) === b, lit(r.toLong)).otherwise(acc)
+      }
+    val u32 = conv(substring(md5(concat(lit(salt),
+        col("epoch").cast("string"), lit(":"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val withRate = df
+      .select(col(idCol), col(bucketCol),
+        explode(sequence(lit(0L), lit(nEpochs - 1L))).as("epoch"))
+      .withColumn("_s", rateCase(startPermille))
+      .withColumn("_e", rateCase(endPermille))
+      .withColumn("rate_permille",
+        if (nEpochs == 1) col("_s")
+        else expr(s"(_s * (${nEpochs - 1} - epoch) + _e * epoch) " +
+          s"div ${nEpochs - 1}"))
+    withRate
+      .filter(u32 * 1000L < col("rate_permille") * lit(4294967296L))
+      .select(col(idCol), col(bucketCol), col("epoch"),
+        col("rate_permille"))
+  }
+
   /** Shard interleaving audit — "how well mixed is each training
     * shard?": per (epoch, shard), the count of adjacent same-`sourceCol`
     * pairs, the number of contiguous same-source runs, and the longest

@@ -544,11 +544,15 @@ object EventStream {
           // the optional source-reputation gate follows the stateless
           // gates, sourcing (doc_id, source) from the raw batch (the
           // hygiene frame dropped the source column); read-only
-          // artifact ⇒ deterministic per batch, no tags needed
+          // artifact ⇒ deterministic per batch, no tags needed. The
+          // stored-boilerplate strip (also a read-only artifact) runs
+          // right after the stateless prefix — the stream twin of the
+          // batch chain's 00ba stage
           val gated = graft.ext.Curation.sourceGate(
             graft.ext.Curation.streamingGates(
-              graft.ext.Curation.statelessHygiene(batch, cfg), cfg),
-            cfg, batch)
+              graft.ext.Curation.lineProfileStrip(
+                graft.ext.Curation.statelessHygiene(batch, cfg), cfg),
+              cfg), cfg, batch)
           graft.ext.Dedup.ingestDedupBatch(batch.sparkSession, gated,
             minhashIndexPath, batchId = Some(batchId),
             accept = { survivors =>

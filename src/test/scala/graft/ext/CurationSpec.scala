@@ -852,6 +852,54 @@ class CurationSpec extends SparkSpec {
       cfg.copy(minLmLogProb = Some(-1.0))))
   }
 
+  test("stored boilerplate strip slots into the hygiene ladder with its funnel row") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_lineprof").toString
+    // plant a hot footer on a third of the corpus (the fixture is
+    // one-line docs) plus one ALL-boilerplate doc; freeze the profile
+    // over the SAME planted frame
+    val footer = "All rights reserved."
+    val planted = corpus.select($"doc_id", $"text", $"lang", $"source")
+      .withColumn("text", when($"doc_id" % 3 === 0,
+        concat($"text", lit("\n" + footer))).otherwise($"text"))
+      .unionByName(Seq((999999L, footer)).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("web")))
+    Dedup.writeLineProfile(planted, s"$dir/p")
+    // never-binding cap ≡ the default chain (split+rejoin is identity)
+    val base = Curation.curate(planted, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    val never = Curation.curate(planted, benchmark,
+        cfg.copy(lineProfilePath = Some(s"$dir/p"),
+          maxStoredLineOccurrences = Some(Long.MaxValue)))
+      .collect().map(_.toSeq).toSet
+    assert(never == base,
+      "a never-binding stored-line cap must reproduce the default chain")
+    // binding: the all-footer doc strips to nothing and drops AT the
+    // 00ba stage — its count is exactly input − 1
+    val gcfg = cfg.copy(lineProfilePath = Some(s"$dir/p"),
+      maxStoredLineOccurrences = Some(3L))
+    val funnel = Curation.curationFunnel(planted, benchmark, gcfg)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val stages = funnel.map(_._1).toSeq
+    assert(stages.contains("00ba_line_profile_strip"), stages.mkString(", "))
+    assert(stages.sorted == stages,
+      s"stage labels must sort into chain order: $stages")
+    assert(funnel.toMap.apply("00ba_line_profile_strip") ==
+      planted.count() - 1,
+      "exactly the all-boilerplate doc must strip to nothing")
+    funnel.sliding(2).foreach { case Array((sa, na), (sb, nb)) =>
+      assert(nb <= na, s"funnel not monotone: $sa=$na -> $sb=$nb") }
+    assert(funnel.last._2 ==
+      Curation.curate(planted, benchmark, gcfg).count())
+    assert(!Curation.curate(planted, benchmark, gcfg)
+      .collect().map(_.getLong(0)).contains(999999L))
+    // config guards: each knob requires the other
+    intercept[IllegalArgumentException](Curation.curate(planted, benchmark,
+      cfg.copy(lineProfilePath = Some(s"$dir/p"))))
+    intercept[IllegalArgumentException](Curation.curate(planted, benchmark,
+      cfg.copy(maxStoredLineOccurrences = Some(3L))))
+  }
+
   test("gate attribution: first-fail verdicts agree with the gate filter") {
     val cfgA = Curation.Config(keepLangs = Seq("en"))
     val crafted = Seq(

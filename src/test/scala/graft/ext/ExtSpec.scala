@@ -2677,6 +2677,49 @@ class ExtSpec extends SparkSpec {
     assert(pops.max - pops.min <= 1, s"rank deciles must be equal-population: $pops")
   }
 
+  test("annealed sample: exact schedule, rate monotonicity, per-epoch independence") {
+    val d = docs.select($"doc_id", $"lang")
+    // 1000→0 over three epochs: the schedule is exactly 1000/500/0 —
+    // epoch 0 keeps everything, epoch 2 keeps nothing
+    val s = Sampling.annealedSample(d, "doc_id", "lang", nEpochs = 3,
+      startPermille = Seq("en" -> 1000), endPermille = Seq("en" -> 0))
+      .filter($"lang" === "en").cache()
+    val en = docs.filter($"lang" === "en").count()
+    assert(en > 20, "fixture sanity")
+    val byEpoch = s.groupBy($"epoch").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byEpoch(0L) == en && !byEpoch.contains(2L), s"got $byEpoch")
+    assert(byEpoch(1L) > 0 && byEpoch(1L) < en,
+      s"the 500 permille epoch must keep a strict subset: $byEpoch")
+    val rates = s.select($"epoch", $"rate_permille").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rates == Map(0L -> 1000L, 1L -> 500L), s"got $rates")
+    // within an epoch the draw is shared: a higher rate keeps a
+    // superset (u32 is rate-independent)
+    def kept(rate: Int): Set[Long] =
+      Sampling.annealedSample(d, "doc_id", "lang", nEpochs = 1,
+        startPermille = Seq("en" -> rate), endPermille = Seq("en" -> rate))
+        .filter($"lang" === "en" && $"epoch" === 0)
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(300).subsetOf(kept(800)))
+    // unknown buckets fall back to 1000 permille — never silently cut
+    val other = Sampling.annealedSample(d, "doc_id", "lang", nEpochs = 2,
+        startPermille = Seq("en" -> 0), endPermille = Seq("en" -> 0))
+      .filter($"lang" =!= "en")
+    assert(other.count() == 2 * (docs.count() - en))
+    // consecutive epochs draw INDEPENDENTLY (fresh salt per epoch):
+    // at 500 permille the two epochs' keep sets must differ
+    val half = Sampling.annealedSample(d, "doc_id", "lang", nEpochs = 2,
+      startPermille = Seq("en" -> 500), endPermille = Seq("en" -> 500))
+      .filter($"lang" === "en")
+    val e0 = half.filter($"epoch" === 0).select("doc_id").as[Long].collect().toSet
+    val e1 = half.filter($"epoch" === 1).select("doc_id").as[Long].collect().toSet
+    assert(e0 != e1, "epochs must resample, not nest")
+    intercept[IllegalArgumentException](Sampling.annealedSample(d, "doc_id",
+      "lang", 2, Seq("en" -> 1001), Seq("en" -> 0)))
+    s.unpersist()
+  }
+
   test("shard interleaving: hand-computed runs and the runs identity") {
     // one shard, sources A A B B B A: runs AA|BBB|A → 3 runs, longest 3,
     // adjacent-same = 6 − 3

@@ -287,6 +287,38 @@ class EventStreamSpec extends SparkSpec {
     assert(accepted == Set(13L, 22L), s"got $accepted")
   }
 
+  test("curation stream strips stored boilerplate before the gates") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_lineprof").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeMinhashIndex(corpus, s"$dir/idx")
+    val bench = Seq(
+      (1L, "benchmark secret question about ancient rome history facts"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeBloomIndex(bench, s"$dir/sketch")
+    val footer = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    graft.ext.Dedup.writeLineProfile(
+      Seq((1L, s"a\n$footer"), (2L, s"b\n$footer"), (3L, s"c\n$footer"))
+        .toDF("doc_id", "text"), s"$dir/lines")
+    val cfg = graft.ext.Curation.Config(minTokens = 5,
+      lineProfilePath = Some(s"$dir/lines"),
+      maxStoredLineOccurrences = Some(2L))
+    val mem = MemoryStream[IngestDoc]
+    val body = "a perfectly clean and useful training document about pasta"
+    mem.addData(IngestDoc(10L, s"$body\n$footer"))
+    val q = EventStream.curationStream(mem.toDF(), s"$dir/idx",
+      s"$dir/sketch", s"$dir/accepted", s"$dir/ckpt", cfg).start()
+    q.awaitTermination()
+    val landed = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(landed == Map(10L -> body),
+      s"the stored footer must be stripped before landing: $landed")
+  }
+
   test("curation stream cuts low-reputation sources via the stored profile") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files
