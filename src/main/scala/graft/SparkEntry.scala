@@ -647,6 +647,22 @@ object SparkEntry {
       ext.Sampling.realizeMixtureAllocation(toks, "lang", "doc_id", "n_tok",
         alloc)
     }),
+    // q84's planner under the data-constrained-scaling rule: a group
+    // may be planned for MORE tokens than it has (epoch repetition) but
+    // never past 2.5 epochs' worth — with the budget above total
+    // availability the cap genuinely binds (four langs saturate AT
+    // capacity, epochs_permille ≈ 2500; en absorbs the rest under one
+    // repeat). Same exact-long water-fill, capacity-shaped
+    "q130_mixture_repeat_capped" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      ext.Sampling.mixtureAllocationRepeatCapped(
+        Tables.documents(s, dir).select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "lang", "n_tok",
+        weights = Seq("en" -> 1L, "de" -> 4L, "es" -> 3L, "fr" -> 2L,
+          "zh" -> 5L),
+        totalBudget = 60000L, repeatCapPermille = 2500L)
+    }),
     // north-star observability: per-segment NOVELTY of an arriving
     // batch against a STORED HLL cardinality profile — how many new
     // unique users each event segment brings, without re-scanning the
@@ -2202,6 +2218,53 @@ object SparkEntry {
         |  alloc_tokens / avail_tokens AS rate,
         |  CAST(sat AS INT) AS saturated
         |FROM alloc""".stripMargin),
+    // q130: the q84 solve against capacity = avail × 2500‰ div 1000 —
+    // saturation, allocation and the planned repeat factor are all
+    // BIGINT arithmetic (`//` on non-negatives ≡ Spark `div`)
+    "q130_mixture_repeat_capped" ->
+      """WITH avail AS (SELECT lang,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |w(lang, weight) AS (VALUES ('en', CAST(1 AS BIGINT)), ('de', 4),
+        |                           ('es', 3), ('fr', 2), ('zh', 5)),
+        |j AS (SELECT a.lang, a.avail_tokens,
+        |        CAST(a.avail_tokens * 2500 // 1000 AS BIGINT) AS cap,
+        |        w.weight
+        |      FROM avail a JOIN w USING (lang)),
+        |o AS (SELECT *,
+        |        COALESCE(SUM(cap) OVER win_b, 0) AS cum_c,
+        |        COALESCE(SUM(weight) OVER win_b, 0) AS cum_w,
+        |        SUM(weight) OVER () AS tot_w
+        |      FROM j
+        |      WINDOW win_b AS (
+        |        ORDER BY CASE WHEN weight > 0 THEN 0 ELSE 1 END,
+        |                 CASE WHEN weight > 0
+        |                      THEN cap * 1.0 / weight ELSE 0 END,
+        |                 lang
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s AS (SELECT *, CASE WHEN (weight > 0 OR cap = 0)
+        |          AND weight * (60000 - cum_c) >=
+        |            cap * (tot_w - cum_w) THEN 1 ELSE 0 END AS sat
+        |      FROM o),
+        |t AS (SELECT *,
+        |        COALESCE(SUM(CASE WHEN sat = 1 THEN cap END)
+        |          OVER (), 0) AS c_sat,
+        |        COALESCE(SUM(CASE WHEN sat = 0 THEN weight END)
+        |          OVER (), 0) AS w_unsat
+        |      FROM s),
+        |alloc AS (SELECT *,
+        |        CAST(CASE WHEN sat = 1 THEN cap
+        |             WHEN w_unsat = 0 THEN 0
+        |             ELSE weight * (60000 - c_sat) // w_unsat
+        |             END AS BIGINT) AS alloc_tokens
+        |      FROM t)
+        |SELECT lang, avail_tokens, cap AS capacity_tokens, weight,
+        |  alloc_tokens,
+        |  CAST(CASE WHEN avail_tokens = 0 THEN 0
+        |       ELSE alloc_tokens * 1000 // avail_tokens END AS BIGINT)
+        |    AS epochs_permille,
+        |  CAST(sat AS INT) AS saturated
+        |FROM alloc""".stripMargin,
     // q86 composes the SAME allocation CTEs (factored, never copied)
     // with q45's hash-ordered running-sum selection, per-group budget —
     // the oracle restates plan AND realization end to end

@@ -338,43 +338,104 @@ object Sampling {
       "duplicate group in weights")
     weights.foreach { case (g, w) => require(w >= 0, s"negative weight: $g") }
     require(weights.exists(_._2 > 0), "need at least one positive weight")
+    val joined = availWithWeights(df, groupCol, tokenCol, weights)
+      .withColumn("_cap", col("avail_tokens"))
+    waterFill(joined, groupCol, totalBudget)
+      .select(col(groupCol), col("avail_tokens"), col("weight"),
+        col("alloc_tokens"),
+        (col("alloc_tokens").cast("double") /
+          col("avail_tokens")).as("rate"),
+        col("_sat").cast("int").as("saturated"))
+  }
+
+  /** Per-group availability joined to the (broadcast, enum-sized)
+    * target-weight relation — the shared head of the mixture planners. */
+  private def availWithWeights(df: DataFrame, groupCol: String,
+                               tokenCol: String,
+                               weights: Seq[(String, Long)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val avail = df.groupBy(col(groupCol))
+    df.groupBy(col(groupCol))
       .agg(sum(col(tokenCol)).cast("long").as("avail_tokens"))
-    val joined = avail.join(broadcast(weights.toDF(groupCol, "weight")),
-      Seq(groupCol))
+      .join(broadcast(weights.toDF(groupCol, "weight")), Seq(groupCol))
+  }
+
+  /** The water-filling core shared by [[mixtureAllocation]] (capacity =
+    * availability) and [[mixtureAllocationRepeatCapped]] (capacity =
+    * availability × repeat cap): sorted-prefix saturation over a `_cap`
+    * column, all decisions exact LONG arithmetic. Input needs
+    * (`groupCol`, `avail_tokens`, `weight`, `_cap`); adds
+    * `alloc_tokens` + `_sat`. The unpartitioned windows run on
+    * |groups| rows (enum-sized — the documented bounded case). */
+  private def waterFill(joined: DataFrame, groupCol: String,
+                        totalBudget: Long): DataFrame = {
     val ord = Seq(
       when(col("weight") > 0, lit(0)).otherwise(lit(1)),
       when(col("weight") > 0,
-        col("avail_tokens").cast("double") / col("weight")).otherwise(lit(0.0)),
+        col("_cap").cast("double") / col("weight")).otherwise(lit(0.0)),
       col(groupCol))
     val before = Window.orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val whole = Window.orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     joined
-      .withColumn("_cum_a",
-        coalesce(sum(col("avail_tokens")).over(before), lit(0L)))
+      .withColumn("_cum_a", coalesce(sum(col("_cap")).over(before), lit(0L)))
       .withColumn("_cum_w", coalesce(sum(col("weight")).over(before), lit(0L)))
       .withColumn("_tot_w", sum(col("weight")).over(whole))
       .withColumn("_sat", // zero-weight groups never saturate supply
-        (col("weight") > 0 || col("avail_tokens") === 0) &&
+        (col("weight") > 0 || col("_cap") === 0) &&
           col("weight") * (lit(totalBudget) - col("_cum_a")) >=
-            col("avail_tokens") * (col("_tot_w") - col("_cum_w")))
+            col("_cap") * (col("_tot_w") - col("_cum_w")))
       .withColumn("_a_sat", coalesce(
-        sum(when(col("_sat"), col("avail_tokens"))).over(whole), lit(0L)))
+        sum(when(col("_sat"), col("_cap"))).over(whole), lit(0L)))
       .withColumn("_w_unsat", coalesce(
         sum(when(!col("_sat"), col("weight"))).over(whole), lit(0L)))
       .withColumn("alloc_tokens",
-        when(col("_sat"), col("avail_tokens"))
+        when(col("_sat"), col("_cap"))
           .when(col("_w_unsat") === 0, lit(0L))
           .otherwise(expr(
             s"weight * (${totalBudget}L - _a_sat) div _w_unsat")))
-      .select(col(groupCol), col("avail_tokens"), col("weight"),
+  }
+
+  /** Repeat-capped mixture allocation — [[mixtureAllocation]] with the
+    * data-constrained-scaling rule (Muennighoff et al., "Scaling
+    * Data-Constrained Language Models"): a group may be allocated MORE
+    * tokens than it has (the trainer repeats it across epochs), but
+    * never more than `repeatCapPermille`/1000 epochs' worth — past
+    * ~4 epochs repeated data stops helping, so the planner water-fills
+    * toward the target weights against capacity = avail ×
+    * cap‰ div 1000 instead of raw availability. Output adds
+    * `capacity_tokens` and `epochs_permille` (= alloc·1000 div avail,
+    * the repeat factor actually planned; 0 for an empty group).
+    * Every decision is exact LONG arithmetic ⇒ oracle-hashed (q130).
+    * Overflow bound: avail × cap‰ < 2⁶³ holds to ~10¹⁵ tokens per
+    * group at the 4000‰ default-scale cap.
+    *
+    * Scale notes (100 TB): identical shape to [[mixtureAllocation]] —
+    * one map-side-combined aggregate, then enum-sized rows; the
+    * unpartitioned windows are bounded by |groups|. */
+  def mixtureAllocationRepeatCapped(df: DataFrame, groupCol: String,
+                                    tokenCol: String,
+                                    weights: Seq[(String, Long)],
+                                    totalBudget: Long,
+                                    repeatCapPermille: Long): DataFrame = {
+    require(totalBudget >= 0, "budget must be >= 0")
+    require(repeatCapPermille >= 0, "repeatCapPermille must be >= 0")
+    require(weights.nonEmpty, "need at least one target weight")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate group in weights")
+    weights.foreach { case (g, w) => require(w >= 0, s"negative weight: $g") }
+    require(weights.exists(_._2 > 0), "need at least one positive weight")
+    val joined = availWithWeights(df, groupCol, tokenCol, weights)
+      .withColumn("_cap",
+        expr(s"avail_tokens * ${repeatCapPermille}L div 1000"))
+    waterFill(joined, groupCol, totalBudget)
+      .select(col(groupCol), col("avail_tokens"),
+        col("_cap").as("capacity_tokens"), col("weight"),
         col("alloc_tokens"),
-        (col("alloc_tokens").cast("double") /
-          col("avail_tokens")).as("rate"),
+        when(col("avail_tokens") === 0, lit(0L))
+          .otherwise(expr("alloc_tokens * 1000 div avail_tokens"))
+          .as("epochs_permille"),
         col("_sat").cast("int").as("saturated"))
   }
 

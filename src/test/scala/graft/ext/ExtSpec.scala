@@ -2515,6 +2515,55 @@ class ExtSpec extends SparkSpec {
       "q84's config should exercise both branches at sf0.001")
   }
 
+  test("repeat-capped mixture: hand-computed case, cap bound, 1000 permille identity") {
+    // A avail 100 w 1, B avail 10 w 1, budget 60, cap 2000 permille:
+    // capacities 200/20; B saturates AT capacity (2 epochs of B), A
+    // absorbs the remaining 40 under one repeat (400 permille)
+    val df = Seq(("A", 100L), ("B", 10L)).toDF("g", "n_tok")
+    val got = Sampling.mixtureAllocationRepeatCapped(df, "g", "n_tok",
+        Seq("A" -> 1L, "B" -> 1L), totalBudget = 60L,
+        repeatCapPermille = 2000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("capacity_tokens"), r.getAs[Long]("alloc_tokens"),
+          r.getAs[Long]("epochs_permille"),
+          r.getAs[Int]("saturated")))).toMap
+    assert(got == Map(
+      "A" -> ((200L, 40L, 400L, 0)),
+      "B" -> ((20L, 20L, 2000L, 1))), s"got $got")
+    // a 1000 permille cap IS plain availability: the op must reproduce
+    // mixtureAllocation's solve exactly (shared water-fill core)
+    val toks = docs.select($"lang",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    val weights = Seq("en" -> 1L, "de" -> 4L, "es" -> 3L, "fr" -> 2L,
+      "zh" -> 5L)
+    val plain = Sampling.mixtureAllocation(toks, "lang", "n_tok", weights,
+        20000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("alloc_tokens"), r.getAs[Int]("saturated")))).toMap
+    val capped1000 = Sampling.mixtureAllocationRepeatCapped(toks, "lang",
+        "n_tok", weights, 20000L, repeatCapPermille = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("alloc_tokens"), r.getAs[Int]("saturated")))).toMap
+    assert(capped1000 == plain)
+    // q130's fixture config: the cap genuinely binds (some group plans
+    // >1000 permille epochs) and the budget splits the saturation set
+    val fx = Sampling.mixtureAllocationRepeatCapped(toks, "lang", "n_tok",
+      weights, totalBudget = 60000L, repeatCapPermille = 2500L).collect()
+    fx.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("capacity_tokens"))
+      assert(r.getAs[Long]("epochs_permille") <= 2500L,
+        "floor arithmetic keeps the planned repeat factor under the cap")
+    }
+    assert(fx.map(_.getAs[Long]("alloc_tokens")).sum <= 60000L)
+    assert(fx.exists(_.getAs[Long]("epochs_permille") > 1000L),
+      "the repeat allowance must actually be used at this budget")
+    assert(fx.exists(_.getAs[Int]("saturated") == 0),
+      "en must stay unsaturated at 2500 permille")
+    intercept[IllegalArgumentException](
+      Sampling.mixtureAllocationRepeatCapped(df, "g", "n_tok",
+        Seq("A" -> 1L), 10L, repeatCapPermille = -1L))
+  }
+
   test("realized mixture keeps each group's hash-order prefix to its own budget") {
     val toks = docs.select($"doc_id", $"lang",
       size(split($"text", " ")).cast("long").as("n_tok"))
