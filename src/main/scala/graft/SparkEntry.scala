@@ -663,6 +663,23 @@ object SparkEntry {
           "zh" -> 5L),
         totalBudget = 60000L, repeatCapPermille = 2500L)
     }),
+    // q130's plan REALIZED: the epoch-repeated document selection —
+    // every doc of a repeated group once per full epoch, the remainder
+    // as the q45 hash-ordered prefix at epoch = full. At this config
+    // four langs genuinely repeat (epochs 0..2), so the oracle's
+    // generate_series replication is exercised, not vacuous
+    "q131_mixture_realized_repeats" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      val toks = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val alloc = ext.Sampling.mixtureAllocationRepeatCapped(
+        toks.select(col("lang"), col("n_tok")), "lang", "n_tok",
+        weights = Seq("en" -> 1L, "de" -> 4L, "es" -> 3L, "fr" -> 2L,
+          "zh" -> 5L),
+        totalBudget = 60000L, repeatCapPermille = 2500L)
+      ext.Sampling.realizeMixtureAllocationWithRepeats(toks, "lang",
+        "doc_id", "n_tok", alloc)
+    }),
     // north-star observability: per-segment NOVELTY of an arriving
     // batch against a STORED HLL cardinality profile — how many new
     // unique users each event segment brings, without re-scanning the
@@ -1535,6 +1552,48 @@ object SparkEntry {
       |             END AS BIGINT) AS alloc_tokens
       |      FROM t)""".stripMargin
 
+  /** The q130 solve — [[MixtureAllocationCtes]] against capacity =
+    * avail × 2500‰ div 1000 (budget 60000). q131 composes these SAME
+    * CTEs with the epoch replication + remainder prefix (the factored,
+    * never copied rule). */
+  private val MixtureRepeatCappedCtes =
+    """WITH avail AS (SELECT lang,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+      |  FROM documents GROUP BY 1),
+      |w(lang, weight) AS (VALUES ('en', CAST(1 AS BIGINT)), ('de', 4),
+      |                           ('es', 3), ('fr', 2), ('zh', 5)),
+      |j AS (SELECT a.lang, a.avail_tokens,
+      |        CAST(a.avail_tokens * 2500 // 1000 AS BIGINT) AS cap,
+      |        w.weight
+      |      FROM avail a JOIN w USING (lang)),
+      |o AS (SELECT *,
+      |        COALESCE(SUM(cap) OVER win_b, 0) AS cum_c,
+      |        COALESCE(SUM(weight) OVER win_b, 0) AS cum_w,
+      |        SUM(weight) OVER () AS tot_w
+      |      FROM j
+      |      WINDOW win_b AS (
+      |        ORDER BY CASE WHEN weight > 0 THEN 0 ELSE 1 END,
+      |                 CASE WHEN weight > 0
+      |                      THEN cap * 1.0 / weight ELSE 0 END,
+      |                 lang
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |s AS (SELECT *, CASE WHEN (weight > 0 OR cap = 0)
+      |          AND weight * (60000 - cum_c) >=
+      |            cap * (tot_w - cum_w) THEN 1 ELSE 0 END AS sat
+      |      FROM o),
+      |t AS (SELECT *,
+      |        COALESCE(SUM(CASE WHEN sat = 1 THEN cap END)
+      |          OVER (), 0) AS c_sat,
+      |        COALESCE(SUM(CASE WHEN sat = 0 THEN weight END)
+      |          OVER (), 0) AS w_unsat
+      |      FROM s),
+      |alloc AS (SELECT *,
+      |        CAST(CASE WHEN sat = 1 THEN cap
+      |             WHEN w_unsat = 0 THEN 0
+      |             ELSE weight * (60000 - c_sat) // w_unsat
+      |             END AS BIGINT) AS alloc_tokens
+      |      FROM t)""".stripMargin
+
   /** q92's full drift SQL; q93 (the stored-profile route) hashes it
     * VERBATIM — the stored/live equality claim (the q77≡q70 rule).
     * Cosine of per-label SUM vectors (scale invariance: ≡ cosine of
@@ -2221,50 +2280,45 @@ object SparkEntry {
     // q130: the q84 solve against capacity = avail × 2500‰ div 1000 —
     // saturation, allocation and the planned repeat factor are all
     // BIGINT arithmetic (`//` on non-negatives ≡ Spark `div`)
-    "q130_mixture_repeat_capped" ->
-      """WITH avail AS (SELECT lang,
-        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
-        |  FROM documents GROUP BY 1),
-        |w(lang, weight) AS (VALUES ('en', CAST(1 AS BIGINT)), ('de', 4),
-        |                           ('es', 3), ('fr', 2), ('zh', 5)),
-        |j AS (SELECT a.lang, a.avail_tokens,
-        |        CAST(a.avail_tokens * 2500 // 1000 AS BIGINT) AS cap,
-        |        w.weight
-        |      FROM avail a JOIN w USING (lang)),
-        |o AS (SELECT *,
-        |        COALESCE(SUM(cap) OVER win_b, 0) AS cum_c,
-        |        COALESCE(SUM(weight) OVER win_b, 0) AS cum_w,
-        |        SUM(weight) OVER () AS tot_w
-        |      FROM j
-        |      WINDOW win_b AS (
-        |        ORDER BY CASE WHEN weight > 0 THEN 0 ELSE 1 END,
-        |                 CASE WHEN weight > 0
-        |                      THEN cap * 1.0 / weight ELSE 0 END,
-        |                 lang
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-        |s AS (SELECT *, CASE WHEN (weight > 0 OR cap = 0)
-        |          AND weight * (60000 - cum_c) >=
-        |            cap * (tot_w - cum_w) THEN 1 ELSE 0 END AS sat
-        |      FROM o),
-        |t AS (SELECT *,
-        |        COALESCE(SUM(CASE WHEN sat = 1 THEN cap END)
-        |          OVER (), 0) AS c_sat,
-        |        COALESCE(SUM(CASE WHEN sat = 0 THEN weight END)
-        |          OVER (), 0) AS w_unsat
-        |      FROM s),
-        |alloc AS (SELECT *,
-        |        CAST(CASE WHEN sat = 1 THEN cap
-        |             WHEN w_unsat = 0 THEN 0
-        |             ELSE weight * (60000 - c_sat) // w_unsat
-        |             END AS BIGINT) AS alloc_tokens
-        |      FROM t)
+    "q130_mixture_repeat_capped" -> (MixtureRepeatCappedCtes +
+      """
         |SELECT lang, avail_tokens, cap AS capacity_tokens, weight,
         |  alloc_tokens,
         |  CAST(CASE WHEN avail_tokens = 0 THEN 0
         |       ELSE alloc_tokens * 1000 // avail_tokens END AS BIGINT)
         |    AS epochs_permille,
         |  CAST(sat AS INT) AS saturated
-        |FROM alloc""".stripMargin,
+        |FROM alloc""".stripMargin),
+    // q131 composes the SAME repeat-capped CTEs with the realization:
+    // full epochs replicate every group doc alloc div avail times
+    // (generate_series is empty for full_ep = 0 — DuckDB's inclusive
+    // range with start > stop), the remainder is q45's hash-ordered
+    // prefix at epoch = full_ep; epoch is BIGINT both engines
+    "q131_mixture_realized_repeats" -> (MixtureRepeatCappedCtes +
+      """,
+        |r2 AS (SELECT lang,
+        |         CASE WHEN avail_tokens > 0
+        |              THEN alloc_tokens // avail_tokens ELSE 0 END AS full_ep,
+        |         alloc_tokens - (CASE WHEN avail_tokens > 0
+        |              THEN alloc_tokens // avail_tokens ELSE 0 END)
+        |           * avail_tokens AS rem
+        |       FROM alloc),
+        |docs_tok AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |fulls AS (SELECT d.doc_id, d.lang, d.n_tok, CAST(t.e AS BIGINT) AS epoch
+        |          FROM docs_tok d JOIN r2 ON d.lang = r2.lang
+        |          CROSS JOIN unnest(generate_series(0, r2.full_ep - 1)) AS t(e)),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |  CAST(SUM(n_tok) OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |  FROM docs_tok),
+        |rems AS (SELECT c.doc_id, c.lang, c.n_tok,
+        |           CAST(r2.full_ep AS BIGINT) AS epoch
+        |         FROM c JOIN r2 ON c.lang = r2.lang
+        |         WHERE c.cum_tokens - c.n_tok < r2.rem)
+        |SELECT * FROM fulls UNION ALL SELECT * FROM rems""".stripMargin),
     // q86 composes the SAME allocation CTEs (factored, never copied)
     // with q45's hash-ordered running-sum selection, per-group budget —
     // the oracle restates plan AND realization end to end

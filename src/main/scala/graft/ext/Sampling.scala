@@ -468,6 +468,57 @@ object Sampling {
       .drop("alloc_tokens")
   }
 
+  /** Realize a REPEAT-CAPPED mixture plan
+    * ([[mixtureAllocationRepeatCapped]]) as an actual epoch-annotated
+    * document selection: a group allocated more tokens than it has is
+    * repeated — every doc appears once per FULL epoch
+    * (`alloc div avail` of them, epochs 0..full−1), and the remaining
+    * `alloc − full·avail` tokens are the group's q45 hash-ordered
+    * prefix at epoch = full (boundary doc included, the
+    * [[realizeMixtureAllocation]] rule). With no repeats planned
+    * anywhere (alloc ≤ avail for every group) the output is exactly
+    * [[realizeMixtureAllocation]] with an all-zero epoch column —
+    * spec-pinned. `alloc` must carry (groupCol, avail_tokens,
+    * alloc_tokens); groups absent from it drop. Everything is LONG
+    * arithmetic ⇒ oracle-hashed (q131 composes the factored q130 CTEs
+    * with the replication + prefix).
+    *
+    * Scale notes: `alloc` is |groups| rows by construction, so both
+    * attaches broadcast; full-epoch replication is a per-row
+    * `explode(sequence(...))` — output ∝ planned epochs, never an
+    * intermediate blow-up (the sequence is guarded to non-empty:
+    * Spark's `sequence(0, -1)` DESCENDS, the pinned hazard); the
+    * remainder pays the one group-partitioned window q45 already
+    * pays. The trainer-facing contract: Σ n_tok per (group, epoch)
+    * is exactly avail for full epochs and ≥ rem (within one boundary
+    * doc) for the final partial epoch. */
+  def realizeMixtureAllocationWithRepeats(df: DataFrame, groupCol: String,
+                                          idCol: String, tokenCol: String,
+                                          alloc: DataFrame): DataFrame = {
+    val plan = alloc.select(col(groupCol),
+      when(col("avail_tokens") > 0,
+        expr("alloc_tokens div avail_tokens")).otherwise(lit(0L))
+        .as("_full_ep"),
+      (col("alloc_tokens") -
+        when(col("avail_tokens") > 0,
+          expr("alloc_tokens div avail_tokens")).otherwise(lit(0L)) *
+          col("avail_tokens")).as("_rem"))
+    val withPlan = df.join(broadcast(plan), Seq(groupCol))
+    val fulls = withPlan
+      .filter(col("_full_ep") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("_full_ep") - 1L)))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val rems = withPlan
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w).cast("long"))
+      .filter(col("cum_tokens") - col(tokenCol) < col("_rem"))
+      .withColumn("epoch", col("_full_ep"))
+      .drop("cum_tokens")
+    fulls.unionByName(rems)
+      .select(col(idCol), col(groupCol), col(tokenCol), col("epoch"))
+  }
+
   /** Deterministic per-stratum Bernoulli sampling: keep each row with
     * its stratum's rate, decided by a content-addressed uniform draw
     * u = first-32-bits-of-md5(salt ++ id) / 2^32 — no RNG, no wall

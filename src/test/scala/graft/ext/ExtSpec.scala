@@ -2564,6 +2564,69 @@ class ExtSpec extends SparkSpec {
         Seq("A" -> 1L), 10L, repeatCapPermille = -1L))
   }
 
+  test("realized repeats: epoch replication, remainder prefix, no-repeat identity") {
+    // hand-built plan: A alloc 25 of avail 10 -> doc x at epochs 0,1
+    // full + the boundary remainder at epoch 2; C alloc 10 = exactly
+    // one epoch, NO remainder row (rem 0 never admits the boundary);
+    // B alloc 0 vanishes
+    val docs = Seq(("x", "A", 10L), ("y", "B", 10L), ("z", "C", 10L))
+      .toDF("doc_id", "g", "n_tok")
+    val plan = Seq(("A", 10L, 25L), ("B", 10L, 0L), ("C", 10L, 10L))
+      .toDF("g", "avail_tokens", "alloc_tokens")
+    val got = Sampling.realizeMixtureAllocationWithRepeats(docs, "g",
+        "doc_id", "n_tok", plan)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(got == Set(("x", 0L), ("x", 1L), ("x", 2L), ("z", 0L)),
+      s"got $got")
+    // a plan with no repeats anywhere realizes exactly as the plain
+    // realization with an all-zero epoch column
+    val toks = Tables.documents(spark, sf("sf0.001"))
+      .selectExpr("doc_id", "lang",
+        "CAST(size(split(text, ' ')) AS LONG) AS n_tok")
+    val weights = Seq("en" -> 1L, "de" -> 4L, "es" -> 3L, "fr" -> 2L,
+      "zh" -> 5L)
+    val noRepeat = Sampling.mixtureAllocationRepeatCapped(
+      toks.select($"lang", $"n_tok"), "lang", "n_tok", weights, 20000L,
+      repeatCapPermille = 1000L)
+    val withEp = Sampling.realizeMixtureAllocationWithRepeats(toks, "lang",
+      "doc_id", "n_tok", noRepeat)
+    assert(withEp.filter($"epoch" =!= 0L).isEmpty)
+    val plain = Sampling.realizeMixtureAllocation(toks, "lang", "doc_id",
+        "n_tok", noRepeat)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(withEp.select($"doc_id").collect().map(_.getLong(0)).toSet
+      == plain)
+    // q131's fixture config: full epochs carry the group's WHOLE corpus
+    // (token sum per full epoch = avail), the realized total lands in
+    // [alloc, alloc + max doc), and epochs are contiguous from 0
+    val alloc = Sampling.mixtureAllocationRepeatCapped(
+      toks.select($"lang", $"n_tok"), "lang", "n_tok", weights, 60000L,
+      repeatCapPermille = 2500L)
+    val realized = Sampling.realizeMixtureAllocationWithRepeats(toks,
+      "lang", "doc_id", "n_tok", alloc).cache()
+    val allocRows = alloc.collect().map(r => r.getString(0) ->
+      ((r.getAs[Long]("avail_tokens"), r.getAs[Long]("alloc_tokens")))).toMap
+    val perEpoch = realized.groupBy($"lang", $"epoch")
+      .agg(org.apache.spark.sql.functions.sum($"n_tok").as("s"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1)) -> r.getAs[Long]("s")).toMap
+    allocRows.foreach { case (lang, (avail, alloc_t)) =>
+      val full = alloc_t / avail
+      (0L until full).foreach { e =>
+        assert(perEpoch((lang, e)) == avail,
+          s"$lang epoch $e must be one whole epoch") }
+      val total = perEpoch.collect {
+        case ((l, _), s) if l == lang => s }.sum
+      val maxDoc = toks.filter($"lang" === lang)
+        .agg(org.apache.spark.sql.functions.max($"n_tok")).head.getLong(0)
+      assert(total >= alloc_t && total < alloc_t + maxDoc,
+        s"$lang realized $total vs alloc $alloc_t")
+    }
+    assert(realized.filter($"epoch" >= 1L).select($"lang").distinct
+      .count() >= 4, "the fixture config must genuinely repeat groups")
+    realized.unpersist()
+  }
+
   test("realized mixture keeps each group's hash-order prefix to its own budget") {
     val toks = docs.select($"doc_id", $"lang",
       size(split($"text", " ")).cast("long").as("n_tok"))
