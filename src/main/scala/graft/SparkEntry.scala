@@ -680,6 +680,23 @@ object SparkEntry {
       ext.Sampling.realizeMixtureAllocationWithRepeats(toks, "lang",
         "doc_id", "n_tok", alloc)
     }),
+    // the per-language release datacard: exact counts, exact-dup share
+    // (corpus-wide q15 digest key), type-1 median — every cell either
+    // an exact long or a single exact division rounded 6dp
+    "q132_corpus_datacard" -> ((s, dir) =>
+      ext.TextAnalysis.corpusDatacard(Tables.documents(s, dir))),
+    // Kish ESS of the q122 soft-dedup'd weighted corpus, per language:
+    // how much unweighted data the weighted survivors are worth
+    "q133_effective_sample_size" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, md5}
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val copies = docs.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val kept = ext.Dedup.softDedupSample(docs.unionByName(copies),
+        md5(col("text")))
+      ext.Sampling.effectiveSampleSize(kept, "lang", "weight")
+    }),
     // north-star observability: per-segment NOVELTY of an arriving
     // batch against a STORED HLL cardinality profile — how many new
     // unique users each event segment brings, without re-scanning the
@@ -1594,6 +1611,23 @@ object SparkEntry {
       |             END AS BIGINT) AS alloc_tokens
       |      FROM t)""".stripMargin
 
+  /** q122's soft-dedup keep set (planted copies, content-addressed
+    * keep rule, inverse-probability weights), lang threaded through —
+    * q133 composes these CTEs with the per-language ESS aggregate. */
+  private val SoftDedupCtes =
+    """WITH u AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, text FROM documents
+      |  WHERE doc_id % 25 = 0),
+      |c AS (SELECT doc_id, lang,
+      |        COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+      |      FROM u),
+      |kept AS (SELECT doc_id, lang, n_copies, n_copies AS weight FROM c
+      |  WHERE ('0x' || substr(md5('graft.softdedup.v1' ||
+      |          CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * n_copies
+      |        < 4294967296)""".stripMargin
+
   /** q92's full drift SQL; q93 (the stored-profile route) hashes it
     * VERBATIM — the stored/live equality claim (the q77≡q70 rule).
     * Cosine of per-label SUM vectors (scale invariance: ≡ cosine of
@@ -2319,6 +2353,38 @@ object SparkEntry {
         |         FROM c JOIN r2 ON c.lang = r2.lang
         |         WHERE c.cum_tokens - c.n_tok < r2.rem)
         |SELECT * FROM fulls UNION ALL SELECT * FROM rems""".stripMargin),
+    // q132: every cell restated exactly — duplicate membership is the
+    // corpus-wide md5(text) key, the median is ROW_NUMBER = (n+1)//2
+    // (the scoreQuantiles type-1 rule), mean/dup_frac single exact
+    // divisions ROUND 6; SUM(BIGINT/INT) is HUGEINT -> CAST
+    "q132_corpus_datacard" ->
+      """WITH base AS (SELECT lang, source, md5(text) AS key,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents),
+        |dup AS (SELECT key FROM base GROUP BY key HAVING COUNT(*) >= 2),
+        |marked AS (SELECT b.*, CASE WHEN d.key IS NOT NULL THEN 1 ELSE 0 END
+        |             AS is_dup
+        |           FROM base b LEFT JOIN dup d USING (key)),
+        |agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |          CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |          CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |          CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+        |          CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+        |          CAST(SUM(is_dup) AS BIGINT) AS dup_docs
+        |        FROM marked GROUP BY 1),
+        |med AS (SELECT lang, n_tok AS median_tokens FROM (
+        |          SELECT lang, n_tok,
+        |            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok) AS rn,
+        |            COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |          FROM base) WHERE rn = (cnt + 1) // 2)
+        |SELECT a.lang, n_docs, n_sources, n_tokens, n_chars, min_tokens,
+        |  CAST(median_tokens AS BIGINT) AS median_tokens, max_tokens,
+        |  ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_tokens,
+        |  dup_docs,
+        |  ROUND(CAST(dup_docs AS DOUBLE) / n_docs, 6) AS dup_frac
+        |FROM agg a JOIN med m ON a.lang = m.lang""".stripMargin,
     // q86 composes the SAME allocation CTEs (factored, never copied)
     // with q45's hash-ordered running-sum selection, per-group budget —
     // the oracle restates plan AND realization end to end
@@ -2509,18 +2575,22 @@ object SparkEntry {
         .stripMargin,
     // keep decision restated exactly: first-32-md5-bits × cluster size
     // < 2^32, all LONG arithmetic — survivors and weights bit-match
-    "q122_soft_dedup" ->
-      """WITH u AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0),
-        |c AS (SELECT doc_id,
-        |        COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
-        |      FROM u)
-        |SELECT doc_id, n_copies, n_copies AS weight FROM c
-        |WHERE ('0x' || substr(md5('graft.softdedup.v1' ||
-        |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * n_copies
-        |      < 4294967296""".stripMargin,
+    "q122_soft_dedup" -> (SoftDedupCtes +
+      "\nSELECT doc_id, n_copies, weight FROM kept"),
+    // q133 composes the SAME soft-dedup CTEs with Kish's ESS per
+    // language: both sums exact longs, the two divisions single IEEE
+    // ops on exactly representable values; SUM(BIGINT) -> CAST
+    "q133_effective_sample_size" -> (SoftDedupCtes +
+      """
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(weight) AS BIGINT) AS sum_weight,
+        |  CAST(SUM(weight * weight) AS BIGINT) AS sum_weight_sq,
+        |  ROUND(CAST(SUM(weight) AS DOUBLE) * CAST(SUM(weight) AS DOUBLE)
+        |    / CAST(SUM(weight * weight) AS DOUBLE), 6) AS ess,
+        |  ROUND(CAST(SUM(weight) AS DOUBLE) * CAST(SUM(weight) AS DOUBLE)
+        |    / (CAST(SUM(weight * weight) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)),
+        |    6) AS ess_ratio
+        |FROM kept GROUP BY 1""".stripMargin),
     // rank deciles of the q67 score: bucket = rank·10 div n (pure long
     // arithmetic), positive rate = ONE exact division, min/max are
     // order-free — the curve hashes despite double scores

@@ -931,6 +931,41 @@ object Sampling {
         max(col("_len")).as("max_run_len"))
   }
 
+  /** Effective sample size of a WEIGHTED corpus per group — Kish's
+    * ESS = (Σw)² / Σw², the standard "how much unweighted data is this
+    * weighted set worth" measure. The audit that closes the
+    * soft-dedup loop ([[Dedup.softDedupSample]] keeps one-in-n of each
+    * duplicate cluster with weight = n): Σ weight estimates the
+    * original corpus mass, `ess` is the statistically effective row
+    * count (1 ≤ ess ≤ n_rows by Cauchy–Schwarz; all-equal weights ⇒
+    * ess = n_rows exactly), and `ess_ratio` = ess / n_rows is the
+    * weighting efficiency — a low ratio means a few heavy clusters
+    * dominate the weighted estimates. Weights must be integer-valued
+    * (cluster sizes; cast to long): both sums are then exact longs and
+    * the two divisions are single IEEE operations on exactly
+    * representable values ⇒ oracle-hashed (q133 composes q122's
+    * factored CTEs).
+    *
+    * Scale notes (100 TB): ONE map-side-combined aggregate over
+    * (weight, weight²) per group — shuffle is |groups| rows, nothing
+    * else moves. Overflow bound: Σw² < 2⁶³ holds while cluster sizes
+    * stay ≤ ~3M on a 10⁹-row corpus; the exact sums stay below 2⁵³
+    * (double-exact) far past any real duplicate skew. */
+  def effectiveSampleSize(weighted: DataFrame, groupCol: String,
+                          weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("long")
+    val sw = col("sum_weight").cast("double")
+    weighted.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_rows"),
+        sum(w).as("sum_weight"),
+        sum(w * w).as("sum_weight_sq"))
+      .select(col(groupCol), col("n_rows"), col("sum_weight"),
+        col("sum_weight_sq"),
+        round(sw * sw / col("sum_weight_sq").cast("double"), 6).as("ess"),
+        round(sw * sw / (col("sum_weight_sq").cast("double") *
+          col("n_rows").cast("double")), 6).as("ess_ratio"))
+  }
+
   def trainValTest(df: DataFrame, idCol: String,
                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     val b = hashBucket(col(idCol))

@@ -1086,6 +1086,69 @@ object TextAnalysis {
       .withColumn("min_tokens",
         pow(lit(2.0), col("bucket") - 1).cast("long"))
 
+  /** Corpus DATACARD: the per-language summary table a training-data
+    * release documents (the "datasheet for datasets" move — Gebru et
+    * al., and every public-corpus paper's table 1): document / token /
+    * character / distinct-source counts, the exact-duplicate share
+    * (docs whose md5(text) digest appears ≥ 2 CORPUS-wide — the q15
+    * key, so cross-language exact copies are counted in both rows),
+    * token-length min / type-1 median / max, and mean tokens per doc.
+    * Counts are exact longs; mean and dup_frac are single exact-long
+    * divisions rounded 6dp; the median is the k = ⌈n/2⌉-th smallest
+    * ([[Sampling.scoreQuantiles]]' pinned interpolation-free rule —
+    * the reported value is an actual document length) — every cell is
+    * bit-portable, so the whole card oracle-hashes (q132).
+    *
+    * Scale notes (100 TB): text is dropped in the first projection —
+    * everything downstream moves 16-byte digests and longs. One
+    * digest-keyed exchange marks duplicates, one map-side-combined
+    * per-language aggregate builds the counts, and the median's
+    * per-language sort partitions by language (the exact-quantile
+    * price; `percentile_approx` is the documented extreme-scale
+    * alternative, same as scoreQuantiles). The base projection is
+    * localCheckpointed once — three consumers, one corpus scan. */
+  def corpusDatacard(docs: DataFrame, langCol: String = "lang",
+                     textCol: String = "text",
+                     sourceCol: String = "source"): DataFrame = {
+    val base = docs.select(col(langCol),
+        col(sourceCol).as("_src"),
+        md5(col(textCol)).as("_key"),
+        size(split(col(textCol), " ")).cast("long").as("_n_tok"),
+        length(col(textCol)).cast("long").as("_n_chars"))
+      .localCheckpoint()
+    val dupKeys = base.groupBy(col("_key"))
+      .agg(count(lit(1)).as("_kc")).filter(col("_kc") >= 2)
+      .select(col("_key"))
+    val marked = base.join(dupKeys.withColumn("_dup", lit(1L)),
+      Seq("_key"), "left")
+    val agg = marked.groupBy(col(langCol)).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("_src")).as("n_sources"),
+      sum(col("_n_tok")).as("n_tokens"),
+      sum(col("_n_chars")).as("n_chars"),
+      min(col("_n_tok")).as("min_tokens"),
+      max(col("_n_tok")).as("max_tokens"),
+      sum(coalesce(col("_dup"), lit(0L))).as("dup_docs"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("_n_tok"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+    val med = base
+      .withColumn("_rn", row_number().over(wl).cast("long"))
+      .withColumn("_cnt", count(lit(1)).over(wn))
+      .filter(col("_rn") === expr("(_cnt + 1) div 2"))
+      .select(col(langCol), col("_n_tok").as("median_tokens"))
+    agg.join(broadcast(med), Seq(langCol))
+      .select(col(langCol), col("n_docs"), col("n_sources"),
+        col("n_tokens"), col("n_chars"), col("min_tokens"),
+        col("median_tokens"), col("max_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6)
+          .as("mean_tokens"),
+        col("dup_docs"),
+        round(col("dup_docs").cast("double") / col("n_docs"), 6)
+          .as("dup_frac"))
+  }
+
   /** Vocabulary COVERAGE CURVE over whitespace words: rank the corpus
     * vocabulary by frequency (count desc, word asc — fully
     * deterministic) and report each rank's cumulative token share —

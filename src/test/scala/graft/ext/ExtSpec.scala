@@ -2627,6 +2627,72 @@ class ExtSpec extends SparkSpec {
     realized.unpersist()
   }
 
+  test("corpus datacard: hand-computed cells, corpus-wide dup key, fixture sanity") {
+    val crafted = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s2"),
+      (3L, "x", "en", "s1"),
+      (4L, "a b c", "de", "s3"), (5L, "p q", "de", "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+    val card = TextAnalysis.corpusDatacard(crafted)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = card("en")
+    assert(en.getAs[Long]("n_docs") == 3L)
+    assert(en.getAs[Long]("n_sources") == 2L)
+    assert(en.getAs[Long]("n_tokens") == 7L)
+    assert(en.getAs[Long]("n_chars") == 11L)
+    assert(en.getAs[Long]("min_tokens") == 1L)
+    assert(en.getAs[Long]("median_tokens") == 3L,
+      "type-1 median of [1,3,3] is the k=2 value")
+    assert(en.getAs[Long]("max_tokens") == 3L)
+    assert(en.getAs[Long]("dup_docs") == 2L,
+      "the de copy makes the en pair a corpus-wide cluster of 3")
+    assert(en.getAs[Double]("dup_frac") == 0.666667)
+    val de = card("de")
+    assert(de.getAs[Long]("dup_docs") == 1L,
+      "cross-language exact copies count in BOTH language rows")
+    assert(de.getAs[Long]("median_tokens") == 2L,
+      "even-count median is the lower middle (k = (n+1) div 2)")
+    assert(de.getAs[Double]("mean_tokens") == 2.5)
+    // fixture sanity: one row per language, doc counts conserve
+    val fx = TextAnalysis.corpusDatacard(docs).collect()
+    assert(fx.map(_.getString(0)).distinct.length == fx.length)
+    assert(fx.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    fx.foreach { r =>
+      assert(r.getAs[Long]("min_tokens") <= r.getAs[Long]("median_tokens"))
+      assert(r.getAs[Long]("median_tokens") <= r.getAs[Long]("max_tokens"))
+    }
+  }
+
+  test("effective sample size: Kish closed form, equal-weight identity, bounds") {
+    val weighted = Seq(("A", 1L), ("A", 1L), ("A", 4L),
+      ("B", 2L), ("B", 2L)).toDF("g", "weight")
+    val got = Sampling.effectiveSampleSize(weighted, "g", "weight")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Long]("n_rows") == 3L)
+    assert(a.getAs[Long]("sum_weight") == 6L)
+    assert(a.getAs[Long]("sum_weight_sq") == 18L)
+    assert(a.getAs[Double]("ess") == 2.0, "36/18: one heavy cluster")
+    assert(a.getAs[Double]("ess_ratio") == 0.666667)
+    val b = got("B")
+    assert(b.getAs[Double]("ess") == 2.0 &&
+      b.getAs[Double]("ess_ratio") == 1.0,
+      "all-equal weights are fully efficient: ess = n_rows")
+    // composed with soft dedup at fixture scale: Cauchy-Schwarz bounds
+    // hold and sum_weight recovers at least the pre-dedup mass shape
+    import org.apache.spark.sql.functions.md5
+    val kept = Dedup.softDedupSample(docs.select($"doc_id", $"lang", $"text"),
+      md5($"text"))
+    val ess = Sampling.effectiveSampleSize(kept, "lang", "weight").collect()
+    ess.foreach { r =>
+      assert(r.getAs[Double]("ess") >= 1.0 - 1e-9)
+      assert(r.getAs[Double]("ess") <=
+        r.getAs[Long]("n_rows").toDouble + 1e-9)
+      assert(r.getAs[Double]("ess_ratio") <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("sum_weight") >= r.getAs[Long]("n_rows"))
+    }
+  }
+
   test("realized mixture keeps each group's hash-order prefix to its own budget") {
     val toks = docs.select($"doc_id", $"lang",
       size(split($"text", " ")).cast("long").as("n_tok"))
