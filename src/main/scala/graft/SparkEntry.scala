@@ -697,6 +697,24 @@ object SparkEntry {
         md5(col("text")))
       ext.Sampling.effectiveSampleSize(kept, "lang", "weight")
     }),
+    // one-pass data-contract report over the fact table: six passing
+    // rules + one that genuinely fails (quantity ≤ 40 cuts into TPC-H's
+    // 1..50 range), so both report branches are exercised
+    "q134_expectations" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      ext.DataQuality.expectationsReport(Tables.lineitem(s, dir), Seq(
+        "quantity_positive" -> (col("l_quantity") > 0),
+        "price_nonnegative" -> (col("l_extendedprice") >= 0),
+        "discount_range" -> (col("l_discount") >= 0 && col("l_discount") <= 1),
+        "tax_nonnegative" -> (col("l_tax") >= 0),
+        "orderkey_notnull" -> col("l_orderkey").isNotNull,
+        "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "quantity_le_40" -> (col("l_quantity") <= 40)))
+    }),
+    // feed-health monitor: per-hour volume vs the trailing-6h mean,
+    // exact-long numerator (c·k − Σ) over one division
+    "q135_volume_anomaly" -> ((s, dir) =>
+      ext.Events.volumeAnomaly(Tables.events(s, dir), k = 6)),
     // north-star observability: per-segment NOVELTY of an arriving
     // batch against a STORED HLL cardinality profile — how many new
     // unique users each event segment brings, without re-scanning the
@@ -2591,6 +2609,54 @@ object SparkEntry {
         |    / (CAST(SUM(weight * weight) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)),
         |    6) AS ess_ratio
         |FROM kept GROUP BY 1""".stripMargin),
+    // q134: one aggregate, per-rule UNION ALL unpivot; the NULL-is-a-
+    // violation convention is COALESCE(rule, FALSE) on both engines
+    "q134_expectations" ->
+      """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN COALESCE(l_quantity > 0, FALSE)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |  CAST(SUM(CASE WHEN COALESCE(l_extendedprice >= 0, FALSE)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |  CAST(SUM(CASE WHEN COALESCE(l_discount >= 0 AND l_discount <= 1,
+        |    FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+        |  CAST(SUM(CASE WHEN COALESCE(l_tax >= 0, FALSE)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NOT NULL
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v5,
+        |  CAST(SUM(CASE WHEN COALESCE(l_returnflag IN ('A', 'N', 'R'),
+        |    FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v6,
+        |  CAST(SUM(CASE WHEN COALESCE(l_quantity <= 40, FALSE)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v7
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT 'quantity_positive' AS rule, n_rows, v1 AS n_violations FROM a
+        |  UNION ALL SELECT 'price_nonnegative', n_rows, v2 FROM a
+        |  UNION ALL SELECT 'discount_range', n_rows, v3 FROM a
+        |  UNION ALL SELECT 'tax_nonnegative', n_rows, v4 FROM a
+        |  UNION ALL SELECT 'orderkey_notnull', n_rows, v5 FROM a
+        |  UNION ALL SELECT 'returnflag_domain', n_rows, v6 FROM a
+        |  UNION ALL SELECT 'quantity_le_40', n_rows, v7 FROM a)
+        |SELECT rule, n_rows, n_violations,
+        |  ROUND(CAST(n_violations AS DOUBLE) / n_rows, 6) AS violation_frac,
+        |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+        |FROM r""".stripMargin,
+    // q135: trailing-k baseline as a bounded ROWS frame over the hourly
+    // aggregate; short-history hours NULL; SUM over window is HUGEINT
+    "q135_volume_anomaly" ->
+      """WITH h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |    COUNT(n_events) OVER w AS trail_n,
+        |    CAST(SUM(n_events) OVER w AS BIGINT) AS tsum
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour, n_events,
+        |  CASE WHEN trail_n = 6 THEN tsum END AS trail_sum,
+        |  CASE WHEN trail_n = 6
+        |    THEN ROUND(CAST(n_events * 6 - tsum AS DOUBLE) / tsum, 6)
+        |  END AS excess_ratio
+        |FROM t""".stripMargin,
     // rank deciles of the q67 score: bucket = rank·10 div n (pure long
     // arithmetic), positive rate = ONE exact division, min/max are
     // order-free — the curve hashes despite double scores

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-contract checks — the "expectations" layer a recurring
+  * pipeline runs between extract and publish (the Great Expectations /
+  * dbt-test move, reference analogue: the row-count validation phase of
+  * load_sales_history.py:241-251 generalized from one hardcoded count
+  * to caller-declared per-row rules).
+  *
+  * Scale notes (100 TB): the whole report is ONE map-side-combined
+  * aggregate over the scan — every rule folds into the same projection
+  * (a per-rule 0/1 conditional sum), so adding rules adds columns, not
+  * passes; the unpivot runs on a single row. No shuffle beyond the
+  * one-row reduce.
+  */
+object DataQuality {
+
+  /** Evaluate named per-row rules in one pass: for each rule (a boolean
+    * `Column`), report the row count, violation count, violation
+    * fraction and a pass flag. A rule evaluating to NULL on a row is a
+    * VIOLATION — unknown is not a pass (the SQL-three-valued-logic trap
+    * data contracts exist to catch: `col > 0` is NULL, not true, on a
+    * NULL cell). Violation fractions are single exact-long divisions
+    * rounded 6dp ⇒ the report oracle-hashes (q134); `passed` is an INT
+    * 0/1 so the cell is engine-portable.
+    *
+    * Output: (rule, n_rows, n_violations, violation_frac, passed) —
+    * one row per rule, every row carrying the same n_rows. */
+  def expectationsReport(df: DataFrame,
+                         rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "duplicate rule name")
+    rules.foreach { case (name, _) =>
+      require(!name.contains("'"), s"rule name must not quote: $name") }
+    val viols = rules.map { case (name, rule) =>
+      sum(when(coalesce(rule, lit(false)), lit(0L)).otherwise(lit(1L)))
+        .as(s"_v_$name")
+    }
+    val agg = df.agg(count(lit(1)).as("_n"), viols: _*)
+    val stackArgs = rules.map { case (name, _) =>
+      s"'$name', _v_$name" }.mkString(", ")
+    agg.select(col("_n"),
+        expr(s"stack(${rules.size}, $stackArgs) AS (rule, _v)"))
+      .select(col("rule"), col("_n").as("n_rows"),
+        coalesce(col("_v"), lit(0L)).as("n_violations")) // empty frame: SUM is NULL
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+        when(col("n_rows") === 0, lit(0.0)) // no rows, nothing violated
+          .otherwise(round(
+            col("n_violations").cast("double") / col("n_rows"), 6))
+          .as("violation_frac"),
+        when(col("n_violations") === 0, lit(1)).otherwise(lit(0))
+          .cast("int").as("passed"))
+  }
+}

@@ -192,4 +192,41 @@ object Events {
       .withColumn("session_end_us",
         unix_micros(col("last_event_ts")) + gapUs + 1L)
   }
+
+  /** Per-hour volume anomaly vs the trailing-k baseline — the cheapest
+    * feed-health monitor a recurring ingest runs ("this hour's `click`
+    * volume is 3× its recent norm"): for each (event_type, hour),
+    * `excess_ratio` = (c·k − Σ) / Σ where Σ is the event count over the
+    * k PRECEDING observed hours of that type — i.e. the hour's excess
+    * over the trailing mean, but computed with an exact-long numerator
+    * (c·k − Σ) so the only floating-point step is ONE division of two
+    * exact longs ⇒ rounds identically cross-engine and the report
+    * oracle-hashes (q135). Hours with fewer than k predecessors report
+    * NULL (no baseline — never a fabricated one); the baseline is the
+    * k previous PRESENT hours, so feed gaps stretch the lookback
+    * instead of zero-filling it (a silent-feed hour is invisible to a
+    * count-based monitor either way — pair with a freshness check).
+    * Reference analogue: the row-count validation of
+    * load_sales_history.py:241-251, pointed at arrival volume.
+    *
+    * Scale notes (100 TB): one map-side-combined hourly aggregate
+    * (output ∝ types × hours, tiny), then a bounded ROWS window per
+    * event_type over that aggregate — the window input is already
+    * reduced, never raw events. */
+  def volumeAnomaly(events: DataFrame, k: Int = 6): DataFrame = {
+    require(k >= 1, "need at least one trailing hour")
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-k, -1)
+    hourly
+      .withColumn("_trail_n", count(col("n_events")).over(w))
+      .withColumn("trail_sum", sum(col("n_events")).over(w))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        when(col("_trail_n") === k, col("trail_sum")).as("trail_sum"),
+        when(col("_trail_n") === k,
+          round((col("n_events") * k - col("trail_sum")).cast("double") /
+            col("trail_sum"), 6)).as("excess_ratio"))
+  }
 }

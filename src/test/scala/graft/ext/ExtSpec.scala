@@ -2693,6 +2693,68 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("expectations report: NULL is a violation, one row per rule, empty frame passes") {
+    val df = Seq((Some(1), "x"), (Some(-1), "x"), (None, "y"))
+      .toDF("a", "b")
+    val rep = DataQuality.expectationsReport(df, Seq(
+        "a_positive" -> ($"a" > 0),
+        "b_domain" -> $"b".isin("x"),
+        "a_notnull" -> $"a".isNotNull))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rep.size == 3)
+    val ap = rep("a_positive")
+    assert(ap.getAs[Long]("n_rows") == 3L)
+    assert(ap.getAs[Long]("n_violations") == 2L,
+      "a NULL predicate is a violation, not a pass")
+    assert(ap.getAs[Double]("violation_frac") == 0.666667)
+    assert(ap.getAs[Int]("passed") == 0)
+    assert(rep("b_domain").getAs[Long]("n_violations") == 1L)
+    assert(rep("a_notnull").getAs[Int]("passed") == 0)
+    // an empty frame has nothing to violate: every rule passes at 0/0
+    val empty = DataQuality.expectationsReport(df.filter($"a" > 100),
+        Seq("a_positive" -> ($"a" > 0))).collect()
+    assert(empty.length == 1 && empty.head.getAs[Long]("n_rows") == 0L &&
+      empty.head.getAs[Double]("violation_frac") == 0.0 &&
+      empty.head.getAs[Int]("passed") == 1)
+    intercept[IllegalArgumentException](
+      DataQuality.expectationsReport(df,
+        Seq("r" -> ($"a" > 0), "r" -> ($"a" < 0))))
+    intercept[IllegalArgumentException](
+      DataQuality.expectationsReport(df, Nil))
+  }
+
+  test("volume anomaly: exact excess over trailing mean, short history NULL, gaps stretch") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val ev = Seq(
+      ("2024-01-01 00:10:00", "c"), ("2024-01-01 00:20:00", "c"),
+      ("2024-01-01 01:10:00", "c"), ("2024-01-01 01:20:00", "c"),
+      ("2024-01-01 01:30:00", "c"), ("2024-01-01 01:40:00", "c"),
+      ("2024-01-01 02:01:00", "c"), ("2024-01-01 02:02:00", "c"),
+      ("2024-01-01 02:03:00", "c"), ("2024-01-01 02:04:00", "c"),
+      ("2024-01-01 02:05:00", "c"), ("2024-01-01 02:06:00", "c"),
+      ("2024-01-01 03:01:00", "c"), ("2024-01-01 03:02:00", "c"),
+      ("2024-01-01 03:03:00", "c"),
+      // a gapped type: hours 0, 1, then 5 — the baseline is the two
+      // previous OBSERVED hours, the calendar gap does not zero-fill
+      ("2024-01-01 00:00:01", "g"), ("2024-01-01 01:00:01", "g"),
+      ("2024-01-01 05:00:01", "g"), ("2024-01-01 05:00:02", "g"),
+      ("2024-01-01 05:00:03", "g"), ("2024-01-01 05:00:04", "g"))
+      .toDF("ts_s", "event_type")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_type")
+    val got = Events.volumeAnomaly(ev, k = 2).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.substring(11, 13))
+        -> ((Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got(("c", "00")) == ((None, None)), "no baseline at the head")
+    assert(got(("c", "01")) == ((None, None)), "one hour is not k=2")
+    assert(got(("c", "02")) == ((Some(6L), Some(1.0))),
+      "(6*2 - (2+4)) / 6 = 1.0")
+    assert(got(("c", "03")) == ((Some(10L), Some(-0.4))),
+      "(3*2 - (4+6)) / 10 = -0.4")
+    assert(got(("g", "05")) == ((Some(2L), Some(3.0))),
+      "(4*2 - 2) / 2 = 3.0 across the feed gap")
+    intercept[IllegalArgumentException](Events.volumeAnomaly(ev, k = 0))
+  }
+
   test("realized mixture keeps each group's hash-order prefix to its own budget") {
     val toks = docs.select($"doc_id", $"lang",
       size(split($"text", " ")).cast("long").as("n_tok"))
