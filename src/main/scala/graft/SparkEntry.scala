@@ -715,6 +715,25 @@ object SparkEntry {
     // exact-long numerator (c·k − Σ) over one division
     "q135_volume_anomaly" -> ((s, dir) =>
       ext.Events.volumeAnomaly(Tables.events(s, dir), k = 6)),
+    // trigram LM with stupid backoff (α = 1/2, binary-exact): each
+    // branch one exact long division + exponent-shift scaling, every
+    // lower order an exact marginal of the trigram relation
+    "q136_trigram_lm" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.TextAnalysis.trigramLogProbs(docs,
+        docs.filter(col("lang") === "en"))
+    }),
+    // q136 with the trigram counts FROZEN as a stored profile — same
+    // oracle as q136: the route equality is the hash-compare claim
+    "q137_trigram_lm_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val prof = ext.TextAnalysis.ensureTrigramLmProfile(
+        docs.filter(col("lang") === "en"), "/tmp/graft_lm_cache",
+        s"$dir/documents.parquet", variant = "_en")
+      ext.TextAnalysis.trigramLogProbsAgainstLm(docs, prof)
+    }),
     // north-star observability: per-segment NOVELTY of an arriving
     // batch against a STORED HLL cardinality profile — how many new
     // unique users each event segment brings, without re-scanning the
@@ -1479,6 +1498,48 @@ object SparkEntry {
       |      / CAST(SUM(k) AS BIGINT), 6) AS avg_logprob
       |FROM dk LEFT JOIN lmb USING (w1, w2) LEFT JOIN ctx USING (w1)
       |CROSS JOIN vv
+      |GROUP BY 1""".stripMargin
+
+  /** q136's stupid-backoff trigram scorer (also q137's — the stored
+    * route must hash-match the live computation): every branch ONE
+    * exact long division, α = 1/2 and α² = 1/4 binary-exact scalings,
+    * lower orders exact marginals of the single trigram relation. */
+  private val Lm3LogProbSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dt AS (SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(w) - 2),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tg
+      |       FROM t),
+      |dk AS (SELECT doc_id, string_split(tg, ' ')[1] AS w1,
+      |         string_split(tg, ' ')[2] AS w2,
+      |         string_split(tg, ' ')[3] AS w3, COUNT(*) AS k
+      |       FROM dt GROUP BY 1, 2, 3, 4),
+      |lm AS (SELECT string_split(tg, ' ')[1] AS w1,
+      |         string_split(tg, ' ')[2] AS w2,
+      |         string_split(tg, ' ')[3] AS w3,
+      |         CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM dt JOIN documents USING (doc_id) WHERE lang = 'en'
+      |       GROUP BY 1, 2, 3),
+      |m12 AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c12
+      |        FROM lm GROUP BY 1, 2),
+      |m23 AS (SELECT w2, w3, CAST(SUM(c) AS BIGINT) AS c23
+      |        FROM lm GROUP BY 1, 2),
+      |m2 AS (SELECT w2, CAST(SUM(c23) AS BIGINT) AS c2 FROM m23 GROUP BY 1),
+      |m3 AS (SELECT w3, CAST(SUM(c) AS BIGINT) AS c3 FROM lm GROUP BY 1),
+      |nv AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM lm) AS n,
+      |         (SELECT COUNT(*) FROM (SELECT w1 AS tok FROM lm
+      |            UNION SELECT w2 FROM lm UNION SELECT w3 FROM lm)) AS v)
+      |SELECT dk.doc_id, CAST(SUM(k) AS BIGINT) AS n_trigrams,
+      |  ROUND(SUM(k * ln(CASE
+      |      WHEN COALESCE(lm.c, 0) > 0 THEN lm.c / m12.c12
+      |      WHEN COALESCE(m23.c23, 0) > 0 THEN 0.5 * (m23.c23 / m2.c2)
+      |      WHEN COALESCE(m3.c3, 0) > 0 THEN 0.25 * (m3.c3 / nv.n)
+      |      ELSE 0.25 / nv.v END))
+      |    / CAST(SUM(k) AS BIGINT), 6) AS avg_logprob
+      |FROM dk LEFT JOIN lm USING (w1, w2, w3)
+      |LEFT JOIN m12 USING (w1, w2) LEFT JOIN m23 USING (w2, w3)
+      |LEFT JOIN m2 USING (w2) LEFT JOIN m3 USING (w3)
+      |CROSS JOIN nv
       |GROUP BY 1""".stripMargin
 
   /** q54's full oracle (also q79's — the stored-profile route must
@@ -2657,6 +2718,11 @@ object SparkEntry {
         |    THEN ROUND(CAST(n_events * 6 - tsum AS DOUBLE) / tsum, 6)
         |  END AS excess_ratio
         |FROM t""".stripMargin,
+    "q136_trigram_lm" -> Lm3LogProbSql,
+    // q137 restates q136 exactly — the stored trigram profile holds the
+    // en-slice's counts verbatim (long marginals sum exactly), so the
+    // stored route must hash-match the live SQL
+    "q137_trigram_lm_profile" -> Lm3LogProbSql,
     // rank deciles of the q67 score: bucket = rank·10 div n (pure long
     // arithmetic), positive rate = ONE exact division, min/max are
     // order-free — the curve hashes despite double scores

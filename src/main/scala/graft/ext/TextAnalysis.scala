@@ -681,6 +681,157 @@ object TextAnalysis {
       idCol, textCol, alpha)
   }
 
+  /** Sidecar identity of a stored trigram LM — same pinned-tokenizer
+    * rule as [[LmParams]]; the backoff factor is an apply-time knob
+    * and deliberately not stored. */
+  private val Lm3Params: Map[String, String] =
+    Map("kind" -> "trigram-lm", "tokenizer" -> "whitespace-split-v1")
+
+  /** Per-occurrence trigram stream as (idCol, w1, w2, w3) — the
+    * 3-shingle counterpart of [[docBigrams]]. */
+  private def docTrigrams(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.functions.Shingles.word_shingles_all(col(textCol), 3))
+          .as("tg"))
+      .select(col(idCol),
+        split(col("tg"), " ").getItem(0).as("w1"),
+        split(col("tg"), " ").getItem(1).as("w2"),
+        split(col("tg"), " ").getItem(2).as("w3"))
+
+  /** An LM corpus's trigram count relation (w1, w2, w3, c) — the ONE
+    * stored relation; every lower order the backoff needs is an exact
+    * marginal sum over it. */
+  private def lm3CountsOf(lm: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    docTrigrams(lm, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+
+  /** Score documents under a trigram LM with STUPID BACKOFF (Brants et
+    * al., "Large Language Models in Machine Translation" — the
+    * web-scale scoring rule: no normalization, a fixed backoff factor):
+    * per trigram occurrence,
+    * S = c₁₂₃/c₁₂ when the trigram is attested, else
+    * α·(c₂₃/c₂) when the bigram is, else α²·(c₃/N) when the unigram
+    * is, else α²·(1/V) (the OOV floor — uniform over the LM
+    * vocabulary), with α = 1/2 BINARY-EXACT (the q57 discipline: the
+    * multiplication is an exponent shift, so each branch is ONE exact
+    * long division followed by exact scaling ⇒ the DuckDB oracle
+    * restates every branch bit-for-bit, q136). All lower-order counts
+    * are marginals of the stored trigram relation (c₂₃ = Σ_w1, c₂ =
+    * Σ_w1w3, c₃ = Σ_w1w2, N = Σ all) — self-consistent and exactly
+    * reconstructible from the single artifact; doc-boundary bigrams
+    * that never appear inside a trigram context are deliberately
+    * outside the model. Documents with fewer than three tokens have
+    * nothing to score and are absent (the min-token gate owns them).
+    * Output: (idCol, n_trigrams, avg_logprob) 6-dp-rounded.
+    *
+    * Scale notes (100 TB): the probe is a (w1,w2,w3)-keyed join of
+    * per-doc trigram counts against the observed-trigram relation plus
+    * three marginal-keyed joins — every right side vocabulary-scale,
+    * AQE-planned; N/V ride as a one-row broadcast; the live wrapper
+    * localCheckpoints the counts once (one LM-corpus tokenize pass,
+    * five consumers). */
+  private def trigramLogProbsFrom(docs: DataFrame, counts: DataFrame,
+                                  idCol: String,
+                                  textCol: String): DataFrame = {
+    val c12 = counts.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("c12"))
+    val c23 = counts.groupBy(col("w2"), col("w3"))
+      .agg(sum(col("c")).as("c23"))
+    val c2 = c23.groupBy(col("w2")).agg(sum(col("c23")).as("c2"))
+    val c3 = counts.groupBy(col("w3")).agg(sum(col("c")).as("c3"))
+    val vocab = counts.select(col("w1").as("tok"))
+      .union(counts.select(col("w2")))
+      .union(counts.select(col("w3")))
+      .distinct().agg(count(lit(1)).as("v"))
+    val tot = counts.agg(sum(col("c")).as("n"))
+    val dk = docTrigrams(docs, idCol, textCol)
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("k"))
+    val s = when(coalesce(col("c"), lit(0L)) > 0,
+        col("c").cast("double") / col("c12"))
+      .when(coalesce(col("c23"), lit(0L)) > 0,
+        lit(0.5) * (col("c23").cast("double") / col("c2")))
+      .when(coalesce(col("c3"), lit(0L)) > 0,
+        lit(0.25) * (col("c3").cast("double") / col("n")))
+      .otherwise(lit(0.25) / col("v"))
+    dk.join(counts, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c23, Seq("w2", "w3"), "left")
+      .join(c2, Seq("w2"), "left")
+      .join(c3, Seq("w3"), "left")
+      .crossJoin(broadcast(tot.crossJoin(vocab)))
+      .select(col(idCol), col("k"), (col("k") * log(s)).as("_lp"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).cast("long").as("n_trigrams"),
+        round(sum(col("_lp")) / sum(col("k")), 6).as("avg_logprob"))
+  }
+
+  /** Score documents against a trigram LM trained live on `lmCorpus`
+    * (q136; see [[trigramLogProbsFrom]] for the model). */
+  def trigramLogProbs(docs: DataFrame, lmCorpus: DataFrame,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    trigramLogProbsFrom(docs,
+      lm3CountsOf(lmCorpus, idCol, textCol).localCheckpoint(),
+      idCol, textCol)
+
+  /** Freeze an LM corpus's trigram counts at `path` — the
+    * [[writeLmProfile]] ladder one order up; lower orders are never
+    * stored (exact marginals, derived at probe time). */
+  def writeTrigramLmProfile(lmCorpus: DataFrame, path: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): Unit =
+    CountProfile.write(lm3CountsOf(lmCorpus, idCol, textCol), path,
+      Lm3Params)
+
+  /** Merge a batch's trigram counts into a stored trigram LM (sidecar
+    * validated first; `batchId` tags stream appends). */
+  def appendTrigramLmProfile(docs: DataFrame, path: String,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             batchId: Option[Long] = None): Unit = {
+    Dedup.requireParams(s"$path/params.properties", Lm3Params,
+      "trigram LM")
+    CountProfile.append(lm3CountsOf(docs, idCol, textCol), path, batchId)
+  }
+
+  /** Collapse a trigram LM profile's appended count rows. */
+  def compactTrigramLmProfile(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit = {
+    Dedup.requireParams(s"$path/params.properties", Lm3Params,
+      "trigram LM")
+    CountProfile.compact(spark, path)
+  }
+
+  /** Content-fingerprint-cached [[writeTrigramLmProfile]]. */
+  def ensureTrigramLmProfile(docs: DataFrame, cacheRoot: String,
+                             sourcePath: String, variant: String = "",
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): String = {
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"lm3$variant" + s"_${Similarity.pathFingerprint(sourcePath)}")
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writeTrigramLmProfile(docs, tmp, idCol, textCol))
+    idx.toString
+  }
+
+  /** [[trigramLogProbs]] with the LM read from a stored profile —
+    * bit-identical to the live op (long marginals sum exactly; q137's
+    * same-oracle-as-q136 claim). */
+  def trigramLogProbsAgainstLm(docs: DataFrame, profilePath: String,
+                               idCol: String = "doc_id",
+                               textCol: String = "text",
+                               excludeBatchId: Option[Long] = None): DataFrame = {
+    Dedup.requireParams(s"$profilePath/params.properties", Lm3Params,
+      "trigram LM")
+    trigramLogProbsFrom(docs,
+      CountProfile.effective(docs.sparkSession, profilePath, "trigram LM",
+        "compactTrigramLmProfile", excludeBatchId),
+      idCol, textCol)
+  }
+
   /** Default weight vector for [[qualityModelScores]]: 64 buckets,
     * every weight an exact multiple of 1/16 in [-5/8, 5/8] — binary
     * fractions make every partial sum exactly representable, so the

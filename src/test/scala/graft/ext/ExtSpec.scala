@@ -969,6 +969,57 @@ class ExtSpec extends SparkSpec {
       s"LM-corpus docs must outscore the rest: $scores")
   }
 
+  test("trigram stupid backoff: all four branches hand-computed, stored ≡ live") {
+    // LM corpus: trigrams (a,b,c)=2 (b,c,a)=1 (c,a,b)=1 (a,b,d)=1;
+    // marginals c12(a,b)=3, c23(b,c)=2, c2(b)=3, c3(d)=1; N=5, V=4
+    val lm = Seq((1L, "a b c a b d"), (2L, "a b c")).toDF("doc_id", "text")
+    val probes = Seq(
+      (10L, "a b c"), // attested trigram: 2/3
+      (11L, "z b c"), // bigram backoff: 0.5 * (2/3)
+      (12L, "z z d"), // unigram backoff: 0.25 * (1/5)
+      (13L, "z z z"), // OOV floor: 0.25 / 4
+      (14L, "a b"))   // too short: absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.trigramLogProbs(probes, lm)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_trigrams"), r.getAs[Double]("avg_logprob"))))
+      .toMap
+    assert(got.size == 4 && !got.contains(14L))
+    assert(got(10L) == ((1L, -0.405465)), s"got ${got(10L)}")
+    assert(got(11L) == ((1L, -1.098612)), s"got ${got(11L)}")
+    assert(got(12L) == ((1L, -2.995732)), s"got ${got(12L)}")
+    assert(got(13L) == ((1L, -2.772589)), s"got ${got(13L)}")
+    // stored route ≡ live, appends merge exactly, compaction inert
+    val lmHalf1 = docs.filter($"lang" === "en" && $"doc_id" % 2 === 0)
+    val lmHalf2 = docs.filter($"lang" === "en" && $"doc_id" % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm3").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    TextAnalysis.writeTrigramLmProfile(lmHalf1, s"$dir/lm3")
+    assert(rows(TextAnalysis.trigramLogProbsAgainstLm(docs, s"$dir/lm3")) ==
+      rows(TextAnalysis.trigramLogProbs(docs, lmHalf1)))
+    TextAnalysis.appendTrigramLmProfile(lmHalf2, s"$dir/lm3")
+    val expect = rows(TextAnalysis.trigramLogProbs(docs,
+      docs.filter($"lang" === "en")))
+    assert(rows(TextAnalysis.trigramLogProbsAgainstLm(docs, s"$dir/lm3"))
+      == expect)
+    TextAnalysis.compactTrigramLmProfile(spark, s"$dir/lm3")
+    assert(rows(TextAnalysis.trigramLogProbsAgainstLm(docs, s"$dir/lm3"))
+      == expect)
+    // a bigram artifact fails the trigram kind check loudly
+    TextAnalysis.writeLmProfile(lmHalf1, s"$dir/lm2")
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.trigramLogProbsAgainstLm(docs, s"$dir/lm2"))
+    assert(e.getMessage.contains("kind"), e.getMessage)
+    // in-model text outscores out-of-model text (the gate's premise)
+    val scores = TextAnalysis.trigramLogProbsAgainstLm(docs, s"$dir/lm3")
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang" === "en").agg(avg($"avg_logprob")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(scores(true) > scores(false),
+      s"LM-corpus docs must outscore the rest: $scores")
+  }
+
   test("bloom contamination report is a no-false-negative superset of exact") {
     // the q36/q65 pair on the real fixture: every doc the exact report
     // flags must appear in the bloom report with n_flagged >= n_overlap
