@@ -193,15 +193,17 @@ object Curation {
     *     survivor count keeps everything (never-binding ≡ default,
     *     spec-pinned).
     *   - `lmProfilePath` (+ `minLmLogProb`, `lmAlpha`): LM PERPLEXITY
-    *     gate (CCNet's filter,
-    *     [[TextAnalysis.bigramLogProbsAgainstLm]] against the stored
-    *     bigram LM — the q82 artifact) after the model gate: cut docs
-    *     whose average bigram log-likelihood falls below the
+    *     gate (CCNet's filter) after the model gate: cut docs whose
+    *     average log-likelihood under the stored LM falls below the
     *     threshold (avg_logprob is strictly negative — calibrate from
-    *     a q81 scoring run). Docs with under two tokens pass
-    *     un-scored. Stateless given the read-only artifact, so the
-    *     gate rides [[streamingGates]] into the curation stream. None
-    *     (the default) adds zero plan nodes.
+    *     a q81/q136 scoring run). ORDER-AWARE: the artifact's sidecar
+    *     kind picks the scorer — a `bigram-lm` profile (q82 artifact,
+    *     Laplace-smoothed, `lmAlpha` applies) or a `trigram-lm`
+    *     profile (q137 artifact, stupid backoff, fixed α = 1/2 —
+    *     `lmAlpha` must stay at its default). Docs too short to score
+    *     pass un-scored. Stateless given the read-only artifact, so
+    *     the gate rides [[streamingGates]] into the curation stream.
+    *     None (the default) adds zero plan nodes.
     *   - `sourceReputationPath` (+ `minSourceScore`): per-SOURCE
     *     reputation gate (the C4/RefinedWeb domain filter,
     *     [[Reputation.sourceReputationAgainstProfile]] against the
@@ -589,21 +591,41 @@ object Curation {
     }
 
   /** The optional LM perplexity gate (CCNet's filter as a chain
-    * stage): cut docs whose average bigram log-likelihood under the
-    * STORED LM ([[TextAnalysis.bigramLogProbsAgainstLm]] — the q82
-    * artifact) falls below `minLmLogProb`. Anti-join against the
-    * below-threshold set, so docs with nothing to score (under two
-    * tokens — the min-token gate owns those) pass un-scored, the
-    * semantic-gate convention. Stateless given the read-only artifact
-    * (pure per-doc function of the batch), so it rides
-    * [[streamingGates]] into `EventStream.curationStream` unchanged.
-    * Identity (zero plan nodes) when no profile is configured. */
+    * stage): cut docs whose average log-likelihood under the STORED LM
+    * falls below `minLmLogProb`. ORDER-AWARE: the artifact's sidecar
+    * `kind` picks the scorer — `bigram-lm` (q82, Laplace-smoothed,
+    * `lmAlpha` applies) or `trigram-lm` (q137, stupid backoff with its
+    * fixed α = 1/2 — a configured non-default `lmAlpha` is refused
+    * loudly rather than silently ignored); any other kind fails before
+    * any scoring. One `Config` knob, either artifact. Anti-join
+    * against the below-threshold set, so docs with nothing to score
+    * (under the order's minimum tokens — the min-token gate owns
+    * those) pass un-scored, the semantic-gate convention. Stateless
+    * given the read-only artifact (pure per-doc function of the
+    * batch), so it rides [[streamingGates]] into
+    * `EventStream.curationStream` unchanged. Identity (zero plan
+    * nodes) when no profile is configured. */
   private def lmGate(gated: DataFrame, cfg: Config): DataFrame =
     cfg.lmProfilePath match {
       case Some(p) =>
+        val kind = Dedup.readParam(s"$p/params.properties", "kind",
+          "LM profile")
+        val scored = kind match {
+          case "bigram-lm" =>
+            TextAnalysis.bigramLogProbsAgainstLm(gated, p,
+              alpha = cfg.lmAlpha)
+          case "trigram-lm" =>
+            require(cfg.lmAlpha == 1.0,
+              "lmAlpha is the bigram-Laplace smoothing knob; a trigram " +
+                "LM scores with fixed stupid-backoff α = 1/2 — leave " +
+                "lmAlpha at its default")
+            TextAnalysis.trigramLogProbsAgainstLm(gated, p)
+          case other => throw new IllegalArgumentException(
+            s"lmProfilePath points at a '$other' artifact — the LM " +
+              "gate takes a bigram-lm or trigram-lm profile")
+        }
         gated.join(
-          TextAnalysis.bigramLogProbsAgainstLm(gated, p, alpha = cfg.lmAlpha)
-            .filter(col("avg_logprob") < cfg.minLmLogProb.get)
+          scored.filter(col("avg_logprob") < cfg.minLmLogProb.get)
             .select(col("doc_id")),
           Seq("doc_id"), "left_anti")
       case None => gated

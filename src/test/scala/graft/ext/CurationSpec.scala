@@ -852,6 +852,40 @@ class CurationSpec extends SparkSpec {
       cfg.copy(minLmLogProb = Some(-1.0))))
   }
 
+  test("LM gate is order-aware: a trigram artifact dispatches by sidecar kind") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_lm3").toString
+    TextAnalysis.writeTrigramLmProfile(docs.filter($"lang" === "en"),
+      s"$dir/lm3")
+    // binding threshold: the chain's survivor set excludes exactly the
+    // docs the q137 scorer puts below it
+    val scores = TextAnalysis.trigramLogProbsAgainstLm(corpus, s"$dir/lm3")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob"))
+      .toMap
+    val thr = scores.values.toSeq.sorted.apply(scores.size / 2)
+    val kept = Curation.curate(corpus, benchmark,
+        cfg.copy(lmProfilePath = Some(s"$dir/lm3"),
+          minLmLogProb = Some(thr)))
+      .collect().map(_.getLong(0)).toSet
+    val below = scores.filter(_._2 < thr).keySet
+    assert(below.nonEmpty && kept.intersect(below).isEmpty,
+      "below-threshold docs must not survive the trigram LM gate")
+    // a non-default lmAlpha is a bigram knob — refused, not ignored
+    val ea = intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark,
+        cfg.copy(lmProfilePath = Some(s"$dir/lm3"),
+          minLmLogProb = Some(thr), lmAlpha = 0.5)))
+    assert(ea.getMessage.contains("lmAlpha"), ea.getMessage)
+    // a non-LM artifact fails the kind dispatch before any scoring
+    Selection.writeSelectionProfile(docs, s"$dir/sel", buckets = 64)
+    val ek = intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark,
+        cfg.copy(lmProfilePath = Some(s"$dir/sel"),
+          minLmLogProb = Some(thr))))
+    assert(ek.getMessage.contains("bigram-lm or trigram-lm"),
+      ek.getMessage)
+  }
+
   test("stored boilerplate strip slots into the hygiene ladder with its funnel row") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_curation_lineprof").toString
