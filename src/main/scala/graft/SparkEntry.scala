@@ -734,6 +734,28 @@ object SparkEntry {
         s"$dir/documents.parquet", variant = "_en")
       ext.TextAnalysis.trigramLogProbsAgainstLm(docs, prof)
     }),
+    // seasonal feed-health baseline: hour-of-week slot counts frozen
+    // with sidecar-owned baseWeeks = 2; every probe hour's excess over
+    // the slot's per-week mean is one exact-long division
+    "q139_volume_baseline" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val path = "/tmp/graft_volprof_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // fresh artifact per invocation — determinism over append history
+      graft.lineage.AtomicSwap.deleteRecursive(
+        java.nio.file.Paths.get(path))
+      ext.Events.writeVolumeProfile(ev, path, baseWeeks = 2L)
+      ext.Events.volumeAnomalyAgainstProfile(ev, path)
+    }),
+    // padding-efficient trainer batches: length buckets at 24/48/72
+    // tokens, 512-token batches cut by the exclusive-prefix rule
+    "q138_length_batches" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      ext.Sampling.lengthBucketedBatches(
+        Tables.documents(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", boundaries = Seq(24L, 48L, 72L),
+        batchTokens = 512L)
+    }),
     // north-star observability: per-segment NOVELTY of an arriving
     // batch against a STORED HLL cardinality profile — how many new
     // unique users each event segment brings, without re-scanning the
@@ -2723,6 +2745,39 @@ object SparkEntry {
     // en-slice's counts verbatim (long marginals sum exactly), so the
     // stored route must hash-match the live SQL
     "q137_trigram_lm_profile" -> Lm3LogProbSql,
+    // q138: bucket CASE (highest boundary wins) + per-bucket md5-order
+    // exclusive prefix; batch_id = prefix // 512 — all BIGINT
+    "q138_length_batches" ->
+      """WITH toks AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tok,
+        |        CAST(CASE WHEN n_tok > 72 THEN 3 WHEN n_tok > 48 THEN 2
+        |             WHEN n_tok > 24 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+        |      FROM toks),
+        |c AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY bucket
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS pfx
+        |      FROM b)
+        |SELECT doc_id, bucket, n_tok, pfx // 512 AS batch_id FROM c""".stripMargin,
+    // q139: profile and probe restated over the same feed; DuckDB
+    // dayofweek is 0-based (Sunday 0) vs Spark's 1-based — shift by 1;
+    // the slot join is on derived (dow, hod), NULL for unseen slots
+    "q139_volume_baseline" ->
+      """WITH base AS (SELECT event_type, dayofweek(ts) + 1 AS dow,
+        |    hour(ts) AS hod, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT h.event_type, h.hour, h.n_events,
+        |  b.c AS baseline_count,
+        |  ROUND(CAST(h.n_events * 2 - b.c AS DOUBLE) / b.c, 6)
+        |    AS excess_ratio
+        |FROM h LEFT JOIN base b ON h.event_type = b.event_type
+        |  AND dayofweek(h.hour) + 1 = b.dow
+        |  AND hour(h.hour) = b.hod""".stripMargin,
     // rank deciles of the q67 score: bucket = rank·10 div n (pure long
     // arithmetic), positive rate = ONE exact division, min/max are
     // order-free — the curve hashes despite double scores

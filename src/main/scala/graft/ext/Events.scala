@@ -193,6 +193,93 @@ object Events {
         unix_micros(col("last_event_ts")) + gapUs + 1L)
   }
 
+  /** Sidecar identity of a stored volume profile. `baseWeeks` (the
+    * number of weeks the base period spans — injected by the caller,
+    * never derived from a wall clock) lives in the sidecar and every
+    * probe reads it back: the expected-rate denominator is a property
+    * of the ARTIFACT, not a parameter two call sites could disagree on
+    * (the canonical-index idCol rule). */
+  private val VolumeParams: Map[String, String] =
+    Map("kind" -> "volume-profile")
+
+  /** Freeze an event feed's hour-of-week volume baseline at `path`:
+    * per (event_type, day-of-week, hour-of-day) exact event counts
+    * over a `baseWeeks`-week base period, on the audited
+    * [[CountProfile]] machinery (byte-dedup replay class). The stored
+    * counterpart of [[volumeAnomaly]]'s trailing window — a SEASONAL
+    * baseline ("Monday 9am is always busy") instead of a recent one,
+    * and the feed-health member of the stored-artifact gate family
+    * (reference analogue: the persisted validation state of
+    * load_sales_history.py:241-246, pointed at arrival volume). */
+  def writeVolumeProfile(events: DataFrame, path: String,
+                         baseWeeks: Long): Unit = {
+    require(baseWeeks >= 1, "need baseWeeks >= 1")
+    CountProfile.write(slotCounts(events), path,
+      VolumeParams + ("baseWeeks" -> baseWeeks.toString))
+  }
+
+  private def slotCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+        dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Merge late-arriving events OF THE SAME base period into a stored
+    * volume profile (the base span — and so the sidecar's `baseWeeks`
+    * — does not change; a longer base period is a rebuild, the Bloom
+    * discipline). `batchId` tags stream appends for replay
+    * idempotence. */
+  def appendVolumeProfile(events: DataFrame, path: String,
+                          batchId: Option[Long] = None): Unit = {
+    Dedup.requireParams(s"$path/params.properties", VolumeParams,
+      "volume profile")
+    CountProfile.append(slotCounts(events), path, batchId)
+  }
+
+  /** Collapse a volume profile's appended count rows (tags kept). */
+  def compactVolumeProfile(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit = {
+    Dedup.requireParams(s"$path/params.properties", VolumeParams,
+      "volume profile")
+    CountProfile.compact(spark, path)
+  }
+
+  /** Per-hour volume vs the STORED seasonal baseline: for each
+    * (event_type, hour) of the probed feed, `excess_ratio` =
+    * (n·baseWeeks − c) / c where c is the stored count for the hour's
+    * (type, day-of-week, hour-of-day) slot — the hour's excess over
+    * the slot's per-week mean, with an exact-long numerator so the
+    * only floating-point step is ONE division of exact longs
+    * (oracle-hashed, q139). Hours whose slot the profile has never
+    * seen report NULL (`baseline_count` NULL too) — an unknown slot
+    * gets no fabricated baseline, the unknown-pass convention.
+    * `baseWeeks` comes from the artifact's own sidecar;
+    * `excludeBatchId` is the streaming-replay hook. Read-only
+    * artifact ⇒ stream-safe.
+    *
+    * Scale notes (100 TB): one map-side-combined hourly aggregate,
+    * then a broadcast-sized join against the ≤ |types|·168-row
+    * profile. */
+  def volumeAnomalyAgainstProfile(events: DataFrame, profilePath: String,
+                                  excludeBatchId: Option[Long] = None): DataFrame = {
+    Dedup.requireParams(s"$profilePath/params.properties", VolumeParams,
+      "volume profile")
+    val baseWeeks = Dedup.readParam(s"$profilePath/params.properties",
+      "baseWeeks", "volume profile").toLong
+    val prof = CountProfile.effective(events.sparkSession, profilePath,
+      "volume profile", "compactVolumeProfile", excludeBatchId)
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", dayofweek(col("hour")))
+      .withColumn("hod", hour(col("hour")))
+      .join(broadcast(prof), Seq("event_type", "dow", "hod"), "left")
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("c").as("baseline_count"),
+        when(col("c").isNotNull,
+          round((col("n_events") * baseWeeks - col("c")).cast("double") /
+            col("c"), 6)).as("excess_ratio"))
+  }
+
   /** Per-hour volume anomaly vs the trailing-k baseline — the cheapest
     * feed-health monitor a recurring ingest runs ("this hour's `click`
     * volume is 3× its recent norm"): for each (event_type, hour),

@@ -483,14 +483,15 @@ object Sampling {
     * arithmetic ⇒ oracle-hashed (q131 composes the factored q130 CTEs
     * with the replication + prefix).
     *
-    * Scale notes: `alloc` is |groups| rows by construction, so both
-    * attaches broadcast; full-epoch replication is a per-row
-    * `explode(sequence(...))` — output ∝ planned epochs, never an
-    * intermediate blow-up (the sequence is guarded to non-empty:
-    * Spark's `sequence(0, -1)` DESCENDS, the pinned hazard); the
-    * remainder pays the one group-partitioned window q45 already
-    * pays. The trainer-facing contract: Σ n_tok per (group, epoch)
-    * is exactly avail for full epochs and ≥ rem (within one boundary
+    * Scale notes: `alloc` is |groups| rows by construction, so the
+    * attach broadcasts; a doc's epoch memberships fuse into ONE
+    * `explode(sequence(0, n_ep − 1))` with n_ep = full epochs + its
+    * remainder admission — one corpus scan, the one group-partitioned
+    * window q45 already pays, output ∝ planned epochs with no
+    * intermediate blow-up (rows with n_ep = 0 are filtered BEFORE the
+    * sequence: Spark's `sequence(0, -1)` DESCENDS, the pinned hazard).
+    * The trainer-facing contract: Σ n_tok per (group, epoch) is
+    * exactly avail for full epochs and ≥ rem (within one boundary
     * doc) for the final partial epoch. */
   def realizeMixtureAllocationWithRepeats(df: DataFrame, groupCol: String,
                                           idCol: String, tokenCol: String,
@@ -503,19 +504,15 @@ object Sampling {
         when(col("avail_tokens") > 0,
           expr("alloc_tokens div avail_tokens")).otherwise(lit(0L)) *
           col("avail_tokens")).as("_rem"))
-    val withPlan = df.join(broadcast(plan), Seq(groupCol))
-    val fulls = withPlan
-      .filter(col("_full_ep") > 0)
-      .withColumn("epoch",
-        explode(sequence(lit(0L), col("_full_ep") - 1L)))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    val rems = withPlan
-      .withColumn("cum_tokens", sum(col(tokenCol)).over(w).cast("long"))
-      .filter(col("cum_tokens") - col(tokenCol) < col("_rem"))
-      .withColumn("epoch", col("_full_ep"))
-      .drop("cum_tokens")
-    fulls.unionByName(rems)
+    df.join(broadcast(plan), Seq(groupCol))
+      .withColumn("_cum", sum(col(tokenCol)).over(w).cast("long"))
+      .withColumn("_n_ep", col("_full_ep") +
+        when(col("_cum") - col(tokenCol) < col("_rem"), lit(1L))
+          .otherwise(lit(0L)))
+      .filter(col("_n_ep") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_n_ep") - 1L)))
       .select(col(idCol), col(groupCol), col(tokenCol), col("epoch"))
   }
 
@@ -929,6 +926,52 @@ object Sampling {
         count(lit(1)).as("n_runs"),
         (sum(col("_len")) - count(lit(1))).as("n_adjacent_same"),
         max(col("_len")).as("max_run_len"))
+  }
+
+  /** Length-bucketed token-budget BATCHES — the padding-efficiency
+    * trainer layout for models that pad examples to a batch maximum
+    * (the fairseq `--max-tokens` + length-bucketing recipe, the
+    * whole-example counterpart of [[TextAnalysis.packTokenSequences]]'
+    * concatenation): assign each doc to the length bucket its token
+    * count falls in (`boundaries` are upper-exclusive split points:
+    * b = #{boundary < n_tok}), then cut each bucket's md5-ordered
+    * stream into batches of ≤ `batchTokens` via the q45 running-sum
+    * rule on the EXCLUSIVE prefix (batch_id = prefix div budget — a
+    * doc lands in the batch its first token falls in, so every batch
+    * except a bucket's last holds ≥ budget − max_doc + 1 tokens).
+    * Grouping near-equal lengths per batch is what bounds the
+    * padded-token waste (max_len − n_tok within a batch); all
+    * decisions exact LONG arithmetic ⇒ oracle-hashed (q138).
+    * Output: (idCol, bucket, tokenCol, batch_id), deterministic for
+    * any partitioning (content-addressed order).
+    *
+    * Scale notes (100 TB): bucket assignment is a literal CASE chain
+    * in the scan projection (boundaries are enum-sized); the only
+    * shuffle is the bucket-partitioned window — the q45 price.
+    * Oversize docs (n_tok > batchTokens) get a singleton batch by the
+    * same arithmetic, never an error. */
+  def lengthBucketedBatches(toks: DataFrame, idCol: String,
+                            tokenCol: String, boundaries: Seq[Long],
+                            batchTokens: Long): DataFrame = {
+    require(batchTokens >= 1, "need batchTokens >= 1")
+    require(boundaries.nonEmpty, "need at least one bucket boundary")
+    require(boundaries.forall(_ >= 1) &&
+      boundaries == boundaries.sorted && boundaries.distinct == boundaries,
+      "boundaries must be strictly increasing positive lengths")
+    // ascending fold leaves the LARGEST boundary as the outermost
+    // branch, so the highest matching bucket wins
+    val bucket = boundaries.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (bnd, i)) =>
+        when(col(tokenCol) > bnd, lit(i + 1L)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.select(col(idCol), bucket.as("bucket"), col(tokenCol))
+      .withColumn("_prefix",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)).cast("long"))
+      .withColumn("batch_id", expr(s"_prefix div ${batchTokens}L"))
+      .drop("_prefix")
   }
 
   /** Effective sample size of a WEIGHTED corpus per group — Kish's

@@ -969,6 +969,63 @@ class ExtSpec extends SparkSpec {
       s"LM-corpus docs must outscore the rest: $scores")
   }
 
+  test("length-bucketed batches: bucket rule, budget cuts, oversize singleton, determinism") {
+    // bucket assignment: the HIGHEST matching boundary wins
+    val lens = Seq((1L, 10L), (2L, 30L), (3L, 50L), (4L, 80L))
+      .toDF("doc_id", "n_tok")
+    val buckets = Sampling.lengthBucketedBatches(lens, "doc_id", "n_tok",
+        Seq(24L, 48L, 72L), batchTokens = 512L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // equal lengths: batch sizes are order-free — 5 docs of 5 tokens
+    // at budget 10 cut into [2, 2, 1] whatever the md5 order
+    val eq = Seq.tabulate(5)(i => (i.toLong, 5L)).toDF("doc_id", "n_tok")
+    val sizes = Sampling.lengthBucketedBatches(eq, "doc_id", "n_tok",
+        Seq(100L), 10L)
+      .groupBy($"batch_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(0L -> 2L, 1L -> 2L, 2L -> 1L), s"got $sizes")
+    // docs over the budget land in singleton batches, never an error
+    val big = Seq((1L, 20L), (2L, 25L), (3L, 30L)).toDF("doc_id", "n_tok")
+    val bigSizes = Sampling.lengthBucketedBatches(big, "doc_id", "n_tok",
+        Seq(5L), 8L)
+      .groupBy($"batch_id").count().collect().map(_.getLong(1))
+    assert(bigSizes.forall(_ == 1L), "oversize docs must ride alone")
+    // fixture invariants: per bucket, batch ids contiguous from 0 and
+    // every non-final batch holds at least budget − max_doc + 1 tokens;
+    // partitioning never changes the assignment
+    val toks = docs.selectExpr("doc_id",
+      "CAST(size(split(text, ' ')) AS LONG) AS n_tok")
+    val out = Sampling.lengthBucketedBatches(toks, "doc_id", "n_tok",
+      Seq(24L, 48L, 72L), 512L).cache()
+    val perBucket = out.groupBy($"bucket")
+      .agg(org.apache.spark.sql.functions.max($"n_tok").as("mx"),
+        org.apache.spark.sql.functions.max($"batch_id").as("last"))
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(perBucket.size == 4, "all four fixture buckets populated")
+    val perBatch = out.groupBy($"bucket", $"batch_id")
+      .agg(org.apache.spark.sql.functions.sum($"n_tok").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    perBucket.foreach { case (b, (mx, last)) =>
+      (0L to last).foreach { i => assert(perBatch.contains((b, i)),
+        s"bucket $b batch ids must be contiguous; missing $i") }
+      (0L until last).foreach { i =>
+        assert(perBatch((b, i)) >= 512L - mx + 1,
+          s"non-final batch ($b, $i) underfilled: ${perBatch((b, i))}") }
+    }
+    val re = Sampling.lengthBucketedBatches(toks.repartition(7), "doc_id",
+        "n_tok", Seq(24L, 48L, 72L), 512L)
+      .collect().map(_.toSeq).toSet
+    assert(re == out.collect().map(_.toSeq).toSet)
+    out.unpersist()
+    intercept[IllegalArgumentException](Sampling.lengthBucketedBatches(
+      toks, "doc_id", "n_tok", Seq(48L, 24L), 512L))
+    intercept[IllegalArgumentException](Sampling.lengthBucketedBatches(
+      toks, "doc_id", "n_tok", Seq(24L), 0L))
+  }
+
   test("trigram stupid backoff: all four branches hand-computed, stored ≡ live") {
     // LM corpus: trigrams (a,b,c)=2 (b,c,a)=1 (c,a,b)=1 (a,b,d)=1;
     // marginals c12(a,b)=3, c23(b,c)=2, c2(b)=3, c3(d)=1; N=5, V=4
@@ -2804,6 +2861,50 @@ class ExtSpec extends SparkSpec {
     assert(got(("g", "05")) == ((Some(2L), Some(3.0))),
       "(4*2 - 2) / 2 = 3.0 across the feed gap")
     intercept[IllegalArgumentException](Events.volumeAnomaly(ev, k = 0))
+  }
+
+  test("stored volume baseline: slot arithmetic, unknown-slot NULL, late-data append") {
+    import org.apache.spark.sql.functions.to_timestamp
+    def evDf(rows: Seq[(String, String)]) = rows.toDF("ts_s", "event_type")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_type")
+    // base period: two Mondays' 9am hours (2024-01-01/08 are Mondays),
+    // one event each -> slot (c, Mon, 9) count 2 over baseWeeks = 2
+    val base = evDf(Seq(("2024-01-01 09:05:00", "c"),
+      ("2024-01-08 09:10:00", "c")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_volprof").toString
+    Events.writeVolumeProfile(base, s"$dir/p", baseWeeks = 2L)
+    // probe: a 3-event Monday-9am hour (ratio (3·2−2)/2 = 2.0) and a
+    // Tuesday hour the profile never saw (NULL, no fabricated baseline)
+    val probe = evDf(Seq(("2024-01-01 09:00:01", "c"),
+      ("2024-01-01 09:00:02", "c"), ("2024-01-01 09:00:03", "c"),
+      ("2024-01-02 10:00:00", "c")))
+    val got = Events.volumeAnomalyAgainstProfile(probe, s"$dir/p")
+      .collect().map(r => r.getTimestamp(1).toString.substring(0, 13) ->
+        ((Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got("2024-01-01 09") == ((Some(2L), Some(2.0))), got.toString)
+    assert(got("2024-01-02 10") == ((None, None)),
+      "an unseen slot must report NULL, not a fabricated baseline")
+    // late data of the same base period merges: the slot grows to 3,
+    // the same probe hour now reads (3·2−3)/3 = 1.0
+    Events.appendVolumeProfile(evDf(Seq(("2024-01-08 09:59:59", "c"))),
+      s"$dir/p")
+    val after = Events.volumeAnomalyAgainstProfile(probe, s"$dir/p")
+      .collect().map(r => r.getTimestamp(1).toString.substring(0, 13) ->
+        Option(r.get(4))).toMap
+    assert(after("2024-01-01 09") == Some(1.0), after.toString)
+    // compaction changes nothing the probe can see
+    Events.compactVolumeProfile(spark, s"$dir/p")
+    assert(Events.volumeAnomalyAgainstProfile(probe, s"$dir/p")
+      .collect().map(r => r.getTimestamp(1).toString.substring(0, 13) ->
+        Option(r.get(4))).toMap == after)
+    // a non-volume artifact fails the kind check before any probe
+    Selection.writeSelectionProfile(docs, s"$dir/sel", buckets = 64)
+    val e = intercept[IllegalArgumentException](
+      Events.volumeAnomalyAgainstProfile(probe, s"$dir/sel"))
+    assert(e.getMessage.contains("kind"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Events.writeVolumeProfile(base, s"$dir/bad", baseWeeks = 0L))
   }
 
   test("realized mixture keeps each group's hash-order prefix to its own budget") {
