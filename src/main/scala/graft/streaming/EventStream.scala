@@ -937,6 +937,34 @@ object EventStream {
         }
       }
 
+  /** Streaming feed-health monitor — [[driftMonitorStream]]'s contract
+    * pointed at arrival volume: each micro-batch of events is scored
+    * against the STORED hour-of-week baseline
+    * ([[graft.ext.Events.volumeAnomalyAgainstProfile]] — the q139
+    * artifact; `baseWeeks` comes from its own sidecar) and the
+    * per-(type, hour) excess report lands under
+    * `metricsPath/batch_id=N`. The profile is read-only here (merge
+    * late base-period data with `appendVolumeProfile` at mart cadence,
+    * never from the monitor), so each report is a pure deterministic
+    * function of the batch and the batch-keyed overwrite makes replays
+    * exactly-once with no tag machinery. Consumers read `metricsPath`
+    * as a partitioned table — excess_ratio over batches IS the
+    * feed-health dashboard. */
+  def volumeMonitorStream(events: DataFrame, profilePath: String,
+                          metricsPath: String,
+                          checkpoint: String): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Events.volumeAnomalyAgainstProfile(batch, profilePath)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+        }
+      }
+
   /** Streaming DSIR gate — the continuous-ingest form of importance
     * selection: each micro-batch of documents is scored against TWO
     * stored selection profiles (raw and target —

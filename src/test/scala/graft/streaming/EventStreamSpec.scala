@@ -887,6 +887,50 @@ class EventStreamSpec extends SparkSpec {
     assert(byBatch(0) < byBatch(1))
   }
 
+  test("streaming volume monitor lands one slot report per micro-batch, profile read-only") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_vol").toString
+    // frozen baseline: the Monday-9am 'click' slot saw 2 events over a
+    // 2-week base (2024-01-01/08 are Mondays)
+    // crafted frame from tuples — the pinned inner-case-class encoder
+    // hazard (Seq(Ev(...)).toDF() fails where MemoryStream[Ev] works)
+    val base = Seq(
+      (1L, ts("2024-01-01 09:05:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-08 09:10:00"), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    graft.ext.Events.writeVolumeProfile(base, s"$dir/prof", baseWeeks = 2L)
+    val profBefore = spark.read.parquet(s"$dir/prof/counts")
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[Ev]
+    def drain(): Unit = {
+      val q = EventStream.volumeMonitorStream(mem.toDF(), s"$dir/prof",
+        s"$dir/metrics", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // batch 0: a 3-event Monday-9am hour -> (3·2−2)/2 = 2.0;
+    // batch 1: a Tuesday hour the profile never saw -> NULL
+    mem.addData(
+      Ev(10L, ts("2024-01-01 09:00:01"), 2L, "click", 1.0, "{}"),
+      Ev(11L, ts("2024-01-01 09:00:02"), 2L, "click", 1.0, "{}"),
+      Ev(12L, ts("2024-01-01 09:00:03"), 2L, "click", 1.0, "{}"))
+    drain()
+    mem.addData(Ev(13L, ts("2024-01-02 10:00:00"), 2L, "click", 1.0, "{}"))
+    drain()
+    val m = spark.read.parquet(s"$dir/metrics")
+    val byBatch = m.collect()
+      .map(r => r.getAs[Int]("batch_id") ->
+        ((Option(r.get(r.fieldIndex("baseline_count"))),
+          Option(r.get(r.fieldIndex("excess_ratio")))))).toMap
+    assert(byBatch.keySet == Set(0, 1), s"one report per batch: $byBatch")
+    assert(byBatch(0) == ((Some(2L), Some(2.0))), byBatch.toString)
+    assert(byBatch(1) == ((None, None)),
+      "an unseen slot must monitor as NULL, never mutate the profile")
+    // the monitor never wrote to the artifact it measures against
+    assert(spark.read.parquet(s"$dir/prof/counts")
+      .collect().map(_.toSeq).toSet == profBefore)
+  }
+
   test("streaming importance gate splits batches by the frozen-profile scores, exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_dsir").toString
