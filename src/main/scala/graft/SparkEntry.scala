@@ -746,6 +746,16 @@ object SparkEntry {
       ext.Events.writeVolumeProfile(ev, path, baseWeeks = 2L)
       ext.Events.volumeAnomalyAgainstProfile(ev, path)
     }),
+    // gate-design audit: pairwise Cohen's kappa over three restatable
+    // quality gates — one aggregate pass, exact 2×2 counts
+    "q140_gate_agreement" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array_contains, col, expr,
+        size, split}
+      ext.DataQuality.gateAgreement(Tables.documents(s, dir), Seq(
+        "len30" -> (size(split(col("text"), " ")) >= 30),
+        "punct" -> expr("right(text, 1)").isin(".", "!", "?"),
+        "the" -> array_contains(split(col("text"), " "), "the")))
+    }),
     // padding-efficient trainer batches: length buckets at 24/48/72
     // tokens, 512-token batches cut by the exclusive-prefix rule
     "q138_length_batches" -> ((s, dir) => {
@@ -2778,6 +2788,42 @@ object SparkEntry {
         |FROM h LEFT JOIN base b ON h.event_type = b.event_type
         |  AND dayofweek(h.hour) + 1 = b.dow
         |  AND hour(h.hour) = b.hod""".stripMargin,
+    // q140: the 2×2 census per pair off ONE aggregate; agreement and
+    // the kappa terms mirror the Spark expression shape step for step
+    // (exact-long sums, single divisions, identical IEEE order).
+    // 'both' is a DuckDB reserved word — the alias is nb
+    "q140_gate_agreement" ->
+      """WITH g AS (SELECT
+        |    len(string_split(text, ' ')) >= 30 AS g1,
+        |    right(text, 1) IN ('.', '!', '?') AS g2,
+        |    list_contains(string_split(text, ' '), 'the') AS g3
+        |  FROM documents),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(SUM(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+        |    CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS b12,
+        |    CAST(SUM(CASE WHEN g1 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS b13,
+        |    CAST(SUM(CASE WHEN g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS b23
+        |  FROM g),
+        |r AS (
+        |  SELECT 'len30' AS gate_a, 'punct' AS gate_b,
+        |    s1 AS sa, s2 AS sb, b12 AS nb, n FROM a
+        |  UNION ALL SELECT 'len30', 'the', s1, s3, b13, n FROM a
+        |  UNION ALL SELECT 'punct', 'the', s2, s3, b23, n FROM a)
+        |SELECT gate_a, gate_b, n AS n_rows, nb AS n_both,
+        |  sa - nb AS n_only_a, sb - nb AS n_only_b,
+        |  n - sa - sb + nb AS n_neither,
+        |  ROUND(CAST(nb + (n - sa - sb + nb) AS DOUBLE) / n, 6)
+        |    AS agreement,
+        |  CASE WHEN CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE)
+        |        / (n * n) <> 1.0 THEN
+        |    ROUND((CAST(nb + (n - sa - sb + nb) AS DOUBLE) / n
+        |        - CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE) / (n * n))
+        |      / (1.0 - CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE)
+        |        / (n * n)), 6)
+        |  END AS kappa
+        |FROM r""".stripMargin,
     // rank deciles of the q67 score: bucket = rank·10 div n (pure long
     // arithmetic), positive rate = ONE exact division, min/max are
     // order-free — the curve hashes despite double scores

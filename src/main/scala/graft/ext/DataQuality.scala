@@ -54,4 +54,68 @@ object DataQuality {
         when(col("n_violations") === 0, lit(1)).otherwise(lit(0))
           .cast("int").as("passed"))
   }
+
+  /** Pairwise agreement between boolean quality GATES — the
+    * gate-design audit ("is the model gate just the length gate in
+    * disguise?"): for every unordered gate pair, the 2×2 confusion
+    * counts, raw agreement, and Cohen's κ (chance-corrected — two
+    * gates that both pass almost everything agree often by chance
+    * alone; κ discounts exactly that). A gate evaluating NULL on a row
+    * counts as false (the [[expectationsReport]] convention). All
+    * counts are exact longs; agreement is one exact division; κ =
+    * (p_o − p_e)/(1 − p_e) with p_o, p_e each a single division of
+    * exact longs — the composed IEEE steps are identical both engines,
+    * so the report oracle-hashes (q140). κ is NULL when p_e = 1 (a
+    * constant gate pair — undefined by definition, never fabricated).
+    *
+    * Output: (gate_a, gate_b, n_rows, n_both, n_only_a, n_only_b,
+    * n_neither, agreement, kappa), gate_a < gate_b in the given order.
+    *
+    * Scale notes (100 TB): ONE map-side-combined aggregate — per-gate
+    * and per-pair conditional sums all fold into the same scan
+    * projection (gates are enum-sized, the pair count is
+    * P(P−1)/2 columns on a one-row aggregate); the unpivot runs on
+    * that single row. Overflow bound: the p_e numerator multiplies
+    * two ≤ n counts — exact to n = 3·10⁹ rows in long, and exact in
+    * double far beyond any real gate census. */
+  def gateAgreement(df: DataFrame,
+                    gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.size >= 2, "need at least two gates to compare")
+    require(gates.map(_._1).distinct.size == gates.size,
+      "duplicate gate name")
+    gates.foreach { case (name, _) =>
+      require(!name.contains("'"), s"gate name must not quote: $name") }
+    val flags = gates.map { case (name, g) =>
+      (name, coalesce(g, lit(false))) }
+    val singles = flags.map { case (name, g) =>
+      sum(when(g, lit(1L)).otherwise(lit(0L))).as(s"_s_$name") }
+    val pairs = for {
+      i <- flags.indices; j <- flags.indices if i < j
+    } yield (flags(i)._1, flags(j)._1)
+    val boths = pairs.map { case (a, b) =>
+      val ga = flags.find(_._1 == a).get._2
+      val gb = flags.find(_._1 == b).get._2
+      sum(when(ga && gb, lit(1L)).otherwise(lit(0L))).as(s"_b_${a}__$b")
+    }
+    val agg = df.agg(count(lit(1)).as("_n"), singles ++ boths: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', _s_$a, _s_$b, _b_${a}__$b" }.mkString(", ")
+    val n = col("_n")
+    val both = coalesce(col("_both"), lit(0L))
+    val sa = coalesce(col("_sa"), lit(0L))
+    val sb = coalesce(col("_sb"), lit(0L))
+    val neither = n - sa - sb + both
+    val po = (both + neither).cast("double") / n
+    val pe = (sa * sb + (n - sa) * (n - sb)).cast("double") / (n * n)
+    agg.select(n, expr(s"stack(${pairs.size}, $stackArgs) AS " +
+        "(gate_a, gate_b, _sa, _sb, _both)"))
+      .select(col("gate_a"), col("gate_b"), n.as("n_rows"),
+        both.as("n_both"),
+        (sa - both).as("n_only_a"),
+        (sb - both).as("n_only_b"),
+        neither.as("n_neither"),
+        when(n =!= 0, round(po, 6)).as("agreement"), // empty frame: NULL, not NaN
+        when(n =!= 0 && pe =!= 1.0,
+          round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
 }

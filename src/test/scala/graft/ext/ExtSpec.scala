@@ -2831,6 +2831,40 @@ class ExtSpec extends SparkSpec {
       DataQuality.expectationsReport(df, Nil))
   }
 
+  test("gate agreement: hand-computed kappa, constant-pair NULL, NULL gate is false") {
+    val df = Seq((1, 1), (1, 0), (0, 0), (0, 1), (1, 1)).toDF("a", "b")
+    val got = DataQuality.gateAgreement(df, Seq(
+        "A" -> ($"a" === 1), "B" -> ($"b" === 1),
+        "T" -> lit(true)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // A/B: n=5 sa=3 sb=3 both=2 neither=1 -> po 0.6, pe 0.52,
+    // kappa (0.6-0.52)/0.48
+    val ab = got(("A", "B"))
+    assert(ab.getAs[Long]("n_both") == 2L &&
+      ab.getAs[Long]("n_only_a") == 1L &&
+      ab.getAs[Long]("n_only_b") == 1L &&
+      ab.getAs[Long]("n_neither") == 1L)
+    assert(ab.getAs[Double]("agreement") == 0.6)
+    assert(ab.getAs[Double]("kappa") == 0.166667)
+    // a constant gate makes pe = 1 only when BOTH are constant; T vs T
+    // is not a pair, but A vs T has pe = sa/n != 1 -> kappa defined
+    assert(got(("A", "T")).getAs[Double]("agreement") == 0.6)
+    // both-constant pair: chance agreement is total, kappa undefined
+    val const = DataQuality.gateAgreement(df, Seq(
+        "T1" -> lit(true), "T2" -> lit(true))).head
+    assert(const.getAs[Double]("agreement") == 1.0 &&
+      const.isNullAt(const.fieldIndex("kappa")),
+      "kappa must be NULL when pe = 1, never fabricated")
+    // a NULL gate value counts as false (the expectations convention)
+    val withNull = Seq((Some(1), 1), (None, 1)).toDF("a", "b")
+    val nn = DataQuality.gateAgreement(withNull, Seq(
+        "A" -> ($"a" === 1), "B" -> ($"b" === 1))).head
+    assert(nn.getAs[Long]("n_both") == 1L &&
+      nn.getAs[Long]("n_only_b") == 1L)
+    intercept[IllegalArgumentException](
+      DataQuality.gateAgreement(df, Seq("A" -> ($"a" === 1))))
+  }
+
   test("volume anomaly: exact excess over trailing mean, short history NULL, gaps stretch") {
     import org.apache.spark.sql.functions.to_timestamp
     val ev = Seq(
