@@ -746,6 +746,23 @@ object SparkEntry {
       ext.Events.writeVolumeProfile(ev, path, baseWeeks = 2L)
       ext.Events.volumeAnomalyAgainstProfile(ev, path)
     }),
+    // calibration-free ensemble: blend the q67 model score with the
+    // length prior by value-ranks — ranks are exact longs, the mean a
+    // fixed-order two-term sum
+    "q142_rank_blend" -> ((s, dir) =>
+      ext.TextAnalysis.rankBlendScores(
+        ext.TextAnalysis.qualityModelScores(Tables.documents(s, dir))
+          .withColumnRenamed("n_tokens", "n_toks"), // the oracle CTE's name
+        "doc_id", Seq("quality_score", "n_toks"))),
+    // the reverse decontamination question: which EVAL items are
+    // burned — per benchmark doc, the share of its shingles the
+    // training corpus contains
+    "q141_burned_benchmark" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.Dedup.burnedBenchmarkReport(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25))
+    }),
     // gate-design audit: pairwise Cohen's kappa over three restatable
     // quality gates — one aggregate pass, exact 2×2 counts
     "q140_gate_agreement" -> ((s, dir) => {
@@ -1532,6 +1549,16 @@ object SparkEntry {
       |CROSS JOIN vv
       |GROUP BY 1""".stripMargin
 
+  /** q36's per-doc distinct 3-shingle relation (`sh(doc_id, shingle)`
+    * over the whole documents table) — q141 composes the same CTEs in
+    * the reverse direction (the factored-never-copied rule). */
+  private val TriShingleCtes =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(w) - 2),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      |       FROM tok)""".stripMargin
+
   /** q136's stupid-backoff trigram scorer (also q137's — the stored
     * route must hash-match the live computation): every branch ONE
     * exact long division, α = 1/2 and α² = 1/4 binary-exact scalings,
@@ -2195,17 +2222,49 @@ object SparkEntry {
         |    THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams
         |    ELSE 0.0 END, 6) AS dup_trigram_frac
         |FROM g""".stripMargin,
-    "q36_contamination" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         generate_series(1, len(w) - 2),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
-        |       FROM tok),
+    "q36_contamination" -> (TriShingleCtes +
+      """,
         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25)
         |SELECT s.doc_id, COUNT(*) AS n_overlap
         |FROM sh s JOIN bench b USING (shingle)
         |WHERE s.doc_id >= 25
-        |GROUP BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin),
+    // q141 composes the SAME shingle CTEs the other way around: per
+    // BENCHMARK item, the share of its shingles found in the corpus
+    "q141_burned_benchmark" -> (TriShingleCtes +
+      """,
+        |bsh AS (SELECT doc_id, shingle FROM sh WHERE doc_id < 25),
+        |cset AS (SELECT DISTINCT shingle FROM sh WHERE doc_id >= 25),
+        |m AS (SELECT DISTINCT b.shingle FROM bsh b
+        |      JOIN cset c USING (shingle))
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN m.shingle IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_burned,
+        |  ROUND(CAST(SUM(CASE WHEN m.shingle IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*), 6) AS burn_frac
+        |FROM bsh b LEFT JOIN m USING (shingle)
+        |GROUP BY 1""".stripMargin),
+    // q142: value-ranks are RANK() − 1 (ties share — count of strictly
+    // smaller values), normalizations single divisions, the blend a
+    // fixed-order sum over two guarded terms
+    "q142_rank_blend" ->
+      (s"""WITH $QualityScoredCtes,
+        |r AS (SELECT doc_id, n_toks, quality_score,
+        |        CAST(RANK() OVER (ORDER BY quality_score) - 1 AS BIGINT)
+        |          AS rank_quality_score,
+        |        CAST(RANK() OVER (ORDER BY n_toks) - 1 AS BIGINT)
+        |          AS rank_n_toks,
+        |        (SELECT CAST(COUNT(*) AS BIGINT) FROM scored) AS n
+        |      FROM scored)
+        |SELECT doc_id, quality_score, n_toks,
+        |  rank_quality_score, rank_n_toks,
+        |  ROUND((CASE WHEN n > 1
+        |        THEN CAST(rank_quality_score AS DOUBLE) / (n - 1)
+        |        ELSE 0.0 END
+        |      + CASE WHEN n > 1
+        |        THEN CAST(rank_n_toks AS DOUBLE) / (n - 1)
+        |        ELSE 0.0 END) / 2, 6) AS blend_score
+        |FROM r""".stripMargin),
     "q37_lang_quota" ->
       """WITH r AS (SELECT doc_id, lang,
         |  row_number() OVER (PARTITION BY lang

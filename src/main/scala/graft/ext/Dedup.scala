@@ -1284,6 +1284,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** The REVERSE contamination direction — which BENCHMARK items are
+    * burned: per eval document, how many of its distinct n-gram
+    * shingles occur anywhere in the training corpus, and the burned
+    * share. [[contaminationReport]] answers "which train docs must
+    * drop"; this answers "which eval items can no longer measure
+    * anything" — the report an eval-suite owner reads before trusting
+    * a score (an item whose shingles are all in training tests
+    * memorization, not ability). Counts are exact longs, the share one
+    * exact division ⇒ oracle-hashed (q141 composes the factored q36
+    * shingle CTEs). Eval docs too short to shingle are absent (the
+    * q36 convention).
+    *
+    * Scale notes (100 TB): the corpus is scanned ONCE and reduced
+    * map-side — its exploded shingles semi-join against the BROADCAST
+    * benchmark shingle set (eval suites are small by construction, the
+    * q36 rule), so only matched shingles (≤ the bench set) ever reach
+    * the distinct; the per-item aggregate runs on the bench-sized
+    * relation. Corpus × bench never shuffles. */
+  def burnedBenchmarkReport(docs: DataFrame, benchmark: DataFrame,
+                            n: Int = 3): DataFrame = {
+    val benchSh = benchmark.select(col("doc_id"),
+        explode(wordShingles(col("text"), n)).as("shingle"))
+      .localCheckpoint() // consumed twice: probe set + per-item denominator
+    val benchSet = benchSh.select(col("shingle")).distinct()
+    val burnedSet = docs
+      .select(explode(wordShingles(col("text"), n)).as("shingle"))
+      .join(broadcast(benchSet), Seq("shingle"), "left_semi")
+      .distinct()
+    benchSh.join(burnedSet.withColumn("_hit", lit(1L)), Seq("shingle"),
+        "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_burned"))
+      .select(col("doc_id"), col("n_shingles"), col("n_burned"),
+        round(col("n_burned").cast("double") / col("n_shingles"), 6)
+          .as("burn_frac"))
+  }
+
   /** Embedding-space decontamination — [[contaminationReport]]'s
     * SEMANTIC counterpart (n-gram overlap misses paraphrased benchmark
     * leakage; embedding cosine catches it): per corpus vector, the max

@@ -183,6 +183,52 @@ object TextAnalysis {
         round(max(col("_s")), 6).as("max_score"))
   }
 
+  /** Rank-blend score ENSEMBLE — combine heterogeneous quality
+    * signals without calibrating their scales (a model logit, an LM
+    * log-prob and a length prior live on incomparable axes; their
+    * RANKS don't): each score maps to its value-rank (count of rows
+    * with a strictly smaller value — ties share, so the rank is a
+    * function of the VALUE and partition-independent), normalizes to
+    * [0, 1] by (n − 1), and the blend is the plain mean. Every score
+    * must be oriented ascending-good by the caller. Ranks are exact
+    * longs (SQL `RANK() − 1` restates them — oracle-hashed, q142);
+    * the normalizations are single divisions and the mean is a fixed
+    * left-to-right sum over k ≤ enum-sized terms. A single-row input
+    * blends to 0 (no rank information), guarded against the 0/0.
+    *
+    * Output: input id + score columns, `rank_<col>` per score,
+    * `blend_score` rounded 6dp.
+    *
+    * Scale notes (100 TB): per score, ONE distinct-values aggregate
+    * (map-side combined) feeds the shared two-phase prefix sum — no
+    * single-partition window at any cardinality; the rank relation is
+    * distinct-values-sized and joins back by value (AQE-planned). The
+    * corpus total rides as a broadcast scalar. */
+  def rankBlendScores(scored: DataFrame, idCol: String,
+                      scoreCols: Seq[String]): DataFrame = {
+    require(scoreCols.size >= 2, "need at least two scores to blend")
+    require(scoreCols.distinct.size == scoreCols.size,
+      "duplicate score column")
+    val base = scored.select((col(idCol) +: scoreCols.map(col)): _*)
+      .localCheckpoint() // one pass; each score's counts re-read it
+    val total = base.agg(count(lit(1)).as("_n"))
+    val joined = scoreCols.foldLeft(base) { (d, s) =>
+      val counts = base.groupBy(col(s)).agg(count(lit(1)).as("_c"))
+      d.join(
+        Sampling.exclusiveRunningSums(counts, Seq(col(s)),
+          Seq((col("_c"), s"rank_$s"))).drop("_c"),
+        Seq(s))
+    }
+    val norms = scoreCols.map(s =>
+      when(col("_n") > 1,
+        col(s"rank_$s").cast("double") / (col("_n") - 1))
+        .otherwise(lit(0.0)))
+    joined.crossJoin(broadcast(total))
+      .withColumn("blend_score",
+        round(norms.reduceLeft(_ + _) / scoreCols.size, 6))
+      .drop("_n")
+  }
+
   /** Per-document compression profile: raw byte length, deflated byte
     * length and their ratio ([[graft.functions.DeflateRatio]] — the
     * MassiveText/Gopher compression filter as a first-class score).

@@ -686,6 +686,33 @@ class ExtSpec extends SparkSpec {
     assert(out == Map(100L -> 2L), s"got $out")
   }
 
+  test("burned-benchmark report scores eval items by their corpus-shingle share") {
+    val corpus = Seq((100L, "a b c d"), (101L, "x y z w"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "a b c q"), // {a b c, b c q}: a b c is in the corpus -> 1/2
+      (2L, "p q r"),   // nothing shared -> 0
+      (3L, "a b c d"), // an exact training copy -> fully burned
+      (4L, "t u"))     // too short to shingle -> absent
+      .toDF("doc_id", "text")
+    val got = Dedup.burnedBenchmarkReport(corpus, bench)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_burned"),
+          r.getAs[Double]("burn_frac")))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((1L, 0L, 0.0)),
+      3L -> ((2L, 2L, 1.0))), s"got $got")
+    // duality with the forward report at fixture scale: the corpus
+    // burns SOME shingle of an item iff the forward report flags some
+    // train doc sharing it, so "any burn" sets agree on non-emptiness
+    val fwd = Dedup.contaminationReport(docs.filter($"doc_id" >= 25),
+      docs.filter($"doc_id" < 25))
+    val rev = Dedup.burnedBenchmarkReport(docs.filter($"doc_id" >= 25),
+      docs.filter($"doc_id" < 25))
+    assert((fwd.count() > 0) == (rev.filter($"n_burned" > 0).count() > 0))
+  }
+
   test("quality model scores match an in-driver reference and are bounded by the weights") {
     // the same md5-bucket + weight-lookup + mean, computed in the driver
     def refScore(text: String): (Long, Double) = {
@@ -2829,6 +2856,32 @@ class ExtSpec extends SparkSpec {
         Seq("r" -> ($"a" > 0), "r" -> ($"a" < 0))))
     intercept[IllegalArgumentException](
       DataQuality.expectationsReport(df, Nil))
+  }
+
+  test("rank blend: value-ranks share ties, hand-computed means, singleton blends to zero") {
+    val scored = Seq((1L, 0.5, 10L), (2L, 0.1, 10L), (3L, 0.9, 5L),
+      (4L, 0.5, 20L)).toDF("doc_id", "s", "t")
+    val got = TextAnalysis.rankBlendScores(scored, "doc_id", Seq("s", "t"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("rank_s"), r.getAs[Long]("rank_t"),
+          r.getAs[Double]("blend_score")))).toMap
+    assert(got == Map(
+      1L -> ((1L, 1L, 0.333333)), // ties share the below-count rank
+      2L -> ((0L, 1L, 0.166667)),
+      3L -> ((3L, 0L, 0.5)),
+      4L -> ((1L, 3L, 0.666667))), s"got $got")
+    // a single row carries no rank information — blend 0, not 0/0
+    val one = TextAnalysis.rankBlendScores(
+      scored.limit(1), "doc_id", Seq("s", "t")).head
+    assert(one.getAs[Double]("blend_score") == 0.0)
+    // partitioning never changes a rank (the two-phase prefix contract)
+    val re = TextAnalysis.rankBlendScores(scored.repartition(5),
+        "doc_id", Seq("s", "t"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("blend_score")).toMap
+    assert(re == got.map { case (k, (_, _, b)) => k -> b })
+    intercept[IllegalArgumentException](
+      TextAnalysis.rankBlendScores(scored, "doc_id", Seq("s")))
   }
 
   test("gate agreement: hand-computed kappa, constant-pair NULL, NULL gate is false") {
