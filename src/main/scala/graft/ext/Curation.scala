@@ -181,6 +181,16 @@ object Curation {
     *     ([[Embedding.ensureTextIndex]]) and its sidecar-recorded dims
     *     are re-validated loudly at probe time (the cosine kernel
     *     would otherwise truncate a width mismatch silently).
+    *   - `winnowIndexPath` (+ `winnowK`, `winnowW`,
+    *     `winnowMinShared`): gate survivors against a STORED winnow
+    *     fingerprint index ([[Dedup.winnowPairsAgainstIndex]] — the
+    *     q125/q126 family as a decontamination artifact): cut docs
+    *     sharing ≥ `winnowMinShared` fingerprints with any indexed
+    *     suite item — the PASSAGE-copying leak the Bloom and semantic
+    *     gates both miss (winnowing's local guarantee: any shared
+    *     substring ≥ w+k−1 collides). k/w must match the artifact's
+    *     sidecar (validated loudly). Funnel row `05c_winnow_gate`.
+    *     None (the default) adds zero plan nodes.
     *   - `dsirProfilePath` (+ `dsirTopN`, `dsirAlpha`): DSIR resample
     *     toward a STORED target profile
     *     ([[Selection.selectByImportanceAgainstProfile]] — the q79
@@ -274,6 +284,10 @@ object Curation {
       semanticProbes: Option[Int] = None,
       embedDims: Option[Int] = None,
       embedNgram: Int = 1,
+      winnowIndexPath: Option[String] = None,
+      winnowK: Int = 8,
+      winnowW: Int = 4,
+      winnowMinShared: Int = 2,
       dsirProfilePath: Option[String] = None,
       dsirTopN: Int = 0,
       dsirAlpha: Double = 1.0,
@@ -377,6 +391,9 @@ object Curation {
     require(cfg.embedNgram == 1 || cfg.embedDims.nonEmpty,
       "embedNgram tunes the derived-embedding space - set embedDims " +
         "to enable it")
+    require(cfg.winnowK >= 1 && cfg.winnowW >= 1,
+      "winnowK and winnowW must be >= 1")
+    require(cfg.winnowMinShared >= 1, "winnowMinShared must be >= 1")
     require(cfg.dsirProfilePath.nonEmpty || cfg.dsirTopN == 0,
       "dsirTopN gates the DSIR stage — set dsirProfilePath to enable it")
     require(cfg.dsirProfilePath.isEmpty || cfg.dsirTopN >= 1,
@@ -426,7 +443,29 @@ object Curation {
     * zero plan nodes, the pinned default-chain shape. */
   private def artifactGates(deduped: DataFrame, cfg: Config,
                             embeddings: Option[DataFrame]): DataFrame =
-    semanticGate(bloomGate(deduped, cfg), cfg, embeddings)
+    winnowGate(semanticGate(bloomGate(deduped, cfg), cfg, embeddings), cfg)
+
+  /** The optional PASSAGE-collision artifact gate: cut docs that share
+    * ≥ `winnowMinShared` winnowing fingerprints with any document in a
+    * STORED winnow index ([[Dedup.winnowPairsAgainstIndex]] — the
+    * q125/q126 family frozen as a decontamination artifact). What this
+    * catches that the Bloom (whole n-gram membership, doc-level
+    * threshold) and semantic (global cosine) gates can't: a doc that
+    * copies a PASSAGE ≥ w+k−1 chars from a suite item without
+    * resembling it globally — the winnowing local guarantee. k/w must
+    * match the artifact's sidecar (validated loudly inside the probe);
+    * the index is READ-ONLY here (grow it with `appendWinnowIndex` at
+    * suite-update cadence), so the stage would be stream-safe by the
+    * LM-gate convention. Identity — zero plan nodes — when no index is
+    * configured. */
+  private def winnowGate(df: DataFrame, cfg: Config): DataFrame =
+    cfg.winnowIndexPath.fold(df) { p =>
+      df.join(
+        Dedup.winnowPairsAgainstIndex(df.sparkSession, df, p,
+            cfg.winnowK, cfg.winnowW, cfg.winnowMinShared)
+          .select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    }
 
   /** The optional DSIR selection stage: keep the `dsirTopN` most
     * target-like decontaminated survivors
@@ -1058,13 +1097,21 @@ object Curation {
         (b, rows)
       case None => (deduped, Seq.empty[(String, Long)])
     }
-    val (artifactClean, semRows) = cfg.semanticIndexPath match {
+    val (semClean, semRows) = cfg.semanticIndexPath match {
       case Some(_) =>
         val sg = semanticGate(bloomed, cfg, embeddings).persist()
         val rows = Seq(("05b_semantic_gate", sg.count()))
         bloomed.unpersist()
         (sg, rows)
       case None => (bloomed, Seq.empty[(String, Long)])
+    }
+    val (artifactClean, winnowRows) = cfg.winnowIndexPath match {
+      case Some(_) =>
+        val wg = winnowGate(semClean, cfg).persist()
+        val rows = Seq(("05c_winnow_gate", wg.count()))
+        semClean.unpersist()
+        (wg, rows)
+      case None => (semClean, Seq.empty[(String, Long)])
     }
     val clean = artifactClean.join(
       Dedup.contaminationReport(artifactClean, benchmark)
@@ -1127,7 +1174,7 @@ object Curation {
       ("03_language", g.getLong(3))) ++ srcRows ++ blockRows ++
       modelRows ++ lmRows ++ Seq(
       ("04_exact_dedup", nExact),
-      ("05_near_dedup", nNear)) ++ bloomRows ++ semRows ++ Seq(
+      ("05_near_dedup", nNear)) ++ bloomRows ++ semRows ++ winnowRows ++ Seq(
       ("06_decontaminated", nClean)) ++ dsirRows ++ sampleRows ++
       mixtureRows ++ budgetRows ++ Seq(
       ("07_quota", nFinal))).toDF("stage", "n_docs")

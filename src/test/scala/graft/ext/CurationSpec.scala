@@ -886,6 +886,59 @@ class CurationSpec extends SparkSpec {
       ek.getMessage)
   }
 
+  test("winnow artifact gate cuts passage-copying survivors, disjoint suite is identity") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_winnow").toString
+    val base = Curation.curate(corpus, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    assert(base.nonEmpty)
+    val survivorIds = base.map(_.head.asInstanceOf[Long])
+    // the suite item is a 60-char PASSAGE of a real survivor — a
+    // winnow collision by the local guarantee (any shared substring
+    // >= w+k-1 = 11 chars collides), though the docs are globally
+    // dissimilar
+    val (victimId, victimText) = corpus
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter { case (id, t) => survivorIds.contains(id) && t.length >= 80 }
+      .minBy(_._1)
+    val suite = Seq((900001L, victimText.substring(0, 60)))
+      .toDF("doc_id", "text")
+    Dedup.writeWinnowIndex(suite, s"$dir/w")
+    val gated = Curation.curate(corpus, benchmark,
+        cfg.copy(winnowIndexPath = Some(s"$dir/w")))
+      .collect().map(_.getLong(0)).toSet
+    assert(!gated.contains(victimId),
+      "the passage-copying survivor must drop at the winnow gate")
+    // a fingerprint-disjoint suite gates nothing: output ≡ default
+    Dedup.writeWinnowIndex(
+      Seq((900002L, "zzqx9 vvkp7 rrmn3 ttbw5 hhgd1 jjfc8 nnls6 ppra4"))
+        .toDF("doc_id", "text"), s"$dir/disjoint")
+    val disjoint = Curation.curate(corpus, benchmark,
+        cfg.copy(winnowIndexPath = Some(s"$dir/disjoint")))
+      .collect().map(_.toSeq).toSet
+    assert(disjoint == base,
+      "a never-colliding winnow index must reproduce the default chain")
+    // funnel: the 05c row appears in chain order and ties to curate()
+    val funnel = Curation.curationFunnel(corpus, benchmark,
+        cfg.copy(winnowIndexPath = Some(s"$dir/w")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val stages = funnel.map(_._1).toSeq
+    assert(stages.contains("05c_winnow_gate"), stages.mkString(", "))
+    assert(stages.sorted == stages,
+      s"stage labels must sort into chain order: $stages")
+    funnel.sliding(2).foreach { case Array((sa, na), (sb, nb)) =>
+      assert(nb <= na, s"funnel not monotone: $sa=$na -> $sb=$nb") }
+    assert(funnel.last._2 == gated.size)
+    // mismatched k/w fail the sidecar check before any probe
+    val e = intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark,
+        cfg.copy(winnowIndexPath = Some(s"$dir/w"), winnowK = 5)))
+    assert(e.getMessage.contains("k="), e.getMessage)
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(winnowMinShared = 0)))
+  }
+
   test("stored boilerplate strip slots into the hygiene ladder with its funnel row") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_curation_lineprof").toString
