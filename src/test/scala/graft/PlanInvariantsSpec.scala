@@ -38,6 +38,29 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(unpartitioned.isEmpty, s"unpartitioned WindowExec in q111 plan:\n$p")
   }
 
+  test("q138/q142 run no single-partition window (bucketed / two-phase ranks)") {
+    // q138's only window partitions by the length bucket; q142's ranks
+    // ride the shared two-phase prefix sum — neither may regress to an
+    // unpartitioned Window.orderBy (the q111 rule)
+    Seq("q138_length_batches", "q142_rank_blend").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf("sf0.001")))
+      val unpartitioned = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"unpartitioned WindowExec in $q plan:\n$p")
+    }
+  }
+
+  test("q141 burned-benchmark never shuffles corpus × bench (semi-join against broadcast)") {
+    val p = plan(
+      SparkEntry.queries("q141_burned_benchmark")(spark, sf("sf0.001")))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"CartesianProduct in q141 plan:\n$p")
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"BroadcastNestedLoopJoin in q141 plan:\n$p")
+  }
+
   test("q121 range join is a hash equi-join — never the nested-loop a bare non-equi plans") {
     val p = plan(SparkEntry.queries("q121_session_range_join")(spark, sf("sf0.001")))
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
