@@ -937,6 +937,35 @@ object EventStream {
         }
       }
 
+  /** Absorbing volume stream — the score-then-merge twin of
+    * [[volumeMonitorStream]] for LATE DATA OF THE BASE PERIOD: each
+    * micro-batch of events is scored against the baseline as it stood
+    * (own tag excluded — a replay reproduces its first report,
+    * committed or not), the per-hour excess report lands under
+    * `metricsPath/batch_id=N` with overwrite, and the batch's slot
+    * counts merge in LAST with the batch tag
+    * ([[graft.ext.Events.appendVolumeProfile]]; the sidecar's
+    * `baseWeeks` does not change — a longer base period is a rebuild).
+    * The [[ingestReputationStream]] shape on the q139 artifact. */
+  def ingestVolumeProfileStream(events: DataFrame, profilePath: String,
+                                metricsPath: String,
+                                checkpoint: String): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed twice: report + absorb
+          graft.ext.Events.volumeAnomalyAgainstProfile(b, profilePath,
+              excludeBatchId = Some(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+          graft.ext.Events.appendVolumeProfile(b, profilePath,
+            batchId = Some(batchId))
+        }
+      }
+
   /** Streaming feed-health monitor — [[driftMonitorStream]]'s contract
     * pointed at arrival volume: each micro-batch of events is scored
     * against the STORED hour-of-week baseline

@@ -931,6 +931,54 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == profBefore)
   }
 
+  test("volume absorb stream scores pre-batch baseline, exactly once under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_volabs").toString
+    val base = Seq(
+      (1L, ts("2024-01-01 09:05:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-08 09:10:00"), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    graft.ext.Events.writeVolumeProfile(base, s"$dir/prof", baseWeeks = 2L)
+    val mem = MemoryStream[Ev]
+    def drain(): Unit = {
+      val q = EventStream.ingestVolumeProfileStream(mem.toDF(),
+        s"$dir/prof", s"$dir/metrics", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    def ratios(batch: Int) = spark.read.parquet(s"$dir/metrics")
+      .filter(col("batch_id") === batch).collect()
+      .map(r => Option(r.get(r.fieldIndex("excess_ratio")))).toSeq
+    // batch 0: a 3-event Monday-9am hour vs the pre-batch slot (c=2,
+    // 2 weeks) -> (3·2−2)/2 = 2.0; absorbed after -> slot count 5
+    mem.addData(
+      Ev(10L, ts("2024-01-01 09:00:01"), 2L, "click", 1.0, "{}"),
+      Ev(11L, ts("2024-01-01 09:00:02"), 2L, "click", 1.0, "{}"),
+      Ev(12L, ts("2024-01-01 09:00:03"), 2L, "click", 1.0, "{}"))
+    drain()
+    // crash window: report + absorb landed, checkpoint commit lost
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain() // replay: own tag excluded, tagged counts dedup — no change
+    assert(ratios(0) == Seq(Some(2.0)), s"got ${ratios(0)}")
+    // batch 1 sees batch 0 absorbed exactly once: (1·2−5)/5 = −0.6
+    mem.addData(Ev(13L, ts("2024-01-08 09:30:00"), 2L, "click", 1.0, "{}"))
+    drain()
+    assert(ratios(1) == Seq(Some(-0.6)), s"got ${ratios(1)}")
+    // final artifact holds 6 slot events: a fresh 3-event probe hour
+    // reads (3·2−6)/6 = 0.0
+    val fin = graft.ext.Events.volumeAnomalyAgainstProfile(
+      Seq((20L, ts("2024-01-15 09:00:01"), 3L, "click", 1.0, "{}"),
+        (21L, ts("2024-01-15 09:00:02"), 3L, "click", 1.0, "{}"),
+        (22L, ts("2024-01-15 09:00:03"), 3L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      s"$dir/prof").head
+    assert(fin.getAs[Double]("excess_ratio") == 0.0 &&
+      fin.getAs[Long]("baseline_count") == 6L, fin.toString)
+  }
+
   test("streaming importance gate splits batches by the frozen-profile scores, exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_dsir").toString
