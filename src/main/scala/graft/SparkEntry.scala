@@ -869,6 +869,22 @@ object SparkEntry {
         ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path),
         seqLen = 128, shards = 4))
     }),
+    // q94's layout with a per-token LOSS MASK (docs % 10 masked — in
+    // context, out of the loss); scalars for the driver: token digest,
+    // mask digest, exact masked-token count. Rows-only (array layout)
+    "q143_loss_masked_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val docs = Tables.documents(s, dir)
+      val path = ext.TextAnalysis.ensureBpeModel(docs,
+        "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
+      ext.TextAnalysis.packTokenSequencesWithLossMask(
+          ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path),
+          docs.filter(col("doc_id") % 10 === 0), seqLen = 128, shards = 4)
+        .select(col("shard"), col("seq_id"), col("n_tokens"),
+          col("n_masked"),
+          xxhash64(col("token_ids")).as("ids_digest"),
+          xxhash64(col("loss_mask")).as("mask_digest"))
+    }),
     // the curation chain's OWN observability: record two runs (default
     // vs tightened quota) in the run ledger, then report the second
     // funnel's per-stage drift against the first — the reference's

@@ -2137,6 +2137,60 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 
+  /** [[packTokenSequences]] plus a per-token LOSS MASK: tokens
+    * contributed by documents in `maskDocs` carry mask 0 (excluded
+    * from the training loss), everything else 1 — how a trainer keeps
+    * must-retain-but-not-learn content (license boilerplate, quota'd
+    * sources, prompt halves of instruction pairs) in context without
+    * training on it. The mask is derived at the PIECE level inside the
+    * same aggregate (a doc contributes at most one piece per
+    * sequence), so `token_ids`/`segment_ids` are byte-identical to
+    * the unmasked packer's (spec-pinned) and `n_masked` is an exact
+    * piece-size sum, never a post-hoc array scan. An empty `maskDocs`
+    * is the identity mask (all 1s). Output adds `loss_mask`
+    * (array<long>, aligned with token_ids) and `n_masked`.
+    *
+    * Scale notes (100 TB): the mask attach is ONE doc-keyed left join
+    * of the piece relation against the distinct mask ids
+    * (AQE-planned; mask sets are usually small but nothing here
+    * requires it), on top of the packer's single window shuffle —
+    * token arrays still move exactly once. */
+  def packTokenSequencesWithLossMask(tokDocs: DataFrame,
+                                     maskDocs: DataFrame,
+                                     seqLen: Int = 128, shards: Int = 8,
+                                     eosId: Long = -1L,
+                                     extraKeys: Seq[String] = Nil): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val keyCols = col("shard") +: extraKeys.map(col)
+    val mask = maskDocs.select(col("doc_id")).distinct()
+      .withColumn("_masked", lit(true))
+    val pieces = sequencePieces(tokDocs, seqLen, shards, eosId, extraKeys)
+      .join(mask, Seq("doc_id"), "left")
+      .select(keyCols :+ col("seq_id") :+ col("gpos") :+
+        slice(col("ids"), (col("start_in_doc") + 1).cast("int"),
+          (col("end_in_doc") - col("start_in_doc")).cast("int"))
+          .as("piece") :+
+        coalesce(col("_masked"), lit(false)).as("_m"): _*)
+    pieces.groupBy(keyCols :+ col("seq_id"): _*)
+      .agg(array_sort(collect_list(struct(col("gpos"), col("piece"),
+          col("_m")))).as("a"), // gpos is unique per sequence — the
+        // trailing struct fields never decide the sort
+        sum(when(col("_m"), size(col("piece")).cast("long"))
+          .otherwise(lit(0L))).as("n_masked"))
+      .select(keyCols :+ col("seq_id") :+
+        flatten(transform(col("a"), e => e.getField("piece")))
+          .as("token_ids") :+
+        flatten(transform(col("a"), (e, i) =>
+          transform(e.getField("piece"), _ => i)))
+          .cast("array<long>").as("segment_ids") :+
+        flatten(transform(col("a"), e =>
+          transform(e.getField("piece"), _ =>
+            when(e.getField("_m"), lit(0L)).otherwise(lit(1L)))))
+          .as("loss_mask") :+
+        col("n_masked"): _*)
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
   /** The concat-and-cut layout's piece relation, shared by
     * [[packTokenSequences]] (which aggregates pieces into sequences)
     * and [[sequenceProvenance]] (which reports them): per doc ×

@@ -29,7 +29,8 @@ class SparkEntrySpec extends SparkSpec {
       "q105_text_ann_pairs", "q107_bestfit_sequences",
       "q109_tokenizer_coverage", "q110_compression_ratio",
       "q112_video_frame_stats", "q115_ann_recall",
-      "q120_sequence_utilization", "q128_sequence_provenance"),
+      "q120_sequence_utilization", "q128_sequence_provenance",
+      "q143_loss_masked_sequences"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

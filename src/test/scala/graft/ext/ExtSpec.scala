@@ -550,6 +550,48 @@ class ExtSpec extends SparkSpec {
     fix.unpersist()
   }
 
+  test("loss-masked packing: layout identical, masked docs zeroed eos-inclusive") {
+    // lengths 5/10/3/2 (+eos each) over seqLen 8 — the provenance
+    // fixture, with docs 2 and 4 masked
+    val toks = Seq(
+      (1L, (1L to 5L).toSeq), (2L, (11L to 20L).toSeq),
+      (3L, Seq(31L, 32L, 33L)), (4L, Seq(41L, 42L)))
+      .toDF("doc_id", "token_ids")
+    val maskSet = Seq(2L, 4L).toDF("doc_id")
+    val plain = TextAnalysis.packTokenSequences(toks, seqLen = 8,
+        shards = 1)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getSeq[Long](2), r.getSeq[Long](3)))).toMap
+    val masked = TextAnalysis.packTokenSequencesWithLossMask(toks,
+        maskSet, seqLen = 8, shards = 1).collect()
+      .map(r => r.getLong(1) ->
+        ((r.getSeq[Long](2), r.getSeq[Long](3), r.getSeq[Long](4),
+          r.getAs[Long]("n_masked")))).toMap
+    // the layout is byte-identical to the unmasked packer's
+    assert(masked.view.mapValues(v => (v._1, v._2)).toMap == plain)
+    val idsWithEos = toks.collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1) :+ -1L)).toMap
+    val maskedIds = Set(2L, 4L)
+    // every token's mask bit is exactly "my doc is masked" — recover
+    // each token's doc through the known eos-terminated streams
+    val docOf = Seq(1L, 2L, 3L, 4L).flatMap(d =>
+      idsWithEos(d).map(_ => d)) // global stream in doc_id order
+    masked.toSeq.sortBy(_._1).foreach { case (seqId, (ids, _, lm, nm)) =>
+      val start = seqId.toInt * 8
+      ids.indices.foreach { i =>
+        val expect = if (maskedIds.contains(docOf(start + i))) 0L else 1L
+        assert(lm(i) == expect, s"seq $seqId pos $i") }
+      assert(nm == lm.count(_ == 0L),
+        "n_masked must equal the zero count")
+    }
+    // an empty mask set is the identity mask
+    val none = TextAnalysis.packTokenSequencesWithLossMask(toks,
+      toks.filter($"doc_id" < 0).select($"doc_id"), seqLen = 8,
+      shards = 1).collect()
+    assert(none.forall(r => r.getAs[Long]("n_masked") == 0L &&
+      r.getSeq[Long](4).forall(_ == 1L)))
+  }
+
   test("sequence provenance explains every packed token, span by span") {
     // lengths 5/10/3/2 (+eos each) over seqLen 8 force straddling docs
     val toks = Seq(
