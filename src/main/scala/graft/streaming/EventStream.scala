@@ -937,6 +937,37 @@ object EventStream {
         }
       }
 
+  /** Streaming data-contract monitor — [[driftMonitorStream]]'s
+    * contract pointed at per-row rules: each micro-batch is evaluated
+    * against the caller's named expectations
+    * ([[graft.ext.DataQuality.expectationsReport]] — the q134 op, one
+    * aggregate pass however many rules) and the per-rule report lands
+    * under `metricsPath/batch_id=N`. No artifact at all — the rules
+    * are plan literals — so each report is a pure deterministic
+    * function of the batch and the batch-keyed overwrite makes replays
+    * exactly-once with no tag machinery. Consumers read `metricsPath`
+    * as a partitioned table: `passed` over batches is the feed's
+    * contract dashboard, and a violating batch is locatable the moment
+    * it lands (the reference's row-count validation phase
+    * [load_sales_history.py:241-251], continuous form). */
+  def expectationsStream(rows: DataFrame,
+                         rules: Seq[(String, org.apache.spark.sql.Column)],
+                         metricsPath: String,
+                         checkpoint: String): DataStreamWriter[Row] = {
+    require(rules.nonEmpty, "need at least one rule")
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.DataQuality.expectationsReport(batch, rules)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+        }
+      }
+  }
+
   /** Absorbing volume stream — the score-then-merge twin of
     * [[volumeMonitorStream]] for LATE DATA OF THE BASE PERIOD: each
     * micro-batch of events is scored against the baseline as it stood

@@ -931,6 +931,36 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == profBefore)
   }
 
+  test("expectations stream lands one per-rule contract report per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_expect").toString
+    val mem = MemoryStream[Ev]
+    def drain(): Unit = {
+      val q = EventStream.expectationsStream(mem.toDF(), Seq(
+        "value_nonnegative" -> (col("value") >= 0),
+        "type_domain" -> col("event_type").isin("click", "view")),
+        s"$dir/metrics", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // batch 0 is clean; batch 1 violates both rules on one row
+    mem.addData(Ev(1L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0, "{}"))
+    drain()
+    mem.addData(
+      Ev(2L, ts("2024-01-01 10:00:00"), 1L, "view", 2.0, "{}"),
+      Ev(3L, ts("2024-01-01 10:00:01"), 1L, "spam", -5.0, "{}"))
+    drain()
+    val m = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => (r.getAs[Int]("batch_id"), r.getString(0)) ->
+        ((r.getAs[Long]("n_violations"), r.getAs[Int]("passed")))).toMap
+    assert(m.size == 4, s"two rules x two batches: $m")
+    assert(m((0, "value_nonnegative")) == ((0L, 1)))
+    assert(m((0, "type_domain")) == ((0L, 1)))
+    assert(m((1, "value_nonnegative")) == ((1L, 0)))
+    assert(m((1, "type_domain")) == ((1L, 0)),
+      "the violating batch must be locatable by its batch_id")
+  }
+
   test("volume absorb stream scores pre-batch baseline, exactly once under replay") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files
