@@ -763,6 +763,16 @@ object SparkEntry {
       ext.Dedup.burnedBenchmarkReport(
         docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25))
     }),
+    // contract attribution: the q134 census keyed by source — which
+    // feed breaks which rule, still one aggregate pass
+    "q144_expectations_by_source" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array_contains, col, size,
+        split}
+      ext.DataQuality.expectationsReportByGroup(Tables.documents(s, dir),
+        "source", Seq(
+          "len30" -> (size(split(col("text"), " ")) >= 30),
+          "the" -> array_contains(split(col("text"), " "), "the")))
+    }),
     // gate-design audit: pairwise Cohen's kappa over three restatable
     // quality gates — one aggregate pass, exact 2×2 counts
     "q140_gate_agreement" -> ((s, dir) => {
@@ -2898,6 +2908,25 @@ object SparkEntry {
         |      / (1.0 - CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE)
         |        / (n * n)), 6)
         |  END AS kappa
+        |FROM r""".stripMargin,
+    // q144: the q134 shape per source; same NULL-is-a-violation and
+    // exact-division conventions
+    "q144_expectations_by_source" ->
+      """WITH a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN COALESCE(
+        |      len(string_split(text, ' ')) >= 30, FALSE)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN COALESCE(
+        |      list_contains(string_split(text, ' '), 'the'), FALSE)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v2
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source, 'len30' AS rule, n_rows, v1 AS n_violations FROM a
+        |  UNION ALL SELECT source, 'the', n_rows, v2 FROM a)
+        |SELECT source, rule, n_rows, n_violations,
+        |  ROUND(CAST(n_violations AS DOUBLE) / n_rows, 6)
+        |    AS violation_frac,
+        |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
         |FROM r""".stripMargin,
     // rank deciles of the q67 score: bucket = rank·10 div n (pure long
     // arithmetic), positive rate = ONE exact division, min/max are

@@ -55,6 +55,43 @@ object DataQuality {
           .cast("int").as("passed"))
   }
 
+  /** [[expectationsReport]] PER GROUP — "which source breaks the
+    * contract": the same one-pass rule census keyed by `groupCol`, so
+    * a violating feed is attributable without a second scan. Same
+    * NULL-is-a-violation convention and exact arithmetic ⇒
+    * oracle-hashed (q144); groups with no rows simply have no row
+    * (they were never observed — nothing to pass or fail).
+    *
+    * Scale notes (100 TB): still ONE map-side-combined aggregate —
+    * now over |groups| keys (sources, languages: enum-sized); the
+    * unpivot runs on the aggregated relation. */
+  def expectationsReportByGroup(df: DataFrame, groupCol: String,
+                                rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "duplicate rule name")
+    rules.foreach { case (name, _) =>
+      require(!name.contains("'"), s"rule name must not quote: $name") }
+    val viols = rules.map { case (name, rule) =>
+      sum(when(coalesce(rule, lit(false)), lit(0L)).otherwise(lit(1L)))
+        .as(s"_v_$name")
+    }
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"), viols: _*)
+    val stackArgs = rules.map { case (name, _) =>
+      s"'$name', _v_$name" }.mkString(", ")
+    agg.select(col(groupCol), col("_n"),
+        expr(s"stack(${rules.size}, $stackArgs) AS (rule, _v)"))
+      .select(col(groupCol), col("rule"), col("_n").as("n_rows"),
+        coalesce(col("_v"), lit(0L)).as("n_violations"))
+      .select(col(groupCol), col("rule"), col("n_rows"),
+        col("n_violations"),
+        round(col("n_violations").cast("double") / col("n_rows"), 6)
+          .as("violation_frac"), // every group row has n_rows >= 1
+        when(col("n_violations") === 0, lit(1)).otherwise(lit(0))
+          .cast("int").as("passed"))
+  }
+
   /** Pairwise agreement between boolean quality GATES — the
     * gate-design audit ("is the model gate just the length gate in
     * disguise?"): for every unordered gate pair, the 2×2 confusion

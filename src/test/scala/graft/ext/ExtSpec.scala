@@ -2898,6 +2898,20 @@ class ExtSpec extends SparkSpec {
         Seq("r" -> ($"a" > 0), "r" -> ($"a" < 0))))
     intercept[IllegalArgumentException](
       DataQuality.expectationsReport(df, Nil))
+    // per-group attribution: one row per (group, rule), counts scoped
+    // to the group; ungrouped totals are the group-sum
+    val gdf = Seq((Some(1), "g1"), (Some(-1), "g1"), (None, "g2"))
+      .toDF("a", "g")
+    val byG = DataQuality.expectationsReportByGroup(gdf, "g",
+        Seq("a_positive" -> ($"a" > 0)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"),
+          r.getAs[Int]("passed")))).toMap
+    assert(byG == Map("g1" -> ((2L, 1L, 0)), "g2" -> ((1L, 1L, 0))),
+      s"got $byG")
+    val totals = DataQuality.expectationsReport(gdf,
+      Seq("a_positive" -> ($"a" > 0))).head
+    assert(byG.values.map(_._2).sum == totals.getAs[Long]("n_violations"))
   }
 
   test("rank blend: value-ranks share ties, hand-computed means, singleton blends to zero") {
