@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
+  /** Rule/gate names become SQL identifiers (stack() literals, per-rule
+    * `_v_<name>` / per-pair `_b_<a>__<b>` columns), so they are
+    * restricted to [A-Za-z0-9_] up front: a name with spaces, commas or
+    * backticks would otherwise surface as an obscure parse/arity error,
+    * and a name containing "__" could make two gateAgreement pair
+    * columns collide. The require is the whole injection surface. */
+  private val identName = "[A-Za-z0-9_]+".r
+
   /** Evaluate named per-row rules in one pass: for each rule (a boolean
     * `Column`), report the row count, violation count, violation
     * fraction and a pass flag. A rule evaluating to NULL on a row is a
@@ -34,7 +42,8 @@ object DataQuality {
     require(rules.map(_._1).distinct.size == rules.size,
       "duplicate rule name")
     rules.foreach { case (name, _) =>
-      require(!name.contains("'"), s"rule name must not quote: $name") }
+      require(identName.pattern.matcher(name).matches(),
+        s"rule name must be [A-Za-z0-9_]+ (used as a SQL identifier): $name") }
     val viols = rules.map { case (name, rule) =>
       sum(when(coalesce(rule, lit(false)), lit(0L)).otherwise(lit(1L)))
         .as(s"_v_$name")
@@ -71,7 +80,8 @@ object DataQuality {
     require(rules.map(_._1).distinct.size == rules.size,
       "duplicate rule name")
     rules.foreach { case (name, _) =>
-      require(!name.contains("'"), s"rule name must not quote: $name") }
+      require(identName.pattern.matcher(name).matches(),
+        s"rule name must be [A-Za-z0-9_]+ (used as a SQL identifier): $name") }
     val viols = rules.map { case (name, rule) =>
       sum(when(coalesce(rule, lit(false)), lit(0L)).otherwise(lit(1L)))
         .as(s"_v_$name")
@@ -121,7 +131,8 @@ object DataQuality {
     require(gates.map(_._1).distinct.size == gates.size,
       "duplicate gate name")
     gates.foreach { case (name, _) =>
-      require(!name.contains("'"), s"gate name must not quote: $name") }
+      require(identName.pattern.matcher(name).matches(),
+        s"gate name must be [A-Za-z0-9_]+ (used as a SQL identifier): $name") }
     val flags = gates.map { case (name, g) =>
       (name, coalesce(g, lit(false))) }
     val singles = flags.map { case (name, g) =>
@@ -129,6 +140,13 @@ object DataQuality {
     val pairs = for {
       i <- flags.indices; j <- flags.indices if i < j
     } yield (flags(i)._1, flags(j)._1)
+    // "__" is legal inside a name, so the `_b_<a>__<b>` encoding can
+    // still collide (a="x__y",b="z" vs a="x",b="y__z") — refuse loudly
+    // rather than let one aggregate column serve two pairs
+    val pairCols = pairs.map { case (a, b) => s"_b_${a}__$b" }
+    require(pairCols.distinct.size == pairCols.size,
+      "gate names containing '__' collide in pair-column encoding: " +
+        pairCols.diff(pairCols.distinct).distinct.mkString(", "))
     val boths = pairs.map { case (a, b) =>
       val ga = flags.find(_._1 == a).get._2
       val gb = flags.find(_._1 == b).get._2

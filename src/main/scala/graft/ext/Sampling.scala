@@ -860,6 +860,15 @@ object Sampling {
                      endPermille: Seq[(String, Int)],
                      salt: String = "graft.anneal.v1"): DataFrame = {
     require(nEpochs >= 1, "nEpochs must be >= 1")
+    // a duplicate bucket would silently let the LAST entry win via the
+    // CASE fold — refuse instead (the mixtureAllocation convention)
+    Seq("startPermille" -> startPermille, "endPermille" -> endPermille)
+      .foreach { case (which, rates) =>
+        require(rates.map(_._1).distinct.size == rates.size,
+          s"duplicate bucket in $which: " +
+            rates.map(_._1).diff(rates.map(_._1).distinct).distinct
+              .mkString(", "))
+      }
     (startPermille ++ endPermille).foreach { case (b, r) =>
       require(r >= 0 && r <= 1000, s"permille rate out of [0, 1000]: $b -> $r")
     }

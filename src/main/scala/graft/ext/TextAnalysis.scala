@@ -781,6 +781,12 @@ object TextAnalysis {
   private def trigramLogProbsFrom(docs: DataFrame, counts: DataFrame,
                                   idCol: String,
                                   textCol: String): DataFrame = {
+    // an empty LM makes V = 0, so the OOV floor 0.25/V is Infinity and
+    // every avg_logprob is silently poisoned — fail loudly instead
+    // (the expectationsReport/PSI guard style; one limit-1 probe)
+    require(!counts.isEmpty,
+      "empty trigram LM counts relation — nothing to score against " +
+        "(the LM corpus has no document with >= 3 tokens)")
     val c12 = counts.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c")).as("c12"))
     val c23 = counts.groupBy(col("w2"), col("w3"))

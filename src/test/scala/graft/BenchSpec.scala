@@ -68,6 +68,24 @@ class BenchSpec extends SparkSpec {
     assert(line.startsWith("{") && line.endsWith("}"), line)
   }
 
+  test("per-query map is sorted by NUMERIC query id, highest last") {
+    // lexicographic order put q100+ between q10 and q47 — in the head of
+    // the line the driver's tail capture discards, so each round's newest
+    // queries' timings vanished from BENCH_r{N}.json (r15 verdict item 1).
+    // Numeric order keeps the newest (highest-numbered) queries right
+    // before the surviving scalar tail.
+    val queries: Map[String, (SparkSession, String) => DataFrame] =
+      Seq("q9_small", "q100_new", "q47_mid", "q10_old", "zz_unnumbered")
+        .map(n => n -> ((s: SparkSession, _: String) => s.range(1).toDF("id")))
+        .toMap
+    val line = Bench.benchJson(spark, "unused", queries, reps = 1)
+    val order = Seq("q9_small", "q10_old", "q47_mid", "q100_new", "zz_unnumbered")
+      .map(n => line.indexOf("\"" + n + "\":"))
+    assert(order.forall(_ >= 0), line)
+    assert(order == order.sorted,
+      s"queries must print in numeric-id order (unnumbered last): $line")
+  }
+
   test("timeShards writes a real shard layout and reports its cost") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_shards_spec")
     val t = Bench.timeShards(spark, sf("sf0.001"), s"$dir/shards")

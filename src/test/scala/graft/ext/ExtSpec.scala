@@ -1144,6 +1144,12 @@ class ExtSpec extends SparkSpec {
       .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
     assert(scores(true) > scores(false),
       s"LM-corpus docs must outscore the rest: $scores")
+    // an empty LM (no doc with >= 3 tokens) makes V = 0 → the OOV floor
+    // 0.25/0 would silently poison every score with Infinity — refused
+    val eEmpty = intercept[IllegalArgumentException](
+      TextAnalysis.trigramLogProbs(probes,
+        Seq((1L, "a b")).toDF("doc_id", "text")))
+    assert(eEmpty.getMessage.contains("empty trigram LM"), eEmpty.getMessage)
   }
 
   test("bloom contamination report is a no-false-negative superset of exact") {
@@ -2972,6 +2978,20 @@ class ExtSpec extends SparkSpec {
       nn.getAs[Long]("n_only_b") == 1L)
     intercept[IllegalArgumentException](
       DataQuality.gateAgreement(df, Seq("A" -> ($"a" === 1))))
+    // names become SQL identifiers (stack literals, _b_<a>__<b> pair
+    // columns): anything outside [A-Za-z0-9_] is refused up front
+    // instead of surfacing as an obscure parse/arity error
+    intercept[IllegalArgumentException](DataQuality.gateAgreement(df,
+      Seq("bad name" -> lit(true), "B" -> lit(true))))
+    intercept[IllegalArgumentException](DataQuality.expectationsReport(df,
+      Seq("tick`s" -> lit(true))))
+    intercept[IllegalArgumentException](DataQuality.expectationsReportByGroup(
+      df, "a", Seq("comma,name" -> lit(true))))
+    // and "__" names that make two pair columns collide are refused too
+    // (_b_x__y__z would serve both (x__y, z) and (x, y__z))
+    intercept[IllegalArgumentException](DataQuality.gateAgreement(df,
+      Seq("x__y" -> lit(true), "z" -> lit(true),
+        "x" -> lit(true), "y__z" -> lit(true))))
   }
 
   test("volume anomaly: exact excess over trailing mean, short history NULL, gaps stretch") {
@@ -3252,6 +3272,12 @@ class ExtSpec extends SparkSpec {
     assert(e0 != e1, "epochs must resample, not nest")
     intercept[IllegalArgumentException](Sampling.annealedSample(d, "doc_id",
       "lang", 2, Seq("en" -> 1001), Seq("en" -> 0)))
+    // duplicate bucket entries would silently let the LAST win via the
+    // CASE fold — refused (the mixtureAllocation convention), per map
+    intercept[IllegalArgumentException](Sampling.annealedSample(d, "doc_id",
+      "lang", 2, Seq("en" -> 100, "en" -> 900), Seq("en" -> 0)))
+    intercept[IllegalArgumentException](Sampling.annealedSample(d, "doc_id",
+      "lang", 2, Seq("en" -> 100), Seq("de" -> 0, "de" -> 500)))
     s.unpersist()
   }
 
