@@ -455,10 +455,14 @@ object Curation {
     * resembling it globally — the winnowing local guarantee. k/w must
     * match the artifact's sidecar (validated loudly inside the probe);
     * the index is READ-ONLY here (grow it with `appendWinnowIndex` at
-    * suite-update cadence), so the stage would be stream-safe by the
-    * LM-gate convention. Identity — zero plan nodes — when no index is
+    * suite-update cadence), so the stage IS stream-safe by the LM-gate
+    * convention: fingerprints derive from the doc's own text, making
+    * each micro-batch's verdicts a pure deterministic function of the
+    * batch — `private[graft]` because it is ALSO the curation stream's
+    * 05c stage ([[graft.streaming.EventStream.curationStream]]), no
+    * tags needed. Identity — zero plan nodes — when no index is
     * configured. */
-  private def winnowGate(df: DataFrame, cfg: Config): DataFrame =
+  private[graft] def winnowGate(df: DataFrame, cfg: Config): DataFrame =
     cfg.winnowIndexPath.fold(df) { p =>
       df.join(
         Dedup.winnowPairsAgainstIndex(df.sparkSession, df, p,

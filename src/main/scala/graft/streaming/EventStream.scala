@@ -490,7 +490,10 @@ object EventStream {
     * within-batch, index grown by exactly the survivors), (4) Bloom
     * decontamination against the frozen benchmark sketch
     * (`sketchParams` must match the artifact's sidecar — a non-default
-    * sketch is probed with its own parameters, validated loudly), (5)
+    * sketch is probed with its own parameters, validated loudly), then
+    * the optional derived-text semantic gate (05b) and the optional
+    * winnow passage-collision gate (05c, `cfg.winnowIndexPath` — the
+    * batch gate verbatim against the read-only fingerprint index), (5)
     * the clean remainder lands under `acceptedPath/batch_id=N`. The
     * decontaminated set is what lands, but the INDEX absorbs all dedup
     * survivors — a future duplicate of a contaminated page must still
@@ -566,10 +569,18 @@ object EventStream {
               // optional derived-text semantic gate (05b's stream twin:
               // read-only index + per-doc projection = deterministic
               // per batch); identity when the knobs are off
-              val cleanRaw =
+              val semClean =
                 if (cfg.semanticIndexPath.isDefined)
                   graft.ext.Curation.semanticTextGate(bloomClean, cfg)
                 else bloomClean
+              // optional winnow passage-collision gate (05c's stream
+              // twin — the batch gate verbatim: read-only index +
+              // text-derived fingerprints = deterministic per batch,
+              // no tags; k/w validated against the sidecar inside the
+              // probe). Identity — zero plan nodes — when no index is
+              // configured
+              val cleanRaw =
+                graft.ext.Curation.winnowGate(semClean, cfg)
               // checkpoint only when a second consumer exists — the
               // default path's plan is untouched
               val clean = if (tokenModelPath.isDefined)

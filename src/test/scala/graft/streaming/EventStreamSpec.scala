@@ -410,6 +410,58 @@ class EventStreamSpec extends SparkSpec {
       s"the reversed leak must be cut and the keeper land once: $accepted")
   }
 
+  test("curation stream cuts passage copies via the stored winnow index, matches batch, replays once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_wingate").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeMinhashIndex(corpus, s"$dir/idx")
+    val bench = Seq(
+      (1L, "benchmark secret question about ancient rome history facts"),
+      (2L, "hidden evaluation prompt concerning medieval castles defense"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeBloomIndex(bench, s"$dir/sketch")
+    graft.ext.Dedup.writeWinnowIndex(bench, s"$dir/winnow")
+    val cfg = graft.ext.Curation.Config(minTokens = 5,
+      winnowIndexPath = Some(s"$dir/winnow"), winnowMinShared = 1)
+    // doc 10 copies the PASSAGE " ancient rome " (14 chars ≥ w+k−1 =
+    // 11: the winnowing local guarantee fires) but shares NO word
+    // trigram with any suite item — the Bloom gate is blind to it;
+    // doc 11 is a clean keeper
+    val t10 = "this training document mentions ancient rome once within otherwise unrelated text about gardening"
+    val t11 = "a perfectly clean and useful training document about cooking pasta"
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.curationStream(mem.toDF(), s"$dir/idx",
+        s"$dir/sketch", s"$dir/accepted", s"$dir/ckpt", cfg).start()
+      q.awaitTermination()
+    }
+    mem.addData(IngestDoc(10L, t10), IngestDoc(11L, t11))
+    drain()
+    // crash window: replay the whole composition, winnow gate included
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toList.sorted
+    assert(accepted == List(11L),
+      s"the passage copy must be cut and the keeper land exactly once: $accepted")
+    // the stream's survivor set IS the batch chain's with the same
+    // config (Bloom artifact spliced in via the config route; empty
+    // live benchmark — the stream has no live n-gram stage)
+    val batchSurvivors = graft.ext.Curation.curate(
+        Seq((10L, t10), (11L, t11)).toDF("doc_id", "text"),
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        cfg.copy(bloomIndexPath = Some(s"$dir/sketch")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchSurvivors == accepted.toSet,
+      s"stream survivors must equal the batch chain's: $batchSurvivors")
+  }
+
   test("curation stream applies stateless hygiene, honors sketch params, replays exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_curhyg").toString
