@@ -680,6 +680,24 @@ object SparkEntry {
       ext.Sampling.realizeMixtureAllocationWithRepeats(toks, "lang",
         "doc_id", "n_tok", alloc)
     }),
+    // the CHAIN-ROUTE of the repeat-capped mixture: the exact mix tail
+    // Curation.curate runs under Config.mixtureRepeatCapPermille —
+    // plan → realize → collapse to doc granularity → count quota →
+    // split → epoch fan-out. The oracle composes the factored
+    // repeat-capped CTEs with q43's quota rank and q31's split rule;
+    // the hash compare IS the chain-route equality claim
+    "q145_mixture_repeats_chain" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      val rated = Tables.documents(s, dir).select(col("doc_id"),
+        col("lang").as("pred_lang"),
+        size(split(col("text"), " ")).cast("long").as("_n_tok"))
+      ext.Curation.mixTail(rated, ext.Curation.Config(
+        mixtureWeights = Some(Seq("en" -> 1L, "de" -> 4L, "es" -> 3L,
+          "fr" -> 2L, "zh" -> 5L)),
+        mixtureBudget = Some(60000L),
+        mixtureRepeatCapPermille = Some(2500L),
+        perLangCap = 50))
+    }),
     // the per-language release datacard: exact counts, exact-dup share
     // (corpus-wide q15 digest key), type-1 median — every cell either
     // an exact long or a single exact division rounded 6dp
@@ -2549,6 +2567,53 @@ object SparkEntry {
         |         FROM c JOIN r2 ON c.lang = r2.lang
         |         WHERE c.cum_tokens - c.n_tok < r2.rem)
         |SELECT * FROM fulls UNION ALL SELECT * FROM rems""".stripMargin),
+    // q145 composes the SAME repeat-capped realization (factored would
+    // need the final SELECT as a CTE — restated inline as `real`) with
+    // the chain's tail: collapse to per-doc epoch counts, q43's
+    // md5-order quota rank at 50/lang, q31's split rule, then the
+    // epoch fan-out — generate_series(0, n_ep−1) is never empty
+    // because every surviving doc has n_ep >= 1
+    "q145_mixture_repeats_chain" -> (MixtureRepeatCappedCtes +
+      """,
+        |r2 AS (SELECT lang,
+        |         CASE WHEN avail_tokens > 0
+        |              THEN alloc_tokens // avail_tokens ELSE 0 END AS full_ep,
+        |         alloc_tokens - (CASE WHEN avail_tokens > 0
+        |              THEN alloc_tokens // avail_tokens ELSE 0 END)
+        |           * avail_tokens AS rem
+        |       FROM alloc),
+        |docs_tok AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |fulls AS (SELECT d.doc_id, d.lang, CAST(t.e AS BIGINT) AS epoch
+        |          FROM docs_tok d JOIN r2 ON d.lang = r2.lang
+        |          CROSS JOIN unnest(generate_series(0, r2.full_ep - 1)) AS t(e)),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |  CAST(SUM(n_tok) OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |  FROM docs_tok),
+        |rems AS (SELECT c.doc_id, c.lang, CAST(r2.full_ep AS BIGINT) AS epoch
+        |         FROM c JOIN r2 ON c.lang = r2.lang
+        |         WHERE c.cum_tokens - c.n_tok < r2.rem),
+        |real AS (SELECT * FROM fulls UNION ALL SELECT * FROM rems),
+        |coll AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_ep
+        |         FROM real GROUP BY 1, 2),
+        |quota AS (SELECT doc_id, lang, n_ep,
+        |            ROW_NUMBER() OVER (PARTITION BY lang
+        |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |          FROM coll),
+        |spl AS (SELECT doc_id, lang, n_ep,
+        |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |            % 100 AS bucket
+        |        FROM quota WHERE rn <= 50)
+        |SELECT doc_id, lang AS pred_lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(t.e AS BIGINT) AS epoch
+        |FROM spl
+        |CROSS JOIN unnest(generate_series(0, n_ep - 1)) AS t(e)""".stripMargin),
     // q132: every cell restated exactly — duplicate membership is the
     // corpus-wide md5(text) key, the median is ROW_NUMBER = (n+1)//2
     // (the scoreQuantiles type-1 rule), mean/dup_frac single exact

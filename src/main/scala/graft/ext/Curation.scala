@@ -141,6 +141,24 @@ object Curation {
     *     the population's total supply saturates every group ≡
     *     default (spec-pinned). None (the default) adds zero plan
     *     nodes. Funnel row `06aa_mixture`.
+    *   - `mixtureRepeatCapPermille`: the DATA-CONSTRAINED-SCALING form
+    *     of the mixture stage (Muennighoff et al.): a language may be
+    *     allocated MORE tokens than it has — the trainer repeats it
+    *     across epochs — but never past cap‰/1000 epochs' worth
+    *     ([[Sampling.mixtureAllocationRepeatCapped]] plans against
+    *     capacity = avail × cap‰ div 1000;
+    *     [[Sampling.realizeMixtureAllocationWithRepeats]] realizes the
+    *     epoch fan-out). The chain OUTPUT gains an `epoch` column
+    *     (one row per planned epoch-copy, epochs 0..n−1; a doc's
+    *     copies share its split — splits are doc-content-addressed,
+    *     so repeats can never straddle train/val). Downstream
+    *     token-budget/quota stages run at DOC granularity with the
+    *     doc's FULL repeat multiplicity (summed tokens), keeping their
+    *     md5-order selections deterministic; the fan-out happens after
+    *     the split. 1000‰ caps at one epoch = exactly the plain
+    *     mixture with an all-zero epoch column (spec-pinned). Requires
+    *     `mixtureWeights`; None (the default) keeps the plain mixture
+    *     and the (doc_id, pred_lang, split) output schema.
     *   - `tokenCountModelPath`: count MODEL tokens in the
     *     token-denominated mix stages — `tokenBudgetPerLang` and the
     *     mixture budget run on the stored BPE model's token counts
@@ -274,6 +292,7 @@ object Curation {
       tokenBudgetPerLang: Option[Long] = None,
       mixtureWeights: Option[Seq[(String, Long)]] = None,
       mixtureBudget: Option[Long] = None,
+      mixtureRepeatCapPermille: Option[Long] = None,
       tokenCountModelPath: Option[String] = None,
       bloomIndexPath: Option[String] = None,
       bloomParams: Dedup.BloomSketchParams = Dedup.BloomSketchParams(),
@@ -375,6 +394,12 @@ object Curation {
       "mixtureWeights and mixtureBudget enable the mixture stage together " +
         "— the plan needs both the target weights and the total budget")
     require(cfg.mixtureBudget.forall(_ > 0L), "mixtureBudget must be positive")
+    require(cfg.mixtureRepeatCapPermille.isEmpty || cfg.mixtureWeights.isDefined,
+      "mixtureRepeatCapPermille extends the mixture stage — set " +
+        "mixtureWeights and mixtureBudget to enable it")
+    require(cfg.mixtureRepeatCapPermille.forall(_ >= 1L),
+      "mixtureRepeatCapPermille must be >= 1 (1000 = one epoch, the " +
+        "plain mixture; 0 would plan an empty mix)")
     require(cfg.mixtureWeights.forall(ws =>
         ws.nonEmpty && ws.exists(_._2 > 0) && ws.forall(_._2 >= 0) &&
           ws.map(_._1).distinct.size == ws.size),
@@ -798,7 +823,10 @@ object Curation {
 
   /** Run the full curation chain. `docs` needs (doc_id, text); the
     * returned frame is (doc_id, pred_lang, split) — the curated,
-    * deduplicated, decontaminated, quota-balanced training mix.
+    * deduplicated, decontaminated, quota-balanced training mix — plus
+    * an `epoch` column (one row per planned epoch-copy) when
+    * `cfg.mixtureRepeatCapPermille` turns the data-constrained repeat
+    * mixture on.
     * `embeddings` (doc_id, embedding) is required exactly when
     * `cfg.semanticIndexPath` turns the semantic artifact gate on. */
   def curate(docs: DataFrame, benchmark: DataFrame,
@@ -896,31 +924,84 @@ object Curation {
         Sampling.stratifiedSampleByHash(mixBase, "doc_id", "pred_lang",
           cfg.langSampleRates)
       else mixBase
-    val mixed = cfg.mixtureWeights match {
-      case Some(ws) =>
-        val alloc = Sampling.mixtureAllocation(rated, "pred_lang", "_n_tok",
-          ws, cfg.mixtureBudget.get)
-        Sampling.realizeMixtureAllocation(rated, "pred_lang", "doc_id",
-          "_n_tok", alloc).drop("cum_tokens")
-      case None => rated
-    }
+    mixTail(rated, cfg)
+  }
+
+  /** The downstream-of-rates MIX TAIL of the chain: target mixture
+    * (plain or repeat-capped) → token budget → count quota → split →
+    * epoch fan-out. `rated` needs (doc_id, pred_lang [, _n_tok when a
+    * token-denominated stage is on]). `private[graft]` because the
+    * q145 chain-route binding exercises this exact composition (its
+    * DuckDB oracle restates every stage — the hash compare IS the
+    * chain-route equality claim). */
+  private[graft] def mixTail(rated: DataFrame, cfg: Config): DataFrame = {
+    val mixed = mixStage(rated, cfg)
+    val carry =
+      if (cfg.mixtureRepeatCapPermille.isDefined)
+        Seq(col("doc_id"), col("pred_lang"), col("_n_ep"))
+      else Seq(col("doc_id"), col("pred_lang"))
     val budgeted = cfg.tokenBudgetPerLang match {
       case Some(b) =>
         Sampling.capTokensPerGroup(mixed, "pred_lang", "doc_id", "_n_tok", b)
-          .select(col("doc_id"), col("pred_lang"))
-      case None => mixed.select(col("doc_id"), col("pred_lang"))
+          .select(carry: _*)
+      case None => mixed.select(carry: _*)
     }
-    Sampling.trainValTest(
+    epochFanOut(Sampling.trainValTest(
         Sampling.capPerGroup(budgeted, "pred_lang", "doc_id", cfg.perLangCap),
-        "doc_id", cfg.trainPct, cfg.valPct)
-      .select(col("doc_id"), col("pred_lang"), col("split"))
+        "doc_id", cfg.trainPct, cfg.valPct), cfg)
   }
+
+  /** The optional target-mixture stage shared by [[mixTail]] and the
+    * funnel: plan → realize over the rated population. The plain form
+    * returns doc rows; the repeat-capped form
+    * (`cfg.mixtureRepeatCapPermille`) realizes the epoch fan-out and
+    * COLLAPSES back to doc granularity — (doc_id, pred_lang, _n_tok =
+    * the doc's tokens × its FULL repeat multiplicity, _n_ep) — so the
+    * downstream budget/quota md5-order selections never see duplicate
+    * keys (row_number over tied keys would be partition-order-
+    * dependent); the fan-out re-expands AFTER the split
+    * ([[epochFanOut]]). Identity when no mixture is configured. */
+  private def mixStage(rated: DataFrame, cfg: Config): DataFrame =
+    cfg.mixtureWeights match {
+      case Some(ws) => cfg.mixtureRepeatCapPermille match {
+        case Some(capPm) =>
+          val alloc = Sampling.mixtureAllocationRepeatCapped(rated,
+            "pred_lang", "_n_tok", ws, cfg.mixtureBudget.get, capPm)
+          Sampling.realizeMixtureAllocationWithRepeats(rated, "pred_lang",
+              "doc_id", "_n_tok", alloc)
+            .groupBy(col("doc_id"), col("pred_lang"))
+            .agg(sum(col("_n_tok")).cast("long").as("_n_tok"),
+              (max(col("epoch")) + 1L).cast("long").as("_n_ep"))
+        case None =>
+          val alloc = Sampling.mixtureAllocation(rated, "pred_lang",
+            "_n_tok", ws, cfg.mixtureBudget.get)
+          Sampling.realizeMixtureAllocation(rated, "pred_lang", "doc_id",
+            "_n_tok", alloc).drop("cum_tokens")
+      }
+      case None => rated
+    }
+
+  /** Re-expand post-split survivors to their planned epoch copies
+    * (repeat-capped mixture only): one row per epoch 0..n_ep−1, the
+    * doc's split shared by every copy. n_ep ≥ 1 for every surviving
+    * doc by construction, so the sequence can never descend (the
+    * pinned `sequence(0, -1)` hazard). Identity projection — no epoch
+    * column — otherwise. */
+  private def epochFanOut(split: DataFrame, cfg: Config): DataFrame =
+    if (cfg.mixtureRepeatCapPermille.isDefined)
+      split.select(col("doc_id"), col("pred_lang"), col("split"),
+        explode(sequence(lit(0L), col("_n_ep") - 1L)).as("epoch"))
+    else split.select(col("doc_id"), col("pred_lang"), col("split"))
 
   /** Curation funnel: how many documents survive each stage — the
     * observability every production curation run reports next to its
     * output. Returns (stage, n_docs) ordered by stage; counts are
     * monotonically non-increasing and the final row equals
-    * `curate(...).count()`.
+    * `curate(...).count()` — except under `mixtureRepeatCapPermille`,
+    * where the funnel stays at DOC granularity throughout (monotone by
+    * construction) while the chain output fans out to epoch copies:
+    * there the final row equals the chain's DISTINCT doc count and
+    * `curate(...).count()` is Σ n_ep ≥ it.
     *
     * Scale notes: the three quality/language gates are counted in ONE
     * pass (gate outcomes as 0/1 flags, summed in a single aggregate);
@@ -1147,11 +1228,12 @@ object Curation {
     // 06aa: the optional water-filled target mixture (label sorts
     // between 06a_lang_sample and 06b_token_budget)
     val (mixed, mixtureRows) = cfg.mixtureWeights match {
-      case Some(ws) =>
-        val alloc = Sampling.mixtureAllocation(rated, "pred_lang",
-          "_n_tok", ws, cfg.mixtureBudget.get)
-        val m = Sampling.realizeMixtureAllocation(rated, "pred_lang",
-          "doc_id", "_n_tok", alloc).drop("cum_tokens").persist()
+      case Some(_) =>
+        // plain or repeat-capped per the config; the repeat form is
+        // already collapsed to doc granularity, so this count (and
+        // every later funnel row) stays monotonically non-increasing —
+        // the epoch fan-out only happens in the chain OUTPUT
+        val m = mixStage(rated, cfg).persist()
         val rows = Seq(("06aa_mixture", m.count()))
         if (sampleRows.nonEmpty) rated.unpersist()
         (m, rows)
@@ -1370,13 +1452,19 @@ object Curation {
     try {
       val curated = curateHygiened(hygiened, benchmark, cfg, embeddings, docs)
       val withText = hygiened.join(curated, Seq("doc_id"))
+      // under the repeat-capped mixture each planned epoch-copy is its
+      // own chunk stream: epoch joins the pack-window key (copies of a
+      // doc never share a bin — a trainer reads each epoch's shards as
+      // a separate pass) and rides into the landed rows
+      val epochKey =
+        if (curated.columns.contains("epoch")) Seq("epoch") else Nil
       val packed = TextAnalysis.packChunks(
         TextAnalysis.chunkDocuments(withText, chunkTokens, stride),
-        binTokens, shards, extraKeys = Seq("split"))
+        binTokens, shards, extraKeys = Seq("split") ++ epochKey)
       packed
-        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+        .select((Seq(col("doc_id"), col("chunk_idx"), col("chunk_text"),
           col("n_chunk_tokens"), col("pred_lang"), col("bin_id"),
-          col("split"), col("shard"))
+          col("split"), col("shard")) ++ epochKey.map(col)): _*)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("split", "shard")
         // "json" = JSON Lines, the training-stack interchange format;
@@ -1552,22 +1640,43 @@ object Curation {
     val hy = hygiene(docs, cfg)
     val hygiened = if (hygieneActive(cfg)) hy.persist() else hy
     try {
-      val curated = curateHygiened(hygiened, benchmark, cfg, embeddings, docs)
+      val curated0 = curateHygiened(hygiened, benchmark, cfg, embeddings, docs)
+      // under the repeat-capped mixture the chain output is epoch-
+      // annotated: checkpoint it once (it feeds the doc-split join AND
+      // the epoch fan-out join — a lazy plan would run the chain
+      // twice), tokenize each doc ONCE, and pack each epoch as its own
+      // sequence stream (epoch joins the pack-window key and rides
+      // into the landed rows). Default config: identical plan to
+      // before, zero extra nodes.
+      val epochKey =
+        if (curated0.columns.contains("epoch")) Seq("epoch") else Nil
+      val curated =
+        if (epochKey.nonEmpty) curated0.localCheckpoint() else curated0
       // tokenize the HYGIENE text of curated docs (the text every gate
       // scored), then re-attach the split assignment
-      val withText = hygiened.join(curated, Seq("doc_id"))
-      val toks = TextAnalysis.bpeTokenIdsAgainstModel(spark, withText,
+      val docSplit =
+        if (epochKey.nonEmpty)
+          curated.select(col("doc_id"), col("split")).distinct()
+        else curated.select(col("doc_id"), col("split"))
+      val withText = hygiened.join(docSplit, Seq("doc_id"))
+      val toks0 = TextAnalysis.bpeTokenIdsAgainstModel(spark, withText,
           modelPath)
         .join(withText.select(col("doc_id"), col("split")), Seq("doc_id"))
+      val toks =
+        if (epochKey.nonEmpty)
+          toks0.join(curated.select(col("doc_id"), col("epoch")),
+            Seq("doc_id"))
+        else toks0
       val packed = cfg.sequenceLayout match {
         case "bestfit" => TextAnalysis.packTokenSequencesBestFit(toks,
-          seqLen, shards, eosId, extraKeys = Seq("split"))
+          seqLen, shards, eosId, extraKeys = Seq("split") ++ epochKey)
         case _ => TextAnalysis.packTokenSequences(toks, seqLen, shards,
-          eosId, extraKeys = Seq("split"))
+          eosId, extraKeys = Seq("split") ++ epochKey)
       }
       packed
-        .select(col("split"), col("shard"), col("seq_id"),
-          col("token_ids"), col("segment_ids"), col("n_tokens"))
+        .select((Seq(col("split"), col("shard"), col("seq_id"),
+          col("token_ids"), col("segment_ids"), col("n_tokens")) ++
+          epochKey.map(col)): _*)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("split", "shard")
         .parquet(path)

@@ -1385,6 +1385,111 @@ class CurationSpec extends SparkSpec {
         mixtureBudget = Some(10L))))
   }
 
+  test("repeat-capped mixture: 1000‰ ≡ plain, genuine repeats fan out epochs after the split") {
+    val weights = Seq("en" -> 1L, "de" -> 1L, "es" -> 1L, "fr" -> 1L,
+      "zh" -> 1L)
+    // 1000‰ caps at one epoch — exactly the plain mixture with an
+    // all-zero epoch column, under a binding budget AND a surplus one
+    for (budget <- Seq(300L, 1000000000000L)) {
+      val plain = Curation.curate(corpus, benchmark,
+          cfg.copy(mixtureWeights = Some(weights),
+            mixtureBudget = Some(budget)))
+        .collect().map(_.toSeq).toSet
+      val one = Curation.curate(corpus, benchmark,
+          cfg.copy(mixtureWeights = Some(weights),
+            mixtureBudget = Some(budget),
+            mixtureRepeatCapPermille = Some(1000L)))
+        .collect().map(_.toSeq).toSet
+      assert(one.forall(_.last == 0L), "1000‰ must plan zero repeats")
+      assert(one.map(_.dropRight(1)) == plain,
+        s"1000‰ must reproduce the plain mixture (budget $budget)")
+    }
+    // a surplus budget under a 2500‰ cap saturates every language AT
+    // capacity: every doc repeats in full epochs 0..1 and the ~500‰
+    // remainder is a hash-ordered prefix at epoch 2. The quota is
+    // lifted here: it selects by the SAME md5(doc_id) order the
+    // remainder prefix uses, so a binding quota keeps exactly the
+    // most-repeated docs and the 2-epoch tail would vanish
+    val rcfg = cfg.copy(perLangCap = 100000,
+      mixtureWeights = Some(weights),
+      mixtureBudget = Some(1000000000000L),
+      mixtureRepeatCapPermille = Some(2500L))
+    val rep = Curation.curate(corpus, benchmark, rcfg)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    val byDoc = rep.groupBy(_._1)
+    byDoc.foreach { case (id, rows) =>
+      val eps = rows.map(_._4).sorted.toSeq
+      assert(eps == (0L until eps.size),
+        s"doc $id epochs must be contiguous from 0: $eps")
+      assert(rows.map(_._3).distinct.size == 1,
+        s"doc $id epoch copies must share one split")
+    }
+    assert(byDoc.forall(_._2.size >= 2),
+      "at 2500‰ every language runs at least two full epochs")
+    assert(byDoc.exists(_._2.size == 3),
+      "the remainder must plan a third epoch for the hash prefix")
+    assert(byDoc.exists(_._2.size == 2),
+      "the remainder prefix must be strict — some doc stays at two")
+    // distinct docs are the quota-lifted chain's (surplus capacity
+    // covers every survivor); the funnel stays at doc granularity
+    // while the chain output is the epoch fan-out
+    val base = Curation.curate(corpus, benchmark,
+        cfg.copy(perLangCap = 100000))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byDoc.keySet == base)
+    val byStage = Curation.curationFunnel(corpus, benchmark, rcfg)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage("06aa_mixture") == base.size.toLong)
+    assert(byStage("07_quota") == base.size.toLong)
+    assert(rep.size.toLong > byStage("07_quota"),
+      "curate count is the epoch fan-out, above the doc-granularity funnel")
+    // refusals: a repeat cap without the mixture stage, and a zero cap
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(mixtureRepeatCapPermille = Some(2000L))))
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      rcfg.copy(mixtureRepeatCapPermille = Some(0L))))
+  }
+
+  test("shard writers carry the planned epochs of a repeat-capped mixture") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rep_shards").toString
+    val weights = Seq("en" -> 1L, "de" -> 1L, "es" -> 1L, "fr" -> 1L,
+      "zh" -> 1L)
+    // quota lifted: its md5-order selection coincides with the
+    // remainder prefix's, so a binding quota would keep only
+    // three-epoch docs and void the strict-prefix assertions
+    val rcfg = cfg.copy(perLangCap = 100000,
+      mixtureWeights = Some(weights),
+      mixtureBudget = Some(1000000000000L),
+      mixtureRepeatCapPermille = Some(2500L))
+    Curation.writeTrainingShards(corpus, benchmark, s"$dir/shards", rcfg)
+    val layout = spark.read.parquet(s"$dir/shards")
+    assert(layout.columns.contains("epoch"))
+    val perEpoch = layout.groupBy($"epoch").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perEpoch(0L) == perEpoch(1L),
+      "full epochs must land identical chunk streams")
+    assert(perEpoch.getOrElse(2L, 0L) < perEpoch(0L),
+      "the remainder epoch is a strict prefix of a full one")
+    // token route: each epoch packs as its own sequence stream under
+    // the read-only model
+    val model = s"$dir/model"
+    TextAnalysis.writeBpeModel(
+      TextAnalysis.learnBpeMerges(corpus, nMerges = 8), model)
+    TextAnalysis.writeBpeVocab(corpus, model)
+    Curation.writeTokenShards(corpus, benchmark, s"$dir/tok", model, rcfg,
+      seqLen = 64, shards = 2)
+    val tok = spark.read.parquet(s"$dir/tok")
+    assert(tok.columns.contains("epoch"))
+    val tokPerEpoch = tok.groupBy($"epoch")
+      .agg(sum($"n_tokens").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tokPerEpoch(0L) == tokPerEpoch(1L),
+      "full epochs must carry identical token totals")
+    assert(tokPerEpoch.getOrElse(2L, 0L) < tokPerEpoch(0L))
+  }
+
   test("intra-doc strip rides the stateless hygiene prefix with its funnel row") {
     val on = Curation.Config(stripIntraDocRepeats = true)
     val phrase = "a b c d e f g h"
