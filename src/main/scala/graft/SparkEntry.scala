@@ -680,6 +680,32 @@ object SparkEntry {
       ext.Sampling.realizeMixtureAllocationWithRepeats(toks, "lang",
         "doc_id", "n_tok", alloc)
     }),
+    // the pluggable-embedding ladder end to end: a projection trained
+    // on the SUITE's contexts (mean-centered distributional vectors,
+    // artifact-cached), the suite frozen as a semantic index in ITS
+    // space (full identity cross-validated), the corpus probed through
+    // the stored projection. Rows-only: trained float weights have no
+    // SQL restatement; the stored≡live and cross-space contracts are
+    // spec-pinned (ExtSpec/CurationSpec)
+    "q146_projection_contamination" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, exists}
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") < 25)
+      val proj = ext.Embedding.ensureProjection(bench,
+        "/tmp/graft_proj_cache", s"$dir/documents.parquet",
+        buckets = 256, variant = "_bench25")
+      val pidx = ext.Embedding.ensureProjectedIndex(bench,
+        "/tmp/graft_proj_cache", s"$dir/documents.parquet", proj,
+        nCells = 4, variant = "_bench25")
+      val emb = ext.Embedding
+        .projectDocuments(docs.filter(col("doc_id") >= 25), proj)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        // a doc with every token unseen by the suite-trained table has
+        // no geometry in its space — pass un-probed, never NaN-flagged
+        .filter(exists(col("embedding"), v => v =!= 0.0f))
+      ext.Dedup.semanticContaminationAgainstIndex(s, emb, pidx,
+        minCosine = 0.95, nCells = 4)
+    }),
     // the CHAIN-ROUTE of the repeat-capped mixture: the exact mix tail
     // Curation.curate runs under Config.mixtureRepeatCapPermille —
     // plan → realize → collapse to doc granularity → count quota →

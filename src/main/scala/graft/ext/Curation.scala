@@ -199,6 +199,15 @@ object Curation {
     *     ([[Embedding.ensureTextIndex]]) and its sidecar-recorded dims
     *     are re-validated loudly at probe time (the cosine kernel
     *     would otherwise truncate a width mismatch silently).
+    *     `embedProjectionPath` is the STORED-MODEL alternative:
+    *     survivors' vectors derive from text through a frozen linear
+    *     projection artifact ([[Embedding.writeProjection]] — an
+    *     externally-trained or corpus-trained bucket table), with the
+    *     index frozen in the SAME space
+    *     ([[Embedding.writeProjectedIndex]]) and EVERY identity field
+    *     cross-validated ([[Embedding.requireSameSpace]]). Mutually
+    *     exclusive with `embedDims` and with an embeddings frame —
+    *     one vector source per run, never an ambiguity.
     *   - `winnowIndexPath` (+ `winnowK`, `winnowW`,
     *     `winnowMinShared`): gate survivors against a STORED winnow
     *     fingerprint index ([[Dedup.winnowPairsAgainstIndex]] — the
@@ -303,6 +312,7 @@ object Curation {
       semanticProbes: Option[Int] = None,
       embedDims: Option[Int] = None,
       embedNgram: Int = 1,
+      embedProjectionPath: Option[String] = None,
       winnowIndexPath: Option[String] = None,
       winnowK: Int = 8,
       winnowW: Int = 4,
@@ -412,6 +422,13 @@ object Curation {
         "semanticIndexPath to enable it")
     require(cfg.embedDims.forall(d => d >= 1 && d <= 128),
       "embedDims must be in 1..128 (the hashed-projection digest width)")
+    require(cfg.embedProjectionPath.isEmpty || cfg.semanticIndexPath.nonEmpty,
+      "embedProjectionPath derives vectors for the semantic artifact " +
+        "gate — set semanticIndexPath to enable it")
+    require(cfg.embedProjectionPath.isEmpty || cfg.embedDims.isEmpty,
+      "set embedDims (hashed kernel) OR embedProjectionPath (stored " +
+        "projection), not both — an ambiguous vector source is a config " +
+        "error, not a preference")
     require(cfg.embedNgram >= 1, "embedNgram must be >= 1")
     require(cfg.embedNgram == 1 || cfg.embedDims.nonEmpty,
       "embedNgram tunes the derived-embedding space - set embedDims " +
@@ -444,14 +461,19 @@ object Curation {
   private def requireEmbeddings(cfg: Config,
                                 embeddings: Option[DataFrame]): Unit = {
     require(cfg.semanticIndexPath.isEmpty || embeddings.nonEmpty ||
-        cfg.embedDims.nonEmpty,
+        cfg.embedDims.nonEmpty || cfg.embedProjectionPath.nonEmpty,
       "semanticIndexPath gates on document embeddings — pass " +
-        "embeddings = Some(frame with (doc_id, embedding)), or set " +
+        "embeddings = Some(frame with (doc_id, embedding)), set " +
         "embedDims to derive them from text (model-free route; the " +
-        "index must be built in the same space — Embedding.ensureTextIndex)")
-    require(embeddings.isEmpty || cfg.embedDims.isEmpty,
-      "pass model embeddings OR set embedDims, not both — an ambiguous " +
-        "vector source is a config error, not a preference")
+        "index must be built in the same space — " +
+        "Embedding.ensureTextIndex), or set embedProjectionPath to " +
+        "derive them through a stored projection " +
+        "(Embedding.writeProjectedIndex for the index)")
+    require(embeddings.isEmpty || (cfg.embedDims.isEmpty &&
+        cfg.embedProjectionPath.isEmpty),
+      "pass model embeddings OR a derived-text route (embedDims / " +
+        "embedProjectionPath), not both — an ambiguous vector source " +
+        "is a config error, not a preference")
     embeddings.foreach(e =>
       require(Seq("doc_id", "embedding").forall(e.columns.contains),
         s"embeddings frame needs (doc_id, embedding); got ${e.columns.mkString(", ")}"))
@@ -540,21 +562,37 @@ object Curation {
     * first (sidecar-sized read). */
   private[graft] def semanticTextGate(df: DataFrame, cfg: Config): DataFrame =
     cfg.semanticIndexPath.fold(df) { p =>
-      val d = cfg.embedDims.get
       // FULL identity check, not just width: the index must have been
       // built from TEXT in this exact space (kernel version, dims,
-      // ngram) — a model-vector index of matching width, or a
-      // different n-gram space, cosine-compares meaninglessly and the
-      // kernel would never complain on its own
-      Embedding.requireTextIndex(p, d, cfg.embedNgram)
-      // a doc with fewer than embedNgram tokens embeds to the zero
-      // vector and cosine-compares as NaN (which Spark orders above
-      // every threshold) — such docs pass UN-PROBED, exactly like the
-      // explicit route's docs with no embedding row
+      // ngram — and for the stored-projection route, the projection's
+      // complete identity) — a model-vector index of matching width,
+      // or a different n-gram space, cosine-compares meaninglessly and
+      // the kernel would never complain on its own
+      val (minToks, embedCol) = cfg.embedProjectionPath match {
+        case Some(proj) =>
+          Embedding.requireSameSpace(p, proj)
+          val model = Embedding.loadProjection(df.sparkSession, proj)
+          (model.ngram,
+            graft.functions.ProjectionModel
+              .project_embedding(col("text"), model))
+        case None =>
+          val d = cfg.embedDims.get
+          Embedding.requireTextIndex(p, d, cfg.embedNgram)
+          (cfg.embedNgram, Embedding.embed(col("text"), d, cfg.embedNgram))
+      }
+      // a doc with fewer than ngram tokens embeds to the zero vector
+      // and cosine-compares as NaN (which Spark orders above every
+      // threshold) — such docs pass UN-PROBED, exactly like the
+      // explicit route's docs with no embedding row. The explicit
+      // zero-vector filter matters for the PROJECTION route: a doc
+      // whose every token is unseen by the stored table has no
+      // geometry in its space (and for the hashed kernel it closes the
+      // astronomically-rare all-dims sign cancellation — the
+      // byteGramFeature lesson)
       val probed = df
-        .filter(size(split(col("text"), " ")) >= cfg.embedNgram)
-        .select(col("doc_id").as("vec_id"),
-          Embedding.embed(col("text"), d, cfg.embedNgram).as("embedding"))
+        .filter(size(split(col("text"), " ")) >= minToks)
+        .select(col("doc_id").as("vec_id"), embedCol.as("embedding"))
+        .filter(exists(col("embedding"), v => v =!= 0.0f))
       val flagged = Dedup.semanticContaminationAgainstIndex(
           df.sparkSession, probed, p, cfg.semanticMinCosine,
           cfg.semanticNCells, cfg.semanticProbes)
@@ -566,7 +604,8 @@ object Curation {
   private def semanticGate(df: DataFrame, cfg: Config,
                            embeddings: Option[DataFrame]): DataFrame =
     cfg.semanticIndexPath.fold(df) { p =>
-      if (cfg.embedDims.isDefined) semanticTextGate(df, cfg)
+      if (cfg.embedDims.isDefined || cfg.embedProjectionPath.isDefined)
+        semanticTextGate(df, cfg)
       else {
         val probed = embeddings.get
           .select(col("doc_id").as("vec_id"), col("embedding"))

@@ -118,6 +118,319 @@ object Embedding {
 
   private val EmbedderMarker = "embedder.properties"
 
+  // ── Stored linear projection: the PLUGGABLE embedding artifact ──
+
+  /** Kernel id recorded in every projection artifact's identity: the
+    * version covers the apply rule (bucket hash → weight row → sum →
+    * L2), and the bucket-hash salt version rides in the same field, so
+    * a re-salted feature space can never probe an old artifact. */
+  val ProjectionKernel: String =
+    "graft.linproj.v1:" + graft.functions.ProjectionModel.BucketSalt
+
+  /** Model-size ceiling for the dense bucket table: the projection is
+    * plan-wide DRIVER state (the BpeCodec discipline) — buckets × dims
+    * floats ship to every executor once. 64M cells ≈ 256 MB is the
+    * documented bound; real distilled projections (fastText-style
+    * input layers) sit orders of magnitude below it. */
+  private val MaxProjectionCells = 64L * 1024 * 1024
+
+  /** Freeze a linear projection as a stored artifact: `weights` rows
+    * (bucket long in [0, buckets), vector array<float> of one uniform
+    * width) land as parquet under `path/weights`, and the FULL embedder
+    * identity (kernel + bucket-salt version, dims, ngram, buckets)
+    * lands LAST as the `embedder.properties` sidecar — the identity
+    * every apply/probe reads back ([[requireProjection]]): dims, ngram
+    * and buckets are ARTIFACT-OWNED (the canonical-index idCol rule),
+    * never probe-time parameters that could disagree. Buckets absent
+    * from the frame are zero rows (an unseen feature contributes
+    * nothing). Externally-trained projections enter the engine HERE:
+    * any model distilled to a bucket table rides every semantic op
+    * downstream with no code changes. */
+  def writeProjection(weights: DataFrame, path: String, buckets: Int,
+                      ngram: Int = 1): Unit = {
+    require(buckets >= 1, "buckets must be >= 1")
+    require(ngram >= 1, "ngram must be >= 1")
+    val w = weights.select(col("bucket").cast("long").as("bucket"),
+      col("vector"))
+    val stats = w.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("bucket")).as("nb"),
+      min(col("bucket")).as("mn"), max(col("bucket")).as("mx"),
+      countDistinct(size(col("vector"))).as("nw"),
+      max(size(col("vector"))).as("dims")).head()
+    require(stats.getLong(0) > 0, "projection needs at least one bucket row")
+    require(stats.getLong(1) == stats.getLong(0),
+      "duplicate bucket rows in the projection weights")
+    require(stats.getLong(2) >= 0L && stats.getLong(3) < buckets,
+      s"bucket ids must lie in [0, $buckets)")
+    require(stats.getLong(4) == 1L,
+      "every bucket vector must have the same width")
+    val dims = stats.getInt(5)
+    require(dims >= 1, "vectors must be non-empty")
+    require(buckets.toLong * dims <= MaxProjectionCells,
+      s"projection too large: $buckets buckets x $dims dims exceeds the " +
+        s"$MaxProjectionCells-cell driver-state bound")
+    w.select(col("bucket"), col("vector").cast("array<float>"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/weights")
+    // sidecar LAST: a crashed write leaves no identity, so readers
+    // refuse the partial artifact loudly
+    Dedup.writeParams(s"$path/$EmbedderMarker", Map(
+      "embedder" -> ProjectionKernel,
+      "dims" -> dims.toString, "ngram" -> ngram.toString,
+      "buckets" -> buckets.toString))
+  }
+
+  /** A stored artifact's embedder identity, validated to be a
+    * projection of this kernel version. The returned map is the FULL
+    * identity ([[requireSameSpace]] compares every field). */
+  def projectionIdentity(path: String): Map[String, String] = {
+    val f = java.nio.file.Paths.get(s"$path/$EmbedderMarker")
+    require(java.nio.file.Files.exists(f),
+      s"no projection artifact at $path — missing $EmbedderMarker " +
+        "(write one with Embedding.writeProjection)")
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    require(p.getProperty("embedder") == ProjectionKernel,
+      s"artifact at $path has embedder=${p.getProperty("embedder")}, " +
+        s"not the $ProjectionKernel projection kernel — vectors from a " +
+        "different embedder cosine-compare meaninglessly")
+    Seq("embedder", "dims", "ngram", "buckets")
+      .map(k => k -> p.getProperty(k)).toMap
+  }
+
+  /** Load a frozen projection into its kernel form: the dense
+    * buckets × dims table (absent buckets zero) with every parameter
+    * read back from the sidecar. The collect is artifact-sized by the
+    * write-time bound. */
+  def loadProjection(spark: org.apache.spark.sql.SparkSession,
+                     path: String): graft.functions.ProjectionModel = {
+    val id = projectionIdentity(path)
+    val buckets = id("buckets").toInt
+    val dims = id("dims").toInt
+    val rows = spark.read.parquet(s"$path/weights")
+      .select(col("bucket").cast("long"), col("vector")).collect()
+    modelOf(rows.map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray)),
+      buckets, dims, id("ngram").toInt)
+  }
+
+  /** Build the kernel form directly from a weights frame — the
+    * IN-MEMORY route (train and apply in one job, nothing frozen).
+    * Bit-identical to freezing the same frame and loading it back
+    * ([[projectDocuments]]) — both routes run the one kernel over the
+    * one table, which is the spec-pinned stored ≡ live claim. */
+  def projectionModelOf(weights: DataFrame, buckets: Int,
+                        ngram: Int = 1): graft.functions.ProjectionModel = {
+    val rows = weights
+      .select(col("bucket").cast("long"), col("vector").cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(rows.nonEmpty, "projection needs at least one bucket row")
+    require(buckets.toLong * rows.head._2.length <= MaxProjectionCells,
+      "projection too large for the driver-state bound")
+    modelOf(rows, buckets, rows.head._2.length, ngram)
+  }
+
+  private def modelOf(rows: Array[(Long, Array[Float])], buckets: Int,
+                      dims: Int, ngram: Int): graft.functions.ProjectionModel = {
+    val w = Array.fill(buckets)(new Array[Float](dims))
+    rows.foreach { case (b, v) =>
+      require(b >= 0 && b < buckets, s"bucket $b outside [0, $buckets)")
+      require(v.length == dims,
+        s"bucket $b vector has width ${v.length}, artifact says $dims")
+      w(b.toInt) = v
+    }
+    new graft.functions.ProjectionModel(w, ngram)
+  }
+
+  /** Per-document vectors under a loaded projection model — the shape
+    * every semantic op consumes. Documents with fewer than `ngram`
+    * tokens embed to the zero vector (the kernel's sub-ngram rule);
+    * filter them before any cosine if NaN-guarding matters (the
+    * [[textNearDupPairs]] convention). */
+  def projectWithModel(docs: DataFrame,
+                       model: graft.functions.ProjectionModel,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.ProjectionModel
+        .project_embedding(col(textCol), model).as("embedding"))
+
+  /** The STORED route: per-document vectors straight from a frozen
+    * artifact — every parameter sidecar-owned. Bit-identical to
+    * [[projectWithModel]] over the same weights (spec-pinned): both
+    * routes run the one kernel, so "train in one job, freeze, apply in
+    * every later job" cannot drift. */
+  def projectDocuments(docs: DataFrame, projectionPath: String,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    projectWithModel(docs,
+      loadProjection(docs.sparkSession, projectionPath), idCol, textCol)
+
+  /** Train a toy-but-real projection from the corpus itself:
+    * MEAN-CENTERED DISTRIBUTIONAL CONTEXT vectors (the count-based
+    * word-embedding construction — "you shall know a word by the
+    * company it keeps"): the vector of bucket b is its mean context
+    * signature minus the corpus-wide mean context,
+    *   W[b][d] = Σc_b[d]/n_b − Σc[d]/N
+    * over the hashed ±1 signatures ([[graft.functions.HashedEmbedding]])
+    * of every token observed within `window` positions of a gram
+    * hashing to b. The centering is LOAD-BEARING: raw context sums are
+    * dominated by the one shared stopword-context direction, which
+    * drove EVERY pairwise document cosine above 0.996 on the fixture —
+    * no threshold could separate a leak from a keeper. Centered,
+    * common-context buckets shrink toward zero (a natural
+    * idf-style down-weighting — deliberately NOT re-normalized per
+    * bucket, which would re-inflate their noise to unit length) and
+    * what remains is each bucket's context DEVIATION — the
+    * discriminative geometry. Counts aggregate as EXACT longs; the two
+    * divisions per cell are fixed-order double ops on exact inputs, so
+    * the trained table is deterministic across runs and partitionings.
+    *
+    * Output: (bucket, vector) — feed it to [[writeProjection]] with
+    * the same `buckets`/`ngram`.
+    *
+    * Scale notes (100 TB): one corpus pass — tokens explode to
+    * ≤ 2·window context pairs each, components aggregate map-side to
+    * the buckets × dims relation (enum-sized by the write bound); the
+    * centering joins are dims-sized and buckets-sized. Train once at
+    * corpus cadence, apply forever (the artifact-trio discipline). */
+  def trainContextProjection(docs: DataFrame, buckets: Int,
+                             dims: Int = DefaultDims, ngram: Int = 1,
+                             window: Int = 2,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    require(buckets >= 1 && dims >= 1 && dims <= 128 && ngram >= 1 &&
+      window >= 1, "need buckets >= 1, 1 <= dims <= 128, ngram >= 1, " +
+      "window >= 1")
+    val toks = docs.select(col(idCol).as("_d"),
+        posexplode(split(col(textCol), " ")).as(Seq("_p", "_t")))
+      .localCheckpoint() // consumed by the gram side and the context side
+    val grams = docs.select(col(idCol).as("_d"),
+        posexplode(graft.functions.Shingles
+          .word_shingles_all(col(textCol), ngram)).as(Seq("_s", "_g")))
+      .select(col("_d"), col("_s"),
+        graft.functions.ProjectionModel.bucketOf(col("_g"), buckets)
+          .as("bucket"))
+    // context positions: the window on each side of the gram, never
+    // inside it (a gram must not embed its own tokens)
+    val offs = ((-window to -1) ++ (ngram until ngram + window)).map(_.toLong)
+    val ctx = grams
+      .select(col("_d"), col("_s"), col("bucket"),
+        explode(lit(offs.toArray)).as("_o"))
+      .select(col("_d"), col("bucket"), (col("_s") + col("_o")).as("_p"))
+      .join(toks, Seq("_d", "_p")) // inner join drops out-of-range slots
+    val comp = ctx.select(col("bucket"),
+        posexplode(graft.functions.HashedEmbedding
+          .hashed_embedding_counts(col("_t"), dims)).as(Seq("_dim", "_c")))
+      .groupBy(col("bucket"), col("_dim"))
+      .agg(sum(col("_c")).as("_w")) // exact longs
+      .localCheckpoint() // feeds the cells AND both centering relations
+    val nb = ctx.groupBy(col("bucket")).agg(count(lit(1)).as("_nb"))
+    val tot = comp.groupBy(col("_dim")).agg(sum(col("_w")).as("_tot"))
+    val nTotal = broadcast(nb.agg(sum(col("_nb")).as("_nt")))
+    comp
+      .join(broadcast(nb), Seq("bucket"))
+      .join(broadcast(tot), Seq("_dim"))
+      .crossJoin(nTotal)
+      .select(col("bucket"), col("_dim"),
+        (col("_w").cast("double") / col("_nb") -
+          col("_tot").cast("double") / col("_nt")).as("_cw"))
+      .groupBy(col("bucket"))
+      .agg(array_sort(collect_list(struct(col("_dim"), col("_cw"))))
+        .as("_a"))
+      .select(col("bucket"),
+        transform(col("_a"), e => e.getField("_cw").cast("float"))
+          .as("vector"))
+  }
+
+  /** Content-fingerprint-cached train → freeze: the shared ensure
+    * ladder for the projection artifact. */
+  def ensureProjection(docs: DataFrame, cacheRoot: String,
+                       sourcePath: String, buckets: Int,
+                       dims: Int = DefaultDims, ngram: Int = 1,
+                       window: Int = 2, variant: String = ""): String = {
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"linproj_v1_${buckets}_${dims}_g${ngram}_w${window}_v${variant}_" +
+        Similarity.pathFingerprint(sourcePath))
+    Similarity.ensureCachedIndex(idx, EmbedderMarker)(tmp =>
+      writeProjection(
+        trainContextProjection(docs, buckets, dims, ngram, window),
+        tmp, buckets, ngram))
+    idx.toString
+  }
+
+  /** Freeze a corpus as a semantic index in a PROJECTION's space: the
+    * projected twin of [[writeTextIndex]]. The index carries the
+    * projection's FULL identity, so [[requireSameSpace]] can refuse a
+    * probe from any other projection (or from the hashed kernel, or
+    * from model vectors) loudly. Sub-ngram docs are excluded the same
+    * way the probes exclude them. */
+  def writeProjectedIndex(docs: DataFrame, projectionPath: String,
+                          indexPath: String, nCells: Int = 8,
+                          iters: Int = 5, seed: Long = 42L,
+                          probes: Int = 1): Unit = {
+    val model = loadProjection(docs.sparkSession, projectionPath)
+    Dedup.writeSemanticIndex(
+      projectWithModel(
+          docs.filter(size(split(col("text"), " ")) >= model.ngram), model)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        .localCheckpoint(),
+      indexPath, nCells, iters, seed, probes)
+    Dedup.writeParams(s"$indexPath/$EmbedderMarker",
+      projectionIdentity(projectionPath))
+  }
+
+  /** Content-fingerprint-cached [[writeProjectedIndex]]. The cache key
+    * carries the suite's content fingerprint, the projection's full
+    * identity AND a digest of the projection's path — two projections
+    * can share an identity (same buckets/dims/ngram, different trained
+    * weights), and an index must never be served for the wrong one. */
+  def ensureProjectedIndex(docs: DataFrame, cacheRoot: String,
+                           sourcePath: String, projectionPath: String,
+                           nCells: Int = 8, iters: Int = 5,
+                           seed: Long = 42L, probes: Int = 1,
+                           variant: String = ""): String = {
+    val id = projectionIdentity(projectionPath)
+    val projKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(projectionPath.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"projidx_v1_${id("buckets")}_${id("dims")}_g${id("ngram")}_" +
+        s"p${projKey}_v${variant}_${nCells}_${iters}_${seed}_${probes}_" +
+        Similarity.pathFingerprint(sourcePath))
+    Similarity.ensureCachedIndex(idx, EmbedderMarker)(tmp =>
+      writeProjectedIndex(docs, projectionPath, tmp, nCells, iters, seed,
+        probes))
+    idx.toString
+  }
+
+  /** Loud space check between a semantic index and a projection
+    * artifact: the index must carry a projection identity and EVERY
+    * field (kernel + salt version, dims, ngram, buckets) must match
+    * the artifact's — dims alone cannot tell two projections (or a
+    * projection and a model index of the same width) apart, and
+    * cross-space cosines are silently meaningless. */
+  def requireSameSpace(indexPath: String, projectionPath: String): Unit = {
+    val want = projectionIdentity(projectionPath)
+    val f = java.nio.file.Paths.get(s"$indexPath/$EmbedderMarker")
+    require(java.nio.file.Files.exists(f),
+      s"semantic index at $indexPath carries no embedder identity — " +
+        "the projected gate only probes an index built in the same " +
+        "projection space (Embedding.writeProjectedIndex)")
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    want.foreach { case (k, v) =>
+      require(p.getProperty(k) == v,
+        s"semantic index at $indexPath was built with $k=" +
+          s"${p.getProperty(k)} but probed through a projection with " +
+          s"$k=$v — vectors from different embedding spaces " +
+          "cosine-compare meaninglessly")
+    }
+  }
+
   /** Loud space check for the derived-text routes: the index must have
     * been built from TEXT by this module (the sidecar exists) in
     * exactly the configured space (kernel version, dims, ngram all

@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** STORED linear-projection text embedding as a native codegen kernel —
+  * the pluggable half of the embedding boundary: where
+  * [[HashedEmbedding]] derives its ±1 projection basis from md5 bits,
+  * this kernel applies a LEARNED bucket→vector weight matrix (trained
+  * externally or by [[graft.ext.Embedding.trainContextProjection]],
+  * frozen as a parquet artifact). Document vector =
+  * L2-normalize(Σ_grams W[bucket(gram)]), with bucket(gram) = the
+  * salted-md5 feature hash — the classical "hashed bag-of-features ×
+  * embedding table" model (fastText's input layer shape). Identical
+  * texts embed identically; the float accumulation runs in a fixed
+  * left-to-right gram order, so the output is bit-deterministic across
+  * runs, partitionings and engines executing this kernel.
+  *
+  * The model is a plan-wide reference object (the [[BpeCodec]]
+  * discipline): buckets × dims floats of driver state shipped once per
+  * executor, zero per-row join — the 100 TB plan stays a scan-fused
+  * projection.
+  *
+  * Reference counterpart: the embeddings fixture assumes a model ran
+  * upstream (TESTDATA.md); this kernel IS that upstream for any model
+  * that can be distilled to a linear bucket table — and the artifact's
+  * embedder-identity sidecar is what keeps its vectors from ever
+  * cosine-comparing against a foreign space.
+  */
+case class ProjectEmbedding(child: Expression, model: ProjectionModel)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string column, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    model.project(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("projModel", model,
+      classOf[ProjectionModel].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.project($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProjectEmbedding =
+    copy(child = newChild)
+  override def prettyName: String = "project_embedding"
+}
+
+/** The serializable projection state + kernel: a dense buckets × dims
+  * float table (absent buckets are zero rows — an unseen feature
+  * contributes nothing) and the gram shape (`ngram`). Bucketing is one
+  * salted md5 per gram, first 32 digest bits mod `buckets`,
+  * non-negative — the content-addressed discipline, SQL-restatable as
+  * `('0x' || substr(md5(salt || gram), 1, 8))::BIGINT % buckets`. */
+final class ProjectionModel(weights: Array[Array[Float]], val ngram: Int)
+    extends Serializable {
+  require(weights.nonEmpty, "projection needs at least one bucket row")
+  require(ngram >= 1, "ngram must be >= 1")
+  val buckets: Int = weights.length
+  val dims: Int = weights(0).length
+  require(weights.forall(_.length == dims),
+    "every bucket vector must have the same width")
+
+  import ProjectionModel.{md5, BucketSaltBytes, Space}
+
+  /** Kernel: bucket-hash each n-gram window, accumulate its stored
+    * vector, L2-normalize (called from generated code). Fewer than
+    * `ngram` tokens ⇒ the zero vector — the [[HashedEmbedding]]
+    * sub-ngram rule, so downstream NaN-cosine guards compose
+    * identically. */
+  def project(text: UTF8String): ArrayData = {
+    val acc = new Array[Double](dims)
+    val toks = text.split(Space, -1)
+    val out = new Array[Any](dims)
+    if (toks.length >= ngram) {
+      val d = md5.get()
+      var t = 0
+      while (t <= toks.length - ngram) {
+        val gram =
+          if (ngram == 1) toks(t)
+          else UTF8String.concatWs(Space,
+            java.util.Arrays.copyOfRange(toks, t, t + ngram): _*)
+        d.reset()
+        d.update(BucketSaltBytes)
+        d.update(gram.getBytes)
+        val dig = d.digest()
+        val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        val row = weights((h % buckets).toInt)
+        var j = 0
+        while (j < dims) { acc(j) += row(j); j += 1 }
+        t += 1
+      }
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < dims) { ss += acc(j) * acc(j); j += 1 }
+    val norm = math.sqrt(ss)
+    j = 0
+    while (j < dims) {
+      out(j) = if (norm == 0.0) 0.0f else (acc(j) / norm).toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object ProjectionModel {
+  /** Version-pinning salt for the BUCKET hash: a changed feature hash
+    * is a changed model — bump the version, never silently re-seed.
+    * Recorded in every projection artifact's embedder identity. */
+  final val BucketSalt = "graft.linproj.bucket.v1:"
+  private val BucketSaltBytes = BucketSalt.getBytes("UTF-8")
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private final val Space = UTF8String.fromString(" ")
+
+  /** The bucket id alone, as a Column — the trainer and any SQL
+    * restatement share this exact rule. */
+  def bucketOf(gram: Column, buckets: Int): Column = {
+    import org.apache.spark.sql.functions.{pmod, conv, substring, concat, lit}
+    pmod(conv(substring(org.apache.spark.sql.functions.md5(
+        concat(lit(BucketSalt), gram)), 1, 8), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+  }
+
+  def project_embedding(c: Column, model: ProjectionModel): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ProjectEmbedding(ColumnBridge.expression(c), model))
+  }
+}

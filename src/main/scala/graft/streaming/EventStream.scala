@@ -534,10 +534,15 @@ object EventStream {
     require(tokenModelPath.isDefined == tokensPath.isDefined,
       "tokenModelPath and tokensPath enable the token landing together")
     // a stream has no embeddings frame — the semantic artifact gate is
-    // only stream-expressible through the derived-text route
-    require(cfg.semanticIndexPath.isEmpty || cfg.embedDims.nonEmpty,
+    // only stream-expressible through the derived-text routes (hashed
+    // kernel or stored projection; both artifacts are read-only during
+    // the stream, so each batch's verdicts stay deterministic)
+    require(cfg.semanticIndexPath.isEmpty || cfg.embedDims.nonEmpty ||
+        cfg.embedProjectionPath.nonEmpty,
       "the streaming semantic gate derives vectors from text — set " +
-        "embedDims (and build the index with Embedding.ensureTextIndex)")
+        "embedDims (hashed kernel + Embedding.ensureTextIndex) or " +
+        "embedProjectionPath (stored projection + " +
+        "Embedding.writeProjectedIndex)")
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)

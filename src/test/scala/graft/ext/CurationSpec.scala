@@ -768,6 +768,55 @@ class CurationSpec extends SparkSpec {
     Embedding.requireTextIndex(idx, Embedding.DefaultDims, 1)
   }
 
+  test("stored-projection gate: frozen projection cuts the bag-of-words leak; identities loud") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_proj").toString
+    // corpus-trained projection, frozen through the ensure ladder; the
+    // suite indexed in ITS space (the index sidecar carries the
+    // projection's full identity)
+    val src = s"${sf("sf0.001")}/documents.parquet"
+    val proj = Embedding.ensureProjection(docs, dir, src, buckets = 256)
+    assert(proj == Embedding.ensureProjection(docs, dir, src, buckets = 256),
+      "same content ⇒ same cache slot")
+    Embedding.writeProjectedIndex(benchmark, proj, s"$dir/pidx", nCells = 2)
+    // the reversed bag-of-words leak: a unigram linear projection is
+    // order-invariant, so the reversed copy projects IDENTICALLY
+    // (cosine 1.0) while sharing no n-gram with the suite
+    val leak = benchmark.filter($"lang" === "en")
+      .orderBy(length($"text").desc).limit(1)
+      .select(lit(900000L).as("doc_id"),
+        concat_ws(" ", reverse(split($"text", " "))).as("text"),
+        $"lang", $"source", $"n_chars")
+    val corpus2 = corpus.unionByName(leak)
+    val wideCfg = cfg.copy(perLangCap = 1000000, maxOverlapNgrams = 50)
+    val pCfg = wideCfg.copy(semanticIndexPath = Some(s"$dir/pidx"),
+      semanticMinCosine = 0.999, semanticNCells = 2,
+      embedProjectionPath = Some(proj))
+    val got = Curation.curate(corpus2, benchmark, pCfg)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && !got.exists(_.head == 900000L),
+      "the projected gate must cut the order-invariant leak")
+    // probing through a DIFFERENT projection refuses on the first
+    // mismatched identity field
+    val proj128 = Embedding.ensureProjection(docs, dir, src, buckets = 128)
+    val eB = intercept[IllegalArgumentException](Curation.curate(
+      corpus2, benchmark, pCfg.copy(embedProjectionPath = Some(proj128))))
+    assert(eB.getMessage.contains("buckets"), eB.getMessage)
+    // a hashed-kernel text index is NOT this projection's space
+    Embedding.writeTextIndex(benchmark, s"$dir/semtxt")
+    val eK = intercept[IllegalArgumentException](Curation.curate(
+      corpus2, benchmark,
+      pCfg.copy(semanticIndexPath = Some(s"$dir/semtxt"))))
+    assert(eK.getMessage.contains("embedder"), eK.getMessage)
+    // ambiguous vector sources and unpaired knobs refuse at call time
+    intercept[IllegalArgumentException](Curation.curate(corpus2, benchmark,
+      pCfg.copy(embedDims = Some(64))))
+    intercept[IllegalArgumentException](Curation.curate(corpus2, benchmark,
+      pCfg, embeddings = Some(Embedding.embedDocuments(corpus2))))
+    intercept[IllegalArgumentException](Curation.curate(corpus2, benchmark,
+      wideCfg.copy(embedProjectionPath = Some(proj))))
+  }
+
   test("DSIR resample slots into the chain against a stored target profile") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_curation_dsir").toString

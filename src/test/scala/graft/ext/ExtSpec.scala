@@ -3421,6 +3421,81 @@ class ExtSpec extends SparkSpec {
     assert(exactPairs.columns.toSet.intersect(Set("vec_a", "vec_b")).size == 2)
   }
 
+  test("stored linear projection: train → freeze → stored ≡ live bit-for-bit; cross-space refusals") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_linproj").toString
+    val buckets = 256
+    val weights = Embedding.trainContextProjection(docs, buckets, dims = 32)
+      .localCheckpoint()
+    val w = weights.collect()
+    assert(w.nonEmpty, "the trainer must produce bucket rows")
+    assert(w.forall(_.getSeq[Float](1).size == 32))
+    // mean removal leaves magnitude as a specificity weight, NOT unit
+    // norms — but the centering must genuinely cancel the shared
+    // context direction: the bucket vectors' elementwise weighted sum
+    // (Σ n_b·W[b] per dim) is zero by construction, so bucket
+    // magnitudes VARY instead of all pointing the same way
+    val norms = w.map(r => math.sqrt(
+      r.getSeq[Float](1).map(x => x.toDouble * x).sum))
+    assert(norms.max > 2 * norms.min,
+      s"centered magnitudes should vary (idf-style): ${norms.min}..${norms.max}")
+    Embedding.writeProjection(weights, s"$dir/proj", buckets)
+    // stored route ≡ in-memory route BIT-FOR-BIT (one kernel, one table)
+    val live = Embedding.projectWithModel(docs,
+        Embedding.projectionModelOf(weights, buckets))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val stored = Embedding.projectDocuments(docs, s"$dir/proj")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(stored == live, "frozen projection must apply bit-identically")
+    // identical text projects identically; the vectors ride the
+    // UNCHANGED semantic stack (exact copy surfaces at cosine 1.0)
+    val copy = docs.filter(col("doc_id") === 30L)
+      .withColumn("doc_id", org.apache.spark.sql.functions.lit(999030L))
+    val emb = Embedding.projectDocuments(docs.unionByName(copy), s"$dir/proj")
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val pairs = Dedup.semanticDedupPairs(emb, minCosine = 0.999)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.contains((30L, 999030L)) || pairs.contains((999030L, 30L)),
+      s"an exact copy must surface at cosine 1.0: ${pairs.take(5).toSeq}")
+    // projected index carries the projection's FULL identity and the
+    // space check passes against the artifact that built it
+    Embedding.writeProjectedIndex(docs.limit(20), s"$dir/proj",
+      s"$dir/idx", nCells = 2)
+    Embedding.requireSameSpace(s"$dir/idx", s"$dir/proj")
+    // ... and refuses EVERY cross-space pairing loudly:
+    // (1) a projection with different buckets
+    Embedding.writeProjection(weights.filter(col("bucket") < 128),
+      s"$dir/proj128", 128)
+    val e1 = intercept[IllegalArgumentException](
+      Embedding.requireSameSpace(s"$dir/idx", s"$dir/proj128"))
+    assert(e1.getMessage.contains("buckets"), e1.getMessage)
+    // (2) a different width
+    val weights16 = Embedding.trainContextProjection(docs, buckets, dims = 16)
+    Embedding.writeProjection(weights16, s"$dir/proj16", buckets)
+    val e2 = intercept[IllegalArgumentException](
+      Embedding.requireSameSpace(s"$dir/idx", s"$dir/proj16"))
+    assert(e2.getMessage.contains("dims"), e2.getMessage)
+    // (3) a hashed-kernel text index is NOT a projection space
+    Embedding.writeTextIndex(docs.limit(20), s"$dir/semtxt", nCells = 2)
+    val e3 = intercept[IllegalArgumentException](
+      Embedding.requireSameSpace(s"$dir/semtxt", s"$dir/proj"))
+    assert(e3.getMessage.contains("embedder"), e3.getMessage)
+    // (4) a raw model-vector index carries no identity at all
+    Dedup.writeSemanticIndex(emb.limit(20), s"$dir/rawidx", nCells = 2)
+    intercept[IllegalArgumentException](
+      Embedding.requireSameSpace(s"$dir/rawidx", s"$dir/proj"))
+    // (5) loading a non-projection artifact refuses on kind
+    intercept[IllegalArgumentException](
+      Embedding.loadProjection(spark, s"$dir/semtxt"))
+    // sub-ngram docs project to the zero vector (the kernel rule)
+    val z = Embedding.projectWithModel(
+        Seq((1L, "solo")).toDF("doc_id", "text"),
+        Embedding.projectionModelOf(weights, buckets, ngram = 2))
+      .head().getSeq[Float](1)
+    assert(z.forall(_ == 0.0f), "sub-ngram text must project to zero")
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),

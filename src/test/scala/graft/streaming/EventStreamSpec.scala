@@ -410,6 +410,74 @@ class EventStreamSpec extends SparkSpec {
       s"the reversed leak must be cut and the keeper land once: $accepted")
   }
 
+  test("curation stream cuts leaks via the stored-projection gate, replays once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_projgate").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeMinhashIndex(corpus, s"$dir/idx")
+    val bench = Seq(
+      (1L, "benchmark secret question about ancient rome history facts"),
+      (2L, "hidden evaluation prompt concerning medieval castles defense"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeBloomIndex(bench, s"$dir/sketch")
+    // projection trained on a corpus covering both suite and keeper
+    // vocabulary (unseen words hash to zero bucket rows and carry no
+    // geometry), frozen, suite indexed in ITS space
+    val trainDocs = bench.unionByName(Seq(
+      (10L, "a perfectly clean and useful training document about cooking pasta"),
+      (11L, "another clean useful document describing pasta cooking methods"),
+      (12L, "useful clean writing about cooking and food preparation"))
+      .toDF("doc_id", "text"))
+    graft.ext.Embedding.writeProjection(
+      graft.ext.Embedding.trainContextProjection(trainDocs, buckets = 64,
+        dims = 16),
+      s"$dir/proj", buckets = 64)
+    graft.ext.Embedding.writeProjectedIndex(bench, s"$dir/proj",
+      s"$dir/pidx", nCells = 2)
+    val cfg = graft.ext.Curation.Config(minTokens = 5,
+      semanticIndexPath = Some(s"$dir/pidx"), semanticMinCosine = 0.999,
+      semanticNCells = 2, embedProjectionPath = Some(s"$dir/proj"))
+    // doc 20 is benchmark doc 1 token-REVERSED: a unigram projection
+    // is order-invariant, so it projects IDENTICALLY (cosine 1.0)
+    // while the Bloom gate sees no shared trigram; doc 21 keeps
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.curationStream(mem.toDF(), s"$dir/idx",
+        s"$dir/sketch", s"$dir/accepted", s"$dir/ckpt", cfg).start()
+      q.awaitTermination()
+    }
+    mem.addData(
+      IngestDoc(20L,
+        "facts history rome ancient about question secret benchmark"),
+      IngestDoc(21L,
+        "a perfectly clean and useful training document about cooking pasta"))
+    drain()
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toList.sorted
+    assert(accepted == List(21L),
+      s"the projected leak must be cut and the keeper land once: $accepted")
+    // a projection from a DIFFERENT space refuses inside the batch
+    graft.ext.Embedding.writeProjection(
+      graft.ext.Embedding.trainContextProjection(trainDocs, buckets = 32,
+        dims = 16),
+      s"$dir/proj32", buckets = 32)
+    mem.addData(IngestDoc(22L, "one more clean document about gardening tomatoes"))
+    intercept[Exception] {
+      EventStream.curationStream(mem.toDF(), s"$dir/idx", s"$dir/sketch",
+        s"$dir/accepted2", s"$dir/ckpt2",
+        cfg.copy(embedProjectionPath = Some(s"$dir/proj32")))
+        .start().awaitTermination()
+    }
+  }
+
   test("curation stream cuts passage copies via the stored winnow index, matches batch, replays once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files
