@@ -40,7 +40,12 @@ import org.apache.spark.sql.functions._
   * corpus-sized digest relation, which a source-sized artifact must
   * not carry), so the stored dup rate is a lower bound under appends —
   * rebuild at mart cadence for exactness, the Bloom-rebuild
-  * discipline.
+  * discipline. Opting into `dupSketchLgK` tightens that bound: a
+  * per-source HLL of text digests (KB-sized, algebraic replay class)
+  * rides beside the counts, and
+  * [[sourceReputationWithDupEstimate]] reports the CROSS-batch
+  * estimate n_docs − distinct_estimate, floored at the exact lower
+  * bound; the exact q114 route is untouched.
   *
   * Scale notes (100 TB): the artifact is sources × 4 rows — domain
   * cardinality, never corpus cardinality. The profile build is one
@@ -116,7 +121,20 @@ object Reputation {
   def writeSourceReputation(docs: DataFrame, benchmark: DataFrame,
                             path: String, n: Int = 3,
                             maxOverlapNgrams: Long = 4,
-                            minTokens: Int = 15): Unit =
+                            minTokens: Int = 15,
+                            dupSketchLgK: Option[Int] = None): Unit = {
+    // optional per-source HLL of text digests — the CROSS-batch dup
+    // estimator ([[sourceReputationWithDupEstimate]]): HLL union is
+    // register-max (algebraic replay class), so append-merges stay
+    // sound where the exact dup count cannot (a source-sized artifact
+    // must not carry the corpus-sized digest relation). Written FIRST:
+    // the outer sidecar (inside CountProfile.write) stays the
+    // completeness marker for the whole artifact
+    dupSketchLgK.foreach { lgK =>
+      Cardinality.writeCardinalityProfile(
+        docs.select(col("source"), md5(col("text")).as("_digest")),
+        s"$path/digests", "source", "_digest", lgK)
+    }
     CountProfile.write(
       toMetricRows(sourceCounts(docs, benchmark, n, maxOverlapNgrams,
         minTokens)),
@@ -124,7 +142,9 @@ object Reputation {
         "kind" -> Kind,
         "n" -> n.toString,
         "maxOverlapNgrams" -> maxOverlapNgrams.toString,
-        "minTokens" -> minTokens.toString))
+        "minTokens" -> minTokens.toString) ++
+        dupSketchLgK.map(k => "lgK" -> k.toString))
+  }
 
   /** Validate the sidecar and read back the artifact-owned scoring
     * parameters. */
@@ -168,9 +188,62 @@ object Reputation {
                              path: String,
                              batchId: Option[Long] = None): Unit = {
     val (n, maxO, minT) = requireReputation(path)
+    // sketch-enabled artifacts absorb the batch's digests too (HLL
+    // union is idempotent, so a replayed append is a semantic no-op);
+    // the tagged counts land LAST — the absorb-stream discipline
+    if (dupSketchLgK(path).isDefined)
+      Cardinality.appendCardinalityProfile(
+        docs.select(col("source"), md5(col("text")).as("_digest")),
+        s"$path/digests", batchId)
     CountProfile.append(
       toMetricRows(sourceCounts(docs, benchmark, n, maxO, minT)),
       path, batchId)
+  }
+
+  /** Whether the artifact carries the optional cross-batch dup
+    * sketches, and at which lgK (sidecar-owned). */
+  def dupSketchLgK(path: String): Option[Int] = {
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(s"$path/params.properties"))
+    try p.load(in) finally in.close()
+    Option(p.getProperty("lgK")).map(_.toInt)
+  }
+
+  /** STORED-route reputation with the CROSS-batch duplicate estimate:
+    * where [[sourceReputationAgainstProfile]]'s `n_dup` is the
+    * documented lower bound under appends (each append counts only its
+    * own internal duplicates), this reads the optional per-source HLL
+    * of text digests and reports
+    *   n_dup_est = max(n_dup, n_docs − distinct_estimate, 0)
+    * plus `reputation_est` (the closed form over the estimated dup
+    * rate). The max keeps the estimate no worse than the exact lower
+    * bound when HLL error under-counts duplicates; the exact rebuild
+    * at mart cadence stays the anchor (the Bloom discipline), and the
+    * EXACT route (q114) is untouched. Requires a sketch-enabled
+    * artifact (`writeSourceReputation(..., dupSketchLgK = Some(k))`) —
+    * fails loudly otherwise. */
+  def sourceReputationWithDupEstimate(spark: SparkSession, path: String,
+                                      excludeBatchId: Option[Long] = None)
+      : DataFrame = {
+    require(dupSketchLgK(path).isDefined,
+      s"source-reputation artifact at $path carries no dup sketches — " +
+        "rebuild it with writeSourceReputation(..., dupSketchLgK = Some(k))")
+    val exact = sourceReputationAgainstProfile(spark, path, excludeBatchId)
+    val distinct = Cardinality.cardinalityAgainstProfile(spark,
+        s"$path/digests", excludeBatchId)
+      .withColumnRenamed("n_distinct", "_nd")
+    exact.join(distinct, Seq("source"))
+      .withColumn("n_dup_est",
+        greatest(col("n_dup"), col("n_docs") - col("_nd"), lit(0L)))
+      .select(col("source"), col("n_docs"), col("n_pass"), col("n_dup"),
+        col("n_dup_est"), col("n_contaminated"),
+        round(
+          lit(0.5) * (col("n_pass") / col("n_docs")) +
+            lit(0.25) * ((col("n_docs") - col("n_dup_est")) / col("n_docs")) +
+            lit(0.25) *
+              ((col("n_docs") - col("n_contaminated")) / col("n_docs")),
+          6).as("reputation_est"))
   }
 
   /** Fold appended count rows (stage-then-swap; tags kept — see
@@ -178,6 +251,8 @@ object Reputation {
     * growing with append history. */
   def compactSourceReputation(spark: SparkSession, path: String): Unit = {
     requireReputation(path)
+    if (dupSketchLgK(path).isDefined)
+      Cardinality.compactCardinalityProfile(spark, s"$path/digests")
     CountProfile.compact(spark, path)
   }
 }

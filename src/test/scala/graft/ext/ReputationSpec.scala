@@ -82,6 +82,69 @@ class ReputationSpec extends SparkSpec {
       == before)
   }
 
+  test("dup sketches close the cross-batch gap: append-then-probe tracks the monolithic rebuild") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_hll").toString
+    val batch1 = corpus.filter($"doc_id".isin(100L, 102L))
+    val batch2 = corpus.filter($"doc_id".isin(101L, 103L, 200L))
+    Reputation.writeSourceReputation(batch1, bench, s"$dir/rep",
+      dupSketchLgK = Some(12))
+    Reputation.appendSourceReputation(batch2, bench, s"$dir/rep",
+      batchId = Some(7L))
+    // the EXACT route is untouched: still the documented lower bound
+    assert(rows(Reputation.sourceReputationAgainstProfile(spark,
+      s"$dir/rep")).contains(("a", 4L, 3L, 0L, 1L, 0.8125)))
+    // the estimator SEES the cross-batch 100↔101 dup; at this scale
+    // the sketch is in its exact (coupon) regime, so the estimate is
+    // exact and the score matches the monolithic rebuild's 0.75
+    val est = Reputation.sourceReputationWithDupEstimate(spark, s"$dir/rep")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_dup_est"), r.getAs[Double]("reputation_est"))))
+      .toMap
+    assert(est("a") == ((1L, 0.75)), s"got ${est("a")}")
+    assert(est("b") == ((0L, 1.0)))
+    // replay exclusion reaches the sketches too: excluding the batch's
+    // own tag reproduces the pre-append estimate
+    val pre = Reputation.sourceReputationWithDupEstimate(spark,
+        s"$dir/rep", excludeBatchId = Some(7L))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_dup_est")).toMap
+    assert(pre == Map("a" -> 0L), s"got $pre")
+    // compaction preserves the estimate (tags kept, unions collapsed)
+    Reputation.compactSourceReputation(spark, s"$dir/rep")
+    assert(Reputation.sourceReputationWithDupEstimate(spark, s"$dir/rep")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_dup_est"))
+      .toMap == Map("a" -> 1L, "b" -> 0L))
+    // a sketch-less artifact refuses the estimator loudly
+    Reputation.writeSourceReputation(batch1, bench, s"$dir/plain")
+    val e = intercept[IllegalArgumentException](
+      Reputation.sourceReputationWithDupEstimate(spark, s"$dir/plain"))
+    assert(e.getMessage.contains("dup sketches"), e.getMessage)
+    // fixture scale: halves appended vs monolithic — estimate within
+    // HLL error of the exact rebuild, and never below the lower bound
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("source"), col("text"))
+    Reputation.writeSourceReputation(docs.filter($"doc_id" % 2 === 0),
+      bench, s"$dir/fix", dupSketchLgK = Some(12))
+    Reputation.appendSourceReputation(docs.filter($"doc_id" % 2 === 1),
+      bench, s"$dir/fix", batchId = Some(1L))
+    val fixEst = Reputation.sourceReputationWithDupEstimate(spark,
+        s"$dir/fix")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup"),
+          r.getAs[Long]("n_dup_est")))).toMap
+    Reputation.writeSourceReputation(docs, bench, s"$dir/mono")
+    val exact = Reputation.sourceReputationAgainstProfile(spark,
+        s"$dir/mono")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_dup")).toMap
+    exact.foreach { case (src, dupExact) =>
+      val (nDocs, lower, dupEst) = fixEst(src)
+      assert(dupEst >= lower, s"$src: estimate below the exact lower bound")
+      assert(math.abs(dupEst - dupExact) <= math.max(2L, nDocs / 50),
+        s"$src: est $dupEst vs exact $dupExact of $nDocs docs " +
+          "(outside the ~2% HLL band)")
+    }
+  }
+
   test("sidecar validation: wrong kind and missing artifacts fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rep_side").toString
     // a different CountProfile kind at the path must be refused
