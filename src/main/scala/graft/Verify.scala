@@ -38,6 +38,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // opt-in cache GC at verify cadence: sweep every fingerprint cache
+    // root this run's ensures touched, keeping exactly the touched
+    // entries — a fixture regeneration otherwise strands the previous
+    // content-variant forever. The 1h age floor shields entries a
+    // CONCURRENT process (another SF's run) may have just adopted;
+    // deletions hold the same per-entry lock the builders do.
+    if (sys.env.get("SPARK_GRAFT_SWEEP_CACHES").contains("1")) {
+      val swept = ext.Similarity.sweepTouchedCacheRoots(
+        minAgeMillis = 60L * 60 * 1000)
+      System.err.println(
+        s"[verify] swept ${swept.size} stale cache entries")
+    }
     spark.stop()
   }
 }

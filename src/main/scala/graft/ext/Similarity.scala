@@ -325,9 +325,47 @@ object Similarity {
     * analysis. `marker` names the artifact the writer emits LAST, so
     * its presence implies a complete index (the sidecar rule). `build`
     * must write a complete index under the staging path it is given. */
+  /** JVM-wide registry of every cache entry this process's ensure*
+    * calls have touched (hit or built) — the keep-set
+    * [[sweepTouchedCacheRoots]] preserves. Populated by
+    * [[ensureCachedIndex]], the single funnel all sixteen ensure
+    * ladders go through, so a lifecycle sweep can never delete an
+    * artifact the current run is using. */
+  private val touchedEntries =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The cache entries touched so far (absolute, normalized). */
+  def touchedCaches: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    touchedEntries.asScala.toSet
+  }
+
+  /** Start a fresh keep-set (a new pipeline cycle / test). */
+  def clearTouchedCaches(): Unit = touchedEntries.clear()
+
+  /** The lifecycle GC: sweep every cache root this process has
+    * touched, keeping exactly the touched entries — the "one live
+    * variant per family after a run" contract: each fixture
+    * regeneration changes the content fingerprint, so the fresh run
+    * touches the NEW slots and this deletes the stranded old ones.
+    * `minAgeMillis` shields entries a CONCURRENT process (another SF's
+    * verify, a co-resident builder) may have just adopted — its
+    * entries are not in this process's keep-set, so an age floor is
+    * the cross-process courtesy (they'd only rebuild, but rebuilds
+    * cost minutes); each deletion still runs under the entry lock
+    * (sweep-vs-ensure safety is [[sweepCacheRoot]]'s contract).
+    * Returns the deleted paths. */
+  def sweepTouchedCacheRoots(minAgeMillis: Long = 0L): Seq[String] = {
+    val touched = touchedCaches.map(java.nio.file.Paths.get(_))
+    touched.groupBy(_.getParent).toSeq.flatMap { case (root, keep) =>
+      sweepCacheRoot(root.toString, keep.map(_.toString), minAgeMillis)
+    }
+  }
+
   private[ext] def ensureCachedIndex(idx: java.nio.file.Path, marker: String)
                                     (build: String => Unit): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
+    touchedEntries.add(idx.toAbsolutePath.normalize.toString)
     if (Files.exists(idx.resolve(marker))) return
     withExclusiveLock(idx) {
       // re-check under the lock: a builder that held it before us may
