@@ -1632,6 +1632,96 @@ object Curation {
     verifyAgainstManifest(spark, tokenShardManifest(spark, shardsPath),
       manifestPath)
 
+  /** READ-side audit of a landed token-shard directory — the
+    * consumer's mirror of [[writeTokenShards]]: one call verifies the
+    * manifest (content digests per shard — a flipped token or a
+    * truncated file shows as `mismatch`/`missing`), the layout
+    * sidecar's packing contract, and the per-shard structural
+    * invariants a trainer relies on:
+    *
+    *   - `manifest` — the [[verifyTokenShards]] status is `ok`;
+    *   - `split_known` — the split partition value is one of
+    *     train/val/test (an alien split directory is data the trainer
+    *     would silently skip or double-read);
+    *   - `seq_ids_dense` — seq_ids are exactly 0..n−1 per sequence
+    *     stream (a dropped or duplicated row breaks density even when
+    *     the manifest is stale);
+    *   - `lengths_consistent` — `n_tokens` equals both array lengths
+    *     on every row;
+    *   - `seq_len_bound` — no sequence exceeds the sidecar's seqLen;
+    *   - `packing_full` (concat layout only) — at most the final
+    *     sequence of each stream is short (the pinned "every non-final
+    *     sequence is exactly seqLen" anchor, enforced on disk).
+    *
+    * Output: (split, shard, check, ok, detail) — a trainer gates on
+    * `min(ok)` the way it gates on the manifest alone today, but
+    * against the WHOLE handoff contract. Epoch-annotated layouts are
+    * audited per epoch stream and collapsed (a check row is ok only
+    * if every epoch passes). Fails loudly when the directory carries
+    * no layout sidecar (pre-audit layouts: re-land or add the
+    * sidecar).
+    *
+    * Scale notes (100 TB): the structural checks are ONE
+    * map-side-combined aggregate over the layout scan (the manifest
+    * verify is a second, digest-bearing aggregate — both
+    * manifest-sized outputs); nothing collects beyond the per-shard
+    * report. */
+  def auditTokenShards(spark: org.apache.spark.sql.SparkSession,
+                       shardsPath: String,
+                       manifestPath: String = ""): DataFrame = {
+    val mPath =
+      if (manifestPath.isEmpty) defaultManifestPath(shardsPath)
+      else manifestPath
+    val marker = s"$shardsPath/$LayoutMarker"
+    Dedup.requireParams(marker, Map("kind" -> "token-sequences"),
+      "token-shard layout")
+    val layout = Dedup.readParam(marker, "layout", "token-shard layout")
+    val seqLen = Dedup.readParam(marker, "seqLen", "token-shard layout").toInt
+    val df = spark.read.parquet(shardsPath)
+    val epochKey =
+      if (df.columns.contains("epoch")) Seq(col("epoch")) else Nil
+    val grouped = df.groupBy(col("split") +: col("shard") +: epochKey: _*)
+      .agg(
+        count(lit(1)).as("_n"),
+        countDistinct(col("seq_id")).as("_nd"),
+        max(col("seq_id")).as("_mx"),
+        sum(when(size(col("token_ids")) =!= col("n_tokens") ||
+          size(col("segment_ids")) =!= col("n_tokens"), 1L)
+          .otherwise(0L)).as("_badlen"),
+        sum(when(col("n_tokens") > seqLen, 1L).otherwise(0L)).as("_over"),
+        sum(when(col("n_tokens") =!= seqLen, 1L).otherwise(0L)).as("_short"),
+        max(when(col("n_tokens") =!= seqLen, col("seq_id"))).as("_shortAt"))
+    val checks = Seq(
+      ("split_known", col("split").isin("train", "val", "test"),
+        concat(lit("split="), col("split"))),
+      ("seq_ids_dense", col("_nd") === col("_n") &&
+        col("_mx") === col("_n") - 1,
+        concat(lit("rows="), col("_n").cast("string"),
+          lit(" distinct="), col("_nd").cast("string"),
+          lit(" max="), col("_mx").cast("string"))),
+      ("lengths_consistent", col("_badlen") === 0L,
+        concat(lit("bad_rows="), col("_badlen").cast("string"))),
+      ("seq_len_bound", col("_over") === 0L,
+        concat(lit("over="), col("_over").cast("string")))) ++
+      (if (layout == "concat")
+        Seq(("packing_full",
+          col("_short") === 0L ||
+            (col("_short") === 1L && col("_shortAt") === col("_mx")),
+          concat(lit("short="), col("_short").cast("string"))))
+      else Nil)
+    val structural = checks.map { case (name, ok, detail) =>
+      grouped.select(col("split"), col("shard"), lit(name).as("check"),
+        ok.as("_ok"), detail.as("_detail"))
+    }.reduce(_.unionByName(_))
+      // collapse epoch streams: a check passes only if EVERY epoch does
+      .groupBy(col("split"), col("shard"), col("check"))
+      .agg(min(col("_ok")).as("ok"), min(col("_detail")).as("detail"))
+    val manifest = verifyTokenShards(spark, shardsPath, mPath)
+      .select(col("split"), col("shard"), lit("manifest").as("check"),
+        (col("status") === "ok").as("ok"), col("status").as("detail"))
+    structural.unionByName(manifest)
+  }
+
   private def verifyAgainstManifest(spark: org.apache.spark.sql.SparkSession,
                                     actual: DataFrame,
                                     manifestPath: String): DataFrame = {
@@ -1719,10 +1809,22 @@ object Curation {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("split", "shard")
         .parquet(path)
+      // layout sidecar (underscore-hidden from parquet readers): the
+      // packing contract the READ-side audit enforces — layout kind
+      // decides which length invariant applies (concat: every
+      // non-final sequence exactly seqLen; bestfit: bounded only)
+      Dedup.writeParams(s"$path/${LayoutMarker}", Map(
+        "kind" -> "token-sequences", "layout" -> cfg.sequenceLayout,
+        "seqLen" -> seqLen.toString, "shards" -> shards.toString,
+        "eosId" -> eosId.toString,
+        "epochs" -> epochKey.nonEmpty.toString))
       if (manifest)
         tokenShardManifest(spark, path).coalesce(1)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(defaultManifestPath(path))
     } finally if (hygieneActive(cfg)) hygiened.unpersist()
   }
+
+  /** Where [[writeTokenShards]] records its packing contract. */
+  private val LayoutMarker = "_layout.properties"
 }

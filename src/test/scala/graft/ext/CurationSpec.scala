@@ -1169,6 +1169,72 @@ class CurationSpec extends SparkSpec {
       Curation.curate(corpus, benchmark, cfg.copy(minModelScore = 0.5)))
   }
 
+  test("auditTokenShards certifies a clean layout and catches every doctored-shard class") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok_audit").toString
+    val model = s"$dir/model"
+    TextAnalysis.writeBpeModel(
+      TextAnalysis.learnBpeMerges(corpus, nMerges = 8), model)
+    TextAnalysis.writeBpeVocab(corpus, model)
+    Curation.writeTokenShards(corpus, benchmark, s"$dir/shards", model,
+      cfg, seqLen = 64, shards = 2)
+    def audit() = Curation.auditTokenShards(spark, s"$dir/shards")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)) ->
+        r.getBoolean(3)).toMap
+    val clean = audit()
+    assert(clean.nonEmpty && clean.values.forall(identity),
+      s"clean layout must audit all-ok: ${clean.filterNot(_._2)}")
+    // doctor one partition in place (materialize BEFORE deleting)
+    def rewrite(partDir: String)(f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Unit = {
+      val d = spark.read.parquet(partDir).localCheckpoint()
+      val out = f(d).localCheckpoint()
+      graft.lineage.AtomicSwap.deleteRecursive(
+        java.nio.file.Paths.get(partDir))
+      out.write.mode("overwrite").parquet(partDir)
+    }
+    // (train, 0): ONE flipped token — only the content digest can see it
+    rewrite(s"$dir/shards/split=train/shard=0")(d =>
+      d.withColumn("token_ids",
+        when($"seq_id" === 0L, transform($"token_ids", t => t + 1L))
+          .otherwise($"token_ids")))
+    // (train, 1): a dropped middle row (truncation) — density breaks
+    rewrite(s"$dir/shards/split=train/shard=1")(_.filter($"seq_id" =!= 1L))
+    // (val, 0): a short NON-final sequence — the packing contract breaks
+    // (arrays and n_tokens kept consistent, so only packing_full fires
+    // structurally)
+    rewrite(s"$dir/shards/split=val/shard=0")(d =>
+      d.withColumn("token_ids",
+          when($"seq_id" === 0L, slice($"token_ids", 1, 10))
+            .otherwise($"token_ids"))
+        .withColumn("segment_ids",
+          when($"seq_id" === 0L, slice($"segment_ids", 1, 10))
+            .otherwise($"segment_ids"))
+        .withColumn("n_tokens", size($"token_ids").cast("long")))
+    // an alien split directory the trainer would silently mishandle
+    spark.read.parquet(s"$dir/shards/split=test/shard=0")
+      .write.parquet(s"$dir/shards/split=foo/shard=0")
+    val doc = audit()
+    assert(!doc(("train", 0, "manifest")), "flipped token must fail the digest")
+    assert(doc(("train", 0, "seq_ids_dense")) &&
+      doc(("train", 0, "lengths_consistent")),
+      "a pure content flip keeps the structure intact")
+    assert(!doc(("train", 1, "seq_ids_dense")), "a dropped row breaks density")
+    assert(!doc(("train", 1, "manifest")))
+    assert(!doc(("val", 0, "packing_full")),
+      "a short non-final sequence breaks the concat packing contract")
+    assert(doc(("val", 0, "lengths_consistent")))
+    assert(!doc(("foo", 0, "split_known")), "alien split must be flagged")
+    assert(!doc(("foo", 0, "manifest")), "alien split is unexpected to the manifest")
+    // untouched partitions still audit ok end to end
+    assert(doc(("test", 0, "manifest")) && doc(("test", 0, "packing_full")))
+    // a directory without the layout sidecar refuses the audit
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/shards/_layout.properties"))
+    intercept[IllegalArgumentException](Curation.auditTokenShards(
+      spark, s"$dir/shards"))
+  }
+
   test("writeTokenShards lands a trainer-ready token layout with a verifying manifest") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tok_shards").toString
     val model = s"$dir/model"
