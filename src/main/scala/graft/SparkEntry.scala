@@ -680,6 +680,30 @@ object SparkEntry {
       ext.Sampling.realizeMixtureAllocationWithRepeats(toks, "lang",
         "doc_id", "n_tok", alloc)
     }),
+    // the trainer handoff made self-checking: land a token-shard
+    // layout, then run the READ-side audit (manifest digests + layout
+    // sidecar + density/length/packing invariants in one call) — the
+    // consumer's mirror of writeTokenShards. Rows-only (BPE upstream);
+    // the doctored-shard catches are spec-pinned
+    "q147_token_shard_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val all = Tables.documents(s, dir)
+      // the corpus-wide model (the q120 cache slot — ensureBpeModel
+      // keys on the SOURCE, so the slice below must not retrain it)
+      val model = ext.TextAnalysis.ensureBpeModel(all,
+        "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
+      val docs = all.filter(col("doc_id") < 25)
+      val out = "/tmp/graft_q147_shards_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // fresh landing per invocation: the audit must see THIS write
+      graft.lineage.AtomicSwap.deleteRecursive(
+        java.nio.file.Paths.get(out))
+      ext.Curation.writeTokenShards(docs,
+        docs.filter(col("doc_id") < 0), out, model,
+        ext.Curation.Config(perLangCap = 1000000),
+        seqLen = 64, shards = 2)
+      ext.Curation.auditTokenShards(s, out)
+    }),
     // the pluggable-embedding ladder end to end: a projection trained
     // on the SUITE's contexts (mean-centered distributional vectors,
     // artifact-cached), the suite frozen as a semantic index in ITS
@@ -1460,6 +1484,57 @@ object SparkEntry {
     // space, trim)
     "q50_normalize" -> ((s, dir) =>
       ext.TextAnalysis.normalizeText(Tables.documents(s, dir))),
+    // the STORED-baseline route of q117: even docs frozen once as a
+    // length-histogram profile (fingerprint-cached), odd docs PSI-scored
+    // against the artifact. Same oracle SQL as q117 verbatim — the
+    // stored≡live hash match IS the equality claim (the q77≡q70
+    // pattern)
+    "q148_length_drift_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = Tables.documents(s, dir)
+      val prof = ext.TextAnalysis.ensureLengthProfile(
+        d.filter(col("doc_id") % 2 === 0), "/tmp/graft_profile_cache",
+        s"$dir/documents.parquet", variant = "_even")
+      ext.TextAnalysis.lengthShiftAgainstProfile(
+        s, d.filter(col("doc_id") % 2 === 1), prof)
+    }),
+    // ASYMMETRIC near-dup: exact n-gram containment pairs — the
+    // quote/snippet class Jaccard is blind to. Planted snippets
+    // (first 20 words of every 25th doc, the q106 discipline) guarantee
+    // high-containment/low-Jaccard pairs at every SF; the snippet is
+    // the high-containment side by construction
+    "q149_containment_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array_join, col, slice, split}
+      val docs = Tables.documents(s, dir)
+      val snippets = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 20), " ").as("text"))
+      ext.Dedup.ngramContainmentPairs(
+        docs.select(col("doc_id"), col("text")).unionByName(snippets))
+    }),
+    // robust score scaling: per-lang winsorization of the q67 quality
+    // score at its exact type-1 [p05, p95] quantiles — every output an
+    // actual data value (clamp substitutes order statistics, never
+    // interpolates), so the whole frame hashes
+    "q150_winsorized_scores" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val scored = ext.TextAnalysis.qualityModelScores(docs)
+        .select(col("doc_id"), col("quality_score"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      ext.Sampling.winsorizeScores(scored, "doc_id", "quality_score",
+        "lang", pLow = 0.05, pHigh = 0.95)
+    }),
+    // compliance census: per (source, PII class) match counts under
+    // exactly the q49 scrub's stage-by-stage rule — the audit a
+    // governance review reads BEFORE deciding to redact
+    "q151_pii_census" -> ((s, dir) =>
+      ext.TextAnalysis.piiCensus(Tables.documents(s, dir))),
+    // robust outlier census over event values: exact type-1 median +
+    // MAD per event type, k=3 binary-exact — the telemetry-spike
+    // screen whose detector the outliers cannot move
+    "q152_event_outliers" -> ((s, dir) =>
+      ext.Events.valueOutlierReport(Tables.events(s, dir))),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -1628,6 +1703,35 @@ object SparkEntry {
       |         generate_series(1, len(w) - 2),
       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
       |       FROM tok)""".stripMargin
+
+  /** q117's PSI report (even-docs baseline vs odd-docs live slice) —
+    * also q148's: the stored length profile must hash-match the live
+    * two-frame computation (the factored-never-copied rule). */
+  private val LengthShiftSql =
+    """WITH ha AS (SELECT CAST(length(bin(CAST(len(string_split(text, ' '))
+      |              AS BIGINT))) AS BIGINT) AS bucket,
+      |              CAST(COUNT(*) AS BIGINT) AS n_a
+      |            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+      |hb AS (SELECT CAST(length(bin(CAST(len(string_split(text, ' '))
+      |         AS BIGINT))) AS BIGINT) AS bucket,
+      |         CAST(COUNT(*) AS BIGINT) AS n_b
+      |       FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+      |ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents
+      |       WHERE doc_id % 2 = 0),
+      |tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents
+      |       WHERE doc_id % 2 = 1),
+      |s AS (SELECT bucket,
+      |        CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+      |        CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+      |        ROUND(COALESCE(n_a, 0) / CAST(ta.t AS DOUBLE), 6) AS share_a,
+      |        ROUND(COALESCE(n_b, 0) / CAST(tb.t AS DOUBLE), 6) AS share_b
+      |      FROM ha FULL OUTER JOIN hb USING (bucket)
+      |      CROSS JOIN ta CROSS JOIN tb)
+      |SELECT bucket, n_a, n_b, share_a, share_b,
+      |  CASE WHEN share_a > 0 AND share_b > 0
+      |       THEN ROUND((share_a - share_b) * ln(share_a / share_b), 6) + 0.0
+      |  END AS psi_term
+      |FROM s""".stripMargin
 
   /** q136's stupid-backoff trigram scorer (also q137's — the stored
     * route must hash-match the live computation): every branch ONE
@@ -2409,31 +2513,10 @@ object SparkEntry {
     // shares computed from the ROUNDED 6dp values on both sides (the
     // psi gate and term must read identical inputs); + 0.0 folds a
     // rounded-to-zero negative term to plain 0.0
-    "q117_length_drift" ->
-      """WITH ha AS (SELECT CAST(length(bin(CAST(len(string_split(text, ' '))
-        |              AS BIGINT))) AS BIGINT) AS bucket,
-        |              CAST(COUNT(*) AS BIGINT) AS n_a
-        |            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
-        |hb AS (SELECT CAST(length(bin(CAST(len(string_split(text, ' '))
-        |         AS BIGINT))) AS BIGINT) AS bucket,
-        |         CAST(COUNT(*) AS BIGINT) AS n_b
-        |       FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
-        |ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents
-        |       WHERE doc_id % 2 = 0),
-        |tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents
-        |       WHERE doc_id % 2 = 1),
-        |s AS (SELECT bucket,
-        |        CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
-        |        CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
-        |        ROUND(COALESCE(n_a, 0) / CAST(ta.t AS DOUBLE), 6) AS share_a,
-        |        ROUND(COALESCE(n_b, 0) / CAST(tb.t AS DOUBLE), 6) AS share_b
-        |      FROM ha FULL OUTER JOIN hb USING (bucket)
-        |      CROSS JOIN ta CROSS JOIN tb)
-        |SELECT bucket, n_a, n_b, share_a, share_b,
-        |  CASE WHEN share_a > 0 AND share_b > 0
-        |       THEN ROUND((share_a - share_b) * ln(share_a / share_b), 6) + 0.0
-        |  END AS psi_term
-        |FROM s""".stripMargin,
+    "q117_length_drift" -> LengthShiftSql,
+    // the stored route must hash-match the live computation — q148
+    // reuses q117's oracle VERBATIM (the q77≡q70 stored≡live pattern)
+    "q148_length_drift_profile" -> LengthShiftSql,
     // verdict = the SAME first-fail CASE over q35's trigram fraction
     // (compared on the ROUNDED value, both engines) and q10's
     // stopword-score language chain
@@ -3551,5 +3634,134 @@ object SparkEntry {
         |SELECT doc_id, norm_text,
         |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
         |FROM n""".stripMargin,
+    // q16's exact shingle-pair machinery with the asymmetric measure on
+    // top; `base` restates the binding's planted snippets (first 20
+    // words of every 25th doc — DuckDB slices are 1-based inclusive)
+    "q149_containment_pairs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              UNION ALL
+        |              SELECT doc_id + 2000000 AS doc_id,
+        |                array_to_string(string_split(text, ' ')[1:20], ' ')
+        |                  AS text
+        |              FROM documents WHERE doc_id % 25 = 0),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |       FROM tok),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        |          FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            CAST(COUNT(*) AS BIGINT) AS inter
+        |          FROM sh a JOIN sh b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b, inter,
+        |  ROUND(inter / CAST(sa.n_sh AS DOUBLE), 6) AS containment_a,
+        |  ROUND(inter / CAST(sb.n_sh AS DOUBLE), 6) AS containment_b
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE GREATEST(inter / CAST(sa.n_sh AS DOUBLE),
+        |               inter / CAST(sb.n_sh AS DOUBLE)) >= 0.8""".stripMargin,
+    // per-lang winsorization of the q67 score at exact type-1 [p05,p95]
+    // quantiles: rank k = ceil(p·n) — the same double multiply + ceil
+    // both engines; the clamp substitutes order statistics, never
+    // interpolates, so every cell is an actual 6dp data value
+    "q150_winsorized_scores" ->
+      (s"""WITH $QualityScoredCtes,
+        |s AS (SELECT d.lang, scored.doc_id, scored.quality_score
+        |      FROM scored JOIN documents d USING (doc_id)),
+        |r AS (SELECT lang, doc_id, quality_score,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY quality_score) AS rn,
+        |        COUNT(*) OVER (PARTITION BY lang) AS n
+        |      FROM s),
+        |b AS (SELECT lang,
+        |        MIN(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+        |          THEN quality_score END) AS lo,
+        |        MIN(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |          THEN quality_score END) AS hi
+        |      FROM r GROUP BY 1)
+        |SELECT s.lang, s.doc_id, s.quality_score,
+        |  LEAST(GREATEST(s.quality_score, b.lo), b.hi) AS winsorized,
+        |  CAST(CASE WHEN s.quality_score < b.lo THEN -1
+        |            WHEN s.quality_score > b.hi THEN 1
+        |            ELSE 0 END AS BIGINT) AS clipped
+        |FROM s JOIN b USING (lang)""").stripMargin,
+    // the q49 scrub's stage-by-stage counting rule, aggregated per
+    // (source, class) and unpivoted — each stage counts on the PREVIOUS
+    // stage's redacted text
+    "q151_pii_census" ->
+      """WITH c AS (SELECT source,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS n0,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS t1
+        |  FROM documents),
+        |c2 AS (SELECT source, n0,
+        |    len(regexp_extract_all(t1,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS n1,
+        |    regexp_replace(t1,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM c),
+        |c3 AS (SELECT source, n0, n1,
+        |    len(regexp_extract_all(t2, '\d{7,}', 0)) AS n2
+        |  FROM c2),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(n0) AS BIGINT) AS m0,
+        |    CAST(SUM(CASE WHEN n0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+        |    CAST(SUM(n1) AS BIGINT) AS m1,
+        |    CAST(SUM(CASE WHEN n1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(SUM(n2) AS BIGINT) AS m2,
+        |    CAST(SUM(CASE WHEN n2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        |  FROM c3 GROUP BY 1)
+        |SELECT source, '<EMAIL>' AS pii_type, d0 AS n_docs,
+        |  m0 AS n_matches, ROUND(d0 / CAST(nd AS DOUBLE), 6) AS doc_share
+        |FROM a
+        |UNION ALL
+        |SELECT source, '<IP>', d1, m1, ROUND(d1 / CAST(nd AS DOUBLE), 6)
+        |FROM a
+        |UNION ALL
+        |SELECT source, '<NUM>', d2, m2, ROUND(d2 / CAST(nd AS DOUBLE), 6)
+        |FROM a""".stripMargin,
+    // exact type-1 median + MAD per event type over the distinct-value
+    // relation (rank (n+1) div 2 — the q132 rule; no interpolation), k=3
+    // binary-exact; the flag compares the same IEEE subtract/multiply
+    // both engines
+    "q152_event_outliers" ->
+      """WITH dv AS (SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+        |      FROM dv GROUP BY 1),
+        |cum AS (SELECT event_type, value, c,
+        |          SUM(c) OVER (PARTITION BY event_type
+        |            ORDER BY value) AS cumc
+        |        FROM dv),
+        |med AS (SELECT event_type, MIN(value) AS median
+        |        FROM cum JOIN n USING (event_type)
+        |        WHERE cumc >= (n + 1) // 2 GROUP BY 1),
+        |dev AS (SELECT dv.event_type, abs(dv.value - med.median) AS dev,
+        |          CAST(SUM(c) AS BIGINT) AS c
+        |        FROM dv JOIN med USING (event_type) GROUP BY 1, 2),
+        |dcum AS (SELECT event_type, dev, c,
+        |           SUM(c) OVER (PARTITION BY event_type
+        |             ORDER BY dev) AS cumc
+        |         FROM dev),
+        |mad AS (SELECT event_type, MIN(dev) AS mad
+        |        FROM dcum JOIN n USING (event_type)
+        |        WHERE cumc >= (n + 1) // 2 GROUP BY 1)
+        |SELECT dv.event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+        |  med.median, mad.mad,
+        |  CAST(SUM(CASE WHEN abs(dv.value - med.median) > 3.0 * mad.mad
+        |    THEN c ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  ROUND(CAST(SUM(CASE WHEN abs(dv.value - med.median) > 3.0 * mad.mad
+        |      THEN c ELSE 0 END) AS BIGINT) /
+        |    CAST(SUM(c) AS DOUBLE), 6) AS outlier_share
+        |FROM dv
+        |JOIN med USING (event_type)
+        |JOIN mad USING (event_type)
+        |GROUP BY 1, 3, 4""".stripMargin,
   )
 }

@@ -357,6 +357,17 @@ object Dedup {
         // set sizes straight from the arrays — no second explode/shuffle
         (shAll, docSh.select(col("doc_id"), size(col("sh")).as("n_sh")))
     }
+    pairStats(sh, sizes)
+      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The shared pair-statistics core of the exact n-gram family: the
+    * shingle self-join (doc_a < doc_b, shared-count) with both set
+    * sizes attached — (doc_a, doc_b, inter, n_a, n_b). Jaccard and
+    * containment are one arithmetic column each on top. */
+  private def pairStats(sh: DataFrame, sizes: DataFrame): DataFrame = {
     val pairs = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -365,9 +376,51 @@ object Dedup {
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact n-gram CONTAINMENT pairs — the ASYMMETRIC near-dup measure
+    * Jaccard is blind to (Broder 1997's "containment"; Lee et al. 2022
+    * §4's subset-duplicate class): a 20-word quote inside a 2 000-word
+    * article has Jaccard ≈ 0.01 but containment(quote→article) ≈ 1.0.
+    * For each candidate pair (doc_a < doc_b) sharing at least one
+    * distinct n-gram: containment_a = |A∩B|/|A| (how much of A lives
+    * inside B) and the symmetric containment_b; a pair is emitted when
+    * EITHER direction clears `minContainment`. This is the
+    * quote/snippet/boilerplate-extraction detector that exact and
+    * Jaccard dedup both miss — the contained doc is the removal (or
+    * loss-mask) candidate, the container survives.
+    *
+    * Output: (doc_a, doc_b, n_a, n_b, inter, containment_a,
+    * containment_b), containments exact single divisions rounded 6dp.
+    *
+    * Reference: the dedup family anchor (etl/transform_sales.py:24
+    * drop_duplicates), asymmetric-overlap form.
+    *
+    * Scale notes (100 TB): same cost class as [[ngramJaccardPairs]]
+    * (the shared [[pairStats]] shingle self-join — pair-producing and
+    * fixture-content-sensitive, the pinned q16 class): an exact
+    * yardstick to run on samples or behind a frequent-shingle cap at
+    * extreme scale; the winnow index ladder is the indexed scale path
+    * for the passage-copy subset of this signal. */
+  def ngramContainmentPairs(docs: DataFrame, n: Int = 3,
+                            minContainment: Double = 0.8): DataFrame = {
+    val docSh = docs
+      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sh = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = docSh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    pairStats(sh, sizes)
+      .withColumn("containment_a",
+        col("inter").cast("double") / col("n_a").cast("double"))
+      .withColumn("containment_b",
+        col("inter").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= minContainment)
+      .select(col("doc_a"), col("doc_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("inter").cast("long").as("inter"),
+        round(col("containment_a"), 6).as("containment_a"),
+        round(col("containment_b"), 6).as("containment_b"))
   }
 
   /** Winnowing fingerprint relation: one (doc_id, fingerprint) row per

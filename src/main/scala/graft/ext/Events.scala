@@ -316,4 +316,65 @@ object Events {
           round((col("n_events") * k - col("trail_sum")).cast("double") /
             col("trail_sum"), 6)).as("excess_ratio"))
   }
+
+  /** Robust per-type outlier census over `value` — median absolute
+    * deviation, the outlier detector that (unlike mean/stddev z-scores)
+    * is not itself moved by the outliers it is hunting: per event type,
+    * the exact type-1 median m, MAD = median(|v − m|), and how many
+    * events sit beyond k·MAD. The payments-fraud / telemetry-spike
+    * screen (reference: the mart's defensive value recode,
+    * etl/transform_sales.py:31-37, derived from the distribution
+    * instead of hard-coded bounds).
+    *
+    * Every number is deterministic cross-engine: medians are type-1
+    * order statistics (rank (n+1) div 2 — the q132 datacard rule; the
+    * selected value is an ACTUAL datum, never interpolated),
+    * |v − m| is one IEEE subtract, the default `k` = 3.0 is
+    * binary-exact so k·MAD is one deterministic multiply, and the
+    * share is one exact division rounded 6dp — the whole report
+    * oracle-hashes (q152).
+    *
+    * Output: (event_type, n_events, median, mad, n_outliers,
+    * outlier_share).
+    *
+    * Scale notes (100 TB): both median selections run on the
+    * DISTINCT-value relation with multiplicities (one aggregate
+    * collapses raw events; ties collapse with it, which also makes
+    * the cumulative windows tie-free) — the windows are partitioned
+    * per type, so a type whose metric is continuous serializes its
+    * distinct values through one reducer: that is the price of exact
+    * order statistics, and [[valuePercentiles]]' `approx_percentile`
+    * variant is the documented sketch alternative at extreme scale.
+    * Medians/MADs attach back as enum-sized broadcasts. */
+  def valueOutlierReport(events: DataFrame, k: Double = 3.0): DataFrame = {
+    require(k > 0.0, "need a positive MAD multiplier")
+    val dv = events.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // distinct-value-sized; median + devs + flags
+    val n = dv.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    // type-1 median of a (event_type, <valueCol>, c) multiset: smallest
+    // value whose cumulative count reaches rank (n+1) div 2
+    def medianOf(d: DataFrame, valueCol: String, outName: String) = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+      d.withColumn("_cum", sum(col("c")).over(w))
+        .join(broadcast(n), "event_type")
+        .filter(col("_cum") >= expr("(n + 1) div 2"))
+        .groupBy(col("event_type")).agg(min(col(valueCol)).as(outName))
+    }
+    val med = medianOf(dv, "value", "median")
+    val devs = dv.join(broadcast(med), "event_type")
+      .select(col("event_type"),
+        abs(col("value") - col("median")).as("dev"), col("c"))
+      .groupBy(col("event_type"), col("dev")).agg(sum(col("c")).as("c"))
+    val mad = medianOf(devs, "dev", "mad")
+    dv.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("median"), col("mad"))
+      .agg(sum(col("c")).as("n_events"),
+        sum(when(abs(col("value") - col("median")) > lit(k) * col("mad"),
+          col("c")).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n_events"), col("median"), col("mad"),
+        col("n_outliers"),
+        round(col("n_outliers") / col("n_events").cast("double"), 6)
+          .as("outlier_share"))
+  }
 }

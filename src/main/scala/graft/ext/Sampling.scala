@@ -790,6 +790,46 @@ object Sampling {
       .select(ranked(groupCol), col("quantile"), col(scoreCol))
   }
 
+  /** Winsorized (quantile-clamped) scores — the robust-scaling pass a
+    * quality/LM/importance score takes before it feeds a threshold,
+    * a rank blend or a mixture weight: heavy-tailed scores let a
+    * handful of outlier docs dominate any mean-calibrated gate, so
+    * clamp each group's scores at its exact type-1 [pLow, pHigh]
+    * quantiles ([[scoreQuantiles]] — integer rank selection, no
+    * interpolation, bit-portable) and report which side each doc was
+    * clipped on. Every output value is an ACTUAL score from the data
+    * (clamping substitutes order statistics, never interpolates), so
+    * the whole op oracle-hashes (q150).
+    *
+    * Output: (groupCol, idCol, scoreCol, winsorized, clipped) —
+    * `clipped` −1 below pLow's bound, 1 above pHigh's, else 0.
+    *
+    * Reference: the mart's defensive recode of out-of-domain values
+    * (etl/transform_sales.py:31-37 CASE bounds), distribution-derived.
+    *
+    * Scale notes (100 TB): [[scoreQuantiles]]' one sort shuffle of the
+    * narrow (group, score) projection, then the groups×2 bounds
+    * relation broadcast back onto the score relation — no second
+    * data-sized shuffle. */
+  def winsorizeScores(scored: DataFrame, idCol: String, scoreCol: String,
+                      groupCol: String, pLow: Double = 0.05,
+                      pHigh: Double = 0.95): DataFrame = {
+    require(pLow > 0.0 && pLow < pHigh && pHigh <= 1.0,
+      s"need 0 < pLow < pHigh <= 1: ($pLow, $pHigh)")
+    val bounds = scoreQuantiles(scored, scoreCol, groupCol,
+        Seq(pLow, pHigh))
+      .groupBy(col(groupCol)).agg(
+        min(when(col("quantile") === pLow, col(scoreCol))).as("_lo"),
+        min(when(col("quantile") === pHigh, col(scoreCol))).as("_hi"))
+    scored.join(broadcast(bounds), groupCol)
+      .select(col(groupCol), col(idCol), col(scoreCol),
+        least(greatest(col(scoreCol), col("_lo")), col("_hi"))
+          .as("winsorized"),
+        when(col(scoreCol) < col("_lo"), -1L)
+          .when(col(scoreCol) > col("_hi"), 1L).otherwise(0L)
+          .as("clipped"))
+  }
+
   /** Deterministic per-epoch training data ORDER: every id is assigned
     * a content-addressed shard (stable across epochs — a trainer
     * streams one shard set) and, within each (epoch, shard), a

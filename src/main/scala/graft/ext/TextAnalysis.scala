@@ -1086,6 +1086,57 @@ object TextAnalysis {
       col(s"_t${patterns.size}").as("redacted"), nRed.as("n_redactions"))
   }
 
+  /** PII census — the compliance AUDIT side of [[redactPii]]: how much
+    * of each pattern class each source carries, BEFORE anyone decides
+    * to scrub it (the scrub is a rewrite; the census is the report a
+    * data-governance review reads). Per (group, pattern class):
+    * documents matched, total matches, and the matched-document share.
+    * Counts use exactly [[redactPii]]'s stage-by-stage rule — each
+    * pattern counts on the PREVIOUS stage's redacted text, so
+    * overlapping classes are never counted twice and
+    * Σ n_matches over classes ≡ the scrub's `n_redactions` sum
+    * (spec-pinned).
+    *
+    * Output: (groupCol, pii_type, n_docs, n_matches, doc_share) — one
+    * row per group × pattern class, `pii_type` the class's placeholder
+    * token, `doc_share` rounded 6dp.
+    *
+    * Reference: the pre-publish validation census
+    * (load_sales_history.py:241-251), pointed at pattern classes.
+    *
+    * Scale notes (100 TB): one per-row regex projection (codegen'd
+    * built-ins, linear under the RE2-safety contract) feeding one
+    * map-side-combined groups-sized aggregate; the stack() unpivot
+    * runs on the aggregated relation — nothing after the scan is
+    * corpus-sized. */
+  def piiCensus(docs: DataFrame, groupCol: String = "source",
+                patterns: Seq[(String, String)] = PiiPatterns): DataFrame = {
+    requireRe2Safe(patterns)
+    require(patterns.map(_._2).distinct.size == patterns.size,
+      "duplicate placeholder tokens make census rows ambiguous")
+    require(patterns.forall(!_._2.contains("'")),
+      "placeholder tokens splice into stack() SQL — no single quotes")
+    val staged = patterns.zipWithIndex.foldLeft(
+        docs.select(col(groupCol), col("text").as("_t0"))) {
+      case (df, ((pat, token), i)) =>
+        df.withColumn(s"_n$i",
+            size(regexp_extract_all(col(s"_t$i"), lit(pat), lit(0))).cast("long"))
+          .withColumn(s"_t${i + 1}", regexp_replace(col(s"_t$i"), pat, token))
+    }
+    val aggs = count(lit(1)).as("_nd") +: patterns.indices.flatMap(i => Seq(
+      sum(col(s"_n$i")).as(s"_m$i"),
+      sum(when(col(s"_n$i") > 0, 1L).otherwise(0L)).as(s"_d$i")))
+    val agg = staged.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = patterns.zipWithIndex
+      .map { case ((_, tok), i) => s"'$tok', _d$i, _m$i" }
+      .mkString(s"stack(${patterns.size}, ", ", ",
+        ") AS (pii_type, n_docs, n_matches)")
+    agg.selectExpr(groupCol, "_nd", stackExpr)
+      .select(col(groupCol), col("pii_type"), col("n_docs"),
+        col("n_matches"),
+        round(col("n_docs") / col("_nd").cast("double"), 6).as("doc_share"))
+  }
+
   /** C4-style rule-based line filtering (Raffel et al. 2020 §2.2 —
     * reference quality gates: etl/transform_sales.py's row-level
     * filters, lifted to line granularity): rewrite each document
@@ -1430,22 +1481,42 @@ object TextAnalysis {
     * Scale: one map-side-combined ≤64-bucket aggregate per side, a
     * bucket-sized full outer join — shuffle independent of corpus
     * size. */
-  def lengthDistributionShift(docsA: DataFrame, docsB: DataFrame): DataFrame = {
-    def hist(d: DataFrame, n: String) =
-      d.select(length(bin(size(split(col("text"), " ")).cast("long")))
-          .cast("long").as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as(n))
-    val a = hist(docsA, "n_a")
-    val b = hist(docsB, "n_b")
-    val ta = docsA.count()
-    val tb = docsB.count()
-    require(ta > 0 && tb > 0,
+  def lengthDistributionShift(docsA: DataFrame, docsB: DataFrame): DataFrame =
+    shiftOfHists(lengthHistOf(docsA, "n_a"), lengthHistOf(docsB, "n_b"))
+
+  /** The power-of-two length-bucket histogram (bucket, <cName>) of a
+    * corpus — the aggregate both PSI entry points reduce their sides
+    * to (the [[vocabOf]] discipline: one shared count pass means the
+    * live two-frame op and the stored-profile variant are the same
+    * IEEE operations by construction). Every doc lands in exactly one
+    * bucket, so the histogram's sum IS the side's doc count. */
+  private def lengthHistOf(d: DataFrame, cName: String): DataFrame =
+    d.select(length(bin(size(split(col("text"), " ")).cast("long")))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(cName))
+
+  /** [[lengthDistributionShift]]'s comparison over two pre-aggregated
+    * histograms (bucket, n_a) / (bucket, n_b) — shared by the live op
+    * and [[lengthShiftAgainstProfile]]. Totals come from the
+    * histograms' own sums (exact longs — every doc is in exactly one
+    * bucket), attached via one-row broadcast cross-join: never a
+    * second corpus pass. */
+  private def shiftOfHists(a: DataFrame, b: DataFrame): DataFrame = {
+    val joined = a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .localCheckpoint() // ≤64 buckets; read twice (totals + terms)
+    val tots = joined.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+    val first = tots.collect()(0)
+    require(!first.isNullAt(0) && first.getLong(0) > 0 &&
+      first.getLong(1) > 0,
       "lengthDistributionShift needs non-empty slices on both sides")
-    a.join(b, Seq("bucket"), "full_outer")
-      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
-      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
-      .withColumn("share_a", round(col("n_a") / lit(ta.toDouble), 6))
-      .withColumn("share_b", round(col("n_b") / lit(tb.toDouble), 6))
+    joined.crossJoin(broadcast(tots))
+      .withColumn("share_a",
+        round(col("n_a") / col("_ta").cast("double"), 6))
+      .withColumn("share_b",
+        round(col("n_b") / col("_tb").cast("double"), 6))
       .withColumn("psi_term",
         // gate on the ROUNDED shares, not the counts: a bucket rare
         // enough to round to share 0.000000 would send ln to ±∞
@@ -1456,6 +1527,92 @@ object TextAnalysis {
             log(col("share_a") / col("share_b")), 6) + lit(0.0)))
       .select(col("bucket"), col("n_a"), col("n_b"),
         col("share_a"), col("share_b"), col("psi_term"))
+  }
+
+  /** Sidecar identity of a stored length-histogram profile: the
+    * tokenizer AND the bucketing rule are pinned — a histogram built
+    * under one bucketing must never be compared under another (the
+    * dedup-index params rule applied to the PSI baseline). */
+  private val LengthProfileParams: Map[String, String] =
+    Map("kind" -> "length-histogram",
+      "tokenizer" -> "whitespace-split-v1", "bucketing" -> "bin-length-v1")
+
+  /** Persist a corpus's length histogram as an on-disk PROFILE — the
+    * stored-baseline member of the [[lengthDistributionShift]] family
+    * (reference: the pre-publish count validation,
+    * load_sales_history.py:241-246, persisted as a distribution
+    * instead of recomputed as a row count): recurring ingest then
+    * monitors PSI against the artifact without re-scanning the base
+    * corpus, the [[writeCorpusProfile]] motivation applied to the
+    * cheapest drift signal there is. Rides [[CountProfile]] (bucket
+    * counts are exact-mergeable longs — the byte-dedup replay class).
+    *
+    * Scale notes (100 TB): one map-side-combined ≤64-bucket aggregate
+    * over the corpus — the only corpus-sized pass in the ladder; the
+    * stored relation is ≤64 rows plus append history. */
+  def writeLengthProfile(docs: DataFrame, path: String): Unit =
+    CountProfile.write(lengthHistOf(docs, "c"), path, LengthProfileParams)
+
+  /** Merge a batch's length histogram into a stored profile (params
+    * validated BEFORE any write — a rejected append must not mutate
+    * the artifact). `batchId` carries the streaming twin's
+    * replay-idempotence: tagged rows are a deterministic function of
+    * the batch and readers dedup them byte-identically before summing;
+    * untagged appends sum raw (deliberate double-appends both count). */
+  def appendLengthProfile(docs: DataFrame, path: String,
+                          batchId: Option[Long] = None): Unit = {
+    Dedup.requireParams(s"$path/params.properties", LengthProfileParams,
+      "length profile")
+    CountProfile.append(lengthHistOf(docs, "c"), path, batchId)
+  }
+
+  /** Collapse a length profile's appended rows (untagged fold to one
+    * row per bucket; tagged rows keep their tags — the
+    * [[compactCorpusProfile]] discipline). */
+  def compactLengthProfile(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit = {
+    Dedup.requireParams(s"$path/params.properties", LengthProfileParams,
+      "length profile")
+    CountProfile.compact(spark, path)
+  }
+
+  /** PSI of a live frame against a STORED length profile — identical
+    * output contract to [[lengthDistributionShift]] (profile = side a,
+    * live frame = side b) and, when the profile holds exactly `docsA`'s
+    * histogram, the identical result (spec-pinned; q148 reuses q117's
+    * oracle SQL verbatim — the q77≡q70 stored≡live pattern): both
+    * routes reduce to [[shiftOfHists]] over the same aggregates.
+    * `excludeBatchId` drops a replayed micro-batch's own tags so it
+    * scores against exactly the baseline its first attempt saw.
+    *
+    * Scale notes: one ≤64-bucket aggregate over the BATCH plus a
+    * bucket-sized scan of the stored counts; the base corpus is never
+    * touched. */
+  def lengthShiftAgainstProfile(spark: org.apache.spark.sql.SparkSession,
+                                docs: DataFrame, profilePath: String,
+                                excludeBatchId: Option[Long] = None)
+      : DataFrame = {
+    Dedup.requireParams(s"$profilePath/params.properties",
+      LengthProfileParams, "length profile")
+    shiftOfHists(
+      CountProfile.effective(spark, profilePath, "length profile",
+          "compactLengthProfile", excludeBatchId)
+        .withColumnRenamed("c", "n_a"),
+      lengthHistOf(docs, "n_b"))
+  }
+
+  /** Content-fingerprint-cached [[writeLengthProfile]] — the
+    * `ensureCorpusProfile` pattern: cache key = fingerprint of the
+    * source parquet + `variant` (two slices of one source need
+    * distinct variants — the fingerprint hashes the file, not the
+    * filter). Returns the profile path. */
+  def ensureLengthProfile(docs: DataFrame, cacheRoot: String,
+                          sourcePath: String, variant: String = ""): String = {
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"lenprof${variant}_${Similarity.pathFingerprint(sourcePath)}")
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writeLengthProfile(docs, tmp))
+    idx.toString
   }
 
   /** BPE-style tokenizer-vocabulary induction (Sennrich et al. 2016) on

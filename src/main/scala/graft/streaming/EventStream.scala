@@ -953,6 +953,33 @@ object EventStream {
         }
       }
 
+  /** Streaming LENGTH-drift monitor — [[driftMonitorStream]]'s twin
+    * over the cheapest drift signal: each micro-batch's power-of-two
+    * length histogram is PSI-scored against a STORED length profile
+    * ([[graft.ext.TextAnalysis.lengthShiftAgainstProfile]]) and the
+    * per-bucket report lands under `metricsPath/batch_id=N`. The
+    * profile is read-only here (append/rebuild at mart cadence — the
+    * batch ops own that), so each report is a pure deterministic
+    * function of the batch and the batch-keyed overwrite is
+    * exactly-once with no tag machinery. Consumers read `metricsPath`
+    * as a partitioned table; Σ psi_term per batch over time is the
+    * ingest-size dashboard. */
+  def lengthDriftMonitorStream(docs: DataFrame, profilePath: String,
+                               metricsPath: String,
+                               checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.TextAnalysis.lengthShiftAgainstProfile(
+              batch.sparkSession, batch, profilePath)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+        }
+      }
+
   /** Streaming data-contract monitor — [[driftMonitorStream]]'s
     * contract pointed at per-row rules: each micro-batch is evaluated
     * against the caller's named expectations

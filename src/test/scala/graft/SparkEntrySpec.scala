@@ -30,7 +30,8 @@ class SparkEntrySpec extends SparkSpec {
       "q109_tokenizer_coverage", "q110_compression_ratio",
       "q112_video_frame_stats", "q115_ann_recall",
       "q120_sequence_utilization", "q128_sequence_provenance",
-      "q143_loss_masked_sequences", "q146_projection_contamination"),
+      "q143_loss_masked_sequences", "q146_projection_contamination",
+      "q147_token_shard_audit"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -49,6 +49,38 @@ class DedupSpec extends SparkSpec {
     assert(labels.values.toSet == Set(0L), s"chain did not converge: $labels")
   }
 
+  test("containment pairs catch the snippet class Jaccard is blind to") {
+    // container: 30 distinct words (28 tri-shingles); snippet: its
+    // first 10 words (8 shingles, every one shared) — the quote/
+    // boilerplate-extraction shape
+    val words = (1 to 30).map(i => s"w$i")
+    val d = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.take(10).mkString(" ")),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(d).collect()
+    assert(out.length == 1, s"got ${out.toSeq}")
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((1L, 2L, 28L, 8L, 8L)), s"got $r")
+    // the snippet side (b) is fully contained; the container is not
+    assert(r.getDouble(5) == math.rint(8.0 / 28.0 * 1e6) / 1e6)
+    assert(r.getDouble(6) == 1.0)
+    // the SAME pair is invisible to the symmetric yardstick:
+    // jaccard = 8/28 < 0.5
+    assert(Dedup.ngramJaccardPairs(d).isEmpty)
+    // exact duplicates read 1.0 in BOTH directions
+    val dup = Seq((1L, words.mkString(" ")), (2L, words.mkString(" ")))
+      .toDF("doc_id", "text")
+    val both = Dedup.ngramContainmentPairs(dup).head
+    assert(both.getDouble(5) == 1.0 && both.getDouble(6) == 1.0)
+    // sub-n docs carry no shingles and emit no rows
+    assert(Dedup.ngramContainmentPairs(
+      Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")).isEmpty)
+    // a raised threshold prunes the one-way pair
+    assert(Dedup.ngramContainmentPairs(d, minContainment = 1.01).isEmpty)
+  }
+
   test("CC and greedy survivors agree on the fixture's clique topology") {
     // planted near-dup clusters are mutual copies (cliques), where every
     // non-min member has the min as a direct neighbor — so greedy and CC

@@ -490,6 +490,56 @@ class ExtSpec extends SparkSpec {
       embSrc.filter($"vec_id" < 2), k = 3).count() > 0)
   }
 
+  test("lifecycle sweep keeps exactly the entries this run's ensures touched") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_sweep_lifecycle")
+    val src = tmp.resolve("emb.parquet")
+    Files.copy(Paths.get(sf("sf0.001"), "embeddings.parquet"), src)
+    val docsSrc = tmp.resolve("docs.parquet")
+    Files.copy(Paths.get(sf("sf0.001"), "documents.parquet"), docsSrc)
+    val cacheRoot = tmp.resolve("cache").toString
+    val embSrc = spark.read.parquet(src.toString).drop("label")
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(25)
+    // cycle 1: two different cache FAMILIES ensure against content v1
+    val ivf1 = Similarity.ensureIvfIndex(embSrc, cacheRoot, src.toString)
+    val prj1 = Embedding.ensureProjection(docs, cacheRoot,
+      docsSrc.toString, buckets = 64, dims = 16)
+    // "fixture regeneration": both sources change → new fingerprints
+    for (p <- Seq(src, docsSrc))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(
+        Files.getLastModifiedTime(p).toMillis + 73000))
+    // cycle 2 with sweeping on: fresh keep-set, re-ensure, sweep —
+    // the Verify-cadence lifecycle (SPARK_GRAFT_SWEEP_CACHES=1)
+    Similarity.clearTouchedCaches()
+    val ivf2 = Similarity.ensureIvfIndex(embSrc, cacheRoot, src.toString)
+    val prj2 = Embedding.ensureProjection(docs, cacheRoot,
+      docsSrc.toString, buckets = 64, dims = 16)
+    assert(ivf2 != ivf1 && prj2 != prj1)
+    assert(Similarity.touchedCaches.filter(_.startsWith(tmp.toString)) ==
+      Set(ivf2, prj2), "the registry must hold exactly this cycle's touches")
+    val swept = Similarity.sweepTouchedCacheRoots()
+      .filter(_.startsWith(tmp.toString))
+    assert(swept.toSet == Set(ivf1, prj1),
+      s"the stranded v1 variants and nothing else: $swept")
+    // exactly ONE live variant per family remains, both still complete
+    val live = {
+      val s = Files.list(Paths.get(cacheRoot))
+      try s.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toList.sorted
+      finally s.close()
+    }
+    assert(live.count(_.startsWith("ivf_")) == 1, live.mkString(","))
+    assert(live.count(_.startsWith("linproj_")) == 1, live.mkString(","))
+    assert(Files.exists(Paths.get(ivf2, "centroids")))
+    Embedding.projectionIdentity(prj2) // still a valid artifact
+    // an ensure AFTER the sweep is a plain cache hit (nothing rebuilt,
+    // the touched entry survived under its own lock)
+    assert(Similarity.ensureIvfIndex(embSrc, cacheRoot, src.toString)
+      == ivf2)
+  }
+
   test("ANN recall harness: self-recall 1.0, table monotonicity, planted copy found") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val exact = Similarity.bruteForceTopK(emb, nQueries = 10, k = 5)
@@ -691,6 +741,97 @@ class ExtSpec extends SparkSpec {
     assert(out(4L) == ((0L, 1L, 0.0, 0.5, None)))
     intercept[IllegalArgumentException](
       TextAnalysis.lengthDistributionShift(docsOf(Nil), docsOf(Seq(1))))
+  }
+
+  test("stored length profile reproduces the live PSI across append, replay and compaction") {
+    val a1 = docs.filter($"doc_id" % 4 === 0)
+    val a2 = docs.filter($"doc_id" % 4 === 2)
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lenprof").toString
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    // the stored route is the live two-frame op, bit for bit
+    TextAnalysis.writeLengthProfile(a1, s"$dir/p")
+    assert(rowsOf(TextAnalysis.lengthShiftAgainstProfile(spark, b, s"$dir/p"))
+      == rowsOf(TextAnalysis.lengthDistributionShift(a1, b)))
+    // a TAGGED append merges in; excluding its tag restores the
+    // pre-append baseline (replay exclusion), and a replayed identical
+    // tagged append is a no-op (byte-dedup)
+    TextAnalysis.appendLengthProfile(a2, s"$dir/p", batchId = Some(9L))
+    val merged = rowsOf(TextAnalysis.lengthDistributionShift(a, b))
+    assert(rowsOf(TextAnalysis.lengthShiftAgainstProfile(spark, b, s"$dir/p"))
+      == merged)
+    assert(rowsOf(TextAnalysis.lengthShiftAgainstProfile(spark, b, s"$dir/p",
+      excludeBatchId = Some(9L)))
+      == rowsOf(TextAnalysis.lengthDistributionShift(a1, b)))
+    TextAnalysis.appendLengthProfile(a2, s"$dir/p", batchId = Some(9L))
+    assert(rowsOf(TextAnalysis.lengthShiftAgainstProfile(spark, b, s"$dir/p"))
+      == merged, "a replayed tagged append must change nothing")
+    // compaction shrinks the stored relation, results unchanged
+    val before = spark.read.parquet(s"$dir/p/counts").count()
+    TextAnalysis.compactLengthProfile(spark, s"$dir/p")
+    assert(spark.read.parquet(s"$dir/p/counts").count() <= before)
+    assert(rowsOf(TextAnalysis.lengthShiftAgainstProfile(spark, b, s"$dir/p"))
+      == merged)
+    // a rejected append must not create an artifact
+    intercept[Exception](TextAnalysis.appendLengthProfile(a2, s"$dir/nope"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/nope/counts")))
+    // cross-kind refusal: a unigram profile at the path is not a
+    // length profile
+    TextAnalysis.writeCorpusProfile(a1, s"$dir/uni")
+    intercept[IllegalArgumentException](
+      TextAnalysis.lengthShiftAgainstProfile(spark, b, s"$dir/uni"))
+  }
+
+  test("winsorizeScores clamps at exact type-1 bounds and flags the clipped side") {
+    val scored = (1 to 10).map(i => ("a", i.toLong, i.toDouble)) :+
+      (("b", 99L, 7.0))
+    val df = scored.toDF("grp", "doc_id", "score")
+    val out = Sampling.winsorizeScores(df, "doc_id", "score", "grp",
+        pLow = 0.2, pHigh = 0.8)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // group a (n=10): lo = k=ceil(0.2*10)=2nd value = 2.0,
+    // hi = k=8 → 8.0; 1 clips low, 9/10 clip high, the rest pass
+    assert(out(1L) == ((1.0, 2.0, -1L)), s"got ${out(1L)}")
+    (2 to 8).foreach(i =>
+      assert(out(i.toLong) == ((i.toDouble, i.toDouble, 0L)), s"doc $i"))
+    assert(out(9L) == ((9.0, 8.0, 1L)))
+    assert(out(10L) == ((10.0, 8.0, 1L)))
+    // singleton group: both bounds are the one value — nothing clips
+    assert(out(99L) == ((7.0, 7.0, 0L)))
+    // every winsorized value is an ACTUAL score from the data
+    val vals = scored.map(_._3).toSet
+    out.values.foreach { case (_, w, _) => assert(vals.contains(w)) }
+    intercept[IllegalArgumentException](
+      Sampling.winsorizeScores(df, "doc_id", "score", "grp", 0.0, 0.9))
+    intercept[IllegalArgumentException](
+      Sampling.winsorizeScores(df, "doc_id", "score", "grp", 0.9, 0.2))
+  }
+
+  test("valueOutlierReport: hand-computed median, MAD and flags; constant groups never flag") {
+    val ev = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("x", _)) ++
+        Seq(5.0, 5.0, 5.0).map(("y", _)) ++
+        Seq(1.0, 1.0, 1.0, 10.0).map(("z", _)))
+      .toDF("event_type", "value")
+    val out = Events.valueOutlierReport(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    // x: median 3 (k=(5+1) div 2 = 3rd of 1,2,3,4,100); devs
+    // 0,1,1,2,97 → MAD 1; only 97 > 3·1 → one outlier
+    assert(out("x") == ((5L, 3.0, 1.0, 1L, 0.2)), s"got ${out("x")}")
+    // constant group: MAD 0 and zero outliers (dev > 0 never holds —
+    // the strict inequality is what keeps degenerate groups quiet)
+    assert(out("y") == ((3L, 5.0, 0.0, 0L, 0.0)), s"got ${out("y")}")
+    // majority-constant group: MAD collapses to 0, the minority value
+    // IS the outlier
+    assert(out("z") == ((4L, 1.0, 0.0, 1L, 0.25)), s"got ${out("z")}")
+    intercept[IllegalArgumentException](
+      Events.valueOutlierReport(ev, k = 0.0))
   }
 
   test("repetition score: duplicate trigram fraction on a known loop") {
@@ -1853,6 +1994,37 @@ class ExtSpec extends SparkSpec {
     // 8080 is under the 7-digit floor; the IP's octets never chain into it
     assert(out(1L) == ("server <IP> listens on port 8080", 1L))
     assert(out(2L) == ("no pii in this text at all", 0L))
+  }
+
+  test("piiCensus counts per (source, class) under the scrub's stage rule and ties to its totals") {
+    val d = Seq(
+      ("s1", "mail a@b.com or b@c.org, ip 10.0.0.1, id 123456789"),
+      ("s1", "nothing sensitive here"),
+      ("s2", "x@y.org appears and x@y.org again")).toDF("source", "text")
+    val out = TextAnalysis.piiCensus(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // one row per source × class, even all-zero cells
+    assert(out.size == 6, s"got ${out.keySet}")
+    assert(out(("s1", "<EMAIL>")) == ((1L, 2L, 0.5)))
+    assert(out(("s1", "<IP>")) == ((1L, 1L, 0.5)))
+    assert(out(("s1", "<NUM>")) == ((1L, 1L, 0.5)))
+    assert(out(("s2", "<EMAIL>")) == ((1L, 2L, 1.0)))
+    assert(out(("s2", "<IP>")) == ((0L, 0L, 0.0)))
+    assert(out(("s2", "<NUM>")) == ((0L, 0L, 0.0)))
+    // the census Σ n_matches IS the scrub's n_redactions total — the
+    // same stage-by-stage counting rule, never double-counted
+    val censusTotal = out.values.map(_._2).sum
+    val scrubTotal = TextAnalysis.redactPii(
+        d.withColumn("doc_id", monotonically_increasing_id()))
+      .agg(sum($"n_redactions")).head.getLong(0)
+    assert(censusTotal == scrubTotal, s"$censusTotal vs $scrubTotal")
+    // identifier hygiene: duplicate placeholder tokens and quoted
+    // tokens are refused (they splice into stack() SQL)
+    intercept[IllegalArgumentException](TextAnalysis.piiCensus(d,
+      patterns = Seq("a" -> "<X>", "b" -> "<X>")))
+    intercept[IllegalArgumentException](TextAnalysis.piiCensus(d,
+      patterns = Seq("a" -> "it's")))
   }
 
   test("PII redaction accepts extended pattern lists and enforces the RE2 contract") {

@@ -1007,6 +1007,53 @@ class EventStreamSpec extends SparkSpec {
     assert(byBatch(0) < byBatch(1))
   }
 
+  test("streaming length-drift monitor lands one PSI report per micro-batch, profile read-only") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_lendrift").toString
+    // frozen baseline: two 3-token docs — bucket 2 only
+    val base = Seq((1L, "alpha beta gamma"), (2L, "one two three"))
+      .toDF("doc_id", "text")
+    graft.ext.TextAnalysis.writeLengthProfile(base, s"$dir/prof")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.lengthDriftMonitorStream(mem.toDF(), s"$dir/prof",
+        s"$dir/metrics", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // batch 0 matches the baseline bucket; batch 1 is a 16-token doc
+    // (bucket 5 — disjoint from the profile)
+    val b0 = IngestDoc(10L, "x y z")
+    mem.addData(b0)
+    drain()
+    mem.addData(IngestDoc(11L, (1 to 16).mkString(" ")))
+    drain()
+    val m = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => (r.getAs[Int]("batch_id"), r.getLong(0)) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))))
+      .toMap
+    assert(m.keys.map(_._1).toSet == Set(0, 1), s"one report per batch: $m")
+    // batch 0: same bucket both sides → PSI term 0.0 (shares 1.0/1.0)
+    assert(m((0, 2L)) == ((2L, 1L, Some(0.0))), s"got $m")
+    // batch 1: disjoint buckets → NULL terms both rows (the
+    // smoothing-free convention), drift visible as vanished overlap
+    assert(m((1, 2L)) == ((2L, 0L, None)), s"got $m")
+    assert(m((1, 5L)) == ((0L, 1L, None)), s"got $m")
+    // each report equals the batch op against the same stored profile
+    val expect0 = graft.ext.TextAnalysis.lengthShiftAgainstProfile(spark,
+        Seq((b0.doc_id, b0.text)).toDF("doc_id", "text"), s"$dir/prof")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    expect0.foreach { case (bucket, v) =>
+      assert(m((0, bucket)) == v, s"batch 0 bucket $bucket: $m vs $expect0")
+    }
+    // the monitor never mutates the artifact it measures against
+    assert(spark.read.parquet(s"$dir/prof/counts")
+      .agg(org.apache.spark.sql.functions.sum("c")).head.getLong(0) == 2L)
+  }
+
   test("streaming volume monitor lands one slot report per micro-batch, profile read-only") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files
