@@ -1535,6 +1535,121 @@ object SparkEntry {
     // screen whose detector the outliers cannot move
     "q152_event_outliers" -> ((s, dir) =>
       ext.Events.valueOutlierReport(Tables.events(s, dir))),
+    // the STORED-bounds route of q150: calibrate once, freeze the
+    // per-lang clamp bounds as an artifact (recipe sidecar-owned),
+    // clamp the batch against the frozen values. Same oracle SQL as
+    // q150 verbatim — the stored≡live hash match IS the equality claim
+    "q153_winsorized_stored" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val scored = ext.TextAnalysis.qualityModelScores(docs)
+        .select(col("doc_id"), col("quality_score"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val path = "/tmp/graft_q153_bounds_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ext.Sampling.writeScoreBounds(scored, "quality_score", "lang",
+        0.05, 0.95, path)
+      ext.Sampling.winsorizeScoresAgainstBounds(s, scored, "doc_id", path)
+    }),
+    // curriculum data order: q99's content-addressed epoch permutation
+    // with a stage-major difficulty dimension — 4 global quality
+    // stages at binary-exact quantile fractions (0.25/0.5/0.75), easy
+    // streams first within every (epoch, shard)
+    "q154_curriculum_order" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val scored = ext.TextAnalysis
+        .qualityModelScores(Tables.documents(s, dir))
+        .select(col("doc_id"), col("quality_score"))
+      ext.Sampling.curriculumEpochOrder(scored, "doc_id",
+        "quality_score", nStages = 4, nEpochs = 2, shards = 4)
+    }),
+    // contrastive-training data: semi-hard negatives per query — a
+    // cosine band on the 6dp-rounded value (informative but below the
+    // near-dup lip), ranked within the band. The q20 brute-force
+    // shape; the IVF/LSH candidates are the scale path. Band lip 0.2
+    // here: the fixture's hashed embeddings top out near 0.49, so the
+    // library default (0.5) would select the empty set at every SF
+    "q155_hard_negatives" -> ((s, dir) =>
+      ext.Similarity.hardNegatives(Tables.embeddings(s, dir),
+        nQueries = 25, loCos = 0.2)),
+    // the INDEX route of q149: the corpus's hashed-gram relation frozen
+    // once (fingerprint-cached), planted snippets probed against it —
+    // the steady-state quote/subset screen whose cost scales with the
+    // batch. Rows-only (32-bit gram hashes have no SQL restatement —
+    // the q17 class); the against ≡ exact-op equality is spec-pinned
+    "q156_containment_index" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array_join, col, slice, split}
+      val docs = Tables.documents(s, dir)
+      val idx = ext.Dedup.ensureContainmentIndex(docs,
+        "/tmp/graft_cont_cache", s"$dir/documents.parquet")
+      val snippets = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 20), " ").as("text"))
+      ext.Dedup.containmentAgainstIndex(s, snippets, idx)
+    }),
+    // bucket-bracketed type-1 quantiles straight off the power-of-two
+    // length histogram — the MERGEABLE quantile (exact order statistics
+    // don't merge; histogram counts do): k = ceil(q*n) both engines,
+    // every other decision exact long arithmetic
+    "q157_length_quantiles" -> ((s, dir) =>
+      ext.TextAnalysis.lengthQuantiles(Tables.documents(s, dir),
+        Seq(0.5, 0.9, 0.99))),
+    // the STORED route: the corpus frozen once as the q148 artifact
+    // family, quantiles answered from the profile without a corpus
+    // scan. Same oracle SQL as q157 verbatim — the stored≡live hash
+    // match IS the equality claim
+    "q158_length_quantiles_profile" -> ((s, dir) => {
+      val prof = ext.TextAnalysis.ensureLengthProfile(
+        Tables.documents(s, dir), "/tmp/graft_profile_cache",
+        s"$dir/documents.parquet")
+      ext.TextAnalysis.lengthQuantilesFromProfile(s, prof,
+        Seq(0.5, 0.9, 0.99))
+    }),
+    // discovery-side column profiling: row/null/exact-distinct counts
+    // + min/max in TYPED lanes (numeric as double, string as binary-
+    // collated string, the other lane NULL) — every cell an exact
+    // long, a raw data value, or NULL, so the report hashes
+    "q159_column_profile" -> ((s, dir) =>
+      ext.DataQuality.columnProfile(Tables.events(s, dir),
+        numericCols = Seq("event_id", "user_id", "value"),
+        stringCols = Seq("event_type", "props"))),
+    // trainer-boundary leakage: every 25th doc lands in train AND (as
+    // a planted copy) in val, the splits are packed split-pure, and
+    // the window audit must light up on exactly that overlap — the
+    // passing state on properly deduped shards is empty (the q106
+    // convention). Rows-only (BPE + window hashes upstream)
+    "q160_token_shard_leakage" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val docs = Tables.documents(s, dir)
+      val model = ext.TextAnalysis.ensureBpeModel(docs,
+        "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
+      val split = docs.select(col("doc_id"), lit("train").as("split"))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            lit("val").as("split")))
+      val withCopies = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      val toks = ext.TextAnalysis
+        .bpeTokenIdsAgainstModel(s, withCopies, model)
+        .join(split, Seq("doc_id"))
+      ext.Curation.tokenShardLeakage(
+        ext.TextAnalysis.packTokenSequences(toks, seqLen = 128,
+          shards = 4, extraKeys = Seq("split")))
+    }),
+    // right-to-be-forgotten over a row-level index: build fresh, forget
+    // every 50th doc, return the per-relation audit record. Rebuilt per
+    // run on purpose — a takedown MUTATES its artifact, so this never
+    // touches the shared fingerprint caches. Rows-only (maintenance op)
+    "q161_forget_documents" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val path = "/tmp/graft_q161_forget_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ext.Dedup.writeMinhashIndex(docs, path)
+      ext.Dedup.forgetDocuments(s, path,
+        docs.filter(col("doc_id") % 50 === 0).select("doc_id"))
+    }),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -1844,6 +1959,56 @@ object SparkEntry {
        |             ROUND(SUM(w) / COUNT(*), 6) AS quality_score
        |           FROM wts GROUP BY 1)""".stripMargin
   }
+
+  /** q150's per-lang winsorization (also q153's — the stored-bounds
+    * route must hash-match the live calibration): type-1 rank
+    * selection k = ceil(p·n), clamp by LEAST/GREATEST, clip flag the
+    * same comparisons both engines. */
+  private val WinsorizedScoresSql =
+    s"""WITH $QualityScoredCtes,
+       |s AS (SELECT d.lang, scored.doc_id, scored.quality_score
+       |      FROM scored JOIN documents d USING (doc_id)),
+       |r AS (SELECT lang, doc_id, quality_score,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY quality_score) AS rn,
+       |        COUNT(*) OVER (PARTITION BY lang) AS n
+       |      FROM s),
+       |b AS (SELECT lang,
+       |        MIN(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+       |          THEN quality_score END) AS lo,
+       |        MIN(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+       |          THEN quality_score END) AS hi
+       |      FROM r GROUP BY 1)
+       |SELECT s.lang, s.doc_id, s.quality_score,
+       |  LEAST(GREATEST(s.quality_score, b.lo), b.hi) AS winsorized,
+       |  CAST(CASE WHEN s.quality_score < b.lo THEN -1
+       |            WHEN s.quality_score > b.hi THEN 1
+       |            ELSE 0 END AS BIGINT) AS clipped
+       |FROM s JOIN b USING (lang)""".stripMargin
+
+  /** q157's histogram quantiles (also q158's — the stored-profile
+    * route must hash-match the live histogram): type-1 k = ceil(q·n)
+    * (the one shared double multiply), cumulative via the bounded
+    * bucket self-join, smallest bucket reaching k; bucket bounds are
+    * exact powers of two. */
+  private val LengthQuantilesSql =
+    """WITH h AS (SELECT CAST(length(bin(CAST(len(string_split(text, ' '))
+      |             AS BIGINT))) AS BIGINT) AS bucket,
+      |             CAST(COUNT(*) AS BIGINT) AS c
+      |           FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+      |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS quantile),
+      |k AS (SELECT quantile, CAST(ceil(quantile * n) AS BIGINT) AS k
+      |      FROM q CROSS JOIN t),
+      |cum AS (SELECT a.bucket, CAST(SUM(b.c) AS BIGINT) AS n_cum
+      |        FROM h a JOIN h b ON b.bucket <= a.bucket GROUP BY 1),
+      |p AS (SELECT k.quantile, k.k, MIN(cum.bucket) AS bucket
+      |      FROM k JOIN cum ON cum.n_cum >= k.k GROUP BY 1, 2)
+      |SELECT p.quantile, p.k, p.bucket,
+      |  CAST(power(2, p.bucket - 1) AS BIGINT) AS min_tokens,
+      |  CAST(power(2, p.bucket) AS BIGINT) - 1 AS max_tokens,
+      |  cum.n_cum
+      |FROM p JOIN cum USING (bucket)""".stripMargin
 
   private val MixtureAllocationCtes =
     """WITH avail AS (SELECT lang,
@@ -3668,27 +3833,93 @@ object SparkEntry {
     // quantiles: rank k = ceil(p·n) — the same double multiply + ceil
     // both engines; the clamp substitutes order statistics, never
     // interpolates, so every cell is an actual 6dp data value
-    "q150_winsorized_scores" ->
+    "q150_winsorized_scores" -> WinsorizedScoresSql,
+    // the stored route must hash-match the live computation — q153
+    // reuses q150's oracle VERBATIM (the stored≡live pattern)
+    "q153_winsorized_stored" -> WinsorizedScoresSql,
+    // q99's order machinery with the stage dimension: global type-1
+    // boundaries at binary-exact fractions, the q138 descending CASE,
+    // stage-major position within (epoch, shard)
+    "q154_curriculum_order" ->
       (s"""WITH $QualityScoredCtes,
-        |s AS (SELECT d.lang, scored.doc_id, scored.quality_score
-        |      FROM scored JOIN documents d USING (doc_id)),
-        |r AS (SELECT lang, doc_id, quality_score,
-        |        row_number() OVER (PARTITION BY lang
-        |          ORDER BY quality_score) AS rn,
-        |        COUNT(*) OVER (PARTITION BY lang) AS n
-        |      FROM s),
-        |b AS (SELECT lang,
-        |        MIN(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
-        |          THEN quality_score END) AS lo,
-        |        MIN(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
-        |          THEN quality_score END) AS hi
-        |      FROM r GROUP BY 1)
-        |SELECT s.lang, s.doc_id, s.quality_score,
-        |  LEAST(GREATEST(s.quality_score, b.lo), b.hi) AS winsorized,
-        |  CAST(CASE WHEN s.quality_score < b.lo THEN -1
-        |            WHEN s.quality_score > b.hi THEN 1
-        |            ELSE 0 END AS BIGINT) AS clipped
-        |FROM s JOIN b USING (lang)""").stripMargin,
+        |r AS (SELECT doc_id, quality_score,
+        |        row_number() OVER (ORDER BY quality_score) AS rn,
+        |        COUNT(*) OVER () AS n
+        |      FROM scored),
+        |b AS (SELECT
+        |        MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+        |          THEN quality_score END) AS b1,
+        |        MIN(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |          THEN quality_score END) AS b2,
+        |        MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+        |          THEN quality_score END) AS b3
+        |      FROM r),
+        |st AS (SELECT doc_id,
+        |         CAST(CASE WHEN quality_score > b3 THEN 4
+        |                   WHEN quality_score > b2 THEN 3
+        |                   WHEN quality_score > b1 THEN 2
+        |                   ELSE 1 END AS BIGINT) AS stage
+        |       FROM scored CROSS JOIN b),
+        |e AS (SELECT doc_id, stage, epoch
+        |      FROM st, (SELECT unnest(generate_series(0, 1)) AS epoch)),
+        |sh AS (SELECT doc_id, stage, epoch,
+        |         ('0x' || substr(md5('graft.curriculum.v1' ||
+        |           CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard
+        |       FROM e)
+        |SELECT doc_id, stage, epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard
+        |    ORDER BY stage,
+        |      md5('graft.curriculum.v1' || CAST(epoch AS VARCHAR) || ':' ||
+        |        CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS position
+        |FROM sh""").stripMargin,
+    // q20's brute-force shape with the semi-hard band on the
+    // 6dp-rounded cosine (band edges compare the same doubles both
+    // engines); self-pairs excluded before ranking
+    "q155_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 25),
+        |c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |        ROUND(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6)
+        |          AS cos_sim
+        |      FROM q CROSS JOIN embeddings e),
+        |f AS (SELECT * FROM c
+        |      WHERE cos_sim >= 0.2 AND cos_sim < 0.9
+        |        AND query_id <> neighbor_id),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+        |          AS rank
+        |      FROM f)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM r
+        |WHERE rank <= 10""".stripMargin,
+    // histogram quantiles: type-1 k over the power-of-two bucket
+    // cumulative — one shared double multiply, all else exact longs
+    "q157_length_quantiles" -> LengthQuantilesSql,
+    // the stored route must hash-match the live histogram — q158
+    // reuses q157's oracle VERBATIM (the stored≡live pattern)
+    "q158_length_quantiles_profile" -> LengthQuantilesSql,
+    // column profile: exact counts + typed min/max lanes; COUNT(col) /
+    // COUNT(DISTINCT col) ignore NULLs by definition both engines
+    "q159_column_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS column_name,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_num,
+           |  CAST(MAX($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str,
+           |  CAST(NULL AS VARCHAR) AS max_str FROM events""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS column_name,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num,
+           |  CAST(NULL AS DOUBLE) AS max_num,
+           |  MIN($c) AS min_str, MAX($c) AS max_str FROM events""".stripMargin
+      (Seq("event_id", "user_id", "value").map(num) ++
+        Seq("event_type", "props").map(str)).mkString("\nUNION ALL\n")
+    },
     // the q49 scrub's stage-by-stage counting rule, aggregated per
     // (source, class) and unpivoted — each stage counts on the PREVIOUS
     // stage's redacted text

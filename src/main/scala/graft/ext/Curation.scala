@@ -218,6 +218,27 @@ object Curation {
     *     substring ≥ w+k−1 collides). k/w must match the artifact's
     *     sidecar (validated loudly). Funnel row `05c_winnow_gate`.
     *     None (the default) adds zero plan nodes.
+    *   - `containmentIndexPath` (+ `containmentN`,
+    *     `containmentThreshold`, `containmentMaxGramDf`): gate
+    *     survivors against a STORED containment index
+    *     ([[Dedup.containmentAgainstIndex]] — the q156 artifact): cut
+    *     docs whose shingle overlap with any indexed suite item clears
+    *     the threshold in EITHER direction — a doc mostly contained in
+    *     a suite item (the quote/snippet) OR a doc that swallows a
+    *     suite item whole inside longer text (`containment_a`: the
+    *     short-eval-item-inside-a-long-document leak the symmetric
+    *     Jaccard stage under-scores, because the union in its
+    *     denominator is dominated by the long side). NOTE the
+    *     deliberate asymmetry with [[Dedup.ingestContainmentBatch]]:
+    *     the INGEST rule is directional (a superset batch doc is new
+    *     content and survives), the DECONTAMINATION rule is
+    *     bidirectional (quoting the suite inside a bigger doc is still
+    *     a leak). Runs LAST of the stored gates — the Bloom/semantic/
+    *     winnow screens shrink the frame this gram join scans. n must
+    *     match the artifact's sidecar (validated loudly). Funnel row
+    *     `05d_containment_gate`. None (the default) adds zero plan
+    *     nodes; read-only artifact + text-derived grams ⇒ stream-safe
+    *     (the winnow-gate convention).
     *   - `dsirProfilePath` (+ `dsirTopN`, `dsirAlpha`): DSIR resample
     *     toward a STORED target profile
     *     ([[Selection.selectByImportanceAgainstProfile]] — the q79
@@ -317,6 +338,10 @@ object Curation {
       winnowK: Int = 8,
       winnowW: Int = 4,
       winnowMinShared: Int = 2,
+      containmentIndexPath: Option[String] = None,
+      containmentN: Int = 3,
+      containmentThreshold: Double = 0.8,
+      containmentMaxGramDf: Option[Int] = None,
       dsirProfilePath: Option[String] = None,
       dsirTopN: Int = 0,
       dsirAlpha: Double = 1.0,
@@ -436,6 +461,15 @@ object Curation {
     require(cfg.winnowK >= 1 && cfg.winnowW >= 1,
       "winnowK and winnowW must be >= 1")
     require(cfg.winnowMinShared >= 1, "winnowMinShared must be >= 1")
+    require(cfg.containmentN >= 1, "containmentN must be >= 1")
+    require(cfg.containmentThreshold > 0.0 && cfg.containmentThreshold <= 1.0,
+      "containmentThreshold is a shared-shingle share in (0, 1]")
+    require(cfg.containmentMaxGramDf.forall(_ >= 1),
+      "containmentMaxGramDf must be >= 1")
+    require(cfg.containmentMaxGramDf.isEmpty ||
+        cfg.containmentIndexPath.nonEmpty,
+      "containmentMaxGramDf tunes the containment gate — set " +
+        "containmentIndexPath to enable it")
     require(cfg.dsirProfilePath.nonEmpty || cfg.dsirTopN == 0,
       "dsirTopN gates the DSIR stage — set dsirProfilePath to enable it")
     require(cfg.dsirProfilePath.isEmpty || cfg.dsirTopN >= 1,
@@ -490,7 +524,37 @@ object Curation {
     * zero plan nodes, the pinned default-chain shape. */
   private def artifactGates(deduped: DataFrame, cfg: Config,
                             embeddings: Option[DataFrame]): DataFrame =
-    winnowGate(semanticGate(bloomGate(deduped, cfg), cfg, embeddings), cfg)
+    containmentGate(
+      winnowGate(semanticGate(bloomGate(deduped, cfg), cfg, embeddings), cfg),
+      cfg)
+
+  /** The optional stored CONTAINMENT decontamination gate: cut docs
+    * whose hashed-shingle overlap with any indexed suite item clears
+    * `containmentThreshold` in EITHER direction
+    * ([[Dedup.containmentAgainstIndex]] emits exactly those pairs —
+    * every emitted `doc_b` is a leak here). Bidirectional ON PURPOSE,
+    * where the ingest-dedup rule is directional: for decontamination, a
+    * training doc that swallows a short eval item inside longer text
+    * (`containment_a` high, Jaccard low — the union-dominated case the
+    * symmetric stage under-scores) leaks the answer exactly as much as
+    * a doc that IS the eval item. Hash collisions only inflate `inter`
+    * (the stored grams are 32-bit-masked), so the gate is a guaranteed
+    * superset of the exact-string screen — conservative in the right
+    * direction for decontamination. Read-only artifact + grams derived
+    * from the doc's own text ⇒ deterministic per micro-batch, so the
+    * stage rides [[graft.streaming.EventStream.curationStream]] with no
+    * tags (`private[graft]` for that reason, the winnow-gate
+    * convention). Identity — zero plan nodes — when no index is
+    * configured. */
+  private[graft] def containmentGate(df: DataFrame, cfg: Config): DataFrame =
+    cfg.containmentIndexPath.fold(df) { p =>
+      df.join(
+        Dedup.containmentAgainstIndex(df.sparkSession,
+            df.select(col("doc_id"), col("text")), p, cfg.containmentN,
+            cfg.containmentThreshold, cfg.containmentMaxGramDf)
+          .select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    }
 
   /** The optional PASSAGE-collision artifact gate: cut docs that share
     * ≥ `winnowMinShared` winnowing fingerprints with any document in a
@@ -1229,13 +1293,21 @@ object Curation {
         (sg, rows)
       case None => (bloomed, Seq.empty[(String, Long)])
     }
-    val (artifactClean, winnowRows) = cfg.winnowIndexPath match {
+    val (winnowClean, winnowRows) = cfg.winnowIndexPath match {
       case Some(_) =>
         val wg = winnowGate(semClean, cfg).persist()
         val rows = Seq(("05c_winnow_gate", wg.count()))
         semClean.unpersist()
         (wg, rows)
       case None => (semClean, Seq.empty[(String, Long)])
+    }
+    val (artifactClean, contRows) = cfg.containmentIndexPath match {
+      case Some(_) =>
+        val cg = containmentGate(winnowClean, cfg).persist()
+        val rows = Seq(("05d_containment_gate", cg.count()))
+        winnowClean.unpersist()
+        (cg, rows)
+      case None => (winnowClean, Seq.empty[(String, Long)])
     }
     val clean = artifactClean.join(
       Dedup.contaminationReport(artifactClean, benchmark)
@@ -1299,7 +1371,8 @@ object Curation {
       ("03_language", g.getLong(3))) ++ srcRows ++ blockRows ++
       modelRows ++ lmRows ++ Seq(
       ("04_exact_dedup", nExact),
-      ("05_near_dedup", nNear)) ++ bloomRows ++ semRows ++ winnowRows ++ Seq(
+      ("05_near_dedup", nNear)) ++ bloomRows ++ semRows ++ winnowRows ++
+      contRows ++ Seq(
       ("06_decontaminated", nClean)) ++ dsirRows ++ sampleRows ++
       mixtureRows ++ budgetRows ++ Seq(
       ("07_quota", nFinal))).toDF("stage", "n_docs")
@@ -1737,6 +1810,76 @@ object Curation {
             col("e_hash") === col("content_hash") &&
             col("e_hash2") === col("content_hash_salted"), "ok")
           .otherwise("mismatch").as("status"))
+  }
+
+  /** Cross-split token-WINDOW leakage over packed training sequences —
+    * the TRAINER-boundary member of the leakage family
+    * ([[splitLeakageReport]] audits documents before tokenization;
+    * q141 audits the benchmark; this audits what the trainer actually
+    * reads): for every ordered split pair (split_a < split_b,
+    * lexicographic), the number of distinct `windowTokens`-id sliding
+    * windows present in BOTH splits' sequences, and how many sequences
+    * on each side carry at least one shared window. Windows hash via
+    * the [[graft.functions.TokenWindowHashes]] codegen kernel; packed
+    * sequences interleave documents with eos separators, so windows
+    * spanning a doc junction can collide only when the same junction
+    * content recurs — the report is a SUPERSET screen at window
+    * granularity (no false negatives), the right direction for a
+    * leakage audit. An empty frame is the passing state (the q106
+    * convention).
+    *
+    * Output: (split_a, split_b, n_shared_windows, n_sequences_a,
+    * n_sequences_b).
+    *
+    * Reference: the reference pipeline's pre-publish validation
+    * (load_sales_history.py:241-246), pointed at train/eval hygiene.
+    *
+    * Scale notes (100 TB): one codegen window pass + explode (the q55
+    * passage-stats class — rows ≈ token count), one hash-keyed
+    * distinct, and hash equi-joins on the 64-bit window key; nothing
+    * all-pairs — candidates meet only on equal hashes. Run at shard-
+    * publish cadence, not per batch. */
+  def tokenShardLeakage(shards: DataFrame, windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    Seq("split", "shard", "seq_id", "token_ids").foreach(c =>
+      require(shards.columns.contains(c),
+        s"sequence relation needs column $c (have ${shards.columns.mkString(", ")})"))
+    val wins = shards.select(col("split"), col("shard"), col("seq_id"),
+        explode(graft.functions.WindowHashes
+          .token_window_hashes(col("token_ids"), windowTokens)).as("w"))
+      .distinct()
+      .localCheckpoint() // feeds the pair join AND both touched-counts
+    val bySplit = wins.select(col("split"), col("w")).distinct()
+    val shared = bySplit.as("a").join(bySplit.as("b"),
+        col("a.w") === col("b.w") && col("a.split") < col("b.split"))
+      .select(col("a.split").as("split_a"), col("b.split").as("split_b"),
+        col("a.w").as("w"))
+      .localCheckpoint() // read three times below
+    val nShared = shared.groupBy(col("split_a"), col("split_b"))
+      .agg(countDistinct(col("w")).as("n_shared_windows"))
+    def touched(side: String) =
+      shared.join(wins.withColumnRenamed("split", s"split_$side"),
+          Seq(s"split_$side", "w"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(countDistinct(col("shard"), col("seq_id"))
+          .as(s"n_sequences_$side"))
+    nShared
+      .join(touched("a"), Seq("split_a", "split_b"))
+      .join(touched("b"), Seq("split_a", "split_b"))
+      .select(col("split_a"), col("split_b"), col("n_shared_windows"),
+        col("n_sequences_a"), col("n_sequences_b"))
+  }
+
+  /** [[tokenShardLeakage]] over a LANDED shard directory — validates
+    * the layout sidecar first (pre-sidecar layouts refuse, the
+    * [[auditTokenShards]] rule) so the audit can never silently run
+    * over a relation that is not a token-sequence layout. */
+  def tokenShardLeakageAt(spark: org.apache.spark.sql.SparkSession,
+                          shardsPath: String,
+                          windowTokens: Int = 8): DataFrame = {
+    Dedup.requireParams(s"$shardsPath/$LayoutMarker",
+      Map("kind" -> "token-sequences"), "token-shard layout")
+    tokenShardLeakage(spark.read.parquet(shardsPath), windowTokens)
   }
 
   /** The trainer-ready end product: curate, tokenize under the STORED

@@ -173,4 +173,69 @@ object DataQuality {
         when(n =!= 0 && pe =!= 1.0,
           round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
+
+  /** DISCOVERY-side column profiling — the describe/summarize pass
+    * that precedes writing expectations (you can't declare `value >= 0`
+    * until something tells you value's observed range): per column, the
+    * row / null / exact-distinct counts and min/max, in TYPED lanes —
+    * numeric min/max cast to double in their own columns, string
+    * min/max (binary collation, both engines) in theirs, the other
+    * lane NULL (the MediaMeta cross-format-cell convention). Typed
+    * lanes exist because a double→string rendering differs engine to
+    * engine and would never hash; every emitted value here is either
+    * an exact long, a raw data value, or NULL ⇒ the whole report
+    * oracle-hashes (q159). NULL counting follows the contract
+    * convention: `n_null` counts SQL NULLs (COUNT(*) − COUNT(col)),
+    * and distinct counts ignore NULLs — both engines agree by
+    * definition.
+    *
+    * Output: (column_name, n_rows, n_null, n_distinct, min_num,
+    * max_num, min_str, max_str) — one row per profiled column.
+    *
+    * Reference: the inspect-then-load pattern around the chunked scan
+    * (load_sales_history.py:60-88), made a first-class report.
+    *
+    * Scale notes (100 TB): one aggregate; the EXACT distinct counts
+    * rewrite to an Expand (one input row per distinct-aggregate) — the
+    * documented price of exactness, linear in the profiled column
+    * count. At extreme scale profile in two steps: this op for the
+    * cheap lanes and the [[Cardinality]] HLL family for distincts
+    * (the approx route with a replay story). */
+  def columnProfile(df: DataFrame, numericCols: Seq[String],
+                    stringCols: Seq[String]): DataFrame = {
+    val all = numericCols ++ stringCols
+    require(all.nonEmpty, "need at least one column to profile")
+    require(all.distinct.size == all.size,
+      s"duplicate column in profile request: ${all.mkString(", ")}")
+    all.foreach(c =>
+      require(identName.pattern.matcher(c).matches(),
+        s"column name must be [A-Za-z0-9_]+ (used as a SQL identifier): $c"))
+    all.foreach(c => require(df.columns.contains(c),
+      s"no such column: $c (have ${df.columns.mkString(", ")})"))
+    val lanes = all.flatMap { c =>
+      val isNum = numericCols.contains(c)
+      Seq(
+        count(col(c)).as(s"_c_$c"),
+        countDistinct(col(c)).as(s"_d_$c"),
+        (if (isNum) min(col(c)).cast("double")
+         else min(col(c))).as(s"_mn_$c"),
+        (if (isNum) max(col(c)).cast("double")
+         else max(col(c))).as(s"_mx_$c"))
+    }
+    val agg = df.agg(count(lit(1)).as("_n"), lanes: _*)
+    val stackArgs = all.map { c =>
+      if (numericCols.contains(c))
+        s"'$c', _c_$c, _d_$c, _mn_$c, _mx_$c, " +
+          "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+      else
+        s"'$c', _c_$c, _d_$c, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+          s"_mn_$c, _mx_$c"
+    }.mkString(", ")
+    agg.select(col("_n"),
+        expr(s"stack(${all.size}, $stackArgs) AS (column_name, _c, " +
+          "n_distinct, min_num, max_num, min_str, max_str)"))
+      .select(col("column_name"), col("_n").as("n_rows"),
+        (col("_n") - col("_c")).as("n_null"), col("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+  }
 }

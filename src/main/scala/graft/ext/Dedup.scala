@@ -2752,4 +2752,293 @@ object Dedup {
       .unionByName(short)
       .filter(col("n_tokens_kept") > 0)
   }
+
+  // --------------------------------------------------------------------
+  // Containment index — the incremental ladder of
+  // [[ngramContainmentPairs]] (the asymmetric quote/snippet detector),
+  // following the MinHash index contract shape-for-shape: write →
+  // against → append → ingest batch → compaction, batch-tag replay
+  // exclusion throughout. The stored grams are the 32-bit-masked
+  // shingle hashes (the MinHash storage rule — never text), which makes
+  // the index route the documented approximation of the exact string
+  // yardstick (q149): hash collisions can only INFLATE `inter`, so the
+  // screen is a guaranteed superset of the exact one (the CMS/Bloom
+  // no-false-negative shape) — rows-only at the driver gate, like q17.
+  // --------------------------------------------------------------------
+
+  /** Sidecar identity of a containment index. */
+  private def containmentParams(n: Int): Map[String, String] =
+    Map("kind" -> "containment", "n" -> n.toString)
+
+  /** The per-doc gram relation the containment ladder stores and
+    * probes: (idAlias, g, n_sh) — one row per DISTINCT hashed shingle,
+    * with the doc's set size riding on every row (the centroid rule:
+    * a separate sizes relation would re-scan or re-join; one column of
+    * longs is cheaper than a second exchange). */
+  private def gramRows(docs: DataFrame, n: Int, idAlias: String): DataFrame =
+    docs.select(col("doc_id").as(idAlias),
+        graft.functions.Shingles.shingle_hashes(col("text"), n).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col(idAlias), size(col("_sh")).cast("long").as("n_sh"),
+        explode(col("_sh")).as("g"))
+      .select(col(idAlias), col("g"), col("n_sh"))
+
+  /** Persist the corpus-side containment state: the distinct hashed
+    * gram relation under `path/grams` (+ set sizes riding each row),
+    * params sidecar LAST. Each ingest batch then screens for
+    * quote/subset duplication against the artifact without touching
+    * corpus text again ([[containmentAgainstIndex]]).
+    *
+    * Scale notes (100 TB): the stored relation is one 3-long row per
+    * distinct shingle per doc — the passage-index size class; the
+    * corpus-sized gram pass runs ONCE per corpus version. */
+  def writeContainmentIndex(docs: DataFrame, path: String, n: Int = 3): Unit = {
+    gramRows(docs, n, "doc_id")
+      .withColumn("batch_id", lit(null).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/grams")
+    writeParams(s"$path/params.properties", containmentParams(n))
+  }
+
+  /** Append a batch's gram rows (params validated BEFORE any write — a
+    * rejected append must not mutate the index; `batchId` tags rows
+    * for replay exclusion, the streaming crash-window mechanism). */
+  def appendContainmentIndex(docs: DataFrame, path: String, n: Int = 3,
+                             batchId: Option[Long] = None): Unit = {
+    requireParams(s"$path/params.properties", containmentParams(n),
+      "containment")
+    requireTaggedRelation(docs.sparkSession, path, "grams")
+    gramRows(docs, n, "doc_id")
+      .withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/grams")
+  }
+
+  /** Containment pairs between a NEW batch and an indexed corpus —
+    * (corpus doc_a, batch doc_b, sizes, inter, both containments),
+    * computed from the stored grams so cost scales with the batch plus
+    * one index scan, never corpus text. Emitted when EITHER direction
+    * clears `minContainment` (the [[ngramContainmentPairs]] contract);
+    * the ingest drop rule reads `containment_b` (batch side contained
+    * in the corpus).
+    *
+    * `maxGramDf` drops grams whose INDEX document frequency exceeds
+    * the cap from BOTH sides before the join — the q33 boilerplate
+    * guard (a gram shared by B docs contributes B candidate rows per
+    * batch occurrence). Under the cap, containment is over the capped
+    * gram universe and both set sizes are recomputed there (the capped-
+    * Jaccard semantics rule: the cap changes the measure, so it is off
+    * by default and stated explicitly where used). The hot set is
+    * enforced small: materialized once and broadcast only under the
+    * row ceiling, shuffled anti-join past it.
+    *
+    * `excludeBatchId` drops index rows carrying that tag — a replayed
+    * ingest probes exactly the index its first attempt saw. Duplicate
+    * index rows from replayed appends are collapsed by the probe's
+    * distinct (byte-identical rows — the CountProfile dedup rule);
+    * [[compactContainmentIndex]] collapses them on disk. */
+  def containmentAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                              newDocs: DataFrame, indexPath: String,
+                              n: Int = 3, minContainment: Double = 0.8,
+                              maxGramDf: Option[Int] = None,
+                              excludeBatchId: Option[Long] = None): DataFrame = {
+    requireParams(s"$indexPath/params.properties", containmentParams(n),
+      "containment")
+    val idx = excludeTagged(spark.read.parquet(s"$indexPath/grams"),
+        indexPath, "grams", excludeBatchId)
+      .select(col("doc_id").as("doc_a"), col("g"), col("n_sh").as("n_a"))
+      .distinct() // replayed-append duplicates would inflate inter
+    val batchG = gramRows(newDocs, n, "doc_b")
+      .withColumnRenamed("n_sh", "n_b")
+    val (ga, gb) = maxGramDf match {
+      case Some(cap) =>
+        val hot = idx.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("g")
+          .localCheckpoint()
+        val hinted =
+          if (hot.count() <= MaxBroadcastRows) broadcast(hot) else hot
+        // capped universe ⇒ sizes recomputed over surviving grams
+        def recount(d: DataFrame, id: String, nName: String) = {
+          val kept = d.join(hinted, Seq("g"), "left_anti")
+          kept.drop(nName).join(
+            kept.groupBy(col(id)).agg(count(lit(1)).as(nName)), id)
+        }
+        (recount(idx, "doc_a", "n_a"), recount(batchG, "doc_b", "n_b"))
+      case None => (idx, batchG)
+    }
+    ga.join(gb, "g")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"))
+      .withColumn("containment_a",
+        col("inter").cast("double") / col("n_a").cast("double"))
+      .withColumn("containment_b",
+        col("inter").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        round(col("containment_a"), 6).as("containment_a"),
+        round(col("containment_b"), 6).as("containment_b"))
+  }
+
+  /** One continuous-ingest containment cycle — [[ingestDedupBatch]]'s
+    * contract pointed at the asymmetric measure: drop batch docs
+    * CONTAINED in the indexed corpus (`containment_b` ≥ threshold — the
+    * quote/snippet is the redundant side; a batch doc that CONTAINS a
+    * corpus doc is new superset content and survives) or contained in
+    * an earlier batch doc (within-batch pairs: the contained side
+    * drops; mutual near-exact containment keeps the first id — the
+    * greedy first-wins policy, with `applyPairs`' local-minimum
+    * character on chains). Survivors feed `accept` BEFORE the index
+    * append (the crash-ordering rule), then grow the index tagged with
+    * `batchId` so a replay reproduces its pre-append survivor set. */
+  def ingestContainmentBatch(spark: org.apache.spark.sql.SparkSession,
+                             newDocs: DataFrame, indexPath: String,
+                             n: Int = 3, minContainment: Double = 0.8,
+                             maxGramDf: Option[Int] = None,
+                             batchId: Option[Long] = None,
+                             accept: DataFrame => Unit = _ => ()): DataFrame = {
+    val batch = newDocs.localCheckpoint()
+    val cross = containmentAgainstIndex(spark, batch, indexPath, n,
+      minContainment, maxGramDf, excludeBatchId = batchId)
+    val within = ngramContainmentPairs(batch, n, minContainment)
+    val dropIds = cross
+      .filter(col("containment_b") >= minContainment)
+      .select(col("doc_b").as("doc_id"))
+      .unionByName(within.select(
+        when(col("containment_a") >= minContainment &&
+            col("containment_b") < minContainment, col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id")))
+      .distinct()
+    val survivors = batch.join(dropIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // materialize BEFORE the append mutates the index
+    accept(survivors)
+    appendContainmentIndex(survivors, indexPath, n, batchId)
+    survivors
+  }
+
+  /** Compact an appended containment index — see [[compactMinhashIndex]]
+    * (earliest-tag/NULL-wins provenance, legacy migration; probe
+    * results unchanged because the probe distinct-collapses anyway). */
+  def compactContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/params.properties")),
+      s"no index at $path")
+    compactTaggedRelations(spark, path, Seq("grams"))
+  }
+
+  /** Content-fingerprint-cached [[writeContainmentIndex]] — the
+    * `ensureIvfIndex` ladder (cache key = source fingerprint + params +
+    * `variant` for slice-of-source builds; concurrent builders adopt
+    * one staged build behind the shared locks). */
+  def ensureContainmentIndex(docs: DataFrame, cacheRoot: String,
+                             sourcePath: String, n: Int = 3,
+                             variant: String = ""): String = {
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"cont${n}${variant}_${Similarity.pathFingerprint(sourcePath)}")
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writeContainmentIndex(docs, tmp, n))
+    idx.toString
+  }
+
+  // --------------------------------------------------------------------
+  // Right-to-be-forgotten over the stored-artifact suite
+  // --------------------------------------------------------------------
+
+  /** Every key of a sidecar, for artifact-kind dispatch ([[readParam]]
+    * is the single-owned-value reader). */
+  private def sidecarParams(path: String): Map[String, String] = {
+    val f = java.nio.file.Paths.get(path)
+    require(java.nio.file.Files.exists(f),
+      s"no params sidecar at $path — not a managed artifact")
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
+  }
+
+  /** Remove every trace of the given document ids from a ROW-LEVEL
+    * index — the takedown/right-to-be-forgotten maintenance op the
+    * artifact suite otherwise lacks (the reference's analogue is the
+    * partition drop, load_sales_history.py:153-160, which forgets a
+    * MONTH; this forgets a document). The artifact kind is dispatched
+    * from the sidecar, and the op is deliberately honest about which
+    * artifacts CAN forget:
+    *
+    *   - Per-document row-level indexes — MinHash (`buckets`/
+    *     `shingles`), winnow (`fps`/`sizes`), containment (`grams`),
+    *     canonical (`best`, id column sidecar-owned), semantic
+    *     (`cells`/`vectors`, keyed `vec_id`) — drop the ids' rows via
+    *     anti-join, stage-then-swap per relation (a crash leaves the
+    *     previous complete index), batch tags untouched (surviving
+    *     rows keep their replay provenance). The semantic index's
+    *     CENTROIDS stay as trained (they partition the space; no probe
+    *     can return a deleted vector through them) — retrain at
+    *     rebuild cadence if even aggregate geometry must go.
+    *   - Everything else REFUSES loudly: Bloom/HLL/CMS sketches
+    *     cannot unlearn by construction, count/model profiles
+    *     (unigram/bigram/trigram, length/volume/DSIR/reputation,
+    *     quality weights, BPE merges, winsorize bounds) aggregate the
+    *     ids away, and passage/token-sequence layouts key on content
+    *     windows that are not doc-attributable — for all of these the
+    *     only sound takedown is a REBUILD from the retained corpus
+    *     (the Bloom-rebuild discipline; pretending to forget would be
+    *     worse than refusing).
+    *
+    * Mutation serializes on the artifact's exclusive lock (the
+    * [[appendBloomIndex]] rule). Probes after a forget behave as if
+    * the ids were never indexed; forgetting an unknown id is a no-op
+    * row in the report, not an error.
+    *
+    * Output: (relation, n_before, n_after, n_removed) — one row per
+    * swapped relation (the audit record a takedown request needs).
+    *
+    * Scale notes (100 TB): one anti-join + rewrite per relation at
+    * takedown cadence; the ids side is id-count-sized. The rewrite is
+    * the same full-relation pass a compaction already pays — batch
+    * takedowns amortize (pass ALL pending ids in one call). */
+  def forgetDocuments(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, ids: DataFrame): DataFrame = {
+    require(ids.columns.length == 1,
+      s"ids frame must have exactly one column, got ${ids.columns.mkString(", ")}")
+    val params = sidecarParams(s"$indexPath/params.properties")
+    val rebuildOnly = "artifact at %s (%s) is not a per-document row-level index — sketches cannot unlearn and aggregated/model artifacts have no per-document rows; rebuild it from the retained corpus"
+    val rels: Seq[(String, String)] = params.get("kind") match {
+      case Some("containment") => Seq(("grams", "doc_id"))
+      case Some("winnow") => Seq(("fps", "doc_id"), ("sizes", "doc_id"))
+      case Some(k) =>
+        throw new IllegalArgumentException(rebuildOnly.format(indexPath, k))
+      case None if params.contains("bands") =>
+        Seq(("buckets", "doc_id"), ("shingles", "doc_id"))
+      case None if params.contains("nCells") =>
+        Seq(("cells", "vec_id"), ("vectors", "vec_id"))
+      case None if params.contains("idCol") && params.contains("key") =>
+        Seq(("best", params("idCol")))
+      case None =>
+        throw new IllegalArgumentException(
+          rebuildOnly.format(indexPath,
+            params.keys.toSeq.sorted.mkString(",")))
+    }
+    val report = Similarity.withExclusiveLock(
+        java.nio.file.Paths.get(indexPath)) {
+      rels.map { case (rel, idCol) =>
+        val rows = spark.read.parquet(s"$indexPath/$rel")
+        val nBefore = rows.count()
+        val kept = rows.join(
+            ids.select(col(ids.columns.head).as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          .localCheckpoint() // materialize BEFORE the swap shelves the source
+        val nAfter = kept.count()
+        graft.lineage.AtomicSwap.writeSwap(s"$indexPath/$rel")(tmp =>
+          kept.write.parquet(tmp))
+        (rel, nBefore, nAfter, nBefore - nAfter)
+      }
+    }
+    spark.createDataFrame(report)
+      .toDF("relation", "n_before", "n_after", "n_removed")
+  }
 }

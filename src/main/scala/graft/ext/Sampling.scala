@@ -813,21 +813,151 @@ object Sampling {
     * data-sized shuffle. */
   def winsorizeScores(scored: DataFrame, idCol: String, scoreCol: String,
                       groupCol: String, pLow: Double = 0.05,
-                      pHigh: Double = 0.95): DataFrame = {
+                      pHigh: Double = 0.95): DataFrame =
+    applyBounds(scored, boundsOf(scored, scoreCol, groupCol, pLow, pHigh),
+      idCol, scoreCol, groupCol)
+
+  /** The per-group [lo, hi] type-1 bound relation both winsorize
+    * routes clamp against — shared so the stored artifact is the live
+    * computation, bit for bit. */
+  private def boundsOf(scored: DataFrame, scoreCol: String,
+                       groupCol: String, pLow: Double,
+                       pHigh: Double): DataFrame = {
     require(pLow > 0.0 && pLow < pHigh && pHigh <= 1.0,
       s"need 0 < pLow < pHigh <= 1: ($pLow, $pHigh)")
-    val bounds = scoreQuantiles(scored, scoreCol, groupCol,
-        Seq(pLow, pHigh))
+    scoreQuantiles(scored, scoreCol, groupCol, Seq(pLow, pHigh))
       .groupBy(col(groupCol)).agg(
         min(when(col("quantile") === pLow, col(scoreCol))).as("_lo"),
         min(when(col("quantile") === pHigh, col(scoreCol))).as("_hi"))
-    scored.join(broadcast(bounds), groupCol)
+  }
+
+  /** The clamp shared by the live and stored routes. LEFT join: a
+    * group absent from the bounds relation passes through un-clamped
+    * (the unknown-passes convention — a frozen artifact must not cut
+    * data it has never calibrated on); in the live route every group
+    * has bounds by construction, so the left join is exact there. */
+  private def applyBounds(scored: DataFrame, bounds: DataFrame,
+                          idCol: String, scoreCol: String,
+                          groupCol: String): DataFrame =
+    scored.join(broadcast(bounds), Seq(groupCol), "left")
       .select(col(groupCol), col(idCol), col(scoreCol),
-        least(greatest(col(scoreCol), col("_lo")), col("_hi"))
+        when(col("_lo").isNull, col(scoreCol))
+          .otherwise(least(greatest(col(scoreCol), col("_lo")), col("_hi")))
           .as("winsorized"),
-        when(col(scoreCol) < col("_lo"), -1L)
-          .when(col(scoreCol) > col("_hi"), 1L).otherwise(0L)
+        when(col("_lo").isNotNull && col(scoreCol) < col("_lo"), -1L)
+          .when(col("_hi").isNotNull && col(scoreCol) > col("_hi"), 1L)
+          .otherwise(0L)
           .as("clipped"))
+
+  /** Sidecar identity of stored winsorize bounds: the clamp recipe is
+    * artifact-owned ([[winsorizeScoresAgainstBounds]] reads it back —
+    * a caller can never apply one calibration under another's
+    * parameters, the canonical-index idCol rule). */
+  private def boundsParams(scoreCol: String, groupCol: String,
+                           pLow: Double, pHigh: Double) =
+    Map("kind" -> "winsorize-bounds", "scoreCol" -> scoreCol,
+      "groupCol" -> groupCol, "pLow" -> pLow.toString,
+      "pHigh" -> pHigh.toString)
+
+  /** Freeze [[winsorizeScores]]' per-group clamp bounds as an on-disk
+    * artifact — the production shape of robust scaling: calibrate ONCE
+    * on a reference corpus, then clamp every future batch against the
+    * FROZEN bounds (clamping each batch against its own quantiles
+    * would shift the scale batch to batch, exactly the instability
+    * winsorization exists to remove). Layout: `bounds/` parquet of
+    * (group, _lo, _hi) + the standard params sidecar written LAST.
+    *
+    * Deliberately NO append API: bounds are order statistics, and
+    * order statistics do not merge — any "append" would be silently
+    * wrong, so recalibration is a full rebuild at mart cadence (the
+    * Bloom-rebuild discipline, strengthened from "shrink needs
+    * rebuild" to "any change needs rebuild").
+    *
+    * Scale notes (100 TB): one [[scoreQuantiles]] sort of the narrow
+    * (group, score) projection at calibration time; the artifact is
+    * groups×2 values, and application is a broadcast join — the
+    * recurring cost never touches the reference corpus again. */
+  def writeScoreBounds(scored: DataFrame, scoreCol: String,
+                       groupCol: String, pLow: Double, pHigh: Double,
+                       path: String): Unit = {
+    boundsOf(scored, scoreCol, groupCol, pLow, pHigh)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/bounds")
+    Dedup.writeParams(s"$path/params.properties",
+      boundsParams(scoreCol, groupCol, pLow, pHigh))
+  }
+
+  /** Clamp a batch's scores against STORED bounds — identical output
+    * contract to [[winsorizeScores]] and, when the artifact was
+    * calibrated on exactly this frame, the identical result
+    * (spec-pinned; q153 reuses q150's oracle SQL verbatim — the
+    * stored≡live pattern): both routes reduce to [[applyBounds]] over
+    * the same bound values (doubles round-trip parquet exactly).
+    * Score/group columns come from the SIDECAR, never from the caller;
+    * groups unseen at calibration pass through un-clamped. */
+  def winsorizeScoresAgainstBounds(spark: org.apache.spark.sql.SparkSession,
+                                   scored: DataFrame, idCol: String,
+                                   path: String): DataFrame = {
+    val side = s"$path/params.properties"
+    Dedup.requireParams(side, Map("kind" -> "winsorize-bounds"),
+      "winsorize bounds")
+    val scoreCol = Dedup.readParam(side, "scoreCol", "winsorize bounds")
+    val groupCol = Dedup.readParam(side, "groupCol", "winsorize bounds")
+    applyBounds(scored, spark.read.parquet(s"$path/bounds"),
+      idCol, scoreCol, groupCol)
+  }
+
+  /** Curriculum training-data order — [[epochDataOrder]] with a
+    * difficulty dimension (Bengio et al. 2009's curriculum learning,
+    * as a data-layout contract): documents are bucketed into `nStages`
+    * global score stages at exact type-1 quantile boundaries
+    * ([[scoreQuantiles]]; the q138 highest-boundary-beaten CASE, folded
+    * ascending), and within every (epoch, shard) the position orders
+    * stage-major — the trainer streams easy (low-score stages) before
+    * hard with a fresh content-addressed permutation inside each stage
+    * per epoch. Like q99, the order is a pure function of
+    * (content, salt, nStages, nEpochs, shards): resume from any step,
+    * re-run bit-identically.
+    *
+    * Output: (idCol, stage, epoch, shard, position) — stage 1-based
+    * (1 = lowest scores), position 1-based within its (epoch, shard).
+    *
+    * Scale notes (100 TB): one [[scoreQuantiles]] sort of the narrow
+    * score projection for the (nStages−1)-sized boundary collect
+    * (enum-sized driver metadata, the centroid convention), then
+    * exactly q99's shuffle shape — the ONLY data-sized exchange is the
+    * (epoch, shard) window; `shards` is the parallelism knob. */
+  def curriculumEpochOrder(scored: DataFrame, idCol: String,
+                           scoreCol: String, nStages: Int, nEpochs: Int,
+                           shards: Int = 8,
+                           salt: String = "graft.curriculum.v1"): DataFrame = {
+    require(nStages >= 1, "nStages must be >= 1")
+    require(nEpochs >= 1, "nEpochs must be >= 1")
+    require(shards >= 1, "shards must be >= 1")
+    val boundaries =
+      if (nStages == 1) Array.empty[Double]
+      else scoreQuantiles(scored.withColumn("_g", lit(0)), scoreCol, "_g",
+          (1 until nStages).map(_.toDouble / nStages))
+        .select(col(scoreCol)).collect().map(_.getDouble(0)).sorted
+    // ascending fold: the LARGEST beaten boundary lands outermost
+    // (the pinned q138 rule — inverted order buckets everything low)
+    val stage = boundaries.zipWithIndex.foldLeft(lit(1)) {
+      case (acc, (b, i)) =>
+        when(col(scoreCol) > lit(b), lit(i + 2)).otherwise(acc)
+    }
+    val shard = conv(substring(md5(concat(lit(salt),
+        col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % shards
+    val ordKey = md5(concat(lit(salt), col("epoch").cast("string"),
+      lit(":"), col(idCol).cast("string")))
+    scored.select(col(idCol), stage.cast("long").as("stage"))
+      .select(col(idCol), col("stage"),
+        explode(sequence(lit(0L), lit(nEpochs - 1L))).as("epoch"))
+      .withColumn("shard", shard)
+      .withColumn("position", row_number().over(
+          Window.partitionBy(col("epoch"), col("shard"))
+            .orderBy(col("stage"), ordKey, col(idCol)))
+        .cast("long"))
   }
 
   /** Deterministic per-epoch training data ORDER: every id is assigned

@@ -47,6 +47,48 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Deterministic hard-negative mining — the contrastive-training
+    * data op (an embedding-model pipeline needs (anchor, negative)
+    * pairs as much as an LM pipeline needs token shards): for each
+    * query vector, the top-k corpus vectors whose cosine falls in the
+    * SEMI-HARD band [loCos, hiCos) — similar enough to be informative,
+    * dissimilar enough not to be a paraphrase/near-dup (the band's
+    * upper lip is exactly where the dedup thresholds live; mining
+    * above it would train on positives mislabeled as negatives).
+    * Self-pairs are excluded. Band membership is decided on the
+    * 6dp-ROUNDED cosine (the q20 rule), so ranks and the band edge are
+    * bit-portable cross-engine and the whole frame oracle-hashes.
+    *
+    * Output: (query_id, rank, neighbor_id, cos_sim), rank 1-based by
+    * (cos_sim desc, neighbor_id) within the band.
+    *
+    * Reference: the dedup/similarity family anchor
+    * (etl/transform_sales.py:24), inverted — the pairs dedup would
+    * DISCARD are the ones a contrastive trainer wants.
+    *
+    * Scale notes (100 TB): this is the brute-force yardstick (the q20
+    * shape — queries broadcast once over one corpus scan); at corpus
+    * scale, mine candidates from [[probeIvfIndex]]/[[lshTopK]] instead
+    * and band-filter their output — the band + rank composition is
+    * identical on any candidate relation. */
+  def hardNegatives(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+                    loCos: Double = 0.5, hiCos: Double = 0.9): DataFrame = {
+    require(loCos < hiCos, s"need loCos < hiCos: ($loCos, $hiCos)")
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .withColumn("cos_sim", round(cosine(col("qe"), col("ne")), 6))
+      .filter(col("cos_sim") >= loCos && col("cos_sim") < hiCos &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** LSH-bucketed approximate top-k (the second scale path beside IVF):
     * vectors sharing any of `tables` signature buckets with the query
     * become candidates; exact cosine ranks candidates only. Multi-table

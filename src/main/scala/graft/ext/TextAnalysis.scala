@@ -1615,6 +1615,87 @@ object TextAnalysis {
     idx.toString
   }
 
+  /** Bucket-bracketed approximate quantiles of the token-length
+    * distribution, straight off the power-of-two histogram — the
+    * MERGEABLE quantile this repo deliberately lacks elsewhere: exact
+    * order statistics don't merge (the reason
+    * [[Sampling.writeScoreBounds]] has no append API), but a histogram
+    * of exact long counts does (the CountProfile byte-dedup replay
+    * class), so the profile route ([[lengthQuantilesFromProfile]])
+    * supports append/compact and still answers quantile queries — at
+    * bucket resolution instead of value resolution, the honest price
+    * of mergeability. For each q: k = ⌈q·n⌉ (the pinned type-1 rule),
+    * and the reported bucket is the smallest whose cumulative count
+    * reaches k — the true type-1 quantile provably lies in
+    * [min_tokens, max_tokens] = [2^(b−1), 2^b − 1]. All decisions are
+    * exact long arithmetic on top of one double multiply shared by
+    * both engines, so the whole frame oracle-hashes (q157; q158 is
+    * the stored route on the same SQL — the q77≡q70 pattern).
+    *
+    * Output: (quantile, k, bucket, min_tokens, max_tokens, n_cum) —
+    * `n_cum` the histogram mass at or below the bucket.
+    *
+    * Reference: the mart's threshold checks over value distributions
+    * (load_sales_history.py:241-246), answered from a profile instead
+    * of a scan.
+    *
+    * Scale notes (100 TB): one map-side-combined ≤64-bucket aggregate
+    * is the only corpus-sized pass (zero for the stored route);
+    * everything after runs on the bucket-sized relation — the
+    * cumulative is a ≤64×64 self-join, NOT a window, so no
+    * unpartitioned WindowExec enters any plan. */
+  def lengthQuantiles(docs: DataFrame, qs: Seq[Double]): DataFrame =
+    quantilesOfHist(lengthHistOf(docs, "c"), qs)
+
+  /** [[lengthQuantiles]] answered from a STORED length profile — the
+    * artifact is the q148 baseline (append-mergeable, so the quantile
+    * view stays current as batches absorb); when the profile holds
+    * exactly `docs`' histogram the result is identical to the live
+    * route (spec-pinned; q158 reuses q157's oracle SQL verbatim). */
+  def lengthQuantilesFromProfile(spark: org.apache.spark.sql.SparkSession,
+                                 profilePath: String, qs: Seq[Double],
+                                 excludeBatchId: Option[Long] = None)
+      : DataFrame = {
+    Dedup.requireParams(s"$profilePath/params.properties",
+      LengthProfileParams, "length profile")
+    quantilesOfHist(
+      CountProfile.effective(spark, profilePath, "length profile",
+        "compactLengthProfile", excludeBatchId), qs)
+  }
+
+  private def quantilesOfHist(hist: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "need quantiles in (0, 1]")
+    require(qs.distinct.size == qs.size,
+      s"duplicate quantiles: ${qs.mkString(", ")}")
+    val h = hist.withColumnRenamed(hist.columns.last, "c")
+      .localCheckpoint() // ≤64 rows; read three times below
+    val tot = h.agg(sum(col("c")).as("_n"))
+    val first = tot.collect()(0)
+    require(!first.isNullAt(0) && first.getLong(0) > 0,
+      "lengthQuantiles needs a non-empty corpus/profile")
+    val spark = h.sparkSession
+    val qdf = spark.createDataset(qs)(
+      org.apache.spark.sql.Encoders.scalaDouble).toDF("quantile")
+    val ks = qdf.crossJoin(broadcast(tot))
+      .select(col("quantile"), ceil(col("quantile") * col("_n")).as("k"))
+    // cumulative over ≤64 buckets via self-join — bounded quadratic in
+    // the bucket count, never a single-partition window
+    val cum = h.as("a").join(h.as("b"),
+        col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("b.c")).as("n_cum"))
+      .localCheckpoint() // read twice: the pick and the detail join
+    val pick = broadcast(ks).join(cum, col("n_cum") >= col("k"))
+      .groupBy(col("quantile"), col("k"))
+      .agg(min(col("bucket")).as("bucket"))
+    pick.join(cum, Seq("bucket"))
+      .select(col("quantile"), col("k"), col("bucket"),
+        pow(lit(2.0), col("bucket") - 1).cast("long").as("min_tokens"),
+        (pow(lit(2.0), col("bucket")).cast("long") - 1).as("max_tokens"),
+        col("n_cum"))
+  }
+
   /** BPE-style tokenizer-vocabulary induction (Sennrich et al. 2016) on
     * Spark — the "train a tokenizer on the corpus" step of a training-
     * data pipeline, distributed the way production BPE trainers are:

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** All k-token sliding-window hashes of a token-id array — the
+  * id-space analogue of the text-side window kernels
+  * ([[TextChunks]]/[[WinnowFingerprints]]): position i (0-based)
+  * hashes ids[i, i+k) with a 64-bit polynomial fold (golden-ratio
+  * multiplier; JVM long arithmetic wraps by definition — no ANSI
+  * overflow surface because this never goes through SQL arithmetic).
+  * Arrays shorter than k yield an empty array. The hash only needs to
+  * agree with ITSELF across the two sides of a join — it is an
+  * equality fingerprint, not a stored format, so the constant is not
+  * sidecar material.
+  *
+  * A higher-order restatement (`transform(sequence(...), i ->
+  * xxhash64(slice(...)))`) is interpreted AND allocates a slice per
+  * window — this is one generated-Java O(n·k) pass per row (the
+  * repo's per-row-loop rule; k is small and fixed, so rolling-hash
+  * bookkeeping would buy nothing). */
+case class TokenWindowHashes(child: Expression, windowTokens: Int)
+    extends UnaryExpression {
+  require(windowTokens >= 1, s"windowTokens must be >= 1: $windowTokens")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<bigint> token ids, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WindowHashes.hashes(input.asInstanceOf[ArrayData], windowTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WindowHashes.hashes($c, $windowTokens)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashes =
+    copy(child = newChild)
+  override def prettyName: String = "token_window_hashes"
+}
+
+object WindowHashes {
+  /** Kernel (called from generated code): one O(n·k) pass. */
+  def hashes(ids: ArrayData, k: Int): ArrayData = {
+    val n = ids.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      var h = 0x27d4eb2f165667c5L
+      var j = 0
+      while (j < k) {
+        h = (h ^ ids.getLong(i + j)) * 0x9e3779b185ebca87L
+        h ^= (h >>> 29)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def token_window_hashes(c: Column, windowTokens: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      TokenWindowHashes(ColumnBridge.expression(c), windowTokens))
+  }
+}

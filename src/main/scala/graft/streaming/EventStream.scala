@@ -238,6 +238,38 @@ object EventStream {
         }
       }
 
+  /** Streaming containment-dedup ingest — `ingestDedupStream` on the
+    * ASYMMETRIC measure: each micro-batch is screened against the
+    * on-disk containment index for quote/subset duplication
+    * ([[graft.ext.Dedup.ingestContainmentBatch]] — a batch doc mostly
+    * contained in the corpus drops; a superset doc survives), plus
+    * within-batch containment, survivors land under
+    * `acceptedPath/batch_id=N`, and the index grows by exactly those
+    * survivors. Same crash-window contract as every ingest twin
+    * (own-tag-excluded probe + batch-keyed overwrite landing =
+    * effectively exactly-once; replayed append duplicates are
+    * collapsed by the probe's distinct and by
+    * `compactContainmentIndex`). */
+  def ingestContainmentStream(docs: DataFrame, indexPath: String,
+                              acceptedPath: String, checkpoint: String,
+                              n: Int = 3, minContainment: Double = 0.8,
+                              maxGramDf: Option[Int] = None)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Dedup.ingestContainmentBatch(batch.sparkSession, batch,
+            indexPath, n, minContainment, maxGramDf,
+            batchId = Some(batchId),
+            accept = _.write.mode(SaveMode.Overwrite)
+              .parquet(s"$acceptedPath/batch_id=$batchId"))
+          ()
+        }
+      }
+
   /** Streaming passage-level dedup ingest — the passage-granular twin
     * of `ingestDedupStream`: each micro-batch is stripped against the
     * accumulated on-disk window-hash index
@@ -584,8 +616,11 @@ object EventStream {
               // no tags; k/w validated against the sidecar inside the
               // probe). Identity — zero plan nodes — when no index is
               // configured
-              val cleanRaw =
-                graft.ext.Curation.winnowGate(semClean, cfg)
+              // optional containment gate (05d's stream twin — same
+              // read-only-artifact argument; the bidirectional
+              // decontamination rule, not the directional ingest rule)
+              val cleanRaw = graft.ext.Curation.containmentGate(
+                graft.ext.Curation.winnowGate(semClean, cfg), cfg)
               // checkpoint only when a second consumer exists — the
               // default path's plan is untouched
               val clean = if (tokenModelPath.isDefined)

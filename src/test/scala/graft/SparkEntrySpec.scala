@@ -31,7 +31,8 @@ class SparkEntrySpec extends SparkSpec {
       "q112_video_frame_stats", "q115_ann_recall",
       "q120_sequence_utilization", "q128_sequence_provenance",
       "q143_loss_masked_sequences", "q146_projection_contamination",
-      "q147_token_shard_audit"),
+      "q147_token_shard_audit", "q156_containment_index",
+      "q160_token_shard_leakage", "q161_forget_documents"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

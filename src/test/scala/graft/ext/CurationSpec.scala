@@ -988,6 +988,64 @@ class CurationSpec extends SparkSpec {
       cfg.copy(winnowMinShared = 0)))
   }
 
+  test("containment artifact gate cuts suite-swallowing survivors, disjoint suite is identity") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_containment").toString
+    val base = Curation.curate(corpus, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    assert(base.nonEmpty)
+    val survivorIds = base.map(_.head.asInstanceOf[Long])
+    // the suite item is the 30-word PREFIX of a real survivor: its
+    // 3-shingles are a subset of the doc's, so containment_a = 1.0
+    // (the suite item swallowed whole inside a longer doc — the
+    // direction symmetric Jaccard under-scores) while the doc-side
+    // share stays low. The bidirectional decontamination rule must cut
+    // the swallowing doc
+    val (victimId, victimText) = corpus
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter { case (id, t) =>
+        survivorIds.contains(id) && t.split(" ").length >= 40 }
+      .minBy(_._1)
+    val suite = Seq((910001L, victimText.split(" ").take(30).mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.writeContainmentIndex(suite, s"$dir/c")
+    val gated = Curation.curate(corpus, benchmark,
+        cfg.copy(containmentIndexPath = Some(s"$dir/c")))
+      .collect().map(_.getLong(0)).toSet
+    assert(!gated.contains(victimId),
+      "the suite-swallowing survivor must drop at the containment gate")
+    // a gram-disjoint suite gates nothing: output ≡ default
+    Dedup.writeContainmentIndex(
+      Seq((910002L, "zzqx9 vvkp7 rrmn3 ttbw5 hhgd1 jjfc8 nnls6 ppra4"))
+        .toDF("doc_id", "text"), s"$dir/disjoint")
+    val disjoint = Curation.curate(corpus, benchmark,
+        cfg.copy(containmentIndexPath = Some(s"$dir/disjoint")))
+      .collect().map(_.toSeq).toSet
+    assert(disjoint == base,
+      "a never-colliding containment index must reproduce the default chain")
+    // funnel: the 05d row appears in chain order and ties to curate()
+    val funnel = Curation.curationFunnel(corpus, benchmark,
+        cfg.copy(containmentIndexPath = Some(s"$dir/c")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val stages = funnel.map(_._1).toSeq
+    assert(stages.contains("05d_containment_gate"), stages.mkString(", "))
+    assert(stages.sorted == stages,
+      s"stage labels must sort into chain order: $stages")
+    funnel.sliding(2).foreach { case Array((sa, na), (sb, nb)) =>
+      assert(nb <= na, s"funnel not monotone: $sa=$na -> $sb=$nb") }
+    assert(funnel.last._2 == gated.size)
+    // mismatched n fails the sidecar check before any probe
+    val e = intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark,
+        cfg.copy(containmentIndexPath = Some(s"$dir/c"), containmentN = 4)))
+    assert(e.getMessage.contains("containment"), e.getMessage)
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(containmentThreshold = 0.0)))
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      cfg.copy(containmentMaxGramDf = Some(5))))
+  }
+
   test("stored boilerplate strip slots into the hygiene ladder with its funnel row") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_curation_lineprof").toString
@@ -1233,6 +1291,52 @@ class CurationSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/shards/_layout.properties"))
     intercept[IllegalArgumentException](Curation.auditTokenShards(
       spark, s"$dir/shards"))
+  }
+
+  test("tokenShardLeakage lights up on cross-split windows and none else") {
+    // crafted: train/val share exactly ONE 8-id window ([1..8]); test
+    // is id-disjoint — exactly one pair row, exact counts
+    val shards = Seq(
+        ("train", 0L, 0L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)),
+        ("val", 0L, 0L, Seq(100L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)),
+        ("test", 0L, 0L, Seq(31L, 32L, 33L, 34L, 35L, 36L, 37L, 38L)))
+      .toDF("split", "shard", "seq_id", "token_ids")
+    val out = Curation.tokenShardLeakage(shards).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(("train", "val") -> ((1L, 1L, 1L))), s"got $out")
+    intercept[IllegalArgumentException](
+      Curation.tokenShardLeakage(shards, windowTokens = 1))
+    intercept[IllegalArgumentException](
+      Curation.tokenShardLeakage(shards.drop("token_ids")))
+    // the landed-directory route: a train sequence COPIED into a val
+    // partition must light the (train, val) pair up
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok_leak").toString
+    val model = s"$dir/model"
+    TextAnalysis.writeBpeModel(
+      TextAnalysis.learnBpeMerges(corpus, nMerges = 8), model)
+    TextAnalysis.writeBpeVocab(corpus, model)
+    Curation.writeTokenShards(corpus, benchmark, s"$dir/shards", model,
+      cfg, seqLen = 64, shards = 2)
+    val before = Curation.tokenShardLeakageAt(spark, s"$dir/shards")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap.getOrElse(("train", "val"), 0L)
+    val stolen = spark.read.parquet(s"$dir/shards/split=train/shard=0")
+      .filter($"seq_id" === 0L).localCheckpoint()
+      .withColumn("seq_id", lit(999L))
+    stolen.write.mode("append").parquet(s"$dir/shards/split=val/shard=0")
+    val after = Curation.tokenShardLeakageAt(spark, s"$dir/shards")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    val (nShared, nSeqB) = after(("train", "val"))
+    assert(nShared > before && nShared >= 10L,
+      s"a copied 64-token sequence must share its windows: $nShared vs $before")
+    assert(nSeqB >= 1L)
+    // a directory without the layout sidecar refuses the audit
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/shards/_layout.properties"))
+    intercept[IllegalArgumentException](
+      Curation.tokenShardLeakageAt(spark, s"$dir/shards"))
   }
 
   test("writeTokenShards lands a trainer-ready token layout with a verifying manifest") {

@@ -81,6 +81,75 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramContainmentPairs(d, minContainment = 1.01).isEmpty)
   }
 
+  test("containment index: against ≡ exact cross slice, drop rule, replay, compaction, cap") {
+    val w = (1 to 30).map(i => s"w$i")
+    val u = (1 to 30).map(i => s"u$i")
+    val v = (1 to 30).map(i => s"v$i")
+    val corpus = Seq(
+      (1L, w.mkString(" ")), (2L, u.mkString(" ")), (3L, v.mkString(" ")))
+      .toDF("doc_id", "text")
+    val fresh = (1 to 30).map(i => s"f$i")
+    val batch = Seq(
+      (100L, w.take(10).mkString(" ")),               // snippet of 1 → drops
+      (101L, fresh.mkString(" ")),                    // fresh → survives
+      (102L, (u ++ Seq("x1", "x2", "x3", "x4", "x5", "x6", "x7", "x8",
+        "x9", "x10")).mkString(" ")),                 // SUPERSET of 2 → survives
+      (103L, fresh.take(12).mkString(" ")))           // snippet of 101 → drops
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont_idx").toString
+    Dedup.writeContainmentIndex(corpus, s"$dir/idx")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))
+    // the incremental-family equality claim: the against route equals
+    // the exact pair op over (corpus ∪ batch) restricted to cross pairs
+    // (corpus ids precede batch ids, so the orientation maps directly)
+    val got = Dedup.containmentAgainstIndex(spark, batch, s"$dir/idx")
+      .collect().map(key).toSet
+    val exact = Dedup.ngramContainmentPairs(corpus.unionByName(batch))
+      .filter($"doc_a" < 100L && $"doc_b" >= 100L)
+      .collect().map(key).toSet
+    assert(got == exact && got.nonEmpty, s"got $got vs $exact")
+    // the superset pair is (2,102): corpus side fully contained, batch
+    // side below the lip — directionality is the whole point
+    val sup = got.find(p => p._1 == 2L && p._2 == 102L).get
+    assert(sup._6 == 1.0 && sup._7 < 0.8, sup.toString)
+    // ingest: contained batch docs drop (cross 100, within 103), the
+    // superset and the fresh doc survive; replay is byte-deterministic
+    def cycle() = Dedup.ingestContainmentBatch(spark, batch, s"$dir/idx",
+        batchId = Some(7L)).select("doc_id").as[Long].collect().toSet
+    val s1 = cycle()
+    assert(s1 == Set(101L, 102L), s1.toString)
+    assert(cycle() == s1, "a replayed ingest must reproduce its survivors")
+    // a later batch's snippet of a SURVIVOR drops against the grown index
+    val later = Seq((200L, fresh.take(15).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.ingestContainmentBatch(spark, later, s"$dir/idx",
+      batchId = Some(8L)).isEmpty)
+    // a rejected append must not mutate the index
+    val before = spark.read.parquet(s"$dir/idx/grams").count()
+    intercept[IllegalArgumentException](
+      Dedup.appendContainmentIndex(batch, s"$dir/idx", n = 4))
+    assert(spark.read.parquet(s"$dir/idx/grams").count() == before)
+    // compaction collapses the replayed duplicates; probes unchanged
+    Dedup.compactContainmentIndex(spark, s"$dir/idx")
+    assert(spark.read.parquet(s"$dir/idx/grams").count() < before)
+    assert(Dedup.containmentAgainstIndex(spark, batch, s"$dir/idx",
+      excludeBatchId = Some(7L)).collect().map(key).toSet == got)
+    // hot-gram cap: planting a df-2 clone of doc 1 makes its grams hot;
+    // under cap 1 the snippet loses every candidate gram → no pair,
+    // while a generous cap reproduces the uncapped result
+    Dedup.writeContainmentIndex(corpus.unionByName(
+      Seq((4L, w.mkString(" "))).toDF("doc_id", "text")), s"$dir/hot")
+    val capped = Dedup.containmentAgainstIndex(spark, batch, s"$dir/hot",
+      maxGramDf = Some(1)).collect().map(key).toSet
+    assert(!capped.exists(p => p._2 == 100L), capped.toString)
+    assert(Dedup.containmentAgainstIndex(spark, batch, s"$dir/hot",
+        maxGramDf = Some(1000)).collect().map(key).toSet
+      == Dedup.containmentAgainstIndex(spark, batch, s"$dir/hot")
+        .collect().map(key).toSet)
+  }
+
   test("CC and greedy survivors agree on the fixture's clique topology") {
     // planted near-dup clusters are mutual copies (cliques), where every
     // non-min member has the min as a direct neighbor — so greedy and CC
@@ -1353,5 +1422,70 @@ class DedupSpec extends SparkSpec {
     assert(tight.subsetOf(unc), "capped pairs must come from uncapped pairs")
     assert(tight.size < unc.size,
       "500 vectors over 4 cells must trip a 50-vector cap somewhere")
+  }
+
+  test("forgetDocuments erases ids from row-level indexes and refuses artifacts that cannot unlearn") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_forget").toString
+    val docs = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3L, "totally different content about cooking pasta sauce at night"))
+      .toDF("doc_id", "text")
+    val ids1 = Seq(Tuple1(1L)).toDF("doc_id")
+    // MinHash: an exact copy of doc 1 probes to a pair BEFORE the
+    // takedown and to nothing after; doc 3's pairs are untouched
+    Dedup.writeMinhashIndex(docs, s"$dir/mh")
+    val probe = Seq(
+        (90L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (91L, "totally different content about cooking pasta sauce at night"))
+      .toDF("doc_id", "text")
+    def hits() = Dedup.minhashLshPairsAgainstIndex(spark, probe, s"$dir/mh")
+      .select("doc_a").as[Long].collect().toSet
+    assert(hits() == Set(1L, 3L), s"pre-forget probe: ${hits()}")
+    val rep = Dedup.forgetDocuments(spark, s"$dir/mh", ids1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rep.keySet == Set("buckets", "shingles"))
+    rep.foreach { case (rel, (before, after, removed)) =>
+      assert(removed > 0L && before - after == removed, s"$rel: $rep") }
+    assert(hits() == Set(3L),
+      "the forgotten doc must stop matching; others must keep matching")
+    // forgetting an unknown id is a no-op report, not an error
+    val noop = Dedup.forgetDocuments(spark, s"$dir/mh",
+        Seq(Tuple1(777L)).toDF("doc_id"))
+      .collect().map(_.getLong(3)).toSet
+    assert(noop == Set(0L))
+    // winnow + containment + canonical: victim rows gone, others kept
+    Dedup.writeWinnowIndex(docs, s"$dir/win")
+    Dedup.forgetDocuments(spark, s"$dir/win", ids1)
+    Seq("fps", "sizes").foreach { rel =>
+      val left = spark.read.parquet(s"$dir/win/$rel")
+        .select("doc_id").as[Long].collect().toSet
+      assert(left == Set(3L), s"winnow/$rel after forget: $left") }
+    Dedup.writeContainmentIndex(docs, s"$dir/cont")
+    Dedup.forgetDocuments(spark, s"$dir/cont", ids1)
+    assert(spark.read.parquet(s"$dir/cont/grams")
+      .select("doc_id").as[Long].collect().toSet == Set(3L))
+    Dedup.writeCanonicalIndex(docs, s"$dir/canon",
+      md5(col("text")), length(col("text")).cast("long"))
+    Dedup.forgetDocuments(spark, s"$dir/canon", ids1)
+    assert(spark.read.parquet(s"$dir/canon/best")
+      .select("doc_id").as[Long].collect().toSet == Set(3L))
+    // artifacts that cannot unlearn refuse with the rebuild message
+    Dedup.writeBloomIndex(docs, s"$dir/bloom")
+    val eb = intercept[IllegalArgumentException](
+      Dedup.forgetDocuments(spark, s"$dir/bloom", ids1))
+    assert(eb.getMessage.contains("rebuild"), eb.getMessage)
+    Dedup.writePassageIndex(docs, s"$dir/pass")
+    val ep = intercept[IllegalArgumentException](
+      Dedup.forgetDocuments(spark, s"$dir/pass", ids1))
+    assert(ep.getMessage.contains("rebuild"), ep.getMessage)
+    TextAnalysis.writeLengthProfile(docs, s"$dir/prof")
+    val el = intercept[IllegalArgumentException](
+      Dedup.forgetDocuments(spark, s"$dir/prof", ids1))
+    assert(el.getMessage.contains("rebuild"), el.getMessage)
+    // a two-column ids frame is ambiguous — refuse
+    intercept[IllegalArgumentException](
+      Dedup.forgetDocuments(spark, s"$dir/mh",
+        Seq((1L, 2L)).toDF("a", "b")))
   }
 }

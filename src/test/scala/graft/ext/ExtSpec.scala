@@ -787,6 +787,57 @@ class ExtSpec extends SparkSpec {
       TextAnalysis.lengthShiftAgainstProfile(spark, b, s"$dir/uni"))
   }
 
+  test("histogram quantiles bracket the exact type-1 quantile; stored route merges across appends") {
+    // crafted corpus with token counts 1..10 — buckets 1:{1} 2:{2,3}
+    // 3:{4..7} 4:{8,9,10}, hist (1,2,4,3), cumulative (1,3,7,10)
+    val d = Seq.tabulate(10)(i =>
+        (i.toLong, Seq.fill(i + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lengthQuantiles(d, Seq(0.5, 1.0)).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // q=0.5: k=5, smallest bucket with cum >= 5 is 3 → [4, 7], cum 7;
+    // the exact 5th-smallest count (5) lies inside the bracket
+    assert(out(0.5) == ((5L, 3L, 4L, 7L, 7L)), s"got ${out(0.5)}")
+    assert(out(1.0) == ((10L, 4L, 8L, 15L, 10L)), s"got ${out(1.0)}")
+    // bracketing invariant on the fixture corpus: the TRUE type-1
+    // quantile lies within [min_tokens, max_tokens] for every q
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val counts = docs.select(size(split($"text", " ")).cast("long"))
+      .as[Long].collect().sorted
+    val got = TextAnalysis.lengthQuantiles(docs, qs).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    qs.foreach { q =>
+      val exact = counts(math.ceil(q * counts.length).toInt - 1)
+      val (lo, hi) = got(q)
+      assert(exact >= lo && exact <= hi,
+        s"q=$q exact=$exact outside bucket [$lo, $hi]")
+    }
+    // MERGEABILITY — the claim this op exists for: a profile built on
+    // one slice and appended with the other answers the UNION's
+    // quantiles (order statistics can't do this; histogram counts can)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lenq").toString
+    val a = docs.filter($"doc_id" % 2 === 0)
+    TextAnalysis.writeLengthProfile(a, s"$dir/p")
+    TextAnalysis.appendLengthProfile(docs.filter($"doc_id" % 2 === 1),
+      s"$dir/p", batchId = Some(3L))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rowsOf(TextAnalysis.lengthQuantilesFromProfile(spark, s"$dir/p", qs))
+      == rowsOf(TextAnalysis.lengthQuantiles(docs, qs)),
+      "profile + append must answer the union's quantiles")
+    // replay exclusion restores the pre-append answer
+    assert(rowsOf(TextAnalysis.lengthQuantilesFromProfile(spark, s"$dir/p",
+        qs, excludeBatchId = Some(3L)))
+      == rowsOf(TextAnalysis.lengthQuantiles(a, qs)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.lengthQuantiles(d, Seq(0.5, 0.5)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.lengthQuantiles(d, Seq(1.5)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.lengthQuantiles(d.filter($"doc_id" < 0), Seq(0.5)))
+  }
+
   test("winsorizeScores clamps at exact type-1 bounds and flags the clipped side") {
     val scored = (1 to 10).map(i => ("a", i.toLong, i.toDouble)) :+
       (("b", 99L, 7.0))
@@ -811,6 +862,95 @@ class ExtSpec extends SparkSpec {
       Sampling.winsorizeScores(df, "doc_id", "score", "grp", 0.0, 0.9))
     intercept[IllegalArgumentException](
       Sampling.winsorizeScores(df, "doc_id", "score", "grp", 0.9, 0.2))
+  }
+
+  test("stored winsorize bounds reproduce the live clamp; unknown groups pass through") {
+    val scored = (1 to 10).map(i => ("a", i.toLong, i.toDouble))
+      .toDF("grp", "doc_id", "score")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wbounds").toString
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    Sampling.writeScoreBounds(scored, "score", "grp", 0.2, 0.8, s"$dir/b")
+    // the stored route IS the live calibration, value for value
+    assert(rowsOf(Sampling.winsorizeScoresAgainstBounds(spark, scored,
+        "doc_id", s"$dir/b"))
+      == rowsOf(Sampling.winsorizeScores(scored, "doc_id", "score", "grp",
+        0.2, 0.8)))
+    // a group unseen at calibration passes through un-clamped (the
+    // unknown-passes convention — frozen bounds must not cut data they
+    // never calibrated on)
+    val mixed = scored.unionByName(
+      Seq(("zz", 50L, 1000.0)).toDF("grp", "doc_id", "score"))
+    assert(rowsOf(Sampling.winsorizeScoresAgainstBounds(spark, mixed,
+      "doc_id", s"$dir/b"))(50L) == ((1000.0, 1000.0, 0L)))
+    // the clamp recipe is artifact-owned: score/group columns come from
+    // the sidecar, and a foreign-kind artifact is refused loudly
+    TextAnalysis.writeLengthProfile(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), s"$dir/uni")
+    intercept[IllegalArgumentException](
+      Sampling.winsorizeScoresAgainstBounds(spark, scored, "doc_id",
+        s"$dir/uni"))
+  }
+
+  test("curriculumEpochOrder: type-1 stage boundaries, stage-major positions, q99 machinery shared") {
+    val scored = (1 to 8).map(i => (i.toLong, i.toDouble))
+      .toDF("doc_id", "score")
+    val out = Sampling.curriculumEpochOrder(scored, "doc_id", "score",
+        nStages = 4, nEpochs = 2, shards = 1).collect()
+      .map(r => (r.getLong(2), r.getLong(0)) ->
+        ((r.getLong(1), r.getLong(4)))).toMap
+    // boundaries at k=ceil(q·8) → scores 2, 4, 6; stages by the
+    // highest-boundary-beaten rule
+    val stages = (1 to 8).map(i => out((0L, i.toLong))._1)
+    assert(stages == Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L), stages.toString)
+    // positions within every epoch are stage-major: sort by position,
+    // stages must be non-decreasing (easy streams first)
+    for (e <- Seq(0L, 1L)) {
+      val byPos = (1 to 8).map(i => out((e, i.toLong)))
+        .sortBy(_._2).map(_._1)
+      assert(byPos == byPos.sorted, s"epoch $e not stage-major: $byPos")
+      assert((1 to 8).map(i => out((e, i.toLong))._2).sorted
+        == (1L to 8L), "positions must be dense per (epoch, shard)")
+    }
+    // a single stage collapses to exactly epochDataOrder under the
+    // same salt — the machinery is shared, not parallel
+    val flat = Sampling.curriculumEpochOrder(scored, "doc_id", "score",
+        nStages = 1, nEpochs = 2, shards = 4, salt = "graft.epoch.v1")
+      .select($"doc_id", $"epoch", $"shard", $"position")
+    val plain = Sampling.epochDataOrder(scored.select($"doc_id"),
+      "doc_id", nEpochs = 2, shards = 4)
+    assert(flat.exceptAll(plain).isEmpty && plain.exceptAll(flat).isEmpty)
+    intercept[IllegalArgumentException](Sampling.curriculumEpochOrder(
+      scored, "doc_id", "score", nStages = 0, nEpochs = 1))
+  }
+
+  test("hardNegatives: half-open band, self-exclusion, rank order") {
+    def unit(c: Double): Array[Float] = {
+      val s = math.sqrt(1.0 - c * c)
+      Array(c.toFloat, s.toFloat)
+    }
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // the query
+      (10L, unit(1.0)),          // exact copy — above the band
+      (11L, unit(0.89)),         // hardest in-band negative
+      (12L, unit(0.6)),          // in-band
+      (13L, unit(0.3)),          // below the band
+      (14L, unit(0.9))           // exactly the lip — excluded (< hi)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(emb, nQueries = 1, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._2).toSeq == Seq(11L, 12L),
+      s"band must keep exactly the semi-hard pair: ${got.toSeq}")
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), "ranks dense from 1")
+    assert(got.head._3 > got.last._3, "ranked hardest first")
+    // widening the band past 1.0 admits the exact copy but NEVER the
+    // self-pair
+    val wide = Similarity.hardNegatives(emb, nQueries = 1, k = 10,
+      loCos = 0.5, hiCos = 1.01).collect().map(_.getLong(2)).toSet
+    assert(wide.contains(10L) && !wide.contains(0L), wide.toString)
+    intercept[IllegalArgumentException](
+      Similarity.hardNegatives(emb, nQueries = 1, k = 1, 0.9, 0.5))
   }
 
   test("valueOutlierReport: hand-computed median, MAD and flags; constant groups never flag") {
@@ -3090,6 +3230,42 @@ class ExtSpec extends SparkSpec {
     val totals = DataQuality.expectationsReport(gdf,
       Seq("a_positive" -> ($"a" > 0))).head
     assert(byG.values.map(_._2).sum == totals.getAs[Long]("n_violations"))
+  }
+
+  test("columnProfile: typed lanes, exact counts, NULL handling, identifier guards") {
+    val df = Seq(
+        (Some(3L), Some("b")), (Some(1L), Some("a")),
+        (Some(3L), None), (None, Some("a")))
+      .toDF("num", "str")
+    val prof = DataQuality.columnProfile(df, Seq("num"), Seq("str"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof.size == 2)
+    val n = prof("num")
+    assert(n.getAs[Long]("n_rows") == 4L)
+    assert(n.getAs[Long]("n_null") == 1L)
+    assert(n.getAs[Long]("n_distinct") == 2L,
+      "distinct ignores NULLs and collapses duplicates")
+    assert(n.getAs[Double]("min_num") == 1.0 &&
+      n.getAs[Double]("max_num") == 3.0)
+    assert(n.isNullAt(n.fieldIndex("min_str")) &&
+      n.isNullAt(n.fieldIndex("max_str")),
+      "the string lane must be NULL for a numeric column")
+    val s = prof("str")
+    assert(s.getAs[Long]("n_null") == 1L &&
+      s.getAs[Long]("n_distinct") == 2L)
+    assert(s.getAs[String]("min_str") == "a" &&
+      s.getAs[String]("max_str") == "b")
+    assert(s.isNullAt(s.fieldIndex("min_num")) &&
+      s.isNullAt(s.fieldIndex("max_num")))
+    // guards: unknown column, duplicates across lanes, non-identifier
+    intercept[IllegalArgumentException](
+      DataQuality.columnProfile(df, Seq("nope"), Nil))
+    intercept[IllegalArgumentException](
+      DataQuality.columnProfile(df, Seq("num"), Seq("num")))
+    intercept[IllegalArgumentException](
+      DataQuality.columnProfile(df, Seq("num, str"), Nil))
+    intercept[IllegalArgumentException](
+      DataQuality.columnProfile(df, Nil, Nil))
   }
 
   test("rank blend: value-ranks share ties, hand-computed means, singleton blends to zero") {

@@ -741,4 +741,30 @@ class FunctionsSpec extends SparkSpec {
     assert(zf.values.toSet.size > 1,
       "fallback vectors should still distinguish distinct payloads")
   }
+
+  test("token_window_hashes: n-k+1 windows, equal windows align, short arrays empty") {
+    val df = Seq(
+        (1L, Seq(1L, 2L, 3L, 4L)),
+        (2L, Seq(9L, 1L, 2L, 3L, 4L)),
+        (3L, Seq(1L, 2L)))
+      .toDF("id", "ids")
+    val out = df.select($"id",
+        WindowHashes.token_window_hashes($"ids", 3).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(out(1L).length == 2, "n - k + 1 windows")
+    assert(out(3L).isEmpty, "shorter than k yields no windows")
+    // the same 3-id windows hash identically wherever they occur
+    assert(out(2L).drop(1) == out(1L), s"${out(2L)} vs ${out(1L)}")
+    assert(out(1L).distinct.length == 2, "distinct windows hash apart")
+    assert(out(2L).head != out(1L).head)
+    // interpreted path agrees with codegen (the kernel-pair rule)
+    val interp = TokenWindowHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1L, 2L, 3L, 4L),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)), 3)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toList
+    assert(interp == out(1L))
+  }
 }

@@ -105,6 +105,46 @@ class EventStreamSpec extends SparkSpec {
     assert(after == Set(10L, 21L), s"got $after")
   }
 
+  test("containment ingest stream: contained docs drop across batches, replay exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_cont").toString
+    val w = (1 to 30).map(i => s"w$i")
+    val f = (1 to 30).map(i => s"f$i")
+    val corpus = Seq((1L, w.mkString(" "))).toDF("doc_id", "text")
+    graft.ext.Dedup.writeContainmentIndex(corpus, s"$dir/idx")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.ingestContainmentStream(mem.toDF(), s"$dir/idx",
+        s"$dir/accepted", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // micro-batch 0: a fresh doc + a SNIPPET of corpus doc 1 (contained
+    // → dropped; the symmetric Jaccard twin would let it through)
+    mem.addData(
+      IngestDoc(10L, f.mkString(" ")),
+      IngestDoc(11L, w.take(10).mkString(" ")))
+    drain()
+    // crash window: side effects committed, checkpoint commit lost —
+    // the restart replays batch 0 against an index holding its own
+    // survivors; own-tag exclusion must reproduce the survivor set
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    assert(spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toList == List(10L))
+    // micro-batch 1: a snippet of batch-0 SURVIVOR 10 — dropped only
+    // because the stream grew the index — plus a genuinely new doc
+    mem.addData(
+      IngestDoc(20L, f.take(15).mkString(" ")),
+      IngestDoc(21L, (1 to 30).map(i => s"g$i").mkString(" ")))
+    drain()
+    assert(spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 21L))
+  }
+
   test("winnow ingest stream: passage copies drop across batches, replay exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files
@@ -521,6 +561,58 @@ class EventStreamSpec extends SparkSpec {
     // the stream's survivor set IS the batch chain's with the same
     // config (Bloom artifact spliced in via the config route; empty
     // live benchmark — the stream has no live n-gram stage)
+    val batchSurvivors = graft.ext.Curation.curate(
+        Seq((10L, t10), (11L, t11)).toDF("doc_id", "text"),
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        cfg.copy(bloomIndexPath = Some(s"$dir/sketch")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchSurvivors == accepted.toSet,
+      s"stream survivors must equal the batch chain's: $batchSurvivors")
+  }
+
+  test("curation stream cuts suite-swallowing docs via the stored containment index, matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_contgate").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeMinhashIndex(corpus, s"$dir/idx")
+    // the Bloom sketch holds an UNRELATED suite so the containment
+    // gate — not the sketch screen — is what cuts the leak below
+    graft.ext.Dedup.writeBloomIndex(
+      Seq((5L, "hidden evaluation prompt concerning medieval castles defense"))
+        .toDF("doc_id", "text"), s"$dir/sketch")
+    val bench = Seq(
+      (1L, "what year did the roman empire finally collapse entirely"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeContainmentIndex(bench, s"$dir/cont")
+    val cfg = graft.ext.Curation.Config(minTokens = 5,
+      containmentIndexPath = Some(s"$dir/cont"))
+    // doc 10 swallows the suite item WHOLE inside a longer document —
+    // containment_a = 1.0 (the union-dominated direction); doc 11 is a
+    // clean keeper
+    val t10 = "my study notes ask what year did the roman empire finally collapse entirely and then discuss unrelated farming topics at length"
+    val t11 = "a perfectly clean and useful training document about cooking pasta"
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.curationStream(mem.toDF(), s"$dir/idx",
+        s"$dir/sketch", s"$dir/accepted", s"$dir/ckpt", cfg).start()
+      q.awaitTermination()
+    }
+    mem.addData(IngestDoc(10L, t10), IngestDoc(11L, t11))
+    drain()
+    // crash window: replay the whole composition, containment gate
+    // included (read-only artifact ⇒ the split is deterministic)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toList.sorted
+    assert(accepted == List(11L),
+      s"the swallowing doc must be cut and the keeper land exactly once: $accepted")
     val batchSurvivors = graft.ext.Curation.curate(
         Seq((10L, t10), (11L, t11)).toDF("doc_id", "text"),
         Seq.empty[(Long, String)].toDF("doc_id", "text"),
