@@ -1650,6 +1650,45 @@ object SparkEntry {
       ext.Dedup.forgetDocuments(s, path,
         docs.filter(col("doc_id") % 50 === 0).select("doc_id"))
     }),
+    // per-user session rollup over q121's session intervals: exact
+    // longs + two single divisions (the exact-ratio rule); durations
+    // are observed time (last − first), never the gap padding
+    "q162_user_session_summary" -> ((s, dir) =>
+      ext.Events.userSessionSummary(Tables.events(s, dir))),
+    // schema/profile drift between two snapshots with DIFFERENT column
+    // sets — added/removed/kept status plus null-rate shift and
+    // distinct-count ratio, all on q159's profile machinery
+    "q163_profile_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, dir)
+      ext.DataQuality.profileDiff(
+        ext.DataQuality.columnProfile(ev.filter(col("event_id") % 2 === 0),
+          Seq("event_id", "value"), Seq("event_type")),
+        ext.DataQuality.columnProfile(ev.filter(col("event_id") % 2 === 1),
+          Seq("event_id", "value"), Seq("props")))
+    }),
+    // the STORED-snapshot route of q163: the even slice's profile
+    // frozen once (column recipe sidecar-owned), the odd slice diffed
+    // against the artifact — same diff SQL, the stored≡live pattern
+    "q164_profile_snapshot_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, dir)
+      val path = "/tmp/graft_q164_profsnap_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ext.DataQuality.writeColumnProfileSnapshot(
+        ev.filter(col("event_id") % 2 === 0),
+        Seq("event_id", "value"), Seq("event_type"), path)
+      ext.DataQuality.columnProfileAgainstSnapshot(s,
+        ev.filter(col("event_id") % 2 === 1), path)
+    }),
+    // language-ID confidence: the margin behind q10's argmax — exact
+    // hit counts, one subtraction, the tie flag the fixed order breaks
+    "q165_lang_confidence" -> ((s, dir) =>
+      ext.TextAnalysis.langConfidence(Tables.documents(s, dir))),
+    // feed gaps: hours with ZERO events inside each type's observed
+    // span — the silent-outage complement of the volume monitors
+    "q166_feed_gaps" -> ((s, dir) =>
+      ext.Events.feedGapReport(Tables.events(s, dir))),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -2009,6 +2048,63 @@ object SparkEntry {
       |  CAST(power(2, p.bucket) AS BIGINT) - 1 AS max_tokens,
       |  cum.n_cum
       |FROM p JOIN cum USING (bucket)""".stripMargin
+
+  /** q121's sessionization CTEs (user-partitioned lag → 30-min gap
+    * splits → running session ids → per-session bounds + event count)
+    * — q162 aggregates the same `iv` relation (the factored-never-
+    * copied rule). `last_us` is the last EVENT; q121 derives the
+    * half-open session end as last_us + gap + 1 µs. */
+  private val SessionIvCtes =
+    """e AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |f AS (SELECT user_id, event_id, ts,
+      |        CASE WHEN prev_ts IS NULL
+      |          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |          THEN 1 ELSE 0 END AS ns
+      |      FROM e),
+      |s AS (SELECT user_id, event_id, ts,
+      |        CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS session_id
+      |      FROM f),
+      |iv AS (SELECT user_id, session_id,
+      |         MIN(epoch_us(ts)) AS start_us,
+      |         MAX(epoch_us(ts)) AS last_us,
+      |         CAST(COUNT(*) AS BIGINT) AS n_ev
+      |       FROM s GROUP BY 1, 2)""".stripMargin
+
+  /** q163/q164's profile-diff restatement (the factored-never-copied
+    * rule): each side is q159's counting rule over an even/odd event
+    * slice; the shift subtracts 6dp-ROUNDED fractions (the PSI rule),
+    * the distinct ratio goes NULL when the old side had none. */
+  private def profileDiffSql(colsA: Seq[String], colsB: Seq[String]): String = {
+    def prof(c: String, par: Int) =
+      s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM events WHERE event_id % 2 = $par""".stripMargin
+    val pa = colsA.map(prof(_, 0)).mkString("\nUNION ALL\n")
+    val pb = colsB.map(prof(_, 1)).mkString("\nUNION ALL\n")
+    s"""WITH pa AS ($pa),
+       |pb AS ($pb)
+       |SELECT column_name,
+       |  CASE WHEN pa.n_rows IS NULL THEN 'added'
+       |       WHEN pb.n_rows IS NULL THEN 'removed'
+       |       ELSE 'kept' END AS status,
+       |  pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
+       |  pa.n_null AS n_null_a, pb.n_null AS n_null_b,
+       |  CASE WHEN pa.n_rows > 0 AND pb.n_rows > 0 THEN
+       |    ROUND(ROUND(pb.n_null / CAST(pb.n_rows AS DOUBLE), 6)
+       |      - ROUND(pa.n_null / CAST(pa.n_rows AS DOUBLE), 6), 6) + 0.0
+       |  END AS null_frac_shift,
+       |  pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
+       |  CASE WHEN pa.n_distinct > 0 THEN
+       |    ROUND(pb.n_distinct / CAST(pa.n_distinct AS DOUBLE), 6)
+       |  END AS distinct_ratio
+       |FROM pa FULL OUTER JOIN pb USING (column_name)""".stripMargin
+  }
 
   private val MixtureAllocationCtes =
     """WITH avail AS (SELECT lang,
@@ -2726,28 +2822,26 @@ object SparkEntry {
     // 1 µs — the strict `>` split rule); the join restates the
     // bucketized equi-join as a plain containment join
     "q121_session_range_join" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
-        |f AS (SELECT user_id, event_id, ts,
-        |        CASE WHEN prev_ts IS NULL
-        |          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-        |          THEN 1 ELSE 0 END AS ns
-        |      FROM e),
-        |s AS (SELECT user_id, event_id, ts,
-        |        CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |          AS BIGINT) AS session_id
-        |      FROM f),
-        |iv AS (SELECT user_id, session_id,
-        |         MIN(epoch_us(ts)) AS start_us,
-        |         MAX(epoch_us(ts)) + 1800000001 AS end_us
-        |       FROM s GROUP BY 1, 2)
+      (s"""WITH $SessionIvCtes
         |SELECT ev.event_id, ev.user_id, iv.session_id
         |FROM events ev JOIN iv ON ev.user_id = iv.user_id
         |  AND epoch_us(ev.ts) >= iv.start_us
-        |  AND epoch_us(ev.ts) < iv.end_us""".stripMargin,
+        |  AND epoch_us(ev.ts) < iv.last_us + 1800000001""").stripMargin,
+    // per-user session rollup off the SAME iv relation (the factored-
+    // never-copied rule): exact longs + two single divisions
+    "q162_user_session_summary" ->
+      (s"""WITH $SessionIvCtes
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  ROUND(CAST(SUM(n_ev) AS BIGINT)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_events,
+        |  CAST(SUM(last_us - start_us) AS BIGINT) AS active_us,
+        |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+        |  CAST(MAX(last_us - start_us) AS BIGINT) AS max_session_us,
+        |  ROUND(CAST(SUM(last_us - start_us) AS BIGINT)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_session_us
+        |FROM iv GROUP BY 1""").stripMargin,
     "q113_source_reputation" -> SourceReputationSql,
     // q114 restates q113 EXACTLY: the stored profile holds the same
     // counts the live aggregate computes, so one SQL text is the
@@ -3920,6 +4014,61 @@ object SparkEntry {
       (Seq("event_id", "user_id", "value").map(num) ++
         Seq("event_type", "props").map(str)).mkString("\nUNION ALL\n")
     },
+    // profile drift: both sides are q159's counting rule under an
+    // even/odd slice; shift subtracts the 6dp-ROUNDED fractions (the
+    // PSI rule), ratio NULL when the old side has zero distincts
+    "q163_profile_diff" -> profileDiffSql(
+      Seq("event_id", "value", "event_type"),
+      Seq("event_id", "value", "props")),
+    // the stored-snapshot route: same diff SQL with the SNAPSHOT's
+    // sidecar-owned recipe on both sides (the stored≡live pattern —
+    // the artifact holds the even slice's profile verbatim)
+    "q164_profile_snapshot_diff" -> profileDiffSql(
+      Seq("event_id", "value", "event_type"),
+      Seq("event_id", "value", "event_type")),
+    // q10's scores + argmax CASE, plus the sorted-pair margin: exact
+    // hit counts both engines, DESC list sort, one subtraction
+    "q165_lang_confidence" -> {
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      val scoreCols = langs.map(l => s"  ${duckHits(l)} AS score_$l")
+        .mkString(",\n")
+      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+        val conds = langs.drop(i + 1).map(m => s"score_$l >= score_$m")
+          .mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      val lst = langs.map(l => s"score_$l").mkString(", ")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |$scoreCols
+         |  FROM documents),
+         |s2 AS (SELECT *, list_sort([$lst], 'DESC') AS l FROM scored)
+         |SELECT doc_id, CASE $caseChain ELSE '${langs.last}' END AS pred_lang,
+         |  CAST(l[1] AS BIGINT) AS top_hits,
+         |  CAST(l[2] AS BIGINT) AS second_hits,
+         |  CAST(l[1] - l[2] AS BIGINT) AS margin,
+         |  CAST(CASE WHEN l[1] = l[2] THEN 1 ELSE 0 END AS INT) AS ambiguous
+         |FROM s2""".stripMargin
+    },
+    // gap hours: integer-division buckets (positive epochs — floor and
+    // truncate agree), per-type generate_series span, NOT EXISTS screen
+    "q166_feed_gaps" ->
+      """WITH h AS (SELECT event_type,
+        |             epoch_us(ts) // 3600000000 AS hour_bucket
+        |           FROM events),
+        |obs AS (SELECT DISTINCT event_type, hour_bucket FROM h),
+        |span AS (SELECT event_type, MIN(hour_bucket) AS h0,
+        |           MAX(hour_bucket) AS h1
+        |         FROM obs GROUP BY 1),
+        |ex AS (SELECT event_type,
+        |         unnest(generate_series(h0, h1)) AS hour_bucket
+        |       FROM span)
+        |SELECT e.event_type, CAST(e.hour_bucket AS BIGINT) AS hour_bucket,
+        |  make_timestamp(e.hour_bucket * 3600000000) AS hour_start
+        |FROM ex e
+        |WHERE NOT EXISTS (SELECT 1 FROM obs o
+        |  WHERE o.event_type = e.event_type
+        |    AND o.hour_bucket = e.hour_bucket)""".stripMargin,
     // the q49 scrub's stage-by-stage counting rule, aggregated per
     // (source, class) and unpivoted — each stage counts on the PREVIOUS
     // stage's redacted text

@@ -238,4 +238,96 @@ object DataQuality {
         (col("_n") - col("_c")).as("n_null"), col("n_distinct"),
         col("min_num"), col("max_num"), col("min_str"), col("max_str"))
   }
+
+  /** Profile DRIFT between two [[columnProfile]] reports — the
+    * schema-evolution audit a recurring feed needs between snapshots
+    * ("which columns appeared/vanished, whose null rate moved, whose
+    * cardinality jumped"): full-outer join on `column_name` with a
+    * three-way status (`added` = only in the NEWER profile `profB`,
+    * `removed` = only in the older, `kept` = both), the null-fraction
+    * SHIFT (b − a, each side one exact division, rounded 6dp) and the
+    * distinct-count ratio (NULL when the old side had zero distincts —
+    * an all-NULL column has no meaningful ratio, never fabricated).
+    * Takes PROFILES, not frames, so either side can come from a live
+    * [[columnProfile]] call or a parquet-landed snapshot of one — the
+    * stored-route composition is free.
+    *
+    * Output: (column_name, status, n_rows_a, n_rows_b, n_null_a,
+    * n_null_b, null_frac_shift, n_distinct_a, n_distinct_b,
+    * distinct_ratio).
+    *
+    * Scale notes: profiles are columns-sized — everything here is
+    * metadata arithmetic; the corpus was scanned by the profiles. */
+  def profileDiff(profA: DataFrame, profB: DataFrame): DataFrame = {
+    val need = Seq("column_name", "n_rows", "n_null", "n_distinct")
+    Seq(("profA", profA), ("profB", profB)).foreach { case (n, p) =>
+      need.foreach(c => require(p.columns.contains(c),
+        s"$n is not a column profile — missing $c")) }
+    def side(p: DataFrame, s: String) =
+      p.select(col("column_name"), col("n_rows").as(s"n_rows_$s"),
+        col("n_null").as(s"n_null_$s"),
+        col("n_distinct").as(s"n_distinct_$s"))
+    val nf = (s: String) =>
+      round(col(s"n_null_$s").cast("double") /
+        col(s"n_rows_$s").cast("double"), 6)
+    side(profA, "a").join(side(profB, "b"), Seq("column_name"), "full_outer")
+      .select(col("column_name"),
+        when(col("n_rows_a").isNull, lit("added"))
+          .when(col("n_rows_b").isNull, lit("removed"))
+          .otherwise(lit("kept")).as("status"),
+        col("n_rows_a"), col("n_rows_b"),
+        col("n_null_a"), col("n_null_b"),
+        when(col("n_rows_a").isNotNull && col("n_rows_b").isNotNull &&
+            col("n_rows_a") > 0 && col("n_rows_b") > 0,
+          // each side ONE exact division; the shift subtracts the
+          // 6dp-ROUNDED fractions so both engines subtract identical
+          // doubles (the PSI rounded-share rule), + 0.0 folds -0.0
+          round(nf("b") - nf("a"), 6) + lit(0.0)).as("null_frac_shift"),
+        col("n_distinct_a"), col("n_distinct_b"),
+        when(col("n_distinct_a") > 0,
+          round(col("n_distinct_b").cast("double") /
+            col("n_distinct_a").cast("double"), 6)).as("distinct_ratio"))
+  }
+
+  /** Freeze a [[columnProfile]] as an on-disk SNAPSHOT — the baseline
+    * side of recurring [[profileDiff]] monitoring: profile a reference
+    * load once, then diff every future load against the frozen values
+    * without re-scanning the reference. The COLUMN RECIPE
+    * (numeric/string lanes) is sidecar-owned and read back by
+    * [[columnProfileAgainstSnapshot]] — both sides of every diff
+    * profile the same columns by construction (the canonical-index
+    * idCol rule). Deliberately NO append API: `n_distinct` is not
+    * mergeable (two batches' distinct counts don't sum), so any
+    * "append" would silently corrupt exactly the cell schema drift
+    * monitoring most needs — re-snapshot at mart cadence (the
+    * winsorize-bounds discipline). */
+  def writeColumnProfileSnapshot(df: DataFrame, numericCols: Seq[String],
+                                 stringCols: Seq[String],
+                                 path: String): Unit = {
+    columnProfile(df, numericCols, stringCols)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/profile")
+    Dedup.writeParams(s"$path/params.properties",
+      Map("kind" -> "column-profile",
+        "numericCols" -> numericCols.mkString(","),
+        "stringCols" -> stringCols.mkString(",")))
+  }
+
+  /** [[profileDiff]] of a live frame against a STORED snapshot
+    * (snapshot = the older `a` side): the recurring-load drift check.
+    * The profiled columns come from the SIDECAR, never the caller;
+    * when the snapshot holds exactly `df`'s profile the report is the
+    * all-kept zero-shift frame (spec-pinned; q164 reuses the q163
+    * diff SQL shape — the stored≡live pattern). */
+  def columnProfileAgainstSnapshot(spark: org.apache.spark.sql.SparkSession,
+                                   df: DataFrame, path: String): DataFrame = {
+    val side = s"$path/params.properties"
+    Dedup.requireParams(side, Map("kind" -> "column-profile"),
+      "column-profile snapshot")
+    def colsOf(key: String) =
+      Dedup.readParam(side, key, "column-profile snapshot")
+        .split(",").toSeq.filter(_.nonEmpty)
+    profileDiff(spark.read.parquet(s"$path/profile"),
+      columnProfile(df, colsOf("numericCols"), colsOf("stringCols")))
+  }
 }

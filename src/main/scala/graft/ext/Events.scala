@@ -193,6 +193,78 @@ object Events {
         unix_micros(col("last_event_ts")) + gapUs + 1L)
   }
 
+  /** Per-USER session summary — the engagement rollup sessionization
+    * exists for (sessions per user, events per session, active time):
+    * one row per user over [[sessionIntervals]]' sessions, every cell
+    * an exact long or ONE exact-long division rounded 6dp (the
+    * exact-ratio rule), so the whole report oracle-hashes (q162).
+    * Durations are last-event − first-event (a one-event session is 0
+    * µs of observed activity — the gap padding in `session_end_us` is
+    * a SPLITTING device, not observed time, so it stays out of the
+    * sums).
+    *
+    * Output: (user_id, n_sessions, n_events, mean_events, active_us,
+    * max_session_events, max_session_us, mean_session_us).
+    *
+    * Reference: the per-entity rollup family of the sales mart
+    * (load_sales_mart.py:54-66), pointed at behavioral sessions.
+    *
+    * Scale notes (100 TB): [[sessionIntervals]]' one user-partitioned
+    * window (sessions are a per-user computation by definition), then
+    * a map-side-combined per-user aggregate over the session-sized
+    * relation — no further data-sized shuffle. */
+  def userSessionSummary(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val s = sessionIntervals(events, gapMinutes)
+      .withColumn("_dur", unix_micros(col("last_event_ts")) -
+        unix_micros(col("session_start")))
+    s.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("_dur")).as("active_us"),
+        max(col("_dur")).as("max_session_us"))
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+        round(col("n_events").cast("double") /
+          col("n_sessions").cast("double"), 6).as("mean_events"),
+        col("active_us"), col("max_session_events"), col("max_session_us"),
+        round(col("active_us").cast("double") /
+          col("n_sessions").cast("double"), 6).as("mean_session_us"))
+  }
+
+  /** Feed GAP report — the missing-data complement of
+    * [[volumeAnomaly]] (volume flags too-much/too-little; this flags
+    * NOTHING-AT-ALL): per event type, every whole hour between the
+    * type's first and last observed event with ZERO events — the
+    * silent-outage signature a mean-based monitor smooths over. Hour
+    * buckets are exact integer division of epoch micros (positive
+    * timestamps — SQL `div` and floor agree there); the expected hours
+    * are a `sequence()` per type over the observed span, anti-joined
+    * against the observed buckets. An empty frame is the passing
+    * state.
+    *
+    * Output: (event_type, hour_bucket, hour_start) — `hour_bucket` =
+    * epoch-hours, `hour_start` its timestamp.
+    *
+    * Reference: the load-completeness validation
+    * (load_sales_history.py:241-246), pointed at arrival continuity.
+    *
+    * Scale notes (100 TB): one map-side-combined distinct over
+    * (type, hour) — the only event-sized pass; the expected relation
+    * is enum-types × feed-lifetime-hours (bounded by calendar time,
+    * not data volume), and the anti-join runs on hour keys. */
+  def feedGapReport(events: DataFrame): DataFrame = {
+    val hours = events.select(col("event_type"),
+      expr("unix_micros(ts) div 3600000000").as("hour_bucket"))
+    val observed = hours.distinct().localCheckpoint() // span + anti-join
+    val span = observed.groupBy(col("event_type"))
+      .agg(min(col("hour_bucket")).as("_h0"), max(col("hour_bucket")).as("_h1"))
+    span.select(col("event_type"),
+        explode(sequence(col("_h0"), col("_h1"))).as("hour_bucket"))
+      .join(observed, Seq("event_type", "hour_bucket"), "left_anti")
+      .select(col("event_type"), col("hour_bucket"),
+        timestamp_micros(col("hour_bucket") * 3600000000L).as("hour_start"))
+  }
+
   /** Sidecar identity of a stored volume profile. `baseWeeks` (the
     * number of weeks the base period spans — injected by the caller,
     * never derived from a wall clock) lives in the sidecar and every

@@ -1027,6 +1027,36 @@ object TextAnalysis {
       :+ langPrediction(col("text")).as("pred_lang"): _*)
   }
 
+  /** Language-ID CONFIDENCE — the margin report behind
+    * [[langPrediction]]'s argmax: per doc, the winning language, the
+    * top and runner-up stopword-hit scores, their margin, and an
+    * `ambiguous` flag (margin 0 — the tie the fixed en,de,es,fr,zh
+    * order silently breaks; exactly the docs a curation pipeline
+    * routes to a stronger classifier or a human). All scores are
+    * exact hit COUNTS (longs) and the margin one exact subtraction,
+    * so the whole frame oracle-hashes (q165) — the reason this stays
+    * a count-margin, not a probability.
+    *
+    * Output: (doc_id, pred_lang, top_hits, second_hits, margin,
+    * ambiguous).
+    *
+    * Reference: the recode-with-default CASE family
+    * (etl/transform_sales.py:31-37), instrumented instead of silent.
+    *
+    * Scale: one fused scan projection (five codegen-filtered token
+    * scans + an array sort of 5 elements per row); no join, no
+    * shuffle. */
+  def langConfidence(docs: DataFrame): DataFrame = {
+    val scores = LangOrder.map(l => stopwordHits(col("text"), l).cast("long"))
+    val arr = sort_array(array(scores: _*), asc = false)
+    docs.select(col("doc_id"),
+      langPrediction(col("text")).as("pred_lang"),
+      arr.getItem(0).as("top_hits"),
+      arr.getItem(1).as("second_hits"),
+      (arr.getItem(0) - arr.getItem(1)).as("margin"),
+      (arr.getItem(0) === arr.getItem(1)).cast("int").as("ambiguous"))
+  }
+
   /** PII patterns shared by `redactPii` and its oracle: deliberately
     * RE2-safe (character classes, bounded repetition, \b, no lookaround)
     * so Java regex (Spark) and RE2 (DuckDB) agree match-for-match. Order

@@ -1046,6 +1046,36 @@ object EventStream {
       }
   }
 
+  /** Streaming column-profile drift monitor — the schema-evolution
+    * twin of [[expectationsStream]]: each micro-batch is profiled
+    * under the STORED snapshot's sidecar-owned column recipe and
+    * diffed against the frozen baseline
+    * ([[graft.ext.DataQuality.columnProfileAgainstSnapshot]] — which
+    * columns went NULL-heavy, whose cardinality jumped, which vanished
+    * from the feed), one report per batch under
+    * `metricsPath/batch_id=N`. The snapshot is READ-ONLY here
+    * (re-snapshot at mart cadence — the artifact has no append by
+    * design since distinct counts don't merge), so each batch's report
+    * is deterministic and the batch-keyed overwrite is effectively
+    * exactly-once with no tag machinery (the gate/absorb contract's
+    * read-only class). */
+  def columnProfileMonitorStream(rows: DataFrame, snapshotPath: String,
+                                 metricsPath: String,
+                                 checkpoint: String): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.DataQuality
+            .columnProfileAgainstSnapshot(batch.sparkSession, batch,
+              snapshotPath)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+        }
+      }
+
   /** Absorbing volume stream — the score-then-merge twin of
     * [[volumeMonitorStream]] for LATE DATA OF THE BASE PERIOD: each
     * micro-batch of events is scored against the baseline as it stood

@@ -52,6 +52,20 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q157/q162 stay off single-partition windows and cartesians") {
+    // q157's cumulative is a bounded bucket self-join BY DESIGN — a
+    // window restatement would be unpartitioned; q162's only window
+    // partitions by user (sessions are per-user by definition)
+    Seq("q157_length_quantiles", "q162_user_session_summary").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf("sf0.001")))
+      assert(p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+        s"unpartitioned WindowExec in $q plan:\n$p")
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"CartesianProduct in $q plan:\n$p")
+    }
+  }
+
   test("q141 burned-benchmark never shuffles corpus × bench (semi-join against broadcast)") {
     val p = plan(
       SparkEntry.queries("q141_burned_benchmark")(spark, sf("sf0.001")))

@@ -3232,6 +3232,119 @@ class ExtSpec extends SparkSpec {
     assert(byG.values.map(_._2).sum == totals.getAs[Long]("n_violations"))
   }
 
+  test("langConfidence: exact margins, tie flags the fixed-order break") {
+    // tokens that hit ONLY the en stopword list, computed from the
+    // lists themselves so the spec never guesses membership
+    val others = Seq("de", "es", "fr", "zh")
+    val enOnly = TextAnalysis.stopwords("en")
+      .filter(w => !others.exists(l => TextAnalysis.stopwords(l).contains(w)))
+      .take(3)
+    assert(enOnly.size == 3, "need three en-exclusive stopwords")
+    val docs = Seq(
+        (1L, enOnly.mkString(" ") + " zzzz"),
+        (2L, "qqq zzz www")) // hits nothing: five-way tie at 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langConfidence(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(out(1L) == (("en", 3L, 0L, 3L, 0)), s"got ${out(1L)}")
+    // the tie: top == second == 0, margin 0, flagged; the fixed order
+    // still predicts en — exactly the silent break the flag surfaces
+    assert(out(2L) == (("en", 0L, 0L, 0L, 1)), s"got ${out(2L)}")
+  }
+
+  test("feedGapReport: missing whole hours inside each type's span, empty when dense") {
+    val ev = Seq(
+        (1L, "a", 100L),                    // hour 0
+        (2L, "a", 3L * 3600000000L + 5L),   // hour 3 — hours 1,2 missing
+        (3L, "b", 7200000000L))             // single event: no span
+      .toDF("event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val out = Events.feedGapReport(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("a", 1L), ("a", 2L)), s"got $out")
+    // a dense feed reports nothing — the passing state is empty
+    val dense = Seq((1L, "a", 0L), (2L, "a", 3600000000L))
+      .toDF("event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    assert(Events.feedGapReport(dense).collect().isEmpty)
+  }
+
+  test("userSessionSummary: hand-computed rollup, gap padding stays out of durations") {
+    // user 1: events at 0s, 10s, 2000s — 1990s > 30min gap splits a
+    // session; user 2: one lonely event
+    val ev = Seq(
+        (1L, 1L, 0L), (2L, 1L, 10000000L), (3L, 1L, 2000000000L),
+        (4L, 2L, 500L))
+      .toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val out = Events.userSessionSummary(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7)))).toMap
+    // sessions for user 1: {0s,10s} (2 events, 10s) and {2000s} (1, 0)
+    assert(out(1L) == ((2L, 3L, 1.5, 10000000L, 2L, 10000000L, 5000000.0)),
+      s"got ${out(1L)}")
+    // a one-event session observes ZERO active time — the 30-min gap
+    // padding is a splitting device, never observed activity
+    assert(out(2L) == ((1L, 1L, 1.0, 0L, 1L, 0L, 0.0)), s"got ${out(2L)}")
+  }
+
+  test("profileDiff: added/removed/kept statuses, null-rate shift, distinct ratio") {
+    val a = DataQuality.columnProfile(
+      Seq((Some(1L), "p"), (Some(1L), "q"), (None, "p"))
+        .toDF("x", "y"), Seq("x"), Seq("y"))
+    val b = DataQuality.columnProfile(
+      Seq((1L, "u"), (2L, "u"), (3L, "u"), (4L, "u"))
+        .toDF("x", "z"), Seq("x"), Seq("z"))
+    val out = DataQuality.profileDiff(a, b).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("x", "y", "z"))
+    assert(out("x").getAs[String]("status") == "kept")
+    assert(out("y").getAs[String]("status") == "removed")
+    assert(out("z").getAs[String]("status") == "added")
+    // x: null rate 1/3 → 0/4, shift = 0 − 0.333333; distincts 1 → 4
+    assert(out("x").getAs[Double]("null_frac_shift") == -0.333333,
+      s"got ${out("x")}")
+    assert(out("x").getAs[Double]("distinct_ratio") == 4.0)
+    // one-sided rows carry NULL drift cells, never fabricated values
+    assert(out("y").isNullAt(out("y").fieldIndex("null_frac_shift")))
+    assert(out("z").isNullAt(out("z").fieldIndex("distinct_ratio")))
+    intercept[IllegalArgumentException](
+      DataQuality.profileDiff(a.drop("n_null"), b))
+  }
+
+  test("column-profile snapshot: recipe sidecar-owned, self-diff is all-kept zero-shift") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_profsnap").toString
+    val df = Seq((Some(1L), "p"), (Some(2L), "q"), (None, "p"))
+      .toDF("x", "y")
+    DataQuality.writeColumnProfileSnapshot(df, Seq("x"), Seq("y"), s"$dir/p")
+    // diffing the profiled frame against its own snapshot: every
+    // column kept, zero null shift, ratio exactly 1.0 (stored≡live)
+    val self = DataQuality.columnProfileAgainstSnapshot(spark, df, s"$dir/p")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getDouble(6), r.getDouble(9)))).toMap
+    assert(self.keySet == Set("x", "y"))
+    self.values.foreach { case (status, shift, ratio) =>
+      assert(status == "kept" && shift == 0.0 && ratio == 1.0, self.toString) }
+    // the recipe comes from the SIDECAR: a frame with extra columns is
+    // profiled on the snapshot's columns only
+    val wide = df.withColumn("z", lit("ignored"))
+    assert(DataQuality.columnProfileAgainstSnapshot(spark, wide, s"$dir/p")
+      .collect().map(_.getString(0)).toSet == Set("x", "y"))
+    // a drifted load reports through the same route
+    val drifted = Seq((Option.empty[Long], "p")).toDF("x", "y")
+    val d = DataQuality.columnProfileAgainstSnapshot(spark, drifted, s"$dir/p")
+      .collect().map(r => r.getString(0) -> r.getDouble(6)).toMap
+    assert(d("x") == 0.666667, s"null rate 1/3 -> 1/1: $d")
+    // a foreign-kind artifact refuses loudly
+    TextAnalysis.writeLengthProfile(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), s"$dir/len")
+    intercept[IllegalArgumentException](
+      DataQuality.columnProfileAgainstSnapshot(spark, df, s"$dir/len"))
+  }
+
   test("columnProfile: typed lanes, exact counts, NULL handling, identifier guards") {
     val df = Seq(
         (Some(3L), Some("b")), (Some(1L), Some("a")),

@@ -1220,6 +1220,44 @@ class EventStreamSpec extends SparkSpec {
       "the violating batch must be locatable by its batch_id")
   }
 
+  test("column-profile monitor stream diffs each batch against the frozen snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_profmon").toString
+    val base = Seq(
+        (1L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0, "{}"),
+        (2L, ts("2024-01-01 09:01:00"), 2L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    graft.ext.DataQuality.writeColumnProfileSnapshot(base,
+      Seq("event_id", "value"), Seq("event_type"), s"$dir/snap")
+    val mem = MemoryStream[Ev]
+    def drain(): Unit = {
+      val q = EventStream.columnProfileMonitorStream(mem.toDF(),
+        s"$dir/snap", s"$dir/metrics", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // batch 0: one event of an UNSEEN type — distinct ratio 0.5 vs the
+    // snapshot's two types; the snapshot itself must stay untouched
+    mem.addData(Ev(5L, ts("2024-01-02 09:00:00"), 1L, "spam", 7.0, "{}"))
+    drain()
+    // crash window: replay the batch — the read-only artifact makes
+    // the report deterministic, the overwrite makes it exactly-once
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    val m = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => (r.getAs[Int]("batch_id"), r.getString(0)) ->
+        ((r.getString(1), r.getAs[Long]("n_rows_b"),
+          Option(r.get(r.fieldIndex("distinct_ratio")))))).toMap
+    assert(m.size == 3, s"one row per profiled column, landed once: $m")
+    assert(m((0, "event_type")) == (("kept", 1L, Some(0.5))), m.toString)
+    assert(m((0, "event_id")) == (("kept", 1L, Some(0.5))))
+    // the monitor never wrote to the artifact it measures against
+    assert(spark.read.parquet(s"$dir/snap/profile").count() == 3L)
+  }
+
   test("volume absorb stream scores pre-batch baseline, exactly once under replay") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files
