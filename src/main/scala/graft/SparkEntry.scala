@@ -1689,6 +1689,13 @@ object SparkEntry {
     // span — the silent-outage complement of the volume monitors
     "q166_feed_gaps" -> ((s, dir) =>
       ext.Events.feedGapReport(Tables.events(s, dir))),
+    // stratified split: exact per-(lang, source) proportions via
+    // md5-order ranks and all-LONG div boundaries — where q31's
+    // independent buckets only hit the rates in expectation
+    "q167_stratified_split" -> ((s, dir) =>
+      ext.Sampling.stratifiedTrainValTest(
+        Tables.documents(s, dir).select("doc_id", "lang", "source"),
+        "doc_id", Seq("lang", "source"))),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -4050,6 +4057,20 @@ object SparkEntry {
          |  CAST(CASE WHEN l[1] = l[2] THEN 1 ELSE 0 END AS INT) AS ambiguous
          |FROM s2""".stripMargin
     },
+    // stratified split: per-stratum md5-order ranks against floored
+    // integer boundaries — every decision exact long arithmetic
+    "q167_stratified_split" ->
+      """WITH r AS (SELECT doc_id, lang, source,
+        |  CAST(row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY md5('graft.split.v1' || CAST(doc_id AS VARCHAR)),
+        |      doc_id) AS BIGINT) AS rn,
+        |  CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, source,
+        |  CASE WHEN rn <= (n * 80) // 100 THEN 'train'
+        |       WHEN rn <= (n * 90) // 100 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin,
     // gap hours: integer-division buckets (positive epochs — floor and
     // truncate agree), per-type generate_series span, NOT EXISTS screen
     "q166_feed_gaps" ->

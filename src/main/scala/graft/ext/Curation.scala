@@ -104,6 +104,16 @@ object Curation {
     *     can miss (long-range structure, token-edited paragraph
     *     copies). Joins the same `02_repetition` stage as one more
     *     codegen conjunct; None (the default) adds zero plan nodes.
+    *   - `stratifySplitByLang`: assign train/val/test with EXACT
+    *     per-language proportions ([[Sampling.stratifiedTrainValTest]]
+    *     on `pred_lang`) instead of the default independent hash
+    *     buckets ([[Sampling.trainValTest]], which hits the rates only
+    *     in expectation — a 30-doc language can land 40/60 by chance).
+    *     An alternative RULE, not an extra stage (the sequenceLayout
+    *     shape): same chain position, same output schema, different
+    *     deterministic assignment; the floored-boundary remainder
+    *     accrues to test. Off (the default) keeps the q31 bucket rule
+    *     byte-identical.
     *   - `langSampleRates`: per-language Bernoulli keep rates
     *     ([[Sampling.stratifiedSampleByHash]] on `pred_lang`) applied
     *     ahead of the count quota — the fractional mixing knob
@@ -298,6 +308,7 @@ object Curation {
       perLangCap: Int = 100,
       trainPct: Int = 80,
       valPct: Int = 10,
+      stratifySplitByLang: Boolean = false,
       redactPii: Boolean = false,
       maxRedactionsPerDoc: Option[Long] = None,
       piiPatterns: Seq[(String, String)] = TextAnalysis.PiiPatterns,
@@ -1049,9 +1060,14 @@ object Curation {
           .select(carry: _*)
       case None => mixed.select(carry: _*)
     }
-    epochFanOut(Sampling.trainValTest(
-        Sampling.capPerGroup(budgeted, "pred_lang", "doc_id", cfg.perLangCap),
-        "doc_id", cfg.trainPct, cfg.valPct), cfg)
+    val capped =
+      Sampling.capPerGroup(budgeted, "pred_lang", "doc_id", cfg.perLangCap)
+    val split =
+      if (cfg.stratifySplitByLang)
+        Sampling.stratifiedTrainValTest(capped, "doc_id", Seq("pred_lang"),
+          cfg.trainPct, cfg.valPct)
+      else Sampling.trainValTest(capped, "doc_id", cfg.trainPct, cfg.valPct)
+    epochFanOut(split, cfg)
   }
 
   /** The optional target-mixture stage shared by [[mixTail]] and the

@@ -1197,4 +1197,48 @@ object Sampling {
           .when(b < trainPct + valPct, "val")
           .otherwise("test"))
   }
+
+  /** STRATIFIED train/val/test split — exact per-stratum proportions
+    * where [[trainValTest]]'s independent hash buckets only hit them
+    * in expectation (a 30-doc language can land 40/60 by chance; an
+    * eval slice needs every stratum represented at the declared
+    * rate): within each stratum, docs rank in content-addressed md5
+    * order (the q43 selection machinery — no wall clock, no RNG
+    * state) and the first (n·trainPct) div 100 go to train, up to
+    * (n·(trainPct+valPct)) div 100 to val, the rest to test. All-LONG
+    * arithmetic ⇒ the assignment is exact and oracle-hashable (q167).
+    * Integer division floors, so the rounding remainder accrues to
+    * test (a 1-doc stratum under 80/10 is all test) — deterministic
+    * and stated, never silently re-rounded.
+    *
+    * Output: the input columns plus `split` (the [[trainValTest]]
+    * column contract, minus its bucket — ranks replace buckets here).
+    *
+    * Reference: the reference's fixed-percentage partition write
+    * (load_sales_history.py:131-141), made distribution-faithful.
+    *
+    * Scale notes (100 TB): one window shuffle PARTITIONED BY STRATUM
+    * (never global); the count rides a second frame-less window over
+    * the same exchange. Project to (id, strata) before calling when
+    * wide payloads shouldn't ride the shuffle. */
+  def stratifiedTrainValTest(df: DataFrame, idCol: String,
+                             strataCols: Seq[String], trainPct: Int = 80,
+                             valPct: Int = 10,
+                             salt: String = "graft.split.v1"): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"percentages must satisfy 0 <= train + val <= 100: $trainPct/$valPct")
+    val strata = strataCols.map(col)
+    val w = Window.partitionBy(strata: _*)
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+    val wc = Window.partitionBy(strata: _*)
+    df.withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wc))
+      .withColumn("split",
+        when(col("_rn") <= expr(s"(_n * $trainPct) div 100"), "train")
+          .when(col("_rn") <= expr(s"(_n * ${trainPct + valPct}) div 100"),
+            "val")
+          .otherwise("test"))
+      .drop("_rn", "_n")
+  }
 }

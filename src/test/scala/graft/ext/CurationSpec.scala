@@ -1293,6 +1293,26 @@ class CurationSpec extends SparkSpec {
       spark, s"$dir/shards"))
   }
 
+  test("stratifySplitByLang hits the declared proportions exactly per language") {
+    val strat = Curation.curate(corpus, benchmark,
+        cfg.copy(stratifySplitByLang = true))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    strat.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.size.toLong
+      val c = rows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      assert(c.getOrElse("train", 0L) == n * 80 / 100,
+        s"$lang: exact floored train share expected, got $c over $n")
+      assert(c.getOrElse("train", 0L) + c.getOrElse("val", 0L)
+        == n * 90 / 100, s"$lang: $c over $n")
+    }
+    // the knob changes the ASSIGNMENT rule only — the selected doc
+    // population is the default chain's exactly
+    val default = Curation.curate(corpus, benchmark, cfg)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(strat.map(_._1).toSet == default.map(_._1).toSet,
+      "stratified split must not change which docs survive")
+  }
+
   test("tokenShardLeakage lights up on cross-split windows and none else") {
     // crafted: train/val share exactly ONE 8-id window ([1..8]); test
     // is id-disjoint — exactly one pair row, exact counts

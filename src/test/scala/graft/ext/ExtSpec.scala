@@ -3270,6 +3270,31 @@ class ExtSpec extends SparkSpec {
     assert(Events.feedGapReport(dense).collect().isEmpty)
   }
 
+  test("stratifiedTrainValTest: exact floored per-stratum proportions, remainder to test") {
+    val docs = ((1 to 10).map(i => (i.toLong, "a")) ++
+        (100 to 129).map(i => (i.toLong, "b")) :+ ((999L, "c")))
+      .toDF("doc_id", "grp")
+    val rows = Sampling.stratifiedTrainValTest(docs, "doc_id", Seq("grp"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def counts(g: String) = rows.filter(_._2 == g)
+      .groupBy(_._3).view.mapValues(_.size).toMap
+    // exact 80/10/10 where the hash-bucket rule only hits it on average
+    assert(counts("a") == Map("train" -> 8, "val" -> 1, "test" -> 1),
+      counts("a").toString)
+    assert(counts("b") == Map("train" -> 24, "val" -> 3, "test" -> 3),
+      counts("b").toString)
+    // floored boundaries: the rounding remainder accrues to test — a
+    // singleton stratum is ALL test, deliberately and deterministically
+    assert(counts("c") == Map("test" -> 1), counts("c").toString)
+    val again = Sampling.stratifiedTrainValTest(docs, "doc_id", Seq("grp"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSet == again.toSet, "content-addressed: reruns identical")
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedTrainValTest(docs, "doc_id", Nil))
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedTrainValTest(docs, "doc_id", Seq("grp"), 95, 10))
+  }
+
   test("userSessionSummary: hand-computed rollup, gap padding stays out of durations") {
     // user 1: events at 0s, 10s, 2000s — 1990s > 30min gap splits a
     // session; user 2: one lonely event
