@@ -1696,6 +1696,18 @@ object SparkEntry {
       ext.Sampling.stratifiedTrainValTest(
         Tables.documents(s, dir).select("doc_id", "lang", "source"),
         "doc_id", Seq("lang", "source"))),
+    // perceptual image near-dups: every 25th doc's PNG planted twice
+    // under distinct ids — the dHash band screen must pair the copies
+    // at Hamming 0 (re-encoded/brightness variants are the spec's
+    // job). Rows-only (zlib+pixel decode has no SQL restatement)
+    "q168_image_near_dups" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
+      ext.Multimodal.imageNearDupPairs(s,
+        ext.Multimodal.validPngMedia(s, docs.unionByName(copies)).toDF())
+    }),
   )
 
   // DuckDB expression for the stopword-hit count of one language.

@@ -949,7 +949,19 @@ object Multimodal {
     * anything malformed or outside the 8-bit RGBA non-interlaced
     * profile (the quarantine path, never an exception). */
   private def pngPixelStats(b: Array[Byte])
-      : Option[(Int, Int, Array[Long])] = {
+      : Option[(Int, Int, Array[Long])] =
+    pngRgba(b).map { case (w, h, pix) =>
+      val sums = new Array[Long](4)
+      var p = 0
+      while (p < pix.length) { sums(p % 4) += pix(p) & 0xFF; p += 1 }
+      (w, h, sums)
+    }
+
+  /** The reconstructed RGBA scanlines behind [[pngPixelStats]] —
+    * shared with the perceptual-hash path, which needs the pixels
+    * themselves, not their sums. */
+  private def pngRgba(b: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] = {
     try {
       if (b.length < 8 || !java.util.Arrays.equals(
           java.util.Arrays.copyOf(b, 8), PngSignature)) return None
@@ -1013,10 +1025,7 @@ object Multimodal {
         }
         y += 1
       }
-      val sums = new Array[Long](4)
-      var p = 0
-      while (p < pix.length) { sums(p % 4) += pix(p) & 0xFF; p += 1 }
-      Some((w, h, sums))
+      Some((w, h, pix))
     } catch { case _: java.util.zip.DataFormatException => None }
   }
 
@@ -1178,6 +1187,152 @@ object Multimodal {
         }
       }
     }
+  }
+
+  // ======================================================================
+  // PERCEPTUAL image near-dup — difference hash (dHash) over the REAL
+  // decoders: the image-modality member of the dedup family. Byte-level
+  // dedup (exact digests) misses a re-encoded copy entirely — a PNG
+  // and its JPEG re-encode share not one payload byte — while the
+  // 64-bit dHash of both decodes to (nearly) the same bits, because it
+  // keys on the pixel GRADIENT structure the lossy round trip
+  // preserves. Pairing then follows the repo's LSH discipline: band
+  // the hash, equi-join on bands, exact Hamming check on candidates.
+  // ======================================================================
+
+  /** 64-bit difference hash of a decoded image: grayscale sampled on
+    * a 9×8 nearest-pixel grid (sampling, not block averaging — blocks
+    * go empty below 9×8 and the synthesized fixtures include 8-wide
+    * images), bit i = cell(x) < cell(x+1) row-major. Integer
+    * arithmetic end to end ⇒ deterministic everywhere. Classic dHash
+    * properties the spec pins: invariant under uniform brightness
+    * shift (comparisons unmoved), near-invariant under lossy
+    * re-encode (JPEG error ≪ real gradients), flipped by mirroring. */
+  private[graft] def dHash64(w: Int, h: Int, pix: Array[Byte],
+                             channels: Int): Long = {
+    val grid = Array.ofDim[Int](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val y = (gy * h) / 8
+      var gx = 0
+      while (gx < 9) {
+        val x = (gx * w) / 9
+        val p = (y * w + x) * channels
+        grid(gy)(gx) = ((pix(p) & 0xFF) + (pix(p + 1) & 0xFF) +
+          (pix(p + 2) & 0xFF)) / 3
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var i = 0
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        if (grid(yy)(xx) < grid(yy)(xx + 1)) hash |= (1L << i)
+        i += 1
+        xx += 1
+      }
+      yy += 1
+    }
+    hash
+  }
+
+  /** The decoded RGB pixels behind [[jpegPixelStats]], for the
+    * perceptual-hash path. */
+  private def jpegRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val rgb = new Array[Byte](w * h * 3)
+        var p = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x, y)
+            rgb(p) = ((px >> 16) & 0xFF).toByte
+            rgb(p + 1) = ((px >> 8) & 0xFF).toByte
+            rgb(p + 2) = (px & 0xFF).toByte
+            p += 3
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, rgb))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  final case class ImageHash(media_id: Long, dhash: Long)
+
+  /** Per-image perceptual hashes: png rows through the pure-JVM codec,
+    * jpg/jpeg rows through the JDK codec; every other format and any
+    * malformed payload quarantines (drops), never crashes. One decode
+    * per image, per-partition; output is two narrow columns. */
+  def imageDHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[MediaRaw].mapPartitions { batch =>
+      batch.flatMap { m =>
+        (m.format match {
+          case "png" => pngRgba(m.payload).map { case (w, h, p) => (w, h, p, 4) }
+          case "jpg" | "jpeg" =>
+            jpegRgb(m.payload).map { case (w, h, p) => (w, h, p, 3) }
+          case _ => None
+        }).map { case (w, h, p, c) =>
+          ImageHash(m.media_id, dHash64(w, h, p, c)) }
+      }
+    }
+  }
+
+  /** Perceptual near-dup image PAIRS — re-encoded, brightness-shifted
+    * or mildly recompressed copies that byte/exact dedup can never
+    * see: (media_a, media_b, hamming) for every pair whose dHash
+    * Hamming distance is ≤ `maxHamming`. The candidate screen is the
+    * repo's banding discipline with a PIGEONHOLE GUARANTEE: the hash
+    * splits into maxHamming + 1 equal bands, and any pair within the
+    * threshold leaves at least one band untouched — so the band
+    * equi-join is a LOSSLESS screen (no false negatives), and the
+    * exact `bit_count(a ^ b)` filter on candidates makes it exact.
+    * maxHamming + 1 must divide 64 (3 → 4×16-bit bands, the default).
+    *
+    * Reference: the dedup family anchor (etl/transform_sales.py:24),
+    * crossed into the image modality.
+    *
+    * Scale notes (100 TB): images decode ONCE (the hash relation is
+    * localCheckpointed before the self-join — decode dominates);
+    * candidates meet only on equal 16-bit bands. Degenerate corpora
+    * (many flat images → identical bands) concentrate buckets exactly
+    * like hot shingles — sample or pre-group exact-duplicate hashes
+    * first at that scale; the fixture's synthesized gradients spread
+    * fine. */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
+      s"maxHamming + 1 must divide 64 (0, 1, 3, 7, 15, 31, 63): $maxHamming")
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val hashes = imageDHashes(spark, media).toDF()
+      .localCheckpoint() // decode once; both join sides read the hashes
+    val banded = hashes.select(col("media_id"), col("dhash"),
+      posexplode(array((0 until bands).map(i =>
+        shiftrightunsigned(col("dhash"), i * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bh")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"),
+        col("a.dhash").as("_ha"), col("b.dhash").as("_hb"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(_ha ^ _hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_a"), col("media_b"), col("hamming"))
   }
 
   final case class AudioStats(media_id: Long, n_samples: Long,

@@ -362,6 +362,51 @@ class FunctionsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("image dHash: brightness-invariant, survives JPEG re-encode, pairs screen exactly") {
+    val (w, h) = (18, 12)
+    // strictly increasing horizontal gradient, 24 gray levels between
+    // sampled cells — ties impossible, JPEG error well under the step
+    def grad(channels: Int, base: Int, flip: Boolean) =
+      Array.tabulate(w * h * channels) { p =>
+        val x = (p / channels) % w
+        val gx = if (flip) w - 1 - x else x
+        (base + gx * 12).toByte
+      }
+    val media = Seq(
+        (1L, "png", Multimodal.encodePng(w, h, grad(4, 20, flip = false))),
+        // uniform +10 brightness: every comparison unmoved
+        (2L, "png", Multimodal.encodePng(w, h, grad(4, 30, flip = false))),
+        // the SAME picture through the lossy JDK JPEG codec
+        (3L, "jpg", Multimodal.encodeJpeg(w, h, grad(3, 20, flip = false))),
+        // mirrored: every gradient comparison flips
+        (4L, "png", Multimodal.encodePng(w, h, grad(4, 20, flip = true))),
+        // malformed payload: quarantined, never crashes the job
+        (5L, "png", Array[Byte](1, 2, 3)),
+        // non-image format: ignored by the hash path
+        (6L, "wav", Array[Byte](82, 73, 70, 70)))
+      .toDF("media_id", "format", "payload")
+    val hs = Multimodal.imageDHashes(spark, media).collect()
+      .map(m => m.media_id -> m.dhash).toMap
+    assert(hs.keySet == Set(1L, 2L, 3L, 4L),
+      s"png+jpg hash, malformed/other quarantine: ${hs.keySet}")
+    assert(hs(1L) == hs(2L), "uniform brightness shift must not move the hash")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(1L), hs(3L)) <= 3,
+      s"JPEG re-encode of the same picture must stay near: ${hamming(hs(1L), hs(3L))}")
+    assert(hamming(hs(1L), hs(4L)) >= 32,
+      s"a mirrored picture must land far: ${hamming(hs(1L), hs(4L))}")
+    // the pair op: lossless band screen + exact Hamming — the png, its
+    // brightness variant and its JPEG re-encode pair up; the mirror
+    // and the quarantined rows never do
+    val pairs = Multimodal.imageNearDupPairs(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"got $pairs")
+    assert(pairs((1L, 2L)) == 0L)
+    intercept[IllegalArgumentException](
+      Multimodal.imageNearDupPairs(spark, media, maxHamming = 4))
+  }
+
   test("jpeg pixel codec: real JDK DCT round trip — dims exact, content near, quarantine") {
     // solid color survives the lossy round trip almost exactly (flat DCT)
     val (w, h) = (16, 12)
