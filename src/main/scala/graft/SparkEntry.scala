@@ -1708,6 +1708,19 @@ object SparkEntry {
       ext.Multimodal.imageNearDupPairs(s,
         ext.Multimodal.validPngMedia(s, docs.unionByName(copies)).toDF())
     }),
+    // audio near-dups: the energy-gradient fingerprint on the fixture
+    // wavs, every 25th clip planted twice — copies pair at Hamming 0
+    // (gain-variant robustness is the spec's job). Rows-only
+    "q169_audio_near_dups" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val wavs = ext.Multimodal.mediaFromDocuments(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .filter(col("format") === "wav")
+      val copies = wavs.filter(col("media_id") % 25 === 0)
+        .select((col("media_id") + 5000000L).as("media_id"),
+          col("format"), col("payload"))
+      ext.Multimodal.audioNearDupPairs(s, wavs.unionByName(copies))
+    }),
   )
 
   // DuckDB expression for the stopword-hit count of one language.

@@ -1310,14 +1310,23 @@ object Multimodal {
     * first at that scale; the fixture's synthesized gradients spread
     * fine. */
   def imageNearDupPairs(spark: SparkSession, media: DataFrame,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3): DataFrame =
+    hammingPairs(imageDHashes(spark, media).toDF(), maxHamming)
+
+  /** The 64-bit-fingerprint pair core shared by the image and audio
+    * near-dup ops: band the hash into maxHamming + 1 equal slices
+    * (pigeonhole: a pair within the threshold always leaves one band
+    * untouched — the screen is LOSSLESS), equi-join on bands, exact
+    * `bit_count` Hamming on candidates. The hash relation is
+    * checkpointed so the (expensive) media decode behind it runs
+    * once for both join sides. */
+  private def hammingPairs(hashes0: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
       s"maxHamming + 1 must divide 64 (0, 1, 3, 7, 15, 31, 63): $maxHamming")
     val bands = maxHamming + 1
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val hashes = imageDHashes(spark, media).toDF()
-      .localCheckpoint() // decode once; both join sides read the hashes
+    val hashes = hashes0.localCheckpoint()
     val banded = hashes.select(col("media_id"), col("dhash"),
       posexplode(array((0 until bands).map(i =>
         shiftrightunsigned(col("dhash"), i * width).bitwiseAND(lit(mask))): _*))
@@ -1333,6 +1342,82 @@ object Multimodal {
         expr("bit_count(_ha ^ _hb)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("media_a"), col("media_b"), col("hamming"))
+  }
+
+  /** 64-bit ENERGY-GRADIENT fingerprint of a PCM stream — the audio
+    * analogue of [[dHash64]]: the samples split into 65 near-equal
+    * windows, each window's mean |amplitude| is its energy, and bit i
+    * = window i quieter than window i + 1. A uniform GAIN change
+    * scales every window energy by the same factor, so comparisons —
+    * and the hash — are invariant (the brightness-shift property);
+    * reversed or unrelated audio flips/randomizes the gradient.
+    * Streams shorter than 65 samples have no gradient to key on —
+    * quarantine (None). */
+  private[graft] def audioDHash64(b: Array[Byte]): Option[Long] =
+    wavDataRange(b).flatMap { case (off, len) =>
+      val n = len / 2
+      if (n < 65) None
+      else {
+        val energy = new Array[Double](65)
+        var wi = 0
+        while (wi < 65) {
+          val s = (wi * n) / 65
+          val e = ((wi + 1) * n) / 65
+          var sum = 0L
+          var k = s
+          while (k < e) {
+            sum += math.abs((((b(off + 2 * k + 1) & 0xFF) << 8) |
+              (b(off + 2 * k) & 0xFF)).toShort.toLong)
+            k += 1
+          }
+          energy(wi) = sum.toDouble / (e - s)
+          wi += 1
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (energy(i) < energy(i + 1)) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      }
+    }
+
+  /** Per-clip audio fingerprints over wav rows (other formats and
+    * malformed/short payloads quarantine). */
+  def audioDHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[MediaRaw].mapPartitions { batch =>
+      batch.filter(_.format == "wav").flatMap { m =>
+        audioDHash64(m.payload).map(ImageHash(m.media_id, _))
+      }
+    }
+  }
+
+  /** Perceptual near-dup AUDIO pairs — gain-adjusted or mildly
+    * re-processed copies byte dedup can't see; the [[hammingPairs]]
+    * discipline on [[audioDHash64]] fingerprints (same lossless band
+    * screen + exact Hamming). */
+  def audioNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 3): DataFrame =
+    hammingPairs(audioDHashes(spark, media).toDF(), maxHamming)
+
+  /** Encode mono 16-bit PCM samples as a minimal valid RIFF/WAVE
+    * payload (little-endian, rate 8000) — the controlled-content
+    * encoder the audio-fingerprint specs and synthetic fixtures use. */
+  private[graft] def encodeWav(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1).putShort(1) // PCM, mono
+    out.putInt(8000).putInt(16000) // rate, byte rate
+    out.putShort(2).putShort(16) // block align, bits
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
   }
 
   final case class AudioStats(media_id: Long, n_samples: Long,

@@ -407,6 +407,32 @@ class FunctionsSpec extends SparkSpec {
       Multimodal.imageNearDupPairs(spark, media, maxHamming = 4))
   }
 
+  test("audio fingerprint: gain-invariant, reversal lands far, short clips quarantine") {
+    // strictly rising amplitude ramp: window energies strictly
+    // increase, so the hash is all ones and every property is exact
+    val ramp = Array.tabulate(650)(k => (k * 40).toShort)
+    val media = Seq(
+        (1L, "wav", Multimodal.encodeWav(ramp)),
+        // exact half gain: every window energy scales together
+        (2L, "wav", Multimodal.encodeWav(ramp.map(s => (s / 2).toShort))),
+        // reversed: every energy comparison flips
+        (3L, "wav", Multimodal.encodeWav(ramp.reverse)),
+        // too short to carry a 64-step gradient: quarantined
+        (4L, "wav", Multimodal.encodeWav(Array.tabulate(10)(_.toShort))),
+        // non-audio rows are ignored by the audio path
+        (5L, "png", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "format", "payload")
+    val hs = Multimodal.audioDHashes(spark, media).collect()
+      .map(m => m.media_id -> m.dhash).toMap
+    assert(hs.keySet == Set(1L, 2L, 3L), hs.keySet.toString)
+    assert(hs(1L) == hs(2L), "uniform gain must not move the fingerprint")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) == 64,
+      "a reversed ramp flips every energy comparison")
+    val pairs = Multimodal.audioNearDupPairs(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 0L), s"got $pairs")
+  }
+
   test("jpeg pixel codec: real JDK DCT round trip — dims exact, content near, quarantine") {
     // solid color survives the lossy round trip almost exactly (flat DCT)
     val (w, h) = (16, 12)
