@@ -1721,6 +1721,19 @@ object SparkEntry {
           col("format"), col("payload"))
       ext.Multimodal.audioNearDupPairs(s, wavs.unionByName(copies))
     }),
+    // video near-dups: every 25th MJPEG clip planted twice — copies
+    // share every frame fingerprint (re-encode/trim robustness is the
+    // spec's job). Rows-only
+    "q170_video_near_dups" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val vids = ext.Multimodal.validMjpegMedia(s,
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))).toDF()
+      val copies = vids.filter(col("media_id") % 25 === 0)
+        .select((col("media_id") + 6000000L).as("media_id"),
+          col("format"), col("payload"))
+      ext.Multimodal.videoNearDupPairs(s, vids.unionByName(copies),
+        minSharedFrames = 1)
+    }),
   )
 
   // DuckDB expression for the stopword-hit count of one language.

@@ -1402,6 +1402,68 @@ object Multimodal {
                         maxHamming: Int = 3): DataFrame =
     hammingPairs(audioDHashes(spark, media).toDF(), maxHamming)
 
+  final case class VideoFrameHash(media_id: Long, frame_idx: Int, dhash: Long)
+
+  /** Per-FRAME perceptual fingerprints of MJPEG-in-MP4 videos: the
+    * box walk locates each sample's bytes, the JDK codec decodes it,
+    * [[dHash64]] fingerprints the pixels — the video member of the
+    * perceptual family (`every` subsamples frames, the
+    * [[videoFrameStats]] knob). Non-video rows and undecodable frames
+    * quarantine. */
+  def videoFrameHashes(spark: SparkSession, media: DataFrame,
+                       every: Int = 1): Dataset[VideoFrameHash] = {
+    import spark.implicits._
+    require(every >= 1, s"every must be >= 1: $every")
+    media.as[MediaRaw].mapPartitions { batch =>
+      batch.filter(m => m.format == "mp4" || m.format == "mov").flatMap { m =>
+        decodeMp4FrameRanges(m.payload).toSeq.flatMap { ranges =>
+          (0 until ranges.length by every).flatMap { k =>
+            val (off, len) = ranges(k)
+            jpegRgb(java.util.Arrays.copyOfRange(m.payload, off, off + len))
+              .map { case (w, h, p) =>
+                VideoFrameHash(m.media_id, k, dHash64(w, h, p, 3)) }
+          }
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-dup VIDEO pairs: videos sharing at least
+    * `minSharedFrames` DISTINCT frame fingerprints. Exact equality on
+    * the 64-bit frame hash is the join key on purpose — the dHash
+    * invariances (brightness, mild re-encode) already absorb the
+    * perturbation class at the FRAME level, so two videos count as
+    * near when enough of their frames look alike, even
+    * re-encoded/trimmed/reordered copies (the shared-fingerprint
+    * measure is order-free, like the winnow index). A
+    * Hamming-tolerant variant is the [[hammingPairs]] composition per
+    * frame, not a new core.
+    *
+    * Output: (media_a, media_b, n_shared_frames).
+    *
+    * Scale notes (100 TB): decode once (the frame-hash relation is
+    * checkpointed), equi-join on the 64-bit hash — candidates meet
+    * only on identical-looking frames; `every` bounds decode cost.
+    * Title cards / black frames shared across a catalog are the hot
+    * keys — cap or drop top-df hashes exactly like hot shingles at
+    * that scale. */
+  def videoNearDupPairs(spark: SparkSession, media: DataFrame,
+                        minSharedFrames: Int = 2,
+                        every: Int = 1): DataFrame = {
+    require(minSharedFrames >= 1,
+      s"minSharedFrames must be >= 1: $minSharedFrames")
+    val fh = videoFrameHashes(spark, media, every).toDF()
+      .select(col("media_id"), col("dhash")).distinct()
+      .localCheckpoint() // decode once; both join sides read hashes
+    fh.as("a").join(fh.as("b"),
+        col("a.dhash") === col("b.dhash") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .filter(col("n_shared_frames") >= minSharedFrames)
+  }
+
   /** Encode mono 16-bit PCM samples as a minimal valid RIFF/WAVE
     * payload (little-endian, rate 8000) — the controlled-content
     * encoder the audio-fingerprint specs and synthetic fixtures use. */

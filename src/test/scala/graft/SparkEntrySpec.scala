@@ -33,7 +33,8 @@ class SparkEntrySpec extends SparkSpec {
       "q143_loss_masked_sequences", "q146_projection_contamination",
       "q147_token_shard_audit", "q156_containment_index",
       "q160_token_shard_leakage", "q161_forget_documents",
-      "q168_image_near_dups", "q169_audio_near_dups"),
+      "q168_image_near_dups", "q169_audio_near_dups",
+      "q170_video_near_dups"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -433,6 +433,48 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs == Map((1L, 2L) -> 0L), s"got $pairs")
   }
 
+  test("video fingerprints: re-graded copies share every frame hash, partial overlap counts") {
+    val (w, h) = (18, 12)
+    // three structurally distinct frames: rising ramp (all-ones hash),
+    // falling ramp (all-zeros), rise-then-fall (half/half)
+    def frame(base: Int, shape: Int) = Multimodal.encodeJpeg(w, h,
+      Array.tabulate(w * h * 3) { p =>
+        val x = (p / 3) % w
+        val v = shape match {
+          case 0 => x * 12
+          case 1 => (w - 1 - x) * 12
+          case _ => if (x < 9) x * 24 else (17 - x) * 24
+        }
+        (base + v).toByte
+      })
+    def vid(base: Int, shapes: Seq[Int]) = Multimodal.encodeMjpegMp4(
+      w, h, timescale = 1000, duration = shapes.length * 40L,
+      frames = shapes.map(frame(base, _)))
+    val media = Seq(
+        (1L, "mp4", vid(20, Seq(0, 1, 2))),
+        // the SAME clip re-graded +10 brightness: every frame hash equal
+        (2L, "mp4", vid(30, Seq(0, 1, 2))),
+        // a clip sharing ONE look with clip 1
+        (3L, "mp4", vid(20, Seq(0))),
+        (4L, "mp4", Array[Byte](9, 9, 9))) // malformed: quarantined
+      .toDF("media_id", "format", "payload")
+    val fh = Multimodal.videoFrameHashes(spark, media).collect()
+    assert(fh.count(_.media_id == 1L) == 3)
+    assert(fh.filter(_.media_id == 1L).map(_.dhash).distinct.length == 3,
+      "the three shapes must fingerprint apart")
+    assert(!fh.exists(_.media_id == 4L))
+    val strict = Multimodal.videoNearDupPairs(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(strict == Map((1L, 2L) -> 3L), s"got $strict")
+    val loose = Multimodal.videoNearDupPairs(spark, media,
+        minSharedFrames = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(loose == Map((1L, 2L) -> 3L, (1L, 3L) -> 1L, (2L, 3L) -> 1L),
+      s"got $loose")
+    intercept[IllegalArgumentException](
+      Multimodal.videoNearDupPairs(spark, media, minSharedFrames = 0))
+  }
+
   test("jpeg pixel codec: real JDK DCT round trip — dims exact, content near, quarantine") {
     // solid color survives the lossy round trip almost exactly (flat DCT)
     val (w, h) = (16, 12)
