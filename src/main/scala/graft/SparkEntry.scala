@@ -1734,6 +1734,24 @@ object SparkEntry {
       ext.Multimodal.videoNearDupPairs(s, vids.unionByName(copies),
         minSharedFrames = 1)
     }),
+    // the perceptual INDEX route: the catalog's image hashes frozen
+    // once, planted re-identified copies probed against it — the
+    // steady-state media-ingest screen whose cost scales with the
+    // batch. Rows-only
+    "q171_perceptual_index" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val path = "/tmp/graft_q171_pidx_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ext.Multimodal.writePerceptualIndex(s,
+        ext.Multimodal.validPngMedia(s, docs).toDF(), path)
+      ext.Multimodal.perceptualPairsAgainstIndex(s,
+        ext.Multimodal.validPngMedia(s,
+          docs.filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+          .toDF(),
+        path)
+    }),
   )
 
   // DuckDB expression for the stopword-hit count of one language.

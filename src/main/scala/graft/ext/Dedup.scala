@@ -735,7 +735,7 @@ object Dedup {
     * corpus) rows and every other batch's. Fails loudly on a legacy
     * relation without the column — the index compactions migrate those
     * in place by backfilling the base-corpus NULL tag. */
-  private def excludeTagged(df: DataFrame, indexPath: String, rel: String,
+  private[ext] def excludeTagged(df: DataFrame, indexPath: String, rel: String,
                             excludeBatchId: Option[Long]): DataFrame =
     excludeBatchId match {
       case Some(b) =>
@@ -2280,7 +2280,7 @@ object Dedup {
     * must never become excludable; a row batch b introduced must stay
     * excludable by b). Legacy pre-tagging relations are MIGRATED in
     * place: every row backfilled with the base-corpus NULL tag. */
-  private def compactTaggedRelations(spark: org.apache.spark.sql.SparkSession,
+  private[ext] def compactTaggedRelations(spark: org.apache.spark.sql.SparkSession,
                                      path: String, rels: Seq[String]): Unit =
     rels.foreach { rel =>
       val rows = spark.read.parquet(s"$path/$rel")
@@ -3010,6 +3010,7 @@ object Dedup {
     val rels: Seq[(String, String)] = params.get("kind") match {
       case Some("containment") => Seq(("grams", "doc_id"))
       case Some("winnow") => Seq(("fps", "doc_id"), ("sizes", "doc_id"))
+      case Some("perceptual") => Seq(("hashes", "media_id"))
       case Some(k) =>
         throw new IllegalArgumentException(rebuildOnly.format(indexPath, k))
       case None if params.contains("bands") =>

@@ -1464,6 +1464,139 @@ object Multimodal {
       .filter(col("n_shared_frames") >= minSharedFrames)
   }
 
+  // ======================================================================
+  // Perceptual index ladder — the incremental contract every dedup
+  // family in this repo carries (write → against → append → ingest →
+  // compaction, batch-tag replay exclusion throughout), for 64-bit
+  // perceptual fingerprints: a media catalog's hashes freeze once,
+  // each ingest batch then screens for re-encoded/re-graded copies
+  // against the artifact without re-decoding the catalog. The stored
+  // relation is (media_id, dhash, batch_id) — hashes, never payloads;
+  // the MODALITY is artifact-owned (sidecar) so a probe can never
+  // band image hashes against audio hashes; maxHamming is an
+  // apply-time knob and deliberately NOT sidecar material (the
+  // dsirAlpha rule — the stored hashes don't depend on it).
+  // ======================================================================
+
+  private def perceptualParams(modality: String): Map[String, String] =
+    Map("kind" -> "perceptual", "modality" -> modality)
+
+  private def hashesOf(spark: SparkSession, media: DataFrame,
+                       modality: String): DataFrame =
+    modality match {
+      case "image" => imageDHashes(spark, media).toDF()
+      case "audio" => audioDHashes(spark, media).toDF()
+      case other => throw new IllegalArgumentException(
+        s"modality must be image or audio: $other")
+    }
+
+  /** Freeze a media catalog's perceptual fingerprints at `path`
+    * (hashes relation + params sidecar LAST — the standard write
+    * order). The decode cost is paid once per catalog version. */
+  def writePerceptualIndex(spark: SparkSession, media: DataFrame,
+                           path: String, modality: String = "image"): Unit = {
+    hashesOf(spark, media, modality)
+      .withColumn("batch_id", lit(null).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/hashes")
+    Dedup.writeParams(s"$path/params.properties", perceptualParams(modality))
+  }
+
+  /** Append a batch's fingerprints (sidecar validated BEFORE any
+    * write; `batchId` tags rows for replay exclusion; the modality
+    * comes from the ARTIFACT, never the caller). */
+  def appendPerceptualIndex(spark: SparkSession, media: DataFrame,
+                            path: String,
+                            batchId: Option[Long] = None): Unit = {
+    val side = s"$path/params.properties"
+    Dedup.requireParams(side, Map("kind" -> "perceptual"), "perceptual")
+    val modality = Dedup.readParam(side, "modality", "perceptual")
+    Dedup.requireTaggedRelation(spark, path, "hashes")
+    hashesOf(spark, media, modality)
+      .withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/hashes")
+  }
+
+  /** Near-dup pairs between a NEW media batch and the indexed catalog
+    * — the batch decodes, the catalog reads back as hashes; the
+    * pigeonhole band screen + exact Hamming, exactly [[hammingPairs]]
+    * across two relations. `excludeBatchId` drops index rows carrying
+    * that tag (the replay crash-window mechanism); duplicate stored
+    * rows from replayed appends collapse in the probe's distinct. */
+  def perceptualPairsAgainstIndex(spark: SparkSession, media: DataFrame,
+                                  indexPath: String, maxHamming: Int = 3,
+                                  excludeBatchId: Option[Long] = None)
+      : DataFrame = {
+    require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
+      s"maxHamming + 1 must divide 64 (0, 1, 3, 7, 15, 31, 63): $maxHamming")
+    val side = s"$indexPath/params.properties"
+    Dedup.requireParams(side, Map("kind" -> "perceptual"), "perceptual")
+    val modality = Dedup.readParam(side, "modality", "perceptual")
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    def banded(hashes: DataFrame, idAs: String, hashAs: String) =
+      hashes.select(col("media_id").as(idAs), col("dhash").as(hashAs),
+        posexplode(array((0 until bands).map(i =>
+          shiftrightunsigned(col("dhash"), i * width).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bh")))
+    val idx = banded(
+      Dedup.excludeTagged(spark.read.parquet(s"$indexPath/hashes"),
+          indexPath, "hashes", excludeBatchId)
+        .select(col("media_id"), col("dhash")).distinct(),
+      "media_a", "_ha")
+    val batch = banded(hashesOf(spark, media, modality), "media_b", "_hb")
+    idx.join(batch, Seq("band", "bh"))
+      // an absorbed item re-probed against the index would pair with
+      // its own stored row — a self-pair is never a duplicate verdict
+      .filter(col("media_a") =!= col("media_b"))
+      .select(col("media_a"), col("media_b"), col("_ha"), col("_hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(_ha ^ _hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+  }
+
+  /** One continuous-ingest perceptual-dedup cycle
+    * ([[graft.ext.Dedup.ingestDedupBatch]]'s contract on perceptual
+    * hashes): drop batch items near-dup to the indexed catalog or to
+    * an earlier batch item (lower id wins within the batch — the
+    * greedy first-wins policy), land survivors via `accept` BEFORE
+    * the index append (the crash-ordering rule), grow the index
+    * tagged with `batchId` so a replay reproduces its pre-append
+    * survivor set. */
+  def ingestPerceptualBatch(spark: SparkSession, media: DataFrame,
+                            indexPath: String, maxHamming: Int = 3,
+                            batchId: Option[Long] = None,
+                            accept: DataFrame => Unit = _ => ()): DataFrame = {
+    val batch = media.localCheckpoint()
+    val modality = Dedup.readParam(s"$indexPath/params.properties",
+      "modality", "perceptual")
+    val cross = perceptualPairsAgainstIndex(spark, batch, indexPath,
+      maxHamming, excludeBatchId = batchId)
+    val within = hammingPairs(hashesOf(spark, batch, modality), maxHamming)
+    val dropIds = cross.select(col("media_b").as("media_id"))
+      .unionByName(within.select(col("media_b").as("media_id")))
+      .distinct()
+    val survivors = batch.join(dropIds, Seq("media_id"), "left_anti")
+      .localCheckpoint() // materialize BEFORE the append mutates the index
+    accept(survivors)
+    appendPerceptualIndex(spark, survivors, indexPath, batchId)
+    survivors
+  }
+
+  /** Compact an appended perceptual index (earliest-tag/NULL-wins
+    * provenance, legacy migration — the shared tagged-relation rule;
+    * probe results unchanged: the probe distinct-collapses anyway). */
+  def compactPerceptualIndex(spark: SparkSession, path: String): Unit = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/params.properties")),
+      s"no index at $path")
+    Dedup.compactTaggedRelations(spark, path, Seq("hashes"))
+  }
+
   /** Encode mono 16-bit PCM samples as a minimal valid RIFF/WAVE
     * payload (little-endian, rate 8000) — the controlled-content
     * encoder the audio-fingerprint specs and synthetic fixtures use. */

@@ -270,6 +270,32 @@ object EventStream {
         }
       }
 
+  /** Streaming perceptual-dedup ingest — `ingestDedupStream` on media
+    * fingerprints: each micro-batch of (media_id, format, payload)
+    * rows screens against the on-disk perceptual index
+    * ([[graft.ext.Multimodal.ingestPerceptualBatch]] — re-encoded/
+    * re-graded copies of indexed media drop, plus within-batch
+    * near-dups), survivors land under `acceptedPath/batch_id=N`, and
+    * the index grows by exactly those survivors' hashes. The standard
+    * crash-window contract (own-tag-excluded probe + batch-keyed
+    * overwrite = effectively exactly-once). */
+  def ingestPerceptualStream(media: DataFrame, indexPath: String,
+                             acceptedPath: String, checkpoint: String,
+                             maxHamming: Int = 3): DataStreamWriter[Row] =
+    media.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Multimodal.ingestPerceptualBatch(batch.sparkSession,
+            batch, indexPath, maxHamming, batchId = Some(batchId),
+            accept = _.write.mode(SaveMode.Overwrite)
+              .parquet(s"$acceptedPath/batch_id=$batchId"))
+          ()
+        }
+      }
+
   /** Streaming passage-level dedup ingest — the passage-granular twin
     * of `ingestDedupStream`: each micro-batch is stripped against the
     * accumulated on-disk window-hash index

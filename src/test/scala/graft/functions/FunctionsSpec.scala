@@ -475,6 +475,64 @@ class FunctionsSpec extends SparkSpec {
       Multimodal.videoNearDupPairs(spark, media, minSharedFrames = 0))
   }
 
+  test("perceptual index ladder: probe, greedy ingest, replay exclusion, compaction, forget") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx").toString
+    val (w, h) = (18, 12)
+    def png(base: Int, shape: Int) = Multimodal.encodePng(w, h,
+      Array.tabulate(w * h * 4) { p =>
+        val x = (p / 4) % w
+        val v = shape match {
+          case 0 => x * 12
+          case 1 => (w - 1 - x) * 12
+          case _ => if (x < 9) x * 24 else (17 - x) * 24
+        }
+        (base + v).toByte
+      })
+    val catalog = Seq((1L, "png", png(20, 0)), (2L, "png", png(20, 1)))
+      .toDF("media_id", "format", "payload")
+    Multimodal.writePerceptualIndex(spark, catalog, s"$dir/p")
+    val batch = Seq(
+        (10L, "png", png(30, 0)),  // re-grade of indexed 1 — drops
+        (11L, "png", png(20, 2)),  // new look — survives
+        (12L, "png", png(30, 2)))  // within-batch re-grade of 11 — drops
+      .toDF("media_id", "format", "payload")
+    def probe(excl: Option[Long] = None) =
+      Multimodal.perceptualPairsAgainstIndex(spark, batch, s"$dir/p",
+          excludeBatchId = excl)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val pre = probe()
+    assert(pre == Map((1L, 10L) -> 0L), s"got $pre")
+    var accepted = Set.empty[Long]
+    val survivors = Multimodal.ingestPerceptualBatch(spark, batch, s"$dir/p",
+        batchId = Some(7L),
+        accept = d => accepted = d.collect().map(_.getLong(0)).toSet)
+      .select("media_id").as[Long].collect().toSet
+    assert(survivors == Set(11L) && accepted == Set(11L),
+      s"greedy first-wins: $survivors / $accepted")
+    // replay view: excluding the batch's own tag reproduces pre-append
+    assert(probe(Some(7L)) == pre)
+    // without exclusion the absorbed 11 now catches its re-grade
+    assert(probe().keySet == Set((1L, 10L), (11L, 12L)), probe().toString)
+    // a replayed append duplicates rows; probes tolerate, compaction
+    // collapses, results unchanged
+    val survMedia = batch.filter($"media_id" === 11L)
+    Multimodal.appendPerceptualIndex(spark, survMedia, s"$dir/p", Some(7L))
+    val dupCount = spark.read.parquet(s"$dir/p/hashes").count()
+    Multimodal.compactPerceptualIndex(spark, s"$dir/p")
+    assert(spark.read.parquet(s"$dir/p/hashes").count() < dupCount)
+    assert(probe().keySet == Set((1L, 10L), (11L, 12L)))
+    // right to be forgotten reaches the perceptual kind
+    graft.ext.Dedup.forgetDocuments(spark, s"$dir/p",
+      Seq(Tuple1(1L)).toDF("media_id"))
+    assert(probe().keySet == Set((11L, 12L)), probe().toString)
+    // a rejected append must not create an artifact
+    intercept[Exception](
+      Multimodal.appendPerceptualIndex(spark, survMedia, s"$dir/nope"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/nope/hashes")))
+  }
+
   test("jpeg pixel codec: real JDK DCT round trip — dims exact, content near, quarantine") {
     // solid color survives the lossy round trip almost exactly (flat DCT)
     val (w, h) = (16, 12)

@@ -20,6 +20,7 @@ class EventStreamSpec extends SparkSpec {
                     n_events: Long, value_sum: Double)
 
   case class IngestDoc(doc_id: Long, text: String)
+  case class MediaRow(media_id: Long, format: String, payload: Array[Byte])
 
   case class SourcedDoc(doc_id: Long, text: String, source: String)
 
@@ -620,6 +621,48 @@ class EventStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(batchSurvivors == accepted.toSet,
       s"stream survivors must equal the batch chain's: $batchSurvivors")
+  }
+
+  test("perceptual ingest stream drops re-graded copies of indexed media, replays exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_pidx").toString
+    val (w, h) = (18, 12)
+    def png(base: Int, shape: Int) = graft.ext.Multimodal.encodePng(w, h,
+      Array.tabulate(w * h * 4) { p =>
+        val x = (p / 4) % w
+        val v = if (shape == 0) x * 12
+          else if (x < 9) x * 24 else (17 - x) * 24
+        (base + v).toByte
+      })
+    graft.ext.Multimodal.writePerceptualIndex(spark,
+      Seq((1L, "png", png(20, 0))).toDF("media_id", "format", "payload"),
+      s"$dir/idx")
+    val mem = MemoryStream[MediaRow]
+    def drain(): Unit = {
+      val q = EventStream.ingestPerceptualStream(mem.toDF(), s"$dir/idx",
+        s"$dir/accepted", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // 10 is a +10 re-grade of the indexed catalog item; 11 is new
+    mem.addData(MediaRow(10L, "png", png(30, 0)),
+      MediaRow(11L, "png", png(20, 1)))
+    drain()
+    // crash window: replay the batch — own-tag-excluded probe +
+    // batch-keyed overwrite make the rerun byte-identical
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("media_id").as[Long].collect().toList.sorted
+    assert(accepted == List(11L),
+      s"the re-grade must drop and the keeper land exactly once: $accepted")
+    // the absorbed keeper's hash is in the index, tagged with batch 0
+    val idx = spark.read.parquet(s"$dir/idx/hashes")
+      .select("media_id").as[Long].collect().toSet
+    assert(idx == Set(1L, 11L), idx.toString)
   }
 
   test("curation stream applies stateless hygiene, honors sketch params, replays exactly once") {
