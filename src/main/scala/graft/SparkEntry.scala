@@ -1752,6 +1752,11 @@ object SparkEntry {
           .toDF(),
         path)
     }),
+    // within-session transition census: the first-order Markov table
+    // under exactly the session gap rule — counts exact, share one
+    // division
+    "q172_session_transitions" -> ((s, dir) =>
+      ext.Events.sessionTransitions(Tables.events(s, dir))),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -4127,6 +4132,25 @@ object SparkEntry {
         |       WHEN rn <= (n * 90) // 100 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM r""".stripMargin,
+    // transition census: the q121 lag shape, pairs kept at <= the gap
+    // (the strict-> split rule's complement), share = one division
+    "q172_session_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_ts,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |t AS (SELECT prev_type AS from_type, event_type AS to_type
+        |      FROM e WHERE prev_ts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(prev_ts) <= 1800000000),
+        |c AS (SELECT from_type, to_type,
+        |        CAST(COUNT(*) AS BIGINT) AS n_transitions
+        |      FROM t GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_transitions) AS BIGINT) AS tt FROM c)
+        |SELECT from_type, to_type, n_transitions,
+        |  ROUND(n_transitions / CAST(tt AS DOUBLE), 6) AS share
+        |FROM c CROSS JOIN tot""".stripMargin,
     // gap hours: integer-division buckets (positive epochs — floor and
     // truncate agree), per-type generate_series span, NOT EXISTS screen
     "q166_feed_gaps" ->

@@ -231,6 +231,44 @@ object Events {
           col("n_sessions").cast("double"), 6).as("mean_session_us"))
   }
 
+  /** Within-session event TRANSITION census — the first-order Markov
+    * table behavior analysis starts from ("what do users do right
+    * after a click?"): for every ordered (from_type, to_type) pair,
+    * the count of consecutive same-user events at most the session
+    * gap apart, and its share of all transitions. The gap rule is
+    * [[sessionIntervals]]' exactly (an event AT the gap boundary is
+    * in-session — the pinned strict-> split), so the census and the
+    * session table agree on what "consecutive" means. Counts exact
+    * longs, share ONE exact division rounded 6dp ⇒ oracle-hashed
+    * (q172).
+    *
+    * Output: (from_type, to_type, n_transitions, share).
+    *
+    * Reference: the per-entity rollup family (load_sales_mart.py:54-66)
+    * pointed at event ORDER, which the reference's aggregates discard.
+    *
+    * Scale notes (100 TB): one user-partitioned lag window (the
+    * sessionization exchange) then a map-side-combined aggregate onto
+    * the enum² transition relation; the total is a one-row aggregate
+    * of that relation — the corpus is scanned once. */
+  def sessionTransitions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .withColumn("_pt", lag(col("ts"), 1).over(w))
+      .withColumn("_pe", lag(col("event_type"), 1).over(w))
+      .filter(col("_pt").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("_pt")) <= gapUs)
+      .groupBy(col("_pe").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .localCheckpoint() // enum²-sized; the total must not re-scan events
+    counts.crossJoin(broadcast(
+        counts.agg(sum(col("n_transitions")).as("_tot"))))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        round(col("n_transitions").cast("double") /
+          col("_tot").cast("double"), 6).as("share"))
+  }
+
   /** Feed GAP report — the missing-data complement of
     * [[volumeAnomaly]] (volume flags too-much/too-little; this flags
     * NOTHING-AT-ALL): per event type, every whole hour between the

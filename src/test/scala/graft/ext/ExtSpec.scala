@@ -3253,6 +3253,33 @@ class ExtSpec extends SparkSpec {
     assert(out(2L) == (("en", 0L, 0L, 0L, 1)), s"got ${out(2L)}")
   }
 
+  test("sessionTransitions: hand-computed Markov counts, boundary event stays in-session") {
+    val m = 60000000L // one minute in micros
+    val ev = Seq(
+        // user 1: click → view (1 min), view → click (EXACTLY 30 min —
+        // in-session, the strict-> split rule), click →X→ view (31 min
+        // — a new session, no transition)
+        (1L, 1L, "click", 0L), (2L, 1L, "view", 1 * m),
+        (3L, 1L, "click", 31 * m), (4L, 1L, "view", 62 * m),
+        // user 2: click → click (1 min); a lone first event transitions
+        // from nothing
+        (5L, 2L, "click", 0L), (6L, 2L, "click", 1 * m))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val out = Events.sessionTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("click", "view") -> ((1L, 0.333333)),
+      ("view", "click") -> ((1L, 0.333333)),
+      ("click", "click") -> ((1L, 0.333333))), s"got $out")
+    // a tighter gap splits the boundary pair out
+    val tight = Events.sessionTransitions(ev, gapMinutes = 29).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tight == Map(("click", "view") -> 1L, ("click", "click") -> 1L),
+      s"got $tight")
+  }
+
   test("feedGapReport: missing whole hours inside each type's span, empty when dense") {
     val ev = Seq(
         (1L, "a", 100L),                    // hour 0
