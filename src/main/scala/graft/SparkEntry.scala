@@ -1757,6 +1757,10 @@ object SparkEntry {
     // division
     "q172_session_transitions" -> ((s, dir) =>
       ext.Events.sessionTransitions(Tables.events(s, dir))),
+    // time-to-return: power-of-two histogram of inter-session gaps —
+    // exact bit-length bucketing, counts exact, share one division
+    "q173_return_gaps" -> ((s, dir) =>
+      ext.Events.returnGapHistogram(Tables.events(s, dir))),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -4151,6 +4155,23 @@ object SparkEntry {
         |SELECT from_type, to_type, n_transitions,
         |  ROUND(n_transitions / CAST(tt AS DOUBLE), 6) AS share
         |FROM c CROSS JOIN tot""".stripMargin,
+    // return gaps off the SAME iv relation (the factored rule): lag of
+    // the previous session's last event, minutes div, bin-length bucket
+    "q173_return_gaps" ->
+      (s"""WITH $SessionIvCtes,
+        |g AS (SELECT user_id, session_id, start_us,
+        |        lag(last_us) OVER (PARTITION BY user_id
+        |          ORDER BY session_id) AS prev_end
+        |      FROM iv),
+        |b AS (SELECT CAST(length(bin((start_us - prev_end) // 60000000))
+        |        AS BIGINT) AS bucket
+        |      FROM g WHERE prev_end IS NOT NULL),
+        |c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps
+        |      FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_gaps) AS BIGINT) AS tt FROM c)
+        |SELECT bucket, CAST(power(2, bucket - 1) AS BIGINT) AS min_minutes,
+        |  n_gaps, ROUND(n_gaps / CAST(tt AS DOUBLE), 6) AS share
+        |FROM c CROSS JOIN tot""").stripMargin,
     // gap hours: integer-division buckets (positive epochs — floor and
     // truncate agree), per-type generate_series span, NOT EXISTS screen
     "q166_feed_gaps" ->

@@ -269,6 +269,47 @@ object Events {
           col("_tot").cast("double"), 6).as("share"))
   }
 
+  /** Time-to-RETURN distribution — the power-of-two histogram of the
+    * gaps between a user's consecutive sessions (next session's first
+    * event minus the previous session's last): the retention signal
+    * behind "do users come back in an hour, a day, a week". Buckets
+    * are the exact bit length of the gap in whole MINUTES (the
+    * [[TextAnalysis.lengthHistogram]] trick — integer `div` then
+    * bin-length, bit-exact on both engines where floor(log2) through
+    * doubles is not); every gap exceeds the session gap by
+    * construction, so the first possible bucket is bin(gapMinutes).
+    * Counts exact, share ONE division ⇒ oracle-hashed (q173).
+    *
+    * Output: (bucket, min_minutes, n_gaps, share) — `min_minutes` =
+    * 2^(bucket−1), the bucket's inclusive lower edge.
+    *
+    * Reference: the retention rollup family (load_sales_mart.py:54-66)
+    * pointed BETWEEN sessions instead of inside them.
+    *
+    * Scale notes (100 TB): [[sessionIntervals]]' user-partitioned
+    * window, a second lag over the session-sized relation (same
+    * partitioning — no new exchange class), then a ≤64-bucket
+    * map-side-combined aggregate. */
+  def returnGapHistogram(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val s = sessionIntervals(events, gapMinutes)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_id"))
+    val counts = s
+      .withColumn("_prev_end",
+        lag(unix_micros(col("last_event_ts")), 1).over(w))
+      .filter(col("_prev_end").isNotNull)
+      .select(length(bin(expr(
+          "(session_start_us - _prev_end) div 60000000")))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_gaps"))
+      .localCheckpoint() // ≤64 rows; the total must not re-derive sessions
+    counts.crossJoin(broadcast(counts.agg(sum(col("n_gaps")).as("_tot"))))
+      .select(col("bucket"),
+        pow(lit(2.0), col("bucket") - 1).cast("long").as("min_minutes"),
+        col("n_gaps"),
+        round(col("n_gaps").cast("double") / col("_tot").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Feed GAP report — the missing-data complement of
     * [[volumeAnomaly]] (volume flags too-much/too-little; this flags
     * NOTHING-AT-ALL): per event type, every whole hour between the

@@ -3280,6 +3280,27 @@ class ExtSpec extends SparkSpec {
       s"got $tight")
   }
 
+  test("returnGapHistogram: hand-computed buckets over inter-session gaps") {
+    val m = 60000000L
+    val ev = Seq(
+        // user 1: sessions {0..1min}, {41min}, {41min + 3h} — return
+        // gaps 40 min (bucket len bin(40)=6 → [32, 63]) and 180 min
+        // (bin(180) len 8 → [128, 255])
+        (1L, 1L, 0L), (2L, 1L, 1 * m), (3L, 1L, 41 * m),
+        (4L, 1L, 221 * m),
+        // user 2: one session only — no gap rows
+        (5L, 2L, 0L))
+      .toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+      .withColumn("event_type", lit("click"))
+    val out = Events.returnGapHistogram(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out == Map(
+      6L -> ((32L, 1L, 0.5)),
+      8L -> ((128L, 1L, 0.5))), s"got $out")
+  }
+
   test("feedGapReport: missing whole hours inside each type's span, empty when dense") {
     val ev = Seq(
         (1L, "a", 100L),                    // hour 0
