@@ -256,6 +256,9 @@ object DataQuality {
     * n_null_b, null_frac_shift, n_distinct_a, n_distinct_b,
     * distinct_ratio).
     *
+    * Reference: the schema re-application step (load_sales_history.py
+    * :60-88), turned from silent coercion into an audited diff.
+    *
     * Scale notes: profiles are columns-sized — everything here is
     * metadata arithmetic; the corpus was scanned by the profiles. */
   def profileDiff(profA: DataFrame, profB: DataFrame): DataFrame = {
@@ -300,7 +303,12 @@ object DataQuality {
     * mergeable (two batches' distinct counts don't sum), so any
     * "append" would silently corrupt exactly the cell schema drift
     * monitoring most needs — re-snapshot at mart cadence (the
-    * winsorize-bounds discipline). */
+    * winsorize-bounds discipline).
+    *
+    * Reference: the persisted validation state of the reference's
+    * pre-publish checks (load_sales_history.py:241-246), generalized
+    * from one row count to a full column profile. Scale: the artifact
+    * is columns-sized; writing it costs one [[columnProfile]] pass. */
   def writeColumnProfileSnapshot(df: DataFrame, numericCols: Seq[String],
                                  stringCols: Seq[String],
                                  path: String): Unit = {

@@ -2937,8 +2937,10 @@ object Dedup {
   def ensureContainmentIndex(docs: DataFrame, cacheRoot: String,
                              sourcePath: String, n: Int = 3,
                              variant: String = ""): String = {
+    // every key field '_'-separated (the pinned Embedding cache-key
+    // rule): "cont31" must never collide with "cont3" + variant "1"
     val idx = java.nio.file.Paths.get(cacheRoot,
-      s"cont${n}${variant}_${Similarity.pathFingerprint(sourcePath)}")
+      s"cont${n}_${variant}_${Similarity.pathFingerprint(sourcePath)}")
     Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
       writeContainmentIndex(docs, tmp, n))
     idx.toString
@@ -2971,22 +2973,27 @@ object Dedup {
     *
     *   - Per-document row-level indexes — MinHash (`buckets`/
     *     `shingles`), winnow (`fps`/`sizes`), containment (`grams`),
-    *     canonical (`best`, id column sidecar-owned), semantic
-    *     (`cells`/`vectors`, keyed `vec_id`) — drop the ids' rows via
-    *     anti-join, stage-then-swap per relation (a crash leaves the
-    *     previous complete index), batch tags untouched (surviving
-    *     rows keep their replay provenance). The semantic index's
-    *     CENTROIDS stay as trained (they partition the space; no probe
-    *     can return a deleted vector through them) — retrain at
-    *     rebuild cadence if even aggregate geometry must go.
+    *     perceptual (`hashes`), semantic (`cells`/`vectors`, keyed
+    *     `vec_id`) — drop the ids' rows via anti-join,
+    *     stage-then-swap per relation (a crash leaves the previous
+    *     complete index), batch tags untouched (surviving rows keep
+    *     their replay provenance). The semantic index's CENTROIDS
+    *     stay as trained (they partition the space; no probe can
+    *     return a deleted vector through them) — retrain at rebuild
+    *     cadence if even aggregate geometry must go.
     *   - Everything else REFUSES loudly: Bloom/HLL/CMS sketches
     *     cannot unlearn by construction, count/model profiles
     *     (unigram/bigram/trigram, length/volume/DSIR/reputation,
     *     quality weights, BPE merges, winsorize bounds) aggregate the
-    *     ids away, and passage/token-sequence layouts key on content
-    *     windows that are not doc-attributable — for all of these the
-    *     only sound takedown is a REBUILD from the retained corpus
-    *     (the Bloom-rebuild discipline; pretending to forget would be
+    *     ids away, passage/token-sequence layouts key on content
+    *     windows that are not doc-attributable, and the CANONICAL
+    *     index stores only each key's WINNER — deleting a winner's
+    *     row would erase the key outright where "as if never indexed"
+    *     demands the runner-up be stored in its place, and the
+    *     runner-up is not in the artifact (a forget is a per-key
+    *     re-election = a rebuild). For all of these the only sound
+    *     takedown is a REBUILD from the retained corpus (the
+    *     Bloom-rebuild discipline; pretending to forget would be
     *     worse than refusing).
     *
     * Mutation serializes on the artifact's exclusive lock (the
@@ -3018,7 +3025,13 @@ object Dedup {
       case None if params.contains("nCells") =>
         Seq(("cells", "vec_id"), ("vectors", "vec_id"))
       case None if params.contains("idCol") && params.contains("key") =>
-        Seq(("best", params("idCol")))
+        // canonical: per-key WINNER state — deleting a winner erases
+        // the key where the contract demands the (unstored) runner-up
+        // take its place; a forget is a per-key re-election = rebuild
+        throw new IllegalArgumentException(
+          s"canonical index at $indexPath stores only per-key winners " +
+            "— forgetting a winner cannot restore the runner-up it " +
+            "displaced; rebuild the index from the retained corpus")
       case None =>
         throw new IllegalArgumentException(
           rebuildOnly.format(indexPath,

@@ -291,6 +291,10 @@ object Events {
     * partitioning — no new exchange class), then a ≤64-bucket
     * map-side-combined aggregate. */
   def returnGapHistogram(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    // gapMinutes = 0 would admit sub-minute gaps whose whole-minute
+    // value is 0 — bin(0) has length 1, breaking the [2^(b−1), 2^b−1]
+    // bracket the report promises
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1: $gapMinutes")
     val s = sessionIntervals(events, gapMinutes)
     val w = Window.partitionBy(col("user_id")).orderBy(col("session_id"))
     val counts = s

@@ -1529,11 +1529,26 @@ object Multimodal {
                                   indexPath: String, maxHamming: Int = 3,
                                   excludeBatchId: Option[Long] = None)
       : DataFrame = {
-    require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
-      s"maxHamming + 1 must divide 64 (0, 1, 3, 7, 15, 31, 63): $maxHamming")
     val side = s"$indexPath/params.properties"
     Dedup.requireParams(side, Map("kind" -> "perceptual"), "perceptual")
     val modality = Dedup.readParam(side, "modality", "perceptual")
+    pairsAgainstIndexFromHashes(spark, hashesOf(spark, media, modality),
+      indexPath, maxHamming, excludeBatchId)
+  }
+
+  /** [[perceptualPairsAgainstIndex]] on a PRE-COMPUTED hash relation —
+    * the decode-once seam [[ingestPerceptualBatch]] needs: the batch
+    * decodes once, and the probe, the within-batch pairs and the
+    * append all read the same checkpointed hashes. */
+  private def pairsAgainstIndexFromHashes(spark: SparkSession,
+                                          batchHashes: DataFrame,
+                                          indexPath: String, maxHamming: Int,
+                                          excludeBatchId: Option[Long])
+      : DataFrame = {
+    require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
+      s"maxHamming + 1 must divide 64 (0, 1, 3, 7, 15, 31, 63): $maxHamming")
+    Dedup.requireParams(s"$indexPath/params.properties",
+      Map("kind" -> "perceptual"), "perceptual")
     val bands = maxHamming + 1
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
@@ -1547,7 +1562,7 @@ object Multimodal {
           indexPath, "hashes", excludeBatchId)
         .select(col("media_id"), col("dhash")).distinct(),
       "media_a", "_ha")
-    val batch = banded(hashesOf(spark, media, modality), "media_b", "_hb")
+    val batch = banded(batchHashes, "media_b", "_hb")
     idx.join(batch, Seq("band", "bh"))
       // an absorbed item re-probed against the index would pair with
       // its own stored row — a self-pair is never a duplicate verdict
@@ -1574,16 +1589,26 @@ object Multimodal {
     val batch = media.localCheckpoint()
     val modality = Dedup.readParam(s"$indexPath/params.properties",
       "modality", "perceptual")
-    val cross = perceptualPairsAgainstIndex(spark, batch, indexPath,
+    // decode ONCE: the probe, the within-batch pairs and the append
+    // all read this one checkpointed hash relation (decode dominates —
+    // the SCALE.md invariant)
+    val batchHashes = hashesOf(spark, batch, modality).localCheckpoint()
+    val cross = pairsAgainstIndexFromHashes(spark, batchHashes, indexPath,
       maxHamming, excludeBatchId = batchId)
-    val within = hammingPairs(hashesOf(spark, batch, modality), maxHamming)
+    val within = hammingPairs(batchHashes, maxHamming)
     val dropIds = cross.select(col("media_b").as("media_id"))
       .unionByName(within.select(col("media_b").as("media_id")))
       .distinct()
     val survivors = batch.join(dropIds, Seq("media_id"), "left_anti")
       .localCheckpoint() // materialize BEFORE the append mutates the index
     accept(survivors)
-    appendPerceptualIndex(spark, survivors, indexPath, batchId)
+    Dedup.requireTaggedRelation(spark, indexPath, "hashes")
+    batchHashes.join(survivors.select(col("media_id")), Seq("media_id"),
+        "left_semi")
+      .withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexPath/hashes")
     survivors
   }
 

@@ -873,6 +873,9 @@ object Sampling {
     * Bloom-rebuild discipline, strengthened from "shrink needs
     * rebuild" to "any change needs rebuild").
     *
+    * Reference: the mart's persisted recode bounds
+    * (etl/transform_sales.py:31-37), distribution-derived and frozen.
+    *
     * Scale notes (100 TB): one [[scoreQuantiles]] sort of the narrow
     * (group, score) projection at calibration time; the artifact is
     * groups×2 values, and application is a broadcast join — the
@@ -894,7 +897,9 @@ object Sampling {
     * stored≡live pattern): both routes reduce to [[applyBounds]] over
     * the same bound values (doubles round-trip parquet exactly).
     * Score/group columns come from the SIDECAR, never from the caller;
-    * groups unseen at calibration pass through un-clamped. */
+    * groups unseen at calibration pass through un-clamped.
+    * Reference: etl/transform_sales.py:31-37, the apply side. Scale:
+    * a bounds-sized artifact read + one broadcast join per batch. */
   def winsorizeScoresAgainstBounds(spark: org.apache.spark.sql.SparkSession,
                                    scored: DataFrame, idCol: String,
                                    path: String): DataFrame = {
@@ -922,6 +927,9 @@ object Sampling {
     * Output: (idCol, stage, epoch, shard, position) — stage 1-based
     * (1 = lowest scores), position 1-based within its (epoch, shard).
     *
+    * Reference: the reference's fixed processing order
+    * (load_sales_history.py:131-141), made difficulty-aware.
+    *
     * Scale notes (100 TB): one [[scoreQuantiles]] sort of the narrow
     * score projection for the (nStages−1)-sized boundary collect
     * (enum-sized driver metadata, the centroid convention), then
@@ -945,11 +953,7 @@ object Sampling {
       case (acc, (b, i)) =>
         when(col(scoreCol) > lit(b), lit(i + 2)).otherwise(acc)
     }
-    val shard = conv(substring(md5(concat(lit(salt),
-        col(idCol).cast("string"))), 1, 8), 16, 10)
-      .cast("long") % shards
-    val ordKey = md5(concat(lit(salt), col("epoch").cast("string"),
-      lit(":"), col(idCol).cast("string")))
+    val (shard, ordKey) = epochShardKey(idCol, salt, shards)
     scored.select(col(idCol), stage.cast("long").as("stage"))
       .select(col(idCol), col("stage"),
         explode(sequence(lit(0L), lit(nEpochs - 1L))).as("epoch"))
@@ -982,16 +986,23 @@ object Sampling {
     * so each per-shard sort stays executor-sized. Epochs multiply rows
     * nEpochs× — callers order one epoch at a time when materializing
     * (`nEpochs = 1` + epoch-specific salt composes identically). */
+  /** The content-addressed (shard, within-epoch order key) pair shared
+    * by [[epochDataOrder]] and [[curriculumEpochOrder]] — factored so
+    * the spec-pinned nStages=1 ≡ epochDataOrder collapse can never
+    * drift out of sync through divergent copies of the md5 recipes. */
+  private def epochShardKey(idCol: String, salt: String,
+                            shards: Int): (Column, Column) = (
+    conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long") % shards,
+    md5(concat(lit(salt), col("epoch").cast("string"),
+      lit(":"), col(idCol).cast("string"))))
+
   def epochDataOrder(df: DataFrame, idCol: String, nEpochs: Int,
                      shards: Int = 8,
                      salt: String = "graft.epoch.v1"): DataFrame = {
     require(nEpochs >= 1, "nEpochs must be >= 1")
     require(shards >= 1, "shards must be >= 1")
-    val shard = conv(substring(md5(concat(lit(salt),
-        col(idCol).cast("string"))), 1, 8), 16, 10)
-      .cast("long") % shards
-    val ordKey = md5(concat(lit(salt), col("epoch").cast("string"),
-      lit(":"), col(idCol).cast("string")))
+    val (shard, ordKey) = epochShardKey(idCol, salt, shards)
     df.select(col(idCol),
         explode(sequence(lit(0L), lit(nEpochs - 1L))).as("epoch"))
       .withColumn("shard", shard)

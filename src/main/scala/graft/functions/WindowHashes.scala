@@ -51,9 +51,19 @@ case class TokenWindowHashes(child: Expression, windowTokens: Int)
 }
 
 object WindowHashes {
-  /** Kernel (called from generated code): one O(n·k) pass. */
+  /** Kernel (called from generated code): one O(n·k) pass. NULL
+    * elements fail loudly — `getLong` would silently read a NULL slot
+    * as 0 and alias it to a literal 0 id, fabricating shared windows
+    * on doctored/outer-joined inputs. */
   def hashes(ids: ArrayData, k: Int): ArrayData = {
     val n = ids.numElements()
+    var c = 0
+    while (c < n) {
+      if (ids.isNullAt(c)) throw new IllegalArgumentException(
+        s"token_window_hashes: NULL token id at position $c — NULL " +
+          "would alias to id 0 and fabricate shared windows")
+      c += 1
+    }
     val m = n - k + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](m)

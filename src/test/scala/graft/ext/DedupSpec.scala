@@ -1465,11 +1465,14 @@ class DedupSpec extends SparkSpec {
     Dedup.forgetDocuments(spark, s"$dir/cont", ids1)
     assert(spark.read.parquet(s"$dir/cont/grams")
       .select("doc_id").as[Long].collect().toSet == Set(3L))
+    // canonical is winner-only state: forgetting a winner cannot
+    // restore the runner-up it displaced — re-election = rebuild
     Dedup.writeCanonicalIndex(docs, s"$dir/canon",
       md5(col("text")), length(col("text")).cast("long"))
-    Dedup.forgetDocuments(spark, s"$dir/canon", ids1)
-    assert(spark.read.parquet(s"$dir/canon/best")
-      .select("doc_id").as[Long].collect().toSet == Set(3L))
+    val ec = intercept[IllegalArgumentException](
+      Dedup.forgetDocuments(spark, s"$dir/canon", ids1))
+    assert(ec.getMessage.contains("rebuild") &&
+      ec.getMessage.contains("runner-up"), ec.getMessage)
     // artifacts that cannot unlearn refuse with the rebuild message
     Dedup.writeBloomIndex(docs, s"$dir/bloom")
     val eb = intercept[IllegalArgumentException](
