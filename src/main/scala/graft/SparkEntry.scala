@@ -1761,6 +1761,11 @@ object SparkEntry {
     // exact bit-length bucketing, counts exact, share one division
     "q173_return_gaps" -> ((s, dir) =>
       ext.Events.returnGapHistogram(Tables.events(s, dir))),
+    // source concentration (the Lorenz curve by provenance): rank +
+    // cumulative via the bounded enum-sized self-join, shares one
+    // division each
+    "q174_source_concentration" -> ((s, dir) =>
+      ext.TextAnalysis.sourceConcentration(Tables.documents(s, dir))),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -4172,6 +4177,23 @@ object SparkEntry {
         |SELECT bucket, CAST(power(2, bucket - 1) AS BIGINT) AS min_minutes,
         |  n_gaps, ROUND(n_gaps / CAST(tt AS DOUBLE), 6) AS share
         |FROM c CROSS JOIN tot""").stripMargin,
+    // concentration: at-or-ahead self-join gives rank AND cumulative
+    // in one aggregate; desc-count/asc-name order both engines
+    "q174_source_concentration" ->
+      """WITH c AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM c),
+        |r AS (SELECT a.source, a.n_tokens,
+        |        CAST(COUNT(*) AS BIGINT) AS rank,
+        |        CAST(SUM(b.n_tokens) AS BIGINT) AS cum_tokens
+        |      FROM c a JOIN c b ON b.n_tokens > a.n_tokens
+        |        OR (b.n_tokens = a.n_tokens AND b.source <= a.source)
+        |      GROUP BY 1, 2)
+        |SELECT rank, source, n_tokens,
+        |  ROUND(n_tokens / CAST(tt AS DOUBLE), 6) AS share,
+        |  ROUND(cum_tokens / CAST(tt AS DOUBLE), 6) AS cum_share
+        |FROM r CROSS JOIN t""".stripMargin,
     // gap hours: integer-division buckets (positive epochs — floor and
     // truncate agree), per-type generate_series span, NOT EXISTS screen
     "q166_feed_gaps" ->

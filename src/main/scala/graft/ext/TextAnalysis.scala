@@ -1027,6 +1027,49 @@ object TextAnalysis {
       :+ langPrediction(col("text")).as("pred_lang"): _*)
   }
 
+  /** Source CONCENTRATION curve — the Lorenz view of "is this corpus
+    * a few crawls wearing a trenchcoat": sources ranked by token
+    * count (descending, name-ascending tie-break — fully
+    * deterministic), each with its token share and the CUMULATIVE
+    * share of all sources at or ahead of it. Read dominance straight
+    * off the frame ("the top 3 sources are 80% of tokens" = cum_share
+    * at rank 3); the complement of [[corpusDatacard]]'s per-language
+    * view and the population-level companion of the per-source
+    * reputation scores. Counts exact; each share ONE exact-long
+    * division rounded 6dp ⇒ oracle-hashed (q174).
+    *
+    * Output: (rank, source, n_tokens, share, cum_share).
+    *
+    * Reference: the mart's per-entity rollup family
+    * (load_sales_mart.py:54-66), pointed at corpus provenance.
+    *
+    * Scale notes (100 TB): one map-side-combined per-source aggregate
+    * is the only corpus-sized pass; rank AND cumulative ride a
+    * bounded self-join on the enum-sized source relation (the q157
+    * discipline — never an unpartitioned window, even at enum size);
+    * the total is a one-row attach. */
+  def sourceConcentration(docs: DataFrame,
+                          sourceCol: String = "source"): DataFrame = {
+    val counts = docs.select(col(sourceCol).as("source"),
+        size(split(col("text"), " ")).cast("long").as("_n"))
+      .groupBy(col("source")).agg(sum(col("_n")).as("n_tokens"))
+      .localCheckpoint() // enum-sized; both join sides + total read it
+    val tot = counts.agg(sum(col("n_tokens")).as("_tot"))
+    val ahead = col("b.n_tokens") > col("a.n_tokens") ||
+      (col("b.n_tokens") === col("a.n_tokens") &&
+        col("b.source") <= col("a.source")) // at-or-ahead includes self
+    counts.as("a").join(counts.as("b"), ahead)
+      .groupBy(col("a.source").as("source"),
+        col("a.n_tokens").as("n_tokens"))
+      .agg(count(lit(1)).as("rank"), sum(col("b.n_tokens")).as("cum_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("source"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("_tot").cast("double"), 6)
+          .as("share"),
+        round(col("cum_tokens").cast("double") / col("_tot").cast("double"), 6)
+          .as("cum_share"))
+  }
+
   /** Language-ID CONFIDENCE — the margin report behind
     * [[langPrediction]]'s argmax: per doc, the winning language, the
     * top and runner-up stopword-hit scores, their margin, and an

@@ -3253,6 +3253,22 @@ class ExtSpec extends SparkSpec {
     assert(out(2L) == (("en", 0L, 0L, 0L, 1)), s"got ${out(2L)}")
   }
 
+  test("sourceConcentration: hand-computed Lorenz curve, ties break by name") {
+    val docs = Seq(
+        (1L, "srcA", "a b c d e f"),      // A: 6 tokens
+        (2L, "srcB", "a b c"),            // B: 3 + 3 = 6 (ties A)
+        (3L, "srcB", "x y z"),
+        (4L, "srcC", "one two"))          // C: 2
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceConcentration(docs).collect()
+      .map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // A and B tie at 6 tokens — name-ascending puts A first; total 14
+    assert(out("srcA") == ((1L, 6L, 0.428571, 0.428571)), s"got $out")
+    assert(out("srcB") == ((2L, 6L, 0.428571, 0.857143)), s"got $out")
+    assert(out("srcC") == ((3L, 2L, 0.142857, 1.0)), s"got $out")
+  }
+
   test("sessionTransitions: hand-computed Markov counts, boundary event stays in-session") {
     val m = 60000000L // one minute in micros
     val ev = Seq(
