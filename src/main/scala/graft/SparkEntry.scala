@@ -1766,6 +1766,16 @@ object SparkEntry {
     // division each
     "q174_source_concentration" -> ((s, dir) =>
       ext.TextAnalysis.sourceConcentration(Tables.documents(s, dir))),
+    // deterministic weighted sample (A-Res with md5 uniforms): token
+    // counts as weights, top-25 by ln(u)/w — keys bit-identical cross
+    // engine (exact u, q81 ln parity, one IEEE divide)
+    "q175_weighted_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      ext.Sampling.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", 25)
+    }),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -4194,6 +4204,21 @@ object SparkEntry {
         |  ROUND(n_tokens / CAST(tt AS DOUBLE), 6) AS share,
         |  ROUND(cum_tokens / CAST(tt AS DOUBLE), 6) AS cum_share
         |FROM r CROSS JOIN t""".stripMargin,
+    // A-Res weighted sample: identical md5 uniform, ln key, top-k —
+    // the key is bit-identical cross-engine so the 6dp round hashes
+    "q175_weighted_sample" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |u AS (SELECT doc_id, n_tokens,
+        |        (('0x' || substr(md5('graft.wsample.v1' ||
+        |            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+        |          / 4294967296.0 AS u
+        |      FROM w WHERE n_tokens > 0),
+        |s AS (SELECT doc_id, n_tokens,
+        |        ln(u) / CAST(n_tokens AS DOUBLE) AS key
+        |      FROM u ORDER BY key DESC, doc_id LIMIT 25)
+        |SELECT doc_id, n_tokens, ROUND(key, 6) AS sample_key FROM s""".stripMargin,
     // gap hours: integer-division buckets (positive epochs — floor and
     // truncate agree), per-type generate_series span, NOT EXISTS screen
     "q166_feed_gaps" ->

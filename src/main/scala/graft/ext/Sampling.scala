@@ -1199,6 +1199,56 @@ object Sampling {
           col("n_rows").cast("double")), 6).as("ess_ratio"))
   }
 
+  /** Deterministic WEIGHTED sampling without replacement — the
+    * reservoir-sampling selection rule (Efraimidis–Spirakis A-Res,
+    * "Weighted random sampling with a reservoir", IPL 2006) with the
+    * RNG replaced by a content-addressed uniform: each row draws
+    * u = (first-32-bits-of-md5(salt ‖ id) + 1) / 2³² ∈ (0, 1] and the
+    * sample is the k rows with the LARGEST keys ln(u)/w — the
+    * log-monotone form of u^(1/w), whose top-k is distributed exactly
+    * like sampling without replacement with probabilities proportional
+    * to the weights. No RNG state, no wall clock: membership is a pure
+    * function of (salt, id, weight), stable across reruns, partitions
+    * and engines — the q66/q54 md5-uniform discipline applied to the
+    * weighted case (a token-weighted corpus sample keeps long documents
+    * at their token share instead of undercounting them doc-wise).
+    *
+    * Rows with weight ≤ 0 are EXCLUDED (a zero-weight row has selection
+    * probability zero in the A-Res model; negative weights are
+    * malformed) — stated, not silently clamped.
+    *
+    * Output: (idCol, weightCol, sample_key) where sample_key is the
+    * 6dp-rounded selection key. The full-precision key orders the
+    * selection; cross-engine it is BIT-IDENTICAL (u is an exact binary
+    * double, ln() parity is the pinned q81 precedent, and the final
+    * divide is one IEEE op), which is what makes the whole frame
+    * oracle-hashable (q175) — ties beyond identical (u, w) pairs are
+    * impossible, and those break by id.
+    *
+    * Reference: the reference's fixed-fraction admission rule
+    * (load_sales_history.py:131-141), generalized to importance
+    * weights.
+    *
+    * Scale notes (100 TB): `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject — a per-partition top-k heap followed by a
+    * driver merge of k·partitions rows, never a global sort; the key is
+    * a pure codegen projection fused into the scan. k must be
+    * driver-merge-sized (the same bound as any collect-k op). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = "graft.wsample.v1"): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val w = col(weightCol).cast("double")
+    val u32 = conv(substring(md5(concat(lit(salt),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val u = (u32 + lit(1L)).cast("double") / lit(4294967296.0)
+    df.filter(col(weightCol).cast("double") > 0)
+      .select(col(idCol), col(weightCol), (log(u) / w).as("_key"))
+      .orderBy(col("_key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col(weightCol), round(col("_key"), 6)
+        .as("sample_key"))
+  }
+
   def trainValTest(df: DataFrame, idCol: String,
                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     val b = hashBucket(col(idCol))

@@ -4046,6 +4046,40 @@ class ExtSpec extends SparkSpec {
     assert(z.forall(_ == 0.0f), "sub-ngram text must project to zero")
   }
 
+  test("weightedSample: brute-force top-k equality, weight-zero exclusion, determinism") {
+    val rows = (1L to 200L).map(i => (i, (i % 7) + 1L)) ++
+      Seq((201L, 0L), (202L, -3L)) // never selectable
+    val df = rows.toDF("doc_id", "w")
+    val out = Sampling.weightedSample(df, "doc_id", "w", 10)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 10)
+    assert(!ids.contains(201L) && !ids.contains(202L),
+      "weight <= 0 rows must be excluded")
+    // brute force: replicate the exact key computation and take top 10
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(s"graft.wsample.v1$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4294967296.0
+      math.log(u) / w.toDouble
+    }
+    val expect = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(10).map(_._1).toSet
+    assert(ids == expect, s"$ids vs $expect")
+    // partition-independence: a different partitioning selects the same set
+    val ids2 = Sampling.weightedSample(df.repartition(13), "doc_id", "w", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids)
+    // a dominant weight is (effectively) always in the sample:
+    // ln(u)/w with w = 10^9 is > -22.2/1e9, above any unit-weight key
+    // that isn't within 2^-32 of u = 1
+    val dom = df.unionByName(Seq((999L, 1000000000L)).toDF("doc_id", "w"))
+    val ids3 = Sampling.weightedSample(dom, "doc_id", "w", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids3.contains(999L), "dominant weight must be selected")
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
