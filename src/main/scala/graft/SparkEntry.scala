@@ -1776,6 +1776,15 @@ object SparkEntry {
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", 25)
     }),
+    // Zipf fit: closed-form least squares on (ln rank, ln freq) over
+    // each language's top-100 vocabulary head — slope/intercept/R²
+    // composed step-for-step in both engines, 6dp
+    "q176_zipf_fit" -> ((s, dir) =>
+      ext.TextAnalysis.zipfFit(Tables.documents(s, dir))),
+    // Heaps view: vocabulary growth over md5-bucket corpus prefixes —
+    // exact long counts, cumulative via the bounded at-or-ahead join
+    "q177_vocab_growth" -> ((s, dir) =>
+      ext.TextAnalysis.vocabGrowthCurve(Tables.documents(s, dir))),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -4219,6 +4228,68 @@ object SparkEntry {
         |        ln(u) / CAST(n_tokens AS DOUBLE) AS key
         |      FROM u ORDER BY key DESC, doc_id LIMIT 25)
         |SELECT doc_id, n_tokens, ROUND(key, 6) AS sample_key FROM s""".stripMargin,
+    // Zipf normal equations mirrored term-for-term (the q140 rule);
+    // degenerate fits NULL, never Infinity
+    "q176_zipf_fit" ->
+      """WITH f AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT lang, freq,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY freq DESC, tok) AS rank
+        |      FROM f),
+        |x AS (SELECT lang, ln(CAST(rank AS DOUBLE)) AS x,
+        |        ln(CAST(freq AS DOUBLE)) AS y
+        |      FROM r WHERE rank <= 100),
+        |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_ranks,
+        |        SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |        SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |      FROM x GROUP BY 1)
+        |SELECT lang, n_ranks,
+        |  ROUND(CASE WHEN n_ranks > 1 THEN
+        |    (n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)
+        |  END, 6) AS slope,
+        |  ROUND(CASE WHEN n_ranks > 1 THEN
+        |    (sy - (n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)
+        |      * sx) / n_ranks
+        |  END, 6) AS intercept,
+        |  ROUND(CASE WHEN n_ranks > 1
+        |      AND n_ranks * syy - sy * sy > 0 THEN
+        |    (n_ranks * sxy - sx * sy) * (n_ranks * sxy - sx * sy)
+        |      / ((n_ranks * sxx - sx * sx) * (n_ranks * syy - sy * sy))
+        |  END, 6) AS r2
+        |FROM a""".stripMargin,
+    // Heaps curve: min-bucket first occurrence, cumulative via the
+    // bucket-sized at-or-ahead self-join — exact longs end to end
+    "q177_vocab_growth" ->
+      """WITH e AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 16 AS bucket,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |g AS (SELECT bucket, tok, CAST(COUNT(*) AS BIGINT) AS _n
+        |      FROM e GROUP BY 1, 2),
+        |db AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 16 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |tb AS (SELECT bucket, CAST(SUM(_n) AS BIGINT) AS n_tokens
+        |       FROM g GROUP BY 1),
+        |vb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+        |       FROM (SELECT tok, MIN(bucket) AS bucket FROM g GROUP BY 1)
+        |       GROUP BY 1),
+        |j AS (SELECT db.bucket, db.n_docs,
+        |        COALESCE(tb.n_tokens, 0) AS n_tokens,
+        |        COALESCE(vb.n_new, 0) AS n_new
+        |      FROM db LEFT JOIN tb USING (bucket)
+        |        LEFT JOIN vb USING (bucket))
+        |SELECT a.bucket, CAST(SUM(b.n_docs) AS BIGINT) AS n_docs_cum,
+        |  CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens_cum,
+        |  CAST(SUM(b.n_new) AS BIGINT) AS vocab_cum
+        |FROM j a JOIN j b ON b.bucket <= a.bucket
+        |GROUP BY 1""".stripMargin,
     // gap hours: integer-division buckets (positive epochs — floor and
     // truncate agree), per-type generate_series span, NOT EXISTS screen
     "q166_feed_gaps" ->

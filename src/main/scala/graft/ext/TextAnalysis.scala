@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** North-star text-analysis operators over the `documents` table
@@ -1509,6 +1510,122 @@ object TextAnalysis {
         round(col("cum_occurrences") / lit(total.toDouble), 6))
       .select(col("vocab_rank"), col("word"), col("n_occurrences"),
         col("cum_occurrences"), col("coverage"))
+  }
+
+  /** Zipf-law FIT per language — the least-squares slope of
+    * (ln rank, ln frequency) over each language's top `topRanks`
+    * vocabulary head, with intercept and R²: the one-number corpus
+    * health check (natural language sits near slope −1; a slope far
+    * off flags boilerplate floods, tokenizer damage, or synthetic
+    * text) and the empirical basis for vocabulary-size decisions the
+    * coverage curve ([[wordCoverageCurve]]) reads pointwise.
+    *
+    * All three statistics are the closed-form normal equations over
+    * per-language sums (Σx, Σy, Σxy, Σx², Σy² with x = ln rank,
+    * y = ln freq), composed IDENTICALLY in the DuckDB oracle
+    * step-for-step (the q140 κ discipline); ln() parity is the pinned
+    * q81 precedent and the ≤`topRanks`-term sums round to 6dp well
+    * inside fp-association error (the q92 rule). Degenerate fits are
+    * NULL, never Infinity: slope/intercept need ≥ 2 ranks, R² a
+    * nonzero y-variance (an all-equal-frequency head has no ranking
+    * signal).
+    *
+    * Output: (lang, n_ranks, slope, intercept, r2).
+    *
+    * Reference: the mart's per-group rollup family
+    * (load_sales_mart.py:54-66) — a grouped regression instead of a
+    * grouped sum.
+    *
+    * Scale notes (100 TB): the corpus-sized work is ONE
+    * map-side-combined (lang, token) count aggregate; ranking runs in
+    * a window PARTITIONED by language — per-language vocabulary is
+    * the Heaps-bounded relation, the same documented price as the
+    * q152 distinct-value windows (pre-aggregate to counts means the
+    * window never sees corpus-sized input). The fit sums are an
+    * enum-sized aggregate over the topRanks head. */
+  def zipfFit(docs: DataFrame, topRanks: Int = 100): DataFrame = {
+    require(topRanks >= 1, s"topRanks must be >= 1: $topRanks")
+    val f = docs.select(col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("freq").desc, col("tok"))
+    val xy = f.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topRanks)
+      .select(col("lang"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    val n = col("n_ranks").cast("double")
+    val dxx = n * col("sxx") - col("sx") * col("sx")
+    val dyy = n * col("syy") - col("sy") * col("sy")
+    val dxy = n * col("sxy") - col("sx") * col("sy")
+    val slope = when(col("n_ranks") > 1, dxy / dxx)
+    xy.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lang"), col("n_ranks"),
+        round(slope, 6).as("slope"),
+        round(when(col("n_ranks") > 1,
+          (col("sy") - slope * col("sx")) / n), 6).as("intercept"),
+        round(when(col("n_ranks") > 1 && dyy > 0,
+          dxy * dxy / (dxx * dyy)), 6).as("r2"))
+  }
+
+  /** Vocabulary GROWTH curve (the Heaps-law view): distinct
+    * vocabulary as a function of corpus size, sampled at `buckets`
+    * deterministic checkpoints — documents land in md5 buckets
+    * ([[Sampling.hashBucket]], content-addressed, so "the first b/16
+    * of the corpus" is a stable, engine-portable prefix), and each
+    * curve point reports the cumulative documents, token occurrences
+    * and DISTINCT vocabulary over buckets ≤ b. Sub-linear growth is
+    * the healthy shape; a near-linear tail says the corpus keeps
+    * injecting novel tokens (OCR noise, ids, markup débris) — the
+    * number a tokenizer-vocab budget and the [[zipfFit]] slope are
+    * read against.
+    *
+    * Exact LONG counts end to end: first-occurrence bucket = MIN
+    * bucket per token, cumulatives via the bounded at-or-ahead
+    * self-join on the ≤`buckets`-sized relation (the q157 discipline —
+    * never a window, even at enum size). Oracle-hashed (q177).
+    *
+    * Output: (bucket, n_docs_cum, n_tokens_cum, vocab_cum), one row
+    * per OCCUPIED bucket.
+    *
+    * Reference: the incremental loader's growth-over-batches shape
+    * (load_sales_history.py:131-141), measured on vocabulary.
+    *
+    * Scale notes (100 TB): one corpus-sized explode pre-aggregated
+    * map-side to (bucket, token) counts and localCheckpointed — the
+    * vocab-sized relation then feeds BOTH the per-bucket token sums
+    * and the min-bucket vocabulary counts without re-scanning the
+    * corpus; document counts ride a doc_id-only pruned scan (no text
+    * read). Joins and the cumulative self-join are bucket-sized. */
+  def vocabGrowthCurve(docs: DataFrame, buckets: Int = 16): DataFrame = {
+    require(buckets >= 2 && buckets <= 256,
+      s"buckets must be in [2, 256]: $buckets")
+    val b = Sampling.hashBucket(col("doc_id"), buckets).cast("long")
+    val g = docs
+      .select(b.as("bucket"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("bucket"), col("tok")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint() // vocab×buckets-sized; read by two aggregates
+    val db = docs.select(b.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val tb = g.groupBy(col("bucket")).agg(sum(col("_n")).as("n_tokens"))
+    val vb = g.groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+    val j = db.join(tb, Seq("bucket"), "left").join(vb, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .localCheckpoint() // bucket-sized; both self-join sides read it
+    j.as("a").join(j.as("b"), col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("b.n_docs")).as("n_docs_cum"),
+        sum(col("b.n_tokens")).as("n_tokens_cum"),
+        sum(col("b.n_new")).as("vocab_cum"))
   }
 
   /** Sequence-layout UTILIZATION report over a packed frame

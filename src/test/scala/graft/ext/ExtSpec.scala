@@ -4080,6 +4080,81 @@ class ExtSpec extends SparkSpec {
     assert(ids3.contains(999L), "dominant weight must be selected")
   }
 
+  test("zipfFit: exact -1 slope on a 1/r head, tie ranks, degenerate NULLs") {
+    // freq(t_r) = 12/r for r = 1..4 → y = ln 12 − x exactly (as reals):
+    // slope −1, intercept ln 12, R² 1 — up to fp round-off well under 6dp
+    val zipf = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val docs = Seq((1L, zipf, "en"), (2L, "xx xx yy yy", "de"),
+      (3L, "solo solo solo", "fr")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.zipfFit(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("n_ranks") == 4L)
+    assert(math.abs(en.getAs[Double]("slope") + 1.0) < 1e-6, en)
+    assert(math.abs(en.getAs[Double]("intercept") - math.log(12.0)) < 1e-6)
+    assert(math.abs(en.getAs[Double]("r2") - 1.0) < 1e-6)
+    // de: two tokens at equal frequency — ranks exist (tie broken by
+    // token) but y-variance is 0 → slope 0, R² NULL (no signal)
+    val de = out("de")
+    assert(de.getAs[Long]("n_ranks") == 2L)
+    assert(de.getAs[Double]("slope") == 0.0)
+    assert(de.isNullAt(de.fieldIndex("r2")), "zero y-variance must NULL R²")
+    // fr: a single-rank head has no fit at all
+    val fr = out("fr")
+    assert(fr.getAs[Long]("n_ranks") == 1L)
+    assert(fr.isNullAt(fr.fieldIndex("slope")))
+    assert(fr.isNullAt(fr.fieldIndex("intercept")))
+    // topRanks truncates the head: with topRanks = 2, en fits on 2 points
+    val head2 = TextAnalysis.zipfFit(docs, topRanks = 2).collect()
+      .find(_.getString(0) == "en").get
+    assert(head2.getAs[Long]("n_ranks") == 2L)
+    // 2 points fit exactly: slope = (y2−y1)/(x2−x1) = −ln2/ln2 = −1
+    assert(math.abs(head2.getAs[Double]("slope") + 1.0) < 1e-6)
+  }
+
+  test("vocabGrowthCurve: brute-force curve, monotone cumulatives, exact totals") {
+    val docs = Seq(
+      (1L, "a b c a"), (2L, "a b d"), (3L, "e f"), (4L, "a e g h"),
+      (5L, "b b b"), (6L, "i"), (7L, "a j"), (8L, "k l m"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowthCurve(docs).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    // brute force with the same md5-bucket rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 16
+    }
+    val rows = Seq(1L -> "a b c a", 2L -> "a b d", 3L -> "e f",
+      4L -> "a e g h", 5L -> "b b b", 6L -> "i", 7L -> "a j",
+      8L -> "k l m")
+    val occupied = rows.map(r => bucket(r._1)).distinct.sorted
+    assert(out.map(_.getAs[Long]("bucket")).toSeq == occupied)
+    for (r <- out) {
+      val b = r.getAs[Long]("bucket")
+      val pre = rows.filter(x => bucket(x._1) <= b)
+      assert(r.getAs[Long]("n_docs_cum") == pre.size.toLong)
+      assert(r.getAs[Long]("n_tokens_cum") ==
+        pre.map(_._2.split(" ").length.toLong).sum)
+      assert(r.getAs[Long]("vocab_cum") ==
+        pre.flatMap(_._2.split(" ")).distinct.size.toLong)
+    }
+    // the last point is the whole corpus
+    val last = out.last
+    assert(last.getAs[Long]("n_docs_cum") == 8L)
+    assert(last.getAs[Long]("vocab_cum") ==
+      rows.flatMap(_._2.split(" ")).distinct.size.toLong)
+    // cumulatives are monotone non-decreasing in bucket order
+    assert(out.sliding(2).forall {
+      case Array(p, q) =>
+        q.getAs[Long]("vocab_cum") >= p.getAs[Long]("vocab_cum") &&
+        q.getAs[Long]("n_docs_cum") > p.getAs[Long]("n_docs_cum")
+      case _ => true
+    })
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
