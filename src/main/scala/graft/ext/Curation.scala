@@ -1181,7 +1181,7 @@ object Curation {
       hygieneCached += ld
       hygieneRows += (("00b_line_dedup", ld.count()))
       ld
-    } else ruleClean
+    } else intraClean
     // 00ba: sorts between 00b and 00c ('_' 0x5F < 'a' 0x61 puts
     // 00b_... before 00ba_...)
     val profClean = if (cfg.lineProfilePath.isDefined) {

@@ -1758,6 +1758,24 @@ class CurationSpec extends SparkSpec {
     // window bound validated up front
     intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
       cfg.copy(stripIntraDocRepeats = true, intraDocWindowTokens = 1)))
+    // REGRESSION (r17): with the strip on and line dedup OFF, the
+    // funnel's downstream stages must run on the STRIPPED text — a doc
+    // whose repeats alone carry it over minTokens is dropped by both
+    // the chain and the funnel (the else-branch once fed the
+    // pre-strip frame forward, splitting the two)
+    val repeatPad = "the of and to in x y z"
+    val crafted2 = Seq(
+      (1L, s"$repeatPad $repeatPad"), // 16 tokens; strips to 8 < 15
+      (2L, "the quick brown fox jumps over the lazy dog and then " +
+        "runs far away into the quiet hills tonight"))
+      .toDF("doc_id", "text")
+    val strippedCfg = Curation.Config(stripIntraDocRepeats = true)
+    val f2 = Curation.curationFunnel(crafted2, benchmark, strippedCfg)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f2("01_min_tokens") == 1L,
+      s"min-tokens gate must see stripped text: $f2")
+    assert(f2("07_quota") ==
+      Curation.curate(crafted2, benchmark, strippedCfg).count())
   }
 
   test("quota and split assignment are enforced") {
