@@ -1785,6 +1785,23 @@ object SparkEntry {
     // exact long counts, cumulative via the bounded at-or-ahead join
     "q177_vocab_growth" -> ((s, dir) =>
       ext.TextAnalysis.vocabGrowthCurve(Tables.documents(s, dir))),
+    // markup strip: the C4 extraction stage as staged RE2-safe
+    // rewrites — the binding PLANTS wrapped copies (the fixture is
+    // plain text, so the passing state would be the identity)
+    "q178_markup_strip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val docs = Tables.documents(s, dir)
+      val crafted = docs.filter(col("doc_id") % 20 === 0)
+        .withColumn("doc_id", col("doc_id") + 3000000L)
+        .withColumn("text", concat(
+          lit("<html><head><script type=\"t\">if (a < b) { run() }" +
+            "</script><style>p { color: red }</style></head>" +
+            "<!-- boilerplate --><body><p class=\"lead\">"),
+          col("text"),
+          lit("</p><br/>tail &amp;lt; &quot;q&#39; &lt;x&gt; 1 < 2" +
+            "</body></html>")))
+      ext.TextAnalysis.stripMarkup(docs.unionByName(crafted))
+    }),
   )
 
   // DuckDB expression for the stopword-hit count of one language.
@@ -4290,6 +4307,49 @@ object SparkEntry {
         |  CAST(SUM(b.n_new) AS BIGINT) AS vocab_cum
         |FROM j a JOIN j b ON b.bucket <= a.bucket
         |GROUP BY 1""".stripMargin,
+    // markup strip: identical staged patterns (inline RE2 flags) with
+    // stage-input match counting (the q151 rule); entities decode one
+    // level with &amp; last
+    "q178_markup_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    '<html><head><script type="t">if (a < b) { run() }' ||
+        |    '</script><style>p { color: red }</style></head>' ||
+        |    '<!-- boilerplate --><body><p class="lead">' || text ||
+        |    '</p><br/>tail &amp;lt; &quot;q&#39; &lt;x&gt; 1 < 2' ||
+        |    '</body></html>'
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |s1 AS (SELECT doc_id,
+        |    len(regexp_extract_all(text, '(?s)<!--.*?-->', 0)) AS c1,
+        |    regexp_replace(text, '(?s)<!--.*?-->', ' ', 'g') AS t1
+        |  FROM d),
+        |s2 AS (SELECT doc_id, c1,
+        |    len(regexp_extract_all(t1,
+        |      '(?is)<script(\s[^>]*)?>.*?</script>', 0)) AS c2,
+        |    regexp_replace(t1,
+        |      '(?is)<script(\s[^>]*)?>.*?</script>', ' ', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, c1, c2,
+        |    len(regexp_extract_all(t2,
+        |      '(?is)<style(\s[^>]*)?>.*?</style>', 0)) AS c3,
+        |    regexp_replace(t2,
+        |      '(?is)<style(\s[^>]*)?>.*?</style>', ' ', 'g') AS t3
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, c1, c2, c3,
+        |    len(regexp_extract_all(t3, '</?[A-Za-z][^>]*>', 0)) AS c4,
+        |    regexp_replace(t3, '</?[A-Za-z][^>]*>', ' ', 'g') AS t4
+        |  FROM s3),
+        |e AS (SELECT doc_id, CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_markup,
+        |    replace(replace(replace(replace(replace(t4,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&') AS te
+        |  FROM s4)
+        |SELECT doc_id,
+        |  trim(regexp_replace(te, '[ \t\r\n]+', ' ', 'g')) AS clean_text,
+        |  n_markup
+        |FROM e""".stripMargin,
     // gap hours: integer-division buckets (positive epochs — floor and
     // truncate agree), per-type generate_series span, NOT EXISTS screen
     "q166_feed_gaps" ->

@@ -30,6 +30,12 @@ object Curation {
     * hygiene flags (off by default — the default chain is byte-identical
     * to previous rounds) splice the corpus-hygiene operators in as
     * chain stages:
+    *   - `stripMarkup`: markup extraction
+    *     ([[TextAnalysis.stripMarkup]]) FIRST of all rewrites — the
+    *     PII patterns and line rules must see extracted text, not
+    *     attribute soup. A pure per-document rewrite, so it rides
+    *     [[statelessHygiene]] into the curation stream. Funnel row
+    *     `00a0_markup_strip`.
     *   - `redactPii`: rewrite text through [[TextAnalysis.redactPii]]
     *     BEFORE anything else — scrub first, so digit-run variants of the
     *     same boilerplate collapse in every later dedup stage;
@@ -309,6 +315,7 @@ object Curation {
       trainPct: Int = 80,
       valPct: Int = 10,
       stratifySplitByLang: Boolean = false,
+      stripMarkup: Boolean = false,
       redactPii: Boolean = false,
       maxRedactionsPerDoc: Option[Long] = None,
       piiPatterns: Seq[(String, String)] = TextAnalysis.PiiPatterns,
@@ -818,7 +825,8 @@ object Curation {
     * the default path's plan shape (and its pinned scan bounds) never
     * grows a cache step. */
   private def hygieneActive(cfg: Config): Boolean =
-    cfg.redactPii || cfg.filterLines || cfg.dedupLines ||
+    cfg.stripMarkup || cfg.redactPii || cfg.filterLines ||
+      cfg.stripIntraDocRepeats || cfg.dedupLines ||
       cfg.lineProfilePath.isDefined || cfg.stripPassages
 
   /** The optional STORED-boilerplate strip ([[Dedup.stripLinesAgainstProfile]]
@@ -876,11 +884,17 @@ object Curation {
   def statelessHygiene(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     requireConfig(cfg)
     val base = docs.select(col("doc_id"), col("text"))
+    // markup strip runs FIRST: PII patterns and line rules must see
+    // extracted text, not attribute soup
+    val demarked = if (cfg.stripMarkup)
+      TextAnalysis.stripMarkup(base)
+        .select(col("doc_id"), col("clean_text").as("text"))
+    else base
     val scrubbed = if (cfg.redactPii) {
-      val r = TextAnalysis.redactPii(base, cfg.piiPatterns)
+      val r = TextAnalysis.redactPii(demarked, cfg.piiPatterns)
       cfg.maxRedactionsPerDoc.fold(r)(m => r.filter(col("n_redactions") <= m))
         .select(col("doc_id"), col("redacted").as("text"))
-    } else base
+    } else demarked
     val ruleClean =
       if (cfg.filterLines)
         TextAnalysis.filterLines(scrubbed, cfg.minLineWords,
@@ -1143,8 +1157,17 @@ object Curation {
     val hygieneRows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val hygieneCached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val base = docs.select(col("doc_id"), col("text"))
+    // 00a0: sorts before 00a ('0' 0x30 < '_' 0x5F) — markup strip is
+    // the first rewrite, ahead of the PII scrub
+    val demarked = if (cfg.stripMarkup) {
+      val mk = TextAnalysis.stripMarkup(base)
+        .select(col("doc_id"), col("clean_text").as("text")).persist()
+      hygieneCached += mk
+      hygieneRows += (("00a0_markup_strip", mk.count()))
+      mk
+    } else base
     val scrubbed = if (cfg.redactPii) {
-      val r = TextAnalysis.redactPii(base, cfg.piiPatterns)
+      val r = TextAnalysis.redactPii(demarked, cfg.piiPatterns)
       cfg.maxRedactionsPerDoc match {
         case Some(m) =>
           val kept = r.filter(col("n_redactions") <= m)
@@ -1155,7 +1178,7 @@ object Curation {
         case None =>
           r.select(col("doc_id"), col("redacted").as("text"))
       }
-    } else base
+    } else demarked
     // 00ab: sorts between 00a and 00b — funnel stage labels are
     // lexicographic-ordered so consumers may sort by stage
     val ruleClean = if (cfg.filterLines) {

@@ -1101,6 +1101,63 @@ object TextAnalysis {
       (arr.getItem(0) === arr.getItem(1)).cast("int").as("ambiguous"))
   }
 
+  /** Markup-strip stages shared with the oracle — RE2-safe (inline
+    * (?is) flags, non-greedy spans, character classes; no lookaround)
+    * so Spark's Java regex and a DuckDB RE2 oracle agree
+    * match-for-match. Order is fixed and load-bearing: comments first
+    * (a commented-out script must die as a comment), then script/style
+    * BLOCKS (their character data is not content), then any remaining
+    * tag. Tags must start with a letter (`</?[A-Za-z]`), so a bare
+    * "a < b" comparison in prose survives. */
+  val MarkupStages: Seq[String] = Seq(
+    "(?s)<!--.*?-->",
+    "(?is)<script(\\s[^>]*)?>.*?</script>",
+    "(?is)<style(\\s[^>]*)?>.*?</style>",
+    "</?[A-Za-z][^>]*>")
+
+  /** Entity decodes applied AFTER tag removal, in fixed order with
+    * `&amp;` LAST — the standard one-level decode: "&amp;lt;" must
+    * yield the literal text "&lt;", never "<". All five search
+    * strings are regex-metacharacter-free, so one regexp_replace per
+    * stage is a literal replace in both engines. */
+  val MarkupEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&amp;" -> "&")
+
+  /** Markup STRIP — the extraction step a web-crawl corpus goes
+    * through before any text op sees it (the C4/CCNet "plain text
+    * from HTML" stage, restated as deterministic regex stages so the
+    * whole rewrite is oracle-hashable): comments, script/style blocks
+    * and tags are replaced by spaces ([[MarkupStages]] order), the
+    * five core entities decode one level ([[MarkupEntities]]), and
+    * whitespace runs collapse to single spaces. `n_markup` counts
+    * removed comment/script/style/tag matches stage-by-stage on each
+    * stage's INPUT (the q49 counting rule — nothing double-counts),
+    * so a gate on residual markup composes as a plain predicate.
+    *
+    * Output: (doc_id, clean_text, n_markup).
+    *
+    * Reference: the reference's string-normalizing recode family
+    * (etl/transform_sales.py:31-37), applied to document markup.
+    *
+    * Scale notes (100 TB): a pure per-row codegen projection
+    * (regexp_replace / regexp_extract_all are codegen'd built-ins) —
+    * no shuffle, no UDF; fuses into the scan. Regex cost is linear in
+    * text length (RE2-safe pattern classes; the non-greedy spans
+    * backtrack at most to the next close marker). */
+  def stripMarkup(docs: DataFrame): DataFrame = {
+    var cur: Column = col("text")
+    var n: Column = lit(0L)
+    for (p <- MarkupStages) {
+      n = n + size(regexp_extract_all(cur, lit(p), lit(0))).cast("long")
+      cur = regexp_replace(cur, p, " ")
+    }
+    for ((e, r) <- MarkupEntities) cur = regexp_replace(cur, e, r)
+    docs.select(col("doc_id"),
+      trim(regexp_replace(cur, "[ \\t\\r\\n]+", " ")).as("clean_text"),
+      n.as("n_markup"))
+  }
+
   /** PII patterns shared by `redactPii` and its oracle: deliberately
     * RE2-safe (character classes, bounded repetition, \b, no lookaround)
     * so Java regex (Spark) and RE2 (DuckDB) agree match-for-match. Order

@@ -1729,6 +1729,40 @@ class CurationSpec extends SparkSpec {
     assert(tokPerEpoch.getOrElse(2L, 0L) < tokPerEpoch(0L))
   }
 
+  test("markup strip rides the stateless hygiene prefix, first, with its funnel row") {
+    val on = Curation.Config(stripMarkup = true)
+    val crafted = Seq(
+      (1L, "<body><p>the of and to in words</p><!-- x --></body>"),
+      (2L, "plain english document with no markup anywhere at all"))
+      .toDF("doc_id", "text")
+    // the stateless prefix applies exactly the op's rewrite
+    val viaHygiene = Curation.statelessHygiene(crafted, on)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaOp = TextAnalysis.stripMarkup(crafted)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+    assert(viaHygiene == viaOp)
+    assert(viaHygiene(1L) == "the of and to in words")
+    // order: the PII scrub must see EXTRACTED text — an email split by
+    // a tag only becomes a redaction after the strip
+    val tagged = Seq((1L, "contact <b>bob@example.com</b> now"))
+      .toDF("doc_id", "text")
+    val both = Curation.statelessHygiene(tagged,
+        Curation.Config(stripMarkup = true, redactPii = true))
+      .collect().head.getString(1)
+    assert(both == "contact <EMAIL> now", both)
+    // funnel: 00a0 row present, label sorts FIRST among hygiene rows,
+    // and the tail still lands on curate()
+    val f = Curation.curationFunnel(corpus, benchmark,
+        cfg.copy(stripMarkup = true))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f.contains("00a0_markup_strip"))
+    assert(f("00a0_markup_strip") == f("00_input"))
+    assert("00a0_markup_strip" < "00a_pii_gate",
+      "label must sort ahead of the PII slot")
+    assert(f("07_quota") ==
+      Curation.curate(corpus, benchmark, cfg.copy(stripMarkup = true)).count())
+  }
+
   test("intra-doc strip rides the stateless hygiene prefix with its funnel row") {
     val on = Curation.Config(stripIntraDocRepeats = true)
     val phrase = "a b c d e f g h"

@@ -4155,6 +4155,27 @@ class ExtSpec extends SparkSpec {
     })
   }
 
+  test("stripMarkup: blocks, tags, one-level entities, prose '<' survives, counts") {
+    val docs = Seq(
+      (1L, "<html><head><script src=\"x\">if (a < b) { f() }</script>" +
+        "<style>p{}</style></head><!-- c1 --><!-- c2 -->" +
+        "<body><p class=\"t\">hello   world</p><br/>1 < 2 done</body></html>"),
+      (2L, "plain text with a < b comparison stays put"),
+      (3L, "escaped &amp;lt; one level &quot;q&#39; &lt;tag&gt;"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stripMarkup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // comments die first (2), script/style as blocks (2), then 7 tags:
+    // html head body p /p br/ /body /html minus the ones inside blocks
+    assert(out(1L)._1 == "hello world 1 < 2 done", out(1L))
+    // html head /head body p /p br/ /body /html = 9 remaining tags
+    assert(out(1L)._2 == 2L + 1L + 1L + 9L,
+      s"stage counts: ${out(1L)}")
+    assert(out(2L) == ("plain text with a < b comparison stays put", 0L))
+    // &amp;lt; decodes ONE level to &lt; — never twice to '<'
+    assert(out(3L)._1 == "escaped &lt; one level \"q' <tag>")
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
