@@ -1802,7 +1802,26 @@ object SparkEntry {
             "</body></html>")))
       ext.TextAnalysis.stripMarkup(docs.unionByName(crafted))
     }),
+    // NFC census: the fixture is ASCII (all-unchanged), so the binding
+    // PLANTS decomposed/singleton rows — the same Scala constants feed
+    // the Spark literals and the oracle SQL, so bytes agree exactly
+    "q179_nfc_census" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir).select(col("lang"), col("text"))
+      val crafted = NfcCrafted.map(t => ("xx", t)).toDF("lang", "text")
+      ext.TextAnalysis.unicodeNormalizationCensus(docs.unionByName(crafted))
+    }),
   )
+
+  /** q179's planted non-NFC rows: a decomposed accent (composes,
+    * shrinks), a decomposed ring + the U+2126 ohm singleton (changes
+    * without shrinking), and an already-composed control. Shared by
+    * the binding and its oracle so both engines see identical bytes. */
+  private val NfcCrafted: Seq[String] = Seq(
+    "Café menu list",
+    "Å ring and Ω ohm sign",
+    "already café composed text")
 
   // DuckDB expression for the stopword-hit count of one language.
   private def duckHits(lang: String): String = {
@@ -4350,6 +4369,21 @@ object SparkEntry {
         |  trim(regexp_replace(te, '[ \t\r\n]+', ' ', 'g')) AS clean_text,
         |  n_markup
         |FROM e""".stripMargin,
+    // NFC census: DuckDB's utf8proc and Java's Normalizer agree on
+    // canonical composition (Unicode stability policy); planted rows
+    // come from the SAME Scala constants as the Spark binding
+    "q179_nfc_census" ->
+      s"""WITH d AS (
+        |  SELECT lang, text FROM documents
+        |  UNION ALL SELECT 'xx', '${NfcCrafted(0)}'
+        |  UNION ALL SELECT 'xx', '${NfcCrafted(1)}'
+        |  UNION ALL SELECT 'xx', '${NfcCrafted(2)}'),
+        |n AS (SELECT lang, text, nfc_normalize(text) AS nt FROM d)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN nt <> text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(SUM(length(text) - length(nt)) AS BIGINT) AS chars_delta
+        |FROM n GROUP BY 1""".stripMargin,
     // gap hours: integer-division buckets (positive epochs — floor and
     // truncate agree), per-type generate_series span, NOT EXISTS screen
     "q166_feed_gaps" ->

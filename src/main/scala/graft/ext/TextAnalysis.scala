@@ -1158,6 +1158,53 @@ object TextAnalysis {
       n.as("n_markup"))
   }
 
+  /** Per-document NFC rewrite ([[graft.functions.NfcNormalize]]) —
+    * run it BEFORE any byte-keyed stage (exact dedup, shingling,
+    * digests) on corpora with non-ASCII sources: composed and
+    * decomposed spellings of the same text must land in the same
+    * dedup group. Output: (doc_id, clean_text, changed).
+    * Scale: pure codegen projection, no shuffle. */
+  def normalizeNfc(docs: DataFrame): DataFrame = {
+    val n = graft.functions.NfcNormalize.nfc(col("text"))
+    docs.select(col("doc_id"), n.as("clean_text"),
+      (n =!= col("text")).cast("int").as("changed"))
+  }
+
+  /** Unicode normalization CENSUS — per group (default language), how
+    * much of the corpus is NOT in NFC: document count, documents whose
+    * NFC form differs, and the total character delta (decomposed
+    * sequences compose, so the delta is how many codepoints canonical
+    * composition saves; singleton substitutions like U+2126 Ω → U+03A9
+    * change text without changing length, which is why `n_changed`
+    * and `chars_delta` are separate signals). The pre-flight check for
+    * [[normalizeNfc]]: a nonzero census says byte-keyed dedup is
+    * currently splitting groups it should merge.
+    *
+    * All counts exact longs; canonical composition is frozen by the
+    * Unicode stability policy, so Java's Normalizer and an
+    * utf8proc-based oracle agree codepoint-for-codepoint (q179
+    * oracle-hashes the census through DuckDB's nfc_normalize).
+    *
+    * Output: (groupCol, n_docs, n_changed, chars_delta).
+    *
+    * Reference: the recode-with-default CASE family
+    * (etl/transform_sales.py:31-37), instrumented at codepoint
+    * granularity.
+    *
+    * Scale notes (100 TB): one map-side-combined aggregate over a
+    * codegen projection (the NFC kernel fast-paths normalized text
+    * without allocating); output is group-cardinality-sized. */
+  def unicodeNormalizationCensus(docs: DataFrame,
+                                 groupCol: String = "lang"): DataFrame = {
+    val n = graft.functions.NfcNormalize.nfc(col("text"))
+    docs.select(col(groupCol), col("text"), n.as("_nfc"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("_nfc") =!= col("text")).cast("long")).as("n_changed"),
+        sum((length(col("text")) - length(col("_nfc"))).cast("long"))
+          .as("chars_delta"))
+  }
+
   /** PII patterns shared by `redactPii` and its oracle: deliberately
     * RE2-safe (character classes, bounded repetition, \b, no lookaround)
     * so Java regex (Spark) and RE2 (DuckDB) agree match-for-match. Order

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization as a native codegen expression — the
+  * canonical-composition pass a multilingual corpus needs before any
+  * byte-keyed operation: a decomposed "é" and a composed "é" are
+  * the same text to a reader and DIFFERENT bytes to exact dedup, hash
+  * bucketing, shingles and every digest in the index ladders. This is
+  * the standard first step of public multilingual pipelines (NFC is
+  * what utf8proc-based engines and HF tokenizers apply), exposed as a
+  * Column function so it composes with the normalization family
+  * (TextAnalysis.normalizeText handles case/whitespace; this handles
+  * codepoint identity).
+  *
+  * The kernel fast-paths already-normalized text (the overwhelming
+  * case — `Normalizer.isNormalized` is a scan without allocation, and
+  * ASCII short-circuits immediately) and only then allocates the
+  * normalized copy. Output is deterministic for a fixed Unicode
+  * version; both Java 17 and utf8proc implement canonical composition
+  * over stable codepoints, which is what lets the census query (q179)
+  * oracle-hash against DuckDB's nfc_normalize — canonical mappings for
+  * assigned codepoints are frozen by the Unicode stability policy.
+  *
+  * Reference counterpart: the reference's string-normalizing recode
+  * family (etl/transform_sales.py:31-37) at codepoint granularity.
+  *
+  * Scale: one codegen projection per row, linear in text length, no
+  * shuffle — fuses into the scan that feeds it. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc needs a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc"
+}
+
+object NfcNormalize {
+
+  /** Kernel (called from generated code): NFC of the input; returns
+    * the INPUT object when already normalized (no allocation). */
+  def compute(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      text
+    else
+      UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  def nfc(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+  }
+}

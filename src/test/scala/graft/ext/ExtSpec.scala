@@ -4176,6 +4176,26 @@ class ExtSpec extends SparkSpec {
     assert(out(3L)._1 == "escaped &lt; one level \"q' <tag>")
   }
 
+  test("NFC: decomposed composes, singleton changes at same length, census exact") {
+    val docs = Seq(
+      (1L, "Café menu", "xx"),       // composes: 10 -> 9 chars
+      (2L, "Ω ohm", "xx"),             // singleton: changed, delta 0
+      (3L, "plain ascii text", "en"),       // untouched
+      (4L, "café composed", "xx"))     // already NFC
+      .toDF("doc_id", "text", "lang")
+    val rw = TextAnalysis.normalizeNfc(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(rw(1L) == ("Café menu", 1))
+    assert(rw(2L) == ("Ω ohm", 1))
+    assert(rw(3L) == ("plain ascii text", 0))
+    assert(rw(4L) == ("café composed", 0))
+    val census = TextAnalysis.unicodeNormalizationCensus(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(census("xx") == ((3L, 2L, 1L)), census)
+    assert(census("en") == ((1L, 0L, 0L)))
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
