@@ -1812,6 +1812,11 @@ object SparkEntry {
       val crafted = NfcCrafted.map(t => ("xx", t)).toDF("lang", "text")
       ext.TextAnalysis.unicodeNormalizationCensus(docs.unionByName(crafted))
     }),
+    // n-gram novelty: per-doc share of corpus-unique trigrams — the
+    // memorization-risk / contribution report; exact counts + one
+    // division off the one-pass shingle materialization
+    "q180_ngram_novelty" -> ((s, dir) =>
+      ext.TextAnalysis.ngramNovelty(Tables.documents(s, dir))),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -4384,6 +4389,22 @@ object SparkEntry {
         |    AS n_changed,
         |  CAST(SUM(length(text) - length(nt)) AS BIGINT) AS chars_delta
         |FROM n GROUP BY 1""".stripMargin,
+    // novelty off the factored trigram CTEs: df = 1 means "exists
+    // nowhere else"; sub-n docs report 0 with NULL novelty
+    "q180_ngram_novelty" -> (TriShingleCtes +
+      """,
+        |df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        |       FROM sh GROUP BY 1),
+        |per AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |          CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_unique
+        |        FROM sh s JOIN df USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_ngrams, 0) AS n_ngrams,
+        |  COALESCE(n_unique, 0) AS n_unique,
+        |  CASE WHEN n_ngrams > 0
+        |    THEN ROUND(n_unique / CAST(n_ngrams AS DOUBLE), 6)
+        |  END AS novelty
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin),
     // gap hours: integer-division buckets (positive epochs — floor and
     // truncate agree), per-type generate_series span, NOT EXISTS screen
     "q166_feed_gaps" ->

@@ -1205,6 +1205,53 @@ object TextAnalysis {
           .as("chars_delta"))
   }
 
+  /** N-gram NOVELTY — per document, how much of its n-gram vocabulary
+    * exists NOWHERE else in the corpus: distinct-shingle count, the
+    * count with corpus document-frequency exactly 1, and their ratio.
+    * The memorization-risk / contribution report: a document whose
+    * shingles are all shared is redundant against the rest of the
+    * corpus (dedup adjacency), while a high-novelty document is the
+    * one whose loss actually removes information — the per-document
+    * complement of [[corpusDatacard]]'s aggregate dup share, and the
+    * signal data-value pricing and forget-cost analyses start from.
+    *
+    * Exact longs + one division (6dp); documents shorter than n tokens
+    * report 0 n-grams with NULL novelty (no vocabulary, no claim).
+    * Oracle-hashed (q180) through the factored trigram CTEs.
+    *
+    * Reference: the dual-engine validation family
+    * (load_sales_history.py:241-246) — an audit invariant computed
+    * identically in two engines.
+    *
+    * Scale notes (100 TB): the shared one-pass discipline — ONE
+    * corpus-sized shingle explode (codegen [[Dedup.wordShingles]],
+    * never interpreted HOFs), localCheckpointed so the df aggregate
+    * and the join-back read the same materialization; two shuffles on
+    * the shingle key (aggregate + join), both map-side combined. At
+    * extreme scale swap string shingles for their 32-bit hashes (the
+    * containment-index trick — collisions only deflate novelty, never
+    * inflate). */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val sh = docs
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .localCheckpoint()
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val per = sh.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum((col("df") === 1).cast("long")).as("n_unique"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(col("n_ngrams") > 0,
+          round(col("n_unique").cast("double") /
+            col("n_ngrams").cast("double"), 6)).as("novelty"))
+  }
+
   /** PII patterns shared by `redactPii` and its oracle: deliberately
     * RE2-safe (character classes, bounded repetition, \b, no lookaround)
     * so Java regex (Spark) and RE2 (DuckDB) agree match-for-match. Order

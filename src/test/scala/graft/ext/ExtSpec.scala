@@ -4196,6 +4196,28 @@ class ExtSpec extends SparkSpec {
     assert(census("en") == ((1L, 0L, 0L)))
   }
 
+  test("ngramNovelty: hand-computed shares, copies read zero, sub-n NULL") {
+    val docs = Seq(
+      (1L, "a b c d"),     // {abc, bcd}: bcd unique -> 1/2
+      (2L, "a b c x"),     // {abc, bcx}: bcx unique -> 1/2
+      (3L, "p q r s t"),   // all three unique -> 1.0
+      (4L, "m n o m n o"), // copy of 5 -> 0.0 (distinct shingles shared)
+      (5L, "m n o m n o"),
+      (6L, "too short"))   // no trigrams -> 0, NULL
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((3L, 3L, 1.0)))
+    // "m n o m n o" has 4 windows but 3 DISTINCT shingles
+    assert(out(4L) == ((3L, 0L, 0.0)), out(4L))
+    assert(out(5L) == ((3L, 0L, 0.0)))
+    assert(out(6L) == ((0L, 0L, null)))
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
