@@ -1817,6 +1817,15 @@ object SparkEntry {
     // division off the one-pass shingle materialization
     "q180_ngram_novelty" -> ((s, dir) =>
       ext.TextAnalysis.ngramNovelty(Tables.documents(s, dir))),
+    // per-source KS drift on document length: exact empirical CDFs
+    // over the (group × distinct-value) grid, bit-portable divisions
+    "q181_source_ks" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      ext.DataQuality.ksByGroup(
+        Tables.documents(s, dir).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "source", "n_tokens")
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -4405,6 +4414,30 @@ object SparkEntry {
         |    THEN ROUND(n_unique / CAST(n_ngrams AS DOUBLE), 6)
         |  END AS novelty
         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin),
+    // KS per source vs the whole corpus: population cum recovered as
+    // Σ_g cum_g from the same grid; every CDF value one exact division
+    "q181_source_ks" ->
+      """WITH c AS (SELECT source AS g,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |gr AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n_g FROM c GROUP BY 1),
+        |vals AS (SELECT DISTINCT v FROM c),
+        |grid AS (SELECT gr.g, gr.n_g, vals.v, COALESCE(c.n, 0) AS n
+        |         FROM gr CROSS JOIN vals
+        |         LEFT JOIN c ON c.g = gr.g AND c.v = vals.v),
+        |cum AS (SELECT g, n_g, v,
+        |          CAST(SUM(n) OVER (PARTITION BY g ORDER BY v
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |        FROM grid),
+        |ac AS (SELECT v, CAST(SUM(cum) AS BIGINT) AS cum_all
+        |       FROM cum GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot FROM gr)
+        |SELECT g AS source, n_g AS n_rows,
+        |  ROUND(MAX(ABS(cum / CAST(n_g AS DOUBLE)
+        |    - cum_all / CAST(n_tot AS DOUBLE))), 6) AS ks
+        |FROM cum JOIN ac USING (v) CROSS JOIN tot
+        |GROUP BY 1, 2""".stripMargin,
     // gap hours: integer-division buckets (positive epochs — floor and
     // truncate agree), per-type generate_series span, NOT EXISTS screen
     "q166_feed_gaps" ->

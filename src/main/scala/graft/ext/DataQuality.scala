@@ -309,6 +309,63 @@ object DataQuality {
     * pre-publish checks (load_sales_history.py:241-246), generalized
     * from one row count to a full column profile. Scale: the artifact
     * is columns-sized; writing it costs one [[columnProfile]] pass. */
+  /** Kolmogorov–Smirnov statistic of each group's value distribution
+    * against the WHOLE population: per group, max over all distinct
+    * corpus values v of |F_g(v) − F_all(v)| — the sharpest
+    * distribution-drift number (PSI needs bucketing choices; KS is
+    * bucket-free and exact on the empirical CDFs). The per-source
+    * length-drift screen: a source whose KS jumps is delivering
+    * differently-shaped documents even when its mean looks flat.
+    *
+    * EXACT empirical CDFs: both numerators are integer counts, each
+    * CDF value is one IEEE division, and the max-of-abs-differences is
+    * bit-portable — the oracle restates it verbatim (q181). The
+    * population CDF numerator at v is recovered as Σ_g cum_g(v) from
+    * the same grid (no second pass over the data).
+    *
+    * Output: (groupCol, n_rows, ks), ks 6dp.
+    *
+    * Reference: the dual-engine validation gate
+    * (load_sales_history.py:241-246) as a distribution invariant.
+    *
+    * Scale notes (100 TB): the corpus-sized work is ONE
+    * map-side-combined (group, value) count aggregate,
+    * localCheckpointed; everything after runs on the
+    * groups × distinct-values grid. The per-group cumulative is a
+    * window PARTITIONED by group whose partitions hold the
+    * distinct-value relation — the q152 documented price (exact order
+    * statistics serialize distinct values, never raw rows). For
+    * continuous-valued columns at extreme scale, quantize first so the
+    * distinct-value relation stays bounded. */
+  def ksByGroup(df: DataFrame, groupCol: String,
+                valueCol: String): DataFrame = {
+    val c = df
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // (group, value)-sized; three consumers
+    val groups = c.groupBy(col("g")).agg(sum(col("n")).as("n_g"))
+    val values = c.select(col("v")).distinct()
+    val grid = groups.crossJoin(values)
+      .join(c, Seq("g", "v"), "left")
+      .select(col("g"), col("n_g"), col("v"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = grid.withColumn("cum", sum(col("n")).over(w))
+      .localCheckpoint() // grid-sized; feeds the population roll-up too
+    val allCum = cum.groupBy(col("v")).agg(sum(col("cum")).as("cum_all"))
+    val tot = groups.agg(sum(col("n_g")).as("n_tot"))
+    cum.join(allCum, Seq("v"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("g").as(groupCol), col("n_g").as("n_rows"))
+      .agg(round(max(abs(
+        col("cum").cast("double") / col("n_g").cast("double") -
+          col("cum_all").cast("double") / col("n_tot").cast("double"))), 6)
+        .as("ks"))
+  }
+
   def writeColumnProfileSnapshot(df: DataFrame, numericCols: Seq[String],
                                  stringCols: Seq[String],
                                  path: String): Unit = {

@@ -4218,6 +4218,23 @@ class ExtSpec extends SparkSpec {
     assert(out(6L) == ((0L, 0L, null)))
   }
 
+  test("ksByGroup: hand-computed statistic, identical slices read zero") {
+    // g1 = {1,1,2}, g2 = {2,3}; F_all: 1→0.4, 2→0.8, 3→1.0
+    // F_g1: 1→2/3, 2→1, 3→1 → ks = max(4/15, 0.2, 0) = 0.266667
+    // F_g2: 1→0, 2→0.5, 3→1 → ks = max(0.4, 0.3, 0) = 0.4
+    val df = Seq(("g1", 1L), ("g1", 1L), ("g1", 2L), ("g2", 2L), ("g2", 3L))
+      .toDF("src", "v")
+    val out = DataQuality.ksByGroup(df, "src", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("g1") == ((3L, 0.266667)))
+    assert(out("g2") == ((2L, 0.4)))
+    // two identically-distributed groups vs their union: ks = 0 both
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("src", "v")
+    val zero = DataQuality.ksByGroup(same, "src", "v").collect()
+    assert(zero.forall(_.getDouble(2) == 0.0), zero.toSeq)
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
