@@ -1826,6 +1826,10 @@ object SparkEntry {
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
         "source", "n_tokens")
     }),
+    // quantizer cell audit: population/share/cohesion per IVF cell —
+    // rows-only (iterative trainer + fp cohesion means), spec-pinned
+    "q182_cluster_profile" -> ((s, dir) =>
+      ext.Similarity.clusterProfile(Tables.embeddings(s, dir), nCells = 8)),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,

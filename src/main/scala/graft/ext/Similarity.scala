@@ -238,10 +238,76 @@ object Similarity {
   def assignCells(emb: DataFrame, centroids: Array[Array[Double]],
                   embCol: String = "embedding"): DataFrame = {
     require(centroids.length >= 2, "need >= 2 centroids")
-    val sims = centroids.toSeq.map(c =>
-      cosine(asDouble(col(embCol)), typedLit(c.toSeq)))
-    emb.withColumn("cell",
-      (array_position(array(sims: _*), greatest(sims: _*)) - 1).cast("int"))
+    val sims = centroidSims(centroids, embCol)
+    emb.withColumn("cell", cellOf(sims))
+  }
+
+  /** One cosine kernel per centroid against the literal centroid
+    * arrays — the shared projection under [[assignCells]] and
+    * [[clusterProfile]]. */
+  private def centroidSims(centroids: Array[Array[Double]],
+                           embCol: String): Seq[Column] =
+    centroids.toSeq.map(c => cosine(asDouble(col(embCol)), typedLit(c.toSeq)))
+
+  /** The assignment rule: argmax cosine, ties to the lowest cell id
+    * (array_position returns the FIRST position of the max). */
+  private def cellOf(sims: Seq[Column]): Column =
+    (array_position(array(sims: _*), greatest(sims: _*)) - 1).cast("int")
+
+  /** Cluster PROFILE — the per-cell health report of a quantizer: for
+    * each cell, its population, corpus share, and the mean/minimum
+    * cosine of members to their OWN centroid (cohesion; the minimum is
+    * the worst-routed member). This is how an IVF/SemDedup layout is
+    * audited before anyone trusts its probes: a near-empty cell wastes
+    * a partition, a bloated cell degrades every probe that routes to
+    * it, and a low-cohesion cell says the trained geometry no longer
+    * matches the corpus (retrain cadence). Rows-only (the trainer is
+    * iterative and the cohesion means are fp aggregates) + spec-pinned.
+    *
+    * Reference: the mart's per-entity rollup family
+    * (load_sales_mart.py:54-66) pointed at quantizer cells.
+    *
+    * Scale notes (100 TB): the assignment is the same narrow codegen
+    * map as [[assignCells]] (no shuffle); the profile is one
+    * map-side-combined aggregate to nCells rows; the total is a
+    * broadcast one-row attach. */
+  def clusterProfile(emb: DataFrame, nCells: Int = 16, iters: Int = 5,
+                     seed: Long = 42L): DataFrame =
+    profileAssigned(emb, kmeansCentroids(emb, nCells, iters, seed))
+
+  /** [[clusterProfile]] of a WRITTEN IVF index — the stored-route
+    * audit (reads `path/centroids` + `path/data`, the
+    * [[writeIvfIndex]] layout): run it at maintenance cadence to
+    * decide when appends have drifted the corpus away from the frozen
+    * quantizer. Membership comes from the stored rows; cells are
+    * re-derived from the stored centroids (bit-identical to the
+    * assignment at write time — same kernel, same tie rule). */
+  def clusterProfileOfIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String): DataFrame = {
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    profileAssigned(
+      spark.read.parquet(s"$indexPath/data")
+        .select(col("vec_id"), col("embedding")),
+      cents)
+  }
+
+  private def profileAssigned(emb: DataFrame,
+                              cents: Array[Array[Double]]): DataFrame = {
+    val sims = centroidSims(cents, "embedding")
+    val withCell = emb.withColumn("cell", cellOf(sims))
+      .withColumn("_cos", greatest(sims: _*)) // cosine to OWN centroid
+    val tot = withCell.agg(count(lit(1)).as("n_tot"))
+    withCell.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("_cos")), 6).as("mean_cos"),
+        round(min(col("_cos")), 6).as("min_cos"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_tot").cast("double"), 6)
+          .as("share"),
+        col("mean_cos"), col("min_cos"))
   }
 
   /** Physical IVF index layout: k-means cells trained on the corpus, the

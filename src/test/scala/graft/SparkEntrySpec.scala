@@ -34,7 +34,8 @@ class SparkEntrySpec extends SparkSpec {
       "q147_token_shard_audit", "q156_containment_index",
       "q160_token_shard_leakage", "q161_forget_documents",
       "q168_image_near_dups", "q169_audio_near_dups",
-      "q170_video_near_dups", "q171_perceptual_index"),
+      "q170_video_near_dups", "q171_perceptual_index",
+      "q182_cluster_profile"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

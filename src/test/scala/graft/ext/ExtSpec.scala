@@ -4235,6 +4235,28 @@ class ExtSpec extends SparkSpec {
     assert(zero.forall(_.getDouble(2) == 0.0), zero.toSeq)
   }
 
+  test("clusterProfile: totals, cohesion bounds, stored index route identical") {
+    // two tight clusters on orthogonal axes — a 2-cell quantizer must
+    // separate them with near-perfect cohesion
+    val emb = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0.01f * i) else Array(0f, 1f, 0.01f * i)
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val prof = Similarity.clusterProfile(emb, nCells = 2).collect()
+    assert(prof.map(_.getAs[Long]("n_vecs")).sum == 20L)
+    assert(math.abs(prof.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    prof.foreach { r =>
+      assert(r.getAs[Double]("mean_cos") > 0.99, r)
+      assert(r.getAs[Double]("min_cos") <= r.getAs[Double]("mean_cos"))
+    }
+    // stored route: profile of the written index ≡ the live profile
+    val dir = java.nio.file.Files.createTempDirectory("graft_cprof").toString
+    Similarity.writeIvfIndex(emb, s"$dir/idx", nCells = 2)
+    val stored = Similarity.clusterProfileOfIndex(spark, s"$dir/idx")
+      .collect().map(r => r.toSeq).toSet
+    assert(stored == prof.map(_.toSeq).toSet)
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
