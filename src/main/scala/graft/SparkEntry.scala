@@ -1830,6 +1830,27 @@ object SparkEntry {
     // rows-only (iterative trainer + fp cohesion means), spec-pinned
     "q182_cluster_profile" -> ((s, dir) =>
       ext.Similarity.clusterProfile(Tables.embeddings(s, dir), nCells = 8)),
+    // batch novelty, live route: odd docs scored against the even-docs
+    // reference — distinct shingles absent from the reference
+    "q183_batch_novelty" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      ext.TextAnalysis.batchNovelty(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    }),
+    // same question through the STORED df profile (the q77≡q70
+    // stored≡live pattern — both routes share one oracle SQL)
+    "q184_novelty_stored" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val path = "/tmp/graft_q184_ngramdf_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ext.TextAnalysis.writeNgramDfProfile(
+        docs.filter(col("doc_id") % 2 === 0), path)
+      ext.TextAnalysis.noveltyAgainstNgramProfile(s,
+        docs.filter(col("doc_id") % 2 === 1), path)
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -2001,6 +2022,34 @@ object SparkEntry {
   /** q36's per-doc distinct 3-shingle relation (`sh(doc_id, shingle)`
     * over the whole documents table) — q141 composes the same CTEs in
     * the reverse direction (the factored-never-copied rule). */
+  /** q183's live batch-novelty SQL — also q184's: the stored df-profile
+    * route must hash-match the live two-frame computation (the
+    * factored-never-copied stored≡live rule). */
+  private val BatchNoveltySql =
+    """WITH rtok AS (SELECT string_split(text, ' ') AS w
+      |              FROM documents WHERE doc_id % 2 = 0),
+      |ref AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+      |          generate_series(1, len(w) - 2),
+      |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      |        FROM rtok),
+      |btok AS (SELECT doc_id, string_split(text, ' ') AS w
+      |         FROM documents WHERE doc_id % 2 = 1),
+      |bsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          generate_series(1, len(w) - 2),
+      |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      |        FROM btok),
+      |per AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+      |          CAST(SUM(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_novel
+      |        FROM bsh b LEFT JOIN ref r USING (shingle) GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(n_ngrams, 0) AS n_ngrams,
+      |  COALESCE(n_novel, 0) AS n_novel,
+      |  CASE WHEN n_ngrams > 0
+      |    THEN ROUND(n_novel / CAST(n_ngrams AS DOUBLE), 6)
+      |  END AS novelty
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      |LEFT JOIN per USING (doc_id)""".stripMargin
+
   private val TriShingleCtes =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -4442,6 +4491,10 @@ object SparkEntry {
         |    - cum_all / CAST(n_tot AS DOUBLE))), 6) AS ks
         |FROM cum JOIN ac USING (v) CROSS JOIN tot
         |GROUP BY 1, 2""".stripMargin,
+    // live and stored novelty share one SQL — the hash compare IS the
+    // stored-route equality claim
+    "q183_batch_novelty" -> BatchNoveltySql,
+    "q184_novelty_stored" -> BatchNoveltySql,
     // gap hours: integer-division buckets (positive epochs — floor and
     // truncate agree), per-type generate_series span, NOT EXISTS screen
     "q166_feed_gaps" ->

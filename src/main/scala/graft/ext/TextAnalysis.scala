@@ -1252,6 +1252,116 @@ object TextAnalysis {
             col("n_ngrams").cast("double"), 6)).as("novelty"))
   }
 
+  // ---- n-gram document-frequency profile (the novelty artifact) ----
+  // [[ngramNovelty]] asks "unique within THIS corpus"; a recurring
+  // ingest asks the incremental question — "novel against the corpus
+  // accumulated SO FAR" — which needs the shingle document-frequency
+  // relation frozen on disk. Rides CountProfile (byte-dedup replay
+  // class: df contributions are deterministic per batch). APPEND
+  // CAVEAT (stated, not hidden): df sums assume appended batches are
+  // document-DISJOINT from the base corpus and each other — re-appending
+  // the same documents inflates df (rebuild at mart cadence, the Bloom
+  // discipline). `n` is artifact-owned (the canonical-index idCol
+  // rule): probes and appends read it back from the sidecar.
+
+  private def ngramDfParams(n: Int): Map[String, String] =
+    Map("kind" -> "ngram-df", "n" -> n.toString)
+
+  private def storedNgramN(path: String): Int = {
+    val sidecar = s"$path/params.properties"
+    Dedup.requireParams(sidecar, Map("kind" -> "ngram-df"),
+      "ngram-df profile")
+    Dedup.readParam(sidecar, "n", "ngram-df profile").toInt
+  }
+
+  /** Shingle document frequencies of a corpus — DISTINCT n-grams per
+    * doc ([[Dedup.wordShingles]]), so the count per shingle is docs
+    * containing it. Vocabulary-of-shingles-sized. */
+  private def shingleDfOf(docs: DataFrame, n: Int, cName: String): DataFrame =
+    docs.select(Dedup.wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as(cName))
+
+  /** Freeze a corpus's n-gram df relation at `path` (counts + sidecar;
+    * the [[writeCorpusProfile]] ladder at shingle granularity). */
+  def writeNgramDfProfile(docs: DataFrame, path: String, n: Int = 3): Unit = {
+    require(n >= 1, s"n must be >= 1: $n")
+    CountProfile.write(shingleDfOf(docs, n, "c"), path, ngramDfParams(n))
+  }
+
+  /** Merge a DISJOINT batch's shingle dfs into a stored profile
+    * (params validated BEFORE any write; `n` comes from the sidecar). */
+  def appendNgramDfProfile(docs: DataFrame, path: String,
+                           batchId: Option[Long] = None): Unit = {
+    val n = storedNgramN(path)
+    CountProfile.append(shingleDfOf(docs, n, "c"), path, batchId)
+  }
+
+  /** Collapse appended rows (untagged fold; tagged rows keep their
+    * tags — the [[compactCorpusProfile]] discipline). */
+  def compactNgramDfProfile(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit = {
+    storedNgramN(path)
+    CountProfile.compact(spark, path)
+  }
+
+  /** Batch NOVELTY against a live reference corpus: per batch doc, its
+    * distinct-shingle count, how many exist NOWHERE in the reference,
+    * and the novel share — the "is this crawl adding anything" number.
+    * Oracle-hashed (q183); [[noveltyAgainstNgramProfile]] is the
+    * stored route and reuses the same SQL (the q77≡q70 pattern). */
+  def batchNovelty(batch: DataFrame, reference: DataFrame,
+                   n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    noveltyAgainstGrams(batch, shingleDfOf(reference, n, "c"), n)
+  }
+
+  /** [[batchNovelty]] against the STORED df profile — the incremental
+    * route: the accumulated corpus is never re-scanned; `n` is read
+    * from the sidecar; `excludeBatchId` drops a replayed micro-batch's
+    * own tags so it scores against exactly the state its first attempt
+    * saw (the absorb-stream contract). */
+  def noveltyAgainstNgramProfile(spark: org.apache.spark.sql.SparkSession,
+                                 batch: DataFrame, profilePath: String,
+                                 excludeBatchId: Option[Long] = None)
+      : DataFrame = {
+    val n = storedNgramN(profilePath)
+    noveltyAgainstGrams(batch,
+      CountProfile.effective(spark, profilePath, "ngram-df profile",
+        "compactNgramDfProfile", excludeBatchId), n)
+  }
+
+  /** The shared novelty core: batch shingles LEFT-joined to the
+    * reference gram relation (novel = no match); sub-n docs report 0
+    * n-grams with NULL novelty (the [[ngramNovelty]] rule).
+    *
+    * Scale notes (100 TB): one batch-sized shingle explode joined
+    * against the vocabulary-sized gram relation (shuffle on the
+    * shingle key, map-side combined aggregate back to batch-doc
+    * cardinality); the reference corpus itself is never touched on the
+    * stored route. */
+  private def noveltyAgainstGrams(batch: DataFrame, grams: DataFrame,
+                                  n: Int): DataFrame = {
+    val e = batch
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val per = e
+      .join(grams.select(col("shingle"), lit(1).as("_known")),
+        Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(col("_known").isNull.cast("long")).as("n_novel"))
+    batch.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_ngrams") > 0,
+          round(col("n_novel").cast("double") /
+            col("n_ngrams").cast("double"), 6)).as("novelty"))
+  }
+
   /** PII patterns shared by `redactPii` and its oracle: deliberately
     * RE2-safe (character classes, bounded repetition, \b, no lookaround)
     * so Java regex (Spark) and RE2 (DuckDB) agree match-for-match. Order

@@ -723,6 +723,61 @@ object EventStream {
     * landings are batch-keyed overwrite. The profile must be owned by
     * this one stream; grow the base corpus through untagged batch
     * appends only while the stream is stopped. */
+  /** Streaming NOVELTY monitor — [[driftMonitorStream]]'s contract
+    * over the n-gram df profile: each micro-batch's per-doc novelty
+    * against the STORED profile
+    * ([[graft.ext.TextAnalysis.noveltyAgainstNgramProfile]]) lands
+    * under `metricsPath/batch_id=N`. The profile is READ-ONLY here
+    * (deterministic per batch + batch-keyed overwrite = exactly-once,
+    * no tags); the absorbing twin is [[ingestNgramProfileStream]]. */
+  def noveltyMonitorStream(docs: DataFrame, profilePath: String,
+                           metricsPath: String,
+                           checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.TextAnalysis.noveltyAgainstNgramProfile(
+              batch.sparkSession, batch, profilePath)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+        }
+      }
+
+  /** Absorbing NOVELTY stream — the score-then-merge shape
+    * ([[ingestProfileStream]]): each micro-batch is novelty-scored
+    * against the df profile AS IT STOOD (own tag excluded), the
+    * per-doc report lands under `metricsPath/batch_id=N`, and the
+    * batch's shingle dfs merge into the profile LAST — so each batch's
+    * novelty is measured against everything absorbed before it and a
+    * replay reproduces its first report byte-for-byte whether or not
+    * the first absorb committed (CountProfile byte-dedup class). The
+    * df-disjointness caveat of [[graft.ext.TextAnalysis.appendNgramDfProfile]]
+    * holds per micro-batch: a stream feeding previously-profiled
+    * documents inflates dfs (rebuild at mart cadence). The profile
+    * must be owned by this one stream. */
+  def ingestNgramProfileStream(docs: DataFrame, profilePath: String,
+                               metricsPath: String,
+                               checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed twice: score + absorb
+          graft.ext.TextAnalysis.noveltyAgainstNgramProfile(
+              b.sparkSession, b, profilePath,
+              excludeBatchId = Some(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+          graft.ext.TextAnalysis.appendNgramDfProfile(b, profilePath,
+            batchId = Some(batchId))
+        }
+      }
+
   def ingestProfileStream(docs: DataFrame, profilePath: String,
                           metricsPath: String,
                           checkpoint: String): DataStreamWriter[Row] =

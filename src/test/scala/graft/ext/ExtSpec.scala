@@ -4257,6 +4257,58 @@ class ExtSpec extends SparkSpec {
     assert(stored == prof.map(_.toSeq).toSet)
   }
 
+  test("ngram-df profile: stored ≡ live, append shifts, replay exclusion, owned n") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ngramdf").toString
+    val ref = Seq((1L, "a b c d e"), (2L, "x y z w"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c new"),  // {a b c known, b c new, a? } -> part novel
+      (11L, "p q r s"),    // all novel
+      (12L, "hi"))         // sub-n: 0, NULL
+      .toDF("doc_id", "text")
+    TextAnalysis.writeNgramDfProfile(ref, s"$dir/prof")
+    // stored route ≡ live route, bit for bit
+    val live = TextAnalysis.batchNovelty(batch, ref).collect()
+      .map(_.toSeq).toSet
+    val stored = TextAnalysis
+      .noveltyAgainstNgramProfile(spark, batch, s"$dir/prof")
+      .collect().map(_.toSeq).toSet
+    assert(stored == live, s"$stored vs $live")
+    // and the live numbers are the hand-computed ones
+    val m = TextAnalysis.batchNovelty(batch, ref).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(10L) == ((2L, 1L))) // "a b c" known, "b c new" novel
+    assert(m(11L) == ((2L, 2L)))
+    assert(m(12L) == ((0L, 0L)))
+    // absorb the batch (tagged) — it is now known corpus...
+    TextAnalysis.appendNgramDfProfile(batch, s"$dir/prof", Some(7L))
+    val post = TextAnalysis
+      .noveltyAgainstNgramProfile(spark, batch, s"$dir/prof")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(post(10L) == 0L && post(11L) == 0L)
+    // ...except under its OWN tag exclusion (the replay contract)
+    val excl = TextAnalysis.noveltyAgainstNgramProfile(spark, batch,
+        s"$dir/prof", excludeBatchId = Some(7L))
+      .collect().map(_.toSeq).toSet
+    assert(excl == live, "own-tag exclusion must reproduce the pre-absorb scores")
+    // compaction preserves both answers
+    TextAnalysis.compactNgramDfProfile(spark, s"$dir/prof")
+    assert(TextAnalysis.noveltyAgainstNgramProfile(spark, batch,
+        s"$dir/prof", excludeBatchId = Some(7L))
+      .collect().map(_.toSeq).toSet == live)
+    // n is artifact-owned: a bigram profile probes at n = 2
+    TextAnalysis.writeNgramDfProfile(ref, s"$dir/prof2", n = 2)
+    assert(TextAnalysis
+      .noveltyAgainstNgramProfile(spark, batch, s"$dir/prof2")
+      .collect().map(_.toSeq).toSet ==
+      TextAnalysis.batchNovelty(batch, ref, n = 2).collect()
+        .map(_.toSeq).toSet)
+    // wrong-kind artifact refused loudly
+    TextAnalysis.writeCorpusProfile(ref, s"$dir/uniprof")
+    intercept[IllegalArgumentException](
+      TextAnalysis.noveltyAgainstNgramProfile(spark, batch, s"$dir/uniprof"))
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),

@@ -861,6 +861,83 @@ class EventStreamSpec extends SparkSpec {
       exact.getAs[Double]("js_divergence"))
   }
 
+  test("ngram-df novelty monitor lands one report per micro-batch, profile read-only") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_novmon").toString
+    val base = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    graft.ext.TextAnalysis.writeNgramDfProfile(base, s"$dir/prof")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.noveltyMonitorStream(mem.toDF(), s"$dir/prof",
+        s"$dir/metrics", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    mem.addData(IngestDoc(10L, "alpha beta gamma epsilon"))
+    drain()
+    mem.addData(IngestDoc(11L, "alpha beta gamma epsilon"))
+    drain()
+    val m = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => (r.getAs[Int]("batch_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("n_novel")).toMap
+    // the monitor never absorbs: batch 1 repeats batch 0's text and
+    // STILL reads novel against the frozen profile
+    assert(m == Map((0, 10L) -> 1L, (1, 11L) -> 1L), m)
+  }
+
+  test("ngram-df absorb stream scores novelty pre-batch, exactly once under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_ngramdf").toString
+    val base = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    graft.ext.TextAnalysis.writeNgramDfProfile(base, s"$dir/prof")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.ingestNgramProfileStream(mem.toDF(), s"$dir/prof",
+        s"$dir/metrics", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    val b0 = Seq((10L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    mem.addData(IngestDoc(10L, "alpha beta gamma epsilon"))
+    drain()
+    // crash window: report + absorb committed, checkpoint commit lost
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain() // replay: scores against the pre-absorb profile
+    // batch 1 repeats batch 0's text — everything is known by now
+    mem.addData(IngestDoc(11L, "alpha beta gamma epsilon"))
+    drain()
+    val metrics = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => r.getAs[Int]("batch_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_novel"))).toMap
+    // batch 0 vs the BASE corpus: {alpha beta gamma} known,
+    // {beta gamma epsilon} novel — the replayed report is identical
+    assert(metrics(0) == ((2L, 1L)), metrics)
+    // batch 1 scored against base ∪ batch 0: nothing novel
+    assert(metrics(1) == ((2L, 0L)), metrics)
+    // exactly once despite the replayed absorb: the final profile is
+    // base ∪ b0 ∪ b1 — a probe equals the live computation
+    val probe = Seq((99L, "beta gamma epsilon zeta")).toDF("doc_id", "text")
+    val viaProfile = graft.ext.TextAnalysis.noveltyAgainstNgramProfile(
+      spark, probe, s"$dir/prof").collect().map(_.toSeq).toSet
+    val exact = graft.ext.TextAnalysis.batchNovelty(probe,
+        base.unionByName(b0).unionByName(
+          Seq((11L, "alpha beta gamma epsilon")).toDF("doc_id", "text")))
+      .collect().map(_.toSeq).toSet
+    assert(viaProfile == exact, "a replayed absorb must not double-count")
+    // and the df VALUES landed exactly once under the tagged-reader
+    // rule (distinct byte-identical tagged rows, then sum): the novel
+    // shingle was contributed by batch 0 ONCE (despite the replay) and
+    // batch 1 once — df 2, not 3
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val df = spark.read.parquet(s"$dir/prof/counts")
+      .filter(col("shingle") === "beta gamma epsilon")
+      .distinct().agg(fsum(col("c"))).head().getLong(0)
+    assert(df == 2L, s"replayed absorb double-counted: df = $df")
+  }
+
   test("line-profile absorb stream strips against the pre-batch profile, exactly once under replay") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files
