@@ -1851,6 +1851,20 @@ object SparkEntry {
       ext.TextAnalysis.noveltyAgainstNgramProfile(s,
         docs.filter(col("doc_id") % 2 === 1), path)
     }),
+    // cross-source boilerplate: the binding PLANTS footers (fixture
+    // docs are single-line) — one spread across sources, one confined
+    // to a single doc (filtered by the spread threshold)
+    "q185_shared_lines" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      val docs = Tables.documents(s, dir)
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit("\n(c) 2024 Example Corp\nAll rights reserved")))
+        .when(col("doc_id") % 10 === 1,
+          concat(col("text"), lit("\nnavigation menu")))
+        .otherwise(col("text")))
+      ext.TextAnalysis.sharedLines(planted)
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -4495,6 +4509,25 @@ object SparkEntry {
     // stored-route equality claim
     "q183_batch_novelty" -> BatchNoveltySql,
     "q184_novelty_stored" -> BatchNoveltySql,
+    // shared lines: distinct (line, doc, source) then spread counts —
+    // chr(10) is the planted separator
+    "q185_shared_lines" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 0 THEN text ||
+        |      chr(10) || '(c) 2024 Example Corp' ||
+        |      chr(10) || 'All rights reserved'
+        |    WHEN doc_id % 10 = 1 THEN text || chr(10) || 'navigation menu'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |l AS (SELECT DISTINCT doc_id, source, line FROM
+        |        (SELECT doc_id, source,
+        |           unnest(string_split(text, chr(10))) AS line
+        |         FROM p)),
+        |g AS (SELECT line, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |      FROM l WHERE length(line) > 0 GROUP BY 1)
+        |SELECT line, n_docs, n_sources FROM g
+        |WHERE n_docs >= 2 AND n_sources >= 2""".stripMargin,
     // gap hours: integer-division buckets (positive epochs — floor and
     // truncate agree), per-type generate_series span, NOT EXISTS screen
     "q166_feed_gaps" ->

@@ -1362,6 +1362,43 @@ object TextAnalysis {
             col("n_ngrams").cast("double"), 6)).as("novelty"))
   }
 
+  /** Shared-line BOILERPLATE report — per line, how many documents and
+    * how many distinct SOURCES carry it: the triage view behind the
+    * line-dedup family. Occurrence counts alone ([[Dedup.dedupLines]]'
+    * rule) can't separate a template used by ONE heavy site (cut it
+    * from that source, or let canonical dedup handle it) from a
+    * footer/licence block spread ACROSS sources (true web boilerplate —
+    * strip it corpus-wide); source spread is exactly that split.
+    * Returns lines with n_sources ≥ `minSources` and n_docs ≥
+    * `minDocs`, counted per DISTINCT (line, document) — in-document
+    * repeats don't inflate the spread.
+    *
+    * Output: (line, n_docs, n_sources) — exact longs, oracle-hashed
+    * (q185).
+    *
+    * Reference: the mart's per-entity rollup family
+    * (load_sales_mart.py:54-66) on line provenance.
+    *
+    * Scale notes (100 TB): one corpus-sized line explode reduced to
+    * DISTINCT (line, doc, source) — map-side combined before the one
+    * line-keyed shuffle — then a count + count-distinct per line (the
+    * second aggregate runs on the already-distinct relation). The
+    * report is thresholded, so output is boilerplate-sized. */
+  def sharedLines(docs: DataFrame, minDocs: Int = 2, minSources: Int = 2,
+                  sep: String = "\n"): DataFrame = {
+    require(minDocs >= 1 && minSources >= 1,
+      s"thresholds must be >= 1: $minDocs/$minSources")
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), sep)).as("line"))
+      .filter(length(col("line")) > 0)
+      .distinct()
+      .groupBy(col("line"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= minDocs && col("n_sources") >= minSources)
+  }
+
   /** PII patterns shared by `redactPii` and its oracle: deliberately
     * RE2-safe (character classes, bounded repetition, \b, no lookaround)
     * so Java regex (Spark) and RE2 (DuckDB) agree match-for-match. Order

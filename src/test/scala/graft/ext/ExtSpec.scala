@@ -4309,6 +4309,24 @@ class ExtSpec extends SparkSpec {
       TextAnalysis.noveltyAgainstNgramProfile(spark, batch, s"$dir/uniprof"))
   }
 
+  test("sharedLines: source spread separates site templates from web boilerplate") {
+    val docs = Seq(
+      (1L, "unique one\nFOOTER", "srcA"),
+      (2L, "unique two\nFOOTER", "srcB"),
+      (3L, "unique three\nFOOTER\nFOOTER", "srcC"), // in-doc repeat: once
+      (4L, "TEMPLATE\nbody a", "srcA"),
+      (5L, "TEMPLATE\nbody b", "srcA"), // template confined to srcA
+      (6L, "", "srcB")) // empty line filtered
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sharedLines(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("FOOTER" -> ((3L, 3L))), out) // spread wins
+    // with the source threshold relaxed, the single-site template shows
+    val all = TextAnalysis.sharedLines(docs, minSources = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(all == Map("FOOTER" -> ((3L, 3L)), "TEMPLATE" -> ((2L, 1L))))
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
