@@ -36,6 +36,11 @@ object Curation {
     *     attribute soup. A pure per-document rewrite, so it rides
     *     [[statelessHygiene]] into the curation stream. Funnel row
     *     `00a0_markup_strip`.
+    *   - `normalizeNfc`: Unicode NFC rewrite
+    *     ([[TextAnalysis.normalizeNfc]]) after the markup strip and
+    *     before everything byte-keyed — composed and decomposed
+    *     spellings must land in the same dedup groups, shingles and
+    *     digests. Stateless ⇒ stream-safe. Funnel row `00a1_nfc`.
     *   - `redactPii`: rewrite text through [[TextAnalysis.redactPii]]
     *     BEFORE anything else — scrub first, so digit-run variants of the
     *     same boilerplate collapse in every later dedup stage;
@@ -316,6 +321,7 @@ object Curation {
       valPct: Int = 10,
       stratifySplitByLang: Boolean = false,
       stripMarkup: Boolean = false,
+      normalizeNfc: Boolean = false,
       redactPii: Boolean = false,
       maxRedactionsPerDoc: Option[Long] = None,
       piiPatterns: Seq[(String, String)] = TextAnalysis.PiiPatterns,
@@ -825,7 +831,7 @@ object Curation {
     * the default path's plan shape (and its pinned scan bounds) never
     * grows a cache step. */
   private def hygieneActive(cfg: Config): Boolean =
-    cfg.stripMarkup || cfg.redactPii || cfg.filterLines ||
+    cfg.stripMarkup || cfg.normalizeNfc || cfg.redactPii || cfg.filterLines ||
       cfg.stripIntraDocRepeats || cfg.dedupLines ||
       cfg.lineProfilePath.isDefined || cfg.stripPassages
 
@@ -890,11 +896,16 @@ object Curation {
       TextAnalysis.stripMarkup(base)
         .select(col("doc_id"), col("clean_text").as("text"))
     else base
+    // NFC before anything byte-keyed (dedup keys, shingles, digests)
+    val nfcClean = if (cfg.normalizeNfc)
+      TextAnalysis.normalizeNfc(demarked)
+        .select(col("doc_id"), col("clean_text").as("text"))
+    else demarked
     val scrubbed = if (cfg.redactPii) {
-      val r = TextAnalysis.redactPii(demarked, cfg.piiPatterns)
+      val r = TextAnalysis.redactPii(nfcClean, cfg.piiPatterns)
       cfg.maxRedactionsPerDoc.fold(r)(m => r.filter(col("n_redactions") <= m))
         .select(col("doc_id"), col("redacted").as("text"))
-    } else demarked
+    } else nfcClean
     val ruleClean =
       if (cfg.filterLines)
         TextAnalysis.filterLines(scrubbed, cfg.minLineWords,
@@ -1166,8 +1177,16 @@ object Curation {
       hygieneRows += (("00a0_markup_strip", mk.count()))
       mk
     } else base
+    // 00a1: markup(00a0) < nfc(00a1) < pii(00a_) — '0','1' < '_'
+    val nfcClean = if (cfg.normalizeNfc) {
+      val nf = TextAnalysis.normalizeNfc(demarked)
+        .select(col("doc_id"), col("clean_text").as("text")).persist()
+      hygieneCached += nf
+      hygieneRows += (("00a1_nfc", nf.count()))
+      nf
+    } else demarked
     val scrubbed = if (cfg.redactPii) {
-      val r = TextAnalysis.redactPii(demarked, cfg.piiPatterns)
+      val r = TextAnalysis.redactPii(nfcClean, cfg.piiPatterns)
       cfg.maxRedactionsPerDoc match {
         case Some(m) =>
           val kept = r.filter(col("n_redactions") <= m)
@@ -1178,7 +1197,7 @@ object Curation {
         case None =>
           r.select(col("doc_id"), col("redacted").as("text"))
       }
-    } else demarked
+    } else nfcClean
     // 00ab: sorts between 00a and 00b — funnel stage labels are
     // lexicographic-ordered so consumers may sort by stage
     val ruleClean = if (cfg.filterLines) {

@@ -1763,6 +1763,37 @@ class CurationSpec extends SparkSpec {
       Curation.curate(corpus, benchmark, cfg.copy(stripMarkup = true)).count())
   }
 
+  test("NFC rides the stateless hygiene prefix after the markup strip") {
+    val on = Curation.Config(normalizeNfc = true)
+    val crafted = Seq(
+      (1L, "Café menu of the day"), // decomposed accent
+      (2L, "plain ascii document text"))
+      .toDF("doc_id", "text")
+    val viaHygiene = Curation.statelessHygiene(crafted, on)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaOp = TextAnalysis.normalizeNfc(crafted)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+    assert(viaHygiene == viaOp)
+    assert(viaHygiene(1L) == "Café menu of the day") // composed now
+    assert(viaHygiene(1L).length == crafted.collect()
+      .find(_.getLong(0) == 1L).get.getString(1).length - 1)
+    // order: NFC must see EXTRACTED text — a decomposed accent inside
+    // a tag is gone, the body's accent composes
+    val both = Curation.statelessHygiene(
+        Seq((1L, "<p title=\"Café\">Café body</p>")).toDF("doc_id", "text"),
+        Curation.Config(stripMarkup = true, normalizeNfc = true))
+      .collect().head.getString(1)
+    assert(both == "Café body" && both.length == 9, both)
+    // funnel: 00a1 row between 00a0 and 00a_, tail lands on curate()
+    val f = Curation.curationFunnel(corpus, benchmark,
+        cfg.copy(normalizeNfc = true))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f.contains("00a1_nfc"))
+    assert("00a0_markup_strip" < "00a1_nfc" && "00a1_nfc" < "00a_pii_gate")
+    assert(f("07_quota") ==
+      Curation.curate(corpus, benchmark, cfg.copy(normalizeNfc = true)).count())
+  }
+
   test("intra-doc strip rides the stateless hygiene prefix with its funnel row") {
     val on = Curation.Config(stripIntraDocRepeats = true)
     val phrase = "a b c d e f g h"
