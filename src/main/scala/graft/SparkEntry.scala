@@ -1865,6 +1865,26 @@ object SparkEntry {
         .otherwise(col("text")))
       ext.TextAnalysis.sharedLines(planted)
     }),
+    // k-anonymity gate: (type, hour) combos carried by < 3 users —
+    // empty at sf0.1 is the PASSING state (the q166 empty-is-correct
+    // class; rows>0 pinned at sf0.001)
+    "q186_k_anonymity" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      ext.Events.kAnonymityReport(
+        Tables.events(s, dir).select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts) div 3600000000").as("hour_bucket")),
+        Seq("event_type", "hour_bucket"), k = 3)
+    }),
+    // DAU/WAU stickiness: trailing-window distinct via the bounded
+    // sequence() fan-out — exact counts, one division
+    "q187_stickiness" -> ((s, dir) =>
+      ext.Events.stickinessReport(Tables.events(s, dir))),
+    // Matryoshka audit: recall@k of prefix-truncated vectors vs the
+    // full-width exact neighbors — the ANN byte-budget table.
+    // Rows-only (fp recall means), full-width-reads-1.0 spec-pinned
+    "q188_truncation_fidelity" -> ((s, dir) =>
+      ext.Similarity.truncationFidelity(Tables.embeddings(s, dir),
+        dims = Seq(8, 16, 32, 64))),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -4528,6 +4548,33 @@ object SparkEntry {
         |      FROM l WHERE length(line) > 0 GROUP BY 1)
         |SELECT line, n_docs, n_sources FROM g
         |WHERE n_docs >= 2 AND n_sources >= 2""".stripMargin,
+    // k-anonymity: positive epochs make // and div agree; the report
+    // is the FAILING combos only
+    "q186_k_anonymity" ->
+      """SELECT event_type,
+        |  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT user_id) < 3""".stripMargin,
+    // stickiness: the same sequence() fan-out restated — target day d
+    // collects activity from d-6..d; only observed days report
+    "q187_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM ud GROUP BY 1),
+        |fan AS (SELECT user_id, unnest(generate_series(day, day + 6)) AS day
+        |        FROM ud),
+        |wau AS (SELECT f.day,
+        |          CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS wau
+        |        FROM fan f JOIN days USING (day) GROUP BY 1)
+        |SELECT day, dau, wau,
+        |  ROUND(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+        |FROM dau JOIN wau USING (day)""".stripMargin,
     // gap hours: integer-division buckets (positive epochs — floor and
     // truncate agree), per-type generate_series span, NOT EXISTS screen
     "q166_feed_gaps" ->

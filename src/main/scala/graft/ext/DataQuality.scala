@@ -345,7 +345,10 @@ object DataQuality {
       .localCheckpoint() // (group, value)-sized; three consumers
     val groups = c.groupBy(col("g")).agg(sum(col("n")).as("n_g"))
     val values = c.select(col("v")).distinct()
-    val grid = groups.crossJoin(values)
+    // the grid product is bounded (enum-sized groups × distinct
+    // values); broadcasting the enum side keeps it a broadcast
+    // nested-loop over one partitioned side, never a cartesian
+    val grid = broadcast(groups).crossJoin(values)
       .join(c, Seq("g", "v"), "left")
       .select(col("g"), col("n_g"), col("v"),
         coalesce(col("n"), lit(0L)).as("n"))

@@ -366,6 +366,80 @@ object Events {
     * and the feed-health member of the stored-artifact gate family
     * (reference analogue: the persisted validation state of
     * load_sales_history.py:241-246, pointed at arrival volume). */
+  /** K-ANONYMITY report over quasi-identifier combinations — the
+    * privacy gate an analytics export runs before anyone publishes
+    * grouped numbers: every combination of the quasi columns carried
+    * by FEWER than `k` distinct users is a re-identification surface
+    * (a "page view at 3am from type X" group of one user IS that
+    * user). Returns the failing combinations with their user and
+    * event counts; empty output is the passing gate (the
+    * expectations-report convention).
+    *
+    * Output: (quasiCols…, n_users, n_events) where n_users < k.
+    * Exact longs — oracle-hashed (q186).
+    *
+    * Reference: the mart's grouped-rollup family
+    * (load_sales_mart.py:54-66) — the pre-publish audit those rollups
+    * should pass first.
+    *
+    * Scale notes (100 TB): one aggregate over the quasi columns
+    * (count-distinct is the standard two-phase plan); output is
+    * thresholded to the failing combos. Quasi columns should be
+    * pre-bucketed by the caller (hour buckets, coarse geo) — that is
+    * the k-anonymity model, not a limitation. */
+  def kAnonymityReport(events: DataFrame, quasiCols: Seq[String],
+                       k: Int = 5,
+                       userCol: String = "user_id"): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2: $k")
+    events.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(userCol)).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .filter(col("n_users") < k)
+  }
+
+  /** DAU/WAU STICKINESS — per observed day, the distinct active
+    * users, the distinct users over the trailing `windowDays` days,
+    * and their ratio (the classic engagement number: DAU/WAU ≈ how
+    * many days a week the average user shows up). Exact distinct
+    * counts + one division (6dp) — oracle-hashed (q187).
+    *
+    * Output: (day, dau, wau, stickiness), one row per day with ≥ 1
+    * event; `day` is the epoch day (positive timestamps ⇒ floor and
+    * truncate agree, the q166 rule). Days whose trailing window
+    * reaches before the observed span report the window over what
+    * exists (standard for the first week).
+    *
+    * Reference: the mart's per-period rollups
+    * (load_sales_mart.py:54-66) with a trailing-window distinct.
+    *
+    * Scale notes (100 TB): the corpus-sized pass reduces to DISTINCT
+    * (user, day) once; the trailing window is an EQUI-join — each
+    * (user, day) row explodes to its `windowDays` target days
+    * (sequence(), bounded fan-out) and the count-distinct groups by
+    * target day — never a non-equi range join (BNLJ) and never a
+    * window over users. */
+  def stickinessReport(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val day = expr("unix_micros(ts) div 86400000000")
+    val ud = events.select(col("user_id"), day.as("day")).distinct()
+      .localCheckpoint() // read by DAU, the window fan-out, and the grid
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + lit((windowDays - 1).toLong))).as("day"))
+      .join(days, Seq("day")) // only days that actually occur
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+  }
+
   def writeVolumeProfile(events: DataFrame, path: String,
                          baseWeeks: Long): Unit = {
     require(baseWeeks >= 1, "need baseWeeks >= 1")

@@ -153,6 +153,47 @@ object Similarity {
       .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
   }
 
+  /** TRUNCATION fidelity (the Matryoshka question): how well do
+    * dimension PREFIXES of the embedding preserve nearest-neighbor
+    * structure? For each requested prefix width, recall@k of
+    * brute-force top-k over the truncated (re-normalized — cosine
+    * does that) vectors against the full-width exact top-k. The
+    * ANN-cost tuning table: a corpus whose 16-dim prefix already
+    * reads recall ≈ 1 can run every index/probe at a quarter of the
+    * vector bytes; one that collapses says the embedder front-loads
+    * nothing and truncation must wait for a Matryoshka-trained model.
+    *
+    * Output: (dims, n_queries, mean_recall, min_recall) — one row per
+    * requested width. Rows-only (fp recall means) + spec-pinned
+    * (full-width prefix reads exactly 1.0).
+    *
+    * Reference: the dedup/similarity family anchor
+    * (etl/transform_sales.py:24), priced per vector width.
+    *
+    * Scale notes (100 TB): the exact top-k is computed ONCE
+    * (localCheckpoint) and each width is one brute-force pass (the
+    * q20 broadcast-queries shape) — at corpus scale substitute
+    * [[probeIvfIndex]] candidates for `bruteForceTopK` on both sides;
+    * the recall composition is relation-agnostic. Truncation itself
+    * is a zero-copy `slice` projection. */
+  def truncationFidelity(emb: DataFrame, dims: Seq[Int] = Seq(8, 16, 32),
+                         nQueries: Int = 25, k: Int = 10): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      s"prefix widths must be >= 1: $dims")
+    require(dims.distinct.size == dims.size, s"duplicate widths: $dims")
+    val exact = bruteForceTopK(emb, nQueries, k).localCheckpoint()
+    dims.map { d =>
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      recallAtK(bruteForceTopK(trunc, nQueries, k), exact, k)
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("recall")), 6).as("mean_recall"),
+          round(min(col("recall")), 6).as("min_recall"))
+        .select(lit(d).as("dims"), col("n_queries"),
+          col("mean_recall"), col("min_recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Trained IVF coarse quantizer: fixed-seed Lloyd's k-means over the
     * raw embedding column — no `label` column required, so any corpus can
     * be indexed. Deterministic in practice: seeding takes the `nCells`

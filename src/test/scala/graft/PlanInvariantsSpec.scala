@@ -66,6 +66,27 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q175 weighted sample plans as a top-k, never a global sort") {
+    val p = plan(SparkEntry.queries("q175_weighted_sample")(spark, sf("sf0.001")))
+    val topK = p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(topK.nonEmpty, s"no TakeOrderedAndProject in q175 plan:\n$p")
+    val globalSort = p.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSort.isEmpty, s"global SortExec in q175 plan:\n$p")
+  }
+
+  test("q181 KS windows are group-partitioned; the grid product is a broadcast") {
+    val p = plan(SparkEntry.queries("q181_source_ks")(spark, sf("sf0.001")))
+    assert(p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      s"unpartitioned WindowExec in q181 plan:\n$p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"CartesianProduct in q181 plan:\n$p")
+  }
+
   test("q141 burned-benchmark never shuffles corpus × bench (semi-join against broadcast)") {
     val p = plan(
       SparkEntry.queries("q141_burned_benchmark")(spark, sf("sf0.001")))

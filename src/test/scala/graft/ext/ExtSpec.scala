@@ -4327,6 +4327,70 @@ class ExtSpec extends SparkSpec {
     assert(all == Map("FOOTER" -> ((3L, 3L)), "TEMPLATE" -> ((2L, 1L))))
   }
 
+  test("kAnonymityReport: failing combos only, exact counts, guards") {
+    val ev = Seq(
+      ("click", 0L, 1L), ("click", 0L, 1L),             // 1 user, 2 events
+      ("view", 0L, 1L), ("view", 0L, 2L),               // 2 users
+      ("buy", 1L, 1L), ("buy", 1L, 2L), ("buy", 1L, 3L)) // 3 users: passes
+      .toDF("event_type", "hour_bucket", "user_id")
+    val out = Events.kAnonymityReport(ev, Seq("event_type", "hour_bucket"),
+        k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(("click", 0L) -> ((1L, 2L)), ("view", 0L) -> ((2L, 2L))))
+    intercept[IllegalArgumentException](
+      Events.kAnonymityReport(ev, Nil))
+    intercept[IllegalArgumentException](
+      Events.kAnonymityReport(ev, Seq("event_type"), k = 1))
+  }
+
+  test("stickinessReport: trailing-window distinct, hand-computed ratios") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 12:00:00")), (1L, t("2024-01-01 13:00:00")),
+      (2L, t("2024-01-01 12:30:00")),
+      (1L, t("2024-01-02 12:00:00")),
+      (3L, t("2024-01-11 12:00:00"))) // isolated: outside every window
+      .toDF("user_id", "ts")
+    val out = Events.stickinessReport(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(_._1)
+    // day 0: dau {1,2}, wau {1,2}; day 1: dau {1}, wau {1,2} (trailing);
+    // day 10: {3} only — days 0/1 are outside its trailing window
+    assert(out.length == 3)
+    val Array(d0, d1, d10) = out
+    assert(d0._2 == ((2L, 2L, 1.0)))
+    assert(d1._2 == ((1L, 2L, 0.5)))
+    assert(d10._2 == ((1L, 1L, 1.0)))
+    assert(d1._1 == d0._1 + 1 && d10._1 == d0._1 + 10)
+  }
+
+  test("truncationFidelity: full width reads 1.0, uninformative prefix detected") {
+    // the first 4 dims are pure per-id noise; the tail carries the
+    // real neighborhood structure — exactly the embedder a truncation
+    // audit must FLAG (prefix recall collapses, full width is exact)
+    val emb = (0 until 30).map { i =>
+      val noise = Array.tabulate(4)(j => ((i * 7 + j * 3) % 5 - 2) * 1.0f)
+      val sig = Array.tabulate(12)(j =>
+        if (i % 2 == 0) math.cos(0.05 * i + j).toFloat
+        else math.sin(0.05 * i + j).toFloat)
+      (i.toLong, (noise ++ sig).toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.truncationFidelity(emb, dims = Seq(4, 16),
+        nQueries = 5, k = 5).collect()
+      .map(r => r.getInt(0) -> (r.getAs[Long]("n_queries"),
+        r.getAs[Double]("mean_recall"))).toMap
+    assert(out(16)._2 == 1.0, s"full width must be exact: $out")
+    assert(out(4)._1 == 5L)
+    assert(out(4)._2 < out(16)._2,
+      s"a noise-only prefix must read degraded recall: $out")
+    intercept[IllegalArgumentException](
+      Similarity.truncationFidelity(emb, dims = Seq(4, 4)))
+    intercept[IllegalArgumentException](
+      Similarity.truncationFidelity(emb, dims = Nil))
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
