@@ -1885,6 +1885,40 @@ object SparkEntry {
     "q188_truncation_fidelity" -> ((s, dir) =>
       ext.Similarity.truncationFidelity(Tables.embeddings(s, dir),
         dims = Seq(8, 16, 32, 64))),
+    // last-touch attribution: the as-of primitive composed with the
+    // attribution window; organic conversions keep NULL touch columns
+    "q189_attribution" -> ((s, dir) =>
+      ext.Events.lastTouchAttribution(Tables.events(s, dir),
+        "purchase", Seq("click", "view", "signup"))),
+    // referential-integrity audit over the star schema: every fact→dim
+    // edge the reference's J1 join silently LEFT-joins through
+    "q190_referential_orphans" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      Seq(
+        ext.DataQuality.referentialOrphans(li, o,
+          "l_orderkey", "o_orderkey", "lineitem->orders"),
+        ext.DataQuality.referentialOrphans(li, Tables.part(s, dir),
+          "l_partkey", "p_partkey", "lineitem->part"),
+        ext.DataQuality.referentialOrphans(li, Tables.supplier(s, dir),
+          "l_suppkey", "s_suppkey", "lineitem->supplier"),
+        ext.DataQuality.referentialOrphans(o, Tables.customer(s, dir),
+          "o_custkey", "c_custkey", "orders->customer"))
+        .reduce(_ unionByName _)
+    }),
+    // key-uniqueness audit: the PK assumption behind MAX+1 admission,
+    // checked per table
+    "q191_key_uniqueness" -> ((s, dir) =>
+      Seq(
+        ext.DataQuality.uniquenessReport(Tables.lineitem(s, dir),
+          Seq("l_orderkey", "l_linenumber"), "lineitem"),
+        ext.DataQuality.uniquenessReport(Tables.orders(s, dir),
+          Seq("o_orderkey"), "orders"),
+        ext.DataQuality.uniquenessReport(Tables.customer(s, dir),
+          Seq("c_custkey"), "customer"),
+        ext.DataQuality.uniquenessReport(Tables.documents(s, dir),
+          Seq("doc_id"), "documents"))
+        .reduce(_ unionByName _)),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -4575,6 +4609,67 @@ object SparkEntry {
         |SELECT day, dau, wau,
         |  ROUND(dau / CAST(wau AS DOUBLE), 6) AS stickiness
         |FROM dau JOIN wau USING (day)""".stripMargin,
+    // attribution: DuckDB's native ASOF LEFT JOIN restates the carry
+    // (the q30 precedent); the window predicate NULLs stale touches
+    "q189_attribution" ->
+      """WITH conv AS (SELECT event_id, user_id, ts FROM events
+        |              WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, event_type FROM events
+        |      WHERE event_type IN ('click', 'view', 'signup')),
+        |j AS (SELECT c.event_id, c.user_id, c.ts,
+        |        t.event_type AS tt, t.ts AS tts
+        |      FROM conv c ASOF LEFT JOIN t
+        |        ON c.user_id = t.user_id AND c.ts >= t.ts),
+        |w AS (SELECT *,
+        |        tts IS NOT NULL AND
+        |          epoch_us(ts) - epoch_us(tts) <= 86400000000 AS ok
+        |      FROM j)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN ok THEN tt END AS touch_type,
+        |  CASE WHEN ok THEN tts END AS touch_ts,
+        |  CASE WHEN ok THEN (epoch_us(ts) - epoch_us(tts)) // 60000000
+        |  END AS minutes_before
+        |FROM w""".stripMargin,
+    // orphan audit: NOT EXISTS per edge, null FKs counted separately
+    "q190_referential_orphans" -> {
+      def edge(fact: String, dim: String, fk: String, pk: String,
+               name: String) =
+        s"""SELECT '$name' AS relation,
+           |  CAST(COUNT(*) AS BIGINT) AS n_fact,
+           |  CAST(SUM(CASE WHEN $fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null_fk,
+           |  CAST(SUM(CASE WHEN $fk IS NOT NULL AND NOT EXISTS
+           |    (SELECT 1 FROM $dim d WHERE d.$pk = f.$fk)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           |  ROUND(SUM(CASE WHEN $fk IS NOT NULL AND NOT EXISTS
+           |    (SELECT 1 FROM $dim d WHERE d.$pk = f.$fk)
+           |    THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+           |    AS orphan_rate
+           |FROM $fact f""".stripMargin
+      Seq(
+        edge("lineitem", "orders", "l_orderkey", "o_orderkey",
+          "lineitem->orders"),
+        edge("lineitem", "part", "l_partkey", "p_partkey",
+          "lineitem->part"),
+        edge("lineitem", "supplier", "l_suppkey", "s_suppkey",
+          "lineitem->supplier"),
+        edge("orders", "customer", "o_custkey", "c_custkey",
+          "orders->customer")).mkString("\nUNION ALL\n")
+    },
+    "q191_key_uniqueness" -> {
+      def table(t: String, keys: String) =
+        s"""SELECT '$t' AS relation, CAST(SUM(_n) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(SUM(CASE WHEN _n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dup_keys,
+           |  CAST(MAX(_n) AS BIGINT) AS max_copies
+           |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS _n FROM $t
+           |      GROUP BY $keys)""".stripMargin
+      Seq(table("lineitem", "l_orderkey, l_linenumber"),
+        table("orders", "o_orderkey"),
+        table("customer", "c_custkey"),
+        table("documents", "doc_id")).mkString("\nUNION ALL\n")
+    },
     // gap hours: integer-division buckets (positive epochs — floor and
     // truncate agree), per-type generate_series span, NOT EXISTS screen
     "q166_feed_gaps" ->

@@ -369,6 +369,60 @@ object DataQuality {
         .as("ks"))
   }
 
+  /** REFERENTIAL-INTEGRITY audit: fact rows whose foreign key has no
+    * match in the dimension — the orphan count behind every silent
+    * LEFT-join null flood (the reference's fact⟕dims join family,
+    * load_sales_history.py J1, audited instead of trusted). NULL
+    * foreign keys are counted separately (a null FK is a modeling
+    * choice; a non-null unmatched FK is broken data).
+    *
+    * Output: one row — (relation, n_fact, n_null_fk, n_orphans,
+    * orphan_rate 6dp). `relation` names the edge for unioned reports.
+    *
+    * Scale notes (100 TB): a LEFT-ANTI join on the key (broadcast when
+    * the dim is small — Catalyst decides) + one aggregate; the dim is
+    * projected to its key column before joining. */
+  def referentialOrphans(fact: DataFrame, dim: DataFrame,
+                         fkCol: String, pkCol: String,
+                         relation: String): DataFrame = {
+    val nonNull = fact.select(col(fkCol).as("_fk"))
+    val orphans = nonNull.filter(col("_fk").isNotNull)
+      .join(dim.select(col(pkCol).as("_fk")).distinct(), Seq("_fk"),
+        "left_anti")
+    val counts = nonNull.agg(count(lit(1)).as("n_fact"),
+      sum(col("_fk").isNull.cast("long")).as("n_null_fk"))
+    val o = orphans.agg(count(lit(1)).as("n_orphans"))
+    counts.crossJoin(broadcast(o))
+      .select(lit(relation).as("relation"), col("n_fact"),
+        col("n_null_fk"), col("n_orphans"),
+        round(col("n_orphans").cast("double") /
+          col("n_fact").cast("double"), 6).as("orphan_rate"))
+  }
+
+  /** KEY-UNIQUENESS audit: does the declared primary key actually
+    * identify rows? Reports total rows, distinct keys, keys with more
+    * than one row, and the largest copy-group — the pre-publish check
+    * the reference's MAX+1 admission logic silently assumes
+    * (load_sales_history.py:131-141: duplicate run ids would corrupt
+    * the lineage).
+    *
+    * Output: one row — (relation, n_rows, n_keys, n_dup_keys,
+    * max_copies). All exact longs.
+    *
+    * Scale notes (100 TB): one map-side-combined count per key + a
+    * four-scalar reduce over the key relation; no join. */
+  def uniquenessReport(df: DataFrame, keyCols: Seq[String],
+                       relation: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .agg(sum(col("_n")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum((col("_n") > 1).cast("long")).as("n_dup_keys"),
+        max(col("_n")).as("max_copies"))
+      .select(lit(relation).as("relation"), col("n_rows"), col("n_keys"),
+        col("n_dup_keys"), col("max_copies"))
+  }
+
   def writeColumnProfileSnapshot(df: DataFrame, numericCols: Seq[String],
                                  stringCols: Seq[String],
                                  path: String): Unit = {

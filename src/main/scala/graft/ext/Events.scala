@@ -440,6 +440,51 @@ object Events {
           .as("stickiness"))
   }
 
+  /** LAST-TOUCH conversion attribution — for every conversion event,
+    * the latest preceding touch event of the same user within the
+    * attribution window: the marketing/product question ("what did the
+    * user do right before purchasing") that every clickstream mart
+    * answers, built by COMPOSING the leak-free temporal primitive
+    * ([[graft.ops.AsOfJoin.backward]]) with a window predicate — no
+    * new join machinery. Conversions whose latest touch is older than
+    * `windowMinutes` (or who have none) report NULL touch columns:
+    * the "organic" bucket stays visible instead of being dropped.
+    *
+    * Output: (event_id, user_id, ts, touch_type, touch_ts,
+    * minutes_before) — one row per conversion; minutes_before is an
+    * exact integral division. Oracle-hashed (q189: DuckDB's native
+    * ASOF LEFT JOIN restates the carry, the q30 precedent).
+    *
+    * Reference: the CDC-window join family (load_sales_history.py
+    * P2/J1), pointed backward in time.
+    *
+    * Scale notes (100 TB): one shuffle on user_id (the as-of union
+    * window), window state one carried row; the window predicate and
+    * the minutes division are scan projections. Touch/conversion
+    * filters prune at the scan. */
+  def lastTouchAttribution(events: DataFrame, convType: String,
+                           touchTypes: Seq[String],
+                           windowMinutes: Int = 1440): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convType),
+      s"conversion type $convType cannot be its own touch")
+    require(windowMinutes >= 1, s"windowMinutes must be >= 1: $windowMinutes")
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val joined = graft.ops.AsOfJoin.backward(conv, touch, "user_id",
+      "ts", "ts", Map("event_type" -> "_tt", "ts" -> "_tts"))
+    val inWindow = col("_tts").isNotNull &&
+      (unix_micros(col("ts")) - unix_micros(col("_tts"))) <=
+        windowMinutes * 60000000L
+    joined.select(col("event_id"), col("user_id"), col("ts"),
+      when(inWindow, col("_tt")).as("touch_type"),
+      when(inWindow, col("_tts")).as("touch_ts"),
+      when(inWindow, expr("(unix_micros(ts) - unix_micros(_tts)) div 60000000"))
+        .as("minutes_before"))
+  }
+
   def writeVolumeProfile(events: DataFrame, path: String,
                          baseWeeks: Long): Unit = {
     require(baseWeeks >= 1, "need baseWeeks >= 1")

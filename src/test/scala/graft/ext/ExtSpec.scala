@@ -4391,6 +4391,56 @@ class ExtSpec extends SparkSpec {
       Similarity.truncationFidelity(emb, dims = Nil))
   }
 
+  test("lastTouchAttribution: latest touch wins, stale touches go organic") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, "click", t("2024-01-01 10:00:00")),
+      (2L, 10L, "view", t("2024-01-01 11:00:00")),     // latest touch
+      (3L, 10L, "buy", t("2024-01-01 11:30:00")),       // → view, 30 min
+      (4L, 20L, "click", t("2024-01-01 09:00:00")),
+      (5L, 20L, "buy", t("2024-01-03 09:00:01")),       // stale → organic
+      (6L, 30L, "buy", t("2024-01-01 08:00:00")))       // no touch at all
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Events.lastTouchAttribution(ev, "buy", Seq("click", "view"),
+        windowMinutes = 1440).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("touch_type")),
+          if (r.isNullAt(r.fieldIndex("minutes_before"))) -1L
+          else r.getAs[Long]("minutes_before"))).toMap
+    assert(out(3L) == ((Some("view"), 30L)), out)
+    assert(out(5L) == ((None, -1L)), "touch older than the window is organic")
+    assert(out(6L) == ((None, -1L)))
+    assert(out.size == 3)
+    intercept[IllegalArgumentException](
+      Events.lastTouchAttribution(ev, "buy", Seq("buy")))
+    intercept[IllegalArgumentException](
+      Events.lastTouchAttribution(ev, "buy", Nil))
+  }
+
+  test("referentialOrphans and uniquenessReport: hand-computed audits") {
+    val fact = Seq((1L, Option(10L)), (2L, Option(11L)), (3L, None),
+      (4L, Option(99L)), (5L, Option(99L))).toDF("id", "fk")
+    val dim = Seq(10L, 11L).toDF("pk")
+    val r = DataQuality.referentialOrphans(fact, dim, "fk", "pk", "f->d")
+      .collect().head
+    assert(r.getString(0) == "f->d")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((5L, 1L, 2L)))
+    assert(r.getDouble(4) == 0.4)
+    // a clean edge reads zero orphans
+    val clean = DataQuality.referentialOrphans(
+        fact.filter(col("fk").isin(10L, 11L)), dim, "fk", "pk", "ok")
+      .collect().head
+    assert(clean.getLong(3) == 0L && clean.getDouble(4) == 0.0)
+    val u = DataQuality.uniquenessReport(
+        Seq((1L, "a"), (1L, "b"), (2L, "c"), (2L, "d"), (2L, "e"),
+          (3L, "f")).toDF("k", "v"),
+        Seq("k"), "t").collect().head
+    assert((u.getLong(1), u.getLong(2), u.getLong(3), u.getLong(4)) ==
+      ((6L, 3L, 2L, 3L)))
+    intercept[IllegalArgumentException](
+      DataQuality.uniquenessReport(fact, Nil, "t"))
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
