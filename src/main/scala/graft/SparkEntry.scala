@@ -1919,6 +1919,15 @@ object SparkEntry {
         ext.DataQuality.uniquenessReport(Tables.documents(s, dir),
           Seq("doc_id"), "documents"))
         .reduce(_ unionByName _)),
+    // first-touch attribution: the range-join composition (bounded
+    // window ⇒ bounded candidates), min by (ts, type)
+    "q192_first_touch" -> ((s, dir) =>
+      ext.Events.firstTouchAttribution(Tables.events(s, dir),
+        "purchase", Seq("click", "view", "signup"))),
+    // language-ID confusion matrix against the labeled lang column —
+    // the eval behind the keepLangs gate
+    "q193_lang_confusion" -> ((s, dir) =>
+      ext.TextAnalysis.langIdConfusion(Tables.documents(s, dir))),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -1935,6 +1944,19 @@ object SparkEntry {
     val list = ext.TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split(text, ' '), t -> t IN ($list)))"
   }
+
+  // The langPrediction argmax restated once for every oracle that
+  // needs pred_lang (q10, q193): per-language score columns and the
+  // fixed-order tie-breaking CASE chain.
+  private val DuckLangs = Seq("en", "de", "es", "fr", "zh")
+  private lazy val DuckLangScoreCols =
+    DuckLangs.map(l => s"  ${duckHits(l)} AS score_$l").mkString(",\n")
+  private lazy val DuckLangCaseChain =
+    DuckLangs.init.zipWithIndex.map { case (l, i) =>
+      val conds = DuckLangs.drop(i + 1)
+        .map(m => s"score_$l >= score_$m").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
 
   // Shared oracle fragment: the reference's only join shape (J1), fact⟕dims.
   private val DenormFrom =
@@ -2738,20 +2760,28 @@ object SparkEntry {
         |  len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
-    "q10_lang_id" -> {
-      val langs = Seq("en", "de", "es", "fr", "zh")
-      val scoreCols = langs.map(l => s"  ${duckHits(l)} AS score_$l").mkString(",\n")
-      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
-        val conds = langs.drop(i + 1).map(m => s"score_$l >= score_$m").mkString(" AND ")
-        s"WHEN $conds THEN '$l'"
-      }.mkString(" ")
+    "q10_lang_id" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang AS lang_label,
-         |$scoreCols
+         |$DuckLangScoreCols
          |  FROM documents)
-         |SELECT *, CASE $caseChain ELSE '${langs.last}' END AS pred_lang
-         |FROM scored""".stripMargin
-    },
+         |SELECT *, CASE $DuckLangCaseChain ELSE 'zh' END AS pred_lang
+         |FROM scored""".stripMargin,
+    // confusion matrix: the SAME argmax restatement as q10 (factored,
+    // never copied), aggregated per (label, prediction)
+    "q193_lang_confusion" ->
+      s"""WITH scored AS (SELECT lang,
+         |$DuckLangScoreCols
+         |  FROM documents),
+         |p AS (SELECT lang, CASE $DuckLangCaseChain ELSE 'zh' END
+         |        AS pred_lang FROM scored),
+         |c AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM p GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot
+         |      FROM c GROUP BY 1)
+         |SELECT c.lang, c.pred_lang, c.n,
+         |  ROUND(c.n / CAST(t.tot AS DOUBLE), 6) AS share_of_lang
+         |FROM c JOIN t USING (lang)""".stripMargin,
     "q12_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(event_id) AS n_events, ROUND(SUM(value), 2) AS value_sum
@@ -4630,6 +4660,23 @@ object SparkEntry {
         |  CASE WHEN ok THEN (epoch_us(ts) - epoch_us(tts)) // 60000000
         |  END AS minutes_before
         |FROM w""".stripMargin,
+    // first-touch: BETWEEN join + rank-1 per conversion — ties at the
+    // same instant break by touch type, both engines
+    "q192_first_touch" ->
+      """WITH conv AS (SELECT event_id, user_id, ts, epoch_us(ts) AS cus
+        |              FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type AS tt, epoch_us(ts) AS tus
+        |      FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |h AS (SELECT c.event_id, t.tt, t.tus,
+        |        row_number() OVER (PARTITION BY c.event_id
+        |          ORDER BY t.tus, t.tt) AS rn
+        |      FROM conv c JOIN t ON c.user_id = t.user_id
+        |        AND t.tus >= c.cus - 86400000000 AND t.tus < c.cus + 1),
+        |f AS (SELECT event_id, tt, tus FROM h WHERE rn = 1)
+        |SELECT c.event_id, c.user_id, c.ts, f.tt AS touch_type,
+        |  make_timestamp(f.tus) AS touch_ts,
+        |  CAST((c.cus - f.tus) // 60000000 AS BIGINT) AS minutes_before
+        |FROM conv c LEFT JOIN f USING (event_id)""".stripMargin,
     // orphan audit: NOT EXISTS per edge, null FKs counted separately
     "q190_referential_orphans" -> {
       def edge(fact: String, dim: String, fk: String, pk: String,

@@ -485,6 +485,55 @@ object Events {
         .as("minutes_before"))
   }
 
+  /** FIRST-TOUCH attribution — [[lastTouchAttribution]]'s twin at the
+    * other end of the window: for every conversion, the EARLIEST touch
+    * of the same user within the trailing `windowMinutes`. The two
+    * compose differently by design: last-touch carries one row through
+    * the as-of union (no candidate blow-up, unbounded lookback);
+    * first-touch must see every touch in the window, so it rides the
+    * bucketized range join ([[graft.ops.RangeJoin.pointInInterval]] —
+    * the bucket co-key bounds per-task candidates) and takes the
+    * minimum. Ties at the same instant break by touch type name.
+    *
+    * Output: (event_id, user_id, ts, touch_type, touch_ts,
+    * minutes_before) — the [[lastTouchAttribution]] contract; organic
+    * conversions keep NULL touch columns. Oracle-hashed (q192).
+    *
+    * Reference: the CDC-window join family (load_sales_history.py
+    * P2/J1) — a bounded window back in time.
+    *
+    * Scale notes (100 TB): two shuffles on (user, time-bucket) — the
+    * range-join shape PlanInvariantsSpec pins on q121; the min is
+    * map-side combined per conversion. Bucket width = the window, so
+    * each conversion interval explodes to ≤ 2 bucket rows. */
+  def firstTouchAttribution(events: DataFrame, convType: String,
+                            touchTypes: Seq[String],
+                            windowMinutes: Int = 1440): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convType),
+      s"conversion type $convType cannot be its own touch")
+    require(windowMinutes >= 1, s"windowMinutes must be >= 1: $windowMinutes")
+    val winUs = windowMinutes * 60000000L
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("_cus"))
+      .withColumn("_start",
+        greatest(col("_cus") - winUs, lit(0L))) // contract: non-negative
+      .withColumn("_end", col("_cus") + 1L) // touch AT the conversion counts
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("_tus"),
+        col("event_type").as("_tt"))
+    val first = graft.ops.RangeJoin.pointInInterval(touch, conv,
+        "_tus", "_start", "_end", bucketWidth = winUs, keys = Seq("user_id"))
+      .groupBy(col("event_id"))
+      .agg(min(struct(col("_tus"), col("_tt"))).as("_f"))
+    conv.join(first, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("_f").getField("_tt").as("touch_type"),
+        expr("timestamp_micros(_f._tus)").as("touch_ts"),
+        expr("(_cus - _f._tus) div 60000000").as("minutes_before"))
+  }
+
   def writeVolumeProfile(events: DataFrame, path: String,
                          baseWeeks: Long): Unit = {
     require(baseWeeks >= 1, "need baseWeeks >= 1")

@@ -1399,6 +1399,37 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs && col("n_sources") >= minSources)
   }
 
+  /** Language-ID CONFUSION matrix — [[langPrediction]] evaluated
+    * against the labeled `lang` column: per (label, prediction) cell,
+    * the count and its share of the label's row count. The classifier
+    * eval [[langConfidence]]'s margins feed into: which languages leak
+    * into which, and at what rate — the number that decides whether
+    * the stopword classifier is good enough for the `keepLangs` gate
+    * or a stronger model is due. Exact longs + one division (6dp) —
+    * oracle-hashed (q193 restates the argmax through the q10 CASE
+    * chain).
+    *
+    * Output: (lang, pred_lang, n, share_of_lang).
+    *
+    * Reference: the recode-with-default CASE family
+    * (etl/transform_sales.py:31-37), evaluated against labels.
+    *
+    * Scale notes (100 TB): one fused scan projection (the five
+    * codegen stopword counts + argmax) into a map-side-combined
+    * languages²-sized aggregate; label totals ride an enum-sized
+    * self-aggregate join, no window. */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .select(col("lang"), langPrediction(col("text")).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // languages²-sized; totals re-read it
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("_tot"))
+    cells.join(totals, Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("_tot").cast("double"), 6)
+          .as("share_of_lang"))
+  }
+
   /** PII patterns shared by `redactPii` and its oracle: deliberately
     * RE2-safe (character classes, bounded repetition, \b, no lookaround)
     * so Java regex (Spark) and RE2 (DuckDB) agree match-for-match. Order

@@ -4441,6 +4441,50 @@ class ExtSpec extends SparkSpec {
       DataQuality.uniquenessReport(fact, Nil, "t"))
   }
 
+  test("firstTouchAttribution: earliest in-window touch wins, ties by type") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, "click", t("2024-01-01 10:00:00")), // first in window
+      (2L, 10L, "view", t("2024-01-01 11:00:00")),
+      (3L, 10L, "buy", t("2024-01-01 11:30:00")),   // → click, 90 min
+      (4L, 20L, "view", t("2024-01-01 09:00:00")),  // outside the window
+      (5L, 20L, "click", t("2024-01-02 08:00:00")),
+      (6L, 20L, "buy", t("2024-01-02 09:30:00")),   // → click, 90 min
+      (7L, 30L, "buy", t("2024-01-01 08:00:00")),   // organic
+      (8L, 40L, "view", t("2024-01-01 07:00:00")),  // tie instant with 9
+      (9L, 40L, "click", t("2024-01-01 07:00:00")),
+      (10L, 40L, "buy", t("2024-01-01 07:30:00")))  // → click (type tie)
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Events.firstTouchAttribution(ev, "buy", Seq("click", "view"),
+        windowMinutes = 1380).collect() // 23h window excludes event 4
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("touch_type")),
+          if (r.isNullAt(r.fieldIndex("minutes_before"))) -1L
+          else r.getAs[Long]("minutes_before"))).toMap
+    assert(out(3L) == ((Some("click"), 90L)), out)
+    assert(out(6L) == ((Some("click"), 90L)),
+      "stale touches must fall out of the window")
+    assert(out(7L) == ((None, -1L)))
+    assert(out(10L) == ((Some("click"), 30L)), "instant ties break by type")
+    assert(out.size == 4)
+  }
+
+  test("langIdConfusion: labeled eval cells with exact per-label shares") {
+    val docs = Seq(
+      (1L, "the of and to in", "en"),     // en → en
+      (2L, "the of and to in", "de"),     // de labeled, en text
+      (3L, "der die und das ist", "de"),  // de → de
+      (4L, "der die und das ist", "de"))  // de → de
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langIdConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("en", "en")) == ((1L, 1.0)))
+    assert(out(("de", "en")) == ((1L, 0.333333)))
+    assert(out(("de", "de")) == ((2L, 0.666667)))
+    assert(out.size == 3)
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
