@@ -339,6 +339,17 @@ object DataQuality {
     * distinct-value relation stays bounded. */
   def ksByGroup(df: DataFrame, groupCol: String,
                 valueCol: String): DataFrame = {
+    // integral values only: a silent double→long cast would truncate
+    // and misreport the CDFs — continuous columns must be quantized
+    // EXPLICITLY by the caller (stated in the scale note)
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"ksByGroup needs an integral value column; " +
+        s"$valueCol is ${df.schema(valueCol).dataType} — quantize it first")
     val c = df
       .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("n"))
@@ -415,10 +426,11 @@ object DataQuality {
                        relation: String): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
-      .agg(sum(col("_n")).as("n_rows"),
+      .agg(coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
         count(lit(1)).as("n_keys"),
-        sum((col("_n") > 1).cast("long")).as("n_dup_keys"),
-        max(col("_n")).as("max_copies"))
+        coalesce(sum((col("_n") > 1).cast("long")), lit(0L))
+          .as("n_dup_keys"),
+        coalesce(max(col("_n")), lit(0L)).as("max_copies"))
       .select(lit(relation).as("relation"), col("n_rows"), col("n_keys"),
         col("n_dup_keys"), col("max_copies"))
   }
