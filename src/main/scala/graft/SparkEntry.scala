@@ -1928,6 +1928,23 @@ object SparkEntry {
     // the eval behind the keepLangs gate
     "q193_lang_confusion" -> ((s, dir) =>
       ext.TextAnalysis.langIdConfusion(Tables.documents(s, dir))),
+    // SCD2 build: user_id's event_type history compressed to change
+    // versions with half-open validity — one key-partitioned exchange
+    "q194_scd2" -> ((s, dir) =>
+      graft.ops.Scd.scd2(Tables.events(s, dir), "user_id", "ts",
+        "event_id", Seq("event_type"))),
+    // props key census: the binding PLANTS a second key on a slice
+    // (fixture props carry only "k") — schema drift made visible
+    "q195_props_keys" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      ext.Events.propsKeyCensus(Tables.events(s, dir)
+        .withColumn("props",
+          when(col("event_id") % 20 === 0,
+            lit("""{"k": 1, "v2": "x"}""")).otherwise(col("props"))))
+    }),
+    // freshness: per-type frontier lag in whole minutes
+    "q196_freshness" -> ((s, dir) =>
+      ext.Events.freshnessReport(Tables.events(s, dir))),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -2782,6 +2799,46 @@ object SparkEntry {
          |SELECT c.lang, c.pred_lang, c.n,
          |  ROUND(c.n / CAST(t.tot AS DOUBLE), 6) AS share_of_lang
          |FROM c JOIN t USING (lang)""".stripMargin,
+    // SCD2: lag-compress identical runs, lead-close versions — both
+    // windows on the same (key, ts, tie) order
+    "q194_scd2" ->
+      """WITH o AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM o
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS valid_to
+        |      FROM c)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+        |    AS is_current
+        |FROM v""".stripMargin,
+    // props keys: same planted CASE, top-level json keys both engines
+    "q195_props_keys" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 20 = 0 THEN '{"k": 1, "v2": "x"}'
+        |    ELSE props END AS props
+        |  FROM events),
+        |c AS (SELECT event_type, unnest(json_keys(props)) AS key
+        |      FROM e),
+        |g AS (SELECT event_type, key, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |      FROM c GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS tot
+        |      FROM e GROUP BY 1)
+        |SELECT g.event_type, g.key, g.n_rows,
+        |  ROUND(g.n_rows / CAST(t.tot AS DOUBLE), 6) AS share
+        |FROM g JOIN t USING (event_type)""".stripMargin,
+    "q196_freshness" ->
+      """WITH p AS (SELECT event_type, MAX(ts) AS last_ts
+        |           FROM events GROUP BY 1),
+        |f AS (SELECT MAX(last_ts) AS front FROM p)
+        |SELECT event_type, last_ts,
+        |  CAST((epoch_us(front) - epoch_us(last_ts)) // 60000000
+        |    AS BIGINT) AS minutes_behind
+        |FROM p CROSS JOIN f""".stripMargin,
     "q12_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(event_id) AS n_events, ROUND(SUM(value), 2) AS value_sum

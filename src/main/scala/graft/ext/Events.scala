@@ -534,6 +534,67 @@ object Events {
         expr("(_cus - _f._tus) div 60000000").as("minutes_before"))
   }
 
+  /** JSON props KEY census — which keys the semi-structured payload
+    * actually carries, per event type: the schema-drift monitor for
+    * the one column a schema can't pin ([[propsAgg]] extracts known
+    * keys; this reports the key population so NEW keys and VANISHED
+    * keys surface before an extraction silently reads NULLs). Share is
+    * of the type's row count, so a key present on every row reads 1.0.
+    *
+    * Output: (event_type, key, n_rows, share) — exact longs + one
+    * division (6dp); oracle-hashed (q195).
+    *
+    * Reference: the props-extraction family (load_sales_mart.py's
+    * JSON pulls), audited instead of assumed.
+    *
+    * Scale notes (100 TB): one scan with a codegen JSON key-explode
+    * into a map-side-combined (type, key) aggregate; type totals ride
+    * an enum-sized aggregate join. Malformed JSON yields no keys
+    * (json_object_keys → NULL → explode drops the row) — count rows
+    * against [[graft.ext.DataQuality.expectationsReport]] if
+    * malformed payloads must fail instead. */
+  def propsKeyCensus(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type"),
+        explode(json_object_keys(col("props"))).as("key"))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint() // enum×keys-sized; totals re-read it
+    val totals = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_tot"))
+    cells.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("key"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("_tot").cast("double"), 6)
+          .as("share"))
+  }
+
+  /** FRESHNESS report — per event type, the last seen timestamp and
+    * how many whole minutes it lags the feed's frontier (the max
+    * timestamp across all types): the data contract behind every
+    * "is the pipeline stuck" page, and the complement of
+    * [[feedGapReport]] (gaps look backward inside the span; freshness
+    * looks at the frontier). Exact integral minutes (positive epochs —
+    * floor and truncate agree, the q166 rule); oracle-hashed (q196).
+    *
+    * Output: (event_type, last_ts, minutes_behind).
+    *
+    * Reference: the reference's cutoff watermark
+    * (load_sales_history.py:86-98) — the same frontier, reported
+    * instead of assumed.
+    *
+    * Scale notes (100 TB): one map-side-combined max per type + a
+    * one-row frontier attach; no shuffle beyond the enum-sized
+    * aggregate. */
+  def freshnessReport(events: DataFrame): DataFrame = {
+    val perType = events.groupBy(col("event_type"))
+      .agg(max(col("ts")).as("last_ts"))
+    val frontier = perType.agg(max(col("last_ts")).as("_front"))
+    perType.crossJoin(broadcast(frontier))
+      .select(col("event_type"), col("last_ts"),
+        expr("(unix_micros(_front) - unix_micros(last_ts)) div 60000000")
+          .as("minutes_behind"))
+  }
+
   def writeVolumeProfile(events: DataFrame, path: String,
                          baseWeeks: Long): Unit = {
     require(baseWeeks >= 1, "need baseWeeks >= 1")

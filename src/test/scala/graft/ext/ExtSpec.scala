@@ -4485,6 +4485,27 @@ class ExtSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("propsKeyCensus and freshnessReport: hand-computed, malformed JSON drops") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "click", """{"k": 1}""", t("2024-01-01 10:00:00")),
+      (2L, "click", """{"k": 2, "v": "x"}""", t("2024-01-01 11:00:00")),
+      (3L, "view", """{"v": 3}""", t("2024-01-01 10:30:00")),
+      (4L, "view", "not json", t("2024-01-01 09:00:00")))
+      .toDF("event_id", "event_type", "props", "ts")
+    val census = Events.propsKeyCensus(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(census(("click", "k")) == ((2L, 1.0)))
+    assert(census(("click", "v")) == ((1L, 0.5)))
+    // malformed JSON contributes no keys but still counts in the total
+    assert(census(("view", "v")) == ((1L, 0.5)))
+    assert(census.size == 3)
+    val fresh = Events.freshnessReport(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(fresh == Map("click" -> 0L, "view" -> 30L))
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("scd2: run compression, half-open versions, current flag") {
+    val log = Seq(
+      (1L, 10L, "bronze", t("2024-01-01 10:00:00")),
+      (2L, 10L, "bronze", t("2024-01-02 10:00:00")), // restated: compressed
+      (3L, 10L, "silver", t("2024-01-03 10:00:00")),
+      (4L, 10L, "gold", t("2024-01-04 10:00:00")),
+      (5L, 20L, "bronze", t("2024-01-01 12:00:00"))) // single-version key
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Scd.scd2(log, "user_id", "ts", "event_id", Seq("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getTimestamp(2), Option(r.getTimestamp(3)), r.getInt(4))).toMap
+    assert(out.size == 4, s"restated rows must compress: $out")
+    // versions chain half-open: each valid_to is the next valid_from
+    assert(out((10L, "bronze")) ==
+      ((t("2024-01-01 10:00:00"), Some(t("2024-01-03 10:00:00")), 0)))
+    assert(out((10L, "silver")) ==
+      ((t("2024-01-03 10:00:00"), Some(t("2024-01-04 10:00:00")), 0)))
+    assert(out((10L, "gold")) ==
+      ((t("2024-01-04 10:00:00"), None, 1)))
+    assert(out((20L, "bronze")) ==
+      ((t("2024-01-01 12:00:00"), None, 1)))
+    // a fact timestamp resolves to exactly one version (the as-of
+    // contract the build exists for)
+    val factTs = t("2024-01-03 18:00:00")
+    val matches = out.toSeq.filter { case ((u, _), (from, to, _)) =>
+      u == 10L && !factTs.before(from) && to.forall(factTs.before)
+    }
+    assert(matches.map(_._1._2) == Seq("silver"))
+    // equal-timestamp changes order by the tie-breaker, deterministically
+    val tied = Seq(
+      (1L, 30L, "a", t("2024-01-01 10:00:00")),
+      (2L, 30L, "b", t("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val tiedOut = Scd.scd2(tied.repartition(7), "user_id", "ts",
+        "event_id", Seq("event_type")).collect()
+      .map(r => r.getString(1) -> r.getInt(4)).toMap
+    assert(tiedOut == Map("a" -> 0, "b" -> 1))
+    intercept[IllegalArgumentException](
+      Scd.scd2(tied, "user_id", "ts", "event_id", Nil))
+  }
+}
