@@ -1945,6 +1945,13 @@ object SparkEntry {
     // freshness: per-type frontier lag in whole minutes
     "q196_freshness" -> ((s, dir) =>
       ext.Events.freshnessReport(Tables.events(s, dir))),
+    // lexical diversity: TTR + Guiraud's root-TTR, pure scan projection
+    "q197_lexical_diversity" -> ((s, dir) =>
+      ext.TextAnalysis.lexicalDiversity(Tables.documents(s, dir))),
+    // whale curve: equal-population rank bands over per-user counts —
+    // rank/cumulative via the shared two-phase prefix machinery
+    "q198_user_concentration" -> ((s, dir) =>
+      ext.Events.userConcentration(Tables.events(s, dir))),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -2839,6 +2846,36 @@ object SparkEntry {
         |  CAST((epoch_us(front) - epoch_us(last_ts)) // 60000000
         |    AS BIGINT) AS minutes_behind
         |FROM p CROSS JOIN f""".stripMargin,
+    "q197_lexical_diversity" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_types
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_types,
+        |  ROUND(n_types / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+        |  ROUND(n_types / sqrt(CAST(n_tokens AS DOUBLE)), 6) AS root_ttr
+        |FROM d""".stripMargin,
+    // whale curve: row_number/window restatement of the two-phase
+    // prefix sums; cum_share at each band's lightest member
+    "q198_user_concentration" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |r AS (SELECT user_id, n,
+        |        row_number() OVER (ORDER BY n DESC, user_id) - 1 AS rank0,
+        |        CAST(SUM(n) OVER (ORDER BY n DESC, user_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+        |      FROM c),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |        CAST(COUNT(*) AS BIGINT) AS tu FROM c),
+        |b AS (SELECT CAST((rank0 * 10) // tu AS BIGINT) AS bucket,
+        |        n, cum_end, tn
+        |      FROM r CROSS JOIN t)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  ROUND(SUM(n) / CAST(tn AS DOUBLE), 6) AS share,
+        |  ROUND(MAX(cum_end) / CAST(tn AS DOUBLE), 6) AS cum_share
+        |FROM b GROUP BY bucket, tn""".stripMargin,
     "q12_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(event_id) AS n_events, ROUND(SUM(value), 2) AS value_sum

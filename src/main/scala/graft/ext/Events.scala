@@ -595,6 +595,52 @@ object Events {
           .as("minutes_behind"))
   }
 
+  /** USER concentration (the whale curve): users ranked by event
+    * count and folded into `buckets` equal-population rank bands, each
+    * reporting its user count, event count, event share and CUMULATIVE
+    * share — "the top 10% of users generate 60% of events" read
+    * straight off row 0. The per-user twin of
+    * [[TextAnalysis.sourceConcentration]], EXCEPT the key is
+    * user-cardinality (not enum-sized), so rank and cumulative ride
+    * the shared two-phase prefix machinery
+    * ([[Sampling.exclusiveRunningSums]]) instead of the at-or-ahead
+    * self-join — users² pairs would be the quadratic trap, and an
+    * unpartitioned rank window the single-reducer one (the q111 rule,
+    * machine-asserted).
+    *
+    * Output: (bucket, n_users, n_events, share, cum_share) — bucket
+    * 0 is the heaviest band; all counts exact, shares one division
+    * each (6dp); cum_share is at the band's lower boundary (its last,
+    * lightest member). Oracle-hashed (q198).
+    *
+    * Reference: the mart's per-entity rollup family
+    * (load_sales_mart.py:54-66) as a Lorenz view.
+    *
+    * Scale notes (100 TB): one map-side-combined per-user aggregate,
+    * one range-partitioned prefix pass, one buckets-sized aggregate;
+    * totals are a one-row attach. */
+  def userConcentration(events: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val counts = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = Sampling.exclusiveRunningSums(counts,
+      Seq(col("n").desc, col("user_id")),
+      Seq((col("n"), "_cum_before"), (lit(1L), "_rank_before")))
+    val tot = counts.agg(sum(col("n")).as("_tot_n"),
+      count(lit(1)).as("_tot_u"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"(_rank_before * $buckets) div _tot_u"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+        max(col("_cum_before") + col("n")).as("_cum_end"),
+        max(col("_tot_n")).as("_tn"))
+      .select(col("bucket"), col("n_users"), col("n_events"),
+        round(col("n_events").cast("double") / col("_tn").cast("double"), 6)
+          .as("share"),
+        round(col("_cum_end").cast("double") / col("_tn").cast("double"), 6)
+          .as("cum_share"))
+  }
+
   def writeVolumeProfile(events: DataFrame, path: String,
                          baseWeeks: Long): Unit = {
     require(baseWeeks >= 1, "need baseWeeks >= 1")

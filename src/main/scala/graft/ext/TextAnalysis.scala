@@ -1430,6 +1430,34 @@ object TextAnalysis {
           .as("share_of_lang"))
   }
 
+  /** Lexical DIVERSITY — per document: token count, distinct-type
+    * count, type-token ratio, and root-TTR (types/√tokens — Guiraud's
+    * index, the standard length-corrected form: raw TTR decays with
+    * length, so gating on it would systematically punish long
+    * documents). The vocabulary-side quality signal the repetition
+    * suite doesn't cover: a doc can pass every duplicate-n-gram cap
+    * while cycling a 20-word vocabulary.
+    *
+    * Output: (doc_id, n_tokens, n_types, ttr, root_ttr) — exact longs,
+    * one division each at 6dp (√ is IEEE-exact both engines);
+    * oracle-hashed (q197).
+    *
+    * Reference: the quality-scoring family (etl/transform_sales.py:24)
+    * at vocabulary granularity.
+    *
+    * Scale notes (100 TB): a pure scan projection (split +
+    * array_distinct are codegen'd) — no shuffle, composes with the
+    * gate family as plain predicates. */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val nTyp = size(array_distinct(toks)).cast("long")
+    docs.select(col("doc_id"), nTok.as("n_tokens"), nTyp.as("n_types"),
+      round(nTyp.cast("double") / nTok.cast("double"), 6).as("ttr"),
+      round(nTyp.cast("double") / sqrt(nTok.cast("double")), 6)
+        .as("root_ttr"))
+  }
+
   /** PII patterns shared by `redactPii` and its oracle: deliberately
     * RE2-safe (character classes, bounded repetition, \b, no lookaround)
     * so Java regex (Spark) and RE2 (DuckDB) agree match-for-match. Order

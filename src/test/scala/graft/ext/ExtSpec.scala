@@ -4506,6 +4506,28 @@ class ExtSpec extends SparkSpec {
     assert(fresh == Map("click" -> 0L, "view" -> 30L))
   }
 
+  test("lexicalDiversity and userConcentration: hand-computed, partition-independent") {
+    val docs = Seq((1L, "a b a b"), (2L, "w x y z"))
+      .toDF("doc_id", "text")
+    val ld = TextAnalysis.lexicalDiversity(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(ld(1L) == ((4L, 2L, 0.5, 1.0)))
+    assert(ld(2L) == ((4L, 4L, 1.0, 2.0)))
+    // 4 users, 2 buckets: heavy half {u1: 5, u2: 3} = 8/12, light half
+    // {u3: 3, u4: 1} (tie u2/u3 breaks by user id) = 4/12
+    val ev = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq.fill(3)(3L) ++
+      Seq(4L)).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("event_id", "user_id")
+    val out = Events.userConcentration(ev.repartition(7), buckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0L) == ((2L, 8L, 0.666667, 0.666667)), out)
+    assert(out(1L) == ((2L, 4L, 0.333333, 1.0)), out)
+    intercept[IllegalArgumentException](
+      Events.userConcentration(ev, buckets = 1))
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
