@@ -1952,6 +1952,19 @@ object SparkEntry {
     // rank/cumulative via the shared two-phase prefix machinery
     "q198_user_concentration" -> ((s, dir) =>
       ext.Events.userConcentration(Tables.events(s, dir))),
+    // token entropy: H = ln n − (Σ c·ln c)/n — exact counts, pinned
+    // ln parity, 6dp
+    "q199_token_entropy" -> ((s, dir) =>
+      ext.TextAnalysis.tokenEntropy(Tables.documents(s, dir))),
+    // per-source Gini over doc token counts: tie-block rank identity
+    // on the distinct-value relation, decimal-exact numerators
+    "q200_token_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      ext.DataQuality.giniByGroup(
+        Tables.documents(s, dir).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "source", "n_tokens")
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -2876,6 +2889,39 @@ object SparkEntry {
         |  ROUND(SUM(n) / CAST(tn AS DOUBLE), 6) AS share,
         |  ROUND(MAX(cum_end) / CAST(tn AS DOUBLE), 6) AS cum_share
         |FROM b GROUP BY bucket, tn""".stripMargin,
+    "q199_token_entropy" ->
+      """WITH tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        SUM(c * ln(c)) AS clnc
+        |      FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(ln(n_tokens) - clnc / n_tokens, 6) AS entropy
+        |FROM a""".stripMargin,
+    // Gini: tie-block identity over the (group, value) relation —
+    // HUGEINT sums mirror the decimal(38,0) accumulators exactly
+    "q200_token_gini" ->
+      """WITH c AS (SELECT source AS g,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM documents GROUP BY 1, 2),
+        |x AS (SELECT g, w, m,
+        |        COALESCE(CAST(SUM(m) OVER (PARTITION BY g ORDER BY w
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS BIGINT), 0) AS cb
+        |      FROM c),
+        |a AS (SELECT g, CAST(SUM(m) AS BIGINT) AS n,
+        |        SUM(w * m) AS sw,
+        |        SUM(w * (m * cb + (m * (m + 1)) // 2)) AS srw
+        |      FROM x GROUP BY 1)
+        |SELECT g AS source, n, CAST(sw AS BIGINT) AS sum_w,
+        |  CASE WHEN sw > 0 AND n > 1 THEN
+        |    ROUND(CAST(2 * srw - (n + 1) * sw AS DOUBLE)
+        |      / CAST(n * sw AS DOUBLE), 6)
+        |  END AS gini
+        |FROM a""".stripMargin,
     "q12_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(event_id) AS n_events, ROUND(SUM(value), 2) AS value_sum

@@ -312,6 +312,7 @@ object Curation {
       maxDupTrigramFrac: Double = 0.5,
       repetitionCaps: Map[String, Double] = Map.empty,
       minCompressionRatio: Option[Double] = None,
+      minRootTtr: Option[Double] = None,
       keepLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
       blocklist: Seq[String] = Nil,
       maxBlocklistHits: Long = 0L,
@@ -398,9 +399,20 @@ object Curation {
     val base =
       TextAnalysis.dupTrigramFraction(col("text")) <= cfg.maxDupTrigramFrac
     val withCaps = repetitionCapsCond(cfg).map(base && _).getOrElse(base)
-    cfg.minCompressionRatio.fold(withCaps)(m =>
+    val withDeflate = cfg.minCompressionRatio.fold(withCaps)(m =>
       withCaps &&
         graft.functions.DeflateRatio.deflate_ratio(col("text")) >= m)
+    // optional vocabulary floor (Guiraud's root-TTR — the
+    // lexicalDiversity signal as a gate): a doc cycling a tiny
+    // vocabulary passes the dup-n-gram caps but not this. One more
+    // conjunct in the same fused scan (the minCompressionRatio shape);
+    // absent entirely by default.
+    cfg.minRootTtr.fold(withDeflate) { m =>
+      val toks = split(col("text"), " ")
+      withDeflate &&
+        size(array_distinct(toks)).cast("double") /
+          sqrt(size(toks).cast("double")) >= m
+    }
   }
 
   private def repetitionCapsCond(cfg: Config): Option[Column] =

@@ -380,6 +380,68 @@ object DataQuality {
         .as("ks"))
   }
 
+  /** GINI coefficient per group — the one-number inequality summary
+    * behind the Lorenz views (source/user concentration give the
+    * curve; this gives the scalar a dashboard thresholds): 0 = every
+    * member equal, (n−1)/n = one member owns everything. Computed
+    * EXACTLY from the rank identity G = (2·Σᵢ rankᵢ·wᵢ − (n+1)·Σw) /
+    * (n·Σw) with ascending ranks — and the rank-weighted sum is
+    * derived from the (group, value) DISTINCT relation, not a row
+    * ranking: a tie block of m copies of value w contributes
+    * w·(m·C_before + m(m+1)/2) (rank sums over a contiguous block are
+    * permutation-invariant, so ties need no ordering decision at all).
+    * Numerators accumulate in decimal(38,0) — exact where a long
+    * could overflow at corpus scale — and convert to double once for
+    * the final division (both engines convert the same exact integer,
+    * so the 6dp round hashes: q200).
+    *
+    * Requires an integral non-negative weight column (the
+    * [[ksByGroup]] rule); degenerate groups (n ≤ 1 or Σw = 0) read
+    * NULL.
+    *
+    * Output: (groupCol, n, sum_w, gini).
+    *
+    * Reference: the mart's grouped-rollup family
+    * (load_sales_mart.py:54-66) as an inequality statistic.
+    *
+    * Scale notes (100 TB): one map-side-combined (group, value) count
+    * aggregate; the cumulative runs in a window PARTITIONED by group
+    * over the DISTINCT-VALUE relation (the q152 price — never raw
+    * rows); the closing aggregate is group-sized. Triangular terms
+    * need m < ~3·10⁹ per (group, value) block (m·(m+1) in a long). */
+  def giniByGroup(df: DataFrame, groupCol: String,
+                  weightCol: String): DataFrame = {
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(df.schema(weightCol).dataType),
+      s"giniByGroup needs an integral weight column; " +
+        s"$weightCol is ${df.schema(weightCol).dataType}")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = df.select(col(groupCol).as("g"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("g"), col("w")).agg(count(lit(1)).as("m"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("w"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val x = c.withColumn("cb", coalesce(sum(col("m")).over(win), lit(0L)))
+      .withColumn("_tri", expr("(m * (m + 1)) div 2"))
+    val a = x.groupBy(col("g"))
+      .agg(sum(col("m")).as("n"),
+        sum(col("w").cast(dec) * col("m").cast(dec)).as("sw"),
+        sum(col("w").cast(dec) * (col("m").cast(dec) * col("cb").cast(dec) +
+          col("_tri").cast(dec))).as("srw"))
+    a.select(col("g").as(groupCol), col("n"),
+      col("sw").cast("long").as("sum_w"),
+      when(col("sw") > 0 && col("n") > 1,
+        round((col("srw") * 2 - col("sw") * (col("n") + 1).cast(dec))
+          .cast("double") /
+          (col("sw") * col("n").cast(dec)).cast("double"), 6)).as("gini"))
+  }
+
   /** REFERENTIAL-INTEGRITY audit: fact rows whose foreign key has no
     * match in the dimension — the orphan count behind every silent
     * LEFT-join null flood (the reference's fact⟕dims join family,

@@ -1458,6 +1458,35 @@ object TextAnalysis {
         .as("root_ttr"))
   }
 
+  /** Token ENTROPY per document — Shannon entropy of the document's
+    * own unigram distribution, via the exact-count identity
+    * H = ln(n) − (Σ c·ln c)/n (never per-token probabilities: the
+    * counts stay integers and the only fp terms are ln() of integers,
+    * whose parity is the pinned q81 precedent — sums round 6dp by the
+    * q92 rule). The information-side quality signal completing
+    * [[lexicalDiversity]]: TTR counts the vocabulary, entropy weighs
+    * it (a doc half-filled by one token keeps a high TTR tail but its
+    * entropy collapses). A single-type document reads exactly 0.
+    *
+    * Output: (doc_id, n_tokens, entropy). Oracle-hashed (q199).
+    *
+    * Reference: the quality-scoring family (etl/transform_sales.py:24)
+    * at distribution granularity.
+    *
+    * Scale notes (100 TB): one corpus-sized explode map-side combined
+    * to (doc, token) counts, then a per-doc aggregate — two shuffles
+    * on doc-scoped keys, no window, no join. */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("_clnc"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n_tokens").cast("double")) -
+          col("_clnc") / col("n_tokens").cast("double"), 6).as("entropy"))
+
   /** PII patterns shared by `redactPii` and its oracle: deliberately
     * RE2-safe (character classes, bounded repetition, \b, no lookaround)
     * so Java regex (Spark) and RE2 (DuckDB) agree match-for-match. Order

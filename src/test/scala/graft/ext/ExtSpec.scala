@@ -4528,6 +4528,64 @@ class ExtSpec extends SparkSpec {
       Events.userConcentration(ev, buckets = 1))
   }
 
+  test("tokenEntropy: uniform = ln k, single-type = 0, hand-computed mix") {
+    val docs = Seq(
+      (1L, "a b c d"),       // uniform over 4 → ln 4
+      (2L, "x x x x"),       // single type → 0
+      (3L, "a a a b"))       // 3/4, 1/4 → ln4 − (3·ln3)/4
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 4L)
+    assert(math.abs(out(1L)._2 - math.log(4.0)) < 1e-6)
+    assert(out(2L)._2 == 0.0)
+    val expect3 = math.log(4.0) - 3.0 * math.log(3.0) / 4.0
+    assert(math.abs(out(3L)._2 - expect3) < 1e-6)
+  }
+
+  test("giniByGroup: equality reads 0, monopoly reads (n-1)/n, tie blocks exact") {
+    val df = Seq(
+      ("eq", 5L), ("eq", 5L), ("eq", 5L), ("eq", 5L),      // G = 0
+      ("mono", 0L), ("mono", 0L), ("mono", 0L), ("mono", 8L), // G = 0.75
+      ("mix", 1L), ("mix", 2L), ("mix", 3L), ("mix", 4L),  // G = 0.25
+      ("one", 7L),                                          // n = 1 → NULL
+      ("zero", 0L), ("zero", 0L))                           // Σw = 0 → NULL
+      .toDF("src", "w")
+    val out = DataQuality.giniByGroup(df, "src", "w").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out("eq") == ((4L, 20L, 0.0)), out)
+    assert(out("mono") == ((4L, 8L, 0.75)))
+    // ranks 1..4 × weights 1..4: (2·30 − 5·10)/(4·10) = 0.25
+    assert(out("mix") == ((4L, 10L, 0.25)))
+    assert(out("one") == ((1L, 7L, null)))
+    assert(out("zero") == ((2L, 0L, null)))
+    intercept[IllegalArgumentException](
+      DataQuality.giniByGroup(df.withColumn("w", col("w").cast("double")),
+        "src", "w"))
+  }
+
+  test("minRootTtr gate: cycling vocabulary drops, never-binding is identity") {
+    // 16 tokens from a 2-word vocabulary: root-TTR = 2/4 = 0.5 — but
+    // alternating words dodge the dup-trigram rule entirely
+    val cycler = Seq.fill(8)("the of").mkString(" ")
+    val prose = "the quick brown fox jumps over lazy dogs and then " +
+      "runs far away into quiet hills tonight alone"
+    val docs = Seq((1L, cycler), (2L, prose)).toDF("doc_id", "text")
+    val base = Curation.Config(maxDupTrigramFrac = 1.0)
+    val kept = Curation.streamingGates(docs,
+        base.copy(minRootTtr = Some(1.0)))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), s"cycler must drop: $kept")
+    // never-binding floor ≡ default gate set
+    val all = Curation.streamingGates(docs, base)
+      .collect().map(_.getLong(0)).toSet
+    assert(Curation.streamingGates(docs,
+        base.copy(minRootTtr = Some(0.0)))
+      .collect().map(_.getLong(0)).toSet == all)
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
