@@ -42,7 +42,8 @@ class PlanInvariantsSpec extends SparkSpec {
     // q138's only window partitions by the length bucket; q142's ranks
     // ride the shared two-phase prefix sum — neither may regress to an
     // unpartitioned Window.orderBy (the q111 rule)
-    Seq("q138_length_batches", "q142_rank_blend").foreach { q =>
+    Seq("q138_length_batches", "q142_rank_blend",
+        "q198_user_concentration").foreach { q =>
       val p = plan(SparkEntry.queries(q)(spark, sf("sf0.001")))
       val unpartitioned = p.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
