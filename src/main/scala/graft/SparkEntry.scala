@@ -1965,6 +1965,13 @@ object SparkEntry {
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
         "source", "n_tokens")
     }),
+    // shard-balance chi-square over the md5 epoch-layout shard key:
+    // exact integer numerator (k·Σo² − n²), one closing division
+    "q201_shard_balance" -> ((s, dir) =>
+      ext.DataQuality.shardBalanceReport(
+        Tables.documents(s, dir).withColumn("shard",
+          ext.Sampling.contentShard("doc_id", "graft.epoch.v1", 8)),
+        "shard", 8, "documents_epoch_shards")),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -2921,6 +2928,27 @@ object SparkEntry {
         |    ROUND(CAST(2 * srw - (n + 1) * sw AS DOUBLE)
         |      / CAST(n * sw AS DOUBLE), 6)
         |  END AS gini
+        |FROM a""".stripMargin,
+    // chi-square balance over the q99 shard recipe: hex→int trick for
+    // the md5 shard, HUGEINT Σo² mirrors the decimal(38,0) accumulator
+    "q201_shard_balance" ->
+      """WITH s AS (SELECT ('0x' || substr(md5('graft.epoch.v1' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS sh
+        |    FROM documents),
+        |c AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1),
+        |a AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |        CAST(COUNT(*) AS BIGINT) AS n_used,
+        |        CAST(MAX(c) AS BIGINT) AS max_count,
+        |        CAST(MIN(c) AS BIGINT) AS min_used,
+        |        SUM(c * c) AS ss
+        |      FROM c)
+        |SELECT 'documents_epoch_shards' AS relation, n_rows,
+        |  CAST(8 AS BIGINT) AS n_shards, n_used, max_count,
+        |  CASE WHEN n_used < 8 THEN CAST(0 AS BIGINT)
+        |       ELSE min_used END AS min_count,
+        |  CASE WHEN n_rows > 0 THEN
+        |    ROUND(CAST(8 * ss - n_rows * n_rows AS DOUBLE)
+        |      / CAST(n_rows AS DOUBLE), 6) END AS chi2
         |FROM a""".stripMargin,
     "q12_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

@@ -472,6 +472,54 @@ object DataQuality {
           col("n_fact").cast("double"), 6).as("orphan_rate"))
   }
 
+  /** SHARD-BALANCE audit: is a shard assignment uniform enough that no
+    * executor (or downstream trainer data-loader) gets a hot shard? One
+    * row per call: row count, configured and actually-used shard
+    * counts, min/max shard sizes, and the chi-square
+    * goodness-of-fit statistic against the uniform layout,
+    * χ² = Σ_k (o_k − n/k)² / (n/k) = (k·Σo² − n²) / n — the identity
+    * keeps the numerator in EXACT integer arithmetic (decimal(38,0) ≡
+    * DuckDB HUGEINT, the q200 Gini discipline) so the one closing
+    * division oracle-hashes at 6dp. Shards that received zero rows
+    * contribute only through `k` (the identity absorbs their (0−e)²/e
+    * terms), so `min_count` is forced to 0 whenever n_used < n_shards.
+    *
+    * Pairs with `Sampling.contentShard` to audit the md5 layout the
+    * epoch-order family assigns (q201), but accepts ANY shard column —
+    * a landed directory's partition ids, a hash bucket, a kafka
+    * partition.
+    *
+    * Output: one row — (relation, n_rows, n_shards, n_used, max_count,
+    * min_count, chi2).
+    *
+    * Reference: the row-count validation family
+    * (load_sales_history.py:241-251) pointed at layout skew instead of
+    * totals.
+    *
+    * Scale notes (100 TB): one map-side-combined count per shard
+    * (shards-sized relation) + a one-row reduce; no join, no window. */
+  def shardBalanceReport(df: DataFrame, shardCol: String, nShards: Int,
+                         relation: String): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    df.groupBy(col(shardCol).as("_s")).agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_used"),
+        coalesce(max(col("_c")), lit(0L)).as("max_count"),
+        coalesce(min(col("_c")), lit(0L)).as("_min_used"),
+        coalesce(sum(col("_c").cast(dec) * col("_c").cast(dec)),
+          lit(0).cast(dec)).as("_ss"))
+      .select(lit(relation).as("relation"), col("n_rows"),
+        lit(nShards.toLong).as("n_shards"), col("n_used"),
+        col("max_count"),
+        when(col("n_used") < nShards, lit(0L)).otherwise(col("_min_used"))
+          .as("min_count"),
+        when(col("n_rows") > 0,
+          round((lit(nShards).cast(dec) * col("_ss") -
+            col("n_rows").cast(dec) * col("n_rows").cast(dec))
+            .cast("double") / col("n_rows").cast("double"), 6)).as("chi2"))
+  }
+
   /** KEY-UNIQUENESS audit: does the declared primary key actually
     * identify rows? Reports total rows, distinct keys, keys with more
     * than one row, and the largest copy-group — the pre-publish check

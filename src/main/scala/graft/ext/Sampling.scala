@@ -992,10 +992,23 @@ object Sampling {
     * drift out of sync through divergent copies of the md5 recipes. */
   private def epochShardKey(idCol: String, salt: String,
                             shards: Int): (Column, Column) = (
-    conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
-      16, 10).cast("long") % shards,
+    contentShard(idCol, salt, shards),
     md5(concat(lit(salt), col("epoch").cast("string"),
       lit(":"), col(idCol).cast("string"))))
+
+  /** The content-addressed shard id as a standalone column — the md5
+    * recipe [[epochDataOrder]]/[[curriculumEpochOrder]] assign shards
+    * with, exposed so audits (q201's chi-square balance report) and
+    * external writers can compute the SAME shard a layout would get
+    * without materializing the layout. First 8 md5 hex chars → 32-bit
+    * non-negative long → `% shards` (the q99 oracle restates it as
+    * `('0x' || substr(md5(...), 1, 8))::BIGINT % k`).
+    *
+    * Scale: one projection, no shuffle — the shard is a pure function
+    * of (salt, id). */
+  def contentShard(idCol: String, salt: String, shards: Int): Column =
+    conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long") % shards
 
   def epochDataOrder(df: DataFrame, idCol: String, nEpochs: Int,
                      shards: Int = 8,

@@ -4566,6 +4566,29 @@ class ExtSpec extends SparkSpec {
         "src", "w"))
   }
 
+  test("shardBalanceReport: hand-computed chi2, empty-shard min, contentShard ≡ epoch layout") {
+    val df = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)).toDF("id", "shard")
+    // uniform over 2 shards: chi2 = (2*(4+4) - 16)/4 = 0
+    val u = DataQuality.shardBalanceReport(df, "shard", 2, "u").head()
+    assert(u.getLong(1) == 4L && u.getLong(3) == 2L && u.getDouble(6) == 0.0)
+    // 3 configured shards, one empty: counts (2,2,0) → chi2 = (3*8-16)/4 = 2,
+    // min_count forced to 0 because an unused shard is a zero cell
+    val t = DataQuality.shardBalanceReport(df, "shard", 3, "t").head()
+    assert(t.getLong(5) == 0L && t.getDouble(6) == 2.0)
+    // skew (3,1) over 2 shards: chi2 = (2*10-16)/4 = 1
+    val sk = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L)).toDF("id", "shard")
+    assert(DataQuality.shardBalanceReport(sk, "shard", 2, "s")
+      .head().getDouble(6) == 1.0)
+    // contentShard computes exactly the shard epochDataOrder assigns
+    val mine = docs.withColumn("shard",
+      Sampling.contentShard("doc_id", "graft.epoch.v1", 8))
+      .select(col("doc_id"), col("shard"))
+    val layout = Sampling.epochDataOrder(docs, "doc_id", nEpochs = 1, shards = 8)
+      .select(col("doc_id"), col("shard").as("s2"))
+    assert(mine.join(layout, Seq("doc_id"))
+      .filter(col("shard") =!= col("s2")).count() == 0L)
+  }
+
   test("minRootTtr gate: cycling vocabulary drops, never-binding is identity") {
     // 16 tokens from a 2-word vocabulary: root-TTR = 2/4 = 0.5 — but
     // alternating words dodge the dup-trigram rule entirely
