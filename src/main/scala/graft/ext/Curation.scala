@@ -299,6 +299,14 @@ object Curation {
     *     zero plan nodes. Read-only artifact ⇒ the gate is
     *     micro-batch-safe and `EventStream.curationStream` applies it
     *     after its gates.
+    *   - `maxSecretTokensPerDoc` (+ `secretMinLen`/`secretMinDigits`):
+    *     credential-shaped token ceiling (the secret-scanning gate —
+    *     [[graft.functions.SecretTokenCount]]'s four-part rule;
+    *     [[TextAnalysis.secretCensus]] is the audit that calibrates
+    *     it). One more codegen conjunct fused into the heuristic-gate
+    *     scan, funnel row `03_word_secrets` (sorts between
+    *     `03_word_blocklist` and `03a_model_gate`); stream-safe via
+    *     [[streamingGates]]. None (the default) adds zero plan nodes.
     *   - `sequenceLayout`: how [[writeTokenShards]] lays token ids into
     *     fixed-length sequences — "concat" (default; GPT-style
     *     contiguous packing, maximal utilization, docs cross sequence
@@ -316,6 +324,9 @@ object Curation {
       keepLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
       blocklist: Seq[String] = Nil,
       maxBlocklistHits: Long = 0L,
+      maxSecretTokensPerDoc: Option[Long] = None,
+      secretMinLen: Int = 20,
+      secretMinDigits: Int = 4,
       maxOverlapNgrams: Long = 4,
       perLangCap: Int = 100,
       trainPct: Int = 80,
@@ -415,6 +426,14 @@ object Curation {
     }
   }
 
+  /** The secret-token count the optional credential gate thresholds —
+    * one kernel expression, shared by [[streamingGates]] and the
+    * funnel's `f_secret` flag so batch, funnel and stream gate
+    * identically. */
+  private def secretCond(cfg: Config): Column =
+    graft.functions.SecretTokens
+      .secret_token_count(col("text"), cfg.secretMinLen, cfg.secretMinDigits)
+
   private def repetitionCapsCond(cfg: Config): Option[Column] =
     if (cfg.repetitionCaps.isEmpty) None
     else {
@@ -459,6 +478,10 @@ object Curation {
     require(cfg.blocklist.forall(w => w.nonEmpty && !w.contains(' ')),
       "blocklist entries must be non-empty single tokens (no spaces)")
     require(cfg.maxBlocklistHits >= 0L, "maxBlocklistHits must be >= 0")
+    require(cfg.maxSecretTokensPerDoc.forall(_ >= 0L),
+      "maxSecretTokensPerDoc must be >= 0")
+    require(cfg.secretMinLen >= 1, "secretMinLen must be >= 1")
+    require(cfg.secretMinDigits >= 0, "secretMinDigits must be >= 0")
     require(cfg.tokenBudgetPerLang.forall(_ > 0L),
       "tokenBudgetPerLang must be positive")
     require(cfg.mixtureWeights.isDefined == cfg.mixtureBudget.isDefined,
@@ -1013,11 +1036,15 @@ object Curation {
       repCond && col("pred_lang").isin(cfg.keepLangs: _*)
     // the optional blocklist conjunct fuses into the same scan — a
     // codegen set probe, no extra pass; absent entirely by default
-    val gateCond =
+    val withBlock =
       if (cfg.blocklist.nonEmpty)
         heuristic && graft.functions.BlocklistHits
           .blocklist_hits(col("text"), cfg.blocklist) <= cfg.maxBlocklistHits
       else heuristic
+    // the optional secret-token ceiling is one more fused codegen
+    // conjunct (the blocklist shape); absent entirely by default
+    val gateCond = cfg.maxSecretTokensPerDoc.fold(withBlock)(m =>
+      withBlock && secretCond(cfg) <= m)
     val heuristicGated = docs.select(col("doc_id"), col("text"))
       .withColumn("pred_lang", TextAnalysis.langPrediction(col("text")))
       .filter(gateCond)
@@ -1271,17 +1298,25 @@ object Curation {
       } else flaggedBase
     // 03_word: the optional blocklist gate gets its own flag + funnel
     // slot (label sorts between 03_source_reputation and 03a_model_gate)
-    val flagged =
+    val flaggedBlock =
       if (cfg.blocklist.nonEmpty)
         flaggedSrc.withColumn("f_block",
           (graft.functions.BlocklistHits
             .blocklist_hits(col("text"), cfg.blocklist) <=
             cfg.maxBlocklistHits).cast("long"))
       else flaggedSrc
+    // 03_word_secrets: the optional credential ceiling, same shape
+    // (label sorts between 03_word_blocklist and 03a_model_gate)
+    val flagged = cfg.maxSecretTokensPerDoc.fold(flaggedBlock)(m =>
+      flaggedBlock.withColumn("f_secret",
+        (secretCond(cfg) <= m).cast("long")))
     val langCum = col("f_tokens") * col("f_rep") * col("f_lang")
     val srcCum =
       if (cfg.sourceReputationPath.isDefined) langCum * col("f_src")
       else langCum
+    val blockCum =
+      if (cfg.blocklist.nonEmpty) srcCum * col("f_block")
+      else srcCum
     val aggExprs = Seq(
       sum(col("f_tokens")).as("n_tok"),
       sum(col("f_tokens") * col("f_rep")).as("n_rep"),
@@ -1290,7 +1325,10 @@ object Curation {
         Seq(sum(srcCum).as("n_src"))
       else Nil) ++
       (if (cfg.blocklist.nonEmpty)
-        Seq(sum(srcCum * col("f_block")).as("n_block"))
+        Seq(sum(blockCum).as("n_block"))
+      else Nil) ++
+      (if (cfg.maxSecretTokensPerDoc.isDefined)
+        Seq(sum(blockCum * col("f_secret")).as("n_secret"))
       else Nil)
     val g = flagged.agg(count(lit(1)).as("n_input"), aggExprs: _*).head()
     // with a drop-capable hygiene stage in force the gate aggregate no
@@ -1301,7 +1339,8 @@ object Curation {
     val gateFilter = Seq(
       Some(col("f_tokens") === 1 && col("f_rep") === 1 && col("f_lang") === 1),
       cfg.sourceReputationPath.map(_ => col("f_src") === 1),
-      if (cfg.blocklist.nonEmpty) Some(col("f_block") === 1) else None)
+      if (cfg.blocklist.nonEmpty) Some(col("f_block") === 1) else None,
+      cfg.maxSecretTokensPerDoc.map(_ => col("f_secret") === 1))
       .flatten.reduce(_ && _)
     val srcRows =
       if (cfg.sourceReputationPath.isDefined)
@@ -1311,9 +1350,13 @@ object Curation {
       if (cfg.blocklist.nonEmpty)
         Seq(("03_word_blocklist", g.getAs[Long]("n_block")))
       else Seq.empty[(String, Long)]
+    val secretRows =
+      if (cfg.maxSecretTokensPerDoc.isDefined)
+        Seq(("03_word_secrets", g.getAs[Long]("n_secret")))
+      else Seq.empty[(String, Long)]
     val heuristicGated = flagged
       .filter(gateFilter)
-      .drop("f_tokens", "f_rep", "f_lang", "f_src", "f_block")
+      .drop("f_tokens", "f_rep", "f_lang", "f_src", "f_block", "f_secret")
       .persist()
     heuristicGated.count() // materialize BEFORE the next stage reads it twice
     hygieneCached.foreach(_.unpersist())
@@ -1439,7 +1482,7 @@ object Curation {
       ("01_min_tokens", g.getLong(1)),
       ("02_repetition", g.getLong(2)),
       ("03_language", g.getLong(3))) ++ srcRows ++ blockRows ++
-      modelRows ++ lmRows ++ Seq(
+      secretRows ++ modelRows ++ lmRows ++ Seq(
       ("04_exact_dedup", nExact),
       ("05_near_dedup", nNear)) ++ bloomRows ++ semRows ++ winnowRows ++
       contRows ++ Seq(

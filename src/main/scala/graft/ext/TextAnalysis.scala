@@ -1597,6 +1597,43 @@ object TextAnalysis {
         round(col("n_docs") / col("_nd").cast("double"), 6).as("doc_share"))
   }
 
+  /** Credential-candidate census — the secret-scanning AUDIT next to
+    * [[piiCensus]]: per group, how many documents carry tokens shaped
+    * like leaked keys/tokens (the gitleaks/trufflehog heuristic class
+    * made deterministic — see [[graft.functions.SecretTokenCount]] for
+    * the four-part token rule). The report a corpus owner reads before
+    * deciding to gate (`Config.maxSecretTokensPerDoc`) or re-crawl a
+    * source; regurgitated credentials are the canonical memorization
+    * harm in trained models (Carlini et al. 2021).
+    *
+    * Output: (groupCol, n_docs, n_docs_hit, n_secret_tokens,
+    * doc_hit_rate 6dp) — one row per group, one exact division.
+    *
+    * Reference: the pre-publish validation census
+    * (load_sales_history.py:241-251), pointed at credential shapes.
+    *
+    * Scale notes (100 TB): the token rule is one generated-Java byte
+    * scan per document fused into the document scan, feeding one
+    * map-side-combined groups-sized aggregate — no explode, no join,
+    * nothing after the scan is corpus-sized. */
+  def secretCensus(docs: DataFrame, groupCol: String = "source",
+                   textCol: String = "text",
+                   minLen: Int = 20, minDigits: Int = 4): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    require(minDigits >= 0, s"minDigits must be >= 0, got $minDigits")
+    docs.select(col(groupCol).as("g"),
+        graft.functions.SecretTokens
+          .secret_token_count(col(textCol), minLen, minDigits).as("_c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("_c") > 0).cast("long")).as("n_docs_hit"),
+        sum(col("_c")).as("n_secret_tokens"))
+      .select(col("g").as(groupCol), col("n_docs"), col("n_docs_hit"),
+        col("n_secret_tokens"),
+        round(col("n_docs_hit").cast("double") /
+          col("n_docs").cast("double"), 6).as("doc_hit_rate"))
+  }
+
   /** C4-style rule-based line filtering (Raffel et al. 2020 §2.2 —
     * reference quality gates: etl/transform_sales.py's row-level
     * filters, lifted to line granularity): rewrite each document

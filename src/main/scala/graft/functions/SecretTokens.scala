@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Credential-shaped token counter — the secret-scanning hygiene gate a
+  * code/web training corpus needs (leaked API keys and tokens are the
+  * canonical "memorizable string" a trained model can regurgitate; the
+  * gitleaks/trufflehog heuristic class, reduced to its deterministic
+  * regex-free core). A whitespace token counts as a secret CANDIDATE
+  * when all four hold:
+  *
+  *   - byte length ≥ `minLen` (real keys are long; prose words aren't),
+  *   - every byte is in the key alphabet `[A-Za-z0-9+/=_-]` (base64 /
+  *     base64url / hex / AWS-style ids — one non-alphabet byte, e.g.
+  *     any multibyte UTF-8 char, disqualifies),
+  *   - at least `minDigits` digit bytes (mixed-in digits separate keys
+  *     from long natural-language words and identifiers),
+  *   - at least one letter (an all-digit run is a number, not a key).
+  *
+  * Tokens split on single spaces with empties kept (the engine-wide
+  * `size(split(text, ' '))` convention), so the count restates exactly
+  * in SQL: `len(t) >= minLen AND regexp_full_match(t,
+  * '[A-Za-z0-9+/=_-]+') AND len(regexp_replace(t, '[^0-9]', '', 'g'))
+  * >= minDigits AND regexp_matches(t, '[A-Za-z]')` — oracle-hashable
+  * (q202). Char length ≡ byte length for every token that passes the
+  * alphabet check, so the SQL `len()` agrees with the byte scan.
+  *
+  * Reference: the staged-scan hygiene family (the reference pipeline
+  * has no content hygiene — load_sales_history.py:241-251 validates
+  * counts only; this is the north-star extension, like redactPii).
+  *
+  * Scale notes (100 TB): one generated-Java byte scan per document
+  * fused into the document scan — no split allocation, no regex, no
+  * extra pass; the higher-order `size(filter(split(...)))` formulation
+  * would evaluate interpreted (CLAUDE.md).
+  */
+case class SecretTokenCount(child: Expression, minLen: Int, minDigits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && minLen >= 1 && minDigits >= 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (string, minLen >= 1, minDigits >= 0), " +
+          s"got ${child.dataType}, minLen=$minLen, minDigits=$minDigits")
+
+  override def nullSafeEval(input: Any): Any =
+    SecretTokens.count(input.asInstanceOf[UTF8String], minLen, minDigits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SecretTokens.count($c, $minLen, $minDigits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SecretTokenCount =
+    copy(child = newChild)
+  override def prettyName: String = "secret_token_count"
+}
+
+object SecretTokens {
+
+  /** Kernel: credential-shaped token count (called from generated
+    * code). Single pass over the UTF-8 bytes; a space closes the
+    * current token, end-of-input closes the last one. */
+  def count(text: UTF8String, minLen: Int, minDigits: Int): Long = {
+    val b = text.getBytes
+    val len = b.length
+    var n = 0L
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || b(i) == ' ') {
+        if (i - start >= minLen) {
+          var ok = true
+          var digits = 0
+          var letters = 0
+          var j = start
+          while (ok && j < i) {
+            val c = b(j)
+            if (c >= '0' && c <= '9') digits += 1
+            else if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) letters += 1
+            else if (c != '+' && c != '/' && c != '=' && c != '_' && c != '-')
+              ok = false
+            j += 1
+          }
+          if (ok && digits >= minDigits && letters >= 1) n += 1L
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    n
+  }
+
+  def secret_token_count(c: Column, minLen: Int, minDigits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SecretTokenCount(ColumnBridge.expression(c), minLen, minDigits))
+  }
+}

@@ -1535,6 +1535,44 @@ class CurationSpec extends SparkSpec {
         cfg.copy(blocklist = Seq("two words"), maxBlocklistHits = 1L)))
   }
 
+  test("secret-token gate rides the heuristic gate block with its funnel row") {
+    // plant a credential-shaped token on a slice of the corpus
+    val planted = corpus.withColumn("text",
+      when($"doc_id" % 10 === 0,
+        concat($"text", lit(" AKIA9QWE8RTY7UIO2PAS4X"))).otherwise($"text"))
+    val base = Curation.curate(planted, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    // a never-binding ceiling reproduces the default chain exactly
+    val loose = Curation.curate(planted, benchmark,
+        cfg.copy(maxSecretTokensPerDoc = Some(Long.MaxValue)))
+      .collect().map(_.toSeq).toSet
+    assert(loose == base,
+      "a never-binding secret ceiling must reproduce the default chain")
+    val baseIds = base.map(_.head.asInstanceOf[Long])
+    assert(baseIds.exists(_ % 10 == 0),
+      "the planted slice must survive the default chain for the gate to bind")
+    // zero tolerance drops exactly the planted docs; survivors are clean
+    val bound = cfg.copy(maxSecretTokensPerDoc = Some(0L))
+    val curated = Curation.curate(planted, benchmark, bound)
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated.nonEmpty && curated.forall(_ % 10 != 0),
+      "every planted doc must fall at the secrets gate")
+    // funnel: the row exists, sits in the claimed cumulative position,
+    // and the chain output matches the final row
+    val byStage = Curation.curationFunnel(planted, benchmark, bound)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.contains("03_word_secrets"))
+    assert(byStage("03_word_secrets") <= byStage("03_language"))
+    assert(byStage("04_exact_dedup") <= byStage("03_word_secrets"))
+    assert(byStage("07_quota") == curated.size.toLong)
+    // guards fail loudly
+    intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark, cfg.copy(secretMinLen = 0)))
+    intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark,
+        cfg.copy(maxSecretTokensPerDoc = Some(-1L))))
+  }
+
   test("per-language token budget slots between rate mix and count quota") {
     // a never-binding budget leaves the chain exactly at its default
     val base = Curation.curate(corpus, benchmark, cfg)
