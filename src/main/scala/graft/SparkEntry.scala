@@ -1983,6 +1983,17 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("source"),
           col("text")).unionByName(crafted))
     }),
+    // code-vs-prose routing signals over fixture ∪ crafted multi-line
+    // docs (fixture prose is single-line and symbol-free — the crafted
+    // snippet/verse rows are the nonzero state)
+    "q203_code_likeness" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val crafted = CodeCrafted.toDF("doc_id", "text")
+      ext.TextAnalysis.codeLikeness(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .unionByName(crafted))
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -2001,6 +2012,20 @@ object SparkEntry {
 
   private def secretCraftedValues: String = SecretCrafted
     .map { case (_, src, txt) => s"('$src', '$txt')" }.mkString(", ")
+
+  /** q203's planted multi-line rows: a C-style snippet (code-terminated
+    * lines + symbols), symbol-free prose, an indented verse (the
+    * pinned indent-rule false positive), and the empty document edge.
+    * Newlines embed as literal newlines in the spliced SQL VALUES —
+    * legal in DuckDB string literals. Quote-free ASCII only. */
+  private val CodeCrafted: Seq[(Long, String)] = Seq(
+    (9100001L, "int main() {\n  int x = 42;\n  return x;\n}"),
+    (9100002L, "plain prose line without any symbols at all"),
+    (9100003L, "  indented verse begins\n  and continues softly\n  to the end"),
+    (9100004L, ""))
+
+  private def codeCraftedValues: String = CodeCrafted
+    .map { case (id, txt) => s"(CAST($id AS BIGINT), '$txt')" }.mkString(", ")
 
   private val NfcCrafted: Seq[String] = Seq(
     "Café menu list",
@@ -2997,6 +3022,43 @@ object SparkEntry {
          |  ROUND(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END)
          |    / CAST(COUNT(*) AS DOUBLE), 6) AS doc_hit_rate
          |FROM pd GROUP BY 1""".stripMargin,
+    // the CodeStats kernel's pinned semantics restated per line
+    // (chr(10) split, rtrim-space terminal test, two-space/tab indent)
+    // plus doc-level symbol and code-point counts; verdict on the
+    // 6dp-ROUNDED shares (the PSI rule)
+    "q203_code_likeness" ->
+      s"""WITH alldocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $codeCraftedValues) v(doc_id, text)
+         |),
+         |ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+         |       FROM alldocs),
+         |lf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |    CAST(SUM(CASE WHEN right(rtrim(line), 1) IN (';','{','}')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+         |    CAST(SUM(CASE WHEN regexp_matches(line, '^(  |\t)')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_indent
+         |  FROM ln GROUP BY 1),
+         |cf AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(regexp_replace(text, '[^{}();=<>\\[\\]]', '', 'g'))
+         |      AS BIGINT) AS n_sym
+         |  FROM alldocs),
+         |sh AS (SELECT l.doc_id, l.n_lines,
+         |    CASE WHEN c.n_chars > 0
+         |      THEN ROUND(c.n_sym / CAST(c.n_chars AS DOUBLE), 6)
+         |      ELSE 0.0 END AS symbol_share,
+         |    ROUND(l.n_code / CAST(l.n_lines AS DOUBLE), 6)
+         |      AS code_line_share,
+         |    ROUND(l.n_indent / CAST(l.n_lines AS DOUBLE), 6)
+         |      AS indent_line_share
+         |  FROM lf l JOIN cf c USING (doc_id))
+         |SELECT doc_id, n_lines, symbol_share, code_line_share,
+         |  indent_line_share,
+         |  CAST(CASE WHEN symbol_share >= 0.03
+         |    OR code_line_share >= 0.3 OR indent_line_share >= 0.3
+         |    THEN 1 ELSE 0 END AS BIGINT) AS code_like
+         |FROM sh""".stripMargin,
     "q12_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(event_id) AS n_events, ROUND(SUM(value), 2) AS value_sum

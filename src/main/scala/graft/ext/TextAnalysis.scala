@@ -1634,6 +1634,52 @@ object TextAnalysis {
           col("n_docs").cast("double"), 6).as("doc_hit_rate"))
   }
 
+  /** Code-likeness report — the code-vs-prose ROUTING signal for a
+    * mixed corpus (code wants different hygiene than prose: no
+    * terminal-punctuation line filter, no stopword language ID — the
+    * StarCoder/The-Stack routing decision made from surface
+    * statistics, no classifier weights needed). Per document: line
+    * count, the 6dp-rounded shares of code symbols, code-terminated
+    * lines and indented lines (pinned semantics on
+    * [[graft.functions.CodeStats]]), and a 0/1 `code_like` verdict —
+    * any share clearing its threshold routes the doc to the code path.
+    * Thresholds compare against the ROUNDED shares (the PSI rounded-
+    * share rule) so the verdict is engine-portable and the whole
+    * report oracle-hashes (q203).
+    *
+    * Output: (idCol, n_lines, symbol_share, code_line_share,
+    * indent_line_share, code_like).
+    *
+    * Reference: the reference's row-level recode family
+    * (load_sales_mart.py:23 CASE recode) pointed at content modality.
+    *
+    * Scale notes (100 TB): one generated-Java pass per document fused
+    * into the scan; the report is a pure projection — no shuffle, no
+    * join, no state. */
+  def codeLikeness(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   minSymbolShare: Double = 0.03,
+                   minCodeLineShare: Double = 0.3,
+                   minIndentShare: Double = 0.3): DataFrame = {
+    require(minSymbolShare >= 0.0 && minCodeLineShare >= 0.0 &&
+      minIndentShare >= 0.0, "code-likeness thresholds must be >= 0")
+    docs.select(col(idCol),
+        graft.functions.CodeStats.code_stats(col(textCol)).as("_s"))
+      .select(col(idCol), col("_s.n_lines").as("n_lines"),
+        when(col("_s.n_chars") > 0,
+          round(col("_s.n_sym").cast("double") /
+            col("_s.n_chars").cast("double"), 6))
+          .otherwise(lit(0.0)).as("symbol_share"),
+        round(col("_s.n_code_lines").cast("double") /
+          col("_s.n_lines").cast("double"), 6).as("code_line_share"),
+        round(col("_s.n_indent_lines").cast("double") /
+          col("_s.n_lines").cast("double"), 6).as("indent_line_share"))
+      .withColumn("code_like",
+        ((col("symbol_share") >= minSymbolShare) ||
+          (col("code_line_share") >= minCodeLineShare) ||
+          (col("indent_line_share") >= minIndentShare)).cast("long"))
+  }
+
   /** C4-style rule-based line filtering (Raffel et al. 2020 §2.2 —
     * reference quality gates: etl/transform_sales.py's row-level
     * filters, lifted to line granularity): rewrite each document

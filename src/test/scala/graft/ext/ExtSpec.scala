@@ -4615,6 +4615,30 @@ class ExtSpec extends SparkSpec {
     assert(k("") == 0L && k("   ") == 0L, "empties never count")
   }
 
+  test("codeLikeness: snippet routes code, prose routes prose, empty-doc edge") {
+    val df = Seq(
+      (1L, "int main() {\n  int x = 42;\n  return x;\n}"),
+      (2L, "plain prose line without any symbols at all"),
+      (3L, "  indented verse begins\n  and continues softly"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.codeLikeness(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5)))).toMap
+    // snippet: 4 lines, all code-terminated ({ ; ; }), 2 indented,
+    // 7 symbols ((){ = ; ; }) over 43 code points
+    val (n1, sym1, codeShare1, ind1, like1) = out(1L)
+    assert(n1 == 4L && codeShare1 == 1.0 && ind1 == 0.5 && like1 == 1L)
+    assert(sym1 > 0.1, s"snippet symbol share should be high, got $sym1")
+    // prose: single line, zero everywhere
+    assert(out(2L) == ((1L, 0.0, 0.0, 0.0, 0L)))
+    // indented verse: routes code by the pinned indent rule
+    val (_, _, _, indV, likeV) = out(3L)
+    assert(indV == 1.0 && likeV == 1L)
+    // empty doc: one empty line, all shares zero (no 0/0)
+    assert(out(4L) == ((1L, 0.0, 0.0, 0.0, 0L)))
+  }
+
   test("minRootTtr gate: cycling vocabulary drops, never-binding is identity") {
     // 16 tokens from a 2-word vocabulary: root-TTR = 2/4 = 0.5 — but
     // alternating words dodge the dup-trigram rule entirely
