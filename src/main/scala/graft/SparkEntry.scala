@@ -1994,6 +1994,11 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text"))
           .unionByName(crafted))
     }),
+    // per-window language mix: 20-token windows scored independently,
+    // the shared fixed-order argmax, switch count via a doc-partitioned
+    // lag
+    "q204_lang_mix" -> ((s, dir) =>
+      ext.TextAnalysis.langMixReport(Tables.documents(s, dir))),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -2044,6 +2049,16 @@ object SparkEntry {
   private val DuckLangs = Seq("en", "de", "es", "fr", "zh")
   private lazy val DuckLangScoreCols =
     DuckLangs.map(l => s"  ${duckHits(l)} AS score_$l").mkString(",\n")
+  // list-granular stopword hits (q204's per-window scores): same word
+  // sets, applied to a token-list expression instead of full text
+  private def duckListHits(lang: String, listExpr: String): String = {
+    val list = ext.TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($listExpr, t -> t IN ($list)))"
+  }
+  private lazy val DuckWinLangScoreCols =
+    DuckLangs.map(l => s"  ${duckListHits(l, "wtoks")} AS score_$l")
+      .mkString(",\n")
+
   private lazy val DuckLangCaseChain =
     DuckLangs.init.zipWithIndex.map { case (l, i) =>
       val conds = DuckLangs.drop(i + 1)
@@ -3059,6 +3074,41 @@ object SparkEntry {
          |    OR code_line_share >= 0.3 OR indent_line_share >= 0.3
          |    THEN 1 ELSE 0 END AS BIGINT) AS code_like
          |FROM sh""".stripMargin,
+    // 20-token windows as 1-based inclusive list slices (the q40
+    // rule), per-window scores + the shared argmax chain, switches via
+    // a doc-partitioned lag (NULL first-window <> folds to ELSE 0 ≡
+    // Spark's null-skipping sum)
+    "q204_lang_mix" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |w AS (SELECT doc_id, win,
+         |        toks[(win*20+1):(win*20+20)] AS wtoks
+         |      FROM t, unnest(generate_series(0,
+         |        (len(toks)+19)//20 - 1)) AS g(win)),
+         |sc AS (SELECT doc_id, win,
+         |$DuckWinLangScoreCols
+         |  FROM w),
+         |wl AS (SELECT doc_id, win,
+         |        CASE $DuckLangCaseChain ELSE 'zh' END AS win_lang
+         |      FROM sc),
+         |byl AS (SELECT doc_id, win_lang, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM wl GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_windows,
+         |        CAST(COUNT(*) AS BIGINT) AS n_langs,
+         |        CAST(MAX(c) AS BIGINT) AS dom
+         |      FROM byl GROUP BY 1),
+         |sw AS (SELECT doc_id,
+         |        CAST(SUM(CASE WHEN win_lang <> prev THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_switches
+         |      FROM (SELECT doc_id, win_lang,
+         |              lag(win_lang) OVER (PARTITION BY doc_id
+         |                ORDER BY win) AS prev
+         |            FROM wl)
+         |      GROUP BY 1)
+         |SELECT doc_id, n_windows, n_langs,
+         |  ROUND(dom / CAST(n_windows AS DOUBLE), 6) AS dominant_share,
+         |  n_switches
+         |FROM pd JOIN sw USING (doc_id)""".stripMargin,
     "q12_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(event_id) AS n_events, ROUND(SUM(value), 2) AS value_sum

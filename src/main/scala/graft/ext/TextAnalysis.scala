@@ -1008,15 +1008,20 @@ object TextAnalysis {
   /** Predicted language of a text column (stopword-hit scoring with the
     * fixed en,de,es,fr,zh tie-break) — usable standalone in any curation
     * filter. */
-  def langPrediction(text: Column): Column = {
-    val scores = LangOrder.map(l => l -> stopwordHits(text, l)).toMap
-    LangOrder.init.zipWithIndex.foldRight(lit(LangOrder.last)) {
+  def langPrediction(text: Column): Column =
+    langArgmax(LangOrder.map(l => l -> stopwordHits(text, l)).toMap)
+
+  /** The fixed-order argmax CASE chain over per-language scores —
+    * factored from [[langPrediction]] so window-granular scorers
+    * ([[langMixReport]]) break ties with the IDENTICAL en,de,es,fr,zh
+    * rule (the q10/q193 DuckLangCaseChain restates it). */
+  private[graft] def langArgmax(scores: Map[String, Column]): Column =
+    LangOrder.init.zipWithIndex.foldRight(lit(LangOrder.last): Column) {
       case ((l, i), elseCol) =>
         val better = LangOrder.drop(i + 1)
           .map(m => scores(l) >= scores(m)).reduce(_ && _)
         when(better, lit(l)).otherwise(elseCol)
     }
-  }
 
   /** Language ID via stopword-hit scoring (n-gram/stopword heuristic).
     * Deterministic tie-break: fixed language order en,de,es,fr,zh — a
@@ -1632,6 +1637,65 @@ object TextAnalysis {
         col("n_secret_tokens"),
         round(col("n_docs_hit").cast("double") /
           col("n_docs").cast("double"), 6).as("doc_hit_rate"))
+  }
+
+  /** Language-MIX report — doc-level language ID ([[langId]]) assumes
+    * one language per document; real web documents code-switch
+    * (quoted passages, boilerplate in a second language, bilingual
+    * pages), and a mixed doc pollutes whichever single-language bucket
+    * it lands in. This scores every `windowTokens`-token window
+    * independently (same stopword scores, same fixed-order argmax tie
+    * break as the doc-level rule) and reports per doc: window count,
+    * distinct window languages, the dominant language's window share,
+    * and the number of adjacent-window language SWITCHES — n_langs > 1
+    * or a low dominant_share flags the doc for segmentation or drop.
+    *
+    * Output: (doc_id, n_windows, n_langs, dominant_share 6dp,
+    * n_switches). Oracle-hashed (q204): windows restate as 1-based
+    * inclusive list slices (the q40 chunk rule), the argmax as the
+    * shared CASE chain.
+    *
+    * Reference: the CASE-recode family (load_sales_mart.py:23) at
+    * window granularity.
+    *
+    * Scale notes (100 TB): one token explode feeding a map-side
+    * combined (doc, window) aggregate — the per-window score sums are
+    * codegen'd isin flags, not a per-window lambda; the window-lang
+    * relation (|docs| × windows/doc) is localCheckpointed once and
+    * re-aggregated twice (the one-pass token-stats discipline); the
+    * switch count's window function is PARTITIONED by doc. */
+  def langMixReport(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    windowTokens: Int = 20): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val scoreAggs = LangOrder.map(l =>
+      sum(col("tok").isin(stopwords(l): _*).cast("long")).as(s"_s_$l"))
+    val winScores = toks
+      .groupBy(col("doc_id"), expr(s"pos div $windowTokens").as("win"))
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+    val w = winScores.select(col("doc_id"), col("win"),
+        langArgmax(LangOrder.map(l => l -> col(s"_s_$l")).toMap)
+          .as("win_lang"))
+      .localCheckpoint()
+    val byLang = w.groupBy(col("doc_id"), col("win_lang"))
+      .agg(count(lit(1)).as("_c"))
+    val perDoc = byLang.groupBy(col("doc_id"))
+      .agg(sum(col("_c")).as("n_windows"),
+        count(lit(1)).as("n_langs"),
+        max(col("_c")).as("_dom"))
+    val switches = w.withColumn("_prev", lag(col("win_lang"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("win"))))
+      .groupBy(col("doc_id"))
+      .agg(coalesce(sum((col("win_lang") =!= col("_prev")).cast("long")),
+        lit(0L)).as("n_switches"))
+    perDoc.join(switches, Seq("doc_id"))
+      .select(col("doc_id"), col("n_windows"), col("n_langs"),
+        round(col("_dom").cast("double") /
+          col("n_windows").cast("double"), 6).as("dominant_share"),
+        col("n_switches"))
   }
 
   /** Code-likeness report — the code-vs-prose ROUTING signal for a

@@ -4615,6 +4615,26 @@ class ExtSpec extends SparkSpec {
     assert(k("") == 0L && k("   ") == 0L, "empties never count")
   }
 
+  test("langMixReport: hand-computed code-switch doc, pure doc reads one lang") {
+    val df = Seq(
+      (1L, "the of and la el la the of and"), // en | es | en at width 3
+      (2L, "the of and to in is"),            // en | en
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.langMixReport(df, windowTokens = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((3L, 2L, 0.666667, 2L)), s"mixed doc: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 1.0, 0L)), s"pure doc: ${out(2L)}")
+    // empty doc: one window of one empty token, zero scores → 'en' tie
+    assert(out(3L) == ((1L, 1L, 1.0, 0L)), s"empty doc: ${out(3L)}")
+    // window-granular argmax agrees with the doc-level rule on
+    // single-window docs
+    val single = docs.limit(30)
+      .withColumn("pred", TextAnalysis.langPrediction(col("text")))
+    val wide = TextAnalysis.langMixReport(single, windowTokens = 1000000)
+    assert(wide.filter(col("n_langs") =!= 1).count() == 0)
+  }
+
   test("codeLikeness: snippet routes code, prose routes prose, empty-doc edge") {
     val df = Seq(
       (1L, "int main() {\n  int x = 42;\n  return x;\n}"),
