@@ -1999,6 +1999,21 @@ object SparkEntry {
     // lag
     "q204_lang_mix" -> ((s, dir) =>
       ext.TextAnalysis.langMixReport(Tables.documents(s, dir))),
+    // HLL inclusion-exclusion overlap between two stored cardinality
+    // profiles (doc_id%2 vs %3 slices ⇒ true per-lang overlap = the %6
+    // ids) — estimates, rows-only; the spec pins coupon-regime
+    // exactness
+    "q205_corpus_overlap" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val pa = ext.Cardinality.ensureCardinalityProfile(
+        docs.filter(col("doc_id") % 2 === 0), "/tmp/graft_card_cache",
+        s"$dir/documents.parquet", "lang", "doc_id", variant = "evens")
+      val pb = ext.Cardinality.ensureCardinalityProfile(
+        docs.filter(col("doc_id") % 3 === 0), "/tmp/graft_card_cache",
+        s"$dir/documents.parquet", "lang", "doc_id", variant = "thirds")
+      ext.Cardinality.overlapEstimate(s, pa, pb)
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,

@@ -178,6 +178,63 @@ object Cardinality {
       compacted.write.parquet(tmp))
   }
 
+  /** OVERLAP estimate between two stored profiles, per group —
+    * inclusion-exclusion on the union sketch: |A∩B| ≈ est_a + est_b −
+    * est(A∪B), with the union computed register-wise (the one set
+    * operation HLL supports natively). The "how much of corpus B have
+    * we already got" probe between two corpora, crawls or snapshots —
+    * WITHOUT touching either corpus: both sides are groups-sized
+    * artifact scans. Groups present on one side only read overlap 0
+    * with the union equal to the present side.
+    *
+    * Both profiles must agree on their FULL identity (group/id columns
+    * and lgK — the requireSameSpace discipline): a cross-space overlap
+    * is silently meaningless, and `hll_union` on mismatched lgK would
+    * throw mid-job.
+    *
+    * Output: (group, est_a, est_b, est_union, est_overlap,
+    * jaccard_est 6dp). Estimates, so rows-only (q205); per-side
+    * estimates are exact in the coupon regime, but `hll_union` may
+    * PROMOTE the merged sketch out of coupon mode (measured: a
+    * 400-unique union reads 401), so the overlap difference carries
+    * sketch error even at small sizes — and at scale the DIFFERENCE
+    * est_a+est_b−union compounds both sides' ~1.6 % RSE, so small
+    * overlaps between huge sets drown in sketch noise (the documented
+    * inclusion-exclusion caveat; exact n-gram containment is the
+    * precision path).
+    *
+    * Reference: the reference's cross-feed validation counts
+    * (load_sales_history.py:241-251) pointed at corpus pairs.
+    *
+    * Scale notes (100 TB): two groups-sized artifact scans, one
+    * full-outer join on the group key, zero corpus passes. */
+  def overlapEstimate(spark: SparkSession, pathA: String,
+                      pathB: String): DataFrame = {
+    val (gA, iA, kA) = storedIdentity(pathA)
+    val (gB, iB, kB) = storedIdentity(pathB)
+    require(gA == gB && iA == iB && kA == kB,
+      s"profiles disagree on identity: ($gA, $iA, lgK=$kA) vs " +
+        s"($gB, $iB, lgK=$kB) — cross-space overlap is meaningless")
+    val a = effectiveSketches(spark, pathA, None)
+      .withColumnRenamed("sketch", "_a")
+    val b = effectiveSketches(spark, pathB, None)
+      .withColumnRenamed("sketch", "_b")
+    a.join(b, Seq(gA), "full_outer")
+      .select(col(gA),
+        coalesce(hll_sketch_estimate(col("_a")), lit(0L)).as("est_a"),
+        coalesce(hll_sketch_estimate(col("_b")), lit(0L)).as("est_b"),
+        when(col("_a").isNotNull && col("_b").isNotNull,
+          hll_sketch_estimate(hll_union(col("_a"), col("_b"))))
+          .otherwise(coalesce(hll_sketch_estimate(col("_a")),
+            hll_sketch_estimate(col("_b")), lit(0L))).as("est_union"))
+      .withColumn("est_overlap",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("jaccard_est",
+        when(col("est_union") > 0,
+          round(col("est_overlap").cast("double") /
+            col("est_union").cast("double"), 6)))
+  }
+
   /** Content-fingerprint-cached [[writeCardinalityProfile]] — the
     * `ensureIvfIndex` pattern: keyed on the source parquet's
     * fingerprint plus the sketch parameters (the ensureBloomIndex

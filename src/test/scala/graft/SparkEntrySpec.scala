@@ -35,7 +35,8 @@ class SparkEntrySpec extends SparkSpec {
       "q160_token_shard_leakage", "q161_forget_documents",
       "q168_image_near_dups", "q169_audio_near_dups",
       "q170_video_near_dups", "q171_perceptual_index",
-      "q182_cluster_profile", "q188_truncation_fidelity"),
+      "q182_cluster_profile", "q188_truncation_fidelity",
+      "q205_corpus_overlap"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -113,6 +113,39 @@ class CardinalitySpec extends SparkSpec {
       "a replayed batch must still score pre-append after maintenance")
   }
 
+  test("overlapEstimate: coupon-regime exact inclusion-exclusion, one-sided groups, identity refusal") {
+    // A = multiples of 2 in [1,240], B = multiples of 3; true overlap
+    // per group = multiples of 6 (40). Group 'x' is A-only, 'y' shared.
+    val a = (1L to 240L).filter(_ % 2 == 0).map(i => ("y", i)) ++
+      (1L to 100L).map(i => ("x", i))
+    val b = (1L to 240L).filter(_ % 3 == 0).map(i => ("y", i))
+    val pa = tmp("card_ovl_a")
+    val pb = tmp("card_ovl_b")
+    Cardinality.writeCardinalityProfile(a.toDF("g", "id"), pa, "g", "id")
+    Cardinality.writeCardinalityProfile(b.toDF("g", "id"), pb, "g", "id")
+    val out = Cardinality.overlapEstimate(spark, pa, pb).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // per-side estimates are coupon-exact; the UNION path may promote
+    // the merged sketch out of coupon mode (measured: 400 read 401),
+    // so overlap gets the documented sketch tolerance, not exactness
+    val (ea, eb, eu, eo) = out("y")
+    assert(ea == 120L && eb == 80L, s"side estimates: ${out("y")}")
+    assert(math.abs(eu - 160L) <= 3L && math.abs(eo - 40L) <= 3L,
+      s"union/overlap beyond sketch tolerance: ${out("y")}")
+    assert(out("x") == ((100L, 0L, 100L, 0L)), s"one-sided: ${out("x")}")
+    // jaccard = overlap/union at 6dp, within the same tolerance
+    val j = Cardinality.overlapEstimate(spark, pa, pb)
+      .filter(col("g") === "y").head().getDouble(5)
+    assert(math.abs(j - 0.25) < 0.02, s"jaccard: $j")
+    // identity mismatch refuses loudly
+    val pc = tmp("card_ovl_c")
+    Cardinality.writeCardinalityProfile(
+      b.toDF("g", "other_id"), pc, "g", "other_id")
+    intercept[IllegalArgumentException](
+      Cardinality.overlapEstimate(spark, pa, pc))
+  }
+
   test("sidecar ownership: probes read the stored recipe; wrong kinds fail loudly") {
     val dir = tmp("graft_card_side")
     Cardinality.writeCardinalityProfile(
