@@ -2014,6 +2014,16 @@ object SparkEntry {
         s"$dir/documents.parquet", "lang", "doc_id", variant = "thirds")
       ext.Cardinality.overlapEstimate(s, pa, pb)
     }),
+    // PCA explained-variance spectrum of the fixture embeddings from a
+    // frozen artifact (train = one distributed Gram pass + driver
+    // Jacobi) — fp-derived, rows-only; ExtSpec pins the geometry
+    "q206_pca_spectrum" -> ((s, dir) => {
+      val path = ext.Embedding.ensurePcaProjection(
+        Tables.embeddings(s, dir), "/tmp/graft_pca_cache",
+        s"$dir/embeddings.parquet", outDims = 8,
+        space = "fixture-embeddings")
+      ext.Embedding.pcaSpectrum(s, path)
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,

@@ -515,4 +515,311 @@ object Embedding {
         .select(col(idCol).as("vec_id"), col("embedding"))
         .localCheckpoint(),
       minCosine, tables, bitsPerTable)
+
+  // ---------------------------------------------------------------
+  // PCA / whitening over embedding vectors (the SemDedup front end)
+  // ---------------------------------------------------------------
+
+  /** Everything a PCA train produces: mean, variance-descending
+    * unit-norm components (outDims × inDims, row-major), their
+    * eigenvalues, the TOTAL variance (trace of the covariance — the
+    * denominator of every explained-variance share), and the vector
+    * count. */
+  final case class PcaTrain(mean: Array[Double],
+                            components: Array[Array[Double]],
+                            eigenvalues: Array[Double],
+                            totalVariance: Double, nVectors: Long)
+
+  /** Deterministic distributed PCA: ONE pass over the vectors
+    * accumulates (N, Σx, upper-triangular Σxxᵀ) per partition; the
+    * driver combines partials in PARTITION-ID ORDER (fp addition is
+    * order-sensitive — the fixed order is what makes the train
+    * bit-reproducible), forms the population covariance
+    * C = Σxxᵀ/N − μμᵀ, and runs a cyclic Jacobi eigensolve on the
+    * D×D matrix (D ≤ a few hundred ⇒ driver-trivial; the distributed
+    * part is exactly the one corpus pass). Components are
+    * sign-canonicalized (largest-|weight| entry positive, first index
+    * on ties) and sorted by eigenvalue descending (original index
+    * ascending on ties) — no RNG, no wall clock, the engine-wide
+    * determinism convention.
+    *
+    * Reference: the reference has no vector ops at all
+    * (data_generation.py:1-179 is relational); this is north-star
+    * machinery for the embedding column (TESTDATA.md), the standard
+    * pre-clustering cut (SemDedup, Abbas et al. 2023 apply exactly
+    * this shape in front of k-means).
+    *
+    * Scale notes (100 TB): the per-partition state is D(D+1)/2 + D
+    * doubles (128-dim ⇒ ~66 KB) regardless of row count; the collect
+    * is |partitions| such blocks — metadata-sized. The RDD
+    * mapPartitionsWithIndex is the documented genuine per-partition
+    * imperative case (a DataFrame formulation would explode D² cells
+    * per row). */
+  def trainPca(vectors: DataFrame, outDims: Int,
+               vecCol: String = "embedding"): PcaTrain = {
+    require(outDims >= 1, s"outDims must be >= 1, got $outDims")
+    val partials = vectors.select(col(vecCol)).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L
+        var sum: Array[Double] = null
+        var gram: Array[Double] = null
+        it.foreach { row =>
+          val v = row.getSeq[Float](0)
+          if (sum == null) {
+            sum = new Array[Double](v.length)
+            gram = new Array[Double](v.length * (v.length + 1) / 2)
+          }
+          require(v.length == sum.length,
+            s"ragged vector widths: ${v.length} vs ${sum.length}")
+          n += 1L
+          var i = 0
+          var t = 0
+          while (i < sum.length) {
+            val xi = v(i).toDouble
+            sum(i) += xi
+            var j = i
+            while (j < sum.length) { gram(t) += xi * v(j).toDouble; t += 1; j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0L) Iterator.empty
+        else Iterator.single((pid, n, sum, gram))
+      }.collect().sortBy(_._1)
+    require(partials.nonEmpty, "trainPca needs at least one vector")
+    val d = partials.head._3.length
+    require(outDims <= d, s"outDims $outDims exceeds vector width $d")
+    var n = 0L
+    val sum = new Array[Double](d)
+    val gram = new Array[Double](d * (d + 1) / 2)
+    partials.foreach { case (_, pn, ps, pg) =>
+      require(ps.length == d, s"ragged vector widths across partitions")
+      n += pn
+      var i = 0
+      while (i < d) { sum(i) += ps(i); i += 1 }
+      i = 0
+      while (i < gram.length) { gram(i) += pg(i); i += 1 }
+    }
+    val mean = sum.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var t = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = gram(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val totalVar = (0 until d).map(k => cov(k)(k)).sum
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // sort pairs by eigenvalue desc (index asc on ties), keep outDims
+    val order = (0 until d).sortBy(k => (-eigVals(k), k)).take(outDims)
+    val comps = order.map { k =>
+      val v = Array.tabulate(d)(r => eigVecs(r)(k))
+      // sign canonicalization: largest-|weight| entry positive
+      var best = 0
+      var r = 1
+      while (r < d) {
+        if (math.abs(v(r)) > math.abs(v(best))) best = r
+        r += 1
+      }
+      if (v(best) < 0.0) v.map(-_) else v
+    }.toArray
+    PcaTrain(mean, comps, order.map(eigVals(_)).toArray, totalVar, n)
+  }
+
+  /** Cyclic Jacobi eigensolve for a symmetric matrix: returns
+    * (eigenvalues, eigenvector COLUMNS). Deterministic — fixed sweep
+    * order, fixed convergence threshold, no pivot randomization. */
+  private def jacobiEigen(a: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
+    val m = a.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm: Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += m(i)(j) * m(i)(j); j += 1 }
+        i += 1
+      }
+      math.sqrt(s)
+    }
+    val scale = math.max(1.0, math.sqrt(
+      (0 until d).map(i => (0 until d).map(j => m(i)(j) * m(i)(j)).sum).sum))
+    var sweep = 0
+    while (offNorm > 1e-12 * scale && sweep < 100) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = m(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
+            val tt =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(tt * tt + 1.0)
+            val s = tt * c
+            var i = 0
+            while (i < d) {
+              val aip = m(i)(p); val aiq = m(i)(q)
+              m(i)(p) = c * aip - s * aiq
+              m(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = m(p)(i); val aqi = m(q)(i)
+              m(p)(i) = c * api - s * aqi
+              m(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    ((0 until d).map(i => m(i)(i)).toArray, v)
+  }
+
+  /** Freeze a PCA train at `path`: `pca/` parquet of
+    * (pc, eigenvalue, weights array<double>) with the MEAN stored as
+    * the pc = −1 row (eigenvalue slot = total variance) + the params
+    * sidecar LAST (kind=pca-projection; inDims/outDims/whiten/space/
+    * nVectors ARTIFACT-OWNED — the canonical-index idCol rule). The
+    * free-form `space` string names the input embedding space
+    * (e.g. "hashed-v1-d64-g1") so cross-space application can be
+    * refused by identity, not just width. Doubles round-trip parquet
+    * exactly, so stored ≡ live apply is bit-for-bit (spec-pinned). */
+  def writePcaProjection(vectors: DataFrame, path: String, outDims: Int,
+                         vecCol: String = "embedding",
+                         whiten: Boolean = false,
+                         space: String = "unspecified"): Unit = {
+    val t = trainPca(vectors, outDims, vecCol)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val rows =
+      (-1, t.totalVariance, t.mean.toSeq) +:
+        t.components.indices.map(k =>
+          (k, t.eigenvalues(k), t.components(k).toSeq))
+    rows.toDF("pc", "eigenvalue", "weights")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/pca")
+    Dedup.writeParams(s"$path/params.properties", Map(
+      "kind" -> "pca-projection",
+      "inDims" -> t.mean.length.toString,
+      "outDims" -> outDims.toString,
+      "whiten" -> whiten.toString,
+      "space" -> space,
+      "nVectors" -> t.nVectors.toString))
+  }
+
+  /** The artifact's stored identity (fails loudly on kind mismatch or
+    * a missing sidecar — partial artifacts are refused). */
+  def pcaIdentity(path: String): Map[String, String] = {
+    val side = s"$path/params.properties"
+    require(Dedup.readParam(side, "kind", "pca projection") ==
+      "pca-projection", s"artifact at $path is not a pca projection")
+    Seq("kind", "inDims", "outDims", "whiten", "space", "nVectors")
+      .map(k => k -> Dedup.readParam(side, k, "pca projection")).toMap
+  }
+
+  /** Load a frozen PCA artifact into its kernel form — every parameter
+    * sidecar-owned; the collect is outDims+1 rows. `expectSpace`, when
+    * given, must match the stored space string (width agreement alone
+    * cannot tell two 64-dim spaces apart). */
+  def loadPcaModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                   expectSpace: Option[String] = None)
+      : graft.functions.PcaModel = {
+    val id = pcaIdentity(path)
+    expectSpace.foreach(s => require(s == id("space"),
+      s"pca projection at $path was trained on space '${id("space")}', " +
+        s"not '$s' — cross-space projection is meaningless"))
+    val rows = spark.read.parquet(s"$path/pca")
+      .select(col("pc").cast("int"), col("eigenvalue"), col("weights"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    val mean = rows.find(_._1 == -1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"pca artifact at $path has no mean row"))._3
+    val comps = rows.filter(_._1 >= 0)
+    require(comps.length == id("outDims").toInt &&
+      mean.length == id("inDims").toInt,
+      s"pca artifact at $path disagrees with its sidecar")
+    new graft.functions.PcaModel(mean, comps.map(_._3),
+      comps.map(_._2), id("whiten").toBoolean)
+  }
+
+  /** Project an (id, array<float>) frame through a frozen PCA artifact
+    * — the stored route, one scan-fused kernel pass; output column
+    * `outCol` (array<float>, outDims wide). */
+  def applyPcaProjection(df: DataFrame, path: String,
+                         vecCol: String = "embedding",
+                         outCol: String = "pca",
+                         expectSpace: Option[String] = None): DataFrame = {
+    val model = loadPcaModel(df.sparkSession, path, expectSpace)
+    df.withColumn(outCol,
+      graft.functions.PcaModel.pca_project(col(vecCol), model))
+  }
+
+  /** Explained-variance spectrum of a frozen artifact: per retained
+    * component its eigenvalue, variance share and cumulative share
+    * (denominator = the stored TOTAL variance, so the report shows
+    * what the cut kept AND what it dropped). Artifact-sized — computed
+    * on the driver from the outDims+1 stored rows; no corpus pass, no
+    * window. Estimand is fp-derived ⇒ rows-only (q206). */
+  def pcaSpectrum(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame = {
+    import spark.implicits._
+    val id = pcaIdentity(path)
+    val rows = spark.read.parquet(s"$path/pca")
+      .select(col("pc").cast("int"), col("eigenvalue")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val totalVar = rows.find(_._1 == -1).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(
+        s"pca artifact at $path has no mean row"))
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    var cum = 0.0
+    rows.filter(_._1 >= 0).map { case (pc, ev) =>
+      cum += ev
+      val (share, cshare) =
+        if (totalVar > 0.0) (r6(ev / totalVar), r6(cum / totalVar))
+        else (0.0, 0.0)
+      (pc, r6(ev), share, cshare, id("nVectors").toLong)
+    }.toSeq.toDF("pc", "eigenvalue", "var_share", "cum_share", "n_vectors")
+  }
+
+  /** Content-fingerprint-cached train → freeze for the PCA artifact —
+    * the shared ensure ladder (cache key carries every train
+    * parameter + a variant for slice-of-source builds). */
+  def ensurePcaProjection(vectors: DataFrame, cacheRoot: String,
+                          sourcePath: String, outDims: Int,
+                          vecCol: String = "embedding",
+                          whiten: Boolean = false,
+                          space: String = "unspecified",
+                          variant: String = ""): String = {
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"pca_v1_${outDims}_w${whiten}_s${space.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_v${variant}_" + Similarity.pathFingerprint(sourcePath))
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writePcaProjection(vectors, tmp, outDims, vecCol, whiten, space))
+    idx.toString
+  }
 }

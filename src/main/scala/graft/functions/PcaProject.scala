@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Stored-PCA projection as a native codegen kernel: y = Wᵀ(x − μ)
+  * (optionally whitened per component by 1/√λ). The dimensionality
+  * reduction in front of the semantic stack — SemDedup-style pipelines
+  * PCA their encoder vectors before clustering, and a 128→16 cut makes
+  * every downstream cosine/IVF/PQ pass 8× cheaper at identical
+  * pipeline shape (vectors stay (id, array<float>) rows).
+  *
+  * The model (mean + outDims×inDims components + eigenvalues) is a
+  * plan-wide reference object (the [[BpeCodec]] discipline): a few KB
+  * of driver state shipped once per executor, zero per-row join — the
+  * 100 TB plan stays a scan-fused projection. The float accumulation
+  * runs in fixed component order, so outputs are bit-deterministic
+  * across runs and partitionings.
+  *
+  * A width-mismatched input vector throws per-row (loud — the
+  * CosineSimilarity truncation trap is exactly what this prevents);
+  * whitened components with λ ≤ 0 emit 0 (a zero-variance direction
+  * carries no signal to scale).
+  */
+case class PcaProject(child: Expression, model: PcaModel)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    model.project(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pcaModel", model, classOf[PcaModel].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.project($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PcaProject =
+    copy(child = newChild)
+  override def prettyName: String = "pca_project"
+}
+
+/** The serializable PCA state + kernel: mean vector, row-major
+  * component matrix (each row one unit-norm principal axis, variance-
+  * descending), per-component eigenvalues, and the whiten flag. */
+final class PcaModel(val mean: Array[Double],
+                     components: Array[Array[Double]],
+                     val eigenvalues: Array[Double],
+                     val whiten: Boolean) extends Serializable {
+  require(components.nonEmpty, "PCA model needs at least one component")
+  val outDims: Int = components.length
+  val inDims: Int = mean.length
+  require(components.forall(_.length == inDims),
+    "every component must have the input width")
+  require(eigenvalues.length == outDims,
+    "one eigenvalue per retained component")
+
+  /** Kernel: center, project, optionally whiten (called from generated
+    * code). */
+  def project(a: ArrayData): ArrayData = {
+    val x = a.toFloatArray()
+    if (x.length != inDims)
+      throw new IllegalArgumentException(
+        s"pca_project: vector width ${x.length} != model inDims $inDims " +
+          "— cross-space projection is meaningless")
+    val out = new Array[Any](outDims)
+    var k = 0
+    while (k < outDims) {
+      val row = components(k)
+      var s = 0.0
+      var j = 0
+      while (j < inDims) { s += row(j) * (x(j) - mean(j)); j += 1 }
+      val v =
+        if (!whiten) s
+        else if (eigenvalues(k) > 0.0) s / math.sqrt(eigenvalues(k))
+        else 0.0
+      out(k) = v.toFloat
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Component row k (defensive copy — spec introspection only). */
+  def component(k: Int): Array[Double] = components(k).clone()
+}
+
+object PcaModel {
+  def pca_project(c: Column, model: PcaModel): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(PcaProject(ColumnBridge.expression(c), model))
+  }
+}

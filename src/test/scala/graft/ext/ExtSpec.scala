@@ -4046,6 +4046,77 @@ class ExtSpec extends SparkSpec {
     assert(z.forall(_ == 0.0f), "sub-ngram text must project to zero")
   }
 
+  test("PCA: planted axis recovered, orthonormal, whitening, stored ≡ live, refusals") {
+    // 4-dim data: wide spread along (1,1,0,0)/√2, narrow along dim 3,
+    // constant dim 4 — PC1 must be the planted diagonal axis
+    val rows = (0 until 210).map { i =>
+      val a = (i % 21).toDouble - 10.0
+      val b = ((i % 5).toDouble - 2.0) * 0.1
+      (i.toLong, Seq((a / math.sqrt(2) + 3.0).toFloat,
+        (a / math.sqrt(2) - 1.0).toFloat, b.toFloat, 0.5f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val t = Embedding.trainPca(df, outDims = 2)
+    assert(t.nVectors == 210L && t.mean.length == 4)
+    val c1 = t.components(0)
+    val planted = Array(1.0 / math.sqrt(2), 1.0 / math.sqrt(2), 0.0, 0.0)
+    val dot = c1.zip(planted).map { case (x, y) => x * y }.sum
+    assert(math.abs(math.abs(dot) - 1.0) < 1e-9, s"PC1 off-axis: dot=$dot")
+    assert(t.eigenvalues(0) > t.eigenvalues(1) && t.eigenvalues(1) > 0.0)
+    // orthonormality
+    def d(u: Array[Double], v: Array[Double]) =
+      u.zip(v).map { case (x, y) => x * y }.sum
+    assert(math.abs(d(c1, c1) - 1.0) < 1e-9)
+    assert(math.abs(d(c1, t.components(1))) < 1e-9)
+    // determinism: a second train is identical
+    val t2 = Embedding.trainPca(df, outDims = 2)
+    assert(t.mean.sameElements(t2.mean) &&
+      t.eigenvalues.sameElements(t2.eigenvalues) &&
+      t.components.zip(t2.components).forall(p => p._1.sameElements(p._2)))
+    // freeze → stored apply ≡ in-memory kernel bit-for-bit
+    val path = java.nio.file.Files.createTempDirectory("pca_spec").toString
+    Embedding.writePcaProjection(df, path, outDims = 2, space = "spec-4d")
+    val stored = Embedding.applyPcaProjection(df, path)
+      .select(col("vec_id"), col("pca")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val live = new graft.functions.PcaModel(t.mean, t.components,
+      t.eigenvalues, false)
+    rows.foreach { case (id, v) =>
+      val x = v.toArray
+      val expect = (0 until 2).map { k =>
+        val row = t.components(k)
+        (0 until 4).map(j => row(j) * (x(j) - t.mean(j))).sum.toFloat
+      }
+      assert(stored(id) == expect, s"stored route drifted for $id")
+    }
+    // spectrum: shares descending, cumulative bounded by 1, rows pinned
+    val spec = Embedding.pcaSpectrum(spark, path).collect()
+    assert(spec.length == 2 && spec(0).getDouble(2) >= spec(1).getDouble(2))
+    assert(spec(1).getDouble(3) <= 1.0 && spec(0).getDouble(2) > 0.9,
+      "the planted axis must dominate the variance")
+    // whitening: each projected component has ~unit population variance
+    val wpath = java.nio.file.Files.createTempDirectory("pca_spec_w").toString
+    Embedding.writePcaProjection(df, wpath, outDims = 2, whiten = true,
+      space = "spec-4d")
+    val proj = Embedding.applyPcaProjection(df, wpath)
+      .select(col("pca")).collect().map(_.getSeq[Float](0))
+    (0 until 2).foreach { k =>
+      val xs = proj.map(_(k).toDouble)
+      val m = xs.sum / xs.length
+      val va = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(math.abs(va - 1.0) < 1e-3, s"whitened var($k) = $va")
+    }
+    // refusals: wrong width throws per-row, wrong space at load time
+    val narrow = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    intercept[Exception](
+      Embedding.applyPcaProjection(narrow, path).collect())
+    intercept[IllegalArgumentException](
+      Embedding.applyPcaProjection(df, path,
+        expectSpace = Some("other-space")).collect())
+    intercept[IllegalArgumentException](
+      Embedding.trainPca(df, outDims = 5))
+  }
+
   test("weightedSample: brute-force top-k equality, weight-zero exclusion, determinism") {
     val rows = (1L to 200L).map(i => (i, (i % 7) + 1L)) ++
       Seq((201L, 0L), (202L, -3L)) // never selectable
