@@ -2024,6 +2024,22 @@ object SparkEntry {
         space = "fixture-embeddings")
       ext.Embedding.pcaSpectrum(s, path)
     }),
+    // ANN pairs in the frozen 8-dim PCA space: planted exact copies
+    // (vec_id % 50) are the guaranteed nonzero state (the fixture's
+    // max natural cosine is 0.48 — probed in DuckDB first, the q155
+    // rule); copies surface at cos 1.0 with recall 1.0
+    "q207_pca_ann_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, dir)
+      val path = ext.Embedding.ensurePcaProjection(emb,
+        "/tmp/graft_pca_cache", s"$dir/embeddings.parquet", outDims = 8,
+        space = "fixture-embeddings")
+      val planted = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding")))
+      ext.Embedding.pcaAnnPairs(planted, path, minCosine = 0.95)
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,

@@ -806,6 +806,34 @@ object Embedding {
     }.toSeq.toDF("pc", "eigenvalue", "var_share", "cum_share", "n_vectors")
   }
 
+  /** ANN near-dup pairs in a frozen PCA space — the SemDedup front-end
+    * composition: project every vector through the artifact (one
+    * scan-fused kernel pass), then the existing sub-quadratic
+    * LSH-bucketed ANN join in the REDUCED space. A 128→8 cut makes the
+    * banding, the candidate cosines and the shuffled vectors all 16×
+    * narrower at identical pipeline shape; exact duplicate vectors
+    * project identically and share every signature, so exact-copy
+    * recall stays 1.0 regardless of banding (spec-pinned). Reported
+    * cosines are PCA-space cosines — a threshold calibrated in the
+    * input space does not transfer (the documented trade).
+    *
+    * Scale notes (100 TB): projection fuses into the vector scan; the
+    * ANN join is the existing bounded-candidate path. Vectors whose
+    * projection is EXACTLY zero (x = μ to float precision) are
+    * excluded up front — the textNearDupPairs zero-vector rule
+    * (NaN cosine orders above every threshold). */
+  def pcaAnnPairs(vectors: DataFrame, pcaPath: String,
+                  minCosine: Double = 0.9,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  tables: Int = 20, bitsPerTable: Int = 12): DataFrame =
+    Dedup.embeddingAnnPairs(
+      applyPcaProjection(vectors, pcaPath, vecCol, "_pca")
+        .filter(expr(
+          "aggregate(_pca, CAST(0 AS DOUBLE), (a, x) -> a + x * x) > 0"))
+        .select(col(idCol).as("vec_id"), col("_pca").as("embedding"))
+        .localCheckpoint(),
+      minCosine, tables, bitsPerTable)
+
   /** Content-fingerprint-cached train → freeze for the PCA artifact —
     * the shared ensure ladder (cache key carries every train
     * parameter + a variant for slice-of-source builds). */

@@ -36,7 +36,7 @@ class SparkEntrySpec extends SparkSpec {
       "q168_image_near_dups", "q169_audio_near_dups",
       "q170_video_near_dups", "q171_perceptual_index",
       "q182_cluster_profile", "q188_truncation_fidelity",
-      "q205_corpus_overlap", "q206_pca_spectrum"),
+      "q205_corpus_overlap", "q206_pca_spectrum", "q207_pca_ann_pairs"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

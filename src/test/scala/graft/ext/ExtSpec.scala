@@ -4117,6 +4117,26 @@ class ExtSpec extends SparkSpec {
       Embedding.trainPca(df, outDims = 5))
   }
 
+  test("pcaAnnPairs: planted exact copies recalled at cos 1.0 in the cut space") {
+    val path = java.nio.file.Files.createTempDirectory("pca_ann").toString
+    Embedding.writePcaProjection(emb, path, outDims = 8,
+      space = "spec-fixture")
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val pairs = Embedding.pcaAnnPairs(planted, path, minCosine = 0.999999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val copies = emb.filter(col("vec_id") % 50 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(copies.nonEmpty)
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    copies.foreach(id => assert(
+      found.contains((id, id + 1000000L)) ||
+        found.contains((id + 1000000L, id)),
+      s"planted copy $id missed in PCA space"))
+    pairs.foreach(p => assert(p._3 >= 0.999999))
+  }
+
   test("weightedSample: brute-force top-k equality, weight-zero exclusion, determinism") {
     val rows = (1L to 200L).map(i => (i, (i % 7) + 1L)) ++
       Seq((201L, 0L), (202L, -3L)) // never selectable
