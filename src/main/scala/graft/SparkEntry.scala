@@ -2040,6 +2040,16 @@ object SparkEntry {
             col("embedding")))
       ext.Embedding.pcaAnnPairs(planted, path, minCosine = 0.95)
     }),
+    // Poisson-bootstrap CI for mean tokens/doc per source: md5-uniform
+    // → fixed inverse-CDF weights, replicate means = exact-long
+    // ratios, type-1 order-statistic interval
+    "q208_bootstrap_ci" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      ext.Sampling.bootstrapMeanCI(
+        Tables.documents(s, dir).select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "source", "n_tokens", "doc_id")
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -3150,6 +3160,41 @@ object SparkEntry {
          |  ROUND(dom / CAST(n_windows AS DOUBLE), 6) AS dominant_share,
          |  n_switches
          |FROM pd JOIN sw USING (doc_id)""".stripMargin,
+    // the Poisson inverse-CDF CASE is spliced from the SAME constants
+    // the Spark chain compares (Double.toString = shortest repr, both
+    // parsers correctly-rounded ⇒ identical doubles)
+    "q208_bootstrap_ci" -> {
+      val cdfCase = ext.Sampling.PoissonCdf.zipWithIndex
+        .map { case (f, k) => s"WHEN u < $f THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${ext.Sampling.PoissonCdf.size} END")
+      s"""WITH base AS (SELECT source AS g, CAST(doc_id AS VARCHAR) AS id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+         |  FROM documents),
+         |rep AS (SELECT g, id, x, b,
+         |    ('0x' || substr(md5('graft.boot.v1' || b || ':' || id),
+         |      1, 8))::BIGINT / 4294967296.0 AS u
+         |  FROM base, unnest(generate_series(0, 63)) AS t(b)),
+         |wts AS (SELECT g, b, x, $cdfCase AS w FROM rep),
+         |rm AS (SELECT g, b, CAST(SUM(w * x) AS BIGINT) AS sx,
+         |        CAST(SUM(w) AS BIGINT) AS sw
+         |      FROM wts GROUP BY 1, 2),
+         |m AS (SELECT g, CAST(sx AS DOUBLE) / sw AS m FROM rm
+         |      WHERE sw > 0),
+         |r AS (SELECT g, m,
+         |        row_number() OVER (PARTITION BY g ORDER BY m) AS rn,
+         |        COUNT(*) OVER (PARTITION BY g) AS nr
+         |      FROM m),
+         |lo AS (SELECT g, ROUND(m, 6) AS ci_lo FROM r
+         |       WHERE rn = ceil(0.025 * nr)),
+         |hi AS (SELECT g, ROUND(m, 6) AS ci_hi FROM r
+         |       WHERE rn = ceil(0.975 * nr)),
+         |t AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(x) AS BIGINT) AS s
+         |      FROM base GROUP BY 1)
+         |SELECT t.g AS source, t.n,
+         |  ROUND(CAST(s AS DOUBLE) / n, 6) AS mean, ci_lo, ci_hi
+         |FROM t JOIN lo USING (g) JOIN hi USING (g)""".stripMargin
+    },
     "q12_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(event_id) AS n_events, ROUND(SUM(value), 2) AS value_sum

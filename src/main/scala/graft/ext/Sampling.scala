@@ -900,6 +900,105 @@ object Sampling {
     * groups unseen at calibration pass through un-clamped.
     * Reference: etl/transform_sales.py:31-37, the apply side. Scale:
     * a bounds-sized artifact read + one broadcast join per batch. */
+  /** Cumulative Poisson(1) thresholds F(k) = e⁻¹ Σ_{i≤k} 1/i!,
+    * hardcoded to full double precision so the Spark CASE chain and
+    * the DuckDB oracle compare the SAME literals (the q66
+    * content-addressed-uniform discipline: u is exact in double, the
+    * comparison is bit-identical). u ≥ F(9) draws weight 10 — the
+    * tail beyond is < 3·10⁻⁸ of draws and capping keeps the weight
+    * column bounded. */
+  private[graft] val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+    0.9999998885745216)
+
+  /** Poisson-BOOTSTRAP confidence interval for a per-group MEAN — the
+    * error bar every corpus statistic should ship with ("source A's
+    * mean quality is 0.62 ± what?"). The classical bootstrap resamples
+    * n rows with replacement per replicate — undistributable as
+    * stated; the Poisson bootstrap (Hanley & MacGibbon 2006; the
+    * standard large-scale substitute) gives every row an independent
+    * Poisson(1) multiplicity per replicate, which is ONE deterministic
+    * weight column here: u = content-addressed md5 uniform over
+    * (salt, replicate, id), folded through the fixed inverse-CDF CASE
+    * chain ([[PoissonCdf]]). No RNG state, no wall clock — a re-run
+    * (or the DuckDB oracle, q208) draws the identical resamples.
+    *
+    * Replicate means Σwx/Σw are exact-long ratios (one IEEE division
+    * each — bit-identical cross-engine); the interval picks the
+    * type-1 ⌈q·n⌉-th order statistics of the replicate means (the
+    * scoreQuantiles rule — order statistics, never interpolation), so
+    * the whole report oracle-hashes at 6dp. Requires an INTEGRAL
+    * value column (exact sums — the giniByGroup discipline).
+    *
+    * Output: (groupCol, n, mean, ci_lo, ci_hi) — `n` the group's row
+    * count, `mean` the exact full-sample mean, the CI from
+    * `replicates` resamples at [loQ, hiQ]. A group constant in
+    * `valueCol` collapses to ci_lo = mean = ci_hi exactly
+    * (spec-pinned: weighted means of a constant are the constant).
+    *
+    * Reference: the validation aggregate family
+    * (load_sales_history.py:241-251) with uncertainty attached.
+    *
+    * Scale notes (100 TB): the replicate fan-out multiplies the
+    * (group, id, value) PROJECTION — never document bodies — by
+    * `replicates`, map-side combining into |groups| × replicates
+    * partials; the quantile window is PARTITIONED by group over
+    * ≤ replicates rows. Run it on the per-doc stat relation a prior
+    * aggregate produced, not on raw text. */
+  def bootstrapMeanCI(df: DataFrame, groupCol: String, valueCol: String,
+                      idCol: String, replicates: Int = 64,
+                      loQ: Double = 0.025, hiQ: Double = 0.975,
+                      salt: String = "graft.boot.v1"): DataFrame = {
+    require(replicates >= 2, s"need >= 2 replicates, got $replicates")
+    require(loQ > 0.0 && loQ < hiQ && hiQ <= 1.0,
+      s"need 0 < loQ < hiQ <= 1, got ($loQ, $hiQ)")
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"bootstrapMeanCI needs an integral value column; " +
+        s"$valueCol is ${df.schema(valueCol).dataType}")
+    val base = df.select(col(groupCol).as("g"),
+      col(idCol).cast("string").as("_id"),
+      col(valueCol).cast("long").as("x"))
+    val u = conv(substring(md5(concat(lit(salt), col("b").cast("string"),
+      lit(":"), col("_id"))), 1, 8), 16, 10).cast("long").cast("double") /
+      lit(4294967296.0)
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.size.toLong)) {
+      case ((f, k), elseCol) => when(col("_u") < f, lit(k.toLong))
+        .otherwise(elseCol)
+    }
+    val repMeans = base
+      .select(col("g"), col("_id"), col("x"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("b"))
+      .withColumn("_u", u)
+      .withColumn("_w", w)
+      .groupBy(col("g"), col("b"))
+      .agg(sum(col("_w") * col("x")).as("_sx"), sum(col("_w")).as("_sw"))
+      .filter(col("_sw") > 0)
+      .select(col("g"),
+        col("_sx").cast("double") / col("_sw").cast("double") as "m")
+    val ranked = repMeans.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("m"))))
+      .withColumn("_nr",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
+    val lo = ranked.filter(col("_rn") === ceil(lit(loQ) * col("_nr")))
+      .select(col("g"), round(col("m"), 6).as("ci_lo"))
+    val hi = ranked.filter(col("_rn") === ceil(lit(hiQ) * col("_nr")))
+      .select(col("g"), round(col("m"), 6).as("ci_hi"))
+    base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("_sum"))
+      .join(lo, Seq("g")).join(hi, Seq("g"))
+      .select(col("g").as(groupCol), col("n"),
+        round(col("_sum").cast("double") / col("n").cast("double"), 6)
+          .as("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   def winsorizeScoresAgainstBounds(spark: org.apache.spark.sql.SparkSession,
                                    scored: DataFrame, idCol: String,
                                    path: String): DataFrame = {

@@ -4137,6 +4137,34 @@ class ExtSpec extends SparkSpec {
     pairs.foreach(p => assert(p._3 >= 0.999999))
   }
 
+  test("bootstrapMeanCI: constant collapses to a point, bracketing, determinism, guards") {
+    val const = Seq.tabulate(100)(i => ("a", i.toLong, 7L)) ++
+      Seq.tabulate(50)(i => ("b", 1000L + i, 3L))
+    val out = Sampling.bootstrapMeanCI(const.toDF("g", "id", "x"),
+        "g", "x", "id").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // a constant column: every weighted mean IS the constant
+    assert(out("a") == ((100L, 7.0, 7.0, 7.0)), s"const a: ${out("a")}")
+    assert(out("b") == ((50L, 3.0, 3.0, 3.0)), s"const b: ${out("b")}")
+    // varied values: interval brackets the exact mean; deterministic
+    val varied = Seq.tabulate(200)(i => ("g", i.toLong, (i % 11).toLong))
+      .toDF("g", "id", "x")
+    val v = Sampling.bootstrapMeanCI(varied, "g", "x", "id").head()
+    assert(v.getDouble(3) <= v.getDouble(2) &&
+      v.getDouble(2) <= v.getDouble(4), s"CI fails to bracket: $v")
+    assert(v.getDouble(3) < v.getDouble(4),
+      "a varied sample must have a non-degenerate interval")
+    val again = Sampling.bootstrapMeanCI(varied, "g", "x", "id").head()
+    assert(v.toSeq == again.toSeq, "bootstrap must be deterministic")
+    // guards: non-integral values, bad quantiles
+    intercept[IllegalArgumentException](Sampling.bootstrapMeanCI(
+      varied.withColumn("x", col("x").cast("double")), "g", "x", "id"))
+    intercept[IllegalArgumentException](Sampling.bootstrapMeanCI(
+      varied, "g", "x", "id", loQ = 0.9, hiQ = 0.1))
+  }
+
   test("weightedSample: brute-force top-k equality, weight-zero exclusion, determinism") {
     val rows = (1L to 200L).map(i => (i, (i % 7) + 1L)) ++
       Seq((201L, 0L), (202L, -3L)) // never selectable
