@@ -2050,6 +2050,11 @@ object SparkEntry {
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
         "source", "n_tokens", "doc_id")
     }),
+    // per-verdict exemplars: the q118 verdict chain + a salted-md5
+    // top-k per verdict class (text carried for eyeballing)
+    "q209_gate_exemplars" -> ((s, dir) =>
+      ext.Curation.gateExemplars(Tables.documents(s, dir),
+        ext.Curation.Config(keepLangs = Seq("en", "de", "es")), k = 5)),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -3194,6 +3199,40 @@ object SparkEntry {
          |SELECT t.g AS source, t.n,
          |  ROUND(CAST(s AS DOUBLE) / n, 6) AS mean, ci_lo, ci_hi
          |FROM t JOIN lo USING (g) JOIN hi USING (g)""".stripMargin
+    },
+    // q118's verdict chain + a salted-md5 top-k window per verdict
+    "q209_gate_exemplars" -> {
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      val scoreCols = langs.map(l => s"        ${duckHits(l)} AS score_$l")
+        .mkString(",\n")
+      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+        val conds = langs.drop(i + 1).map(m => s"score_$l >= score_$m")
+          .mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+         |           FROM documents),
+         |g AS (SELECT doc_id, text, len(w) AS n_tokens,
+         |        GREATEST(len(w) - 2, 0) AS n_trigrams,
+         |        len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS n_distinct,
+         |$scoreCols
+         |      FROM t),
+         |v AS (SELECT doc_id, text,
+         |  CASE WHEN n_tokens < 15 THEN '01_min_tokens'
+         |       WHEN (CASE WHEN n_trigrams > 0
+         |              THEN ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams, 6)
+         |              ELSE 0.0 END) > 0.5 THEN '02_repetition'
+         |       WHEN (CASE $caseChain ELSE '${langs.last}' END)
+         |         NOT IN ('en', 'de', 'es') THEN '03_language'
+         |       ELSE 'pass' END AS verdict
+         |  FROM g),
+         |r AS (SELECT verdict, doc_id, text,
+         |        CAST(row_number() OVER (PARTITION BY verdict
+         |          ORDER BY md5('graft.exemplar.v1' ||
+         |            CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+         |      FROM v)
+         |SELECT verdict, rank, doc_id, text FROM r WHERE rank <= 5""".stripMargin
     },
     "q12_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

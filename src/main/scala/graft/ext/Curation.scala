@@ -762,14 +762,51 @@ object Curation {
     * join, no shuffle. */
   def gateAttribution(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     requireConfig(cfg)
+    docs.select(col("doc_id"), verdictExpr(cfg).as("verdict"))
+  }
+
+  /** The first-fail verdict CASE chain — factored so [[gateAttribution]]
+    * and [[gateExemplars]] can never drift apart. */
+  private def verdictExpr(cfg: Config): Column = {
     val nTok = size(split(col("text"), " "))
-    docs.select(col("doc_id"),
-      when(nTok < cfg.minTokens, lit("01_min_tokens"))
-        .when(TextAnalysis.dupTrigramFraction(col("text")) >
-          cfg.maxDupTrigramFrac, lit("02_repetition"))
-        .when(!TextAnalysis.langPrediction(col("text"))
-          .isin(cfg.keepLangs: _*), lit("03_language"))
-        .otherwise(lit("pass")).as("verdict"))
+    when(nTok < cfg.minTokens, lit("01_min_tokens"))
+      .when(TextAnalysis.dupTrigramFraction(col("text")) >
+        cfg.maxDupTrigramFrac, lit("02_repetition"))
+      .when(!TextAnalysis.langPrediction(col("text"))
+        .isin(cfg.keepLangs: _*), lit("03_language"))
+      .otherwise(lit("pass"))
+  }
+
+  /** Gate EXEMPLARS — the eyeball sample behind [[gateAttribution]]'s
+    * verdicts: for every verdict class, the first `k` documents in
+    * content-addressed md5 order WITH their text. The funnel says how
+    * many dropped, attribution says why each dropped; this hands a
+    * reviewer k concrete documents per bucket to read — the fastest
+    * way to notice a gate is firing on the wrong thing. Deterministic
+    * (salted md5 order, doc-id tie-break — no RNG), so the report
+    * oracle-hashes (q209).
+    *
+    * Output: (verdict, rank 1..k, doc_id, text).
+    *
+    * Scale notes (100 TB): one fused scan for the verdict + sample
+    * key; the top-k window partitions by VERDICT — a handful of
+    * corpus-sized partitions, the documented per-enum-partition
+    * row_number trade the count quota (07_quota) already makes: fine
+    * at per-verdict sort scale, and the k rows per verdict that
+    * survive are all that ships. */
+  def gateExemplars(docs: DataFrame, cfg: Config = Config(), k: Int = 5,
+                    salt: String = "graft.exemplar.v1"): DataFrame = {
+    requireConfig(cfg)
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs.select(col("doc_id"), col("text"), verdictExpr(cfg).as("verdict"))
+      .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("verdict"))
+            .orderBy(md5(concat(lit(salt), col("doc_id").cast("string"))),
+              col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("verdict"), col("rank"), col("doc_id"), col("text"))
   }
 
   /** Doc ids contributed by sources whose STORED reputation falls
