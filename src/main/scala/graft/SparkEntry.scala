@@ -2055,6 +2055,12 @@ object SparkEntry {
     "q209_gate_exemplars" -> ((s, dir) =>
       ext.Curation.gateExemplars(Tables.documents(s, dir),
         ext.Curation.Config(keepLangs = Seq("en", "de", "es")), k = 5)),
+    // Goertzel spectral decode over the synthesized wav fixtures —
+    // fp-heavy, rows-only; the spec anchors a 1 kHz sine exactly on
+    // its bin
+    "q210_audio_spectral" -> ((s, dir) =>
+      ext.Multimodal.audioSpectralStats(s,
+        ext.Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF()),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,

@@ -36,7 +36,8 @@ class SparkEntrySpec extends SparkSpec {
       "q168_image_near_dups", "q169_audio_near_dups",
       "q170_video_near_dups", "q171_perceptual_index",
       "q182_cluster_profile", "q188_truncation_fidelity",
-      "q205_corpus_overlap", "q206_pca_spectrum", "q207_pca_ann_pairs"),
+      "q205_corpus_overlap", "q206_pca_spectrum", "q207_pca_ann_pairs",
+      "q210_audio_spectral"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -407,6 +407,39 @@ class FunctionsSpec extends SparkSpec {
       Multimodal.imageNearDupPairs(spark, media, maxHamming = 4))
   }
 
+  test("audio spectral: pure tone lands on its bin, silence has no dominant, quarantine") {
+    // 1 kHz sine at rate 8000: bin width = 8000/(2·64) = 62.5 Hz, so
+    // 1000 Hz = bin 16 EXACTLY
+    val sine = Array.tabulate(1024)(k =>
+      (8000.0 * math.sin(2.0 * math.Pi * 1000.0 * k / 8000.0)).toShort)
+    val twoTone = Array.tabulate(1024)(k =>
+      (8000.0 * math.sin(2.0 * math.Pi * 1000.0 * k / 8000.0) +
+        2000.0 * math.sin(2.0 * math.Pi * 2500.0 * k / 8000.0)).toShort)
+    val media = Seq(
+        (1L, "wav", Multimodal.encodeWav(sine)),
+        (2L, "wav", Multimodal.encodeWav(twoTone)),
+        (3L, "wav", Multimodal.encodeWav(new Array[Short](512))), // silence
+        (4L, "wav", Array[Byte](1, 2, 3)),                        // malformed
+        (5L, "png", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "format", "payload")
+    val out = Multimodal.audioSpectralStats(spark, media).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), out.keySet.toString)
+    val tone = out(1L)
+    assert(tone.dominant_freq_hz == 1000.0, s"tone bin: $tone")
+    assert(tone.dominant_share.exists(_ > 0.9),
+      s"a pure tone must dominate its spectrum: $tone")
+    assert(math.abs(tone.centroid_hz - 1000.0) < 100.0, s"centroid: $tone")
+    assert(math.abs(tone.rms - 8000.0 / math.sqrt(2.0)) < 100.0,
+      s"sine rms: ${tone.rms}")
+    // the stronger of two tones wins the dominant bin
+    assert(out(2L).dominant_freq_hz == 1000.0, s"two-tone: ${out(2L)}")
+    assert(out(2L).centroid_hz > tone.centroid_hz,
+      "a second higher tone must pull the centroid up")
+    // silence: defined level, no dominant tone
+    assert(out(3L).rms == 0.0 && out(3L).dominant_share.isEmpty)
+  }
+
   test("audio fingerprint: gain-invariant, reversal lands far, short clips quarantine") {
     // strictly rising amplitude ramp: window energies strictly
     // increase, so the hash is all ones and every property is exact
