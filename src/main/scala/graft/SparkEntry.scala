@@ -2061,6 +2061,20 @@ object SparkEntry {
     "q210_audio_spectral" -> ((s, dir) =>
       ext.Multimodal.audioSpectralStats(s,
         ext.Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF()),
+    // exact-arithmetic Pearson r per source (chars vs tokens): five
+    // decimal(38,0) sums, one sqrt + one division — Spark's streaming
+    // corr() is association-order-dependent, this is not
+    "q211_char_token_corr" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      ext.DataQuality.correlationByGroup(
+        Tables.documents(s, dir).select(col("source"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "source", "n_chars", "n_tokens")
+    }),
+    // Flesch reading ease from exact surface counts (vowel-group
+    // syllables, punctuation-run sentences)
+    "q212_readability" -> ((s, dir) =>
+      ext.TextAnalysis.readability(Tables.documents(s, dir))),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -3240,6 +3254,39 @@ object SparkEntry {
          |      FROM v)
          |SELECT verdict, rank, doc_id, text FROM r WHERE rank <= 5""".stripMargin
     },
+    // HUGEINT five-sum Pearson mirrors the decimal(38,0) accumulators;
+    // degenerate (zero-variance) sides are NULL both engines
+    "q211_char_token_corr" ->
+      """WITH b AS (SELECT source, n_chars AS x,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        |  FROM documents),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |        SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |      FROM b GROUP BY 1)
+        |SELECT source, n,
+        |  CASE WHEN n > 1 AND n * sxx > sx * sx AND n * syy > sy * sy
+        |    THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS r
+        |FROM a""".stripMargin,
+    // Flesch: identical literals, identical operation order (the q140
+    // term-for-term discipline)
+    "q212_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS n_sentences,
+        |    CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  ROUND(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |    6) AS flesch
+        |FROM c""".stripMargin,
     "q12_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(event_id) AS n_events, ROUND(SUM(value), 2) AS value_sum

@@ -520,6 +520,56 @@ object DataQuality {
             .cast("double") / col("n_rows").cast("double"), 6)).as("chi2"))
   }
 
+  /** Pearson CORRELATION between two INTEGRAL columns, per group — the
+    * feature-redundancy / sanity probe ("is n_chars just n_tokens in a
+    * trenchcoat", "does value track session length") run with EXACT
+    * arithmetic: r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² −
+    * (Σy)²)), every subterm an exact decimal(38,0) integer (≡ DuckDB
+    * HUGEINT — the q200 Gini discipline), ONE sqrt + ONE division at
+    * the end ⇒ oracle-hashes at 6dp. Spark's built-in `corr` runs
+    * streaming fp accumulation (association-order-dependent) — the
+    * reason this exists. Zero-variance sides report NULL (a constant
+    * correlates with nothing — the q176 degenerate-fit rule).
+    *
+    * Output: (groupCol, n, r). Requires integral x/y (the giniByGroup
+    * discipline; for doubles, bucket first).
+    *
+    * Reference: the mart's grouped-rollup family
+    * (load_sales_mart.py:54-66) as a second-moment statistic.
+    *
+    * Scale notes (100 TB): one map-side-combined five-sum aggregate
+    * per group; no join, no window. Magnitude bound: n·Σx·y must fit
+    * decimal(38,0) — ~10³⁸, beyond any corpus this engine meets. */
+  def correlationByGroup(df: DataFrame, groupCol: String,
+                         xCol: String, yCol: String): DataFrame = {
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    require(integral.contains(df.schema(xCol).dataType) &&
+      integral.contains(df.schema(yCol).dataType),
+      s"correlationByGroup needs integral columns; got " +
+        s"$xCol: ${df.schema(xCol).dataType}, $yCol: ${df.schema(yCol).dataType}")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(xCol).cast(dec)
+    val y = col(yCol).cast(dec)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * y).as("_sxy"), sum(x * x).as("_sxx"),
+        sum(y * y).as("_syy"))
+      .select(col(groupCol), col("n"),
+        when(col("n") > 1 &&
+            (col("n").cast(dec) * col("_sxx") > col("_sx") * col("_sx")) &&
+            (col("n").cast(dec) * col("_syy") > col("_sy") * col("_sy")),
+          round((col("n").cast(dec) * col("_sxy") - col("_sx") * col("_sy"))
+            .cast("double") /
+            sqrt((col("n").cast(dec) * col("_sxx") - col("_sx") * col("_sx"))
+              .cast("double") *
+              (col("n").cast(dec) * col("_syy") - col("_sy") * col("_sy"))
+                .cast("double")), 6)).as("r"))
+  }
+
   /** KEY-UNIQUENESS audit: does the declared primary key actually
     * identify rows? Reports total rows, distinct keys, keys with more
     * than one row, and the largest copy-group — the pre-publish check

@@ -1698,6 +1698,48 @@ object TextAnalysis {
         col("n_switches"))
   }
 
+  /** Flesch reading-ease report — the classic readability score
+    * (Flesch 1948; the quality-mix signal reading-level curricula and
+    * kid-safe corpus cuts filter on) computed from three EXACT surface
+    * counts under pinned, engine-portable rules:
+    *   - words = space-split tokens, empties kept (the engine-wide
+    *     convention),
+    *   - sentences = runs of terminal punctuation `[.!?]+`, floored at
+    *     1 (an unpunctuated doc is one long sentence),
+    *   - syllables ≈ VOWEL GROUPS `[aeiouAEIOU]+` over the whole text
+    *     (spaces break groups, so word boundaries are free; the
+    *     standard dictionary-free approximation).
+    * flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words), mirrored term-for-term in the oracle (the q140 κ
+    * discipline: identical literals, identical operation order) ⇒
+    * oracle-hashes at 6dp (q212).
+    *
+    * Output: (idCol, n_words, n_sentences, n_syllables, flesch 6dp).
+    *
+    * Reference: the row-level quality-recode family
+    * (load_sales_mart.py:23) pointed at readability.
+    *
+    * Scale notes (100 TB): one regex projection fused into the scan
+    * (codegen'd built-ins, linear patterns) — no shuffle, no state. */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val words = size(split(col(textCol), " ")).cast("long")
+    val sentences = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"), lit(1L))
+    val syllables = size(
+      regexp_extract_all(col(textCol), lit("[aeiouAEIOU]+"), lit(0)))
+      .cast("long")
+    docs.select(col(idCol), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .withColumn("flesch", round(
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 6))
+  }
+
   /** Code-likeness report — the code-vs-prose ROUTING signal for a
     * mixed corpus (code wants different hygiene than prose: no
     * terminal-punctuation line filter, no stopword language ID — the

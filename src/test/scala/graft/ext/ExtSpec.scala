@@ -4662,6 +4662,39 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(out(3L)._2 - expect3) < 1e-6)
   }
 
+  test("correlationByGroup: perfect lines read ±1, constants NULL, hand value") {
+    val df = Seq(
+      ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),       // y = 2x → r = 1
+      ("b", 1L, 9L), ("b", 2L, 6L), ("b", 3L, 3L),       // y = -3x+12 → r = -1
+      ("c", 1L, 5L), ("c", 2L, 5L), ("c", 3L, 5L),       // constant y → NULL
+      ("d", 1L, 1L), ("d", 2L, 3L), ("d", 3L, 2L))       // hand: r = 0.5
+      .toDF("g", "x", "y")
+    val out = DataQuality.correlationByGroup(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> Option(r.get(2)).map(_
+        .asInstanceOf[Double])).toMap
+    assert(out("a").contains(1.0) && out("b").contains(-1.0))
+    assert(out("c").isEmpty, "zero variance must be NULL, not NaN")
+    // d: n=3 sx=6 sy=6 sxy=13 sxx=14 syy=14 → (39-36)/√(6·6) = 0.5
+    assert(out("d").contains(0.5), s"hand-computed r: ${out("d")}")
+    intercept[IllegalArgumentException](DataQuality.correlationByGroup(
+      df.withColumn("x", col("x").cast("double")), "g", "x", "y"))
+  }
+
+  test("readability: hand-computed counts and score, unpunctuated floor") {
+    // 4 words, 2 sentences ('. ' and '!'), syllables = vowel groups:
+    // "see" 1 (ee), "the" 1, "cat" 1, "go!" 1 → 4
+    val df = Seq((1L, "see the cat. go!"), (2L, "zzz pfft")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val (w, s, syl, f) = out(1L)
+    assert((w, s, syl) == ((4L, 2L, 4L)), s"counts: ${out(1L)}")
+    val expect = math.rint((206.835 - 1.015 * 2.0 - 84.6 * 1.0) * 1e6) / 1e6
+    assert(math.abs(f - expect) < 1e-9, s"flesch: $f vs $expect")
+    // no vowels, no punctuation: sentence floor 1, zero syllables
+    assert(out(2L)._2 == 1L && out(2L)._3 == 0L)
+  }
+
   test("giniByGroup: equality reads 0, monopoly reads (n-1)/n, tie blocks exact") {
     val df = Seq(
       ("eq", 5L), ("eq", 5L), ("eq", 5L), ("eq", 5L),      // G = 0
