@@ -2075,6 +2075,21 @@ object SparkEntry {
     // syllables, punctuation-run sentences)
     "q212_readability" -> ((s, dir) =>
       ext.TextAnalysis.readability(Tables.documents(s, dir))),
+    // props value-type census over fixture ∪ crafted mixed-type rows
+    // (fixture props are all {"k": int} — crafted rows exercise every
+    // bucket plus the malformed/non-object drops)
+    "q213_props_type_census" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      ext.Events.propsTypeCensus(
+        Tables.events(s, dir).select(col("event_type"), col("props"))
+          .unionByName(PropsCrafted.toDF("event_type", "props")))
+    }),
+    // confident-learning-style mislabel probe over the labeled fixture
+    // embeddings: per-cell majority label + disagreement share
+    // (fp k-means ⇒ rows-only; the spec pins planted mislabels)
+    "q214_label_disagreement" -> ((s, dir) =>
+      ext.Similarity.labelDisagreement(Tables.embeddings(s, dir))),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -2107,6 +2122,21 @@ object SparkEntry {
 
   private def codeCraftedValues: String = CodeCrafted
     .map { case (id, txt) => s"(CAST($id AS BIGINT), '$txt')" }.mkString(", ")
+
+  /** q213's planted mixed-type props rows: every classification bucket
+    * (string, long, decimal, bool, JSON null) plus a malformed payload
+    * and a non-object — both engines drop the last two. Scalar values
+    * only, plain decimals (no exponent forms — engine renderings
+    * differ there). */
+  private val PropsCrafted: Seq[(String, String)] = Seq(
+    ("crafted", """{"s": "hello", "n": 42, "f": 2.5, "b": true, "z": null}"""),
+    ("crafted", """{"s": "87", "n": -7, "f": 0.25, "b": false}"""),
+    ("crafted", "not json at all"),
+    ("crafted", "[1, 2, 3]"))
+
+  private def propsCraftedValues: String = PropsCrafted
+    .map { case (t, p) =>
+      s"('$t', '${p.replace("'", "''")}')" }.mkString(", ")
 
   private val NfcCrafted: Seq[String] = Seq(
     "Café menu list",
@@ -3287,6 +3317,38 @@ object SparkEntry {
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
         |    6) AS flesch
         |FROM c""".stripMargin,
+    // rendered-scalar classification (json_extract_string ≡ Spark's
+    // map<string,string> rendering); malformed/non-object filtered to
+    // match from_json's lenient null
+    "q213_props_type_census" ->
+      s"""WITH src AS (
+         |  SELECT event_type, props FROM events
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $propsCraftedValues) v(event_type, props)
+         |),
+         |ok AS (SELECT event_type, props FROM src
+         |       WHERE json_valid(props) AND json_type(props::JSON) = 'OBJECT'),
+         |kv AS (SELECT event_type, k AS key,
+         |        json_extract_string(props, '$$.' || k) AS value
+         |      FROM ok, unnest(json_keys(props)) AS t(k))
+         |SELECT event_type, key, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN regexp_full_match(value, '-?[0-9]+')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+         |  CAST(SUM(CASE WHEN regexp_full_match(value, '-?[0-9]+\\.[0-9]+')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_double,
+         |  CAST(SUM(CASE WHEN value IN ('true', 'false')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+         |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(COUNT(*)
+         |    - SUM(CASE WHEN regexp_full_match(value, '-?[0-9]+')
+         |        THEN 1 ELSE 0 END)
+         |    - SUM(CASE WHEN regexp_full_match(value, '-?[0-9]+\\.[0-9]+')
+         |        THEN 1 ELSE 0 END)
+         |    - SUM(CASE WHEN value IN ('true', 'false') THEN 1 ELSE 0 END)
+         |    - SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_string
+         |FROM kv GROUP BY 1, 2""".stripMargin,
     "q12_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(event_id) AS n_events, ROUND(SUM(value), 2) AS value_sum

@@ -568,6 +568,50 @@ object Events {
           .as("share"))
   }
 
+  /** Props value-TYPE census — the schema-drift companion of
+    * [[propsKeyCensus]]: per (event_type, key), how many values render
+    * as integers, decimals, booleans, JSON nulls, or anything else
+    * (strings) — the report that catches a producer silently switching
+    * `{"k": 87}` to `{"k": "87"}`... almost: classification is by the
+    * RENDERED scalar (both engines render through strings), so a
+    * QUOTED numeric classifies as numeric — the documented limit; the
+    * census sees type drift that changes the rendering, not quoting
+    * drift. Malformed JSON and non-object payloads drop (Spark's
+    * lenient `from_json` nulls them; the oracle filters
+    * `json_valid AND json_type = 'OBJECT'` — same set). Scalar values
+    * only (nested values are engine-rendering-dependent — keep them
+    * out of contracts). All counts exact ⇒ oracle-hashed (q213).
+    *
+    * Output: (event_type, key, n, n_long, n_double, n_bool, n_null,
+    * n_string).
+    *
+    * Reference: the reference's schema re-application step
+    * (load_sales_history.py R2) as an observable census.
+    *
+    * Scale notes (100 TB): one JSON parse per row fused into the scan,
+    * one map-side-combined (type, key)-sized aggregate; no join. */
+  def propsTypeCensus(events: DataFrame): DataFrame = {
+    val kv = events.select(col("event_type"),
+      explode(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+        .as(Seq("key", "value")))
+    kv.groupBy(col("event_type"), col("key")).agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("value").rlike("^-?[0-9]+$").cast("long")), lit(0L))
+          .as("n_long"),
+        coalesce(sum(col("value")
+          .rlike("^-?[0-9]+\\.[0-9]+$").cast("long")), lit(0L))
+          .as("n_double"),
+        coalesce(sum(col("value").isin("true", "false").cast("long")),
+          lit(0L)).as("n_bool"),
+        coalesce(sum(col("value").isNull.cast("long")), lit(0L))
+          .as("n_null"))
+      .withColumn("n_string", col("n") - col("n_long") - col("n_double") -
+        col("n_bool") - col("n_null"))
+  }
+
   /** FRESHNESS report — per event type, the last seen timestamp and
     * how many whole minutes it lags the feed's frontier (the max
     * timestamp across all types): the data contract behind every

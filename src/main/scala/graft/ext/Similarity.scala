@@ -295,6 +295,51 @@ object Similarity {
   private def cellOf(sims: Seq[Column]): Column =
     (array_position(array(sims: _*), greatest(sims: _*)) - 1).cast("int")
 
+  /** LABEL-DISAGREEMENT report — the confident-learning-style mislabel
+    * probe (Northcutt et al. 2021's core signal, model-free): cluster
+    * the vectors with the standard quantizer, take each cell's
+    * majority label, and report how much of the cell disagrees. A
+    * labeled example whose neighbors all carry another label is the
+    * canonical annotation-error candidate; a cell with near-50/50
+    * labels is a boundary region no single label should claim. Cells
+    * are the SAME deterministic k-means the whole semantic stack uses;
+    * majority ties break to the smallest label (fixed-order rule).
+    *
+    * Output: (cell, n_vecs, n_labels, majority_label, n_disagree,
+    * disagree_share 6dp). Rows-only (q214 — k-means centroids are
+    * fp-derived); the spec pins planted-mislabel detection.
+    *
+    * Reference: the reference's validation-aggregate family
+    * (load_sales_history.py:241-251) pointed at annotation quality.
+    *
+    * Scale notes (100 TB): assignment is the shuffle-free codegen
+    * argmax map; the only aggregates are (cell, label)-sized; the
+    * majority window partitions by cell over that enum-sized
+    * relation. */
+  def labelDisagreement(emb: DataFrame, labelCol: String = "label",
+                        nCells: Int = 16, iters: Int = 5,
+                        seed: Long = 42L): DataFrame = {
+    val vecs = emb.select(col("vec_id"), col(labelCol).as("_lbl"),
+      col("embedding"))
+    val cents = kmeansCentroids(vecs, nCells, iters, seed)
+    val byLbl = assignCells(vecs, cents)
+      .groupBy(col("cell"), col("_lbl")).agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("_c").desc, col("_lbl").asc)
+    val maj = byLbl.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("cell"), col("_lbl").as("majority_label"),
+        col("_c").as("_n_maj"))
+    byLbl.groupBy(col("cell"))
+      .agg(sum(col("_c")).as("n_vecs"), count(lit(1)).as("n_labels"))
+      .join(maj, Seq("cell"))
+      .select(col("cell"), col("n_vecs"), col("n_labels"),
+        col("majority_label"),
+        (col("n_vecs") - col("_n_maj")).as("n_disagree"),
+        round((col("n_vecs") - col("_n_maj")).cast("double") /
+          col("n_vecs").cast("double"), 6).as("disagree_share"))
+  }
+
   /** Cluster PROFILE — the per-cell health report of a quantizer: for
     * each cell, its population, corpus share, and the mean/minimum
     * cosine of members to their OWN centroid (cohesion; the minimum is

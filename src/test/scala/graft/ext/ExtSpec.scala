@@ -4354,6 +4354,29 @@ class ExtSpec extends SparkSpec {
     assert(zero.forall(_.getDouble(2) == 0.0), zero.toSeq)
   }
 
+  test("labelDisagreement: planted mislabel found, clean clusters read zero") {
+    // two tight clusters; one vector in cluster A carries cluster B's
+    // label — the planted annotation error
+    val rows =
+      (0 until 20).map(i => (i.toLong, 1,
+        Seq(1.0f, 0.001f * i, 0.0f, 0.0f))) ++
+      Seq((20L, 2, Seq(1.0f, 0.01f, 0.0f, 0.0f))) ++ // mislabeled
+      (0 until 20).map(i => (100L + i, 2,
+        Seq(0.0f, 1.0f, 0.001f * i, 0.0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelDisagreement(df, nCells = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(out.length == 2)
+    val polluted = out.find(_._4 > 0).get
+    val clean = out.find(_._4 == 0).get
+    assert(polluted._1 == 21L && polluted._2 == 2L && polluted._3 == 1 &&
+      polluted._4 == 1L, s"polluted cell: $polluted")
+    assert(math.abs(polluted._5 - math.rint(1e6 / 21.0) / 1e6) < 1e-9)
+    assert(clean._1 == 20L && clean._2 == 1L && clean._3 == 2,
+      s"clean cell: $clean")
+  }
+
   test("clusterProfile: totals, cohesion bounds, stored index route identical") {
     // two tight clusters on orthogonal axes — a 2-cell quantizer must
     // separate them with near-perfect cohesion
