@@ -2090,6 +2090,21 @@ object SparkEntry {
     // (fp k-means ⇒ rows-only; the spec pins planted mislabels)
     "q214_label_disagreement" -> ((s, dir) =>
       ext.Similarity.labelDisagreement(Tables.embeddings(s, dir))),
+    // incremental PCA: moments written from one slice, APPENDED from
+    // the other, frozen to a projection without re-reading either —
+    // the spectrum read off the moments-built artifact (rows-only)
+    "q215_pca_moments_spectrum" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, dir)
+      val base = "/tmp/graft_pcam_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ext.Embedding.writePcaMoments(emb.filter(col("vec_id") % 2 === 0), base)
+      ext.Embedding.appendPcaMoments(
+        emb.filter(col("vec_id") % 2 =!= 0), base, Some(1L))
+      val proj = base + "_proj"
+      ext.Embedding.writePcaProjectionFromMoments(s, base, proj,
+        outDims = 8, space = "fixture-embeddings")
+      ext.Embedding.pcaSpectrum(s, proj)
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashedEmbedding
@@ -557,7 +557,15 @@ object Embedding {
     * per row). */
   def trainPca(vectors: DataFrame, outDims: Int,
                vecCol: String = "embedding"): PcaTrain = {
-    require(outDims >= 1, s"outDims must be >= 1, got $outDims")
+    val (n, sum, gram) = momentTotals(vectors, vecCol)
+    pcaOfMoments(n, sum, gram, outDims)
+  }
+
+  /** The one corpus pass under the PCA family: (N, Σx, upper-tri Σxxᵀ)
+    * accumulated per partition, combined on the driver in partition-id
+    * order (the fp-determinism rule in [[trainPca]]'s scaladoc). */
+  private def momentTotals(vectors: DataFrame,
+                           vecCol: String): (Long, Array[Double], Array[Double]) = {
     val partials = vectors.select(col(vecCol)).rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var n = 0L
@@ -585,9 +593,8 @@ object Embedding {
         if (n == 0L) Iterator.empty
         else Iterator.single((pid, n, sum, gram))
       }.collect().sortBy(_._1)
-    require(partials.nonEmpty, "trainPca needs at least one vector")
+    require(partials.nonEmpty, "PCA needs at least one vector")
     val d = partials.head._3.length
-    require(outDims <= d, s"outDims $outDims exceeds vector width $d")
     var n = 0L
     val sum = new Array[Double](d)
     val gram = new Array[Double](d * (d + 1) / 2)
@@ -599,6 +606,17 @@ object Embedding {
       i = 0
       while (i < gram.length) { gram(i) += pg(i); i += 1 }
     }
+    (n, sum, gram)
+  }
+
+  /** Covariance + Jacobi + canonicalization from combined moments —
+    * shared by the live train and the stored-moments route so the two
+    * can never drift algorithmically. */
+  private def pcaOfMoments(n: Long, sum: Array[Double],
+                           gram: Array[Double], outDims: Int): PcaTrain = {
+    require(outDims >= 1, s"outDims must be >= 1, got $outDims")
+    val d = sum.length
+    require(outDims <= d, s"outDims $outDims exceeds vector width $d")
     val mean = sum.map(_ / n)
     val cov = Array.ofDim[Double](d, d)
     var t = 0
@@ -849,5 +867,163 @@ object Embedding {
     Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
       writePcaProjection(vectors, tmp, outDims, vecCol, whiten, space))
     idx.toString
+  }
+
+  // ----- incremental PCA: the MOMENTS artifact (second-moment sums
+  // merge; eigenvectors don't — so the stored state is (N, Σx, Σxxᵀ)
+  // and the eigensolve re-runs at read time on the artifact-sized
+  // relation). Replay class: KEY-dedup (the ext/Centroids contract —
+  // fp sums merge but aren't byte-deterministic; tagged rows collapse
+  // per (stat, idx, batch_id) with a deterministic min pick;
+  // NULL-tagged batch-API rows merge raw, so appending the same
+  // corpus twice doubles its weight, deliberately). -----
+
+  private def momentRows(vectors: DataFrame, vecCol: String,
+                         batchId: Option[Long]) = {
+    val (n, sum, gram) = momentTotals(vectors, vecCol)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    (("n", 0, n.toDouble) +:
+      (sum.indices.map(i => ("sum", i, sum(i))) ++
+        gram.indices.map(i => ("gram", i, gram(i)))))
+      .toDF("stat", "idx", "value")
+      .withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+  }
+
+  /** Freeze a corpus's PCA moments at `path`: `moments/` long-form
+    * rows (stat ∈ n|sum|gram, idx, value, batch_id NULL = base) + the
+    * sidecar LAST (kind=pca-moments, dims sidecar-OWNED — appends
+    * validate against it, the canonical-index idCol rule). `n` rides
+    * as a double — exact below 2⁵³ rows, far beyond any corpus. */
+  def writePcaMoments(vectors: DataFrame, path: String,
+                      vecCol: String = "embedding"): Unit = {
+    val rows = momentRows(vectors, vecCol, None)
+    val dims = rows.filter(col("stat") === "sum").count().toInt
+    rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/moments")
+    Dedup.writeParams(s"$path/params.properties",
+      Map("kind" -> "pca-moments", "dims" -> dims.toString,
+        "vecCol" -> vecCol))
+  }
+
+  private def momentsIdentity(path: String): (Int, String) = {
+    val side = s"$path/params.properties"
+    require(Dedup.readParam(side, "kind", "pca moments") == "pca-moments",
+      s"artifact at $path is not a pca-moments profile")
+    (Dedup.readParam(side, "dims", "pca moments").toInt,
+      Dedup.readParam(side, "vecCol", "pca moments"))
+  }
+
+  /** Merge a batch's moments into a stored profile — width validated
+    * against the SIDECAR before any write (a rejected append must not
+    * mutate the artifact). `batchId` tags the rows for replay
+    * exclusion/dedup. */
+  def appendPcaMoments(vectors: DataFrame, path: String,
+                       batchId: Option[Long] = None): Unit = {
+    val (dims, vecCol) = momentsIdentity(path)
+    val rows = momentRows(vectors, vecCol, batchId)
+    require(rows.filter(col("stat") === "sum").count().toInt == dims,
+      s"batch vector width disagrees with the stored $dims-dim moments")
+    rows.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/moments")
+  }
+
+  /** The effective combined moments: tagged rows dedup per
+    * (stat, idx, batch_id) with a deterministic min pick (replayed
+    * appends collapse), NULL-tagged rows sum raw; `excludeBatchId`
+    * removes one batch's contribution (a replayed micro-batch trains
+    * against exactly the state its first attempt saw). */
+  private def effectiveMoments(spark: SparkSession, path: String,
+                               excludeBatchId: Option[Long])
+      : (Long, Array[Double], Array[Double]) = {
+    momentsIdentity(path) // kind-validated before any read
+    val raw = spark.read.parquet(s"$path/moments")
+    val kept = excludeBatchId match {
+      case Some(b) => raw.filter(col("batch_id").isNull ||
+        col("batch_id") =!= b)
+      case None => raw
+    }
+    val tagged = kept.filter(col("batch_id").isNotNull)
+      .groupBy(col("stat"), col("idx"), col("batch_id"))
+      .agg(min(col("value")).as("value"))
+      .select(col("stat"), col("idx"), col("value"))
+    val rows = kept.filter(col("batch_id").isNull)
+      .select(col("stat"), col("idx"), col("value"))
+      .unionByName(tagged)
+      .groupBy(col("stat"), col("idx")).agg(sum(col("value")).as("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val d = rows.count(_._1 == "sum")
+    require(d > 0, s"no moments stored at $path")
+    val n = rows.find(_._1 == "n").map(_._3.toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"moments at $path carry no n row"))
+    val sum0 = new Array[Double](d)
+    val gram0 = new Array[Double](d * (d + 1) / 2)
+    rows.foreach {
+      case ("sum", i, v) => sum0(i) = v
+      case ("gram", i, v) => gram0(i) = v
+      case _ => ()
+    }
+    (n, sum0, gram0)
+  }
+
+  /** Train from the stored moments — algorithmically the SAME
+    * covariance + Jacobi as [[trainPca]] (shared core), so a
+    * moments-route train over one un-appended base equals the live
+    * train bit-for-bit; appended profiles differ from a monolithic
+    * retrain only by fp merge order (spec-bounded at 1e-9). */
+  def trainPcaFromMoments(spark: SparkSession, path: String, outDims: Int,
+                          excludeBatchId: Option[Long] = None): PcaTrain = {
+    val (n, sum, gram) = effectiveMoments(spark, path, excludeBatchId)
+    pcaOfMoments(n, sum, gram, outDims)
+  }
+
+  /** Freeze a PROJECTION artifact straight from stored moments — the
+    * maintenance-cadence rebuild that never re-reads the corpus. */
+  def writePcaProjectionFromMoments(spark: SparkSession,
+                                    momentsPath: String, projPath: String,
+                                    outDims: Int, whiten: Boolean = false,
+                                    space: String = "unspecified"): Unit = {
+    val t = trainPcaFromMoments(spark, momentsPath, outDims)
+    import spark.implicits._
+    val rows =
+      (-1, t.totalVariance, t.mean.toSeq) +:
+        t.components.indices.map(k =>
+          (k, t.eigenvalues(k), t.components(k).toSeq))
+    rows.toDF("pc", "eigenvalue", "weights")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$projPath/pca")
+    Dedup.writeParams(s"$projPath/params.properties", Map(
+      "kind" -> "pca-projection",
+      "inDims" -> t.mean.length.toString,
+      "outDims" -> outDims.toString,
+      "whiten" -> whiten.toString,
+      "space" -> space,
+      "nVectors" -> t.nVectors.toString))
+  }
+
+  /** Collapse appended moment rows — tags are KEPT and the collapse
+    * rule MATCHES the reader's replay semantics exactly (compaction
+    * must be decision-preserving): tagged rows keep the deterministic
+    * MIN per (stat, idx, batch_id) — replayed duplicates collapse, as
+    * the reader would have; NULL-tagged rows SUM per (stat, idx) —
+    * deliberate batch-API re-appends keep their doubled weight.
+    * Stage-then-swap via `AtomicSwap`. */
+  def compactPcaMoments(spark: SparkSession, path: String): Unit = {
+    momentsIdentity(path)
+    val raw = spark.read.parquet(s"$path/moments")
+    val tagged = raw.filter(col("batch_id").isNotNull)
+      .groupBy(col("stat"), col("idx"), col("batch_id"))
+      .agg(min(col("value")).as("value"))
+      .select(col("stat"), col("idx"), col("value"), col("batch_id"))
+    val base = raw.filter(col("batch_id").isNull)
+      .groupBy(col("stat"), col("idx"))
+      .agg(sum(col("value")).as("value"))
+      .withColumn("batch_id", lit(null).cast("long"))
+      .select(col("stat"), col("idx"), col("value"), col("batch_id"))
+    val compacted = base.unionByName(tagged).localCheckpoint()
+    graft.lineage.AtomicSwap.writeSwap(s"$path/moments")(tmp =>
+      compacted.write.parquet(tmp))
   }
 }

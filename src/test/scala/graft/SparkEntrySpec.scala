@@ -37,7 +37,8 @@ class SparkEntrySpec extends SparkSpec {
       "q170_video_near_dups", "q171_perceptual_index",
       "q182_cluster_profile", "q188_truncation_fidelity",
       "q205_corpus_overlap", "q206_pca_spectrum", "q207_pca_ann_pairs",
-      "q210_audio_spectral", "q214_label_disagreement"),
+      "q210_audio_spectral", "q214_label_disagreement",
+      "q215_pca_moments_spectrum"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -4117,6 +4117,66 @@ class ExtSpec extends SparkSpec {
       Embedding.trainPca(df, outDims = 5))
   }
 
+  test("PCA moments: base ≡ live, append ≈ monolithic, replay/exclusion/compaction exact") {
+    val rows = (0 until 210).map { i =>
+      val a = (i % 21).toDouble - 10.0
+      val b = ((i % 5).toDouble - 2.0) * 0.1
+      (i.toLong, Seq((a / math.sqrt(2) + 3.0).toFloat,
+        (a / math.sqrt(2) - 1.0).toFloat, b.toFloat, 0.5f))
+    }
+    val h1 = rows.take(105).toDF("vec_id", "embedding")
+    val h2 = rows.drop(105).toDF("vec_id", "embedding")
+    val full = rows.toDF("vec_id", "embedding")
+    val mp = java.nio.file.Files.createTempDirectory("pca_moments").toString
+    Embedding.writePcaMoments(h1, mp)
+    // base-only moments route ≡ the live train bit-for-bit (same
+    // moment pass, same shared eigensolve)
+    val tBase = Embedding.trainPcaFromMoments(spark, mp, 2)
+    val tLive = Embedding.trainPca(h1, 2)
+    assert(tBase.mean.sameElements(tLive.mean) &&
+      tBase.eigenvalues.sameElements(tLive.eigenvalues) &&
+      tBase.nVectors == 105L)
+    // append: close to the monolithic full-corpus train (fp merge
+    // order is the only divergence)
+    Embedding.appendPcaMoments(h2, mp, Some(7L))
+    val tApp = Embedding.trainPcaFromMoments(spark, mp, 2)
+    val tFull = Embedding.trainPca(full, 2)
+    assert(tApp.nVectors == 210L)
+    tApp.eigenvalues.zip(tFull.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"eigenvalue drift: $a vs $b") }
+    val dot = tApp.components(0).zip(tFull.components(0))
+      .map { case (x, y) => x * y }.sum
+    assert(math.abs(math.abs(dot) - 1.0) < 1e-9, s"PC1 drift: $dot")
+    // replayed tagged append is a no-op (KEY-dedup, min pick)
+    Embedding.appendPcaMoments(h2, mp, Some(7L))
+    val tRe = Embedding.trainPcaFromMoments(spark, mp, 2)
+    assert(tRe.eigenvalues.sameElements(tApp.eigenvalues) &&
+      tRe.nVectors == 210L)
+    // exclusion returns the pre-append state exactly
+    val tExc = Embedding.trainPcaFromMoments(spark, mp, 2,
+      excludeBatchId = Some(7L))
+    assert(tExc.eigenvalues.sameElements(tBase.eigenvalues) &&
+      tExc.nVectors == 105L)
+    // compaction is decision-preserving
+    Embedding.compactPcaMoments(spark, mp)
+    val tComp = Embedding.trainPcaFromMoments(spark, mp, 2)
+    assert(tComp.eigenvalues.sameElements(tApp.eigenvalues))
+    assert(Embedding.trainPcaFromMoments(spark, mp, 2,
+      excludeBatchId = Some(7L)).eigenvalues
+      .sameElements(tBase.eigenvalues))
+    // a rejected append must not mutate the artifact
+    val narrow = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      Embedding.appendPcaMoments(narrow, mp))
+    assert(Embedding.trainPcaFromMoments(spark, mp, 2)
+      .eigenvalues.sameElements(tApp.eigenvalues))
+    // moments → frozen projection route serves the stored apply path
+    val proj = java.nio.file.Files.createTempDirectory("pca_mproj").toString
+    Embedding.writePcaProjectionFromMoments(spark, mp, proj, 2,
+      space = "spec-4d")
+    assert(Embedding.pcaSpectrum(spark, proj).count() == 2L)
+  }
+
   test("pcaAnnPairs: planted exact copies recalled at cos 1.0 in the cut space") {
     val path = java.nio.file.Files.createTempDirectory("pca_ann").toString
     Embedding.writePcaProjection(emb, path, outDims = 8,
