@@ -789,24 +789,28 @@ object Curation {
     * Output: (verdict, rank 1..k, doc_id, text).
     *
     * Scale notes (100 TB): one fused scan for the verdict + sample
-    * key; the top-k window partitions by VERDICT — a handful of
-    * corpus-sized partitions, the documented per-enum-partition
-    * row_number trade the count quota (07_quota) already makes: fine
-    * at per-verdict sort scale, and the k rows per verdict that
-    * survive are all that ships. */
+    * key; the per-verdict top-k runs as the BOUNDED custom aggregate
+    * ([[graft.functions.TopKStructs]]) — every map-side partial keeps
+    * ≤ k rows, so the exchange carries kilobytes, never a
+    * verdict-partitioned corpus sort (the window formulation would
+    * sort the whole corpus per verdict to keep 5 rows). Struct
+    * ordering = (md5 key, doc_id, text): the doc_id tiebreak decides
+    * before text is ever compared, so the result matches the window
+    * semantics row for row — which is why the report stays
+    * oracle-hashed against a plain window restatement. */
   def gateExemplars(docs: DataFrame, cfg: Config = Config(), k: Int = 5,
                     salt: String = "graft.exemplar.v1"): DataFrame = {
     requireConfig(cfg)
     require(k >= 1, s"k must be >= 1, got $k")
     docs.select(col("doc_id"), col("text"), verdictExpr(cfg).as("verdict"))
-      .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("verdict"))
-            .orderBy(md5(concat(lit(salt), col("doc_id").cast("string"))),
-              col("doc_id")))
-        .cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("verdict"), col("rank"), col("doc_id"), col("text"))
+      .groupBy(col("verdict"))
+      .agg(graft.functions.TopKStructs.top_k_structs(
+        struct(md5(concat(lit(salt), col("doc_id").cast("string")))
+          .as("_key"), col("doc_id"), col("text")), k).as("_top"))
+      .select(col("verdict"),
+        posexplode(col("_top")).as(Seq("_pos", "_item")))
+      .select(col("verdict"), (col("_pos") + 1).cast("long").as("rank"),
+        col("_item.doc_id").as("doc_id"), col("_item.text").as("text"))
   }
 
   /** Doc ids contributed by sources whose STORED reputation falls

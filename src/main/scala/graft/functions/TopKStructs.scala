@@ -1,0 +1,151 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded per-group TOP-K as a custom Catalyst aggregate — the
+  * scale-correct form of "row_number over a group-partitioned window,
+  * keep rank ≤ k". The window form SORTS every group's full partition
+  * (at 100 TB, a corpus-sized sort per enum value to keep 5 rows);
+  * this aggregate keeps AT MOST k rows in every partial buffer, so the
+  * map side combines down to ≤ k rows per (group × input partition)
+  * BEFORE the shuffle, and the exchange carries kilobytes. The
+  * standard TypedImperativeAggregate shape (Spark's own
+  * BloomFilterAggregate / percentile aggregates).
+  *
+  * Input is a STRUCT column; ordering is the struct's natural
+  * ascending order (field 1, then field 2, …) — put the sort key
+  * first, payload after, exactly like an ORDER BY on the same fields.
+  * The result is the array of the k smallest structs, ascending — so
+  * `posexplode` reproduces (rank − 1, row). NULL structs are skipped
+  * (aggregate convention); ties keep every copy deterministically
+  * (full-struct ordering — make the struct's tail a tiebreaker).
+  *
+  * Determinism: the heap's CONTENT is order-insensitive (the k
+  * smallest of a multiset is partition-independent) and eval sorts —
+  * so the output is deterministic under any partitioning, which is
+  * what lets [[graft.ext.Curation.gateExemplars]] stay oracle-hashed.
+  *
+  * Scale notes (100 TB): buffer = k rows per group per partial;
+  * serialize ships length-prefixed UnsafeRow bytes; no codegen needed
+  * — the aggregate is imperative by design, but its INPUT projection
+  * (the struct) stays in whole-stage codegen.
+  */
+case class TopKStructs(child: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.PriorityQueue[InternalRow]] {
+
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+
+  private lazy val structType = child.dataType.asInstanceOf[StructType]
+
+  @transient private lazy val asc: Ordering[InternalRow] =
+    org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .createNaturalAscendingOrdering(structType.fields.map(_.dataType).toSeq)
+
+  @transient private lazy val toUnsafe = UnsafeProjection.create(structType)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StructType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs a struct column, got $other")
+    }
+
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[InternalRow] =
+    // max-heap of the CURRENT k smallest: the root is the largest kept
+    // row, evicted when a smaller one arrives
+    new java.util.PriorityQueue[InternalRow](k + 1, asc.reverse)
+
+  private def insert(buf: java.util.PriorityQueue[InternalRow],
+                     row: InternalRow): Unit =
+    if (buf.size < k) buf.add(row)
+    else if (asc.lt(row, buf.peek())) { buf.poll(); buf.add(row) }
+
+  override def update(buf: java.util.PriorityQueue[InternalRow],
+                      input: InternalRow): java.util.PriorityQueue[InternalRow] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[InternalRow].copy())
+    buf
+  }
+
+  override def merge(b1: java.util.PriorityQueue[InternalRow],
+                     b2: java.util.PriorityQueue[InternalRow])
+      : java.util.PriorityQueue[InternalRow] = {
+    val it = b2.iterator()
+    while (it.hasNext) insert(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.PriorityQueue[InternalRow]): Any = {
+    val arr = buf.toArray(new Array[InternalRow](buf.size))
+    java.util.Arrays.sort(arr, asc)
+    new GenericArrayData(arr.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[InternalRow]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(out)
+    dos.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val u = toUnsafe(it.next())
+      val bytes = u.getBytes // getBytes copies unless exactly aligned...
+      // ...but the projection REUSES its row, so copy defensively
+      val safe = java.util.Arrays.copyOf(bytes, bytes.length)
+      dos.writeInt(safe.length)
+      dos.write(safe)
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[InternalRow] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val u = new UnsafeRow(structType.length)
+      u.pointTo(b, len)
+      buf.add(u)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStructs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStructs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKStructs =
+    copy(child = newChildren.head)
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "top_k_structs"
+}
+
+object TopKStructs {
+  /** The k smallest structs of the group, ascending (array column). */
+  def top_k_structs(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      TopKStructs(ColumnBridge.expression(c), k).toAggregateExpression())
+  }
+}

@@ -407,6 +407,37 @@ class FunctionsSpec extends SparkSpec {
       Multimodal.imageNearDupPairs(spark, media, maxHamming = 4))
   }
 
+  test("top_k_structs: equals the window route, partition-independent, nulls skipped") {
+    val df = spark.range(0, 500).toDF("id")
+      .withColumn("g", col("id") % 3)
+      .withColumn("key", md5(col("id").cast("string")))
+      // every 5th row contributes a NULL struct — skipped by the
+      // aggregate convention
+      .withColumn("item",
+        when(col("id") % 5 =!= 0, struct(col("key"), col("id"))))
+    def viaAgg(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("g"))
+        .agg(TopKStructs.top_k_structs(col("item"), 4).as("t"))
+        .select(col("g"), posexplode(col("t")).as(Seq("pos", "it")))
+        .select(col("g"), col("pos"), col("it.key"), col("it.id"))
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    val expected = df.filter(col("item").isNotNull)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+          .orderBy(col("key"), col("id"))))
+      .filter(col("rn") <= 4)
+      .select(col("g"), (col("rn") - 1).as("pos"), col("key"), col("id"))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    val got = viaAgg(df)
+    assert(got == expected, s"agg vs window: ${got -- expected} / ${expected -- got}")
+    assert(viaAgg(df.repartition(17)) == expected,
+      "top-k must be partitioning-independent")
+    intercept[IllegalArgumentException](TopKStructs(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("id")), 0))
+  }
+
   test("audio spectral: pure tone lands on its bin, silence has no dominant, quarantine") {
     // 1 kHz sine at rate 8000: bin width = 8000/(2·64) = 62.5 Hz, so
     // 1000 Hz = bin 16 EXACTLY
