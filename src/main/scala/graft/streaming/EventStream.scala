@@ -1109,6 +1109,29 @@ object EventStream {
     * contract dashboard, and a violating batch is locatable the moment
     * it lands (the reference's row-count validation phase
     * [load_sales_history.py:241-251], continuous form). */
+  /** Streaming props value-TYPE monitor — [[expectationsStream]]'s
+    * shape pointed at JSON payload schema drift: each micro-batch gets
+    * the q213 rendered-scalar type census
+    * ([[graft.ext.Events.propsTypeCensus]]), one report per batch
+    * under `metricsPath/batch_id=N` — the continuous form of "did a
+    * producer start sending strings where integers lived". No
+    * artifact, pure function of the batch ⇒ batch-keyed overwrite is
+    * exactly-once with no tag machinery (the read-only/no-state
+    * monitor class). */
+  def propsTypeMonitorStream(rows: DataFrame, metricsPath: String,
+                             checkpoint: String): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Events.propsTypeCensus(batch)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+        }
+      }
+
   def expectationsStream(rows: DataFrame,
                          rules: Seq[(String, org.apache.spark.sql.Column)],
                          metricsPath: String,

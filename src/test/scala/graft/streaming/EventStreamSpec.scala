@@ -1340,6 +1340,32 @@ class EventStreamSpec extends SparkSpec {
       "the violating batch must be locatable by its batch_id")
   }
 
+  test("props-type monitor stream lands one census per micro-batch, drift locatable") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_ptype").toString
+    val mem = MemoryStream[Ev]
+    def drain(): Unit = {
+      val q = EventStream.propsTypeMonitorStream(mem.toDF(),
+        s"$dir/metrics", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    // batch 0: integer k; batch 1: the producer switched k to a string
+    mem.addData(Ev(1L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0,
+      """{"k": 42}"""))
+    drain()
+    mem.addData(Ev(2L, ts("2024-01-01 10:00:00"), 1L, "click", 2.0,
+      """{"k": "oops"}"""))
+    drain()
+    val m = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => (r.getAs[Int]("batch_id"), r.getString(1)) ->
+        ((r.getAs[Long]("n_long"), r.getAs[Long]("n_string")))).toMap
+    assert(m.size == 2, s"one key x two batches: $m")
+    assert(m((0, "k")) == ((1L, 0L)))
+    assert(m((1, "k")) == ((0L, 1L)),
+      "the type flip must be locatable by its batch_id")
+  }
+
   test("column-profile monitor stream diffs each batch against the frozen snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files
