@@ -2105,6 +2105,23 @@ object SparkEntry {
         outDims = 8, space = "fixture-embeddings")
       ext.Embedding.pcaSpectrum(s, proj)
     }),
+    // experiment-design MDE per source (tokens/doc): exact-integer
+    // variance numerator, z literals shared verbatim with the oracle
+    "q216_min_detectable_effect" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      ext.DataQuality.minDetectableEffect(
+        Tables.documents(s, dir).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "source", "n_tokens")
+    }),
+    // Neyman allocation of a 1000-row label budget across sources
+    "q217_neyman_allocation" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      ext.Sampling.neymanAllocation(
+        Tables.documents(s, dir).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "source", "n_tokens", budget = 1000L)
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -3299,6 +3316,58 @@ object SparkEntry {
          |      FROM v)
          |SELECT verdict, rank, doc_id, text FROM r WHERE rank <= 5""".stripMargin
     },
+    // the z sum is spliced from the SAME Scala doubles the Spark plan
+    // folds (shortest-repr round trip); every subexpression mirrors
+    // the Spark operation order term for term
+    "q216_min_detectable_effect" -> {
+      val zsum = 1.959963984540054 + 0.8416212335729143
+      // parenthesized so the splice keeps Spark's association:
+      // (2.0 * s2) / n, never ((2.0 * num) / den) / n
+      val s2 = "(CAST(n * sxx - sx * sx AS DOUBLE) " +
+        "/ (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+      s"""WITH b AS (SELECT source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+         |  FROM documents),
+         |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |        SUM(x) AS sx, SUM(x * x) AS sxx
+         |      FROM b GROUP BY 1)
+         |SELECT source, n,
+         |  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+         |  CASE WHEN n > 1 THEN ROUND(sqrt($s2), 6) END AS stddev,
+         |  CASE WHEN n > 1 THEN
+         |    ROUND($zsum * sqrt(2.0 * $s2 / CAST(n AS DOUBLE)), 6)
+         |  END AS mde_abs,
+         |  CASE WHEN n > 1 AND sx > 0 THEN
+         |    ROUND($zsum * sqrt(2.0 * $s2 / CAST(n AS DOUBLE))
+         |      / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |  END AS mde_rel
+         |FROM a""".stripMargin
+    },
+    // Neyman: same exact-variance core; shares rounded 6dp BEFORE the
+    // floor (discontinuity rule); strata-sized double total (q92
+    // precedent)
+    "q217_neyman_allocation" ->
+      """WITH b AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        |  FROM documents),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |        SUM(x) AS sx, SUM(x * x) AS sxx
+        |      FROM b GROUP BY 1),
+        |s AS (SELECT source, n_rows,
+        |        CASE WHEN n_rows > 1 THEN
+        |          sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE)
+        |            / (CAST(n_rows AS DOUBLE) * CAST(n_rows - 1 AS DOUBLE)))
+        |        ELSE 0.0 END AS sd
+        |      FROM a),
+        |w AS (SELECT source, n_rows, sd,
+        |        CAST(n_rows AS DOUBLE) * sd AS wt FROM s),
+        |t AS (SELECT SUM(wt) AS tw FROM w)
+        |SELECT source, n_rows, ROUND(sd, 6) AS stddev,
+        |  CASE WHEN tw > 0 THEN ROUND(wt / tw, 6) END AS share,
+        |  CASE WHEN tw > 0 THEN
+        |    LEAST(CAST(FLOOR(1000.0 * ROUND(wt / tw, 6)) AS BIGINT), n_rows)
+        |  END AS alloc
+        |FROM w CROSS JOIN t""".stripMargin,
     // HUGEINT five-sum Pearson mirrors the decimal(38,0) accumulators;
     // degenerate (zero-variance) sides are NULL both engines
     "q211_char_token_corr" ->

@@ -570,6 +570,58 @@ object DataQuality {
                 .cast("double")), 6)).as("r"))
   }
 
+  /** Minimum-detectable-effect report — the experiment-design answer
+    * to "if we A/B this source, what effect size could we even see":
+    * per group, the two-sample equal-n MDE at the caller's z values
+    * (defaults: two-sided α = 0.05 ⇒ z = 1.959963984540054, power
+    * 0.8 ⇒ z = 0.8416212335729143 — literals shared verbatim with the
+    * oracle), MDE = (z_α + z_β)·√(2s²/n) with the SAMPLE variance
+    * s² = (n·Σx² − (Σx)²)/(n·(n−1)) computed from exact decimal(38,0)
+    * integer sums (the q211 correlation discipline) — one sqrt + two
+    * divisions at the end ⇒ oracle-hashes at 6dp (q216). Groups with
+    * n < 2 or zero variance report NULL effect columns.
+    *
+    * Output: (groupCol, n, mean 6dp, stddev 6dp, mde_abs 6dp,
+    * mde_rel 6dp — relative to the mean, NULL when mean = 0).
+    * Requires an integral value column.
+    *
+    * Reference: the validation-aggregate family
+    * (load_sales_history.py:241-251) as experiment design.
+    *
+    * Scale notes (100 TB): one map-side-combined three-sum aggregate
+    * per group; no join, no window. */
+  def minDetectableEffect(df: DataFrame, groupCol: String,
+                          valueCol: String,
+                          zAlpha: Double = 1.959963984540054,
+                          zPower: Double = 0.8416212335729143): DataFrame = {
+    require(zAlpha > 0.0 && zPower >= 0.0, "z values must be positive")
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"minDetectableEffect needs an integral value column; " +
+        s"$valueCol is ${df.schema(valueCol).dataType}")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(valueCol).cast(dec)
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("_sx"), sum(x * x).as("_sxx"))
+    val varNum = (col("n").cast(dec) * col("_sxx") -
+      col("_sx") * col("_sx")).cast("double")
+    val s2 = varNum /
+      (col("n").cast("double") * (col("n") - 1).cast("double"))
+    val mde = lit(zAlpha + zPower) *
+      sqrt(lit(2.0) * s2 / col("n").cast("double"))
+    val meanRaw = col("_sx").cast("double") / col("n").cast("double")
+    agg.select(col(groupCol), col("n"),
+      round(meanRaw, 6).as("mean"),
+      when(col("n") > 1, round(sqrt(s2), 6)).as("stddev"),
+      when(col("n") > 1, round(mde, 6)).as("mde_abs"),
+      when(col("n") > 1 && col("_sx") > 0, round(mde / meanRaw, 6))
+        .as("mde_rel"))
+  }
+
   /** KEY-UNIQUENESS audit: does the declared primary key actually
     * identify rows? Reports total rows, distinct keys, keys with more
     * than one row, and the largest copy-group — the pre-publish check

@@ -999,6 +999,64 @@ object Sampling {
         col("ci_lo"), col("ci_hi"))
   }
 
+  /** NEYMAN (optimal stratified) sampling allocation — "given a label
+    * budget of B rows, how many should each stratum get": n_h ∝
+    * N_h·s_h (Neyman 1934), the allocation that minimizes the
+    * estimator variance of a stratified mean. Variances come from the
+    * exact-integer sample-variance sums (the q211/q216 discipline);
+    * the weight shares are ROUNDED 6dp before the floor (the PSI
+    * rounded-share rule — floors are discontinuous, so the comparison
+    * runs on identical doubles in both engines), and the allocation is
+    * `least(floor(budget·share), N_h)`: Σ alloc lands within rounding
+    * of the budget, deliberately without a remainder redistribution
+    * (simple, order-free, cap-aware; redistribute by hand if the last
+    * few rows matter). Zero-variance and singleton strata allocate 0 —
+    * a constant stratum needs no sample, the true Neyman property.
+    * Oracle-hashed (q217); the share total rides a strata-sized
+    * double sum (the q92 bounded-fp-sum precedent).
+    *
+    * Output: (stratumCol, n_rows, stddev 6dp, share 6dp, alloc).
+    *
+    * Reference: the reference's per-entity rollups
+    * (load_sales_mart.py:54-66) as sampling design.
+    *
+    * Scale notes (100 TB): one map-side-combined three-sum aggregate
+    * per stratum + a one-row total attach; no window, no join beyond
+    * the broadcast scalar. */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"neymanAllocation needs an integral value column; " +
+        s"$valueCol is ${df.schema(valueCol).dataType}")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(valueCol).cast(dec)
+    val strata = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"), sum(x).as("_sx"),
+        sum(x * x).as("_sxx"))
+      .withColumn("_s", when(col("n_rows") > 1,
+        sqrt((col("n_rows").cast(dec) * col("_sxx") -
+          col("_sx") * col("_sx")).cast("double") /
+          (col("n_rows").cast("double") *
+            (col("n_rows") - 1).cast("double"))))
+        .otherwise(lit(0.0)))
+      .withColumn("_w", col("n_rows").cast("double") * col("_s"))
+    val total = strata.agg(sum(col("_w")).as("_tw"))
+    strata.crossJoin(broadcast(total))
+      .withColumn("share",
+        when(col("_tw") > 0, round(col("_w") / col("_tw"), 6)))
+      .select(col(stratumCol), col("n_rows"),
+        round(col("_s"), 6).as("stddev"), col("share"),
+        when(col("share").isNotNull,
+          least(floor(lit(budget.toDouble) * col("share")).cast("long"),
+            col("n_rows"))).as("alloc"))
+  }
+
   def winsorizeScoresAgainstBounds(spark: org.apache.spark.sql.SparkSession,
                                    scored: DataFrame, idCol: String,
                                    path: String): DataFrame = {

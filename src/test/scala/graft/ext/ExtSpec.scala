@@ -4197,6 +4197,46 @@ class ExtSpec extends SparkSpec {
     pairs.foreach(p => assert(p._3 >= 0.999999))
   }
 
+  test("neymanAllocation and minDetectableEffect: hand-checked design math") {
+    // A: large + high spread; B: same size, low spread; C: constant
+    // (allocates 0); D: tiny with huge spread (capped at its size)
+    val rows =
+      (0 until 100).map(i => ("a", (i * 10).toLong)) ++
+      (0 until 100).map(i => ("b", (100 + (i % 2)).toLong)) ++
+      (0 until 50).map(_ => ("c", 7L)) ++
+      Seq(("d", 0L), ("d", 1000000L))
+    val df = rows.toDF("src", "x")
+    val alloc = Sampling.neymanAllocation(df, "src", "x", budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(alloc("c")._3.contains(0L), "a constant stratum needs no sample")
+    assert(alloc("a")._3.get > alloc("b")._3.get,
+      "higher spread at equal size must win budget")
+    assert(alloc("d")._3.get == 2L,
+      "a dominant tiny stratum must cap at its size (and, documented, " +
+        "forfeit the rest of its share — no redistribution)")
+    // budget adherence holds on a CAP-FREE population
+    val free = rows.filterNot(_._1 == "d").toDF("src", "x")
+    val total = Sampling.neymanAllocation(free, "src", "x", budget = 100L)
+      .collect().flatMap(r => Option(r.get(4)).map(_.asInstanceOf[Long])).sum
+    assert(total <= 100L && total >= 90L, s"budget adherence: $total")
+    // MDE: doubling n shrinks the detectable effect by ~1/sqrt(2)
+    val big = (0 until 400).map(i => ("a", (i % 21).toLong))
+      .toDF("src", "x")
+    val small = (0 until 200).map(i => ("a", (i % 21).toLong))
+      .toDF("src", "x")
+    def mde(d: org.apache.spark.sql.DataFrame) =
+      DataQuality.minDetectableEffect(d, "src", "x").head().getDouble(4)
+    val ratio = mde(big) / mde(small)
+    assert(math.abs(ratio - 1.0 / math.sqrt(2.0)) < 0.02,
+      s"MDE must scale as 1/sqrt(n): $ratio")
+    // degenerate: singleton stratum reports NULL effect columns
+    val one = DataQuality.minDetectableEffect(
+      Seq(("z", 5L)).toDF("src", "x"), "src", "x").head()
+    assert(one.isNullAt(3) && one.isNullAt(4) && one.isNullAt(5))
+  }
+
   test("bootstrapMeanCI: constant collapses to a point, bracketing, determinism, guards") {
     val const = Seq.tabulate(100)(i => ("a", i.toLong, 7L)) ++
       Seq.tabulate(50)(i => ("b", 1000L + i, 3L))
