@@ -2122,6 +2122,10 @@ object SparkEntry {
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
         "source", "n_tokens", budget = 1000L)
     }),
+    // Laplace-smoothed Markov transition surprise per user (bot
+    // screening): q172's pair relation as a model, scored back
+    "q218_transition_surprise" -> ((s, dir) =>
+      ext.Events.transitionSurprise(Tables.events(s, dir))),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -3368,6 +3372,32 @@ object SparkEntry {
         |    LEAST(CAST(FLOOR(1000.0 * ROUND(wt / tw, 6)) AS BIGINT), n_rows)
         |  END AS alloc
         |FROM w CROSS JOIN t""".stripMargin,
+    // q172's lag-pair relation as a smoothed model, averaged back per
+    // user (ln parity + the q81 avg-of-identical-doubles shape)
+    "q218_transition_surprise" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_ts,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |p AS (SELECT user_id, prev_type AS from_type,
+        |        event_type AS to_type
+        |      FROM e WHERE prev_ts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(prev_ts) <= 1800000000),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM p GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(SUM(c) AS BIGINT) AS ft
+        |      FROM c GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS v
+        |      FROM events),
+        |m AS (SELECT from_type, to_type,
+        |        -ln(CAST(c + 1 AS DOUBLE) / CAST(ft + v AS DOUBLE)) AS nll
+        |      FROM c JOIN f USING (from_type) CROSS JOIN v)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        |  ROUND(AVG(nll) + 0.0, 6) AS avg_surprise
+        |FROM p JOIN m USING (from_type, to_type)
+        |GROUP BY 1""".stripMargin,
     // HUGEINT five-sum Pearson mirrors the decimal(38,0) accumulators;
     // degenerate (zero-variance) sides are NULL both engines
     "q211_char_token_corr" ->

@@ -269,6 +269,62 @@ object Events {
           col("_tot").cast("double"), 6).as("share"))
   }
 
+  /** Per-user transition SURPRISE — a Laplace-smoothed Markov model of
+    * within-session event transitions (the q172 relation as a MODEL),
+    * scored back over each user's own transitions: avg −ln P(to|from)
+    * with P = (c(from,to)+1)/(c(from,·)+V), V = the observed
+    * event-type vocabulary. The behavioral-anomaly score behind bot
+    * screening: a user far BELOW the population surprise is cycling
+    * one robotic path; far above is navigating like no one else.
+    * The add-1 smoothing and ln-of-exact-ratio follow the stupid-
+    * backoff LM discipline (q81 ln parity; per-user averages of
+    * identical doubles — the accepted q81 avg_logprob shape) ⇒
+    * oracle-hashed (q218).
+    *
+    * Output: (user_id, n_transitions, avg_surprise 6dp). Users with
+    * no within-session transition (singleton sessions only) are
+    * absent — nothing to score.
+    *
+    * Reference: the session family (load_sales_history.py's
+    * event-stream analogue) pointed at sequence probability.
+    *
+    * Scale notes (100 TB): ONE user-partitioned lag window builds the
+    * pair relation (localCheckpointed — it feeds the model AND the
+    * scoring join; re-deriving it would run the window twice); the
+    * model is enum²-sized and broadcast; the closing aggregate is
+    * per-user map-side combined. */
+  def transitionSurprise(events: DataFrame,
+                         gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1: $gapMinutes")
+    val gapUs = gapMinutes * 60000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("_pt", lag(col("ts"), 1).over(w))
+      .withColumn("_pe", lag(col("event_type"), 1).over(w))
+      .filter(col("_pt").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("_pt")) <= gapUs)
+      .select(col("user_id"), col("_pe").as("from_type"),
+        col("event_type").as("to_type"))
+      .localCheckpoint()
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("_c"))
+    val fromTot = counts.groupBy(col("from_type"))
+      .agg(sum(col("_c")).as("_ft"))
+    val vocab = events.agg(countDistinct(col("event_type")).as("_v"))
+    val model = counts.join(fromTot, Seq("from_type"))
+      .crossJoin(broadcast(vocab))
+      .select(col("from_type"), col("to_type"),
+        (lit(0.0) - log((col("_c") + 1).cast("double") /
+          (col("_ft") + col("_v")).cast("double"))).as("_nll"))
+    pairs.join(broadcast(model), Seq("from_type", "to_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        // + 0.0 folds a degenerate all-zero-surprise −0.0 (the pinned
+        // q117 rule — −0.0 hashes differently driver-side)
+        round(avg(col("_nll")) + lit(0.0), 6).as("avg_surprise"))
+  }
+
   /** Time-to-RETURN distribution — the power-of-two histogram of the
     * gaps between a user's consecutive sessions (next session's first
     * event minus the previous session's last): the retention signal

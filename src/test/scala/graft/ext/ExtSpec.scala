@@ -4954,6 +4954,22 @@ class ExtSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == all)
   }
 
+  test("transitionSurprise: robotic path scores below erratic, singletons absent") {
+    val evs = ((0 until 30).map(i => (i.toLong, 1L, "a", i)) ++
+      (0 until 30).map(i => (100L + i, 2L,
+        Seq("a", "b", "c", "d")((i * 7) % 4), i)) ++
+      Seq((200L, 3L, "a", 0)))
+      .toDF("event_id", "user_id", "event_type", "off")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("off") * 10))
+      .select("event_id", "ts", "user_id", "event_type")
+    val out = Events.transitionSurprise(evs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L), "singleton users have nothing to score")
+    assert(out(1L)._1 == 29L && out(2L)._1 == 29L)
+    assert(out(1L)._2 < out(2L)._2,
+      s"the robotic a→a loop must surprise less: $out")
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
