@@ -2126,6 +2126,19 @@ object SparkEntry {
     // screening): q172's pair relation as a model, scored back
     "q218_transition_surprise" -> ((s, dir) =>
       ext.Events.transitionSurprise(Tables.events(s, dir))),
+    // inter-arrival burstiness per type: exact µs gaps, decimal
+    // variance core, bounded Goh–Barabási index
+    "q219_inter_arrival" -> ((s, dir) =>
+      ext.Events.interArrivalStats(Tables.events(s, dir))),
+    // fuzzy-key entity resolution over 24-char leads: first-char +
+    // adjacent-length-bucket blocking, exact Levenshtein verify
+    "q220_fuzzy_key_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, substring}
+      ext.Dedup.fuzzyKeyPairs(
+        Tables.documents(s, dir).select(col("doc_id"),
+          substring(col("text"), 1, 24).as("title")),
+        "title", maxDist = 2)
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -3398,6 +3411,61 @@ object SparkEntry {
         |  ROUND(AVG(nll) + 0.0, 6) AS avg_surprise
         |FROM p JOIN m USING (from_type, to_type)
         |GROUP BY 1""".stripMargin,
+    // µs gaps per type (HUGEINT Σg² mirrors decimal(38,0)); every
+    // statistic term-for-term against the Spark plan
+    "q219_inter_arrival" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) - epoch_us(prev_ts) AS gp
+        |  FROM (SELECT event_type, ts,
+        |          lag(ts) OVER (PARTITION BY event_type
+        |            ORDER BY ts, event_id) AS prev_ts
+        |        FROM events)
+        |  WHERE prev_ts IS NOT NULL),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |        SUM(gp) AS sx,
+        |        -- µs² overflows INT64 BEFORE the HUGEINT sum — lift
+        |        -- the operands first (the decimal(38,0) mirror)
+        |        SUM(CAST(gp AS HUGEINT) * CAST(gp AS HUGEINT)) AS sxx
+        |      FROM g GROUP BY 1)
+        |SELECT event_type, n_gaps,
+        |  ROUND(CAST(sx AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6)
+        |    AS mean_gap_us,
+        |  CASE WHEN n_gaps > 1 THEN
+        |    ROUND(sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE)
+        |      / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps - 1 AS DOUBLE))), 6)
+        |  END AS stddev_us,
+        |  CASE WHEN n_gaps > 1 AND sx > 0 THEN
+        |    ROUND(sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE)
+        |        / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps - 1 AS DOUBLE)))
+        |      / (CAST(sx AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6)
+        |  END AS cv,
+        |  CASE WHEN n_gaps > 1 AND sx > 0 THEN
+        |    ROUND((sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE)
+        |        / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps - 1 AS DOUBLE)))
+        |      / (CAST(sx AS DOUBLE) / CAST(n_gaps AS DOUBLE)) - 1.0)
+        |      / (sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE)
+        |        / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps - 1 AS DOUBLE)))
+        |      / (CAST(sx AS DOUBLE) / CAST(n_gaps AS DOUBLE)) + 1.0), 6)
+        |  END AS burstiness
+        |FROM a""".stripMargin,
+    // first-char + adjacent-length-bucket blocking restated; DuckDB
+    // levenshtein is the same unit-cost classic
+    "q220_fuzzy_key_pairs" ->
+      """WITH b AS (SELECT doc_id, substr(text, 1, 24) AS key
+        |           FROM documents
+        |           WHERE text IS NOT NULL AND len(substr(text, 1, 24)) >= 1),
+        |k AS (SELECT doc_id, key, substr(key, 1, 1) AS c1,
+        |        len(key) // 3 AS bk
+        |      FROM b),
+        |l AS (SELECT doc_id AS id_a, key AS key_a, c1, bk + d AS jb
+        |      FROM k, unnest([-1, 0, 1]) AS t(d)),
+        |r AS (SELECT doc_id AS id_b, key AS key_b, c1, bk AS jb FROM k)
+        |SELECT id_a, id_b, key_a, key_b,
+        |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS distance
+        |FROM l JOIN r USING (c1, jb)
+        |WHERE id_a < id_b
+        |  AND abs(len(key_a) - len(key_b)) <= 2
+        |  AND levenshtein(key_a, key_b) <= 2""".stripMargin,
     // HUGEINT five-sum Pearson mirrors the decimal(38,0) accumulators;
     // degenerate (zero-variance) sides are NULL both engines
     "q211_char_token_corr" ->

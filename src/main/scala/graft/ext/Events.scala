@@ -325,6 +325,55 @@ object Events {
         round(avg(col("_nll")) + lit(0.0), 6).as("avg_surprise"))
   }
 
+  /** Inter-arrival statistics per event type — the burstiness
+    * diagnostic behind capacity planning and bot screening: exact
+    * microsecond gaps between a type's consecutive events, their mean,
+    * standard deviation, coefficient of variation, and the bounded
+    * burstiness index B = (cv − 1)/(cv + 1) (Goh & Barabási 2008):
+    * a Poisson feed reads cv ≈ 1, B ≈ 0; a bursty human feed reads
+    * B > 0; a metronomic bot reads B < 0. Variance from the
+    * exact-integer sum core (decimal(38,0) — µs² sums overflow longs;
+    * the q211 discipline), so everything after the lag is
+    * oracle-hashable (q219).
+    *
+    * Output: (event_type, n_gaps, mean_gap_us 6dp, stddev_us 6dp,
+    * cv 6dp, burstiness 6dp — NULL where undefined: n < 2 gaps, zero
+    * variance, zero mean).
+    *
+    * Reference: the hourly rollup family (load_sales_mart.py:54-66)
+    * pointed at arrival-process shape.
+    *
+    * Scale notes (100 TB): the per-type lag window serializes each
+    * type's events through one partition — the q152 documented
+    * exact-order-statistics price (types are enums; shard by day first
+    * if a single type outgrows an executor); everything downstream is
+    * an enum-sized aggregate. */
+  def interArrivalStats(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .withColumn("_pt", lag(col("ts"), 1).over(w))
+      .filter(col("_pt").isNotNull)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("_pt"))).as("_g"))
+    val x = col("_g").cast(dec)
+    val a = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(x).as("_sx"),
+        sum(x * x).as("_sxx"))
+    val mean = col("_sx").cast("double") / col("n_gaps").cast("double")
+    val s2 = (col("n_gaps").cast(dec) * col("_sxx") -
+      col("_sx") * col("_sx")).cast("double") /
+      (col("n_gaps").cast("double") * (col("n_gaps") - 1).cast("double"))
+    val cv = sqrt(s2) / mean
+    a.select(col("event_type"), col("n_gaps"),
+      round(mean, 6).as("mean_gap_us"),
+      when(col("n_gaps") > 1, round(sqrt(s2), 6)).as("stddev_us"),
+      when(col("n_gaps") > 1 && col("_sx") > 0, round(cv, 6)).as("cv"),
+      when(col("n_gaps") > 1 && col("_sx") > 0,
+        round((cv - lit(1.0)) / (cv + lit(1.0)), 6)).as("burstiness"))
+  }
+
   /** Time-to-RETURN distribution — the power-of-two histogram of the
     * gaps between a user's consecutive sessions (next session's first
     * event minus the previous session's last): the retention signal

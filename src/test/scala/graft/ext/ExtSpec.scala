@@ -4970,6 +4970,44 @@ class ExtSpec extends SparkSpec {
       s"the robotic a→a loop must surprise less: $out")
   }
 
+  test("interArrivalStats: metronome reads B = -1, hand-computed bursty type") {
+    // type m: exact 10 s gaps (cv 0 → B = −1); type b: gaps
+    // {1, 1, 1, 97} s → mean 25, var = 2304, std 48, cv 1.92 exactly
+    val bTimes = Seq(0L, 1L, 2L, 3L, 100L)
+    val evs = ((0 until 5).map(i => (i.toLong, 1L, "m", i * 10L)) ++
+      bTimes.zipWithIndex.map { case (t, i) => (100L + i, 2L, "b", t) })
+      .toDF("event_id", "user_id", "event_type", "off")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("off")))
+      .select("event_id", "ts", "user_id", "event_type")
+    val out = Events.interArrivalStats(evs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out("m") == ((4L, 1.0e7, 0.0, -1.0)), s"metronome: ${out("m")}")
+    val (n, mean, cv, burst) = out("b")
+    assert(n == 4L && mean == 2.5e7 && cv == 1.92, s"bursty: ${out("b")}")
+    assert(burst == math.rint(0.92 / 2.92 * 1e6) / 1e6, s"B: $burst")
+  }
+
+  test("fuzzyKeyPairs: edits found, first-char edit escapes, length straddle caught") {
+    val df = Seq(
+      (1L, "the quick fox"), (2L, "the quick fix"),
+      (3L, "xhe quick fox"), (4L, "the quick fox"),
+      (5L, "completely different words"),
+      (6L, "ab"), (7L, "abcd")).toDF("doc_id", "title")
+    val pairs = Dedup.fuzzyKeyPairs(df, "title").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(pairs == Map((1L, 2L) -> 1L, (1L, 4L) -> 0L, (2L, 4L) -> 1L,
+      (6L, 7L) -> 2L), s"pairs: $pairs")
+    // the documented blocking limit: an edit ON the first character
+    // escapes (3 is one edit from 1/4 but never surfaces)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // maxDist 0 keeps only identical keys
+    val exact = Dedup.fuzzyKeyPairs(df, "title", maxDist = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 4L)))
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
