@@ -2139,6 +2139,20 @@ object SparkEntry {
           substring(col("text"), 1, 24).as("title")),
         "title", maxDist = 2)
     }),
+    // Hill tail index over tokens/doc per source: exact type-1 x_min,
+    // strict exceedances, ln-ratio sum (the q81 shape)
+    "q221_tail_index" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split}
+      ext.Sampling.tailIndex(
+        Tables.documents(s, dir).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "source", "n_tokens")
+    }),
+    // conversion-lag histogram over the q189 attribution: bin-length
+    // minute buckets, same-minute conversions in pinned bucket 0
+    "q222_conversion_lag" -> ((s, dir) =>
+      ext.Events.conversionLagHistogram(Tables.events(s, dir),
+        "purchase", Seq("click", "view", "signup"))),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -3466,6 +3480,50 @@ object SparkEntry {
         |WHERE id_a < id_b
         |  AND abs(len(key_a) - len(key_b)) <= 2
         |  AND levenshtein(key_a, key_b) <= 2""".stripMargin,
+    // type-1 x_min (rank selection), strict exceedances, ln-ratio sum
+    "q221_tail_index" ->
+      """WITH b AS (SELECT source AS g,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        |  FROM documents),
+        |r AS (SELECT g, x,
+        |        row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |        COUNT(*) OVER (PARTITION BY g) AS n
+        |      FROM b),
+        |q AS (SELECT g, x AS x_min FROM r WHERE rn = ceil(0.9 * n)),
+        |t AS (SELECT b.g, x_min,
+        |        CAST(SUM(CASE WHEN x > x_min THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_tail,
+        |        SUM(CASE WHEN x > x_min THEN
+        |          ln(CAST(x AS DOUBLE) / CAST(x_min AS DOUBLE)) END) AS slog
+        |      FROM b JOIN q USING (g) GROUP BY 1, 2)
+        |SELECT g AS source, x_min, n_tail,
+        |  CASE WHEN n_tail > 0 THEN
+        |    ROUND(CAST(n_tail AS DOUBLE) / slog, 6) END AS hill_alpha
+        |FROM t""".stripMargin,
+    // q189's ASOF attribution + the q173 bin-length bucket; bucket 0 =
+    // same-minute conversions
+    "q222_conversion_lag" ->
+      """WITH conv AS (SELECT event_id, user_id, ts FROM events
+        |              WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, event_type FROM events
+        |      WHERE event_type IN ('click', 'view', 'signup')),
+        |j AS (SELECT c.ts, t.ts AS tts
+        |      FROM conv c ASOF LEFT JOIN t
+        |        ON c.user_id = t.user_id AND c.ts >= t.ts),
+        |m AS (SELECT (epoch_us(ts) - epoch_us(tts)) // 60000000 AS mb
+        |      FROM j WHERE tts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(tts) <= 86400000000),
+        |c AS (SELECT CASE WHEN mb = 0 THEN 0
+        |        ELSE CAST(len(bin(mb)) AS BIGINT) END AS bucket,
+        |        CAST(COUNT(*) AS BIGINT) AS n_conversions
+        |      FROM m GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_conversions) AS BIGINT) AS tt FROM c)
+        |SELECT bucket,
+        |  CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(pow(2, bucket - 1) AS BIGINT) END AS min_minutes,
+        |  n_conversions,
+        |  ROUND(n_conversions / CAST(tt AS DOUBLE), 6) AS share
+        |FROM c CROSS JOIN tot""".stripMargin,
     // HUGEINT five-sum Pearson mirrors the decimal(38,0) accumulators;
     // degenerate (zero-variance) sides are NULL both engines
     "q211_char_token_corr" ->

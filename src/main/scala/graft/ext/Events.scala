@@ -419,6 +419,47 @@ object Events {
           .as("share"))
   }
 
+  /** Conversion-LAG histogram — how long before a conversion its
+    * attributed touch happened: the power-of-two minutes histogram
+    * (the q173 bucket trick) over [[lastTouchAttribution]]'s
+    * `minutes_before`, attributed conversions only. The marketing
+    * answer to "is the window even right" — mass piling at the window
+    * edge says lengthen it; mass at minute 0 says the touch and the
+    * conversion are the same visit. Bucket 0 holds the same-minute
+    * conversions (bin-length starts at 1 minute — the q173 bracket
+    * needs m ≥ 1, so 0 gets its own pinned cell). Counts exact, share
+    * one division ⇒ oracle-hashed (q222).
+    *
+    * Output: (bucket, min_minutes, n_conversions, share).
+    *
+    * Reference: the CDC-window family (load_sales_history.py P2)
+    * measured instead of assumed.
+    *
+    * Scale notes (100 TB): the attribution join is the as-of shape;
+    * the histogram is a ≤65-bucket map-side-combined aggregate,
+    * checkpointed so the total never re-runs the join. */
+  def conversionLagHistogram(events: DataFrame, convType: String,
+                             touchTypes: Seq[String],
+                             windowMinutes: Int = 1440): DataFrame = {
+    val counts = lastTouchAttribution(events, convType, touchTypes,
+        windowMinutes)
+      .filter(col("touch_ts").isNotNull)
+      .select(when(col("minutes_before") === 0, lit(0L))
+        .otherwise(length(bin(col("minutes_before"))).cast("long"))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_conversions"))
+      .localCheckpoint() // ≤65 rows; the total must not re-run the join
+    counts.crossJoin(broadcast(
+        counts.agg(sum(col("n_conversions")).as("_tot"))))
+      .select(col("bucket"),
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(pow(lit(2.0), col("bucket") - 1).cast("long"))
+          .as("min_minutes"),
+        col("n_conversions"),
+        round(col("n_conversions").cast("double") /
+          col("_tot").cast("double"), 6).as("share"))
+  }
+
   /** Feed GAP report — the missing-data complement of
     * [[volumeAnomaly]] (volume flags too-much/too-little; this flags
     * NOTHING-AT-ALL): per event type, every whole hour between the

@@ -1057,6 +1057,55 @@ object Sampling {
             col("n_rows"))).as("alloc"))
   }
 
+  /** HILL tail-index estimator per group — the heavy-tail diagnostic
+    * behind every "can I even use means here" decision (Hill 1975):
+    * α̂ = k / Σ_tail ln(x / x_min), with x_min the group's exact
+    * type-1 `tailQ` quantile ([[scoreQuantiles]] — an order statistic,
+    * never an interpolation) and the tail the STRICT exceedances.
+    * α ≤ 2 means infinite variance (sample means are unstable — gate
+    * on medians/winsorized scores instead, q150); α ≤ 1 means even
+    * the mean diverges. ln-of-exact-ratio terms are bit-identical
+    * cross-engine (q81 parity); the per-group sum is the accepted q81
+    * avg shape ⇒ oracle-hashes at 6dp (q221).
+    *
+    * Output: (groupCol, x_min, n_tail, hill_alpha 6dp — NULL when the
+    * tail is empty). Requires an integral value column.
+    *
+    * Reference: the mart rollup family (load_sales_mart.py:54-66) as
+    * tail diagnostics.
+    *
+    * Scale notes (100 TB): the quantile rides scoreQuantiles'
+    * group-partitioned ranking; the tail pass is one filter + a
+    * group-sized aggregate; x_min joins back as a groups-sized
+    * broadcast. */
+  def tailIndex(df: DataFrame, groupCol: String, valueCol: String,
+                tailQ: Double = 0.9): DataFrame = {
+    require(tailQ > 0.0 && tailQ < 1.0, s"tailQ must be in (0,1): $tailQ")
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"tailIndex needs an integral value column; " +
+        s"$valueCol is ${df.schema(valueCol).dataType}")
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("_x"))
+    val xmin = scoreQuantiles(base, "_x", "g", Seq(tailQ))
+      .select(col("g"), col("_x").as("x_min"))
+    base.join(broadcast(xmin), Seq("g"))
+      .groupBy(col("g"), col("x_min"))
+      .agg(
+        sum((col("_x") > col("x_min")).cast("long")).as("n_tail"),
+        sum(when(col("_x") > col("x_min"),
+          log(col("_x").cast("double") / col("x_min").cast("double"))))
+          .as("_slog"))
+      .select(col("g").as(groupCol), col("x_min"), col("n_tail"),
+        when(col("n_tail") > 0,
+          round(col("n_tail").cast("double") / col("_slog"), 6))
+          .as("hill_alpha"))
+  }
+
   def winsorizeScoresAgainstBounds(spark: org.apache.spark.sql.SparkSession,
                                    scored: DataFrame, idCol: String,
                                    path: String): DataFrame = {

@@ -5008,6 +5008,37 @@ class ExtSpec extends SparkSpec {
     assert(exact == Set((1L, 4L)))
   }
 
+  test("tailIndex: hand-computed alpha, constant group NULL, integral guard") {
+    // {1..10, 20, 40}: n = 12, ceil(0.9·12) = 11 → x_min = 20;
+    // tail = {40} → α = 1/ln 2
+    val df = ((1L to 10L) ++ Seq(20L, 40L)).map(("g", _)).toDF("g", "x")
+    val r = Sampling.tailIndex(df, "g", "x").head()
+    assert(r.getLong(1) == 20L && r.getLong(2) == 1L, s"x_min/tail: $r")
+    assert(r.getDouble(3) == math.rint(1.0 / math.log(2.0) * 1e6) / 1e6)
+    // constant group: x_min = the value, strict tail empty → NULL
+    val const = (1 to 10).map(_ => ("c", 5L)).toDF("g", "x")
+    assert(Sampling.tailIndex(const, "g", "x").head().isNullAt(3))
+    intercept[IllegalArgumentException](Sampling.tailIndex(
+      df.withColumn("x", col("x").cast("double")), "g", "x"))
+  }
+
+  test("conversionLagHistogram: pinned bucket 0, bin-length buckets, organic/stale excluded") {
+    val evs = Seq(
+      (1L, 1L, "click", 0L), (2L, 1L, "purchase", 30L), // same minute → bucket 0
+      (3L, 2L, "click", 0L), (4L, 2L, "purchase", 210L), // 3 min → bucket 2
+      (5L, 3L, "view", 0L), (6L, 3L, "purchase", 5400L), // 90 min → bucket 7
+      (7L, 4L, "purchase", 0L), // organic: no touch
+      (8L, 5L, "click", 0L), (9L, 5L, "purchase", 200000L)) // stale: > 24 h
+      .toDF("event_id", "user_id", "event_type", "off")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("off")))
+      .select("event_id", "ts", "user_id", "event_type")
+    val out = Events.conversionLagHistogram(evs, "purchase",
+        Seq("click", "view", "signup")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(0L -> ((0L, 1L)), 2L -> ((2L, 1L)), 7L -> ((64L, 1L))),
+      s"histogram: $out")
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
