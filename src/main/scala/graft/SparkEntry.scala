@@ -2153,6 +2153,10 @@ object SparkEntry {
     "q222_conversion_lag" -> ((s, dir) =>
       ext.Events.conversionLagHistogram(Tables.events(s, dir),
         "purchase", Seq("click", "view", "signup"))),
+    // PMI between event types over session-level type sets: exact
+    // counts, one ln of an exact ratio
+    "q223_session_pmi" -> ((s, dir) =>
+      ext.Events.sessionTypePmi(Tables.events(s, dir))),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -3524,6 +3528,38 @@ object SparkEntry {
         |  n_conversions,
         |  ROUND(n_conversions / CAST(tt AS DOUBLE), 6) AS share
         |FROM c CROSS JOIN tot""".stripMargin,
+    // the strict-gap running-sum session id restated, DISTINCT
+    // type-per-session membership, ln of an exact ratio
+    "q223_session_pmi" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pt
+        |  FROM events),
+        |n AS (SELECT *, CASE WHEN pt IS NULL
+        |        OR epoch_us(ts) - epoch_us(pt) > 1800000000
+        |        THEN 1 ELSE 0 END AS nw
+        |      FROM e),
+        |sd AS (SELECT user_id, event_type,
+        |        SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM n),
+        |m AS (SELECT DISTINCT user_id, sid, event_type FROM sd),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns
+        |       FROM (SELECT DISTINCT user_id, sid FROM m)),
+        |na AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS na
+        |       FROM m GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_both
+        |      FROM m a JOIN m b ON a.user_id = b.user_id
+        |        AND a.sid = b.sid AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both,
+        |  ROUND(ln(CAST(n_both AS DOUBLE) * CAST(ns AS DOUBLE)
+        |    / CAST(x.na * y.na AS DOUBLE)), 6) AS pmi
+        |FROM p
+        |JOIN na x ON x.event_type = type_a
+        |JOIN na y ON y.event_type = type_b
+        |CROSS JOIN ns""".stripMargin,
     // HUGEINT five-sum Pearson mirrors the decimal(38,0) accumulators;
     // degenerate (zero-variance) sides are NULL both engines
     "q211_char_token_corr" ->

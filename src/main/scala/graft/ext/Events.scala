@@ -419,6 +419,67 @@ object Events {
           .as("share"))
   }
 
+  /** Pointwise mutual information between event TYPES co-occurring in
+    * one session — the affinity analysis behind "which behaviors
+    * travel together" (feature bundling, funnel design, anomaly
+    * context): PMI(a,b) = ln(P(a,b)/(P(a)P(b))) over session-level
+    * type SETS, positive when two types share sessions more than
+    * independence predicts. Sessions come from the standard strict-gap
+    * rule (the sessionize/sessionIntervals running sum — one shared
+    * user window); membership is DISTINCT per session, so event
+    * volume inside a session never inflates affinity. All counts
+    * exact, PMI one ln of an exact integer ratio (q81 parity) ⇒
+    * oracle-hashed (q223).
+    *
+    * Output: (type_a, type_b, n_both, pmi 6dp), type_a < type_b —
+    * pairs never co-occurring are absent (their PMI is −∞, not a
+    * number to report).
+    *
+    * Reference: the mart rollup family (load_sales_mart.py:54-66) as
+    * association analysis.
+    *
+    * Scale notes (100 TB): one user-partitioned window pass assigns
+    * session ids; the distinct membership relation is
+    * sessions × ≤|types| and localCheckpointed (it feeds three
+    * aggregates); the self-join explodes ≤ C(|types|, 2) rows per
+    * session — enum-bounded. */
+  def sessionTypePmi(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1: $gapMinutes")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val membership = events
+      .withColumn("_pt", lag(col("ts"), 1).over(w))
+      .withColumn("_new", when(col("_pt").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("_pt")) >
+          gapMinutes * 60000000L, 1L).otherwise(0L))
+      .withColumn("_sid", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("_sid"), col("event_type"))
+      .distinct()
+      .localCheckpoint()
+    val total = membership.select(col("user_id"), col("_sid")).distinct()
+      .agg(count(lit(1)).as("_ns"))
+    val nA = membership.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_na"))
+    membership.as("a")
+      .join(membership.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a._sid") === col("b._sid") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(nA.select(col("event_type").as("type_a"),
+        col("_na").as("_na_a"))), Seq("type_a"))
+      .join(broadcast(nA.select(col("event_type").as("type_b"),
+        col("_na").as("_na_b"))), Seq("type_b"))
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        round(log(col("n_both").cast("double") *
+          col("_ns").cast("double") /
+          (col("_na_a") * col("_na_b")).cast("double")), 6).as("pmi"))
+  }
+
   /** Conversion-LAG histogram — how long before a conversion its
     * attributed touch happened: the power-of-two minutes histogram
     * (the q173 bucket trick) over [[lastTouchAttribution]]'s

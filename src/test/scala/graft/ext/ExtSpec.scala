@@ -5039,6 +5039,23 @@ class ExtSpec extends SparkSpec {
       s"histogram: $out")
   }
 
+  test("sessionTypePmi: perfect pairing reads ln 2, never-together absent") {
+    // 4 users, each with one {a, b} session and one later {c} session:
+    // 8 sessions total; PMI(a,b) = ln(4·8/(4·4)) = ln 2; (a,c) never
+    val evs = (0 until 4).flatMap { u =>
+      Seq((u * 10L, u.toLong, "a", 0L), (u * 10 + 1L, u.toLong, "b", 10L),
+        (u * 10 + 2L, u.toLong, "c", 100000L))
+    }.toDF("event_id", "user_id", "event_type", "off")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("off")))
+      .select("event_id", "ts", "user_id", "event_type")
+    val out = Events.sessionTypePmi(evs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(("a", "b")), s"pairs: ${out.keySet}")
+    assert(out(("a", "b"))._1 == 4L)
+    assert(out(("a", "b"))._2 == math.rint(math.log(2.0) * 1e6) / 1e6)
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
