@@ -2157,6 +2157,10 @@ object SparkEntry {
     // counts, one ln of an exact ratio
     "q223_session_pmi" -> ((s, dir) =>
       ext.Events.sessionTypePmi(Tables.events(s, dir))),
+    // lexical collocations: bigram PMI with exact-marginal unigram
+    // terms, support floor 5
+    "q224_collocations" -> ((s, dir) =>
+      ext.TextAnalysis.collocations(Tables.documents(s, dir))),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -3560,6 +3564,23 @@ object SparkEntry {
         |JOIN na x ON x.event_type = type_a
         |JOIN na y ON y.event_type = type_b
         |CROSS JOIN ns""".stripMargin,
+    // adjacent-pair bigrams (1-based slices), exact marginals off the
+    // ONE bigram relation, HUGEINT marginal product
+    "q224_collocations" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+        |       FROM t, unnest(generate_series(1, len(w) - 1)) AS g(i)),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM bg GROUP BY 1, 2),
+        |l AS (SELECT w1, SUM(c) AS lc FROM c GROUP BY 1),
+        |r AS (SELECT w2, SUM(c) AS rc FROM c GROUP BY 1),
+        |nb AS (SELECT SUM(c) AS nb FROM c)
+        |SELECT w1, w2, c AS n_pair,
+        |  ROUND(ln(CAST(c AS DOUBLE) * CAST(nb AS DOUBLE)
+        |    / CAST(lc * rc AS DOUBLE)), 6) AS pmi
+        |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN nb
+        |WHERE c >= 5""".stripMargin,
     // HUGEINT five-sum Pearson mirrors the decimal(38,0) accumulators;
     // degenerate (zero-variance) sides are NULL both engines
     "q211_char_token_corr" ->

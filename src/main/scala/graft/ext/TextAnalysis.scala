@@ -611,6 +611,47 @@ object TextAnalysis {
     docBigrams(lm, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
 
+  /** COLLOCATION extraction — adjacent-token pairs glued together more
+    * than chance allows (Church & Hanks 1990's PMI): over the
+    * per-occurrence bigram relation, PMI(w1,w2) = ln(c₁₂·N_B /
+    * (c₁•·c•₂)) with BOTH unigram terms the exact MARGINALS of the one
+    * bigram relation (the trigram-LM discipline — never separately
+    * counted totals that could disagree at the edges) and N_B the
+    * bigram total. The phrase-mining signal behind tokenizer merge
+    * candidates, multi-word entities and boilerplate n-grams;
+    * `minCount` floors the support (PMI is noise at singleton counts —
+    * the classic caveat, stated). Counts exact, one ln of an exact
+    * ratio ⇒ oracle-hashed (q224).
+    *
+    * Output: (w1, w2, n_pair, pmi 6dp) for pairs with n_pair ≥
+    * minCount.
+    *
+    * Reference: the GROUP-BY rollup family (load_sales_mart.py:54-66)
+    * pointed at lexical association.
+    *
+    * Scale notes (100 TB): one codegen shingle pass feeds a map-side-
+    * combined (w1, w2) aggregate (localCheckpointed — marginals and
+    * total re-read it, never the corpus); marginal joins are
+    * vocabulary-sized; the marginal product lifts to decimal(38,0)
+    * before its double conversion (longs overflow at ~10¹³ tokens). */
+  def collocations(docs: DataFrame, minCount: Long = 5L,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = lmCountsOf(docs, idCol, textCol).localCheckpoint()
+    val left = counts.groupBy(col("w1")).agg(sum(col("c")).as("_l"))
+    val right = counts.groupBy(col("w2")).agg(sum(col("c")).as("_r"))
+    val total = counts.agg(sum(col("c")).as("_nb"))
+    counts.filter(col("c") >= minCount)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c").as("n_pair"),
+        round(log(col("c").cast("double") * col("_nb").cast("double") /
+          (col("_l").cast(dec) * col("_r").cast(dec)).cast("double")), 6)
+          .as("pmi"))
+  }
+
   /** Score documents under a bigram LM given its count relation: per
     * doc, avg log P(w_i | w_{i-1}) with Laplace smoothing
     * P = (c(w1,w2)+α)/(ctx(w1)+α·V), ctx(w1) = Σ_w2 c(w1,w2) (the

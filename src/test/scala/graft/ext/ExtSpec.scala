@@ -5056,6 +5056,21 @@ class ExtSpec extends SparkSpec {
     assert(out(("a", "b"))._2 == math.rint(math.log(2.0) * 1e6) / 1e6)
   }
 
+  test("collocations: hand-computed PMI, support floor enforced") {
+    val df = Seq((1L, "a b"), (2L, "a c"), (3L, "x y"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    // bigrams: (a,b) 1, (a,c) 1, (x,y) 2; N_B = 4 → PMI(x,y) =
+    // ln(2·4/(2·2)) = ln 2; singleton pairs fall under the floor
+    val out = TextAnalysis.collocations(df, minCount = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(("x", "y")), s"pairs: ${out.keySet}")
+    assert(out(("x", "y")) ==
+      ((2L, math.rint(math.log(2.0) * 1e6) / 1e6)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.collocations(df, minCount = 0L))
+  }
+
   test("sessionize counts sessions split by >30min gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:10:00"),
