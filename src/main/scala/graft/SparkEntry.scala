@@ -2161,6 +2161,11 @@ object SparkEntry {
     // terms, support floor 5
     "q224_collocations" -> ((s, dir) =>
       ext.TextAnalysis.collocations(Tables.documents(s, dir))),
+    // negative-sampling table: count^(3/4) via composed exact sqrts
+    // (the dyadic-exponent extension of the q57 rule)
+    "q225_negative_sampling" -> ((s, dir) =>
+      ext.Sampling.negativeSamplingWeights(Tables.documents(s, dir),
+        minCount = 5L)),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -3581,6 +3586,23 @@ object SparkEntry {
         |    / CAST(lc * rc AS DOUBLE)), 6) AS pmi
         |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN nb
         |WHERE c >= 5""".stripMargin,
+    // √c · √√c restates count^0.75 through IEEE-exact sqrts — a libm
+    // pow(x, 0.75) would not be bit-portable
+    "q225_negative_sampling" ->
+      """WITH c AS (SELECT tok AS token, CAST(COUNT(*) AS BIGINT)
+        |      AS n_occurrences
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |          FROM documents)
+        |    GROUP BY 1
+        |    HAVING COUNT(*) >= 5),
+        |w AS (SELECT token, n_occurrences,
+        |        sqrt(CAST(n_occurrences AS DOUBLE))
+        |          * sqrt(sqrt(CAST(n_occurrences AS DOUBLE))) AS wt
+        |      FROM c),
+        |t AS (SELECT SUM(wt) AS tw FROM w)
+        |SELECT token, n_occurrences,
+        |  ROUND(wt / tw, 6) AS sample_share
+        |FROM w CROSS JOIN t""".stripMargin,
     // HUGEINT five-sum Pearson mirrors the decimal(38,0) accumulators;
     // degenerate (zero-variance) sides are NULL both engines
     "q211_char_token_corr" ->

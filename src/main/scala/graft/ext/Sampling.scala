@@ -1106,6 +1106,42 @@ object Sampling {
           .as("hill_alpha"))
   }
 
+  /** word2vec-style NEGATIVE-SAMPLING table — per-token sampling
+    * shares ∝ count^(3/4) (Mikolov et al. 2013: the unigram
+    * distribution flattened so frequent words don't drown the
+    * negatives). The 3/4 power is computed as
+    * √c · √√c — a COMPOSITION of IEEE-exact square roots, bit-identical
+    * cross-engine where a libm `pow(x, 0.75)` is not (the q57
+    * binary-exact-exponent discipline, extended: any dyadic exponent
+    * k/2ⁿ decomposes into exact sqrts). Shares are single divisions by
+    * the vocabulary-sized weight total (the q92 bounded-fp-sum
+    * precedent), rounded 6dp ⇒ oracle-hashed (q225).
+    *
+    * Output: (token, n_occurrences, sample_share 6dp) for tokens with
+    * n ≥ minCount.
+    *
+    * Reference: the mart rollup family (load_sales_mart.py:54-66) as
+    * trainer configuration.
+    *
+    * Scale notes (100 TB): one token explode into a map-side-combined
+    * vocabulary-sized count; weights and the total live on that
+    * relation — nothing after the scan is corpus-sized. */
+  def negativeSamplingWeights(docs: DataFrame, minCount: Long = 1L,
+                              textCol: String = "text"): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+      .withColumn("_w",
+        sqrt(col("n_occurrences").cast("double")) *
+          sqrt(sqrt(col("n_occurrences").cast("double"))))
+      .localCheckpoint() // vocab-sized; the total must not re-explode
+    counts.crossJoin(broadcast(counts.agg(sum(col("_w")).as("_tw"))))
+      .select(col("token"), col("n_occurrences"),
+        round(col("_w") / col("_tw"), 6).as("sample_share"))
+  }
+
   def winsorizeScoresAgainstBounds(spark: org.apache.spark.sql.SparkSession,
                                    scored: DataFrame, idCol: String,
                                    path: String): DataFrame = {

@@ -1132,6 +1132,31 @@ object EventStream {
         }
       }
 
+  /** Streaming credential-census monitor — the q202 secret report per
+    * micro-batch ([[graft.ext.TextAnalysis.secretCensus]]), one
+    * landing per batch under `metricsPath/batch_id=N`: the continuous
+    * "did a source start leaking keys" alarm next to the BATCH gate
+    * (`Config.maxSecretTokensPerDoc` cuts documents; this measures
+    * the inflow so someone notices the source). No artifact, pure
+    * per-batch function ⇒ batch-keyed overwrite is exactly-once with
+    * no tags (the monitor class). Input rows need (source, text). */
+  def secretMonitorStream(rows: DataFrame, metricsPath: String,
+                          checkpoint: String,
+                          minLen: Int = 20,
+                          minDigits: Int = 4): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.TextAnalysis.secretCensus(batch,
+              minLen = minLen, minDigits = minDigits)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+        }
+      }
+
   def expectationsStream(rows: DataFrame,
                          rules: Seq[(String, org.apache.spark.sql.Column)],
                          metricsPath: String,

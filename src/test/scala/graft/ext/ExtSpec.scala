@@ -5056,6 +5056,20 @@ class ExtSpec extends SparkSpec {
     assert(out(("a", "b"))._2 == math.rint(math.log(2.0) * 1e6) / 1e6)
   }
 
+  test("negativeSamplingWeights: 16:1 counts share 8:1, floor drops rare") {
+    // c = 16 → √16·√√16 = 8; c = 1 → 1: shares 8/9 and 1/9
+    val df = Seq((1L, (Seq.fill(16)("a") :+ "b").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Sampling.negativeSamplingWeights(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("a") == ((16L, math.rint(8.0 / 9.0 * 1e6) / 1e6)))
+    assert(out("b") == ((1L, math.rint(1.0 / 9.0 * 1e6) / 1e6)))
+    // the support floor removes the rare token AND its weight mass
+    val floored = Sampling.negativeSamplingWeights(df, minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(floored == Map("a" -> 1.0))
+  }
+
   test("collocations: hand-computed PMI, support floor enforced") {
     val df = Seq((1L, "a b"), (2L, "a c"), (3L, "x y"), (4L, "x y"))
       .toDF("doc_id", "text")
