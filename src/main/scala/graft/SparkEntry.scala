@@ -3381,7 +3381,7 @@ object SparkEntry {
          |  CASE WHEN n > 1 THEN
          |    ROUND($zsum * sqrt(2.0 * $s2 / CAST(n AS DOUBLE)), 6)
          |  END AS mde_abs,
-         |  CASE WHEN n > 1 AND sx > 0 THEN
+         |  CASE WHEN n > 1 AND sx <> 0 THEN
          |    ROUND($zsum * sqrt(2.0 * $s2 / CAST(n AS DOUBLE))
          |      / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
          |  END AS mde_rel
@@ -3407,10 +3407,10 @@ object SparkEntry {
         |        CAST(n_rows AS DOUBLE) * sd AS wt FROM s),
         |t AS (SELECT SUM(wt) AS tw FROM w)
         |SELECT source, n_rows, ROUND(sd, 6) AS stddev,
-        |  CASE WHEN tw > 0 THEN ROUND(wt / tw, 6) END AS share,
-        |  CASE WHEN tw > 0 THEN
-        |    LEAST(CAST(FLOOR(1000.0 * ROUND(wt / tw, 6)) AS BIGINT), n_rows)
-        |  END AS alloc
+        |  CASE WHEN tw > 0 THEN ROUND(wt / tw, 6) ELSE 0.0 END AS share,
+        |  LEAST(CAST(FLOOR(1000.0 *
+        |      CASE WHEN tw > 0 THEN ROUND(wt / tw, 6) ELSE 0.0 END)
+        |    AS BIGINT), n_rows) AS alloc
         |FROM w CROSS JOIN t""".stripMargin,
     // q172's lag-pair relation as a smoothed model, averaged back per
     // user (ln parity + the q81 avg-of-identical-doubles shape)
@@ -3506,11 +3506,11 @@ object SparkEntry {
         |t AS (SELECT b.g, x_min,
         |        CAST(SUM(CASE WHEN x > x_min THEN 1 ELSE 0 END) AS BIGINT)
         |          AS n_tail,
-        |        SUM(CASE WHEN x > x_min THEN
+        |        SUM(CASE WHEN x > x_min AND x_min > 0 THEN
         |          ln(CAST(x AS DOUBLE) / CAST(x_min AS DOUBLE)) END) AS slog
         |      FROM b JOIN q USING (g) GROUP BY 1, 2)
         |SELECT g AS source, x_min, n_tail,
-        |  CASE WHEN n_tail > 0 THEN
+        |  CASE WHEN n_tail > 0 AND x_min > 0 THEN
         |    ROUND(CAST(n_tail AS DOUBLE) / slog, 6) END AS hill_alpha
         |FROM t""".stripMargin,
     // q189's ASOF attribution + the q173 bin-length bucket; bucket 0 =

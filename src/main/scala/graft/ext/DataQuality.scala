@@ -618,7 +618,7 @@ object DataQuality {
       round(meanRaw, 6).as("mean"),
       when(col("n") > 1, round(sqrt(s2), 6)).as("stddev"),
       when(col("n") > 1, round(mde, 6)).as("mde_abs"),
-      when(col("n") > 1 && col("_sx") > 0, round(mde / meanRaw, 6))
+      when(col("n") > 1 && col("_sx") =!= 0, round(mde / meanRaw, 6))
         .as("mde_rel"))
   }
 

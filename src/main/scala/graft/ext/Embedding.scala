@@ -861,8 +861,12 @@ object Embedding {
                           whiten: Boolean = false,
                           space: String = "unspecified",
                           variant: String = ""): String = {
+    // the cache key carries EVERY train parameter, vecCol included —
+    // two ensures over one source reading different vector columns
+    // are different artifacts (the ensureBloomIndex discipline)
     val idx = java.nio.file.Paths.get(cacheRoot,
       s"pca_v1_${outDims}_w${whiten}_s${space.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_c${vecCol.replaceAll("[^A-Za-z0-9]", "_")}" +
         s"_v${variant}_" + Similarity.pathFingerprint(sourcePath))
     Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
       writePcaProjection(vectors, tmp, outDims, vecCol, whiten, space))

@@ -728,7 +728,7 @@ object Multimodal {
     // every component (each component is 0 with probability ~1/2, e.g.
     // ~0.4% of 5-byte payloads). Whenever the accumulator ends all-zero,
     // fall back to hashing the payload's head (length-tagged, so "" and
-    // " " differ) as one window: identical payloads still map to
+    // "\u0000" differ) as one window: identical payloads still map to
     // identical, nonzero vectors.
     var allZero = true
     var z = 0
@@ -1682,7 +1682,11 @@ object Multimodal {
     *
     * All-zero (silent) clips report dominant_share NULL (0/0 has no
     * dominant tone — the NaN-guard convention); non-wav rows and
-    * malformed/empty containers quarantine. fp-heavy ⇒ rows-only
+    * malformed/empty containers quarantine. Multi-channel clips decode
+    * CHANNEL 0 only (stride = the fmt chunk's channel count): analysing
+    * interleaved L/R as one stream would alias every bin, and channel 0
+    * is the deterministic representative — n_samples_used counts FRAMES
+    * of that one channel. fp-heavy ⇒ rows-only
     * (q210); the spec anchors a pure 1 kHz sine landing EXACTLY on
     * its bin.
     *
@@ -1702,9 +1706,11 @@ object Multimodal {
     media.as[MediaRaw].mapPartitions { batch =>
       batch.filter(_.format == "wav").flatMap { m =>
         for {
-          (_, rate, _) <- decodeWav(m.payload)
+          (ch, rate, _) <- decodeWav(m.payload)
           (off, len) <- wavDataRange(m.payload)
-          n = math.min(len / 2, maxSamples)
+          // channel 0 of each interleaved frame: 2 bytes per sample,
+          // frames are 2·ch bytes apart (16-bit PCM)
+          n = math.min(len / (2 * ch), maxSamples)
           if n >= 2
         } yield {
           val b = m.payload
@@ -1712,8 +1718,9 @@ object Multimodal {
           var k = 0
           var sumSq = 0.0
           while (k < n) {
-            x(k) = (((b(off + 2 * k + 1) & 0xFF) << 8) |
-              (b(off + 2 * k) & 0xFF)).toShort.toDouble
+            val p = off + 2 * ch * k
+            x(k) = (((b(p + 1) & 0xFF) << 8) |
+              (b(p) & 0xFF)).toShort.toDouble
             sumSq += x(k) * x(k)
             k += 1
           }

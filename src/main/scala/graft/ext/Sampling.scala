@@ -1011,7 +1011,9 @@ object Sampling {
     * of the budget, deliberately without a remainder redistribution
     * (simple, order-free, cap-aware; redistribute by hand if the last
     * few rows matter). Zero-variance and singleton strata allocate 0 —
-    * a constant stratum needs no sample, the true Neyman property.
+    * a constant stratum needs no sample, the true Neyman property —
+    * and an entirely constant population (total weight 0) allocates 0
+    * to every stratum (share 0.0, never NULL).
     * Oracle-hashed (q217); the share total rides a strata-sized
     * double sum (the q92 bounded-fp-sum precedent).
     *
@@ -1047,14 +1049,17 @@ object Sampling {
         .otherwise(lit(0.0)))
       .withColumn("_w", col("n_rows").cast("double") * col("_s"))
     val total = strata.agg(sum(col("_w")).as("_tw"))
+    // an ALL-zero-variance population (_tw = 0) allocates 0 everywhere,
+    // matching the per-stratum zero-variance rule — not NULL, which
+    // would poison a caller summing allocations (r16 advice)
     strata.crossJoin(broadcast(total))
       .withColumn("share",
-        when(col("_tw") > 0, round(col("_w") / col("_tw"), 6)))
+        when(col("_tw") > 0, round(col("_w") / col("_tw"), 6))
+          .otherwise(lit(0.0)))
       .select(col(stratumCol), col("n_rows"),
         round(col("_s"), 6).as("stddev"), col("share"),
-        when(col("share").isNotNull,
-          least(floor(lit(budget.toDouble) * col("share")).cast("long"),
-            col("n_rows"))).as("alloc"))
+        least(floor(lit(budget.toDouble) * col("share")).cast("long"),
+          col("n_rows")).as("alloc"))
   }
 
   /** HILL tail-index estimator per group — the heavy-tail diagnostic
@@ -1069,7 +1074,10 @@ object Sampling {
     * avg shape ⇒ oracle-hashes at 6dp (q221).
     *
     * Output: (groupCol, x_min, n_tail, hill_alpha 6dp — NULL when the
-    * tail is empty). Requires an integral value column.
+    * tail is empty OR when x_min <= 0: Hill's domain is strictly
+    * positive values, and outside it Spark's ln yields NULL/NaN where
+    * DuckDB errors, so the guard doubles as the cross-engine
+    * contract). Requires an integral value column.
     *
     * Reference: the mart rollup family (load_sales_mart.py:54-66) as
     * tail diagnostics.
@@ -1093,15 +1101,19 @@ object Sampling {
       col(valueCol).cast("long").as("_x"))
     val xmin = scoreQuantiles(base, "_x", "g", Seq(tailQ))
       .select(col("g"), col("_x").as("x_min"))
+    // Hill's domain is strictly positive values: a group whose tail
+    // cut x_min is <= 0 reports hill_alpha NULL (ln(x/x_min) is
+    // undefined there — Spark would yield NULL/NaN where DuckDB
+    // errors, so the guard is also the cross-engine contract)
     base.join(broadcast(xmin), Seq("g"))
       .groupBy(col("g"), col("x_min"))
       .agg(
         sum((col("_x") > col("x_min")).cast("long")).as("n_tail"),
-        sum(when(col("_x") > col("x_min"),
+        sum(when(col("_x") > col("x_min") && col("x_min") > 0,
           log(col("_x").cast("double") / col("x_min").cast("double"))))
           .as("_slog"))
       .select(col("g").as(groupCol), col("x_min"), col("n_tail"),
-        when(col("n_tail") > 0,
+        when(col("n_tail") > 0 && col("x_min") > 0,
           round(col("n_tail").cast("double") / col("_slog"), 6))
           .as("hill_alpha"))
   }

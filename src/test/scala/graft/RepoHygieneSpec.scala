@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repository hygiene: every file under src/main must stay text —
+  * a single control byte below 0x09 (a literal NUL in a comment,
+  * r16's finding in ext/Multimodal.scala) makes grep/git treat the
+  * whole file as binary, degrading every future diff and review.
+  * Tabs (0x09), LF (0x0A) and CR (0x0D) are fine; anything below
+  * TAB has no business in source. */
+class RepoHygieneSpec extends AnyFunSuite {
+
+  test("src/main source files contain no control bytes below 0x09") {
+    val root = java.nio.file.Paths.get("src/main")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"expected to run from the repo root; missing $root")
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = java.nio.file.Files.walk(root)
+    try {
+      it.filter(p => java.nio.file.Files.isRegularFile(p))
+        .forEach { p =>
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xFF
+            if (b < 0x09) {
+              offenders += s"$p: byte 0x${"%02x".format(b)} at offset $i"
+              i = bytes.length // one report per file is enough
+            }
+            i += 1
+          }
+        }
+    } finally it.close()
+    assert(offenders.isEmpty,
+      "control bytes found (spell them escaped instead):\n" +
+        offenders.mkString("\n"))
+  }
+}

@@ -4235,6 +4235,22 @@ class ExtSpec extends SparkSpec {
     val one = DataQuality.minDetectableEffect(
       Seq(("z", 5L)).toDF("src", "x"), "src", "x").head()
     assert(one.isNullAt(3) && one.isNullAt(4) && one.isNullAt(5))
+    // an ALL-constant population allocates 0 everywhere — 0, never
+    // NULL (a caller summing allocations must not get poisoned)
+    val flat = Sampling.neymanAllocation(
+      (0 until 20).map(i => (if (i % 2 == 0) "a" else "b", 7L))
+        .toDF("src", "x"), "src", "x", budget = 100L).collect()
+    flat.foreach { r =>
+      assert(!r.isNullAt(3) && r.getDouble(3) == 0.0, s"share: $r")
+      assert(!r.isNullAt(4) && r.getLong(4) == 0L, s"alloc: $r")
+    }
+    // a NEGATIVE-mean column still gets mde_rel (the guard is
+    // mean != 0, not mean > 0)
+    val neg = DataQuality.minDetectableEffect(
+      (0 until 100).map(i => ("n", -100L - (i % 21))).toDF("src", "x"),
+      "src", "x").head()
+    assert(!neg.isNullAt(5) && neg.getDouble(5) < 0.0,
+      s"negative-mean mde_rel must be defined: $neg")
   }
 
   test("bootstrapMeanCI: constant collapses to a point, bracketing, determinism, guards") {
@@ -5018,6 +5034,12 @@ class ExtSpec extends SparkSpec {
     // constant group: x_min = the value, strict tail empty → NULL
     val const = (1 to 10).map(_ => ("c", 5L)).toDF("g", "x")
     assert(Sampling.tailIndex(const, "g", "x").head().isNullAt(3))
+    // non-positive x_min is outside Hill's domain → NULL alpha, never
+    // a NaN/ln-of-negative (the cross-engine contract)
+    val nonPos = (Seq.fill(11)(-5L) ++ Seq(3L)).map(("np", _)).toDF("g", "x")
+    val np = Sampling.tailIndex(nonPos, "g", "x").head()
+    assert(np.getLong(1) == -5L && np.getLong(2) == 1L && np.isNullAt(3),
+      s"non-positive x_min must yield NULL alpha: $np")
     intercept[IllegalArgumentException](Sampling.tailIndex(
       df.withColumn("x", col("x").cast("double")), "g", "x"))
   }

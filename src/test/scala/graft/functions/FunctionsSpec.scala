@@ -471,6 +471,36 @@ class FunctionsSpec extends SparkSpec {
     assert(out(3L).rms == 0.0 && out(3L).dominant_share.isEmpty)
   }
 
+  test("audio spectral: stereo clips decode channel 0 only") {
+    // L = 1 kHz sine, R = a STRONGER 2.5 kHz sine; analysing the
+    // interleaved stream as mono would alias and let R win — the
+    // channel-0 decode must report 1 kHz and count FRAMES
+    val left = Array.tabulate(512)(k =>
+      (8000.0 * math.sin(2.0 * math.Pi * 1000.0 * k / 8000.0)).toShort)
+    val right = Array.tabulate(512)(k =>
+      (12000.0 * math.sin(2.0 * math.Pi * 2500.0 * k / 8000.0)).toShort)
+    val dataLen = 512 * 4
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(2)  // PCM, STEREO
+    buf.putInt(8000).putInt(32000) // rate, byte rate
+    buf.putShort(4).putShort(16) // block align (2 ch × 2 B), bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until 512).foreach { k => buf.putShort(left(k)); buf.putShort(right(k)) }
+    val media = Seq((1L, "wav", buf.array()))
+      .toDF("media_id", "format", "payload")
+    val s = Multimodal.audioSpectralStats(spark, media).collect().head
+    assert(s.n_samples_used == 512L,
+      s"frames, not interleaved samples: ${s.n_samples_used}")
+    assert(s.dominant_freq_hz == 1000.0,
+      s"channel 0's tone must win, not the louder right channel: $s")
+    assert(math.abs(s.rms - 8000.0 / math.sqrt(2.0)) < 100.0,
+      s"rms must be channel 0's level: ${s.rms}")
+  }
+
   test("audio fingerprint: gain-invariant, reversal lands far, short clips quarantine") {
     // strictly rising amplitude ramp: window energies strictly
     // increase, so the hash is all ones and every property is exact
