@@ -2166,6 +2166,20 @@ object SparkEntry {
     "q225_negative_sampling" -> ((s, dir) =>
       ext.Sampling.negativeSamplingWeights(Tables.documents(s, dir),
         minCount = 5L)),
+    // stored-route fuzzy pairs: probe the corpus against its own
+    // frozen key index — with id_a < id_b canonicalization the pair
+    // set equals the live q220 route, so it shares q220's oracle SQL
+    // verbatim (the q77≡q70 stored-route equality check)
+    "q226_fuzzy_index_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, substring}
+      val keys = Tables.documents(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 24).as("title"))
+      val idx = ext.Dedup.ensureFuzzyKeyIndex(keys,
+        "/tmp/graft_fuzzy_cache", s"$dir/documents.parquet", "title")
+      ext.Dedup.fuzzyKeyPairsAgainstIndex(s, keys, idx, "title",
+          maxDist = 2)
+        .filter(col("id_a") < col("id_b"))
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -2577,6 +2591,27 @@ object SparkEntry {
        |             ROUND(SUM(w) / COUNT(*), 6) AS quality_score
        |           FROM wts GROUP BY 1)""".stripMargin
   }
+
+  /** q220's blocked-Levenshtein pairs (also q226's — the stored-index
+    * route must hash-match the live blocking): (first char, length
+    * bucket) candidates, adjacent-bucket explode, exact levenshtein
+    * verify — both engines classic unit cost. */
+  private val FuzzyKeyPairsSql =
+    """WITH b AS (SELECT doc_id, substr(text, 1, 24) AS key
+      |           FROM documents
+      |           WHERE text IS NOT NULL AND len(substr(text, 1, 24)) >= 1),
+      |k AS (SELECT doc_id, key, substr(key, 1, 1) AS c1,
+      |        len(key) // 3 AS bk
+      |      FROM b),
+      |l AS (SELECT doc_id AS id_a, key AS key_a, c1, bk + d AS jb
+      |      FROM k, unnest([-1, 0, 1]) AS t(d)),
+      |r AS (SELECT doc_id AS id_b, key AS key_b, c1, bk AS jb FROM k)
+      |SELECT id_a, id_b, key_a, key_b,
+      |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS distance
+      |FROM l JOIN r USING (c1, jb)
+      |WHERE id_a < id_b
+      |  AND abs(len(key_a) - len(key_b)) <= 2
+      |  AND levenshtein(key_a, key_b) <= 2""".stripMargin
 
   /** q150's per-lang winsorization (also q153's — the stored-bounds
     * route must hash-match the live calibration): type-1 rank
@@ -3477,22 +3512,7 @@ object SparkEntry {
         |FROM a""".stripMargin,
     // first-char + adjacent-length-bucket blocking restated; DuckDB
     // levenshtein is the same unit-cost classic
-    "q220_fuzzy_key_pairs" ->
-      """WITH b AS (SELECT doc_id, substr(text, 1, 24) AS key
-        |           FROM documents
-        |           WHERE text IS NOT NULL AND len(substr(text, 1, 24)) >= 1),
-        |k AS (SELECT doc_id, key, substr(key, 1, 1) AS c1,
-        |        len(key) // 3 AS bk
-        |      FROM b),
-        |l AS (SELECT doc_id AS id_a, key AS key_a, c1, bk + d AS jb
-        |      FROM k, unnest([-1, 0, 1]) AS t(d)),
-        |r AS (SELECT doc_id AS id_b, key AS key_b, c1, bk AS jb FROM k)
-        |SELECT id_a, id_b, key_a, key_b,
-        |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS distance
-        |FROM l JOIN r USING (c1, jb)
-        |WHERE id_a < id_b
-        |  AND abs(len(key_a) - len(key_b)) <= 2
-        |  AND levenshtein(key_a, key_b) <= 2""".stripMargin,
+    "q220_fuzzy_key_pairs" -> FuzzyKeyPairsSql,
     // type-1 x_min (rank selection), strict exceedances, ln-ratio sum
     "q221_tail_index" ->
       """WITH b AS (SELECT source AS g,
@@ -3603,6 +3623,12 @@ object SparkEntry {
         |SELECT token, n_occurrences,
         |  ROUND(wt / tw, 6) AS sample_share
         |FROM w CROSS JOIN t""".stripMargin,
+    // the stored route must hash-match the live computation — q226
+    // shares q220's oracle verbatim (the q77≡q70 pattern): the index
+    // stores the raw keys, the probe re-blocks them identically, and
+    // id_a < id_b canonicalizes the bidirectional probe back to the
+    // live pair set
+    "q226_fuzzy_index_pairs" -> FuzzyKeyPairsSql,
     // HUGEINT five-sum Pearson mirrors the decimal(38,0) accumulators;
     // degenerate (zero-variance) sides are NULL both engines
     "q211_char_token_corr" ->

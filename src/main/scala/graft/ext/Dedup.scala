@@ -2973,8 +2973,9 @@ object Dedup {
     *
     *   - Per-document row-level indexes — MinHash (`buckets`/
     *     `shingles`), winnow (`fps`/`sizes`), containment (`grams`),
-    *     perceptual (`hashes`), semantic (`cells`/`vectors`, keyed
-    *     `vec_id`) — drop the ids' rows via anti-join,
+    *     perceptual (`hashes`), fuzzy-key (`keys`), semantic
+    *     (`cells`/`vectors`, keyed `vec_id`) — drop the ids' rows via
+    *     anti-join,
     *     stage-then-swap per relation (a crash leaves the previous
     *     complete index), batch tags untouched (surviving rows keep
     *     their replay provenance). The semantic index's CENTROIDS
@@ -3018,6 +3019,7 @@ object Dedup {
       case Some("containment") => Seq(("grams", "doc_id"))
       case Some("winnow") => Seq(("fps", "doc_id"), ("sizes", "doc_id"))
       case Some("perceptual") => Seq(("hashes", "media_id"))
+      case Some("fuzzykey") => Seq(("keys", "doc_id"))
       case Some(k) =>
         throw new IllegalArgumentException(rebuildOnly.format(indexPath, k))
       case None if params.contains("bands") =>
@@ -3060,14 +3062,15 @@ object Dedup {
     * (record linkage on titles, names, product keys): pairs whose
     * SHORT key columns sit within `maxDist` Levenshtein edits,
     * without the n² comparisons. Blocking: candidates must share the
-    * key's FIRST character and land in the same-or-adjacent length
-    * bucket of width maxDist+1 (a ≤ maxDist edit changes length by at
-    * most maxDist, so the true pair set is fully inside the adjacent-
-    * bucket join — the RangeJoin bucketized-containment trick on the
-    * length axis); exact Levenshtein verifies candidates. DOCUMENTED
-    * RECALL LIMIT: an edit ON the first character escapes the block
-    * (the standard first-char blocking trade; spec-pinned) — identical
-    * keys and every interior edit are always found.
+    * key's first `blockChars` characters (default 1) and land in the
+    * same-or-adjacent length bucket of width maxDist+1 (a ≤ maxDist
+    * edit changes length by at most maxDist, so the true pair set is
+    * fully inside the adjacent-bucket join — the RangeJoin
+    * bucketized-containment trick on the length axis); exact
+    * Levenshtein verifies candidates. DOCUMENTED RECALL LIMIT: an edit
+    * INSIDE the first `blockChars` characters escapes the block (the
+    * standard first-char blocking trade, dialed; spec-pinned) —
+    * identical keys and every edit past the prefix are always found.
     *
     * This is the string-metric member of the dedup family: the
     * Jaccard/MinHash ladder measures bag-of-shingles overlap (long
@@ -3081,34 +3084,239 @@ object Dedup {
     * Reference: the reference's GROUP-BY-as-DISTINCT family
     * (load_sales_history.py A1) relaxed to approximate keys.
     *
-    * Scale notes (100 TB): the join key is (first char, length
-    * bucket) — candidates are block-bounded, the explode is 3×
-    * the KEY projection only; Levenshtein runs on candidates, not
-    * pairs. Skewed blocks (every title starting "the ") are the
-    * hot-shingle caveat — pre-normalize keys (drop articles,
-    * lowercase) or add a second block key when a block outgrows an
-    * executor. */
+    * Two scale guards (both off by default — each changes the
+    * MEASURE, the capped-Jaccard rule, so they are explicit where
+    * used): `blockChars` widens the prefix block key to the first N
+    * characters — blocks shrink geometrically, at the documented
+    * recall price that an edit inside the first N characters escapes
+    * (the first-char trade, dialed); `maxBlockSize` FORFEITS every
+    * member of a (prefix, length-bucket) block whose population
+    * exceeds the cap — the q48 no-survivor rule (a capped key emits
+    * no pairs at all, including pairs with neighbouring blocks), the
+    * honest semantics when a degenerate block ("untitled", "") would
+    * otherwise go quadratic.
+    *
+    * Scale notes (100 TB): the join key is (prefix, length bucket) —
+    * candidates are block-bounded, the explode is 3× the KEY
+    * projection only; Levenshtein runs on candidates, not pairs.
+    * Block population grows linearly with the corpus at fixed
+    * blockChars, so at scale SET `maxBlockSize` (executor-task-sized,
+    * e.g. 100k) and/or raise `blockChars` — the cap is the guarantee
+    * no single block outgrows a task; pre-normalizing keys (drop
+    * articles, lowercase) keeps the forfeited set small. */
   def fuzzyKeyPairs(df: DataFrame, keyCol: String,
                     idCol: String = "doc_id",
-                    maxDist: Int = 2): DataFrame = {
+                    maxDist: Int = 2,
+                    blockChars: Int = 1,
+                    maxBlockSize: Option[Long] = None): DataFrame = {
+    val base = capHotBlocks(
+      fuzzyKeyBase(df, keyCol, idCol, maxDist, blockChars),
+      maxBlockSize)
+    fuzzyBlockJoin(base, base, maxDist)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        col("distance"))
+  }
+
+  /** The blocked projection both fuzzy-key routes share: (_id, _key,
+    * _cp prefix, _b length bucket). Validates the knobs once. */
+  private def fuzzyKeyBase(df: DataFrame, keyCol: String, idCol: String,
+                           maxDist: Int, blockChars: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(blockChars >= 1, s"blockChars must be >= 1, got $blockChars")
     val width = maxDist + 1
-    val base = df.select(col(idCol).as("_id"), col(keyCol).as("_key"))
+    df.select(col(idCol).as("_id"), col(keyCol).as("_key"))
       .filter(col("_key").isNotNull && length(col("_key")) >= 1)
-      .withColumn("_c1", substring(col("_key"), 1, 1))
+      .withColumn("_cp", substring(col("_key"), 1, blockChars))
       .withColumn("_b", expr(s"length(_key) div $width"))
-    val left = base
+  }
+
+  /** Drop every member of a hot block (population > cap) — the
+    * forfeit is total (q48's no-survivor rule): a capped key pairs
+    * with nothing, so the output is decidable per block without
+    * knowing its neighbours. The hot set is count-gated small
+    * (broadcast under the row ceiling, shuffled anti-join past it). */
+  private def capHotBlocks(base: DataFrame,
+                           maxBlockSize: Option[Long]): DataFrame =
+    maxBlockSize match {
+      case None => base
+      case Some(cap) =>
+        require(cap >= 1L, s"maxBlockSize must be >= 1, got $cap")
+        val hot = base.groupBy(col("_cp"), col("_b"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > cap).select("_cp", "_b")
+          .localCheckpoint()
+        val hinted =
+          if (hot.count() <= MaxBroadcastRows) broadcast(hot) else hot
+        base.join(hinted, Seq("_cp", "_b"), "left_anti")
+    }
+
+  /** The bucketized candidate join + exact-Levenshtein verify both
+    * routes share — left explodes to its 3 admissible buckets, right
+    * stays put; emits UNFILTERED oriented pairs (id_a from `a`, id_b
+    * from `b`) so each route applies its own identity rule. */
+  private def fuzzyBlockJoin(a: DataFrame, b: DataFrame,
+                             maxDist: Int): DataFrame = {
+    val left = a
       .withColumn("_jb",
         explode(array(col("_b") - 1, col("_b"), col("_b") + 1)))
       .select(col("_id").as("id_a"), col("_key").as("key_a"),
-        col("_c1"), col("_jb"))
-    val right = base.select(col("_id").as("id_b"), col("_key").as("key_b"),
-      col("_c1"), col("_b").as("_jb"))
-    left.join(right, Seq("_c1", "_jb"))
-      .filter(col("id_a") < col("id_b") &&
-        abs(length(col("key_a")) - length(col("key_b"))) <= maxDist &&
+        col("_cp"), col("_jb"))
+    val right = b.select(col("_id").as("id_b"), col("_key").as("key_b"),
+      col("_cp"), col("_b").as("_jb"))
+    left.join(right, Seq("_cp", "_jb"))
+      .filter(abs(length(col("key_a")) - length(col("key_b"))) <= maxDist &&
         levenshtein(col("key_a"), col("key_b")) <= maxDist)
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
         levenshtein(col("key_a"), col("key_b")).cast("long").as("distance"))
+  }
+
+  // --------------------------------------------------------------------
+  // Fuzzy-key index — the incremental ladder of [[fuzzyKeyPairs]]
+  // (entity resolution against an accumulated catalog), following the
+  // containment-index contract shape-for-shape: write → against →
+  // append → ingest batch → compaction → forget, batch-tag replay
+  // exclusion throughout. The stored state is the RAW (doc_id, key)
+  // relation — keys are short by the family's charter, and Levenshtein
+  // needs the characters (no hash stands in for an edit distance), so
+  // unlike the shingle ladders this index stores text. Sidecar owns
+  // kind + the key recipe's column name (the canonical-index idCol
+  // rule: a probe against keys built from a different column is
+  // silently meaningless, so the name must match loudly); maxDist /
+  // blockChars / maxBlockSize are apply-time knobs (the dsirAlpha
+  // rule — the stored state does not depend on them).
+  // --------------------------------------------------------------------
+
+  private def fuzzyKeyIndexParams(keyCol: String): Map[String, String] =
+    Map("kind" -> "fuzzykey", "keyCol" -> keyCol)
+
+  /** Persist the corpus-side fuzzy-key state: (doc_id, key) rows under
+    * `path/keys` (batch_id NULL = base corpus), params sidecar LAST.
+    *
+    * Scale notes (100 TB): the stored relation is two short columns
+    * per doc — the cheapest artifact in the dedup suite; the write is
+    * one projection, no shuffle. */
+  def writeFuzzyKeyIndex(docs: DataFrame, path: String, keyCol: String,
+                         idCol: String = "doc_id"): Unit = {
+    docs.select(col(idCol).as("doc_id"), col(keyCol).as("key"))
+      .filter(col("key").isNotNull && length(col("key")) >= 1)
+      .withColumn("batch_id", lit(null).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/keys")
+    writeParams(s"$path/params.properties", fuzzyKeyIndexParams(keyCol))
+  }
+
+  /** Append a batch's keys (sidecar validated BEFORE any write — a
+    * rejected append must not mutate the index; `batchId` tags rows
+    * for replay exclusion). */
+  def appendFuzzyKeyIndex(docs: DataFrame, path: String, keyCol: String,
+                          idCol: String = "doc_id",
+                          batchId: Option[Long] = None): Unit = {
+    requireParams(s"$path/params.properties", fuzzyKeyIndexParams(keyCol),
+      "fuzzykey")
+    requireTaggedRelation(docs.sparkSession, path, "keys")
+    docs.select(col(idCol).as("doc_id"), col(keyCol).as("key"))
+      .filter(col("key").isNotNull && length(col("key")) >= 1)
+      .withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/keys")
+  }
+
+  /** Fuzzy-key pairs between a NEW batch and an indexed catalog —
+    * (corpus id_a, batch id_b, key_a, key_b, distance), computed from
+    * the stored keys so cost scales with the batch plus one index
+    * scan. Probing the SAME ids that are already indexed is guarded
+    * (`id_a =!= id_b` — the q171 against-probe rule: an absorbed item
+    * re-probed must not pair with its own stored row); replayed-append
+    * duplicate rows collapse under the probe's distinct. The hot-block
+    * cap counts the INDEX side's block population (the maxGramDf
+    * convention — the stored corpus is the side that grows) and
+    * forfeits the block from both sides. */
+  def fuzzyKeyPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                newDocs: DataFrame, indexPath: String,
+                                keyCol: String, idCol: String = "doc_id",
+                                maxDist: Int = 2, blockChars: Int = 1,
+                                maxBlockSize: Option[Long] = None,
+                                excludeBatchId: Option[Long] = None)
+      : DataFrame = {
+    requireParams(s"$indexPath/params.properties",
+      fuzzyKeyIndexParams(keyCol), "fuzzykey")
+    val idx = fuzzyKeyBase(
+      excludeTagged(spark.read.parquet(s"$indexPath/keys"),
+          indexPath, "keys", excludeBatchId)
+        .select("doc_id", "key").distinct(),
+      "key", "doc_id", maxDist, blockChars)
+    val batch = fuzzyKeyBase(newDocs, keyCol, idCol, maxDist, blockChars)
+    val (ga, gb) = maxBlockSize match {
+      case None => (idx, batch)
+      case Some(cap) =>
+        require(cap >= 1L, s"maxBlockSize must be >= 1, got $cap")
+        val hot = idx.groupBy(col("_cp"), col("_b"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > cap).select("_cp", "_b")
+          .localCheckpoint()
+        val hinted =
+          if (hot.count() <= MaxBroadcastRows) broadcast(hot) else hot
+        (idx.join(hinted, Seq("_cp", "_b"), "left_anti"),
+          batch.join(hinted, Seq("_cp", "_b"), "left_anti"))
+    }
+    fuzzyBlockJoin(ga, gb, maxDist)
+      .filter(col("id_a") =!= col("id_b"))
+  }
+
+  /** One continuous-ingest fuzzy-key cycle — [[ingestDedupBatch]]'s
+    * contract on the string metric: drop batch docs whose key sits
+    * within `maxDist` of an indexed key (the catalog owns the entity)
+    * or of an earlier batch doc's key (within-batch pairs keep the
+    * smaller id — the greedy first-wins policy). Survivors feed
+    * `accept` BEFORE the index append (the crash-ordering rule), then
+    * grow the index tagged with `batchId` so a replay reproduces its
+    * pre-append survivor set. */
+  def ingestFuzzyKeyBatch(spark: org.apache.spark.sql.SparkSession,
+                          newDocs: DataFrame, indexPath: String,
+                          keyCol: String, idCol: String = "doc_id",
+                          maxDist: Int = 2, blockChars: Int = 1,
+                          maxBlockSize: Option[Long] = None,
+                          batchId: Option[Long] = None,
+                          accept: DataFrame => Unit = _ => ()): DataFrame = {
+    val batch = newDocs.localCheckpoint()
+    val cross = fuzzyKeyPairsAgainstIndex(spark, batch, indexPath, keyCol,
+      idCol, maxDist, blockChars, maxBlockSize, excludeBatchId = batchId)
+    val within = fuzzyKeyPairs(batch, keyCol, idCol, maxDist, blockChars,
+      maxBlockSize)
+    val dropIds = cross.select(col("id_b").as(idCol))
+      .unionByName(within.select(col("id_b").as(idCol)))
+      .distinct()
+    val survivors = batch.join(dropIds, Seq(idCol), "left_anti")
+      .localCheckpoint() // materialize BEFORE the append mutates the index
+    accept(survivors)
+    appendFuzzyKeyIndex(survivors, indexPath, keyCol, idCol, batchId)
+    survivors
+  }
+
+  /** Compact an appended fuzzy-key index — earliest-tag/NULL-wins
+    * provenance (see [[compactMinhashIndex]]); probe results unchanged
+    * because the probe distinct-collapses anyway. */
+  def compactFuzzyKeyIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/params.properties")),
+      s"no index at $path")
+    compactTaggedRelations(spark, path, Seq("keys"))
+  }
+
+  /** Content-fingerprint-cached [[writeFuzzyKeyIndex]] — the
+    * `ensureIvfIndex` ladder (every key field '_'-separated). */
+  def ensureFuzzyKeyIndex(docs: DataFrame, cacheRoot: String,
+                          sourcePath: String, keyCol: String,
+                          idCol: String = "doc_id",
+                          variant: String = ""): String = {
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"fuzzy_${keyCol.replaceAll("[^A-Za-z0-9]", "_")}_${variant}_" +
+        Similarity.pathFingerprint(sourcePath))
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writeFuzzyKeyIndex(docs, tmp, keyCol, idCol))
+    idx.toString
   }
 }

@@ -270,6 +270,38 @@ object EventStream {
         }
       }
 
+  /** Streaming fuzzy-key dedup ingest — `ingestDedupStream` on the
+    * string metric: each micro-batch screens its keys against the
+    * on-disk fuzzy-key index ([[graft.ext.Dedup.ingestFuzzyKeyBatch]]
+    * — a batch doc within `maxDist` edits of an indexed key drops, the
+    * catalog owns the entity), plus within-batch pairs (smaller id
+    * wins), survivors land under `acceptedPath/batch_id=N`, and the
+    * index grows by exactly those survivors' keys. Same crash-window
+    * contract as every ingest twin (own-tag-excluded probe +
+    * batch-keyed overwrite landing = effectively exactly-once;
+    * replayed append duplicates are collapsed by the probe's distinct
+    * and by `compactFuzzyKeyIndex`). */
+  def ingestFuzzyKeyStream(docs: DataFrame, indexPath: String,
+                           acceptedPath: String, checkpoint: String,
+                           keyCol: String, idCol: String = "doc_id",
+                           maxDist: Int = 2, blockChars: Int = 1,
+                           maxBlockSize: Option[Long] = None)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Dedup.ingestFuzzyKeyBatch(batch.sparkSession, batch,
+            indexPath, keyCol, idCol, maxDist, blockChars, maxBlockSize,
+            batchId = Some(batchId),
+            accept = _.write.mode(SaveMode.Overwrite)
+              .parquet(s"$acceptedPath/batch_id=$batchId"))
+          ()
+        }
+      }
+
   /** Streaming perceptual-dedup ingest — `ingestDedupStream` on media
     * fingerprints: each micro-batch of (media_id, format, payload)
     * rows screens against the on-disk perceptual index

@@ -150,6 +150,116 @@ class DedupSpec extends SparkSpec {
         .collect().map(key).toSet)
   }
 
+  test("fuzzy-key blocking: prefix width trades recall, hot-block cap forfeits totally") {
+    // "galaxt brain" is 1 edit from "galaxy brain" — found at
+    // blockChars 1..5 (shared prefix "galax"), ESCAPES at 6 (the 6th
+    // char differs); the documented dialed first-char trade
+    val df = Seq((1L, "galaxy brain"), (2L, "galaxt brain"),
+        (3L, "unrelated"))
+      .toDF("doc_id", "title")
+    def pairs(bc: Int) = Dedup.fuzzyKeyPairs(df, "title", blockChars = bc)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(1) == Set((1L, 2L)) && pairs(5) == Set((1L, 2L)))
+    assert(pairs(6).isEmpty,
+      "an edit inside the widened prefix must escape the block")
+    // identical keys always survive any prefix width
+    val ident = Seq((1L, "same key"), (2L, "same key")).toDF("doc_id", "title")
+    assert(Dedup.fuzzyKeyPairs(ident, "title", blockChars = 8)
+      .count() == 1L)
+    // hot-block cap: 5 near-identical keys share block ("t", bucket 3);
+    // cap 4 forfeits ALL of them (no pairs at all — the q48
+    // no-survivor rule), while the unrelated pair elsewhere survives
+    val hot = (1 to 5).map(i => (i.toLong, s"the title $i")) ++
+      Seq((10L, "zebra farm"), (11L, "zebra fern"))
+    val hotDf = hot.toDF("doc_id", "title")
+    val capped = Dedup.fuzzyKeyPairs(hotDf, "title",
+        maxBlockSize = Some(4L))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)),
+      s"hot block must forfeit every member: $capped")
+    // a generous cap reproduces the uncapped result exactly
+    val free = Dedup.fuzzyKeyPairs(hotDf, "title").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Dedup.fuzzyKeyPairs(hotDf, "title", maxBlockSize = Some(1000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == free)
+    assert(free.size > 1, "the uncapped run must see the hot block")
+  }
+
+  test("fuzzy-key index: against ≡ live cross slice, self-probe guard, ingest, replay, compaction, forget") {
+    val corpus = Seq((1L, "galaxy brain"), (2L, "hello world"),
+        (3L, "zebra farm")).toDF("doc_id", "title")
+    val batch = Seq(
+        (100L, "galaxt brain"),   // 1 edit of corpus 1 → drops
+        (101L, "fresh title"),    // new entity → survives
+        (102L, "hello w0rld"),    // 1 edit of corpus 2 → drops
+        (103L, "fresh titles"))   // 1 edit of batch 101 → within-batch drop
+      .toDF("doc_id", "title")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fuzzy_idx").toString
+    Dedup.writeFuzzyKeyIndex(corpus, s"$dir/idx", "title")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))
+    // the incremental-family equality claim: the against route equals
+    // the live pair op over (corpus ∪ batch) restricted to cross pairs
+    val got = Dedup.fuzzyKeyPairsAgainstIndex(spark, batch, s"$dir/idx",
+      "title").collect().map(key).toSet
+    val live = Dedup.fuzzyKeyPairs(corpus.unionByName(batch), "title")
+      .filter($"id_a" < 100L && $"id_b" >= 100L)
+      .collect().map(key).toSet
+    assert(got == live && got.nonEmpty, s"got $got vs $live")
+    // self-probe guard (the q171 against-probe rule): probing the
+    // indexed corpus itself pairs no row with its own stored copy, and
+    // id_a < id_b canonicalization reproduces the live pair set — the
+    // q226 stored-route equality, here as the library-level claim
+    val self = Dedup.fuzzyKeyPairsAgainstIndex(spark, corpus, s"$dir/idx",
+        "title")
+    assert(self.filter($"id_a" === $"id_b").isEmpty,
+      "an indexed doc must not pair with its own stored row")
+    assert(self.filter($"id_a" < $"id_b").collect().map(key).toSet
+      == Dedup.fuzzyKeyPairs(corpus, "title").collect().map(key).toSet)
+    // a probe against an index built from a DIFFERENT key column is
+    // silently meaningless — the sidecar must refuse it loudly
+    val ek = intercept[IllegalArgumentException](
+      Dedup.fuzzyKeyPairsAgainstIndex(spark, batch, s"$dir/idx", "name"))
+    assert(ek.getMessage.toLowerCase.contains("fuzzykey"), ek.getMessage)
+    // ingest: cross dups and the within-batch dup drop, survivor set
+    // is replay-deterministic under the batch tag
+    def cycle() = Dedup.ingestFuzzyKeyBatch(spark, batch, s"$dir/idx",
+        "title", batchId = Some(7L))
+      .select("doc_id").as[Long].collect().toSet
+    val s1 = cycle()
+    assert(s1 == Set(101L), s1.toString)
+    assert(cycle() == s1, "a replayed ingest must reproduce its survivors")
+    // a later batch's near-dup of a SURVIVOR drops against the grown index
+    val later = Seq((200L, "fresh titlez")).toDF("doc_id", "title")
+    assert(Dedup.ingestFuzzyKeyBatch(spark, later, s"$dir/idx", "title",
+      batchId = Some(8L)).isEmpty)
+    // a rejected append must not mutate the index
+    val before = spark.read.parquet(s"$dir/idx/keys").count()
+    intercept[IllegalArgumentException](
+      Dedup.appendFuzzyKeyIndex(batch, s"$dir/idx", "name"))
+    assert(spark.read.parquet(s"$dir/idx/keys").count() == before)
+    // compaction collapses replayed duplicates; tag-excluded probes
+    // are unchanged (earliest-tag provenance preserved)
+    Dedup.compactFuzzyKeyIndex(spark, s"$dir/idx")
+    assert(spark.read.parquet(s"$dir/idx/keys").count() < before)
+    assert(Dedup.fuzzyKeyPairsAgainstIndex(spark, batch, s"$dir/idx",
+        "title", excludeBatchId = Some(7L))
+      .collect().map(key).toSet == got)
+    // forget: the victim's key row goes, probes stop matching it,
+    // other docs keep matching (row-level kind dispatch)
+    val rep = Dedup.forgetDocuments(spark, s"$dir/idx",
+        Seq(Tuple1(1L)).toDF("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(rep == Map("keys" -> 1L), rep.toString)
+    val after = Dedup.fuzzyKeyPairsAgainstIndex(spark, batch, s"$dir/idx",
+      "title").select("id_a").as[Long].collect().toSet
+    assert(!after.contains(1L) && after.contains(2L), after.toString)
+  }
+
   test("CC and greedy survivors agree on the fixture's clique topology") {
     // planted near-dup clusters are mutual copies (cliques), where every
     // non-min member has the min as a direct neighbor — so greedy and CC

@@ -146,6 +146,43 @@ class EventStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(10L, 21L))
   }
 
+  test("fuzzy-key ingest stream: typo'd keys drop across batches, replay exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_fuzzy").toString
+    val corpus = Seq((1L, "galaxy brain")).toDF("doc_id", "text")
+    graft.ext.Dedup.writeFuzzyKeyIndex(corpus, s"$dir/idx", "text")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.ingestFuzzyKeyStream(mem.toDF(), s"$dir/idx",
+        s"$dir/accepted", s"$dir/ckpt", keyCol = "text").start()
+      q.awaitTermination()
+    }
+    // micro-batch 0: a fresh key + a 1-edit typo of corpus doc 1
+    // (dropped — the catalog owns the entity)
+    mem.addData(
+      IngestDoc(10L, "fresh title"),
+      IngestDoc(11L, "galaxt brain"))
+    drain()
+    // crash window: side effects committed, checkpoint commit lost —
+    // own-tag exclusion must reproduce the survivor set on replay
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    assert(spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toList == List(10L))
+    // micro-batch 1: a typo of batch-0 SURVIVOR 10 — dropped only
+    // because the stream grew the index — plus a genuinely new key
+    mem.addData(
+      IngestDoc(20L, "fresh titlez"),
+      IngestDoc(21L, "zebra farm"))
+    drain()
+    assert(spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 21L))
+  }
+
   test("winnow ingest stream: passage copies drop across batches, replay exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files
