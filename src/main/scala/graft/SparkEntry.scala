@@ -2166,6 +2166,24 @@ object SparkEntry {
     "q225_negative_sampling" -> ((s, dir) =>
       ext.Sampling.negativeSamplingWeights(Tables.documents(s, dir),
         minCount = 5L)),
+    // the SKETCH route of q150: percentile_approx clamp bounds (one
+    // mergeable aggregate, no per-group sorted window) — the
+    // extreme-scale twin; engine-specific sketch ⇒ rows-only (the
+    // accuracy→∞ ≡ exact-route claim is spec-pinned)
+    "q227_winsorized_approx" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val scored = ext.TextAnalysis.qualityModelScores(docs)
+        .select(col("doc_id"), col("quality_score"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      ext.Sampling.winsorizeScoresApprox(scored, "doc_id",
+        "quality_score", "lang", pLow = 0.05, pHigh = 0.95)
+    }),
+    // the SKETCH route of q152: median + MAD via percentile_approx —
+    // no event type serializes its distinct values through one
+    // reducer; rows-only (engine-specific sketch)
+    "q228_event_outliers_approx" -> ((s, dir) =>
+      ext.Events.valueOutlierReportApprox(Tables.events(s, dir))),
     // stored-route fuzzy pairs: probe the corpus against its own
     // frozen key index — with id_a < id_b canonicalization the pair
     // set equals the live q220 route, so it shares q220's oracle SQL

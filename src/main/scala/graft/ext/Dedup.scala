@@ -3058,6 +3058,115 @@ object Dedup {
       .toDF("relation", "n_before", "n_after", "n_removed")
   }
 
+  /** One-call takedown across the WHOLE artifact suite —
+    * [[forgetDocuments]] plus the rebuild it tells refused kinds to
+    * run, composed: row-level indexes take the existing anti-join arm
+    * (sourceDocs unused there — the stored rows carry everything);
+    * artifacts that cannot unlearn are REBUILT from
+    * `sourceDocs minus ids` via their own write op under the
+    * artifact's exclusive lock, atomic-swapped at the artifact ROOT
+    * (a crash leaves the previous complete artifact — the lock file
+    * is a sibling, so the swap is safe under it). Rebuild parameters
+    * come from the SIDECAR, never the caller (the artifact-owned
+    * parameter rule), which bounds the supported set to kinds whose
+    * recipe the sidecar fully determines over one docs-shaped frame:
+    *
+    *   - Bloom decontamination sketch (n/expectedItems/fpp),
+    *   - passage index (windowTokens; rebuild resets batch provenance
+    *     — the [[graft.ext.TextAnalysis.rebuildTokenSequenceIndex]]
+    *     precedent),
+    *   - unigram / bigram-LM / trigram-LM / n-gram-df / line / length
+    *     count profiles (tokenizer pinned in the sidecar),
+    *   - winsorize bounds (scoreCol/groupCol/pLow/pHigh sidecar-owned;
+    *     an `approx_<accuracy>` method key rebuilds through the same
+    *     sketch route it was calibrated with — here `sourceDocs` is
+    *     the SCORED frame the bounds were calibrated on).
+    *
+    * Everything else still refuses loudly with the writer to call:
+    * the canonical index needs the original key/score Columns (the
+    * sidecar pins their shape, it cannot reconstruct them), and
+    * reputation/HLL/CMS/centroid/DSIR/volume/PCA artifacts take
+    * benchmark/event/embedding frames a one-docs-frame API would
+    * silently misfeed. Spec-pinned: rebuild ≡ fresh build on the
+    * surviving corpus, per supported kind.
+    *
+    * Output: [[forgetDocuments]]' report shape — for rebuilds one row
+    * (relation = "rebuilt", n_before/n_after = SOURCE doc counts,
+    * n_removed = docs dropped from the build input).
+    *
+    * Scale notes (100 TB): a rebuild is one full write-op pass over
+    * the retained corpus at takedown cadence — exactly what the
+    * refusal message already prescribed, now executed instead of
+    * hand-composed; batch takedowns amortize (one call, all ids). */
+  def forgetAndRebuild(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, ids: DataFrame,
+                       sourceDocs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(ids.columns.length == 1,
+      s"ids frame must have exactly one column, got ${ids.columns.mkString(", ")}")
+    val params = sidecarParams(s"$indexPath/params.properties")
+    val kind = params.get("kind")
+    val rowLevel =
+      kind.exists(Set("containment", "winnow", "perceptual", "fuzzykey")) ||
+        (kind.isEmpty && (params.contains("bands") || params.contains("nCells")))
+    if (rowLevel) return forgetDocuments(spark, indexPath, ids)
+    val rebuild: Option[(DataFrame, String) => Unit] = kind match {
+      case Some("unigram") =>
+        Some((d, tmp) => TextAnalysis.writeCorpusProfile(d, tmp))
+      case Some("bigram-lm") =>
+        Some((d, tmp) => TextAnalysis.writeLmProfile(d, tmp))
+      case Some("trigram-lm") =>
+        Some((d, tmp) => TextAnalysis.writeTrigramLmProfile(d, tmp))
+      case Some("ngram-df") =>
+        Some((d, tmp) =>
+          TextAnalysis.writeNgramDfProfile(d, tmp, params("n").toInt))
+      case Some("line_profile") =>
+        Some((d, tmp) => writeLineProfile(d, tmp, params("sep")))
+      case Some("length-histogram") =>
+        Some((d, tmp) => TextAnalysis.writeLengthProfile(d, tmp))
+      case Some("winsorize-bounds") =>
+        val (sc, gc) = (params("scoreCol"), params("groupCol"))
+        val (pl, ph) = (params("pLow").toDouble, params("pHigh").toDouble)
+        params.get("method") match {
+          case Some(m) if m.startsWith("approx_") =>
+            Some((d, tmp) => Sampling.writeScoreBoundsApprox(d, sc, gc,
+              pl, ph, tmp, m.stripPrefix("approx_").toInt))
+          case _ =>
+            Some((d, tmp) => Sampling.writeScoreBounds(d, sc, gc,
+              pl, ph, tmp))
+        }
+      case None if params.contains("expectedItems") =>
+        Some((d, tmp) => writeBloomIndex(d, tmp, params("n").toInt,
+          params("expectedItems").toLong, params("fpp").toDouble))
+      case None if params.contains("windowTokens") =>
+        Some((d, tmp) =>
+          writePassageIndex(d, tmp, params("windowTokens").toInt))
+      case _ => None
+    }
+    rebuild match {
+      case None =>
+        // fall through to forgetDocuments' per-kind refusal text —
+        // canonical and frame-mismatched kinds keep their specific
+        // guidance (this call adds no new capability for them)
+        forgetDocuments(spark, indexPath, ids)
+      case Some(w) =>
+        val survivors = sourceDocs.join(
+            ids.select(col(ids.columns.head).as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          .localCheckpoint() // one materialization: count + rebuild input
+        val nBefore = sourceDocs.count()
+        val nAfter = survivors.count()
+        Similarity.withExclusiveLock(
+            java.nio.file.Paths.get(indexPath)) {
+          graft.lineage.AtomicSwap.writeSwap(indexPath)(tmp =>
+            w(survivors, tmp))
+        }
+        spark.createDataFrame(
+            Seq(("rebuilt", nBefore, nAfter, nBefore - nAfter)))
+          .toDF("relation", "n_before", "n_after", "n_removed")
+    }
+  }
+
   /** FUZZY-KEY near-duplicate pairs — classical entity resolution
     * (record linkage on titles, names, product keys): pairs whose
     * SHORT key columns sit within `maxDist` Levenshtein edits,

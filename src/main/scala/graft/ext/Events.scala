@@ -1024,9 +1024,10 @@ object Events {
     * the cumulative windows tie-free) — the windows are partitioned
     * per type, so a type whose metric is continuous serializes its
     * distinct values through one reducer: that is the price of exact
-    * order statistics, and [[valuePercentiles]]' `approx_percentile`
-    * variant is the documented sketch alternative at extreme scale.
-    * Medians/MADs attach back as enum-sized broadcasts. */
+    * order statistics, and [[valueOutlierReportApprox]] is the sketch
+    * route at extreme scale (same output contract, mergeable
+    * percentile summaries, no per-type reducer). Medians/MADs attach
+    * back as enum-sized broadcasts. */
   def valueOutlierReport(events: DataFrame, k: Double = 3.0): DataFrame = {
     require(k > 0.0, "need a positive MAD multiplier")
     val dv = events.groupBy(col("event_type"), col("value"))
@@ -1053,6 +1054,44 @@ object Events {
       .agg(sum(col("c")).as("n_events"),
         sum(when(abs(col("value") - col("median")) > lit(k) * col("mad"),
           col("c")).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n_events"), col("median"), col("mad"),
+        col("n_outliers"),
+        round(col("n_outliers") / col("n_events").cast("double"), 6)
+          .as("outlier_share"))
+  }
+
+  /** [[valueOutlierReport]] through mergeable percentile sketches —
+    * the extreme-scale route: median and MAD come from
+    * `percentile_approx` (rank error ≤ n/accuracy; every returned
+    * value is still an actual datum), so no event type ever
+    * serializes its distinct values through one reducer. Same output
+    * contract; at accuracy ≥ n the summaries never compress and the
+    * report EQUALS the exact route (the accuracy→∞ limit,
+    * spec-pinned). Engine-specific sketch ⇒ rows-only at the driver
+    * gate (q228).
+    *
+    * Scale notes (100 TB): three map-side-combined aggregate passes
+    * over the raw events (median sketch, deviation sketch, flag
+    * count) with enum-sized broadcasts between — at extreme
+    * cardinality three sketch scans beat one serialized reducer; at
+    * moderate cardinality prefer the exact route's auditable
+    * numbers. */
+  def valueOutlierReportApprox(events: DataFrame, k: Double = 3.0,
+                               accuracy: Int = 10000): DataFrame = {
+    require(k > 0.0, "need a positive MAD multiplier")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    val med = events.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(accuracy))
+        .as("median"))
+    val mad = events.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("median"))
+      .agg(percentile_approx(abs(col("value") - col("median")), lit(0.5),
+        lit(accuracy)).as("mad"))
+    events.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("median"), col("mad"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs(col("value") - col("median")) > lit(k) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"))
       .select(col("event_type"), col("n_events"), col("median"), col("mad"),
         col("n_outliers"),
         round(col("n_outliers") / col("n_events").cast("double"), 6)

@@ -768,9 +768,11 @@ object Sampling {
     * (group, score) projection (the window), plus a groups×|qs| rank
     * table joined back as a broadcast — nothing else is data-sized.
     * Calibration runs on score relations (already one row per doc);
-    * for quick-and-dirty thresholds at extreme scale
-    * `percentile_approx` is cheaper but engine-specific — this op is
-    * the auditable exact form. */
+    * for thresholds at extreme scale [[scoreQuantilesApprox]] is the
+    * sketch route (mergeable, no per-group sort) — this op is the
+    * auditable exact form, and the two provably meet: the sketch at
+    * accuracy ≥ n returns exactly these type-1 order statistics
+    * (spec-pinned). */
   def scoreQuantiles(scored: DataFrame, scoreCol: String, groupCol: String,
                      qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
@@ -788,6 +790,37 @@ object Sampling {
     ranked.join(broadcast(ks),
         ranked(groupCol) === ks(groupCol) && col("_rn") === col("_k"))
       .select(ranked(groupCol), col("quantile"), col(scoreCol))
+  }
+
+  /** Sketch-route quantiles — [[scoreQuantiles]]' contract on Spark's
+    * `percentile_approx` (Greenwald–Khanna-style mergeable summaries):
+    * same (group, quantile, score) output shape, but the per-group
+    * cost is one map-side-combined sketch merge instead of a sorted
+    * window — at extreme scale a group whose score column is
+    * continuous no longer serializes its distinct values through one
+    * reducer. The error is the sketch's rank guarantee (±n/accuracy
+    * ranks); every returned value is still an ACTUAL datum, and at
+    * accuracy ≥ n the summary never compresses, so the result equals
+    * the exact type-1 ⌈q·n⌉ order statistics — the exact route is the
+    * accuracy→∞ limit, spec-pinned. Engine-specific sketch ⇒
+    * rows-only at the driver gate (DuckDB's approx_quantile is a
+    * t-digest — a different estimator).
+    *
+    * Scale notes (100 TB): one aggregate, no window, no join beyond
+    * the groups-sized explode of the quantile vector. */
+  def scoreQuantilesApprox(scored: DataFrame, scoreCol: String,
+                           groupCol: String, qs: Seq[Double],
+                           accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "need quantiles in (0, 1]")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    val qArr = array(qs.map(lit): _*)
+    scored.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol), qArr, lit(accuracy))
+        .as("_vals"))
+      .select(col(groupCol), posexplode(col("_vals")).as(Seq("_i", scoreCol)))
+      .withColumn("quantile", element_at(qArr, col("_i") + 1))
+      .select(col(groupCol), col("quantile"), col(scoreCol))
   }
 
   /** Winsorized (quantile-clamped) scores — the robust-scaling pass a
@@ -816,6 +849,36 @@ object Sampling {
                       pHigh: Double = 0.95): DataFrame =
     applyBounds(scored, boundsOf(scored, scoreCol, groupCol, pLow, pHigh),
       idCol, scoreCol, groupCol)
+
+  /** [[winsorizeScores]] on sketch bounds — the extreme-scale route:
+    * bounds come from [[scoreQuantilesApprox]] (one mergeable
+    * aggregate, no per-group sorted window), the clamp is the shared
+    * [[applyBounds]]. Clamp values are still actual data (the sketch
+    * returns samples), and at accuracy ≥ n this op EQUALS
+    * [[winsorizeScores]] (the accuracy→∞ limit, spec-pinned);
+    * engine-specific sketch ⇒ rows-only at the driver gate (q227). */
+  def winsorizeScoresApprox(scored: DataFrame, idCol: String,
+                            scoreCol: String, groupCol: String,
+                            pLow: Double = 0.05, pHigh: Double = 0.95,
+                            accuracy: Int = 10000): DataFrame =
+    applyBounds(scored,
+      approxBoundsOf(scored, scoreCol, groupCol, pLow, pHigh, accuracy),
+      idCol, scoreCol, groupCol)
+
+  /** [[boundsOf]]' sketch twin — one percentile_approx aggregate
+    * pivoted to the (group, _lo, _hi) clamp relation. */
+  private def approxBoundsOf(scored: DataFrame, scoreCol: String,
+                             groupCol: String, pLow: Double, pHigh: Double,
+                             accuracy: Int): DataFrame = {
+    require(pLow > 0.0 && pLow < pHigh && pHigh <= 1.0,
+      s"need 0 < pLow < pHigh <= 1: ($pLow, $pHigh)")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    scored.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol),
+        array(lit(pLow), lit(pHigh)), lit(accuracy)).as("_vals"))
+      .select(col(groupCol), col("_vals").getItem(0).as("_lo"),
+        col("_vals").getItem(1).as("_hi"))
+  }
 
   /** The per-group [lo, hi] type-1 bound relation both winsorize
     * routes clamp against — shared so the stored artifact is the live
@@ -888,6 +951,25 @@ object Sampling {
       .parquet(s"$path/bounds")
     Dedup.writeParams(s"$path/params.properties",
       boundsParams(scoreCol, groupCol, pLow, pHigh))
+  }
+
+  /** [[writeScoreBounds]] calibrated through the sketch route — the
+    * artifact layout and sidecar kind are IDENTICAL (application goes
+    * through the same [[winsorizeScoresAgainstBounds]], which only
+    * reads bound VALUES), plus a `method=approx_<accuracy>` provenance
+    * key so an audit can tell how the bounds were calibrated.
+    * Rebuild-only like the exact writer — sketch bounds still don't
+    * merge across recalibrations (two sketches merge, but the FROZEN
+    * clamp must come from one calibration pass). */
+  def writeScoreBoundsApprox(scored: DataFrame, scoreCol: String,
+                             groupCol: String, pLow: Double, pHigh: Double,
+                             path: String, accuracy: Int = 10000): Unit = {
+    approxBoundsOf(scored, scoreCol, groupCol, pLow, pHigh, accuracy)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/bounds")
+    Dedup.writeParams(s"$path/params.properties",
+      boundsParams(scoreCol, groupCol, pLow, pHigh) +
+        ("method" -> s"approx_$accuracy"))
   }
 
   /** Clamp a batch's scores against STORED bounds — identical output

@@ -38,7 +38,8 @@ class SparkEntrySpec extends SparkSpec {
       "q182_cluster_profile", "q188_truncation_fidelity",
       "q205_corpus_overlap", "q206_pca_spectrum", "q207_pca_ann_pairs",
       "q210_audio_spectral", "q214_label_disagreement",
-      "q215_pca_moments_spectrum"),
+      "q215_pca_moments_spectrum", "q227_winsorized_approx",
+      "q228_event_outliers_approx"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -260,6 +260,80 @@ class DedupSpec extends SparkSpec {
     assert(!after.contains(1L) && after.contains(2L), after.toString)
   }
 
+  test("forgetAndRebuild: refused kinds rebuild ≡ fresh build on the surviving corpus") {
+    val docs = (1 to 40).map(i =>
+        (i.toLong, s"alpha bravo w$i x$i y$i z$i tail${i % 5} common words"))
+      .toDF("doc_id", "text")
+    val victims = Seq(3L, 17L, 28L).toDF("doc_id")
+    val survivors = docs.filter(!$"doc_id".isin(3L, 17L, 28L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_forget_rebuild").toString
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(_.toSeq.toList).toSet
+    def report(p: String) =
+      Dedup.forgetAndRebuild(spark, p, victims, docs)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toList
+    // bloom: rebuild bytes must equal a fresh sketch over survivors
+    Dedup.writeBloomIndex(docs, s"$dir/bloom")
+    assert(report(s"$dir/bloom") == List(("rebuilt", 40L, 37L, 3L)))
+    Dedup.writeBloomIndex(survivors, s"$dir/bloom_fresh")
+    assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/bloom/sketch.bin")),
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/bloom_fresh/sketch.bin"))),
+      "rebuilt Bloom sketch must be byte-identical to a fresh build")
+    // passage index: keys relation equals the fresh build's
+    Dedup.writePassageIndex(docs, s"$dir/pass")
+    report(s"$dir/pass")
+    Dedup.writePassageIndex(survivors, s"$dir/pass_fresh")
+    assert(rows(s"$dir/pass/keys") == rows(s"$dir/pass_fresh/keys"))
+    // count profiles: unigram + ngram-df (n read back from the
+    // sidecar) + length histogram
+    TextAnalysis.writeCorpusProfile(docs, s"$dir/uni")
+    report(s"$dir/uni")
+    TextAnalysis.writeCorpusProfile(survivors, s"$dir/uni_fresh")
+    assert(rows(s"$dir/uni/counts") == rows(s"$dir/uni_fresh/counts"))
+    TextAnalysis.writeNgramDfProfile(docs, s"$dir/df", n = 2)
+    report(s"$dir/df")
+    TextAnalysis.writeNgramDfProfile(survivors, s"$dir/df_fresh", n = 2)
+    assert(rows(s"$dir/df/counts") == rows(s"$dir/df_fresh/counts"))
+    TextAnalysis.writeLengthProfile(docs, s"$dir/len")
+    report(s"$dir/len")
+    TextAnalysis.writeLengthProfile(survivors, s"$dir/len_fresh")
+    assert(rows(s"$dir/len/counts") == rows(s"$dir/len_fresh/counts"))
+    // winsorize bounds: scored frame as sourceDocs, recipe from the
+    // sidecar — and an approx-method artifact rebuilds through the
+    // same sketch route (method key honored)
+    val scored = docs.select($"doc_id",
+      ($"doc_id" % 13).cast("double").as("s"), lit("g").as("g"))
+    val scoredSurv = scored.filter(!$"doc_id".isin(3L, 17L, 28L))
+    Sampling.writeScoreBounds(scored, "s", "g", 0.1, 0.9, s"$dir/wb")
+    Dedup.forgetAndRebuild(spark, s"$dir/wb", victims, scored)
+    Sampling.writeScoreBounds(scoredSurv, "s", "g", 0.1, 0.9,
+      s"$dir/wb_fresh")
+    assert(rows(s"$dir/wb/bounds") == rows(s"$dir/wb_fresh/bounds"))
+    Sampling.writeScoreBoundsApprox(scored, "s", "g", 0.1, 0.9,
+      s"$dir/wba", accuracy = 50000)
+    Dedup.forgetAndRebuild(spark, s"$dir/wba", victims, scored)
+    Sampling.writeScoreBoundsApprox(scoredSurv, "s", "g", 0.1, 0.9,
+      s"$dir/wba_fresh", accuracy = 50000)
+    assert(rows(s"$dir/wba/bounds") == rows(s"$dir/wba_fresh/bounds"))
+    // row-level kinds delegate to the anti-join arm (provenance kept)
+    Dedup.writeFuzzyKeyIndex(docs.select($"doc_id",
+      $"text".substr(1, 12).as("k")), s"$dir/fz", "k")
+    val fz = Dedup.forgetAndRebuild(spark, s"$dir/fz", victims, docs)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(fz == Map("keys" -> 3L), fz.toString)
+    // kinds this call cannot rebuild keep their specific refusal
+    Dedup.writeCanonicalIndex(docs, s"$dir/canon",
+      md5($"text"), length($"text").cast("long"))
+    val e = intercept[IllegalArgumentException](
+      Dedup.forgetAndRebuild(spark, s"$dir/canon", victims, docs))
+    assert(e.getMessage.contains("runner-up"), e.getMessage)
+  }
+
   test("CC and greedy survivors agree on the fixture's clique topology") {
     // planted near-dup clusters are mutual copies (cliques), where every
     // non-min member has the min as a direct neighbor — so greedy and CC

@@ -5024,6 +5024,61 @@ class ExtSpec extends SparkSpec {
     assert(exact == Set((1L, 4L)))
   }
 
+  test("sketch-route quantiles/winsorize/outliers: accuracy→∞ recovers the exact route") {
+    // mixed parities AND ties — the sketch at accuracy ≥ n never
+    // compresses, so it must return exactly the type-1 ⌈q·n⌉ order
+    // statistics the exact route selects
+    val rows = (1 to 101).map(i => ("a", i.toLong * 3)) ++
+      (1 to 50).map(i => ("b", (i % 7).toLong)) // even n, heavy ties
+    val df = rows.toDF("g", "x")
+    val qs = Seq(0.05, 0.25, 0.5, 0.9, 1.0)
+    def qset(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(qset(Sampling.scoreQuantilesApprox(df, "x", "g", qs,
+        accuracy = 1000000))
+      == qset(Sampling.scoreQuantiles(df, "x", "g", qs)),
+      "accuracy >= n must recover the exact type-1 quantiles")
+    // winsorize: the full (id, winsorized, clipped) frame matches
+    val scored = rows.zipWithIndex
+      .map { case ((g, x), i) => (g, i.toLong, x) }.toDF("g", "id", "x")
+    def wset(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(wset(Sampling.winsorizeScoresApprox(scored, "id", "x", "g",
+        accuracy = 1000000))
+      == wset(Sampling.winsorizeScores(scored, "id", "x", "g")),
+      "approx winsorize at accuracy >= n must equal the exact clamp")
+    // stored approx bounds apply through the SAME against-bounds
+    // reader, and at accuracy >= n equal the exact artifact
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_approx_bounds").toString
+    Sampling.writeScoreBoundsApprox(scored, "x", "g", 0.05, 0.95,
+      s"$dir/b", accuracy = 1000000)
+    assert(wset(Sampling.winsorizeScoresAgainstBounds(spark, scored,
+        "id", s"$dir/b"))
+      == wset(Sampling.winsorizeScores(scored, "id", "x", "g")))
+    // outlier report: the whole exact report is the sketch limit
+    val ev = Tables.events(spark, sf("sf0.001"))
+    def oset(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toSet
+    val exact = oset(Events.valueOutlierReport(ev))
+    assert(oset(Events.valueOutlierReportApprox(ev, accuracy = 1000000))
+      == exact, "accuracy >= n must recover the exact MAD report")
+    // genuinely compressed sketch (accuracy 100): medians stay within
+    // the rank guarantee's neighbourhood and shares stay close
+    val rough = Events.valueOutlierReportApprox(ev, accuracy = 100)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(5)))).toMap
+    exact.foreach { case (t, _, med, _, _, share) =>
+      val (rm, rs) = rough(t)
+      assert(math.abs(rm - med) <= math.max(1.0, math.abs(med) * 0.2),
+        s"$t: rough median $rm vs exact $med")
+      assert(math.abs(rs - share) <= 0.05,
+        s"$t: rough share $rs vs exact $share")
+    }
+  }
+
   test("tailIndex: hand-computed alpha, constant group NULL, integral guard") {
     // {1..10, 20, 40}: n = 12, ceil(0.9·12) = 11 → x_min = 20;
     // tail = {40} → α = 1/ln 2
