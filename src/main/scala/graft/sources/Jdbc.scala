@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions.{col, lit}
   * a key range — no driver materialization at all) and a distributed
   * JDBC append with optional truncate.
   *
-  * No RDBMS exists in this environment, so these wrappers are exercised
-  * for option-plumbing correctness (`partitionOptions` is pure) and kept
-  * thin over `spark.read/write.format("jdbc")`, which is itself covered
-  * by Spark's own test matrix.
+  * Integration-tested against a LIVE embedded Apache Derby database
+  * (JdbcSpec — the one RDBMS whose driver ships in /opt/spark/jars):
+  * the partitioned window read with dialect-compiled timestamp
+  * pushdown, the distributed append, and the reference's staging
+  * truncate-and-publish cycle all round-trip there. SQL Server itself
+  * (the reference's actual sink) remains unreachable offline; the
+  * wrappers are dialect-generic, so only server-specific behavior is
+  * untested — the pinned residual sandbox limitation.
   *
   * Scale notes: `numPartitions` bounds source-side concurrent cursors;
   * stride math splits [lower, upper] evenly, so a hot key range should be

@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.sql.{DriverManager, Timestamp}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** REAL-database integration for the JDBC source/sink (SURVEY.md §2.1
+  * S1, §2.2 K5/K6) against embedded Apache Derby — the one RDBMS whose
+  * driver ships in /opt/spark/jars. This closes the r16 "spec-only
+  * JDBC" gap: the partitioned window read (dialect-compiled timestamp
+  * pushdown included), the distributed append, and the reference's
+  * staging truncate-and-publish cycle (load_sales_mart.py:92-102) all
+  * round-trip a live database here. SQL Server specifics (the
+  * reference's actual sink) remain untestable offline — but the code
+  * under test is dialect-generic by construction (windowFilter renders
+  * through whatever JdbcDialect the url selects).
+  */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  // keep derby.log and the database files inside one temp sandbox
+  private lazy val home = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_derby")
+    System.setProperty("derby.system.home", dir.toString)
+    dir.toString
+  }
+  private lazy val url = { home; "jdbc:derby:graftdb;create=true" }
+
+  private def exec(sqls: String*): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try sqls.foreach(st.executeUpdate) finally st.close()
+    } finally conn.close()
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("partitioned window read: bounds, dialect-compiled timestamp pushdown, parallelism") {
+    exec(
+      """CREATE TABLE sales (
+        |  id INT NOT NULL PRIMARY KEY,
+        |  sale_date TIMESTAMP NOT NULL,
+        |  year_month INT NOT NULL,
+        |  paid DECIMAL(18,2) NOT NULL)""".stripMargin)
+    val rows = (1 to 40).map { i =>
+      val ym = if (i <= 30) 202108 else 202109
+      val day = (i % 27) + 1
+      s"($i, TIMESTAMP('2021-${if (ym == 202108) "08" else "09"}-" +
+        f"$day%02d 10:00:00'), $ym, $i.50)"
+    }
+    exec(rows.map(v => s"INSERT INTO sales VALUES $v"): _*)
+    // the incremental window: August rows strictly before the cutoff —
+    // the cutoff comparison compiles through DerbyDialect into a real
+    // WHERE clause (a hand-spliced ISO string would not parse here)
+    val cutoff = ts("2021-08-20 00:00:00")
+    val win = Jdbc.readWindow(spark, url, "sales", 202108, cutoff,
+      "id", idLower = 1L, idUpper = 40L, numPartitions = 4)
+    val expected = (1 to 30).filter(i => (i % 27) + 1 < 20).toSet
+    assert(win.select("id").as[Int].collect().toSet == expected,
+      s"window rows: ${win.select("id").as[Int].collect().toSet}")
+    assert(win.rdd.getNumPartitions == 4,
+      "the scan must open one cursor per requested partition")
+    // paid survives the DECIMAL(18,2) round trip exactly
+    val paid = win.filter($"id" === 5).select("paid").head().getDecimal(0)
+    assert(paid.compareTo(new java.math.BigDecimal("5.50")) == 0, paid)
+  }
+
+  test("distributed append + the reference's truncate-and-publish cycle") {
+    exec(
+      """CREATE TABLE mart_staging (
+        |  country VARCHAR(64) NOT NULL,
+        |  client_count BIGINT NOT NULL)""".stripMargin)
+    def readBack() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "mart_staging").load()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // K5: distributed append (executors write, never the driver loop)
+    Jdbc.writeTable(Seq(("PT", 10L), ("ES", 20L)).toDF(
+      "country", "client_count"), url, "mart_staging", truncate = false)
+    Jdbc.writeTable(Seq(("FR", 30L)).toDF("country", "client_count"),
+      url, "mart_staging", truncate = false)
+    assert(readBack() == Set(("PT", 10L), ("ES", 20L), ("FR", 30L)))
+    // K6/K7: the staging TRUNCATE before re-publish — truncate=true
+    // must issue TRUNCATE TABLE (schema, indexes, grants survive),
+    // then land exactly the new rows
+    Jdbc.writeTable(Seq(("DE", 99L)).toDF("country", "client_count"),
+      url, "mart_staging", truncate = true)
+    assert(readBack() == Set(("DE", 99L)),
+      "truncate-publish must replace the staging content")
+    // and the table is still a real table (not dropped/recreated as
+    // Spark's default overwrite would): the NOT NULL DDL survives
+    val meta = {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.getMetaData.getColumns(null, null, "MART_STAGING",
+          "COUNTRY")
+        rs.next()
+        rs.getString("IS_NULLABLE")
+      } finally conn.close()
+    }
+    assert(meta == "NO", s"truncate must preserve the original DDL: $meta")
+  }
+}
