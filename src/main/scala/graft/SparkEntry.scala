@@ -2184,6 +2184,11 @@ object SparkEntry {
     // reducer; rows-only (engine-specific sketch)
     "q228_event_outliers_approx" -> ((s, dir) =>
       ext.Events.valueOutlierReportApprox(Tables.events(s, dir))),
+    // the session corner composed three-deep off ONE user window:
+    // sessions → in-session touch carry → conversion attribution,
+    // materialized at session grain (the CTE-composition proof)
+    "q229_session_journey" -> ((s, dir) =>
+      ext.Events.sessionJourney(Tables.events(s, dir))),
     // stored-route fuzzy pairs: probe the corpus against its own
     // frozen key index — with id_a < id_b canonicalization the pair
     // set equals the live q220 route, so it shares q220's oracle SQL
@@ -3647,6 +3652,47 @@ object SparkEntry {
     // id_a < id_b canonicalizes the bidirectional probe back to the
     // live pair set
     "q226_fuzzy_index_pairs" -> FuzzyKeyPairsSql,
+    // the session CTEs composed three-deep: per-event session ids
+    // (SessionIvCtes' s), the in-session touch carry (lag over the
+    // same user window; session-opening events are 'organic'), then
+    // session-grain aggregates with rank-1 entry/exit/first-conversion
+    // selections — the window restatement of Spark's struct-min/max
+    "q229_session_journey" ->
+      (s"""WITH $SessionIvCtes,
+        |j AS (SELECT s.user_id, s.session_id, s.ts, s.event_id,
+        |        ev.event_type,
+        |        CASE WHEN lag(s.session_id) OVER (PARTITION BY s.user_id
+        |            ORDER BY s.ts, s.event_id)
+        |            IS DISTINCT FROM s.session_id
+        |          THEN 'organic'
+        |          ELSE lag(ev.event_type) OVER (PARTITION BY s.user_id
+        |            ORDER BY s.ts, s.event_id) END AS touch,
+        |        row_number() OVER (PARTITION BY s.user_id, s.session_id
+        |          ORDER BY s.ts, s.event_id) AS rn,
+        |        row_number() OVER (PARTITION BY s.user_id, s.session_id
+        |          ORDER BY s.ts DESC, s.event_id DESC) AS rnd
+        |      FROM s JOIN events ev ON s.event_id = ev.event_id),
+        |c AS (SELECT user_id, session_id, touch,
+        |        row_number() OVER (PARTITION BY user_id, session_id
+        |          ORDER BY ts, event_id) AS crn
+        |      FROM j WHERE event_type = 'purchase'),
+        |cv AS (SELECT user_id, session_id,
+        |        CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |        MIN(CASE WHEN crn = 1 THEN touch END)
+        |          AS first_conversion_touch
+        |      FROM c GROUP BY 1, 2),
+        |g AS (SELECT user_id, session_id,
+        |        CAST(COUNT(*) AS BIGINT) AS n_events,
+        |        MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+        |        MIN(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+        |        MIN(CASE WHEN rnd = 1 THEN event_type END) AS exit_type
+        |      FROM j GROUP BY 1, 2)
+        |SELECT g.user_id, g.session_id, g.n_events, g.duration_us,
+        |  g.entry_type, g.exit_type,
+        |  COALESCE(cv.n_conversions, CAST(0 AS BIGINT)) AS n_conversions,
+        |  cv.first_conversion_touch
+        |FROM g LEFT JOIN cv ON g.user_id = cv.user_id
+        |  AND g.session_id = cv.session_id""").stripMargin,
     // HUGEINT five-sum Pearson mirrors the decimal(38,0) accumulators;
     // degenerate (zero-variance) sides are NULL both engines
     "q211_char_token_corr" ->

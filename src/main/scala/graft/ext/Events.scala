@@ -419,6 +419,76 @@ object Events {
           .as("share"))
   }
 
+  /** One-pass USER-JOURNEY materialization — the session corner's
+    * three families composed into a single session-grain relation:
+    * sessionization (the strict-gap running sum), transition context
+    * (each event's in-session predecessor — the lag carry q172/q218
+    * score), and conversion attribution (q189's last-touch rule,
+    * scoped to the session): per (user, session) its size and span,
+    * entry/exit event types, conversion count, and the event type
+    * immediately PRECEDING the session's first `convType` event
+    * ('organic' when the conversion opens its session — the q189
+    * organic convention, in-session form). This is the materialized
+    * table a product-analytics mart serves ("show me converting
+    * sessions by entry page"), and the proof the factored session
+    * CTEs compose three-deep (the passage/mixture CTE precedent).
+    *
+    * Every cell is an exact long or a string selected by exact
+    * (ts, event_id) struct order (entry = struct-min, exit =
+    * struct-max, first conversion = conditional struct-min — actual
+    * data, never interpolation) ⇒ oracle-hashed (q229).
+    *
+    * Output: (user_id, session_id, n_events, duration_us, entry_type,
+    * exit_type, n_conversions, first_conversion_touch — NULL when the
+    * session never converts). Duration is last − first event (the
+    * q162 rule: gap padding is a splitting device, never observed
+    * time).
+    *
+    * Reference: composes the reference's rollup family
+    * (load_sales_mart.py:54-66) with event order it discards.
+    *
+    * Scale notes (100 TB): ONE user-partitioned exchange feeds the
+    * lag carries and the session running sum (same window spec); the
+    * closing (user, session) aggregate rides that partitioning
+    * (user_id hash-partitioning satisfies the clustered distribution
+    * on (user, session) — no second shuffle; the sessionIntervals
+    * bound, preserved through the composition). */
+  def sessionJourney(events: DataFrame, gapMinutes: Int = 30,
+                     convType: String = "purchase"): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1: $gapMinutes")
+    val gapUs = gapMinutes * 60000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tagged = events
+      .withColumn("_us", unix_micros(col("ts")))
+      .withColumn("_pt", lag(col("ts"), 1).over(w))
+      .withColumn("_pe", lag(col("event_type"), 1).over(w))
+      .withColumn("_ns",
+        when(col("_pt").isNull ||
+          col("_us") - unix_micros(col("_pt")) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_ns"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // the in-session last-touch carry: a session-opening event has
+      // no in-session predecessor — the organic convention
+      .withColumn("_touch",
+        when(col("_ns") === 1L, lit("organic")).otherwise(col("_pe")))
+    tagged.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("_us")) - min(col("_us"))).as("duration_us"),
+        min(struct(col("_us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(struct(col("_us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("exit_type"),
+        sum(when(col("event_type") === convType, 1L).otherwise(0L))
+          .as("n_conversions"),
+        min(when(col("event_type") === convType,
+            struct(col("_us"), col("event_id"), col("_touch"))))
+          .getField("_touch").as("first_conversion_touch"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("duration_us"), col("entry_type"), col("exit_type"),
+        col("n_conversions"), col("first_conversion_touch"))
+  }
+
   /** Pointwise mutual information between event TYPES co-occurring in
     * one session — the affinity analysis behind "which behaviors
     * travel together" (feature bundling, funnel design, anomaly

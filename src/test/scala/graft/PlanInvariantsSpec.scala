@@ -146,6 +146,16 @@ class PlanInvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q229 session journey is one exchange: the (user, session) aggregate rides the session window's partitioning") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q229_session_journey")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+      assert(p.collect { case e: ShuffleExchangeExec => e }.length == 1,
+        s"expected exactly one exchange (the user window):\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q52 semantic dedup is equi-join only: no cartesian, no nested-loop") {
     // the candidate join is keyed on the trained cell id and the verify
     // joins are keyed on vec ids — a CartesianProduct would mean the

@@ -3296,6 +3296,49 @@ class ExtSpec extends SparkSpec {
       s"got $tight")
   }
 
+  test("sessionJourney: crafted attribution, organic opener, summary agreement, one exchange") {
+    val m = 60000000L
+    val ev = Seq(
+        // user 1, one session: click → view → purchase — entry click,
+        // exit purchase, first conversion touched by the view
+        (1L, 1L, "click", 0L), (2L, 1L, "view", 5 * m),
+        (3L, 1L, "purchase", 10 * m),
+        // user 2, session 1: a purchase OPENING its session is organic
+        // (even though a prior session exists); session 2: two
+        // purchases — attribution reads the FIRST
+        (4L, 2L, "view", 0L),
+        (5L, 2L, "purchase", 60 * m),                  // new session, organic
+        (6L, 2L, "click", 120 * m), (7L, 2L, "purchase", 121 * m),
+        (8L, 2L, "purchase", 122 * m),
+        // user 3: never converts → NULL touch, zero conversions
+        (9L, 3L, "view", 0L))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val out = Events.sessionJourney(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5),
+          r.getLong(6), Option(r.getString(7))))).toMap
+    assert(out((1L, 1L)) ==
+      ((3L, 10 * m, "click", "purchase", 1L, Some("view"))), s"$out")
+    assert(out((2L, 1L)) == ((1L, 0L, "view", "view", 0L, None)))
+    assert(out((2L, 2L)) ==
+      ((1L, 0L, "purchase", "purchase", 1L, Some("organic"))),
+      s"a session-opening conversion is organic: $out")
+    assert(out((2L, 3L)) ==
+      ((3L, 2 * m, "click", "purchase", 2L, Some("click"))),
+      s"two conversions: attribute the first, count both: $out")
+    assert(out((3L, 1L)) == ((1L, 0L, "view", "view", 0L, None)))
+    // composition agreement: session count and event totals match the
+    // q162 summary over the same gap rule
+    val summary = Events.userSessionSummary(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val mine = out.keys.toSeq.groupBy(_._1).map { case (u, ks) =>
+      u -> ((ks.size.toLong, ks.map(out(_)._1).sum)) }
+    assert(mine == summary, s"$mine vs $summary")
+    // the one-exchange scale bound is pinned in PlanInvariantsSpec
+    // ("q229 session journey...") — plan tests need AQE off
+  }
+
   test("returnGapHistogram: hand-computed buckets over inter-session gaps") {
     val m = 60000000L
     val ev = Seq(
