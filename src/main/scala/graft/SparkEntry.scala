@@ -2189,6 +2189,45 @@ object SparkEntry {
     // materialized at session grain (the CTE-composition proof)
     "q229_session_journey" -> ((s, dir) =>
       ext.Events.sessionJourney(Tables.events(s, dir))),
+    // capped fuzzy blocking under ORACLE: a planted 600-key hot block
+    // (generated identically in both engines — the q40 series trick)
+    // forfeits totally at every SF while a planted 2-key survivor
+    // block always pairs; organic blocks never reach the 500 cap
+    // (probed: max organic population 197 at sf0.1 — the q155
+    // probe-the-fixture-first rule)
+    "q230_fuzzy_capped_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, lit, lpad, substring}
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 24).as("title"))
+      val filler = s.range(1, 601).select(
+        (col("id") + 9300000L).as("doc_id"),
+        concat(lit("zqhot pad "),
+          lpad(col("id").cast("string"), 3, "0")).as("title"))
+      val surv = Seq((9400001L, "zzsurvivor alpha"),
+        (9400002L, "zzsurvivor alphq")).toDF("doc_id", "title")
+      ext.Dedup.fuzzyKeyPairs(
+        docs.unionByName(filler).unionByName(surv), "title",
+        maxDist = 2, blockChars = 2, maxBlockSize = Some(500L))
+    }),
+    // RFM segmentation at an injected as-of instant: exact type-1
+    // quintile boundaries, the q138 ascending fold per metric
+    // (weekly cohort retention already lives at q89)
+    "q232_rfm_scores" -> ((s, dir) =>
+      ext.Events.rfmScores(Tables.events(s, dir),
+        asOf = "2024-02-15 00:00:00")),
+    // entity consolidation: the fuzzy pair set applied as the greedy
+    // first-wins survivor policy — the catalog a mart would publish
+    // (the reference's A1 GROUP-BY-as-DISTINCT relaxed to approximate
+    // keys, closed end to end)
+    "q231_fuzzy_consolidated" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, substring}
+      val keys = Tables.documents(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 24).as("title"))
+      val pairs = ext.Dedup.fuzzyKeyPairs(keys, "title", maxDist = 2)
+      ext.Dedup.applyPairs(keys, pairs.select(col("id_a").as("doc_a"),
+        col("id_b").as("doc_b")))
+    }),
     // stored-route fuzzy pairs: probe the corpus against its own
     // frozen key index — with id_a < id_b canonicalization the pair
     // set equals the live q220 route, so it shares q220's oracle SQL
@@ -3652,6 +3691,87 @@ object SparkEntry {
     // id_a < id_b canonicalizes the bidirectional probe back to the
     // live pair set
     "q226_fuzzy_index_pairs" -> FuzzyKeyPairsSql,
+    // the capped-blocking rule restated: planted hot block (series-
+    // generated, byte-identical cross-engine) + NOT EXISTS anti-join
+    // of hot (prefix, bucket) blocks before the candidate join
+    "q230_fuzzy_capped_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS key FROM documents
+        |  WHERE text IS NOT NULL AND len(substr(text, 1, 24)) >= 1
+        |  UNION ALL
+        |  SELECT CAST(9300000 + i AS BIGINT),
+        |    'zqhot pad ' || lpad(CAST(i AS VARCHAR), 3, '0')
+        |  FROM unnest(generate_series(1, 600)) AS t(i)
+        |  UNION ALL
+        |  SELECT CAST(v.did AS BIGINT), v.key FROM (VALUES
+        |    (9400001, 'zzsurvivor alpha'),
+        |    (9400002, 'zzsurvivor alphq')) v(did, key)),
+        |k AS (SELECT doc_id, key, substr(key, 1, 2) AS cp,
+        |        len(key) // 3 AS bk
+        |      FROM base),
+        |hot AS (SELECT cp, bk FROM k GROUP BY 1, 2 HAVING COUNT(*) > 500),
+        |kk AS (SELECT k.doc_id, k.key, k.cp, k.bk FROM k
+        |       WHERE NOT EXISTS (SELECT 1 FROM hot
+        |         WHERE hot.cp = k.cp AND hot.bk = k.bk)),
+        |l AS (SELECT doc_id AS id_a, key AS key_a, cp, bk + d AS jb
+        |      FROM kk, unnest([-1, 0, 1]) AS t(d)),
+        |r AS (SELECT doc_id AS id_b, key AS key_b, cp, bk AS jb FROM kk)
+        |SELECT id_a, id_b, key_a, key_b,
+        |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS distance
+        |FROM l JOIN r USING (cp, jb)
+        |WHERE id_a < id_b
+        |  AND abs(len(key_a) - len(key_b)) <= 2
+        |  AND levenshtein(key_a, key_b) <= 2""".stripMargin,
+    // consolidation = the pair set as the greedy survivor rule: every
+    // id that ever appears as the HIGHER side of a pair drops (the
+    // applyPairs contract), nested over q220's factored pair SQL
+    "q231_fuzzy_consolidated" ->
+      (s"""WITH p AS ($FuzzyKeyPairsSql)
+        |SELECT doc_id, substr(text, 1, 24) AS title FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.id_b = d.doc_id)"""
+        ).stripMargin,
+    // RFM: type-1 boundaries restated per metric (one boundary row
+    // per quantile, duplicates kept — the rank join, never IN), score
+    // = 1 + boundary entries strictly beaten (≡ the ascending CASE
+    // fold); recency scores on its negation
+    "q232_rfm_scores" ->
+      """WITH u AS (SELECT user_id,
+        |    (epoch_us(TIMESTAMP '2024-02-15 00:00:00')
+        |      - MAX(epoch_us(ts))) // 86400000000 AS recency_days,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    ROUND(SUM("value"), 2) AS monetary
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+        |qs AS (SELECT q FROM (VALUES (0.2), (0.4), (0.6), (0.8)) t(q)),
+        |rr AS (SELECT CAST(-recency_days AS DOUBLE) AS x,
+        |         row_number() OVER (ORDER BY -recency_days) AS rn FROM u),
+        |rb AS (SELECT rr.x AS b FROM rr, n, qs
+        |       WHERE rr.rn = CAST(ceil(q * n.n) AS BIGINT)),
+        |fr AS (SELECT CAST(frequency AS DOUBLE) AS x,
+        |         row_number() OVER (ORDER BY frequency) AS rn FROM u),
+        |fb AS (SELECT fr.x AS b FROM fr, n, qs
+        |       WHERE fr.rn = CAST(ceil(q * n.n) AS BIGINT)),
+        |mr AS (SELECT monetary AS x,
+        |         row_number() OVER (ORDER BY monetary) AS rn FROM u),
+        |mb AS (SELECT mr.x AS b FROM mr, n, qs
+        |       WHERE mr.rn = CAST(ceil(q * n.n) AS BIGINT)),
+        |rs AS (SELECT u.user_id, CAST(1 + COALESCE(SUM(CASE
+        |          WHEN rb.b < CAST(-u.recency_days AS DOUBLE)
+        |          THEN 1 ELSE 0 END), 0) AS BIGINT) AS r_score
+        |       FROM u LEFT JOIN rb ON TRUE GROUP BY 1),
+        |fs AS (SELECT u.user_id, CAST(1 + COALESCE(SUM(CASE
+        |          WHEN fb.b < CAST(u.frequency AS DOUBLE)
+        |          THEN 1 ELSE 0 END), 0) AS BIGINT) AS f_score
+        |       FROM u LEFT JOIN fb ON TRUE GROUP BY 1),
+        |ms AS (SELECT u.user_id, CAST(1 + COALESCE(SUM(CASE
+        |          WHEN mb.b < u.monetary
+        |          THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_score
+        |       FROM u LEFT JOIN mb ON TRUE GROUP BY 1)
+        |SELECT u.user_id, u.recency_days, u.frequency, u.monetary,
+        |  rs.r_score, fs.f_score, ms.m_score,
+        |  rs.r_score * 100 + fs.f_score * 10 + ms.m_score AS rfm_code
+        |FROM u JOIN rs USING (user_id) JOIN fs USING (user_id)
+        |  JOIN ms USING (user_id)""".stripMargin,
     // the session CTEs composed three-deep: per-event session ids
     // (SessionIvCtes' s), the in-session touch carry (lag over the
     // same user window; session-opening events are 'organic'), then

@@ -419,6 +419,63 @@ object Events {
           .as("share"))
   }
 
+  /** RFM (recency / frequency / monetary) customer scoring — the
+    * classic CRM segmentation grid: per user, days since last
+    * activity at the injected `asOf` instant (no wall clock — the E2
+    * refresh-timestamp rule), event count, and 2dp-rounded value sum;
+    * each metric then scores 1..nBins by exact type-1 quantile
+    * boundaries over the user relation (recency scored on its
+    * NEGATION so 5 = most recent — one sign flip instead of a second
+    * fold rule). The fold is the pinned q138 ascending CASE: score =
+    * 1 + boundary entries strictly beaten (duplicate boundaries from
+    * coarse data count twice — both engines agree on that rule by
+    * construction). Boundary comparisons run on 2dp/integer-exact
+    * doubles (the PSI rounded-share discipline) ⇒ oracle-hashed
+    * (q232).
+    *
+    * Output: (user_id, recency_days, frequency, monetary, r_score,
+    * f_score, m_score, rfm_code = r·100 + f·10 + m).
+    *
+    * Reference: the mart's per-client rollup
+    * (load_sales_mart.py:26-35) extended to the full RFM surface.
+    *
+    * Scale notes (100 TB): one map-side-combined per-user aggregate
+    * (localCheckpointed — three quantile ladders and the final select
+    * share it); boundaries are (nBins−1)-sized driver metadata (the
+    * curriculumEpochOrder convention); at extreme user cardinality
+    * swap the exact ladders for [[graft.ext.Sampling
+    * .scoreQuantilesApprox]] — the documented sketch route. */
+  def rfmScores(events: DataFrame, asOf: String,
+                nBins: Int = 5): DataFrame = {
+    require(nBins >= 2 && nBins <= 10, s"nBins must be in [2,10]: $nBins")
+    val users = events.groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("_last"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("value")), 2).as("monetary"))
+      .withColumn("recency_days",
+        expr(s"(unix_micros(to_timestamp('$asOf')) - _last) " +
+          "div 86400000000"))
+      .localCheckpoint() // one user aggregate; four consumers below
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    def score(x: org.apache.spark.sql.Column,
+              name: String): org.apache.spark.sql.Column = {
+      val bs = Sampling.scoreQuantiles(
+          users.select(x.cast("double").as("_x"))
+            .withColumn("_g", lit(0)), "_x", "_g", qs)
+        .select(col("_x")).collect().map(_.getDouble(0)).sorted
+      bs.zipWithIndex.foldLeft(lit(1)) { case (acc, (b, i)) =>
+        when(x.cast("double") > lit(b), lit(i + 2)).otherwise(acc)
+      }.cast("long").as(name)
+    }
+    users.select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        score(-col("recency_days"), "r_score"),
+        score(col("frequency"), "f_score"),
+        score(col("monetary"), "m_score"))
+      .withColumn("rfm_code",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+  }
+
   /** One-pass USER-JOURNEY materialization — the session corner's
     * three families composed into a single session-grain relation:
     * sessionization (the strict-gap running sum), transition context

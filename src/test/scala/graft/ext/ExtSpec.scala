@@ -3339,6 +3339,48 @@ class ExtSpec extends SparkSpec {
     // ("q229 session journey...") — plan tests need AQE off
   }
 
+  test("rfmScores: hand-checked quintiles, recency negation, duplicate-boundary rule") {
+    // user u (1..10): u events, all on 2024-01-<u>, value 1.5 each —
+    // recency/frequency/monetary are all strictly monotone in u, so
+    // the three scores coincide: quintile boundaries on frequency are
+    // {2,4,6,8} (type-1 k = ⌈q·10⌉), score = 1 + boundaries strictly
+    // beaten → u∈{1,2}→1, {3,4}→2, {5,6}→3, {7,8}→4, {9,10}→5
+    val ev = (1 to 10).flatMap { u =>
+      (1 to u).map(k => ((u * 100 + k).toLong, u.toLong, "view",
+        f"2024-01-$u%02d 08:00:00", 1.5))
+    }.toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val out = Events.rfmScores(ev, asOf = "2024-02-01 00:00:00")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    (1 to 10).foreach { u =>
+      val s = 1L + Seq(2, 4, 6, 8).count(_ < u)
+      val (rec, freq, mon, rs, fs, ms, code) = out(u.toLong)
+      assert(rec == 31L - u && freq == u.toLong &&
+        mon == math.rint(1.5 * u * 100) / 100, s"metrics u=$u: ${out(u.toLong)}")
+      assert(rs == s && fs == s && ms == s && code == s * 111,
+        s"scores u=$u: expected $s, got ${out(u.toLong)}")
+    }
+    // duplicate boundaries count twice: a frame where 80% of users tie
+    // at one value puts several boundaries ON that value — a user just
+    // above it must leap all of them (both engines share this rule by
+    // the 1 + strictly-beaten construction)
+    val tied = (Seq.fill(8)(5L) :+ 1L :+ 9L).zipWithIndex.flatMap {
+      case (f, u) => (1L to f).map(k =>
+        ((u * 100 + k).toLong, u.toLong, "view", "2024-01-10 08:00:00", 1.0))
+    }.toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val fScores = Events.rfmScores(tied, asOf = "2024-02-01 00:00:00")
+      .collect().map(r => (r.getLong(2), r.getLong(5))).toMap
+    // boundaries over freqs {5×8, 1, 9}: k=⌈.2/.4/.6/.8·10⌉ = {2,4,6,8}
+    // → sorted values (1,5,5,5,5,5,5,5,5,9) → bounds {5,5,5,5}
+    assert(fScores(1L) == 1L && fScores(5L) == 1L,
+      s"at/below the tied boundary: $fScores")
+    assert(fScores(9L) == 5L,
+      s"above four duplicate boundaries the score leaps to 5: $fScores")
+  }
+
   test("returnGapHistogram: hand-computed buckets over inter-session gaps") {
     val m = 60000000L
     val ev = Seq(
