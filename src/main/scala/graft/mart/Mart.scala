@@ -85,4 +85,44 @@ object Mart {
 
   def dataset2(spark: SparkSession, sfDir: String, refreshDate: String): DataFrame =
     salesAmounts(Relational.denormalizedSales(spark, sfDir), refreshDate)
+
+  /** BUCKETED catalog table — the co-located-join layout for the
+    * fact tables every mart query re-joins on the same key: rows are
+    * hash-bucketed (and sorted) by the join key at WRITE time, so two
+    * tables bucketed the same way join with NO exchange on either
+    * side — the shuffle moves from every query to one write
+    * (amortized across all downstream joins; at 100 TB the repeated
+    * fact⋈fact shuffle IS the cluster bill). Bucketing requires the
+    * catalog (bucket metadata lives in the table definition, not the
+    * files), hence saveAsTable into `db` — pass a database created
+    * with an explicit LOCATION to control where files land.
+    *
+    * Spec-pinned (BucketedJoinSpec): a same-bucketing join plans ZERO
+    * ShuffleExchange unconditionally; the merge-join Sorts are ALSO
+    * elided when the reader is told to trust sortBy metadata
+    * (`spark.sql.legacy.bucketedTableScan.outputOrdering=true`, off
+    * by default since 3.0) — the aligned repartition below writes the
+    * one-file-per-bucket shape that conf requires.
+    *
+    * Reference: the reference re-shuffles sales on every mart refresh
+    * (load_sales_mart.py:26-35,60-67 each re-aggregate the same
+    * history); bucketing is the lake-native fix. */
+  def writeBucketed(df: DataFrame, db: String, table: String,
+                    bucketCols: Seq[String], nBuckets: Int,
+                    sortCols: Seq[String] = Seq.empty): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    // align the write partitioning with the bucket spec: each task
+    // then owns exactly one bucket and writes ONE file — the shape
+    // the reader needs to trust sortBy metadata and elide the
+    // merge-join sorts (multiple files per bucket force a re-sort)
+    val aligned = df.repartition(nBuckets, bucketCols.map(col): _*)
+    val w = aligned.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w)
+      .saveAsTable(s"$db.$table")
+  }
 }

@@ -1,0 +1,65 @@
+package graft.mart
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.{SparkSpec, Tables}
+
+/** The co-located-join proof behind `Mart.writeBucketed`: two tables
+  * bucketed (and sorted) the same way on the join key sort-merge-join
+  * with ZERO shuffle exchanges AND zero sorts — the write-once,
+  * join-free-forever layout the 100 TB design doc (SCALE.md) names for
+  * repeated fact⋈fact joins. Broadcast and AQE are disabled for the
+  * plan walk so the test can't pass by broadcasting the small fixture
+  * side instead of exercising bucketing. */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("same-bucketing join plans with no exchange and no sort") {
+    val whDb = java.nio.file.Files
+      .createTempDirectory("graft_bucket_wh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$whDb'")
+    val orders = Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, sf("sf0.001"))
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    Mart.writeBucketed(orders, "graft_bkt", "orders_b",
+      Seq("o_orderkey"), nBuckets = 8, sortCols = Seq("o_orderkey"))
+    Mart.writeBucketed(lineitem, "graft_bkt", "lineitem_b",
+      Seq("l_orderkey"), nBuckets = 8, sortCols = Seq("l_orderkey"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // sortBy metadata is only trusted by the reader under this conf
+    // (off by default since 3.0) AND with one file per bucket — the
+    // shape writeBucketed's aligned repartition guarantees
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+      "true")
+    try {
+      val joined = spark.table("graft_bkt.orders_b")
+        .join(spark.table("graft_bkt.lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      val p = joined.queryExecution.executedPlan
+      assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(p.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }.isEmpty,
+        s"sortBy at write time must satisfy the merge-join ordering:\n$p")
+      // and the result is right: equal to the plain-parquet join
+      val expected = orders.join(lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val got = joined.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == expected, s"bucketed join changed the answer")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP DATABASE graft_bkt CASCADE")
+    }
+  }
+}
