@@ -2216,6 +2216,18 @@ object SparkEntry {
     "q232_rfm_scores" -> ((s, dir) =>
       ext.Events.rfmScores(Tables.events(s, dir),
         asOf = "2024-02-15 00:00:00")),
+    // deploy-time vocabulary cut: prune the ensured model to its 20
+    // most-used symbols, then audit the pruned artifact — the OOV
+    // rate IS the mass the cut discarded (rows-only: BPE is not
+    // SQL-expressible, the q109 class)
+    "q233_pruned_vocab_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = ext.TextAnalysis.ensureBpeModel(docs,
+        "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
+      val pruned = path + "_pruned20"
+      ext.TextAnalysis.pruneBpeModel(s, path, docs, keepTop = 20, pruned)
+      ext.TextAnalysis.tokenizerCoverageAgainstModel(s, docs, pruned)
+    }),
     // entity consolidation: the fuzzy pair set applied as the greedy
     // first-wins survivor policy — the catalog a mart would publish
     // (the reference's A1 GROUP-BY-as-DISTINCT relaxed to approximate

@@ -3068,6 +3068,69 @@ object TextAnalysis {
       .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
       .filter(col("n_bpe_tokens") > 0)
 
+  /** Prune a stored BPE model's VOCABULARY to its `keepTop` most-used
+    * entries on a reference corpus — the deploy-time tokenizer cut
+    * ("ship a 32k vocab trained as 50k"): embedding-table rows cost
+    * parameters, and the usage tail contributes almost none of the
+    * corpus mass. Usage is counted under the STORED model's own
+    * encoding (one codegen scan — the production tokenize shape);
+    * ties at the cut boundary break lexicographically, so the cut is
+    * deterministic. The pruned artifact keeps the MERGES verbatim
+    * (merges define segmentation; the vocabulary defines which
+    * segments get ids — a dropped symbol still forms, then maps to
+    * the new UNK = keepTop, exactly how [[graft.functions.BpeEncode]]
+    * treats any out-of-vocabulary symbol) and reassigns dense ids
+    * over the retained set by the [[vocabIdsOf]] rule (lexicographic),
+    * so pruning at full size reproduces the original id table bit for
+    * bit (spec-pinned). Audit the cut with
+    * [[tokenizerCoverageAgainstModel]] — the OOV rate it reports IS
+    * the mass the cut discarded.
+    *
+    * Returns a one-row report: (n_vocab_before, n_vocab_after,
+    * total_uses, kept_uses, kept_share 6dp).
+    *
+    * Scale notes (100 TB): one codegen encode pass over the reference
+    * corpus + one id-keyed count aggregate; everything after is
+    * vocab-sized (TakeOrdered cut, driver-sized writes — the
+    * tokenizer-artifact charter). */
+  def pruneBpeModel(spark: org.apache.spark.sql.SparkSession,
+                    modelPath: String, docs: DataFrame, keepTop: Int,
+                    outPath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepTop >= 1, s"keepTop must be >= 1, got $keepTop")
+    val vocab = readBpeVocabIds(spark, modelPath)
+    val usage = docs.select(explode(
+        graft.functions.BpeEncode.bpe_encode(col("text"),
+          storedCodec(spark, modelPath))).as("tok_id"))
+      .groupBy(col("tok_id")).agg(count(lit(1)).as("n_uses"))
+    val scored = vocab.join(usage, Seq("tok_id"), "left")
+      .select(col("tok"), coalesce(col("n_uses"), lit(0L)).as("n_uses"))
+      .localCheckpoint() // feeds the cut AND the report totals
+    val kept = scored.orderBy(col("n_uses").desc, col("tok"))
+      .limit(keepTop)
+      .localCheckpoint() // materialize before any write
+    spark.read.parquet(s"$modelPath/merges").repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outPath/merges")
+    kept.select(col("tok"))
+      .withColumn("tok_id",
+        (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outPath/vocab")
+    Dedup.writeParams(s"$outPath/params.properties", BpeModelParams)
+    val t = scored.agg(count(lit(1)).as("nb"), sum(col("n_uses")).as("tu"))
+      .head()
+    val k = kept.agg(count(lit(1)).as("na"), sum(col("n_uses")).as("ku"))
+      .head()
+    import spark.implicits._
+    Seq((t.getLong(0), k.getLong(0), t.getLong(1), k.getLong(1),
+        if (t.getLong(1) > 0)
+          math.rint(k.getLong(1).toDouble / t.getLong(1) * 1e6) / 1e6
+        else 0.0))
+      .toDF("n_vocab_before", "n_vocab_after", "total_uses",
+        "kept_uses", "kept_share")
+  }
+
   /** Tokenizer coverage audit under a stored model: per group (default
     * language), document and token totals, UNK-id counts, the OOV rate
     * and fertility (BPE tokens per whitespace word) — the two numbers

@@ -3339,6 +3339,51 @@ class ExtSpec extends SparkSpec {
     // ("q229 session journey...") — plan tests need AQE off
   }
 
+  test("pruneBpeModel: full-size prune is identity, cut maps tail symbols to the new UNK") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val model = TextAnalysis.ensureBpeModel(docs, "/tmp/graft_bpe_cache",
+      sf("sf0.001") + "/documents.parquet", nMerges = 8)
+    val vocabRows = spark.read.parquet(s"$model/vocab")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_prune").toString
+    // prune at full size: id table reproduced bit for bit, merges kept
+    val full = TextAnalysis.pruneBpeModel(spark, model, docs,
+      keepTop = vocabRows.size, s"$dir/full").head()
+    assert(full.getLong(0) == vocabRows.size.toLong &&
+      full.getLong(1) == vocabRows.size.toLong &&
+      full.getDouble(4) == 1.0, s"report: $full")
+    assert(spark.read.parquet(s"$dir/full/vocab")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet == vocabRows,
+      "full-size prune must reproduce the original id table")
+    assert(TextAnalysis.readBpeModel(spark, s"$dir/full")
+      == TextAnalysis.readBpeModel(spark, model),
+      "pruning must keep the merge table verbatim")
+    // a real cut: UNK appears under the pruned model exactly where
+    // ids >= keepTop would have been, coverage reports the lost mass
+    val keep = 20
+    val rep = TextAnalysis.pruneBpeModel(spark, model, docs, keep,
+      s"$dir/cut").head()
+    assert(rep.getLong(1) == keep.toLong &&
+      rep.getDouble(4) > 0.5 && rep.getDouble(4) < 1.0,
+      s"a top-$keep cut must keep most but not all mass: $rep")
+    val cov = TextAnalysis.tokenizerCoverageAgainstModel(spark, docs,
+      s"$dir/cut")
+    val oov = cov.agg(sum($"n_unk_tokens")).head().getLong(0)
+    val tok = cov.agg(sum($"n_tokens")).head().getLong(0)
+    assert(oov > 0L, "a binding cut must show OOV mass")
+    assert(math.abs(oov.toDouble / tok -
+        (1.0 - rep.getDouble(4))) < 0.02,
+      s"coverage OOV share must mirror the report's discarded mass: " +
+        s"${oov.toDouble / tok} vs ${1.0 - rep.getDouble(4)}")
+    // retained symbols keep encoding; every UNK id is exactly |kept|
+    val ids = TextAnalysis.bpeTokenIdsAgainstModel(spark, docs, s"$dir/cut")
+      .select(explode($"token_ids").as("id"))
+    assert(ids.filter($"id" > keep.toLong).isEmpty,
+      s"ids beyond the new UNK (= $keep) must not exist")
+    assert(ids.filter($"id" === keep.toLong).count() == oov)
+  }
+
   test("rfmScores: hand-checked quintiles, recency negation, duplicate-boundary rule") {
     // user u (1..10): u events, all on 2024-01-<u>, value 1.5 each —
     // recency/frequency/monetary are all strictly monotone in u, so
