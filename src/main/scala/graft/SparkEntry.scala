@@ -2216,6 +2216,16 @@ object SparkEntry {
     "q232_rfm_scores" -> ((s, dir) =>
       ext.Events.rfmScores(Tables.events(s, dir),
         asOf = "2024-02-15 00:00:00")),
+    // stratified k-fold: q167's md5 permutation dealt round-robin —
+    // exactly balanced folds per stratum, content-addressed
+    "q234_kfold_assign" -> ((s, dir) =>
+      ext.Sampling.kFoldAssign(
+        Tables.documents(s, dir).select("doc_id", "lang", "source"),
+        "doc_id", Seq("lang", "source"), k = 5)),
+    // pairwise source vocabulary Jaccard: set overlap where q59/q70
+    // measure frequency divergence — the mixture-design companion
+    "q235_vocabulary_overlap" -> ((s, dir) =>
+      ext.TextAnalysis.vocabularyOverlap(Tables.documents(s, dir))),
     // deploy-time vocabulary cut: prune the ensured model to its 20
     // most-used symbols, then audit the pruned artifact — the OOV
     // rate IS the mass the cut discarded (rows-only: BPE is not
@@ -3703,6 +3713,30 @@ object SparkEntry {
     // id_a < id_b canonicalizes the bidirectional probe back to the
     // live pair set
     "q226_fuzzy_index_pairs" -> FuzzyKeyPairsSql,
+    // q167's window recipe with a modulus instead of percentage cuts
+    "q234_kfold_assign" ->
+      """SELECT doc_id, lang, source,
+        |  CAST((row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY md5('graft.fold.v1' || CAST(doc_id AS VARCHAR)),
+        |      doc_id) - 1) % 5 AS BIGINT) AS fold
+        |FROM documents""".stripMargin,
+    // distinct (source, token) sets, token-keyed pair join, one
+    // exact Jaccard division
+    "q235_vocabulary_overlap" ->
+      """WITH st AS (SELECT DISTINCT source AS g, tok
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE len(tok) > 0),
+        |sz AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1),
+        |p AS (SELECT a.g AS group_a, b.g AS group_b,
+        |        CAST(COUNT(*) AS BIGINT) AS inter
+        |      FROM st a JOIN st b USING (tok)
+        |      WHERE a.g < b.g GROUP BY 1, 2)
+        |SELECT p.group_a, p.group_b, sa.n AS n_a, sb.n AS n_b, p.inter,
+        |  ROUND(p.inter / CAST(sa.n + sb.n - p.inter AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM p JOIN sz sa ON sa.g = p.group_a
+        |  JOIN sz sb ON sb.g = p.group_b""".stripMargin,
     // the capped-blocking rule restated: planted hot block (series-
     // generated, byte-identical cross-engine) + NOT EXISTS anti-join
     // of hot (prefix, bucket) blocks before the candidate join

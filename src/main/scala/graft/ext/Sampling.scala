@@ -1651,4 +1651,35 @@ object Sampling {
           .otherwise("test"))
       .drop("_rn", "_n")
   }
+
+  /** Stratified K-FOLD assignment — the cross-validation layout
+    * ([[stratifiedTrainValTest]]'s sibling: that op cuts ONE
+    * train/val/test partition, this one cuts k interchangeable
+    * folds): within every stratum, ids are ordered by the same
+    * content-addressed md5 permutation (the q43/q99 salt discipline —
+    * no RNG state, any run reproduces the assignment bit for bit) and
+    * dealt round-robin, so every stratum's fold populations differ by
+    * at most one (exactly balanced, never probabilistically — the
+    * property a k-fold estimate's variance analysis assumes, and the
+    * one `rand()`-based splitters only approximate). Fold ids are
+    * 0..k−1; every output cell is a string, an exact long, or a
+    * modulus of a rank ⇒ oracle-hashed (q234).
+    *
+    * Output: input columns + `fold`.
+    *
+    * Reference: the reference's deterministic run admission
+    * (load_sales_history.py:86-99) as evaluation design.
+    *
+    * Scale notes (100 TB): one stratum-partitioned window (the q167
+    * exchange exactly); no join, no second pass. */
+  def kFoldAssign(df: DataFrame, idCol: String, strataCols: Seq[String],
+                  k: Int, salt: String = "graft.fold.v1"): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val strata = strataCols.map(col)
+    val w = Window.partitionBy(strata: _*)
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("fold",
+      ((row_number().over(w) - 1) % k).cast("long"))
+  }
 }

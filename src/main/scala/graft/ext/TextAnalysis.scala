@@ -3068,6 +3068,53 @@ object TextAnalysis {
       .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
       .filter(col("n_bpe_tokens") > 0)
 
+  /** Pairwise per-group VOCABULARY overlap — set-level Jaccard between
+    * the distinct token sets of every two groups (default: sources):
+    * the mixture-design companion to [[corpusDivergence]]'s
+    * frequency-level KL — two sources can share every word at wildly
+    * different rates (high overlap, high divergence: same domain,
+    * different register) or share few words (low overlap: merging
+    * them grows the vocabulary a tokenizer must cover). All counts
+    * exact longs over DISTINCT (group, token) rows, Jaccard one exact
+    * division rounded 6dp ⇒ oracle-hashed (q235).
+    *
+    * Output: (group_a, group_b, n_a, n_b, inter, jaccard),
+    * group_a < group_b.
+    *
+    * Reference: the per-entity rollup family (load_sales_mart.py:54-66)
+    * lifted to vocabulary space.
+    *
+    * Scale notes (100 TB): the corpus reduces to the distinct
+    * (group, token) relation in one map-side-combined pass
+    * (localCheckpointed — it feeds the sizes AND the pair join); the
+    * self-join is token-keyed, and a token shared by all G groups
+    * contributes G² candidate rows — bounded by the ENUM-sized group
+    * column this op is for (sources, languages), never free-form
+    * keys. */
+  def vocabularyOverlap(docs: DataFrame,
+                        groupCol: String = "source"): DataFrame = {
+    val st = docs.select(col(groupCol).as("_g"),
+        explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      .localCheckpoint()
+    val sizes = st.groupBy(col("_g")).agg(count(lit(1)).as("n"))
+    st.select(col("_g").as("group_a"), col("tok"))
+      .join(st.select(col("_g").as("group_b"), col("tok")), "tok")
+      .filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("_g").as("group_a"),
+        col("n").as("n_a"))), "group_a")
+      .join(broadcast(sizes.select(col("_g").as("group_b"),
+        col("n").as("n_b"))), "group_b")
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Prune a stored BPE model's VOCABULARY to its `keepTop` most-used
     * entries on a reference corpus — the deploy-time tokenizer cut
     * ("ship a 32k vocab trained as 50k"): embedding-table rows cost

@@ -3339,6 +3339,47 @@ class ExtSpec extends SparkSpec {
     // ("q229 session journey...") — plan tests need AQE off
   }
 
+  test("kFoldAssign: exact per-stratum balance, determinism, disjoint from the split salt") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "lang", "source")
+    val folds = Sampling.kFoldAssign(docs, "doc_id",
+      Seq("lang", "source"), k = 5)
+    // every stratum's fold populations differ by at most one
+    val spread = folds.groupBy($"lang", $"source", $"fold")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"lang", $"source")
+      .agg((max($"n") - min($"n")).as("d"), countDistinct($"fold").as("nf"))
+      .collect()
+    spread.foreach { r =>
+      assert(r.getLong(2) <= 1L, s"unbalanced stratum: $r")
+    }
+    assert(folds.agg(min($"fold"), max($"fold")).head().toSeq
+      == Seq(0L, 4L))
+    // content-addressed: a re-run and a repartitioned run agree
+    val a = folds.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val b = Sampling.kFoldAssign(docs.repartition(17), "doc_id",
+        Seq("lang", "source"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(a == b, "fold assignment must be partitioning-independent")
+    intercept[IllegalArgumentException](
+      Sampling.kFoldAssign(docs, "doc_id", Seq("lang"), k = 1))
+  }
+
+  test("vocabularyOverlap: hand-checked Jaccard on crafted sources") {
+    val docs = Seq(
+        (1L, "a", "red green blue"), (2L, "a", "red yellow"),
+        (3L, "b", "red green purple"), (4L, "c", "cyan"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.vocabularyOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // a = {red,green,blue,yellow} (4), b = {red,green,purple} (3),
+    // c = {cyan} (1); a∩b = {red,green} = 2 → 2/5
+    assert(out(("a", "b")) == ((4L, 3L, 2L, 0.4)), s"got $out")
+    assert(!out.contains(("a", "c")) && !out.contains(("b", "c")),
+      "disjoint vocabularies produce no pair row (inter = 0 is absent)")
+  }
+
   test("pruneBpeModel: full-size prune is identity, cut maps tail symbols to the new UNK") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val model = TextAnalysis.ensureBpeModel(docs, "/tmp/graft_bpe_cache",
