@@ -2216,6 +2216,20 @@ object SparkEntry {
     "q232_rfm_scores" -> ((s, dir) =>
       ext.Events.rfmScores(Tables.events(s, dir),
         asOf = "2024-02-15 00:00:00")),
+    // q88's funnel with the conversion window product analytics
+    // actually runs — inclusive boundary (the q172 <= convention)
+    "q236_funnel_within" -> ((s, dir) =>
+      ext.Events.funnelWithin(Tables.events(s, dir),
+        Seq("click", "view", "purchase"), windowMinutes = 60)),
+    // schema-contract audit: a held dependency (event_id → user_id)
+    // beside a deliberately broken one (user_id → event_type)
+    "q237_functional_dependencies" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ext.DataQuality.functionalDependencyReport(ev,
+          Seq("event_id"), "user_id")
+        .unionByName(ext.DataQuality.functionalDependencyReport(ev,
+          Seq("user_id"), "event_type"))
+    }),
     // stratified k-fold: q167's md5 permutation dealt round-robin —
     // exactly balanced folds per stratum, content-addressed
     "q234_kfold_assign" -> ((s, dir) =>
@@ -3713,6 +3727,54 @@ object SparkEntry {
     // id_a < id_b canonicalizes the bidirectional probe back to the
     // live pair set
     "q226_fuzzy_index_pairs" -> FuzzyKeyPairsSql,
+    // the q88 chained-CTE fold with the window conjunct spliced in
+    "q236_funnel_within" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |            WHERE event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |         AND epoch_us(e.ts) - epoch_us(s1.t) <= 3600000000
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |         AND epoch_us(e.ts) - epoch_us(s2.t) <= 3600000000
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'click' AS step,
+        |  CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'view',
+        |  CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase',
+        |  CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""".stripMargin,
+    // per-dependency distinct-variant counts; DuckDB SUM(int) lifted
+    // to BIGINT per the pinned HUGEINT rule
+    "q237_functional_dependencies" ->
+      """WITH fd1 AS (SELECT event_id, COUNT(DISTINCT user_id) AS v
+        |             FROM events GROUP BY 1),
+        |fd2 AS (SELECT user_id, COUNT(DISTINCT event_type) AS v
+        |        FROM events GROUP BY 1)
+        |SELECT 'event_id -> user_id' AS dependency,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(COALESCE(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_violating_keys,
+        |  CAST(COALESCE(MAX(v), 0) AS BIGINT) AS max_variants,
+        |  CASE WHEN COUNT(*) > 0 THEN
+        |    ROUND(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END)
+        |      / CAST(COUNT(*) AS DOUBLE), 6)
+        |  ELSE 0.0 END AS violation_share
+        |FROM fd1
+        |UNION ALL
+        |SELECT 'user_id -> event_type',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(COALESCE(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT),
+        |  CAST(COALESCE(MAX(v), 0) AS BIGINT),
+        |  CASE WHEN COUNT(*) > 0 THEN
+        |    ROUND(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END)
+        |      / CAST(COUNT(*) AS DOUBLE), 6)
+        |  ELSE 0.0 END
+        |FROM fd2""".stripMargin,
     // q167's window recipe with a modulus instead of percentage cuts
     "q234_kfold_assign" ->
       """SELECT doc_id, lang, source,

@@ -622,6 +622,44 @@ object DataQuality {
         .as("mde_rel"))
   }
 
+  /** FUNCTIONAL-DEPENDENCY audit: does `detCols → depCol` actually
+    * hold — the schema-contract check behind every denormalization
+    * the reference performs (a Sales row's client_id must determine
+    * ONE gender/country, or the LEFT JOIN fans out silently;
+    * load_sales_history.py:112-129 assumes exactly this). Reports,
+    * per declared dependency, the determinant-key count, how many
+    * keys map to more than one distinct dependent value, the worst
+    * key's variant count, and the violating share (one exact division
+    * rounded 6dp) ⇒ oracle-hashed (q237).
+    *
+    * Output: one row — (dependency, n_keys, n_violating_keys,
+    * max_variants, violation_share). NULL dependent values count as
+    * one variant (COUNT DISTINCT semantics, identical both engines).
+    *
+    * Scale notes (100 TB): one map-side-combined distinct-count per
+    * determinant key + a four-scalar reduce over the key relation; a
+    * run per declared dependency — audit cadence, not query
+    * cadence. */
+  def functionalDependencyReport(df: DataFrame, detCols: Seq[String],
+                                 depCol: String): DataFrame = {
+    require(detCols.nonEmpty, "need at least one determinant column")
+    require(!detCols.contains(depCol),
+      s"$depCol cannot depend on itself")
+    val label = s"${detCols.mkString(",")} -> $depCol"
+    df.groupBy(detCols.map(col): _*)
+      .agg(countDistinct(col(depCol)).as("_v"))
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum((col("_v") > 1).cast("long")), lit(0L))
+          .as("n_violating_keys"),
+        coalesce(max(col("_v")), lit(0L)).as("max_variants"))
+      .select(lit(label).as("dependency"), col("n_keys"),
+        col("n_violating_keys"), col("max_variants"),
+        when(col("n_keys") > 0,
+            round(col("n_violating_keys").cast("double") /
+              col("n_keys").cast("double"), 6))
+          .otherwise(lit(0.0)).as("violation_share"))
+  }
+
   /** KEY-UNIQUENESS audit: does the declared primary key actually
     * identify rows? Reports total rows, distinct keys, keys with more
     * than one row, and the largest copy-group — the pre-publish check

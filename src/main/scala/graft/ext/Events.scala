@@ -108,6 +108,45 @@ object Events {
     }.reduce(_ unionByName _)
   }
 
+  /** [[funnel]] with a CONVERSION WINDOW — step k counts only users
+    * whose step-k event lands within `windowMinutes` of their step-k−1
+    * completion (strictly after it, at most the window later): the
+    * form product analytics actually runs, because an unbounded funnel
+    * credits a purchase six months after the click. Same fold shape —
+    * |steps| narrow passes, each a filter + user-keyed join +
+    * map-side-combined min — and the window bound is a pushdown-
+    * friendly conjunct on the joined timestamp pair. The boundary is
+    * INCLUSIVE (an event exactly at prev + window converts — the
+    * strict-gap session rule's complement, same convention as q172's
+    * `<=`). Counts exact ⇒ oracle-hashed (q236).
+    *
+    * Output: (step_idx, step, n_users) — [[funnel]]'s contract.
+    *
+    * Scale notes (100 TB): identical to [[funnel]] — per-step slices
+    * are type-pruned at the scan; no windows, no corpus-wide state. */
+  def funnelWithin(events: DataFrame, steps: Seq[String],
+                   windowMinutes: Int): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(windowMinutes >= 1, s"windowMinutes must be >= 1: $windowMinutes")
+    val winUs = windowMinutes * 60000000L
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("reach_ts"))
+    val reached = steps.tail.scanLeft(first) { (prev, st) =>
+      events.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("reach_ts").as("_prev_ts")),
+          Seq("user_id"))
+        .filter(col("ts") > col("_prev_ts") &&
+          unix_micros(col("ts")) - unix_micros(col("_prev_ts")) <= winUs)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("reach_ts"))
+    }
+    reached.zip(steps).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step_idx"), lit(st).as("step"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Weekly cohort retention: users grouped by the ISO week of their
     * FIRST event; for each cohort, how many distinct users were active
     * 0, 1, 2 … weeks later. Returns (cohort_week, week_offset,

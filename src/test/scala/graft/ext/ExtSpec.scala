@@ -3339,6 +3339,54 @@ class ExtSpec extends SparkSpec {
     // ("q229 session journey...") — plan tests need AQE off
   }
 
+  test("funnelWithin: inclusive window boundary, tighter windows shrink steps") {
+    val m = 60000000L
+    val ev = Seq(
+        // user 1 converts at EXACTLY the 60-min boundary (inclusive)
+        (1L, 1L, "click", 0L), (2L, 1L, "view", 60 * m),
+        // user 2's view is 61 min after the click — outside the window
+        (3L, 2L, "click", 0L), (4L, 2L, "view", 61 * m),
+        // user 3: in-window view, then purchase 30 min later
+        (5L, 3L, "click", 0L), (6L, 3L, "view", 10 * m),
+        (7L, 3L, "purchase", 40 * m))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    def counts(w: Int) = Events.funnelWithin(ev,
+        Seq("click", "view", "purchase"), windowMinutes = w)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(counts(60) == Map(1L -> 3L, 2L -> 2L, 3L -> 1L),
+      s"got ${counts(60)}")
+    // window 30: only user 3 stays (view 10 min in; purchase exactly
+    // 30 min after the view — the inclusive boundary again)
+    assert(counts(30) == Map(1L -> 3L, 2L -> 1L, 3L -> 1L),
+      s"got ${counts(30)}")
+    // window 9: every view falls out (user 3's is at minute 10)
+    assert(counts(9) == Map(1L -> 3L, 2L -> 0L, 3L -> 0L),
+      s"got ${counts(9)}")
+    // and the unbounded q88 funnel admits user 2's late view
+    val free = Events.funnel(ev, Seq("click", "view", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(free(2L) == 3L, s"unbounded: $free")
+  }
+
+  test("functionalDependencyReport: crafted violations, self-dependency guard") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 11L),
+        (4L, "b", 20L), (5L, "c", 30L))
+      .toDF("id", "k", "v")
+    // k → v: key 'a' maps to {10, 11} — one violating key of three
+    val r = DataQuality.functionalDependencyReport(df, Seq("k"), "v")
+      .head()
+    assert(r.getString(0) == "k -> v" && r.getLong(1) == 3L &&
+      r.getLong(2) == 1L && r.getLong(3) == 2L &&
+      r.getDouble(4) == 0.333333, s"got $r")
+    // id → v holds
+    val h = DataQuality.functionalDependencyReport(df, Seq("id"), "v")
+      .head()
+    assert(h.getLong(2) == 0L && h.getDouble(4) == 0.0, s"got $h")
+    intercept[IllegalArgumentException](
+      DataQuality.functionalDependencyReport(df, Seq("v"), "v"))
+  }
+
   test("kFoldAssign: exact per-stratum balance, determinism, disjoint from the split salt") {
     val docs = Tables.documents(spark, sf("sf0.001"))
       .select("doc_id", "lang", "source")
