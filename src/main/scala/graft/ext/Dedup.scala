@@ -3221,10 +3221,7 @@ object Dedup {
     val base = capHotBlocks(
       fuzzyKeyBase(df, keyCol, idCol, maxDist, blockChars),
       maxBlockSize)
-    fuzzyBlockJoin(base, base, maxDist)
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
-        col("distance"))
+    fuzzyBlockJoin(base, base, maxDist, col("id_a") < col("id_b"))
   }
 
   /** The blocked projection both fuzzy-key routes share: (_id, _key,
@@ -3251,21 +3248,28 @@ object Dedup {
       case None => base
       case Some(cap) =>
         require(cap >= 1L, s"maxBlockSize must be >= 1, got $cap")
-        val hot = base.groupBy(col("_cp"), col("_b"))
+        // three consumers under the cap (block census + both join
+        // sides) — materialize the narrow key projection once
+        val b = base.localCheckpoint()
+        val hot = b.groupBy(col("_cp"), col("_b"))
           .agg(count(lit(1)).as("_n"))
           .filter(col("_n") > cap).select("_cp", "_b")
           .localCheckpoint()
         val hinted =
           if (hot.count() <= MaxBroadcastRows) broadcast(hot) else hot
-        base.join(hinted, Seq("_cp", "_b"), "left_anti")
+        b.join(hinted, Seq("_cp", "_b"), "left_anti")
     }
 
   /** The bucketized candidate join + exact-Levenshtein verify both
     * routes share — left explodes to its 3 admissible buckets, right
-    * stays put; emits UNFILTERED oriented pairs (id_a from `a`, id_b
-    * from `b`) so each route applies its own identity rule. */
-  private def fuzzyBlockJoin(a: DataFrame, b: DataFrame,
-                             maxDist: Int): DataFrame = {
+    * stays put. `idPred` is each route's identity rule (`<` for the
+    * live op, `=!=` for the against-probe) and sits FIRST in the
+    * post-join conjunction: it is the cheapest predicate and must
+    * short-circuit before Levenshtein runs (losing that order doubled
+    * q220's wall time in the r19 refactor — candidate rows arrive in
+    * both orientations). */
+  private def fuzzyBlockJoin(a: DataFrame, b: DataFrame, maxDist: Int,
+                             idPred: Column): DataFrame = {
     val left = a
       .withColumn("_jb",
         explode(array(col("_b") - 1, col("_b"), col("_b") + 1)))
@@ -3274,7 +3278,8 @@ object Dedup {
     val right = b.select(col("_id").as("id_b"), col("_key").as("key_b"),
       col("_cp"), col("_b").as("_jb"))
     left.join(right, Seq("_cp", "_jb"))
-      .filter(abs(length(col("key_a")) - length(col("key_b"))) <= maxDist &&
+      .filter(idPred &&
+        abs(length(col("key_a")) - length(col("key_b"))) <= maxDist &&
         levenshtein(col("key_a"), col("key_b")) <= maxDist)
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
         levenshtein(col("key_a"), col("key_b")).cast("long").as("distance"))
@@ -3370,8 +3375,7 @@ object Dedup {
         (idx.join(hinted, Seq("_cp", "_b"), "left_anti"),
           batch.join(hinted, Seq("_cp", "_b"), "left_anti"))
     }
-    fuzzyBlockJoin(ga, gb, maxDist)
-      .filter(col("id_a") =!= col("id_b"))
+    fuzzyBlockJoin(ga, gb, maxDist, col("id_a") =!= col("id_b"))
   }
 
   /** One continuous-ingest fuzzy-key cycle — [[ingestDedupBatch]]'s
