@@ -2216,6 +2216,12 @@ object SparkEntry {
     "q232_rfm_scores" -> ((s, dir) =>
       ext.Events.rfmScores(Tables.events(s, dir),
         asOf = "2024-02-15 00:00:00")),
+    // uniform k-per-group draw as the BOUNDED top-k aggregate (the
+    // r18 rule: never row_number for top-k) — window-equal, hashes
+    "q238_group_sample" -> ((s, dir) =>
+      ext.Sampling.uniformSampleByGroup(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        "doc_id", "lang", k = 10)),
     // q88's funnel with the conversion window product analytics
     // actually runs — inclusive boundary (the q172 <= convention)
     "q236_funnel_within" -> ((s, dir) =>
@@ -3727,6 +3733,15 @@ object SparkEntry {
     // id_a < id_b canonicalizes the bidirectional probe back to the
     // live pair set
     "q226_fuzzy_index_pairs" -> FuzzyKeyPairsSql,
+    // the bounded aggregate matches the window restatement row for row
+    "q238_group_sample" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft.gsample.v1' || CAST(doc_id AS VARCHAR)),
+        |        doc_id) AS rank
+        |  FROM documents)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rank <= 10""".stripMargin,
     // the q88 chained-CTE fold with the window conjunct spliced in
     "q236_funnel_within" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events

@@ -1652,6 +1652,38 @@ object Sampling {
       .drop("_rn", "_n")
   }
 
+  /** Uniform k-per-group sample WITHOUT replacement — "give me 10
+    * random docs per language", the eyeball/labeling draw: the k
+    * SMALLEST content-addressed md5 keys per group. The md5 order is
+    * a uniform random permutation of each group (every k-subset
+    * equally likely), deterministic and reproducible from the salt
+    * alone — no RNG state, the q43/q99 discipline. Runs as the
+    * BOUNDED custom aggregate ([[graft.functions.TopKStructs]] — ≤ k
+    * rows per map-side partial, kilobytes through the exchange),
+    * never a group-partitioned corpus sort (the r18 top-k rule); the
+    * result still matches the window restatement row for row, so it
+    * oracle-hashes (q238).
+    *
+    * Output: (groupCol, rank 1..k, idCol).
+    *
+    * Reference: the reference's deterministic admission
+    * (load_sales_history.py:86-99) as sampling design.
+    *
+    * Scale notes (100 TB): one map-side-combined bounded aggregate
+    * over the (group, id) projection; output is groups × k. */
+  def uniformSampleByGroup(df: DataFrame, idCol: String,
+                           groupCol: String, k: Int,
+                           salt: String = "graft.gsample.v1"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKStructs.top_k_structs(
+        struct(md5(concat(lit(salt), col(idCol).cast("string")))
+          .as("_key"), col(idCol)), k).as("_top"))
+      .select(col(groupCol), posexplode(col("_top")).as(Seq("_pos", "_item")))
+      .select(col(groupCol), (col("_pos") + 1).cast("long").as("rank"),
+        col(s"_item.$idCol").as(idCol))
+  }
+
   /** Stratified K-FOLD assignment — the cross-validation layout
     * ([[stratifiedTrainValTest]]'s sibling: that op cuts ONE
     * train/val/test partition, this one cuts k interchangeable

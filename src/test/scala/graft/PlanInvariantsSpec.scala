@@ -156,6 +156,22 @@ class PlanInvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q238 group sample runs as a bounded aggregate: no window, no sort") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q238_group_sample")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+      assert(p.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }.isEmpty,
+        s"top-k fell back to a window:\n$p")
+      assert(p.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }.isEmpty,
+        s"the bounded aggregate needs no sort:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q52 semantic dedup is equi-join only: no cartesian, no nested-loop") {
     // the candidate join is keyed on the trained cell id and the verify
     // joins are keyed on vec ids — a CartesianProduct would mean the

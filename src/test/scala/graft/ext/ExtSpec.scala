@@ -3387,6 +3387,29 @@ class ExtSpec extends SparkSpec {
       DataQuality.functionalDependencyReport(df, Seq("v"), "v"))
   }
 
+  test("uniformSampleByGroup: window-equal, partitioning-independent, k caps small groups") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "lang")
+    def sset(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = sset(Sampling.uniformSampleByGroup(docs, "doc_id", "lang", 10))
+    // the window restatement, row for row
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(md5(concat(lit("graft.gsample.v1"),
+        $"doc_id".cast("string"))), $"doc_id")
+    val win = sset(docs.withColumn("rank",
+        row_number().over(w).cast("long"))
+      .filter($"rank" <= 10).select($"lang", $"rank", $"doc_id"))
+    assert(got == win, s"aggregate vs window: ${got -- win} / ${win -- got}")
+    assert(sset(Sampling.uniformSampleByGroup(docs.repartition(13),
+      "doc_id", "lang", 10)) == got,
+      "the draw must be partitioning-independent")
+    // a group smaller than k returns all its rows, ranked
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "lang")
+    assert(Sampling.uniformSampleByGroup(tiny, "doc_id", "lang", 10)
+      .count() == 3L)
+  }
+
   test("kFoldAssign: exact per-stratum balance, determinism, disjoint from the split salt") {
     val docs = Tables.documents(spark, sf("sf0.001"))
       .select("doc_id", "lang", "source")
