@@ -2216,6 +2216,10 @@ object SparkEntry {
     "q232_rfm_scores" -> ((s, dir) =>
       ext.Events.rfmScores(Tables.events(s, dir),
         asOf = "2024-02-15 00:00:00")),
+    // cross-user session concurrency via the bucketized interval-
+    // overlap join — the co-presence screen; observed spans only
+    "q239_session_overlap" -> ((s, dir) =>
+      ext.Events.sessionOverlapMatrix(Tables.events(s, dir))),
     // uniform k-per-group draw as the BOUNDED top-k aggregate (the
     // r18 rule: never row_number for top-k) — window-equal, hashes
     "q238_group_sample" -> ((s, dir) =>
@@ -3733,6 +3737,18 @@ object SparkEntry {
     // id_a < id_b canonicalizes the bidirectional probe back to the
     // live pair set
     "q226_fuzzy_index_pairs" -> FuzzyKeyPairsSql,
+    // ground truth for the bucketized overlap join: the plain
+    // quadratic overlap predicate over the same session relation
+    // (closed activity spans, restated half-open at last + 1 µs)
+    "q239_session_overlap" ->
+      (s"""WITH $SessionIvCtes,
+        |p AS (SELECT a.user_id AS user_a, b.user_id AS user_b
+        |      FROM iv a JOIN iv b
+        |        ON a.user_id < b.user_id
+        |       AND a.start_us < b.last_us + 1
+        |       AND b.start_us < a.last_us + 1)
+        |SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+        |FROM p GROUP BY 1, 2""").stripMargin,
     // the bounded aggregate matches the window restatement row for row
     "q238_group_sample" ->
       """WITH r AS (SELECT lang, doc_id,

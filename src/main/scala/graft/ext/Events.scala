@@ -458,6 +458,43 @@ object Events {
           .as("share"))
   }
 
+  /** Cross-user session CONCURRENCY matrix — for every user pair, how
+    * many of their session pairs overlap in time: the co-presence
+    * analysis behind shared-account/bot-ring screening (two "users"
+    * whose sessions always co-occur are one operator) and audience-
+    * overlap reporting. Overlap is on OBSERVED activity spans
+    * [first event, last event] (closed — the q162 rule: gap padding
+    * is a splitting device, never observed time), computed by the
+    * bucketized interval-overlap join
+    * ([[graft.ops.RangeJoin.selfOverlapPairs]], hour buckets) — a
+    * bare non-equi self-join would BNLJ the session relation. Counts
+    * exact ⇒ oracle-hashed (q239; the oracle restates the overlap as
+    * the plain quadratic predicate — small-SF ground truth for the
+    * bucketized plan).
+    *
+    * Output: (user_a, user_b, n_overlaps), user_a < user_b; pairs
+    * that never overlap are absent.
+    *
+    * Scale notes (100 TB): sessions are the compact relation (one row
+    * per session, localCheckpointed); the overlap join shuffles on
+    * hour buckets with per-bucket population the stated knob; the
+    * closing aggregate is user-pair-sized. */
+  def sessionOverlapMatrix(events: DataFrame,
+                           gapMinutes: Int = 30): DataFrame = {
+    val iv = sessionIntervals(events, gapMinutes)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("_s"),
+        // closed activity span → half-open end at last + 1 µs
+        (unix_micros(col("last_event_ts")) + 1L).as("_e"))
+      .localCheckpoint()
+    graft.ops.RangeJoin.selfOverlapPairs(iv, Seq("user_id"), "_s", "_e",
+        bucketWidth = 3600000000L)
+      .filter(col("a_user_id") < col("b_user_id"))
+      .groupBy(col("a_user_id").as("user_a"),
+        col("b_user_id").as("user_b"))
+      .agg(count(lit(1)).as("n_overlaps"))
+  }
+
   /** RFM (recency / frequency / monetary) customer scoring — the
     * classic CRM segmentation grid: per user, days since last
     * activity at the injected `asOf` instant (no wall clock — the E2

@@ -68,4 +68,56 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_rj_bucket")
   }
+
+  /** Bucketized INTERVAL-OVERLAP self-join — the third temporal
+    * operator beside [[AsOfJoin]] and [[pointInInterval]]: every pair
+    * of rows whose half-open `[startCol, endCol)` intervals overlap
+    * (`a.start < b.end && b.start < a.end`), without the n² compare.
+    * Same equi-join restoration: each interval explodes into its
+    * fixed-width buckets, candidates share a bucket, the overlap
+    * predicate verifies after — and each true pair is emitted ONCE,
+    * in the canonical bucket `max(a.start, b.start) div width` (that
+    * bucket lies inside BOTH intervals whenever they overlap: it is
+    * ≥ each start's bucket by max, and ≤ each last bucket because
+    * max(start) ≤ min(end)−1 — so the dedup needs no second
+    * distinct).
+    *
+    * Output: `carryCols` twice, prefixed `a_`/`b_`, plus
+    * `a_<startCol>/a_<endCol>/b_<startCol>/b_<endCol>`. SELF pairs
+    * (a row with itself) are emitted too — callers apply their own
+    * identity rule (`a_id < b_id` for unordered pairs), exactly the
+    * [[graft.ext.Dedup]] fuzzyBlockJoin convention.
+    *
+    * Contract: NON-NEGATIVE longs (SQL `div` truncates toward zero);
+    * empty intervals dropped up front. Same width/skew trade as
+    * [[pointInInterval]] — width ≈ the typical interval length; a
+    * timeline-spanning interval explodes timeline/width rows.
+    *
+    * Scale notes (100 TB): one shuffle on the bucket for each side;
+    * per-bucket candidate volume is Σ (per-bucket population)², the
+    * stated knob — never the global cross product a bare non-equi
+    * join would BNLJ. */
+  def selfOverlapPairs(df: DataFrame, carryCols: Seq[String],
+                       startCol: String, endCol: String,
+                       bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0: $bucketWidth")
+    require(carryCols.nonEmpty, "need at least one carried column")
+    require(!df.columns.contains("_rj_bucket"),
+      "column name _rj_bucket is reserved by RangeJoin")
+    val base = df
+      .select((carryCols.map(col) :+ col(startCol) :+ col(endCol)): _*)
+      .filter(col(startCol) < col(endCol))
+      .withColumn("_rj_bucket",
+        explode(sequence(expr(s"$startCol div $bucketWidth"),
+          expr(s"($endCol - 1) div $bucketWidth"))))
+    def side(p: String) = base.select(
+      (carryCols :+ startCol :+ endCol).map(c => col(c).as(s"$p$c")) :+
+        col("_rj_bucket"): _*)
+    side("a_").join(side("b_"), Seq("_rj_bucket"))
+      .filter(col(s"a_$startCol") < col(s"b_$endCol") &&
+        col(s"b_$startCol") < col(s"a_$endCol") &&
+        col("_rj_bucket") ===
+          expr(s"greatest(a_$startCol, b_$startCol) div $bucketWidth"))
+      .drop("_rj_bucket")
+  }
 }

@@ -381,6 +381,42 @@ class ExtSpec extends SparkSpec {
       points, intervals, "p", "start", "end", 0L))
   }
 
+  test("interval overlap join: equals the naive quadratic at any width, once per pair") {
+    import graft.ops.RangeJoin
+    val iv = Seq(
+      (1L, 0L, 100L),    // long — spans many buckets at small widths
+      (2L, 50L, 60L),    // inside 1
+      (3L, 99L, 150L),   // touches 1's last instant (half-open: overlap)
+      (4L, 100L, 110L),  // starts AT 1's end: no overlap with 1
+      (5L, 200L, 200L),  // EMPTY — overlaps nothing, not even itself
+      (6L, 210L, 220L))  // isolated
+      .toDF("id", "s", "e")
+    def run(width: Long) = RangeJoin.selfOverlapPairs(iv, Seq("id"),
+        "s", "e", width)
+      .filter($"a_id" < $"b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val naive = iv.as("a").join(iv.as("b"),
+        col("a.id") < col("b.id") &&
+          col("a.s") < col("b.e") && col("b.s") < col("a.e") &&
+          col("a.s") < col("a.e") && col("b.s") < col("b.e"))
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive == Set((1L, 2L), (1L, 3L), (3L, 4L)), s"naive: $naive")
+    for (w <- Seq(1L, 7L, 64L, 10000L)) {
+      assert(run(w) == naive, s"width $w diverged: ${run(w)}")
+      // once-only emission: counts equal the set size (no dup rows
+      // from a pair sharing several buckets)
+      assert(RangeJoin.selfOverlapPairs(iv, Seq("id"), "s", "e", w)
+        .filter($"a_id" < $"b_id").count() == naive.size.toLong,
+        s"width $w emitted duplicates")
+    }
+    // every row self-overlaps exactly once (callers filter identity)
+    assert(RangeJoin.selfOverlapPairs(iv, Seq("id"), "s", "e", 16L)
+      .filter($"a_id" === $"b_id").count() == 5L) // the empty one is out
+    intercept[IllegalArgumentException](
+      RangeJoin.selfOverlapPairs(iv, Seq("id"), "s", "e", 0L))
+  }
+
   test("session intervals: gap-rule boundaries, ids match sessionize, events partition") {
     import java.sql.Timestamp
     def ev(rows: (Long, Long, String)*) = rows
