@@ -2274,19 +2274,22 @@ object SparkEntry {
       ext.Dedup.applyPairs(keys, pairs.select(col("id_a").as("doc_a"),
         col("id_b").as("doc_b")))
     }),
-    // stored-route fuzzy pairs: probe the corpus against its own
-    // frozen key index — with id_a < id_b canonicalization the pair
-    // set equals the live q220 route, so it shares q220's oracle SQL
-    // verbatim (the q77≡q70 stored-route equality check)
+    // stored-route fuzzy pairs in the REAL usage shape: the even docs
+    // are the frozen catalog, the odd docs the probing batch —
+    // disjoint id spaces, every cross pair once (the q148 even/odd
+    // pattern; a self-probe pays both orientations through the
+    // Levenshtein verify — measured 2× q220). Stored≡live equality on
+    // a self-probe stays spec-pinned in DedupSpec.
     "q226_fuzzy_index_pairs" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, substring}
       val keys = Tables.documents(s, dir).select(col("doc_id"),
         substring(col("text"), 1, 24).as("title"))
-      val idx = ext.Dedup.ensureFuzzyKeyIndex(keys,
-        "/tmp/graft_fuzzy_cache", s"$dir/documents.parquet", "title")
-      ext.Dedup.fuzzyKeyPairsAgainstIndex(s, keys, idx, "title",
-          maxDist = 2)
-        .filter(col("id_a") < col("id_b"))
+      val idx = ext.Dedup.ensureFuzzyKeyIndex(
+        keys.filter(col("doc_id") % 2 === 0),
+        "/tmp/graft_fuzzy_cache", s"$dir/documents.parquet", "title",
+        variant = "even")
+      ext.Dedup.fuzzyKeyPairsAgainstIndex(s,
+        keys.filter(col("doc_id") % 2 === 1), idx, "title", maxDist = 2)
     }),
   )
 
@@ -2700,10 +2703,10 @@ object SparkEntry {
        |           FROM wts GROUP BY 1)""".stripMargin
   }
 
-  /** q220's blocked-Levenshtein pairs (also q226's — the stored-index
-    * route must hash-match the live blocking): (first char, length
-    * bucket) candidates, adjacent-bucket explode, exact levenshtein
-    * verify — both engines classic unit cost. */
+  /** q220's blocked-Levenshtein pairs (q231 nests it as the survivor
+    * rule's pair source): (first char, length bucket) candidates,
+    * adjacent-bucket explode, exact levenshtein verify — both engines
+    * classic unit cost. */
   private val FuzzyKeyPairsSql =
     """WITH b AS (SELECT doc_id, substr(text, 1, 24) AS key
       |           FROM documents
@@ -3731,12 +3734,26 @@ object SparkEntry {
         |SELECT token, n_occurrences,
         |  ROUND(wt / tw, 6) AS sample_share
         |FROM w CROSS JOIN t""".stripMargin,
-    // the stored route must hash-match the live computation — q226
-    // shares q220's oracle verbatim (the q77≡q70 pattern): the index
-    // stores the raw keys, the probe re-blocks them identically, and
-    // id_a < id_b canonicalizes the bidirectional probe back to the
-    // live pair set
-    "q226_fuzzy_index_pairs" -> FuzzyKeyPairsSql,
+    // the stored route hash-checked against an independent SQL
+    // restatement: q220's blocking CTEs with the corpus side even,
+    // the batch side odd — the against-probe's (catalog, batch)
+    // orientation exactly
+    "q226_fuzzy_index_pairs" ->
+      """WITH b AS (SELECT doc_id, substr(text, 1, 24) AS key
+        |           FROM documents
+        |           WHERE text IS NOT NULL AND len(substr(text, 1, 24)) >= 1),
+        |k AS (SELECT doc_id, key, substr(key, 1, 1) AS c1,
+        |        len(key) // 3 AS bk
+        |      FROM b),
+        |l AS (SELECT doc_id AS id_a, key AS key_a, c1, bk + d AS jb
+        |      FROM k, unnest([-1, 0, 1]) AS t(d) WHERE doc_id % 2 = 0),
+        |r AS (SELECT doc_id AS id_b, key AS key_b, c1, bk AS jb FROM k
+        |      WHERE doc_id % 2 = 1)
+        |SELECT id_a, id_b, key_a, key_b,
+        |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS distance
+        |FROM l JOIN r USING (c1, jb)
+        |WHERE abs(len(key_a) - len(key_b)) <= 2
+        |  AND levenshtein(key_a, key_b) <= 2""".stripMargin,
     // ground truth for the bucketized overlap join: the plain
     // quadratic overlap predicate over the same session relation
     // (closed activity spans, restated half-open at last + 1 µs)
