@@ -2220,6 +2220,15 @@ object SparkEntry {
     // overlap join — the co-presence screen; observed spans only
     "q239_session_overlap" -> ((s, dir) =>
       ext.Events.sessionOverlapMatrix(Tables.events(s, dir))),
+    // Benford first-digit screen per event type: integer-rendering
+    // digit extraction, spliced expected-share literals, χ² per group
+    "q240_benford" -> ((s, dir) =>
+      ext.DataQuality.benfordReport(Tables.events(s, dir),
+        "value", "event_type")),
+    // growth accounting: per day, first-ever users vs returning —
+    // the q89 day-string rule, one distinct (user, day) relation
+    "q241_dau_new_returning" -> ((s, dir) =>
+      ext.Events.dauNewReturning(Tables.events(s, dir))),
     // uniform k-per-group draw as the BOUNDED top-k aggregate (the
     // r18 rule: never row_number for top-k) — window-equal, hashes
     "q238_group_sample" -> ((s, dir) =>
@@ -3754,6 +3763,50 @@ object SparkEntry {
         |FROM l JOIN r USING (c1, jb)
         |WHERE abs(len(key_a) - len(key_b)) <= 2
         |  AND levenshtein(key_a, key_b) <= 2""".stripMargin,
+    // the nine expected shares are the SAME shortest-repr doubles
+    // spliced into both engines (the q208 PoissonCdf discipline);
+    // χ² = (Σ o²/e)/t − t mirrored term-for-term
+    "q240_benford" -> {
+      val grid = (1 to 9)
+        .map(d => s"($d, ${math.log10(1.0 + 1.0 / d)})").mkString(", ")
+      s"""WITH grid AS (SELECT * FROM (VALUES $grid)
+         |  g(digit, expected_share)),
+         |c AS (SELECT event_type AS g,
+         |        CAST(substr(CAST(CAST(floor("value") AS BIGINT)
+         |          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |        CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM events WHERE "value" >= 1 GROUP BY 1, 2),
+         |f AS (SELECT gs.g, grid.digit, grid.expected_share,
+         |        COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+         |      FROM (SELECT DISTINCT g FROM c) gs CROSS JOIN grid
+         |      LEFT JOIN c ON c.g = gs.g AND c.digit = grid.digit),
+         |t AS (SELECT g, CAST(SUM(n) AS BIGINT) AS tot,
+         |        SUM(pow(CAST(n AS DOUBLE), 2) / expected_share) AS sq
+         |      FROM f GROUP BY 1),
+         |x AS (SELECT g, tot,
+         |        ROUND(sq / CAST(tot AS DOUBLE) - CAST(tot AS DOUBLE), 6)
+         |          AS chi2
+         |      FROM t)
+         |SELECT f.g AS event_type, CAST(f.digit AS BIGINT) AS digit,
+         |  f.n, ROUND(f.n / CAST(x.tot AS DOUBLE), 6) AS share,
+         |  f.expected_share, x.chi2
+         |FROM f JOIN x ON f.g = x.g""".stripMargin
+    },
+    // lexicographic MIN of yyyy-MM-dd strings IS the chronological
+    // first day — the q89 string-day convention
+    "q241_dau_new_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1)
+        |SELECT ud.day, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(COUNT(*) - SUM(CASE WHEN ud.day = f.first_day
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+        |  ROUND(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS new_share
+        |FROM ud JOIN f USING (user_id) GROUP BY 1""".stripMargin,
     // ground truth for the bucketized overlap join: the plain
     // quadratic overlap predicate over the same session relation
     // (closed activity spans, restated half-open at last + 1 µs)

@@ -660,6 +660,71 @@ object DataQuality {
           .otherwise(lit(0.0)).as("violation_share"))
   }
 
+  /** BENFORD first-digit screen — the classic fabricated-numbers
+    * test (Benford 1938; the fraud/telemetry-tamper check auditors
+    * run on payment and count columns): per group, the observed
+    * first-significant-digit distribution of values ≥ 1 against
+    * Benford's log10(1 + 1/d), with the group's χ² statistic riding
+    * every row. The first digit comes from the INTEGER rendering
+    * (substr of floor(v) cast to string — exact both engines; a
+    * log10/pow extraction would mis-digit values an ulp under a power
+    * of ten), expected shares are the SAME nine shortest-repr double
+    * literals spliced into both engines (the q208 PoissonCdf
+    * discipline), and χ² mirrors term-for-term (the q140 κ rule) ⇒
+    * oracle-hashed (q240). Values < 1 are out of Benford's domain and
+    * excluded (documented; a share-of-total screen, not a row gate).
+    *
+    * Output: (groupCol, digit 1..9, n, share 6dp, expected_share,
+    * chi2 6dp — the group statistic, repeated per digit row; digits a
+    * group never produced still appear with n = 0, so χ² is over all
+    * nine cells). Rule of thumb: χ² > 21.67 rejects Benford at
+    * α = 0.01 with 8 degrees of freedom.
+    *
+    * Reference: the reference's validation-aggregate family
+    * (load_sales_history.py:241-251) as forensic screening.
+    *
+    * Scale notes (100 TB): one map-side-combined (group × ≤9)
+    * aggregate; the digit grid fills by an enum-sized cross join;
+    * χ² is a group-sized second aggregate joined back broadcast. */
+  def benfordReport(df: DataFrame, valueCol: String,
+                    groupCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = (1 to 9).map(d => (d.toLong, math.log10(1.0 + 1.0 / d)))
+    val grid = expected.toDF("digit", "expected_share")
+    val counts = df
+      .filter(col(valueCol) >= 1)
+      .select(col(groupCol).as("_g"),
+        substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+      .groupBy(col("_g"), col("digit")).agg(count(lit(1)).as("_n"))
+    val filled = counts.select(col("_g")).distinct()
+      .crossJoin(broadcast(grid))
+      .join(counts, Seq("_g", "digit"), "left")
+      .select(col("_g"), col("digit"), col("expected_share"),
+        coalesce(col("_n"), lit(0L)).as("n"))
+      .localCheckpoint() // (groups × 9)-sized; χ² must not re-scan
+    val chi2 = filled
+      .groupBy(col("_g"))
+      .agg(sum(col("n")).as("_tot"),
+        sum(pow(col("n").cast("double"), 2.0) / col("expected_share"))
+          .as("_sq"))
+      // Σ (o − t·e)²/(t·e) = (Σ o²/e)/t − (2 − Σe)·t; with Σe = 1 the
+      // tail is −t (the spliced literals sum to 1 within an ulp — the
+      // residual is t·1e-16, invisible at 6dp). Both engines compute
+      // THIS form with identical literals, so the hash compares like
+      // with like regardless.
+      .select(col("_g"),
+        col("_tot"),
+        round(col("_sq") / col("_tot").cast("double") -
+          col("_tot").cast("double"), 6).as("chi2"))
+    filled.join(broadcast(chi2), Seq("_g"))
+      .select(col("_g").as(groupCol), col("digit"), col("n"),
+        round(col("n").cast("double") / col("_tot").cast("double"), 6)
+          .as("share"),
+        col("expected_share"), col("chi2"))
+  }
+
   /** KEY-UNIQUENESS audit: does the declared primary key actually
     * identify rows? Reports total rows, distinct keys, keys with more
     * than one row, and the largest copy-group — the pre-publish check

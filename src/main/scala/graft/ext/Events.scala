@@ -458,6 +458,42 @@ object Events {
           .as("share"))
   }
 
+  /** Daily NEW-vs-RETURNING decomposition — the growth-accounting
+    * split every DAU chart needs (raw DAU confounds acquisition with
+    * retention; this separates them): per day, distinct active users,
+    * how many were seen for the FIRST time ever that day, and the
+    * returning remainder. Days are yyyy-MM-dd strings (the q89 rule —
+    * date columns round-trip as different physical types across
+    * engines) whose lexicographic MIN is the chronological first.
+    * Counts exact, one division rounded 6dp ⇒ oracle-hashed (q241).
+    *
+    * Output: (day, n_active, n_new, n_returning, new_share).
+    *
+    * Reference: the mart rollup family (load_sales_mart.py:54-66)
+    * with the time axis the reference discards.
+    *
+    * Scale notes (100 TB): ONE events scan reduces to the distinct
+    * (user, day) relation (map-side combined, localCheckpointed — it
+    * feeds first-day derivation AND the daily rollup); firsts are a
+    * min per user over that reduced relation; the closing aggregate
+    * is days-sized. */
+  def dauNewReturning(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .distinct()
+      .localCheckpoint()
+    val firsts = ud.groupBy(col("user_id"))
+      .agg(min(col("day")).as("_first"))
+    ud.join(firsts, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum((col("day") === col("_first")).cast("long")).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        round(col("n_new").cast("double") /
+          col("n_active").cast("double"), 6).as("new_share"))
+  }
+
   /** Cross-user session CONCURRENCY matrix — for every user pair, how
     * many of their session pairs overlap in time: the co-presence
     * analysis behind shared-account/bot-ring screening (two "users"

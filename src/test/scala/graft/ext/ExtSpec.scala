@@ -3405,6 +3405,49 @@ class ExtSpec extends SparkSpec {
     assert(free(2L) == 3L, s"unbounded: $free")
   }
 
+  test("benfordReport: fabricated uniform digits score far above a Benford-ish set") {
+    // benford-ish group: counts per first digit ∝ log10(1+1/d) over
+    // 1000 values; uniform group: ~111 values per digit — the
+    // fabricated pattern the screen exists to flag
+    val benfordish = (1 to 9).flatMap { d =>
+      val n = math.round(1000 * math.log10(1.0 + 1.0 / d)).toInt
+      Seq.fill(n)(("organic", d * 10.0 + 3.0))
+    }
+    val uniform = (1 to 9).flatMap(d =>
+      Seq.fill(111)(("tampered", d * 100.0 + 7.0)))
+    val noise = Seq(("organic", 0.5), ("organic", -3.0)) // out of domain
+    val df = (benfordish ++ uniform ++ noise).toDF("src", "v")
+    val out = DataQuality.benfordReport(df, "v", "src").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(5)))).toMap
+    // every group shows all nine digit rows, χ² constant per group
+    assert(out.keys.count(_._1 == "organic") == 9)
+    assert(out.keys.count(_._1 == "tampered") == 9)
+    val chiOrganic = out(("organic", 1L))._2
+    val chiTampered = out(("tampered", 1L))._2
+    assert(chiOrganic < 1.0, s"a Benford-ish set must fit: $chiOrganic")
+    assert(chiTampered > 21.67,
+      s"uniform digits must reject at alpha 0.01: $chiTampered")
+    // out-of-domain values never counted: organic digit-1 bucket is
+    // its crafted count (sub-1 and negative rows excluded)
+    assert(out(("organic", 1L))._1 ==
+      math.round(1000 * math.log10(2.0)), s"$out")
+  }
+
+  test("dauNewReturning: hand-checked growth split") {
+    val ev = Seq(
+        (1L, 1L, "2024-01-01 08:00:00"), (2L, 2L, "2024-01-01 09:00:00"),
+        (3L, 1L, "2024-01-01 10:00:00"), // same day, still one active row
+        (4L, 1L, "2024-01-02 08:00:00"), (5L, 3L, "2024-01-02 09:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val out = Events.dauNewReturning(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("2024-01-01") == ((2L, 2L, 0L, 1.0)), s"$out")
+    assert(out("2024-01-02") == ((2L, 1L, 1L, 0.5)), s"$out")
+  }
+
   test("functionalDependencyReport: crafted violations, self-dependency guard") {
     val df = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 11L),
         (4L, "b", 20L), (5L, "c", 30L))
