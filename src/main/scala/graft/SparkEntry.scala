@@ -2229,6 +2229,19 @@ object SparkEntry {
     // the q89 day-string rule, one distinct (user, day) relation
     "q241_dau_new_returning" -> ((s, dir) =>
       ext.Events.dauNewReturning(Tables.events(s, dir))),
+    // the STORED-registry route: freeze first-seen days for the first
+    // half of the month, classify the second half against the frozen
+    // registry — equals the live q241 restricted to probe days (the
+    // q77≡q70 same-oracle pattern, wrapped in the day filter)
+    "q242_dau_stored_registry" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+      val ev = Tables.events(s, dir)
+      val pivot = to_timestamp(lit("2024-01-16 00:00:00"))
+      val path = "/tmp/graft_firstseen_q242"
+      ext.Events.writeFirstSeenProfile(ev.filter(col("ts") < pivot), path)
+      ext.Events.dauAgainstFirstSeen(s, ev.filter(col("ts") >= pivot),
+        path)
+    }),
     // uniform k-per-group draw as the BOUNDED top-k aggregate (the
     // r18 rule: never row_number for top-k) — window-equal, hashes
     "q238_group_sample" -> ((s, dir) =>
@@ -2711,6 +2724,24 @@ object SparkEntry {
        |             ROUND(SUM(w) / COUNT(*), 6) AS quality_score
        |           FROM wts GROUP BY 1)""".stripMargin
   }
+
+  /** q241's daily new/returning split (also q242's — the stored
+    * first-seen registry must hash-match the live computation on the
+    * probe window): one distinct (user, day) relation, lexicographic
+    * min first day, exact counts. */
+  private val DauNewReturningSql =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1)
+      |SELECT ud.day, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |  CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_new,
+      |  CAST(COUNT(*) - SUM(CASE WHEN ud.day = f.first_day
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+      |  ROUND(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS new_share
+      |FROM ud JOIN f USING (user_id) GROUP BY 1""".stripMargin
 
   /** q220's blocked-Levenshtein pairs (q231 nests it as the survivor
     * rule's pair source): (first char, length bucket) candidates,
@@ -3794,19 +3825,14 @@ object SparkEntry {
     },
     // lexicographic MIN of yyyy-MM-dd strings IS the chronological
     // first day — the q89 string-day convention
-    "q241_dau_new_returning" ->
-      """WITH ud AS (SELECT DISTINCT user_id,
-        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
-        |  FROM events),
-        |f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1)
-        |SELECT ud.day, CAST(COUNT(*) AS BIGINT) AS n_active,
-        |  CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_new,
-        |  CAST(COUNT(*) - SUM(CASE WHEN ud.day = f.first_day
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
-        |  ROUND(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
-        |    / CAST(COUNT(*) AS DOUBLE), 6) AS new_share
-        |FROM ud JOIN f USING (user_id) GROUP BY 1""".stripMargin,
+    "q241_dau_new_returning" -> DauNewReturningSql,
+    // the stored-registry route must hash-match the live split on the
+    // probe window — q241's SQL verbatim, day-filtered (the q77≡q70
+    // pattern: the frozen registry holds strictly earlier days, so
+    // effective firsts equal corpus firsts)
+    "q242_dau_stored_registry" ->
+      (s"""SELECT * FROM ($DauNewReturningSql) d
+         |WHERE day >= '2024-01-16'""").stripMargin,
     // ground truth for the bucketized overlap join: the plain
     // quadratic overlap predicate over the same session relation
     // (closed activity spans, restated half-open at last + 1 µs)

@@ -3020,6 +3020,9 @@ object Dedup {
       case Some("winnow") => Seq(("fps", "doc_id"), ("sizes", "doc_id"))
       case Some("perceptual") => Seq(("hashes", "media_id"))
       case Some("fuzzykey") => Seq(("keys", "doc_id"))
+      // first-seen registry rows are per-USER facts — row-level by
+      // the deletion test (every other user's first day survives)
+      case Some("first-seen") => Seq(("firsts", "user_id"))
       case Some(k) =>
         throw new IllegalArgumentException(rebuildOnly.format(indexPath, k))
       case None if params.contains("bands") =>

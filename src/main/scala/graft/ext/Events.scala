@@ -494,6 +494,113 @@ object Events {
           col("n_active").cast("double"), 6).as("new_share"))
   }
 
+  // --------------------------------------------------------------------
+  // First-seen registry — the incremental ladder of [[dauNewReturning]]
+  // (write → against → append → stream twin → compaction → forget):
+  // the stored state is each user's earliest observed day, and MIN is
+  // the merge — so the READER is replay-safe ALGEBRAICALLY (min is
+  // idempotent and commutative; duplicate appends are semantic
+  // no-ops, the HLL class). Tags exist only for pre-append novelty
+  // scoring (excludeBatchId), and compaction collapses per
+  // (user, batch_id) — the KEY-dedup rule: folding a tagged min into
+  // an untagged row would break exclusion's decision-preservation.
+  // --------------------------------------------------------------------
+
+  private val FirstSeenParams =
+    Map("kind" -> "first-seen", "idCol" -> "user_id")
+
+  private def userDays(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .distinct()
+
+  /** Freeze the corpus's first-seen registry at `path`: `firsts/`
+    * rows (user_id, first_day, batch_id NULL = base) + the sidecar
+    * LAST. One distinct (user, day) pass + a user-keyed min. */
+  def writeFirstSeenProfile(events: DataFrame, path: String): Unit = {
+    userDays(events).groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+      .withColumn("batch_id", lit(null).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/firsts")
+    Dedup.writeParams(s"$path/params.properties", FirstSeenParams)
+  }
+
+  /** Append a batch's per-user first days (sidecar validated BEFORE
+    * any write; `batchId` tags rows for replay exclusion — the merge
+    * itself needs no tags, min absorbs duplicates). */
+  def appendFirstSeenProfile(events: DataFrame, path: String,
+                             batchId: Option[Long] = None): Unit = {
+    Dedup.requireParams(s"$path/params.properties", FirstSeenParams,
+      "first-seen")
+    Dedup.requireTaggedRelation(events.sparkSession, path, "firsts")
+    userDays(events).groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+      .withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/firsts")
+  }
+
+  /** The registry collapsed to one row per user (min over every
+    * appended candidate, optionally excluding one batch's tags). */
+  def firstSeenOf(spark: org.apache.spark.sql.SparkSession, path: String,
+                  excludeBatchId: Option[Long] = None): DataFrame = {
+    Dedup.requireParams(s"$path/params.properties", FirstSeenParams,
+      "first-seen")
+    Dedup.excludeTagged(spark.read.parquet(s"$path/firsts"), path,
+        "firsts", excludeBatchId)
+      .groupBy(col("user_id")).agg(min(col("first_day")).as("first_day"))
+  }
+
+  /** [[dauNewReturning]] against the STORED registry — the recurring-
+    * batch form: a batch user is NEW on day d iff d equals their
+    * EFFECTIVE first day = min(stored first, batch first) — late-
+    * arriving older data moves the first back, a user the registry
+    * already knows is returning from their first batch row. When the
+    * registry holds days strictly before every batch day, this equals
+    * the live [[dauNewReturning]] over (history ∪ batch) restricted
+    * to batch days — the incremental-family equality claim,
+    * oracle-hashed (q242 reuses q241's SQL wrapped in the day filter,
+    * the q77≡q70 pattern) and spec-pinned. `excludeBatchId` makes a
+    * replayed ingest reproduce its pre-append report. */
+  def dauAgainstFirstSeen(spark: org.apache.spark.sql.SparkSession,
+                          events: DataFrame, path: String,
+                          excludeBatchId: Option[Long] = None): DataFrame = {
+    val ud = userDays(events).localCheckpoint()
+    val eff = ud.groupBy(col("user_id")).agg(min(col("day")).as("_bf"))
+      .join(firstSeenOf(spark, path, excludeBatchId), Seq("user_id"), "left")
+      .select(col("user_id"),
+        least(col("_bf"), coalesce(col("first_day"), col("_bf")))
+          .as("_first"))
+    ud.join(eff, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum((col("day") === col("_first")).cast("long")).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        round(col("n_new").cast("double") /
+          col("n_active").cast("double"), 6).as("new_share"))
+  }
+
+  /** Compact an appended registry: collapse per (user, batch_id)
+    * keeping the min day — the KEY-dedup rule (folding a tagged min
+    * into the base row would make a later own-tag exclusion see a
+    * different registry than its first attempt did). Reader output is
+    * unchanged for every exclusion choice (spec-pinned). */
+  def compactFirstSeenProfile(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit = {
+    Dedup.requireParams(s"$path/params.properties", FirstSeenParams,
+      "first-seen")
+    val collapsed = spark.read.parquet(s"$path/firsts")
+      .groupBy(col("user_id"), col("batch_id"))
+      .agg(min(col("first_day")).as("first_day"))
+      .select(col("user_id"), col("first_day"), col("batch_id"))
+      .localCheckpoint() // materialize BEFORE the swap shelves the source
+    graft.lineage.AtomicSwap.writeSwap(s"$path/firsts")(tmp =>
+      collapsed.write.parquet(tmp))
+  }
+
   /** Cross-user session CONCURRENCY matrix — for every user pair, how
     * many of their session pairs overlap in time: the co-presence
     * analysis behind shared-account/bot-ring screening (two "users"

@@ -1266,6 +1266,35 @@ object EventStream {
         }
       }
 
+  /** Streaming growth-accounting absorb —
+    * [[ingestVolumeProfileStream]]'s score-then-merge shape on the
+    * first-seen registry: each micro-batch is classified new/returning
+    * against the STORED registry with its own tag excluded
+    * ([[graft.ext.Events.dauAgainstFirstSeen]] — a replay reproduces
+    * its pre-append report byte for byte), the per-day split lands
+    * under `metricsPath/batch_id=N`, and the batch's first days are
+    * appended LAST (the absorb ordering rule). The merge half is the
+    * cheapest in the suite: min is algebraically idempotent, so a
+    * replayed append is a semantic no-op even before compaction. */
+  def ingestFirstSeenStream(events: DataFrame, profilePath: String,
+                            metricsPath: String,
+                            checkpoint: String): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed twice: report + absorb
+          graft.ext.Events.dauAgainstFirstSeen(b.sparkSession, b,
+              profilePath, excludeBatchId = Some(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+          graft.ext.Events.appendFirstSeenProfile(b, profilePath,
+            batchId = Some(batchId))
+        }
+      }
+
   /** Streaming feed-health monitor — [[driftMonitorStream]]'s contract
     * pointed at arrival volume: each micro-batch of events is scored
     * against the STORED hour-of-week baseline

@@ -3434,6 +3434,57 @@ class ExtSpec extends SparkSpec {
       math.round(1000 * math.log10(2.0)), s"$out")
   }
 
+  test("first-seen registry: stored ≡ live on the probe window, min idempotence, exclusion, compaction, forget") {
+    def ev(rows: (Long, Long, String)*) = rows.toSeq
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val history = ev((1L, 1L, "2024-01-01 08:00:00"),
+      (2L, 2L, "2024-01-02 08:00:00"))
+    val batch = ev((3L, 1L, "2024-01-10 08:00:00"),   // returning
+      (4L, 3L, "2024-01-10 09:00:00"),                // new
+      (5L, 3L, "2024-01-11 09:00:00"))                // returning next day
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_firstseen").toString
+    def rep(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Events.writeFirstSeenProfile(history, s"$dir/fs")
+    // the incremental-family equality claim: against ≡ live over
+    // (history ∪ batch) restricted to batch days
+    val got = rep(Events.dauAgainstFirstSeen(spark, batch, s"$dir/fs"))
+    val live = rep(Events.dauNewReturning(history.unionByName(batch))
+      .filter($"day" >= "2024-01-10"))
+    assert(got == live && got == Map(
+      "2024-01-10" -> ((2L, 1L)), "2024-01-11" -> ((1L, 0L))), s"$got")
+    // absorb the batch; a dup of user 3 in a later batch is returning
+    Events.appendFirstSeenProfile(batch, s"$dir/fs", Some(7L))
+    val later = ev((6L, 3L, "2024-01-20 08:00:00"))
+    assert(rep(Events.dauAgainstFirstSeen(spark, later, s"$dir/fs"))
+      == Map("2024-01-20" -> ((1L, 0L))))
+    // replay exclusion: probing the batch with its OWN tag excluded
+    // reproduces the pre-append report
+    assert(rep(Events.dauAgainstFirstSeen(spark, batch, s"$dir/fs",
+      excludeBatchId = Some(7L))) == got)
+    // min idempotence: a duplicate append changes NO reader output
+    Events.appendFirstSeenProfile(batch, s"$dir/fs", Some(7L))
+    assert(rep(Events.dauAgainstFirstSeen(spark, later, s"$dir/fs"))
+      == Map("2024-01-20" -> ((1L, 0L))))
+    // compaction collapses rows per (user, tag); every exclusion
+    // choice reads the same registry before and after
+    val before = spark.read.parquet(s"$dir/fs/firsts").count()
+    Events.compactFirstSeenProfile(spark, s"$dir/fs")
+    assert(spark.read.parquet(s"$dir/fs/firsts").count() < before)
+    assert(rep(Events.dauAgainstFirstSeen(spark, batch, s"$dir/fs",
+      excludeBatchId = Some(7L))) == got,
+      "compaction must preserve exclusion decisions")
+    // forget: user 3's rows go; they classify as new again
+    val fr = Dedup.forgetDocuments(spark, s"$dir/fs",
+        Seq(Tuple1(3L)).toDF("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(fr("firsts") >= 1L, fr.toString)
+    assert(rep(Events.dauAgainstFirstSeen(spark, later, s"$dir/fs"))
+      == Map("2024-01-20" -> ((1L, 1L))))
+  }
+
   test("dauNewReturning: hand-checked growth split") {
     val ev = Seq(
         (1L, 1L, "2024-01-01 08:00:00"), (2L, 2L, "2024-01-01 09:00:00"),

@@ -1464,6 +1464,45 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/snap/profile").count() == 3L)
   }
 
+  test("first-seen absorb stream classifies against the pre-batch registry, exactly once under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_firstseen").toString
+    val base = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    graft.ext.Events.writeFirstSeenProfile(base, s"$dir/reg")
+    val mem = MemoryStream[Ev]
+    def drain(): Unit = {
+      val q = EventStream.ingestFirstSeenStream(mem.toDF(),
+        s"$dir/reg", s"$dir/metrics", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    def split(batch: Int) = spark.read.parquet(s"$dir/metrics")
+      .filter(col("batch_id") === batch).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // batch 0: known user 1 returns, user 2 is new
+    mem.addData(
+      Ev(10L, ts("2024-01-05 09:00:00"), 1L, "click", 1.0, "{}"),
+      Ev(11L, ts("2024-01-05 10:00:00"), 2L, "view", 1.0, "{}"))
+    drain()
+    // crash window: report + absorb landed, checkpoint commit lost —
+    // own-tag exclusion must reproduce the pre-append classification
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    assert(split(0) == Map("2024-01-05" -> ((1L, 1L))),
+      s"replay must keep user 2 NEW in batch 0's report: ${split(0)}")
+    // batch 1: user 2 is returning only because batch 0 was absorbed
+    // (exactly once — the min merge absorbs the replayed append)
+    mem.addData(Ev(12L, ts("2024-01-09 09:00:00"), 2L, "view", 1.0, "{}"))
+    drain()
+    assert(split(1) == Map("2024-01-09" -> ((0L, 1L))),
+      s"got ${split(1)}")
+  }
+
   test("volume absorb stream scores pre-batch baseline, exactly once under replay") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files
