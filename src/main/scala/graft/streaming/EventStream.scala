@@ -1189,6 +1189,32 @@ object EventStream {
         }
       }
 
+  /** Streaming Benford monitor — the q240 fabricated-numbers screen
+    * per micro-batch (the [[secretMonitorStream]] pure-function
+    * monitor class: no artifact, no tags — each report is a
+    * deterministic function of its batch, the batch-keyed overwrite
+    * makes replays exactly-once). A feed whose per-batch χ² jumps is
+    * the moment tampered or synthesized values started arriving —
+    * surfaced in the micro-batch they arrive in, batches of fewer
+    * than `minRows` in-domain values are skipped (χ² on a handful of
+    * rows is noise, not evidence). */
+  def benfordMonitorStream(rows: DataFrame, metricsPath: String,
+                           checkpoint: String,
+                           valueCol: String = "value",
+                           groupCol: String = "event_type",
+                           minRows: Long = 100L): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batch.filter(col(valueCol) >= 1).count() >= minRows) {
+          graft.ext.DataQuality.benfordReport(batch, valueCol, groupCol)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+        }
+      }
+
   def expectationsStream(rows: DataFrame,
                          rules: Seq[(String, org.apache.spark.sql.Column)],
                          metricsPath: String,

@@ -1503,6 +1503,52 @@ class EventStreamSpec extends SparkSpec {
       s"got ${split(1)}")
   }
 
+  test("benford monitor stream flags the tampered batch, skips thin batches, replays exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_benford").toString
+    val mem = MemoryStream[Ev]
+    def drain(): Unit = {
+      val q = EventStream.benfordMonitorStream(mem.toDF(),
+        s"$dir/metrics", s"$dir/ckpt", minRows = 100L).start()
+      q.awaitTermination()
+    }
+    def chi2(batch: Int) = spark.read.parquet(s"$dir/metrics")
+      .filter(col("batch_id") === batch)
+      .select("chi2").distinct().collect().map(_.getDouble(0)).toSeq
+    // batch 0: Benford-ish first digits (counts ∝ log10(1+1/d))
+    val organic = (1 to 9).flatMap { d =>
+      val n = math.round(200 * math.log10(1.0 + 1.0 / d)).toInt
+      Seq.fill(n)(d)
+    }.zipWithIndex.map { case (d, i) =>
+      Ev(i.toLong, ts("2024-01-01 09:00:00"), 1L, "pay",
+        d * 10.0 + 3.0, "{}") }
+    mem.addData(organic: _*)
+    drain()
+    // crash window: the report landed, the commit didn't — the replay
+    // must land the identical report once (pure function + overwrite)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    assert(chi2(0).size == 1 && chi2(0).head < 3.0,
+      s"organic batch must fit Benford: ${chi2(0)}")
+    // batch 1: uniform first digits — the tamper signal, flagged in
+    // the batch it arrives in
+    mem.addData((1 to 9).flatMap(d => Seq.fill(30)(d)).zipWithIndex
+      .map { case (d, i) => Ev(1000L + i, ts("2024-01-02 09:00:00"),
+        1L, "pay", d * 100.0 + 7.0, "{}") }: _*)
+    drain()
+    assert(chi2(1).size == 1 && chi2(1).head > 21.67,
+      s"uniform digits must reject: ${chi2(1)}")
+    // batch 2: nine in-domain rows — under minRows, no report
+    mem.addData((1 to 9).map(d => Ev(2000L + d,
+      ts("2024-01-03 09:00:00"), 1L, "pay", d * 10.0, "{}")): _*)
+    drain()
+    assert(chi2(2).isEmpty, "thin batches must not produce noise verdicts")
+  }
+
   test("volume absorb stream scores pre-batch baseline, exactly once under replay") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files
