@@ -633,8 +633,12 @@ object DataQuality {
     * rounded 6dp) ⇒ oracle-hashed (q237).
     *
     * Output: one row — (dependency, n_keys, n_violating_keys,
-    * max_variants, violation_share). NULL dependent values count as
-    * one variant (COUNT DISTINCT semantics, identical both engines).
+    * max_variants, violation_share). NULL dependent values are
+    * IGNORED by the distinct count (COUNT DISTINCT excludes NULLs in
+    * both engines): a key mapping to {x, NULL} reports 1 variant and
+    * is not flagged, and an all-NULL key reports 0 variants — never a
+    * violation. Declare NOT-NULL expectations separately
+    * ([[expectationsReport]]) if NULLs themselves are a defect.
     *
     * Scale notes (100 TB): one map-side-combined distinct-count per
     * determinant key + a four-scalar reduce over the key relation; a

@@ -3156,15 +3156,20 @@ object TextAnalysis {
     val kept = scored.orderBy(col("n_uses").desc, col("tok"))
       .limit(keepTop)
       .localCheckpoint() // materialize before any write
-    spark.read.parquet(s"$modelPath/merges").repartition(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$outPath/merges")
-    kept.select(col("tok"))
-      .withColumn("tok_id",
-        (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$outPath/vocab")
-    Dedup.writeParams(s"$outPath/params.properties", BpeModelParams)
+    // stage-then-swap (the artifact discipline): re-pruning over an
+    // EXISTING pruned artifact must never leave a torn merges/vocab
+    // mix behind a still-valid sidecar (the r17 advice)
+    graft.lineage.AtomicSwap.writeSwap(outPath) { tmp =>
+      spark.read.parquet(s"$modelPath/merges").repartition(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$tmp/merges")
+      kept.select(col("tok"))
+        .withColumn("tok_id",
+          (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$tmp/vocab")
+      Dedup.writeParams(s"$tmp/params.properties", BpeModelParams)
+    }
     val t = scored.agg(count(lit(1)).as("nb"), sum(col("n_uses")).as("tu"))
       .head()
     val k = kept.agg(count(lit(1)).as("na"), sum(col("n_uses")).as("ku"))

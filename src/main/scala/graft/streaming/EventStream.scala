@@ -1208,8 +1208,12 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batch.filter(col(valueCol) >= 1).count() >= minRows) {
-          graft.ext.DataQuality.benfordReport(batch, valueCol, groupCol)
+        // one materialization feeds the gate count AND the report's
+        // two internal passes (the ingestFirstSeenStream pattern —
+        // a foreachBatch source recomputes, it is not cached state)
+        val b = batch.localCheckpoint()
+        if (b.filter(col(valueCol) >= 1).count() >= minRows) {
+          graft.ext.DataQuality.benfordReport(b, valueCol, groupCol)
             .write.mode(SaveMode.Overwrite)
             .parquet(s"$metricsPath/batch_id=$batchId")
         }
