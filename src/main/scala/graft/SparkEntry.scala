@@ -2313,6 +2313,23 @@ object SparkEntry {
       ext.Dedup.fuzzyKeyPairsAgainstIndex(s,
         keys.filter(col("doc_id") % 2 === 1), idx, "title", maxDist = 2)
     }),
+    // FULL-RECALL fuzzy pairs under a BRUTE-FORCE oracle: deletion-
+    // neighborhood blocking (FastSS) at maxDist 1 — the oracle is the
+    // quadratic Levenshtein join itself, so the hash match IS the
+    // full-recall claim on real data. Planted first-char substitutions
+    // (ids + 10M, the q230 planted-block discipline: the fixture has
+    // ZERO organic first-char-edit pairs at any SF — probed first, the
+    // q155 rule) are exactly the pairs the prefix mode provably misses.
+    "q243_fuzzy_full_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, lit, substring}
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 24).as("title"))
+      val planted = base.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("~"), substring(col("title"), 2, 23)).as("title"))
+      ext.Dedup.fuzzyKeyPairs(base.unionByName(planted), "title",
+        maxDist = 1, blockMode = "deletion")
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -3826,6 +3843,25 @@ object SparkEntry {
     // lexicographic MIN of yyyy-MM-dd strings IS the chronological
     // first day — the q89 string-day convention
     "q241_dau_new_returning" -> DauNewReturningSql,
+    // BRUTE FORCE on purpose: the oracle is the unblocked quadratic
+    // Levenshtein join, so a hash match proves the deletion-
+    // neighborhood route finds EVERY pair within one edit (including
+    // the planted first-char substitutions the prefix block misses)
+    "q243_fuzzy_full_recall" ->
+      """WITH base AS (SELECT doc_id, substr(text, 1, 24) AS title
+        |              FROM documents),
+        |u AS (SELECT doc_id, title FROM base
+        |      UNION ALL
+        |      SELECT doc_id + 10000000, '~' || substr(title, 2, 23)
+        |      FROM base WHERE doc_id % 97 = 0),
+        |b AS (SELECT doc_id, title AS key FROM u
+        |      WHERE title IS NOT NULL AND len(title) >= 1)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  a.key AS key_a, c.key AS key_b,
+        |  CAST(levenshtein(a.key, c.key) AS BIGINT) AS distance
+        |FROM b a JOIN b c ON a.doc_id < c.doc_id
+        |WHERE abs(len(a.key) - len(c.key)) <= 1
+        |  AND levenshtein(a.key, c.key) <= 1""".stripMargin,
     // the stored-registry route must hash-match the live split on the
     // probe window — q241's SQL verbatim, day-filtered (the q77≡q70
     // pattern: the frozen registry holds strictly earlier days, so

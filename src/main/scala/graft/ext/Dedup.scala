@@ -3009,6 +3009,24 @@ object Dedup {
     * takedown cadence; the ids side is id-count-sized. The rewrite is
     * the same full-relation pass a compaction already pays — batch
     * takedowns amortize (pass ALL pending ids in one call). */
+  /** kind → its per-entity relations (relation dir, id column): the
+    * ONE row-level registry both forget routes dispatch on. A kind
+    * belongs here iff deleting an id's rows is decision-preserving
+    * for every OTHER id (the deletion test) — first-seen qualifies
+    * because per-user MIN is a per-user fact; canonical does NOT
+    * (winner-only state). Keeping the set in one place is what stops
+    * [[forgetDocuments]] and [[forgetAndRebuild]] drifting apart
+    * (the r17 advice: the duplicated set had already drifted once). */
+  private[ext] val RowLevelRelations: Map[String, Seq[(String, String)]] =
+    Map(
+      "containment" -> Seq(("grams", "doc_id")),
+      "winnow" -> Seq(("fps", "doc_id"), ("sizes", "doc_id")),
+      "perceptual" -> Seq(("hashes", "media_id")),
+      "fuzzykey" -> Seq(("keys", "doc_id")),
+      // first-seen registry rows are per-USER facts — row-level by
+      // the deletion test (every other user's first day survives)
+      "first-seen" -> Seq(("firsts", "user_id")))
+
   def forgetDocuments(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String, ids: DataFrame): DataFrame = {
     require(ids.columns.length == 1,
@@ -3016,13 +3034,7 @@ object Dedup {
     val params = sidecarParams(s"$indexPath/params.properties")
     val rebuildOnly = "artifact at %s (%s) is not a per-document row-level index — sketches cannot unlearn and aggregated/model artifacts have no per-document rows; rebuild it from the retained corpus"
     val rels: Seq[(String, String)] = params.get("kind") match {
-      case Some("containment") => Seq(("grams", "doc_id"))
-      case Some("winnow") => Seq(("fps", "doc_id"), ("sizes", "doc_id"))
-      case Some("perceptual") => Seq(("hashes", "media_id"))
-      case Some("fuzzykey") => Seq(("keys", "doc_id"))
-      // first-seen registry rows are per-USER facts — row-level by
-      // the deletion test (every other user's first day survives)
-      case Some("first-seen") => Seq(("firsts", "user_id"))
+      case Some(k) if RowLevelRelations.contains(k) => RowLevelRelations(k)
       case Some(k) =>
         throw new IllegalArgumentException(rebuildOnly.format(indexPath, k))
       case None if params.contains("bands") =>
@@ -3110,7 +3122,7 @@ object Dedup {
     val params = sidecarParams(s"$indexPath/params.properties")
     val kind = params.get("kind")
     val rowLevel =
-      kind.exists(Set("containment", "winnow", "perceptual", "fuzzykey")) ||
+      kind.exists(RowLevelRelations.contains) ||
         (kind.isEmpty && (params.contains("bands") || params.contains("nCells")))
     if (rowLevel) return forgetDocuments(spark, indexPath, ids)
     val rebuild: Option[(DataFrame, String) => Unit] = kind match {
@@ -3179,10 +3191,18 @@ object Dedup {
     * edit changes length by at most maxDist, so the true pair set is
     * fully inside the adjacent-bucket join — the RangeJoin
     * bucketized-containment trick on the length axis); exact
-    * Levenshtein verifies candidates. DOCUMENTED RECALL LIMIT: an edit
-    * INSIDE the first `blockChars` characters escapes the block (the
-    * standard first-char blocking trade, dialed; spec-pinned) —
-    * identical keys and every edit past the prefix are always found.
+    * Levenshtein verifies candidates. DOCUMENTED RECALL LIMIT (prefix
+    * mode): an edit INSIDE the first `blockChars` characters escapes
+    * the block (the standard first-char blocking trade, dialed;
+    * spec-pinned) — identical keys and every edit past the prefix are
+    * always found. `blockMode = "deletion"` CLOSES that hole at
+    * maxDist 1: blocks are the key's 1-deletion neighborhood (FastSS
+    * — two keys within one edit always share a variant, regardless of
+    * edit position, including length-1 keys), exact Levenshtein still
+    * verifies, pairs are de-duplicated across shared variants; the
+    * price is a (numChars+1)-way explode of the key projection and
+    * the maxDist = 1 restriction (spec-pinned full recall; the
+    * brute-force-oracle query q243 hashes it on real data).
     *
     * This is the string-metric member of the dedup family: the
     * Jaccard/MinHash ladder measures bag-of-shingles overlap (long
@@ -3220,11 +3240,88 @@ object Dedup {
                     idCol: String = "doc_id",
                     maxDist: Int = 2,
                     blockChars: Int = 1,
-                    maxBlockSize: Option[Long] = None): DataFrame = {
-    val base = capHotBlocks(
-      fuzzyKeyBase(df, keyCol, idCol, maxDist, blockChars),
-      maxBlockSize)
-    fuzzyBlockJoin(base, base, maxDist, col("id_a") < col("id_b"))
+                    maxBlockSize: Option[Long] = None,
+                    blockMode: String = "prefix"): DataFrame =
+    blockMode match {
+      case "prefix" =>
+        val base = capHotBlocks(
+          fuzzyKeyBase(df, keyCol, idCol, maxDist, blockChars),
+          maxBlockSize)
+        fuzzyBlockJoin(base, base, maxDist, col("id_a") < col("id_b"))
+      case "deletion" =>
+        requireDeletionMode(maxDist, blockChars)
+        val base = capHotVariants(
+          deletionKeyBase(df, keyCol, idCol), maxBlockSize)
+        fuzzyDeletionJoin(base, base, col("id_a") < col("id_b"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"blockMode must be 'prefix' or 'deletion', got '$other'")
+    }
+
+  /** Deletion-mode knob contract: the FastSS guarantee is exact at
+    * maxDist 1 (k-deletion neighborhoods for k >= 2 are C(n, k)-sized
+    * — outside the short-key family's charter, use the prefix mode's
+    * documented trade there), and blockChars is a prefix-mode knob
+    * (silently ignoring it would hide a recall decision). */
+  private def requireDeletionMode(maxDist: Int, blockChars: Int): Unit = {
+    require(maxDist == 1,
+      s"blockMode='deletion' provides full recall at maxDist 1 exactly; got maxDist=$maxDist (use blockMode='prefix' past 1)")
+    require(blockChars == 1,
+      s"blockChars is a prefix-mode knob; leave it at 1 under blockMode='deletion' (got $blockChars)")
+  }
+
+  /** The deletion-mode projection: one row per (key, neighborhood
+    * variant) — the variant string IS the block key. */
+  private def deletionKeyBase(df: DataFrame, keyCol: String,
+                              idCol: String): DataFrame =
+    df.select(col(idCol).as("_id"), col(keyCol).as("_key"))
+      .filter(col("_key").isNotNull && length(col("_key")) >= 1)
+      .withColumn("_v",
+        explode(graft.functions.DeletionVariants
+          .deletion_variants(col("_key"))))
+
+  /** Hot-VARIANT cap for deletion mode. Granularity differs from the
+    * prefix cap ON PURPOSE: a key owns many variant blocks, so the
+    * forfeit is per variant — candidate generation THROUGH a hot
+    * variant is dropped (pairs sharing only that variant are lost,
+    * q48's rule at block granularity) while the key keeps pairing
+    * through its other variants. */
+  private def capHotVariants(base: DataFrame,
+                             maxBlockSize: Option[Long]): DataFrame =
+    maxBlockSize match {
+      case None => base
+      case Some(cap) =>
+        require(cap >= 1L, s"maxBlockSize must be >= 1, got $cap")
+        val b = base.localCheckpoint()
+        val hot = b.groupBy(col("_v"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > cap).select("_v")
+          .localCheckpoint()
+        val hinted =
+          if (hot.count() <= MaxBroadcastRows) broadcast(hot) else hot
+        b.join(hinted, Seq("_v"), "left_anti")
+    }
+
+  /** Deletion-neighborhood candidate join + thresholded-Levenshtein
+    * verify: candidates share any neighborhood variant; a true pair
+    * shares up to three, so survivors are de-duplicated AFTER the
+    * (cheap, banded) verify shrinks them. Output schema matches
+    * [[fuzzyBlockJoin]]. */
+  private def fuzzyDeletionJoin(a: DataFrame, b: DataFrame,
+                                idPred: Column): DataFrame = {
+    val left = a.select(col("_id").as("id_a"), col("_key").as("key_a"),
+      col("_v"))
+    val right = b.select(col("_id").as("id_b"), col("_key").as("key_b"),
+      col("_v"))
+    left.join(right, Seq("_v"))
+      .filter(idPred &&
+        abs(length(col("key_a")) - length(col("key_b"))) <= 1)
+      .withColumn("distance",
+        levenshtein(col("key_a"), col("key_b"), 1).cast("long"))
+      .filter(col("distance") >= 0)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        col("distance"))
+      .distinct()
   }
 
   /** The blocked projection both fuzzy-key routes share: (_id, _key,
@@ -3282,10 +3379,16 @@ object Dedup {
       col("_cp"), col("_b").as("_jb"))
     left.join(right, Seq("_cp", "_jb"))
       .filter(idPred &&
-        abs(length(col("key_a")) - length(col("key_b"))) <= maxDist &&
-        levenshtein(col("key_a"), col("key_b")) <= maxDist)
+        abs(length(col("key_a")) - length(col("key_b"))) <= maxDist)
+      // THRESHOLDED levenshtein (returns −1 past maxDist): the banded
+      // DP is O(maxDist·n) per candidate vs the full O(n·m), and the
+      // distance is projected once then filtered on — not recomputed
+      // in a separate Filter conjunct (the r17 advice)
+      .withColumn("distance",
+        levenshtein(col("key_a"), col("key_b"), maxDist).cast("long"))
+      .filter(col("distance") >= 0)
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
-        levenshtein(col("key_a"), col("key_b")).cast("long").as("distance"))
+        col("distance"))
   }
 
   // --------------------------------------------------------------------
@@ -3355,30 +3458,55 @@ object Dedup {
                                 keyCol: String, idCol: String = "doc_id",
                                 maxDist: Int = 2, blockChars: Int = 1,
                                 maxBlockSize: Option[Long] = None,
-                                excludeBatchId: Option[Long] = None)
+                                excludeBatchId: Option[Long] = None,
+                                blockMode: String = "prefix")
       : DataFrame = {
     requireParams(s"$indexPath/params.properties",
       fuzzyKeyIndexParams(keyCol), "fuzzykey")
-    val idx = fuzzyKeyBase(
-      excludeTagged(spark.read.parquet(s"$indexPath/keys"),
-          indexPath, "keys", excludeBatchId)
-        .select("doc_id", "key").distinct(),
-      "key", "doc_id", maxDist, blockChars)
-    val batch = fuzzyKeyBase(newDocs, keyCol, idCol, maxDist, blockChars)
-    val (ga, gb) = maxBlockSize match {
-      case None => (idx, batch)
-      case Some(cap) =>
-        require(cap >= 1L, s"maxBlockSize must be >= 1, got $cap")
-        val hot = idx.groupBy(col("_cp"), col("_b"))
-          .agg(count(lit(1)).as("_n"))
-          .filter(col("_n") > cap).select("_cp", "_b")
-          .localCheckpoint()
-        val hinted =
-          if (hot.count() <= MaxBroadcastRows) broadcast(hot) else hot
-        (idx.join(hinted, Seq("_cp", "_b"), "left_anti"),
-          batch.join(hinted, Seq("_cp", "_b"), "left_anti"))
+    val stored = excludeTagged(spark.read.parquet(s"$indexPath/keys"),
+        indexPath, "keys", excludeBatchId)
+      .select("doc_id", "key").distinct()
+    blockMode match {
+      case "prefix" =>
+        val idx = fuzzyKeyBase(stored, "key", "doc_id", maxDist, blockChars)
+        val batch = fuzzyKeyBase(newDocs, keyCol, idCol, maxDist, blockChars)
+        val (ga, gb) = maxBlockSize match {
+          case None => (idx, batch)
+          case Some(cap) =>
+            require(cap >= 1L, s"maxBlockSize must be >= 1, got $cap")
+            val hot = idx.groupBy(col("_cp"), col("_b"))
+              .agg(count(lit(1)).as("_n"))
+              .filter(col("_n") > cap).select("_cp", "_b")
+              .localCheckpoint()
+            val hinted =
+              if (hot.count() <= MaxBroadcastRows) broadcast(hot) else hot
+            (idx.join(hinted, Seq("_cp", "_b"), "left_anti"),
+              batch.join(hinted, Seq("_cp", "_b"), "left_anti"))
+        }
+        fuzzyBlockJoin(ga, gb, maxDist, col("id_a") =!= col("id_b"))
+      case "deletion" =>
+        requireDeletionMode(maxDist, blockChars)
+        val idx = deletionKeyBase(stored, "key", "doc_id")
+        val batch = deletionKeyBase(newDocs, keyCol, idCol)
+        // hot-variant census on the INDEX side (the side that grows),
+        // forfeited from BOTH sides — the prefix route's convention
+        val (ga, gb) = maxBlockSize match {
+          case None => (idx, batch)
+          case Some(cap) =>
+            require(cap >= 1L, s"maxBlockSize must be >= 1, got $cap")
+            val i = idx.localCheckpoint()
+            val hot = i.groupBy(col("_v")).agg(count(lit(1)).as("_n"))
+              .filter(col("_n") > cap).select("_v").localCheckpoint()
+            val hinted =
+              if (hot.count() <= MaxBroadcastRows) broadcast(hot) else hot
+            (i.join(hinted, Seq("_v"), "left_anti"),
+              batch.join(hinted, Seq("_v"), "left_anti"))
+        }
+        fuzzyDeletionJoin(ga, gb, col("id_a") =!= col("id_b"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"blockMode must be 'prefix' or 'deletion', got '$other'")
     }
-    fuzzyBlockJoin(ga, gb, maxDist, col("id_a") =!= col("id_b"))
   }
 
   /** One continuous-ingest fuzzy-key cycle — [[ingestDedupBatch]]'s
@@ -3395,12 +3523,14 @@ object Dedup {
                           maxDist: Int = 2, blockChars: Int = 1,
                           maxBlockSize: Option[Long] = None,
                           batchId: Option[Long] = None,
-                          accept: DataFrame => Unit = _ => ()): DataFrame = {
+                          accept: DataFrame => Unit = _ => (),
+                          blockMode: String = "prefix"): DataFrame = {
     val batch = newDocs.localCheckpoint()
     val cross = fuzzyKeyPairsAgainstIndex(spark, batch, indexPath, keyCol,
-      idCol, maxDist, blockChars, maxBlockSize, excludeBatchId = batchId)
+      idCol, maxDist, blockChars, maxBlockSize, excludeBatchId = batchId,
+      blockMode = blockMode)
     val within = fuzzyKeyPairs(batch, keyCol, idCol, maxDist, blockChars,
-      maxBlockSize)
+      maxBlockSize, blockMode)
     val dropIds = cross.select(col("id_b").as(idCol))
       .unionByName(within.select(col("id_b").as(idCol)))
       .distinct()

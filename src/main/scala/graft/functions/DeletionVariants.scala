@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The 1-deletion neighborhood of a string: the string itself plus
+  * every string obtained by deleting exactly one CHARACTER (code
+  * point, so multi-byte text blocks correctly), de-duplicated
+  * (adjacent equal characters delete to the same variant).
+  *
+  * This is the FastSS blocking key for full-recall edit-distance-1
+  * candidate generation: if lev(a, b) <= 1 then the neighborhoods of
+  * a and b intersect — a substitution at position i shares the
+  * delete-at-i variant, an insertion in b shares a itself, and equal
+  * strings share trivially. Crucially the guarantee has no positional
+  * blind spot (the prefix block's documented first-chars hole), and
+  * it covers length-1 keys, where even a prefix+suffix union fails
+  * ("x" vs "y" share the empty-string variant).
+  *
+  * A higher-order `transform(sequence(...), concat(substr...))`
+  * formulation evaluates interpreted (the pinned hot-path rule); this
+  * runs one generated-Java pass per row. Output size is numChars+1
+  * (minus duplicates) — linear in the key, which is short by the
+  * fuzzy-key family's charter.
+  */
+case class DeletionVariants(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    DeletionVariants.variants(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DeletionVariants.variants($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeletionVariants =
+    copy(child = newChild)
+  override def prettyName: String = "deletion_variants"
+}
+
+object DeletionVariants {
+  /** Kernel (called from generated code): {key} ∪ one-char deletions,
+    * insertion order, duplicates collapsed. */
+  def variants(key: UTF8String): ArrayData = {
+    val n = key.numChars()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    seen.add(key)
+    var i = 0
+    while (i < n) {
+      seen.add(UTF8String.concat(key.substring(0, i), key.substring(i + 1, n)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  def deletion_variants(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DeletionVariants(ColumnBridge.expression(c)))
+  }
+}

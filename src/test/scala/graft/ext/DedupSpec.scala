@@ -187,6 +187,82 @@ class DedupSpec extends SparkSpec {
     assert(free.size > 1, "the uncapped run must see the hot block")
   }
 
+  test("fuzzy-key deletion blocking: full recall at maxDist 1 regardless of edit position") {
+    // every edit class at every position — including the two the
+    // prefix block provably misses (first-char edits) and the one even
+    // a prefix+suffix union misses (length-1 keys share only the
+    // empty-string deletion variant)
+    val df = Seq(
+        (1L, "kitten"), (2L, "sitten"),       // first-char substitution
+        (3L, "hello"), (4L, "ello"),          // first-char deletion
+        (5L, "world"), (6L, "xworld"),        // front insertion
+        (7L, "abcdef"), (8L, "abcxef"),       // middle substitution
+        (9L, "tail"), (10L, "tai"),           // end deletion
+        (11L, "same key"), (12L, "same key"), // identical keys
+        (13L, "x"), (14L, "y"),               // length-1 substitution
+        (15L, "completely"), (16L, "differs")) // a true non-pair
+      .toDF("doc_id", "title")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.fuzzyKeyPairs(df, "title", maxDist = 1,
+      blockMode = "deletion")
+    // ground truth = the quadratic join on the crafted frame
+    val keys = df.select($"doc_id", $"title")
+    val truth = keys.toDF("id_a", "key_a")
+      .crossJoin(keys.toDF("id_b", "key_b"))
+      .filter($"id_a" < $"id_b" &&
+        levenshtein($"key_a", $"key_b") <= 1)
+    assert(ids(got) == ids(truth) && ids(got).size == 7,
+      s"deletion route ${ids(got)} vs brute force ${ids(truth)}")
+    // exactly one output row per pair (variant-shared candidates dedup)
+    assert(got.count() == got.distinct().count() &&
+      got.count() == 7L)
+    // the prefix route misses exactly the first-position pairs
+    val prefix = ids(Dedup.fuzzyKeyPairs(df, "title", maxDist = 1))
+    assert(ids(truth) -- prefix ==
+      Set((1L, 2L), (3L, 4L), (5L, 6L), (13L, 14L)),
+      s"prefix route found $prefix")
+    // hot-VARIANT cap: "hot0".."hot9" all share the delete-last
+    // variant "hot" (population 10 > cap 5) — pairs that share ONLY
+    // that variant forfeit; (hot0, hot0x) still pairs through the
+    // un-hot variant "hot0" itself (per-variant granularity, NOT the
+    // prefix mode's per-key forfeit — documented divergence)
+    val hot = (0 to 9).map(i => (i.toLong, s"hot$i")) ++
+      Seq((100L, "hot0x"), (200L, "zebra farm"), (201L, "zebra form"))
+    val capped = ids(Dedup.fuzzyKeyPairs(hot.toDF("doc_id", "title"),
+      "title", maxDist = 1, blockMode = "deletion",
+      maxBlockSize = Some(5L)))
+    assert(capped == Set((0L, 100L), (200L, 201L)),
+      s"capped deletion pairs: $capped")
+    // against-index deletion probe ≡ live cross slice
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fuzzy_del").toString
+    val corpus = df.filter($"doc_id" % 2 === 1)
+    val batch = df.filter($"doc_id" % 2 === 0)
+    Dedup.writeFuzzyKeyIndex(corpus, s"$dir/idx", "title")
+    val against = Dedup.fuzzyKeyPairsAgainstIndex(spark, batch,
+      s"$dir/idx", "title", maxDist = 1, blockMode = "deletion")
+    val cross = ids(truth).collect {
+      case (a, b) if a % 2 != b % 2 => (math.min(a, b), math.max(a, b))
+    }
+    assert(against.collect().map(r =>
+      (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet == cross)
+    // knob contract: deletion mode is the maxDist-1 guarantee only,
+    // blockChars stays a prefix-mode knob, unknown modes refuse
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyKeyPairs(df, "title", maxDist = 2, blockMode = "deletion")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyKeyPairs(df, "title", maxDist = 1, blockChars = 2,
+        blockMode = "deletion")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyKeyPairs(df, "title", blockMode = "suffix")
+    }
+  }
+
   test("fuzzy-key index: against ≡ live cross slice, self-probe guard, ingest, replay, compaction, forget") {
     val corpus = Seq((1L, "galaxy brain"), (2L, "hello world"),
         (3L, "zebra farm")).toDF("doc_id", "title")
