@@ -3476,11 +3476,24 @@ class ExtSpec extends SparkSpec {
     assert(rep(Events.dauAgainstFirstSeen(spark, batch, s"$dir/fs",
       excludeBatchId = Some(7L))) == got,
       "compaction must preserve exclusion decisions")
-    // forget: user 3's rows go; they classify as new again
-    val fr = Dedup.forgetDocuments(spark, s"$dir/fs",
-        Seq(Tuple1(3L)).toDF("user_id"))
+    // forget (GDPR user erasure — the one artifact family where the
+    // right-to-be-forgotten is per-USER): user 3's rows go via the
+    // one-call route, which must dispatch kind=first-seen to the
+    // row-level anti-join arm through the SHARED RowLevelRelations
+    // registry (the r17 advice: the duplicated kind set had drifted)
+    val othersBefore = spark.read.parquet(s"$dir/fs/firsts")
+      .filter($"user_id" =!= 3L).collect().map(_.toString).sorted
+    val fr = Dedup.forgetAndRebuild(spark, s"$dir/fs",
+        Seq(Tuple1(3L)).toDF("user_id"),
+        sourceDocs = history.unionByName(batch), idCol = "user_id")
       .collect().map(r => (r.getString(0), r.getLong(3))).toMap
     assert(fr("firsts") >= 1L, fr.toString)
+    // every OTHER user's stored row — first day AND provenance tag —
+    // is byte-identical after the forget (anti-join, not rebuild)
+    val othersAfter = spark.read.parquet(s"$dir/fs/firsts")
+      .collect().map(_.toString).sorted
+    assert(othersAfter.sameElements(othersBefore),
+      s"other users' rows must survive untouched:\n${othersBefore.mkString("\n")}\nvs\n${othersAfter.mkString("\n")}")
     assert(rep(Events.dauAgainstFirstSeen(spark, later, s"$dir/fs"))
       == Map("2024-01-20" -> ((1L, 1L))))
   }
