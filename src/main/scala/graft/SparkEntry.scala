@@ -2330,6 +2330,37 @@ object SparkEntry {
       ext.Dedup.fuzzyKeyPairs(base.unionByName(planted), "title",
         maxDist = 1, blockMode = "deletion")
     }),
+    // K1 bucketing on the DRIVER surface: the bucketed-table route
+    // must hash-equal the plain-parquet join (the q77≡q70 stored-vs-
+    // live pattern) — the write moves the repeated mart join's shuffle
+    // to table-build time; PlanInvariantsSpec pins ZERO exchanges in
+    // this exact plan (the groupBy rides the join's bucketing too)
+    "q244_bucketed_mart_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, round, sum}
+      val db = "graft_bkt_q244"
+      s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      // the catalog is per-session: a PREVIOUS session's table files
+      // survive its in-memory catalog, and CREATE TABLE refuses a
+      // non-empty managed location — clear the directory itself
+      graft.lineage.AtomicSwap.deleteRecursive(
+        java.nio.file.Paths.get("/tmp/graft_bucket_q244"))
+      s.sql(s"CREATE DATABASE $db LOCATION '/tmp/graft_bucket_q244'")
+      Mart.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+        db, "orders_b", Seq("o_orderkey"), nBuckets = 8,
+        sortCols = Seq("o_orderkey"))
+      Mart.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity",
+          "l_extendedprice"),
+        db, "lineitem_b", Seq("l_orderkey"), nBuckets = 8,
+        sortCols = Seq("l_orderkey"))
+      s.table(s"$db.orders_b")
+        .join(s.table(s"$db.lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -3847,6 +3878,13 @@ object SparkEntry {
     // Levenshtein join, so a hash match proves the deletion-
     // neighborhood route finds EVERY pair within one edit (including
     // the planted first-char substitutions the prefix block misses)
+    // the bucketed route must give the PLAIN join's answer — the
+    // layout is invisible to semantics, only to the plan
+    "q244_bucketed_mart_join" ->
+      """SELECT o_orderkey, ROUND(SUM(l_quantity), 2) AS qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
     "q243_fuzzy_full_recall" ->
       """WITH base AS (SELECT doc_id, substr(text, 1, 24) AS title
         |              FROM documents),

@@ -156,6 +156,25 @@ class PlanInvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q244 bucketed mart join plans zero exchanges end to end") {
+    // broadcast off so the test exercises bucketing, not a broadcast
+    // of the small fixture side (the BucketedJoinSpec discipline)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.queries("q244_bucketed_mart_join")(
+          spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+      assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed mart join must not shuffle — not the scan sides, " +
+          s"not the per-order aggregate:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP DATABASE IF EXISTS graft_bkt_q244 CASCADE")
+    }
+  }
+
   test("q238 group sample runs as a bounded aggregate: no window, no sort") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
