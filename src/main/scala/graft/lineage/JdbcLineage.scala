@@ -1,0 +1,169 @@
+package graft.lineage
+
+import java.sql.{Connection, DriverManager, Timestamp, Types}
+
+/** RDBMS-backed [[LineageStore]] — the reference keeps run admission
+  * in the warehouse itself (`/root/reference/pipeline_scripts/
+  * load_sales_history.py:25-44,63-65`: SELECT max successful id,
+  * DELETE newer rows, INSERT the RUNNING row, UPDATE phase statuses).
+  * This twin implements the identical protocol as plain JDBC DML
+  * against the bookkeeping table, integration-tested live against
+  * embedded Derby (the JdbcSpec discipline).
+  *
+  * Driver-side BY DESIGN: the lineage table holds a handful of rows
+  * of run state — the transactional single-row DML shape the
+  * reference uses. Executors never touch it; the data plane
+  * (`sources.Jdbc`) stays fully distributed. Each call opens one
+  * short-lived connection; `admitRun`'s read-then-purge runs in one
+  * transaction so a concurrent observer never sees a half-admitted
+  * state.
+  *
+  * The table is created on first use when absent (dialect-portable
+  * DDL: INT/TIMESTAMP/VARCHAR only). All timestamps are injected by
+  * the caller — no wall clock (the [[Lineage]] contract).
+  *
+  * Scale notes (100 TB): run bookkeeping is O(runs), not O(data);
+  * the store is correct at any corpus scale by construction.
+  */
+class JdbcLineage(url: String, table: String = "lineage")
+    extends LineageStore {
+  import LineageStatus._
+
+  require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+    s"table must be a plain identifier, got '$table'")
+
+  ensureTable()
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def ensureTable(): Unit = withConn { c =>
+    // dialect-portable existence probe: DatabaseMetaData, checked in
+    // both stored-case conventions (Derby upper-cases identifiers)
+    val meta = c.getMetaData
+    def exists(name: String) = {
+      val rs = meta.getTables(null, null, name, null)
+      try rs.next() finally rs.close()
+    }
+    if (!exists(table.toUpperCase) && !exists(table) &&
+        !exists(table.toLowerCase)) {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE $table (
+           |  id INT NOT NULL PRIMARY KEY,
+           |  exec_start TIMESTAMP NOT NULL,
+           |  exec_finish TIMESTAMP,
+           |  previous_cutoff TIMESTAMP,
+           |  current_cutoff TIMESTAMP NOT NULL,
+           |  pipeline_status VARCHAR(16) NOT NULL,
+           |  validation_start TIMESTAMP,
+           |  validation_finish TIMESTAMP,
+           |  validation_status VARCHAR(16) NOT NULL)""".stripMargin)
+      finally st.close()
+    }
+  }
+
+  def readAll(): Seq[LineageRun] = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"""SELECT id, exec_start, exec_finish, previous_cutoff,
+           |  current_cutoff, pipeline_status, validation_start,
+           |  validation_finish, validation_status
+           |FROM $table ORDER BY id""".stripMargin)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[LineageRun]
+      while (rs.next()) buf += LineageRun(
+        rs.getInt(1), rs.getTimestamp(2), Option(rs.getTimestamp(3)),
+        Option(rs.getTimestamp(4)), rs.getTimestamp(5), rs.getString(6),
+        Option(rs.getTimestamp(7)), Option(rs.getTimestamp(8)),
+        rs.getString(9))
+      buf.toSeq
+    } finally st.close()
+  }
+
+  def admitRun(): Int = withConn { c =>
+    c.setAutoCommit(false)
+    try {
+      val st = c.createStatement()
+      val next = try {
+        val rs = st.executeQuery(
+          s"""SELECT COALESCE(MAX(id), 0) FROM $table
+             |WHERE pipeline_status = '$Successful'
+             |  AND validation_status = '$Successful'""".stripMargin)
+        rs.next()
+        rs.getInt(1) + 1
+      } finally st.close()
+      val del = c.prepareStatement(s"DELETE FROM $table WHERE id >= ?")
+      try { del.setInt(1, next); del.executeUpdate() } finally del.close()
+      c.commit()
+      next
+    } catch {
+      case e: Throwable => c.rollback(); throw e
+    }
+  }
+
+  def previousCutoff(runId: Int): Option[Timestamp] = withConn { c =>
+    val ps = c.prepareStatement(
+      s"SELECT current_cutoff FROM $table WHERE id = ?")
+    try {
+      ps.setInt(1, runId - 1)
+      val rs = ps.executeQuery()
+      if (rs.next()) Option(rs.getTimestamp(1)) else None
+    } finally ps.close()
+  }
+
+  private def setOptTs(ps: java.sql.PreparedStatement, i: Int,
+                       t: Option[Timestamp]): Unit = t match {
+    case Some(v) => ps.setTimestamp(i, v)
+    case None => ps.setNull(i, Types.TIMESTAMP)
+  }
+
+  def startRun(runId: Int, execStart: Timestamp,
+               prevCutoff: Option[Timestamp], curCutoff: Timestamp): Unit =
+    withConn { c =>
+      val ps = c.prepareStatement(
+        s"""INSERT INTO $table (id, exec_start, exec_finish,
+           |  previous_cutoff, current_cutoff, pipeline_status,
+           |  validation_start, validation_finish, validation_status)
+           |VALUES (?, ?, NULL, ?, ?, '$Running', NULL, NULL,
+           |  '$NotStarted')""".stripMargin)
+      try {
+        ps.setInt(1, runId)
+        ps.setTimestamp(2, execStart)
+        setOptTs(ps, 3, prevCutoff)
+        ps.setTimestamp(4, curCutoff)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+
+  def finishPipeline(runId: Int, status: String,
+                     execFinish: Timestamp): Unit = withConn { c =>
+    val ps = c.prepareStatement(
+      s"""UPDATE $table SET pipeline_status = ?, exec_finish = ?
+         |WHERE id = ?""".stripMargin)
+    try {
+      ps.setString(1, status)
+      ps.setTimestamp(2, execFinish)
+      ps.setInt(3, runId)
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+
+  def finishValidation(runId: Int, status: String,
+                       start: Timestamp, finish: Timestamp): Unit =
+    withConn { c =>
+      val ps = c.prepareStatement(
+        s"""UPDATE $table SET validation_status = ?,
+           |  validation_start = ?, validation_finish = ?
+           |WHERE id = ?""".stripMargin)
+      try {
+        ps.setString(1, status)
+        ps.setTimestamp(2, start)
+        ps.setTimestamp(3, finish)
+        ps.setInt(4, runId)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+}

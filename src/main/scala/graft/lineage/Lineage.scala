@@ -40,7 +40,27 @@ object LineageStatus {
   val NotStarted = "NOT STARTED"
 }
 
-class Lineage(spark: SparkSession, path: String) {
+/** The lineage-store seam: the run-admission protocol abstracted over
+  * its backing table, so the SAME pipeline runs against the lake-side
+  * Parquet state table ([[Lineage]]) or the warehouse itself
+  * ([[JdbcLineage]] — where the reference actually keeps it,
+  * `load_sales_history.py:25-44,63-65`). IncrementalPipelineSpec runs
+  * the protocol property tests against BOTH implementations. */
+trait LineageStore {
+  def readAll(): Seq[LineageRun]
+  /** Run admission: next id = max fully-successful id + 1; purge any
+    * rows with id >= that, so failed/partial runs retry idempotently. */
+  def admitRun(): Int
+  /** Previous cutoff = current_cutoff of run id−1; None ⇒ full load. */
+  def previousCutoff(runId: Int): Option[Timestamp]
+  def startRun(runId: Int, execStart: Timestamp,
+               prevCutoff: Option[Timestamp], curCutoff: Timestamp): Unit
+  def finishPipeline(runId: Int, status: String, execFinish: Timestamp): Unit
+  def finishValidation(runId: Int, status: String,
+                       start: Timestamp, finish: Timestamp): Unit
+}
+
+class Lineage(spark: SparkSession, path: String) extends LineageStore {
   import spark.implicits._
   import LineageStatus._
 

@@ -23,7 +23,7 @@ final case class RunReport(
     sourceCount: Long, lakeCount: Long,
     sourceSum: BigDecimal, lakeSum: BigDecimal)
 
-class SalesHistoryPipeline(spark: SparkSession, lineage: Lineage, lakePath: String) {
+class SalesHistoryPipeline(spark: SparkSession, lineage: LineageStore, lakePath: String) {
   import LineageStatus._
 
   /** E6: cutoff = minute-truncated now − 5-minute safety lag (reference

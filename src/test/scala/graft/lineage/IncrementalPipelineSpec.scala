@@ -66,6 +66,24 @@ class IncrementalPipelineSpec extends SparkSpec {
     SalesSource(sales, clients, products, removed)
   }
 
+  // ---- the lineage-store seam: every protocol test runs against both
+  // the Parquet state table and the live-Derby warehouse twin (where
+  // the reference keeps run admission, load_sales_history.py:25-44)
+  private lazy val derbyUrl = {
+    val dir = Files.createTempDirectory("graft_derby_lineage")
+    // respected only if Derby has not booted in this JVM yet (JdbcSpec
+    // may have); either way the db lands in SOME temp sandbox
+    System.setProperty("derby.system.home", dir.toString)
+    "jdbc:derby:graftlineagedb;create=true"
+  }
+  private var derbySeq = 0
+  private def stores: Seq[(String, String => LineageStore)] = Seq(
+    "parquet" -> ((dir: String) => new Lineage(spark, s"$dir/lineage")),
+    "derby" -> ((_: String) => {
+      derbySeq += 1
+      new JdbcLineage(derbyUrl, s"lineage_$derbySeq")
+    }))
+
   private def lakeState(lakePath: String): Set[(Int, Timestamp, java.math.BigDecimal)] =
     IncrementalLoad.readLake(spark, lakePath)
       .select("id", "sale_date", "paid")
@@ -77,10 +95,11 @@ class IncrementalPipelineSpec extends SparkSpec {
       .select("id", "sale_date", "paid")
       .collect().map(r => (r.getInt(0), r.getTimestamp(1), r.getDecimal(2))).toSet
 
-  test("N incremental cycles converge to source state and match full rebuild") {
+  for ((storeName, mkStore) <- stores)
+  test(s"N incremental cycles converge to source state and match full rebuild [$storeName lineage]") {
     val dir = Files.createTempDirectory("graft_inc").toString
     val lakePath = s"$dir/sales_history"
-    val pipeline = new SalesHistoryPipeline(spark, new Lineage(spark, s"$dir/lineage"), lakePath)
+    val pipeline = new SalesHistoryPipeline(spark, mkStore(dir), lakePath)
 
     val runTimes = Seq("2021-07-01 00:07:00", "2021-08-01 00:07:00",
       "2021-09-01 00:07:00", "2021-10-15 00:07:00").map(ts)
@@ -98,7 +117,7 @@ class IncrementalPipelineSpec extends SparkSpec {
     // one-shot full rebuild into a fresh lake must produce identical state
     val dir2 = Files.createTempDirectory("graft_full").toString
     val fullPipeline = new SalesHistoryPipeline(
-      spark, new Lineage(spark, s"$dir2/lineage"), s"$dir2/sales_history")
+      spark, mkStore(dir2), s"$dir2/sales_history")
     val r = fullPipeline.runOnce(sourceAt(finalCutoff), runTimes.last)
     assert(r.previousCutoff.isEmpty) // full-load branch
     assert(r.validationStatus == LineageStatus.Successful)
@@ -148,9 +167,10 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(r2.validationStatus == LineageStatus.Successful)
   }
 
-  test("failed run is purged and retried idempotently") {
+  for ((storeName, mkStore) <- stores)
+  test(s"failed run is purged and retried idempotently [$storeName lineage]") {
     val dir = Files.createTempDirectory("graft_retry").toString
-    val lineage = new Lineage(spark, s"$dir/lineage")
+    val lineage = mkStore(dir)
     val pipeline = new SalesHistoryPipeline(spark, lineage, s"$dir/lake")
     val t1 = ts("2021-07-01 00:07:00")
     val good = sourceAt(pipeline.cutoff(t1))
