@@ -308,6 +308,107 @@ object Events {
           col("_tot").cast("double"), 6).as("share"))
   }
 
+  /** Within-session event-type TRIGRAM census — path analysis one
+    * order up from [[sessionTransitions]]' first-order Markov table:
+    * which three-step journeys actually happen, and each journey's
+    * share of all in-session trigrams. A step belongs to a trigram iff
+    * BOTH hops respect the session gap (the q172 `<=` boundary rule
+    * applied to each lag — an event exactly at the boundary is
+    * in-session). Ordering is (ts, event_id) — the family's
+    * deterministic tie-break. Counts exact; the share is one exact
+    * division rounded 6dp ⇒ oracle-hashed (q247).
+    *
+    * Reference: the reference's mart reports aggregate per-entity
+    * counts (`load_sales_mart.py:26-35`); this is the sequential
+    * analytics a product team asks of the same event feed.
+    *
+    * Output: (t1, t2, t3, n_paths, share).
+    *
+    * Scale notes (100 TB): one user-partitioned window (never
+    * global), an enum³-bounded aggregate; the total rides the
+    * checkpointed counts (the q172 no-rescan rule). */
+  def sessionPathTrigrams(events: DataFrame,
+                          gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1: $gapMinutes")
+    val gapUs = gapMinutes * 60000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .withColumn("_t1", lag(col("event_type"), 2).over(w))
+      .withColumn("_ts1", lag(col("ts"), 2).over(w))
+      .withColumn("_t2", lag(col("event_type"), 1).over(w))
+      .withColumn("_ts2", lag(col("ts"), 1).over(w))
+      .filter(col("_ts1").isNotNull &&
+        unix_micros(col("_ts2")) - unix_micros(col("_ts1")) <= gapUs &&
+        unix_micros(col("ts")) - unix_micros(col("_ts2")) <= gapUs)
+      .groupBy(col("_t1").as("t1"), col("_t2").as("t2"),
+        col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .localCheckpoint() // enum³-sized; the total must not re-scan events
+    counts.crossJoin(broadcast(counts.agg(sum(col("n_paths")).as("_tot"))))
+      .select(col("t1"), col("t2"), col("t3"), col("n_paths"),
+        round(col("n_paths").cast("double") /
+          col("_tot").cast("double"), 6).as("share"))
+  }
+
+  /** MARKET-BASKET affinity: association-rule measures (support,
+    * confidence, lift) for every item pair co-occurring in at least
+    * `minPairCount` baskets. The third member of the co-occurrence
+    * family — [[sessionTypePmi]] reports PMI over session type-sets
+    * and [[graft.ext.TextAnalysis.collocations]] PMI over bigrams;
+    * a merchandising/recommendation report needs the RULE measures
+    * (how often a, how often b given a, how far above independence),
+    * which neither emits. Every count is exact; support and confidence
+    * are single exact divisions, and lift's numerator/denominator are
+    * exact LONG products divided once (n_ab·N ≤ 2⁶³ for any realistic
+    * basket relation) — all rounded 6dp ⇒ oracle-hashed (q246).
+    *
+    * Reference: the reference's product-dimension mart
+    * (`load_sales_mart.py:60-67`) aggregates per product; this is the
+    * cross-product report on the same fact table.
+    *
+    * Output: (item_a, item_b, n_a, n_b, n_ab, support, confidence,
+    * lift), item_a < item_b; confidence is P(b|a) for the a→b rule
+    * (the a < b orientation — recompute with columns swapped for the
+    * reverse rule, the counts are symmetric).
+    *
+    * Scale notes (100 TB): the pair join is keyed on the basket id —
+    * per-basket fan-out is C(k, 2) with k = items per basket (bounded
+    * small in order-shaped data; a degenerate hot basket should be
+    * capped upstream, the q48 discipline); marginals broadcast
+    * (item-enum-sized). `minPairCount` keeps the output to the
+    * actually-associated pairs. */
+  def coOccurrenceLift(df: DataFrame, basketCol: String, itemCol: String,
+                       minPairCount: Long = 2L): DataFrame = {
+    require(minPairCount >= 1L,
+      s"minPairCount must be >= 1: $minPairCount")
+    val b = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .distinct()
+      .localCheckpoint() // three consumers: total, marginals, pair join
+    val total = b.select(col("_bk")).distinct()
+      .agg(count(lit(1)).as("_nb"))
+    val marginals = b.groupBy(col("_it")).agg(count(lit(1)).as("_n"))
+    b.select(col("_bk"), col("_it").as("item_a"))
+      .join(b.select(col("_bk"), col("_it").as("item_b")), Seq("_bk"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+      .join(broadcast(marginals.select(col("_it").as("item_a"),
+        col("_n").as("n_a"))), Seq("item_a"))
+      .join(broadcast(marginals.select(col("_it").as("item_b"),
+        col("_n").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        round(col("n_ab").cast("double") / col("_nb").cast("double"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round((col("n_ab") * col("_nb")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+  }
+
   /** Per-user transition SURPRISE — a Laplace-smoothed Markov model of
     * within-session event transitions (the q172 relation as a MODEL),
     * scored back over each user's own transitions: avg −ln P(to|from)

@@ -3332,6 +3332,59 @@ class ExtSpec extends SparkSpec {
       s"got $tight")
   }
 
+  test("sessionPathTrigrams: hand-computed paths, a long hop breaks the trigram") {
+    val m = 60000000L
+    val ev = Seq(
+        // user 1: click → view → buy (both hops 1 min — one trigram),
+        // then buy → click at 31 min (session break: view→buy→click
+        // and buy→click→? never form)
+        (1L, 1L, "click", 0L), (2L, 1L, "view", 1 * m),
+        (3L, 1L, "buy", 2 * m), (4L, 1L, "click", 33 * m),
+        // user 2: a → b at 1 min, b → c with the SECOND hop exactly at
+        // the 30-min boundary — in-session (the q172 <= rule), so the
+        // trigram forms
+        (5L, 2L, "a", 0L), (6L, 2L, "b", 1 * m), (7L, 2L, "c", 31 * m))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val out = Events.sessionPathTrigrams(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      ("click", "view", "buy") -> ((1L, 0.5)),
+      ("a", "b", "c") -> ((1L, 0.5))), s"got $out")
+    // a tighter gap drops the boundary trigram; the share re-normalizes
+    val tight = Events.sessionPathTrigrams(ev, gapMinutes = 29).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getDouble(4)).toMap
+    assert(tight == Map(("click", "view", "buy") -> 1.0), s"got $tight")
+  }
+
+  test("coOccurrenceLift: hand-checked rule measures, pair floor, duplicate lines collapse") {
+    // baskets: {x,y} ×3, {x,y,z} ×1, {x} ×1, {z} ×1 → N=6 baskets,
+    // n_x=5, n_y=4, n_z=2, n_xy=4, n_xz=1, n_yz=1
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"), // duplicate line collapses
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"),
+      (4L, "x"), (4L, "y"), (4L, "z"),
+      (5L, "x"), (6L, "z")).toDF("basket", "item")
+    val out = Events.coOccurrenceLift(rows, "basket", "item").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    // the floor (2) keeps only (x,y): support 4/6, confidence 4/5,
+    // lift 4·6/(5·4) = 1.2
+    assert(out == Map(("x", "y") ->
+      ((5L, 4L, 4L, 0.666667, 0.8, 1.2))), s"got $out")
+    // floor 1 admits the singletons; z-pairs lift above independence
+    val all = Events.coOccurrenceLift(rows, "basket", "item",
+        minPairCount = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(7)).toMap
+    assert(all(("x", "z")) == 0.6 && all(("y", "z")) == 0.75, s"got $all")
+    intercept[IllegalArgumentException](
+      Events.coOccurrenceLift(rows, "basket", "item", minPairCount = 0L))
+  }
+
   test("sessionJourney: crafted attribution, organic opener, summary agreement, one exchange") {
     val m = 60000000L
     val ev = Seq(
