@@ -260,6 +260,25 @@ object Curation {
     *     `05d_containment_gate`. None (the default) adds zero plan
     *     nodes; read-only artifact + text-derived grams ⇒ stream-safe
     *     (the winnow-gate convention).
+    *   - `perceptualIndexPath` (+ `perceptualMaxHamming`): gate
+    *     survivors' attached MEDIA against a stored perceptual index
+    *     ([[Multimodal.perceptualPairsAgainstIndex]] — the q171
+    *     artifact, built from the eval suite's images/audio): cut docs
+    *     whose media sits within `perceptualMaxHamming` bits of any
+    *     indexed item — the media-corpus analog of the four text
+    *     gates (a training image that IS an eval image leaks the
+    *     benchmark exactly like a copied passage; re-encodes and
+    *     brightness shifts survive the dHash, which is the point).
+    *     Requires a `media` frame (doc_id, format, payload) — the
+    *     embeddings-frame convention; docs without a media row pass
+    *     un-probed (the unknown-source rule), and only SURVIVORS'
+    *     media decode. Doc ids and indexed media ids must be disjoint
+    *     namespaces (the probe's self-pair guard drops equal-id
+    *     pairs). Funnel row `05e_perceptual_gate`; runs last (the
+    *     text screens shrink what decodes). None (the default) adds
+    *     zero plan nodes. NOT stream-safe: a micro-batch carries no
+    *     media frame, so [[graft.streaming.EventStream.curationStream]]
+    *     refuses the knob loudly.
     *   - `dsirProfilePath` (+ `dsirTopN`, `dsirAlpha`): DSIR resample
     *     toward a STORED target profile
     *     ([[Selection.selectByImportanceAgainstProfile]] — the q79
@@ -378,6 +397,8 @@ object Curation {
       containmentN: Int = 3,
       containmentThreshold: Double = 0.8,
       containmentMaxGramDf: Option[Int] = None,
+      perceptualIndexPath: Option[String] = None,
+      perceptualMaxHamming: Int = 3,
       dsirProfilePath: Option[String] = None,
       dsirTopN: Int = 0,
       dsirAlpha: Double = 1.0,
@@ -529,6 +550,10 @@ object Curation {
         cfg.containmentIndexPath.nonEmpty,
       "containmentMaxGramDf tunes the containment gate — set " +
         "containmentIndexPath to enable it")
+    require(cfg.perceptualMaxHamming >= 0 &&
+        64 % (cfg.perceptualMaxHamming + 1) == 0,
+      "perceptualMaxHamming + 1 must divide 64 " +
+        s"(0, 1, 3, 7, 15, 31, 63): ${cfg.perceptualMaxHamming}")
     require(cfg.dsirProfilePath.nonEmpty || cfg.dsirTopN == 0,
       "dsirTopN gates the DSIR stage — set dsirProfilePath to enable it")
     require(cfg.dsirProfilePath.isEmpty || cfg.dsirTopN >= 1,
@@ -572,6 +597,20 @@ object Curation {
         s"embeddings frame needs (doc_id, embedding); got ${e.columns.mkString(", ")}"))
   }
 
+  /** Validate the (config, media) pairing once at every public entry
+    * point — the embeddings-frame convention for the perceptual gate:
+    * a config that enables it without media to probe must fail at
+    * call time, not midway through the chain. */
+  private def requireMedia(cfg: Config, media: Option[DataFrame]): Unit = {
+    require(cfg.perceptualIndexPath.isEmpty || media.nonEmpty,
+      "perceptualIndexPath gates attached media — pass media = " +
+        "Some(frame with (doc_id, format, payload)); freeze the eval " +
+        "suite's media with Multimodal.writePerceptualIndex")
+    media.foreach(m =>
+      require(Seq("doc_id", "format", "payload").forall(m.columns.contains),
+        s"media frame needs (doc_id, format, payload); got ${m.columns.mkString(", ")}"))
+  }
+
   /** The optional stored-artifact decontamination gates, applied to the
     * near-dup survivors: (1) the Bloom-sketch n-gram gate — join-free
     * codegen probe against the stored suite sketch, the cheap screen
@@ -582,10 +621,47 @@ object Curation {
     * un-probed (they have nothing to score). Both default to identity —
     * zero plan nodes, the pinned default-chain shape. */
   private def artifactGates(deduped: DataFrame, cfg: Config,
-                            embeddings: Option[DataFrame]): DataFrame =
-    containmentGate(
-      winnowGate(semanticGate(bloomGate(deduped, cfg), cfg, embeddings), cfg),
-      cfg)
+                            embeddings: Option[DataFrame],
+                            media: Option[DataFrame]): DataFrame =
+    perceptualGate(
+      containmentGate(
+        winnowGate(semanticGate(bloomGate(deduped, cfg), cfg, embeddings),
+          cfg),
+        cfg),
+      cfg, media)
+
+  /** The optional MEDIA decontamination gate: cut docs whose attached
+    * media sits within `perceptualMaxHamming` bits of any item in a
+    * STORED perceptual index ([[Multimodal.perceptualPairsAgainstIndex]]
+    * — the q171 artifact frozen from the eval suite's images/audio).
+    * The media-corpus analog of the four text gates: a training image
+    * that IS a benchmark image leaks the benchmark exactly like a
+    * copied passage, and the dHash absorbs re-encodes/brightness
+    * shifts that byte-level screens miss. Only SURVIVORS' media decode
+    * (the decode dominates — the semi-join runs before the probe);
+    * docs with no media row pass un-probed (the unknown-source rule).
+    * Doc ids and indexed media ids must live in DISJOINT namespaces —
+    * the probe's self-pair guard (`media_a =!= media_b`, the q171
+    * rule) would otherwise suppress a genuine cross pair. Identity —
+    * zero plan nodes — when no index is configured.
+    *
+    * Scale notes (100 TB): the probe is the banded equi-join (never
+    * all-pairs); decode cost is per-survivor-media, paid after every
+    * cheaper screen has shrunk the frame — the containment-gate
+    * ordering argument, one stage further out. */
+  private def perceptualGate(df: DataFrame, cfg: Config,
+                             media: Option[DataFrame]): DataFrame =
+    cfg.perceptualIndexPath.fold(df) { p =>
+      val survivorMedia = media.get // requireMedia ran at the entry point
+        .select(col("doc_id").as("media_id"), col("format"), col("payload"))
+        .join(df.select(col("doc_id").as("media_id")),
+          Seq("media_id"), "left_semi")
+      df.join(
+        Multimodal.perceptualPairsAgainstIndex(df.sparkSession,
+            survivorMedia, p, cfg.perceptualMaxHamming)
+          .select(col("media_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    }
 
   /** The optional stored CONTAINMENT decontamination gate: cut docs
     * whose hashed-shingle overlap with any indexed suite item clears
@@ -1046,14 +1122,17 @@ object Curation {
     * `cfg.semanticIndexPath` turns the semantic artifact gate on. */
   def curate(docs: DataFrame, benchmark: DataFrame,
              cfg: Config = Config(),
-             embeddings: Option[DataFrame] = None): DataFrame = {
+             embeddings: Option[DataFrame] = None,
+             media: Option[DataFrame] = None): DataFrame = {
     requireConfig(cfg)
     requireEmbeddings(cfg, embeddings)
+    requireMedia(cfg, media)
     // 0. optional hygiene rewrite (PII scrub, line dedup) — identity
     // with default flags. `docs` rides along as the (doc_id, source)
     // carrier for the optional source-reputation gate (hygiene frames
     // drop the source column).
-    curateHygiened(hygiene(docs, cfg), benchmark, cfg, embeddings, docs)
+    curateHygiened(hygiene(docs, cfg), benchmark, cfg, embeddings, docs,
+      media)
   }
 
   /** The chain downstream of hygiene; `hygiened` must be the (doc_id,
@@ -1097,7 +1176,8 @@ object Curation {
   private def curateHygiened(hygiened: DataFrame, benchmark: DataFrame,
                              cfg: Config,
                              embeddings: Option[DataFrame],
-                             original: DataFrame): DataFrame = {
+                             original: DataFrame,
+                             media: Option[DataFrame] = None): DataFrame = {
     // 1+2(+2b). quality + language (+ model) gates: the shared
     // stateless stage — pure column expressions fused by Catalyst into
     // the document scan, no extra pass over the corpus. The optional
@@ -1118,7 +1198,7 @@ object Curation {
     // 4a+4b. optional stored-artifact gates (Bloom sketch, semantic
     // index) — identity with default flags; the join-free sketch screen
     // runs first so every later stage scans a smaller frame
-    val artifactClean = artifactGates(deduped, cfg, embeddings)
+    val artifactClean = artifactGates(deduped, cfg, embeddings, media)
     // 4. decontamination: drop docs sharing more than the allowed number
     // of n-grams with the benchmark set
     val contaminated = Dedup.contaminationReport(artifactClean, benchmark)
@@ -1240,11 +1320,13 @@ object Curation {
     * the cache, not a recomputation. */
   def curationFunnel(docs: DataFrame, benchmark: DataFrame,
                      cfg: Config = Config(),
-                     embeddings: Option[DataFrame] = None): DataFrame = {
+                     embeddings: Option[DataFrame] = None,
+                     media: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     requireConfig(cfg)
     requireEmbeddings(cfg, embeddings)
+    requireMedia(cfg, media)
     val hygieneRows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val hygieneCached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val base = docs.select(col("doc_id"), col("text"))
@@ -1455,13 +1537,21 @@ object Curation {
         (wg, rows)
       case None => (semClean, Seq.empty[(String, Long)])
     }
-    val (artifactClean, contRows) = cfg.containmentIndexPath match {
+    val (contClean, contRows) = cfg.containmentIndexPath match {
       case Some(_) =>
         val cg = containmentGate(winnowClean, cfg).persist()
         val rows = Seq(("05d_containment_gate", cg.count()))
         winnowClean.unpersist()
         (cg, rows)
       case None => (winnowClean, Seq.empty[(String, Long)])
+    }
+    val (artifactClean, percRows) = cfg.perceptualIndexPath match {
+      case Some(_) =>
+        val pg = perceptualGate(contClean, cfg, media).persist()
+        val rows = Seq(("05e_perceptual_gate", pg.count()))
+        contClean.unpersist()
+        (pg, rows)
+      case None => (contClean, Seq.empty[(String, Long)])
     }
     val clean = artifactClean.join(
       Dedup.contaminationReport(artifactClean, benchmark)
@@ -1526,7 +1616,7 @@ object Curation {
       secretRows ++ modelRows ++ lmRows ++ Seq(
       ("04_exact_dedup", nExact),
       ("05_near_dedup", nNear)) ++ bloomRows ++ semRows ++ winnowRows ++
-      contRows ++ Seq(
+      contRows ++ percRows ++ Seq(
       ("06_decontaminated", nClean)) ++ dsirRows ++ sampleRows ++
       mixtureRows ++ budgetRows ++ Seq(
       ("07_quota", nFinal))).toDF("stage", "n_docs")
@@ -1700,11 +1790,13 @@ object Curation {
                           shards: Int = 8,
                           format: String = "parquet",
                           manifest: Boolean = true,
-                          embeddings: Option[DataFrame] = None): Unit = {
+                          embeddings: Option[DataFrame] = None,
+                          media: Option[DataFrame] = None): Unit = {
     require(Set("parquet", "json").contains(format),
       s"unsupported shard format: $format")
     requireConfig(cfg)
     requireEmbeddings(cfg, embeddings)
+    requireMedia(cfg, media)
     // shard text is the HYGIENE output (identity with default flags): a
     // training job must see the scrubbed/line-deduped text the gates and
     // dedup stages scored, never the raw corpus. The rewrite is computed
@@ -1716,7 +1808,8 @@ object Curation {
     val hy = hygiene(docs, cfg)
     val hygiened = if (hygieneActive(cfg)) hy.persist() else hy
     try {
-      val curated = curateHygiened(hygiened, benchmark, cfg, embeddings, docs)
+      val curated = curateHygiened(hygiened, benchmark, cfg, embeddings,
+        docs, media)
       val withText = hygiened.join(curated, Seq("doc_id"))
       // under the repeat-capped mixture each planned epoch-copy is its
       // own chunk stream: epoch joins the pack-window key (copies of a
@@ -2059,14 +2152,17 @@ object Curation {
                        modelPath: String, cfg: Config = Config(),
                        seqLen: Int = 128, shards: Int = 8,
                        eosId: Long = -1L, manifest: Boolean = true,
-                       embeddings: Option[DataFrame] = None): Unit = {
+                       embeddings: Option[DataFrame] = None,
+                       media: Option[DataFrame] = None): Unit = {
     requireConfig(cfg)
     requireEmbeddings(cfg, embeddings)
+    requireMedia(cfg, media)
     val spark = docs.sparkSession
     val hy = hygiene(docs, cfg)
     val hygiened = if (hygieneActive(cfg)) hy.persist() else hy
     try {
-      val curated0 = curateHygiened(hygiened, benchmark, cfg, embeddings, docs)
+      val curated0 = curateHygiened(hygiened, benchmark, cfg, embeddings,
+        docs, media)
       // under the repeat-capped mixture the chain output is epoch-
       // annotated: checkpoint it once (it feeds the doc-split join AND
       // the epoch fan-out join — a lazy plan would run the chain

@@ -1612,6 +1612,22 @@ object Multimodal {
     survivors
   }
 
+  /** Content-fingerprint-cached [[writePerceptualIndex]] — the
+    * `ensureIvfIndex` ladder: the eval suite's media decode once per
+    * fixture version, not once per chain run ('_'-separated key
+    * fields, the pinned cache-key rule). */
+  def ensurePerceptualIndex(spark: SparkSession, media: DataFrame,
+                            cacheRoot: String, sourcePath: String,
+                            modality: String = "image",
+                            variant: String = ""): String = {
+    val idx = java.nio.file.Paths.get(cacheRoot,
+      s"perc_${modality}_${variant}_" +
+        Similarity.pathFingerprint(sourcePath))
+    Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
+      writePerceptualIndex(spark, media, tmp, modality))
+    idx.toString
+  }
+
   /** Compact an appended perceptual index (earliest-tag/NULL-wins
     * provenance, legacy migration — the shared tagged-relation rule;
     * probe results unchanged: the probe distinct-collapses anyway). */

@@ -633,6 +633,15 @@ object EventStream {
         "embedDims (hashed kernel + Embedding.ensureTextIndex) or " +
         "embedProjectionPath (stored projection + " +
         "Embedding.writeProjectedIndex)")
+    // the perceptual gate probes an ATTACHED media frame, and a
+    // micro-batch carries none — unlike the semantic gate there is no
+    // text-derived route to an image hash, so the knob is refused
+    // loudly rather than silently skipped (the requireMedia contract)
+    require(cfg.perceptualIndexPath.isEmpty,
+      "perceptualIndexPath is batch-only: the gate probes a media " +
+        "frame (doc_id, format, payload), which a doc micro-batch " +
+        "does not carry — screen media at ingest with " +
+        "Multimodal.ingestPerceptualBatch instead")
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)

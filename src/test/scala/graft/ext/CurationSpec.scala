@@ -988,6 +988,91 @@ class CurationSpec extends SparkSpec {
       cfg.copy(winnowMinShared = 0)))
   }
 
+  test("perceptual media gate cuts eval-image leaks, disjoint suite is identity") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_perc").toString
+    // non-binding quota: a binding per-lang cap would PROMOTE a
+    // previously-cut doc once the gate shrinks the pool, breaking the
+    // exact set-difference claim below (the md5-order selection runs
+    // on the gated population — deterministic, but not monotone)
+    val wcfg = cfg.copy(perLangCap = 1000000)
+    val base = Curation.curate(corpus, benchmark, wcfg)
+      .collect().map(_.toSeq).toSet
+    val baseIds = base.map(_.head.asInstanceOf[Long])
+    val leakId = baseIds.max // a real survivor; its image joins the suite
+    // the eval suite holds EXACTLY that survivor's image under a
+    // disjoint id (+9M — the q171 self-pair-guard namespace rule)
+    val evalMedia = Multimodal.validPngMedia(spark,
+      corpus.filter($"doc_id" === leakId)
+        .select(($"doc_id" + 9000000L).as("doc_id"), $"text")).toDF()
+    Multimodal.writePerceptualIndex(spark, evalMedia, s"$dir/p")
+    val media = Multimodal.validPngMedia(spark,
+        corpus.select($"doc_id", $"text")).toDF()
+      .select($"media_id".as("doc_id"), $"format", $"payload")
+    // ground truth: exactly the surviving docs whose dHash is within
+    // the default 3 bits of the indexed fingerprint must drop
+    val evalHash = Multimodal.imageDHashes(spark, evalMedia)
+      .collect().head.dhash
+    val corpusHashes = Multimodal.imageDHashes(spark,
+        media.select($"doc_id".as("media_id"), $"format", $"payload"))
+      .collect().map(h => h.media_id -> h.dhash).toMap
+    val expectedDrops = corpusHashes.collect {
+      case (id, h) if java.lang.Long.bitCount(h ^ evalHash) <= 3 => id
+    }.toSet
+    assert(expectedDrops.contains(leakId), "the planted leak must match")
+    val gcfg = wcfg.copy(perceptualIndexPath = Some(s"$dir/p"))
+    val gated = Curation.curate(corpus, benchmark, gcfg,
+        media = Some(media))
+      .collect().map(_.toSeq).toSet
+    assert(gated.map(_.head.asInstanceOf[Long]) == baseIds -- expectedDrops,
+      "the gate must cut exactly the fingerprint-near survivors")
+    // a doc with NO media row passes un-probed (the unknown-source rule)
+    val unmapped = Curation.curate(corpus, benchmark, gcfg,
+        media = Some(media.filter($"doc_id" =!= leakId)))
+      .collect().map(_.getLong(0)).toSet
+    assert(unmapped.contains(leakId),
+      "a doc without a media row must pass the media gate un-probed")
+    // a fingerprint-disjoint suite gates nothing: output ≡ default
+    // (pinned at maxHamming 0 with the crafted hash proven absent)
+    val disjointMedia = Multimodal.validPngMedia(spark,
+      Seq((9100000L, "zzqx9 vvkp7 rrmn3 ttbw5 hhgd1 jjfc8 nnls6 ppra4"))
+        .toDF("doc_id", "text")).toDF()
+    val craftedHash = Multimodal.imageDHashes(spark, disjointMedia)
+      .collect().head.dhash
+    assert(!corpusHashes.values.exists(_ == craftedHash))
+    Multimodal.writePerceptualIndex(spark, disjointMedia, s"$dir/disjoint")
+    val disjoint = Curation.curate(corpus, benchmark,
+        wcfg.copy(perceptualIndexPath = Some(s"$dir/disjoint"),
+          perceptualMaxHamming = 0),
+        media = Some(media))
+      .collect().map(_.toSeq).toSet
+    assert(disjoint == base,
+      "a never-matching perceptual index must reproduce the default chain")
+    // funnel: the 05e row appears in chain order and ties to curate()
+    val funnel = Curation.curationFunnel(corpus, benchmark, gcfg,
+        media = Some(media))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val stages = funnel.map(_._1).toSeq
+    assert(stages.contains("05e_perceptual_gate"), stages.mkString(", "))
+    assert(stages.sorted == stages,
+      s"stage labels must sort into chain order: $stages")
+    funnel.sliding(2).foreach { case Array((sa, na), (sb, nb)) =>
+      assert(nb <= na, s"funnel not monotone: $sa=$na -> $sb=$nb") }
+    assert(funnel.last._2 == gated.size)
+    // the knob without a media frame refuses at call time
+    val e = intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark, gcfg))
+    assert(e.getMessage.contains("media"), e.getMessage)
+    intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
+      gcfg.copy(perceptualMaxHamming = 2), media = Some(media)))
+    // and the stream twin refuses it loudly — a micro-batch carries no
+    // media frame (the require fires before any streaming plan exists)
+    val se = intercept[IllegalArgumentException](
+      graft.streaming.EventStream.curationStream(corpus, s"$dir/idx",
+        s"$dir/sk", s"$dir/acc", s"$dir/ck", gcfg))
+    assert(se.getMessage.contains("batch-only"), se.getMessage)
+  }
+
   test("containment artifact gate cuts suite-swallowing survivors, disjoint suite is identity") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_curation_containment").toString
