@@ -2361,6 +2361,42 @@ object SparkEntry {
         .agg(round(sum(col("l_quantity")), 2).as("qty"),
           round(sum(col("l_extendedprice")), 2).as("revenue"))
     }),
+    // the chain's MEDIA decontamination gate (funnel row 05e): the
+    // eval suite's images frozen as a fingerprint-cached perceptual
+    // index (+9M id offset — the disjoint-namespace rule); every 25th
+    // doc's attached image IS an eval image, so the gate cuts exactly
+    // those survivors. Rows-only like q42 (funnel stage counts; the
+    // dHash decode is not SQL-expressible); CurationSpec pins
+    // never-binding ≡ identity and the planted-leak drop semantics
+    "q245_perceptual_gate_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      val evalMedia = ext.Multimodal.validPngMedia(s,
+        docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 9000000L).as("doc_id"), col("text")))
+        .toDF()
+      val pidx = ext.Multimodal.ensurePerceptualIndex(s, evalMedia,
+        "/tmp/graft_perc_cache", s"$dir/documents.parquet",
+        variant = "mod25")
+      val media = ext.Multimodal.validPngMedia(s,
+          docs.select(col("doc_id"), col("text"))).toDF()
+        .select(col("media_id").as("doc_id"), col("format"),
+          col("payload"))
+      ext.Curation.curationFunnel(docs, docs.filter(col("doc_id") < 25),
+        ext.Curation.Config(perceptualIndexPath = Some(pidx)),
+        media = Some(media))
+    }),
+    // market-basket affinity over the order fact: support/confidence/
+    // lift per co-ordered part pair, exact counts, lift = exact-long
+    // products divided once (probed: 2324/3445/3573 qualifying pairs
+    // at sf0.001/0.01/0.1)
+    "q246_basket_affinity" -> ((s, dir) =>
+      ext.Events.coOccurrenceLift(Tables.lineitem(s, dir),
+        "l_orderkey", "l_partkey")),
+    // session path analysis: in-session event-type trigrams, both hops
+    // under the q172 <= gap rule, share one exact division
+    "q247_session_paths" -> ((s, dir) =>
+      ext.Events.sessionPathTrigrams(Tables.events(s, dir))),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -3878,6 +3914,46 @@ object SparkEntry {
     // Levenshtein join, so a hash match proves the deletion-
     // neighborhood route finds EVERY pair within one edit (including
     // the planted first-char substitutions the prefix block misses)
+    // rule measures over exact basket counts: lift's numerator and
+    // denominator are exact long products, one division each
+    "q246_basket_affinity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nb FROM b),
+        |s AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n_it
+        |      FROM b GROUP BY 1),
+        |p AS (SELECT a.it AS item_a, c.it AS item_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_ab
+        |      FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT item_a, item_b, sa.n_it AS n_a, sb.n_it AS n_b, n_ab,
+        |  ROUND(n_ab / CAST(nb AS DOUBLE), 6) AS support,
+        |  ROUND(n_ab / CAST(sa.n_it AS DOUBLE), 6) AS confidence,
+        |  ROUND((n_ab * nb) / CAST(sa.n_it * sb.n_it AS DOUBLE), 6)
+        |    AS lift
+        |FROM p JOIN s sa ON p.item_a = sa.it
+        |       JOIN s sb ON p.item_b = sb.it
+        |       CROSS JOIN n""".stripMargin,
+    // the q172 window one lag deeper: both hops gap-checked, counts
+    // exact, share one division
+    "q247_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type, 2) OVER w AS t1,
+        |    lag(ts, 2) OVER w AS ts1,
+        |    lag(event_type, 1) OVER w AS t2,
+        |    lag(ts, 1) OVER w AS ts2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT t1, t2, event_type AS t3,
+        |        CAST(COUNT(*) AS BIGINT) AS n_paths
+        |      FROM e WHERE ts1 IS NOT NULL
+        |        AND epoch_us(ts2) - epoch_us(ts1) <= 1800000000
+        |        AND epoch_us(ts) - epoch_us(ts2) <= 1800000000
+        |      GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(SUM(n_paths) AS BIGINT) AS tt FROM c)
+        |SELECT t1, t2, t3, n_paths,
+        |  ROUND(n_paths / CAST(tt AS DOUBLE), 6) AS share
+        |FROM c CROSS JOIN tot""".stripMargin,
     // the bucketed route must give the PLAIN join's answer — the
     // layout is invisible to semantics, only to the plan
     "q244_bucketed_mart_join" ->

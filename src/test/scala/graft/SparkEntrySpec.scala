@@ -39,7 +39,8 @@ class SparkEntrySpec extends SparkSpec {
       "q205_corpus_overlap", "q206_pca_spectrum", "q207_pca_ann_pairs",
       "q210_audio_spectral", "q214_label_disagreement",
       "q215_pca_moments_spectrum", "q227_winsorized_approx",
-      "q228_event_outliers_approx", "q233_pruned_vocab_coverage"),
+      "q228_event_outliers_approx", "q233_pruned_vocab_coverage",
+      "q245_perceptual_gate_funnel"),
       s"unexpected rows-only set: $rowsOnly")
   }
 
