@@ -2397,6 +2397,23 @@ object SparkEntry {
     // under the q172 <= gap rule, share one exact division
     "q247_session_paths" -> ((s, dir) =>
       ext.Events.sessionPathTrigrams(Tables.events(s, dir))),
+    // graph centrality over the co-session graph: damped power
+    // iteration on bucketized-join edges, per-round checkpoints —
+    // rows-only (fp in-rank sums, the k-means accumulation class);
+    // ExtSpec anchors symmetric-uniform ranks + a hand recurrence
+    "q248_cosession_pagerank" -> ((s, dir) =>
+      ext.Events.coSessionPageRank(Tables.events(s, dir))),
+    // the A/B statistic the MDE/Neyman planners (q216/q217) plan for,
+    // actually RUN: per-source token-floor pass rate vs the rest,
+    // pooled-se z mirrored term-for-term
+    "q249_gate_pass_ztest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, size, split, when}
+      ext.DataQuality.proportionZTest(
+        Tables.documents(s, dir).select(col("source"),
+          when(size(split(col("text"), " ")) >= 20, 1L).otherwise(0L)
+            .as("ok")),
+        "source", "ok")
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -3934,6 +3951,30 @@ object SparkEntry {
         |FROM p JOIN s sa ON p.item_a = sa.it
         |       JOIN s sb ON p.item_b = sb.it
         |       CROSS JOIN n""".stripMargin,
+    // pooled-se z mirrored term-for-term (the q140/q216 discipline);
+    // degenerate cells NULL on both engines
+    "q249_gate_pass_ztest" ->
+      """WITH s AS (SELECT source,
+        |    CASE WHEN len(string_split(text, ' ')) >= 20
+        |      THEN 1 ELSE 0 END AS ok
+        |  FROM documents),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(ok) AS BIGINT) AS k
+        |      FROM s GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |        CAST(SUM(k) AS BIGINT) AS kk FROM a)
+        |SELECT source, n, k,
+        |  ROUND(k / CAST(n AS DOUBLE), 6) AS p,
+        |  CASE WHEN nn - n > 0
+        |    THEN ROUND((kk - k) / CAST(nn - n AS DOUBLE), 6) END
+        |    AS p_rest,
+        |  CASE WHEN nn - n > 0 AND kk > 0 AND kk < nn THEN
+        |    ROUND((k / CAST(n AS DOUBLE)
+        |        - (kk - k) / CAST(nn - n AS DOUBLE))
+        |      / sqrt((kk / CAST(nn AS DOUBLE))
+        |        * (1.0 - kk / CAST(nn AS DOUBLE))
+        |        * (1.0 / n + 1.0 / (nn - n))), 6) END AS z
+        |FROM a CROSS JOIN t""".stripMargin,
     // the q172 window one lag deeper: both hops gap-checked, counts
     // exact, share one division
     "q247_session_paths" ->

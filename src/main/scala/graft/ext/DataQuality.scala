@@ -664,6 +664,53 @@ object DataQuality {
           .otherwise(lit(0.0)).as("violation_share"))
   }
 
+  /** Two-proportion z-test, each group against THE REST — the test
+    * the planning pair (MDE q216, Neyman q217) plans for, actually
+    * RUN: does group g's success rate differ from everyone else's by
+    * more than sampling noise? z = (p_g − p_rest) / se with the
+    * pooled standard error se = √(p̂(1−p̂)(1/n_g + 1/n_rest)), the
+    * classic A/B decision statistic (|z| > 1.96 ⇒ α = 0.05 two-sided).
+    * Every input is an exact long count; the composed doubles mirror
+    * term-for-term in the oracle (the q140 κ / q216 discipline) ⇒
+    * oracle-hashed (q250). Degenerate cells are NULL, never Infinity
+    * (the q176 rule): a lone group has no rest, and an all-success or
+    * all-failure population has se = 0.
+    *
+    * `successCol` must hold 0/1 (cast to long; booleans upstream
+    * should be `.cast("long")`-ed by the caller so the SQL mirror is
+    * explicit).
+    *
+    * Output: (groupCol, n, k, p 6dp, p_rest 6dp, z 6dp).
+    *
+    * Reference: the reference's validation aggregates
+    * (load_sales_history.py:241-251) as inference, not bookkeeping.
+    *
+    * Scale notes (100 TB): one map-side-combined (group, n, k)
+    * aggregate; the rest-side terms come from the group relation's
+    * own one-row total (broadcast cross-join) — the corpus is scanned
+    * once, groups never re-scanned. */
+  def proportionZTest(df: DataFrame, groupCol: String,
+                      successCol: String): DataFrame = {
+    val agg = df.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(col(successCol).cast("long")).as("k"))
+      .localCheckpoint() // enum-sized; the total must not re-scan df
+    val nR = (col("_N") - col("n")).cast("double")
+    val pG = col("k").cast("double") / col("n").cast("double")
+    val pR = (col("_K") - col("k")).cast("double") / nR
+    val pP = col("_K").cast("double") / col("_N").cast("double")
+    val se = sqrt(pP * (lit(1.0) - pP) *
+      (lit(1.0) / col("n").cast("double") + lit(1.0) / nR))
+    agg.crossJoin(broadcast(
+        agg.agg(sum(col("n")).as("_N"), sum(col("k")).as("_K"))))
+      .select(col(groupCol), col("n"), col("k"),
+        round(pG, 6).as("p"),
+        when(col("_N") - col("n") > 0, round(pR, 6)).as("p_rest"),
+        when(col("_N") - col("n") > 0 &&
+            col("_K") > 0 && col("_K") < col("_N"),
+          round((pG - pR) / se, 6)).as("z"))
+  }
+
   /** BENFORD first-digit screen — the classic fabricated-numbers
     * test (Benford 1938; the fraud/telemetry-tamper check auditors
     * run on payment and count columns): per group, the observed

@@ -739,6 +739,75 @@ object Events {
       .agg(count(lit(1)).as("n_overlaps"))
   }
 
+  /** PageRank over the co-session user graph — graph CENTRALITY on
+    * the social structure [[sessionOverlapMatrix]] exposes: nodes are
+    * users, an undirected edge joins every pair with at least one
+    * overlapping session, and rank flows by the standard damped power
+    * iteration r' = (1−d)/N + d·Σ r(v)/deg(v) over in-neighbors. The
+    * influence/importance screen connected components (q34's
+    * min-label propagation) cannot give: CC says WHO is connected,
+    * PageRank says who is CENTRAL. Users with no overlapping session
+    * are not graph nodes (no edges to carry rank) — callers wanting
+    * them report (1−d)/N floor rows separately; every node here has
+    * degree ≥ 1, so there is no dangling-mass correction.
+    *
+    * Deterministic inputs, floating-point accumulation: per-node
+    * in-rank sums are fp adds whose association order is not pinned
+    * (the k-means/KEY-dedup class) — ranks are reported 6dp-rounded
+    * and the op is spec-anchored (symmetric graphs rank uniformly,
+    * hand-iterated recurrences match) rather than oracle-hashed; the
+    * driver entry is rows-only (q249).
+    *
+    * Output: (user_id, degree, rank 6dp), one row per graph node.
+    *
+    * Scale notes (100 TB): the edge relation is built once
+    * (bucketized interval join, never quadratic), checkpointed, and
+    * re-read every round; each iteration is ONE equi-join + one
+    * map-side-combined sum keyed on the user — no global window, no
+    * collect. Each round's ranks are localCheckpointed (the pinned
+    * iterative-loop rule: round k's lazy plan would otherwise
+    * re-derive every prior fold). Iterations are caller-bounded. */
+  def coSessionPageRank(events: DataFrame, gapMinutes: Int = 30,
+                        iterations: Int = 5,
+                        damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1): $damping")
+    val pairs = sessionOverlapMatrix(events, gapMinutes)
+    // undirected: each edge in both orientations (src = rank donor)
+    val edges = pairs.select(col("user_a").as("_src"),
+        col("user_b").as("_dst"))
+      .unionByName(pairs.select(col("user_b").as("_src"),
+        col("user_a").as("_dst")))
+      .localCheckpoint() // re-read every iteration
+    val deg = edges.groupBy(col("_src")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    val n = deg.count()
+    val base = (1.0 - damping) / n
+    var ranks = deg.select(col("_src").as("_u"),
+        lit(1.0 / n).as("_r"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(deg, Seq("_src"))
+        .join(ranks.select(col("_u").as("_src"), col("_r")), Seq("_src"))
+        .select(col("_dst").as("_u"),
+          (col("_r") / col("degree").cast("double")).as("_c"))
+        .groupBy(col("_u")).agg(sum(col("_c")).as("_in"))
+      // every node has an in-edge (undirected, deg >= 1), but keep the
+      // left join + coalesce so the recurrence is total by construction
+      ranks = deg.select(col("_src").as("_u"))
+        .join(contrib, Seq("_u"), "left")
+        .select(col("_u"),
+          (lit(base) + lit(damping) * coalesce(col("_in"), lit(0.0)))
+            .as("_r"))
+        .localCheckpoint()
+    }
+    ranks.join(deg.select(col("_src").as("_u"), col("degree")), Seq("_u"))
+      .select(col("_u").as("user_id"), col("degree"),
+        round(col("_r"), 6).as("rank"))
+  }
+
   /** RFM (recency / frequency / monetary) customer scoring — the
     * classic CRM segmentation grid: per user, days since last
     * activity at the injected `asOf` instant (no wall clock — the E2

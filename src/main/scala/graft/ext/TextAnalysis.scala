@@ -1982,12 +1982,14 @@ object TextAnalysis {
     * join. The df table is vocab-sized: broadcast-hinted only under the
     * 10M-row ceiling, shuffled join on the term key beyond it (the q44
     * gate). N is a one-row broadcast cross-join (the `vocabWithTotal`
-    * pattern — no global window). The top-k window partitions by
-    * doc_id: per-document row sets, no corpus-wide ordering, no hot
-    * reducer. */
+    * pattern — no global window). The per-doc top-k runs as the
+    * BOUNDED custom aggregate ([[graft.functions.TopKStructs]] — ≤ k
+    * rows per map-side partial; the r18 rule: never row_number for
+    * top-k), struct-ordered by (−tfidf, term) so it matches the
+    * window restatement row for row — scores are strictly positive
+    * (tf ≥ 1, smoothed idf ≥ 1), so the negation is order-exact. */
   def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    import org.apache.spark.sql.expressions.Window
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(length(col("term")) > 0)
@@ -2001,12 +2003,15 @@ object TextAnalysis {
       .withColumn("tfidf",
         round(col("tf") *
           (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1))) + lit(1.0)), 6))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term"))
     scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rk"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TopKStructs.top_k_structs(
+        struct((-col("tfidf")).as("_neg"), col("term"), col("tf"),
+          col("tfidf")), k).as("_top"))
+      .select(col("doc_id"), posexplode(col("_top")).as(Seq("_pos", "_item")))
+      .select(col("doc_id"), col("_item.term").as("term"),
+        col("_item.tf").as("tf"), col("_item.tfidf").as("tfidf"),
+        (col("_pos") + 1).cast("long").as("rk"))
   }
 
   /** Power-of-two document-length histogram — the shape report every

@@ -285,7 +285,8 @@ object EventStream {
                            acceptedPath: String, checkpoint: String,
                            keyCol: String, idCol: String = "doc_id",
                            maxDist: Int = 2, blockChars: Int = 1,
-                           maxBlockSize: Option[Long] = None)
+                           maxBlockSize: Option[Long] = None,
+                           blockMode: String = "prefix")
       : DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
@@ -297,7 +298,8 @@ object EventStream {
             indexPath, keyCol, idCol, maxDist, blockChars, maxBlockSize,
             batchId = Some(batchId),
             accept = _.write.mode(SaveMode.Overwrite)
-              .parquet(s"$acceptedPath/batch_id=$batchId"))
+              .parquet(s"$acceptedPath/batch_id=$batchId"),
+            blockMode = blockMode)
           ()
         }
       }

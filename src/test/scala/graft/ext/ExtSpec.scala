@@ -3385,6 +3385,69 @@ class ExtSpec extends SparkSpec {
       Events.coOccurrenceLift(rows, "basket", "item", minPairCount = 0L))
   }
 
+  test("coSessionPageRank: symmetric triangle ranks uniformly, path graph matches the hand recurrence") {
+    val m = 60000000L // one minute in micros
+    def ev(rows: (Long, Long, Long)*) = rows.toSeq
+      .map { case (id, u, us) => (id, u, "e", us) }
+      .toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+    // triangle: three users with one simultaneous session each —
+    // perfect symmetry must rank uniformly at exactly 1/3
+    val tri = ev((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L))
+    val triOut = Events.coSessionPageRank(tri).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(triOut == Map(1L -> ((2L, 0.333333)), 2L -> ((2L, 0.333333)),
+      3L -> ((2L, 0.333333))), s"got $triOut")
+    // path graph 1—2—3 (sessions [0,10m], [5m,20m], [18m,30m]): the
+    // hand-mirrored recurrence; u1/u3 stay equal by symmetry, so u2's
+    // two-term in-sum is association-order-free and the match is exact
+    val path = ev((1L, 1L, 0L), (2L, 1L, 10 * m),
+      (3L, 2L, 5 * m), (4L, 2L, 20 * m),
+      (5L, 3L, 18 * m), (6L, 3L, 30 * m))
+    val out = Events.coSessionPageRank(path).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val d = 0.85
+    val base = (1.0 - d) / 3
+    var (r1, r2, r3) = (1.0 / 3, 1.0 / 3, 1.0 / 3)
+    for (_ <- 1 to 5) {
+      val (n1, n2, n3) =
+        (base + d * (r2 / 2), base + d * (r1 / 1 + r3 / 1),
+          base + d * (r2 / 2))
+      r1 = n1; r2 = n2; r3 = n3
+    }
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out == Map(1L -> ((1L, r6(r1))), 2L -> ((2L, r6(r2))),
+      3L -> ((1L, r6(r3)))), s"got $out vs ${(r6(r1), r6(r2), r6(r3))}")
+    // centrality, not just connectivity: the hub outranks the leaves
+    assert(out(2L)._2 > out(1L)._2)
+    intercept[IllegalArgumentException](
+      Events.coSessionPageRank(path, iterations = 0))
+    intercept[IllegalArgumentException](
+      Events.coSessionPageRank(path, damping = 1.0))
+  }
+
+  test("proportionZTest: hand-checked z, degenerate cells are NULL") {
+    // A: 3/4 vs rest 1/4, pooled 1/2 → se = sqrt(0.125), z = ±sqrt(2)
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 1L), ("A", 0L),
+        ("B", 1L), ("B", 0L), ("B", 0L), ("B", 0L))
+      .toDF("grp", "ok")
+    val out = DataQuality.proportionZTest(df, "grp", "ok").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("A") == ((4L, 3L, 0.75, 0.25, 1.414214)), s"got $out")
+    assert(out("B") == ((4L, 1L, 0.25, 0.75, -1.414214)), s"got $out")
+    // a lone group has no rest; an all-success population has se = 0 —
+    // both report NULL, never Infinity (the q176 rule)
+    val lone = DataQuality.proportionZTest(
+      Seq(("A", 1L), ("A", 0L)).toDF("grp", "ok"), "grp", "ok").head()
+    assert(lone.isNullAt(4) && lone.isNullAt(5), s"got $lone")
+    val allWin = DataQuality.proportionZTest(
+        Seq(("A", 1L), ("B", 1L)).toDF("grp", "ok"), "grp", "ok")
+      .collect()
+    assert(allWin.forall(r => !r.isNullAt(4) && r.isNullAt(5)),
+      s"got ${allWin.toSeq}")
+  }
+
   test("sessionJourney: crafted attribution, organic opener, summary agreement, one exchange") {
     val m = 60000000L
     val ev = Seq(
