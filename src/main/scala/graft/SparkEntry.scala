@@ -2414,6 +2414,20 @@ object SparkEntry {
             .as("ok")),
         "source", "ok")
     }),
+    // q246's measures off the FROZEN long-form count profile — the
+    // catalog a recurring mart reads instead of re-scanning history;
+    // must hash-equal the live route (q246's oracle SQL verbatim)
+    "q250_basket_affinity_stored" -> ((s, dir) => {
+      val path = "/tmp/graft_basket_q250_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ext.Events.writeBasketProfile(Tables.lineitem(s, dir),
+        "l_orderkey", "l_partkey", path)
+      ext.Events.basketAffinityFromProfile(s, path)
+    }),
+    // prospective-join-key skew census: bounded top-k aggregate over
+    // the per-key counts, exact vs-mean ratios
+    "q251_key_skew" -> ((s, dir) =>
+      ext.DataQuality.keySkewReport(Tables.events(s, dir), "user_id")),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
@@ -2843,6 +2857,29 @@ object SparkEntry {
       |  ROUND(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
       |    / CAST(COUNT(*) AS DOUBLE), 6) AS new_share
       |FROM ud JOIN f USING (user_id) GROUP BY 1""".stripMargin
+
+  /** q246's basket-affinity rule measures (q250 reuses it verbatim —
+    * the stored route's hash-equality claim): distinct basket-item
+    * relation, pair/marginal/total counts, lift as exact long
+    * products divided once. */
+  private val BasketAffinitySql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      |           FROM lineitem),
+      |n AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nb FROM b),
+      |s AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n_it
+      |      FROM b GROUP BY 1),
+      |p AS (SELECT a.it AS item_a, c.it AS item_b,
+      |        CAST(COUNT(*) AS BIGINT) AS n_ab
+      |      FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT item_a, item_b, sa.n_it AS n_a, sb.n_it AS n_b, n_ab,
+      |  ROUND(n_ab / CAST(nb AS DOUBLE), 6) AS support,
+      |  ROUND(n_ab / CAST(sa.n_it AS DOUBLE), 6) AS confidence,
+      |  ROUND((n_ab * nb) / CAST(sa.n_it * sb.n_it AS DOUBLE), 6)
+      |    AS lift
+      |FROM p JOIN s sa ON p.item_a = sa.it
+      |       JOIN s sb ON p.item_b = sb.it
+      |       CROSS JOIN n""".stripMargin
 
   /** q220's blocked-Levenshtein pairs (q231 nests it as the survivor
     * rule's pair source): (first char, length bucket) candidates,
@@ -3933,24 +3970,25 @@ object SparkEntry {
     // the planted first-char substitutions the prefix block misses)
     // rule measures over exact basket counts: lift's numerator and
     // denominator are exact long products, one division each
-    "q246_basket_affinity" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
-        |           FROM lineitem),
-        |n AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nb FROM b),
-        |s AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n_it
-        |      FROM b GROUP BY 1),
-        |p AS (SELECT a.it AS item_a, c.it AS item_b,
-        |        CAST(COUNT(*) AS BIGINT) AS n_ab
-        |      FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
-        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
-        |SELECT item_a, item_b, sa.n_it AS n_a, sb.n_it AS n_b, n_ab,
-        |  ROUND(n_ab / CAST(nb AS DOUBLE), 6) AS support,
-        |  ROUND(n_ab / CAST(sa.n_it AS DOUBLE), 6) AS confidence,
-        |  ROUND((n_ab * nb) / CAST(sa.n_it * sb.n_it AS DOUBLE), 6)
-        |    AS lift
-        |FROM p JOIN s sa ON p.item_a = sa.it
-        |       JOIN s sb ON p.item_b = sb.it
-        |       CROSS JOIN n""".stripMargin,
+    "q246_basket_affinity" -> BasketAffinitySql,
+    // the stored-profile route must hash-match the live measures —
+    // q246's SQL verbatim (the q77≡q70 stored-vs-live pattern)
+    "q250_basket_affinity_stored" -> BasketAffinitySql,
+    // top-k as the bounded aggregate ≡ the window restatement; the
+    // vs-mean ratio is the q135 exact-long-numerator trick
+    "q251_key_skew" ->
+      """WITH c AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+        |        CAST(SUM(n) AS BIGINT) AS tot FROM c),
+        |r AS (SELECT key, n,
+        |        CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT)
+        |          AS rank
+        |      FROM c)
+        |SELECT rank, key, n, ROUND(n / CAST(tot AS DOUBLE), 6) AS share,
+        |  nk AS n_keys,
+        |  ROUND((n * nk) / CAST(tot AS DOUBLE), 6) AS ratio_to_mean
+        |FROM r CROSS JOIN s WHERE rank <= 10""".stripMargin,
     // pooled-se z mirrored term-for-term (the q140/q216 discipline);
     // degenerate cells NULL on both engines
     "q249_gate_pass_ztest" ->

@@ -664,6 +664,46 @@ object DataQuality {
           .otherwise(lit(0.0)).as("violation_share"))
   }
 
+  /** JOIN-KEY SKEW diagnostics: the top-`k` heaviest values of a
+    * prospective join/partition key, each with its row share and its
+    * exact ratio to the mean key population — the report that answers
+    * "will this key hash-partition evenly at 1000 executors, or does
+    * one value own a task?" BEFORE a 100 TB shuffle finds out the hard
+    * way (the operational companion to the hot-key caps this repo
+    * applies everywhere: q48 lines, maxGramDf, maxBlockSize). The
+    * ratio is the q135 exact-ratio trick — n·n_keys as an exact long
+    * numerator, ONE division — and the top-k runs as the bounded
+    * [[graft.functions.TopKStructs]] aggregate (≤ k rows per map-side
+    * partial; never a global sort), yet matches the window restatement
+    * row for row ⇒ oracle-hashed (q251).
+    *
+    * Output: (rank 1..k, key, n, share 6dp, n_keys, ratio_to_mean 6dp).
+    *
+    * Scale notes (100 TB): one map-side-combined count per key, a
+    * two-scalar reduce over the key relation, and a kilobyte-bounded
+    * top-k aggregate — the corpus is scanned once. */
+  def keySkewReport(df: DataFrame, keyCol: String,
+                    k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the summary AND the top-k
+    val summary = counts.agg(count(lit(1)).as("_nk"),
+      sum(col("n")).as("_tot"))
+    counts
+      .agg(graft.functions.TopKStructs.top_k_structs(
+        struct((-col("n")).as("_neg"), col(keyCol), col("n")), k)
+        .as("_top"))
+      .select(posexplode(col("_top")).as(Seq("_pos", "_item")))
+      .crossJoin(broadcast(summary))
+      .select((col("_pos") + 1).cast("long").as("rank"),
+        col(s"_item.$keyCol").as("key"), col("_item.n").as("n"),
+        round(col("_item.n").cast("double") /
+          col("_tot").cast("double"), 6).as("share"),
+        col("_nk").as("n_keys"),
+        round((col("_item.n") * col("_nk")).cast("double") /
+          col("_tot").cast("double"), 6).as("ratio_to_mean"))
+  }
+
   /** Two-proportion z-test, each group against THE REST — the test
     * the planning pair (MDE q216, Neyman q217) plans for, actually
     * RUN: does group g's success rate differ from everyone else's by

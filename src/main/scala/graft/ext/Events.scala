@@ -388,11 +388,23 @@ object Events {
     val total = b.select(col("_bk")).distinct()
       .agg(count(lit(1)).as("_nb"))
     val marginals = b.groupBy(col("_it")).agg(count(lit(1)).as("_n"))
-    b.select(col("_bk"), col("_it").as("item_a"))
+    val pairs = b.select(col("_bk"), col("_it").as("item_a"))
       .join(b.select(col("_bk"), col("_it").as("item_b")), Seq("_bk"))
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
+    affinityMeasures(pairs, marginals, total, minPairCount)
+  }
+
+  /** The rule-measure projection both affinity routes share: pairs
+    * (item_a, item_b, n_ab) × broadcast marginals (_it, _n) × the
+    * one-row basket total (_nb) → the [[coOccurrenceLift]] output
+    * schema. Factored so the stored route cannot drift from the live
+    * op (the shared-oracle discipline). */
+  private def affinityMeasures(pairs: DataFrame, marginals: DataFrame,
+                               total: DataFrame,
+                               minPairCount: Long): DataFrame =
+    pairs
       .filter(col("n_ab") >= minPairCount)
       .join(broadcast(marginals.select(col("_it").as("item_a"),
         col("_n").as("n_a"))), Seq("item_a"))
@@ -407,6 +419,97 @@ object Events {
           .as("confidence"),
         round((col("n_ab") * col("_nb")).cast("double") /
           (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+
+  // --------------------------------------------------------------------
+  // Basket-affinity PROFILE — [[coOccurrenceLift]]'s stored artifact:
+  // pair co-counts, item basket-counts and the basket total frozen as
+  // ONE long-form CountProfile relation (the Reputation precedent),
+  // keyed (k, a, b) with k = 0 basket total / 1 item marginal / 2 pair
+  // (sentinel −1 fills unused key slots; item ids must be non-negative
+  // longs — pre-map string catalogs). Counts merge exactly, so the
+  // catalog grows per ingest batch instead of re-scanning history.
+  // APPEND CAVEAT (the ngram-df discipline): appends assume
+  // BASKET-DISJOINT batches — a basket split across appends loses its
+  // cross-append pairs and a re-appended basket double-counts; rebuild
+  // at mart cadence if baskets mutate. minPairCount is an apply-time
+  // knob (the dsirAlpha rule). Replay class: byte-dedup (CountProfile).
+  // --------------------------------------------------------------------
+
+  private val BasketProfileParams = Map("kind" -> "basket-affinity")
+
+  /** The long-form (k, a, b, c) count rows of one basket relation. */
+  private def basketCounts(df: DataFrame, basketCol: String,
+                           itemCol: String): DataFrame = {
+    val b = df.select(col(basketCol).as("_bk"),
+        col(itemCol).cast("long").as("_it"))
+      .distinct()
+      .localCheckpoint() // three shapes read it
+    val bad = b.filter(col("_it").isNull || col("_it") < 0L).count()
+    require(bad == 0L,
+      s"item ids must be non-negative longs ($bad rows are not) — " +
+        "pre-map string catalogs to ids")
+    val pairRows = b.select(col("_bk"), col("_it").as("_a"))
+      .join(b.select(col("_bk"), col("_it").as("_b")), Seq("_bk"))
+      .filter(col("_a") < col("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("c"))
+      .select(lit(2L).as("k"), col("_a").as("a"), col("_b").as("b"),
+        col("c"))
+    val itemRows = b.groupBy(col("_it")).agg(count(lit(1)).as("c"))
+      .select(lit(1L).as("k"), col("_it").as("a"), lit(-1L).as("b"),
+        col("c"))
+    val basketRow = b.select(col("_bk")).distinct()
+      .agg(count(lit(1)).as("c"))
+      .select(lit(0L).as("k"), lit(-1L).as("a"), lit(-1L).as("b"),
+        col("c"))
+    pairRows.unionByName(itemRows).unionByName(basketRow)
+  }
+
+  /** Freeze a basket corpus's affinity state at `path`. */
+  def writeBasketProfile(df: DataFrame, basketCol: String,
+                         itemCol: String, path: String): Unit =
+    CountProfile.write(basketCounts(df, basketCol, itemCol), path,
+      BasketProfileParams)
+
+  /** Append a BASKET-DISJOINT batch (sidecar validated first; see the
+    * family caveat above). `batchId` tags rows for replay exclusion. */
+  def appendBasketProfile(df: DataFrame, basketCol: String,
+                          itemCol: String, path: String,
+                          batchId: Option[Long] = None): Unit = {
+    Dedup.requireParams(s"$path/params.properties", BasketProfileParams,
+      "basket-affinity")
+    CountProfile.append(basketCounts(df, basketCol, itemCol), path,
+      batchId)
+  }
+
+  /** The rule measures off the STORED state — must equal
+    * [[coOccurrenceLift]] over the same baskets (q250 reuses q246's
+    * oracle SQL verbatim, the q77≡q70 stored-route pattern). */
+  def basketAffinityFromProfile(spark: org.apache.spark.sql.SparkSession,
+                                path: String, minPairCount: Long = 2L,
+                                excludeBatchId: Option[Long] = None)
+      : DataFrame = {
+    require(minPairCount >= 1L,
+      s"minPairCount must be >= 1: $minPairCount")
+    Dedup.requireParams(s"$path/params.properties", BasketProfileParams,
+      "basket-affinity")
+    val eff = CountProfile.effective(spark, path, "basket profile",
+        "compactBasketProfile", excludeBatchId)
+      .localCheckpoint() // three slices of one relation
+    val pairs = eff.filter(col("k") === 2L)
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        col("c").as("n_ab"))
+    val marginals = eff.filter(col("k") === 1L)
+      .select(col("a").as("_it"), col("c").as("_n"))
+    val total = eff.filter(col("k") === 0L).select(col("c").as("_nb"))
+    affinityMeasures(pairs, marginals, total, minPairCount)
+  }
+
+  /** Collapse appended count rows (the shared CountProfile rule). */
+  def compactBasketProfile(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit = {
+    Dedup.requireParams(s"$path/params.properties", BasketProfileParams,
+      "basket-affinity")
+    CountProfile.compact(spark, path)
   }
 
   /** Per-user transition SURPRISE — a Laplace-smoothed Markov model of

@@ -3448,6 +3448,66 @@ class ExtSpec extends SparkSpec {
       s"got ${allWin.toSeq}")
   }
 
+  test("basket profile: stored ≡ live, disjoint append merges exactly, replay exclusion, compaction") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_basket").toString
+    def baskets(rows: (Long, Long)*) = rows.toSeq.toDF("basket", "item")
+    val part1 = baskets((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L))
+    val part2 = baskets((4L, 10L), (4L, 11L), (4L, 12L), (5L, 12L))
+    val all = part1.unionByName(part2)
+    def rep(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    // stored ≡ live on the base corpus
+    Events.writeBasketProfile(part1, "basket", "item", s"$dir/p")
+    assert(rep(Events.basketAffinityFromProfile(spark, s"$dir/p",
+        minPairCount = 1L)) ==
+      rep(Events.coOccurrenceLift(part1, "basket", "item",
+        minPairCount = 1L)))
+    // a BASKET-DISJOINT append merges to exactly the full-corpus state
+    Events.appendBasketProfile(part2, "basket", "item", s"$dir/p",
+      batchId = Some(7L))
+    val full = rep(Events.coOccurrenceLift(all, "basket", "item",
+      minPairCount = 1L))
+    assert(rep(Events.basketAffinityFromProfile(spark, s"$dir/p",
+      minPairCount = 1L)) == full)
+    // replayed append is a no-op; own-tag exclusion reproduces the
+    // pre-append state
+    Events.appendBasketProfile(part2, "basket", "item", s"$dir/p",
+      batchId = Some(7L))
+    assert(rep(Events.basketAffinityFromProfile(spark, s"$dir/p",
+      minPairCount = 1L)) == full)
+    assert(rep(Events.basketAffinityFromProfile(spark, s"$dir/p",
+        minPairCount = 1L, excludeBatchId = Some(7L))) ==
+      rep(Events.coOccurrenceLift(part1, "basket", "item",
+        minPairCount = 1L)))
+    // compaction shrinks rows, preserves every read
+    val before = spark.read.parquet(s"$dir/p/counts").count()
+    Events.compactBasketProfile(spark, s"$dir/p")
+    assert(spark.read.parquet(s"$dir/p/counts").count() < before)
+    assert(rep(Events.basketAffinityFromProfile(spark, s"$dir/p",
+      minPairCount = 1L)) == full)
+    // sentinel collision guard: negative item ids refuse
+    intercept[IllegalArgumentException](Events.writeBasketProfile(
+      baskets((1L, -5L)), "basket", "item", s"$dir/neg"))
+  }
+
+  test("keySkewReport: hand-checked ranks, shares, exact vs-mean ratios") {
+    // key populations: a=4, b=2, c=1, d=1 → 8 rows, 4 keys, mean 2
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "key")
+    val out = DataQuality.keySkewReport(df, "key", k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out == Map(
+      1L -> (("a", 4L, 0.5, 4L, 2.0)),
+      2L -> (("b", 2L, 0.25, 4L, 1.0)),
+      3L -> (("c", 1L, 0.125, 4L, 0.5))), s"got $out")
+    intercept[IllegalArgumentException](
+      DataQuality.keySkewReport(df, "key", k = 0))
+  }
+
   test("sessionJourney: crafted attribution, organic opener, summary agreement, one exchange") {
     val m = 60000000L
     val ev = Seq(
