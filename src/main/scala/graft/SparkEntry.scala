@@ -2428,6 +2428,17 @@ object SparkEntry {
     // the per-key counts, exact vs-mean ratios
     "q251_key_skew" -> ((s, dir) =>
       ext.DataQuality.keySkewReport(Tables.events(s, dir), "user_id")),
+    // scene segmentation over the real MJPEG fixtures: consecutive-
+    // frame dHash jumps through the full container-walk + JPEG decode
+    // path; rows-only (lossy decode — the q112 class); the
+    // static/splice/re-grade semantics are spec-pinned on crafted clips
+    "q252_scene_changes" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      ext.Multimodal.sceneChanges(s,
+        ext.Multimodal.validMjpegMedia(s,
+          Tables.documents(s, dir).select(col("doc_id"), col("text")))
+          .toDF())
+    }),
   )
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,

@@ -512,6 +512,41 @@ object Events {
     CountProfile.compact(spark, path)
   }
 
+  /** Batch-pair NOVELTY against the stored basket profile: how much
+    * of a batch's co-occurrence structure the catalog has never seen
+    * — the assortment-drift signal (a spike in never-seen pairs means
+    * the mix changed, a recommender trained on the profile is stale).
+    * `excludeBatchId` drops the batch's own tag so a replayed
+    * micro-batch scores against exactly the state its first attempt
+    * saw (the absorb contract). One exact division, rounded 6dp.
+    *
+    * Output: one row — (n_pairs, n_new_pairs, new_share).
+    *
+    * Scale notes (100 TB): batch-pair census (C(k,2) per basket) +
+    * one anti-join against the artifact's pair keys; the corpus is
+    * never re-paired. */
+  def basketNoveltyAgainstProfile(df: DataFrame, basketCol: String,
+                                  itemCol: String, path: String,
+                                  excludeBatchId: Option[Long] = None)
+      : DataFrame = {
+    Dedup.requireParams(s"$path/params.properties", BasketProfileParams,
+      "basket-affinity")
+    val batchPairs = basketCounts(df, basketCol, itemCol)
+      .filter(col("k") === 2L).select(col("a"), col("b"))
+      .localCheckpoint() // total AND anti-join read it
+    val stored = CountProfile.effective(df.sparkSession, path,
+        "basket profile", "compactBasketProfile", excludeBatchId)
+      .filter(col("k") === 2L).select(col("a"), col("b"))
+    batchPairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(
+        batchPairs.join(stored, Seq("a", "b"), "left_anti")
+          .agg(count(lit(1)).as("n_new_pairs"))))
+      .select(col("n_pairs"), col("n_new_pairs"),
+        when(col("n_pairs") > 0,
+          round(col("n_new_pairs").cast("double") /
+            col("n_pairs").cast("double"), 6)).as("new_share"))
+  }
+
   /** Per-user transition SURPRISE — a Laplace-smoothed Markov model of
     * within-session event transitions (the q172 relation as a MODEL),
     * scored back over each user's own transitions: avg −ln P(to|from)

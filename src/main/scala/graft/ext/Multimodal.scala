@@ -1428,6 +1428,37 @@ object Multimodal {
     }
   }
 
+  /** SCENE-CHANGE detection over real decoded frames: per video, the
+    * Hamming distance between CONSECUTIVE frame fingerprints — a jump
+    * of at least `minHamming` bits is a cut. The segmentation every
+    * video-corpus pipeline needs before frame sampling (sample one
+    * frame per SCENE, not per fixed stride — a static shot contributes
+    * one frame instead of hundreds of near-copies; the q170 family's
+    * within-clip analog). dHash absorbs re-grades and mild re-encodes,
+    * so a cut is a CONTENT change, not a bitrate artifact.
+    *
+    * Output: (media_id, cut_frame, hamming) — cut_frame is the index
+    * of the FIRST frame of the new scene (under `every`-subsampling,
+    * indices are the sampled ones, the videoFrameStats knob).
+    *
+    * Scale notes (100 TB): decode is per-partition and linear in
+    * sampled frames (the dominant cost, same as videoFrameHashes);
+    * the lag window partitions by media_id — per-clip row sets, never
+    * a global sort. Rows-only class (lossy JPEG decode). */
+  def sceneChanges(spark: SparkSession, media: DataFrame,
+                   minHamming: Int = 16, every: Int = 1): DataFrame = {
+    require(minHamming >= 1 && minHamming <= 64,
+      s"minHamming must be in 1..64: $minHamming")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    videoFrameHashes(spark, media, every).toDF()
+      .withColumn("_prev", lag(col("dhash"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select(col("media_id"), col("frame_idx").cast("long").as("cut_frame"),
+        expr("bit_count(dhash ^ _prev)").cast("long").as("hamming"))
+      .filter(col("hamming") >= minHamming)
+  }
+
   /** Perceptual near-dup VIDEO pairs: videos sharing at least
     * `minSharedFrames` DISTINCT frame fingerprints. Exact equality on
     * the 64-bit frame hash is the join key on purpose — the dHash

@@ -1336,6 +1336,39 @@ object EventStream {
         }
       }
 
+  /** Streaming basket-catalog absorb —
+    * [[ingestVolumeProfileStream]]'s score-then-merge shape on the
+    * basket-affinity profile: each micro-batch of basket lines is
+    * scored for pair NOVELTY against the stored catalog with its own
+    * tag excluded ([[graft.ext.Events.basketNoveltyAgainstProfile]] —
+    * a replay reproduces its pre-append report), the one-row drift
+    * report lands under `metricsPath/batch_id=N`, and the batch's
+    * pair/marginal/total counts append LAST (the absorb ordering
+    * rule; byte-dedup replay class — a replayed append's identical
+    * count rows collapse in every reader). Micro-batches must be
+    * BASKET-DISJOINT (the family's append caveat): split one basket
+    * across batches and its cross-batch pairs are lost — key the
+    * source so a basket arrives whole. */
+  def ingestBasketProfileStream(baskets: DataFrame, profilePath: String,
+                                metricsPath: String, checkpoint: String,
+                                basketCol: String,
+                                itemCol: String): DataStreamWriter[Row] =
+    baskets.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed twice: report + absorb
+          graft.ext.Events.basketNoveltyAgainstProfile(b, basketCol,
+              itemCol, profilePath, excludeBatchId = Some(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+          graft.ext.Events.appendBasketProfile(b, basketCol, itemCol,
+            profilePath, batchId = Some(batchId))
+        }
+      }
+
   /** Streaming feed-health monitor — [[driftMonitorStream]]'s contract
     * pointed at arrival volume: each micro-batch of events is scored
     * against the STORED hour-of-week baseline

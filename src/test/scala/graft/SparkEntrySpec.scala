@@ -40,7 +40,8 @@ class SparkEntrySpec extends SparkSpec {
       "q210_audio_spectral", "q214_label_disagreement",
       "q215_pca_moments_spectrum", "q227_winsorized_approx",
       "q228_event_outliers_approx", "q233_pruned_vocab_coverage",
-      "q245_perceptual_gate_funnel", "q248_cosession_pagerank"),
+      "q245_perceptual_gate_funnel", "q248_cosession_pagerank",
+      "q252_scene_changes"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

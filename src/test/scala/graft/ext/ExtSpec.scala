@@ -3464,6 +3464,12 @@ class ExtSpec extends SparkSpec {
         minPairCount = 1L)) ==
       rep(Events.coOccurrenceLift(part1, "basket", "item",
         minPairCount = 1L)))
+    // pair novelty vs the stored catalog: part2's basket 4 pairs
+    // (10,11) known + (10,12)/(11,12) new
+    val nov = Events.basketNoveltyAgainstProfile(part2, "basket", "item",
+      s"$dir/p").head()
+    assert((nov.getLong(0), nov.getLong(1), nov.getDouble(2)) ==
+      ((3L, 2L, 0.666667)), s"got $nov")
     // a BASKET-DISJOINT append merges to exactly the full-corpus state
     Events.appendBasketProfile(part2, "basket", "item", s"$dir/p",
       batchId = Some(7L))

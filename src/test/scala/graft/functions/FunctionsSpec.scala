@@ -569,6 +569,38 @@ class FunctionsSpec extends SparkSpec {
       Multimodal.videoNearDupPairs(spark, media, minSharedFrames = 0))
   }
 
+  test("sceneChanges: a static shot has no cuts, the splice point is the cut, re-grades don't cut") {
+    val (w, h) = (18, 12)
+    def frame(base: Int, shape: Int) = Multimodal.encodeJpeg(w, h,
+      Array.tabulate(w * h * 3) { p =>
+        val x = (p / 3) % w
+        val v = shape match {
+          case 0 => x * 12
+          case 1 => (w - 1 - x) * 12
+          case _ => if (x < 9) x * 24 else (17 - x) * 24
+        }
+        (base + v).toByte
+      })
+    def vid(frames: Seq[Array[Byte]]) = Multimodal.encodeMjpegMp4(
+      w, h, timescale = 1000, duration = frames.length * 40L, frames)
+    val media = Seq(
+        // static shot ×3, HARD CUT to the mirrored ramp ×2 at frame 3
+        (1L, "mp4", vid(Seq(frame(20, 0), frame(20, 0), frame(20, 0),
+          frame(20, 1), frame(20, 1)))),
+        // the same LOOK re-graded brighter mid-clip: dHash gradients
+        // are brightness-invariant, so no cut
+        (2L, "mp4", vid(Seq(frame(20, 0), frame(30, 0), frame(40, 0)))))
+      .toDF("media_id", "format", "payload")
+    val cuts = Multimodal.sceneChanges(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cuts.map(c => (c._1, c._2)).toSeq == Seq((1L, 3L)),
+      s"exactly the splice point must cut: ${cuts.toSeq}")
+    assert(cuts.head._3 >= 32L,
+      "a mirrored ramp must flip most gradient bits")
+    intercept[IllegalArgumentException](
+      Multimodal.sceneChanges(spark, media, minHamming = 0))
+  }
+
   test("perceptual index ladder: probe, greedy ingest, replay exclusion, compaction, forget") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pidx").toString
     val (w, h) = (18, 12)

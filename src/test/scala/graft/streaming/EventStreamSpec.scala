@@ -19,6 +19,8 @@ class EventStreamSpec extends SparkSpec {
   case class AggRow(window_start: Timestamp, event_type: String,
                     n_events: Long, value_sum: Double)
 
+  case class BasketLine(basket: Long, item: Long)
+
   case class IngestDoc(doc_id: Long, text: String)
   case class MediaRow(media_id: Long, format: String, payload: Array[Byte])
 
@@ -1501,6 +1503,52 @@ class EventStreamSpec extends SparkSpec {
     drain()
     assert(split(1) == Map("2024-01-09" -> ((0L, 1L))),
       s"got ${split(1)}")
+  }
+
+  test("basket absorb stream scores novelty pre-append, exactly once under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_basket").toString
+    // catalog: two baskets, both {10, 11} — stored pair set {(10,11)}
+    graft.ext.Events.writeBasketProfile(
+      Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+        .toDF("basket", "item"),
+      "basket", "item", s"$dir/p")
+    val mem = MemoryStream[BasketLine]
+    def drain(): Unit = {
+      val q = EventStream.ingestBasketProfileStream(mem.toDF(),
+        s"$dir/p", s"$dir/metrics", s"$dir/ckpt", "basket", "item")
+        .start()
+      q.awaitTermination()
+    }
+    def rep(batch: Int) = spark.read.parquet(s"$dir/metrics")
+      .filter(col("batch_id") === batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+    // batch 0: basket {10,11,12} — (10,11) known, (10,12)/(11,12) new
+    mem.addData(BasketLine(5L, 10L), BasketLine(5L, 11L),
+      BasketLine(5L, 12L))
+    drain()
+    // crash window: report + absorb landed, commit lost — the
+    // replayed batch must score against the PRE-append catalog
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    assert(rep(0) == ((3L, 2L, 0.666667)),
+      s"replay must keep batch 0's novelty report: ${rep(0)}")
+    // batch 1: basket {11,12} — the pair is known only because batch 0
+    // was absorbed EXACTLY once (a double-counted replay would also
+    // read known, so check the stored pair count too)
+    mem.addData(BasketLine(6L, 11L), BasketLine(6L, 12L))
+    drain()
+    assert(rep(1) == ((1L, 0L, 0.0)), s"got ${rep(1)}")
+    val pair1112 = graft.ext.Events.basketAffinityFromProfile(spark,
+        s"$dir/p", minPairCount = 1L)
+      .filter(col("item_a") === 11L && col("item_b") === 12L)
+      .select("n_ab").collect().map(_.getLong(0)).toSeq
+    assert(pair1112 == Seq(2L),
+      s"replayed append must collapse (batch 0 + batch 1): $pair1112")
   }
 
   test("benford monitor stream flags the tampered batch, skips thin batches, replays exactly once") {
