@@ -2428,6 +2428,21 @@ object SparkEntry {
     // the per-key counts, exact vs-mean ratios
     "q251_key_skew" -> ((s, dir) =>
       ext.DataQuality.keySkewReport(Tables.events(s, dir), "user_id")),
+    // the STORED reservoir route: base = even docs, one tagged append
+    // of the odd docs — the reader's min-k over the union must equal
+    // the one-shot q238 sample over ALL docs (algebraic mergeability;
+    // q238's oracle SQL verbatim)
+    "q253_reservoir_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir).select("doc_id", "lang")
+      val path = "/tmp/graft_reservoir_q253_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ext.Sampling.writeReservoir(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "lang", 10, path)
+      ext.Sampling.appendReservoir(docs.filter(col("doc_id") % 2 === 1),
+        path, batchId = Some(1L))
+      ext.Sampling.reservoirOf(s, path)
+    }),
     // scene segmentation over the real MJPEG fixtures: consecutive-
     // frame dHash jumps through the full container-walk + JPEG decode
     // path; rows-only (lossy decode — the q112 class); the
@@ -2868,6 +2883,18 @@ object SparkEntry {
       |  ROUND(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
       |    / CAST(COUNT(*) AS DOUBLE), 6) AS new_share
       |FROM ud JOIN f USING (user_id) GROUP BY 1""".stripMargin
+
+  /** q238's uniform k-per-group draw (q253 reuses it verbatim — the
+    * stored reservoir's hash-equality claim): md5-ordered window
+    * restatement of the bounded top-k aggregate. */
+  private val GroupSampleSql =
+    """WITH r AS (SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5('graft.gsample.v1' || CAST(doc_id AS VARCHAR)),
+      |        doc_id) AS rank
+      |  FROM documents)
+      |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+      |FROM r WHERE rank <= 10""".stripMargin
 
   /** q246's basket-affinity rule measures (q250 reuses it verbatim —
     * the stored route's hash-equality claim): distinct basket-item
@@ -4086,14 +4113,11 @@ object SparkEntry {
         |SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_overlaps
         |FROM p GROUP BY 1, 2""").stripMargin,
     // the bounded aggregate matches the window restatement row for row
-    "q238_group_sample" ->
-      """WITH r AS (SELECT lang, doc_id,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5('graft.gsample.v1' || CAST(doc_id AS VARCHAR)),
-        |        doc_id) AS rank
-        |  FROM documents)
-        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
-        |FROM r WHERE rank <= 10""".stripMargin,
+    "q238_group_sample" -> GroupSampleSql,
+    // the stored reservoir over (even base + odd append) must equal
+    // the one-shot sample over ALL docs — q238's SQL verbatim (min-k
+    // by content-addressed key is algebraically mergeable)
+    "q253_reservoir_sample" -> GroupSampleSql,
     // the q88 chained-CTE fold with the window conjunct spliced in
     "q236_funnel_within" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events

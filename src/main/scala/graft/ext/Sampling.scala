@@ -1684,6 +1684,112 @@ object Sampling {
         col(s"_item.$idCol").as(idCol))
   }
 
+  // --------------------------------------------------------------------
+  // RESERVOIR — [[uniformSampleByGroup]]'s stored artifact: a uniform
+  // k-per-group sample over an UNBOUNDED, incrementally-arriving corpus.
+  // The stored state is each contribution's per-group top-k rows
+  // (group, _key = salted md5, id); min-k by a content-addressed key is
+  // ALGEBRAICALLY mergeable — top-k(A ∪ B) ⊆ top-k(A) ∪ top-k(B), so
+  // per-batch trimming loses nothing and the reader's k smallest keys
+  // over the union equal the one-shot sample over all data ever seen
+  // (spec-pinned; q253 reuses q238's oracle SQL verbatim). Sidecar owns
+  // groupCol / idCol / k / salt (the canonical-index idCol rule: a
+  // probe under a different recipe is silently meaningless). Replay
+  // class: byte-dedup (a replayed append's identical rows collapse in
+  // the reader's distinct — duplicates MUST collapse, or k slots fill
+  // with copies). forgetDocuments REFUSES kind=reservoir via the
+  // generic arm, correctly: the state is winner-only (per-batch
+  // runners-up were trimmed), so erasing a sampled id cannot restore
+  // the id it displaced — a forget is a rebuild.
+  // --------------------------------------------------------------------
+
+  private def reservoirParams(idCol: String, groupCol: String, k: Int,
+                              salt: String): Map[String, String] =
+    Map("kind" -> "reservoir", "idCol" -> idCol, "groupCol" -> groupCol,
+      "k" -> k.toString, "salt" -> salt)
+
+  /** A contribution's stored rows: its own per-group top-k by the
+    * salted md5 key (kilobytes through the exchange — the bounded
+    * aggregate, never a sort). */
+  private def reservoirRows(df: DataFrame, idCol: String,
+                            groupCol: String, k: Int,
+                            salt: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKStructs.top_k_structs(
+        struct(md5(concat(lit(salt), col(idCol).cast("string")))
+          .as("_key"), col(idCol)), k).as("_top"))
+      .select(col(groupCol), explode(col("_top")).as("_item"))
+      .select(col(groupCol), col("_item._key").as("_key"),
+        col(s"_item.$idCol").as(idCol))
+
+  /** Freeze the base corpus's reservoir at `path` (sample relation,
+    * sidecar LAST). */
+  def writeReservoir(df: DataFrame, idCol: String, groupCol: String,
+                     k: Int, path: String,
+                     salt: String = "graft.gsample.v1"): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    reservoirRows(df, idCol, groupCol, k, salt)
+      .withColumn("batch_id", lit(null).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sample")
+    Dedup.writeParams(s"$path/params.properties",
+      reservoirParams(idCol, groupCol, k, salt))
+  }
+
+  /** Absorb a batch: ITS per-group top-k appends tagged (the recipe —
+    * idCol, groupCol, k, salt — comes from the ARTIFACT, never the
+    * caller). Trimming per batch is lossless for every read by the
+    * min-k union property above. */
+  def appendReservoir(df: DataFrame, path: String,
+                      batchId: Option[Long] = None): Unit = {
+    val side = s"$path/params.properties"
+    Dedup.requireParams(side, Map("kind" -> "reservoir"), "reservoir")
+    val (idCol, groupCol) = (Dedup.readParam(side, "idCol", "reservoir"),
+      Dedup.readParam(side, "groupCol", "reservoir"))
+    val k = Dedup.readParam(side, "k", "reservoir").toInt
+    val salt = Dedup.readParam(side, "salt", "reservoir")
+    Dedup.requireTaggedRelation(df.sparkSession, path, "sample")
+    reservoirRows(df, idCol, groupCol, k, salt)
+      .withColumn("batch_id",
+        batchId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/sample")
+  }
+
+  /** The current sample — (groupCol, rank 1..k, idCol), byte-equal to
+    * [[uniformSampleByGroup]] over everything ever absorbed.
+    * `excludeBatchId` drops a batch's own tag (the replay crash-window
+    * mechanism); replayed-append duplicates collapse in the distinct
+    * (they would otherwise fill k slots with copies). */
+  def reservoirOf(spark: org.apache.spark.sql.SparkSession, path: String,
+                  excludeBatchId: Option[Long] = None): DataFrame = {
+    val side = s"$path/params.properties"
+    Dedup.requireParams(side, Map("kind" -> "reservoir"), "reservoir")
+    val (idCol, groupCol) = (Dedup.readParam(side, "idCol", "reservoir"),
+      Dedup.readParam(side, "groupCol", "reservoir"))
+    val k = Dedup.readParam(side, "k", "reservoir").toInt
+    val rows = Dedup.excludeTagged(
+        spark.read.parquet(s"$path/sample"), path, "sample",
+        excludeBatchId)
+      .select(col(groupCol), col("_key"), col(idCol)).distinct()
+    rows.groupBy(col(groupCol))
+      .agg(graft.functions.TopKStructs.top_k_structs(
+        struct(col("_key"), col(idCol)), k).as("_top"))
+      .select(col(groupCol),
+        posexplode(col("_top")).as(Seq("_pos", "_item")))
+      .select(col(groupCol), (col("_pos") + 1).cast("long").as("rank"),
+        col(s"_item.$idCol").as(idCol))
+  }
+
+  /** Compact appended sample rows (the shared earliest-tag rule; reads
+    * unchanged — the reader distinct-collapses anyway). */
+  def compactReservoir(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    Dedup.requireParams(s"$path/params.properties",
+      Map("kind" -> "reservoir"), "reservoir")
+    Dedup.compactTaggedRelations(spark, path, Seq("sample"))
+  }
+
   /** Stratified K-FOLD assignment — the cross-validation layout
     * ([[stratifiedTrainValTest]]'s sibling: that op cuts ONE
     * train/val/test partition, this one cuts k interchangeable

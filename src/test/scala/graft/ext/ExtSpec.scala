@@ -3498,6 +3498,47 @@ class ExtSpec extends SparkSpec {
       baskets((1L, -5L)), "basket", "item", s"$dir/neg"))
   }
 
+  test("reservoir: per-batch trimming is lossless, replay duplicates collapse, exclusion, compaction") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_reservoir").toString
+    val all = (1L to 40L).map(i => (i, if (i % 2 == 0) "g1" else "g2"))
+      .toDF("id", "grp")
+    val first = all.filter($"id" <= 20L)
+    val second = all.filter($"id" > 20L)
+    def rep(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    Sampling.writeReservoir(first, "id", "grp", 3, s"$dir/r")
+    Sampling.appendReservoir(second, s"$dir/r", batchId = Some(5L))
+    // the min-k union property: the stored route equals the one-shot
+    // sample over everything ever absorbed, despite per-batch trimming
+    val oneShot = rep(Sampling.uniformSampleByGroup(all, "id", "grp", 3))
+    assert(rep(Sampling.reservoirOf(spark, s"$dir/r")) == oneShot)
+    // BOTH contributions must be represented (k=3 over 2 batches of 10
+    // per group makes an all-one-batch sample astronomically unlikely;
+    // deterministic here — pinned against the md5 order)
+    val ids = oneShot.map(_._3)
+    assert(ids.exists(_ <= 20L) && ids.exists(_ > 20L), s"$oneShot")
+    // a replayed append's identical rows must COLLAPSE — copies would
+    // otherwise fill k slots and evict genuine members
+    Sampling.appendReservoir(second, s"$dir/r", batchId = Some(5L))
+    assert(rep(Sampling.reservoirOf(spark, s"$dir/r")) == oneShot)
+    // own-tag exclusion reproduces the pre-append sample
+    assert(rep(Sampling.reservoirOf(spark, s"$dir/r",
+        excludeBatchId = Some(5L))) ==
+      rep(Sampling.uniformSampleByGroup(first, "id", "grp", 3)))
+    // compaction shrinks the stored rows and changes no read
+    val before = spark.read.parquet(s"$dir/r/sample").count()
+    Sampling.compactReservoir(spark, s"$dir/r")
+    assert(spark.read.parquet(s"$dir/r/sample").count() < before)
+    assert(rep(Sampling.reservoirOf(spark, s"$dir/r")) == oneShot)
+    assert(rep(Sampling.reservoirOf(spark, s"$dir/r",
+        excludeBatchId = Some(5L))) ==
+      rep(Sampling.uniformSampleByGroup(first, "id", "grp", 3)),
+      "compaction must preserve exclusion decisions")
+    intercept[IllegalArgumentException](
+      Sampling.writeReservoir(all, "id", "grp", 0, s"$dir/bad"))
+  }
+
   test("keySkewReport: hand-checked ranks, shares, exact vs-mean ratios") {
     // key populations: a=4, b=2, c=1, d=1 → 8 rows, 4 keys, mean 2
     val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
