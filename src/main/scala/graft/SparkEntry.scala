@@ -2428,6 +2428,18 @@ object SparkEntry {
     // the per-key counts, exact vs-mean ratios
     "q251_key_skew" -> ((s, dir) =>
       ext.DataQuality.keySkewReport(Tables.events(s, dir), "user_id")),
+    // golden records over the fuzzy entity clusters: CC survivorship +
+    // majority-vote attribute resolution — the MDM consolidation the
+    // reference's A1 family implies; rows-only (iterative CC, the q34
+    // class), semantics spec-pinned on crafted chains/ties
+    "q254_golden_records" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, substring}
+      ext.Dedup.goldenRecords(
+        Tables.documents(s, dir).select(col("doc_id"),
+          substring(col("text"), 1, 24).as("title"),
+          col("lang"), col("source")),
+        "title", Seq("lang", "source"))
+    }),
     // the STORED reservoir route: base = even docs, one tagged append
     // of the odd docs — the reader's min-k over the union must equal
     // the one-shot q238 sample over ALL docs (algebraic mergeability;

@@ -3324,6 +3324,64 @@ object Dedup {
       .distinct()
   }
 
+  /** GOLDEN RECORDS — master-data consolidation over fuzzy entity
+    * clusters: [[fuzzyKeyPairs]]' pair set closed into connected
+    * components ([[duplicateComponents]] — "acme corp" ↔ "acme corp."
+    * ↔ "acme co" chain into ONE entity even when the ends are > maxDist
+    * apart), then one row per entity with (a) the CANONICAL KEY = the
+    * minimum-id member's key (the deterministic anchor, matching
+    * [[applyPairsCC]]'s min-survivor policy so the golden row IS the
+    * surviving record's key) and (b) every requested attribute resolved
+    * by MAJORITY VOTE over the cluster's non-null values, ties broken
+    * by value ascending (min over struct(−count, value) — exact long
+    * negation, no ordering ambiguity). Unpaired records are their own
+    * entities. The reference's A1 GROUP-BY-as-DISTINCT consolidation
+    * (load_sales_history.py:73-95) completed into the classic MDM
+    * shape: dedup + survivorship + attribute resolution in one call.
+    *
+    * Output: (entity_id, canonical_key, n_members, attrCols…); an
+    * attribute with no non-null value in the cluster stays NULL.
+    *
+    * Scale notes (100 TB): the pair set is the capped blocked join;
+    * CC rounds are bounded label propagation over the pair-bounded
+    * edge set; attribute resolution is one map-side-combined count
+    * per attribute over the labeled frame — no window, no collect.
+    * Rows-only class (iterative CC, the q34 precedent); the spec pins
+    * chains, majorities, ties, and singleton identity. */
+  def goldenRecords(df: DataFrame, keyCol: String, attrCols: Seq[String],
+                    idCol: String = "doc_id", maxDist: Int = 2,
+                    blockChars: Int = 1,
+                    maxBlockSize: Option[Long] = None,
+                    blockMode: String = "prefix"): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one attribute to resolve")
+    require((attrCols :+ keyCol :+ idCol).forall(df.columns.contains),
+      s"df needs ($idCol, $keyCol, ${attrCols.mkString(", ")}); has ${df.columns.mkString(", ")}")
+    val pairs = fuzzyKeyPairs(df, keyCol, idCol, maxDist, blockChars,
+        maxBlockSize, blockMode)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val labels = duplicateComponents(pairs)
+      .select(col("doc_id").as(idCol), col("component_id"))
+    val withLabel = df.join(labels, Seq(idCol), "left")
+      .withColumn("entity_id", coalesce(col("component_id"), col(idCol)))
+      .localCheckpoint() // anchor + one count per attribute read it
+    val anchors = withLabel.groupBy(col("entity_id"))
+      .agg(min(col(idCol)).as("_anchor"), count(lit(1)).as("n_members"))
+      .join(withLabel.select(col(idCol).as("_anchor"),
+        col(keyCol).as("canonical_key")), Seq("_anchor"))
+      .select(col("entity_id"), col("canonical_key"), col("n_members"))
+    attrCols.foldLeft(anchors) { (acc, a) =>
+      acc.join(
+        withLabel.filter(col(a).isNotNull)
+          .groupBy(col("entity_id"), col(a))
+          .agg(count(lit(1)).as("_n"))
+          .groupBy(col("entity_id"))
+          .agg(min(struct((-col("_n")).as("_neg"), col(a).as("_v")))
+            .as("_m"))
+          .select(col("entity_id"), col("_m._v").as(a)),
+        Seq("entity_id"), "left")
+    }
+  }
+
   /** The blocked projection both fuzzy-key routes share: (_id, _key,
     * _cp prefix, _b length bucket). Validates the knobs once. */
   private def fuzzyKeyBase(df: DataFrame, keyCol: String, idCol: String,

@@ -263,6 +263,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("goldenRecords: chained clusters, majority vote, value-asc ties, singleton identity") {
+    val recs = Seq(
+        // a 3-link chain: 1↔2 and 2↔3 are 1 edit, 1↔3 is 2 — one entity
+        (1L, "acme corp", "PT", "a@x"),
+        (2L, "acme corp.", "ES", null),
+        (3L, "acme corp..", "PT", null),
+        // a pair whose only email agrees; country from the one non-null
+        (10L, "zenith", "FR", "z@y"),
+        (11L, "zenith!", null, "z@y"),
+        // a country TIE (1 vote each) — value-ascending wins
+        (30L, "tiebreak", "AA", null),
+        (31L, "tiebreak2", "BB", null),
+        // unpaired: its own entity, attributes pass through
+        (20L, "solo co", "DE", null))
+      .toDF("doc_id", "name", "country", "email")
+    val out = Dedup.goldenRecords(recs, "name", Seq("country", "email"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4)))).toMap
+    assert(out == Map(
+      1L -> (("acme corp", 3L, "PT", "a@x")),
+      10L -> (("zenith", 2L, "FR", "z@y")),
+      30L -> (("tiebreak", 2L, "AA", null)),
+      20L -> (("solo co", 1L, "DE", null))), s"got $out")
+    intercept[IllegalArgumentException](
+      Dedup.goldenRecords(recs, "name", Seq.empty))
+    intercept[IllegalArgumentException](
+      Dedup.goldenRecords(recs, "name", Seq("missing_col")))
+  }
+
   test("fuzzy-key index: against ≡ live cross slice, self-probe guard, ingest, replay, compaction, forget") {
     val corpus = Seq((1L, "galaxy brain"), (2L, "hello world"),
         (3L, "zebra farm")).toDF("doc_id", "title")
