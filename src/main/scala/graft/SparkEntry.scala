@@ -2428,6 +2428,16 @@ object SparkEntry {
     // the per-key counts, exact vs-mean ratios
     "q251_key_skew" -> ((s, dir) =>
       ext.DataQuality.keySkewReport(Tables.events(s, dir), "user_id")),
+    // contingency-table independence: is the event mix a function of
+    // the hour — χ² in the exact-numerator form Σ o²·n/(r·c) − n,
+    // Cramér's V normalized; one cell census, no second corpus scan
+    "q255_type_hour_chi2" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, hour}
+      ext.DataQuality.chiSquareIndependence(
+        Tables.events(s, dir).select(col("event_type"),
+          hour(col("ts")).cast("long").as("hr")),
+        "event_type", "hr")
+    }),
     // golden records over the fuzzy entity clusters: CC survivorship +
     // majority-vote attribute resolution — the MDM consolidation the
     // reference's A1 family implies; rows-only (iterative CC, the q34
@@ -4039,6 +4049,34 @@ object SparkEntry {
         |  nk AS n_keys,
         |  ROUND((n * nk) / CAST(tot AS DOUBLE), 6) AS ratio_to_mean
         |FROM r CROSS JOIN s WHERE rank <= 10""".stripMargin,
+    // χ² mirrored in the exact-numerator form: o²·n lifted to HUGEINT
+    // ↔ decimal(38,0) before the one division per cell; the cross-cell
+    // sum tolerates fp association under the 6dp round (the q92 bound)
+    "q255_type_hour_chi2" ->
+      """WITH c AS (SELECT event_type AS a, hour(ts) AS b,
+        |             CAST(COUNT(*) AS BIGINT) AS o
+        |           FROM events GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM c GROUP BY 1),
+        |ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM c GROUP BY 1),
+        |s AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |        CAST(COUNT(DISTINCT a) AS BIGINT) AS nr,
+        |        CAST(COUNT(DISTINCT b) AS BIGINT) AS nc FROM c),
+        |j AS (SELECT c.o, rt.ra, ct.cb, s.n, s.nr, s.nc
+        |      FROM c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN s),
+        |agg AS (SELECT MAX(n) AS n, MAX(nr) AS nr, MAX(nc) AS nc,
+        |          SUM(CAST(CAST(o AS HUGEINT) * o * n AS DOUBLE)
+        |            / CAST(ra * cb AS DOUBLE)) AS st
+        |        FROM j)
+        |SELECT n, nr AS n_rows, nc AS n_cols,
+        |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+        |  CASE WHEN nr > 1 AND nc > 1
+        |    THEN ROUND(st - CAST(n AS DOUBLE), 6) END AS chi2,
+        |  CASE WHEN nr > 1 AND nc > 1 THEN
+        |    ROUND(sqrt(GREATEST(st - CAST(n AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE)
+        |        * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE))), 6)
+        |    END AS cramers_v
+        |FROM agg""".stripMargin,
     // pooled-se z mirrored term-for-term (the q140/q216 discipline);
     // degenerate cells NULL on both engines
     "q249_gate_pass_ztest" ->

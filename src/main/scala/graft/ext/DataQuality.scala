@@ -664,6 +664,60 @@ object DataQuality {
           .otherwise(lit(0.0)).as("violation_share"))
   }
 
+  /** χ² test of INDEPENDENCE between two categorical columns — "is
+    * event mix actually independent of hour", the contingency-table
+    * companion to the per-group tests ([[proportionZTest]] compares
+    * one success rate; this asks whether two whole categoricals
+    * associate at all). χ² is computed in the sum-friendly form
+    * Σ o²·n/(r·c) − n: each cell's numerator o²·n is an EXACT integer
+    * (lifted to decimal(38,0) before multiplying — the q219 overflow
+    * rule; its conversion to double is the same nearest-even rounding
+    * on both engines), each term is one division by the exact long
+    * product r·c, and the cross-cell sum carries only fp-association
+    * noise (~1e-14 relative, the q92 argument) under the 6dp round.
+    * Cramér's V = √(χ²/(n·min(r−1, c−1))) normalizes to [0, 1].
+    * Degenerate tables (a single row or column category) report NULL
+    * χ² — independence is undefined, never Infinity (the q176 rule).
+    *
+    * Output: one row — (n, n_rows, n_cols, dof, chi2 6dp,
+    * cramers_v 6dp).
+    *
+    * Scale notes (100 TB): one map-side-combined (a, b) cell count;
+    * marginals re-aggregate the cell relation (category-bounded),
+    * never the corpus. */
+  def chiSquareIndependence(df: DataFrame, colA: String,
+                            colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("_a"), col(colB).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+      .localCheckpoint() // marginals + terms read it
+    val rowTot = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+    val colTot = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+    val summary = cells.agg(sum(col("_o")).as("_n"),
+      countDistinct(col("_a")).as("_nr"),
+      countDistinct(col("_b")).as("_nc"))
+    val term = (col("_o").cast("decimal(38,0)") * col("_o") * col("_n"))
+      .cast("double") / (col("_ra") * col("_cb")).cast("double")
+    val chi2 = sum(term) - first(col("_n")).cast("double")
+    cells
+      .join(broadcast(rowTot), Seq("_a"))
+      .join(broadcast(colTot), Seq("_b"))
+      .crossJoin(broadcast(summary))
+      .agg(first(col("_n")).as("n"),
+        first(col("_nr")).as("n_rows"),
+        first(col("_nc")).as("n_cols"),
+        ((first(col("_nr")) - 1L) * (first(col("_nc")) - 1L)).as("dof"),
+        when(first(col("_nr")) > 1L && first(col("_nc")) > 1L,
+          round(chi2, 6)).as("chi2"),
+        when(first(col("_nr")) > 1L && first(col("_nc")) > 1L,
+          // fp association can land an independent table an ulp below
+          // zero — clamp before the sqrt (NaN would poison the hash)
+          round(sqrt(greatest(
+            sum(term) - first(col("_n")).cast("double"), lit(0.0)) /
+            (first(col("_n")).cast("double") *
+              least(first(col("_nr")) - 1L, first(col("_nc")) - 1L)
+                .cast("double"))), 6)).as("cramers_v"))
+  }
+
   /** JOIN-KEY SKEW diagnostics: the top-`k` heaviest values of a
     * prospective join/partition key, each with its row share and its
     * exact ratio to the mean key population — the report that answers

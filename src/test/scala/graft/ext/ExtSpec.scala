@@ -3539,6 +3539,27 @@ class ExtSpec extends SparkSpec {
       Sampling.writeReservoir(all, "id", "grp", 0, s"$dir/bad"))
   }
 
+  test("chiSquareIndependence: perfect association V=1, independence 0, degenerate NULL") {
+    // perfect association: χ² = n, V = 1
+    val perfect = (Seq.fill(5)(("A", "x")) ++ Seq.fill(5)(("B", "y")))
+      .toDF("g", "h")
+    val r = DataQuality.chiSquareIndependence(perfect, "g", "h").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5)) == ((10L, 2L, 2L, 1L, 10.0, 1.0)),
+      s"got $r")
+    // exact independence: χ² = 0, V = 0
+    val indep = (for { g <- Seq("A", "B"); h <- Seq("x", "y");
+        _ <- 1 to 5 } yield (g, h))
+      .toDF("g", "h")
+    val ri = DataQuality.chiSquareIndependence(indep, "g", "h").head()
+    assert(ri.getDouble(4) == 0.0 && ri.getDouble(5) == 0.0, s"got $ri")
+    // a single row category: undefined, NULL — never Infinity
+    val rd = DataQuality.chiSquareIndependence(
+      Seq(("A", "x"), ("A", "y")).toDF("g", "h"), "g", "h").head()
+    assert(rd.isNullAt(4) && rd.isNullAt(5) && rd.getLong(3) == 0L,
+      s"got $rd")
+  }
+
   test("keySkewReport: hand-checked ranks, shares, exact vs-mean ratios") {
     // key populations: a=4, b=2, c=1, d=1 → 8 rows, 4 keys, mean 2
     val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
