@@ -1230,6 +1230,32 @@ object EventStream {
         }
       }
 
+  /** Streaming join-key skew monitor — the pure-function monitor
+    * class ([[benfordMonitorStream]]'s contract) pointed at a
+    * prospective join/partition key: each micro-batch lands its
+    * [[graft.ext.DataQuality.keySkewReport]] under
+    * `metricsPath/batch_id=N` (batch-keyed overwrite = exactly-once,
+    * no tags — the report is a pure deterministic function of the
+    * batch). A rising top-key ratio_to_mean across batches is the
+    * early warning that a downstream shuffle is about to meet a hot
+    * key; the report's own counts double as the batch's gate (no
+    * separate count pass — `keySkewReport` checkpoints its key counts
+    * internally). */
+  def keySkewMonitorStream(rows: DataFrame, metricsPath: String,
+                           checkpoint: String, keyCol: String,
+                           k: Int = 10): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.DataQuality.keySkewReport(batch, keyCol, k)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$metricsPath/batch_id=$batchId")
+        }
+      }
+
   def expectationsStream(rows: DataFrame,
                          rules: Seq[(String, org.apache.spark.sql.Column)],
                          metricsPath: String,

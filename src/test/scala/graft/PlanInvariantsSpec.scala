@@ -175,6 +175,22 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q251 key skew and q56 tfidf top-k run as bounded aggregates: no window, no sort") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q251_key_skew", "q56_tfidf_keywords")) {
+        val p = SparkEntry.queries(q)(spark, sf("sf0.001"))
+          .queryExecution.executedPlan
+        assert(p.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec => w
+          }.isEmpty, s"$q top-k fell back to a window:\n$p")
+        assert(p.collect {
+            case s: org.apache.spark.sql.execution.SortExec => s
+          }.isEmpty, s"$q bounded aggregate needs no sort:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q238 group sample runs as a bounded aggregate: no window, no sort") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

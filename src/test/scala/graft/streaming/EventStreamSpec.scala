@@ -1505,6 +1505,41 @@ class EventStreamSpec extends SparkSpec {
       s"got ${split(1)}")
   }
 
+  test("key-skew monitor stream prices each batch's hot keys, replays exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_skew").toString
+    val mem = MemoryStream[Ev]
+    def drain(): Unit = {
+      val q = EventStream.keySkewMonitorStream(mem.toDF(),
+        s"$dir/metrics", s"$dir/ckpt", "user_id", k = 2).start()
+      q.awaitTermination()
+    }
+    def top(batch: Int) = spark.read.parquet(s"$dir/metrics")
+      .filter(col("batch_id") === batch && col("rank") === 1L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(5))).toSeq
+    // batch 0: user 7 owns 3 of 4 rows (2 keys → mean 2, ratio 1.5)
+    mem.addData(
+      Ev(1L, ts("2024-01-05 09:00:00"), 7L, "click", 1.0, "{}"),
+      Ev(2L, ts("2024-01-05 09:01:00"), 7L, "click", 1.0, "{}"),
+      Ev(3L, ts("2024-01-05 09:02:00"), 7L, "click", 1.0, "{}"),
+      Ev(4L, ts("2024-01-05 09:03:00"), 8L, "view", 1.0, "{}"))
+    drain()
+    // crash-window replay: the batch-keyed overwrite lands it once
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    assert(top(0) == Seq((7L, 3L, 1.5)), s"got ${top(0)}")
+    // batch 1: balanced — the hot signal is batch-locatable
+    mem.addData(
+      Ev(5L, ts("2024-01-06 09:00:00"), 1L, "click", 1.0, "{}"),
+      Ev(6L, ts("2024-01-06 09:01:00"), 2L, "view", 1.0, "{}"))
+    drain()
+    assert(top(1) == Seq((1L, 1L, 1.0)), s"got ${top(1)}")
+  }
+
   test("basket absorb stream scores novelty pre-append, exactly once under replay") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files
