@@ -249,6 +249,15 @@ class DedupSpec extends SparkSpec {
     assert(against.collect().map(r =>
       (math.min(r.getLong(0), r.getLong(1)),
         math.max(r.getLong(0), r.getLong(1)))).toSet == cross)
+    // the ingest cycle takes the knob: a batch doc one FIRST-CHAR
+    // deletion from an indexed key drops (the prefix route would have
+    // admitted it); novel keys survive and grow the index
+    val ing = Dedup.ingestFuzzyKeyBatch(spark,
+      Seq((200L, "itten"), (201L, "brand new")).toDF("doc_id", "title"),
+      s"$dir/idx", "title", maxDist = 1, blockMode = "deletion",
+      batchId = Some(9L))
+    assert(ing.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(201L), "the first-char-edited key must drop at ingest")
     // knob contract: deletion mode is the maxDist-1 guarantee only,
     // blockChars stays a prefix-mode knob, unknown modes refuse
     intercept[IllegalArgumentException] {
