@@ -2428,6 +2428,12 @@ object SparkEntry {
     // the per-key counts, exact vs-mean ratios
     "q251_key_skew" -> ((s, dir) =>
       ext.DataQuality.keySkewReport(Tables.events(s, dir), "user_id")),
+    // cohort LTV: the retention matrix with the money attached —
+    // per-cohort cumulative value over age weeks, LTV per acquired
+    // user; the running sum accumulates an identical ordered double
+    // sequence on both engines
+    "q256_cohort_ltv" -> ((s, dir) =>
+      ext.Events.cohortValueCurve(Tables.events(s, dir))),
     // contingency-table independence: is the event mix a function of
     // the hour — χ² in the exact-numerator form Σ o²·n/(r·c) − n,
     // Cramér's V normalized; one cell census, no second corpus scan
@@ -4049,6 +4055,34 @@ object SparkEntry {
         |  nk AS n_keys,
         |  ROUND((n * nk) / CAST(tot AS DOUBLE), 6) AS ratio_to_mean
         |FROM r CROSS JOIN s WHERE rank <= 10""".stripMargin,
+    // q89's week CTEs with value attached; the cumulative window sums
+    // the same 2dp-rounded doubles in the same ascending order
+    "q256_cohort_ltv" ->
+      """WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events
+        |           GROUP BY 1),
+        |cs AS (SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d')
+        |         AS cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |       FROM f GROUP BY 1),
+        |p AS (SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d')
+        |        AS cohort_week,
+        |        CAST(date_diff('day',
+        |               date_trunc('week', f.first_ts),
+        |               date_trunc('week', e.ts)) // 7 AS BIGINT)
+        |          AS week_offset,
+        |        CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+        |        ROUND(SUM(e.value), 2) AS value_sum
+        |      FROM events e JOIN f USING (user_id) GROUP BY 1, 2),
+        |c AS (SELECT p.*, cs.cohort_size,
+        |        ROUND(SUM(value_sum) OVER (PARTITION BY p.cohort_week
+        |          ORDER BY week_offset
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |          AS cum_value
+        |      FROM p JOIN cs USING (cohort_week))
+        |SELECT cohort_week, week_offset, cohort_size, n_active,
+        |  value_sum, cum_value,
+        |  ROUND(cum_value / CAST(cohort_size AS DOUBLE), 6)
+        |    AS ltv_per_user
+        |FROM c""".stripMargin,
     // χ² mirrored in the exact-numerator form: o²·n lifted to HUGEINT
     // ↔ decimal(38,0) before the one division per cell; the cross-cell
     // sum tolerates fp association under the 6dp round (the q92 bound)

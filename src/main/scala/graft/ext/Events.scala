@@ -176,6 +176,53 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort VALUE curve — [[cohortRetention]] with the money attached
+    * (the LTV report): per (cohort week, week offset), active users,
+    * the period's value, the cohort's CUMULATIVE value, and LTV per
+    * acquired user. The cumulative rides a cohort-partitioned ordered
+    * window over the 2dp-rounded period sums — both engines then
+    * accumulate the IDENTICAL double sequence in the identical
+    * ascending order, so the running sum is bit-equal and the report
+    * oracle-hashes (q256); LTV is one division of the cumulative by
+    * the cohort size, rounded 6dp. Week keys and offsets follow the
+    * pinned q89 conventions exactly.
+    *
+    * Output: (cohort_week, week_offset, cohort_size, n_active,
+    * value_sum 2dp, cum_value 2dp, ltv_per_user 6dp).
+    *
+    * Scale notes (100 TB): one user-keyed min aggregate + one
+    * user-keyed join; the window runs over the (cohort × offset)
+    * relation — cardinality-bounded by active cohort-weeks, never
+    * events; the cohort-size side broadcasts. */
+  def cohortValueCurve(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .localCheckpoint() // sizes AND the per-event join read it
+    val week = (c: org.apache.spark.sql.Column) =>
+      date_format(date_trunc("week", c), "yyyy-MM-dd")
+    val sizes = firsts
+      .groupBy(week(col("first_ts")).as("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val period = events.join(firsts, Seq("user_id"))
+      .select(week(col("first_ts")).as("cohort_week"),
+        (datediff(to_date(date_trunc("week", col("ts"))),
+            to_date(date_trunc("week", col("first_ts")))) / 7)
+          .cast("long").as("week_offset"),
+        col("user_id"), col("value"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        round(sum(col("value")), 2).as("value_sum"))
+    val w = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    period.join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("cum_value", round(sum(col("value_sum")).over(w), 2))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("n_active"), col("value_sum"), col("cum_value"),
+        round(col("cum_value") / col("cohort_size").cast("double"), 6)
+          .as("ltv_per_user"))
+  }
+
   /** Gap-based sessionization: a new session starts after `gapMinutes` of
     * inactivity. Window functions over (user_id, ts) — deterministic
     * tie-break on event_id. Returns per-user session/event counts. */

@@ -3539,6 +3539,23 @@ class ExtSpec extends SparkSpec {
       Sampling.writeReservoir(all, "id", "grp", 0, s"$dir/bad"))
   }
 
+  test("cohortValueCurve: hand-checked LTV accumulation over age weeks") {
+    val ev = Seq(
+        (1L, 1L, "2024-01-01 09:00:00", 10.0), // user 1, cohort W0
+        (2L, 1L, "2024-01-03 09:00:00", 20.0), // same week
+        (3L, 1L, "2024-01-09 09:00:00", 5.0),  // week offset 1
+        (4L, 2L, "2024-01-04 09:00:00", 2.0))  // user 2, cohort W0
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val out = Events.cohortValueCurve(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> ((2L, 2L, 32.0, 32.0, 16.0)),
+      ("2024-01-01", 1L) -> ((2L, 1L, 5.0, 37.0, 18.5))), s"got $out")
+  }
+
   test("chiSquareIndependence: perfect association V=1, independence 0, degenerate NULL") {
     // perfect association: χ² = n, V = 1
     val perfect = (Seq.fill(5)(("A", "x")) ++ Seq.fill(5)(("B", "y")))
