@@ -1328,12 +1328,11 @@ object SparkEntry {
     // raw text, ties → min id. The survivor-selection rule beside
     // q15's min-id: production dedup collapses onto the best copy
     "q69_dedup_canonical" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{array_join, col, md5, slice, split}
+      import org.apache.spark.sql.functions.col
       ext.Dedup.canonicalByScore(
           Tables.documents(s, dir).select(col("doc_id"), col("text"),
             col("n_chars")),
-          md5(array_join(slice(
-            split(ext.TextAnalysis.normTextExpr(col("text")), " "), 1, 10), " ")),
+          normalizedLeadKey,
           col("n_chars"))
         .select(col("doc_id"), col("n_chars"), col("n_copies"))
     }),
@@ -2337,14 +2336,19 @@ object SparkEntry {
     // this exact plan (the groupBy rides the join's bucketing too)
     "q244_bucketed_mart_join" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, round, sum}
-      val db = "graft_bkt_q244"
+      // db + managed location carry the sanitized fixture-dir suffix
+      // (the q250/q253 convention) so concurrent Verify/Bench runs at
+      // different SF dirs cannot delete each other's table mid-query
+      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val db = s"graft_bkt_q244_$sfx"
+      val loc = s"/tmp/graft_bucket_q244_$sfx"
       s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
       // the catalog is per-session: a PREVIOUS session's table files
       // survive its in-memory catalog, and CREATE TABLE refuses a
       // non-empty managed location — clear the directory itself
       graft.lineage.AtomicSwap.deleteRecursive(
-        java.nio.file.Paths.get("/tmp/graft_bucket_q244"))
-      s.sql(s"CREATE DATABASE $db LOCATION '/tmp/graft_bucket_q244'")
+        java.nio.file.Paths.get(loc))
+      s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
       Mart.writeBucketed(
         Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
         db, "orders_b", Seq("o_orderkey"), nBuckets = 8,
@@ -2482,7 +2486,75 @@ object SparkEntry {
           Tables.documents(s, dir).select(col("doc_id"), col("text")))
           .toDF())
     }),
+    // the hot-basket TOTAL forfeit, binding: a planted 50-item basket
+    // (id −1, the 50 smallest partkeys — items that also occur
+    // organically, so the forfeit visibly removes their marginal and
+    // pair contributions) against cap 40; organic baskets top out at
+    // 17 items (probed 11/13/17 at sf0.001/0.01/0.1 — the q155 rule),
+    // so the cap binds on exactly the plant at every SF. Oracle =
+    // q246's measure SQL over the size-filtered relation
+    "q257_basket_affinity_capped" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item"))
+      val planted = base.select(col("item")).distinct()
+        .orderBy(col("item")).limit(50)
+        .select(lit(-1L).as("basket"), col("item"))
+      ext.Events.coOccurrenceLift(base.unionByName(planted),
+        "basket", "item", maxBasketSize = Some(40L))
+    }),
+    // INCREMENTAL golden records: catalog = even docs frozen with
+    // writeGoldenCatalog, batch = odd docs probed against it — golden
+    // rows for exactly the touched entities (the q226 even/odd
+    // catalog/batch shape, never a self-probe). Rows-only (iterative
+    // CC, the q34/q254 class); stored≡live and touched-scope equality
+    // are spec-pinned
+    "q258_golden_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, substring}
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 24).as("title"),
+        col("lang"), col("source"))
+      val path = "/tmp/graft_golden_q258_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ext.Dedup.writeGoldenCatalog(docs.filter(col("doc_id") % 2 === 0),
+        path, "title", Seq("lang", "source"))
+      ext.Dedup.goldenRecordsAgainstCatalog(s,
+        docs.filter(col("doc_id") % 2 === 1), path)
+    }),
+    // PageRank convergence observability: per-iteration L1 residual of
+    // q248's exact recurrence — the report a 100× caller reads to pick
+    // the iteration count from data. Rows-only (fp in-rank sums, the
+    // q248 class); ExtSpec pins ~0 residual on a converged graph and
+    // monotone decay on the fixture
+    "q259_pagerank_residuals" -> ((s, dir) =>
+      ext.Events.coSessionPageRankResiduals(Tables.events(s, dir))),
+    // cross-source duplication matrix on the q69 normalized-lead key:
+    // which feeds re-post which — exact shared-key counts per source
+    // pair (probed: 20/22/227 organically shared leads at
+    // sf0.001/0.01/0.1, so the passing state is non-empty everywhere)
+    "q260_cross_source_dups" -> ((s, dir) =>
+      ext.Dedup.crossSourceDupMatrix(Tables.documents(s, dir),
+        normalizedLeadKey)),
+    // Kaplan–Meier churn survival at an injected asOf past the fixture
+    // span (every user churns there — the fixture has no organic
+    // censored/churned mix at any cutoff, probed; the censoring path
+    // is spec-pinned on crafted users instead). The curve is stored in
+    // LOG form — ln is the cross-engine-pinned libm call, exp is not
+    "q261_churn_survival" -> ((s, dir) =>
+      ext.Events.churnSurvivalCurve(Tables.events(s, dir),
+        "2024-02-15", gapDays = 7)),
   )
+
+  /** q69's duplicate-group key, factored for every consumer (q260's
+    * cross-source matrix keys on the same recipe): md5 of the
+    * normalized 10-token lead — crawl variants share their lead and
+    * diverge in tails. */
+  private def normalizedLeadKey: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array_join, md5, slice, split, col}
+    md5(array_join(slice(
+      split(ext.TextAnalysis.normTextExpr(col("text")), " "), 1, 10), " "))
+  }
 
   /** q179's planted non-NFC rows: a decomposed accent (composes,
     * shrinks), a decomposed ring + the U+2126 ohm singleton (changes
@@ -2924,14 +2996,23 @@ object SparkEntry {
       |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
       |FROM r WHERE rank <= 10""".stripMargin
 
-  /** q246's basket-affinity rule measures (q250 reuses it verbatim —
-    * the stored route's hash-equality claim): distinct basket-item
-    * relation, pair/marginal/total counts, lift as exact long
-    * products divided once. */
-  private val BasketAffinitySql =
-    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
-      |           FROM lineitem),
-      |n AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nb FROM b),
+  /** q69's duplicate-group key in DuckDB — md5 of the normalized
+    * 10-token lead (the q50 normalization, 1-based-inclusive clamped
+    * slice); shared by q69 and q260 so the recipe exists once. Plain
+    * string (no stripMargin) because the regexes carry backslashes the
+    * s-interpolator would mangle inside a triple-quoted literal. */
+  private val LeadKeySql =
+    "md5(array_to_string((string_split(trim(regexp_replace(" +
+      "lower(regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g')), " +
+      "'\\s+', ' ', 'g')), ' '))[1:10], ' '))"
+
+  /** The basket-affinity measure SQL every basket oracle shares
+    * (expects a CTE `b(bk, it)` — factored so the live (q246), stored
+    * (q250) and capped (q257) oracles restate ONE definition):
+    * pair/marginal/total counts, lift as exact long products divided
+    * once. */
+  private val BasketMeasuresSql =
+    """n AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nb FROM b),
       |s AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n_it
       |      FROM b GROUP BY 1),
       |p AS (SELECT a.it AS item_a, c.it AS item_b,
@@ -2946,6 +3027,29 @@ object SparkEntry {
       |FROM p JOIN s sa ON p.item_a = sa.it
       |       JOIN s sb ON p.item_b = sb.it
       |       CROSS JOIN n""".stripMargin
+
+  /** q246's basket-affinity rule measures (q250 reuses it verbatim —
+    * the stored route's hash-equality claim). */
+  private val BasketAffinitySql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      |           FROM lineitem),
+      |""".stripMargin + BasketMeasuresSql
+
+  /** q257's capped variant: the planted 50-item basket (id −1, the 50
+    * smallest partkeys) joins the relation, then baskets over 40
+    * DISTINCT items are forfeited ENTIRELY before the shared measure
+    * SQL — the q48 no-survivor rule restated. */
+  private val BasketAffinityCappedSql =
+    """WITH raw AS (
+      |  SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem
+      |  UNION ALL
+      |  SELECT -1 AS bk, it FROM (
+      |    SELECT DISTINCT l_partkey AS it FROM lineitem
+      |    ORDER BY it LIMIT 50)),
+      |b0 AS (SELECT DISTINCT bk, it FROM raw),
+      |keep AS (SELECT bk FROM b0 GROUP BY bk HAVING COUNT(*) <= 40),
+      |b AS (SELECT b0.bk, b0.it FROM b0 JOIN keep USING (bk)),
+      |""".stripMargin + BasketMeasuresSql
 
   /** q220's blocked-Levenshtein pairs (q231 nests it as the survivor
     * rule's pair source): (first char, length bucket) candidates,
@@ -4040,6 +4144,64 @@ object SparkEntry {
     // the stored-profile route must hash-match the live measures —
     // q246's SQL verbatim (the q77≡q70 stored-vs-live pattern)
     "q250_basket_affinity_stored" -> BasketAffinitySql,
+    // the shared measure SQL over the size-filtered relation — the
+    // hash match IS the claim that the cap forfeits exactly the
+    // planted hot basket and nothing else
+    "q257_basket_affinity_capped" -> BasketAffinityCappedSql,
+    // exact shared-key intersections per source pair over the q69 lead
+    // key (LeadKeySql — the factored recipe); shares are single exact
+    // divisions
+    "q260_cross_source_dups" ->
+      (s"""WITH k AS (SELECT source, $LeadKeySql AS ck FROM documents),
+         |d AS (SELECT DISTINCT source, ck FROM k WHERE ck IS NOT NULL),
+         |t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM d GROUP BY 1),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        CAST(COUNT(*) AS BIGINT) AS n_shared
+         |      FROM d a JOIN d b ON a.ck = b.ck AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+         |  ROUND(n_shared / CAST(ta.n AS DOUBLE), 6) AS share_of_a,
+         |  ROUND(n_shared / CAST(tb.n AS DOUBLE), 6) AS share_of_b
+         |FROM p JOIN t ta ON p.source_a = ta.source
+         |       JOIN t tb ON p.source_b = tb.source""").stripMargin,
+    // Kaplan–Meier mirrored step for step: exact counts, the at-risk
+    // at-or-ahead join, one division per churn day, ln of the exact
+    // ratio (q81 parity), cumulative over identical day order (the
+    // q256 window-order trick); the all-churn terminal day is NULL on
+    // both engines (ln 0 — the q176 rule). 2024-02-15 and gap 7 match
+    // the binding
+    "q261_churn_survival" ->
+      """WITH u AS (SELECT user_id,
+        |    MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS l,
+        |    epoch_us(TIMESTAMP '2024-02-15') AS as_of
+        |  FROM events GROUP BY 1),
+        |lf AS (SELECT CASE WHEN as_of - l > 7 * 86400000000 THEN 1 ELSE 0
+        |         END AS churned,
+        |         CASE WHEN as_of - l > 7 * 86400000000
+        |           THEN (l - f) // 86400000000
+        |           ELSE (as_of - f) // 86400000000 END AS life
+        |       FROM u),
+        |days AS (SELECT life AS d, CAST(COUNT(*) AS BIGINT) AS c_all,
+        |           CAST(SUM(churned) AS BIGINT) AS dd
+        |         FROM lf GROUP BY 1),
+        |cd AS (SELECT d AS day, dd AS n_churned FROM days WHERE dd > 0),
+        |ar AS (SELECT cd.day, cd.n_churned,
+        |         CAST(SUM(days.c_all) AS BIGINT) AS n_at_risk
+        |       FROM cd JOIN days ON days.d >= cd.day
+        |       GROUP BY 1, 2),
+        |ln_t AS (SELECT day, n_at_risk, n_churned,
+        |           CASE WHEN n_churned < n_at_risk THEN
+        |             ln(1.0 - n_churned / CAST(n_at_risk AS DOUBLE)) END
+        |             AS lnv
+        |         FROM ar)
+        |SELECT day, n_at_risk, n_churned,
+        |  ROUND(n_churned / CAST(n_at_risk AS DOUBLE), 6) AS hazard,
+        |  CASE WHEN n_churned < n_at_risk THEN
+        |    ROUND(SUM(lnv) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) END
+        |    AS km_log_survival
+        |FROM ln_t""".stripMargin,
     // top-k as the bounded aggregate ≡ the window restatement; the
     // vs-mean ratio is the q135 exact-long-numerator trick
     "q251_key_skew" ->
@@ -4099,7 +4261,7 @@ object SparkEntry {
         |      FROM c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN s),
         |agg AS (SELECT MAX(n) AS n, MAX(nr) AS nr, MAX(nc) AS nc,
         |          SUM(CAST(CAST(o AS HUGEINT) * o * n AS DOUBLE)
-        |            / CAST(ra * cb AS DOUBLE)) AS st
+        |            / CAST(CAST(ra AS HUGEINT) * cb AS DOUBLE)) AS st
         |        FROM j)
         |SELECT n, nr AS n_rows, nc AS n_cols,
         |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
@@ -5618,19 +5780,16 @@ object SparkEntry {
         |FROM f""".stripMargin,
     // group key = md5 of the normalized 10-token lead (the q50
     // normalization, then a 1-based-inclusive clamped slice on both
-    // engines); survivor = max n_chars, ties min doc_id — both window
-    // functions restated
+    // engines — LeadKeySql, shared with q260); survivor = max n_chars,
+    // ties min doc_id — both window functions restated
     "q69_dedup_canonical" ->
-      """WITH k AS (SELECT doc_id, n_chars,
-        |  md5(array_to_string((string_split(trim(regexp_replace(
-        |    lower(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g')),
-        |    '\s+', ' ', 'g')), ' '))[1:10], ' ')) AS ck
-        |  FROM documents),
-        |r AS (SELECT doc_id, n_chars,
-        |  row_number() OVER (PARTITION BY ck ORDER BY n_chars DESC, doc_id) AS rn,
-        |  COUNT(*) OVER (PARTITION BY ck) AS n_copies
-        |  FROM k)
-        |SELECT doc_id, n_chars, n_copies FROM r WHERE rn = 1""".stripMargin,
+      (s"""WITH k AS (SELECT doc_id, n_chars, $LeadKeySql AS ck
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY ck ORDER BY n_chars DESC, doc_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY ck) AS n_copies
+         |  FROM k)
+         |SELECT doc_id, n_chars, n_copies FROM r WHERE rn = 1""").stripMargin,
     // the contaminated flag is computed on the ROUNDED max on both
     // sides, so the threshold decision itself is part of the hash claim
     "q71_contamination_semantic" ->

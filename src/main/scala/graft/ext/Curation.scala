@@ -642,20 +642,45 @@ object Curation {
     * docs with no media row pass un-probed (the unknown-source rule).
     * Doc ids and indexed media ids must live in DISJOINT namespaces —
     * the probe's self-pair guard (`media_a =!= media_b`, the q171
-    * rule) would otherwise suppress a genuine cross pair. Identity —
-    * zero plan nodes — when no index is configured.
+    * rule) would otherwise suppress a genuine cross pair, and that
+    * miss is SILENT (the leaked doc just passes) — so the gate
+    * ENFORCES disjointness with an eager id-overlap count against
+    * [[Multimodal.perceptualIndexIds]] and fails loudly on collision
+    * (the r18 advice; one id-only semi-join per gate call, paid
+    * before any decode). Identity — zero plan nodes — when no index
+    * is configured.
+    *
+    * Read-only artifact + per-doc decode of the doc's OWN attached
+    * media ⇒ deterministic per micro-batch, so the stage rides
+    * [[graft.streaming.EventStream.curationStream]] with no tags when
+    * the streaming docs frame carries (format, payload) columns
+    * (`private[graft]` for that reason — the containment-gate
+    * convention).
     *
     * Scale notes (100 TB): the probe is the banded equi-join (never
     * all-pairs); decode cost is per-survivor-media, paid after every
     * cheaper screen has shrunk the frame — the containment-gate
     * ordering argument, one stage further out. */
-  private def perceptualGate(df: DataFrame, cfg: Config,
-                             media: Option[DataFrame]): DataFrame =
+  private[graft] def perceptualGate(df: DataFrame, cfg: Config,
+                                    media: Option[DataFrame]): DataFrame =
     cfg.perceptualIndexPath.fold(df) { p =>
       val survivorMedia = media.get // requireMedia ran at the entry point
         .select(col("doc_id").as("media_id"), col("format"), col("payload"))
         .join(df.select(col("doc_id").as("media_id")),
           Seq("media_id"), "left_semi")
+      // disjoint-namespace guard (id-only, no decode): a corpus doc_id
+      // that IS an indexed media_id would self-pair-suppress its own
+      // genuine leak verdict — fail loudly instead of leaking silently
+      val nShared = media.get.select(col("doc_id").as("media_id"))
+        .join(Multimodal.perceptualIndexIds(df.sparkSession, p),
+          Seq("media_id"), "left_semi")
+        .count()
+      require(nShared == 0L,
+        s"$nShared doc id(s) collide with media ids stored in the " +
+          s"perceptual index at $p — doc ids and indexed media ids " +
+          "must be disjoint namespaces (offset one side, e.g. " +
+          "eval ids + 9000000); a collision would silently suppress " +
+          "that doc's own leak pair")
       df.join(
         Multimodal.perceptualPairsAgainstIndex(df.sparkSession,
             survivorMedia, p, cfg.perceptualMaxHamming)

@@ -695,8 +695,12 @@ object DataQuality {
     val summary = cells.agg(sum(col("_o")).as("_n"),
       countDistinct(col("_a")).as("_nr"),
       countDistinct(col("_b")).as("_nc"))
+    // the denominator gets the SAME overflow lift as the numerator: at
+    // worst-case marginals ra·cb ~ n², which exceeds Long past ~3e9
+    // rows — decimal(38,0) ↔ the oracle's HUGEINT (the q219 rule)
     val term = (col("_o").cast("decimal(38,0)") * col("_o") * col("_n"))
-      .cast("double") / (col("_ra") * col("_cb")).cast("double")
+      .cast("double") /
+      (col("_ra").cast("decimal(38,0)") * col("_cb")).cast("double")
     val chi2 = sum(term) - first(col("_n")).cast("double")
     cells
       .join(broadcast(rowTot), Seq("_a"))

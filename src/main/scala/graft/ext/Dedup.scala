@@ -107,6 +107,55 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
 
+  /** CROSS-SOURCE duplication matrix — for every source pair, how many
+    * duplicate keys they SHARE: the syndication/mirror census behind
+    * source-level dedup policy ("feed B is 80 % re-posts of feed A —
+    * stop paying to crawl it") and behind reputation's dup rate, which
+    * counts copies but not WHERE they come from. `key` is the caller's
+    * duplicate key Column (md5 of the text for exact copies, the q69
+    * normalized-lead for crawl variants — the same recipes the dedup
+    * policies group on). Counts are exact distinct-key intersections;
+    * the share columns are each one exact division (6dp) of the pair's
+    * shared count by each side's own key count ⇒ oracle-hashed (q260).
+    *
+    * Output: (source_a, source_b, n_shared, n_a, n_b, share_of_a,
+    * share_of_b), source_a < source_b; pairs sharing nothing are
+    * absent. share_of_b ≈ 1 with share_of_a small reads "B is a
+    * subset-mirror of A".
+    *
+    * Reference: the per-source rollup family
+    * (load_sales_mart.py:26-35) crossed with the dedup keys.
+    *
+    * Scale notes (100 TB): the distinct (source, key) relation is the
+    * only corpus-sized pass (bodies never shuffle — the key is a
+    * 16-byte digest computed in the scan projection); the pair join is
+    * keyed on the digest with per-key fan-out C(s, 2) bounded by the
+    * source ENUM (a boilerplate key shared by every source costs
+    * |sources|², never corpus²); totals broadcast. */
+  def crossSourceDupMatrix(docs: DataFrame, key: Column,
+                           sourceCol: String = "source"): DataFrame = {
+    val d = docs.select(col(sourceCol).as("_src"), key.as("_k"))
+      .filter(col("_k").isNotNull)
+      .distinct()
+      .localCheckpoint() // per-source totals + both join sides read it
+    val totals = d.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
+    d.select(col("_k"), col("_src").as("source_a"))
+      .join(d.select(col("_k"), col("_src").as("source_b")), Seq("_k"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("_src").as("source_a"),
+        col("_n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("_src").as("source_b"),
+        col("_n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          col("n_a").cast("double"), 6).as("share_of_a"),
+        round(col("n_shared").cast("double") /
+          col("n_b").cast("double"), 6).as("share_of_b"))
+  }
+
   /** Cluster-size-weighted soft dedup ("downweight, don't delete"):
     * keep each document with probability ≈ 1/n where n is its
     * duplicate-cluster size under `key`, decided by the
@@ -2951,8 +3000,10 @@ object Dedup {
   // --------------------------------------------------------------------
 
   /** Every key of a sidecar, for artifact-kind dispatch ([[readParam]]
-    * is the single-owned-value reader). */
-  private def sidecarParams(path: String): Map[String, String] = {
+    * is the single-owned-value reader; `private[ext]` so siblings can
+    * read OPTIONAL owned keys — a readParam on an absent optional key
+    * would fail loudly where absence means "knob off"). */
+  private[ext] def sidecarParams(path: String): Map[String, String] = {
     val f = java.nio.file.Paths.get(path)
     require(java.nio.file.Files.exists(f),
       s"no params sidecar at $path — not a managed artifact")
@@ -3023,6 +3074,13 @@ object Dedup {
       "winnow" -> Seq(("fps", "doc_id"), ("sizes", "doc_id")),
       "perceptual" -> Seq(("hashes", "media_id")),
       "fuzzykey" -> Seq(("keys", "doc_id")),
+      // golden catalog: member rows are per-doc facts; pairs touching
+      // the forgotten doc go from BOTH endpoint columns (two passes
+      // over the same relation — the loop re-reads after each swap).
+      // Row-level by the deletion test, with the documented cap
+      // caveat: pairs a past hot block forfeited don't resurrect
+      "golden-catalog" -> Seq(("records", "doc_id"),
+        ("pairs", "doc_a"), ("pairs", "doc_b")),
       // first-seen registry rows are per-USER facts — row-level by
       // the deletion test (every other user's first day survives)
       "first-seen" -> Seq(("firsts", "user_id")))
@@ -3364,6 +3422,19 @@ object Dedup {
     val withLabel = df.join(labels, Seq(idCol), "left")
       .withColumn("entity_id", coalesce(col("component_id"), col(idCol)))
       .localCheckpoint() // anchor + one count per attribute read it
+    consolidate(withLabel, keyCol, attrCols, idCol)
+  }
+
+  /** The survivorship + attribute-resolution tail every golden-record
+    * route shares (live, stored, incremental — factored so the vote
+    * semantics cannot drift): expects an already-labeled,
+    * already-checkpointed member frame carrying `entity_id`; anchors
+    * each entity on its minimum-id member's key and majority-votes
+    * every attribute (ties by value ascending via min over
+    * struct(−count, value)). */
+  private def consolidate(withLabel: DataFrame, keyCol: String,
+                          attrCols: Seq[String],
+                          idCol: String): DataFrame = {
     val anchors = withLabel.groupBy(col("entity_id"))
       .agg(min(col(idCol)).as("_anchor"), count(lit(1)).as("n_members"))
       .join(withLabel.select(col(idCol).as("_anchor"),
@@ -3524,6 +3595,22 @@ object Dedup {
     val stored = excludeTagged(spark.read.parquet(s"$indexPath/keys"),
         indexPath, "keys", excludeBatchId)
       .select("doc_id", "key").distinct()
+    fuzzyCrossPairs(stored, newDocs, keyCol, idCol, maxDist, blockChars,
+      maxBlockSize, blockMode)
+  }
+
+  /** The cross-relation fuzzy-key candidate core both stored routes
+    * share (the fuzzy-key index probe and the golden catalog —
+    * factored so they cannot drift): stored (doc_id, key) on the
+    * id_a side, a new batch on the id_b side, `id_a =!= id_b`
+    * identity rule, hot-block census on the STORED side (the
+    * maxGramDf convention — the stored corpus is the side that grows)
+    * with the block forfeited from BOTH sides. */
+  private def fuzzyCrossPairs(stored: DataFrame, newDocs: DataFrame,
+                              keyCol: String, idCol: String,
+                              maxDist: Int, blockChars: Int,
+                              maxBlockSize: Option[Long],
+                              blockMode: String): DataFrame =
     blockMode match {
       case "prefix" =>
         val idx = fuzzyKeyBase(stored, "key", "doc_id", maxDist, blockChars)
@@ -3565,7 +3652,6 @@ object Dedup {
         throw new IllegalArgumentException(
           s"blockMode must be 'prefix' or 'deletion', got '$other'")
     }
-  }
 
   /** One continuous-ingest fuzzy-key cycle — [[ingestDedupBatch]]'s
     * contract on the string metric: drop batch docs whose key sits
@@ -3622,5 +3708,269 @@ object Dedup {
     Similarity.ensureCachedIndex(idx, "params.properties")(tmp =>
       writeFuzzyKeyIndex(docs, tmp, keyCol, idCol))
     idx.toString
+  }
+
+  // --------------------------------------------------------------------
+  // Golden-record CATALOG — [[goldenRecords]]' incremental ladder (the
+  // recurring-mart MDM shape: the reference re-runs its consolidation
+  // every 15 min, dags/sales_pipeline_dag.py:8 — a growing catalog
+  // must not re-pair history per run). Stored state is TWO relations:
+  //   records/ (doc_id, key, <attrCols…>, batch_id) — the member rows
+  //     every majority vote reads (attributes are per-doc facts), and
+  //   pairs/   (doc_a, doc_b, batch_id) — the accumulated near-dup
+  //     pair set (each append adds its batch-batch + batch-stored
+  //     pairs, so the closed pair structure grows without ever
+  //     re-pairing stored keys against each other).
+  // The match recipe (keyCol, attrCols, idCol, maxDist, blockChars,
+  // blockMode, maxBlockSize) is ARTIFACT-OWNED: the stored pairs
+  // depend on every one of them, so probes and appends read them back
+  // (the canonical-index idCol rule). Replay class: byte-dedup — both
+  // relations' rows are deterministic functions of their batch, and
+  // readers distinct-collapse replayed duplicates before counting
+  // members or votes. CAP CAVEAT (the Reputation dup-lower-bound
+  // class): under a `maxBlockSize` cap, pairs a past hot block
+  // forfeited do not resurrect when later deletes shrink the block —
+  // entities may stay split that a fresh rebuild would merge; rebuild
+  // at mart cadence if block populations churn.
+  // --------------------------------------------------------------------
+
+  private def goldenCatalogParams(keyCol: String, attrCols: Seq[String],
+                                  idCol: String, maxDist: Int,
+                                  blockChars: Int, blockMode: String,
+                                  maxBlockSize: Option[Long])
+      : Map[String, String] =
+    Map("kind" -> "golden-catalog", "keyCol" -> keyCol,
+      "attrCols" -> attrCols.mkString(","), "idCol" -> idCol,
+      "maxDist" -> maxDist.toString, "blockChars" -> blockChars.toString,
+      "blockMode" -> blockMode) ++
+      maxBlockSize.map(c => "maxBlockSize" -> c.toString)
+
+  /** The artifact-owned identity, read back from the sidecar:
+    * (keyCol, attrCols, idCol, maxDist, blockChars, blockMode,
+    * maxBlockSize). */
+  private def goldenCatalogIdentity(path: String)
+      : (String, Seq[String], String, Int, Int, String, Option[Long]) = {
+    val side = s"$path/params.properties"
+    requireParams(side, Map("kind" -> "golden-catalog"), "golden-catalog")
+    val p = sidecarParams(side)
+    (p("keyCol"), p("attrCols").split(",").toSeq, p("idCol"),
+      p("maxDist").toInt, p("blockChars").toInt, p("blockMode"),
+      p.get("maxBlockSize").map(_.toLong))
+  }
+
+  /** Validate a corpus/batch frame against the catalog's recipe and
+    * normalize it to the stored layout (doc_id, key, attrs…) —
+    * null/empty keys are KEPT (they are unpaired singleton entities in
+    * the live op, and must stay so in every stored route). */
+  private def goldenMemberRows(df: DataFrame, keyCol: String,
+                               attrCols: Seq[String],
+                               idCol: String): DataFrame = {
+    require((attrCols :+ keyCol :+ idCol).forall(df.columns.contains),
+      s"frame needs ($idCol, $keyCol, ${attrCols.mkString(", ")}); " +
+        s"has ${df.columns.mkString(", ")}")
+    df.select((col(idCol).as("doc_id") +: col(keyCol).as("key") +:
+      attrCols.map(col)): _*)
+  }
+
+  /** Cast a normalized batch to the STORED records schema — a crafted
+    * batch whose attribute is all-NULL infers as untyped void, which
+    * parquet cannot append beside the stored typed column and the
+    * member union cannot reconcile; the stored schema is the
+    * contract, so the batch conforms to it (a genuinely incompatible
+    * type fails the cast loudly). */
+  private def alignToCatalog(spark: org.apache.spark.sql.SparkSession,
+                             path: String, rows: DataFrame): DataFrame = {
+    val stored = spark.read.parquet(s"$path/records").schema
+      .filterNot(_.name == "batch_id")
+    rows.select(stored.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Freeze an entity corpus as a golden-record catalog at `path`:
+    * member rows + the closed within-corpus pair set (batch_id NULL =
+    * base corpus), params sidecar LAST. Reserved layout names
+    * (doc_id/key/batch_id and the consolidation outputs) cannot be
+    * attribute columns — fail loudly, never silently overwrite. */
+  def writeGoldenCatalog(df: DataFrame, path: String, keyCol: String,
+                         attrCols: Seq[String], idCol: String = "doc_id",
+                         maxDist: Int = 2, blockChars: Int = 1,
+                         maxBlockSize: Option[Long] = None,
+                         blockMode: String = "prefix"): Unit = {
+    require(attrCols.nonEmpty, "need at least one attribute to resolve")
+    val reserved = Seq("doc_id", "key", "batch_id", "entity_id",
+      "component_id", "canonical_key", "n_members")
+    require(attrCols.forall(a => !reserved.contains(a)),
+      s"attribute names ${reserved.mkString(", ")} are reserved by the " +
+        "golden catalog layout — rename the input column(s)")
+    require(!attrCols.contains(keyCol) && !attrCols.contains(idCol),
+      "attrCols must not repeat the key or id column")
+    val rows = goldenMemberRows(df, keyCol, attrCols, idCol)
+    // an all-NULL crafted column infers as untyped void — parquet
+    // would store it unreadably next to later typed appends
+    rows.schema.fields.foreach(f =>
+      require(f.dataType != org.apache.spark.sql.types.NullType,
+        s"column ${f.name} has untyped NULL (void) type — cast it to " +
+          "its real type before writing the catalog"))
+    rows
+      .withColumn("batch_id", lit(null).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/records")
+    fuzzyKeyPairs(df, keyCol, idCol, maxDist, blockChars, maxBlockSize,
+        blockMode)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .withColumn("batch_id", lit(null).cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/pairs")
+    writeParams(s"$path/params.properties",
+      goldenCatalogParams(keyCol, attrCols, idCol, maxDist, blockChars,
+        blockMode, maxBlockSize))
+  }
+
+  /** The catalog's effective member/pair relations — tag-excluded and
+    * distinct-collapsed (replayed appends land byte-identical rows
+    * under different tags; a duplicated member row would double its
+    * vote and its n_members contribution). */
+  private def goldenEffective(spark: org.apache.spark.sql.SparkSession,
+                              path: String, attrCols: Seq[String],
+                              excludeBatchId: Option[Long])
+      : (DataFrame, DataFrame) = {
+    val records = excludeTagged(
+        spark.read.parquet(s"$path/records"), path, "records",
+        excludeBatchId)
+      .select(("doc_id" +: "key" +: attrCols).map(col): _*).distinct()
+    val pairs = excludeTagged(
+        spark.read.parquet(s"$path/pairs"), path, "pairs",
+        excludeBatchId)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    (records, pairs)
+  }
+
+  /** Golden records off the STORED catalog — must equal
+    * [[goldenRecords]] over the same corpus (spec-pinned: the pair
+    * set, the CC labels and the votes all reduce to the same
+    * relations). The recurring consolidation a mart runs instead of
+    * re-pairing history. Rows-only class like the live op. */
+  def goldenRecordsFromCatalog(spark: org.apache.spark.sql.SparkSession,
+                               path: String,
+                               excludeBatchId: Option[Long] = None)
+      : DataFrame = {
+    val (_, attrCols, _, _, _, _, _) = goldenCatalogIdentity(path)
+    val (records, pairs) = goldenEffective(spark, path, attrCols,
+      excludeBatchId)
+    val labels = duplicateComponents(pairs
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("component_id"))
+    val withLabel = records.join(labels, Seq("doc_id"), "left")
+      .withColumn("entity_id",
+        coalesce(col("component_id"), col("doc_id")))
+      .localCheckpoint() // anchor + one count per attribute read it
+    consolidate(withLabel, "key", attrCols, "doc_id")
+  }
+
+  /** INCREMENTAL golden records — consolidate a NEW batch against the
+    * accumulated catalog, returning golden rows for exactly the
+    * TOUCHED entities (every component containing a batch doc,
+    * including entities the batch bridges together, plus batch
+    * singletons): the recurring-mart MDM delta. The batch is paired
+    * within itself and against the stored keys (the
+    * [[fuzzyKeyPairsAgainstIndex]] core — blocked, capped, never
+    * corpus×corpus); stored docs never re-pair against each other —
+    * their structure is the stored pair relation. Untouched entities'
+    * golden rows are by construction unchanged from
+    * [[goldenRecordsFromCatalog]]'s last run; the union of that run
+    * over untouched entities with this delta equals a full live
+    * consolidation of corpus + batch (spec-pinned on a crafted
+    * even/odd catalog/batch split — the q226 shape).
+    *
+    * `excludeBatchId` drops the batch's own tags so the probe after a
+    * crash-replayed append reproduces its pre-append verdicts.
+    *
+    * Scale notes (100 TB): connected components run over the
+    * pair-bounded edge relation (stored pairs + the batch's new ones
+    * — the near-dup structure, never the corpus); member rows and
+    * attribute votes are then SCOPED to touched components by one
+    * semi-join, so the expensive consolidation tail prices with the
+    * delta, not the catalog. */
+  def goldenRecordsAgainstCatalog(spark: org.apache.spark.sql.SparkSession,
+                                  batch: DataFrame, path: String,
+                                  excludeBatchId: Option[Long] = None)
+      : DataFrame = {
+    val (keyCol, attrCols, idCol, maxDist, blockChars, blockMode,
+      maxBlockSize) = goldenCatalogIdentity(path)
+    val (records, storedPairs) = goldenEffective(spark, path, attrCols,
+      excludeBatchId)
+    val batchRows = alignToCatalog(spark, path,
+        goldenMemberRows(batch, keyCol, attrCols, idCol))
+      .localCheckpoint() // pair sources + member union read it
+    val batchPairs = fuzzyKeyPairs(batchRows, "key", "doc_id", maxDist,
+        blockChars, maxBlockSize, blockMode)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val crossPairs = fuzzyCrossPairs(
+        records.select(col("doc_id"), col("key")), batchRows, "key",
+        "doc_id", maxDist, blockChars, maxBlockSize, blockMode)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val allPairs = storedPairs.unionByName(batchPairs)
+      .unionByName(crossPairs).distinct()
+    val labels = duplicateComponents(allPairs)
+      .select(col("doc_id"), col("component_id"))
+    val members = records.unionByName(batchRows).distinct()
+    val withLabel = members.join(labels, Seq("doc_id"), "left")
+      .withColumn("entity_id",
+        coalesce(col("component_id"), col("doc_id")))
+      .localCheckpoint() // touched scoping + anchors + votes read it
+    val touched = withLabel
+      .join(batchRows.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("entity_id")).distinct()
+    consolidate(
+      withLabel.join(touched, Seq("entity_id"), "left_semi")
+        .localCheckpoint(),
+      "key", attrCols, "doc_id")
+  }
+
+  /** Append a batch to the catalog: its member rows plus its
+    * batch-batch and batch-stored pairs, all tagged with `batchId`
+    * (sidecar validated BEFORE any write — a rejected append mutates
+    * nothing; the match recipe comes from the artifact). Appends
+    * assume batch ids are NEW to the catalog (replays of the same
+    * tagged batch are safe — byte-identical rows collapse in the
+    * readers' distinct; deliberately re-appending a doc id with
+    * DIFFERENT attributes would double its vote). */
+  def appendGoldenCatalog(batch: DataFrame, path: String,
+                          batchId: Option[Long] = None): Unit = {
+    val (keyCol, attrCols, idCol, maxDist, blockChars, blockMode,
+      maxBlockSize) = goldenCatalogIdentity(path)
+    requireTaggedRelation(batch.sparkSession, path, "records")
+    requireTaggedRelation(batch.sparkSession, path, "pairs")
+    val (records, _) = goldenEffective(batch.sparkSession, path,
+      attrCols, batchId)
+    val batchRows = alignToCatalog(batch.sparkSession, path,
+        goldenMemberRows(batch, keyCol, attrCols, idCol))
+      .localCheckpoint() // pair sources + the landing read it
+    val tag = batchId.map(lit(_)).getOrElse(lit(null)).cast("long")
+    val newPairs = fuzzyKeyPairs(batchRows, "key", "doc_id", maxDist,
+        blockChars, maxBlockSize, blockMode)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .unionByName(fuzzyCrossPairs(
+          records.select(col("doc_id"), col("key")), batchRows, "key",
+          "doc_id", maxDist, blockChars, maxBlockSize, blockMode)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .distinct()
+      .localCheckpoint() // materialize BEFORE any relation mutates
+    batchRows.withColumn("batch_id", tag)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/records")
+    newPairs.withColumn("batch_id", tag)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/pairs")
+  }
+
+  /** Compact an appended catalog — earliest-tag/NULL-wins provenance
+    * on both relations (the shared rule); reader output unchanged
+    * because every reader distinct-collapses anyway. */
+  def compactGoldenCatalog(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit = {
+    requireParams(s"$path/params.properties",
+      Map("kind" -> "golden-catalog"), "golden-catalog")
+    compactTaggedRelations(spark, path, Seq("records", "pairs"))
   }
 }

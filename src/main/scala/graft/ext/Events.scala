@@ -421,17 +421,27 @@ object Events {
     *
     * Scale notes (100 TB): the pair join is keyed on the basket id —
     * per-basket fan-out is C(k, 2) with k = items per basket (bounded
-    * small in order-shaped data; a degenerate hot basket should be
-    * capped upstream, the q48 discipline); marginals broadcast
+    * small in order-shaped data), so a degenerate hot basket (a crawl
+    * session, a bot cart, a default key) is the one skew shape the
+    * join key cannot split: `maxBasketSize` FORFEITS such baskets
+    * ENTIRELY — no pairs, no marginals, not even the basket-total row
+    * (the q48 no-survivor rule; partial semantics would make the
+    * measures inconsistent with each other). The cap is enforced in
+    * the live op AND inside [[basketCounts]] under the same rule, so
+    * live/stored/stream routes stay hash-equal (q257 oracle-hashes a
+    * binding cap on a planted hot basket). Marginals broadcast
     * (item-enum-sized). `minPairCount` keeps the output to the
     * actually-associated pairs. */
   def coOccurrenceLift(df: DataFrame, basketCol: String, itemCol: String,
-                       minPairCount: Long = 2L): DataFrame = {
+                       minPairCount: Long = 2L,
+                       maxBasketSize: Option[Long] = None): DataFrame = {
     require(minPairCount >= 1L,
       s"minPairCount must be >= 1: $minPairCount")
-    val b = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
-      .distinct()
-      .localCheckpoint() // three consumers: total, marginals, pair join
+    val b = capBaskets(
+      df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+        .distinct()
+        .localCheckpoint(), // three consumers: total, marginals, pair join
+      maxBasketSize)
     val total = b.select(col("_bk")).distinct()
       .agg(count(lit(1)).as("_nb"))
     val marginals = b.groupBy(col("_it")).agg(count(lit(1)).as("_n"))
@@ -442,6 +452,29 @@ object Events {
       .agg(count(lit(1)).as("n_ab"))
     affinityMeasures(pairs, marginals, total, minPairCount)
   }
+
+  /** The hot-basket TOTAL forfeit both affinity routes share: drop
+    * every row of a basket whose DISTINCT item count exceeds the cap
+    * (q48's no-survivor rule — a capped basket contributes no pairs,
+    * no marginals, and no basket-total row, so support/confidence/
+    * lift stay internally consistent over the surviving population).
+    * Expects the already-distinct, already-checkpointed (_bk, _it)
+    * relation; the capped result is re-checkpointed because the
+    * downstream shapes read it three times. The hot set is count-gated
+    * for broadcast (the capHotBlocks convention). */
+  private def capBaskets(b: DataFrame,
+                         maxBasketSize: Option[Long]): DataFrame =
+    maxBasketSize match {
+      case None => b
+      case Some(cap) =>
+        require(cap >= 1L, s"maxBasketSize must be >= 1, got $cap")
+        val hot = b.groupBy(col("_bk")).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > cap).select("_bk")
+          .localCheckpoint()
+        val hinted =
+          if (hot.count() <= MaxBroadcastRows) broadcast(hot) else hot
+        b.join(hinted, Seq("_bk"), "left_anti").localCheckpoint()
+    }
 
   /** The rule-measure projection both affinity routes share: pairs
     * (item_a, item_b, n_ab) × broadcast marginals (_it, _n) × the
@@ -478,19 +511,42 @@ object Events {
   // APPEND CAVEAT (the ngram-df discipline): appends assume
   // BASKET-DISJOINT batches — a basket split across appends loses its
   // cross-append pairs and a re-appended basket double-counts; rebuild
-  // at mart cadence if baskets mutate. minPairCount is an apply-time
-  // knob (the dsirAlpha rule). Replay class: byte-dedup (CountProfile).
+  // at mart cadence if baskets mutate. Opting into `basketSketchLgK`
+  // makes the violation DETECTABLE (the Reputation.dupSketchLgK
+  // precedent): a nested HLL of basket ids under `path/baskets` lets
+  // every append estimate its overlap with the stored basket set and
+  // REFUSE past the sketch noise floor — see [[appendBasketProfile]].
+  // minPairCount is an apply-time knob (the dsirAlpha rule);
+  // maxBasketSize and the sketch lgK are ARTIFACT-OWNED (they change
+  // the stored counts / the stored sketch space — the canonical-index
+  // idCol rule: appends and probes read them back). Replay class:
+  // byte-dedup (CountProfile); the nested sketch is the algebraic
+  // class (HLL union = register max).
   // --------------------------------------------------------------------
 
   private val BasketProfileParams = Map("kind" -> "basket-affinity")
 
-  /** The long-form (k, a, b, c) count rows of one basket relation. */
+  /** The basket-id projection the nested dup sketch tracks — ONE
+    * global group (the sketch answers "have we stored this basket id
+    * anywhere", not a per-group question), ids as strings so any
+    * basket-key type rides the same sketch space. */
+  private def basketIdRows(df: DataFrame, basketCol: String): DataFrame =
+    df.select(lit("all").as("_g"),
+      col(basketCol).cast("string").as("_bk")).distinct()
+
+  /** The long-form (k, a, b, c) count rows of one basket relation,
+    * under the artifact's hot-basket cap ([[capBaskets]] — the same
+    * total-forfeit rule as the live op, which is what keeps q250
+    * hash-equal to q246 under any cap). */
   private def basketCounts(df: DataFrame, basketCol: String,
-                           itemCol: String): DataFrame = {
-    val b = df.select(col(basketCol).as("_bk"),
-        col(itemCol).cast("long").as("_it"))
-      .distinct()
-      .localCheckpoint() // three shapes read it
+                           itemCol: String,
+                           maxBasketSize: Option[Long]): DataFrame = {
+    val b = capBaskets(
+      df.select(col(basketCol).as("_bk"),
+          col(itemCol).cast("long").as("_it"))
+        .distinct()
+        .localCheckpoint(), // three shapes read it
+      maxBasketSize)
     val bad = b.filter(col("_it").isNull || col("_it") < 0L).count()
     require(bad == 0L,
       s"item ids must be non-negative longs ($bad rows are not) — " +
@@ -511,20 +567,97 @@ object Events {
     pairRows.unionByName(itemRows).unionByName(basketRow)
   }
 
-  /** Freeze a basket corpus's affinity state at `path`. */
+  /** Freeze a basket corpus's affinity state at `path`.
+    * `maxBasketSize` (optional) bakes the hot-basket total forfeit
+    * into the stored counts and is recorded in the sidecar — appends
+    * read it back, so the cap can never disagree across the
+    * artifact's life. `basketSketchLgK` (optional) nests an HLL of
+    * basket ids under `path/baskets` (written FIRST — the outer
+    * sidecar stays the completeness marker), enabling the
+    * basket-disjointness guard on every later append. */
   def writeBasketProfile(df: DataFrame, basketCol: String,
-                         itemCol: String, path: String): Unit =
-    CountProfile.write(basketCounts(df, basketCol, itemCol), path,
-      BasketProfileParams)
+                         itemCol: String, path: String,
+                         maxBasketSize: Option[Long] = None,
+                         basketSketchLgK: Option[Int] = None): Unit = {
+    basketSketchLgK.foreach { lgK =>
+      Cardinality.writeCardinalityProfile(basketIdRows(df, basketCol),
+        s"$path/baskets", "_g", "_bk", lgK)
+    }
+    CountProfile.write(
+      basketCounts(df, basketCol, itemCol, maxBasketSize), path,
+      BasketProfileParams ++
+        maxBasketSize.map(c => "maxBasketSize" -> c.toString) ++
+        basketSketchLgK.map(k => "lgK" -> k.toString))
+  }
+
+  /** The artifact-owned hot-basket cap, read back from the sidecar
+    * (absent key = knob off). */
+  def basketProfileMaxBasketSize(path: String): Option[Long] =
+    Dedup.sidecarParams(s"$path/params.properties")
+      .get("maxBasketSize").map(_.toLong)
+
+  /** Whether the artifact carries the nested basket-id dup sketch,
+    * and at which lgK (sidecar-owned). */
+  def basketSketchLgK(path: String): Option[Int] =
+    Dedup.sidecarParams(s"$path/params.properties")
+      .get("lgK").map(_.toInt)
 
   /** Append a BASKET-DISJOINT batch (sidecar validated first; see the
-    * family caveat above). `batchId` tags rows for replay exclusion. */
+    * family caveat above). `batchId` tags rows for replay exclusion.
+    *
+    * Sketch-enabled artifacts ([[writeBasketProfile]] with
+    * `basketSketchLgK`) ENFORCE the disjointness contract here: the
+    * batch's basket ids are overlap-estimated against the stored
+    * sketch (own tag excluded, so a crash-replayed append scores
+    * against exactly the state its first attempt saw and does not
+    * self-refuse), and the append REFUSES — mutating nothing — when
+    * the estimate clears `maxOverlapShare` of the batch plus the
+    * sketch noise allowance (3·RSE·union, RSE = 1.04/√2^lgK — the
+    * inclusion-exclusion error bound). DETECTION LIMIT (documented,
+    * the overlapEstimate caveat): a re-appended batch much smaller
+    * than ~5 % of the stored corpus hides inside sketch noise — the
+    * exact rebuild at mart cadence stays the anchor; the guard
+    * catches the loud failure (full re-appends, replayed feeds). */
   def appendBasketProfile(df: DataFrame, basketCol: String,
                           itemCol: String, path: String,
-                          batchId: Option[Long] = None): Unit = {
+                          batchId: Option[Long] = None,
+                          maxOverlapShare: Double = 0.0): Unit = {
     Dedup.requireParams(s"$path/params.properties", BasketProfileParams,
       "basket-affinity")
-    CountProfile.append(basketCounts(df, basketCol, itemCol), path,
+    require(maxOverlapShare >= 0.0 && maxOverlapShare < 1.0,
+      s"maxOverlapShare must be in [0, 1): $maxOverlapShare")
+    val cap = basketProfileMaxBasketSize(path)
+    basketSketchLgK(path).foreach { lgK =>
+      val nov = Cardinality.noveltyAgainstProfile(df.sparkSession,
+          basketIdRows(df, basketCol), s"$path/baskets",
+          excludeBatchId = batchId)
+        .select(col("batch_distinct"), col("union_distinct"),
+          (col("batch_distinct") -
+            (col("union_distinct") - col("corpus_distinct")))
+            .as("_overlap_est"))
+        .collect()
+      nov.headOption.foreach { r =>
+        val batchN = r.getLong(0)
+        val unionN = r.getLong(1)
+        val overlap = r.getLong(2)
+        val rse = 1.04 / math.sqrt((1L << lgK).toDouble)
+        val allowance = math.ceil(3.0 * rse * unionN).toLong
+        require(overlap <= maxOverlapShare * batchN + allowance,
+          s"append is not basket-disjoint: ~$overlap of $batchN batch " +
+            s"basket ids are already stored at $path (allowance " +
+            s"$allowance) — a re-appended basket double-counts pairs; " +
+            "rebuild the profile at mart cadence instead, or raise " +
+            "maxOverlapShare if boundary-split baskets are expected")
+      }
+    }
+    // guard first, sketch second, tagged counts LAST (the absorb
+    // discipline: a rejected append must not mutate anything, and the
+    // outer counts landing marks the append complete)
+    basketSketchLgK(path).foreach { _ =>
+      Cardinality.appendCardinalityProfile(basketIdRows(df, basketCol),
+        s"$path/baskets", batchId)
+    }
+    CountProfile.append(basketCounts(df, basketCol, itemCol, cap), path,
       batchId)
   }
 
@@ -551,11 +684,15 @@ object Events {
     affinityMeasures(pairs, marginals, total, minPairCount)
   }
 
-  /** Collapse appended count rows (the shared CountProfile rule). */
+  /** Collapse appended count rows (the shared CountProfile rule);
+    * sketch-enabled artifacts compact the nested basket-id sketch too
+    * (tags kept on both — the replay-exclusion contract). */
   def compactBasketProfile(spark: org.apache.spark.sql.SparkSession,
                            path: String): Unit = {
     Dedup.requireParams(s"$path/params.properties", BasketProfileParams,
       "basket-affinity")
+    if (basketSketchLgK(path).isDefined)
+      Cardinality.compactCardinalityProfile(spark, s"$path/baskets")
     CountProfile.compact(spark, path)
   }
 
@@ -578,7 +715,10 @@ object Events {
       : DataFrame = {
     Dedup.requireParams(s"$path/params.properties", BasketProfileParams,
       "basket-affinity")
-    val batchPairs = basketCounts(df, basketCol, itemCol)
+    // the batch pairs under the ARTIFACT's cap — novelty against a
+    // capped profile must census the same pair universe it stores
+    val batchPairs = basketCounts(df, basketCol, itemCol,
+        basketProfileMaxBasketSize(path))
       .filter(col("k") === 2L).select(col("a"), col("b"))
       .localCheckpoint() // total AND anti-join read it
     val stored = CountProfile.effective(df.sparkSession, path,
@@ -906,10 +1046,17 @@ object Events {
     *
     * Scale notes (100 TB): sessions are the compact relation (one row
     * per session, localCheckpointed); the overlap join shuffles on
-    * hour buckets with per-bucket population the stated knob; the
-    * closing aggregate is user-pair-sized. */
+    * hour buckets with per-bucket population the stated knob —
+    * `maxBucketPopulation` (off by default) forfeits a globally hot
+    * hour's pairs entirely rather than letting one bucket pair O(U²)
+    * concurrent sessions in one task (the
+    * [[graft.ops.RangeJoin.selfOverlapPairs]] cap; human concurrency
+    * is self-limiting, bot floods are not); the closing aggregate is
+    * user-pair-sized. */
   def sessionOverlapMatrix(events: DataFrame,
-                           gapMinutes: Int = 30): DataFrame = {
+                           gapMinutes: Int = 30,
+                           maxBucketPopulation: Option[Long] = None)
+      : DataFrame = {
     val iv = sessionIntervals(events, gapMinutes)
       .select(col("user_id"),
         unix_micros(col("session_start")).as("_s"),
@@ -917,7 +1064,8 @@ object Events {
         (unix_micros(col("last_event_ts")) + 1L).as("_e"))
       .localCheckpoint()
     graft.ops.RangeJoin.selfOverlapPairs(iv, Seq("user_id"), "_s", "_e",
-        bucketWidth = 3600000000L)
+        bucketWidth = 3600000000L,
+        maxBucketPopulation = maxBucketPopulation)
       .filter(col("a_user_id") < col("b_user_id"))
       .groupBy(col("a_user_id").as("user_a"),
         col("b_user_id").as("user_b"))
@@ -951,14 +1099,64 @@ object Events {
     * map-side-combined sum keyed on the user — no global window, no
     * collect. Each round's ranks are localCheckpointed (the pinned
     * iterative-loop rule: round k's lazy plan would otherwise
-    * re-derive every prior fold). Iterations are caller-bounded. */
+    * re-derive every prior fold). Iterations are caller-bounded —
+    * choose them FROM DATA with [[coSessionPageRankResiduals]], the
+    * convergence-observability companion. `maxBucketPopulation`
+    * bounds the hot-hour edge density the ranks inherit (the
+    * [[sessionOverlapMatrix]] cap). */
   def coSessionPageRank(events: DataFrame, gapMinutes: Int = 30,
                         iterations: Int = 5,
-                        damping: Double = 0.85): DataFrame = {
+                        damping: Double = 0.85,
+                        maxBucketPopulation: Option[Long] = None)
+      : DataFrame = {
+    val (ranks, deg, _) = pageRankLoop(events, gapMinutes, iterations,
+      damping, maxBucketPopulation, collectResiduals = false)
+    ranks.join(deg.select(col("_src").as("_u"), col("degree")), Seq("_u"))
+      .select(col("_u").as("user_id"), col("degree"),
+        round(col("_r"), 6).as("rank"))
+  }
+
+  /** PageRank CONVERGENCE report — per-iteration L1 residual
+    * Σ|r_k − r_{k−1}| of [[coSessionPageRank]]'s recurrence, so a
+    * caller at 100× picks the iteration count from data instead of
+    * running a fixed 5 blind: run once with generous iterations, read
+    * where the residual crosses tolerance, pin that count for the
+    * recurring job. A converged graph (e.g. any symmetric regular
+    * component at uniform rank) reports ~0 from round 1 (spec-pinned).
+    * The residual is one extra |Δ| aggregate per round over the
+    * node-sized rank relation — graph cost is unchanged; fp sums ⇒
+    * rows-only class like the ranks themselves.
+    *
+    * Output: (iteration 1.., l1_residual) — node-count-independent
+    * scale (ranks sum to ~1), so tolerances like 1e-6 transfer across
+    * corpus sizes. */
+  def coSessionPageRankResiduals(events: DataFrame, gapMinutes: Int = 30,
+                                 iterations: Int = 5,
+                                 damping: Double = 0.85,
+                                 maxBucketPopulation: Option[Long] = None)
+      : DataFrame = {
+    val (ranks, _, residuals) = pageRankLoop(events, gapMinutes,
+      iterations, damping, maxBucketPopulation, collectResiduals = true)
+    ranks.sparkSession.createDataFrame(
+        residuals.zipWithIndex.map { case (r, i) => (i + 1L, r) })
+      .toDF("iteration", "l1_residual")
+  }
+
+  /** The ONE damped power-iteration loop both PageRank surfaces run
+    * (factored so the report can never drift from the ranks): returns
+    * (final ranks (_u, _r), degree relation, per-round L1 residuals —
+    * empty unless requested; the residual aggregate is the only extra
+    * work on that path). */
+  private def pageRankLoop(events: DataFrame, gapMinutes: Int,
+                           iterations: Int, damping: Double,
+                           maxBucketPopulation: Option[Long],
+                           collectResiduals: Boolean)
+      : (DataFrame, DataFrame, Seq[Double]) = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1): $damping")
-    val pairs = sessionOverlapMatrix(events, gapMinutes)
+    val pairs = sessionOverlapMatrix(events, gapMinutes,
+      maxBucketPopulation)
     // undirected: each edge in both orientations (src = rank donor)
     val edges = pairs.select(col("user_a").as("_src"),
         col("user_b").as("_dst"))
@@ -972,6 +1170,7 @@ object Events {
     var ranks = deg.select(col("_src").as("_u"),
         lit(1.0 / n).as("_r"))
       .localCheckpoint()
+    val residuals = Seq.newBuilder[Double]
     for (_ <- 1 to iterations) {
       val contrib = edges
         .join(deg, Seq("_src"))
@@ -981,16 +1180,20 @@ object Events {
         .groupBy(col("_u")).agg(sum(col("_c")).as("_in"))
       // every node has an in-edge (undirected, deg >= 1), but keep the
       // left join + coalesce so the recurrence is total by construction
-      ranks = deg.select(col("_src").as("_u"))
+      val next = deg.select(col("_src").as("_u"))
         .join(contrib, Seq("_u"), "left")
         .select(col("_u"),
           (lit(base) + lit(damping) * coalesce(col("_in"), lit(0.0)))
             .as("_r"))
         .localCheckpoint()
+      if (collectResiduals)
+        residuals += next
+          .join(ranks.select(col("_u"), col("_r").as("_pr")), Seq("_u"))
+          .agg(sum(abs(col("_r") - col("_pr"))).as("_d"))
+          .collect()(0).getDouble(0)
+      ranks = next
     }
-    ranks.join(deg.select(col("_src").as("_u"), col("degree")), Seq("_u"))
-      .select(col("_u").as("user_id"), col("degree"),
-        round(col("_r"), 6).as("rank"))
+    (ranks, deg, residuals.result())
   }
 
   /** RFM (recency / frequency / monetary) customer scoring — the
@@ -1797,5 +2000,85 @@ object Events {
         col("n_outliers"),
         round(col("n_outliers") / col("n_events").cast("double"), 6)
           .as("outlier_share"))
+  }
+
+  /** KAPLAN–MEIER churn survival — the right-censoring-aware answer to
+    * "what share of users are still active after t days", which the
+    * naive (churned-by-day / cohort) ratio gets WRONG: users whose
+    * observation window is shorter than t haven't had the chance to
+    * churn yet, and counting them as survivors biases retention up.
+    * Per user at the injected `asOf` (the E2 no-wall-clock rule):
+    * churned iff the last event is more than `gapDays` before asOf
+    * (lifetime = last − first in whole days, the churn EVENT), else
+    * censored at the observed lifetime so far (asOf − first). The
+    * estimator runs per distinct churn day t:
+    *   at_risk nₜ = users with lifetime ≥ t, churned dₜ = churn events
+    *   at t, hazard = dₜ/nₜ, and the curve as its LOG —
+    *   km_log_survival(t) = Σ_{t'≤t} ln(1 − d/n).
+    * Every count is exact; the hazard is one exact division; ln of an
+    * exact ratio carries the q81 parity; and the cumulative adds
+    * IDENTICAL doubles in identical day order on both engines (the
+    * q256 rounded-cumulative trick on raw lns) ⇒ oracle-hashed (q261).
+    * The log form is DELIBERATE: survival = exp(km_log_survival), but
+    * libm exp is not pinned bit-identical across engines the way ln is
+    * (the q81 precedent covers ln only), so the stored column stays on
+    * the safe side of the parity line. A day where every at-risk user
+    * churns (d = n) ends the curve: km_log_survival reports NULL there
+    * (ln 0 = −∞ would poison the hash — the q176 rule); only the last
+    * day can hit it (nothing is at risk after).
+    *
+    * Output: (day, n_at_risk, n_churned, hazard 6dp,
+    * km_log_survival 6dp) — one row per distinct churn day, ascending.
+    *
+    * Reference: the retention family (load_sales_mart.py:26-35's
+    * client rollup) completed with censoring.
+    *
+    * Scale notes (100 TB): one map-side-combined per-user aggregate;
+    * everything after runs on the lifetime-DAY relation (bounded by
+    * the observation window in days — the enum-sized class), where the
+    * at-risk counts are the q174 at-or-ahead self-join and the
+    * cumulative log rides one ordered window over those same few
+    * hundred rows. */
+  def churnSurvivalCurve(events: DataFrame, asOf: String,
+                         gapDays: Int = 30): DataFrame = {
+    require(gapDays >= 1, s"gapDays must be >= 1: $gapDays")
+    val users = events.groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("_first"),
+        max(unix_micros(col("ts"))).as("_last"))
+      .withColumn("_asof", expr(s"unix_micros(to_timestamp('$asOf'))"))
+      .withColumn("_churned",
+        (col("_asof") - col("_last") > gapDays * 86400000000L)
+          .cast("long"))
+      .withColumn("_life",
+        when(col("_churned") === 1L,
+          expr("(_last - _first) div 86400000000"))
+          .otherwise(expr("(_asof - _first) div 86400000000")))
+    // the lifetime-day relation: all users (at-risk mass) + churn events
+    val days = users.groupBy(col("_life").as("_d"))
+      .agg(count(lit(1)).as("_all"), sum(col("_churned")).as("_dd"))
+      .localCheckpoint() // both sides of the at-or-ahead join read it
+    val churnDays = days.filter(col("_dd") > 0L)
+      .select(col("_d").as("day"), col("_dd").as("n_churned"))
+    val atRisk = churnDays.join(days,
+        days.col("_d") >= churnDays.col("day"))
+      .groupBy(col("day"), col("n_churned"))
+      .agg(sum(col("_all")).as("n_at_risk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // unpartitioned window ON PURPOSE: the relation is day-bounded
+    // (the waterFill enum-sized exception), never the corpus
+    atRisk
+      .withColumn("_ln",
+        when(col("n_churned") < col("n_at_risk"),
+          log(lit(1.0) - col("n_churned").cast("double") /
+            col("n_at_risk").cast("double"))))
+      .withColumn("km_log_survival",
+        when(col("n_churned") < col("n_at_risk"),
+          round(sum(col("_ln")).over(w), 6)))
+      .select(col("day"), col("n_at_risk"), col("n_churned"),
+        round(col("n_churned").cast("double") /
+          col("n_at_risk").cast("double"), 6).as("hazard"),
+        col("km_log_survival"))
   }
 }

@@ -1550,6 +1550,17 @@ object Multimodal {
       .parquet(s"$path/hashes")
   }
 
+  /** The indexed media-id relation, id column only — the cheap read
+    * the perceptual gate's namespace-collision guard needs (a
+    * layout-owning accessor: callers must not read `hashes`
+    * directly). Includes every tag — a collision with ANY stored row
+    * would silence the probe's self-pair guard. */
+  def perceptualIndexIds(spark: SparkSession, path: String): DataFrame = {
+    Dedup.requireParams(s"$path/params.properties",
+      Map("kind" -> "perceptual"), "perceptual")
+    spark.read.parquet(s"$path/hashes").select(col("media_id")).distinct()
+  }
+
   /** Near-dup pairs between a NEW media batch and the indexed catalog
     * — the batch decodes, the catalog reads back as hashes; the
     * pigeonhole band screen + exact Hamming, exactly [[hammingPairs]]

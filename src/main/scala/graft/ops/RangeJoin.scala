@@ -94,22 +94,50 @@ object RangeJoin {
     * timeline-spanning interval explodes timeline/width rows.
     *
     * Scale notes (100 TB): one shuffle on the bucket for each side;
-    * per-bucket candidate volume is Σ (per-bucket population)², the
-    * stated knob — never the global cross product a bare non-equi
-    * join would BNLJ. */
+    * per-bucket candidate volume is Σ (per-bucket population)², and
+    * `maxBucketPopulation` is the hard ceiling on it: a bucket whose
+    * exploded population exceeds the cap is FORFEITED entirely — no
+    * pairs are emitted there (the q48 no-survivor rule at bucket
+    * granularity; a globally hot hour pairing O(U²) concurrent
+    * intervals in one task is exactly the skew this caps). Because
+    * each true pair is emitted ONLY in its canonical bucket, the
+    * forfeit's semantics are sharp: a pair whose canonical bucket
+    * max(start_a, start_b) div width is capped is LOST even when both
+    * intervals also span surviving buckets, and a pair canonically in
+    * a surviving bucket is KEPT even when the intervals also cross
+    * capped ones. Off by default — never a plan node, never a
+    * measure change, unless set. */
   def selfOverlapPairs(df: DataFrame, carryCols: Seq[String],
                        startCol: String, endCol: String,
-                       bucketWidth: Long): DataFrame = {
+                       bucketWidth: Long,
+                       maxBucketPopulation: Option[Long] = None)
+      : DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0: $bucketWidth")
     require(carryCols.nonEmpty, "need at least one carried column")
     require(!df.columns.contains("_rj_bucket"),
       "column name _rj_bucket is reserved by RangeJoin")
-    val base = df
+    val exploded = df
       .select((carryCols.map(col) :+ col(startCol) :+ col(endCol)): _*)
       .filter(col(startCol) < col(endCol))
       .withColumn("_rj_bucket",
         explode(sequence(expr(s"$startCol div $bucketWidth"),
           expr(s"($endCol - 1) div $bucketWidth"))))
+    val base = maxBucketPopulation match {
+      case None => exploded
+      case Some(cap) =>
+        require(cap >= 1L, s"maxBucketPopulation must be >= 1, got $cap")
+        // census + both join sides read the capped relation — one
+        // materialization; the hot set is count-gated for broadcast
+        val b = exploded.localCheckpoint()
+        val hot = b.groupBy(col("_rj_bucket"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > cap).select("_rj_bucket")
+          .localCheckpoint()
+        val hinted =
+          if (hot.count() <= graft.ext.MaxBroadcastRows) broadcast(hot)
+          else hot
+        b.join(hinted, Seq("_rj_bucket"), "left_anti")
+    }
     def side(p: String) = base.select(
       (carryCols :+ startCol :+ endCol).map(c => col(c).as(s"$p$c")) :+
         col("_rj_bucket"): _*)

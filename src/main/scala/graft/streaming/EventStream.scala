@@ -583,9 +583,13 @@ object EventStream {
     * decontamination against the frozen benchmark sketch
     * (`sketchParams` must match the artifact's sidecar — a non-default
     * sketch is probed with its own parameters, validated loudly), then
-    * the optional derived-text semantic gate (05b) and the optional
+    * the optional derived-text semantic gate (05b), the optional
     * winnow passage-collision gate (05c, `cfg.winnowIndexPath` — the
-    * batch gate verbatim against the read-only fingerprint index), (5)
+    * batch gate verbatim against the read-only fingerprint index), the
+    * optional containment gate (05d) and the optional PERCEPTUAL gate
+    * (05e, `cfg.perceptualIndexPath` — media carried as nullable
+    * (format, payload) columns ON the doc rows, the media-bearing
+    * crawl shape; NULL-payload docs pass un-probed), (5)
     * the clean remainder lands under `acceptedPath/batch_id=N`. The
     * decontaminated set is what lands, but the INDEX absorbs all dedup
     * survivors — a future duplicate of a contaminated page must still
@@ -635,14 +639,21 @@ object EventStream {
         "embedDims (hashed kernel + Embedding.ensureTextIndex) or " +
         "embedProjectionPath (stored projection + " +
         "Embedding.writeProjectedIndex)")
-    // the perceptual gate probes an ATTACHED media frame, and a
-    // micro-batch carries none — unlike the semantic gate there is no
-    // text-derived route to an image hash, so the knob is refused
-    // loudly rather than silently skipped (the requireMedia contract)
-    require(cfg.perceptualIndexPath.isEmpty,
-      "perceptualIndexPath is batch-only: the gate probes a media " +
-        "frame (doc_id, format, payload), which a doc micro-batch " +
-        "does not carry — screen media at ingest with " +
+    // the perceptual gate (05e) is stream-expressible through media
+    // carried ON the doc rows: a media-bearing crawl delivers the
+    // image beside the text, so the streaming contract is nullable
+    // (format, payload) columns on the docs frame — docs with NULL
+    // payload pass un-probed (the unknown-source rule), and the gate
+    // is the read-only-artifact class (per-doc dHash of the doc's own
+    // bytes = deterministic per batch, no tags). A config that
+    // enables the knob without the columns fails HERE, at stream
+    // build time (the requireMedia contract; the schema is static)
+    require(cfg.perceptualIndexPath.isEmpty ||
+        Seq("format", "payload").forall(docs.columns.contains),
+      "perceptualIndexPath in a stream gates media carried on the " +
+        "doc rows — the streaming docs frame needs nullable (format, " +
+        "payload) columns (docs with NULL payload pass un-probed); " +
+        "for detached media catalogs screen at ingest with " +
         "Multimodal.ingestPerceptualBatch instead")
     docs.writeStream
       .outputMode(OutputMode.Append)
@@ -688,8 +699,19 @@ object EventStream {
               // optional containment gate (05d's stream twin — same
               // read-only-artifact argument; the bidirectional
               // decontamination rule, not the directional ingest rule)
-              val cleanRaw = graft.ext.Curation.containmentGate(
+              val contClean = graft.ext.Curation.containmentGate(
                 graft.ext.Curation.winnowGate(semClean, cfg), cfg)
+              // optional perceptual gate (05e's stream twin): media
+              // comes from the RAW batch's (format, payload) columns
+              // (the sourceGate convention — the hygiene frame dropped
+              // them); the batch gate verbatim, read-only index
+              val cleanRaw =
+                if (cfg.perceptualIndexPath.isDefined)
+                  graft.ext.Curation.perceptualGate(contClean, cfg,
+                    Some(batch.filter(col("payload").isNotNull)
+                      .select(col("doc_id"), col("format"),
+                        col("payload"))))
+                else contClean
               // checkpoint only when a second consumer exists — the
               // default path's plan is untouched
               val clean = if (tokenModelPath.isDefined)

@@ -171,7 +171,8 @@ class PlanInvariantsSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.sql("DROP DATABASE IF EXISTS graft_bkt_q244 CASCADE")
+      spark.sql("DROP DATABASE IF EXISTS graft_bkt_q244_" +
+        sf("sf0.001").replaceAll("[^a-zA-Z0-9]", "_") + " CASCADE")
     }
   }
 

@@ -41,7 +41,8 @@ class SparkEntrySpec extends SparkSpec {
       "q215_pca_moments_spectrum", "q227_winsorized_approx",
       "q228_event_outliers_approx", "q233_pruned_vocab_coverage",
       "q245_perceptual_gate_funnel", "q248_cosession_pagerank",
-      "q252_scene_changes", "q254_golden_records"),
+      "q252_scene_changes", "q254_golden_records",
+      "q258_golden_incremental", "q259_pagerank_residuals"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -1065,12 +1065,27 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("media"), e.getMessage)
     intercept[IllegalArgumentException](Curation.curate(corpus, benchmark,
       gcfg.copy(perceptualMaxHamming = 2), media = Some(media)))
-    // and the stream twin refuses it loudly — a micro-batch carries no
-    // media frame (the require fires before any streaming plan exists)
+    // the stream twin's contract is media carried ON the doc rows — a
+    // docs frame WITHOUT (format, payload) columns refuses at build
+    // time (the require fires before any streaming plan exists; the
+    // media-bearing stream itself is spec-pinned in EventStreamSpec)
     val se = intercept[IllegalArgumentException](
       graft.streaming.EventStream.curationStream(corpus, s"$dir/idx",
         s"$dir/sk", s"$dir/acc", s"$dir/ck", gcfg))
-    assert(se.getMessage.contains("batch-only"), se.getMessage)
+    assert(se.getMessage.contains("payload"), se.getMessage)
+    // namespace-collision guard (the r18 advice): an eval index whose
+    // media ids ALIAS corpus doc ids would self-pair-suppress the
+    // genuine leak — the gate must fail loudly, never leak silently
+    Multimodal.writePerceptualIndex(spark,
+      Multimodal.validPngMedia(spark,
+        corpus.filter($"doc_id" === leakId).select($"doc_id", $"text"))
+        .toDF(),
+      s"$dir/collide")
+    val ce = intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark,
+        wcfg.copy(perceptualIndexPath = Some(s"$dir/collide")),
+        media = Some(media)))
+    assert(ce.getMessage.contains("disjoint"), ce.getMessage)
   }
 
   test("containment artifact gate cuts suite-swallowing survivors, disjoint suite is identity") {

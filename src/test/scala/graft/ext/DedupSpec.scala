@@ -302,6 +302,103 @@ class DedupSpec extends SparkSpec {
       Dedup.goldenRecords(recs, "name", Seq("missing_col")))
   }
 
+  test("golden catalog: stored ≡ live, incremental touched scope, bridge merge, replay, compaction, forget") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_golden_cat").toString
+    // catalog: entity {1,2}; two stored singletons 10 ("zenith") and
+    // 30 ("zenith!!!!" — 4 edits from 10, SEPARATE entities); untouched
+    // singleton 20
+    val catalog = Seq(
+        (1L, "acme corp", "PT", "a@x"),
+        (2L, "acme corp.", "ES", null),
+        (10L, "zenith", "FR", null),
+        (30L, "zenith!!!!", "ES", "z@y"),
+        (20L, "solo co", "DE", null))
+      .toDF("doc_id", "name", "country", "email")
+    // batch: 100 joins {1,2}; 101 BRIDGES stored entities 10 and 30
+    // (2 edits to each); 102 is a fresh singleton
+    val batch = Seq(
+        (100L, "acme corp!!", "PT", null),
+        (101L, "zenith!!", "FR", null),
+        (102L, "brand new", "XX", null))
+      .toDF("doc_id", "name", "country", "email")
+    val union = catalog.unionByName(batch)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4)))).toMap
+    Dedup.writeGoldenCatalog(catalog, s"$dir/cat", "name",
+      Seq("country", "email"))
+    // stored route ≡ live over the same corpus
+    assert(asMap(Dedup.goldenRecordsFromCatalog(spark, s"$dir/cat")) ==
+      asMap(Dedup.goldenRecords(catalog, "name", Seq("country", "email"))),
+      "goldenRecordsFromCatalog must equal the live op on the corpus")
+    // incremental = the live union's golden rows restricted to TOUCHED
+    // entities (everything except untouched singleton 20) — the bridge
+    // merges stored 10 and 30 into one entity with the batch doc
+    val against = asMap(
+      Dedup.goldenRecordsAgainstCatalog(spark, batch, s"$dir/cat"))
+    val liveUnion = asMap(
+      Dedup.goldenRecords(union, "name", Seq("country", "email")))
+    assert(against == liveUnion - 20L,
+      s"incremental must equal live-union minus untouched: $against")
+    assert(against.contains(101L) == false && against.contains(10L) &&
+      against(10L)._2 == 3L,
+      s"the bridged entity must anchor on stored 10 with 3 members: $against")
+    // append, then the stored route covers the union
+    Dedup.appendGoldenCatalog(batch, s"$dir/cat", batchId = Some(7L))
+    assert(asMap(Dedup.goldenRecordsFromCatalog(spark, s"$dir/cat")) ==
+      liveUnion, "post-append stored route must equal the live union")
+    // replay exclusion: probing with the batch's own tag reproduces the
+    // pre-append verdicts exactly
+    assert(asMap(Dedup.goldenRecordsAgainstCatalog(spark, batch,
+        s"$dir/cat", excludeBatchId = Some(7L))) == against,
+      "own-tag exclusion must reproduce the pre-append probe")
+    // crash-replayed append lands byte-identical rows; readers collapse
+    // them, compaction keeps the tag
+    Dedup.appendGoldenCatalog(batch, s"$dir/cat", batchId = Some(7L))
+    Dedup.compactGoldenCatalog(spark, s"$dir/cat")
+    assert(asMap(Dedup.goldenRecordsFromCatalog(spark, s"$dir/cat")) ==
+      liveUnion, "replayed append + compaction must not change output")
+    // forget doc 2: the catalog behaves as if 2 was never indexed
+    Dedup.forgetDocuments(spark, s"$dir/cat",
+      Seq(2L).toDF("doc_id"))
+    assert(asMap(Dedup.goldenRecordsFromCatalog(spark, s"$dir/cat")) ==
+      asMap(Dedup.goldenRecords(union.filter(col("doc_id") =!= 2L),
+        "name", Seq("country", "email"))),
+      "forget must equal a fresh build without the doc")
+    // contract refusals: reserved attr names, missing columns, and a
+    // batch frame that does not carry the recipe's columns
+    intercept[IllegalArgumentException](Dedup.writeGoldenCatalog(
+      catalog.withColumnRenamed("country", "key"), s"$dir/bad", "name",
+      Seq("key", "email")))
+    intercept[IllegalArgumentException](Dedup.goldenRecordsAgainstCatalog(
+      spark, batch.drop("email"), s"$dir/cat"))
+    // an all-NULL (void-typed) attr cannot be WRITTEN (parquet would
+    // store it unreadably); batches align to the stored schema instead
+    intercept[IllegalArgumentException](Dedup.writeGoldenCatalog(
+      catalog.withColumn("email", lit(null)), s"$dir/bad2", "name",
+      Seq("country", "email")))
+  }
+
+  test("crossSourceDupMatrix: hand-checked intersections, shares, no-sharing pairs absent") {
+    val docs = Seq(
+        ("A", "k1"), ("A", "k2"), ("A", "k3"),
+        ("B", "k1"), ("B", "k2"),
+        ("C", "k2"),
+        ("D", "solo"),
+        // duplicate (source, key) rows collapse before counting
+        ("A", "k1"))
+      .toDF("source", "text")
+    val out = Dedup.crossSourceDupMatrix(docs, col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(out == Map(
+      ("A", "B") -> ((2L, 3L, 2L, 0.666667, 1.0)),
+      ("A", "C") -> ((1L, 3L, 1L, 0.333333, 1.0)),
+      ("B", "C") -> ((1L, 2L, 1L, 0.5, 1.0))), s"got $out")
+  }
+
   test("fuzzy-key index: against ≡ live cross slice, self-probe guard, ingest, replay, compaction, forget") {
     val corpus = Seq((1L, "galaxy brain"), (2L, "hello world"),
         (3L, "zebra farm")).toDF("doc_id", "title")

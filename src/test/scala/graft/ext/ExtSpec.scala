@@ -417,6 +417,38 @@ class ExtSpec extends SparkSpec {
       RangeJoin.selfOverlapPairs(iv, Seq("id"), "s", "e", 0L))
   }
 
+  test("interval overlap cap: hot buckets forfeit entirely, canonical-bucket semantics are sharp") {
+    import graft.ops.RangeJoin
+    // width 10: bucket 0 holds a/b/c (population 3 exploded rows) and
+    // f/g's first bucket; bucket 1 holds d/e and f/g's second
+    val iv = Seq(
+      (1L, 0L, 5L), (2L, 1L, 6L), (3L, 2L, 7L),   // bucket 0 trio
+      (4L, 10L, 15L), (5L, 11L, 16L),             // bucket 1 pair
+      (6L, 8L, 12L), (7L, 9L, 13L))               // span buckets 0 AND 1
+      .toDF("id", "s", "e")
+    def run(cap: Option[Long]) = RangeJoin.selfOverlapPairs(iv,
+        Seq("id"), "s", "e", 10L, maxBucketPopulation = cap)
+      .filter($"a_id" < $"b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    // uncapped ground truth (pairs 6/7 overlap 4/5 and each other;
+    // their canonical bucket max(start) div 10 = 0)
+    val all = run(None)
+    assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L),
+      (4L, 6L), (4L, 7L), (5L, 6L), (5L, 7L), (6L, 7L)), s"got $all")
+    // cap 4: bucket 0 population is 5 (a,b,c,f,g) > 4 → forfeited;
+    // bucket 1 population is 4 (d,e,f,g) → survives. The (6,7) pair is
+    // LOST (its canonical bucket is the capped 0) even though both
+    // intervals span the surviving bucket 1; (4,6)/(4,7)/(5,6)/(5,7)
+    // are KEPT (canonical bucket 1) even though 6/7 also cross the
+    // capped bucket — the documented sharp rule
+    assert(run(Some(4L)) == Set((4L, 5L), (4L, 6L), (4L, 7L),
+      (5L, 6L), (5L, 7L)), s"got ${run(Some(4L))}")
+    // a cap no bucket reaches is a no-op
+    assert(run(Some(100L)) == all)
+    intercept[IllegalArgumentException](RangeJoin.selfOverlapPairs(iv,
+      Seq("id"), "s", "e", 10L, maxBucketPopulation = Some(0L)))
+  }
+
   test("session intervals: gap-rule boundaries, ids match sessionize, events partition") {
     import java.sql.Timestamp
     def ev(rows: (Long, Long, String)*) = rows
@@ -3496,6 +3528,133 @@ class ExtSpec extends SparkSpec {
     // sentinel collision guard: negative item ids refuse
     intercept[IllegalArgumentException](Events.writeBasketProfile(
       baskets((1L, -5L)), "basket", "item", s"$dir/neg"))
+  }
+
+  test("basket cap + dup sketch: hot-basket total forfeit on both routes; re-appends refuse, replays pass") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_basket_cap").toString
+    def baskets(rows: (Long, Long)*) = rows.toSeq.toDF("basket", "item")
+    // baskets 1/2 = {10, 11}; basket 3 is HOT (5 distinct items > cap 4)
+    val part1 = baskets((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (3L, 12L), (3L, 13L), (3L, 14L))
+    def rep(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    // TOTAL forfeit: the capped run sees only baskets 1/2 — pair
+    // (10,11) n_ab=2 over marginals 2/2 and basket total 2 (support
+    // 1.0, lift 1.0); the basket-total row excludes the hot basket too
+    val capped = rep(Events.coOccurrenceLift(part1, "basket", "item",
+      minPairCount = 1L, maxBasketSize = Some(4L)))
+    assert(capped.keySet == Set((10L, 11L)) &&
+      capped((10L, 11L)) == Seq(2L, 2L, 2L, 1.0, 1.0, 1.0),
+      s"got $capped")
+    // uncapped sees basket 3's full C(5,2) fan-out and 3 baskets
+    assert(Events.coOccurrenceLift(part1, "basket", "item",
+      minPairCount = 1L).count() == 10L)
+    // the stored route bakes the SIDECAR-owned cap into its counts and
+    // the nested sketch records basket ids
+    Events.writeBasketProfile(part1, "basket", "item", s"$dir/p",
+      maxBasketSize = Some(4L), basketSketchLgK = Some(12))
+    assert(Events.basketProfileMaxBasketSize(s"$dir/p") == Some(4L))
+    assert(rep(Events.basketAffinityFromProfile(spark, s"$dir/p",
+      minPairCount = 1L)) == capped)
+    // a DISJOINT append passes the guard and reads the cap back (the
+    // hot basket 8 forfeits in the appended counts too)
+    val part2 = baskets((4L, 10L), (4L, 11L), (5L, 20L), (5L, 21L),
+      (6L, 20L), (6L, 21L), (7L, 10L), (7L, 21L),
+      (8L, 30L), (8L, 31L), (8L, 32L), (8L, 33L), (8L, 34L))
+    Events.appendBasketProfile(part2, "basket", "item", s"$dir/p",
+      batchId = Some(1L))
+    val fullCapped = rep(Events.coOccurrenceLift(
+      part1.unionByName(part2), "basket", "item", minPairCount = 1L,
+      maxBasketSize = Some(4L)))
+    assert(rep(Events.basketAffinityFromProfile(spark, s"$dir/p",
+      minPairCount = 1L)) == fullCapped)
+    // a RE-append of the same baskets under a NEW tag violates the
+    // disjointness contract: refused loudly, nothing mutated
+    val beforeRows = spark.read.parquet(s"$dir/p/counts").count()
+    intercept[IllegalArgumentException](Events.appendBasketProfile(
+      part2, "basket", "item", s"$dir/p", batchId = Some(2L)))
+    assert(spark.read.parquet(s"$dir/p/counts").count() == beforeRows,
+      "a refused append must not mutate the profile")
+    // a crash-REPLAY (same tag) scores with its own tag excluded —
+    // passes, and the readers' dedup keeps the state unchanged
+    Events.appendBasketProfile(part2, "basket", "item", s"$dir/p",
+      batchId = Some(1L))
+    assert(rep(Events.basketAffinityFromProfile(spark, s"$dir/p",
+      minPairCount = 1L)) == fullCapped)
+    // compaction keeps the sketch artifact consistent
+    Events.compactBasketProfile(spark, s"$dir/p")
+    assert(rep(Events.basketAffinityFromProfile(spark, s"$dir/p",
+      minPairCount = 1L)) == fullCapped)
+    intercept[IllegalArgumentException](Events.coOccurrenceLift(part1,
+      "basket", "item", maxBasketSize = Some(0L)))
+  }
+
+  test("pageRank residuals: converged graph reads ~0, path graph decays, ranks stay the q248 recurrence") {
+    import java.sql.Timestamp
+    def ev(rows: (Long, Long, String)*) = rows
+      .map { case (e, u, t) => (e, u, Timestamp.valueOf(t)) }
+      .toDF("event_id", "user_id", "ts")
+    // three users in one concurrent hour — a symmetric triangle: the
+    // uniform rank is the fixed point, so every round's L1 residual is
+    // exactly the fp-noise floor
+    val tri = ev((1L, 1L, "2024-01-01 10:00:00"),
+      (2L, 2L, "2024-01-01 10:05:00"), (3L, 3L, "2024-01-01 10:10:00"),
+      (4L, 1L, "2024-01-01 10:20:00"), (5L, 2L, "2024-01-01 10:20:00"),
+      (6L, 3L, "2024-01-01 10:20:00"))
+    val triRes = Events.coSessionPageRankResiduals(tri, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(triRes.keySet == Set(1L, 2L, 3L))
+    assert(triRes.values.forall(_ < 1e-12), s"got $triRes")
+    // a path graph 1–2–3 (hub 2): round 1 moves mass, later rounds
+    // decay — the signal a caller reads to pick the iteration count
+    val path = ev((1L, 1L, "2024-01-01 10:00:00"),
+      (2L, 2L, "2024-01-01 10:05:00"),
+      (3L, 1L, "2024-01-01 10:20:00"), (4L, 2L, "2024-01-01 10:20:00"),
+      (5L, 2L, "2024-01-02 09:00:00"), (6L, 3L, "2024-01-02 09:05:00"),
+      (7L, 2L, "2024-01-02 09:20:00"), (8L, 3L, "2024-01-02 09:20:00"))
+    val pathRes = Events.coSessionPageRankResiduals(path, iterations = 4)
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    assert(pathRes.length == 4 && pathRes.head > 1e-3,
+      s"round 1 must move mass: ${pathRes.toSeq}")
+    assert(pathRes(3) < pathRes.head,
+      s"residuals must decay on a damped chain: ${pathRes.toSeq}")
+  }
+
+  test("churnSurvivalCurve: hand-checked KM with censoring, terminal all-churn day is NULL") {
+    import java.sql.Timestamp
+    def ev(rows: (Long, Long, String)*) = rows
+      .map { case (e, u, t) => (e, u, Timestamp.valueOf(t)) }
+      .toDF("event_id", "user_id", "ts")
+    // asOf 2024-03-01, gap 10: u1/u4 churn at lifetime day 5, u2 at
+    // day 10; u3's last event is under 5 days before asOf → CENSORED
+    // at its observed lifetime (59 days) — it holds the day-10 at-risk
+    // set at 2, which is what the naive churned/cohort ratio misses
+    val events = ev(
+      (1L, 1L, "2024-01-01 12:00:00"), (2L, 1L, "2024-01-06 14:00:00"),
+      (3L, 2L, "2024-01-01 12:00:00"), (4L, 2L, "2024-01-11 13:00:00"),
+      (5L, 3L, "2024-01-01 06:00:00"), (6L, 3L, "2024-02-25 06:00:00"),
+      (7L, 4L, "2024-01-01 00:00:00"), (8L, 4L, "2024-01-06 01:00:00"))
+    val out = Events.churnSurvivalCurve(events, "2024-03-01",
+        gapDays = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // day 5: 4 at risk, 2 churn → hazard .5, logS = ln .5 = −0.693147
+    // day 10: 2 at risk (u2 + censored u3), 1 churn → logS = 2·ln .5
+    assert(out == Map(
+      5L -> ((4L, 2L, 0.5, Some(-0.693147))),
+      10L -> ((2L, 1L, 0.5, Some(-1.386294)))), s"got $out")
+    // without the censored user, day 10 is an all-churn terminal day:
+    // hazard 1, km_log_survival NULL (never −Infinity)
+    val term = Events.churnSurvivalCurve(
+        events.filter($"user_id" =!= 3L), "2024-03-01", gapDays = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.isNullAt(4)))).toMap
+    assert(term == Map(5L -> ((0.666667, false)), 10L -> ((1.0, true))),
+      s"got $term")
+    intercept[IllegalArgumentException](
+      Events.churnSurvivalCurve(events, "2024-03-01", gapDays = 0))
   }
 
   test("reservoir: per-batch trimming is lossless, replay duplicates collapse, exclusion, compaction") {

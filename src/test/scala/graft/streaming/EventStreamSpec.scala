@@ -24,6 +24,9 @@ class EventStreamSpec extends SparkSpec {
   case class IngestDoc(doc_id: Long, text: String)
   case class MediaRow(media_id: Long, format: String, payload: Array[Byte])
 
+  case class MediaDoc(doc_id: Long, text: String, format: String,
+                      payload: Array[Byte])
+
   case class SourcedDoc(doc_id: Long, text: String, source: String)
 
   case class IngestVec(vec_id: Long, embedding: Array[Float])
@@ -660,6 +663,87 @@ class EventStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(batchSurvivors == accepted.toSet,
       s"stream survivors must equal the batch chain's: $batchSurvivors")
+  }
+
+  test("curation stream cuts benchmark-image docs via the stored perceptual index, matches batch, replays once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_percgate").toString
+    val (w, h) = (18, 12)
+    def png(base: Int, shape: Int) = graft.ext.Multimodal.encodePng(w, h,
+      Array.tabulate(w * h * 4) { p =>
+        val x = (p / 4) % w
+        val v = if (shape == 0) x * 12
+          else if (x < 9) x * 24 else (17 - x) * 24
+        (base + v).toByte
+      })
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.writeMinhashIndex(corpus, s"$dir/idx")
+    // the Bloom sketch holds an UNRELATED suite so the perceptual
+    // gate — not the text screens — is what cuts the leak below
+    graft.ext.Dedup.writeBloomIndex(
+      Seq((5L, "hidden evaluation prompt concerning medieval castles defense"))
+        .toDF("doc_id", "text"), s"$dir/sketch")
+    // the eval image frozen at a disjoint id (the namespace rule)
+    graft.ext.Multimodal.writePerceptualIndex(spark,
+      Seq((900001L, "png", png(20, 0)))
+        .toDF("media_id", "format", "payload"),
+      s"$dir/pidx")
+    val cfg = graft.ext.Curation.Config(minTokens = 5,
+      perceptualIndexPath = Some(s"$dir/pidx"))
+    // doc 10 carries a +10 BRIGHTNESS re-grade of the eval image
+    // (dHash-identical — the q168 invariance) → cut; doc 11 carries a
+    // different-shape image → keeps; doc 12 carries NO media → passes
+    // un-probed (the unknown-source rule)
+    val t10 = "my training document attaches the leaked benchmark chart image"
+    val t11 = "a clean document with its own original illustration attached"
+    val t12 = "a text only document with no attached media at all today"
+    val rows = Seq(
+      MediaDoc(10L, t10, "png", png(30, 0)),
+      MediaDoc(11L, t11, "png", png(20, 1)),
+      MediaDoc(12L, t12, null, null))
+    val mem = MemoryStream[MediaDoc]
+    def drain(): Unit = {
+      val q = EventStream.curationStream(mem.toDF(), s"$dir/idx",
+        s"$dir/sketch", s"$dir/accepted", s"$dir/ckpt", cfg).start()
+      q.awaitTermination()
+    }
+    mem.addData(rows: _*)
+    drain()
+    // crash window: replay the whole composition, perceptual gate
+    // included (read-only artifact + per-doc dHash of the doc's own
+    // bytes ⇒ the split is deterministic)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toList.sorted
+    assert(accepted == List(11L, 12L),
+      s"the image leak must be cut, keeper + no-media land exactly once: $accepted")
+    // the stream's survivor set IS the batch chain's with the same
+    // config and the media passed as the explicit frame
+    val docsDf = rows.map(r => (r.doc_id, r.text)).toDF("doc_id", "text")
+    val mediaDf = rows.filter(_.payload != null)
+      .map(r => (r.doc_id, r.format, r.payload))
+      .toDF("doc_id", "format", "payload")
+    val batchSurvivors = graft.ext.Curation.curate(docsDf,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        cfg.copy(bloomIndexPath = Some(s"$dir/sketch")),
+        media = Some(mediaDf))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchSurvivors == accepted.toSet,
+      s"stream survivors must equal the batch chain's: $batchSurvivors")
+    // a config that enables the knob on a media-less stream refuses at
+    // build time (the requireMedia contract, statically)
+    intercept[IllegalArgumentException] {
+      EventStream.curationStream(MemoryStream[IngestDoc].toDF(),
+        s"$dir/idx", s"$dir/sketch", s"$dir/accepted2", s"$dir/ckpt2",
+        cfg)
+    }
   }
 
   test("perceptual ingest stream drops re-graded copies of indexed media, replays exactly once") {
