@@ -2544,6 +2544,56 @@ object SparkEntry {
     "q261_churn_survival" -> ((s, dir) =>
       ext.Events.churnSurvivalCurve(Tables.events(s, dir),
         "2024-02-15", gapDays = 7)),
+    // Pearson r between event types' daily volume series (zero-filled
+    // day × type grid; exact decimal sufficient statistics — q255's
+    // overflow discipline; zero-variance series read NULL r)
+    "q262_event_rate_correlation" -> ((s, dir) =>
+      ext.Events.eventRateCorrelation(Tables.events(s, dir))),
+    // per-source Flesch readability off exact long totals (sentence
+    // rule = terminator runs + 1, so the punctuation-free fixture
+    // reads 1 sentence/doc; the formula still varies via words and
+    // vowel-group syllables)
+    "q263_readability" -> ((s, dir) =>
+      ext.TextAnalysis.readabilityReport(Tables.documents(s, dir))),
+    // URL/domain census over planted URL-bearing docs (the fixture
+    // has ZERO organic URLs — probed, the q155 rule; plants derive
+    // from fixture rows so the oracle restates them, q243 discipline).
+    // Mixed-case host pins the lowercased-domain key
+    "q264_url_domain_census" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") % 53 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(lit("see https://s"), col("doc_id") % 7,
+            lit(".example.org/path plus https://Mirror.Example.org end"))
+            .as("text"))
+      ext.TextAnalysis.urlDomainCensus(base.unionByName(planted))
+    }),
+    // MLM masked samples over the q94 layout under the stored BPE
+    // model (id space artifact-owned: [MASK] = |vocab| + 1, randoms
+    // from [0, |vocab|)); digests + exact decision counts for the
+    // driver (the q94 scalarization rule). Rows-only: restating the
+    // BPE pipeline in SQL is the pinned q94-class exclusion
+    "q265_mlm_masked_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val docs = Tables.documents(s, dir)
+      val path = ext.TextAnalysis.ensureBpeModel(docs,
+        "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
+      val seqs = ext.TextAnalysis.packTokenSequences(
+        ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path),
+        seqLen = 128, shards = 4)
+      ext.TextAnalysis.mlmMaskSequences(s, seqs, path)
+        .select(col("shard"), col("seq_id"), col("n_tokens"),
+          xxhash64(col("masked_ids")).as("masked_digest"),
+          xxhash64(col("labels")).as("labels_digest"),
+          col("n_selected"), col("n_mask_tok"), col("n_random"),
+          col("n_kept"))
+    }),
+    // per-user triangles + local clustering over the co-session graph
+    // (oriented wedge join; exact counts; fixture probed: 1.4k edges
+    // at sf0.01, 142k at sf0.1 — the q248-class priced yardstick)
+    "q266_cosession_triangles" -> ((s, dir) =>
+      ext.Events.coSessionTriangles(Tables.events(s, dir))),
   )
 
   /** q69's duplicate-group key, factored for every consumer (q260's
@@ -4202,6 +4252,102 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) END
         |    AS km_log_survival
         |FROM ln_t""".stripMargin,
+    // Pearson r mirrored term for term: zero-filled day×type grid,
+    // HUGEINT ↔ decimal(38,0) sufficient statistics, one double
+    // division over two IEEE-exact sqrts, NULL on zero variance
+    "q262_event_rate_correlation" ->
+      """WITH dt AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
+        |      AS day, event_type, count(*) AS n
+        |    FROM events GROUP BY 1, 2),
+        |grid AS (SELECT d.day, t.event_type, COALESCE(dt.n, 0) AS n
+        |  FROM (SELECT DISTINCT day FROM dt) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM dt) t
+        |  LEFT JOIN dt ON dt.day = d.day AND dt.event_type = t.event_type),
+        |s AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS HUGEINT) AS nd,
+        |    SUM(CAST(a.n AS HUGEINT)) AS sx,
+        |    SUM(CAST(b.n AS HUGEINT)) AS sy,
+        |    SUM(CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS sxy,
+        |    SUM(CAST(a.n AS HUGEINT) * CAST(a.n AS HUGEINT)) AS sxx,
+        |    SUM(CAST(b.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS syy
+        |  FROM grid a JOIN grid b
+        |    ON a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(nd AS BIGINT) AS n_days,
+        |  CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
+        |    THEN ROUND(CAST(nd * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)) *
+        |        sqrt(CAST(nd * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS r
+        |FROM s""".stripMargin,
+    // Flesch readability off exact long totals: the q09 whitespace
+    // split restatement, terminator-run + 1 sentences, vowel-group
+    // syllables; formula literals spliced identically and
+    // left-associated on both engines
+    "q263_readability" ->
+      """WITH d AS (SELECT source,
+        |    len(regexp_split_to_array(text, '\s+')) AS w,
+        |    len(regexp_extract_all(text, '[.!?]+')) + 1 AS s,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+        |  FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(w) AS BIGINT) AS n_words,
+        |    CAST(SUM(s) AS BIGINT) AS n_sentences,
+        |    CAST(SUM(y) AS BIGINT) AS n_syllables
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs, n_words, n_sentences, n_syllables,
+        |  ROUND(n_words / CAST(n_sentences AS DOUBLE), 6)
+        |    AS words_per_sentence,
+        |  ROUND(n_syllables / CAST(n_words AS DOUBLE), 6)
+        |    AS syllables_per_word,
+        |  ROUND(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 6) AS flesch
+        |FROM a""".stripMargin,
+    // URL census with the q243-style planted restatement (fixture has
+    // no organic URLs); host grammar shared verbatim, domains lowered
+    "q264_url_domain_census" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |     UNION ALL
+        |     SELECT doc_id + 20000000,
+        |       'see https://s' || CAST(doc_id % 7 AS VARCHAR) ||
+        |       '.example.org/path plus https://Mirror.Example.org end'
+        |     FROM documents WHERE doc_id % 53 = 0),
+        |h AS (SELECT doc_id, lower(unnest(
+        |    regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)))
+        |    AS domain FROM u),
+        |c AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM h GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_urls) AS BIGINT) AS tot FROM c)
+        |SELECT domain, n_urls, n_docs,
+        |  ROUND(n_urls / CAST(tot AS DOUBLE), 6) AS url_share
+        |FROM c CROSS JOIN t""".stripMargin,
+    // triangle census: edges via the quadratic overlap predicate over
+    // SessionIvCtes (q239's rule), the same oriented a<b<c wedge
+    // enumeration, per-corner fan-out, exact clustering division
+    "q266_cosession_triangles" ->
+      (s"""WITH $SessionIvCtes,
+         |eg AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+         |       FROM iv a JOIN iv b ON a.user_id < b.user_id
+         |         AND a.start_us < b.last_us + 1
+         |         AND b.start_us < a.last_us + 1),
+         |t AS (SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+         |      FROM eg e1 JOIN eg e2 ON e1.ub = e2.ua
+         |      JOIN eg e3 ON e3.ua = e1.ua AND e3.ub = e2.ub),
+         |tc AS (SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_tri
+         |       FROM (SELECT unnest([a, b, c]) AS u FROM t)
+         |       GROUP BY 1),
+         |d AS (SELECT u AS user_id, CAST(count(*) AS BIGINT) AS degree
+         |      FROM (SELECT ua AS u FROM eg
+         |            UNION ALL SELECT ub FROM eg)
+         |      GROUP BY 1)
+         |SELECT d.user_id, d.degree,
+         |  COALESCE(tc.n_tri, 0) AS n_triangles,
+         |  CASE WHEN d.degree >= 2 THEN
+         |    ROUND(2.0 * COALESCE(tc.n_tri, 0) /
+         |      CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+         |  END AS clustering
+         |FROM d LEFT JOIN tc USING (user_id)""").stripMargin,
     // top-k as the bounded aggregate ≡ the window restatement; the
     // vs-mean ratio is the q135 exact-long-numerator trick
     "q251_key_skew" ->

@@ -2081,4 +2081,144 @@ object Events {
           col("n_at_risk").cast("double"), 6).as("hazard"),
         col("km_log_survival"))
   }
+
+  /** Per-user triangle count + local clustering coefficient over the
+    * co-session graph — the cohesion census on the social structure
+    * [[sessionOverlapMatrix]] exposes, completing the graph family
+    * (CC says WHO is connected, PageRank who is CENTRAL, clustering
+    * how CLIQUISH each neighborhood is — the bot-ring/community
+    * screen). Triangles enumerate ONCE each via the oriented wedge
+    * join (a < b < c: edges (a,b)⋈(b,c) closed by a semi-join on
+    * (a,c)); per-user counts fan each triangle to its three corners;
+    * clustering = 2·T/(deg·(deg−1)) for degree ≥ 2, NULL below (the
+    * q176 degenerate rule). All counts exact ⇒ oracle-hashed (q266)
+    * against the quadratic-predicate restatement.
+    *
+    * `maxDegree` is the hot-vertex forfeit (the repo's cap
+    * discipline): vertices whose degree exceeds the cap leave the
+    * graph ENTIRELY (with all their edges — partial wedges would make
+    * count/degree/clustering mutually inconsistent); reported degrees
+    * are degrees IN the surviving graph. The cap bounds the wedge
+    * join's Σ deg² hub blowup — a celebrity vertex with 10⁶
+    * co-session partners is 10¹² wedges without it.
+    *
+    * Output: (user_id, degree, n_triangles, clustering).
+    *
+    * Reference: the graph-analytics extension surface (SURVEY.md
+    * §2.7); reference has no graph ops.
+    *
+    * Scale notes (100 TB): edges come from the bucketized interval
+    * join (never quadratic in users), are distinct per pair and
+    * localCheckpointed ONCE (three roles in the wedge join + both
+    * degree scans read them); the wedge join is two hash equi-joins
+    * bounded by Σ deg² under the cap. Fixture probe (the q155 rule):
+    * 1.4k edges / 1.4k triangles at sf0.01, 142k / 1.57M at sf0.1 —
+    * a deliberately priced pair-producing yardstick like q248. */
+  def coSessionTriangles(events: DataFrame, gapMinutes: Int = 30,
+                         maxDegree: Option[Long] = None,
+                         maxBucketPopulation: Option[Long] = None)
+      : DataFrame = {
+    val raw = sessionOverlapMatrix(events, gapMinutes,
+        maxBucketPopulation)
+      .select(col("user_a"), col("user_b"))
+    val edges = (maxDegree match {
+      case None => raw
+      case Some(cap) =>
+        require(cap >= 1L, s"maxDegree must be >= 1: $cap")
+        val r = raw.localCheckpoint() // degree scan + two semi-joins
+        val hot = r.select(col("user_a").as("user_id"))
+          .unionByName(r.select(col("user_b").as("user_id")))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("_d"))
+          .filter(col("_d") > cap)
+          .select(col("user_id"))
+        r.join(hot.select(col("user_id").as("user_a")),
+            Seq("user_a"), "left_anti")
+          .join(hot.select(col("user_id").as("user_b")),
+            Seq("user_b"), "left_anti")
+    }).localCheckpoint() // three wedge roles + degrees read it
+    val tri = edges.select(col("user_a").as("a"), col("user_b").as("b"))
+      .join(edges.select(col("user_a").as("b"), col("user_b").as("c")),
+        Seq("b"))
+      .join(edges.select(col("user_a").as("a"), col("user_b").as("c")),
+        Seq("a", "c"), "left_semi")
+    val perUser = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("user_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("_t"))
+    edges.select(col("user_a").as("user_id"))
+      .unionByName(edges.select(col("user_b").as("user_id")))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("degree"))
+      .join(perUser, Seq("user_id"), "left")
+      .select(col("user_id"), col("degree"),
+        coalesce(col("_t"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2L,
+          round(lit(2.0) * coalesce(col("_t"), lit(0L)) /
+            (col("degree") * (col("degree") - 1L)).cast("double"), 6))
+          .as("clustering"))
+  }
+
+  /** Pearson correlation between every pair of event types' DAILY
+    * volume series — the co-movement census behind "do errors spike
+    * with traffic?" and the feature-redundancy screen a metrics
+    * warehouse runs before alerting on correlated signals. Days with
+    * no events of a type count as ZERO (the series is a complete
+    * day × type grid, zero-filled) — skipping absent days would
+    * silently correlate only co-active days and overstate r.
+    *
+    * Cross-engine-exact by the q255 discipline: all six sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact integers lifted
+    * to decimal(38,0) (↔ DuckDB HUGEINT — daily counts at 100 TB can
+    * reach ~1e10 and their squared sums overflow a long), the
+    * numerator n·Σxy − Σx·Σy and both variance terms stay exact, and
+    * r is ONE double division over a product of two IEEE-exact sqrts,
+    * rounded 6dp. Zero-variance series (a type with a constant daily
+    * count) read a NULL r — the q176 degenerate-fit rule, never an
+    * Infinity/NaN that would poison the driver hash.
+    *
+    * Output: (type_a, type_b, n_days, r) for type_a < type_b.
+    *
+    * Reference: the mart rollup family (load_sales_mart.py:54-66) —
+    * the cross-series statistic over the same daily rollup axis.
+    *
+    * Scale notes (100 TB): ONE events scan reduces to the (day, type)
+    * count relation (map-side combined, localCheckpointed — it feeds
+    * the day axis, the type axis, and the grid); the zero-fill
+    * cross-join and the day-keyed pair join run on that days×types
+    * relation (enum-sized types ⇒ |days|·|types|² rows, thousands at
+    * any horizon), never on the corpus. */
+  def eventRateCorrelation(events: DataFrame): DataFrame = {
+    val dt = events.select(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val grid = dt.select(col("day")).distinct()
+      .crossJoin(dt.select(col("event_type")).distinct())
+      .join(dt, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    grid.select(col("day"), col("event_type").as("type_a"), col("n").as("_na"))
+      .join(grid.select(col("day"), col("event_type").as("type_b"),
+        col("n").as("_nb")), Seq("day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("_na"))).as("_sx"),
+        sum(dec(col("_nb"))).as("_sy"),
+        sum(dec(col("_na")) * dec(col("_nb"))).as("_sxy"),
+        sum(dec(col("_na")) * dec(col("_na"))).as("_sxx"),
+        sum(dec(col("_nb")) * dec(col("_nb"))).as("_syy"))
+      .withColumn("_num",
+        dec(col("n_days")) * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn("_dx",
+        dec(col("n_days")) * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("_dy",
+        dec(col("n_days")) * col("_syy") - col("_sy") * col("_sy"))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        when(col("_dx") > 0 && col("_dy") > 0,
+          round(col("_num").cast("double") /
+            (sqrt(col("_dx").cast("double")) *
+              sqrt(col("_dy").cast("double"))), 6)).as("r"))
+  }
 }

@@ -60,6 +60,95 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
         .cast("long").as("n_bpe_tokens"))
 
+  /** Per-source Flesch-style readability report — the grade-level
+    * screen a curation pipeline runs alongside the stopword/length
+    * heuristics (Flesch 1948; the classic reading-ease formula over
+    * words-per-sentence and syllables-per-word). Counting rules are
+    * pinned exactly so the report is oracle-hashable (q262):
+    * words = whitespace tokens; sentences = terminator RUNS
+    * (`[.!?]+`) + 1 (the trailing unterminated fragment — makes
+    * punctuation-free docs read 1 sentence, never 0); syllables =
+    * vowel GROUPS (`[aeiouy]+` over the lowercased text — groups
+    * never span the non-vowel word boundaries, so the doc-level count
+    * is the sum of per-word estimates). All three are exact longs
+    * summed per source; the formula
+    *   206.835 − 1.015·(ΣW/ΣS) − 84.6·(Σsyl/ΣW)
+    * runs on the source-level TOTALS (never an average of per-doc
+    * doubles — that would reintroduce fp association), each ratio one
+    * exact-integer division, products and subtractions mirrored
+    * term-for-term in the DuckDB oracle, rounded 6dp.
+    *
+    * Output: (source, n_docs, n_words, n_sentences, n_syllables,
+    * words_per_sentence, syllables_per_word, flesch).
+    *
+    * Reference: the per-batch validation-report family
+    * (load_sales_history.py:195-251) — a corpus-quality rollup in the
+    * same one-aggregate shape.
+    *
+    * Scale notes (100 TB): per-doc counts are three codegen'd native
+    * string/regexp expressions fused into the scan (no UDF, no
+    * shuffle); the only exchange is the source-keyed hash aggregate
+    * with map-side partials. */
+  def readabilityReport(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("_w"),
+        (regexp_count(col("text"), lit("[.!?]+")) + 1)
+          .cast("long").as("_s"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+"))
+          .cast("long").as("_y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_w")).as("n_words"),
+        sum(col("_s")).as("n_sentences"),
+        sum(col("_y")).as("n_syllables"))
+      .withColumn("_wps",
+        col("n_words").cast("double") / col("n_sentences").cast("double"))
+      .withColumn("_spw",
+        col("n_syllables").cast("double") / col("n_words").cast("double"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        round(col("_wps"), 6).as("words_per_sentence"),
+        round(col("_spw"), 6).as("syllables_per_word"),
+        round(lit(206.835) - lit(1.015) * col("_wps")
+          - lit(84.6) * col("_spw"), 6).as("flesch"))
+
+  /** URL/domain census — the provenance screen a web-corpus pipeline
+    * runs before domain-level filtering (blocklists, per-domain
+    * quotas, link-farm detection): extract every `http(s)://host`
+    * mention, aggregate per HOST (lowercased — hosts are
+    * case-insensitive; paths are not and are deliberately excluded
+    * from the key): total mentions, distinct citing docs, share of
+    * all mentions. The host grammar is the RE2-safe character class
+    * `[A-Za-z0-9.-]+` shared verbatim with the DuckDB oracle (q264) —
+    * one capture group, no lookaround (the redactPii contract).
+    *
+    * Output: (domain, n_urls, n_docs, url_share), share rounded 6dp.
+    *
+    * Reference: the per-batch validation-report family
+    * (load_sales_history.py:195-251) — a corpus-provenance rollup.
+    *
+    * Scale notes (100 TB): extraction is a codegen'd native
+    * regexp_extract_all fused into the scan; the explode carries ONLY
+    * (doc_id, host) rows — URL-bearing tokens, not text; the census
+    * is one hash aggregate and the share attaches via a one-row
+    * broadcast cross join (the affinityMeasures convention), never a
+    * global window. */
+  def urlDomainCensus(docs: DataFrame): DataFrame = {
+    val hits = docs.select(col("doc_id"),
+        explode(expr(
+          "regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)"))
+          .as("_host"))
+      .select(col("doc_id"), lower(col("_host")).as("domain"))
+    val census = hits.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("doc_id")).as("n_docs"))
+    val total = census.agg(sum(col("n_urls")).as("_tot"))
+    census.crossJoin(broadcast(total))
+      .select(col("domain"), col("n_urls"), col("n_docs"),
+        round(col("n_urls").cast("double") / col("_tot").cast("double"), 6)
+          .as("url_share"))
+  }
+
   /** Duplicate word-trigram fraction of a text column (0 when the text
     * has no trigrams) — usable standalone in any curation filter. */
   def dupTrigramFraction(text: Column): Column = {
@@ -3359,6 +3448,60 @@ object TextAnalysis {
           .as("loss_mask") :+
         col("n_masked"): _*)
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** BERT-style MLM sample generation over PACKED sequences — the
+    * step a masked-LM pretraining pipeline appends after
+    * [[packTokenSequences]]: per sequence, select ~`maskRate` of
+    * content positions and rewrite them 80/10/10 ([MASK] / random
+    * vocab id / kept), emitting the masked ids plus aligned labels
+    * (original id at selected positions, −100 elsewhere — the
+    * standard ignore-index). All decisions are deterministic hashes
+    * of (salt, sequence identity, position) via the
+    * [[graft.functions.MlmMask]] codegen kernel (one generated O(n)
+    * pass per row — a higher-order transform would run interpreted
+    * per element, the q94-class trap), so re-runs, replayed stream
+    * batches and resumed trainers see byte-identical samples.
+    *
+    * The id SPACE is artifact-owned (the canonical-index idCol rule):
+    * |vocab| is read back from the stored BPE model — UNK = |vocab|
+    * (the existing convention), [MASK] = |vocab| + 1 (one past UNK),
+    * and random replacements draw from [0, |vocab|) — real content
+    * ids only, never the specials (replacing with UNK/MASK would
+    * teach the model to predict content from its own sentinels). The
+    * packer's negative eos sentinel is structural and never selected.
+    *
+    * Output: keyCols ++ (seq_id, n_tokens, masked_ids, labels,
+    * n_selected, n_mask_tok, n_random, n_kept). Array columns stay in
+    * the library API; driver bindings scalarize (the q94 rule).
+    *
+    * Reference: the row-level transform family (etl_pipeline.py R1)
+    * applied to the token-shard layout.
+    *
+    * Scale notes (100 TB): zero shuffle — one codegen projection over
+    * the sequence relation; the only driver state is the model-sized
+    * vocab count read once from the artifact. */
+  def mlmMaskSequences(spark: org.apache.spark.sql.SparkSession,
+                       seqs: DataFrame, modelPath: String,
+                       maskRate: Double = 0.15,
+                       keyCols: Seq[String] = Seq("shard"),
+                       salt: String = "graft.mlm.v1"): DataFrame = {
+    require(maskRate > 0.0 && maskRate < 1.0,
+      s"maskRate must be in (0, 1): $maskRate")
+    val vocabN = readBpeVocabIds(spark, modelPath).count()
+    require(vocabN >= 1, s"stored vocabulary at $modelPath is empty")
+    val ratePpm = math.round(maskRate * 1e6).toInt
+    val key = xxhash64(lit(salt) +: (keyCols.map(col) :+ col("seq_id")): _*)
+    val m = graft.functions.MlmMask.mlm_mask(col("token_ids"), key,
+      ratePpm, maskId = vocabN + 1L, vocabSize = vocabN)
+    seqs.withColumn("_m", m)
+      .select(keyCols.map(col) ++ Seq(col("seq_id"), col("n_tokens"),
+        col("_m.masked_ids").as("masked_ids"),
+        col("_m.labels").as("labels"),
+        col("_m.n_selected").as("n_selected"),
+        col("_m.n_mask_tok").as("n_mask_tok"),
+        col("_m.n_random").as("n_random"),
+        col("_m.n_kept").as("n_kept")): _*)
   }
 
   /** The concat-and-cut layout's piece relation, shared by

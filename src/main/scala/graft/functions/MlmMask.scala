@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** BERT-style MLM masking of a packed token-id sequence (Devlin et
+  * al. 2019 §3.1: select ~15% of positions; of those 80% → [MASK],
+  * 10% → a random vocab id, 10% → kept verbatim — all three carry the
+  * original id as the training label; unselected positions carry the
+  * conventional ignore-index −100). Every decision is a deterministic
+  * hash of (sequence key, position, decision stream) — the repo's
+  * no-wall-clock/no-randomness rule — so a re-run, a replayed stream
+  * batch, and a resumed trainer all see byte-identical samples.
+  * Negative ids (the packer's eos sentinel) are never selected: they
+  * are structural, not content.
+  *
+  * Left child: the token-id array. Right child: the 64-bit sequence
+  * key (hash of salt + the layout's sequence identity, computed
+  * OUTSIDE so the kernel stays layout-agnostic). `ratePpm` is the
+  * selection rate in parts-per-million (exact integer threshold on a
+  * 10⁶-bucket uniform — 1e-6 granularity); `maskId` the [MASK] id;
+  * `vocabSize` the EXCLUSIVE bound for random-replacement ids (real
+  * vocab ids only — never UNK/MASK, which would teach the model to
+  * predict content from its own specials).
+  *
+  * A higher-order restatement (`transform` with per-element
+  * `xxhash64`) evaluates INTERPRETED and allocates per element — this
+  * is one generated-Java O(n) pass per row (the repo's per-row-loop
+  * rule; the q94 reassembly lesson).
+  *
+  * Reference: the row-level transform family (etl_pipeline.py R1) —
+  * the sample-preparation step a pretraining data pipeline appends
+  * after packing. */
+case class MlmMask(left: Expression, right: Expression, ratePpm: Int,
+                   maskId: Long, vocabSize: Long)
+    extends BinaryExpression {
+  require(ratePpm > 0 && ratePpm < 1000000,
+    s"ratePpm must be in (0, 1e6): $ratePpm")
+  require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+
+  override def dataType: DataType = MlmMask.OutType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<bigint>, bigint), got $other")
+    }
+
+  override def nullSafeEval(ids: Any, key: Any): Any =
+    MlmMask.mask(ids.asInstanceOf[ArrayData], key.asInstanceOf[Long],
+      ratePpm, maskId, vocabSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, k) =>
+      s"graft.functions.MlmMask.mask($a, $k, $ratePpm, ${maskId}L, ${vocabSize}L)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): MlmMask =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "mlm_mask"
+}
+
+object MlmMask {
+  val OutType: StructType = StructType(Seq(
+    StructField("masked_ids", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("labels", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("n_selected", LongType, nullable = false),
+    StructField("n_mask_tok", LongType, nullable = false),
+    StructField("n_random", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false)))
+
+  /** Per-(key, position, stream) 64-bit mix — splitmix-style finalizer
+    * so adjacent positions decorrelate; an equality fingerprint for
+    * decisions, not a stored format (the WindowHashes constant rule). */
+  private def mix(key: Long, pos: Long, stream: Long): Long = {
+    var h = key ^ (stream * 0x9e3779b185ebca87L)
+    h = (h ^ pos) * 0xc2b2ae3d27d4eb4fL
+    h ^= (h >>> 29)
+    h *= 0x165667b19e3779f9L
+    h ^= (h >>> 32)
+    h
+  }
+
+  /** Kernel (called from generated code): one O(n) pass. NULL slots
+    * fail loudly (the WindowHashes rule — getLong would alias NULL to
+    * id 0 and silently mask fabricated content). */
+  def mask(ids: ArrayData, key: Long, ratePpm: Int, maskId: Long,
+           vocabSize: Long): InternalRow = {
+    val n = ids.numElements()
+    val out = new Array[Any](n)
+    val lab = new Array[Any](n)
+    var nSel = 0L; var nMask = 0L; var nRand = 0L; var nKeep = 0L
+    var i = 0
+    while (i < n) {
+      if (ids.isNullAt(i)) throw new IllegalArgumentException(
+        s"mlm_mask: NULL token id at position $i")
+      val t = ids.getLong(i)
+      var m = t
+      var l = -100L
+      if (t >= 0L) {
+        val u = java.lang.Long.remainderUnsigned(
+          mix(key, i.toLong, 1L), 1000000L)
+        if (u < ratePpm) {
+          nSel += 1L
+          l = t
+          val a = java.lang.Long.remainderUnsigned(
+            mix(key, i.toLong, 2L), 10L)
+          if (a <= 7L) { m = maskId; nMask += 1L }
+          else if (a == 8L) {
+            m = java.lang.Long.remainderUnsigned(
+              mix(key, i.toLong, 3L), vocabSize)
+            nRand += 1L
+          } else nKeep += 1L
+        }
+      }
+      out(i) = m
+      lab(i) = l
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(out), new GenericArrayData(lab),
+      nSel, nMask, nRand, nKeep))
+  }
+
+  def mlm_mask(ids: Column, seqKey: Column, ratePpm: Int, maskId: Long,
+               vocabSize: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(MlmMask(ColumnBridge.expression(ids),
+      ColumnBridge.expression(seqKey), ratePpm, maskId, vocabSize))
+  }
+}

@@ -972,6 +972,50 @@ object EventStream {
         }
       }
 
+  /** Absorbing GOLDEN-CATALOG stream — the MDM member of the
+    * score-then-merge family ([[ingestReputationStream]]'s shape)
+    * completing the incremental golden-record ladder: each
+    * micro-batch of entity rows is first consolidated against the
+    * catalog AS IT STOOD (its own tag excluded —
+    * [[graft.ext.Dedup.goldenRecordsAgainstCatalog]] re-resolves
+    * exactly the entities the batch touches, including batch docs
+    * that BRIDGE two stored entities), the resolved records land
+    * under `resolvedPath/batch_id=N` with overwrite, and the batch's
+    * member rows + new pair edges are appended LAST with the batch
+    * tag ([[graft.ext.Dedup.appendGoldenCatalog]]).
+    *
+    * Crash-window contract (the byte-dedup replay class): the probe
+    * excludes rows tagged with the current batch id, so a replay
+    * resolves against the same pre-batch catalog whether or not the
+    * first attempt's append committed; a re-appended batch lands
+    * byte-identical tagged rows that every catalog reader
+    * distinct-collapses. The match recipe (key/attrs/distance/
+    * blocking) is entirely sidecar-owned — the stream takes no
+    * matching knobs, so it can never drift from the artifact.
+    *
+    * Scale notes (100 TB stream): per batch, pairing is the capped
+    * fuzzy blocked join (batch×batch + batch×stored), CC runs over
+    * the pair-bounded edge relation only, and members/votes scope to
+    * TOUCHED entities by one semi-join — history is never re-paired. */
+  def goldenCatalogIngestStream(rows: DataFrame, catalogPath: String,
+                                resolvedPath: String,
+                                checkpoint: String): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // consumed twice: probe + absorb
+          graft.ext.Dedup.goldenRecordsAgainstCatalog(b.sparkSession, b,
+              catalogPath, excludeBatchId = Some(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$resolvedPath/batch_id=$batchId")
+          graft.ext.Dedup.appendGoldenCatalog(b, catalogPath,
+            batchId = Some(batchId))
+        }
+      }
+
   /** Streaming tokenizer — the end-product stream over the READ-ONLY
     * BPE model artifact: each micro-batch of documents is tokenized to
     * id sequences under the STORED merges + vocabulary

@@ -42,7 +42,8 @@ class SparkEntrySpec extends SparkSpec {
       "q228_event_outliers_approx", "q233_pruned_vocab_coverage",
       "q245_perceptual_gate_funnel", "q248_cosession_pagerank",
       "q252_scene_changes", "q254_golden_records",
-      "q258_golden_incremental", "q259_pagerank_residuals"),
+      "q258_golden_incremental", "q259_pagerank_residuals",
+      "q265_mlm_masked_sequences"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

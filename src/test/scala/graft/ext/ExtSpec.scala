@@ -5978,4 +5978,140 @@ class ExtSpec extends SparkSpec {
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
     assert(out == Map(10L -> 2L, 20L -> 1L))
   }
+
+  test("coSessionTriangles: hand-built triangle, degree-1 NULL, maxDegree forfeit") {
+    // users 1,2,3 co-sessioned 10:00-10:10 (one triangle); user 1's
+    // session runs to 11:00 and user 4 (10:55-11:00) overlaps ONLY 1;
+    // user 5 is isolated (no graph row)
+    val ev = Seq(
+        (1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 10:20:00"),
+        (3L, 1L, "2024-01-01 10:40:00"), (4L, 1L, "2024-01-01 11:00:00"),
+        (5L, 2L, "2024-01-01 10:00:00"), (6L, 2L, "2024-01-01 10:10:00"),
+        (7L, 3L, "2024-01-01 10:01:00"), (8L, 3L, "2024-01-01 10:09:00"),
+        (9L, 4L, "2024-01-01 10:55:00"), (10L, 4L, "2024-01-01 11:00:00"),
+        (11L, 5L, "2024-01-02 09:00:00"))
+      .map { case (e, u, t) => (e, u, java.sql.Timestamp.valueOf(t)) }
+      .toDF("event_id", "user_id", "ts")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    val out = asMap(Events.coSessionTriangles(ev))
+    assert(out == Map(
+      1L -> ((3L, 1L, Some(0.333333))),
+      2L -> ((2L, 1L, Some(1.0))),
+      3L -> ((2L, 1L, Some(1.0))),
+      4L -> ((1L, 0L, None))), s"got $out")
+    // maxDegree 2: hub user 1 forfeits ENTIRELY with its edges —
+    // survivors are (2,3) only; user 4 loses its only edge and leaves
+    val capped = asMap(Events.coSessionTriangles(ev, maxDegree = Some(2L)))
+    assert(capped == Map(
+      2L -> ((1L, 0L, None)),
+      3L -> ((1L, 0L, None))), s"got $capped")
+  }
+
+  test("eventRateCorrelation: ±1 extremes, constant NULL, zero-filled absent days") {
+    // daily counts over 4 days: a=(1,2,3,4), b=2a (r=1), c=reverse
+    // (r=-1), d constant (zero variance → NULL), e present day 1 only
+    // (the zero-fill claim: series (1,0,0,0), hand-computed r with a)
+    val rows = for {
+      (t, counts) <- Seq("a" -> Seq(1, 2, 3, 4), "b" -> Seq(2, 4, 6, 8),
+        "c" -> Seq(4, 3, 2, 1), "d" -> Seq(2, 2, 2, 2),
+        "e" -> Seq(1, 0, 0, 0))
+      (n, d) <- counts.zipWithIndex
+      _ <- 1 to n
+    } yield (java.sql.Timestamp.valueOf(s"2024-01-0${d + 1} 10:00:00"), t)
+    val out = Events.eventRateCorrelation(rows.toDF("ts", "event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(("a", "b")) == ((4L, Some(1.0))), s"got $out")
+    assert(out(("a", "c")) == ((4L, Some(-1.0))), s"got $out")
+    assert(out(("a", "d"))._2.isEmpty && out(("b", "d"))._2.isEmpty,
+      s"constant series must read NULL r: $out")
+    // a=(1,2,3,4) vs e=(1,0,0,0): r = -6/sqrt(20*3) = -0.774597
+    assert(out(("a", "e")) == ((4L, Some(-0.774597))), s"got $out")
+    assert(out.size == 10, s"expected all 10 pairs: ${out.keySet}")
+  }
+
+  test("readabilityReport: pinned sentence/word/syllable rules, exact formula") {
+    val docs = Seq((1L, "Hello world. Bye", "s1"), (2L, "abc def", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.readabilityReport(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    // words 3; one terminator run + the trailing fragment = 2
+    // sentences; vowel groups: e,o | o | ye = 4 syllables
+    assert(s1.getAs[Long]("n_words") == 3L &&
+      s1.getAs[Long]("n_sentences") == 2L &&
+      s1.getAs[Long]("n_syllables") == 4L, s"got $s1")
+    assert(s1.getAs[Double]("words_per_sentence") == 1.5 &&
+      s1.getAs[Double]("syllables_per_word") == 1.333333, s"got $s1")
+    // 206.835 - 1.015*1.5 - 84.6*(4/3) = 92.5125
+    assert(s1.getAs[Double]("flesch") == 92.5125, s"got $s1")
+    val s2 = out("s2")
+    // no terminator: the +1 rule reads ONE sentence, never zero
+    assert(s2.getAs[Long]("n_sentences") == 1L &&
+      s2.getAs[Double]("flesch") == 120.205, s"got $s2")
+  }
+
+  test("urlDomainCensus: hosts lowered, paths excluded, distinct docs, shares") {
+    val docs = Seq(
+        (1L, "see https://A.com/x and https://a.com/y plus http://b.org"),
+        (2L, "nothing here"),
+        (3L, "again https://a.com!"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.urlDomainCensus(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map("a.com" -> ((3L, 2L, 0.75)),
+      "b.org" -> ((1L, 1L, 0.25))), s"got $out")
+  }
+
+  test("mlmMask: deterministic, rate-bounded, 80/10/10 shape, eos untouched, label duality") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mlm").toString
+    // tiny stored model: vocab {ab→0, c→1}, UNK=2, [MASK]=3
+    val train = Seq((1L, "ab ab c"), (2L, "c ab")).toDF("doc_id", "text")
+    TextAnalysis.writeBpeModel(
+      TextAnalysis.learnBpeMerges(train, nMerges = 1), s"$dir/model")
+    TextAnalysis.writeBpeVocab(train, s"$dir/model")
+    val ids = (0 until 1000).map(i => (i % 2).toLong)
+    val seqs = Seq(
+        (0L, 1L, ids, ids.size.toLong),
+        (0L, 2L, Seq.fill(8)(-1L), 8L)) // all-eos row: structural only
+      .toDF("shard", "seq_id", "token_ids", "n_tokens")
+    def run() = TextAnalysis.mlmMaskSequences(spark, seqs, s"$dir/model")
+      .collect().map(r => r.getLong(1) -> r).toMap
+    val a = run(); val b = run()
+    // byte-identical across runs (no wall clock, no randomness)
+    assert(a(1L).getAs[scala.collection.Seq[Long]]("masked_ids") ==
+      b(1L).getAs[scala.collection.Seq[Long]]("masked_ids") &&
+      a(1L).getAs[scala.collection.Seq[Long]]("labels") == b(1L).getAs[scala.collection.Seq[Long]]("labels"))
+    val r1 = a(1L)
+    val nSel = r1.getAs[Long]("n_selected")
+    assert(nSel == r1.getAs[Long]("n_mask_tok") +
+      r1.getAs[Long]("n_random") + r1.getAs[Long]("n_kept"))
+    // binomial(1000, 0.15): far outside [100, 200] would be a rate bug
+    assert(nSel >= 100L && nSel <= 200L, s"selection rate off: $nSel")
+    assert(r1.getAs[Long]("n_mask_tok") > r1.getAs[Long]("n_random") &&
+      r1.getAs[Long]("n_mask_tok") > r1.getAs[Long]("n_kept"),
+      "80/10/10 shape lost")
+    val masked = r1.getAs[scala.collection.Seq[Long]]("masked_ids")
+    val labels = r1.getAs[scala.collection.Seq[Long]]("labels")
+    // unselected positions pass through; selected labels carry the
+    // original id; masked values only {orig, [MASK]=3, random∈[0,2)}
+    masked.indices.foreach { i =>
+      if (labels(i) == -100L) assert(masked(i) == ids(i))
+      else assert(labels(i) == ids(i))
+      assert(masked(i) == ids(i) || masked(i) == 3L ||
+        (masked(i) >= 0L && masked(i) < 2L))
+    }
+    assert(masked.contains(3L), "no [MASK] token in 1000 positions")
+    // the all-eos row is never selected and passes through verbatim
+    val r2 = a(2L)
+    assert(r2.getAs[Long]("n_selected") == 0L &&
+      r2.getAs[scala.collection.Seq[Long]]("masked_ids") == Seq.fill(8)(-1L) &&
+      r2.getAs[scala.collection.Seq[Long]]("labels") == Seq.fill(8)(-100L))
+  }
 }

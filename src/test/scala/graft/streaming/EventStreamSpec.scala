@@ -29,6 +29,9 @@ class EventStreamSpec extends SparkSpec {
 
   case class SourcedDoc(doc_id: Long, text: String, source: String)
 
+  case class EntityRow(doc_id: Long, name: String, country: String,
+                       email: String)
+
   case class IngestVec(vec_id: Long, embedding: Array[Float])
 
   case class IngestUser(event_type: String, user_id: Long)
@@ -1192,6 +1195,66 @@ class EventStreamSpec extends SparkSpec {
         spark, s"$dir/prof").collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
     assert(est == Map("click" -> 75L, "view" -> 30L), s"got $est")
+  }
+
+  test("golden catalog absorb stream resolves pre-batch, exactly once under replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_golden").toString
+    // catalog: entity {1,2} plus untouched singleton 20
+    val catalog = Seq(
+        (1L, "acme corp", "PT", "a@x"),
+        (2L, "acme corp.", "ES", null),
+        (20L, "solo co", "DE", null))
+      .toDF("doc_id", "name", "country", "email")
+    graft.ext.Dedup.writeGoldenCatalog(catalog, s"$dir/cat", "name",
+      Seq("country", "email"))
+    val mem = MemoryStream[EntityRow]
+    def drain(): Unit = {
+      val q = EventStream.goldenCatalogIngestStream(mem.toDF(),
+        s"$dir/cat", s"$dir/resolved", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4)))).toMap
+    // batch 0: 100 joins {1,2} (2 edits of "acme corp"), country PT
+    // breaks the 1-1 tie → majority PT
+    val b0 = EntityRow(100L, "acme corp!!", "PT", null)
+    mem.addData(b0)
+    drain()
+    // crash window: resolution + append committed, checkpoint commit
+    // lost — the replay must re-land the PRE-absorb resolution (own
+    // tag excluded) and the re-append must collapse byte-identically
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain()
+    // batch 1: a fresh singleton
+    mem.addData(EntityRow(101L, "brand new", "XX", "n@z"))
+    drain()
+    // batch 0's landed resolution = the batch-API probe with the same
+    // exclusion (stream ≡ batch), scoped to the touched entity only
+    val landed0 = asMap(spark.read.parquet(s"$dir/resolved/batch_id=0"))
+    val api0 = asMap(graft.ext.Dedup.goldenRecordsAgainstCatalog(spark,
+      Seq((b0.doc_id, b0.name, b0.country, b0.email))
+        .toDF("doc_id", "name", "country", "email"),
+      s"$dir/cat", excludeBatchId = Some(0L)))
+    assert(landed0 == api0, s"stream landing $landed0 != batch API $api0")
+    assert(landed0.keySet == Set(1L) && landed0(1L)._2 == 3L &&
+      landed0(1L)._3 == "PT", s"got $landed0")
+    // exactly-once despite the replayed append: the stored route over
+    // the absorbed catalog equals the live op on the full union
+    val live = asMap(graft.ext.Dedup.goldenRecords(
+      catalog.unionByName(Seq(
+          (100L, "acme corp!!", "PT", null),
+          (101L, "brand new", "XX", "n@z"))
+        .toDF("doc_id", "name", "country", "email")),
+      "name", Seq("country", "email")))
+    val stored = asMap(graft.ext.Dedup.goldenRecordsFromCatalog(
+      spark, s"$dir/cat"))
+    assert(stored == live, s"stored $stored != live $live")
   }
 
   test("tokenize stream lands per-batch sequences with model-frozen ids, exactly once") {
