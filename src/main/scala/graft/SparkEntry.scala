@@ -2594,6 +2594,32 @@ object SparkEntry {
     // at sf0.01, 142k at sf0.1 — the q248-class priced yardstick)
     "q266_cosession_triangles" -> ((s, dir) =>
       ext.Events.coSessionTriangles(Tables.events(s, dir))),
+    // seasonal-naive WAPE backtest (lag 7) — two exact long sums, one
+    // division; the fixture's 30-day span scores 23 days per type
+    "q267_seasonal_naive_wape" -> ((s, dir) =>
+      ext.Events.seasonalNaiveWape(Tables.events(s, dir))),
+    // trailing-median volume anomaly screen — division-free exact
+    // verdicts; the uniform fixture flags nothing (the passing state,
+    // q166 class); crafted spikes are spec-pinned
+    "q268_volume_anomaly_days" -> ((s, dir) =>
+      ext.Events.volumeAnomalyDays(Tables.events(s, dir))),
+    // T5 span corruption over the q94 layout (sentinels = |vocab|+2+k,
+    // invertible — the round-trip is spec-pinned); digests + exact
+    // span counts for the driver. Rows-only (the q94-class exclusion)
+    "q269_span_corrupt_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val docs = Tables.documents(s, dir)
+      val path = ext.TextAnalysis.ensureBpeModel(docs,
+        "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
+      val seqs = ext.TextAnalysis.packTokenSequences(
+        ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path),
+        seqLen = 128, shards = 4)
+      ext.TextAnalysis.spanCorruptSequences(s, seqs, path)
+        .select(col("shard"), col("seq_id"), col("n_tokens"),
+          xxhash64(col("inputs")).as("inputs_digest"),
+          xxhash64(col("targets")).as("targets_digest"),
+          col("n_spans"), col("n_corrupted"))
+    }),
   )
 
   /** q69's duplicate-group key, factored for every consumer (q260's
@@ -4348,6 +4374,57 @@ object SparkEntry {
          |      CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
          |  END AS clustering
          |FROM d LEFT JOIN tc USING (user_id)""").stripMargin,
+    // seasonal-naive WAPE mirrored off the same zero-filled grid:
+    // lag-7 equi-join on the epoch-day number, exact long sums, one
+    // division, NULL on all-zero actuals
+    "q267_seasonal_naive_wape" ->
+      """WITH dt AS (SELECT
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT d.dnum, t.event_type, COALESCE(dt.n, 0) AS n
+        |  FROM (SELECT DISTINCT dnum FROM dt) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM dt) t
+        |  LEFT JOIN dt ON dt.dnum = d.dnum
+        |    AND dt.event_type = t.event_type)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(a.n) AS BIGINT) AS total_actual,
+        |  CAST(SUM(abs(a.n - f.n)) AS BIGINT) AS total_abs_err,
+        |  CASE WHEN SUM(a.n) > 0 THEN
+        |    ROUND(SUM(abs(a.n - f.n)) / CAST(SUM(a.n) AS DOUBLE), 6)
+        |  END AS wape
+        |FROM grid a JOIN grid f ON a.event_type = f.event_type
+        |  AND a.dnum = f.dnum + 7
+        |GROUP BY 1""".stripMargin,
+    // trailing-median anomaly screen: the same grid with the day
+    // string, BETWEEN restating the sequence() fan-out, list_sort
+    // type-1 median pick, division-free exact verdicts
+    "q268_volume_anomaly_days" ->
+      """WITH dt AS (SELECT
+        |    epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |grid AS (SELECT d.dnum, d.day, t.event_type,
+        |    COALESCE(dt.n, 0) AS n
+        |  FROM (SELECT DISTINCT dnum, day FROM dt) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM dt) t
+        |  LEFT JOIN dt ON dt.dnum = d.dnum
+        |    AND dt.event_type = t.event_type),
+        |pr AS (SELECT g.event_type, g.dnum, g.day, g.n, w.n AS pn
+        |       FROM grid g JOIN grid w
+        |         ON w.event_type = g.event_type
+        |        AND w.dnum BETWEEN g.dnum - 7 AND g.dnum - 1),
+        |m AS (SELECT event_type, dnum, day, n,
+        |        CAST(count(*) AS BIGINT) AS np,
+        |        (list_sort(list(pn)))[4] AS trailing_median
+        |      FROM pr GROUP BY 1, 2, 3, 4)
+        |SELECT day, event_type, n, trailing_median,
+        |  CAST(CASE WHEN n > 2 * trailing_median THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_spike,
+        |  CAST(CASE WHEN n * 2 < trailing_median THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_drop
+        |FROM m WHERE np = 7""".stripMargin,
     // top-k as the bounded aggregate ≡ the window restatement; the
     // vs-mean ratio is the q135 exact-long-numerator trick
     "q251_key_skew" ->

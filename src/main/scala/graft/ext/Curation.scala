@@ -326,6 +326,13 @@ object Curation {
     *     scan, funnel row `03_word_secrets` (sorts between
     *     `03_word_blocklist` and `03a_model_gate`); stream-safe via
     *     [[streamingGates]]. None (the default) adds zero plan nodes.
+    *   - `maxUrlsPerDoc`: URL-mention ceiling (the C4-style link-farm
+    *     screen — link-stuffed pages are navigation, not prose;
+    *     [[TextAnalysis.urlDomainCensus]] is the audit that calibrates
+    *     it). One native regexp_count conjunct fused into the same
+    *     scan, funnel row `03_url_density` (sorts between
+    *     `03_source_reputation` and `03_word_blocklist`); stream-safe
+    *     via [[streamingGates]]. None (default) adds zero plan nodes.
     *   - `sequenceLayout`: how [[writeTokenShards]] lays token ids into
     *     fixed-length sequences — "concat" (default; GPT-style
     *     contiguous packing, maximal utilization, docs cross sequence
@@ -346,6 +353,7 @@ object Curation {
       maxSecretTokensPerDoc: Option[Long] = None,
       secretMinLen: Int = 20,
       secretMinDigits: Int = 4,
+      maxUrlsPerDoc: Option[Long] = None,
       maxOverlapNgrams: Long = 4,
       perLangCap: Int = 100,
       trainPct: Int = 80,
@@ -455,6 +463,16 @@ object Curation {
     graft.functions.SecretTokens
       .secret_token_count(col("text"), cfg.secretMinLen, cfg.secretMinDigits)
 
+  /** The URL-mention count the optional link-density gate thresholds
+    * (scheme hits, not host grammar — counting is cheaper than
+    * extraction and the ceiling only needs cardinality;
+    * [[TextAnalysis.urlDomainCensus]] is the audit that calibrates
+    * it) — one native regexp_count, shared by [[streamingGates]] and
+    * the funnel's `f_url` flag so batch, funnel and stream gate
+    * identically. */
+  private def urlCond: Column =
+    regexp_count(col("text"), lit("https?://")).cast("long")
+
   private def repetitionCapsCond(cfg: Config): Option[Column] =
     if (cfg.repetitionCaps.isEmpty) None
     else {
@@ -496,6 +514,8 @@ object Curation {
       "intraDocWindowTokens must be >= 2")
     require(cfg.blocklist.nonEmpty || cfg.maxBlocklistHits == 0L,
       "maxBlocklistHits gates the blocklist stage — set blocklist to enable it")
+    require(cfg.maxUrlsPerDoc.forall(_ >= 0L),
+      "maxUrlsPerDoc must be >= 0")
     require(cfg.blocklist.forall(w => w.nonEmpty && !w.contains(' ')),
       "blocklist entries must be non-empty single tokens (no spaces)")
     require(cfg.maxBlocklistHits >= 0L, "maxBlocklistHits must be >= 0")
@@ -1188,8 +1208,11 @@ object Curation {
       else heuristic
     // the optional secret-token ceiling is one more fused codegen
     // conjunct (the blocklist shape); absent entirely by default
-    val gateCond = cfg.maxSecretTokensPerDoc.fold(withBlock)(m =>
+    val withSecret = cfg.maxSecretTokensPerDoc.fold(withBlock)(m =>
       withBlock && secretCond(cfg) <= m)
+    // the optional URL-density ceiling, same fused-conjunct shape
+    val gateCond = cfg.maxUrlsPerDoc.fold(withSecret)(m =>
+      withSecret && urlCond <= m)
     val heuristicGated = docs.select(col("doc_id"), col("text"))
       .withColumn("pred_lang", TextAnalysis.langPrediction(col("text")))
       .filter(gateCond)
@@ -1444,15 +1467,20 @@ object Curation {
           .withColumn("f_src", col("_bad").isNull.cast("long"))
           .drop("_bad")
       } else flaggedBase
+    // 03_url: the optional URL-density ceiling gets its own flag +
+    // funnel slot (label sorts between 03_source_reputation and
+    // 03_word_blocklist — the cumulative order below must match)
+    val flaggedUrl = cfg.maxUrlsPerDoc.fold(flaggedSrc)(m =>
+      flaggedSrc.withColumn("f_url", (urlCond <= m).cast("long")))
     // 03_word: the optional blocklist gate gets its own flag + funnel
-    // slot (label sorts between 03_source_reputation and 03a_model_gate)
+    // slot (label sorts between 03_url_density and 03a_model_gate)
     val flaggedBlock =
       if (cfg.blocklist.nonEmpty)
-        flaggedSrc.withColumn("f_block",
+        flaggedUrl.withColumn("f_block",
           (graft.functions.BlocklistHits
             .blocklist_hits(col("text"), cfg.blocklist) <=
             cfg.maxBlocklistHits).cast("long"))
-      else flaggedSrc
+      else flaggedUrl
     // 03_word_secrets: the optional credential ceiling, same shape
     // (label sorts between 03_word_blocklist and 03a_model_gate)
     val flagged = cfg.maxSecretTokensPerDoc.fold(flaggedBlock)(m =>
@@ -1462,15 +1490,21 @@ object Curation {
     val srcCum =
       if (cfg.sourceReputationPath.isDefined) langCum * col("f_src")
       else langCum
-    val blockCum =
-      if (cfg.blocklist.nonEmpty) srcCum * col("f_block")
+    val urlCum =
+      if (cfg.maxUrlsPerDoc.isDefined) srcCum * col("f_url")
       else srcCum
+    val blockCum =
+      if (cfg.blocklist.nonEmpty) urlCum * col("f_block")
+      else urlCum
     val aggExprs = Seq(
       sum(col("f_tokens")).as("n_tok"),
       sum(col("f_tokens") * col("f_rep")).as("n_rep"),
       sum(langCum).as("n_lang")) ++
       (if (cfg.sourceReputationPath.isDefined)
         Seq(sum(srcCum).as("n_src"))
+      else Nil) ++
+      (if (cfg.maxUrlsPerDoc.isDefined)
+        Seq(sum(urlCum).as("n_url"))
       else Nil) ++
       (if (cfg.blocklist.nonEmpty)
         Seq(sum(blockCum).as("n_block"))
@@ -1487,12 +1521,17 @@ object Curation {
     val gateFilter = Seq(
       Some(col("f_tokens") === 1 && col("f_rep") === 1 && col("f_lang") === 1),
       cfg.sourceReputationPath.map(_ => col("f_src") === 1),
+      cfg.maxUrlsPerDoc.map(_ => col("f_url") === 1),
       if (cfg.blocklist.nonEmpty) Some(col("f_block") === 1) else None,
       cfg.maxSecretTokensPerDoc.map(_ => col("f_secret") === 1))
       .flatten.reduce(_ && _)
     val srcRows =
       if (cfg.sourceReputationPath.isDefined)
         Seq(("03_source_reputation", g.getAs[Long]("n_src")))
+      else Seq.empty[(String, Long)]
+    val urlRows =
+      if (cfg.maxUrlsPerDoc.isDefined)
+        Seq(("03_url_density", g.getAs[Long]("n_url")))
       else Seq.empty[(String, Long)]
     val blockRows =
       if (cfg.blocklist.nonEmpty)
@@ -1504,7 +1543,8 @@ object Curation {
       else Seq.empty[(String, Long)]
     val heuristicGated = flagged
       .filter(gateFilter)
-      .drop("f_tokens", "f_rep", "f_lang", "f_src", "f_block", "f_secret")
+      .drop("f_tokens", "f_rep", "f_lang", "f_src", "f_url", "f_block",
+        "f_secret")
       .persist()
     heuristicGated.count() // materialize BEFORE the next stage reads it twice
     hygieneCached.foreach(_.unpersist())
@@ -1637,7 +1677,7 @@ object Curation {
     (Seq(("00_input", nInput)) ++ hygieneRows ++ Seq(
       ("01_min_tokens", g.getLong(1)),
       ("02_repetition", g.getLong(2)),
-      ("03_language", g.getLong(3))) ++ srcRows ++ blockRows ++
+      ("03_language", g.getLong(3))) ++ srcRows ++ urlRows ++ blockRows ++
       secretRows ++ modelRows ++ lmRows ++ Seq(
       ("04_exact_dedup", nExact),
       ("05_near_dedup", nNear)) ++ bloomRows ++ semRows ++ winnowRows ++

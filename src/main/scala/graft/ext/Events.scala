@@ -2185,18 +2185,35 @@ object Events {
     * cross-join and the day-keyed pair join run on that days×types
     * relation (enum-sized types ⇒ |days|·|types|² rows, thousands at
     * any horizon), never on the corpus. */
-  def eventRateCorrelation(events: DataFrame): DataFrame = {
+  /** The zero-filled day × type daily-count grid shared by every
+    * daily-series op ([[eventRateCorrelation]] q262,
+    * [[seasonalNaiveWape]] q267, [[volumeAnomalyDays]] q268 — the
+    * factored-never-copied rule): one events scan reduces to the
+    * (day, type) count relation (map-side combined,
+    * localCheckpointed), the day axis × the enum-sized type axis
+    * cross join zero-fills absent cells. `day` carries both the q89
+    * string form and the exact epoch-day number `dnum` for lag/window
+    * arithmetic (`div` truncates toward zero ≡ floor on these
+    * positive post-1970 epochs — the q166 caveat applies before
+    * 1970). */
+  private def dailyTypeGrid(events: DataFrame): DataFrame = {
     val dt = events.select(
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("dnum"),
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
         col("event_type"))
-      .groupBy(col("day"), col("event_type"))
+      .groupBy(col("dnum"), col("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
-    val grid = dt.select(col("day")).distinct()
+    dt.select(col("dnum"), col("day")).distinct()
       .crossJoin(dt.select(col("event_type")).distinct())
-      .join(dt, Seq("day", "event_type"), "left")
-      .select(col("day"), col("event_type"),
+      .join(dt, Seq("dnum", "day", "event_type"), "left")
+      .select(col("dnum"), col("day"), col("event_type"),
         coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  def eventRateCorrelation(events: DataFrame): DataFrame = {
+    val grid = dailyTypeGrid(events)
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     grid.select(col("day"), col("event_type").as("type_a"), col("n").as("_na"))
       .join(grid.select(col("day"), col("event_type").as("type_b"),
@@ -2220,5 +2237,94 @@ object Events {
           round(col("_num").cast("double") /
             (sqrt(col("_dx").cast("double")) *
               sqrt(col("_dy").cast("double"))), 6)).as("r"))
+  }
+
+  /** Seasonal-naive forecast backtest per event type — the sanity
+    * baseline every volume forecast must beat (forecast for day d =
+    * the actual `lagDays` earlier; error scored as WAPE =
+    * Σ|actual − forecast| / Σactual). WAPE deliberately, not MAPE: a
+    * mean of per-day ratios is a sum of arbitrary doubles (fp
+    * association — unhashable) and explodes on zero-count days; WAPE
+    * is TWO exact long sums and ONE division, rounded 6dp ⇒
+    * oracle-hashed (q267). Scored days are grid days whose lag
+    * counterpart is also in the observed span (zero-filled — a
+    * quiet day forecasts and scores as 0, never drops out).
+    *
+    * Output: (event_type, n_days, total_actual, total_abs_err, wape);
+    * all-zero actuals read a NULL wape (the q176 rule).
+    *
+    * Reference: the mart rollup family (load_sales_mart.py:54-66) —
+    * the forecast-quality statistic over the same daily axis.
+    *
+    * Scale notes (100 TB): one events scan via [[dailyTypeGrid]];
+    * the lag join and the closing aggregate run on the days×types
+    * grid (enum-sized types ⇒ thousands of rows at any horizon). */
+  def seasonalNaiveWape(events: DataFrame, lagDays: Int = 7): DataFrame = {
+    require(lagDays >= 1, s"lagDays must be >= 1: $lagDays")
+    val grid = dailyTypeGrid(events).localCheckpoint()
+    val f = grid.select(col("event_type"),
+      (col("dnum") + lagDays).as("dnum"), col("n").as("_f"))
+    grid.join(f, Seq("event_type", "dnum"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n")).as("total_actual"),
+        sum(abs(col("n") - col("_f"))).as("total_abs_err"))
+      .select(col("event_type"), col("n_days"), col("total_actual"),
+        col("total_abs_err"),
+        when(col("total_actual") > 0L,
+          round(col("total_abs_err").cast("double") /
+            col("total_actual").cast("double"), 6)).as("wape"))
+  }
+
+  /** Daily volume anomaly screen per event type — each day's count
+    * against the EXACT type-1 median of the trailing `window` days
+    * (zero-filled, full windows only): spike = count > factor·median,
+    * drop = factor·count < median — both comparisons exact long
+    * arithmetic, division-free, so the whole report oracle-hashes
+    * (q268). The median over a fixed small window is a
+    * `sort_array(collect_list)` pick (window-sized arrays on the
+    * day-bounded grid — never a corpus window), and the trailing
+    * window is the q187 rule: DISTINCT days × `sequence()` fan-out
+    * EQUI-join, never a range join.
+    *
+    * Output: (day, event_type, n, trailing_median, is_spike,
+    * is_drop) for every day with a full trailing window. The uniform
+    * fixture flags nothing organic — the passing state; crafted
+    * spikes are spec-pinned.
+    *
+    * Reference: the per-batch validation family
+    * (load_sales_history.py:195-251) given a time axis — the
+    * feed-health monitor behind [[feedGapReport]]'s coarser
+    * missing-hours screen.
+    *
+    * Scale notes (100 TB): everything after the one [[dailyTypeGrid]]
+    * scan is grid-sized (days × types × window fan-out). */
+  def volumeAnomalyDays(events: DataFrame, window: Int = 7,
+                        spikeFactor: Long = 2L): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(spikeFactor >= 1L, s"spikeFactor must be >= 1: $spikeFactor")
+    val k = (window + 1) / 2 // type-1 median rank
+    val grid = dailyTypeGrid(events).localCheckpoint()
+    val probes = grid
+      .select(col("event_type"), col("dnum"),
+        explode(expr(s"sequence(1, $window)")).as("_back"))
+      .select(col("event_type"), col("dnum"),
+        (col("dnum") - col("_back")).as("_pd"))
+    val prior = grid.select(col("event_type"), col("dnum").as("_pd"),
+      col("n").as("_pn"))
+    val med = probes.join(prior, Seq("event_type", "_pd"))
+      .groupBy(col("event_type"), col("dnum"))
+      .agg(count(lit(1)).as("_np"),
+        sort_array(collect_list(col("_pn"))).as("_arr"))
+      .filter(col("_np") === window)
+      .select(col("event_type"), col("dnum"),
+        element_at(col("_arr"), k).as("trailing_median"))
+    grid.join(med, Seq("event_type", "dnum"))
+      .select(col("day"), col("event_type"), col("n"),
+        col("trailing_median"),
+        (col("n") > col("trailing_median") * spikeFactor).cast("long")
+          .as("is_spike"),
+        (col("n") * spikeFactor < col("trailing_median")).cast("long")
+          .as("is_drop"))
   }
 }

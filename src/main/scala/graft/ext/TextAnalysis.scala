@@ -3504,6 +3504,53 @@ object TextAnalysis {
         col("_m.n_kept").as("n_kept")): _*)
   }
 
+  /** T5-style span-corruption sample generation over PACKED
+    * sequences — the encoder-decoder pretraining twin of
+    * [[mlmMaskSequences]] (Raffel et al. 2020 §3.1.4): contiguous
+    * spans replaced by numbered sentinels in `inputs`, each sentinel
+    * followed by its span (plus a terminal sentinel) in `targets`.
+    * The encoding is INVERTIBLE — splicing targets back over the
+    * sentinels reconstructs the original sequence exactly, which is
+    * the spec anchor (the q98 decode∘encode discipline). One
+    * generated O(n) pass per row via [[graft.functions.SpanCorrupt]];
+    * all span decisions deterministic hashes of (salt, sequence
+    * identity, position).
+    *
+    * The id space is artifact-owned: sentinel k = |vocab| + 2 + k
+    * (above UNK = |vocab| and the MLM [MASK] = |vocab| + 1 — the
+    * three objective families share one disjoint id layout).
+    * `startRate` is the per-position span-START probability (ppm
+    * granularity); spans draw 2..5 tokens and never cross the
+    * packer's eos sentinels. ~15% corruption ≈ startRate 0.05.
+    *
+    * Output: keyCols ++ (seq_id, n_tokens, inputs, targets, n_spans,
+    * n_corrupted). Arrays stay in the library API (the q94 rule).
+    *
+    * Scale notes (100 TB): zero shuffle — one codegen projection; the
+    * only driver state is the model-sized vocab count. */
+  def spanCorruptSequences(spark: org.apache.spark.sql.SparkSession,
+                           seqs: DataFrame, modelPath: String,
+                           startRate: Double = 0.05,
+                           maxSpans: Int = 64,
+                           keyCols: Seq[String] = Seq("shard"),
+                           salt: String = "graft.spancorrupt.v1")
+      : DataFrame = {
+    require(startRate > 0.0 && startRate < 1.0,
+      s"startRate must be in (0, 1): $startRate")
+    val vocabN = readBpeVocabIds(spark, modelPath).count()
+    require(vocabN >= 1, s"stored vocabulary at $modelPath is empty")
+    val ppm = math.round(startRate * 1e6).toInt
+    val key = xxhash64(lit(salt) +: (keyCols.map(col) :+ col("seq_id")): _*)
+    val c = graft.functions.SpanCorrupt.span_corrupt(col("token_ids"),
+      key, ppm, sentinelBase = vocabN + 2L, maxSpans)
+    seqs.withColumn("_c", c)
+      .select(keyCols.map(col) ++ Seq(col("seq_id"), col("n_tokens"),
+        col("_c.inputs").as("inputs"),
+        col("_c.targets").as("targets"),
+        col("_c.n_spans").as("n_spans"),
+        col("_c.n_corrupted").as("n_corrupted")): _*)
+  }
+
   /** The concat-and-cut layout's piece relation, shared by
     * [[packTokenSequences]] (which aggregates pieces into sequences)
     * and [[sequenceProvenance]] (which reports them): per doc ×

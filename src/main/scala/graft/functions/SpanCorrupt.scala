@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** T5-style span corruption of a packed token-id sequence (Raffel et
+  * al. 2020 §3.1.4: replace contiguous spans with numbered sentinel
+  * ids; inputs keep the uncorrupted text + one sentinel per span,
+  * targets carry each sentinel followed by the span it replaced, plus
+  * a terminal sentinel). The encoding is INVERTIBLE — splicing each
+  * target segment back over its sentinel reconstructs the original
+  * sequence exactly (the round-trip is the spec anchor, the q98
+  * decode∘encode discipline).
+  *
+  * Span selection is a single greedy left-to-right pass: a content
+  * position not already covered STARTS a span with probability
+  * `startPpm` (parts-per-million, the MlmMask granularity); the span
+  * length draws 2..5 uniformly (mean 3.5 — the T5 neighborhood) from
+  * a second hash stream, and a span never crosses the packer's
+  * negative eos sentinels (eos is structural: it terminates the span
+  * early and is emitted verbatim). For ~15% token corruption use
+  * startPpm ≈ 50000 (5% starts × mean 3.5 ≈ 17%). All decisions are
+  * deterministic hashes of (sequence key, position, stream) — the
+  * no-randomness rule; replays and resumed trainers see byte-identical
+  * samples.
+  *
+  * Sentinel k (0-based, left to right) is `sentinelBase + k` —
+  * callers place the base ABOVE the model's id space (|vocab| = UNK,
+  * |vocab|+1 = [MASK], so |vocab|+2 up is free). `maxSpans` bounds the
+  * sentinel range; positions after the budget is spent pass through
+  * uncorrupted.
+  *
+  * Left child: the token-id array. Right child: the 64-bit sequence
+  * key (computed OUTSIDE — layout-agnostic, the MlmMask convention).
+  * One generated-Java O(n) pass per row (a higher-order restatement
+  * would evaluate interpreted per element). */
+case class SpanCorrupt(left: Expression, right: Expression, startPpm: Int,
+                       sentinelBase: Long, maxSpans: Int)
+    extends BinaryExpression {
+  require(startPpm > 0 && startPpm < 1000000,
+    s"startPpm must be in (0, 1e6): $startPpm")
+  require(sentinelBase >= 0L, s"sentinelBase must be >= 0: $sentinelBase")
+  require(maxSpans >= 1, s"maxSpans must be >= 1: $maxSpans")
+
+  override def dataType: DataType = SpanCorrupt.OutType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<bigint>, bigint), got $other")
+    }
+
+  override def nullSafeEval(ids: Any, key: Any): Any =
+    SpanCorrupt.corrupt(ids.asInstanceOf[ArrayData], key.asInstanceOf[Long],
+      startPpm, sentinelBase, maxSpans)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, k) =>
+      s"graft.functions.SpanCorrupt.corrupt($a, $k, $startPpm, " +
+        s"${sentinelBase}L, $maxSpans)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): SpanCorrupt =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "span_corrupt"
+}
+
+object SpanCorrupt {
+  val OutType: StructType = StructType(Seq(
+    StructField("inputs", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("targets", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("n_spans", LongType, nullable = false),
+    StructField("n_corrupted", LongType, nullable = false)))
+
+  private def mix(key: Long, pos: Long, stream: Long): Long = {
+    var h = key ^ (stream * 0x9e3779b185ebca87L)
+    h = (h ^ pos) * 0xc2b2ae3d27d4eb4fL
+    h ^= (h >>> 29)
+    h *= 0x165667b19e3779f9L
+    h ^= (h >>> 32)
+    h
+  }
+
+  /** Kernel (called from generated code): one greedy O(n) pass. NULL
+    * slots fail loudly (the WindowHashes rule). */
+  def corrupt(ids: ArrayData, key: Long, startPpm: Int, sentinelBase: Long,
+              maxSpans: Int): InternalRow = {
+    val n = ids.numElements()
+    val in = new java.util.ArrayList[Any](n)
+    val tg = new java.util.ArrayList[Any](n / 4 + 4)
+    var spans = 0L
+    var corrupted = 0L
+    var i = 0
+    while (i < n) {
+      if (ids.isNullAt(i)) throw new IllegalArgumentException(
+        s"span_corrupt: NULL token id at position $i")
+      val t = ids.getLong(i)
+      val start = t >= 0L && spans < maxSpans &&
+        java.lang.Long.remainderUnsigned(
+          mix(key, i.toLong, 1L), 1000000L) < startPpm
+      if (start) {
+        val sentinel = sentinelBase + spans
+        val len = 2L + java.lang.Long.remainderUnsigned(
+          mix(key, i.toLong, 2L), 4L) // 2..5, mean 3.5
+        in.add(sentinel)
+        tg.add(sentinel)
+        var j = 0L
+        // a span never crosses an eos sentinel or the sequence end
+        while (j < len && i < n && !ids.isNullAt(i) &&
+            ids.getLong(i) >= 0L) {
+          tg.add(ids.getLong(i))
+          corrupted += 1L
+          i += 1
+          j += 1
+        }
+        spans += 1L
+      } else {
+        in.add(t)
+        i += 1
+      }
+    }
+    // terminal sentinel closes the last target segment (T5 convention)
+    tg.add(sentinelBase + spans)
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(in.toArray),
+      new GenericArrayData(tg.toArray),
+      spans, corrupted))
+  }
+
+  def span_corrupt(ids: Column, seqKey: Column, startPpm: Int,
+                   sentinelBase: Long, maxSpans: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SpanCorrupt(ColumnBridge.expression(ids),
+      ColumnBridge.expression(seqKey), startPpm, sentinelBase, maxSpans))
+  }
+}

@@ -1050,6 +1050,40 @@ object EventStream {
         }
       }
 
+  /** Streaming MLM sample generator — [[tokenizeStream]] extended by
+    * the masking step ([[graft.ext.TextAnalysis.mlmMaskSequences]]):
+    * each micro-batch of documents is tokenized under the READ-ONLY
+    * BPE model, packed into batch-scoped sequences, and masked
+    * (15% / 80-10-10 with aligned −100-ignore labels), landing under
+    * `samplesPath/batch_id=N`. Exactly-once with no tag machinery
+    * (the decontaminationStream class): the model artifact is frozen,
+    * packing is per batch by design (the [[tokenizeStream]] offset
+    * argument), and every mask decision is a deterministic hash of
+    * (salt, shard, seq_id, position) — so a replayed batch lands
+    * byte-identical samples under the batch-keyed overwrite. The
+    * [MASK]/random id space comes from the model's stored vocabulary
+    * each batch — ids can never drift from the artifact. */
+  def mlmSampleStream(docs: DataFrame, modelPath: String,
+                      samplesPath: String, checkpoint: String,
+                      seqLen: Int = 128, shards: Int = 8,
+                      maskRate: Double = 0.15): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.TextAnalysis.mlmMaskSequences(batch.sparkSession,
+              graft.ext.TextAnalysis.packTokenSequences(
+                graft.ext.TextAnalysis.bpeTokenIdsAgainstModel(
+                  batch.sparkSession, batch, modelPath),
+                seqLen, shards),
+              modelPath, maskRate)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$samplesPath/batch_id=$batchId")
+        }
+      }
+
   /** Absorbing token-sequence stream — [[tokenizeStream]] upgraded to
     * a GLOBAL sequence namespace: each micro-batch of documents is
     * tokenized under the READ-ONLY BPE model and absorbed into the

@@ -594,4 +594,17 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(shuffledAnti.isEmpty,
       s"df-cap anti-join fell back to a shuffled join:\n$p")
   }
+
+  test("q266 triangle wedge join is all equi-joins: no cartesian, no nested-loop") {
+    // the oriented wedge enumeration must stay two hash equi-joins +
+    // a two-column semi-join — any non-equi fallback would BNLJ the
+    // edge relation against itself (the Σ deg² bound only holds for
+    // the keyed join)
+    val p = plan(SparkEntry.queries("q266_cosession_triangles")(
+      spark, sf("sf0.001")))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"CartesianProduct in q266 plan:\n$p")
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"BroadcastNestedLoopJoin in q266 plan:\n$p")
+  }
 }

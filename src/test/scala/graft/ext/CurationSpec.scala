@@ -1673,6 +1673,42 @@ class CurationSpec extends SparkSpec {
         cfg.copy(maxSecretTokensPerDoc = Some(-1L))))
   }
 
+  test("url-density gate rides the heuristic gate block with its funnel row") {
+    // plant link-stuffed docs on a slice of the corpus
+    val planted = corpus.withColumn("text",
+      when($"doc_id" % 10 === 0,
+        concat($"text", lit(" https://a.spam/x https://b.spam/y" +
+          " http://c.spam/z"))).otherwise($"text"))
+    val base = Curation.curate(planted, benchmark, cfg)
+      .collect().map(_.toSeq).toSet
+    // a never-binding ceiling reproduces the default chain exactly
+    val loose = Curation.curate(planted, benchmark,
+        cfg.copy(maxUrlsPerDoc = Some(Long.MaxValue)))
+      .collect().map(_.toSeq).toSet
+    assert(loose == base,
+      "a never-binding URL ceiling must reproduce the default chain")
+    val baseIds = base.map(_.head.asInstanceOf[Long])
+    assert(baseIds.exists(_ % 10 == 0),
+      "the planted slice must survive the default chain for the gate to bind")
+    // a 2-URL ceiling drops exactly the 3-URL planted docs
+    val bound = cfg.copy(maxUrlsPerDoc = Some(2L))
+    val curated = Curation.curate(planted, benchmark, bound)
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated.nonEmpty && curated.forall(_ % 10 != 0),
+      "every planted doc must fall at the URL-density gate")
+    // funnel: the row exists, sits in the claimed cumulative position
+    // (between 03_source's slot-family start and the blocklist slot),
+    // and the chain output matches the final row
+    val byStage = Curation.curationFunnel(planted, benchmark, bound)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.contains("03_url_density"))
+    assert(byStage("03_url_density") <= byStage("03_language"))
+    assert(byStage("04_exact_dedup") <= byStage("03_url_density"))
+    assert(byStage("07_quota") == curated.size.toLong)
+    intercept[IllegalArgumentException](
+      Curation.curate(corpus, benchmark, cfg.copy(maxUrlsPerDoc = Some(-1L))))
+  }
+
   test("per-language token budget slots between rate mix and count quota") {
     // a never-binding budget leaves the chain exactly at its default
     val base = Curation.curate(corpus, benchmark, cfg)

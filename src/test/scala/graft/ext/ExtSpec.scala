@@ -5979,6 +5979,54 @@ class ExtSpec extends SparkSpec {
     assert(out == Map(10L -> 2L, 20L -> 1L))
   }
 
+  test("seasonalNaiveWape: hand-computed errors, zero-filled quiet type reads NULL") {
+    // type x: days 1-7 count 1, day 8 = 2, day 9 = 1, day 10 = 3;
+    // lag 7 scores days 8/9/10 vs days 1/2/3 → |2-1|+|1-1|+|3-1| = 3
+    // over actual 6 → wape 0.5. Type z appears day 1 only: its scored
+    // actuals are all zero-filled zeros (total_actual 0 → NULL wape)
+    // but day 1's count still forecasts day 8 → abs_err 1
+    val rows = (for {
+      (d, c) <- Seq(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 1, 5 -> 1, 6 -> 1,
+        7 -> 1, 8 -> 2, 9 -> 1, 10 -> 3)
+      _ <- 1 to c
+    } yield (java.sql.Timestamp.valueOf(
+      f"2024-01-$d%02d 10:00:00"), "x")) :+
+      ((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "z"))
+    val out = Events.seasonalNaiveWape(rows.toDF("ts", "event_type"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out("x") == ((3L, 6L, 3L, Some(0.5))), s"got $out")
+    assert(out("z") == ((3L, 0L, 1L, None)), s"got $out")
+  }
+
+  test("volumeAnomalyDays: spike and drop flagged, median pinned, full windows only") {
+    // type x: flat 1s then day 8 = 3 (spike: 3 > 2·1), day 9 = 0
+    // (drop: 0·2 < 1), day 10 = 1 (ok — its window median is still 1
+    // with the 0 and the 3 inside). Type y = flat 1s keeps the day
+    // axis complete (day 9 would otherwise vanish from the grid)
+    val rows = for {
+      (t, counts) <- Seq(
+        "x" -> Seq(1, 1, 1, 1, 1, 1, 1, 3, 0, 1),
+        "y" -> Seq(1, 1, 1, 1, 1, 1, 1, 1, 1, 1))
+      (c, i) <- counts.zipWithIndex
+      _ <- 1 to c
+    } yield (java.sql.Timestamp.valueOf(
+      f"2024-01-${i + 1}%02d 10:00:00"), t)
+    val out = Events.volumeAnomalyDays(rows.toDF("ts", "event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // only days 8-10 carry a full 7-day window
+    assert(out.size == 6, s"got ${out.keySet}")
+    assert(out(("2024-01-08", "x")) == ((3L, 1L, 1L, 0L)), s"got $out")
+    assert(out(("2024-01-09", "x")) == ((0L, 1L, 0L, 1L)), s"got $out")
+    assert(out(("2024-01-10", "x")) == ((1L, 1L, 0L, 0L)), s"got $out")
+    assert(out(("2024-01-08", "y")) == ((1L, 1L, 0L, 0L)), s"got $out")
+  }
+
   test("coSessionTriangles: hand-built triangle, degree-1 NULL, maxDegree forfeit") {
     // users 1,2,3 co-sessioned 10:00-10:10 (one triangle); user 1's
     // session runs to 11:00 and user 4 (10:55-11:00) overlaps ONLY 1;
@@ -6113,5 +6161,68 @@ class ExtSpec extends SparkSpec {
     assert(r2.getAs[Long]("n_selected") == 0L &&
       r2.getAs[scala.collection.Seq[Long]]("masked_ids") == Seq.fill(8)(-1L) &&
       r2.getAs[scala.collection.Seq[Long]]("labels") == Seq.fill(8)(-100L))
+  }
+
+  test("spanCorrupt: invertible round trip, deterministic, eos uncrossed, sentinel layout") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_spancorrupt").toString
+    // tiny stored model: vocab {ab→0, c→1} ⇒ sentinelBase = 4
+    val train = Seq((1L, "ab ab c"), (2L, "c ab")).toDF("doc_id", "text")
+    TextAnalysis.writeBpeModel(
+      TextAnalysis.learnBpeMerges(train, nMerges = 1), s"$dir/model")
+    TextAnalysis.writeBpeVocab(train, s"$dir/model")
+    // content ids interleaved with eos every 40 tokens (spans must
+    // never cross the boundary)
+    val ids = (0 until 1000).map(i =>
+      if (i % 40 == 39) -1L else (i % 2).toLong)
+    val seqs = Seq(
+        (0L, 1L, ids, ids.size.toLong),
+        (0L, 2L, Seq.fill(8)(-1L), 8L))
+      .toDF("shard", "seq_id", "token_ids", "n_tokens")
+    val base = 4L
+    def run() = TextAnalysis
+      .spanCorruptSequences(spark, seqs, s"$dir/model")
+      .collect().map(r => r.getLong(1) -> r).toMap
+    val a = run(); val b = run()
+    val in1 = a(1L).getAs[scala.collection.Seq[Long]]("inputs")
+    val tg1 = a(1L).getAs[scala.collection.Seq[Long]]("targets")
+    assert(in1 == b(1L).getAs[scala.collection.Seq[Long]]("inputs") &&
+      tg1 == b(1L).getAs[scala.collection.Seq[Long]]("targets"),
+      "span corruption must be deterministic")
+    val nSpans = a(1L).getAs[Long]("n_spans")
+    val nCorrupted = a(1L).getAs[Long]("n_corrupted")
+    assert(nSpans > 0L, "no spans drawn in 1000 positions at 5%")
+    // ~16% expected; far outside [5%, 40%] would be a rate bug
+    assert(nCorrupted >= 50L && nCorrupted <= 400L,
+      s"corruption rate off: $nCorrupted")
+    // sentinels appear in inputs strictly increasing from base, and
+    // the terminal target sentinel is base + n_spans
+    val sentinelsIn = in1.filter(_ >= base)
+    assert(sentinelsIn == (0L until nSpans).map(base + _),
+      s"sentinel numbering broken: $sentinelsIn")
+    assert(tg1.last == base + nSpans, s"terminal sentinel: ${tg1.last}")
+    // eos never corrupted: every eos position survives in inputs
+    assert(in1.count(_ == -1L) == ids.count(_ == -1L),
+      "an eos sentinel was swallowed by a span")
+    // THE anchor: splice targets back over the sentinels ⇒ original
+    val segs = scala.collection.mutable.Map.empty[Long, Vector[Long]]
+    var cur = -1L
+    var acc = Vector.empty[Long]
+    tg1.foreach { t =>
+      if (t >= base) {
+        if (cur >= 0L) segs(cur) = acc
+        cur = t; acc = Vector.empty
+      } else acc = acc :+ t
+    }
+    if (cur >= 0L) segs(cur) = acc
+    val rebuilt = in1.flatMap(t =>
+      if (t >= base) segs(t) else Seq(t))
+    assert(rebuilt == ids, "round trip must reconstruct the original")
+    // the all-eos row: nothing to corrupt, targets = terminal only
+    val r2 = a(2L)
+    assert(r2.getAs[Long]("n_spans") == 0L &&
+      r2.getAs[Long]("n_corrupted") == 0L &&
+      r2.getAs[scala.collection.Seq[Long]]("inputs") == Seq.fill(8)(-1L) &&
+      r2.getAs[scala.collection.Seq[Long]]("targets") == Seq(base))
   }
 }

@@ -1291,6 +1291,58 @@ class EventStreamSpec extends SparkSpec {
       (1, 0L) -> List(1L, 2L, 2L), (1, 1L) -> List(-1L)), s"got $seqs")
   }
 
+  test("mlm sample stream lands deterministic masked samples, stream ≡ batch, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_mlm").toString
+    val train = Seq((1L, "ab ab c"), (2L, "c ab")).toDF("doc_id", "text")
+    graft.ext.TextAnalysis.writeBpeModel(
+      graft.ext.TextAnalysis.learnBpeMerges(train, nMerges = 1),
+      s"$dir/model")
+    graft.ext.TextAnalysis.writeBpeVocab(train, s"$dir/model")
+    val mem = MemoryStream[IngestDoc]
+    def drain(): Unit = {
+      val q = EventStream.mlmSampleStream(mem.toDF(), s"$dir/model",
+        s"$dir/samples", s"$dir/ckpt", seqLen = 3, shards = 1,
+        maskRate = 0.5).start()
+      q.awaitTermination()
+    }
+    def landed(b: Int) = spark.read
+      .parquet(s"$dir/samples/batch_id=$b").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_id")) ->
+        ((r.getAs[scala.collection.Seq[Long]]("masked_ids").toList,
+          r.getAs[scala.collection.Seq[Long]]("labels").toList,
+          r.getAs[Long]("n_selected")))).toMap
+    val docs0 = Seq(IngestDoc(1L, "ab ab c"), IngestDoc(2L, "c ab c ab"))
+    mem.addData(docs0: _*)
+    drain()
+    val first = landed(0)
+    // crash window: landing committed, checkpoint commit lost
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/ckpt/commits/.0.crc"))
+    drain() // replay: byte-identical masked samples re-land
+    assert(landed(0) == first, "replayed landing must be byte-identical")
+    // stream ≡ the batch-API composition on the same rows
+    val api = graft.ext.TextAnalysis.mlmMaskSequences(spark,
+        graft.ext.TextAnalysis.packTokenSequences(
+          graft.ext.TextAnalysis.bpeTokenIdsAgainstModel(spark,
+            docs0.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+            s"$dir/model"),
+          seqLen = 3, shards = 1),
+        s"$dir/model", maskRate = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_id")) ->
+        ((r.getAs[scala.collection.Seq[Long]]("masked_ids").toList,
+          r.getAs[scala.collection.Seq[Long]]("labels").toList,
+          r.getAs[Long]("n_selected")))).toMap
+    assert(first == api, s"stream $first != batch API $api")
+    // at 50% over 7 content tokens, some position was selected and
+    // every selected label carries the original id
+    assert(first.values.map(_._3).sum > 0L, "nothing selected at 50%")
+  }
+
   test("frequency absorb stream screens hot keys pre-batch, exactly once under replay") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_cms").toString
