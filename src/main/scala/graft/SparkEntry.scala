@@ -2620,6 +2620,21 @@ object SparkEntry {
           xxhash64(col("targets")).as("targets_digest"),
           col("n_spans"), col("n_corrupted"))
     }),
+    // FIM PSM rewrite per document under the stored model (sentinels
+    // |vocab|+2..4, invertible — round trip spec-pinned); digests +
+    // exact segment sizes. Rows-only (the q94-class exclusion)
+    "q270_fim_transform" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val docs = Tables.documents(s, dir)
+      val path = ext.TextAnalysis.ensureBpeModel(docs,
+        "/tmp/graft_bpe_cache", s"$dir/documents.parquet", nMerges = 8)
+      ext.TextAnalysis.fimTransformDocs(s,
+          ext.TextAnalysis.bpeTokenIdsAgainstModel(s, docs, path), path)
+        .select(col("doc_id"), col("n_tokens"),
+          xxhash64(col("token_ids")).as("ids_digest"),
+          col("fim_applied"), col("n_prefix"), col("n_middle"),
+          col("n_suffix"))
+    }),
   )
 
   /** q69's duplicate-group key, factored for every consumer (q260's

@@ -3551,6 +3551,53 @@ object TextAnalysis {
         col("_c.n_corrupted").as("n_corrupted")): _*)
   }
 
+  /** Fill-in-the-middle document transform — the code-model
+    * pretraining objective completing the family
+    * ([[mlmMaskSequences]] = BERT, [[spanCorruptSequences]] = T5,
+    * this = FIM; Bavarian et al. 2022): a `fimRate` fraction of
+    * documents is rewritten to PSM order
+    * (`[PRE] prefix [SUF] suffix [MID] middle` with hash-chosen
+    * cuts), the rest pass through verbatim — autoregressive training
+    * on the result teaches infilling for free. Applied PER DOCUMENT
+    * BEFORE packing (the reference pipeline order — the kernel
+    * refuses packed sequences loudly via their eos sentinels); the
+    * output keeps the `token_ids` column name so it feeds
+    * [[packTokenSequences]] unchanged. Invertible: parsing the three
+    * sentinels and re-concatenating prefix+middle+suffix reconstructs
+    * the original ids exactly (spec-pinned, the span-corruption
+    * round-trip discipline).
+    *
+    * Sentinels are artifact-owned: [PRE]/[SUF]/[MID] =
+    * |vocab|+2/+3/+4 (the shared post-UNK region — objective
+    * transforms are mutually exclusive per pipeline).
+    *
+    * Output: (doc_id, token_ids, n_tokens, fim_applied, n_prefix,
+    * n_middle, n_suffix).
+    *
+    * Scale notes (100 TB): zero shuffle — one codegen projection per
+    * document; driver state is the model-sized vocab count. */
+  def fimTransformDocs(spark: org.apache.spark.sql.SparkSession,
+                       tokDocs: DataFrame, modelPath: String,
+                       fimRate: Double = 0.5,
+                       salt: String = "graft.fim.v1"): DataFrame = {
+    require(fimRate > 0.0 && fimRate <= 1.0,
+      s"fimRate must be in (0, 1]: $fimRate")
+    val vocabN = readBpeVocabIds(spark, modelPath).count()
+    require(vocabN >= 1, s"stored vocabulary at $modelPath is empty")
+    val ppm = math.round(fimRate * 1e6).toInt
+    val key = xxhash64(lit(salt), col("doc_id"))
+    val t = graft.functions.FimTransform.fim_transform(col("token_ids"),
+      key, ppm, sentinelBase = vocabN + 2L)
+    tokDocs.withColumn("_t", t)
+      .select(col("doc_id"),
+        col("_t.ids").as("token_ids"),
+        size(col("_t.ids")).cast("long").as("n_tokens"),
+        col("_t.fim_applied").as("fim_applied"),
+        col("_t.n_prefix").as("n_prefix"),
+        col("_t.n_middle").as("n_middle"),
+        col("_t.n_suffix").as("n_suffix"))
+  }
+
   /** The concat-and-cut layout's piece relation, shared by
     * [[packTokenSequences]] (which aggregates pieces into sequences)
     * and [[sequenceProvenance]] (which reports them): per doc ×

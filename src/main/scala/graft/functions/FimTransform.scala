@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Fill-in-the-middle transformation of a PER-DOCUMENT token-id array
+  * (Bavarian et al. 2022: split the document at two hash-chosen cuts
+  * into prefix/middle/suffix and emit PSM order —
+  * `[PRE] prefix [SUF] suffix [MID] middle` — so an autoregressive
+  * model learns infilling from plain left-to-right training; applied
+  * to a `fimRate` fraction of documents, the rest pass through
+  * verbatim). The transform is INVERTIBLE: parsing the three
+  * sentinels and re-concatenating prefix+middle+suffix reconstructs
+  * the original array exactly (the spec anchor, the span-corruption
+  * round-trip discipline). Runs BEFORE packing — transform documents,
+  * then pack the transformed streams (the reference FIM pipeline
+  * order); packed sequences with eos sentinels are not valid input.
+  *
+  * All decisions (apply? cut points) are deterministic hashes of
+  * (document key, stream) — replays see byte-identical samples. Cut
+  * points are uniform over 0 ≤ c1 ≤ c2 ≤ n; empty segments are legal
+  * (the paper's convention) and round-trip correctly.
+  *
+  * Sentinels: `sentinelBase` = [PRE], +1 = [SUF], +2 = [MID] —
+  * callers place the base above the model id space (|vocab| = UNK,
+  * |vocab|+1 = [MASK]; the objective transforms share the post-UNK
+  * region and are mutually exclusive per pipeline).
+  *
+  * Left child: the token-id array. Right child: the 64-bit document
+  * key (computed OUTSIDE — the MlmMask convention). One generated
+  * O(n) pass per row. */
+case class FimTransform(left: Expression, right: Expression, ratePpm: Int,
+                        sentinelBase: Long)
+    extends BinaryExpression {
+  require(ratePpm > 0 && ratePpm <= 1000000,
+    s"ratePpm must be in (0, 1e6]: $ratePpm")
+  require(sentinelBase >= 0L, s"sentinelBase must be >= 0: $sentinelBase")
+
+  override def dataType: DataType = FimTransform.OutType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<bigint>, bigint), got $other")
+    }
+
+  override def nullSafeEval(ids: Any, key: Any): Any =
+    FimTransform.transform(ids.asInstanceOf[ArrayData],
+      key.asInstanceOf[Long], ratePpm, sentinelBase)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, k) =>
+      s"graft.functions.FimTransform.transform($a, $k, $ratePpm, " +
+        s"${sentinelBase}L)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): FimTransform =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "fim_transform"
+}
+
+object FimTransform {
+  val OutType: StructType = StructType(Seq(
+    StructField("ids", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("fim_applied", LongType, nullable = false),
+    StructField("n_prefix", LongType, nullable = false),
+    StructField("n_middle", LongType, nullable = false),
+    StructField("n_suffix", LongType, nullable = false)))
+
+  private def mix(key: Long, stream: Long): Long = {
+    var h = key ^ (stream * 0x9e3779b185ebca87L)
+    h *= 0xc2b2ae3d27d4eb4fL
+    h ^= (h >>> 29)
+    h *= 0x165667b19e3779f9L
+    h ^= (h >>> 32)
+    h
+  }
+
+  /** Kernel (called from generated code): one O(n) pass. NULL slots
+    * and eos sentinels (negative ids — evidence the caller passed a
+    * PACKED sequence) fail loudly. */
+  def transform(ids: ArrayData, key: Long, ratePpm: Int,
+                sentinelBase: Long): InternalRow = {
+    val n = ids.numElements()
+    var c = 0
+    while (c < n) {
+      if (ids.isNullAt(c)) throw new IllegalArgumentException(
+        s"fim_transform: NULL token id at position $c")
+      if (ids.getLong(c) < 0L) throw new IllegalArgumentException(
+        s"fim_transform: negative id at position $c — FIM applies to " +
+          "per-document arrays BEFORE packing, not to packed sequences")
+      c += 1
+    }
+    val apply = java.lang.Long.remainderUnsigned(
+      mix(key, 1L), 1000000L) < ratePpm
+    if (!apply) {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) { out(i) = ids.getLong(i); i += 1 }
+      return new GenericInternalRow(Array[Any](
+        new GenericArrayData(out), 0L, 0L, 0L, 0L))
+    }
+    // two uniform cuts, 0 <= c1 <= c2 <= n (empty segments legal)
+    val c1 = java.lang.Long.remainderUnsigned(mix(key, 2L), n + 1L).toInt
+    val c2 = c1 + java.lang.Long.remainderUnsigned(
+      mix(key, 3L), (n - c1) + 1L).toInt
+    val out = new Array[Any](n + 3)
+    var o = 0
+    out(o) = sentinelBase; o += 1 // [PRE]
+    var i = 0
+    while (i < c1) { out(o) = ids.getLong(i); o += 1; i += 1 }
+    out(o) = sentinelBase + 1L; o += 1 // [SUF]
+    i = c2
+    while (i < n) { out(o) = ids.getLong(i); o += 1; i += 1 }
+    out(o) = sentinelBase + 2L; o += 1 // [MID]
+    i = c1
+    while (i < c2) { out(o) = ids.getLong(i); o += 1; i += 1 }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(out), 1L,
+      c1.toLong, (c2 - c1).toLong, (n - c2).toLong))
+  }
+
+  def fim_transform(ids: Column, docKey: Column, ratePpm: Int,
+                    sentinelBase: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(FimTransform(ColumnBridge.expression(ids),
+      ColumnBridge.expression(docKey), ratePpm, sentinelBase))
+  }
+}

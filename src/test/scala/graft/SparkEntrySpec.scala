@@ -43,7 +43,8 @@ class SparkEntrySpec extends SparkSpec {
       "q245_perceptual_gate_funnel", "q248_cosession_pagerank",
       "q252_scene_changes", "q254_golden_records",
       "q258_golden_incremental", "q259_pagerank_residuals",
-      "q265_mlm_masked_sequences", "q269_span_corrupt_sequences"),
+      "q265_mlm_masked_sequences", "q269_span_corrupt_sequences",
+      "q270_fim_transform"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -6225,4 +6225,66 @@ class ExtSpec extends SparkSpec {
       r2.getAs[scala.collection.Seq[Long]]("inputs") == Seq.fill(8)(-1L) &&
       r2.getAs[scala.collection.Seq[Long]]("targets") == Seq(base))
   }
+
+  test("fimTransform: PSM round trip, passthrough identity, packed input refused") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fim").toString
+    // tiny stored model: vocab {ab→0, c→1} ⇒ [PRE]/[SUF]/[MID] = 4/5/6
+    val train = Seq((1L, "ab ab c"), (2L, "c ab")).toDF("doc_id", "text")
+    TextAnalysis.writeBpeModel(
+      TextAnalysis.learnBpeMerges(train, nMerges = 1), s"$dir/model")
+    TextAnalysis.writeBpeVocab(train, s"$dir/model")
+    val base = 4L
+    val docs = (1L to 40L).map(d =>
+      (d, (0 until 20).map(i => ((d + i) % 2)))).toDF("doc_id", "token_ids")
+    def run() = TextAnalysis
+      .fimTransformDocs(spark, docs, s"$dir/model")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = run()
+    assert(a.map { case (k, r) =>
+        k -> r.getAs[scala.collection.Seq[Long]]("token_ids") } ==
+      run().map { case (k, r) =>
+        k -> r.getAs[scala.collection.Seq[Long]]("token_ids") },
+      "FIM must be deterministic")
+    val applied = a.values.filter(_.getAs[Long]("fim_applied") == 1L)
+    val passed = a.values.filter(_.getAs[Long]("fim_applied") == 0L)
+    assert(applied.nonEmpty && passed.nonEmpty,
+      s"rate 0.5 over 40 docs must split: ${applied.size}/${passed.size}")
+    applied.foreach { r =>
+      val d = r.getLong(0)
+      val orig = (0 until 20).map(i => (d + i) % 2)
+      val out = r.getAs[scala.collection.Seq[Long]]("token_ids")
+      // PSM structure: [PRE] prefix [SUF] suffix [MID] middle
+      assert(out.head == base && out.length == 23, s"doc $d: $out")
+      val iSuf = out.indexOf(base + 1L)
+      val iMid = out.indexOf(base + 2L)
+      assert(iSuf > 0 && iMid > iSuf, s"doc $d sentinel order: $out")
+      val prefix = out.slice(1, iSuf)
+      val suffix = out.slice(iSuf + 1, iMid)
+      val middle = out.slice(iMid + 1, out.length)
+      assert(prefix ++ middle ++ suffix == orig,
+        s"doc $d round trip failed: $out")
+      assert(r.getAs[Long]("n_prefix") == prefix.size.toLong &&
+        r.getAs[Long]("n_middle") == middle.size.toLong &&
+        r.getAs[Long]("n_suffix") == suffix.size.toLong)
+    }
+    passed.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getAs[scala.collection.Seq[Long]]("token_ids") ==
+        (0 until 20).map(i => (d + i) % 2),
+        s"passthrough doc $d must be verbatim")
+      assert(r.getAs[Long]("n_prefix") == 0L &&
+        r.getAs[Long]("n_middle") == 0L && r.getAs[Long]("n_suffix") == 0L)
+    }
+    // packed sequences (negative eos ids) are refused loudly
+    val packed = Seq((1L, Seq(0L, 1L, -1L))).toDF("doc_id", "token_ids")
+    val ex = intercept[Exception](
+      TextAnalysis.fimTransformDocs(spark, packed, s"$dir/model")
+        .collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("fim_transform")),
+      s"wrong failure: $ex")
+  }
 }
