@@ -2549,10 +2549,10 @@ object SparkEntry {
     // overflow discipline; zero-variance series read NULL r)
     "q262_event_rate_correlation" -> ((s, dir) =>
       ext.Events.eventRateCorrelation(Tables.events(s, dir))),
-    // per-source Flesch readability off exact long totals (sentence
-    // rule = terminator runs + 1, so the punctuation-free fixture
-    // reads 1 sentence/doc; the formula still varies via words and
-    // vowel-group syllables)
+    // per-source rollup of q212's Flesch counting rules on exact long
+    // TOTALS (never an average of per-doc scores — fp association +
+    // short-doc domination); the shared fleschCounts definition keeps
+    // the two reports from drifting
     "q263_readability" -> ((s, dir) =>
       ext.TextAnalysis.readabilityReport(Tables.documents(s, dir))),
     // URL/domain census over planted URL-bearing docs (the fixture
@@ -4321,15 +4321,17 @@ object SparkEntry {
         |        sqrt(CAST(nd * syy - sy * sy AS DOUBLE))), 6)
         |  END AS r
         |FROM s""".stripMargin,
-    // Flesch readability off exact long totals: the q09 whitespace
-    // split restatement, terminator-run + 1 sentences, vowel-group
-    // syllables; formula literals spliced identically and
-    // left-associated on both engines
+    // per-source Flesch rollup: q212's pinned counting rules (the
+    // shared-definition discipline) aggregated to exact long totals;
+    // formula literals spliced identically, left-associated both
+    // engines
     "q263_readability" ->
       """WITH d AS (SELECT source,
-        |    len(regexp_split_to_array(text, '\s+')) AS w,
-        |    len(regexp_extract_all(text, '[.!?]+')) + 1 AS s,
-        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS s,
+        |    CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+        |      AS BIGINT) AS y
         |  FROM documents),
         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(SUM(w) AS BIGINT) AS n_words,

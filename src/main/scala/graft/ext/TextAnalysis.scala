@@ -60,23 +60,17 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
         .cast("long").as("n_bpe_tokens"))
 
-  /** Per-source Flesch-style readability report — the grade-level
-    * screen a curation pipeline runs alongside the stopword/length
-    * heuristics (Flesch 1948; the classic reading-ease formula over
-    * words-per-sentence and syllables-per-word). Counting rules are
-    * pinned exactly so the report is oracle-hashable (q262):
-    * words = whitespace tokens; sentences = terminator RUNS
-    * (`[.!?]+`) + 1 (the trailing unterminated fragment — makes
-    * punctuation-free docs read 1 sentence, never 0); syllables =
-    * vowel GROUPS (`[aeiouy]+` over the lowercased text — groups
-    * never span the non-vowel word boundaries, so the doc-level count
-    * is the sum of per-word estimates). All three are exact longs
-    * summed per source; the formula
+  /** Per-SOURCE Flesch readability rollup — the corpus-level
+    * companion of [[readability]] (q212's per-doc score): the SAME
+    * pinned counting rules ([[fleschCounts]] — factored, never
+    * copied, so the two reports cannot drift), aggregated to exact
+    * long TOTALS per source, with the formula
     *   206.835 − 1.015·(ΣW/ΣS) − 84.6·(Σsyl/ΣW)
-    * runs on the source-level TOTALS (never an average of per-doc
-    * doubles — that would reintroduce fp association), each ratio one
-    * exact-integer division, products and subtractions mirrored
-    * term-for-term in the DuckDB oracle, rounded 6dp.
+    * run on the totals — deliberately NOT an average of per-doc
+    * scores (a mean of doubles is fp-association-unhashable and lets
+    * short docs dominate; the totals form weighs every sentence
+    * equally). Each ratio is one exact-integer division, mirrored
+    * term-for-term in the DuckDB oracle (q263), rounded 6dp.
     *
     * Output: (source, n_docs, n_words, n_sentences, n_syllables,
     * words_per_sentence, syllables_per_word, flesch).
@@ -85,17 +79,13 @@ object TextAnalysis {
     * (load_sales_history.py:195-251) — a corpus-quality rollup in the
     * same one-aggregate shape.
     *
-    * Scale notes (100 TB): per-doc counts are three codegen'd native
-    * string/regexp expressions fused into the scan (no UDF, no
-    * shuffle); the only exchange is the source-keyed hash aggregate
-    * with map-side partials. */
-  def readabilityReport(docs: DataFrame): DataFrame =
-    docs.select(col("source"),
-        size(split(col("text"), "\\s+")).cast("long").as("_w"),
-        (regexp_count(col("text"), lit("[.!?]+")) + 1)
-          .cast("long").as("_s"),
-        regexp_count(lower(col("text")), lit("[aeiouy]+"))
-          .cast("long").as("_y"))
+    * Scale notes (100 TB): per-doc counts are codegen'd native
+    * regexp expressions fused into the scan (no UDF); the only
+    * exchange is the source-keyed hash aggregate with map-side
+    * partials. */
+  def readabilityReport(docs: DataFrame): DataFrame = {
+    val (w, s, y) = fleschCounts(col("text"))
+    docs.select(col("source"), w.as("_w"), s.as("_s"), y.as("_y"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_w")).as("n_words"),
@@ -111,6 +101,19 @@ object TextAnalysis {
         round(col("_spw"), 6).as("syllables_per_word"),
         round(lit(206.835) - lit(1.015) * col("_wps")
           - lit(84.6) * col("_spw"), 6).as("flesch"))
+  }
+
+  /** q212's pinned Flesch surface counts — words (space-split,
+    * empties kept), sentences (terminator runs floored at 1),
+    * syllables (vowel groups) — factored so the per-doc report
+    * ([[readability]]) and the per-source rollup
+    * ([[readabilityReport]]) share ONE definition. */
+  private def fleschCounts(textCol: Column): (Column, Column, Column) = (
+    size(split(textCol, " ")).cast("long"),
+    greatest(size(regexp_extract_all(textCol, lit("[.!?]+"), lit(0)))
+      .cast("long"), lit(1L)),
+    size(regexp_extract_all(textCol, lit("[aeiouAEIOU]+"), lit(0)))
+      .cast("long"))
 
   /** URL/domain census — the provenance screen a web-corpus pipeline
     * runs before domain-level filtering (blocklists, per-domain
@@ -1853,13 +1856,9 @@ object TextAnalysis {
     * (codegen'd built-ins, linear patterns) — no shuffle, no state. */
   def readability(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val words = size(split(col(textCol), " ")).cast("long")
-    val sentences = greatest(
-      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
-        .cast("long"), lit(1L))
-    val syllables = size(
-      regexp_extract_all(col(textCol), lit("[aeiouAEIOU]+"), lit(0)))
-      .cast("long")
+    // the pinned counting rules live in fleschCounts (shared with the
+    // per-source rollup readabilityReport — factored, never copied)
+    val (words, sentences, syllables) = fleschCounts(col(textCol))
     docs.select(col(idCol), words.as("n_words"),
         sentences.as("n_sentences"), syllables.as("n_syllables"))
       .withColumn("flesch", round(

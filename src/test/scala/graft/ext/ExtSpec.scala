@@ -6082,25 +6082,32 @@ class ExtSpec extends SparkSpec {
     assert(out.size == 10, s"expected all 10 pairs: ${out.keySet}")
   }
 
-  test("readabilityReport: pinned sentence/word/syllable rules, exact formula") {
+  test("readabilityReport: q212's counting rules on source totals, exact formula") {
     val docs = Seq((1L, "Hello world. Bye", "s1"), (2L, "abc def", "s2"))
       .toDF("doc_id", "text", "source")
     val out = TextAnalysis.readabilityReport(docs).collect()
       .map(r => r.getString(0) -> r).toMap
     val s1 = out("s1")
-    // words 3; one terminator run + the trailing fragment = 2
-    // sentences; vowel groups: e,o | o | ye = 4 syllables
+    // words 3; one terminator run floored at 1 = 1 sentence; vowel
+    // groups (no y — the q212 rule): e,o | o | e = 4 syllables
     assert(s1.getAs[Long]("n_words") == 3L &&
-      s1.getAs[Long]("n_sentences") == 2L &&
+      s1.getAs[Long]("n_sentences") == 1L &&
       s1.getAs[Long]("n_syllables") == 4L, s"got $s1")
-    assert(s1.getAs[Double]("words_per_sentence") == 1.5 &&
+    assert(s1.getAs[Double]("words_per_sentence") == 3.0 &&
       s1.getAs[Double]("syllables_per_word") == 1.333333, s"got $s1")
-    // 206.835 - 1.015*1.5 - 84.6*(4/3) = 92.5125
-    assert(s1.getAs[Double]("flesch") == 92.5125, s"got $s1")
+    // 206.835 - 1.015*3 - 84.6*(4/3) = 90.99
+    assert(s1.getAs[Double]("flesch") == 90.99, s"got $s1")
     val s2 = out("s2")
-    // no terminator: the +1 rule reads ONE sentence, never zero
+    // no terminator: the floor reads ONE sentence, never zero
     assert(s2.getAs[Long]("n_sentences") == 1L &&
       s2.getAs[Double]("flesch") == 120.205, s"got $s2")
+    // the rollup IS q212's per-doc counts summed — the shared
+    // definition cannot drift (factored fleschCounts)
+    val perDoc = TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_sentences"), r.getAs[Long]("n_syllables"))))
+      .toMap
+    assert(perDoc(1L) == ((3L, 1L, 4L)) && perDoc(2L) == ((2L, 1L, 2L)))
   }
 
   test("urlDomainCensus: hosts lowered, paths excluded, distinct docs, shares") {
