@@ -4293,9 +4293,9 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) END
         |    AS km_log_survival
         |FROM ln_t""".stripMargin,
-    // Pearson r mirrored term for term: zero-filled day×type grid,
-    // HUGEINT ↔ decimal(38,0) sufficient statistics, one double
-    // division over two IEEE-exact sqrts, NULL on zero variance
+    // Pearson r on the zero-filled day×type grid — q211's HUGEINT
+    // five-sum mirror (the factored correlationByGroups core), one
+    // sqrt + one division, NULL on zero variance / n <= 1
     "q262_event_rate_correlation" ->
       """WITH dt AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
         |      AS day, event_type, count(*) AS n
@@ -4315,10 +4315,10 @@ object SparkEntry {
         |    ON a.day = b.day AND a.event_type < b.event_type
         |  GROUP BY 1, 2)
         |SELECT type_a, type_b, CAST(nd AS BIGINT) AS n_days,
-        |  CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
+        |  CASE WHEN nd > 1 AND nd * sxx > sx * sx AND nd * syy > sy * sy
         |    THEN ROUND(CAST(nd * sxy - sx * sy AS DOUBLE) /
-        |      (sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)) *
-        |        sqrt(CAST(nd * syy - sy * sy AS DOUBLE))), 6)
+        |      sqrt(CAST(nd * sxx - sx * sx AS DOUBLE) *
+        |        CAST(nd * syy - sy * sy AS DOUBLE)), 6)
         |  END AS r
         |FROM s""".stripMargin,
     // per-source Flesch rollup: q212's pinned counting rules (the

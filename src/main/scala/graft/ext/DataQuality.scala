@@ -541,7 +541,16 @@ object DataQuality {
     * per group; no join, no window. Magnitude bound: n·Σx·y must fit
     * decimal(38,0) — ~10³⁸, beyond any corpus this engine meets. */
   def correlationByGroup(df: DataFrame, groupCol: String,
-                         xCol: String, yCol: String): DataFrame = {
+                         xCol: String, yCol: String): DataFrame =
+    correlationByGroups(df, Seq(groupCol), xCol, yCol)
+
+  /** [[correlationByGroup]] generalized to a composite group key —
+    * the same exact five-sum core (factored, never copied; q262's
+    * type-pair series correlation rides this with
+    * (type_a, type_b) keys). */
+  def correlationByGroups(df: DataFrame, groupCols: Seq[String],
+                          xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
     val integral = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.ByteType,
       org.apache.spark.sql.types.ShortType,
@@ -554,11 +563,11 @@ object DataQuality {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val x = col(xCol).cast(dec)
     val y = col(yCol).cast(dec)
-    df.groupBy(col(groupCol))
+    df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(x).as("_sx"), sum(y).as("_sy"),
         sum(x * y).as("_sxy"), sum(x * x).as("_sxx"),
         sum(y * y).as("_syy"))
-      .select(col(groupCol), col("n"),
+      .select(groupCols.map(col) ++ Seq(col("n"),
         when(col("n") > 1 &&
             (col("n").cast(dec) * col("_sxx") > col("_sx") * col("_sx")) &&
             (col("n").cast(dec) * col("_syy") > col("_sy") * col("_sy")),
@@ -567,7 +576,7 @@ object DataQuality {
             sqrt((col("n").cast(dec) * col("_sxx") - col("_sx") * col("_sx"))
               .cast("double") *
               (col("n").cast(dec) * col("_syy") - col("_sy") * col("_sy"))
-                .cast("double")), 6)).as("r"))
+                .cast("double")), 6)).as("r")): _*)
   }
 
   /** Minimum-detectable-effect report — the experiment-design answer

@@ -2164,15 +2164,13 @@ object Events {
     * day × type grid, zero-filled) — skipping absent days would
     * silently correlate only co-active days and overstate r.
     *
-    * Cross-engine-exact by the q255 discipline: all six sufficient
-    * statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact integers lifted
-    * to decimal(38,0) (↔ DuckDB HUGEINT — daily counts at 100 TB can
-    * reach ~1e10 and their squared sums overflow a long), the
-    * numerator n·Σxy − Σx·Σy and both variance terms stay exact, and
-    * r is ONE double division over a product of two IEEE-exact sqrts,
-    * rounded 6dp. Zero-variance series (a type with a constant daily
-    * count) read a NULL r — the q176 degenerate-fit rule, never an
-    * Infinity/NaN that would poison the driver hash.
+    * The statistic itself is q211's exact five-sum Pearson core
+    * ([[DataQuality.correlationByGroups]] — factored, never copied):
+    * sufficient statistics in decimal(38,0) (↔ DuckDB HUGEINT —
+    * daily counts at 100 TB can reach ~1e10 and their squared sums
+    * overflow a long), one sqrt + one division at the end, rounded
+    * 6dp; zero-variance series (a constant daily count) read a NULL
+    * r — the q176 degenerate-fit rule.
     *
     * Output: (type_a, type_b, n_days, r) for type_a < type_b.
     *
@@ -2214,29 +2212,17 @@ object Events {
 
   def eventRateCorrelation(events: DataFrame): DataFrame = {
     val grid = dailyTypeGrid(events)
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    grid.select(col("day"), col("event_type").as("type_a"), col("n").as("_na"))
+    val pairs = grid
+      .select(col("day"), col("event_type").as("type_a"),
+        col("n").as("_na"))
       .join(grid.select(col("day"), col("event_type").as("type_b"),
         col("n").as("_nb")), Seq("day"))
       .filter(col("type_a") < col("type_b"))
-      .groupBy(col("type_a"), col("type_b"))
-      .agg(count(lit(1)).as("n_days"),
-        sum(dec(col("_na"))).as("_sx"),
-        sum(dec(col("_nb"))).as("_sy"),
-        sum(dec(col("_na")) * dec(col("_nb"))).as("_sxy"),
-        sum(dec(col("_na")) * dec(col("_na"))).as("_sxx"),
-        sum(dec(col("_nb")) * dec(col("_nb"))).as("_syy"))
-      .withColumn("_num",
-        dec(col("n_days")) * col("_sxy") - col("_sx") * col("_sy"))
-      .withColumn("_dx",
-        dec(col("n_days")) * col("_sxx") - col("_sx") * col("_sx"))
-      .withColumn("_dy",
-        dec(col("n_days")) * col("_syy") - col("_sy") * col("_sy"))
-      .select(col("type_a"), col("type_b"), col("n_days"),
-        when(col("_dx") > 0 && col("_dy") > 0,
-          round(col("_num").cast("double") /
-            (sqrt(col("_dx").cast("double")) *
-              sqrt(col("_dy").cast("double"))), 6)).as("r"))
+    // the exact five-sum Pearson core is q211's correlationByGroups —
+    // factored, never copied
+    DataQuality.correlationByGroups(pairs, Seq("type_a", "type_b"),
+        "_na", "_nb")
+      .withColumnRenamed("n", "n_days")
   }
 
   /** Seasonal-naive forecast backtest per event type — the sanity
@@ -2276,12 +2262,15 @@ object Events {
             col("total_actual").cast("double"), 6)).as("wape"))
   }
 
-  /** Daily volume anomaly screen per event type — each day's count
-    * against the EXACT type-1 median of the trailing `window` days
-    * (zero-filled, full windows only): spike = count > factor·median,
-    * drop = factor·count < median — both comparisons exact long
-    * arithmetic, division-free, so the whole report oracle-hashes
-    * (q268). The median over a fixed small window is a
+  /** Daily volume anomaly screen per event type — the ROBUST sibling
+    * of [[volumeAnomaly]]'s hourly trailing-MEAN excess ratio (q135):
+    * a single hot hour (or the spike under test itself) poisons a
+    * mean baseline, but not the trailing MEDIAN this screen compares
+    * against. Each day's count meets the EXACT type-1 median of the
+    * trailing `window` days (zero-filled, full windows only): spike =
+    * count > factor·median, drop = factor·count < median — both
+    * comparisons exact long arithmetic, division-free, so the whole
+    * report oracle-hashes (q268). The median over a fixed small window is a
     * `sort_array(collect_list)` pick (window-sized arrays on the
     * day-bounded grid — never a corpus window), and the trailing
     * window is the q187 rule: DISTINCT days × `sequence()` fan-out
