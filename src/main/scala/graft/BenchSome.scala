@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time a SUBSET of the bench queries under the exact
+  * Bench session/methodology (same confs, same noop sink, min-of-reps,
+  * System.gc() between timed queries). For ITERATION ONLY — the pinned
+  * bench-claim protocol still requires full-set `graft.Bench` numbers
+  * for anything recorded in docs. Usage:
+  *   SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
+  *     runMain graft.BenchSome q51 q42 [reps]
+  * Names are substring-matched against query keys. */
+object BenchSome {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val pats = args.toSeq
+    require(pats.nonEmpty, "pass query-name substrings")
+    val sel = SparkEntry.queries.filter { case (k, _) =>
+      pats.exists(k.contains)
+    }
+    require(sel.nonEmpty, s"no queries match $pats")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
+    // experiment hook: "k=v;k=v" session-conf overrides
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(';')
+      .filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    Bench.benchLines(spark, sfDir, sel, reps).foreach(println)
+    spark.stop()
+  }
+}

@@ -1277,9 +1277,15 @@ object Dedup {
     * its checkpoint so later rounds don't schedule shuffle-partition-many
     * near-empty tasks. */
   def duplicateComponents(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
-    val edgesAll = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // materialize the (possibly expensive — LSH pipeline, fuzzy join)
+    // pair plan ONCE before mirroring it: a unionByName of two
+    // projections of the raw plan evaluates that plan twice (Catalyst
+    // has no common-subplan reuse across union legs — measured 2× the
+    // full MinHash pipeline per chain head before this)
+    val p = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint()
+    val edgesAll = p
+      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     // ~1M edges per task; fixture-scale edge sets collapse to one task

@@ -1155,8 +1155,12 @@ object Events {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1): $damping")
+    // materialize the overlap join ONCE before mirroring: a union of
+    // two projections of the raw plan evaluates the bucketized
+    // interval self-join twice (no common-subplan reuse across union
+    // legs — the duplicateComponents lesson)
     val pairs = sessionOverlapMatrix(events, gapMinutes,
-      maxBucketPopulation)
+      maxBucketPopulation).localCheckpoint()
     // undirected: each edge in both orientations (src = rank donor)
     val edges = pairs.select(col("user_a").as("_src"),
         col("user_b").as("_dst"))
@@ -1166,31 +1170,44 @@ object Events {
     val deg = edges.groupBy(col("_src")).agg(count(lit(1)).as("degree"))
       .localCheckpoint()
     val n = deg.count()
+    // the donor's degree is loop-CONSTANT: attach it to the edge
+    // relation once, outside the loop — the recurrence then needs one
+    // node-join per round instead of two (per-round cost is pure fixed
+    // overhead on bounded graphs, so every join removed is wall-clock)
+    val edgesD = edges.join(deg, Seq("_src"))
+      .select(col("_src"), col("_dst"), col("degree"))
+      .localCheckpoint()
     val base = (1.0 - damping) / n
     var ranks = deg.select(col("_src").as("_u"),
         lit(1.0 / n).as("_r"))
       .localCheckpoint()
+    // node-sized relations ride broadcast joins under the standard
+    // 10M-row gate (shuffled fallback above it) — the edge relation is
+    // then never re-shuffled inside the loop
+    val bcast = n <= MaxBroadcastRows
     val residuals = Seq.newBuilder[Double]
     for (_ <- 1 to iterations) {
-      val contrib = edges
-        .join(deg, Seq("_src"))
-        .join(ranks.select(col("_u").as("_src"), col("_r")), Seq("_src"))
+      val rk = ranks.select(col("_u").as("_src"), col("_r"))
+      val contrib = edgesD
+        .join(if (bcast) broadcast(rk) else rk, Seq("_src"))
         .select(col("_dst").as("_u"),
           (col("_r") / col("degree").cast("double")).as("_c"))
         .groupBy(col("_u")).agg(sum(col("_c")).as("_in"))
       // every node has an in-edge (undirected, deg >= 1), but keep the
       // left join + coalesce so the recurrence is total by construction
       val next = deg.select(col("_src").as("_u"))
-        .join(contrib, Seq("_u"), "left")
+        .join(if (bcast) broadcast(contrib) else contrib, Seq("_u"), "left")
         .select(col("_u"),
           (lit(base) + lit(damping) * coalesce(col("_in"), lit(0.0)))
             .as("_r"))
         .localCheckpoint()
-      if (collectResiduals)
+      if (collectResiduals) {
+        val prev = ranks.select(col("_u"), col("_r").as("_pr"))
         residuals += next
-          .join(ranks.select(col("_u"), col("_r").as("_pr")), Seq("_u"))
+          .join(if (bcast) broadcast(prev) else prev, Seq("_u"))
           .agg(sum(abs(col("_r") - col("_pr"))).as("_d"))
           .collect()(0).getDouble(0)
+      }
       ranks = next
     }
     (ranks, deg, residuals.result())

@@ -54,12 +54,12 @@ case class FimTransform(left: Expression, right: Expression, ratePpm: Int,
     }
 
   override def nullSafeEval(ids: Any, key: Any): Any =
-    FimTransform.transform(ids.asInstanceOf[ArrayData],
+    FimTransform.fimSplit(ids.asInstanceOf[ArrayData],
       key.asInstanceOf[Long], ratePpm, sentinelBase)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, k) =>
-      s"graft.functions.FimTransform.transform($a, $k, $ratePpm, " +
+      s"graft.functions.FimTransform.fimSplit($a, $k, $ratePpm, " +
         s"${sentinelBase}L)")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -88,9 +88,14 @@ object FimTransform {
 
   /** Kernel (called from generated code): one O(n) pass. NULL slots
     * and eos sentinels (negative ids — evidence the caller passed a
-    * PACKED sequence) fail loudly. */
-  def transform(ids: ArrayData, key: Long, ratePpm: Int,
-                sentinelBase: Long): InternalRow = {
+    * PACKED sequence) fail loudly. NOT named `transform`: the case
+    * class inherits `TreeNode.transform`, which suppresses the Scala
+    * static forwarder on the companion CLASS, so generated Java calling
+    * `FimTransform.transform(...)` resolved to the instance method and
+    * janino failed the whole-stage compile — every q270 row then paid
+    * the interpreted fallback (measured ERROR CodeGenerator per pass). */
+  def fimSplit(ids: ArrayData, key: Long, ratePpm: Int,
+               sentinelBase: Long): InternalRow = {
     val n = ids.numElements()
     var c = 0
     while (c < n) {
