@@ -1231,7 +1231,18 @@ object Curation {
     // the document scan, no extra pass over the corpus. The optional
     // source-reputation gate follows, sourcing (doc_id, source) from
     // the ORIGINAL docs frame (hygiene dropped the source column).
+    // Stage materialization (r19, guide §1.2/§3.3): the chain is ONE
+    // lazy tree whose expensive stage outputs are each referenced by
+    // SEVERAL downstream subtrees (gated: survivor join + digest
+    // groupBy; exactDeduped: the LSH signature/bucket/verify pipeline
+    // ×3 + the CC anti-join side; deduped: contamination's explode +
+    // its anti-join side). Catalyst has no common-subplan reuse, so a
+    // single materialization re-ran the gate scan ~6× and the dedup
+    // join ~4× (the default-config shards write measured 14.7 s; the
+    // funnel twin always persisted per stage). localCheckpoint each
+    // stage once — every caller materializes the full chain anyway.
     val gated = sourceGate(streamingGates(hygiened, cfg), cfg, original)
+      .localCheckpoint()
     // 3a. EXACT dedup first: identical copies collapse via the cheap
     // digest groupBy. Ordering matters at scale — a clique of identical
     // documents shares every LSH banding bucket, so running exact dedup
@@ -1239,10 +1250,12 @@ object Curation {
     // candidates per bucket) honest on real corpora
     val exactDeduped = gated.join(exactDedupSurvivors(gated, cfg),
       Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     // 3b. near-dup removal: LSH candidates → exact Jaccard verify →
     // min-id-per-component survivors
     val deduped = Dedup.applyPairsCC(exactDeduped,
       Dedup.minhashLshPairs(exactDeduped))
+      .localCheckpoint()
     // 4a+4b. optional stored-artifact gates (Bloom sketch, semantic
     // index) — identity with default flags; the join-free sketch screen
     // runs first so every later stage scans a smaller frame
@@ -1360,9 +1373,10 @@ object Curation {
     * each later stage frame is persisted before its count and unpersisted
     * once its successor is materialized, so the funnel costs one extra
     * count per stage over a cached frame — with hygiene flags off the
-    * corpus itself is scanned exactly twice (the gate aggregate and the
-    * gated materialization; CurationSpec pins the scan bound with an
-    * instrumented source). A drop-capable hygiene stage (PII gate, line
+    * corpus itself is scanned exactly ONCE (the flag frame is persisted;
+    * the gate aggregate materializes it and the survivor filter reads
+    * the cache — CurationSpec pins the scan bound with an instrumented
+    * source). A drop-capable hygiene stage (PII gate, line
     * dedup) adds its own funnel row plus ONE extra doc_id-only count of
     * the raw input; the rewritten frame is persisted so the gates read
     * the cache, not a recomputation. */
@@ -1512,7 +1526,14 @@ object Curation {
       (if (cfg.maxSecretTokensPerDoc.isDefined)
         Seq(sum(blockCum * col("f_secret")).as("n_secret"))
       else Nil)
-    val g = flagged.agg(count(lit(1)).as("n_input"), aggExprs: _*).head()
+    // ONE kernel pass over the corpus for both consumers: the funnel
+    // aggregate AND the survivor filter read the persisted flag frame,
+    // so the heuristic/language expressions (split + repetition kernel
+    // + langPrediction regex counts — the expensive per-doc work)
+    // evaluate once, not twice (guide §1.2: remove redundant passes).
+    // CurationSpec's instrumented-source test pins the ONE-scan bound.
+    val flaggedOnce = flagged.persist()
+    val g = flaggedOnce.agg(count(lit(1)).as("n_input"), aggExprs: _*).head()
     // with a drop-capable hygiene stage in force the gate aggregate no
     // longer sees the raw corpus — count it separately (doc_id only)
     val nInput =
@@ -1541,12 +1562,13 @@ object Curation {
       if (cfg.maxSecretTokensPerDoc.isDefined)
         Seq(("03_word_secrets", g.getAs[Long]("n_secret")))
       else Seq.empty[(String, Long)]
-    val heuristicGated = flagged
+    val heuristicGated = flaggedOnce
       .filter(gateFilter)
       .drop("f_tokens", "f_rep", "f_lang", "f_src", "f_url", "f_block",
         "f_secret")
       .persist()
     heuristicGated.count() // materialize BEFORE the next stage reads it twice
+    flaggedOnce.unpersist()
     hygieneCached.foreach(_.unpersist())
     // 03a: the optional model gate reports its own funnel row (reads
     // the cached gate output twice: score aggregate + semi-join)
@@ -2237,10 +2259,15 @@ object Curation {
       // before, zero extra nodes.
       val epochKey =
         if (curated0.columns.contains("epoch")) Seq("epoch") else Nil
-      val curated =
-        if (epochKey.nonEmpty) curated0.localCheckpoint() else curated0
+      // ALWAYS checkpoint the chain output: it is (doc_id, pred_lang,
+      // split)-narrow and feeds the split carrier below (plus the
+      // epoch fan-out join under repeats) — a lazy plan would re-run
+      // the whole chain tail per consumer (guide §3.3)
+      val curated = curated0.localCheckpoint()
       // tokenize the HYGIENE text of curated docs (the text every gate
-      // scored), then re-attach the split assignment
+      // scored), then re-attach the split assignment — from the
+      // checkpointed split carrier, NOT a second evaluation of the
+      // hygiene⋈chain join
       val docSplit =
         if (epochKey.nonEmpty)
           curated.select(col("doc_id"), col("split")).distinct()
@@ -2248,7 +2275,7 @@ object Curation {
       val withText = hygiened.join(docSplit, Seq("doc_id"))
       val toks0 = TextAnalysis.bpeTokenIdsAgainstModel(spark, withText,
           modelPath)
-        .join(withText.select(col("doc_id"), col("split")), Seq("doc_id"))
+        .join(docSplit, Seq("doc_id"))
       val toks =
         if (epochKey.nonEmpty)
           toks0.join(curated.select(col("doc_id"), col("epoch")),

@@ -1284,6 +1284,31 @@ object Dedup {
     // full MinHash pipeline per chain head before this)
     val p = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint()
+    // scale-adaptive small-graph path: near-dup pair sets are pair-
+    // bounded and usually TINY relative to the corpus (hundreds of
+    // edges at bench scale), yet each distributed round costs a join +
+    // aggregate + checkpoint + probe count — ~1.2 s of pure scheduling
+    // per chain head, measured. Below the repo's 10M-row driver-side
+    // gate (the "small by construction" broadcast convention) run the
+    // SAME synchronous min-label rounds on the driver: identical
+    // labels, identical maxRounds truncation, zero per-round jobs.
+    // Long ids only (every current caller) — min() over other types
+    // keeps the distributed path so ordering semantics never fork.
+    if (pairs.schema("doc_a").dataType ==
+        org.apache.spark.sql.types.LongType &&
+        p.count() <= ccLocalMaxPairs)
+      duplicateComponentsLocal(p, maxRounds)
+    else
+      duplicateComponentsDistributed(p, pairs.schema("doc_a").dataType,
+        maxRounds)
+  }
+
+  /** The distributed arm of [[duplicateComponents]] — the original
+    * per-round join + aggregate + checkpoint loop, over the
+    * checkpointed (src, dst) relation `p`. */
+  private[ext] def duplicateComponentsDistributed(
+      p: DataFrame, idType: org.apache.spark.sql.types.DataType,
+      maxRounds: Int): DataFrame = {
     val edgesAll = p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -1292,7 +1317,6 @@ object Dedup {
     val edgeParts = edgesAll.rdd.getNumPartitions
     val target = math.max(1L, math.min(edgeParts.toLong, edgesAll.count() / 1000000L + 1L)).toInt
     val edges = if (target < edgeParts) edgesAll.coalesce(target) else edgesAll
-    val idType = pairs.schema("doc_a").dataType
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component_id", col("doc_id"))
       .localCheckpoint()
@@ -1315,6 +1339,58 @@ object Dedup {
       round += 1
     }
     labels
+  }
+
+  /** Driver-side gate for [[duplicateComponents]]' small-graph path —
+    * the repo's 10M-row "small by construction" collect/broadcast
+    * convention. Above it the distributed rounds run unchanged. */
+  private[ext] val ccLocalMaxPairs = 10000000L
+
+  /** The small-graph arm of [[duplicateComponents]]: the SAME
+    * synchronous min-label propagation (each round reads the previous
+    * round's labels; early stop when no label changed; hard stop at
+    * `maxRounds`) over the collected edge list, so labels — including
+    * any truncation short of the fixpoint — are bit-identical to the
+    * distributed rounds. `p` must be the checkpointed (src, dst) pair
+    * relation with long ids. DedupSpec pins local ≡ distributed on
+    * chains, ties and a deliberately truncated run. */
+  private[ext] def duplicateComponentsLocal(p: DataFrame,
+                                            maxRounds: Int): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    def add(a: Long, b: Long): Unit = {
+      var ns = adj.get(a)
+      if (ns == null) { ns = scala.collection.mutable.ArrayBuffer.empty[Long]; adj.put(a, ns) }
+      ns += b
+    }
+    p.collect().foreach { r => val a = r.getLong(0); val b = r.getLong(1); add(a, b); add(b, a) }
+    var labels = new java.util.HashMap[Long, Long](adj.size())
+    adj.keySet().forEach(v => labels.put(v, v))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val next = new java.util.HashMap[Long, Long](labels.size())
+      converged = true
+      val it = adj.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getKey
+        var m = labels.get(v)
+        val ns = e.getValue
+        var i = 0
+        while (i < ns.length) {
+          val l = labels.get(ns(i)); if (l < m) m = l; i += 1
+        }
+        if (m != labels.get(v)) converged = false
+        next.put(v, m)
+      }
+      labels = next
+      round += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    labels.entrySet().forEach(e => out += ((e.getKey, e.getValue)))
+    out.toSeq.toDF("doc_id", "component_id")
   }
 
   /** Connected-components survivor policy: keep exactly the min doc id of

@@ -123,7 +123,12 @@ object RangeJoin {
         explode(sequence(expr(s"$startCol div $bucketWidth"),
           expr(s"($endCol - 1) div $bucketWidth"))))
     val base = maxBucketPopulation match {
-      case None => exploded
+      // materialize once even uncapped: the self-join below reads the
+      // exploded relation on BOTH sides, and the differently-aliased
+      // projections defeat Catalyst exchange reuse — the upstream plan
+      // (a sessionize window per caller) evaluated once per side
+      // before this (guide §3.3)
+      case None => exploded.localCheckpoint()
       case Some(cap) =>
         require(cap >= 1L, s"maxBucketPopulation must be >= 1, got $cap")
         // census + both join sides read the capped relation — one

@@ -191,12 +191,13 @@ class CurationSpec extends SparkSpec {
       s"funnel tail ${counts.last} != curate() count ${out.length}")
   }
 
-  test("curation funnel scans the corpus exactly twice (stage frames persisted)") {
+  test("curation funnel scans the corpus exactly once (flag frame persisted)") {
     // the scaladoc's cost claim, machine-checked: feed the funnel from an
     // instrumented single-partition source that counts materializations.
-    // Expected: one scan for the fused gate aggregate + one to populate
-    // the persisted `gated` cache; every later stage count must hit a
-    // cached frame, never re-scan the corpus
+    // Expected: ONE scan populating the persisted flag frame (the gate
+    // aggregate materializes it); the survivor filter and every later
+    // stage count must hit a cached frame, never re-scan the corpus
+    // (was two scans before r19's single-flag-pass optimization)
     val scans = spark.sparkContext.longAccumulator("funnel_corpus_scans")
     val rows = corpus.select($"doc_id", $"text", $"lang", $"source", $"n_chars")
     val rdd = spark.sparkContext.parallelize(rows.collect().toSeq, 1)
@@ -204,7 +205,7 @@ class CurationSpec extends SparkSpec {
     val instrumented = spark.createDataFrame(rdd, rows.schema)
     val funnel = Curation.curationFunnel(instrumented, benchmark, cfg).collect()
     assert(funnel.length == 8)
-    assert(scans.value == 2,
+    assert(scans.value == 1,
       s"funnel scanned the corpus ${scans.value} times — stage persistence lost?")
   }
 

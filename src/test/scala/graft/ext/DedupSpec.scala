@@ -40,6 +40,27 @@ class DedupSpec extends SparkSpec {
       s"labels: $labels")
   }
 
+  test("small-graph CC (driver arm) ≡ distributed rounds, incl. maxRounds truncation") {
+    import org.apache.spark.sql.types.LongType
+    // chain + tie component + self-contained pair: exercises chains,
+    // min-through-high-id routing and singleton pairs
+    val pairSets = Seq(
+      Seq((3L, 7L), (1L, 7L), (10L, 11L)),
+      (0L until 12L).map(i => (i, i + 1)),
+      Seq((5L, 5L), (2L, 9L), (9L, 4L), (4L, 2L)))
+    for (ps <- pairSets; rounds <- Seq(1, 2, 10)) {
+      val pairs = ps.toDF("doc_a", "doc_b")
+      val p = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .localCheckpoint()
+      val local = Dedup.duplicateComponentsLocal(p, rounds)
+        .as[(Long, Long)].collect().toMap
+      val dist = Dedup.duplicateComponentsDistributed(p, LongType, rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist,
+        s"pairs=$ps rounds=$rounds: local=$local dist=$dist")
+    }
+  }
+
   test("duplicateComponents converges on a long chain within maxRounds") {
     // path 0-1-2-...-8: diameter 8, but min-label propagation halves the
     // frontier each round via the reversed edges, so 10 rounds suffice
