@@ -377,9 +377,15 @@ object Dedup {
     * corpus-dedup path — `HAVING count(*) <= cap` on the shingle CTE). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
                         maxShingleDf: Option[Int] = None): DataFrame = {
+    // materialize the shingle arrays ONCE: the self-join sides and the
+    // size projection are four independent subtrees over this relation
+    // and Catalyst re-evaluates the shingle kernel (and re-scans the
+    // source) per subtree — q16's r19 before-plan shows 4 parquet
+    // scans + 2 Generate + 2 size-projection kernel evaluations
     val docSh = docs
       .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     val shAll = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val (sh, sizes) = maxShingleDf match {
       case Some(cap) =>
@@ -453,9 +459,12 @@ object Dedup {
     * for the passage-copy subset of this signal. */
   def ngramContainmentPairs(docs: DataFrame, n: Int = 3,
                             minContainment: Double = 0.8): DataFrame = {
+    // one shingle-kernel pass for the four consumers (the
+    // ngramJaccardPairs rationale)
     val docSh = docs
       .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     val sh = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sizes = docSh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     pairStats(sh, sizes)
@@ -745,8 +754,13 @@ object Dedup {
     val sig = minhashSignatures(docs, n, k, seed)
     val bandHashes = (0 until bands).map(j =>
       xxhash64(lit(j), slice(col("sig"), j * r + 1, r)))
+    // materialize the bucket relation ONCE (bands longs per doc): the
+    // candidate self-join reads it on both sides, and without the
+    // checkpoint each side re-runs the whole signature pipeline
+    // (shingle explode + k MIN aggregates + shuffle)
     val bucketsAll = sig
       .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+      .localCheckpoint()
     val buckets = maxBucketSize match {
       case Some(cap) =>
         val hot = bucketsAll.groupBy(col("band"), col("bh"))
@@ -764,10 +778,13 @@ object Dedup {
     // exact verification of CANDIDATES ONLY — join each pair to its two
     // (hashed) shingle sets and compute Jaccard directly (never the
     // all-pairs self-join; candidate volume is what LSH banding bounds)
+    // hashed shingle sets computed once — the verify join reads them
+    // for both pair endpoints
     val docSh = docs
       .select(col("doc_id"),
         graft.functions.Shingles.shingle_hashes(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     cand
       .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -63,10 +63,25 @@ object Selection {
     * construction: a document's tokens are colocated in its partition. */
   private def docBucketCounts(docs: DataFrame, idCol: String, textCol: String,
                               buckets: Int): DataFrame =
-    docs.select(col(idCol), explode(features(col(textCol))).as("tok"))
-      .select(col(idCol), bucketOf(col("tok"), buckets).as("bucket"))
-      .groupBy(col(idCol), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+    // r19: the fused native kernel folds tokenize → md5 → bucket →
+    // per-doc count into ONE generated pass and emits the already-
+    // aggregated (bucket, c) pairs — the composed form below paid a
+    // fresh MessageDigest + 32-char hex string + conv parse per token
+    // and shipped every occurrence through a (doc, bucket) exchange
+    // (the pinned TextChunks/BpeEncode kernel discipline; byte-equality
+    // of the two routes is SelectionSpec-pinned). The kernel scratch is
+    // bucket-sized, so pathological widths keep the composed form.
+    if (buckets <= (1 << 20))
+      docs.select(col(idCol),
+          explode(graft.functions.DsirBuckets
+            .dsir_bucket_counts(col(textCol), buckets)).as("_kv"))
+        .select(col(idCol), col("_kv.bucket").as("bucket"),
+          col("_kv.c").as("c"))
+    else
+      docs.select(col(idCol), explode(features(col(textCol))).as("tok"))
+        .select(col(idCol), bucketOf(col("tok"), buckets).as("bucket"))
+        .groupBy(col(idCol), col("bucket"))
+        .agg(count(lit(1)).as("c"))
 
   /** Per-bucket importance log-ratio table: ln p̂_target(b) − ln
     * q̂_raw(b) over Laplace-smoothed hashed-feature distributions

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native DSIR hashed-feature bucket counter (r19 optimization).
+  *
+  * Computes, in ONE generated-Java pass per document, the per-bucket
+  * occurrence counts of the DSIR feature stream — unigrams (text split
+  * on single spaces, empties kept) plus every bigram occurrence —
+  * bucketed by `pmod(first-8-md5-hex-digits-as-int, buckets)`.
+  *
+  * Byte-for-byte the same buckets/counts as the composed-expression
+  * form it replaces (`explode(concat(split(text,' '),
+  * word_shingles_all(text,2)))` → `pmod(conv(substring(md5(tok),1,8),
+  * 16,10)::long, buckets)` → `groupBy(doc,bucket).count`): the first 8
+  * md5 hex digits ARE the first 4 digest bytes big-endian, and the
+  * per-doc pre-aggregation just moves the (doc,bucket) count fold into
+  * the scan — SelectionSpec pins kernel ≡ composed-expression equality.
+  *
+  * Why a kernel (the pinned TextChunks/BpeEncode discipline): the
+  * composed form pays per-token md5 through a fresh DigestUtils
+  * MessageDigest per call, materializes the 32-char hex string,
+  * re-parses 8 digits with `conv`, and ships every token occurrence
+  * through a (doc,bucket) exchange — ~3M tokens per corpus pass at
+  * sf0.1. The kernel reuses one thread-local digest, reads the 4 bytes
+  * it needs, and emits the already-folded (bucket, c) pairs sorted by
+  * bucket (deterministic row order), so the downstream shuffle carries
+  * ≤ distinct-buckets-per-doc rows with NO aggregate exchange.
+  *
+  * Output: array<struct<bucket: long, c: long>> sorted by bucket;
+  * empty text still yields the md5("") unigram (split keeps empties —
+  * identical to the composed form). */
+case class DsirBucketCounts(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && buckets >= 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (string, buckets>=1), got ${child.dataType}, " +
+          s"buckets=$buckets")
+
+  override def nullSafeEval(input: Any): Any =
+    DsirBuckets.bucketCounts(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DsirBuckets.bucketCounts($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): DsirBucketCounts =
+    copy(child = newChild)
+  override def prettyName: String = "dsir_bucket_counts"
+}
+
+object DsirBuckets {
+  private final val Space = UTF8String.fromString(" ")
+  private final val SpaceByte = ' '.toByte
+
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 md5 digest bytes of `bytes` as an unsigned 32-bit value,
+    * mod `buckets` — exactly `pmod(conv(substring(md5(tok),1,8),16,10)
+    * ::long, buckets)` (the first 8 hex digits are these 4 bytes). */
+  private def bucketOf(md: java.security.MessageDigest,
+                       bytes: Array[Byte], buckets: Int): Int = {
+    md.reset()
+    val d = md.digest(bytes)
+    val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    (v % buckets).toInt
+  }
+
+  /** Kernel: per-bucket counts of the unigram+bigram md5 feature
+    * stream, emitted sorted by bucket (called from generated code). */
+  def bucketCounts(text: UTF8String, buckets: Int): ArrayData = {
+    val md = digests.get()
+    val toks = text.split(Space, -1)
+    // counts array for the common parameter range; the library default
+    // is 4096 and callers tune within the same order of magnitude
+    val counts = new Array[Long](buckets)
+    var i = 0
+    while (i < toks.length) {
+      counts(bucketOf(md, toks(i).getBytes, buckets)) += 1L
+      if (i + 1 < toks.length) {
+        val a = toks(i).getBytes
+        val b = toks(i + 1).getBytes
+        val bi = new Array[Byte](a.length + 1 + b.length)
+        System.arraycopy(a, 0, bi, 0, a.length)
+        bi(a.length) = SpaceByte
+        System.arraycopy(b, 0, bi, a.length + 1, b.length)
+        counts(bucketOf(md, bi, buckets)) += 1L
+      }
+      i += 1
+    }
+    var nonZero = 0
+    i = 0
+    while (i < buckets) { if (counts(i) != 0L) nonZero += 1; i += 1 }
+    val out = new Array[Any](nonZero)
+    var j = 0
+    i = 0
+    while (i < buckets) {
+      if (counts(i) != 0L) {
+        out(j) = new GenericInternalRow(Array[Any](i.toLong, counts(i)))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def dsir_bucket_counts(c: Column, buckets: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DsirBucketCounts(ColumnBridge.expression(c), buckets))
+  }
+}

@@ -11,6 +11,32 @@ class SelectionSpec extends SparkSpec {
   private lazy val docs = Tables.documents(spark, sf("sf0.001")).cache()
   private lazy val target = docs.filter($"lang" === "en")
 
+  test("dsir bucket kernel ≡ composed md5 expression (r19 fused pass)") {
+    // the native kernel must reproduce the composed-expression route
+    // byte for byte: same md5-prefix buckets, same per-(doc, bucket)
+    // counts — including the empty-token edge cases split keeps
+    val crafted = Seq((9001L, ""), (9002L, "a"), (9003L, "a  b"),
+      (9004L, "é ü  déjà vu"), (9005L, ("x " * 40).trim)).toDF("doc_id", "text")
+    val d = docs.select($"doc_id", $"text").unionByName(crafted)
+    val buckets = 4096
+    val kernel = d.select($"doc_id",
+        explode(graft.functions.DsirBuckets
+          .dsir_bucket_counts($"text", buckets)).as("_kv"))
+      .select($"doc_id", $"_kv.bucket".as("bucket"), $"_kv.c".as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val composed = d.select($"doc_id",
+        explode(concat(split($"text", " "),
+          graft.functions.Shingles.word_shingles_all($"text", 2))).as("tok"))
+      .select($"doc_id",
+        pmod(conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"))
+      .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kernel == composed,
+      s"kernel-only=${(kernel -- composed).take(5)} " +
+        s"composed-only=${(composed -- kernel).take(5)}")
+  }
+
   test("importance scores every raw doc once, deterministically") {
     val a = Selection.importanceWeights(docs, target).collect()
     assert(a.length == docs.count())
