@@ -1147,6 +1147,57 @@ object Events {
     * (final ranks (_u, _r), degree relation, per-round L1 residuals —
     * empty unless requested; the residual aggregate is the only extra
     * work on that path). */
+  /** The small-graph arm of [[pageRankLoop]]: the identical damped
+    * recurrence r' = (1−d)/N + d·Σ r(v)/deg(v) over the collected
+    * (long-id) pair list — no per-round Spark jobs. Returns the same
+    * (ranks (_u, _r), deg (_src, degree), residuals) triple. */
+  private def pageRankLocal(pairs: DataFrame, iterations: Int,
+                            damping: Double, collectResiduals: Boolean)
+      : (DataFrame, DataFrame, Seq[Double]) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    def add(a: Long, b: Long): Unit = {
+      var ns = adj.get(a)
+      if (ns == null) { ns = scala.collection.mutable.ArrayBuffer.empty[Long]; adj.put(a, ns) }
+      ns += b
+    }
+    pairs.select(col("user_a"), col("user_b")).collect().foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1); add(a, b); add(b, a)
+    }
+    val n = adj.size().toDouble
+    val base = (1.0 - damping) / n
+    var ranks = new java.util.HashMap[Long, Double](adj.size())
+    adj.keySet().forEach(v => ranks.put(v, 1.0 / n))
+    val residuals = Seq.newBuilder[Double]
+    for (_ <- 1 to iterations) {
+      val next = new java.util.HashMap[Long, Double](ranks.size())
+      var l1 = 0.0
+      val it = adj.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getKey
+        var in = 0.0
+        val ns = e.getValue
+        var i = 0
+        while (i < ns.length) {
+          val u = ns(i); in += ranks.get(u) / adj.get(u).length; i += 1
+        }
+        val r = base + damping * in
+        if (collectResiduals) l1 += math.abs(r - ranks.get(v))
+        next.put(v, r)
+      }
+      if (collectResiduals) residuals += l1
+      ranks = next
+    }
+    val rankRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    ranks.entrySet().forEach(e => rankRows += ((e.getKey, e.getValue)))
+    val degRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    adj.entrySet().forEach(e => degRows += ((e.getKey, e.getValue.length.toLong)))
+    (rankRows.toSeq.toDF("_u", "_r"), degRows.toSeq.toDF("_src", "degree"),
+      residuals.result())
+  }
+
   private def pageRankLoop(events: DataFrame, gapMinutes: Int,
                            iterations: Int, damping: Double,
                            maxBucketPopulation: Option[Long],
@@ -1161,6 +1212,20 @@ object Events {
     // legs — the duplicateComponents lesson)
     val pairs = sessionOverlapMatrix(events, gapMinutes,
       maxBucketPopulation).localCheckpoint()
+    // scale-adaptive small-graph arm (r19, the duplicateComponents
+    // local-CC precedent): each distributed round costs a join + an
+    // aggregate + a checkpoint of pure scheduling on bounded graphs —
+    // under the repo's 10M-row driver gate run the SAME recurrence on
+    // the collected edge list (same damping, same (1−d)/N base, same
+    // left-join-total semantics). Per-node in-rank sums are fp adds
+    // whose association is unpinned in BOTH arms (the documented
+    // rows-only classification of every consumer); the spec anchors
+    // (symmetric-uniform exactness, hand-mirrored recurrence) are
+    // association-free and pin both arms.
+    if (pairs.schema("user_a").dataType ==
+        org.apache.spark.sql.types.LongType &&
+        pairs.count() <= MaxBroadcastRows)
+      return pageRankLocal(pairs, iterations, damping, collectResiduals)
     // undirected: each edge in both orientations (src = rank donor)
     val edges = pairs.select(col("user_a").as("_src"),
         col("user_b").as("_dst"))

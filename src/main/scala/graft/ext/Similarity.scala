@@ -238,6 +238,24 @@ object Similarity {
   private def kmeansCentroidsOn(v: DataFrame, nCells: Int, iters: Int,
                                 seed: Long): Array[Array[Double]] = {
     require(nCells >= 2, "nCells must be >= 2")
+    // scale-adaptive small-corpus arm (r19, the local-CC precedent):
+    // each distributed round is an assignment pass + a dim-wide
+    // aggregate + a collect — fixed scheduling on bounded working
+    // sets. Under a vector-volume gate run the SAME recurrence on the
+    // collected vectors: same xxhash64 seed pick, same cosine-argmax
+    // tie rule (NaN greatest, first index on equal), same 9dp-rounded
+    // re-centering (the documented reproducibility guard — fp partial
+    // order is unpinned in BOTH arms; every consumer is rows-only).
+    // ExtSpec's build-to-build equality test pins the arm.
+    if (v.schema("vec_id").dataType == org.apache.spark.sql.types.LongType) {
+      val n = v.count()
+      if (n >= nCells && n <= 1000000L) {
+        val dim0 = v.limit(1).select(size(col("e"))).collect()
+          .headOption.map(_.getInt(0)).getOrElse(0)
+        if (n * math.max(dim0, 1) <= 16000000L)
+          return kmeansCentroidsLocal(v, nCells, iters, seed)
+      }
+    }
     locally {
       var cents: Array[Array[Double]] = v
         .orderBy(xxhash64(lit(seed), col("vec_id")), col("vec_id"))
@@ -264,6 +282,63 @@ object Similarity {
       }
       cents
     }
+  }
+
+  /** The small-corpus arm of [[kmeansCentroidsOn]]: identical seed
+    * pick (ascending (xxhash64(seed, vec_id), vec_id)), identical
+    * assignment arithmetic (the [[graft.functions.CosineSimilarity]]
+    * accumulation loop, NaN-greatest/first-on-tie argmax), identical
+    * 9dp-rounded re-centering with empty cells keeping their previous
+    * centroid — over the collected working set, zero per-round jobs. */
+  private def kmeansCentroidsLocal(v: DataFrame, nCells: Int, iters: Int,
+                                   seed: Long): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val vecs = v.select(col("vec_id"), col("e")).collect().map { r =>
+      (r.getLong(0), r.getAs[scala.collection.Seq[Double]](1).toArray)
+    }
+    val hSeed = XXH64.hashLong(seed, 42L)
+    var cents = vecs
+      .map { case (id, e) => (XXH64.hashLong(id, hSeed), id, e) }
+      .sortBy(t => (t._1, t._2))
+      .take(nCells).map(_._3.clone())
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    // the exact CosineSimilarity.compute loop (same IEEE op order)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val m = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < m) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      vecs.foreach { case (_, e) =>
+        // argmax with Spark's greatest/array_position semantics:
+        // NaN above any non-NaN, FIRST index on equality
+        var best = 0
+        var bestSim = cos(e, cents(0))
+        var c = 1
+        while (c < cents.length) {
+          val s = cos(e, cents(c))
+          if (java.lang.Double.compare(s, bestSim) > 0) { best = c; bestSim = s }
+          c += 1
+        }
+        counts(best) += 1L
+        val s = sums(best)
+        val lim = math.min(dim, e.length)
+        var p = 0
+        while (p < lim) { s(p) += e(p); p += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0L) old
+        else Array.tabulate(dim)(p =>
+          math.rint(sums(i)(p) / counts(i) * 1e9) / 1e9)
+      }
+    }
+    cents
   }
 
   /** Assign every vector to its nearest centroid (max cosine; ties go to

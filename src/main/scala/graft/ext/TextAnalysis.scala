@@ -1106,6 +1106,51 @@ object TextAnalysis {
     val nDocs = feat.select(col("doc_id")).distinct().count().toDouble
     require(nDocs > 0, "cannot train on an empty corpus")
     val w = Array.fill(nBuckets)(0.0)
+    // scale-adaptive small-corpus arm (r19, the local-CC precedent):
+    // each distributed iteration is 3 jobs of pure scheduling over the
+    // checkpointed feature relation — under the repo's 10M-row driver
+    // gate run the SAME recurrence (per-doc margin, sigmoid residual,
+    // x·r gradient, 9dp-rounded update) over the collected rows. Both
+    // arms' fp sums are association-unpinned (the 9dp rounding is the
+    // documented reproducibility guard); q76 is rows-only.
+    if (feat.count() <= graft.ext.MaxBroadcastRows) {
+      val rows = feat.select(col("doc_id"), col("y"), col("bucket"),
+          col("x")).collect()
+      // group per doc in collected order
+      val byDocIdx = new java.util.LinkedHashMap[Long, java.lang.Integer]()
+      rows.foreach { r =>
+        val d = r.getLong(0)
+        if (!byDocIdx.containsKey(d)) byDocIdx.put(d, byDocIdx.size())
+      }
+      val nD = byDocIdx.size()
+      val ys = new Array[Double](nD)
+      val docBuckets = Array.fill(nD)(scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])
+      rows.foreach { r =>
+        val i = byDocIdx.get(r.getLong(0)).intValue()
+        ys(i) = r.getDouble(1)
+        docBuckets(i) += ((r.getLong(2).toInt, r.getDouble(3)))
+      }
+      for (_ <- 1 to iters) {
+        val g = new Array[Double](nBuckets)
+        var i = 0
+        while (i < nD) {
+          var m = 0.0
+          val bs = docBuckets(i)
+          var j = 0
+          while (j < bs.length) { m += w(bs(j)._1) * bs(j)._2; j += 1 }
+          val r = 1.0 / (1.0 + math.exp(-m)) - ys(i)
+          j = 0
+          while (j < bs.length) { g(bs(j)._1) += bs(j)._2 * r; j += 1 }
+          i += 1
+        }
+        var b = 0
+        while (b < nBuckets) {
+          w(b) = math.rint((w(b) - learningRate * g(b) / nDocs) * 1e9) / 1e9
+          b += 1
+        }
+      }
+      return w.toSeq
+    }
     for (_ <- 1 to iters) {
       val wLit = typedlit(w.toSeq)
       val perDoc = feat.groupBy(col("doc_id"))
